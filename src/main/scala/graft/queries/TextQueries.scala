@@ -1,10 +1,262 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Dedup
+import graft.text.{MinHash, SimHash, TextFunctions => TF}
 
-/** B-block: text-analysis + dedup-family operators (stub, filled next). */
+/** B-block (text): dedup family + text analysis over `documents`.
+  *
+  * The DuckDB oracles reproduce each algorithm exactly via the portable
+  * hash60 (md5-prefix) construction — see SURVEY.md §3.
+  */
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
-  val defs: Map[String, Q] = Map()
-  val oracle: Map[String, String] = Map()
+
+  val defs: Map[String, Q] = Map(
+    // ---- q19: exact dedup by normalized-text fingerprint ----
+    "q19_dedup_exact" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("fp", md5(TF.normalizeText(col("text"))))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("fp"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q20: n-gram Jaccard near-dup (min-hash bucket candidates) ----
+    "q20_ngram_jaccard" -> { (s, d) =>
+      val sh = MinHash.shingleSet(Tables.documents(s, d), "doc_id", "text")
+      // 3 independent single-row "bands": candidates agree on any salted min.
+      val cand = MinHash.candidates(
+        MinHash.bands(MinHash.signature(sh, "doc_id", 3), "doc_id", 1), "doc_id")
+      MinHash.jaccard(sh, cand, "doc_id")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- q21: MinHash signature + banded LSH + verify ----
+    "q21_minhash_lsh" -> { (s, d) =>
+      val sh = MinHash.shingleSet(Tables.documents(s, d), "doc_id", "text")
+      val sig = MinHash.signature(sh, "doc_id", 16)
+      val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 4), "doc_id")
+      val sigSim = cand
+        .join(sig.select(col("doc_id").as("id_a"), col("salt"), col("minh").as("mh_a")), "id_a")
+        .join(sig.select(col("doc_id").as("id_b"), col("salt"), col("minh").as("mh_b")), Seq("id_b", "salt"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg((sum(when(col("mh_a") === col("mh_b"), 1).otherwise(0)) / 16.0).as("sig_sim"))
+      MinHash.jaccard(sh, cand, "doc_id")
+        .join(sigSim, Seq("id_a", "id_b"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          round(col("sig_sim"), 4).as("sig_sim"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- q22: tf-weighted SimHash near-dup ----
+    "q22_simhash" -> { (s, d) =>
+      SimHash.nearPairs(
+        SimHash.fingerprints(Tables.documents(s, d), "doc_id", "text"), "doc_id", 3)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- q23: heuristic language ID ----
+    "q23_langid" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          TF.langPredict(TF.tokens(col("text"))).as("pred_lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q24: quality scoring ----
+    "q24_quality_score" -> { (s, d) =>
+      val toks = TF.tokens(col("text"))
+      val nChars = length(col("text"))
+      val nToks = size(toks)
+      val sumTokLen = aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+      val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+      val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+      val stops = TF.stopwordCount(toks, "en")
+      val punctRatio = punct * lit(1.0) / nChars
+      val alphaRatio = alpha * lit(1.0) / nChars
+      val score = least(lit(1.0), nToks / lit(100.0)) * 0.5 + alphaRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2
+      Tables.documents(s, d)
+        .select(col("doc_id"), nToks.as("n_tokens"),
+          round(sumTokLen * lit(1.0) / nToks, 4).as("avg_token_len"),
+          round(punctRatio, 4).as("punct_ratio"),
+          round(alphaRatio, 4).as("alpha_ratio"),
+          round(stops * lit(1.0) / nToks, 4).as("stopword_ratio"),
+          round(score, 4).as("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q25: token counting (whitespace + BPE-ish regex) ----
+    "q25_token_count" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TF.tokens(col("text"))).as("n_ws_tokens"),
+          regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q26: document fingerprinting (norm md5 + min 8-gram hash) ----
+    "q26_fingerprint" -> { (s, d) =>
+      val norm = TF.normalizeText(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(norm).as("fp_md5"),
+          array_min(transform(TF.charNgrams(norm, 8), g => TF.hash60(g))).as("fp_min_ngram"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  // ---------------- DuckDB oracle fragments ----------------
+
+  /** Tokenizer — exact DuckDB mirror of TextFunctions.tokens. */
+  private val TOKS =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** Portable hash60 of a varchar expression. */
+  private def h60(e: String) = s"('0x' || substr(md5($e),1,15))::BIGINT"
+
+  /** Distinct word-bigram shingles CTE (expects a `documents` scan). */
+  private val SHINGLES_CTE =
+    s"""tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
+        sh AS (SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+            THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+            ELSE [] END) AS shingle FROM tk))"""
+
+  private def minhashCte(k: Int) =
+    s"""mh AS (SELECT doc_id, salt, min(${h60("salt::VARCHAR || '|' || shingle")}) AS minh
+          FROM sh CROSS JOIN (SELECT unnest(range($k)) AS salt) salts
+          GROUP BY 1, 2)"""
+
+  private val JACCARD_TAIL =
+    """cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       inter AS (SELECT c.id_a, c.id_b, count(*) AS shared
+         FROM cand c
+         JOIN sh x ON x.doc_id = c.id_a
+         JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+         GROUP BY 1, 2),
+       jac AS (SELECT i.id_a, i.id_b,
+           i.shared * 1.0 / (ca.n + cb.n - i.shared) AS jaccard
+         FROM inter i JOIN cnt ca ON i.id_a = ca.doc_id
+         JOIN cnt cb ON i.id_b = cb.doc_id)"""
+
+  private val ENSTOPS = TF.stopwords("en").map(w => s"'$w'").mkString("[", ",", "]")
+  private def stopList(l: String) = TF.stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
+  private def stopCount(l: String) =
+    s"len(list_filter(toks, t -> list_contains(${stopList(l)}, t)))"
+
+  val oracle: Map[String, String] = Map(
+    "q19_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         count(*) AS n_copies
+         FROM documents GROUP BY 2 ORDER BY doc_id""",
+
+    "q20_ngram_jaccard" ->
+      s"""WITH $SHINGLES_CTE,
+         ${minhashCte(3)},
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM mh a JOIN mh b ON a.salt = b.salt AND a.minh = b.minh
+             AND a.doc_id < b.doc_id),
+         $JACCARD_TAIL
+         SELECT id_a AS doc_a, id_b AS doc_b, round(jaccard, 4) AS jaccard
+         FROM jac WHERE jaccard >= 0.5 ORDER BY 1, 2""",
+
+    "q21_minhash_lsh" ->
+      s"""WITH $SHINGLES_CTE,
+         ${minhashCte(16)},
+         bands AS (SELECT doc_id, salt // 4 AS band, sum(minh) AS band_val
+           FROM mh GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id),
+         sig_sim AS (SELECT c.id_a, c.id_b,
+             sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / 16.0 AS sig_sim
+           FROM cand c
+           JOIN mh sa ON sa.doc_id = c.id_a
+           JOIN mh sb ON sb.doc_id = c.id_b AND sb.salt = sa.salt
+           GROUP BY 1, 2),
+         $JACCARD_TAIL
+         SELECT j.id_a AS doc_a, j.id_b AS doc_b,
+           round(s.sig_sim, 4) AS sig_sim, round(j.jaccard, 4) AS jaccard
+         FROM jac j JOIN sig_sim s ON j.id_a = s.id_a AND j.id_b = s.id_b
+         WHERE j.jaccard >= 0.5 ORDER BY 1, 2""",
+
+    "q22_simhash" ->
+      s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM
+           (SELECT doc_id, unnest(toks) AS tok FROM tk) GROUP BY 1, 2),
+         th AS (SELECT doc_id, tf, ${h60("tok")} AS h FROM tf),
+         bits AS (SELECT doc_id, j, sum((((h >> j) & 1) * 2 - 1) * tf) AS s
+           FROM th CROSS JOIN (SELECT unnest(range(60)) AS j) js GROUP BY 1, 2),
+         fp AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+           FROM bits GROUP BY 1),
+         banded AS (SELECT doc_id, simhash, band, (simhash >> (band * 10)) & 1023 AS band_val
+           FROM fp CROSS JOIN (SELECT unnest(range(6)) AS band) bs),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+           FROM banded a JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id)
+         SELECT id_a AS doc_a, id_b AS doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+         FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3 ORDER BY 1, 2""",
+
+    "q23_langid" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $TOKS AS toks FROM documents),
+         sc AS (SELECT doc_id, lang,
+             ${stopCount("en")} AS s_en, ${stopCount("de")} AS s_de,
+             ${stopCount("es")} AS s_es, ${stopCount("fr")} AS s_fr
+           FROM tk)
+         SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang
+         FROM sc ORDER BY doc_id""",
+
+    "q24_quality_score" ->
+      s"""WITH tk AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
+         m AS (SELECT doc_id,
+             len(toks) AS n_tokens,
+             list_sum(list_transform(toks, t -> len(t))) AS sum_tok_len,
+             len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / len(text) AS punct_ratio,
+             len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / len(text) AS alpha_ratio,
+             $ENSTOPS_COUNT AS n_stops
+           FROM tk)
+         SELECT doc_id, n_tokens,
+           round(sum_tok_len * 1.0 / n_tokens, 4) AS avg_token_len,
+           round(punct_ratio, 4) AS punct_ratio,
+           round(alpha_ratio, 4) AS alpha_ratio,
+           round(n_stops * 1.0 / n_tokens, 4) AS stopword_ratio,
+           round(least(1.0, n_tokens / 100.0) * 0.5 + alpha_ratio * 0.3 + (1.0 - punct_ratio) * 0.2, 4)
+             AS quality_score
+         FROM m ORDER BY doc_id""",
+
+    "q25_token_count" ->
+      s"""SELECT doc_id,
+         len($TOKS) AS n_ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "q26_fingerprint" ->
+      s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+           FROM documents),
+         g AS (SELECT doc_id, s, unnest(CASE WHEN len(s) >= 8
+             THEN [substr(s, i, 8) for i in range(1, len(s) - 6)] ELSE [s] END) AS gram
+           FROM n)
+         SELECT g.doc_id, md5(any_value(g.s)) AS fp_md5,
+           min(${h60("gram")}) AS fp_min_ngram
+         FROM g GROUP BY g.doc_id ORDER BY g.doc_id"""
+  )
+
+  /** en-stopword count over `toks` (used inside q24's oracle). */
+  private lazy val ENSTOPS_COUNT =
+    s"len(list_filter(toks, t -> list_contains($ENSTOPS, t)))"
 }

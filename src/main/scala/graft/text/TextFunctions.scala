@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.ops.Cdm
+
+/** Text-analysis primitives for the LLM-training-data pipeline: tokenization,
+  * n-gram shingles, language ID, quality ratios, fingerprints.
+  *
+  * Everything is a pure `Column` combinator over built-in functions (split /
+  * transform / filter / aggregate) — codegen-friendly, no UDFs — and every
+  * construct has an exact DuckDB equivalent so the oracle SQL can reproduce
+  * results bit-for-bit (see queries/TextQueries.scala).
+  */
+object TextFunctions {
+
+  /** Lowercased alphanumeric tokens; empties removed. DuckDB equivalent:
+    * `list_filter(regexp_split_to_array(lower(x),'[^a-z0-9]+'), t -> t <> '')`.
+    */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Word-bigram shingles from a token array (empty when <2 tokens — the
+    * `when` guard matters: Spark `sequence(1, 0)` would produce a DESCENDING
+    * sequence, not an empty one).
+    */
+  def wordBigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Character n-grams of a string (whole string when shorter than n). */
+  def charNgrams(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n))))
+      .otherwise(array(c))
+
+  /** Whitespace-collapsed, trimmed, lowercased normal form (dedup canon). */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Portable 60-bit hash (delegates to [[Cdm.hash60]]). */
+  def hash60(c: Column): Column = Cdm.hash60(c)
+
+  /** Small built-in stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny — the operator contract is the heuristic
+    * itself, not lexicon quality.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht", "mit", "auf", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "en", "un", "une", "du", "est"))
+
+  /** Count of tokens belonging to `lang`'s stopword list. */
+  def stopwordCount(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(stopwords(lang).map(lit): _*)))
+
+  /** Language prediction: argmax of stopword counts with a fixed priority
+    * order (en > de > es > fr) on ties; 'und' (undetermined) when all zero.
+    */
+  def langPredict(toks: Column): Column = {
+    val s = Seq("en", "de", "es", "fr").map(l => l -> stopwordCount(toks, l)).toMap
+    when(s.values.reduce(_ + _) === 0, lit("und"))
+      .when(s("en") >= s("de") && s("en") >= s("es") && s("en") >= s("fr"), lit("en"))
+      .when(s("de") >= s("es") && s("de") >= s("fr"), lit("de"))
+      .when(s("es") >= s("fr"), lit("es"))
+      .otherwise(lit("fr"))
+  }
+}
