@@ -1,10 +1,134 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.multimodal.Binary
+import graft.sim.Ann
 
-/** B-block: embedding similarity / ANN operators (stub, filled next). */
+/** B-block (similarity + multimodal): ANN over `embeddings`, centroid
+  * analytics, and binary-column plumbing over `documents`.
+  */
 object SimQueries {
   type Q = (SparkSession, String) => DataFrame
-  val defs: Map[String, Q] = Map()
-  val oracle: Map[String, String] = Map()
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), Ann.toDouble(col("embedding")).as("vec"), col("label"))
+
+  val defs: Map[String, Q] = Map(
+    // ---- q27: exact brute-force top-k cosine (correctness baseline) ----
+    "q27_ann_bruteforce" -> { (s, d) =>
+      val v = vecs(s, d)
+      Ann.bruteforceTopK(v, v.filter(col("id") < 10), 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ---- q28: random-hyperplane LSH bucket assignment (index build) ----
+    "q28_ann_lsh" -> { (s, d) =>
+      Ann.hyperplaneBuckets(vecs(s, d), 8)
+        .select(col("id").as("vec_id"), col("bucket"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- q29: per-label centroid + distance-to-centroid ----
+    "q29_embed_centroid" -> { (s, d) =>
+      val ex = vecs(s, d).select(col("id"), col("label"), posexplode(col("vec")).as(Seq("pos", "v")))
+      val cent = ex.groupBy(col("label"), col("pos")).agg(avg(col("v")).as("c"))
+      ex.join(cent, Seq("label", "pos"))
+        .groupBy(col("id"), col("label"))
+        .agg(sqrt(sum((col("v") - col("c")) * (col("v") - col("c")))).as("dist"))
+        .select(col("id").as("vec_id"), col("label"), round(col("dist"), 6).as("dist_to_centroid"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- q30: multimodal binary payloads + typed stub decode ----
+    "q30_multimodal_meta" -> { (s, d) =>
+      Binary.metadata(s, Tables.documents(s, d)).toDF()
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q35: bucketed ANN — top-1 in-bucket neighbor per vector ----
+    "q35_dedup_cosine" -> { (s, d) =>
+      val v = vecs(s, d)
+      Ann.bucketTop1(v, Ann.hyperplaneBuckets(v, 8))
+        .select(col("id").as("vec_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cosine"), col("bucket"))
+        .orderBy(col("vec_id"))
+    }
+  )
+
+  // ---------------- DuckDB oracle fragments ----------------
+
+  private val E = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+
+  /** Sequential-fold dot product of two DOUBLE[] expressions (bit-identical
+    * to Spark's zip_with + aggregate left fold).
+    */
+  private def dotSql(a: String, b: String) =
+    s"list_sum([$a[i] * $b[i] for i in range(1, len($b) + 1)])"
+
+  private def cosSql(a: String, b: String) =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Hyperplane-bucket CTEs (expects `e`); yields bk(vec_id, bucket). */
+  private val BUCKET_CTES =
+    """ex AS (SELECT vec_id, v, unnest(range(len(v))) AS pos FROM e),
+       pj AS (SELECT vec_id, pos, v[pos + 1] AS val, j,
+           CASE WHEN substr(md5(j::VARCHAR || '-' || pos::VARCHAR), 1, 1) >= '8'
+                THEN 1 ELSE -1 END AS sgn
+         FROM ex CROSS JOIN (SELECT unnest(range(8)) AS j) js),
+       bits AS (SELECT vec_id, j, sum(val * sgn) AS s FROM pj GROUP BY 1, 2),
+       bk AS (SELECT vec_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+         FROM bits GROUP BY 1)"""
+
+  val oracle: Map[String, String] = Map(
+    "q27_ann_bruteforce" ->
+      s"""WITH $E,
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         pairs AS (SELECT qid, e.vec_id AS nid, ${cosSql("qv", "v")} AS cos
+           FROM q, e WHERE qid <> e.vec_id),
+         ranked AS (SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           FROM pairs)
+         SELECT qid AS query_id, rank, nid AS neighbor_id, round(cos, 6) AS cosine
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q28_ann_lsh" ->
+      s"""WITH $E, $BUCKET_CTES
+         SELECT vec_id, bucket FROM bk ORDER BY vec_id""",
+
+    "q29_embed_centroid" ->
+      s"""WITH e2 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         ex AS (SELECT vec_id, label, v, unnest(range(len(v))) AS pos FROM e2),
+         pv AS (SELECT vec_id, label, pos, v[pos + 1] AS val FROM ex),
+         cent AS (SELECT label, pos, avg(val) AS c FROM pv GROUP BY 1, 2)
+         SELECT pv.vec_id, pv.label,
+           round(sqrt(sum((pv.val - cent.c) * (pv.val - cent.c))), 6) AS dist_to_centroid
+         FROM pv JOIN cent ON pv.label = cent.label AND pv.pos = cent.pos
+         GROUP BY 1, 2 ORDER BY vec_id""",
+
+    "q30_multimodal_meta" ->
+      """WITH h AS (SELECT doc_id, text,
+           ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv FROM documents)
+         SELECT doc_id,
+           octet_length(encode(text))::INT AS byte_len,
+           (320 + hv % 1600)::INT AS width,
+           (240 + (hv // 1600) % 840)::INT AS height,
+           CASE hv % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+         FROM h ORDER BY doc_id""",
+
+    "q35_dedup_cosine" ->
+      s"""WITH $E, $BUCKET_CTES,
+         eb AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk ON e.vec_id = bk.vec_id),
+         pairs AS (SELECT a.vec_id, b.vec_id AS neighbor_id, a.bucket,
+             ${cosSql("a.v", "b.v")} AS cos
+           FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos DESC, neighbor_id) AS rn FROM pairs)
+         SELECT vec_id, neighbor_id, round(cos, 6) AS cosine, bucket
+         FROM ranked WHERE rn = 1 ORDER BY vec_id"""
+  )
 }

@@ -1,0 +1,78 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: exact brute-force top-k (correctness
+  * baseline) and random-hyperplane LSH bucketing (the scale path).
+  *
+  * Dot products use `zip_with` + `aggregate` — sequential left-to-right
+  * folds, so the DuckDB oracle (list comprehension + `list_sum`) produces
+  * bit-identical doubles. No UDFs.
+  *
+  * Scale: brute-force broadcasts the (small) query set against the corpus —
+  * no corpus shuffle, one pass. LSH assigns each vector to a 2^planes-bucket
+  * key; probes then join on the bucket id, touching ~1/2^planes of the data.
+  * Hyperplane signs are derived from md5(plane + "-" + dim) — deterministic,
+  * seedless, reproducible in SQL.
+  */
+object Ann {
+
+  /** float[] → double[] (cosine math happens in double on both engines). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k neighbors for each query vector (queries broadcast).
+    * Inputs: (id, vec double[]) on both sides; self-pairs excluded.
+    */
+  def bruteforceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qvec")))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Random-hyperplane LSH bucket per vector: bit j = (v · plane_j) > 0,
+    * plane_j component for dim m = +1 if the first hex char of
+    * md5(j + "-" + m) is >= '8' else -1. Returns (id, bucket).
+    */
+  def hyperplaneBuckets(vectors: DataFrame, planes: Int): DataFrame =
+    vectors
+      .select(col("id"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .select(col("id"), col("pos"), col("v"),
+        explode(sequence(lit(0), lit(planes - 1))).as("j"))
+      .withColumn("sign",
+        when(substring(md5(concat_ws("-", col("j"), col("pos"))), 1, 1) >= "8", 1).otherwise(-1))
+      .groupBy(col("id"), col("j"))
+      .agg(sum(col("v") * col("sign")).as("s"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), j)")).otherwise(0L))
+        .as("bucket"))
+
+  /** Top-1 in-bucket neighbor per vector (bucketed ANN): join on bucket id,
+    * exact cosine rerank inside the bucket. Vectors alone in their bucket
+    * produce no row.
+    */
+  def bucketTop1(vectors: DataFrame, buckets: DataFrame): DataFrame = {
+    val withB = vectors.join(buckets, "id")
+    val a = withB.select(col("bucket"), col("id"), col("vec"))
+    val b = withB.select(col("bucket"), col("id").as("neighbor_id"), col("vec").as("nvec"))
+    val w = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    a.join(b, Seq("bucket")).filter(col("id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("vec"), col("nvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("neighbor_id"), col("cos"), col("bucket"))
+  }
+}
