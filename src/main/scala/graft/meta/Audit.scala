@@ -1,0 +1,50 @@
+package graft.meta
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Incremental
+
+/** Run-audit records: one row per load with run id, load mode, watermark and
+  * status (reference: 1_audit/audit_ddl.sql `audit_logs`,
+  * 1_audit/audit_start.py / audit_end.py, and
+  * catch_new_watermark_value.py for the post-load watermark capture).
+  *
+  * Stored as an append-only parquet log. At scale this is a tiny
+  * metadata-rate table — one row per pipeline run, not per data row.
+  */
+object Audit {
+
+  final case class Run(
+      run_id: String,
+      source_object: String,
+      load_mode: String,
+      watermark_column: String,
+      watermark_value: String,
+      rows_processed: Long,
+      status: String,
+      start_time: Timestamp,
+      end_time: Timestamp)
+
+  /** Append one run record to the audit log directory. */
+  def log(spark: SparkSession, auditDir: String, run: Run): Unit = {
+    import spark.implicits._
+    Seq(run).toDS().write.mode("append").parquet(auditDir)
+  }
+
+  /** New watermark after a load: stringified max of the watermark column,
+    * None when the frame is empty or all-null
+    * (reference: 1_audit/catch_new_watermark_value.py:30-45).
+    */
+  def newWatermark(df: DataFrame, watermarkColumn: String): Option[String] = {
+    val row = Incremental.capture(df, col(watermarkColumn)).collect()(0)
+    if (row.isNullAt(0)) None else Some(row.get(0).toString)
+  }
+
+  /** Latest status per source object from the audit log (window dedup). */
+  def latestRuns(spark: SparkSession, auditDir: String): DataFrame =
+    graft.ops.Dedup.latestPerKey(
+      spark.read.parquet(auditDir),
+      Seq("source_object"),
+      Seq(col("end_time").desc, col("run_id").desc))
+}

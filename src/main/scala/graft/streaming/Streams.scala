@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.ops.{Dedup, Scd2}
+
+/** Structured Streaming operators — the streaming faces of the batch
+  * operators in graft.ops (reference pipelines are ADF-triggered micro
+  * batches; here they are first-class streams).
+  *
+  * - [[windowedAgg]]: watermarked tumbling-window aggregation (batch
+  *   equivalent: q16_time_bucket).
+  * - [[sessionize]]: gap-based session windows via flatMapGroupsWithState
+  *   with event-time timeouts (batch equivalent: q17_sessionize).
+  * - [[dedupWithinWatermark]]: streaming keyed dedup (silver dedup analog).
+  * - [[scd2Sink]]: foreachBatch SCD2 upsert into a parquet dimension
+  *   (the reference's per-batch Delta MERGE analog,
+  *   reference: 4_silver/silver_customers.py:103-170).
+  *
+  * Scale: state stores are keyed by user/business key — high cardinality,
+  * evenly sharded across `spark.sql.shuffle.partitions` state partitions;
+  * watermarks bound state size.
+  */
+object Streams {
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, session_value: Double)
+  // NB: field names deliberately avoid `sum`/`n` — Spark's state-encoder
+  // codegen resolves accessor methods by name and a `sum()` accessor
+  // collides with the generated aggregate helpers.
+  final case class SessState(startUs: Long, endUs: Long, cnt: Long, total: Double)
+
+  /** Watermarked tumbling-window count/sum over an event stream. */
+  def windowedAgg(events: DataFrame, watermarkDelay: String, windowLen: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("n_events"), col("sum_value"))
+
+  /** Streaming keyed dedup bounded by the watermark. */
+  def dedupWithinWatermark(events: DataFrame, watermarkDelay: String, keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", watermarkDelay).dropDuplicatesWithinWatermark(keys)
+
+  /** Gap-based session windows with custom state: events extend the open
+    * session; a gap larger than `gapMs` closes it (emitted immediately when
+    * seen in-batch, via event-time timeout otherwise).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def toSession(uid: Long, s: SessState) = Session(
+      uid, new Timestamp(s.startUs), new Timestamp(s.endUs), s.cnt, s.total)
+
+    events
+      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, it, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(toSession(uid, _)).toIterator
+            state.remove()
+            out
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.endUs <= gapMs =>
+                  cur = Some(SessState(s.startUs, math.max(s.endUs, t), s.cnt + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += toSession(uid, s)
+                  cur = Some(SessState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessState(t, t, 1, e.value))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.endUs + gapMs)
+              case None => ()
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** foreachBatch SCD2 upsert sink: each micro-batch is deduped to its
+    * latest row per key and merged into the parquet dimension at `dimPath`
+    * with [[Scd2.merge]] semantics.
+    */
+  def scd2Sink(spark: SparkSession, dimPath: String, keys: Seq[String], attrs: Seq[String])(
+      batch: DataFrame, batchId: Long): Unit = {
+    val staged = Dedup.latestPerKey(batch, keys, Seq(col("ts").desc))
+      .select((keys ++ attrs).map(col): _*)
+    val existing =
+      try {
+        val e = spark.read.parquet(dimPath)
+        // Materialize before overwriting the path we just read.
+        e.cache(); e.count(); e
+      } catch {
+        case _: Exception =>
+          staged.limit(0)
+            .withColumn("valid_from", lit(null).cast("timestamp"))
+            .withColumn("valid_to", lit(null).cast("timestamp"))
+            .withColumn("is_current", lit(true))
+      }
+    val merged = Scd2.merge(existing, staged, keys, attrs, current_timestamp())
+    merged.write.mode("overwrite").parquet(dimPath)
+    existing.unpersist()
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Binary
+import graft.sim.Ann
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine matches hand math") {
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
+      .toDF("a", "b")
+    val out = df.select(round(Ann.cosine(col("a"), col("b")), 9)).as[Double].collect()
+    assert(out(0) == 0.0 && out(1) == 1.0)
+  }
+
+  test("bruteforceTopK ranks by cosine and excludes self") {
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)), (2L, Seq(0.0, 1.0)))
+      .toDF("id", "vec")
+    val out = Ann.bruteforceTopK(vecs, vecs.filter(col("id") === 0), 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 2L)) // nearest first
+    assert(!out.map(_.getLong(2)).contains(0L))
+  }
+
+  test("hyperplane buckets are deterministic and complete") {
+    // ±1±2±4 is never zero, so every plane takes a definite sign
+    val vecs = Seq((0L, Seq(1.0, 2.0, 4.0)), (1L, Seq(-1.0, -2.0, -4.0)))
+      .toDF("id", "vec")
+    val b1 = Ann.hyperplaneBuckets(vecs, 8).orderBy("id").collect().map(_.getLong(1))
+    val b2 = Ann.hyperplaneBuckets(vecs, 8).orderBy("id").collect().map(_.getLong(1))
+    assert(b1.toSeq == b2.toSeq)
+    // opposite vectors get complementary sign patterns
+    assert((b1(0) ^ b1(1)) == 255L)
+  }
+
+  test("typed mapPartitions decode agrees with the column-level fake decode") {
+    val docs = Tables.documents(spark, sfDir).limit(20)
+    val typed = Binary.metadata(spark, docs).toDF()
+    val sql = docs.select(col("doc_id"),
+      length(col("text").cast("binary")).as("byte_len"),
+      (lit(320) + graft.ops.Cdm.hash60(col("text")) % 1600).cast("int").as("width"))
+    val joined = typed.join(sql, "doc_id")
+      .filter(typed("byte_len") =!= sql("byte_len") || typed("width") =!= sql("width"))
+    assert(joined.count() == 0)
+  }
+}

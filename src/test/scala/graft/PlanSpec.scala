@@ -1,0 +1,48 @@
+package graft
+
+/** Scale-shape assertions: these specs pin the PLANS, not just the results —
+  * broadcast joins stay broadcast, filters reach the parquet scan, and scans
+  * stay narrow. A regression here is a 100-TB performance bug even when
+  * results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q06 star join broadcasts every dimension") {
+    val p = plan("q06_star_agg")
+    assert(p.contains("BroadcastHashJoin"))
+    // customer, nation, region all broadcast → no shuffle-hash/sort-merge join
+    // on the dim side; the only SortMergeJoin allowed is lineitem⋈orders.
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3)
+  }
+
+  test("q01 pushes the shipdate filter into the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q06 prunes the lineitem scan to the 3 needed columns") {
+    val p = plan("q06_star_agg")
+    val readSchema = p.linesIterator.find(l => l.contains("ReadSchema") && l.contains("lineitem"))
+    assert(readSchema.exists { l =>
+      l.contains("l_orderkey") && l.contains("l_extendedprice") &&
+        l.contains("l_discount") && !l.contains("l_shipdate") && !l.contains("l_quantity")
+    })
+  }
+
+  test("q04 dedup is a single shuffle (one Exchange below the window)") {
+    val p = plan("q04_dedup_latest")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+  }
+
+  test("whole-stage codegen covers the q01 aggregation") {
+    // Under AQE the codegen spans only appear in the finalized plan, and
+    // simpleString renders them as "*(n)" stage markers.
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  // Offset from epoch: the initial watermark is epoch 0 and stateful ops
+  // drop events at-or-before it, so test events must sit strictly after.
+  private def ts(min: Int) = new Timestamp((1440 + min) * 60000L)
+
+  test("windowedAgg aggregates tumbling windows under a watermark") {
+    val in = MemoryStream[Event]
+    val q = Streams.windowedAgg(in.toDF(), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win_out").outputMode("complete").start()
+    try {
+      in.addData(Event(1, ts(5), 1.0), Event(1, ts(30), 2.0), Event(2, ts(70), 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM win_out ORDER BY bucket_start").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getLong(1) == 2 && rows(0).getDouble(2) == 3.0)
+      assert(rows(1).getLong(1) == 1 && rows(1).getDouble(2) == 3.0)
+    } finally q.stop()
+  }
+
+  test("sessionize emits closed sessions (in-batch gap + event-time timeout)") {
+    val in = MemoryStream[Event]
+    val q = Streams.sessionize(in.toDS(), gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // user 1: two events 10min apart (one session), then a 60min gap event
+      in.addData(Event(1, ts(0), 1.0), Event(1, ts(10), 2.0), Event(1, ts(70), 3.0))
+      q.processAllAvailable()
+      // advance the watermark far past session end + gap to fire the timeout
+      in.addData(Event(99, ts(500), 0.0))
+      q.processAllAvailable()
+      in.addData(Event(98, ts(1000), 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM sess_out WHERE user_id = 1 ORDER BY session_start")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows(0).getLong(3) == 2 && rows(0).getDouble(4) == 3.0) // 2-event session
+      assert(rows(1).getLong(3) == 1 && rows(1).getDouble(4) == 3.0) // single event
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops repeated keys") {
+    val in = MemoryStream[Event]
+    val q = Streams.dedupWithinWatermark(in.toDF(), "1 hour", Seq("user_id"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(0), 1.0), Event(1, ts(5), 2.0), Event(2, ts(6), 3.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM dedup_out").head().getLong(0) == 2)
+    } finally q.stop()
+  }
+
+  test("scd2Sink upserts each micro-batch into the parquet dimension") {
+    val dir = Files.createTempDirectory("scd2sink").toFile.getAbsolutePath
+    val dimPath = s"$dir/dim"
+    val in = MemoryStream[Event]
+    val q = in.toDF()
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch(Streams.scd2Sink(spark, dimPath, Seq("user_id"), Seq("value")) _)
+      .start()
+    try {
+      in.addData(Event(1, ts(0), 1.0), Event(2, ts(0), 2.0))
+      q.processAllAvailable()
+      in.addData(Event(1, ts(10), 5.0)) // change user 1
+      q.processAllAvailable()
+      val dim = spark.read.parquet(dimPath)
+      assert(dim.filter(col("is_current")).count() == 2)
+      assert(dim.filter(!col("is_current")).count() == 1)
+      assert(dim.filter(col("is_current") && col("user_id") === 1)
+        .head().getAs[Double]("value") == 5.0)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{MinHash, SimHash, TextFunctions => TF}
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens drops empties and non-alphanumerics") {
+    val out = Seq("The  quick, brown FOX!").toDF("text")
+      .select(TF.tokens(col("text"))).as[Seq[String]].head()
+    assert(out == Seq("the", "quick", "brown", "fox"))
+  }
+
+  test("wordBigrams is empty for <2 tokens (no descending-sequence trap)") {
+    val out = Seq("solo", "two words").toDF("text")
+      .select(TF.wordBigrams(TF.tokens(col("text")))).as[Seq[String]].collect()
+    assert(out(0).isEmpty && out(1) == Seq("two words"))
+  }
+
+  test("langPredict picks the dominant stopword language, 'und' when none") {
+    val out = Seq("the cat and the dog of it", "der hund und die katze ist", "zzz qqq")
+      .toDF("text").select(TF.langPredict(TF.tokens(col("text")))).as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("MinHash finds a planted near-duplicate and scores exact duplicates at 1.0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (3L, "one two three four five six seven eight"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta")) // exact dup of 1
+      .toDF("doc_id", "text")
+    val sh = MinHash.shingleSet(docs, "doc_id", "text")
+    val cand = MinHash.candidates(
+      MinHash.bands(MinHash.signature(sh, "doc_id", 8), "doc_id", 2), "doc_id")
+    val j = MinHash.jaccard(sh, cand, "doc_id")
+      .collect().map(r => ((r.getLong(r.fieldIndex("id_a")), r.getLong(r.fieldIndex("id_b"))),
+        r.getDouble(r.fieldIndex("jaccard")))).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 2L)) > 0.7 && j((1L, 2L)) < 1.0)
+    assert(!j.contains((1L, 3L)))
+  }
+
+  test("SimHash: identical docs collide at hamming 0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words here now yes")).toDF("doc_id", "text")
+    val pairs = SimHash.nearPairs(
+      SimHash.fingerprints(docs, "doc_id", "text"), "doc_id", 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
+  }
+}
