@@ -24,12 +24,14 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
-    // ---- q20: n-gram Jaccard near-dup (min-hash bucket candidates) ----
+    // ---- q20: n-gram Jaccard near-dup (min-hash band candidates) ----
+    // k=4 signature, 2 bands × 2 rows: r=2 keeps buckets non-degenerate on
+    // small-vocabulary corpora (r=1 blows up to ~1M candidate pairs at
+    // sf0.1) while still recovering 25/25 implanted near-dups at sf0.01.
     "q20_ngram_jaccard" -> { (s, d) =>
-      val sh = MinHash.shingleSet(Tables.documents(s, d), "doc_id", "text")
-      // 3 independent single-row "bands": candidates agree on any salted min.
-      val cand = MinHash.candidates(
-        MinHash.bands(MinHash.signature(sh, "doc_id", 3), "doc_id", 1), "doc_id")
+      val sh = MinHash.withShingles(Tables.documents(s, d), "doc_id", "text")
+      val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 4)
+      val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 2), "doc_id")
       MinHash.jaccard(sh, cand, "doc_id")
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
@@ -39,8 +41,8 @@ object TextQueries {
 
     // ---- q21: MinHash signature + banded LSH + verify ----
     "q21_minhash_lsh" -> { (s, d) =>
-      val sh = MinHash.shingleSet(Tables.documents(s, d), "doc_id", "text")
-      val sig = MinHash.signature(sh, "doc_id", 16)
+      val sh = MinHash.withShingles(Tables.documents(s, d), "doc_id", "text")
+      val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 16)
       val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 4), "doc_id")
       val sigSim = cand
         .join(sig.select(col("doc_id").as("id_a"), col("salt"), col("minh").as("mh_a")), "id_a")
@@ -104,11 +106,13 @@ object TextQueries {
 
     // ---- q26: document fingerprinting (norm md5 + min 8-gram hash) ----
     "q26_fingerprint" -> { (s, d) =>
-      val norm = TF.normalizeText(col("text"))
+      // `_norm` bound first: charNgrams' substr lambda would otherwise
+      // re-run the regexp normalization once per ngram.
       Tables.documents(s, d)
+        .withColumn("_norm", TF.normalizeText(col("text")))
         .select(col("doc_id"),
-          md5(norm).as("fp_md5"),
-          array_min(transform(TF.charNgrams(norm, 8), g => TF.hash60(g))).as("fp_min_ngram"))
+          md5(col("_norm")).as("fp_md5"),
+          array_min(transform(TF.charNgrams(col("_norm"), 8), g => TF.hash60(g))).as("fp_min_ngram"))
         .orderBy(col("doc_id"))
     }
   )
@@ -161,9 +165,11 @@ object TextQueries {
 
     "q20_ngram_jaccard" ->
       s"""WITH $SHINGLES_CTE,
-         ${minhashCte(3)},
+         ${minhashCte(4)},
+         bands AS (SELECT doc_id, salt // 2 AS band, sum(minh) AS band_val
+           FROM mh GROUP BY 1, 2),
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM mh a JOIN mh b ON a.salt = b.salt AND a.minh = b.minh
+           FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
              AND a.doc_id < b.doc_id),
          $JACCARD_TAIL
          SELECT id_a AS doc_a, id_b AS doc_b, round(jaccard, 4) AS jaccard

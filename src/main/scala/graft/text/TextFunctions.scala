@@ -23,11 +23,21 @@ object TextFunctions {
   /** Word-bigram shingles from a token array (empty when <2 tokens — the
     * `when` guard matters: Spark `sequence(1, 0)` would produce a DESCENDING
     * sequence, not an empty one).
+    *
+    * Built by zipping the array with its own shift, NOT by indexing with
+    * `element_at(toks, i)` inside a transform lambda: per-element indexing
+    * re-evaluates the (possibly inlined-by-the-optimizer) child expression
+    * per element, which turns tokenization quadratic in document length —
+    * and optimizer rules (filter inference from generators, projection
+    * collapse) can inline the child even when the caller bound it to a
+    * column. Slices evaluate the child a constant number of times.
     */
   def wordBigrams(toks: Column): Column =
     when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
       .otherwise(array().cast("array<string>"))
 
   /** Character n-grams of a string (whole string when shorter than n). */

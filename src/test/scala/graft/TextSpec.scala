@@ -31,9 +31,9 @@ class TextSpec extends SparkSpec {
       (3L, "one two three four five six seven eight"),
       (4L, "alpha beta gamma delta epsilon zeta eta theta")) // exact dup of 1
       .toDF("doc_id", "text")
-    val sh = MinHash.shingleSet(docs, "doc_id", "text")
-    val cand = MinHash.candidates(
-      MinHash.bands(MinHash.signature(sh, "doc_id", 8), "doc_id", 2), "doc_id")
+    val sh = MinHash.withShingles(docs, "doc_id", "text")
+    val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 8)
+    val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 2), "doc_id")
     val j = MinHash.jaccard(sh, cand, "doc_id")
       .collect().map(r => ((r.getLong(r.fieldIndex("id_a")), r.getLong(r.fieldIndex("id_b"))),
         r.getDouble(r.fieldIndex("jaccard")))).toMap
