@@ -22,22 +22,36 @@ object Ann {
   /** float[] → double[] (cosine math happens in double on both engines). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native codegen'd dot product ([[graft.functions.DotProduct]]; requires
+    * the GraftExtensions session extension). Bit-identical to the HOF
+    * `aggregate(zip_with(...))` fold and to DuckDB's `list_sum` of products,
+    * ~10× faster (HOFs evaluate interpreted).
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine from a precomputed-norm pair — at N·M pairs this does one dot
+    * per pair instead of three.
+    */
+  private def cosinePre(ab: Column, na: Column, nb: Column): Column = ab / (na * nb)
 
   /** Exact top-k neighbors for each query vector (queries broadcast).
     * Inputs: (id, vec double[]) on both sides; self-pairs excluded.
+    * Norms are computed once per row, not once per pair.
     */
   def bruteforceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qvec")))
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+    val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qvec"),
+      norm(col("vec")).as("qn")))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
+      norm(col("vec")).as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+      .withColumn("cos", cosinePre(dot(col("qvec"), col("cvec")), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
@@ -65,12 +79,13 @@ object Ann {
     * produce no row.
     */
   def bucketTop1(vectors: DataFrame, buckets: DataFrame): DataFrame = {
-    val withB = vectors.join(buckets, "id")
-    val a = withB.select(col("bucket"), col("id"), col("vec"))
-    val b = withB.select(col("bucket"), col("id").as("neighbor_id"), col("vec").as("nvec"))
+    val withB = vectors.join(buckets, "id").withColumn("n", norm(col("vec")))
+    val a = withB.select(col("bucket"), col("id"), col("vec"), col("n"))
+    val b = withB.select(col("bucket"), col("id").as("neighbor_id"),
+      col("vec").as("nvec"), col("n").as("nn"))
     val w = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     a.join(b, Seq("bucket")).filter(col("id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("vec"), col("nvec")))
+      .withColumn("cos", cosinePre(dot(col("vec"), col("nvec")), col("n"), col("nn")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("id"), col("neighbor_id"), col("cos"), col("bucket"))

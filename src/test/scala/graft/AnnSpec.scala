@@ -35,6 +35,18 @@ class AnnSpec extends SparkSpec {
     assert((b1(0) ^ b1(1)) == 255L)
   }
 
+  test("native graft_dot matches the interpreted HOF fold bit-for-bit") {
+    val df = Tables.embeddings(spark, sfDir).limit(100)
+      .select(col("vec_id"), Ann.toDouble(col("embedding")).as("v"))
+    val hof = aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val mismatches = df
+      .withColumn("native", call_function("graft_dot", col("v"), col("v")))
+      .withColumn("interp", hof)
+      .filter(col("native") =!= col("interp"))
+    assert(mismatches.count() == 0)
+  }
+
   test("typed mapPartitions decode agrees with the column-level fake decode") {
     val docs = Tables.documents(spark, sfDir).limit(20)
     val typed = Binary.metadata(spark, docs).toDF()

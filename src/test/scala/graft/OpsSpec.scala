@@ -63,6 +63,13 @@ class OpsSpec extends SparkSpec {
     assert(sessions.length == 3) // user1: 2 sessions, user2: 1
   }
 
+  test("Skew.skewSafeSum matches a plain groupBy sum") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 3L, 5.0)).toDF("k", "id", "v")
+    val out = Skew.skewSafeSum(df, Seq("k"), col("id"), col("v"), "total", buckets = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("a" -> 3.0, "b" -> 5.0))
+  }
+
   test("Incremental.tail keeps only the trailing window") {
     def t(d: Int) = new Timestamp(d * 86400000L)
     val df = Seq((1L, t(0)), (2L, t(5)), (3L, t(10))).toDF("id", "ts")
