@@ -260,6 +260,9 @@ object CoreQueries {
         .orderBy(col("event_id"))
     },
 
+    // ---- q36: end-to-end medallion (bronze→silver→gold, one plan) ----
+    "q36_medallion" -> { (s, d) => medallionQuery(s, d) },
+
     // ---- q34: rate join + currency conversion (fx_rate_used shape) ----
     "q34_fx_convert" -> { (s, d) =>
       val rates = Tables.nation(s, d)
@@ -297,7 +300,66 @@ object CoreQueries {
       .orderBy(col("c_custkey"), col("valid_from"), col("is_current"))
   }
 
+  /** q36: the full reference shape in one Catalyst plan — two bronze
+    * sources (bank_a carries acctbal, bank_b doesn't) → harmonized silver
+    * customers (CDM + quarantine + keyed dedup) → gold fact enriched with
+    * the customer dimension.
+    */
+  private def medallionQuery(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.Medallion
+    val cust = Tables.customer(s, d)
+    val bankA = cust.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"),
+        lit("bank_a").as("source_system"))
+    val bankB = cust.filter(col("c_custkey") % 2 === 1)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        lit("bank_b").as("source_system"))
+    val cdm = (df: DataFrame) => df.select(
+      Cdm.sourceKey(col("c_custkey"), col("source_system")).as("customer_key"),
+      col("c_custkey"),
+      trim(col("c_name")).as("customer_name"),
+      Cdm.normUpper(col("c_mktsegment")).as("segment"),
+      round(col("c_acctbal"), 2).as("acctbal"),
+      col("source_system"))
+    val silverCust = Medallion.silver(
+      Seq(bankA, bankB), cdm,
+      Seq(Quality.Rule("blank_name", Quality.nullOrBlank(col("customer_name")))),
+      Seq("customer_key"), Seq(col("c_custkey")))
+      .withColumn("is_current", lit(true))
+    val dim = Medallion.goldDim(silverCust, lit("2026-01-01").cast("timestamp"))
+    val factBase = Quality.quarantine(
+      Tables.orders(s, d),
+      Seq(Quality.Rule("bad_price", col("o_totalprice").isNull || col("o_totalprice") <= 0)))
+    Medallion.goldFact(
+      factBase,
+      Seq((dim,
+        concat_ws("-", col("o_custkey"),
+          when(col("o_custkey") % 2 === 0, "bank_a").otherwise("bank_b")) === col("customer_key"),
+        Seq(col("customer_key"), col("segment")))),
+      lit("2026-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("customer_key"), col("segment"),
+        round(col("o_totalprice"), 2).as("totalprice"), col("refreshed_at"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q36_medallion" ->
+      """WITH silver AS (
+           SELECT cast(c_custkey AS VARCHAR) || '-' ||
+               (CASE WHEN c_custkey % 2 = 0 THEN 'bank_a' ELSE 'bank_b' END) AS customer_key,
+             upper(trim(c_mktsegment)) AS segment,
+             (trim(c_name) IS NULL OR len(trim(c_name)) = 0) AS is_quarantined
+           FROM customer)
+         SELECT o_orderkey, s.customer_key, s.segment,
+           round(o_totalprice, 2) AS totalprice,
+           TIMESTAMP '2026-01-01' AS refreshed_at
+         FROM orders LEFT JOIN silver s
+           ON cast(o_custkey AS VARCHAR) || '-' ||
+              (CASE WHEN o_custkey % 2 = 0 THEN 'bank_a' ELSE 'bank_b' END) = s.customer_key
+              AND NOT s.is_quarantined
+         WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+         ORDER BY o_orderkey""",
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),2) AS sum_qty,
