@@ -489,7 +489,7 @@ object CoreQueries {
            SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
            FROM flagged)
-         SELECT user_id, session_seq, cast(min(ts) AS TIMESTAMP) AS session_start,
+         SELECT user_id, session_seq::BIGINT AS session_seq, cast(min(ts) AS TIMESTAMP) AS session_start,
            cast(max(ts) AS TIMESTAMP) AS session_end,
            count(*) AS n_events, round(sum(value),2) AS session_value
          FROM sessions GROUP BY 1,2 ORDER BY 1,2""",

@@ -98,7 +98,7 @@ object SimQueries {
 
     "q28_ann_lsh" ->
       s"""WITH $E, $BUCKET_CTES
-         SELECT vec_id, bucket FROM bk ORDER BY vec_id""",
+         SELECT vec_id, bucket::BIGINT AS bucket FROM bk ORDER BY vec_id""",
 
     "q29_embed_centroid" ->
       s"""WITH e2 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -128,7 +128,7 @@ object SimQueries {
            FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
          ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
              ORDER BY cos DESC, neighbor_id) AS rn FROM pairs)
-         SELECT vec_id, neighbor_id, round(cos, 6) AS cosine, bucket
+         SELECT vec_id, neighbor_id, round(cos, 6) AS cosine, bucket::BIGINT AS bucket
          FROM ranked WHERE rn = 1 ORDER BY vec_id"""
   )
 }

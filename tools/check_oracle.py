@@ -35,6 +35,14 @@ for name, sql in sorted(oracle.items()):
     got = got.reindex(sorted(got.columns), axis=1)
     if list(exp.columns) != list(got.columns):
         fails.append((name, f"schema: oracle={list(exp.columns)} spark={list(got.columns)}")); continue
+    # dtype drift (e.g. DuckDB HUGEINT from sum-over-int vs Spark BIGINT) breaks
+    # the driver's value hash even when pandas compares values equal — fail hard.
+    # (int width differences — int32 vs int64 — hash identically; only a kind
+    # change like DuckDB HUGEINT→float64 or object breaks it)
+    bad_dtypes = [(c, str(exp[c].dtype), str(got[c].dtype)) for c in exp.columns
+                  if exp[c].dtype.kind != got[c].dtype.kind]
+    if bad_dtypes:
+        fails.append((name, f"dtypes: {bad_dtypes}")); continue
     if len(exp) != len(got):
         fails.append((name, f"rows: oracle={len(exp)} spark={len(got)}")); continue
     # driver-style: sort rows, compare values
