@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.text.MinHash
+
+/** Dev-only component profiler (not part of the driver contract). */
+object Scratch {
+  def time[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val s = spark
+    SparkEntry.queries("q06_star_agg")(s, sfDir).count() // warmup
+
+    val docs = Tables.documents(s, sfDir)
+    val sh = MinHash.withShingles(docs, "doc_id", "text")
+    val shRows = MinHash.shingleRows(sh, "doc_id")
+    for (i <- 1 to 2) {
+      val sig = MinHash.signature(shRows, "doc_id", 4, inlineHashes = true)
+      time(s"sig k=4 run$i")(sig.count())
+      val bands = MinHash.bands(sig, "doc_id", 4, 2)
+      val cand = MinHash.candidates(bands, "doc_id")
+      time(s"cand run$i")(cand.count())
+      time(s"jaccard run$i")(MinHash.jaccard(sh, cand, "doc_id").filter(col("jaccard") >= 0.5).count())
+      time(s"q20 full run$i")(SparkEntry.queries("q20_ngram_jaccard")(s, sfDir).count())
+    }
+    spark.stop()
+  }
+}

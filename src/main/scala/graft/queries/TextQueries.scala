@@ -31,7 +31,7 @@ object TextQueries {
     "q20_ngram_jaccard" -> { (s, d) =>
       val sh = MinHash.withShingles(Tables.documents(s, d), "doc_id", "text")
       val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 4)
-      val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 2), "doc_id")
+      val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 4, 2), "doc_id")
       MinHash.jaccard(sh, cand, "doc_id")
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
@@ -43,12 +43,8 @@ object TextQueries {
     "q21_minhash_lsh" -> { (s, d) =>
       val sh = MinHash.withShingles(Tables.documents(s, d), "doc_id", "text")
       val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 16)
-      val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 4), "doc_id")
-      val sigSim = cand
-        .join(sig.select(col("doc_id").as("id_a"), col("salt"), col("minh").as("mh_a")), "id_a")
-        .join(sig.select(col("doc_id").as("id_b"), col("salt"), col("minh").as("mh_b")), Seq("id_b", "salt"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg((sum(when(col("mh_a") === col("mh_b"), 1).otherwise(0)) / 16.0).as("sig_sim"))
+      val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 16, 4), "doc_id")
+      val sigSim = MinHash.signatureSimilarity(cand, sig, "doc_id", 16)
       MinHash.jaccard(sh, cand, "doc_id")
         .join(sigSim, Seq("id_a", "id_b"))
         .filter(col("jaccard") >= 0.5)

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** MinHash + LSH near-duplicate detection over word-bigram shingles.
@@ -12,14 +12,25 @@ import org.apache.spark.sql.functions._
   *    order-independent and 4 × 60-bit values stay under 2^63.
   *
   * Performance shape (measured at sf0.1, 32 threads):
+  *  - The signature is WIDE: one row per doc with k min-columns, produced by
+  *    a single groupBy(doc) carrying k parallel `min` aggregates. The naive
+  *    long form (explode each (doc, shingle) row into k salt rows, then
+  *    groupBy(doc, salt)) pushes occurrences × k rows (~190M at sf0.1 for
+  *    k=16) through the join and shuffle; the wide form pushes occurrences
+  *    rows (~12M) once and map-side combine collapses them to docs ×
+  *    (k+1) columns before the exchange.
   *  - md5 is computed once per DISTINCT (shingle, salt) — the shingle
-  *    vocabulary times k — and broadcast-joined to the (doc, shingle) pairs,
-  *    instead of per occurrence (15k hashes vs 12M).
-  *  - everything stays in explode/groupBy form: Spark's higher-order array
-  *    functions (transform/aggregate) are interpreted, not codegen'd — an
-  *    array-expression formulation of the same signature was ~10× slower.
-  *  - the signature is `.cache()`d: three plan branches (bands, sig-sim a/b)
-  *    reuse it, and uncached Spark would recompute the full subtree per
+  *    vocabulary × k (~240k hashes vs ~190M) — and broadcast-joined to the
+  *    (doc, shingle) pairs. At 100 TB the vocabulary may outgrow a
+  *    broadcast; the fallback is computing the k hashes inline per
+  *    occurrence (same result, no join) — flip `inlineHashes = true`.
+  *  - bands and signature-similarity become pure projections over the wide
+  *    row (no per-salt shuffle, no per-salt join).
+  *  - everything stays in explode/groupBy + plain-expression form: Spark's
+  *    higher-order array functions (transform/aggregate) are interpreted,
+  *    not codegen'd.
+  *  - the signature is `.cache()`d: several plan branches (bands, sig-sim
+  *    a/b) reuse it; uncached Spark would recompute the full subtree per
   *    branch. At cluster scale this is the standard persist-the-signatures
   *    step of any LSH pipeline.
   *  - exact-Jaccard verification uses `array_intersect` on the two shingle
@@ -55,24 +66,49 @@ object MinHash {
     shingleDf.select(col(id), explode_outer(col("shingles")).as("shingle"))
       .filter(col("shingle").isNotNull)
 
-  /** Salted-min signature rows (id, salt, minh), salt in [0, k).
-    * Hashes the distinct shingle vocabulary once and broadcast-joins it.
+  /** Salted hash column for permutation `i` of `shingle`. */
+  private def saltedHash(i: Int) =
+    TextFunctions.hash60(concat_ws("|", lit(i), col("shingle")))
+
+  /** Wide MinHash signature: one row per `id` with columns m0..m{k-1},
+    * m_i = min over the doc's shingles of hash60(i + "|" + shingle).
     * Cached — callers branch over it several times.
+    *
+    * `inlineHashes = false` hashes the distinct vocabulary once and
+    * broadcast-joins it (wins when occurrences >> vocabulary); `true`
+    * computes the k hashes per occurrence (the 100 TB path where the
+    * vocabulary outgrows a broadcast).
     */
-  def signature(shRows: DataFrame, id: String, k: Int): DataFrame = {
-    val vocab = shRows.select(col("shingle")).distinct()
-      .select(col("shingle"), explode(sequence(lit(0), lit(k - 1))).as("salt"))
-      .withColumn("h", TextFunctions.hash60(concat_ws("|", col("salt"), col("shingle"))))
-    shRows.join(broadcast(vocab), "shingle")
-      .groupBy(col(id), col("salt"))
-      .agg(min(col("h")).as("minh"))
-      .cache()
+  def signature(shRows: DataFrame, id: String, k: Int,
+      inlineHashes: Boolean = false): DataFrame = {
+    // Flat (id, shingle) rows cache columnar and are read twice below
+    // (vocabulary pass + join pass) — caching halves the tokenize+explode
+    // work. (Do NOT cache the array form upstream: nested-array cache
+    // deserialization costs more than recomputing the shingles.)
+    val rows = if (inlineHashes) shRows else shRows.cache()
+    val hashed =
+      if (inlineHashes)
+        rows.select(col(id) +: (0 until k).map(i => saltedHash(i).as(s"h$i")): _*)
+      else {
+        val vocab = rows.select(col("shingle")).distinct()
+          .select(col("shingle") +: (0 until k).map(i => saltedHash(i).as(s"h$i")): _*)
+        rows.join(broadcast(vocab), "shingle")
+      }
+    val mins = (0 until k).map(i => min(col(s"h$i")).as(s"m$i"))
+    hashed.groupBy(col(id)).agg(mins.head, mins.tail: _*).cache()
   }
 
-  /** (id, band, band_val) for bands of `rows` consecutive components. */
-  def bands(sig: DataFrame, id: String, rows: Int): DataFrame =
-    sig.groupBy(col(id), expr(s"salt div $rows").as("band"))
-      .agg(sum(col("minh")).as("band_val"))
+  /** (id, band, band_val) rows from the wide signature — a projection +
+    * explode of k/r (band, sum-of-r-components) structs; no shuffle.
+    */
+  def bands(sig: DataFrame, id: String, k: Int, rows: Int): DataFrame = {
+    val bandStructs = (0 until k / rows).map { b =>
+      struct(lit(b).as("band"),
+        (0 until rows).map(i => col(s"m${b * rows + i}")).reduce(_ + _).as("band_val"))
+    }
+    sig.select(col(id), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(id), col("bb.band").as("band"), col("bb.band_val").as("band_val"))
+  }
 
   /** Distinct candidate pairs (id_a < id_b) sharing any band value. */
   def candidates(bandsDf: DataFrame, id: String): DataFrame = {
@@ -80,6 +116,21 @@ object MinHash {
     val b = bandsDf.select(col("band"), col("band_val"), col(id).as("id_b"))
     a.join(b, Seq("band", "band_val")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Signature similarity per candidate pair: fraction of the k wide
+    * components that agree — two joins against the cached signature plus a
+    * pure projection (the long form needed a k-row join per side and an
+    * extra aggregation).
+    */
+  def signatureSimilarity(cand: DataFrame, sig: DataFrame, id: String, k: Int): DataFrame = {
+    val a = sig.select(col(id).as("id_a") +: (0 until k).map(i => col(s"m$i").as(s"_a$i")): _*)
+    val b = sig.select(col(id).as("id_b") +: (0 until k).map(i => col(s"m$i").as(s"_b$i")): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"_a$i") === col(s"_b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"), (matches / lit(k.toDouble)).as("sig_sim"))
   }
 
   /** Exact Jaccard for candidate pairs via array set ops (no shingle

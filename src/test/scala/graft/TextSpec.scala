@@ -33,7 +33,7 @@ class TextSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val sh = MinHash.withShingles(docs, "doc_id", "text")
     val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 8)
-    val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 2), "doc_id")
+    val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 8, 2), "doc_id")
     val j = MinHash.jaccard(sh, cand, "doc_id")
       .collect().map(r => ((r.getLong(r.fieldIndex("id_a")), r.getLong(r.fieldIndex("id_b"))),
         r.getDouble(r.fieldIndex("jaccard")))).toMap
