@@ -29,16 +29,13 @@ object Scratch {
 
     val docs = Tables.documents(s, sfDir)
     val sh = MinHash.withShingles(docs, "doc_id", "text")
-    val shRows = MinHash.shingleRows(sh, "doc_id")
-    for (i <- 1 to 2) {
-      val sig = MinHash.signature(shRows, "doc_id", 4, inlineHashes = true)
-      time(s"sig k=4 run$i")(sig.count())
-      val bands = MinHash.bands(sig, "doc_id", 4, 2)
-      val cand = MinHash.candidates(bands, "doc_id")
-      time(s"cand run$i")(cand.count())
-      time(s"jaccard run$i")(MinHash.jaccard(sh, cand, "doc_id").filter(col("jaccard") >= 0.5).count())
-      time(s"q20 full run$i")(SparkEntry.queries("q20_ngram_jaccard")(s, sfDir).count())
-    }
+    val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 4)
+    val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 4, 2), "doc_id")
+    val edges = MinHash.jaccard(sh, cand, "doc_id")
+      .filter(col("jaccard") >= 0.5).select(col("id_a"), col("id_b"))
+    time("edges")(println("n_edges=" + edges.count()))
+    time("cc")(println("n_labeled=" +
+      graft.ops.Graph.connectedComponents(edges, "id_a", "id_b").count()))
     spark.stop()
   }
 }

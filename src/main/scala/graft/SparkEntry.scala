@@ -15,11 +15,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.defs ++
       graft.queries.TextQueries.defs ++
-      graft.queries.SimQueries.defs
+      graft.queries.SimQueries.defs ++
+      graft.queries.ExtQueries.defs
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
       graft.queries.TextQueries.oracle ++
-      graft.queries.SimQueries.oracle
+      graft.queries.SimQueries.oracle ++
+      graft.queries.ExtQueries.oracle
 }

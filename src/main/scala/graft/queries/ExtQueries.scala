@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{AsOf, Graph, Sampling}
+import graft.sim.Ann
+import graft.text.{MinHash, TextFunctions => TF}
+
+/** Round-2 operator extensions: temporal/interval joins, duplicate
+  * clustering, corpus chunking/redaction/sampling, IVF ANN.
+  */
+object ExtQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Redaction blocklist (PII-pattern stand-in present in the synthetic
+    * corpus; see TextFunctions.redact).
+    */
+  private val RedactPat = "\\b(customer|user|table|order)\\b"
+
+  val defs: Map[String, Q] = Map(
+    // ---- q37: as-of join (latest quote at-or-before each trade) ----
+    "q37_asof_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val quotes = ev.filter(col("event_type") === "purchase")
+        .select((col("user_id") % 5).as("ccy"), col("ts"), col("value"))
+        .groupBy(col("ccy"), col("ts")).agg(max(col("value")).as("rate"))
+      val trades = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), (col("user_id") % 5).as("ccy"), col("ts"))
+      AsOf.asofJoin(trades, quotes, "ccy", "ts", "ts")
+        .select(col("event_id"), col("ccy"), col("rate"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- q38: interval (range) join against overlapping value bands ----
+    "q38_range_join" -> { (s, d) =>
+      val ranges = Tables.nation(s, d).select(
+        col("n_nationkey").as("range_id"),
+        (col("n_nationkey") * 15.0).as("lo"),
+        (col("n_nationkey") * 15.0 + 25.0).as("hi"))
+      Tables.events(s, d)
+        .join(broadcast(ranges), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("range_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("range_id"))
+    },
+
+    // ---- q39: near-dup clusters (connected components over LSH pairs) ----
+    "q39_dup_clusters" -> { (s, d) =>
+      val sh = MinHash.withShingles(Tables.documents(s, d), "doc_id", "text")
+      val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 4)
+      val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 4, 2), "doc_id")
+      val edges = MinHash.jaccard(sh, cand, "doc_id")
+        .filter(col("jaccard") >= 0.5).select(col("id_a"), col("id_b"))
+      Graph.connectedComponents(edges, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q40: token chunking (size 50, stride 40 → 10-token overlap) ----
+    "q40_chunk" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("_toks", TF.tokens(col("text")))
+        .filter(size(col("_toks")) > 0)
+        .select(col("doc_id"), col("_toks"),
+          explode(TF.chunkStarts(col("_toks"), 40)).as("i"))
+        .select(col("doc_id"), expr("(i - 1) div 40").as("chunk_id"),
+          TF.chunk(col("_toks"), col("i"), 50).as("_ch"))
+        .select(col("doc_id"), col("chunk_id"), size(col("_ch")).as("n_tokens"),
+          TF.hash60(concat_ws(" ", col("_ch"))).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // ---- q41: pattern redaction (PII-scrub shape) ----
+    "q41_redact" -> { (s, d) =>
+      val (red, n) = TF.redact(col("text"), RedactPat, "[X]")
+      Tables.documents(s, d)
+        .select(col("doc_id"), n.as("n_redactions"), md5(red).as("redacted_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q42: deterministic stratified sampling ----
+    "q42_stratified_sample" -> { (s, d) =>
+      Sampling.stratified(Tables.documents(s, d), col("doc_id"), col("lang"),
+          Map("en" -> 10), 50)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q43: IVF ANN (probe 2 nearest cells, top-3 in-cell rerank) ----
+    "q43_ann_ivf" -> { (s, d) =>
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), Ann.toDouble(col("embedding")).as("vec"), col("label"))
+      Ann.ivfTopK(v, v.filter(col("id") < 10), 2, 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cell"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+  )
+
+  // ---------------- DuckDB oracle fragments ----------------
+
+  private def dotSql(a: String, b: String) =
+    s"list_sum([$a[i] * $b[i] for i in range(1, len($b) + 1)])"
+  private def cosSql(a: String, b: String) =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  val oracle: Map[String, String] = Map(
+    "q37_asof_join" ->
+      """WITH q AS (SELECT user_id % 5 AS ccy, ts, max(value) AS rate
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         t AS (SELECT event_id, user_id % 5 AS ccy, ts
+           FROM events WHERE event_type = 'click')
+         SELECT t.event_id, t.ccy, q.rate
+         FROM t ASOF LEFT JOIN q ON t.ccy = q.ccy AND t.ts >= q.ts
+         ORDER BY t.event_id""",
+
+    "q38_range_join" ->
+      """SELECT n_nationkey AS range_id, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+         FROM nation JOIN events
+           ON value >= n_nationkey * 15.0 AND value < n_nationkey * 15.0 + 25.0
+         GROUP BY 1 ORDER BY 1""",
+
+    "q39_dup_clusters" ->
+      s"""WITH RECURSIVE ${TextQueries.SHINGLES_CTE},
+         ${TextQueries.minhashCte(4)},
+         bands AS (SELECT doc_id, salt // 2 AS band, sum(minh) AS band_val
+           FROM mh GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id),
+         ${TextQueries.JACCARD_TAIL},
+         ej AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+         sym AS (SELECT id_a AS a, id_b AS b FROM ej
+           UNION SELECT id_b, id_a FROM ej),
+         reach(a, b) AS (
+           SELECT DISTINCT a, a FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+         SELECT a AS doc_id, min(b) AS cluster_id
+         FROM reach GROUP BY 1 ORDER BY 1""",
+
+    "q40_chunk" ->
+      s"""WITH tk AS (SELECT doc_id, ${TextQueries.TOKS} AS toks FROM documents),
+         ch AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 40)) AS i
+           FROM tk WHERE len(toks) > 0)
+         SELECT doc_id, (i - 1) // 40 AS chunk_id,
+           len(list_slice(toks, i, i + 49)) AS n_tokens,
+           ${TextQueries.h60("array_to_string(list_slice(toks, i, i + 49), ' ')")} AS chunk_hash
+         FROM ch ORDER BY doc_id, chunk_id""",
+
+    "q41_redact" ->
+      s"""SELECT doc_id,
+           len(regexp_extract_all(text, '$RedactPat')) AS n_redactions,
+           md5(regexp_replace(text, '$RedactPat', '[X]', 'g')) AS redacted_fp
+         FROM documents ORDER BY doc_id""",
+
+    "q42_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
+           < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+         ORDER BY doc_id""",
+
+    "q43_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         ex AS (SELECT label, v, unnest(range(len(v))) AS pos FROM e),
+         cent AS (SELECT label, pos, avg(v[pos + 1]) AS c FROM ex GROUP BY 1, 2),
+         centv AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         qc AS (SELECT qid, qv, label,
+             ${dotSql("qv", "qv")} - 2 * ${dotSql("qv", "cv")} + ${dotSql("cv", "cv")} AS d2
+           FROM q CROSS JOIN centv),
+         probed AS (SELECT qid, qv, label FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY round(d2, 6), label) AS prn FROM qc) WHERE prn <= 2),
+         cand AS (SELECT p.qid, e.vec_id AS nid, e.label AS cell,
+             ${cosSql("p.qv", "e.v")} AS cos
+           FROM probed p JOIN e ON e.label = p.label AND e.vec_id <> p.qid),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+             ORDER BY round(cos, 6) DESC, nid) AS rank FROM cand)
+         SELECT qid AS query_id, rank, nid AS neighbor_id, cell,
+           round(cos, 6) AS cosine
+         FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""
+  )
+}

@@ -116,26 +116,26 @@ object TextQueries {
   // ---------------- DuckDB oracle fragments ----------------
 
   /** Tokenizer — exact DuckDB mirror of TextFunctions.tokens. */
-  private val TOKS =
+  private[queries] val TOKS =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
   /** Portable hash60 of a varchar expression. */
-  private def h60(e: String) = s"('0x' || substr(md5($e),1,15))::BIGINT"
+  private[queries] def h60(e: String) = s"('0x' || substr(md5($e),1,15))::BIGINT"
 
   /** Distinct word-bigram shingles CTE (expects a `documents` scan). */
-  private val SHINGLES_CTE =
+  private[queries] val SHINGLES_CTE =
     s"""tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
         sh AS (SELECT DISTINCT doc_id, shingle FROM (
           SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
             THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
             ELSE [] END) AS shingle FROM tk))"""
 
-  private def minhashCte(k: Int) =
+  private[queries] def minhashCte(k: Int) =
     s"""mh AS (SELECT doc_id, salt, min(${h60("salt::VARCHAR || '|' || shingle")}) AS minh
           FROM sh CROSS JOIN (SELECT unnest(range($k)) AS salt) salts
           GROUP BY 1, 2)"""
 
-  private val JACCARD_TAIL =
+  private[queries] val JACCARD_TAIL =
     """cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        inter AS (SELECT c.id_a, c.id_b, count(*) AS shared
          FROM cand c

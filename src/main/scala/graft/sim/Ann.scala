@@ -74,6 +74,52 @@ object Ann {
       .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), j)")).otherwise(0L))
         .as("bucket"))
 
+  /** Per-cell centroid vectors, assembled in dimension order (cells =
+    * `label` here, standing in for a trained coarse quantizer).
+    */
+  def cellCentroids(corpus: DataFrame): DataFrame =
+    corpus.select(col("label"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+
+  /** IVF-style ANN: queries probe the `nprobe` nearest cells (L2 to the
+    * broadcast centroids), then exact-cosine rerank ONLY inside probed
+    * cells — each probe touches ~nprobe/|cells| of the corpus instead of
+    * all of it. Cell ranking and the final top-k order on ROUNDED values
+    * with integer tiebreaks so both engines rank identically.
+    *
+    * Scale: centroids broadcast (|cells| rows); the probe→cell join
+    * shuffles candidates by cell id. Cell count should grow ~sqrt(N) (and
+    * nprobe with recall targets) so cells stay balanced; the label-cell
+    * demo has 10.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = broadcast(cellCentroids(corpus)
+      .withColumn("cn2", dot(col("cvec"), col("cvec"))))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
+      norm(col("vec")).as("qn"), dot(col("vec"), col("vec")).as("qd2"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("d2"), 6), col("label"))
+    val probed = q.crossJoin(cent)
+      .withColumn("d2", col("qd2") - lit(2.0) * dot(col("qvec"), col("cvec")) + col("cn2"))
+      .withColumn("prn", row_number().over(wCell))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("qn"), col("label"))
+    val cells = corpus.select(col("id").as("neighbor_id"), col("vec").as("nvec"),
+      norm(col("vec")).as("nn"), col("label"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 6).desc, col("neighbor_id"))
+    probed.join(cells, Seq("label")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosinePre(dot(col("qvec"), col("nvec")), col("qn"), col("nn")))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("label").as("cell"), col("cos"))
+  }
+
   /** Top-1 in-bucket neighbor per vector (bucketed ANN): join on bucket id,
     * exact cosine rerank inside the bucket. Vectors alone in their bucket
     * produce no row.

@@ -53,6 +53,25 @@ object TextFunctions {
   /** Portable 60-bit hash (delegates to [[Cdm.hash60]]). */
   def hash60(c: Column): Column = Cdm.hash60(c)
 
+  /** 1-based start indices for fixed-size token chunks of `size` with
+    * stride `stride` (overlap = size - stride). Callers filter empty token
+    * arrays first — a 0-token doc yields no chunks in the oracle
+    * (`range(1, 1, stride)` is empty) and must here too.
+    */
+  def chunkStarts(toks: Column, stride: Int): Column =
+    sequence(lit(1), size(toks), lit(stride))
+
+  /** Slice of `size` tokens at 1-based `start`. */
+  def chunk(toks: Column, start: Column, size: Int): Column =
+    slice(toks, start, lit(size))
+
+  /** Pattern-based redaction (the PII-scrub shape: emails/phones/ids in a
+    * real corpus; a term blocklist here so the synthetic corpus exercises
+    * non-zero matches). Returns (redacted text, match count) columns.
+    */
+  def redact(text: Column, pattern: String, replacement: String): (Column, Column) =
+    (regexp_replace(text, pattern, replacement), regexp_count(text, lit(pattern)))
+
   /** Small built-in stopword lists for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny — the operator contract is the heuristic
     * itself, not lexicon quality.

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.{AsOf, Graph, Sampling}
+import graft.text.{TextFunctions => TF}
+
+class ExtOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("AsOf.asofJoin picks latest quote at-or-before, null before first quote") {
+    val quotes = Seq(
+      ("eur", ts("2024-01-01 10:00:00"), 1.10),
+      ("eur", ts("2024-01-01 12:00:00"), 1.20),
+      ("jpy", ts("2024-01-01 11:00:00"), 150.0))
+      .toDF("ccy", "qts", "rate")
+    val trades = Seq(
+      (1L, "eur", ts("2024-01-01 09:00:00")), // before any quote -> null
+      (2L, "eur", ts("2024-01-01 10:00:00")), // exactly at quote -> 1.10
+      (3L, "eur", ts("2024-01-01 11:59:59")), // between -> 1.10
+      (4L, "eur", ts("2024-01-01 13:00:00")), // after both -> 1.20
+      (5L, "jpy", ts("2024-01-01 12:00:00"))) // other key -> 150.0
+      .toDF("trade_id", "ccy", "tts")
+    val out = AsOf.asofJoin(trades, quotes, "ccy", "tts", "qts")
+      .select("trade_id", "rate").as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(1L -> None, 2L -> Some(1.10), 3L -> Some(1.10),
+      4L -> Some(1.20), 5L -> Some(150.0)))
+  }
+
+  test("Graph.connectedComponents labels transitive clusters with min id") {
+    // components: {1,2,3,4} (chain), {10,11}, and a self-contained {20,21,22}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("src", "dst")
+    val out = Graph.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("Graph.connectedComponents handles a long chain within maxIter (log rounds)") {
+    val n = 64
+    val edges = (0L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = Graph.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect()
+    assert(out.length == n.toInt + 1 && out.forall(_._2 == 0L))
+  }
+
+  test("Sampling.stratified is a deterministic per-stratum filter") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "stratum")
+    val kept = Sampling.stratified(df, col("id"), col("stratum"), Map("en" -> 10), 50)
+      .as[(Long, String)].collect()
+    val en = kept.count(_._2 == "en"); val de = kept.count(_._2 == "de")
+    // ~10% of 500 en, ~50% of 500 de; generous bounds, determinism is the contract
+    assert(en > 20 && en < 90, s"en=$en")
+    assert(de > 180 && de < 320, s"de=$de")
+    val again = Sampling.stratified(df, col("id"), col("stratum"), Map("en" -> 10), 50)
+      .as[(Long, String)].collect()
+    assert(kept.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("chunkStarts/chunk produce overlapping fixed-size slices") {
+    val df = Seq(Tuple1((1 to 90).map(_.toString).toArray)).toDF("toks")
+    val chunks = df.select(explode(TF.chunkStarts(col("toks"), 40)).as("i"), col("toks"))
+      .select(col("i"), TF.chunk(col("toks"), col("i"), 50).as("ch"))
+      .as[(Int, Seq[String])].collect().sortBy(_._1)
+    assert(chunks.map(_._1).toSeq == Seq(1, 41, 81))
+    assert(chunks(0)._2.size == 50 && chunks(0)._2.head == "1")
+    assert(chunks(1)._2.size == 50 && chunks(1)._2.head == "41")
+    assert(chunks(2)._2.size == 10 && chunks(2)._2.head == "81")
+  }
+
+  test("redact replaces blocklist terms and counts matches") {
+    val df = Seq((1L, "the customer saw the user table")).toDF("id", "text")
+    val (red, n) = TF.redact(col("text"), "\\b(customer|user|table)\\b", "[X]")
+    val (r, c) = df.select(red, n).as[(String, Int)].head()
+    assert(r == "the [X] saw the [X] [X]" && c == 3)
+  }
+}
