@@ -30,4 +30,19 @@ object Sinks {
     val w = df.write.mode(mode)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
+
+  /** Bucketed + sorted catalog table (i05): co-locates and pre-sorts rows by
+    * the join key at WRITE time, so repeated large-fact joins on that key
+    * run shuffle-free (SortMergeJoin with no Exchange under it) — the
+    * pre-partitioning discipline a 100 TB fact table needs when it is
+    * joined on the same key by every downstream query. Bucket count should
+    * match the target parallelism (it is fixed at write time).
+    */
+  def bucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
 }

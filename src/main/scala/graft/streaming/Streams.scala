@@ -94,6 +94,25 @@ object Streams {
       }
   }
 
+  /** Stream-stream inner join bounded by an event-time interval: each left
+    * row matches right rows with the same key whose timestamp falls in
+    * [leftTs - window, leftTs]. Both sides are watermarked so the state
+    * store evicts rows once they can no longer match (unbounded state is
+    * the failure mode of unconstrained stream-stream joins at scale —
+    * the interval condition is what makes eviction possible).
+    *
+    * Column names must be disjoint apart from `key`.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, watermarkDelay: String, window: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r, l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $window") &&
+        r(rightTs) <= l(leftTs))
+      .drop(r(key))
+  }
+
   /** foreachBatch SCD2 upsert sink: each micro-batch is deduped to its
     * latest row per key and merged into the parquet dimension at `dimPath`
     * with [[Scd2.merge]] semantics.

@@ -38,6 +38,22 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$p")
   }
 
+  test("bucketed tables join without a shuffle (i05 co-located join)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val facts = (1L to 1000L).map(i => (i % 50, i, i * 1.5)).toDF("k", "fid", "amt")
+    val dims = (0L until 50L).map(i => (i, s"dim_$i")).toDF("k", "name")
+    graft.sources.Sinks.bucketed(facts, "b_facts", "k", 8)
+    graft.sources.Sinks.bucketed(dims, "b_dims", "k", 8)
+    val j = spark.table("b_facts").hint("MERGE").join(spark.table("b_dims"), "k")
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$p")
+    assert(j.count() == 1000)
+  }
+
   test("whole-stage codegen covers the q01 aggregation") {
     // Under AQE the codegen spans only appear in the finalized plan, and
     // simpleString renders them as "*(n)" stage markers.

@@ -61,6 +61,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin matches right rows in [leftTs - window, leftTs] per key") {
+    final case class Click(user_id: Long, cts: Timestamp, page: String)
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val buys = MemoryStream[Event]
+    val q = Streams.intervalJoin(
+        clicks.toDF().toDF("user_id", "cts", "page"),
+        buys.toDF().withColumnRenamed("ts", "bts"),
+        "user_id", "cts", "bts", "10 minutes", "30 minutes")
+      .select("user_id", "page", "value")
+      .writeStream.format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      buys.addData(Event(1, ts(0), 10.0), Event(1, ts(100), 99.0), Event(2, ts(5), 7.0))
+      clicks.addData((1L, ts(20), "a"), // matches the ts(0) buy (20 min before)
+        (1L, ts(40), "b"),              // no buy within 30 min
+        (2L, ts(5), "c"))               // exact-time match
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM ij_out ORDER BY page").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((1L, "a", 10.0), (2L, "c", 7.0)))
+    } finally q.stop()
+  }
+
   test("scd2Sink upserts each micro-batch into the parquet dimension") {
     val dir = Files.createTempDirectory("scd2sink").toFile.getAbsolutePath
     val dimPath = s"$dir/dim"
