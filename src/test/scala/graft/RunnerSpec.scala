@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pipeline.Runner
+
+class RunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("Runner drives full + incremental loads from config, audits, carries watermarks") {
+    val dir = Files.createTempDirectory("runner").toFile.getAbsolutePath
+    val cfg = s"$dir/load_config.csv"
+    Files.write(java.nio.file.Paths.get(cfg),
+      ("source_type,table_name,is_active,load_mode,watermark_column\n" +
+        "sql,tx,1,incremental,ts\n" +
+        "sql,dim,1,full,\n" +
+        "sql,skipped,0,full,\n").getBytes)
+
+    val tx1 = Seq((1L, ts("2024-01-01 10:00:00"), 10.0), (2L, ts("2024-01-02 10:00:00"), 20.0))
+      .toDF("id", "ts", "amt")
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+
+    // run 1: everything loads in full (no prior watermark)
+    val r1 = Runner.run(spark, cfg, s"$dir/out", s"$dir/audit", "run1",
+      Map("tx" -> tx1, "dim" -> dim).apply)
+    assert(r1.map(r => r.table -> r.status).toMap == Map("tx" -> "succeeded", "dim" -> "succeeded"))
+    assert(r1.find(_.table == "tx").get.newWatermark.contains("2024-01-02 10:00:00.0"))
+    assert(spark.read.parquet(s"$dir/out/tx").count() == 2)
+
+    // run 2: tx has one new row past the watermark + one old row (ignored)
+    val tx2 = tx1.union(Seq(
+      (3L, ts("2024-01-03 10:00:00"), 30.0),
+      (0L, ts("2023-12-01 10:00:00"), 5.0)).toDF("id", "ts", "amt"))
+    val r2 = Runner.run(spark, cfg, s"$dir/out", s"$dir/audit", "run2",
+      Map("tx" -> tx2, "dim" -> dim).apply)
+    assert(r2.find(_.table == "tx").get.newWatermark.contains("2024-01-03 10:00:00.0"))
+    assert(spark.read.parquet(s"$dir/out/tx").count() == 3) // appended only the new row
+    assert(spark.read.parquet(s"$dir/out/dim").count() == 2) // full refresh
+
+    // audit log: one row per (run, table)
+    val audit = spark.read.parquet(s"$dir/audit")
+    assert(audit.count() == 4)
+    assert(audit.filter(col("status") === "succeeded").count() == 4)
+  }
+
+  test("Runner isolates per-table failures and audits them") {
+    val dir = Files.createTempDirectory("runner2").toFile.getAbsolutePath
+    val cfg = s"$dir/load_config.csv"
+    Files.write(java.nio.file.Paths.get(cfg),
+      ("source_type,table_name,is_active,load_mode,watermark_column\n" +
+        "sql,good,1,full,\n" +
+        "sql,bad,1,full,\n").getBytes)
+    val good = Seq((1L, "x")).toDF("id", "v")
+    val src: String => DataFrame = {
+      case "good" => good
+      case other  => throw new RuntimeException(s"source $other unavailable")
+    }
+    val res = Runner.run(spark, cfg, s"$dir/out", s"$dir/audit", "run1", src)
+    assert(res.map(r => r.table -> r.status).toMap ==
+      Map("good" -> "succeeded", "bad" -> "failed"))
+    val audit = spark.read.parquet(s"$dir/audit")
+    assert(audit.filter(col("status") === "failed").count() == 1)
+    assert(spark.read.parquet(s"$dir/out/good").count() == 1)
+  }
+}
