@@ -31,6 +31,10 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** ORC writer (see Sources.orc). */
+  def orc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
+
   /** Bucketed + sorted catalog table (i05): co-locates and pre-sorts rows by
     * the join key at WRITE time, so repeated large-fact joins on that key
     * run shuffle-free (SortMergeJoin with no Exchange under it) — the

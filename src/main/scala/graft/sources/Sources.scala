@@ -26,6 +26,12 @@ object Sources {
     schema.fold(r)(r.schema).json(path)
   }
 
+  /** Columnar ORC reader (same pushdown/pruning properties as parquet —
+    * the format some upstream warehouses hand over).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** File-based stream: new files under `path` become micro-batches
     * (the bronze "incremental drops" pattern,
     * reference: 4_silver/silver_transactions.py:58 glob reads — but as a

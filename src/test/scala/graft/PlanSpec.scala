@@ -38,6 +38,18 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$p")
   }
 
+  test("q37 as-of join is windowed union, not a theta join") {
+    val p = plan("q37_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of join must not expand pairs:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
+  test("q38 range join broadcasts the bands side") {
+    val p = plan("q38_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bucketed tables join without a shuffle (i05 co-located join)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
