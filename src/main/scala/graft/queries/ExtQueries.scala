@@ -87,6 +87,32 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q44: skew-safe two-phase aggregation (salted partials) ----
+    // l_returnflag has 3 values — the max-skew shape where one reducer
+    // would otherwise take a third of 100 TB. Results must equal the plain
+    // one-phase groupBy (the oracle): quantities are integral doubles, so
+    // the two-phase double sum is exact and order-insensitive.
+    "q44_skew_agg" -> { (s, d) =>
+      graft.ops.Skew.skewSafeSum(
+          Tables.lineitem(s, d).select(col("l_returnflag"), col("l_orderkey"), col("l_quantity")),
+          Seq("l_returnflag"), col("l_orderkey"), col("l_quantity"), "sum_qty")
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- q45: column profiling (count/min/max/avg + exact quantiles) ----
+    "q45_profile" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"),
+          round(avg(col("o_totalprice")), 4).as("avg_price"),
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // ---- q43: IVF ANN (probe 2 nearest cells, top-3 in-cell rerank) ----
     "q43_ann_ivf" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
@@ -161,6 +187,20 @@ object ExtQueries {
          WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
            < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
          ORDER BY doc_id""",
+
+    "q44_skew_agg" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q45_profile" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           round(avg(o_totalprice), 4) AS avg_price,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     "q43_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -47,6 +47,26 @@ class AnnSpec extends SparkSpec {
     assert(mismatches.count() == 0)
   }
 
+  test("IVF recall@3 grows with nprobe and is exact at full probe") {
+    val v = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), Ann.toDouble(col("embedding")).as("vec"), col("label"))
+    val queries = v.filter(col("id") < 20)
+    val exact = Ann.bruteforceTopK(v, queries, 3)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val nExact = exact.count()
+    def recall(nprobe: Int): Double =
+      exact.join(Ann.ivfTopK(v, queries, nprobe, 3)
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id")).count().toDouble / nExact
+    val nCells = v.select("label").distinct().count().toInt
+    val r2 = recall(2); val r5 = recall(5); val rAll = recall(nCells)
+    // probing every cell = brute force; fewer probes trade recall for
+    // the ~nprobe/|cells| corpus fraction actually scanned
+    assert(rAll == 1.0, s"full-probe recall = $rAll")
+    assert(r5 >= r2, s"recall must not fall as nprobe grows: $r2 -> $r5")
+    assert(r2 > 0.1, s"nprobe=2 recall degenerate: $r2")
+  }
+
   test("typed mapPartitions decode agrees with the column-level fake decode") {
     val docs = Tables.documents(spark, sfDir).limit(20)
     val typed = Binary.metadata(spark, docs).toDF()
