@@ -113,6 +113,32 @@ object ExtQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // ---- q46: CUBE totals (all grouping-set combinations) ----
+    // Grouped-out dimensions are coalesced to 'ALL' so both engines emit
+    // identical row content (null ordering/formatting differs between them).
+    "q46_cube" -> { (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("sum_price"))
+        .orderBy(col("status"), col("priority"))
+    },
+
+    // ---- q47: sliding-window analytics (4-row moving avg + lag delta) ----
+    "q47_moving_avg" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          round(avg(col("value")).over(w.rowsBetween(-3, 0)), 4).as("ma4"),
+          round(col("value") - coalesce(lag(col("value"), 1).over(w), col("value")), 2)
+            .as("delta"))
+        .select(col("user_id"), col("event_id"), col("ma4"), col("delta"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // ---- q43: IVF ANN (probe 2 nearest cells, top-3 in-cell rerank) ----
     "q43_ann_ivf" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
@@ -201,6 +227,21 @@ object ExtQueries {
            round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
            round(quantile_cont(o_totalprice, 0.75), 4) AS p75
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q46_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY 1, 2""",
+
+    "q47_moving_avg" ->
+      """SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma4,
+           round(value - coalesce(lag(value, 1) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id), value), 2) AS delta
+         FROM events ORDER BY user_id, event_id""",
 
     "q43_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -113,6 +113,44 @@ object Streams {
       .drop(r(key))
   }
 
+  /** foreachBatch incremental near-dup detector: each micro-batch of
+    * (doc_id, text) is MinHash-signed, banded, and joined against the
+    * accumulated signature index, emitting verified candidate pairs (within
+    * the batch AND against every previously indexed doc) before appending
+    * the batch's signatures to the index — streaming corpus dedup without
+    * re-signing history.
+    *
+    * Scale: the index holds one WIDE signature row per doc (k smallints of
+    * state per doc, not shingles); band joins shuffle on (band, band_val)
+    * — the LSH blocking keys — so each batch touches only colliding
+    * buckets. State grows O(corpus), the per-batch cost O(batch + hits).
+    */
+  def nearDupSink(spark: SparkSession, indexDir: String, pairsDir: String,
+      k: Int = 4, bandRows: Int = 2, minSigSim: Double = 0.5)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.text.MinHash
+    val sh = MinHash.withShingles(batch, "doc_id", "text")
+    val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", k)
+    val existing =
+      try spark.read.parquet(indexDir) catch { case _: Exception => sig.limit(0) }
+    val all = existing.unionByName(sig).cache()
+    val newBands = MinHash.bands(sig, "doc_id", k, bandRows)
+      .withColumnRenamed("doc_id", "id_new")
+    val allBands = MinHash.bands(all, "doc_id", k, bandRows)
+      .withColumnRenamed("doc_id", "id_other")
+    val cand = newBands.join(allBands, Seq("band", "band_val"))
+      .filter(col("id_new") =!= col("id_other"))
+      .select(least(col("id_new"), col("id_other")).as("id_a"),
+        greatest(col("id_new"), col("id_other")).as("id_b"))
+      .distinct()
+    MinHash.signatureSimilarity(cand, all, "doc_id", k)
+      .filter(col("sig_sim") >= minSigSim)
+      .write.mode("append").parquet(pairsDir)
+    // Emit pairs first (reads the old index), then extend the index.
+    sig.write.mode("append").parquet(indexDir)
+    all.unpersist()
+  }
+
   /** foreachBatch SCD2 upsert sink: each micro-batch is deduped to its
     * latest row per key and merged into the parquet dimension at `dimPath`
     * with [[Scd2.merge]] semantics.

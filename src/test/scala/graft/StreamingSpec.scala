@@ -83,6 +83,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupSink finds dups within a batch and against the accumulated index") {
+    val dir = Files.createTempDirectory("neardup").toFile.getAbsolutePath
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch(Streams.nearDupSink(spark, s"$dir/index", s"$dir/pairs") _)
+      .start()
+    try {
+      in.addData(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "one two three four five six seven eight"))
+      q.processAllAvailable()
+      // cross-batch near-dup of 1 + in-batch exact dup pair (5, 6)
+      in.addData(
+        (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+        (5L, "red green blue yellow purple orange pink black"),
+        (6L, "red green blue yellow purple orange pink black"))
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(s"$dir/pairs")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 3L)), s"cross-batch near-dup missed: $pairs")
+      assert(pairs.contains((5L, 6L)), s"in-batch dup missed: $pairs")
+      assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"false positive on 2: $pairs")
+      // index accumulated one signature row per doc
+      assert(spark.read.parquet(s"$dir/index").count() == 5)
+    } finally q.stop()
+  }
+
   test("scd2Sink upserts each micro-batch into the parquet dimension") {
     val dir = Files.createTempDirectory("scd2sink").toFile.getAbsolutePath
     val dimPath = s"$dir/dim"
