@@ -139,6 +139,16 @@ object ExtQueries {
         .orderBy(col("user_id"), col("event_id"))
     },
 
+    // ---- q48: multimodal frame sampling (64-byte frames @ stride 256) ----
+    "q48_frame_sample" -> { (s, d) =>
+      graft.multimodal.Binary.sampleFrames(Tables.documents(s, d), 64, 256)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          min(col("feat")).as("min_feat"),
+          max(when(col("frame_id") === 0, col("feat"))).as("first_feat"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q43: IVF ANN (probe 2 nearest cells, top-3 in-cell rerank) ----
     "q43_ann_ivf" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
@@ -242,6 +252,15 @@ object ExtQueries {
            round(value - coalesce(lag(value, 1) OVER (PARTITION BY user_id
              ORDER BY ts, event_id), value), 2) AS delta
          FROM events ORDER BY user_id, event_id""",
+
+    "q48_frame_sample" ->
+      s"""WITH f AS (SELECT doc_id, text, unnest(range(1, length(text) + 1, 256)) AS fpos
+           FROM documents WHERE length(text) > 0)
+         SELECT doc_id, count(*) AS n_frames,
+           min(${TextQueries.h60("substr(text, fpos, 64)")}) AS min_feat,
+           max(CASE WHEN fpos = 1
+             THEN ${TextQueries.h60("substr(text, fpos, 64)")} END) AS first_feat
+         FROM f GROUP BY 1 ORDER BY 1""",
 
     "q43_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
