@@ -45,12 +45,19 @@ object Runner {
     */
   def run(spark: SparkSession, configPath: String, outDir: String, auditDir: String,
       runId: String, source: String => DataFrame,
-      transform: Map[String, DataFrame => DataFrame] = Map.empty): Seq[LoadResult] = {
+      transform: Map[String, DataFrame => DataFrame] = Map.empty,
+      maxAttempts: Int = 1): Seq[LoadResult] = {
     val watermarks = lastWatermarks(spark, auditDir)
+
+    // ADF-style per-activity retry: transient source failures re-attempt up
+    // to maxAttempts before the table is audited as failed.
+    def attempt[T](left: Int)(f: => T): T =
+      try f catch { case ex: Exception if left > 1 => attempt(left - 1)(f) }
+
     LoadConfig.activeEntries(spark, configPath).map { e =>
       val start = new Timestamp(System.currentTimeMillis())
       try {
-        val raw = source(e.tableName)
+        val raw = attempt(maxAttempts)(source(e.tableName))
         val incremental = e.loadMode == "incremental" && e.watermarkColumn.isDefined
         val windowed = (for {
           wmCol <- e.watermarkColumn if incremental

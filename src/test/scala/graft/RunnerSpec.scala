@@ -66,4 +66,21 @@ class RunnerSpec extends SparkSpec {
     assert(audit.filter(col("status") === "failed").count() == 1)
     assert(spark.read.parquet(s"$dir/out/good").count() == 1)
   }
+
+  test("Runner retries transient source failures up to maxAttempts") {
+    val dir = Files.createTempDirectory("runner3").toFile.getAbsolutePath
+    val cfg = s"$dir/load_config.csv"
+    Files.write(java.nio.file.Paths.get(cfg),
+      ("source_type,table_name,is_active,load_mode,watermark_column\n" +
+        "sql,flaky,1,full,\n").getBytes)
+    val flaky = Seq((1L, "x")).toDF("id", "v")
+    var calls = 0
+    val src: String => DataFrame = { _ =>
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient") else flaky
+    }
+    val res = Runner.run(spark, cfg, s"$dir/out", s"$dir/audit", "run1", src,
+      maxAttempts = 3)
+    assert(res.head.status == "succeeded" && calls == 3)
+  }
 }
