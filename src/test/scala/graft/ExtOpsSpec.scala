@@ -47,6 +47,19 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.length == n.toInt + 1 && out.forall(_._2 == 0L))
   }
 
+  test("Graph.connectedComponents returns empty labels for an empty edge set") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.connectedComponents(edges, "src", "dst").count() == 0)
+  }
+
+  test("AsOf.asofJoin with an empty right side yields all-null values") {
+    val quotes = Seq.empty[(String, Timestamp, Double)].toDF("ccy", "qts", "rate")
+    val trades = Seq((1L, "eur", ts("2024-01-01 09:00:00"))).toDF("trade_id", "ccy", "tts")
+    val out = AsOf.asofJoin(trades, quotes, "ccy", "tts", "qts")
+      .select("trade_id", "rate").as[(Long, Option[Double])].collect()
+    assert(out.toSeq == Seq((1L, None)))
+  }
+
   test("Sampling.stratified is a deterministic per-stratum filter") {
     val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("id", "stratum")

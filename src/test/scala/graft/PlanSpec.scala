@@ -50,6 +50,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q42 stratified sampling is a pure pushed filter — zero exchanges") {
+    val p = plan("q42_stratified_sample")
+    // the sample predicate is a row-local hash filter; only the final
+    // presentation sort may exchange
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q21 candidate generation never goes quadratic") {
+    val p = plan("q21_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dedup must stay equi-join on band keys:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "vocab hash join should broadcast")
+  }
+
   test("bucketed tables join without a shuffle (i05 co-located join)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
