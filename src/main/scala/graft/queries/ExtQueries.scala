@@ -149,6 +149,36 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q49: multi-distinct aggregation (Expand-based plan shape) ----
+    "q49_distinct_agg" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("n_types"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("day"))
+    },
+
+    // ---- q50: fuzzy record-linkage join (blocked edit-distance match) ----
+    // The two-bank entity-resolution shape: candidates blocked on
+    // (first char, length band) — an equi-join, never a cross join — then
+    // exact Levenshtein verify. Same blocking discipline as the LSH family.
+    "q50_fuzzy_join" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"),
+          substring(col("c_name"), 1, 1).as("blk"),
+          (length(col("c_name")) / 3).cast("int").as("lb"))
+      val a = c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("key_a"), col("c_name").as("name_a"), col("blk"), col("lb"))
+      val b = c.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey").as("key_b"), col("c_name").as("name_b"), col("blk"), col("lb"))
+      a.join(b, Seq("blk", "lb"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+        .select(col("key_a"), col("key_b"), col("dist"))
+        .orderBy(col("key_a"), col("key_b"))
+    },
+
     // ---- q43: IVF ANN (probe 2 nearest cells, top-3 in-cell rerank) ----
     "q43_ann_ivf" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
@@ -261,6 +291,21 @@ object ExtQueries {
            max(CASE WHEN fpos = 1
              THEN ${TextQueries.h60("substr(text, fpos, 64)")} END) AS first_feat
          FROM f GROUP BY 1 ORDER BY 1""",
+
+    "q49_distinct_agg" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_type) AS n_types, count(*) AS n_events
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q50_fuzzy_join" ->
+      """WITH c AS (SELECT c_custkey, c_name, substr(c_name, 1, 1) AS blk,
+             (length(c_name) // 3)::INT AS lb FROM customer)
+         SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+         FROM c a JOIN c b ON a.blk = b.blk AND a.lb = b.lb
+           AND a.c_custkey % 2 = 0 AND b.c_custkey % 2 = 1
+         WHERE levenshtein(a.c_name, b.c_name) <= 2
+         ORDER BY key_a, key_b""",
 
     "q43_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
