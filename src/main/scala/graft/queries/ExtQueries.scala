@@ -159,20 +159,39 @@ object ExtQueries {
         .orderBy(col("day"))
     },
 
-    // ---- q50: fuzzy record-linkage join (blocked edit-distance match) ----
-    // The two-bank entity-resolution shape: candidates blocked on
-    // (first char, length band) — an equi-join, never a cross join — then
-    // exact Levenshtein verify. Same blocking discipline as the LSH family.
+    // ---- q50: fuzzy record linkage (batch-vs-master, pigeonhole blocking) ----
+    // The realistic ER shape: link a small INCOMING BATCH against the large
+    // master dim — a self-join of the full dim is inherently near-quadratic
+    // on id-like keys whose prefix region is constant (measured 173s at
+    // sf0.1 on (prefix, length) blocking). Pigeonhole over the 9-char
+    // discriminating suffix: two same-length names within 2 substitutions
+    // MUST agree on one of 3 segments, so candidates are an equi-join on
+    // (segment_idx, segment, length), and cost is O(batch × block), not
+    // O(master²). Exact Levenshtein verifies candidates.
     "q50_fuzzy_join" -> { (s, d) =>
       val c = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_name"),
-          substring(col("c_name"), 1, 1).as("blk"),
-          (length(col("c_name")) / 3).cast("int").as("lb"))
-      val a = c.filter(col("c_custkey") % 2 === 0)
-        .select(col("c_custkey").as("key_a"), col("c_name").as("name_a"), col("blk"), col("lb"))
-      val b = c.filter(col("c_custkey") % 2 === 1)
-        .select(col("c_custkey").as("key_b"), col("c_name").as("name_b"), col("blk"), col("lb"))
-      a.join(b, Seq("blk", "lb"))
+        .select(col("c_custkey"), col("c_name"), length(col("c_name")).as("len"),
+          expr("right(c_name, 9)").as("sfx"))
+        // Unequal widths (5,2,2): the wide first segment absorbs the
+        // low-entropy leading zeros (equal 3-3-3 splits leave an all-'000'
+        // first segment = one degenerate block holding the whole table).
+        // The segments tile the suffix, so any ≤2-substitution pair still
+        // agrees on at least one of them.
+        .select(col("c_custkey"), col("c_name"), col("len"),
+          explode(array(
+            struct(lit(0).as("i"), col("sfx").substr(1, 5).as("seg")),
+            struct(lit(1).as("i"), col("sfx").substr(6, 2).as("seg")),
+            struct(lit(2).as("i"), col("sfx").substr(8, 2).as("seg")))).as("b"))
+        .select(col("c_custkey"), col("c_name"), col("len"),
+          col("b.i").as("i"), col("b.seg").as("seg"))
+      val batch = c.filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("key_a"), col("c_name").as("name_a"),
+          col("len"), col("i"), col("seg"))
+      val master = c.filter(col("c_custkey") % 100 =!= 0)
+        .select(col("c_custkey").as("key_b"), col("c_name").as("name_b"),
+          col("len"), col("i"), col("seg"))
+      batch.join(master, Seq("len", "i", "seg"))
+        .select(col("key_a"), col("key_b"), col("name_a"), col("name_b")).distinct()
         .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
         .filter(col("dist") <= 2)
         .select(col("key_a"), col("key_b"), col("dist"))
@@ -298,13 +317,19 @@ object ExtQueries {
          FROM events GROUP BY 1 ORDER BY 1""",
 
     "q50_fuzzy_join" ->
-      """WITH c AS (SELECT c_custkey, c_name, substr(c_name, 1, 1) AS blk,
-             (length(c_name) // 3)::INT AS lb FROM customer)
-         SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
-           levenshtein(a.c_name, b.c_name) AS dist
-         FROM c a JOIN c b ON a.blk = b.blk AND a.lb = b.lb
-           AND a.c_custkey % 2 = 0 AND b.c_custkey % 2 = 1
-         WHERE levenshtein(a.c_name, b.c_name) <= 2
+      """WITH c AS (SELECT c_custkey, c_name, length(c_name) AS len,
+             right(c_name, 9) AS sfx FROM customer),
+         seg AS (SELECT c_custkey, c_name, len, i,
+             CASE i WHEN 0 THEN substr(sfx, 1, 5)
+                    WHEN 1 THEN substr(sfx, 6, 2)
+                    ELSE substr(sfx, 8, 2) END AS seg
+           FROM c CROSS JOIN (SELECT unnest(range(3)) AS i) ii),
+         cand AS (SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b,
+             a.c_name AS name_a, b.c_name AS name_b
+           FROM seg a JOIN seg b ON a.len = b.len AND a.i = b.i AND a.seg = b.seg
+             AND a.c_custkey % 100 = 0 AND b.c_custkey % 100 <> 0)
+         SELECT key_a, key_b, levenshtein(name_a, name_b) AS dist
+         FROM cand WHERE levenshtein(name_a, name_b) <= 2
          ORDER BY key_a, key_b""",
 
     "q43_ann_ivf" ->
