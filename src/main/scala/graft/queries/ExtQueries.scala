@@ -198,6 +198,42 @@ object ExtQueries {
         .orderBy(col("key_a"), col("key_b"))
     },
 
+    // ---- q51: semi join (customers having any open order) ----
+    "q51_semi_join" -> { (s, d) =>
+      val open = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey"))
+      Tables.customer(s, d)
+        .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- q52: windowed distribution: spend quartiles per segment ----
+    "q52_ntile" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- q53: funnel: purchases preceded by a view within 1h (as-of) ----
+    "q53_funnel" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("vts")).agg(max(col("event_id")).as("view_id"))
+        .select(col("user_id"), col("vts"), col("view_id"), col("vts").as("view_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsOf.asofJoin(purchases, views, "user_id", "ts", "vts")
+        .filter(col("view_id").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("view_ts")) <= 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("view_id"))
+        .orderBy(col("event_id"))
+    },
+
     // ---- q43: IVF ANN (probe 2 nearest cells, top-3 in-cell rerank) ----
     "q43_ann_ivf" -> { (s, d) =>
       val v = Tables.embeddings(s, d)
@@ -331,6 +367,27 @@ object ExtQueries {
          SELECT key_a, key_b, levenshtein(name_a, name_b) AS dist
          FROM cand WHERE levenshtein(name_a, name_b) <= 2
          ORDER BY key_a, key_b""",
+
+    "q51_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+         ORDER BY c_custkey""",
+
+    "q52_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey) AS quartile
+         FROM customer ORDER BY c_custkey""",
+
+    "q53_funnel" ->
+      """WITH v AS (SELECT user_id, ts AS vts, max(event_id) AS view_id
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, v.view_id
+         FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.vts
+         WHERE epoch_us(p.ts) - epoch_us(v.vts) <= 3600 * 1000000::BIGINT
+         ORDER BY p.event_id""",
 
     "q43_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
