@@ -77,5 +77,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hash60"),
+      new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
+      (children: Seq[Expression]) => Hash60(children.head)))
   }
 }

@@ -67,6 +67,21 @@ class AnnSpec extends SparkSpec {
     assert(r2 > 0.1, s"nprobe=2 recall degenerate: $r2")
   }
 
+  test("native graft_hash60 matches the composed conv(md5) chain exactly") {
+    val df = Tables.documents(spark, sfDir)
+      .select(col("text"), col("doc_id").cast("string").as("id_s"))
+    val bad = df.filter(
+      graft.ops.Cdm.hash60(col("text")) =!= graft.ops.Cdm.hash60Composed(col("text")) ||
+      graft.ops.Cdm.hash60(col("id_s")) =!= graft.ops.Cdm.hash60Composed(col("id_s")))
+    assert(bad.count() == 0)
+    // empty string + non-trivial literal pin the exact value
+    import spark.implicits._
+    val vals = Seq("", "0|alpha beta").toDF("s")
+      .select(graft.ops.Cdm.hash60(col("s")), graft.ops.Cdm.hash60Composed(col("s")))
+      .as[(Long, Long)].collect()
+    assert(vals.forall(v => v._1 == v._2))
+  }
+
   test("typed mapPartitions decode agrees with the column-level fake decode") {
     val docs = Tables.documents(spark, sfDir).limit(20)
     val typed = Binary.metadata(spark, docs).toDF()
