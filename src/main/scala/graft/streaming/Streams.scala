@@ -94,6 +94,17 @@ object Streams {
       }
   }
 
+  /** Stream-static dimension enrichment: join a stream against a batch dim
+    * (the gold-layer FK enrichment applied to a live stream). The static
+    * side is broadcast per micro-batch — no stream-side state, no shuffle
+    * of the stream. Dims too large to broadcast should be bucketed on the
+    * join key instead (see Sinks.bucketed).
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String,
+      dimCols: Seq[String]): DataFrame =
+    stream.join(
+      broadcast(dim.select((key +: dimCols).map(col): _*)), Seq(key), "left")
+
   /** Stream-stream inner join bounded by an event-time interval: each left
     * row matches right rows with the same key whose timestamp falls in
     * [leftTs - window, leftTs]. Both sides are watermarked so the state

@@ -83,6 +83,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStream broadcast-joins the static dim onto each micro-batch") {
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    val q = Streams.enrichStream(in.toDF(), dim, "user_id", Seq("tier"))
+      .writeStream.format("memory").queryName("enr_out").outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(0), 5.0), Event(3, ts(1), 7.0)) // 3 has no dim row
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, tier FROM enr_out ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+      assert(rows.toSeq == Seq((1L, Some("gold")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("nearDupSink finds dups within a batch and against the accumulated index") {
     val dir = Files.createTempDirectory("neardup").toFile.getAbsolutePath
     val in = MemoryStream[(Long, String)]
