@@ -27,7 +27,9 @@ object Scratch {
     val s = spark
     SparkEntry.queries("q06_star_agg")(s, sfDir).count() // warmup
 
-    for (i <- 1 to 3)
+    println("[scratch] bloom=" + spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"))
+    println("[scratch] dpp=" + spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled"))
+    for (i <- 1 to 2)
       time(s"q22 run$i")(SparkEntry.queries("q22_simhash")(s, sfDir).count())
     spark.stop()
   }
