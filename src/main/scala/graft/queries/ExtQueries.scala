@@ -172,16 +172,19 @@ object ExtQueries {
       val c = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_name"), length(col("c_name")).as("len"),
           expr("right(c_name, 9)").as("sfx"))
-        // Unequal widths (5,2,2): the wide first segment absorbs the
-        // low-entropy leading zeros (equal 3-3-3 splits leave an all-'000'
-        // first segment = one degenerate block holding the whole table).
-        // The segments tile the suffix, so any ≤2-substitution pair still
+        // Unequal widths (7,1,1), chosen from the MEASURED digit entropy:
+        // leading digits are near-constant zeros (equal 3-3-3 splits leave
+        // an all-'000' first segment = one degenerate block holding the
+        // whole table; a 5-2-2 split still left a 2-value first segment =
+        // 1.26M candidates). The wide first segment spans through the
+        // century digit so its blocks are ~1 batch × 99 master rows. The
+        // segments tile the suffix, so any ≤2-substitution pair still
         // agrees on at least one of them.
         .select(col("c_custkey"), col("c_name"), col("len"),
           explode(array(
-            struct(lit(0).as("i"), col("sfx").substr(1, 5).as("seg")),
-            struct(lit(1).as("i"), col("sfx").substr(6, 2).as("seg")),
-            struct(lit(2).as("i"), col("sfx").substr(8, 2).as("seg")))).as("b"))
+            struct(lit(0).as("i"), col("sfx").substr(1, 7).as("seg")),
+            struct(lit(1).as("i"), col("sfx").substr(8, 1).as("seg")),
+            struct(lit(2).as("i"), col("sfx").substr(9, 1).as("seg")))).as("b"))
         .select(col("c_custkey"), col("c_name"), col("len"),
           col("b.i").as("i"), col("b.seg").as("seg"))
       val batch = c.filter(col("c_custkey") % 100 === 0)
@@ -356,9 +359,9 @@ object ExtQueries {
       """WITH c AS (SELECT c_custkey, c_name, length(c_name) AS len,
              right(c_name, 9) AS sfx FROM customer),
          seg AS (SELECT c_custkey, c_name, len, i,
-             CASE i WHEN 0 THEN substr(sfx, 1, 5)
-                    WHEN 1 THEN substr(sfx, 6, 2)
-                    ELSE substr(sfx, 8, 2) END AS seg
+             CASE i WHEN 0 THEN substr(sfx, 1, 7)
+                    WHEN 1 THEN substr(sfx, 8, 1)
+                    ELSE substr(sfx, 9, 1) END AS seg
            FROM c CROSS JOIN (SELECT unnest(range(3)) AS i) ii),
          cand AS (SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b,
              a.c_name AS name_a, b.c_name AS name_b
