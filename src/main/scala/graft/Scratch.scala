@@ -27,20 +27,8 @@ object Scratch {
     val s = spark
     SparkEntry.queries("q06_star_agg")(s, sfDir).count() // warmup
 
-    val docs = Tables.documents(s, sfDir)
-    val sh = MinHash.withShingles(docs, "doc_id", "text")
-    val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 4)
-    val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 4, 2), "doc_id")
-    val edges = MinHash.jaccard(sh, cand, "doc_id")
-      .filter(col("jaccard") >= 0.5).select(col("id_a"), col("id_b"))
-      .localCheckpoint()
-    println("[scratch] n_edges=" + edges.count())
-    for (it <- Seq(1, 2, 3, 20)) {
-      val t0 = System.nanoTime()
-      val n = graft.ops.Graph.connectedComponents(edges, "id_a", "id_b", maxIter = it)
-        .agg(sum(col("label"))).head.get(0)
-      println(f"[scratch] maxIter=$it%-3d labelSum=$n t=${(System.nanoTime()-t0)/1e9}%.2f s")
-    }
+    for (i <- 1 to 3)
+      time(s"q22 run$i")(SparkEntry.queries("q22_simhash")(s, sfDir).count())
     spark.stop()
   }
 }
