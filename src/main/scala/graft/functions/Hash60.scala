@@ -37,12 +37,20 @@ case class Hash60(child: Expression) extends UnaryExpression {
 }
 
 object Hash60 {
+  // One digest instance per executor thread: `getInstance` does a provider
+  // lookup + allocation per call, which erodes the codegen win on a
+  // function that runs once per row on the hashed hot paths.
+  private val md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   /** First 60 bits of md5(bytes): digest bytes 0..6 big-endian (56 bits)
     * followed by the high nibble of byte 7 — exactly the value of the first
     * 15 hex characters parsed base-16.
     */
   def hash(bytes: Array[Byte]): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val m = md5.get()
+    m.reset()
+    val d = m.digest(bytes)
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }

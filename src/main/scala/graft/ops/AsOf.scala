@@ -24,32 +24,45 @@ import org.apache.spark.sql.functions._
   *
   * Right rows must be unique per (key, ts) — pre-aggregate otherwise
   * (ambiguous quotes have no deterministic winner in any engine).
+  *
+  * The right value columns are carried as ONE struct with a single
+  * `last(ignoreNulls)` — carrying them independently would let a right row
+  * with a NULL in one column silently inherit that column from an OLDER
+  * quote, stitching values from different right rows. The struct wrapper is
+  * non-null whenever the right row exists, so the carry is row-atomic and
+  * NULL fields propagate as the matched row's NULLs.
   */
 object AsOf {
+
+  /** Internal tag columns; the inputs must not use these names. */
+  private val Reserved = Seq("_gts", "_gside", "_gvals")
 
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String): DataFrame = {
     val rVals = right.columns.filterNot(c => c == key || c == rightTs).toSeq
     val lCols = left.columns.toSeq
     require(rVals.intersect(lCols).isEmpty, s"overlapping value columns: ${rVals.intersect(lCols)}")
+    val clash = (lCols ++ right.columns).distinct.intersect(Reserved)
+    require(clash.isEmpty, s"reserved column names in input: ${clash.mkString(", ")}")
 
+    val valsType = org.apache.spark.sql.types.StructType(
+      rVals.map(c => right.schema(c).copy(name = c)))
     val lTagged = left
-      .select(Seq(col(leftTs).as("_gts"), lit(1).as("_gside")) ++
-        lCols.map(col) ++
-        rVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      .select(Seq(col(leftTs).as("_gts"), lit(1).as("_gside"),
+        lit(null).cast(valsType).as("_gvals")) ++ lCols.map(col): _*)
     val rTagged = right
-      .select(Seq(col(rightTs).as("_gts"), lit(0).as("_gside")) ++
+      .select(Seq(col(rightTs).as("_gts"), lit(0).as("_gside"),
+        struct(rVals.map(col): _*).as("_gvals")) ++
         lCols.map(c => if (c == key) col(key)
-                       else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rVals.map(col): _*)
+                       else lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     val w = Window.partitionBy(col(key)).orderBy(col("_gts"), col("_gside"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged)
-      .select(lCols.map(col) ++
-        rVals.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) :+
+      .select(lCols.map(col) :+
+        last(col("_gvals"), ignoreNulls = true).over(w).as("_gvals") :+
         col("_gside"): _*)
       .filter(col("_gside") === 1)
-      .drop("_gside")
+      .select(lCols.map(col) ++ rVals.map(c => col("_gvals").getField(c).as(c)): _*)
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected edge set — the cluster step of
@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   * materialized RDD: planning cost per round stays constant. (On a
   * fault-tolerant cluster run, `spark.sparkContext.setCheckpointDir` +
   * `checkpoint()` is the durable equivalent.)
+  *
+  * Per-round fixed cost is the scale lever in BOTH directions: the edge set
+  * is counted once and the whole iteration runs at `edges / 2M` partitions
+  * (clamped to the session default), so a thousand-vertex candidate graph
+  * iterates in single-task rounds while a 100 TB-derived one keeps full
+  * parallelism. The edge frame is pre-partitioned by the join key once and
+  * `localCheckpoint` preserves its partitioning, so the per-round
+  * neighbor-min join never re-shuffles the edges. The convergence metric
+  * (sum of labels — monotone non-increasing, unchanged sum ⇔ converged)
+  * rides the checkpoint materialization job via `observe()` instead of
+  * running a separate aggregation job per round.
   */
 object Graph {
 
@@ -30,18 +41,32 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
     // Materialized once — severs the (possibly expensive) pipeline that
     // produced the pairs from every round's plan.
-    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
+    val sym0 = edges.select(col(src).as("a"), col(dst).as("b"))
       .union(edges.select(col(dst).as("a"), col(src).as("b")))
       .localCheckpoint()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Right-size the iteration: ~2M edges per partition, min 1, capped at
+    // the session's shuffle parallelism. The count is a cheap job over the
+    // already-materialized RDD.
+    val defaultP = spark.sessionState.conf.numShufflePartitions
+    val p = math.max(1, math.min(defaultP, (sym0.count() / 2000000L).toInt))
+    // Pre-partition the edges by the per-round join key (b): localCheckpoint
+    // preserves outputPartitioning, so every round's neighbor-min join reads
+    // the edge side without an Exchange. At p == 1 every operator already
+    // runs single-partition (a 1-partition child satisfies any clustered
+    // distribution), so the explicit per-round repartition would only add
+    // an Exchange stage — skip it.
+    val sym = sym0.repartition(p, col("b")).localCheckpoint()
+    // (coalesce is a narrow dep — no shuffle — and a 1-partition frame
+    // trivially co-partitions with everything.)
+    def byId(df: DataFrame): DataFrame =
+      if (p > 1) df.repartition(p, col("id")) else df.coalesce(1)
+    var labels = byId(sym.select(col("a").as("id")).distinct()
+        .withColumn("label", col("id")))
       .localCheckpoint()
 
-    // Labels only decrease, so sum(label) is a monotone convergence metric:
-    // unchanged sum ⇔ no label changed — a one-scalar check per round
-    // instead of a join against the previous round.
     def labelSum(df: DataFrame): Long =
       Option(df.agg(sum("label")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
     var prevSum = labelSum(labels)
@@ -59,10 +84,18 @@ object Graph {
       // decreases). Both reads of `nmin` are cheap plans over checkpointed
       // RDDs, so recomputing it twice beats materializing it.
       val jump = nmin.select(col("id").as("_lid"), col("label").as("_llabel"))
-      val prop = nmin.join(jump, nmin("label") === jump("_lid"))
-        .select(col("id"), col("_llabel").as("label"))
+      val obs = Observation()
+      val prop = byId(nmin.join(jump, nmin("label") === jump("_lid"))
+          .select(col("id"), col("_llabel").as("label")))
+        .observe(obs, sum(col("label")).as("s"))
         .localCheckpoint()
-      val s = labelSum(prop)
+      // The checkpoint materialization runs through withAction, which fires
+      // the observation listener; `get` blocks only until that (already
+      // finished) action's metrics are delivered.
+      val s = obs.get("s") match {
+        case v: java.lang.Long => v.longValue()
+        case _ => labelSum(prop)
+      }
       labels = prop
       converged = s == prevSum
       prevSum = s

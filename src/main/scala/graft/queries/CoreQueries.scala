@@ -160,10 +160,15 @@ object CoreQueries {
         .orderBy(col("event_date"))
     },
 
-    // ---- q11: anti join (orphans) ----
+    // ---- q11: anti join (orphans / dormant keys) ----
+    // Anti-joined against a DATE-WINDOWED order set (every testdata customer
+    // has some order, so the unwindowed orphan set is empty and the oracle
+    // check would be vacuous): customers with no order since 2000-01-01.
     "q11_anti_join" -> { (s, d) =>
       Tables.customer(s, d)
-        .join(Tables.orders(s, d).select(col("o_custkey")),
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+            .select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
@@ -446,7 +451,8 @@ object CoreQueries {
 
     "q11_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           AND o_orderdate >= TIMESTAMP '2000-01-01')
          ORDER BY c_custkey""",
 
     "q12_union_harmonize" ->

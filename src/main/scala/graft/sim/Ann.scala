@@ -60,19 +60,31 @@ object Ann {
   /** Random-hyperplane LSH bucket per vector: bit j = (v · plane_j) > 0,
     * plane_j component for dim m = +1 if the first hex char of
     * md5(j + "-" + m) is >= '8' else -1. Returns (id, bucket).
+    *
+    * WIDE form: the N·d posexploded rows carry `planes` parallel
+    * `sum(v * sign_j)` aggregates through ONE groupBy(id) — the earlier
+    * explode-per-plane form pushed N·d·planes rows through the first
+    * shuffle and needed a second groupBy. The ±1 sign table depends only
+    * on (plane, dim), so it is computed once per DISTINCT dim and
+    * broadcast-joined to the exploded rows (d rows × planes columns —
+    * trivially broadcastable at any corpus size, since d is the embedding
+    * width, not the corpus).
     */
-  def hyperplaneBuckets(vectors: DataFrame, planes: Int): DataFrame =
-    vectors
-      .select(col("id"), posexplode(col("vec")).as(Seq("pos", "v")))
-      .select(col("id"), col("pos"), col("v"),
-        explode(sequence(lit(0), lit(planes - 1))).as("j"))
-      .withColumn("sign",
-        when(substring(md5(concat_ws("-", col("j"), col("pos"))), 1, 1) >= "8", 1).otherwise(-1))
-      .groupBy(col("id"), col("j"))
-      .agg(sum(col("v") * col("sign")).as("s"))
+  def hyperplaneBuckets(vectors: DataFrame, planes: Int): DataFrame = {
+    val ex = vectors.select(col("id"), posexplode(col("vec")).as(Seq("pos", "v")))
+    val signs = ex.select(col("pos")).distinct()
+      .select(col("pos") +: (0 until planes).map(j =>
+        when(substring(md5(concat_ws("-", lit(j), col("pos"))), 1, 1) >= "8", 1)
+          .otherwise(-1).as(s"_g$j")): _*)
+    val sums = (0 until planes).map(j => sum(col("v") * col(s"_g$j")).as(s"_s$j"))
+    val bucket = (0 until planes)
+      .map(j => when(col(s"_s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    ex.join(broadcast(signs), "pos")
       .groupBy(col("id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), j)")).otherwise(0L))
-        .as("bucket"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("id"), bucket.as("bucket"))
+  }
 
   /** Per-cell centroid vectors, assembled in dimension order (cells =
     * `label` here, standing in for a trained coarse quantizer).
