@@ -142,8 +142,16 @@ object Streams {
     import graft.text.MinHash
     val sh = MinHash.withShingles(batch, "doc_id", "text")
     val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", k)
+    // Replay-idempotent: both outputs are partitioned by batch_id and this
+    // batch's partition is dynamically overwritten, so a micro-batch retry
+    // after a failure REPLACES its own rows instead of appending duplicates.
+    // The index read likewise drops any rows a half-finished attempt of
+    // THIS batch already landed — otherwise a replay would join the batch
+    // against its own signatures and emit self-pairs forever after.
     val existing =
-      try spark.read.parquet(indexDir) catch { case _: Exception => sig.limit(0) }
+      try spark.read.parquet(indexDir).filter(col("batch_id") =!= batchId)
+        .drop("batch_id")
+      catch { case _: Exception => sig.limit(0) }
     val all = existing.unionByName(sig).cache()
     val newBands = MinHash.bands(sig, "doc_id", k, bandRows)
       .withColumnRenamed("doc_id", "id_new")
@@ -154,11 +162,14 @@ object Streams {
       .select(least(col("id_new"), col("id_other")).as("id_a"),
         greatest(col("id_new"), col("id_other")).as("id_b"))
       .distinct()
-    MinHash.signatureSimilarity(cand, all, "doc_id", k)
-      .filter(col("sig_sim") >= minSigSim)
-      .write.mode("append").parquet(pairsDir)
+    graft.sources.Sinks.dynamicOverwrite(
+      MinHash.signatureSimilarity(cand, all, "doc_id", k)
+        .filter(col("sig_sim") >= minSigSim)
+        .withColumn("batch_id", lit(batchId)),
+      pairsDir, Seq("batch_id"))
     // Emit pairs first (reads the old index), then extend the index.
-    sig.write.mode("append").parquet(indexDir)
+    graft.sources.Sinks.dynamicOverwrite(
+      sig.withColumn("batch_id", lit(batchId)), indexDir, Seq("batch_id"))
     all.unpersist()
   }
 
@@ -172,9 +183,10 @@ object Streams {
       .select((keys ++ attrs).map(col): _*)
     val existing =
       try {
-        val e = spark.read.parquet(dimPath)
-        // Materialize before overwriting the path we just read.
-        e.cache(); e.count(); e
+        // localCheckpoint, not cache(): an evicted cached partition would
+        // re-read the dim path mid-merge; the checkpoint is materialized
+        // (memory+disk) and never recomputes from the source path.
+        spark.read.parquet(dimPath).localCheckpoint()
       } catch {
         case _: Exception =>
           staged.limit(0)
@@ -183,7 +195,9 @@ object Streams {
             .withColumn("is_current", lit(true))
       }
     val merged = Scd2.merge(existing, staged, keys, attrs, current_timestamp())
-    merged.write.mode("overwrite").parquet(dimPath)
-    existing.unpersist()
+    // Atomic swap: a crash mid-write leaves the current dim readable —
+    // the self-overwrite would otherwise destroy the only copy
+    // (the reference gets this from Delta MERGE transactionality).
+    graft.sources.Sinks.overwriteAtomic(merged, dimPath)
   }
 }

@@ -80,6 +80,16 @@ class PlanSpec extends SparkSpec {
     assert(j.count() == 1000)
   }
 
+  test("q28 hyperplane bucket build is one wide aggregation — at most 2 exchanges") {
+    // The wide form carries `planes` parallel sums through ONE groupBy(id);
+    // the regression shape (explode per plane + two groupBys) costs a
+    // planes× bigger first shuffle and a third exchange.
+    val p = plan("q28_ann_lsh")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"expected <=2 hash exchanges in bucket build, got $exchanges:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "sign table should broadcast-join")
+  }
+
   test("whole-stage codegen covers the q01 aggregation") {
     // Under AQE the codegen spans only appear in the finalized plan, and
     // simpleString renders them as "*(n)" stage markers.

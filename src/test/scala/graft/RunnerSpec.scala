@@ -67,6 +67,43 @@ class RunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out/good").count() == 1)
   }
 
+  test("Runner drives full + incremental loads over JDBC with watermark pushdown") {
+    val dir = Files.createTempDirectory("runner_jdbc").toFile.getAbsolutePath
+    val cfg = s"$dir/load_config.csv"
+    // Derby reports uppercase identifiers; the config's watermark column
+    // must match the JDBC schema's casing (schema lookup is case-sensitive).
+    Files.write(java.nio.file.Paths.get(cfg),
+      ("source_type,table_name,is_active,load_mode,watermark_column\n" +
+        "sql,JTX,1,incremental,TS\n").getBytes)
+    val url = "jdbc:derby:memory:runnerdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE jtx (id BIGINT, ts TIMESTAMP, amt DOUBLE)")
+      st.execute("INSERT INTO jtx VALUES " +
+        "(1, TIMESTAMP('2024-01-01 10:00:00'), 10.0)," +
+        "(2, TIMESTAMP('2024-01-02 10:00:00'), 20.0)")
+
+      val src = graft.sources.Sources.jdbcSource(spark, url)
+      val r1 = Runner.run(spark, cfg, s"$dir/out", s"$dir/audit", "run1", src)
+      assert(r1.head.status == "succeeded" && r1.head.rows == 2)
+      assert(r1.head.newWatermark.contains("2024-01-02 10:00:00.0"))
+
+      // new DB row past the watermark; run 2 must ship only that row
+      st.execute("INSERT INTO jtx VALUES (3, TIMESTAMP('2024-01-03 10:00:00'), 30.0)")
+      val r2 = Runner.run(spark, cfg, s"$dir/out", s"$dir/audit", "run2", src)
+      assert(r2.head.rows == 1, s"incremental load shipped ${r2.head.rows} rows")
+      assert(r2.head.newWatermark.contains("2024-01-03 10:00:00.0"))
+      assert(spark.read.parquet(s"$dir/out/JTX").count() == 3)
+
+      // the watermark window must execute IN the database, not post-transfer
+      val windowed = graft.ops.Incremental.after(src("JTX"), col("TS"),
+        lit("2024-01-02 10:00:00").cast("timestamp"))
+      val plan = windowed.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(TS"), plan)
+    } finally conn.close()
+  }
+
   test("Runner retries transient source failures up to maxAttempts") {
     val dir = Files.createTempDirectory("runner3").toFile.getAbsolutePath
     val cfg = s"$dir/load_config.csv"

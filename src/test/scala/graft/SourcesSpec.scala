@@ -43,6 +43,70 @@ class SourcesSpec extends SparkSpec {
     assert(out == Seq(("2024-01-01", 1L), ("2024-01-02", 99L)))
   }
 
+  // Embedded Derby (ships with Spark's jars) stands in for the reference's
+  // SQL-database sources — same JDBC surface, zero egress.
+  private def derby(db: String): String = {
+    val url = s"jdbc:derby:memory:$db;create=true"
+    java.sql.DriverManager.getConnection(url).close()
+    url
+  }
+
+  test("jdbc reader pulls a table and pushes filters into the database query") {
+    val url = derby("srcdb")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE tx (id BIGINT, ts TIMESTAMP, amt DOUBLE)")
+      st.execute("INSERT INTO tx VALUES " +
+        "(1, TIMESTAMP('2024-01-01 10:00:00'), 10.0)," +
+        "(2, TIMESTAMP('2024-01-02 10:00:00'), 20.0)," +
+        "(3, TIMESTAMP('2024-01-03 10:00:00'), 30.0)")
+    } finally conn.close()
+    val df = Sources.jdbc(spark, url, "tx")
+      .filter(col("ts") > lit("2024-01-01 12:00:00").cast("timestamp"))
+    assert(df.count() == 2)
+    // the watermark predicate must reach the DB, not filter post-transfer
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(TS"), plan)
+  }
+
+  test("jdbc partitioned read splits the table across parallel cursors") {
+    val url = derby("pardb")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE big (id BIGINT, v DOUBLE)")
+      (1 to 100).grouped(20).foreach { g =>
+        st.execute("INSERT INTO big VALUES " +
+          g.map(i => s"($i, ${i * 1.5})").mkString(","))
+      }
+    } finally conn.close()
+    val df = Sources.jdbc(spark, url, "big", partitioning = Some(("id", 1L, 101L, 4)))
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 100)
+    assert(df.agg(sum("v")).head.getDouble(0) == (1 to 100).map(_ * 1.5).sum)
+  }
+
+  test("ApiExtract parses FX payloads, lands bronze, and serves latest rates") {
+    import graft.sources.ApiExtract
+    val dir = tmp("fx")
+    val payloads = Seq(
+      """{"base":"EUR","as_of":"2024-01-04","rates":{"USD":1.08,"GBP":0.85}}""",
+      """{"base":"EUR","as_of":"2024-01-05","rates":{"USD":1.09,"GBP":0.86,"JPY":158.2}}""",
+      """not json at all""")
+    val written = ApiExtract.landFx(spark, payloads, s"$dir/bronze")
+    assert(written == 5) // 2 + 3 rates; malformed snapshot skipped
+    val latest = ApiExtract.latestRates(spark.read.parquet(s"$dir/bronze"))
+      .select("currency", "rate").as[(String, Double)].collect().toMap
+    assert(latest == Map("USD" -> 1.09, "GBP" -> 0.86, "JPY" -> 158.2))
+    // a second run appends; latest view is unchanged by older snapshots
+    ApiExtract.landFx(spark,
+      Seq("""{"base":"EUR","as_of":"2024-01-03","rates":{"USD":1.01}}"""), s"$dir/bronze")
+    val latest2 = ApiExtract.latestRates(spark.read.parquet(s"$dir/bronze"))
+      .filter(col("currency") === "USD").select("rate").as[Double].head()
+    assert(latest2 == 1.09)
+  }
+
   test("json reader with schema reads nested props") {
     val dir = tmp("json")
     Files.write(java.nio.file.Paths.get(s"$dir/d.json"),

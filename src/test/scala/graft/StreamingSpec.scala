@@ -147,4 +147,43 @@ class StreamingSpec extends SparkSpec {
         .head().getAs[Double]("value") == 5.0)
     } finally q.stop()
   }
+
+  test("scd2Sink leaves the existing dimension intact when the merge write dies") {
+    val dir = Files.createTempDirectory("scd2atomic").toFile.getAbsolutePath
+    val dimPath = s"$dir/dim"
+    val sink = Streams.scd2Sink(spark, dimPath, Seq("user_id"), Seq("value")) _
+    // Seed the dimension with one good batch.
+    sink(Seq(Event(1, ts(0), 1.0), Event(2, ts(0), 2.0)).toDF(), 0L)
+    val before = spark.read.parquet(dimPath).orderBy("user_id", "valid_from")
+      .collect().toSeq
+    assert(before.length == 2)
+    // Poisoned batch: the value column throws DURING the merge write job —
+    // after the existing dim has been read, mid-write.
+    val poison = Seq(Event(1, ts(10), 5.0)).toDF()
+      .withColumn("value",
+        when(col("value") > 0, expr("raise_error('mid-write failure')").cast("double"))
+          .otherwise(col("value")))
+    intercept[Exception] { sink(poison, 1L) }
+    // The pre-failure dimension is still fully readable and unchanged —
+    // the non-atomic self-overwrite would have destroyed the only copy.
+    val after = spark.read.parquet(dimPath).orderBy("user_id", "valid_from")
+      .collect().toSeq
+    assert(after == before, s"dim changed after failed merge: $after vs $before")
+  }
+
+  test("nearDupSink replays of the same batch are idempotent (no duplicate pairs)") {
+    val dir = Files.createTempDirectory("neardup_replay").toFile.getAbsolutePath
+    val sink = Streams.nearDupSink(spark, s"$dir/index", s"$dir/pairs") _
+    sink(Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text"), 0L)
+    val b1 = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "unrelated words entirely different from others here now")).toDF("doc_id", "text")
+    sink(b1, 1L)
+    sink(b1, 1L) // replay after a simulated post-write failure
+    val pairs = spark.read.parquet(s"$dir/pairs")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 3L)), s"replay duplicated or corrupted pairs: $pairs")
+    // index holds exactly one signature row per doc, not one per attempt
+    assert(spark.read.parquet(s"$dir/index").count() == 3)
+  }
 }
