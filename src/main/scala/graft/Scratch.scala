@@ -38,36 +38,29 @@ object Scratch {
               catch { case _: java.util.concurrent.TimeoutException => "TIMEOUT" }
       println(s"[scratch] obs-on-localCheckpoint = $r")
     }
-    // SimHash fingerprint group-split variants (groups × bitsPerGroup = 60).
-    import graft.text.TextFunctions
-    def fpVariant(groups: Int): Long = {
-      val bits = 60 / groups
-      val docs = Tables.documents(s, sfDir)
-      val tf = docs
-        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val vocab = tf.select(col("tok")).distinct()
-        .withColumn("h", TextFunctions.hash60(col("tok")))
-      val sums = (0 until bits).map(j =>
-        sum((expr(s"(h >> (g * $bits + $j)) & 1") * 2 - 1) * col("tf")).as(s"_s$j"))
-      val partial = (0 until bits)
-        .map(j => when(col(s"_s$j") > 0,
-          expr(s"shiftleft(cast(1 as bigint), g * $bits + $j)")).otherwise(lit(0L)))
-        .reduce(_ + _)
-      tf.join(broadcast(vocab), "tok")
-        .select(col("doc_id"), col("tf"), col("h"),
-          explode(sequence(lit(0), lit(groups - 1))).as("g"))
-        .groupBy(col("doc_id"), col("g"))
-        .agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"), partial.as("part"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("part")).as("simhash"))
-        .count()
+    // q50 sf0.1 completeness check
+    println(s"[scratch] q50 sf0.1 rows = " + SparkEntry.queries("q50_fuzzy_join")(s, sfDir).count())
+    // IVF recall@3 vs brute force at sf0.01, by nprobe.
+    import graft.sim.Ann
+    val d01 = "/root/testdata/sf0.01"
+    val v = Tables.embeddings(s, d01)
+      .select(col("vec_id").as("id"), Ann.toDouble(col("embedding")).as("vec"), col("label"))
+    val queries = v.filter(col("id") < 50)
+    val exact = Ann.bruteforceTopK(v, queries, 3)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val nExact = exact.count()
+    for (np <- Seq(2, 3, 4, 5)) {
+      val r = exact.join(Ann.ivfTopK(v, queries, np, 3)
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id")).count().toDouble / nExact
+      println(f"[scratch] ivf recall@3 nprobe=$np%d  $r%.3f")
     }
-    for (g <- Seq(6, 4, 3, 2, 1); run <- 1 to 2)
-      time(s"simhash fp g=$g run$run")(fpVariant(g))
-    time("q22 full run1")(SparkEntry.queries("q22_simhash")(s, sfDir).count())
-    time("q22 full run2")(SparkEntry.queries("q22_simhash")(s, sfDir).count())
+    // approx_percentile vs DuckDB quantile_disc parity probe
+    Tables.orders(s, d01)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 1000000)").as("q"))
+      .orderBy("o_orderstatus")
+      .collect().foreach(r => println(s"[scratch] apct ${r.getString(0)} ${r.getSeq[Double](1)}"))
     spark.stop()
   }
 }

@@ -159,44 +159,20 @@ object ExtQueries {
         .orderBy(col("day"))
     },
 
-    // ---- q50: fuzzy record linkage (batch-vs-master, pigeonhole blocking) ----
+    // ---- q50: fuzzy record linkage (batch-vs-master, derived blocking) ----
     // The realistic ER shape: link a small INCOMING BATCH against the large
-    // master dim — a self-join of the full dim is inherently near-quadratic
-    // on id-like keys whose prefix region is constant (measured 173s at
-    // sf0.1 on (prefix, length) blocking). Pigeonhole over the 9-char
-    // discriminating suffix: two same-length names within 2 substitutions
-    // MUST agree on one of 3 segments, so candidates are an equi-join on
-    // (segment_idx, segment, length), and cost is O(batch × block), not
-    // O(master²). Exact Levenshtein verifies candidates.
+    // master dim. ops/FuzzyLink measures the suffix's per-position
+    // character entropy and derives the pigeonhole segment boundaries from
+    // it (on this corpus it reproduces the 7-1-1 tiling a hand analysis
+    // found; on a differently-skewed key it adapts instead of degenerating).
+    // The oracle is the TRUE quadratic definition — equal-length pairs
+    // within Levenshtein 2 — so the check verifies blocking COMPLETENESS,
+    // not just that both engines mirror the same shortcut.
     "q50_fuzzy_join" -> { (s, d) =>
       val c = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_name"), length(col("c_name")).as("len"),
-          expr("right(c_name, 9)").as("sfx"))
-        // Unequal widths (7,1,1), chosen from the MEASURED digit entropy:
-        // leading digits are near-constant zeros (equal 3-3-3 splits leave
-        // an all-'000' first segment = one degenerate block holding the
-        // whole table; a 5-2-2 split still left a 2-value first segment =
-        // 1.26M candidates). The wide first segment spans through the
-        // century digit so its blocks are ~1 batch × 99 master rows. The
-        // segments tile the suffix, so any ≤2-substitution pair still
-        // agrees on at least one of them.
-        .select(col("c_custkey"), col("c_name"), col("len"),
-          explode(array(
-            struct(lit(0).as("i"), col("sfx").substr(1, 7).as("seg")),
-            struct(lit(1).as("i"), col("sfx").substr(8, 1).as("seg")),
-            struct(lit(2).as("i"), col("sfx").substr(9, 1).as("seg")))).as("b"))
-        .select(col("c_custkey"), col("c_name"), col("len"),
-          col("b.i").as("i"), col("b.seg").as("seg"))
       val batch = c.filter(col("c_custkey") % 100 === 0)
-        .select(col("c_custkey").as("key_a"), col("c_name").as("name_a"),
-          col("len"), col("i"), col("seg"))
       val master = c.filter(col("c_custkey") % 100 =!= 0)
-        .select(col("c_custkey").as("key_b"), col("c_name").as("name_b"),
-          col("len"), col("i"), col("seg"))
-      batch.join(master, Seq("len", "i", "seg"))
-        .select(col("key_a"), col("key_b"), col("name_a"), col("name_b")).distinct()
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("dist") <= 2)
+      graft.ops.FuzzyLink.linkage(batch, master, "c_custkey", "c_name", 9, 2)
         .select(col("key_a"), col("key_b"), col("dist"))
         .orderBy(col("key_a"), col("key_b"))
     },
@@ -245,6 +221,24 @@ object ExtQueries {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cell"),
           round(col("cos"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ---- q54: approximate-quantile profiling (the 100 TB path) ----
+    // q45's exact `percentile` buffers every group value in memory —
+    // the one profiling shape that cannot scale. `approx_percentile`
+    // keeps a bounded Greenwald-Khanna summary per group instead; at
+    // accuracy >= group size the summary retains every sample, so the
+    // result is the exact discrete percentile and matches DuckDB's
+    // `quantile_disc` value-for-value (which is what makes this
+    // hash-checkable at test SF while staying the approx operator).
+    "q54_approx_profile" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 1000000)").as("q"))
+        .select(col("o_orderstatus"), col("n_rows"),
+          col("q")(0).as("ap25"), col("q")(1).as("ap50"), col("q")(2).as("ap75"))
+        .orderBy(col("o_orderstatus"))
     }
   )
 
@@ -355,20 +349,15 @@ object ExtQueries {
            count(DISTINCT event_type) AS n_types, count(*) AS n_events
          FROM events GROUP BY 1 ORDER BY 1""",
 
+    // The TRUE quadratic definition (fine at oracle SF) — the Spark side
+    // must produce it through blocking, so this checks completeness.
     "q50_fuzzy_join" ->
-      """WITH c AS (SELECT c_custkey, c_name, length(c_name) AS len,
-             right(c_name, 9) AS sfx FROM customer),
-         seg AS (SELECT c_custkey, c_name, len, i,
-             CASE i WHEN 0 THEN substr(sfx, 1, 7)
-                    WHEN 1 THEN substr(sfx, 8, 1)
-                    ELSE substr(sfx, 9, 1) END AS seg
-           FROM c CROSS JOIN (SELECT unnest(range(3)) AS i) ii),
-         cand AS (SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b,
-             a.c_name AS name_a, b.c_name AS name_b
-           FROM seg a JOIN seg b ON a.len = b.len AND a.i = b.i AND a.seg = b.seg
-             AND a.c_custkey % 100 = 0 AND b.c_custkey % 100 <> 0)
-         SELECT key_a, key_b, levenshtein(name_a, name_b) AS dist
-         FROM cand WHERE levenshtein(name_a, name_b) <= 2
+      """WITH c AS (SELECT c_custkey, c_name, length(c_name) AS len FROM customer)
+         SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+         FROM c a JOIN c b ON a.len = b.len
+           AND a.c_custkey % 100 = 0 AND b.c_custkey % 100 <> 0
+         WHERE levenshtein(a.c_name, b.c_name) <= 2
          ORDER BY key_a, key_b""",
 
     "q51_semi_join" ->
@@ -411,6 +400,13 @@ object ExtQueries {
              ORDER BY round(cos, 6) DESC, nid) AS rank FROM cand)
          SELECT qid AS query_id, rank, nid AS neighbor_id, cell,
            round(cos, 6) AS cosine
-         FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""
+         FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    "q54_approx_profile" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+           quantile_disc(o_totalprice, 0.25) AS ap25,
+           quantile_disc(o_totalprice, 0.50) AS ap50,
+           quantile_disc(o_totalprice, 0.75) AS ap75
+         FROM orders GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -67,6 +67,57 @@ class AnnSpec extends SparkSpec {
     assert(r2 > 0.1, s"nprobe=2 recall degenerate: $r2")
   }
 
+  test("IVF recall gate at sf0.01: monotone in nprobe, above the measured floor") {
+    // The synthetic embeddings are near-uniform in 64-d (measured: mean
+    // same-label cosine 0.0016 vs 0.0003 cross-label; top-3 same-label
+    // fraction 0.105 ≈ the 0.1 random baseline), so ANY partition-based
+    // ANN's recall ≈ the corpus fraction scanned — an intrinsic data
+    // ceiling, not an implementation property. This gate pins the measured
+    // achievable levels so a candidate-generation bug (dropped cells, bad
+    // centroid math) still fails loudly; the clustered-data test below
+    // gates the ≥0.9 regime where structure exists to exploit.
+    val d01 = "/root/testdata/sf0.01"
+    val v = Tables.embeddings(spark, d01)
+      .select(col("vec_id").as("id"), Ann.toDouble(col("embedding")).as("vec"), col("label"))
+    val queries = v.filter(col("id") < 50)
+    val exact = Ann.bruteforceTopK(v, queries, 3)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val nExact = exact.count()
+    def recall(nprobe: Int): Double =
+      exact.join(Ann.ivfTopK(v, queries, nprobe, 3)
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id")).count().toDouble / nExact
+    val r2 = recall(2); val r5 = recall(5)
+    assert(r5 >= r2, s"recall fell as nprobe grew: $r2 -> $r5")
+    assert(r2 >= 0.20, s"nprobe=2 recall below the 2/10-cells scan fraction: $r2")
+    assert(r5 >= 0.55, s"nprobe=5 recall regressed below measured 0.607: $r5")
+    exact.unpersist()
+  }
+
+  test("IVF recall@3 >= 0.9 at nprobe=2 on clustered data") {
+    // Deterministic 10-cluster corpus (cluster c lives on dims 6c..6c+5
+    // with small per-point deterministic jitter): true neighbors are
+    // in-cluster, so probing the 2 nearest cells must recover >= 90% of
+    // exact top-3 — the regime IVF exists for.
+    val pts = for (c <- 0 until 10; i <- 0 until 40) yield {
+      val vec = Array.tabulate(64) { dim =>
+        val base = if (dim >= 6 * c && dim < 6 * c + 6) 1.0 else 0.0
+        base + 0.05 * math.sin(1.0 + i * 64 + dim) // deterministic jitter
+      }
+      (c * 40L + i, vec.toSeq, c.toLong)
+    }
+    val v = pts.toDF("id", "vec", "label")
+    val queries = v.filter(col("id") % 40 < 2) // 2 per cluster
+    val exact = Ann.bruteforceTopK(v, queries, 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val nExact = exact.count()
+    val got = exact.join(Ann.ivfTopK(v, queries, 2, 3)
+        .select(col("query_id"), col("neighbor_id")),
+      Seq("query_id", "neighbor_id")).count()
+    val recall = got.toDouble / nExact
+    assert(recall >= 0.9, s"clustered-data IVF recall@3 = $recall")
+  }
+
   test("native graft_hash60 matches the composed conv(md5) chain exactly") {
     val df = Tables.documents(spark, sfDir)
       .select(col("text"), col("doc_id").cast("string").as("id_s"))

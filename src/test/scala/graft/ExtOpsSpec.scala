@@ -91,4 +91,36 @@ class ExtOpsSpec extends SparkSpec {
     val (r, c) = df.select(red, n).as[(String, Int)].head()
     assert(r == "the [X] saw the [X] [X]" && c == 3)
   }
+
+  test("FuzzyLink derives entropy-balanced segments that tile the suffix") {
+    import graft.ops.FuzzyLink
+    val master = Tables.customer(spark, sfDir)
+    val segs = FuzzyLink.entropySegments(master, "c_name", 9, 3)
+    assert(segs.length == 3)
+    // contiguous tiling of 1..9
+    assert(segs.head._1 == 1)
+    assert(segs.sliding(2).forall { case Seq((s1, l1), (s2, _)) => s2 == s1 + l1 })
+    assert(segs.map(_._2).sum == 9 && segs.forall(_._2 >= 1))
+    // zero-padded ids: the low-entropy leading zeros must be lumped into a
+    // wide first segment (equal 3-3-3 would put the whole table in one block)
+    assert(segs.head._2 > 3, s"first segment too narrow for this key skew: $segs")
+  }
+
+  test("FuzzyLink.linkage equals the quadratic truth on sf0.001 customers") {
+    import graft.ops.FuzzyLink
+    val c = Tables.customer(spark, sfDir)
+    val batch = c.filter(col("c_custkey") % 100 === 0)
+    val master = c.filter(col("c_custkey") % 100 =!= 0)
+    val blocked = FuzzyLink.linkage(batch, master, "c_custkey", "c_name", 9, 2)
+      .select("key_a", "key_b", "dist").as[(Long, Long, Int)].collect().toSet
+    val truth = batch.select(col("c_custkey").as("key_a"), col("c_name").as("name_a"))
+      .crossJoin(master.select(col("c_custkey").as("key_b"), col("c_name").as("name_b")))
+      .filter(length(col("name_a")) === length(col("name_b")))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .select("key_a", "key_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(blocked == truth,
+      s"missing=${(truth -- blocked).take(5)} extra=${(blocked -- truth).take(5)}")
+    assert(truth.nonEmpty)
+  }
 }
