@@ -28,9 +28,14 @@ object TextQueries {
     // k=4 signature, 2 bands × 2 rows: r=2 keeps buckets non-degenerate on
     // small-vocabulary corpora (r=1 blows up to ~1M candidate pairs at
     // sf0.1) while still recovering 25/25 implanted near-dups at sf0.01.
+    // The signature is built at k=16 and the bands read only m0..m3: salt
+    // i's min-hash is identical at any k, so the result equals the k=4
+    // build — while the expensive tokenize+hash+groupBy plan becomes THE
+    // SAME cached plan q21 uses (one codegen compile and one
+    // materialization for the whole family instead of one per k).
     "q20_ngram_jaccard" -> { (s, d) =>
       val sh = MinHash.withShingles(Tables.documents(s, d), "doc_id", "text")
-      val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 4)
+      val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 16)
       val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 4, 2), "doc_id")
       MinHash.jaccard(sh, cand, "doc_id")
         .filter(col("jaccard") >= 0.5)

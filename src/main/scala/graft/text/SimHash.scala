@@ -50,6 +50,9 @@ object SimHash {
       .select(col(id), partial.as("part"))
       .groupBy(col(id))
       .agg(sum(col("part")).as("simhash"))
+      // Flat 2-column row, cached: nearPairs branches over it twice (band
+      // sides a and b) — uncached, the whole tf+join+agg tree runs twice.
+      .cache()
   }
 
   /** Pairs within `maxHamming` of each other, found via 6 × 10-bit bands. */
