@@ -46,9 +46,12 @@ object ExtQueries {
     },
 
     // ---- q39: near-dup clusters (connected components over LSH pairs) ----
+    // Signature built at k=16 with bands over m0..m3 — identical pairs to
+    // a k=4 build, but the signature plan is the SAME cached frame
+    // q20/q21 materialize (see TextQueries q20).
     "q39_dup_clusters" -> { (s, d) =>
       val sh = MinHash.withShingles(Tables.documents(s, d), "doc_id", "text")
-      val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 4)
+      val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 16)
       val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 4, 2), "doc_id")
       val edges = MinHash.jaccard(sh, cand, "doc_id")
         .filter(col("jaccard") >= 0.5).select(col("id_a"), col("id_b"))

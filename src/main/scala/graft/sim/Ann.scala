@@ -86,6 +86,69 @@ object Ann {
       .select(col("id"), bucket.as("bucket"))
   }
 
+  /** Nearest-centroid cell assignment: broadcast the (small) centroid
+    * frame, L2-argmin per vector. Input needs (id, vec); output adds
+    * `label`. Ties break on cell id so both the trainer and the prober
+    * rank identically.
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cent = broadcast(centroids.withColumn("_cn2", dot(col("cvec"), col("cvec"))))
+    val w = Window.partitionBy(col("id")).orderBy(round(col("_d2"), 6), col("label"))
+    corpus.withColumn("_qd2", dot(col("vec"), col("vec")))
+      .crossJoin(cent)
+      .withColumn("_d2", col("_qd2") - lit(2.0) * dot(col("vec"), col("cvec")) + col("_cn2"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_d2", "_qd2", "cvec", "_cn2")
+  }
+
+  /** Trained coarse quantizer: deterministic farthest-point seeding plus
+    * `iters` distributed Lloyd iterations over (id, vec), returning the
+    * corpus with a learned `label` cell per vector — the real IVF index
+    * build (the label-column variant uses a pre-existing partition as a
+    * stand-in).
+    *
+    * Seeding: seed 0 is the vector with the smallest md5(id); each next
+    * seed is the point farthest from its nearest chosen seed (greedy
+    * k-center). Unlike hash-random seeding this cannot drop two seeds in
+    * one tight cluster (which leaves some other cluster merged), and it is
+    * fully deterministic — no RNG, ties break on id. Seeding costs one
+    * corpus pass per seed; at large k, run it on a hash-sampled subset
+    * (the seeds only need the cluster GEOMETRY, not every point).
+    *
+    * Scale: each Lloyd iteration is one corpus pass (broadcast centroids →
+    * argmin → per-cell mean); k should grow ~sqrt(N), well inside
+    * broadcast range. Cells that lose all members drop out (k shrinks)
+    * rather than being re-seeded, which keeps the trainer deterministic.
+    * Only centroid-scale rows ever reach the driver (k vectors — the same
+    * payload the broadcast ships anyway).
+    */
+  def kmeansCells(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val base = corpus.select(col("id"), col("vec")).localCheckpoint()
+    val spark = base.sparkSession
+    import spark.implicits._
+
+    var seeds = base.withColumn("_h", md5(col("id").cast("string")))
+      .orderBy(col("_h"), col("id")).limit(1)
+      .select(col("id"), col("vec")).as[(Long, Seq[Double])].collect().toVector
+    def centDF(s: Seq[(Long, Seq[Double])]): DataFrame =
+      s.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }.toDF("label", "cvec")
+    while (seeds.length < k) {
+      val cent = broadcast(centDF(seeds).withColumn("_cn2", dot(col("cvec"), col("cvec"))))
+      val far = base.withColumn("_qd2", dot(col("vec"), col("vec")))
+        .crossJoin(cent)
+        .withColumn("_d2", col("_qd2") - lit(2.0) * dot(col("vec"), col("cvec")) + col("_cn2"))
+        .groupBy(col("id")).agg(min(col("_d2")).as("_dmin"), first(col("vec")).as("vec"))
+        .orderBy(col("_dmin").desc, col("id")).limit(1)
+        .select(col("id"), col("vec")).as[(Long, Seq[Double])].head()
+      seeds = seeds :+ far
+    }
+    var cent = centDF(seeds).localCheckpoint()
+    for (_ <- 1 to iters)
+      cent = cellCentroids(assignCells(base, cent)).localCheckpoint()
+    assignCells(base, cent)
+  }
+
   /** Per-cell centroid vectors, assembled in dimension order (cells =
     * `label` here, standing in for a trained coarse quantizer).
     */

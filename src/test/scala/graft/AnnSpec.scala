@@ -94,11 +94,11 @@ class AnnSpec extends SparkSpec {
     exact.unpersist()
   }
 
-  test("IVF recall@3 >= 0.9 at nprobe=2 on clustered data") {
-    // Deterministic 10-cluster corpus (cluster c lives on dims 6c..6c+5
-    // with small per-point deterministic jitter): true neighbors are
-    // in-cluster, so probing the 2 nearest cells must recover >= 90% of
-    // exact top-3 — the regime IVF exists for.
+  /** Deterministic 10-cluster corpus: cluster c lives on dims 6c..6c+5
+    * with small per-point deterministic jitter — true neighbors are
+    * in-cluster, the regime partition-based ANN exists for.
+    */
+  private def clusteredCorpus() = {
     val pts = for (c <- 0 until 10; i <- 0 until 40) yield {
       val vec = Array.tabulate(64) { dim =>
         val base = if (dim >= 6 * c && dim < 6 * c + 6) 1.0 else 0.0
@@ -106,7 +106,12 @@ class AnnSpec extends SparkSpec {
       }
       (c * 40L + i, vec.toSeq, c.toLong)
     }
-    val v = pts.toDF("id", "vec", "label")
+    pts.toDF("id", "vec", "label")
+  }
+
+  test("IVF recall@3 >= 0.9 at nprobe=2 on clustered data") {
+    // Probing the 2 nearest cells must recover >= 90% of exact top-3.
+    val v = clusteredCorpus()
     val queries = v.filter(col("id") % 40 < 2) // 2 per cluster
     val exact = Ann.bruteforceTopK(v, queries, 3)
       .select(col("query_id"), col("neighbor_id"))
@@ -116,6 +121,28 @@ class AnnSpec extends SparkSpec {
       Seq("query_id", "neighbor_id")).count()
     val recall = got.toDouble / nExact
     assert(recall >= 0.9, s"clustered-data IVF recall@3 = $recall")
+  }
+
+  test("kmeansCells learns the quantizer — trained IVF recall@3 >= 0.9, no labels") {
+    val truth = clusteredCorpus()
+    // train from (id, vec) ONLY — the label column never enters
+    val labeled = Ann.kmeansCells(truth.select(col("id"), col("vec")), 10, 3)
+    // trained cells must align with the true clusters (each cell >= 90% one cluster)
+    val cellStats = labeled.join(truth.select(col("id"), col("label").as("truth")), "id")
+      .groupBy("label", "truth").count()
+      .groupBy("label").agg(max("count").as("top"), sum("count").as("total"))
+    val impure = cellStats.filter(col("top") < col("total") * 0.9).count()
+    assert(impure == 0, s"$impure trained cells are mixed across true clusters")
+    // and the trained index must hit the same recall bar as the labeled one
+    val queries = labeled.filter(col("id") % 40 < 2)
+    val exact = Ann.bruteforceTopK(labeled, queries, 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val nExact = exact.count()
+    val got = exact.join(Ann.ivfTopK(labeled, queries, 2, 3)
+        .select(col("query_id"), col("neighbor_id")),
+      Seq("query_id", "neighbor_id")).count()
+    val recall = got.toDouble / nExact
+    assert(recall >= 0.9, s"trained-IVF recall@3 = $recall")
   }
 
   test("native graft_hash60 matches the composed conv(md5) chain exactly") {
