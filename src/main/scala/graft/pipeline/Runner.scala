@@ -81,6 +81,12 @@ object Runner {
       val start = new Timestamp(System.currentTimeMillis())
       try {
         val incremental = e.loadMode == "incremental" && e.watermarkColumn.isDefined
+        // Bootstrap-then-incremental (reference: pl_bootstrap.json +
+        // bootstrap_load_config.csv): an incremental table with NO prior
+        // watermark is a full bootstrap — written as an atomic OVERWRITE,
+        // so re-running after a lost audit log rebuilds the table instead
+        // of appending a duplicate copy. Steady-state windows append.
+        val windowedLoad = incremental && watermarks.contains(e.tableName)
         val (rows, newWm) = attempt(maxAttempts) {
           val raw = source(e.tableName)
           val windowed = (for {
@@ -99,7 +105,7 @@ object Runner {
             .observe(rowObs, count(lit(1)).as("rows"))
 
           val path = s"$outDir/${e.tableName}"
-          if (incremental) staged.write.mode("append").parquet(path)
+          if (windowedLoad) staged.write.mode("append").parquet(path)
           else graft.sources.Sinks.overwriteAtomic(staged, path)
 
           val rows = rowObs.get("rows").asInstanceOf[Long]

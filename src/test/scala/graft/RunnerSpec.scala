@@ -104,6 +104,24 @@ class RunnerSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("Runner re-bootstraps (not duplicates) an incremental table after audit loss") {
+    val dir = Files.createTempDirectory("runner_boot").toFile.getAbsolutePath
+    val cfg = s"$dir/load_config.csv"
+    Files.write(java.nio.file.Paths.get(cfg),
+      ("source_type,table_name,is_active,load_mode,watermark_column\n" +
+        "sql,tx,1,incremental,ts\n").getBytes)
+    val tx = Seq((1L, ts("2024-01-01 10:00:00"), 10.0), (2L, ts("2024-01-02 10:00:00"), 20.0))
+      .toDF("id", "ts", "amt")
+    Runner.run(spark, cfg, s"$dir/out", s"$dir/audit", "run1", Map("tx" -> tx).apply)
+    assert(spark.read.parquet(s"$dir/out/tx").count() == 2)
+    // audit log lost -> no watermark -> the next run is a BOOTSTRAP:
+    // full atomic overwrite, not an appended duplicate copy
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/audit"))
+    Runner.run(spark, cfg, s"$dir/out", s"$dir/audit", "run2", Map("tx" -> tx).apply)
+    assert(spark.read.parquet(s"$dir/out/tx").count() == 2,
+      "re-bootstrap duplicated the table")
+  }
+
   test("Runner retries transient source failures up to maxAttempts") {
     val dir = Files.createTempDirectory("runner3").toFile.getAbsolutePath
     val cfg = s"$dir/load_config.csv"
