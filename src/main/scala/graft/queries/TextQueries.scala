@@ -92,7 +92,12 @@ object TextQueries {
           round(punctRatio, 4).as("punct_ratio"),
           round(alphaRatio, 4).as("alpha_ratio"),
           round(stops * lit(1.0) / nToks, 4).as("stopword_ratio"),
-          round(score, 4).as("quality_score"))
+          // NOT round(score, 4): the 0.5 * n_tokens/100 term lands scores
+          // on exact .xxxx5 boundaries, where Spark (BigDecimal shortest-
+          // repr, HALF_UP) and DuckDB (double-space rounding) disagree by
+          // one ulp (3 docs at sf0.1). floor(x*1e4 + 0.5)/1e4 is the same
+          // double arithmetic in both engines — tie-free by construction.
+          (floor(score * 10000d + 0.5d) / 10000d).as("quality_score"))
         .orderBy(col("doc_id"))
     },
 
@@ -242,7 +247,8 @@ object TextQueries {
            round(punct_ratio, 4) AS punct_ratio,
            round(alpha_ratio, 4) AS alpha_ratio,
            round(n_stops * 1.0 / n_tokens, 4) AS stopword_ratio,
-           round(least(1.0, n_tokens / 100.0) * 0.5 + alpha_ratio * 0.3 + (1.0 - punct_ratio) * 0.2, 4)
+           floor((least(1.0, n_tokens / 100.0) * 0.5 + alpha_ratio * 0.3
+             + (1.0 - punct_ratio) * 0.2) * 10000 + 0.5) / 10000
              AS quality_score
          FROM m ORDER BY doc_id""",
 
