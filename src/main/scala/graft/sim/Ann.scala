@@ -93,13 +93,16 @@ object Ann {
     */
   def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val cent = broadcast(centroids.withColumn("_cn2", dot(col("cvec"), col("cvec"))))
-    val w = Window.partitionBy(col("id")).orderBy(round(col("_d2"), 6), col("label"))
+    // Argmin as min(struct(dist, cell)) — lexicographic struct ordering —
+    // NOT a row_number window: the aggregate gets map-side partial combine,
+    // so the shuffle carries ~N rows instead of the window's N·k.
     corpus.withColumn("_qd2", dot(col("vec"), col("vec")))
       .crossJoin(cent)
       .withColumn("_d2", col("_qd2") - lit(2.0) * dot(col("vec"), col("cvec")) + col("_cn2"))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "_d2", "_qd2", "cvec", "_cn2")
+      .groupBy(col("id"))
+      .agg(first(col("vec")).as("vec"),
+        min(struct(round(col("_d2"), 6).as("d"), col("label").as("l"))).as("_m"))
+      .select(col("id"), col("vec"), col("_m").getField("l").as("label"))
   }
 
   /** Trained coarse quantizer: deterministic farthest-point seeding plus
