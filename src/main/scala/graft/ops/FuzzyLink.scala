@@ -85,7 +85,10 @@ object FuzzyLink {
     blocked(batch, "key_a", "name_a")
       .join(blocked(master, "key_b", "name_b"), Seq("len", "i", "seg"))
       .select(col("key_a"), col("key_b"), col("name_a"), col("name_b")).distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
+      // Thresholded Levenshtein early-exits once the running distance
+      // exceeds maxDist (returns -1), pruning the verify from O(n²) to
+      // O(maxDist·n) per rejected candidate — most candidates reject.
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0)
   }
 }
