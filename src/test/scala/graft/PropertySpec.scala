@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Prop.forAll
+import graft.ops.{AsOf, Graph}
+
+/** Randomized cross-checks: each operator is compared against an
+  * independent straight-line implementation (driver-side union-find, naive
+  * theta-join) on generated inputs — correctness evidence orthogonal to
+  * the fixed DuckDB oracle corpus.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** scalacheck runner (the scalatest bridge isn't in the offline cache):
+    * fixed seed for reproducible CI, 12 cases per property (each case runs
+    * several Spark jobs).
+    */
+  private def check(prop: Prop): Unit = {
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(12)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, s"property falsified: ${res.status}")
+  }
+
+  test("connectedComponents equals driver-side union-find on random graphs") {
+    val edgesGen = for {
+      n <- Gen.choose(2, 24)
+      m <- Gen.choose(1, 36)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+    } yield es.filter(e => e._1 != e._2)
+    check(forAll(edgesGen) { es =>
+      es.isEmpty || {
+        val got = Graph.connectedComponents(es.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+        // reference: textbook union-find with min-label normalization
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+        val roots = verts.groupBy(find).map { case (_, vs) => vs.min -> vs }
+        val expect = roots.flatMap { case (minId, vs) => vs.map(_ -> minId) }.toMap
+        got == expect
+      }
+    })
+  }
+
+  test("asofJoin equals the naive theta-join argmax on random series") {
+    val ts0 = 1700000000000L
+    val gen = for {
+      nq <- Gen.choose(0, 12)
+      nt <- Gen.choose(1, 12)
+      quotes <- Gen.listOfN(nq, Gen.zip(Gen.choose(0, 2), Gen.choose(0, 50), Gen.choose(1, 999)))
+      trades <- Gen.listOfN(nt, Gen.zip(Gen.choose(0, 2), Gen.choose(0, 50)))
+    } yield (
+      // unique per (key, ts): the operator's documented precondition
+      quotes.groupBy(q => (q._1, q._2)).values.map(_.head).toList,
+      trades.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) })
+    check(forAll(gen) { case (quotes, trades) =>
+      quotes.isEmpty || {
+        val qDF = quotes.map { case (k, t, v) =>
+          (k.toLong, new Timestamp(ts0 + t * 1000L), v.toDouble)
+        }.toDF("key", "qts", "rate")
+        val tDF = trades.map { case (id, k, t) =>
+          (id, k.toLong, new Timestamp(ts0 + t * 1000L))
+        }.toDF("trade_id", "key", "tts")
+        val got = AsOf.asofJoin(tDF, qDF, "key", "tts", "qts")
+          .select("trade_id", "rate").as[(Long, Option[Double])].collect().toMap
+        val expect = trades.map { case (id, k, t) =>
+          val best = quotes.filter(q => q._1 == k && q._2 <= t)
+            .sortBy(q => (-q._2, 0)).headOption.map(_._3.toDouble)
+          id -> best
+        }.toMap
+        got == expect
+      }
+    })
+  }
+
+  test("Scd2.merge invariants hold over random update batches") {
+    val gen = for {
+      nExist <- Gen.choose(1, 8)
+      nStage <- Gen.choose(1, 8)
+      existing <- Gen.listOfN(nExist, Gen.zip(Gen.choose(0, 5), Gen.choose(1, 99)))
+      staged <- Gen.listOfN(nStage, Gen.zip(Gen.choose(0, 5), Gen.choose(1, 99)))
+    } yield (existing.groupBy(_._1).map(_._2.head).toList,
+      staged.groupBy(_._1).map(_._2.head).toList)
+    check(forAll(gen) { case (existing, staged) =>
+      val t0 = new Timestamp(1700000000000L)
+      val exDF = existing.map { case (k, v) => (k.toLong, v.toDouble, t0,
+          null.asInstanceOf[Timestamp], true) }
+        .toDF("key", "value", "valid_from", "valid_to", "is_current")
+      val stDF = staged.map { case (k, v) => (k.toLong, v.toDouble) }.toDF("key", "value")
+      val out = graft.ops.Scd2.merge(exDF, stDF, Seq("key"), Seq("value"),
+          lit(new Timestamp(1700000100000L)))
+        .select("key", "value", "is_current").as[(Long, Double, Boolean)].collect()
+      val currents = out.filter(_._3).groupBy(_._1)
+      // exactly one current row per key that appears anywhere
+      val allKeys = (existing.map(_._1.toLong) ++ staged.map(_._1.toLong)).toSet
+      val oneCurrentEach = allKeys.forall(k => currents.get(k).exists(_.length == 1))
+      // the current value is the staged one where staged, else the existing
+      val stagedMap = staged.map { case (k, v) => k.toLong -> v.toDouble }.toMap
+      val existMap = existing.map { case (k, v) => k.toLong -> v.toDouble }.toMap
+      val currentValueRight = allKeys.forall { k =>
+        currents(k).head._2 == stagedMap.getOrElse(k, existMap(k))
+      }
+      // expired rows only exist for keys whose value actually changed
+      val expired = out.filter(!_._3).map(_._1).toSet
+      val changedKeys = allKeys.filter(k =>
+        stagedMap.contains(k) && existMap.contains(k) && stagedMap(k) != existMap(k))
+      oneCurrentEach && currentValueRight && expired == changedKeys
+    })
+  }
+}
