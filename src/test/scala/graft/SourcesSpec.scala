@@ -107,6 +107,18 @@ class SourcesSpec extends SparkSpec {
     assert(latest2 == 1.09)
   }
 
+  test("overwriteAtomic swaps cleanly: data replaced, no temp/old leftovers") {
+    val dir = tmp("atomic")
+    val path = s"$dir/t"
+    Sinks.overwriteAtomic(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    Sinks.overwriteAtomic(Seq((3L, "c")).toDF("id", "v"), path)
+    val out = spark.read.parquet(path).as[(Long, String)].collect().toSeq
+    assert(out == Seq((3L, "c")))
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.contains("__tmp") || n.contains("__old"))
+    assert(leftovers.isEmpty, s"swap left garbage: ${leftovers.toSeq}")
+  }
+
   test("json reader with schema reads nested props") {
     val dir = tmp("json")
     Files.write(java.nio.file.Paths.get(s"$dir/d.json"),
