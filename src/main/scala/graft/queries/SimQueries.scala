@@ -57,6 +57,17 @@ object SimQueries {
         .select(col("id").as("vec_id"), col("neighbor_id"),
           round(col("cos"), 6).as("cosine"), col("bucket"))
         .orderBy(col("vec_id"))
+    },
+
+    // ---- q55: trained IVF quantizer (k-means cell build) ----
+    // Deterministic end to end (farthest-point seeding + Lloyd, no RNG),
+    // but k-means is not practically SQL-expressible — no oracleSql entry,
+    // so the driver records the weaker rows-only check; AnnSpec carries
+    // the strong checks (cell purity + trained recall gates).
+    "q55_kmeans_cells" -> { (s, d) =>
+      Ann.kmeansCells(vecs(s, d).select(col("id"), col("vec")), 4, 2)
+        .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+        .orderBy(col("label"))
     }
   )
 
