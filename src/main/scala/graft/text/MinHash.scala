@@ -110,10 +110,25 @@ object MinHash {
       .select(col(id), col("bb.band").as("band"), col("bb.band_val").as("band_val"))
   }
 
-  /** Distinct candidate pairs (id_a < id_b) sharing any band value. */
-  def candidates(bandsDf: DataFrame, id: String): DataFrame = {
-    val a = bandsDf.select(col("band"), col("band_val"), col(id).as("id_a"))
-    val b = bandsDf.select(col("band"), col("band_val"), col(id).as("id_b"))
+  /** Distinct candidate pairs (id_a < id_b) sharing any band value.
+    *
+    * `maxBucket` caps band-bucket size: a degenerate bucket of B docs (a
+    * stop-shingle that lands in most documents) contributes B²/2 pairs —
+    * at corpus scale that one bucket IS a cross join. Buckets above the
+    * cap are dropped before pairing; a genuinely similar pair loses only
+    * that band's vote and still collides in its other k/r bands (the
+    * standard LSH recall trade for boundedness). Default off so small-SF
+    * results match the exact oracle.
+    */
+  def candidates(bandsDf: DataFrame, id: String, maxBucket: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pruned = maxBucket.fold(bandsDf) { cap =>
+      val w = Window.partitionBy(col("band"), col("band_val"))
+      bandsDf.withColumn("_n", count(lit(1)).over(w))
+        .filter(col("_n") <= cap).drop("_n")
+    }
+    val a = pruned.select(col("band"), col("band_val"), col(id).as("id_a"))
+    val b = pruned.select(col("band"), col("band_val"), col(id).as("id_b"))
     a.join(b, Seq("band", "band_val")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
   }

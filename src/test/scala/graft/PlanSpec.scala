@@ -80,6 +80,12 @@ class PlanSpec extends SparkSpec {
     assert(j.count() == 1000)
   }
 
+  test("q50 fuzzy linkage stays an equi-join on blocking keys — never quadratic") {
+    val p = plan("q50_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"linkage must block, not cross:\n$p")
+  }
+
   test("q28 hyperplane bucket build is one wide aggregation — at most 2 exchanges") {
     // The wide form carries `planes` parallel sums through ONE groupBy(id);
     // the regression shape (explode per plane + two groupBys) costs a

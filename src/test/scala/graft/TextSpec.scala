@@ -42,6 +42,24 @@ class TextSpec extends SparkSpec {
     assert(!j.contains((1L, 3L)))
   }
 
+  test("MinHash: maxBucket drops degenerate stop-shingle buckets, keeps real dups") {
+    // 40 docs that all share one hot shingle (every band collides for the
+    // r=1 band built on it) + one genuine duplicate pair.
+    val docs = (1L to 40L).map(i => (i, s"common anchor unique$i word$i filler$i")) :+
+      (100L, "real duplicate pair of docs") :+ (101L, "real duplicate pair of docs")
+    val df = docs.toDF("doc_id", "text")
+    val sh = MinHash.withShingles(df, "doc_id", "text")
+    val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 8)
+    val bands = MinHash.bands(sig, "doc_id", 8, 1) // r=1: hot shingle degenerates
+    val uncapped = MinHash.candidates(bands, "doc_id").count()
+    val capped = MinHash.candidates(bands, "doc_id", maxBucket = Some(10))
+    // the 40-doc bucket (780 pairs per colliding band) is gone...
+    assert(capped.count() < uncapped / 4,
+      s"cap did not bound the hot bucket: ${capped.count()} vs $uncapped")
+    // ...but the genuine duplicate pair still collides in its own buckets
+    assert(capped.filter(col("id_a") === 100L && col("id_b") === 101L).count() == 1)
+  }
+
   test("SimHash: identical docs collide at hamming 0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
