@@ -24,16 +24,20 @@ object Bench {
     // query runs at the measured SF — the measurement then reflects
     // execution cost, not single-shot JIT/compile cost (which a production
     // deployment pays once per plan shape, not per run).
-    val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
-    }
-    // I/O + catalog warmth at the measured SF for the three family anchors.
-    SparkEntry.queries("q06_star_agg")(spark, sfDir).count()
-    SparkEntry.queries("q25_token_count")(spark, sfDir).count()
-    SparkEntry.queries("q28_ann_lsh")(spark, sfDir).count()
     // Dev-only subset filter (comma-separated names); driver leaves it unset.
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    // I/O + catalog warmth at the measured SF for the three family anchors.
+    if (only.isEmpty) {
+      SparkEntry.queries("q06_star_agg")(spark, sfDir).count()
+      SparkEntry.queries("q25_token_count")(spark, sfDir).count()
+      SparkEntry.queries("q28_ann_lsh")(spark, sfDir).count()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
