@@ -85,6 +85,40 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("FuzzyLink finds every pair within maxDist substitutions (pigeonhole completeness)") {
+    val gen = for {
+      n <- Gen.choose(3, 10)
+      names <- Gen.listOfN(n, Gen.listOfN(12, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+      nMut <- Gen.choose(1, 5)
+      muts <- Gen.listOfN(nMut, for {
+        src <- Gen.choose(0, n - 1)
+        k <- Gen.choose(0, 2)
+        positions <- Gen.pick(k, 0 until 12)
+        chars <- Gen.listOfN(k, Gen.oneOf('x', 'y', 'z'))
+      } yield (src, positions.toList.zip(chars)))
+    } yield (names.distinct, muts)
+    check(forAll(gen) { case (names, muts) =>
+      val master = names.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val batch = muts.zipWithIndex.flatMap { case ((src, edits), j) =>
+        if (src >= names.length) Nil
+        else {
+          val sb = new StringBuilder(names(src))
+          edits.foreach { case (p, c) => sb.setCharAt(p, c) }
+          Seq((1000L + j, sb.toString, src.toLong))
+        }
+      }
+      batch.isEmpty || {
+        val got = graft.ops.FuzzyLink.linkage(
+            batch.map(b => (b._1, b._2)).toDF("key", "name"),
+            master.toDF("key", "name"), "key", "name", 9, 2)
+          .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+        // every (mutant, source) pair is within maxDist substitutions and
+        // MUST be found — the pigeonhole guarantee blocking cannot drop
+        batch.forall(b => got.contains((b._1, b._3)))
+      }
+    })
+  }
+
   test("Scd2.merge invariants hold over random update batches") {
     val gen = for {
       nExist <- Gen.choose(1, 8)
