@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.text.MinHash
 
 /** Dev-only component profiler (not part of the driver contract). */
 object Scratch {
@@ -25,23 +24,16 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val s = spark
-    SparkEntry.queries("q06_star_agg")(s, sfDir).count() // warmup
 
-    // Dedup family decomposition at sf0.1.
-    val docs = Tables.documents(s, sfDir)
-    time("q19 dedup_exact")(SparkEntry.queries("q19_dedup_exact")(s, sfDir).count())
-    val sh = MinHash.withShingles(docs, "doc_id", "text")
-    time("shingles explode count")(
-      MinHash.shingleRows(sh, "doc_id").count())
-    val rows = MinHash.shingleRows(sh, "doc_id")
-    val sig = MinHash.signature(rows, "doc_id", 16)
-    time("signature k=16 build")(sig.count())
-    val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 16, 2), "doc_id")
-    time("bands+candidates")(cand.count())
-    time("jaccard verify")(MinHash.jaccard(sh, cand, "doc_id").count())
-    time("q20 full")(SparkEntry.queries("q20_ngram_jaccard")(s, sfDir).count())
-    time("q21 full")(SparkEntry.queries("q21_minhash_lsh")(s, sfDir).count())
-    time("q20 again")(SparkEntry.queries("q20_ngram_jaccard")(s, sfDir).count())
+    // Plan audit of round-3 new/changed queries.
+    for (q <- Seq("q11_anti_join", "q54_approx_profile", "q50_fuzzy_join")) {
+      val p = SparkEntry.queries(q)(s, sfDir).queryExecution.executedPlan.toString
+      val pushed = p.linesIterator.filter(_.contains("PushedFilters")).take(3).mkString(" | ")
+      val joins = p.linesIterator.filter(l => l.contains("Join") || l.contains("Aggregate"))
+        .map(_.trim.takeWhile(_ != '[')).take(8).mkString(" | ")
+      println(s"[scratch] $q pushed: $pushed")
+      println(s"[scratch] $q shape:  $joins")
+    }
     spark.stop()
   }
 }
