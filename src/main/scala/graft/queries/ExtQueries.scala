@@ -242,6 +242,22 @@ object ExtQueries {
         .select(col("o_orderstatus"), col("n_rows"),
           col("q")(0).as("ap25"), col("q")(1).as("ap50"), col("q")(2).as("ap75"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // ---- q57: equal-width histogram (value-distribution profiling) ----
+    // Fixed literal bounds; the bucket is the same explicit double
+    // arithmetic in both engines (DuckDB has no width_bucket). One
+    // map-side-combined aggregation — the profiling shape that stays
+    // one pass at any scale.
+    "q57_histogram" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_totalprice"),
+          (floor(col("o_totalprice") / lit(70000.0)) + 1).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy(col("bucket"))
     }
   )
 
@@ -410,6 +426,13 @@ object ExtQueries {
            quantile_disc(o_totalprice, 0.25) AS ap25,
            quantile_disc(o_totalprice, 0.50) AS ap50,
            quantile_disc(o_totalprice, 0.75) AS ap75
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q57_histogram" ->
+      """SELECT (floor(o_totalprice / 70000.0) + 1)::BIGINT AS bucket,
+           count(*)::BIGINT AS n_rows,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
          FROM orders GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -101,6 +101,47 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q56: TF-IDF top terms per document ----
+    // Natural-log idf over distinct-doc frequency; scores are generic
+    // doubles (tf · ln) so round(…,4) cannot land on engine-divergent
+    // half-way points the way q24's 0.005-grid score did. Ranking orders
+    // by the ROUNDED score + term tiebreak per the parity discipline.
+    "q56_tfidf" -> { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+      tf.join(dfreq, "tok").crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf") * log(col("n_docs") * lit(1.0) / col("df")), 4))
+        .withColumn("term_rank", row_number().over(w))
+        .filter(col("term_rank") <= 3)
+        .select(col("doc_id"), col("term_rank"), col("tok").as("term"), col("score"))
+        .orderBy(col("doc_id"), col("term_rank"))
+    },
+
+    // ---- q58: quality-weighted sampling (data-mix curation) ----
+    // Keep probability = the q24 composite quality score; the keep decision
+    // is INTEGER-only on both engines (hash60(doc_id) mod 1e4 vs the
+    // floor-scaled score) — deterministic, reproducible, no float compare.
+    "q58_quality_sample" -> { (s, d) =>
+      val toks = TF.tokens(col("text"))
+      val nToks = size(toks)
+      val nChars = length(col("text"))
+      val punctRatio = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")) * lit(1.0) / nChars
+      val alphaRatio = length(regexp_replace(col("text"), "[^a-zA-Z]", "")) * lit(1.0) / nChars
+      val score = least(lit(1.0), nToks / lit(100.0)) * 0.5 +
+        alphaRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2
+      Tables.documents(s, d)
+        .withColumn("_th", floor(score * 10000d + 0.5d))
+        .withColumn("_h", graft.ops.Cdm.hash60(col("doc_id").cast("string")) % 10000)
+        .filter(col("_h") < col("_th"))
+        .select(col("doc_id"), (col("_th") / 10000d).as("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q25: token counting (whitespace + BPE-ish regex) ----
     "q25_token_count" -> { (s, d) =>
       Tables.documents(s, d)
@@ -257,6 +298,35 @@ object TextQueries {
          len($TOKS) AS n_ws_tokens,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
+
+    "q56_tfidf" ->
+      s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         t AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+         tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+         dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+         sc AS (SELECT tf.doc_id, tf.tok,
+             round(tf.tf * ln(nn.n_docs * 1.0 / dfq.df), 4) AS score
+           FROM tf JOIN dfq USING (tok) CROSS JOIN nn),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, tok) AS term_rank FROM sc)
+         SELECT doc_id, term_rank, tok AS term, score
+         FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""",
+
+    "q58_quality_sample" ->
+      s"""WITH tk AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
+         m AS (SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / len(text) AS punct_ratio,
+             len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / len(text) AS alpha_ratio
+           FROM tk),
+         s AS (SELECT doc_id,
+             floor((least(1.0, n_tokens / 100.0) * 0.5 + alpha_ratio * 0.3
+               + (1.0 - punct_ratio) * 0.2) * 10000 + 0.5) AS th
+           FROM m)
+         SELECT doc_id, th / 10000 AS quality_score FROM s
+         WHERE ${h60("doc_id::VARCHAR")} % 10000 < th
+         ORDER BY doc_id""",
 
     "q26_fingerprint" ->
       s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
