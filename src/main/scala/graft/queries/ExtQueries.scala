@@ -244,6 +244,52 @@ object ExtQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // ---- q60: interval merge (gaps-and-islands coverage spans) ----
+    // Each event opens a 5-minute activity window; overlapping windows per
+    // user merge into coverage spans (cumulative-max window + new-span
+    // flag → span group → min/max). Tie-safe: the running sum uses the
+    // default RANGE frame, so duplicate (start, end) rows are peers with
+    // identical group numbers in both engines.
+    "q60_interval_merge" -> { (s, d) =>
+      val iv = Tables.events(s, d).select(col("user_id"), col("ts").as("start"),
+        (col("ts") + expr("INTERVAL 5 MINUTES")).as("end"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("start"), col("end"))
+      val wPrev = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      iv.withColumn("_ng",
+          when(col("start") > max(col("end")).over(wPrev), 1).otherwise(lit(0)))
+        .withColumn("grp", sum(col("_ng")).over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(min(col("start")).as("span_start"), max(col("end")).as("span_end"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("span_start"), col("span_end"), col("n_events"))
+        .orderBy(col("user_id"), col("span_start"))
+    },
+
+    // ---- q61: snapshot diff (CDC classification: insert/update/delete) ----
+    // The MERGE-source computation: diff an old and a new snapshot of a
+    // dimension into the change set a Delta MERGE would apply
+    // (reference: 4_silver/silver_transactions.py MERGE matched/not-matched
+    // branches). Unchanged rows are dropped — the change set is what ships.
+    "q61_snapshot_diff" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val oldS = cust.filter(col("c_custkey") % 11 =!= 0)
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("old_bal"))
+      val newS = cust.filter(col("c_custkey") % 13 =!= 0)
+        .select(col("c_custkey"),
+          round(when(col("c_custkey") % 5 === 0, col("c_acctbal") + 10)
+            .otherwise(col("c_acctbal")), 2).as("new_bal"))
+      oldS.join(newS, Seq("c_custkey"), "full_outer")
+        .withColumn("change_type",
+          when(col("old_bal").isNull, "insert")
+            .when(col("new_bal").isNull, "delete")
+            .when(col("old_bal") =!= col("new_bal"), "update")
+            .otherwise("unchanged"))
+        .filter(col("change_type") =!= "unchanged")
+        .select(col("c_custkey"), col("change_type"), col("old_bal"), col("new_bal"))
+        .orderBy(col("c_custkey"))
+    },
+
     // ---- q57: equal-width histogram (value-distribution profiling) ----
     // Fixed literal bounds; the bucket is the same explicit double
     // arithmetic in both engines (DuckDB has no width_bucket). One
@@ -433,6 +479,35 @@ object ExtQueries {
            count(*)::BIGINT AS n_rows,
            round(min(o_totalprice), 2) AS lo,
            round(max(o_totalprice), 2) AS hi
-         FROM orders GROUP BY 1 ORDER BY 1"""
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q60_interval_merge" ->
+      """WITH iv AS (SELECT user_id, ts::TIMESTAMP AS s,
+             ts::TIMESTAMP + INTERVAL 5 MINUTE AS e FROM events),
+         f AS (SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS ng
+           FROM iv),
+         g AS (SELECT *, sum(ng) OVER (PARTITION BY user_id ORDER BY s, e) AS grp FROM f)
+         SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+           count(*)::BIGINT AS n_events
+         FROM g GROUP BY user_id, grp ORDER BY user_id, span_start""",
+
+    "q61_snapshot_diff" ->
+      """WITH o AS (SELECT c_custkey, round(c_acctbal, 2) AS old_bal
+           FROM customer WHERE c_custkey % 11 <> 0),
+         n AS (SELECT c_custkey,
+             round(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 10
+               ELSE c_acctbal END, 2) AS new_bal
+           FROM customer WHERE c_custkey % 13 <> 0)
+         SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                WHEN n.c_custkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.old_bal, n.new_bal
+         FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+         WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL OR o.old_bal <> n.new_bal
+         ORDER BY 1"""
   )
 }

@@ -142,6 +142,29 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q59: cross-corpus near-dup join (incoming batch vs corpus) ----
+    // The batch face of s06's streaming index: find near-dups BETWEEN an
+    // incoming batch (even ids) and the existing corpus (odd ids), never
+    // within either side. Shares the family's cached k=16 signature; the
+    // blocking join is banded as in q20, with the parity split applied to
+    // the band rows.
+    "q59_crosscorpus_dedup" -> { (s, d) =>
+      val sh = MinHash.withShingles(Tables.documents(s, d), "doc_id", "text")
+      val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 16)
+      val bands = MinHash.bands(sig, "doc_id", 4, 2)
+      val a = bands.filter(col("doc_id") % 2 === 0)
+        .select(col("band"), col("band_val"), col("doc_id").as("id_a"))
+      val b = bands.filter(col("doc_id") % 2 =!= 0)
+        .select(col("band"), col("band_val"), col("doc_id").as("id_b"))
+      val cand = a.join(b, Seq("band", "band_val"))
+        .select(col("id_a"), col("id_b")).distinct()
+      MinHash.jaccard(sh, cand, "doc_id")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("batch_id"), col("corpus_id"))
+    },
+
     // ---- q25: token counting (whitespace + BPE-ish regex) ----
     "q25_token_count" -> { (s, d) =>
       Tables.documents(s, d)
@@ -298,6 +321,18 @@ object TextQueries {
          len($TOKS) AS n_ws_tokens,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
+
+    "q59_crosscorpus_dedup" ->
+      s"""WITH $SHINGLES_CTE,
+         ${minhashCte(4)},
+         bands AS (SELECT doc_id, salt // 2 AS band, sum(minh) AS band_val
+           FROM mh GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+             AND a.doc_id % 2 = 0 AND b.doc_id % 2 <> 0),
+         $JACCARD_TAIL
+         SELECT id_a AS batch_id, id_b AS corpus_id, round(jaccard, 4) AS jaccard
+         FROM jac WHERE jaccard >= 0.5 ORDER BY 1, 2""",
 
     "q56_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
