@@ -119,6 +119,24 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("skewSafeSum equals the one-phase groupBy sum on random data") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 3), Gen.choose(1L, 500L),
+        Gen.choose(-100, 100)))
+    } yield rows
+    check(forAll(gen) { rows =>
+      // integral doubles: the two-phase regrouping cannot perturb the sum
+      val df = rows.map { case (k, d, v) => (s"k$k", d, v.toDouble) }
+        .toDF("key", "dist", "v")
+      val two = graft.ops.Skew.skewSafeSum(df, Seq("key"), col("dist"), col("v"), "s")
+        .as[(String, Double)].collect().toMap
+      val one = df.groupBy("key").agg(sum("v").as("s"))
+        .as[(String, Double)].collect().toMap
+      two == one
+    })
+  }
+
   test("Scd2.merge invariants hold over random update batches") {
     val gen = for {
       nExist <- Gen.choose(1, 8)
