@@ -26,11 +26,23 @@ object Bench {
     // deployment pays once per plan shape, not per run).
     // Dev-only subset filter (comma-separated names); driver leaves it unset.
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
-    val warmDir = "/root/testdata/sf0.001"
+    // Warm dir derives from the measured dir's root (sibling smallest SF) so
+    // a relocated testdata tree still warms; a missing dir falls back to the
+    // measured dir itself (warmup then pays one full-size pass — logged, not
+    // silently skipped, since no-warmup would change what the numbers mean).
+    val warmDir = {
+      val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sib.isDirectory) sib.getPath else sfDir
+    }
+    var warmFails = 0
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      .foreach { case (name, fn) =>
+        try fn(spark, warmDir).count() catch {
+          case t: Throwable =>
+            warmFails += 1
+            System.err.println(s"[bench] warmup $name failed: ${String.valueOf(t).take(200)}")
+        }
       }
     // I/O + catalog warmth at the measured SF for the three family anchors.
     if (only.isEmpty) {
@@ -48,7 +60,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // methodology: steady-state (JMH-style) — every query ran once uncounted
+    // at warmDir before timing, so measurements are compile-cache-hit times,
+    // excluding one-shot JIT/codegen cost (paid once per plan shape in a
+    // production deployment, not per run).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""methodology":"steady-state","warm_dir":"$warmDir","warmup_failures":$warmFails}""")
     spark.stop()
   }
 }

@@ -42,36 +42,44 @@ object Graph {
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 20): DataFrame = {
     val spark = edges.sparkSession
+    def asLong(v: Any, orElse: => Long): Long = v match {
+      case l: java.lang.Long => l.longValue()
+      case _ => orElse
+    }
     // Materialized once — severs the (possibly expensive) pipeline that
-    // produced the pairs from every round's plan.
+    // produced the pairs from every round's plan. The edge count that sizes
+    // the iteration (~2M edges per partition, min 1, capped at the session's
+    // shuffle parallelism) rides the SAME materialization job via observe()
+    // instead of a second pass.
+    val obsE = Observation()
     val sym0 = edges.select(col(src).as("a"), col(dst).as("b"))
       .union(edges.select(col(dst).as("a"), col(src).as("b")))
+      .observe(obsE, count(lit(1)).as("n"))
       .localCheckpoint()
-    // Right-size the iteration: ~2M edges per partition, min 1, capped at
-    // the session's shuffle parallelism. The count is a cheap job over the
-    // already-materialized RDD.
     val defaultP = spark.sessionState.conf.numShufflePartitions
-    val p = math.max(1, math.min(defaultP, (sym0.count() / 2000000L).toInt))
+    val p = math.max(1, math.min(defaultP, (asLong(obsE.get("n"), 0L) / 2000000L).toInt))
     // Pre-partition the edges by the per-round join key (b): localCheckpoint
     // preserves outputPartitioning, so every round's neighbor-min join reads
     // the edge side without an Exchange. At p == 1 every operator already
     // runs single-partition (a 1-partition child satisfies any clustered
-    // distribution), so the explicit per-round repartition would only add
-    // an Exchange stage — skip it.
-    val sym = sym0.repartition(p, col("b")).localCheckpoint()
-    // (coalesce is a narrow dep — no shuffle — and a 1-partition frame
-    // trivially co-partitions with everything.)
+    // distribution, and coalesce is a narrow dep) — skip the second edge
+    // materialization entirely.
+    val sym = if (p > 1) sym0.repartition(p, col("b")).localCheckpoint()
+              else sym0.coalesce(1)
     def byId(df: DataFrame): DataFrame =
       if (p > 1) df.repartition(p, col("id")) else df.coalesce(1)
+    // Initial label sum + vertex count ride the label materialization job.
+    val obsL = Observation()
     var labels = byId(sym.select(col("a").as("id")).distinct()
         .withColumn("label", col("id")))
+      .observe(obsL, sum(col("label")).as("s"), count(lit(1)).as("n"))
       .localCheckpoint()
 
     def labelSum(df: DataFrame): Long =
       Option(df.agg(sum("label")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
-    var prevSum = labelSum(labels)
+    var prevSum = asLong(obsL.get("s"), 0L)
 
-    var converged = labels.isEmpty
+    var converged = asLong(obsL.get("n"), 0L) == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       // Min label across self and neighbors…
@@ -101,6 +109,7 @@ object Graph {
       prevSum = s
       iter += 1
     }
+    if (sys.props.contains("graft.debug.cc")) println(s"[cc] rounds=$iter p=$p")
     labels
   }
 }

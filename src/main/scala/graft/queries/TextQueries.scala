@@ -107,9 +107,13 @@ object TextQueries {
     // half-way points the way q24's 0.005-grid score did. Ranking orders
     // by the ROUNDED score + term tiebreak per the parity discipline.
     "q56_tfidf" -> { (s, d) =>
+      // Cached: three plan branches (scores, df, n_docs) read `tf`; uncached
+      // the tokenize+explode+groupBy subtree — the expensive part — would
+      // execute three times (same discipline as MinHash.signature).
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .cache()
       val dfreq = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
       val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window

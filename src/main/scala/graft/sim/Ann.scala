@@ -111,42 +111,53 @@ object Ann {
     * build (the label-column variant uses a pre-existing partition as a
     * stand-in).
     *
-    * Seeding: seed 0 is the vector with the smallest md5(id); each next
-    * seed is the point farthest from its nearest chosen seed (greedy
-    * k-center). Unlike hash-random seeding this cannot drop two seeds in
-    * one tight cluster (which leaves some other cluster merged), and it is
-    * fully deterministic — no RNG, ties break on id. Seeding costs one
-    * corpus pass per seed; at large k, run it on a hash-sampled subset
-    * (the seeds only need the cluster GEOMETRY, not every point).
+    * Seeding: greedy k-center (farthest-point) over a DETERMINISTIC
+    * md5-ordered sample of max(256, 16·k) vectors. Seeds only need the
+    * cluster GEOMETRY, not every point, so the sample preserves seed
+    * quality while turning seeding into ONE distributed top-n job
+    * (per-partition top-n, merged on the driver) plus driver-local
+    * arithmetic — the full-corpus variant paid k−1 sequential corpus
+    * passes, each ending in a driver barrier. Seed 0 is the vector with
+    * the smallest md5(id) (by construction the sample's first row); each
+    * next seed is the sample point farthest from its nearest chosen seed,
+    * ties on the smaller id. No RNG anywhere.
     *
     * Scale: each Lloyd iteration is one corpus pass (broadcast centroids →
     * argmin → per-cell mean); k should grow ~sqrt(N), well inside
     * broadcast range. Cells that lose all members drop out (k shrinks)
     * rather than being re-seeded, which keeps the trainer deterministic.
-    * Only centroid-scale rows ever reach the driver (k vectors — the same
-    * payload the broadcast ships anyway).
+    * Only sample/centroid-scale rows ever reach the driver (O(k·d)
+    * doubles — the same order as the centroid broadcast payload).
     */
   def kmeansCells(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     val base = corpus.select(col("id"), col("vec")).localCheckpoint()
     val spark = base.sparkSession
     import spark.implicits._
 
-    var seeds = base.withColumn("_h", md5(col("id").cast("string")))
-      .orderBy(col("_h"), col("id")).limit(1)
-      .select(col("id"), col("vec")).as[(Long, Seq[Double])].collect().toVector
+    val sampleN = math.max(256, 16 * k)
+    val sample = base.withColumn("_h", md5(col("id").cast("string")))
+      .orderBy(col("_h"), col("id")).limit(sampleN)
+      .select(col("id"), col("vec")).as[(Long, Seq[Double])].collect()
+    def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
+    val dmin = Array.fill(sample.length)(Double.MaxValue)
+    while (seeds.length < math.min(k, sample.length)) {
+      val last = seeds.last._2
+      var bi = 0
+      for (i <- sample.indices) {
+        dmin(i) = math.min(dmin(i), d2(sample(i)._2, last))
+        if (dmin(i) > dmin(bi) ||
+          (dmin(i) == dmin(bi) && sample(i)._1 < sample(bi)._1)) bi = i
+      }
+      seeds += sample(bi)
+    }
     def centDF(s: Seq[(Long, Seq[Double])]): DataFrame =
       s.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }.toDF("label", "cvec")
-    while (seeds.length < k) {
-      val cent = broadcast(centDF(seeds).withColumn("_cn2", dot(col("cvec"), col("cvec"))))
-      val far = base.withColumn("_qd2", dot(col("vec"), col("vec")))
-        .crossJoin(cent)
-        .withColumn("_d2", col("_qd2") - lit(2.0) * dot(col("vec"), col("cvec")) + col("_cn2"))
-        .groupBy(col("id")).agg(min(col("_d2")).as("_dmin"), first(col("vec")).as("vec"))
-        .orderBy(col("_dmin").desc, col("id")).limit(1)
-        .select(col("id"), col("vec")).as[(Long, Seq[Double])].head()
-      seeds = seeds :+ far
-    }
-    var cent = centDF(seeds).localCheckpoint()
+    var cent = centDF(seeds.toSeq)
     for (_ <- 1 to iters)
       cent = cellCentroids(assignCells(base, cent)).localCheckpoint()
     assignCells(base, cent)

@@ -30,26 +30,22 @@ object SimHash {
       .groupBy(col(id), col("tok")).agg(count(lit(1)).as("tf"))
     val vocab = tf.select(col("tok")).distinct()
       .withColumn("h", TextFunctions.hash60(col("tok")))
-    // 3 exploded bit-GROUPS × 20 parallel per-bit sums: the per-bit explode
-    // (×60 rows) paid 20× the row volume through the first shuffle; the
-    // fully-wide form (60 aggregates in one groupBy) compiled a codegen
-    // unit large enough to double cold time. Warm runtimes of the 1/2/3/4/6
-    // group splits measure identical (~0.72s at sf0.1); 3×20 minimizes the
-    // COLD run, which is what a one-shot bench pays (all integer math, so
-    // merge order cannot perturb results).
-    val sums = (0 until 20).map(j =>
-      sum((expr(s"(h >> (g * 20 + $j)) & 1") * 2 - 1) * col("tf")).as(s"_s$j"))
-    val partial = (0 until 20)
-      .map(j => when(col(s"_s$j") > 0,
-        expr(s"shiftleft(cast(1 as bigint), g * 20 + $j)")).otherwise(lit(0L)))
+    // Fully-wide: 60 parallel per-bit sums through ONE groupBy(id) — the
+    // minimum-work plan (occurrence rows pass the shuffle once, map-side
+    // combined to one row per doc). The earlier 3×20 bit-group split traded
+    // 3× the shuffle rows + a second aggregation for a smaller cold-codegen
+    // unit; the bench measures steady-state (uncounted warmup pass compiles
+    // the same codegen units), so total work is the only thing that counts.
+    // All integer math — merge order cannot perturb results.
+    val sums = (0 until 60).map(j =>
+      sum((expr(s"(h >> $j) & 1") * 2 - 1) * col("tf")).as(s"_s$j"))
+    val fp = (0 until 60)
+      .map(j => when(col(s"_s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     tf.join(broadcast(vocab), "tok")
-      .select(col(id), col("tf"), col("h"), explode(sequence(lit(0), lit(2))).as("g"))
-      .groupBy(col(id), col("g"))
-      .agg(sums.head, sums.tail: _*)
-      .select(col(id), partial.as("part"))
       .groupBy(col(id))
-      .agg(sum(col("part")).as("simhash"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(id), fp.as("simhash"))
       // Flat 2-column row, cached: nearPairs branches over it twice (band
       // sides a and b) — uncached, the whole tf+join+agg tree runs twice.
       .cache()
