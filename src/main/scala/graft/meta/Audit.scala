@@ -17,6 +17,7 @@ object Audit {
 
   final case class Run(
       run_id: String,
+      source_system: String,
       source_object: String,
       load_mode: String,
       watermark_column: String,
@@ -26,8 +27,16 @@ object Audit {
       start_time: Timestamp,
       end_time: Timestamp)
 
-  /** Append one run record to the audit log directory. */
-  def log(spark: SparkSession, auditDir: String, run: Run): Unit = {
+  /** Append one run record to the audit log directory.
+    *
+    * Synchronized: the Runner's parallel table dispatch appends from
+    * several driver threads, and concurrent `append` writes into ONE
+    * directory race on the shared `_temporary` committer workspace. The
+    * JVM-local lock serializes the (tiny, one-row) writes; multiple
+    * concurrent DRIVERS would need a transactional log (Delta/Iceberg)
+    * instead, which is what the reference's audit DB gives it.
+    */
+  def log(spark: SparkSession, auditDir: String, run: Run): Unit = this.synchronized {
     import spark.implicits._
     Seq(run).toDS().write.mode("append").parquet(auditDir)
   }
@@ -41,10 +50,15 @@ object Audit {
     if (row.isNullAt(0)) None else Some(row.get(0).toString)
   }
 
-  /** Latest status per source object from the audit log (window dedup). */
+  /** Latest status per (source_system, source_object) from the audit log
+    * (window dedup). Keyed by BOTH, as the reference's watermark fetch is
+    * (reference: 1_audit/fetch_logs.py:23-27 filters on source_system AND
+    * source_object) — two systems landing same-named tables carry
+    * independent watermarks.
+    */
   def latestRuns(spark: SparkSession, auditDir: String): DataFrame =
     graft.ops.Dedup.latestPerKey(
       spark.read.parquet(auditDir),
-      Seq("source_object"),
+      Seq("source_system", "source_object"),
       Seq(col("end_time").desc, col("run_id").desc))
 }

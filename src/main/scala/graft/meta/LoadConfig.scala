@@ -16,17 +16,31 @@ object LoadConfig {
 
   final case class Entry(
       sourceType: String,
+      sourceSystem: String,
       tableName: String,
       isActive: Boolean,
       loadMode: String,
-      watermarkColumn: Option[String])
+      watermarkColumn: Option[String]) {
+    /** System-qualified object name — source resolution and output layout
+      * key. Two source systems landing same-named tables (the reference's
+      * bank_a/bank_b schemas, 6_source_ddl/banq_a_ddl.sql vs
+      * banq_b_ddl.sql) must not collide on table name alone.
+      */
+    def qualifiedName: String =
+      if (sourceSystem.isEmpty) tableName else s"$sourceSystem.$tableName"
+  }
 
-  /** Read a load-config CSV (header row, reference column names). */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", "true").csv(path)
-      .select(col("source_type"), col("table_name"),
-        (col("is_active") === "1").as("is_active"),
-        col("load_mode"), col("watermark_column"))
+  /** Read a load-config CSV (header row, reference column names). The
+    * `source_system` column is optional — single-system configs omit it.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("header", "true").csv(path)
+    val sys = if (raw.columns.contains("source_system"))
+      coalesce(col("source_system"), lit("")) else lit("")
+    raw.select(col("source_type"), sys.as("source_system"), col("table_name"),
+      (col("is_active") === "1").as("is_active"),
+      col("load_mode"), col("watermark_column"))
+  }
 
   /** Active entries as typed config (small table — collected on the driver,
     * as ADF does when fanning out per-table copy activities).
@@ -34,7 +48,7 @@ object LoadConfig {
   def activeEntries(spark: SparkSession, path: String): Seq[Entry] =
     read(spark, path).filter(col("is_active")).collect().toSeq.map { r =>
       Entry(
-        r.getString(0), r.getString(1), r.getBoolean(2), r.getString(3),
-        Option(r.getString(4)).filter(_.nonEmpty))
+        r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3),
+        r.getString(4), Option(r.getString(5)).filter(_.nonEmpty))
     }
 }

@@ -36,37 +36,62 @@ object Runner {
       table: String, mode: String, rows: Long, status: String,
       newWatermark: Option[String])
 
-  /** Last successful watermark per table from the audit log. */
-  private def lastWatermarks(spark: SparkSession, auditDir: String): Map[String, String] =
+  /** Last successful watermark per (source_system, table) from the audit
+    * log — keyed by BOTH (reference: 1_audit/fetch_logs.py:23-27), so two
+    * systems landing same-named tables never share a watermark.
+    */
+  private def lastWatermarks(spark: SparkSession,
+      auditDir: String): Map[(String, String), String] =
     try {
       Audit.latestRuns(spark, auditDir)
         .filter(col("status") === "succeeded" && col("watermark_value").isNotNull)
-        .select(col("source_object"), col("watermark_value"))
-        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        .select(col("source_system"), col("source_object"), col("watermark_value"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
     } catch { case _: Exception => Map.empty } // first run: no audit log yet
 
   /** Bounded wait on an Observation: its metrics only ever arrive if the
     * observed node was part of an executed plan — a `transform` that does
     * not derive its output from its input would otherwise hang `get`
-    * forever. Timing out falls back to the separate-scan path.
+    * forever. Polls the non-blocking `getOrEmpty` (no detached blocked
+    * thread to leak on timeout); timing out falls back to the
+    * separate-scan path.
     */
+  // Observation.getOrEmpty is the documented non-blocking read of delivered
+  // metrics, but its Scala signature is `private[sql]` — the JVM method is
+  // public, so a one-time reflective handle bridges the access gap without
+  // a detached blocked thread.
+  private val getOrEmptyMethod = classOf[Observation].getMethod("getOrEmpty")
+
   private def getWithin(obs: Observation, timeout: FiniteDuration): Option[Map[String, Any]] = {
-    import scala.concurrent.ExecutionContext.Implicits.global
-    try Some(Await.result(Future(obs.get), timeout))
-    catch { case _: java.util.concurrent.TimeoutException => None }
+    val deadline = System.nanoTime() + timeout.toNanos
+    var m = getOrEmptyMethod.invoke(obs).asInstanceOf[Map[String, Any]]
+    while (m.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      m = getOrEmptyMethod.invoke(obs).asInstanceOf[Map[String, Any]]
+    }
+    if (m.isEmpty) None else Some(m)
   }
 
-  /** Run every active config entry: read via `source`, optionally window to
+  /** Run every active config entry: read via `source` (called with the
+    * system-qualified name, e.g. `bank_a.orders`), optionally window to
     * rows past the last watermark, apply the table's silver `transform`
-    * (identity when absent), write parquet under `outDir/<table>`
+    * (identity when absent), write parquet under `outDir/<qualifiedName>`
     * (append for incremental loads, ATOMIC overwrite for full refreshes),
     * and audit the outcome. A failing table records a `failed` audit row
     * and does not stop the remaining tables.
+    *
+    * `parallelism` > 1 dispatches table loads concurrently on a bounded
+    * pool — the engine-side analog of ADF's parallel ForEach
+    * (reference: 2_bronze_ingestion_adf/pipelines/pl_ingestion_bronze.json
+    * ForEach batchCount). Per-table failure isolation and per-table audit
+    * rows are unchanged: each load is a self-contained job and Spark
+    * schedules concurrent jobs from one session fine; only the audit
+    * append is serialized (see [[graft.meta.Audit.log]]).
     */
   def run(spark: SparkSession, configPath: String, outDir: String, auditDir: String,
       runId: String, source: String => DataFrame,
       transform: Map[String, DataFrame => DataFrame] = Map.empty,
-      maxAttempts: Int = 1): Seq[LoadResult] = {
+      maxAttempts: Int = 1, parallelism: Int = 1): Seq[LoadResult] = {
     val watermarks = lastWatermarks(spark, auditDir)
 
     // ADF-style per-activity retry. DataFrames are lazy, so transient
@@ -77,8 +102,9 @@ object Runner {
     def attempt[T](left: Int)(f: => T): T =
       try f catch { case ex: Exception if left > 1 => attempt(left - 1)(f) }
 
-    LoadConfig.activeEntries(spark, configPath).map { e =>
+    def loadOne(e: LoadConfig.Entry): LoadResult = {
       val start = new Timestamp(System.currentTimeMillis())
+      val wmKey = (e.sourceSystem, e.tableName)
       try {
         val incremental = e.loadMode == "incremental" && e.watermarkColumn.isDefined
         // Bootstrap-then-incremental (reference: pl_bootstrap.json +
@@ -86,12 +112,12 @@ object Runner {
         // watermark is a full bootstrap — written as an atomic OVERWRITE,
         // so re-running after a lost audit log rebuilds the table instead
         // of appending a duplicate copy. Steady-state windows append.
-        val windowedLoad = incremental && watermarks.contains(e.tableName)
+        val windowedLoad = incremental && watermarks.contains(wmKey)
         val (rows, newWm) = attempt(maxAttempts) {
-          val raw = source(e.tableName)
+          val raw = source(e.qualifiedName)
           val windowed = (for {
             wmCol <- e.watermarkColumn if incremental
-            wm <- watermarks.get(e.tableName)
+            wm <- watermarks.get(wmKey)
           } yield Incremental.after(raw, col(wmCol),
             lit(wm).cast(raw.schema(wmCol).dataType))).getOrElse(raw)
           // Watermark = max over the WINDOWED SOURCE rows (reference:
@@ -104,30 +130,49 @@ object Runner {
           val staged = transform.getOrElse(e.tableName, identity[DataFrame] _)(observedSrc)
             .observe(rowObs, count(lit(1)).as("rows"))
 
-          val path = s"$outDir/${e.tableName}"
+          val path = s"$outDir/${e.qualifiedName}"
           if (windowedLoad) staged.write.mode("append").parquet(path)
           else graft.sources.Sinks.overwriteAtomic(staged, path)
 
-          val rows = rowObs.get("rows").asInstanceOf[Long]
+          // The staged frame was just written, so the metric is delivered
+          // with the write action; the bounded poll only covers listener
+          // delivery lag, with a recount fallback instead of an unbounded
+          // block.
+          val rows = getWithin(rowObs, 10.seconds)
+            .map(_("rows").asInstanceOf[Long])
+            .getOrElse(transform.getOrElse(e.tableName, identity[DataFrame] _)(windowed).count())
           val wm = e.watermarkColumn.flatMap { c =>
             getWithin(wmObs, 10.seconds) match {
               case Some(m) => Option(m("wm")).map(_.toString)
               case None    => Audit.newWatermark(windowed, c) // severed lineage
             }
-          }.orElse(watermarks.get(e.tableName)) // empty window: carry forward
+          }.orElse(watermarks.get(wmKey)) // empty window: carry forward
           (rows, wm)
         }
-        Audit.log(spark, auditDir, Audit.Run(runId, e.tableName, e.loadMode,
-          e.watermarkColumn.getOrElse(""), newWm.orNull, rows, "succeeded",
-          start, new Timestamp(System.currentTimeMillis())))
-        LoadResult(e.tableName, e.loadMode, rows, "succeeded", newWm)
+        Audit.log(spark, auditDir, Audit.Run(runId, e.sourceSystem, e.tableName,
+          e.loadMode, e.watermarkColumn.getOrElse(""), newWm.orNull, rows,
+          "succeeded", start, new Timestamp(System.currentTimeMillis())))
+        LoadResult(e.qualifiedName, e.loadMode, rows, "succeeded", newWm)
       } catch {
         case ex: Exception =>
-          Audit.log(spark, auditDir, Audit.Run(runId, e.tableName, e.loadMode,
-            e.watermarkColumn.getOrElse(""), watermarks.get(e.tableName).orNull,
+          Audit.log(spark, auditDir, Audit.Run(runId, e.sourceSystem, e.tableName,
+            e.loadMode, e.watermarkColumn.getOrElse(""),
+            watermarks.get(wmKey).orNull,
             0L, "failed", start, new Timestamp(System.currentTimeMillis())))
-          LoadResult(e.tableName, e.loadMode, 0L, "failed", None)
+          LoadResult(e.qualifiedName, e.loadMode, 0L, "failed", None)
       }
+    }
+
+    val entries = LoadConfig.activeEntries(spark, configPath)
+    if (parallelism <= 1) entries.map(loadOne)
+    else {
+      // Bounded pool, Future per table; loadOne never throws (failures
+      // become `failed` LoadResults), so the sequence always completes.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try Await.result(Future.sequence(entries.map(e => Future(loadOne(e)))), Duration.Inf)
+      finally pool.shutdown()
     }
   }
 }

@@ -24,7 +24,7 @@ class MetaSpec extends SparkSpec {
 
   test("Audit logs runs and captures new watermarks") {
     val dir = Files.createTempDirectory("audit").toFile.getAbsolutePath
-    val run = Audit.Run("r1", "events", "incremental", "ts", "2024-01-30", 1000L,
+    val run = Audit.Run("r1", "", "events", "incremental", "ts", "2024-01-30", 1000L,
       "SUCCESS", new Timestamp(0), new Timestamp(1000))
     Audit.log(spark, s"$dir/log", run)
     Audit.log(spark, s"$dir/log", run.copy(run_id = "r2", status = "FAILED",

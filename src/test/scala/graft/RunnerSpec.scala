@@ -122,6 +122,65 @@ class RunnerSpec extends SparkSpec {
       "re-bootstrap duplicated the table")
   }
 
+  test("Runner keys watermarks by (source_system, table): two banks, same table name") {
+    val dir = Files.createTempDirectory("runner_banks").toFile.getAbsolutePath
+    val cfg = s"$dir/load_config.csv"
+    Files.write(java.nio.file.Paths.get(cfg),
+      ("source_type,source_system,table_name,is_active,load_mode,watermark_column\n" +
+        "sql,bank_a,orders,1,incremental,ts\n" +
+        "sql,bank_b,orders,1,incremental,ts\n").getBytes)
+    // bank_a is ahead of bank_b: its watermark after run 1 is Jan 05,
+    // bank_b's is Jan 02. A collided (table-name-only) watermark would
+    // make bank_b's Jan 03 row in run 2 look already-loaded.
+    val aDay1 = Seq((1L, ts("2024-01-05 10:00:00"), 1.0)).toDF("id", "ts", "amt")
+    val bDay1 = Seq((2L, ts("2024-01-02 10:00:00"), 2.0)).toDF("id", "ts", "amt")
+    val r1 = Runner.run(spark, cfg, s"$dir/out", s"$dir/audit", "run1",
+      Map("bank_a.orders" -> aDay1, "bank_b.orders" -> bDay1).apply)
+    assert(r1.find(_.table == "bank_a.orders").get.newWatermark.contains("2024-01-05 10:00:00.0"))
+    assert(r1.find(_.table == "bank_b.orders").get.newWatermark.contains("2024-01-02 10:00:00.0"))
+
+    val bDay2 = bDay1.union(Seq((3L, ts("2024-01-03 10:00:00"), 3.0)).toDF("id", "ts", "amt"))
+    val r2 = Runner.run(spark, cfg, s"$dir/out", s"$dir/audit", "run2",
+      Map("bank_a.orders" -> aDay1, "bank_b.orders" -> bDay2).apply)
+    assert(r2.find(_.table == "bank_b.orders").get.rows == 1,
+      "bank_b's Jan 03 row sits behind bank_a's watermark — it must still load")
+    assert(spark.read.parquet(s"$dir/out/bank_b.orders").count() == 2)
+    assert(spark.read.parquet(s"$dir/out/bank_a.orders").count() == 1)
+    val audit = spark.read.parquet(s"$dir/audit")
+    assert(audit.filter(col("source_system") === "bank_b").count() == 2)
+  }
+
+  test("Runner dispatches tables concurrently with per-table failure isolation") {
+    val dir = Files.createTempDirectory("runner_par").toFile.getAbsolutePath
+    val cfg = s"$dir/load_config.csv"
+    Files.write(java.nio.file.Paths.get(cfg),
+      ("source_type,table_name,is_active,load_mode,watermark_column\n" +
+        "sql,t1,1,full,\n" +
+        "sql,t2,1,full,\n" +
+        "sql,boom,1,full,\n").getBytes)
+    val data = Seq((1L, "x")).toDF("id", "v")
+    // Interleaving proof: each good table's source blocks until BOTH good
+    // sources have been entered — only concurrent dispatch releases the
+    // latch; sequential dispatch times out and fails the run.
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    val src: String => DataFrame = {
+      case "boom" => throw new RuntimeException("source down")
+      case _ =>
+        latch.countDown()
+        assert(latch.await(30, java.util.concurrent.TimeUnit.SECONDS),
+          "table loads did not overlap — dispatch is not concurrent")
+        data
+    }
+    val res = Runner.run(spark, cfg, s"$dir/out", s"$dir/audit", "run1", src,
+      parallelism = 3)
+    assert(res.map(r => r.table -> r.status).toMap ==
+      Map("t1" -> "succeeded", "t2" -> "succeeded", "boom" -> "failed"))
+    assert(spark.read.parquet(s"$dir/out/t1").count() == 1)
+    assert(spark.read.parquet(s"$dir/out/t2").count() == 1)
+    val audit = spark.read.parquet(s"$dir/audit")
+    assert(audit.count() == 3 && audit.filter(col("status") === "failed").count() == 1)
+  }
+
   test("Runner retries transient source failures up to maxAttempts") {
     val dir = Files.createTempDirectory("runner3").toFile.getAbsolutePath
     val cfg = s"$dir/load_config.csv"
