@@ -59,6 +59,72 @@ object Sinks {
     } finally fs.delete(tmp, true)
   }
 
+  /** Object-store-safe atomic publish (manifest-pointer commit): data lands
+    * in a fresh immutable `v-<token>` directory under `path`, and the
+    * commit is ONE replace of the tiny `_current` pointer file naming the
+    * live version. [[overwriteAtomic]]'s directory-rename swap is atomic
+    * only on HDFS-like filesystems — on object stores "rename" is
+    * copy+delete per object, with a window where the table is half-gone;
+    * replacing a single small object (one PUT) is atomic there. Readers
+    * resolve the pointer via [[readCurrent]].
+    *
+    * Crash behavior: dying mid-write or before the pointer replace leaves
+    * the OLD version live (plus an unreferenced v-dir the next successful
+    * publish prunes); dying after it leaves the NEW version live. The
+    * immediately-previous version survives one more publish — a reader
+    * that resolved the pointer just before the swap may still be streaming
+    * its files — and older versions are pruned.
+    *
+    * Returns the committed version directory name.
+    */
+  def publishVersioned(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): String = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val version = s"v-${java.util.UUID.randomUUID().toString.take(8)}"
+    write(df, new Path(root, version).toString, "overwrite", partitionCols)
+
+    val prev = currentVersion(fs, root)
+    // Pointer replace: write a temp pointer file, then atomically rename it
+    // over `_current` (FileContext supports overwrite-rename; on an object
+    // store the equivalent is the store's atomic single-object PUT).
+    val ptr = new Path(root, "_current")
+    val tmpPtr = new Path(root, s"_current.tmp-$version")
+    val out = fs.create(tmpPtr, true)
+    try out.write(version.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+      .rename(tmpPtr, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+
+    // Prune: everything but the new version and its immediate predecessor
+    // (covers half-written dirs left by crashed publishes).
+    val keep = Set(Some(version), prev).flatten
+    fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("v-") && !keep(p.getName))
+      .foreach(fs.delete(_, true))
+    version
+  }
+
+  /** Resolve the `_current` pointer written by [[publishVersioned]] and
+    * read the live version.
+    */
+  def readCurrent(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentVersion(fs, root)
+      .getOrElse(sys.error(s"no _current pointer under $path"))
+    spark.read.parquet(new Path(root, v).toString)
+  }
+
+  private def currentVersion(fs: org.apache.hadoop.fs.FileSystem, root: Path): Option[String] = {
+    val ptr = new Path(root, "_current")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
   private def write(df: DataFrame, path: String, mode: String, partitionCols: Seq[String]): Unit = {
     val w = df.write.mode(mode)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)

@@ -38,6 +38,55 @@ object Sources {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** PERMISSIVE CSV read with corrupt-record routing — the reference's
+    * quarantine-don't-fail DQ philosophy (README "Invalid or malformed
+    * records are redirected to a quarantine flow") applied at the PARSE
+    * step, before [[graft.ops.Quality]]'s row-rule flow sees typed rows.
+    * Returns (good, quarantined): good rows typed to `schema`; quarantined
+    * rows carry the raw line as `raw_record`, ready to append next to the
+    * Quality quarantine output.
+    *
+    * The parsed frame is cached before splitting — Spark disallows a query
+    * whose referenced columns are ONLY the internal corrupt-record column
+    * of a direct file scan (parser pruning would elide the failure being
+    * tested). At bronze scale the equivalent discipline is land-then-split:
+    * write the parsed frame once, split from the landed copy.
+    */
+  def csvQuarantined(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): (DataFrame, DataFrame) =
+    splitCorrupt(spark.read
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(withCorruptCol(schema))
+      .csv(path))
+
+  /** PERMISSIVE JSON read with corrupt-record routing (see
+    * [[csvQuarantined]]).
+    */
+  def jsonQuarantined(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) =
+    splitCorrupt(spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(withCorruptCol(schema))
+      .json(path))
+
+  private val CorruptCol = "_corrupt_record"
+
+  private def withCorruptCol(schema: StructType): StructType =
+    if (schema.fieldNames.contains(CorruptCol)) schema
+    else schema.add(CorruptCol, org.apache.spark.sql.types.StringType)
+
+  private def splitCorrupt(parsed: DataFrame): (DataFrame, DataFrame) = {
+    val cached = parsed.cache()
+    val good = cached.filter(org.apache.spark.sql.functions.col(CorruptCol).isNull)
+      .drop(CorruptCol)
+    val bad = cached.filter(org.apache.spark.sql.functions.col(CorruptCol).isNotNull)
+      .select(org.apache.spark.sql.functions.col(CorruptCol).as("raw_record"))
+    (good, bad)
+  }
+
   /** File-based stream: new files under `path` become micro-batches
     * (the bronze "incremental drops" pattern,
     * reference: 4_silver/silver_transactions.py:58 glob reads — but as a

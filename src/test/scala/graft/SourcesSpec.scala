@@ -119,6 +119,65 @@ class SourcesSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"swap left garbage: ${leftovers.toSeq}")
   }
 
+  test("publishVersioned survives a crashed publish; readers follow the pointer") {
+    val dir = tmp("versioned")
+    val path = s"$dir/t"
+    val v1 = Sinks.publishVersioned(Seq((1L, "a")).toDF("id", "v"), path)
+    assert(Sinks.readCurrent(spark, path).as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+
+    // Simulated crash: a publish died after writing its version dir but
+    // BEFORE the pointer replace — readers must still see v1.
+    val crashed = new java.io.File(s"$path/v-crashed")
+    crashed.mkdirs()
+    Files.write(java.nio.file.Paths.get(s"$path/v-crashed/part-00000.parquet"),
+      "half-written garbage".getBytes)
+    assert(Sinks.readCurrent(spark, path).as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+
+    // Next successful publish goes live and prunes the crash garbage;
+    // the immediately-previous version survives for in-flight readers.
+    val v2 = Sinks.publishVersioned(Seq((2L, "b")).toDF("id", "v"), path)
+    assert(Sinks.readCurrent(spark, path).as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+    val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("v-")).toSet
+    assert(dirs == Set(v1, v2), s"expected {$v1, $v2}, found $dirs")
+
+    // One more publish: v1 ages out, v2 is retained as previous.
+    val v3 = Sinks.publishVersioned(Seq((3L, "c")).toDF("id", "v"), path)
+    val dirs2 = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("v-")).toSet
+    assert(dirs2 == Set(v2, v3))
+    assert(Sinks.readCurrent(spark, path).as[(Long, String)].collect().toSeq == Seq((3L, "c")))
+  }
+
+  test("csvQuarantined routes malformed rows to quarantine, loads the rest") {
+    val dir = tmp("csvq")
+    Files.write(java.nio.file.Paths.get(s"$dir/data.csv"),
+      ("id,ts,amt\n" +
+        "1,2024-01-01 10:00:00,10.5\n" +
+        "2,not-a-timestamp,20.0\n" +
+        "3,2024-01-03 10:00:00,30.5\n" +
+        "4,2024-01-04 10:00:00,not-a-number\n").getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType),
+      StructField("amt", DoubleType)))
+    val (good, bad) = Sources.csvQuarantined(spark, s"$dir/data.csv", schema)
+    assert(good.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    val raw = bad.as[String].collect()
+    assert(raw.length == 2 && raw.exists(_.contains("not-a-timestamp"))
+      && raw.exists(_.contains("not-a-number")), raw.toSeq)
+  }
+
+  test("jsonQuarantined routes unparseable lines to quarantine") {
+    val dir = tmp("jsonq")
+    Files.write(java.nio.file.Paths.get(s"$dir/d.json"),
+      ("{\"id\":1,\"v\":\"a\"}\n" +
+        "{\"id\":2,\"v\":\n" +
+        "{\"id\":3,\"v\":\"c\"}\n").getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val (good, bad) = Sources.jsonQuarantined(spark, s"$dir/d.json", schema)
+    assert(good.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(bad.as[String].collect().toSeq == Seq("{\"id\":2,\"v\":"))
+  }
+
   test("json reader with schema reads nested props") {
     val dir = tmp("json")
     Files.write(java.nio.file.Paths.get(s"$dir/d.json"),
