@@ -65,23 +65,44 @@ object FuzzyLink {
 
   /** (key_a, key_b, name_a, name_b, dist) pairs with
     * `levenshtein(name_a, name_b) <= maxDist` and equal name lengths,
-    * batch × master. Complete for substitution-only edits (the pigeonhole
-    * guarantee); equal-length insert+delete pairs that shift every segment
-    * are outside the blocking contract.
+    * batch × master.
+    *
+    * Blocking completeness: an equal-length pair within Levenshtein 2 is
+    * either (a) ≤2 SUBSTITUTIONS — it agrees on one of the maxDist+1
+    * tiling segments (pigeonhole), or (b) ONE insert + ONE delete — a run
+    * shift that can disagree on every tiling segment. The second blocking
+    * pass covers (b): such a pair's suffixes always share an
+    * (suffixLen−1)-char string reachable by deleting one character from
+    * each (delete the shifted run's first char on one side and its last
+    * on the other), so the single-deletion-variant equi-join finds it.
+    * For maxDist ≤ 2 the union of the two passes is therefore COMPLETE
+    * w.r.t. equal-length Levenshtein; at maxDist > 2 multi-shift
+    * combinations (2 inserts + 2 deletes, …) remain outside the contract.
+    * Cost: suffixLen extra rows per record through the same equi-join
+    * shape — still bucketed, never all-pairs.
     */
   def linkage(batch: DataFrame, master: DataFrame, keyCol: String, nameCol: String,
       suffixLen: Int, maxDist: Int): DataFrame = {
     val segs = entropySegments(master, nameCol, suffixLen, maxDist + 1)
-    def blocked(df: DataFrame, keyAs: String, nameAs: String): DataFrame =
+    def blocked(df: DataFrame, keyAs: String, nameAs: String): DataFrame = {
+      val tiling = segs.zipWithIndex.map { case ((st, ln), i) =>
+        struct(lit(i).as("i"), col("_sfx").substr(st, ln).as("seg"))
+      }
+      // Deletion variants share one key namespace (i = -1): the covering
+      // variant may sit at DIFFERENT deletion positions on the two sides.
+      val dels = if (maxDist < 2) Nil else (1 to suffixLen).map { d =>
+        struct(lit(-1).as("i"),
+          concat(col("_sfx").substr(1, d - 1),
+            col("_sfx").substr(d + 1, suffixLen - d)).as("seg"))
+      }
       df.select(col(keyCol).as(keyAs), col(nameCol).as(nameAs),
           length(col(nameCol)).as("len"),
           expr(s"right($nameCol, $suffixLen)").as("_sfx"))
         .select(col(keyAs), col(nameAs), col("len"),
-          explode(array(segs.zipWithIndex.map { case ((st, ln), i) =>
-            struct(lit(i).as("i"), col("_sfx").substr(st, ln).as("seg"))
-          }: _*)).as("b"))
+          explode(array(tiling ++ dels: _*)).as("b"))
         .select(col(keyAs), col(nameAs), col("len"),
           col("b.i").as("i"), col("b.seg").as("seg"))
+    }
     blocked(batch, "key_a", "name_a")
       .join(blocked(master, "key_b", "name_b"), Seq("len", "i", "seg"))
       .select(col("key_a"), col("key_b"), col("name_a"), col("name_b")).distinct()

@@ -167,10 +167,13 @@ object ExtQueries {
     // master dim. ops/FuzzyLink measures the suffix's per-position
     // character entropy and derives the pigeonhole segment boundaries from
     // it (on this corpus it reproduces the 7-1-1 tiling a hand analysis
-    // found; on a differently-skewed key it adapts instead of degenerating).
-    // The oracle is the TRUE quadratic definition — equal-length pairs
-    // within Levenshtein 2 — so the check verifies blocking COMPLETENESS,
-    // not just that both engines mirror the same shortcut.
+    // found; on a differently-skewed key it adapts instead of degenerating),
+    // plus a single-deletion-variant pass that covers equal-length
+    // insert+delete shifts the tiling can miss (FuzzyLink.linkage scaladoc
+    // has the completeness argument). The oracle is the TRUE quadratic
+    // definition — equal-length pairs within Levenshtein 2 — which the
+    // two passes jointly cover, so the check verifies blocking
+    // COMPLETENESS, not just that both engines mirror the same shortcut.
     "q50_fuzzy_join" -> { (s, d) =>
       val c = Tables.customer(s, d)
       val batch = c.filter(col("c_custkey") % 100 === 0)
@@ -234,11 +237,16 @@ object ExtQueries {
     // result is the exact discrete percentile and matches DuckDB's
     // `quantile_disc` value-for-value (which is what makes this
     // hash-checkable at test SF while staying the approx operator).
+    // Accuracy 1e7 keeps that exact regime through every driver SF
+    // (orders' largest status group reaches 1e7 rows around sf ≈ 25);
+    // beyond it the operator is in its DESIGNED approx regime — the
+    // summary is then genuinely bounded (~accuracy samples/group) and
+    // the discrete-quantile oracle equality no longer applies.
     "q54_approx_profile" -> { (s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_rows"),
-          expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 1000000)").as("q"))
+          expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000000)").as("q"))
         .select(col("o_orderstatus"), col("n_rows"),
           col("q")(0).as("ap25"), col("q")(1).as("ap50"), col("q")(2).as("ap75"))
         .orderBy(col("o_orderstatus"))

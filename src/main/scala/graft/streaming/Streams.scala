@@ -148,10 +148,21 @@ object Streams {
     // The index read likewise drops any rows a half-finished attempt of
     // THIS batch already landed — otherwise a replay would join the batch
     // against its own signatures and emit self-pairs forever after.
+    // Path-missing (first batch ever) and schema-mismatch are DIFFERENT
+    // failures: a legacy index without the batch_id column must fail
+    // loudly, not be silently treated as empty (which would drop every
+    // pre-existing signature from dedup and mix layouts on disk).
     val existing =
-      try spark.read.parquet(indexDir).filter(col("batch_id") =!= batchId)
-        .drop("batch_id")
-      catch { case _: Exception => sig.limit(0) }
+      (try Some(spark.read.parquet(indexDir))
+       catch { case _: org.apache.spark.sql.AnalysisException => None }) match {
+        case None => sig.limit(0) // no index yet
+        case Some(idx) =>
+          require(idx.columns.contains("batch_id"),
+            s"near-dup index at $indexDir lacks the batch_id partition column " +
+              "(legacy layout) — migrate it into batch_id=<n> partitions " +
+              "before streaming resumes")
+          idx.filter(col("batch_id") =!= batchId).drop("batch_id")
+      }
     val all = existing.unionByName(sig).cache()
     val newBands = MinHash.bands(sig, "doc_id", k, bandRows)
       .withColumnRenamed("doc_id", "id_new")
