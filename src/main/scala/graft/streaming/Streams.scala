@@ -184,6 +184,65 @@ object Streams {
     all.unpersist()
   }
 
+  /** foreachBatch streaming IVF index maintenance — the streaming face of
+    * the [[graft.sim.Ann]] trained quantizer: each micro-batch of
+    * (id, vec) is assigned to its nearest cell against the centroids
+    * implied by the accumulated cell statistics, appended to the index,
+    * and folded into those statistics. The first batch BOOTSTRAPS the
+    * quantizer ([[graft.sim.Ann.kmeansCells]], deterministic).
+    *
+    * State layout: `indexDir` holds (id, vec, label) partitioned by
+    * batch_id (the queryable corpus — [[graft.sim.Ann.ivfTopK]] runs
+    * directly over it); `statsDir` holds per-batch per-cell running sums
+    * (batch_id, label, pos, s, n) — k·d rows per batch, metadata-rate.
+    * Centroids are derived as Σs/Σn over the stats history, so they drift
+    * WITH the stream (new points move their cell's mean) without ever
+    * re-reading the corpus; a periodic full retrain (rerunning
+    * kmeansCells over the index) is caller policy, as in any IVF system.
+    *
+    * Replay-idempotent like [[nearDupSink]]: both outputs dynamically
+    * overwrite their own batch_id partition, and the stats read excludes
+    * the current batch, so a micro-batch retry reproduces — not
+    * duplicates — its rows.
+    *
+    * Scale: assignment is one broadcast-centroid pass over the batch;
+    * stats aggregation is k·d rows; nothing touches the accumulated
+    * corpus.
+    */
+  def ivfIndexSink(spark: SparkSession, indexDir: String, statsDir: String,
+      k: Int = 4, trainIters: Int = 2)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.sim.Ann
+    val vecs = batch.select(col("id"), col("vec"))
+    val prior =
+      (try Some(spark.read.parquet(statsDir))
+       catch { case _: org.apache.spark.sql.AnalysisException => None })
+        .map { st =>
+          require(st.columns.contains("batch_id"),
+            s"IVF stats at $statsDir lack the batch_id partition column")
+          st.filter(col("batch_id") =!= batchId)
+        }
+        .filter(!_.isEmpty) // replay of the bootstrap batch re-bootstraps
+    val assigned = prior match {
+      case None => Ann.kmeansCells(vecs, k, trainIters)
+      case Some(st) =>
+        val cent = st.groupBy(col("label"), col("pos"))
+          .agg((sum(col("s")) / sum(col("n"))).as("c"))
+          .groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as("cvec"))
+        Ann.assignCells(vecs, cent)
+    }
+    val staged = assigned.withColumn("batch_id", lit(batchId)).cache()
+    graft.sources.Sinks.dynamicOverwrite(staged, indexDir, Seq("batch_id"))
+    graft.sources.Sinks.dynamicOverwrite(
+      staged.select(col("label"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("batch_id", lit(batchId)),
+      statsDir, Seq("batch_id"))
+    staged.unpersist()
+  }
+
   /** foreachBatch SCD2 upsert sink: each micro-batch is deduped to its
     * latest row per key and merged into the parquet dimension at `dimPath`
     * with [[Scd2.merge]] semantics.

@@ -171,6 +171,55 @@ class StreamingSpec extends SparkSpec {
     assert(after == before, s"dim changed after failed merge: $after vs $before")
   }
 
+  test("ivfIndexSink maintains a streamed IVF index: drifted centroids, idempotent replay") {
+    val dir = Files.createTempDirectory("ivfsink").toFile.getAbsolutePath
+    val sink = Streams.ivfIndexSink(spark, s"$dir/index", s"$dir/stats", k = 2) _
+    // Two well-separated clusters around (0,0) and (10,10).
+    def near(id: Long, cx: Double, cy: Double) =
+      (id, Seq(cx + id * 0.01, cy - id * 0.01))
+    val b1 = Seq(near(1, 0, 0), near(2, 0, 0), near(3, 10, 10), near(4, 10, 10))
+      .toDF("id", "vec")
+    val b2 = Seq(near(5, 0, 0), near(6, 10, 10)).toDF("id", "vec")
+    sink(b1, 0L) // bootstraps the quantizer
+    sink(b2, 1L) // assigns against stats-derived centroids
+    val idx = spark.read.parquet(s"$dir/index")
+    assert(idx.count() == 6)
+    val byLabel = idx.select("id", "label").as[(Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byLabel.values.toSet == Set(Set(1L, 2L, 5L), Set(3L, 4L, 6L)),
+      s"cluster assignment broken: $byLabel")
+
+    // Stats-derived centroids must equal the per-cell means of the indexed
+    // corpus exactly (the stream-maintained stats ARE that aggregation).
+    val fromStats = spark.read.parquet(s"$dir/stats")
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("s")) / sum(col("n"))).as("c"))
+      .as[(Long, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val fromIndex = graft.sim.Ann.cellCentroids(idx.drop("batch_id"))
+      .select(col("label"), posexplode(col("cvec")).as(Seq("pos", "c")))
+      .as[(Long, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(fromStats.keySet == fromIndex.keySet)
+    fromStats.foreach { case (key, c) =>
+      assert(math.abs(c - fromIndex(key)) < 1e-9, s"centroid drift mismatch at $key")
+    }
+
+    // Replay after a simulated post-write failure: no duplicates, same state.
+    sink(b2, 1L)
+    assert(spark.read.parquet(s"$dir/index").count() == 6)
+    // batch 2 = one vector per cell, two dims → four (label, pos) rows, n=1 each
+    assert(spark.read.parquet(s"$dir/stats").filter(col("batch_id") === 1L)
+      .select("n").as[Long].collect().sum == 4L)
+
+    // The streamed index is directly queryable by the IVF prober
+    // (re-read: the replay overwrote batch 1's files under the old listing).
+    val q = Seq((100L, Seq(0.1, 0.1))).toDF("id", "vec")
+    val fresh = spark.read.parquet(s"$dir/index")
+    val top = graft.sim.Ann.ivfTopK(fresh.drop("batch_id"), q, 1, 1)
+      .select("neighbor_id").as[Long].collect()
+    assert(top.length == 1 && Set(1L, 2L, 5L).contains(top.head),
+      s"IVF probe over streamed index returned $top")
+  }
+
   test("nearDupSink replays of the same batch are idempotent (no duplicate pairs)") {
     val dir = Files.createTempDirectory("neardup_replay").toFile.getAbsolutePath
     val sink = Streams.nearDupSink(spark, s"$dir/index", s"$dir/pairs") _
