@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev-only component profiler (not part of the driver contract). */
@@ -25,41 +25,53 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val s = spark
+    import graft.text.{TextFunctions => TF}
 
-    val slow = Seq("q22_simhash", "q56_tfidf", "q55_kmeans_cells",
-      "q39_dup_clusters", "q53_funnel", "q38_range_join",
-      "q20_ngram_jaccard", "q21_minhash_lsh", "q50_fuzzy_join")
+    def tfFrame(d: String) = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
 
-    // Bench-style warmup: one uncounted pass at sf0.001.
-    for (q <- slow)
-      time(s"warm $q") { SparkEntry.queries(q)(s, "/root/testdata/sf0.001").count() }
-
-    // Measured pass at sfDir, family order as in Bench (sorted).
-    for (q <- slow.sorted)
-      time(s"MEAS $q") { SparkEntry.queries(q)(s, sfDir).count() }
-
-    // ---- q39 decomposition: edges vs CC rounds ----
-    {
-      import graft.text.{MinHash, TextFunctions => TF}
-      val sh = MinHash.withShingles(Tables.documents(s, sfDir), "doc_id", "text")
-      val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 16)
-      val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 4, 2), "doc_id")
-      val edges = MinHash.jaccard(sh, cand, "doc_id")
-        .filter(col("jaccard") >= 0.5).select(col("id_a"), col("id_b"))
-      val mat = time("q39 edges materialize") { edges.localCheckpoint() }
-      time("q39 cc over materialized") {
-        graft.ops.Graph.connectedComponents(mat, "id_a", "id_b").count()
-      }
+    def finish(tf: DataFrame): Long = {
+      val dfreq = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+      tf.join(dfreq, "tok").crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf") * log(col("n_docs") * lit(1.0) / col("df")), 4))
+        .withColumn("term_rank", row_number().over(w))
+        .filter(col("term_rank") <= 3)
+        .select(col("doc_id"), col("term_rank"), col("tok").as("term"), col("score"))
+        .count()
     }
 
-    // ---- q55 decomposition: seed loop vs lloyd ----
-    {
-      import graft.sim.Ann
-      val v = Tables.embeddings(s, sfDir)
-        .select(col("vec_id").as("id"), Ann.toDouble(col("embedding")).as("vec"))
-      val base = time("q55 base checkpoint") { v.localCheckpoint() }
-      println(s"[scratch] q55 corpus rows = ${base.count()}")
-      time("q55 full kmeansCells") { Ann.kmeansCells(base, 4, 2).count() }
+    // window variant: df via count over tok-partition (tf is distinct per
+    // (doc, tok)); n_docs still needs one tiny agg over tf.
+    def finishWindow(tf: DataFrame): Long = {
+      val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+      val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+      tf.withColumn("df", count(lit(1)).over(wTok))
+        .crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf") * log(col("n_docs") * lit(1.0) / col("df")), 4))
+        .withColumn("term_rank", row_number().over(w))
+        .filter(col("term_rank") <= 3)
+        .select(col("doc_id"), col("term_rank"), col("tok").as("term"), col("score"))
+        .count()
+    }
+
+    // warm all three shapes at sf0.001
+    time("warm nocache") { finish(tfFrame("/root/testdata/sf0.001")) }
+    time("warm cache") { val t = tfFrame("/root/testdata/sf0.001").cache(); finish(t); t.unpersist() }
+    time("warm window") { finishWindow(tfFrame("/root/testdata/sf0.001")) }
+    for (rep <- 1 to 3) {
+      time(s"q56 nocache rep$rep") { finish(tfFrame(sfDir)) }
+      time(s"q56 cache   rep$rep") {
+        val t = tfFrame(sfDir).cache()
+        try finish(t) finally t.unpersist()
+      }
+      time(s"q56 ckpt    rep$rep") { finish(tfFrame(sfDir).localCheckpoint()) }
+      time(s"q56 window  rep$rep") { finishWindow(tfFrame(sfDir)) }
     }
     spark.stop()
   }

@@ -33,6 +33,11 @@ object ExtQueries {
     },
 
     // ---- q38: interval (range) join against overlapping value bands ----
+    // r3 bench recorded +1.1s vs r2 with an UNCHANGED plan (broadcast
+    // nested-loop against 25 bands + one agg); local re-measurement of the
+    // r3 binary runs at r2 parity (0.34-0.51s vs r2's 0.54s) — the delta
+    // was host contention in the driver run, not a plan property
+    // (SURVEY §7.10 has the full finding).
     "q38_range_join" -> { (s, d) =>
       val ranges = Tables.nation(s, d).select(
         col("n_nationkey").as("range_id"),
@@ -205,6 +210,11 @@ object ExtQueries {
     },
 
     // ---- q53: funnel: purchases preceded by a view within 1h (as-of) ----
+    // r3 bench recorded +2.0s vs r2; the AsOf struct carry was suspected,
+    // but it is already minimal here (2 carried columns) and local
+    // re-measurement of the r3 binary runs at r2 parity (0.49-0.84s vs
+    // r2's 0.79s) — the delta was host contention in the driver run
+    // (SURVEY §7.10).
     "q53_funnel" -> { (s, d) =>
       val ev = Tables.events(s, d)
       val views = ev.filter(col("event_type") === "view")

@@ -107,18 +107,24 @@ object TextQueries {
     // half-way points the way q24's 0.005-grid score did. Ranking orders
     // by the ROUNDED score + term tiebreak per the parity discipline.
     "q56_tfidf" -> { (s, d) =>
-      // Cached: three plan branches (scores, df, n_docs) read `tf`; uncached
-      // the tokenize+explode+groupBy subtree — the expensive part — would
-      // execute three times (same discipline as MinHash.signature).
+      // ONE tokenize+explode+TF pass: `tf` holds one row per (doc, tok),
+      // so document frequency is a plain count(*) window over the tok
+      // partition — the same shuffle a df-join would need, without
+      // re-deriving `tf` for a second aggregation (the r3 plan computed
+      // the tokenize subtree 3×; caching it instead measured SLOWER than
+      // recompute locally and is corpus-scale memory at 100 TB).
+      // n_docs comes from a cheap tokenize-only scan (no shuffle): every
+      // doc with ≥1 token — identical to countDistinct(doc_id) over tf.
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-        .cache()
-      val dfreq = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
-      val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+      val n = Tables.documents(s, d)
+        .filter(size(TF.tokens(col("text"))) > 0)
+        .agg(count(lit(1)).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
-      tf.join(dfreq, "tok").crossJoin(broadcast(n))
+      tf.withColumn("df", count(lit(1)).over(wTok)).crossJoin(broadcast(n))
         .withColumn("score", round(col("tf") * log(col("n_docs") * lit(1.0) / col("df")), 4))
         .withColumn("term_rank", row_number().over(w))
         .filter(col("term_rank") <= 3)
