@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev-only component profiler (not part of the driver contract). */
@@ -25,54 +25,21 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val s = spark
-    import graft.text.{TextFunctions => TF}
 
-    def tfFrame(d: String) = Tables.documents(s, d)
-      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    // SimHash wide-form plan: expect ONE Exchange under the fingerprint agg
+    // (plus the banded self-join exchanges), broadcast for the vocab join.
+    val fp = graft.text.SimHash.fingerprints(Tables.documents(s, sfDir), "doc_id", "text")
+    val fpPlan = fp.queryExecution.executedPlan.toString
+    println("[scratch] simhash exchanges=" +
+      fpPlan.linesIterator.count(_.contains("Exchange")) +
+      " broadcasts=" + fpPlan.linesIterator.count(_.contains("BroadcastExchange")))
 
-    def finish(tf: DataFrame): Long = {
-      val dfreq = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
-      val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
-      tf.join(dfreq, "tok").crossJoin(broadcast(n))
-        .withColumn("score", round(col("tf") * log(col("n_docs") * lit(1.0) / col("df")), 4))
-        .withColumn("term_rank", row_number().over(w))
-        .filter(col("term_rank") <= 3)
-        .select(col("doc_id"), col("term_rank"), col("tok").as("term"), col("score"))
-        .count()
-    }
-
-    // window variant: df via count over tok-partition (tf is distinct per
-    // (doc, tok)); n_docs still needs one tiny agg over tf.
-    def finishWindow(tf: DataFrame): Long = {
-      val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
-      val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
-      tf.withColumn("df", count(lit(1)).over(wTok))
-        .crossJoin(broadcast(n))
-        .withColumn("score", round(col("tf") * log(col("n_docs") * lit(1.0) / col("df")), 4))
-        .withColumn("term_rank", row_number().over(w))
-        .filter(col("term_rank") <= 3)
-        .select(col("doc_id"), col("term_rank"), col("tok").as("term"), col("score"))
-        .count()
-    }
-
-    // warm all three shapes at sf0.001
-    time("warm nocache") { finish(tfFrame("/root/testdata/sf0.001")) }
-    time("warm cache") { val t = tfFrame("/root/testdata/sf0.001").cache(); finish(t); t.unpersist() }
-    time("warm window") { finishWindow(tfFrame("/root/testdata/sf0.001")) }
-    for (rep <- 1 to 3) {
-      time(s"q56 nocache rep$rep") { finish(tfFrame(sfDir)) }
-      time(s"q56 cache   rep$rep") {
-        val t = tfFrame(sfDir).cache()
-        try finish(t) finally t.unpersist()
-      }
-      time(s"q56 ckpt    rep$rep") { finish(tfFrame(sfDir).localCheckpoint()) }
-      time(s"q56 window  rep$rep") { finishWindow(tfFrame(sfDir)) }
-    }
+    // q50 candidate volume: tiling-only vs tiling+deletion blocking.
+    val c = Tables.customer(s, sfDir)
+    val batch = c.filter(col("c_custkey") % 100 === 0)
+    val master = c.filter(col("c_custkey") % 100 =!= 0)
+    val linked = graft.ops.FuzzyLink.linkage(batch, master, "c_custkey", "c_name", 9, 2)
+    println(s"[scratch] q50 pairs=${time("q50 linkage")(linked.count())}")
     spark.stop()
   }
 }

@@ -308,6 +308,58 @@ object ExtQueries {
         .orderBy(col("c_custkey"))
     },
 
+    // ---- q62: incremental aggregate maintenance (gold refresh algebra) ----
+    // The 100 TB gold-refresh discipline: a stored per-(day, type)
+    // aggregate STATE is folded with the new window's partial aggregates —
+    // commutative (count, sum) algebra — instead of rescanning history;
+    // at scale the merged rows dynamically overwrite only the touched day
+    // partitions (Sinks.dynamicOverwrite). Sums run in DECIMAL so the
+    // two-level reassociation is EXACT and matches the oracle's one-pass
+    // sum (double addition is order-sensitive; decimal is not). The oracle
+    // is the full recompute — the check proves the merge algebra.
+    "q62_incremental_agg" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        col("value").cast("decimal(18,6)").as("v"))
+      def partial(df: DataFrame) = df.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("_n"), sum(col("v")).as("_s"))
+      val state = partial(ev.filter(col("day") < "2024-01-25")) // stored gold state
+      val delta = partial(ev.filter(col("day") >= "2024-01-25")) // new load window
+      state.unionByName(delta)
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum(col("_n")).as("n_events"),
+          round(sum(col("_s")), 2).cast("double").as("revenue"))
+        .select(col("day"), col("event_type"), col("n_events"), col("revenue"))
+        .orderBy(col("day"), col("event_type"))
+    },
+
+    // ---- q63: golden record (ER merge of duplicate clusters) ----
+    // The CDM harmonization end-step (reference: the 4_silver notebooks
+    // union two banks' customers into one entity): fuzzy-linked pairs →
+    // connected components → ONE golden row per entity cluster, with
+    // attribute survivorship: balance = members' max, segment = the
+    // surviving (min-key) member's, member count for lineage. The
+    // survivorship argmin is min(struct(key, attr)) — map-side
+    // combinable, no window.
+    "q63_golden_record" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val batch = c.filter(col("c_custkey") % 100 === 0)
+      val master = c.filter(col("c_custkey") % 100 =!= 0)
+      val pairs = graft.ops.FuzzyLink.linkage(batch, master, "c_custkey", "c_name", 9, 2)
+        .select(col("key_a"), col("key_b"))
+      Graph.connectedComponents(pairs, "key_a", "key_b")
+        .join(c, col("id") === col("c_custkey"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"),
+          round(max(col("c_acctbal")), 2).as("golden_bal"),
+          min(struct(col("c_custkey"), col("c_mktsegment")))
+            .getField("c_mktsegment").as("golden_segment"))
+        .select(col("label").as("cluster_id"), col("n_members"),
+          col("golden_bal"), col("golden_segment"))
+        .orderBy(col("cluster_id"))
+    },
+
     // ---- q57: equal-width histogram (value-distribution profiling) ----
     // Fixed literal bounds; the bucket is the same explicit double
     // arithmetic in both engines (DuckDB has no width_bucket). One
@@ -511,6 +563,32 @@ object ExtQueries {
          SELECT user_id, min(s) AS span_start, max(e) AS span_end,
            count(*)::BIGINT AS n_events
          FROM g GROUP BY user_id, grp ORDER BY user_id, span_start""",
+
+    "q62_incremental_agg" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           count(*) AS n_events,
+           round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS revenue
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q63_golden_record" ->
+      """WITH RECURSIVE c AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+             length(c_name) AS len FROM customer),
+         p AS (SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+           FROM c a JOIN c b ON a.len = b.len
+             AND a.c_custkey % 100 = 0 AND b.c_custkey % 100 <> 0
+           WHERE levenshtein(a.c_name, b.c_name) <= 2),
+         sym AS (SELECT key_a AS a, key_b AS b FROM p
+           UNION SELECT key_b, key_a FROM p),
+         reach(a, b) AS (
+           SELECT DISTINCT a, a FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         cc AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY 1)
+         SELECT cc.cluster_id, count(*) AS n_members,
+           round(max(c.c_acctbal), 2) AS golden_bal,
+           arg_min(c.c_mktsegment, c.c_custkey) AS golden_segment
+         FROM cc JOIN c ON cc.id = c.c_custkey
+         GROUP BY 1 ORDER BY 1""",
 
     "q61_snapshot_diff" ->
       """WITH o AS (SELECT c_custkey, round(c_acctbal, 2) AS old_bal
