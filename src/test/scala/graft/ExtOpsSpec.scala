@@ -123,4 +123,25 @@ class ExtOpsSpec extends SparkSpec {
       s"missing=${(truth -- blocked).take(5)} extra=${(blocked -- truth).take(5)}")
     assert(truth.nonEmpty)
   }
+
+  test("Sketches: merged daily HLL states equal the one-pass sketch; bounded error") {
+    import graft.ops.Sketches
+    val ev = Tables.events(spark, sfDir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+    // Incremental path: per-day sketch states, then merged estimate.
+    val daily = Sketches.sketchState(ev, Seq("day"), "user_id")
+    val incremental = Sketches.unionEstimate(daily, Nil)
+      .as[Long].head()
+    // Full-rebuild path: one sketch over the whole corpus.
+    val onePass = Sketches.unionEstimate(
+      Sketches.sketchState(ev.withColumn("g", lit(1)), Seq("g"), "user_id"), Nil)
+      .as[Long].head()
+    // The merge algebra must be lossless: union-of-substates == one-pass.
+    assert(incremental == onePass,
+      s"sketch merge not lossless: incremental=$incremental onePass=$onePass")
+    // And the estimate lands within the lgK=14 error envelope of the truth.
+    val exact = ev.select(countDistinct(col("user_id"))).as[Long].head()
+    assert(math.abs(incremental - exact).toDouble / exact < 0.05,
+      s"estimate $incremental vs exact $exact")
+  }
 }
