@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local mode = driver-only JVM; the box has 128 GiB and the bench
+  // accumulates caches + localCheckpoints across 63 queries — size the
+  // heap so storage never evicts and GC stays out of the measurement.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  // 63 queries × several whole-stage-codegen units × janino classes blow
+  // through the JVM's default 240 MB code cache; once it fills, the JIT
+  // stops compiling and everything from that point runs interpreted —
+  // which is a mid-bench cliff, not a graceful slowdown.
+  "-XX:ReservedCodeCacheSize=1g",
 )

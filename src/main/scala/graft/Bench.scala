@@ -10,6 +10,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // STATIC conf, default 100: the 63-query catalog compiles far more
+      // codegen units than that, so the default evicts and RECOMPILES
+      // (janino, ~100ms-seconds each) mid-measurement — the progressive
+      // slowdown observed from ~q20 onward in earlier rounds' benches.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.adaptive.enabled", "true")
       // Spark's own guidance: prefer the target partition size over raw
       // parallelism when coalescing — fewer, right-sized post-shuffle tasks

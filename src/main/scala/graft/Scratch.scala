@@ -19,27 +19,18 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val s = spark
-
-    // SimHash wide-form plan: expect ONE Exchange under the fingerprint agg
-    // (plus the banded self-join exchanges), broadcast for the vocab join.
-    val fp = graft.text.SimHash.fingerprints(Tables.documents(s, sfDir), "doc_id", "text")
-    val fpPlan = fp.queryExecution.executedPlan.toString
-    println("[scratch] simhash exchanges=" +
-      fpPlan.linesIterator.count(_.contains("Exchange")) +
-      " broadcasts=" + fpPlan.linesIterator.count(_.contains("BroadcastExchange")))
-
-    // q50 candidate volume: tiling-only vs tiling+deletion blocking.
-    val c = Tables.customer(s, sfDir)
-    val batch = c.filter(col("c_custkey") % 100 === 0)
-    val master = c.filter(col("c_custkey") % 100 =!= 0)
-    val linked = graft.ops.FuzzyLink.linkage(batch, master, "c_custkey", "c_name", 9, 2)
-    println(s"[scratch] q50 pairs=${time("q50 linkage")(linked.count())}")
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    for (q <- SparkEntry.queries.keys.toSeq.sorted if only.forall(_.contains(q)))
+      time(s"warm $q") { SparkEntry.queries(q)(s, "/root/testdata/sf0.001").count() }
+    for (q <- SparkEntry.queries.keys.toSeq.sorted if only.forall(_.contains(q)))
+      time(s"MEAS $q") { SparkEntry.queries(q)(s, sfDir).count() }
     spark.stop()
   }
 }
