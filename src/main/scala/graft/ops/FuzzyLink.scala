@@ -111,5 +111,10 @@ object FuzzyLink {
       // O(maxDist·n) per rejected candidate — most candidates reject.
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
       .filter(col("dist") >= 0)
+      // Cached (family discipline, as MinHash.signature): the linkage
+      // feeds both the pair query (q50) and entity clustering / golden
+      // record (q63) — identical plans share one materialization. Linked
+      // pairs are far smaller than their inputs.
+      .cache()
   }
 }

@@ -124,6 +124,19 @@ class ExtOpsSpec extends SparkSpec {
     assert(truth.nonEmpty)
   }
 
+  test("FuzzyLink catches equal-length insert+delete shifts (tiling alone misses them)") {
+    import graft.ops.FuzzyLink
+    // 'xabc' vs 'xbca': delete 'a' + insert 'a' at the end — lev 2, but the
+    // shifted run disagrees with every 1-char tiling segment of suffix
+    // 'abc'/'bca'; only the deletion-variant pass (common variant 'bc')
+    // can block them together.
+    val batch = Seq((1L, "xabc")).toDF("k", "nm")
+    val master = Seq((10L, "xbca"), (11L, "zzzz")).toDF("k", "nm")
+    val out = FuzzyLink.linkage(batch, master, "k", "nm", 3, 2)
+      .select("key_a", "key_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 10L, 2)), s"shift pair not linked: $out")
+  }
+
   test("Sketches: merged daily HLL states equal the one-pass sketch; bounded error") {
     import graft.ops.Sketches
     val ev = Tables.events(spark, sfDir)
