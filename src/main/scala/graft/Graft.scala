@@ -16,6 +16,9 @@ object Graft {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // STATIC conf, default 100 — far too small for a wide query catalog
+      // in one session; evictions trigger janino recompilation mid-run.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     shufflePartitions.fold(b)(n => b.config("spark.sql.shuffle.partitions", n))
