@@ -119,6 +119,68 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("FuzzyLink equals the full Levenshtein≤2 truth on random corpora (incl. shifts)") {
+    // Stronger than the substitution property above: the driver-side DP
+    // truth includes equal-length insert+delete pairs, so this falsifies
+    // any blocking scheme that misses shifts (and any that emits extras).
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val name = Gen.listOfN(8, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val gen = for {
+      nb <- Gen.choose(1, 4)
+      nm <- Gen.choose(2, 8)
+      bs <- Gen.listOfN(nb, name)
+      ms <- Gen.listOfN(nm, name)
+    } yield (bs.distinct, ms.distinct)
+    check(forAll(gen) { case (bs, ms) =>
+      val batch = bs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val master = ms.zipWithIndex.map { case (s, i) => (1000L + i, s) }
+      val got = graft.ops.FuzzyLink.linkage(
+          batch.toDF("key", "name"), master.toDF("key", "name"),
+          "key", "name", 6, 2)
+        .select("key_a", "key_b", "dist").as[(Long, Long, Int)].collect().toSet
+      val want = (for {
+        (ka, na) <- batch; (kb, nb2) <- master
+        d = lev(na, nb2) if d <= 2
+      } yield (ka, kb, d)).toSet
+      got == want
+    })
+  }
+
+  test("incremental (count, sum) state merge equals the one-pass aggregation") {
+    // The q62 algebra on random data and a random split point: folding the
+    // stored partial state with the new window's partials must equal the
+    // full recompute exactly (DECIMAL sums — no float reassociation slack).
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 4), Gen.choose(0L, 100000L)))
+      split <- Gen.choose(0, 5)
+    } yield (rows, split)
+    check(forAll(gen) { case (rows, split) =>
+      val df = rows.toDF("day", "cents")
+        .select(col("day"), (col("cents") / 100.0).cast("decimal(18,2)").as("v"))
+      def partial(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy("day").agg(count(lit(1)).as("_n"), sum(col("v")).as("_s"))
+      val merged = partial(df.filter(col("day") < split))
+        .unionByName(partial(df.filter(col("day") >= split)))
+        .groupBy("day").agg(sum(col("_n")).as("n"), sum(col("_s")).as("s"))
+        .as[(Int, Long, java.math.BigDecimal)].collect()
+        .map(r => r._1 -> ((r._2, r._3.stripTrailingZeros))).toMap
+      val onePass = df.groupBy("day")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .as[(Int, Long, java.math.BigDecimal)].collect()
+        .map(r => r._1 -> ((r._2, r._3.stripTrailingZeros))).toMap
+      merged == onePass
+    })
+  }
+
   test("skewSafeSum equals the one-phase groupBy sum on random data") {
     val gen = for {
       n <- Gen.choose(1, 60)
