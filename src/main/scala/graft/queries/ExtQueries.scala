@@ -318,14 +318,19 @@ object ExtQueries {
     // sum (double addition is order-sensitive; decimal is not). The oracle
     // is the full recompute — the check proves the merge algebra.
     "q62_incremental_agg" -> { (s, d) =>
-      val ev = Tables.events(s, d).select(
+      // The state/delta split filters on the TIMESTAMP, not the derived
+      // day string: a ts predicate pushes to the scan / prunes partitions
+      // in a real layout (UTC session, so midnight-cutoff ≡ the day
+      // boundary); a date_format string compare never does.
+      val cutoff = lit("2024-01-25").cast("timestamp")
+      val ev = Tables.events(s, d).select(col("ts"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"),
         col("event_type"),
         col("value").cast("decimal(18,6)").as("v"))
       def partial(df: DataFrame) = df.groupBy(col("day"), col("event_type"))
         .agg(count(lit(1)).as("_n"), sum(col("v")).as("_s"))
-      val state = partial(ev.filter(col("day") < "2024-01-25")) // stored gold state
-      val delta = partial(ev.filter(col("day") >= "2024-01-25")) // new load window
+      val state = partial(ev.filter(col("ts") < cutoff)) // stored gold state
+      val delta = partial(ev.filter(col("ts") >= cutoff)) // new load window
       state.unionByName(delta)
         .groupBy(col("day"), col("event_type"))
         .agg(sum(col("_n")).as("n_events"),
