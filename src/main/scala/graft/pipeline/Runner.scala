@@ -87,11 +87,20 @@ object Runner {
     * rows are unchanged: each load is a self-contained job and Spark
     * schedules concurrent jobs from one session fine; only the audit
     * append is serialized (see [[graft.meta.Audit.log]]).
+    *
+    * `objectStoreCommit = true` publishes full refreshes through
+    * [[graft.sources.Sinks.publishVersioned]] (manifest-pointer commit —
+    * the swap an object store can do atomically) instead of the
+    * rename-based [[graft.sources.Sinks.overwriteAtomic]]; readers then
+    * resolve tables via [[graft.sources.Sinks.readCurrent]]. Incremental
+    * appends are unchanged (appending new files is already safe on an
+    * object store — nothing existing is touched).
     */
   def run(spark: SparkSession, configPath: String, outDir: String, auditDir: String,
       runId: String, source: String => DataFrame,
       transform: Map[String, DataFrame => DataFrame] = Map.empty,
-      maxAttempts: Int = 1, parallelism: Int = 1): Seq[LoadResult] = {
+      maxAttempts: Int = 1, parallelism: Int = 1,
+      objectStoreCommit: Boolean = false): Seq[LoadResult] = {
     val watermarks = lastWatermarks(spark, auditDir)
 
     // ADF-style per-activity retry. DataFrames are lazy, so transient
@@ -132,6 +141,7 @@ object Runner {
 
           val path = s"$outDir/${e.qualifiedName}"
           if (windowedLoad) staged.write.mode("append").parquet(path)
+          else if (objectStoreCommit) graft.sources.Sinks.publishVersioned(staged, path)
           else graft.sources.Sinks.overwriteAtomic(staged, path)
 
           // The staged frame was just written, so the metric is delivered

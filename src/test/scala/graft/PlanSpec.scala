@@ -96,6 +96,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "sign table should broadcast-join")
   }
 
+  test("q22 simhash fingerprint build: one wide aggregation, broadcast vocab") {
+    // The fully-wide form carries 60 parallel bit-sums through ONE
+    // groupBy(doc): regression shapes (per-bit explode, 3×20 bit-group
+    // split) multiply the first shuffle's rows and add an aggregation.
+    import graft.text.SimHash
+    val p = SimHash.fingerprints(Tables.documents(spark, sfDir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3, s"expected <=3 hash exchanges in fingerprint build, got $exchanges:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "token-hash vocab should broadcast-join")
+    assert(!p.linesIterator.exists(l => l.contains("Generate explode(sequence")),
+      "bit-group explode crept back into the fingerprint build")
+  }
+
+  test("q62 incremental merge: both windows reach the scan as data filters") {
+    // The state/delta split must filter on ts (scan-level, pushable /
+    // partition-prunable in a real layout) — not on the derived day string.
+    val p = plan("q62_incremental_agg")
+    val filters = p.linesIterator.filter(_.trim.startsWith("+- Filter")).toSeq ++
+      p.linesIterator.filter(_.contains("Filter (")).toSeq
+    assert(filters.nonEmpty, s"no filters in the split plan:\n$p")
+    assert(!filters.exists(_.contains("date_format")),
+      s"day-string filtering replaced the ts predicate:\n${filters.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the q01 aggregation") {
     // Under AQE the codegen spans only appear in the finalized plan, and
     // simpleString renders them as "*(n)" stage markers.
