@@ -175,6 +175,39 @@ object TextQueries {
         .orderBy(col("batch_id"), col("corpus_id"))
     },
 
+    // ---- q64: canonical-doc selection (keep best per dup cluster) ----
+    // The curation end-step the dedup family feeds: near-dup clusters
+    // (shared k=16 signature → bands → jaccard → connected components)
+    // joined with the q24 composite quality score; each cluster keeps its
+    // highest-quality member, ties on the smaller doc_id. The argmax is
+    // max(struct(quality, -doc_id)) — map-side combinable, no window over
+    // the corpus. Quality uses the same floor-scaled integer grid as
+    // q58, so the argmax is tie-free across engines.
+    "q64_keep_best" -> { (s, d) =>
+      val sh = MinHash.withShingles(Tables.documents(s, d), "doc_id", "text")
+      val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 16)
+      val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 4, 2), "doc_id")
+      val edges = MinHash.jaccard(sh, cand, "doc_id")
+        .filter(col("jaccard") >= 0.5).select(col("id_a"), col("id_b"))
+      val toks = TF.tokens(col("text"))
+      val nChars = length(col("text"))
+      val punctRatio = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")) * lit(1.0) / nChars
+      val alphaRatio = length(regexp_replace(col("text"), "[^a-zA-Z]", "")) * lit(1.0) / nChars
+      val score = least(lit(1.0), size(toks) / lit(100.0)) * 0.5 +
+        alphaRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), floor(score * 10000d + 0.5d).as("_th"))
+      graft.ops.Graph.connectedComponents(edges, "id_a", "id_b")
+        .join(scored, col("id") === col("doc_id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("_th"), (-col("doc_id")).as("_neg"))).as("_m"))
+        .select(col("label").as("cluster_id"), col("n_members"),
+          (-col("_m.`_neg`")).as("kept_doc"),
+          (col("_m.`_th`") / 10000d).as("kept_quality"))
+        .orderBy(col("cluster_id"))
+    },
+
     // ---- q25: token counting (whitespace + BPE-ish regex) ----
     "q25_token_count" -> { (s, d) =>
       Tables.documents(s, d)
@@ -372,6 +405,38 @@ object TextQueries {
          SELECT doc_id, th / 10000 AS quality_score FROM s
          WHERE ${h60("doc_id::VARCHAR")} % 10000 < th
          ORDER BY doc_id""",
+
+    "q64_keep_best" ->
+      s"""WITH RECURSIVE $SHINGLES_CTE,
+         ${minhashCte(4)},
+         bands AS (SELECT doc_id, salt // 2 AS band, sum(minh) AS band_val
+           FROM mh GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id),
+         $JACCARD_TAIL,
+         ej AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+         sym AS (SELECT id_a AS a, id_b AS b FROM ej
+           UNION SELECT id_b, id_a FROM ej),
+         reach(a, b) AS (
+           SELECT DISTINCT a, a FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         cc AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY 1),
+         qt AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
+         sq AS (SELECT doc_id,
+             floor((least(1.0, len(toks) / 100.0) * 0.5
+               + len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / len(text) * 0.3
+               + (1.0 - len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / len(text)) * 0.2)
+               * 10000 + 0.5) AS th
+           FROM qt),
+         r AS (SELECT cc.cluster_id, s.doc_id, s.th,
+             row_number() OVER (PARTITION BY cc.cluster_id
+               ORDER BY s.th DESC, s.doc_id) AS rn,
+             count(*) OVER (PARTITION BY cc.cluster_id) AS n_members
+           FROM cc JOIN sq s ON cc.id = s.doc_id)
+         SELECT cluster_id, n_members, doc_id AS kept_doc, th / 10000 AS kept_quality
+         FROM r WHERE rn = 1 ORDER BY cluster_id""",
 
     "q26_fingerprint" ->
       s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
