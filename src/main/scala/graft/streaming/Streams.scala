@@ -243,6 +243,37 @@ object Streams {
     staged.unpersist()
   }
 
+  /** foreachBatch incremental gold-aggregate sink — the streaming face of
+    * the q62 merge algebra: each micro-batch lands its per-(group) partial
+    * aggregates (count + DECIMAL sum — exact under any reassociation) in
+    * its own batch_id partition; [[readGoldAgg]] folds the partials into
+    * the current aggregate. History is NEVER rescanned — per batch this
+    * writes one groupBy over the batch, metadata-rate rows.
+    *
+    * Replay-idempotent via the same batch_id dynamic-overwrite discipline
+    * as the other sinks. Compaction (merging many batch partitions into
+    * one) is caller policy, exactly like any log-structured store.
+    *
+    * `groupCols` must not include the reserved `_n`/`_s`/`batch_id`.
+    */
+  def goldAggSink(spark: SparkSession, statsDir: String, groupCols: Seq[String],
+      valueCol: String)(batch: DataFrame, batchId: Long): Unit =
+    graft.sources.Sinks.dynamicOverwrite(
+      batch.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("_n"),
+          sum(col(valueCol).cast("decimal(28,6)")).as("_s"))
+        .withColumn("batch_id", lit(batchId)),
+      statsDir, Seq("batch_id"))
+
+  /** Current aggregate from the partial-state log written by
+    * [[goldAggSink]]: fold counts and exact decimal sums across batches.
+    */
+  def readGoldAgg(spark: SparkSession, statsDir: String,
+      groupCols: Seq[String]): DataFrame =
+    spark.read.parquet(statsDir)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("_n")).as("n_rows"), sum(col("_s")).as("sum_value"))
+
   /** foreachBatch SCD2 upsert sink: each micro-batch is deduped to its
     * latest row per key and merged into the parquet dimension at `dimPath`
     * with [[Scd2.merge]] semantics.

@@ -220,6 +220,25 @@ class StreamingSpec extends SparkSpec {
       s"IVF probe over streamed index returned $top")
   }
 
+  test("goldAggSink maintains exact incremental aggregates across batches and replays") {
+    val dir = Files.createTempDirectory("goldagg").toFile.getAbsolutePath
+    val sink = Streams.goldAggSink(spark, s"$dir/stats", Seq("event_type"), "value") _
+    val b1 = Seq(("click", 1.25), ("view", 2.50), ("click", 0.25)).toDF("event_type", "value")
+    val b2 = Seq(("click", 10.00), ("purchase", 5.75)).toDF("event_type", "value")
+    sink(b1, 0L)
+    sink(b2, 1L)
+    sink(b2, 1L) // replay after a simulated post-write failure
+    val agg = Streams.readGoldAgg(spark, s"$dir/stats", Seq("event_type"))
+      .select(col("event_type"), col("n_rows"), col("sum_value").cast("double"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // equals the one-pass aggregation over all data, no duplicates from replay
+    assert(agg == Map(
+      "click" -> ((3L, 11.50)), "view" -> ((1L, 2.50)), "purchase" -> ((1L, 5.75))), agg)
+    // state is metadata-rate: one row per (batch, group), not per input row
+    // (batch 0 has 3 input rows but 2 groups; batch 1 has 2 groups)
+    assert(spark.read.parquet(s"$dir/stats").count() == 4)
+  }
+
   test("nearDupSink replays of the same batch are idempotent (no duplicate pairs)") {
     val dir = Files.createTempDirectory("neardup_replay").toFile.getAbsolutePath
     val sink = Streams.nearDupSink(spark, s"$dir/index", s"$dir/pairs") _
