@@ -58,12 +58,20 @@ object Bench {
       SparkEntry.queries("q25_token_count")(spark, sfDir).count()
       SparkEntry.queries("q28_ann_lsh")(spark, sfDir).count()
     }
+    // One measured rep per query by default: the family-cache design
+    // (q20 materializes the signature q21/q39 reuse) makes a min-of-N
+    // estimator unrepresentative — rep 2 of a cache-building query would
+    // record its cache-HIT time. SPARK_GRAFT_REPS is a dev knob only.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -73,7 +81,7 @@ object Bench {
     // excluding one-shot JIT/codegen cost (paid once per plan shape in a
     // production deployment, not per run).
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""methodology":"steady-state","warm_dir":"$warmDir","warmup_failures":$warmFails}""")
+      s""""methodology":"steady-state x$reps","warm_dir":"$warmDir","warmup_failures":$warmFails}""")
     spark.stop()
   }
 }
