@@ -138,6 +138,7 @@ object Ann {
     val sample = base.withColumn("_h", md5(col("id").cast("string")))
       .orderBy(col("_h"), col("id")).limit(sampleN)
       .select(col("id"), col("vec")).as[(Long, Seq[Double])].collect()
+    if (sample.isEmpty) return base.withColumn("label", lit(0L)).limit(0)
     def d2(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }

@@ -257,13 +257,16 @@ object Streams {
     * `groupCols` must not include the reserved `_n`/`_s`/`batch_id`.
     */
   def goldAggSink(spark: SparkSession, statsDir: String, groupCols: Seq[String],
-      valueCol: String)(batch: DataFrame, batchId: Long): Unit =
+      valueCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    val reserved = Seq("_n", "_s", "batch_id").intersect(groupCols)
+    require(reserved.isEmpty, s"reserved group columns: ${reserved.mkString(", ")}")
     graft.sources.Sinks.dynamicOverwrite(
       batch.groupBy(groupCols.map(col): _*)
         .agg(count(lit(1)).as("_n"),
           sum(col(valueCol).cast("decimal(28,6)")).as("_s"))
         .withColumn("batch_id", lit(batchId)),
       statsDir, Seq("batch_id"))
+  }
 
   /** Current aggregate from the partial-state log written by
     * [[goldAggSink]]: fold counts and exact decimal sums across batches.
