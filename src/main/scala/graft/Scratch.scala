@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev-only component profiler (not part of the driver contract). */
 object Scratch {
@@ -26,11 +25,11 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val s = spark
-    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
-    for (q <- SparkEntry.queries.keys.toSeq.sorted if only.forall(_.contains(q)))
+    for (q <- Seq("q20_ngram_jaccard", "q21_minhash_lsh"))
       time(s"warm $q") { SparkEntry.queries(q)(s, "/root/testdata/sf0.001").count() }
-    for (q <- SparkEntry.queries.keys.toSeq.sorted if only.forall(_.contains(q)))
-      time(s"MEAS $q") { SparkEntry.queries(q)(s, sfDir).count() }
+    time("q20 sf0.1") { SparkEntry.queries("q20_ngram_jaccard")(s, sfDir).count() }
+    for (i <- 1 to 5)
+      time(s"q21 sf0.1 rep$i") { SparkEntry.queries("q21_minhash_lsh")(s, sfDir).count() }
     spark.stop()
   }
 }

@@ -45,10 +45,13 @@ object TextQueries {
     },
 
     // ---- q21: MinHash signature + banded LSH + verify ----
+    // `cand` is cached: both verify branches (exact jaccard + signature
+    // similarity) consume it, and candidate pairs are tiny next to the
+    // bands self-join that produces them.
     "q21_minhash_lsh" -> { (s, d) =>
       val sh = MinHash.withShingles(Tables.documents(s, d), "doc_id", "text")
       val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 16)
-      val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 16, 4), "doc_id")
+      val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 16, 4), "doc_id").cache()
       val sigSim = MinHash.signatureSimilarity(cand, sig, "doc_id", 16)
       MinHash.jaccard(sh, cand, "doc_id")
         .join(sigSim, Seq("id_a", "id_b"))
