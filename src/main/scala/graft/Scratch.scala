@@ -2,7 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only component profiler (not part of the driver contract). */
+/** Dev-only component profiler (not part of the driver contract): warms
+  * then measures the catalog (optionally filtered by SPARK_GRAFT_QUERIES)
+  * with per-query timing lines, in the same session shape as Bench.
+  */
 object Scratch {
   def time[T](name: String)(f: => T): T = {
     val t0 = System.nanoTime(); val r = f
@@ -25,11 +28,11 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val s = spark
-    for (q <- Seq("q20_ngram_jaccard", "q21_minhash_lsh"))
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    for (q <- SparkEntry.queries.keys.toSeq.sorted if only.forall(_.contains(q)))
       time(s"warm $q") { SparkEntry.queries(q)(s, "/root/testdata/sf0.001").count() }
-    time("q20 sf0.1") { SparkEntry.queries("q20_ngram_jaccard")(s, sfDir).count() }
-    for (i <- 1 to 5)
-      time(s"q21 sf0.1 rep$i") { SparkEntry.queries("q21_minhash_lsh")(s, sfDir).count() }
+    for (q <- SparkEntry.queries.keys.toSeq.sorted if only.forall(_.contains(q)))
+      time(s"MEAS $q") { SparkEntry.queries(q)(s, sfDir).count() }
     spark.stop()
   }
 }
