@@ -55,10 +55,29 @@ object Audit {
     * (reference: 1_audit/fetch_logs.py:23-27 filters on source_system AND
     * source_object) — two systems landing same-named tables carry
     * independent watermarks.
+    *
+    * A load writes a `running` row at START and a terminal row at end
+    * (reference: 1_audit/audit_start.py / audit_end.py) — so a load whose
+    * JVM died mid-write is VISIBLE here as `running` (vs "never ran").
+    * The end_time-desc order prefers the terminal row of a completed run;
+    * on an exact end_time tie (sub-millisecond load) the terminal row
+    * still wins via the status-priority tiebreak.
     */
   def latestRuns(spark: SparkSession, auditDir: String): DataFrame =
     graft.ops.Dedup.latestPerKey(
       spark.read.parquet(auditDir),
+      Seq("source_system", "source_object"),
+      Seq(col("end_time").desc,
+        when(col("status") === "running", 0).otherwise(1).desc,
+        col("run_id").desc))
+
+  /** Latest COMPLETED run per key: `running` rows are crash/in-flight
+    * markers, not outcomes — watermark carry-forward must read through
+    * them to the last terminal row, never treat them as state.
+    */
+  def latestCompletedRuns(spark: SparkSession, auditDir: String): DataFrame =
+    graft.ops.Dedup.latestPerKey(
+      spark.read.parquet(auditDir).filter(col("status") =!= "running"),
       Seq("source_system", "source_object"),
       Seq(col("end_time").desc, col("run_id").desc))
 }

@@ -32,9 +32,25 @@ object LoadConfig {
 
   /** Read a load-config CSV (header row, reference column names). The
     * `source_system` column is optional — single-system configs omit it.
+    *
+    * FAIL-FAST contract (reference: pl_ingestion_bronze.json guards the
+    * config with GetMetadata + explicit Fail activities): a missing path
+    * or a header lacking the required columns raises a NAMED error here,
+    * at the orchestration boundary — not whatever Spark happens to throw
+    * three operators later.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(s"load config not found at $path")
     val raw = spark.read.option("header", "true").csv(path)
+    val required = Seq("source_type", "table_name", "is_active", "load_mode",
+      "watermark_column")
+    val missing = required.filterNot(raw.columns.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"load config at $path is invalid: missing column(s) ${missing.mkString(", ")}")
     val sys = if (raw.columns.contains("source_system"))
       coalesce(col("source_system"), lit("")) else lit("")
     raw.select(col("source_type"), sys.as("source_system"), col("table_name"),

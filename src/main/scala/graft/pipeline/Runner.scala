@@ -43,7 +43,9 @@ object Runner {
   private def lastWatermarks(spark: SparkSession,
       auditDir: String): Map[(String, String), String] =
     try {
-      Audit.latestRuns(spark, auditDir)
+      // Completed runs only: a `running` row left by a crashed load is a
+      // diagnostic marker, not state — carry-forward reads through it.
+      Audit.latestCompletedRuns(spark, auditDir)
         .filter(col("status") === "succeeded" && col("watermark_value").isNotNull)
         .select(col("source_system"), col("source_object"), col("watermark_value"))
         .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
@@ -114,6 +116,13 @@ object Runner {
     def loadOne(e: LoadConfig.Entry): LoadResult = {
       val start = new Timestamp(System.currentTimeMillis())
       val wmKey = (e.sourceSystem, e.tableName)
+      // Crash-visible start marker (reference: 1_audit/audit_start.py): a
+      // JVM killed mid-load leaves this `running` row, so operators can
+      // tell "died mid-load" from "never ran". The terminal row below
+      // supersedes it in Audit.latestRuns; lastWatermarks ignores it.
+      Audit.log(spark, auditDir, Audit.Run(runId, e.sourceSystem, e.tableName,
+        e.loadMode, e.watermarkColumn.getOrElse(""),
+        watermarks.get(wmKey).orNull, 0L, "running", start, start))
       try {
         val incremental = e.loadMode == "incremental" && e.watermarkColumn.isDefined
         // Bootstrap-then-incremental (reference: pl_bootstrap.json +
@@ -183,6 +192,42 @@ object Runner {
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       try Await.result(Future.sequence(entries.map(e => Future(loadOne(e)))), Duration.Inf)
       finally pool.shutdown()
+    }
+  }
+
+  /** One stage of a master pipeline: `body` returns true on success. */
+  final case class Stage(name: String, body: SparkSession => Boolean)
+
+  final case class StageResult(stage: String, status: String)
+
+  /** Staged master pipeline — the reference's `pl_master.json`
+    * ExecutePipeline chain (ingestion → bronze-to-silver → silver-to-gold,
+    * each stage dependsOn the previous one's Succeeded): run `stages` in
+    * order; the first failure GATES every later stage (recorded `skipped`,
+    * never executed). Each stage writes a `running` audit row at start and
+    * a terminal row at end under source_system `master`, so a crashed
+    * stage is visible and a finished master run reads as a clean
+    * stage-per-row trace.
+    *
+    * A stage wrapping [[run]] succeeds when every table load did:
+    * `Stage("ingestion", s => Runner.run(...).forall(_.status == "succeeded"))`.
+    */
+  def master(spark: SparkSession, auditDir: String, runId: String,
+      stages: Seq[Stage]): Seq[StageResult] = {
+    var gate = true
+    stages.map { st =>
+      val start = new Timestamp(System.currentTimeMillis())
+      def audit(status: String): Unit =
+        Audit.log(spark, auditDir, Audit.Run(runId, "master", st.name, "stage",
+          "", null, 0L, status, start, new Timestamp(System.currentTimeMillis())))
+      if (!gate) { audit("skipped"); StageResult(st.name, "skipped") }
+      else {
+        audit("running")
+        val ok = try st.body(spark) catch { case _: Exception => false }
+        audit(if (ok) "succeeded" else "failed")
+        if (!ok) gate = false
+        StageResult(st.name, if (ok) "succeeded" else "failed")
+      }
     }
   }
 }

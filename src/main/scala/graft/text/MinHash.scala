@@ -150,6 +150,18 @@ object MinHash {
 
   /** Exact Jaccard for candidate pairs via array set ops (no shingle
     * explosion — only candidate docs' arrays are touched).
+    *
+    * Deliberately joins the ARRAY form per side, re-evaluating its
+    * tokenize+shingle plan twice: an interleaved same-session A/B (r5)
+    * against the "obvious" improvement — rebuilding candidate arrays from
+    * the cached flat rows via a broadcast semi-join on candidate ids —
+    * measured the semi-join shape SLOWER (1.7-2.6s vs 1.0-1.4s full-q20 at
+    * sf0.1): the broadcast exchange forces the whole candidate sub-plan to
+    * run as a serial upstream job, while this shape keeps both array scans
+    * inside one pipelined join job (the pairs side broadcasts — candidates
+    * are tiny). At cluster scale the two corpus passes are the bigger
+    * term; flip there by semi-joining the persisted flat rows on the
+    * candidate ids first.
     */
   def jaccard(shingleDf: DataFrame, pairs: DataFrame, id: String): DataFrame =
     pairs

@@ -22,6 +22,51 @@ class MetaSpec extends SparkSpec {
     assert(entries.find(_.tableName == "accounts").get.watermarkColumn.isEmpty)
   }
 
+  test("LoadConfig fails fast with a named error on a missing or invalid config") {
+    val dir = Files.createTempDirectory("cfg_bad").toFile.getAbsolutePath
+    val missing = intercept[IllegalArgumentException] {
+      LoadConfig.activeEntries(spark, s"$dir/nope/load_config.csv")
+    }
+    assert(missing.getMessage.contains(s"load config not found at $dir/nope/load_config.csv"))
+
+    // wrong header → named "invalid" error listing what's absent
+    Files.writeString(java.nio.file.Paths.get(s"$dir/bad.csv"),
+      "table,mode\naccounts,full\n")
+    val invalid = intercept[IllegalArgumentException] {
+      LoadConfig.activeEntries(spark, s"$dir/bad.csv")
+    }
+    assert(invalid.getMessage.contains("invalid") &&
+      invalid.getMessage.contains("table_name"), invalid.getMessage)
+
+    // empty file → also the named contract, not a Spark internal
+    Files.writeString(java.nio.file.Paths.get(s"$dir/empty.csv"), "")
+    val empty = intercept[IllegalArgumentException] {
+      LoadConfig.activeEntries(spark, s"$dir/empty.csv")
+    }
+    assert(empty.getMessage.contains("invalid"), empty.getMessage)
+  }
+
+  test("Audit prefers terminal rows over running markers in the status views") {
+    val dir = Files.createTempDirectory("audit_run").toFile.getAbsolutePath
+    val base = Audit.Run("r1", "", "tx", "incremental", "ts", "2024-01-30", 0L,
+      "running", new Timestamp(1000), new Timestamp(1000))
+    Audit.log(spark, s"$dir/log", base)
+    // terminal row with the SAME end_time (sub-ms load): status priority
+    // must still pick it over the running marker
+    Audit.log(spark, s"$dir/log", base.copy(status = "succeeded", rows_processed = 5L))
+    val latest = Audit.latestRuns(spark, s"$dir/log").collect()
+    assert(latest.length == 1 && latest(0).getAs[String]("status") == "succeeded")
+    // completed view never surfaces running rows at all
+    Audit.log(spark, s"$dir/log", base.copy(run_id = "r2",
+      start_time = new Timestamp(5000), end_time = new Timestamp(5000)))
+    val completed = Audit.latestCompletedRuns(spark, s"$dir/log").collect()
+    assert(completed.length == 1 && completed(0).getAs[String]("run_id") == "r1")
+    // ... while the status view shows the in-flight r2
+    val status = Audit.latestRuns(spark, s"$dir/log").collect()
+    assert(status(0).getAs[String]("run_id") == "r2" &&
+      status(0).getAs[String]("status") == "running")
+  }
+
   test("Audit logs runs and captures new watermarks") {
     val dir = Files.createTempDirectory("audit").toFile.getAbsolutePath
     val run = Audit.Run("r1", "", "events", "incremental", "ts", "2024-01-30", 1000L,

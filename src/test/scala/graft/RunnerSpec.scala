@@ -41,10 +41,14 @@ class RunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out/tx").count() == 3) // appended only the new row
     assert(spark.read.parquet(s"$dir/out/dim").count() == 2) // full refresh
 
-    // audit log: one row per (run, table)
+    // audit log: a `running` start row + a terminal row per (run, table)
     val audit = spark.read.parquet(s"$dir/audit")
-    assert(audit.count() == 4)
+    assert(audit.count() == 8)
     assert(audit.filter(col("status") === "succeeded").count() == 4)
+    assert(audit.filter(col("status") === "running").count() == 4)
+    // the status view prefers the terminal row of each completed load
+    val latest = graft.meta.Audit.latestRuns(spark, s"$dir/audit")
+    assert(latest.filter(col("status") =!= "succeeded").count() == 0)
   }
 
   test("Runner isolates per-table failures and audits them") {
@@ -147,7 +151,8 @@ class RunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out/bank_b.orders").count() == 2)
     assert(spark.read.parquet(s"$dir/out/bank_a.orders").count() == 1)
     val audit = spark.read.parquet(s"$dir/audit")
-    assert(audit.filter(col("source_system") === "bank_b").count() == 2)
+    // 2 runs × (running + succeeded) rows
+    assert(audit.filter(col("source_system") === "bank_b").count() == 4)
   }
 
   test("Runner dispatches tables concurrently with per-table failure isolation") {
@@ -178,7 +183,7 @@ class RunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out/t1").count() == 1)
     assert(spark.read.parquet(s"$dir/out/t2").count() == 1)
     val audit = spark.read.parquet(s"$dir/audit")
-    assert(audit.count() == 3 && audit.filter(col("status") === "failed").count() == 1)
+    assert(audit.count() == 6 && audit.filter(col("status") === "failed").count() == 1)
   }
 
   test("Runner full loads publish via the manifest pointer under objectStoreCommit") {
@@ -199,6 +204,73 @@ class RunnerSpec extends SparkSpec {
     // versioned layout on disk: pointer + (current, previous) v-dirs
     val names = new java.io.File(s"$dir/out/dim").listFiles().map(_.getName).toSet
     assert(names.contains("_current") && names.count(_.startsWith("v-")) == 2, names)
+  }
+
+  test("Runner: a load killed mid-write leaves a crash-visible running row") {
+    val dir = Files.createTempDirectory("runner_crash").toFile.getAbsolutePath
+    val cfg = s"$dir/load_config.csv"
+    Files.write(java.nio.file.Paths.get(cfg),
+      ("source_type,table_name,is_active,load_mode,watermark_column\n" +
+        "sql,tx,1,incremental,ts\n").getBytes)
+    val tx1 = Seq((1L, ts("2024-01-01 10:00:00"), 10.0), (2L, ts("2024-01-02 10:00:00"), 20.0))
+      .toDF("id", "ts", "amt")
+    Runner.run(spark, cfg, s"$dir/out", s"$dir/audit", "run1", Map("tx" -> tx1).apply)
+
+    // run 2 "dies" mid-load: a fatal Error (not Exception) rips through the
+    // load after the start row is written — the same audit trace a SIGKILL
+    // leaves. The output must be untouched and the running row visible.
+    intercept[AssertionError] {
+      Runner.run(spark, cfg, s"$dir/out", s"$dir/audit", "run2",
+        Map("tx" -> tx1).apply,
+        transform = Map("tx" -> { _: DataFrame => throw new AssertionError("killed") }))
+    }
+    val latest = graft.meta.Audit.latestRuns(spark, s"$dir/audit")
+      .filter(col("source_object") === "tx").collect()
+    assert(latest.length == 1 && latest(0).getAs[String]("status") == "running",
+      "a killed load must read as `running`, not vanish")
+
+    // run 3: watermark carry-forward reads THROUGH the running row to the
+    // last succeeded watermark — incremental append, not a re-bootstrap
+    val tx3 = tx1.union(Seq((3L, ts("2024-01-03 10:00:00"), 30.0)).toDF("id", "ts", "amt"))
+    val r3 = Runner.run(spark, cfg, s"$dir/out", s"$dir/audit", "run3", Map("tx" -> tx3).apply)
+    assert(r3.head.rows == 1, s"expected the one post-watermark row, got ${r3.head.rows}")
+    assert(spark.read.parquet(s"$dir/out/tx").count() == 3)
+  }
+
+  test("Runner.master gates later stages on a failed stage") {
+    val dir = Files.createTempDirectory("runner_master").toFile.getAbsolutePath
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    def stage(name: String, ok: Boolean) = Runner.Stage(name, { _ => ran += name; ok })
+
+    // green path: all three stages run, in order
+    val green = Runner.master(spark, s"$dir/audit", "m1",
+      Seq(stage("ingestion", true), stage("silver", true), stage("gold", true)))
+    assert(green.map(r => r.stage -> r.status) ==
+      Seq("ingestion" -> "succeeded", "silver" -> "succeeded", "gold" -> "succeeded"))
+    assert(ran.toSeq == Seq("ingestion", "silver", "gold"))
+
+    // failing ingestion gates silver AND gold — neither body runs
+    ran.clear()
+    val red = Runner.master(spark, s"$dir/audit", "m2",
+      Seq(stage("ingestion", false), stage("silver", true), stage("gold", true)))
+    assert(red.map(r => r.stage -> r.status) ==
+      Seq("ingestion" -> "failed", "silver" -> "skipped", "gold" -> "skipped"))
+    assert(ran.toSeq == Seq("ingestion"), "a gated stage body must not execute")
+
+    // a throwing stage body is a failure, not a crash of the master loop
+    val boom = Runner.master(spark, s"$dir/audit", "m3",
+      Seq(Runner.Stage("ingestion", _ => throw new RuntimeException("down")),
+        stage("silver", true)))
+    assert(boom.map(_.status) == Seq("failed", "skipped"))
+
+    // per-stage audit rows under the `master` system key
+    val audit = spark.read.parquet(s"$dir/audit").filter(col("source_system") === "master")
+    assert(audit.filter(col("run_id") === "m1" && col("status") === "succeeded").count() == 3)
+    assert(audit.filter(col("run_id") === "m2" && col("status") === "skipped").count() == 2)
+    val m2Latest = graft.meta.Audit.latestRuns(spark, s"$dir/audit")
+      .filter(col("source_system") === "master" && col("source_object") === "ingestion")
+    // m3's failed ingestion is the latest word on that stage
+    assert(m2Latest.collect()(0).getAs[String]("status") == "failed")
   }
 
   test("Runner retries transient source failures up to maxAttempts") {
