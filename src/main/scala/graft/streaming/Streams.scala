@@ -211,6 +211,7 @@ object Streams {
     */
   def ivfIndexSink(spark: SparkSession, indexDir: String, statsDir: String,
       k: Int = 4, trainIters: Int = 2)(batch: DataFrame, batchId: Long): Unit = {
+    import spark.implicits._
     import graft.sim.Ann
     val vecs = batch.select(col("id"), col("vec"))
     val prior =
@@ -222,11 +223,14 @@ object Streams {
           st.filter(col("batch_id") =!= batchId)
         }
         .filter(!_.isEmpty) // replay of the bootstrap batch re-bootstraps
-    val assigned = prior match {
+    // Per-(label, pos) prior sums feed assignment AND the drift signal —
+    // k·d rows, cached for the three consumers below.
+    val priorSums = prior.map(_.groupBy(col("label"), col("pos"))
+      .agg(sum(col("s")).as("ps"), sum(col("n")).as("pn")).cache())
+    val assigned = priorSums match {
       case None => Ann.kmeansCells(vecs, k, trainIters)
-      case Some(st) =>
-        val cent = st.groupBy(col("label"), col("pos"))
-          .agg((sum(col("s")) / sum(col("n"))).as("c"))
+      case Some(ps) =>
+        val cent = ps.withColumn("c", col("ps") / col("pn"))
           .groupBy(col("label"))
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
             x => x.getField("c")).as("cvec"))
@@ -234,13 +238,71 @@ object Streams {
     }
     val staged = assigned.withColumn("batch_id", lit(batchId)).cache()
     graft.sources.Sinks.dynamicOverwrite(staged, indexDir, Seq("batch_id"))
+    val batchStats = staged
+      .select(col("label"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n")).cache()
     graft.sources.Sinks.dynamicOverwrite(
-      staged.select(col("label"), posexplode(col("vec")).as(Seq("pos", "v")))
+      batchStats.withColumn("batch_id", lit(batchId)), statsDir, Seq("batch_id"))
+    // Drift/retrain signal (metadata-rate, written to `<statsDir>_drift`):
+    // mean L2 displacement of the stats-derived centroids caused by folding
+    // THIS batch in. A stationary stream keeps it near zero; a drifting one
+    // shows it rising — the trigger for the caller's [[ivfRetrain]] policy
+    // (which re-centers the cells and brings the signal back down). All
+    // inputs are k·d-row frames, so the scalar costs one driver-side read
+    // of a tiny aggregate. Bootstrap batches record 0.0 (just trained).
+    val disp = priorSums match {
+      case None => 0.0
+      case Some(ps) =>
+        val post = ps.select(col("label"), col("pos"), col("ps").as("s"), col("pn").as("n"))
+          .unionByName(batchStats)
+          .groupBy(col("label"), col("pos"))
+          .agg((sum(col("s")) / sum(col("n"))).as("c_post"))
+        post
+          .join(ps.select(col("label"), col("pos"), (col("ps") / col("pn")).as("c_prior")),
+            Seq("label", "pos"))
+          .groupBy(col("label"))
+          .agg(sum(pow(col("c_post") - col("c_prior"), 2)).as("d2"))
+          .agg(avg(sqrt(col("d2"))))
+          .head().getDouble(0)
+    }
+    graft.sources.Sinks.dynamicOverwrite(
+      Seq((batchId, disp)).toDF("batch_id", "mean_displacement"),
+      s"${statsDir}_drift", Seq("batch_id"))
+    priorSums.foreach(_.unpersist()); batchStats.unpersist(); staged.unpersist()
+  }
+
+  /** Full retrain of the streamed IVF index — the caller policy the drift
+    * signal triggers: re-run the deterministic quantizer over the whole
+    * accumulated corpus, atomically replace the index with the re-labeled
+    * assignment folded into ONE base partition, and collapse the stats
+    * history to the retrained cells' sums. Subsequent batches then assign
+    * against the re-centered centroids and the drift signal restarts near
+    * zero until the stream drifts again.
+    *
+    * Replay safety: the retrained layout keeps the batch_id partition
+    * column (base id [[BaseBatchId]]), so a later micro-batch replay still
+    * overwrites only its own partition. A crash between the two swaps
+    * leaves index/stats from different generations — re-running the
+    * retrain repairs it (kmeansCells is deterministic, both swaps are
+    * idempotent).
+    */
+  def ivfRetrain(spark: SparkSession, indexDir: String, statsDir: String,
+      k: Int = 4, trainIters: Int = 2): Unit = {
+    import graft.sim.Ann
+    val corpus = spark.read.parquet(indexDir).select(col("id"), col("vec"))
+    // Materialized BEFORE the swap: the lazy plan reads the very files the
+    // overwrite replaces.
+    val retrained = Ann.kmeansCells(corpus, k, trainIters)
+      .withColumn("batch_id", lit(BaseBatchId)).localCheckpoint()
+    graft.sources.Sinks.overwriteAtomic(retrained, indexDir, Seq("batch_id"))
+    graft.sources.Sinks.overwriteAtomic(
+      retrained
+        .select(col("label"), posexplode(col("vec")).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .withColumn("batch_id", lit(batchId)),
+        .withColumn("batch_id", lit(BaseBatchId)),
       statsDir, Seq("batch_id"))
-    staged.unpersist()
   }
 
   /** foreachBatch incremental gold-aggregate sink — the streaming face of
@@ -276,6 +338,68 @@ object Streams {
     spark.read.parquet(statsDir)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("_n")).as("n_rows"), sum(col("_s")).as("sum_value"))
+
+  /** Reserved batch_id for compacted/base partitions — real micro-batch
+    * ids are Spark-assigned and non-negative, so the base never collides
+    * with (or is overwritten by) a replayed batch.
+    */
+  val BaseBatchId: Long = -1L
+
+  /** Compact a batch_id-partitioned log (the [[nearDupSink]] signature
+    * index, [[goldAggSink]] partials): fold every partition EXCEPT the
+    * newest `keepLast` real batches into the single base partition
+    * ([[BaseBatchId]]), leaving read cost bounded by keepLast + 1
+    * partitions instead of growing with total batch count — the one
+    * unbounded term in the log-structured streaming story.
+    *
+    * `merge` re-aggregates the folded rows (identity for row logs like
+    * signature indexes; a groupBy re-sum for partial-aggregate logs — see
+    * [[compactGoldAgg]]).
+    *
+    * Replay safety: Structured Streaming only ever replays the LAST
+    * uncommitted micro-batch, and `keepLast >= 1` keeps at least that
+    * partition un-folded — a replay then dynamic-overwrites its own
+    * partition exactly as before compaction. The rewrite itself is one
+    * atomic whole-directory swap ([[graft.sources.Sinks.overwriteAtomic]]):
+    * the folded base + kept partitions are fully written to a temp dir
+    * (reading the live one) before the rename — a crash mid-compaction
+    * leaves the uncompacted log intact.
+    *
+    * Returns true when a fold happened, false when there was nothing to
+    * compact.
+    */
+  def compactBatchLog(spark: SparkSession, dir: String, keepLast: Int,
+      merge: DataFrame => DataFrame = identity): Boolean = {
+    require(keepLast >= 1,
+      s"keepLast must cover the micro-batch replay window (>= 1), got $keepLast")
+    // Partition-value inference may type batch_id int; normalize to long.
+    val df = spark.read.parquet(dir)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    val ids = df.select(col("batch_id")).distinct().collect().map(_.getLong(0))
+    val foldable = ids.filter(_ != BaseBatchId).sorted.dropRight(keepLast)
+    if (foldable.isEmpty) return false
+    val keepIds = ids.filter(i => i != BaseBatchId && !foldable.contains(i))
+    val folded = merge(
+      df.filter(col("batch_id") === BaseBatchId ||
+        col("batch_id").isin(foldable.toSeq: _*)).drop("batch_id"))
+      .withColumn("batch_id", lit(BaseBatchId))
+    val kept = df.filter(col("batch_id").isin(keepIds.toSeq: _*))
+    graft.sources.Sinks.overwriteAtomic(
+      folded.unionByName(kept), dir, Seq("batch_id"))
+    true
+  }
+
+  /** [[compactBatchLog]] for the [[goldAggSink]] partial-aggregate log:
+    * folding re-applies the merge algebra (sum of counts, sum of exact
+    * decimal sums — cast back to the partials' decimal(28,6) so the base
+    * partition's schema matches freshly-written batch partitions).
+    */
+  def compactGoldAgg(spark: SparkSession, statsDir: String,
+      groupCols: Seq[String], keepLast: Int): Boolean =
+    compactBatchLog(spark, statsDir, keepLast, df =>
+      df.groupBy(groupCols.map(col): _*)
+        .agg(sum(col("_n")).as("_n"),
+          sum(col("_s")).cast("decimal(28,6)").as("_s")))
 
   /** foreachBatch SCD2 upsert sink: each micro-batch is deduped to its
     * latest row per key and merged into the parquet dimension at `dimPath`

@@ -220,6 +220,96 @@ class StreamingSpec extends SparkSpec {
       s"IVF probe over streamed index returned $top")
   }
 
+  test("ivfIndexSink drift signal rises under drift and resets after ivfRetrain") {
+    val dir = Files.createTempDirectory("ivfdrift").toFile.getAbsolutePath
+    val sink = Streams.ivfIndexSink(spark, s"$dir/index", s"$dir/stats", k = 2) _
+    def near(id: Long, cx: Double, cy: Double) =
+      (id, Seq(cx + id * 0.001, cy - id * 0.001))
+    def batch(ids: Range, cx1: Double, cx2: Double) =
+      ids.map(i => near(i, if (i % 2 == 0) cx1 else cx2, if (i % 2 == 0) cx1 else cx2))
+        .toDF("id", "vec")
+
+    sink(batch(1 to 4, 0, 10), 0L)   // bootstrap: cells near (0,0), (10,10)
+    sink(batch(5 to 8, 0, 10), 1L)   // stationary batch
+    sink(batch(9 to 12, 4, 14), 2L)  // drifted batch: both clusters moved +4
+
+    def drift: Map[Long, Double] = spark.read.parquet(s"$dir/stats_drift")
+      .select(col("batch_id").cast("long"), col("mean_displacement"))
+      .as[(Long, Double)].collect().toMap
+    val d = drift
+    assert(d(0L) == 0.0, s"bootstrap batch must record zero drift: $d")
+    assert(d(1L) < 0.1, s"stationary batch drift should be ~0: $d")
+    assert(d(2L) > 1.0 && d(2L) > 10 * d(1L),
+      s"drifted batch must show a rising displacement: $d")
+
+    // Retrain re-centers the cells over the accumulated corpus and
+    // collapses index + stats to the base partition ...
+    Streams.ivfRetrain(spark, s"$dir/index", s"$dir/stats", k = 2)
+    assert(spark.read.parquet(s"$dir/stats")
+      .select(col("batch_id").cast("long")).distinct()
+      .as[Long].collect().toSeq == Seq(Streams.BaseBatchId))
+    assert(spark.read.parquet(s"$dir/index").count() == 12)
+
+    // ... so a batch at the retrained centers reads as stationary again.
+    // Retrained centroids: mean of 4x(0,0)+2x(4,4) per cell = (4/3, 4/3).
+    sink(batch(13 to 16, 4.0 / 3, 10 + 4.0 / 3), 3L)
+    val d3 = drift(3L)
+    assert(d3 < 0.1 && d3 < drift(2L) / 10,
+      s"retrain must reset the drift signal, got $d3 (pre-retrain ${drift(2L)})")
+    assert(spark.read.parquet(s"$dir/index").count() == 16)
+  }
+
+  test("compactBatchLog folds old near-dup index partitions, replay stays exact") {
+    val dir = Files.createTempDirectory("neardup_compact").toFile.getAbsolutePath
+    val sink = Streams.nearDupSink(spark, s"$dir/index", s"$dir/pairs") _
+    sink(Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text"), 0L)
+    val b1 = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "unrelated words entirely different from others here now")).toDF("doc_id", "text")
+    sink(b1, 1L)
+
+    assert(Streams.compactBatchLog(spark, s"$dir/index", keepLast = 1))
+    // layout: folded base + the newest batch, nothing else
+    assert(spark.read.parquet(s"$dir/index")
+      .select(col("batch_id").cast("long")).distinct()
+      .as[Long].collect().toSet == Set(Streams.BaseBatchId, 1L))
+    assert(spark.read.parquet(s"$dir/index").count() == 3)
+    // nothing left to fold -> no-op
+    assert(!Streams.compactBatchLog(spark, s"$dir/index", keepLast = 1))
+
+    // replay of the (kept) last batch after compaction: still idempotent,
+    // still sees the folded base signatures
+    sink(b1, 1L)
+    val pairs = spark.read.parquet(s"$dir/pairs")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 3L)), s"replay after compaction broke pairs: $pairs")
+    assert(spark.read.parquet(s"$dir/index").count() == 3)
+  }
+
+  test("compactGoldAgg preserves the aggregate and replay-exactness") {
+    val dir = Files.createTempDirectory("goldagg_compact").toFile.getAbsolutePath
+    val sink = Streams.goldAggSink(spark, s"$dir/stats", Seq("event_type"), "value") _
+    val b2 = Seq(("click", 10.00), ("purchase", 5.75)).toDF("event_type", "value")
+    sink(Seq(("click", 1.25), ("view", 2.50), ("click", 0.25)).toDF("event_type", "value"), 0L)
+    sink(Seq(("view", 4.00), ("click", 3.00)).toDF("event_type", "value"), 1L)
+    sink(b2, 2L)
+
+    def agg: Map[String, (Long, Double)] =
+      Streams.readGoldAgg(spark, s"$dir/stats", Seq("event_type"))
+        .select(col("event_type"), col("n_rows"), col("sum_value").cast("double"))
+        .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val before = agg
+    assert(Streams.compactGoldAgg(spark, s"$dir/stats", Seq("event_type"), keepLast = 1))
+    assert(agg == before, s"compaction changed the aggregate: $agg vs $before")
+    // folded base + newest batch; row count is groups, not history
+    assert(spark.read.parquet(s"$dir/stats")
+      .select(col("batch_id").cast("long")).distinct()
+      .as[Long].collect().toSet == Set(Streams.BaseBatchId, 2L))
+    // replay of the kept batch after compaction: aggregate unchanged
+    sink(b2, 2L)
+    assert(agg == before, s"replay after compaction drifted: $agg vs $before")
+  }
+
   test("goldAggSink maintains exact incremental aggregates across batches and replays") {
     val dir = Files.createTempDirectory("goldagg").toFile.getAbsolutePath
     val sink = Streams.goldAggSink(spark, s"$dir/stats", Seq("event_type"), "value") _
