@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   *
   * A naive linkage is a near-quadratic theta-join (measured 173s at sf0.1
   * vs 2.5s blocked). Blocking is pigeonhole over the discriminating suffix:
-  * two equal-length names within `maxDist` SUBSTITUTIONS must agree on at
-  * least one of `maxDist + 1` tiling segments, so candidate generation is
-  * an equi-join on (length, segment_idx, segment_value) and the exact
-  * Levenshtein only runs on candidates — O(batch × block), never
+  * tiled into `maxDist + 2` segments, two equal-length names within
+  * `maxDist` SUBSTITUTIONS keep at least two segments intact, so they
+  * agree on one of the two-segment JOINT keys and candidate generation is
+  * an equi-join on (length, segment_pair_idx, joint_value) — the exact
+  * Levenshtein only runs on candidates: O(batch × block), never
   * O(master²).
   *
   * Segment boundaries are DERIVED FROM THE DATA, not hand-tuned: one
@@ -68,8 +69,10 @@ object FuzzyLink {
     * batch × master.
     *
     * Blocking completeness: an equal-length pair within Levenshtein 2 is
-    * either (a) ≤2 SUBSTITUTIONS — it agrees on one of the maxDist+1
-    * tiling segments (pigeonhole), or (b) ONE insert + ONE delete — a run
+    * either (a) ≤2 SUBSTITUTIONS — tiling the suffix into maxDist + 2
+    * segments, at most maxDist are damaged, so AT LEAST TWO stay intact
+    * and the pair agrees on one of the C(maxDist+2, 2) two-segment
+    * joint keys (pigeonhole); or (b) ONE insert + ONE delete — a run
     * shift that can disagree on every tiling segment. The second blocking
     * pass covers (b): such a pair's suffixes always share an
     * (suffixLen−1)-char string reachable by deleting one character from
@@ -78,28 +81,64 @@ object FuzzyLink {
     * For maxDist ≤ 2 the union of the two passes is therefore COMPLETE
     * w.r.t. equal-length Levenshtein; at maxDist > 2 multi-shift
     * combinations (2 inserts + 2 deletes, …) remain outside the contract.
-    * Cost: suffixLen extra rows per record through the same equi-join
-    * shape — still bucketed, never all-pairs.
+    *
+    * TWO-SEGMENT keys, not single segments (r5): with maxDist + 1 single
+    * segments, one low-cardinality segment makes one fat block — measured
+    * at sf0.1, the two single-digit segments of the zero-padded customer
+    * suffix put the whole batch in their '0' blocks: 405k of 417k
+    * candidates came from those two classes alone. Joint keys multiply
+    * the selectivity of their two segments: same data, 103k candidates
+    * (4×), identical matches (the exact Levenshtein verify is unchanged,
+    * and completeness holds by the ≥2-intact argument above). Cost:
+    * C(maxDist+2, 2) rows per record instead of maxDist + 1 — at
+    * maxDist = 2 that is 6 vs 3 — through the same equi-join shape.
+    * Deletion variants are deduped per record (`array_distinct`) before
+    * exploding: repeated characters (zero-padding runs) make many of the
+    * suffixLen variants identical, and k identical variants per side
+    * turn one true pair into k² joined rows.
     */
   def linkage(batch: DataFrame, master: DataFrame, keyCol: String, nameCol: String,
       suffixLen: Int, maxDist: Int): DataFrame = {
-    val segs = entropySegments(master, nameCol, suffixLen, maxDist + 1)
+    // Suffixes too short to tile into maxDist + 2 parts fall back to the
+    // single-segment scheme (agree on ≥1 of maxDist + 1 — same
+    // completeness, just without the joint-key selectivity).
+    val usePairs = suffixLen >= maxDist + 2
+    val segs = entropySegments(master, nameCol, suffixLen,
+      if (usePairs) maxDist + 2 else maxDist + 1)
+    val segPairs = for {
+      i <- segs.indices; j <- segs.indices if i < j
+    } yield (i, j)
     def blocked(df: DataFrame, keyAs: String, nameAs: String): DataFrame = {
-      val tiling = segs.zipWithIndex.map { case ((st, ln), i) =>
-        struct(lit(i).as("i"), col("_sfx").substr(st, ln).as("seg"))
-      }
+      // Joint key of segment pair (i, j): the two substrings concatenated.
+      // Unambiguous without a separator — (len, pair id) fix both widths.
+      val tiling =
+        if (usePairs) segPairs.zipWithIndex.map { case ((i, j), pid) =>
+          val (si, li) = segs(i)
+          val (sj, lj) = segs(j)
+          struct(lit(pid).as("i"),
+            concat(col("_sfx").substr(si, li), col("_sfx").substr(sj, lj)).as("seg"))
+        }
+        else segs.zipWithIndex.map { case ((st, ln), i) =>
+          struct(lit(i).as("i"), col("_sfx").substr(st, ln).as("seg"))
+        }
       // Deletion variants share one key namespace (i = -1): the covering
       // variant may sit at DIFFERENT deletion positions on the two sides.
-      val dels = if (maxDist < 2) Nil else (1 to suffixLen).map { d =>
-        struct(lit(-1).as("i"),
-          concat(col("_sfx").substr(1, d - 1),
-            col("_sfx").substr(d + 1, suffixLen - d)).as("seg"))
-      }
+      val blockArr =
+        if (maxDist < 2) array(tiling: _*)
+        else {
+          val dels = (1 to suffixLen).map { d =>
+            concat(col("_sfx").substr(1, d - 1),
+              col("_sfx").substr(d + 1, suffixLen - d))
+          }
+          concat(array(tiling: _*),
+            transform(array_distinct(array(dels: _*)),
+              v => struct(lit(-1).as("i"), v.as("seg"))))
+        }
       df.select(col(keyCol).as(keyAs), col(nameCol).as(nameAs),
           length(col(nameCol)).as("len"),
           expr(s"right($nameCol, $suffixLen)").as("_sfx"))
         .select(col(keyAs), col(nameAs), col("len"),
-          explode(array(tiling ++ dels: _*)).as("b"))
+          explode(blockArr).as("b"))
         .select(col(keyAs), col(nameAs), col("len"),
           col("b.i").as("i"), col("b.seg").as("seg"))
     }
