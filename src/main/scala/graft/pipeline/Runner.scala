@@ -49,7 +49,15 @@ object Runner {
         .filter(col("status") === "succeeded" && col("watermark_value").isNotNull)
         .select(col("source_system"), col("source_object"), col("watermark_value"))
         .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
-    } catch { case _: Exception => Map.empty } // first run: no audit log yet
+    } catch {
+      // ONLY path-missing means "first run, no log yet". A corrupt or
+      // wrong-schema audit log must fail loudly — silently answering
+      // "no watermarks" would quietly re-bootstrap every incremental
+      // table and mask the corruption.
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null && e.getCondition.startsWith("PATH_NOT_FOUND") =>
+        Map.empty
+    }
 
   /** Bounded wait on an Observation: its metrics only ever arrive if the
     * observed node was part of an executed plan — a `transform` that does

@@ -21,6 +21,22 @@ object Sources {
     (if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read)
       .parquet(path)
 
+  /** Read a parquet dataset treating ONLY a missing path as absent
+    * (None). Every state-accumulating component needs the "first run, no
+    * state yet" branch, and the tempting catch-all is a trap: a CORRUPT
+    * or unreadable state directory must fail loudly, because answering
+    * "no state" to it silently resets watermarks, drops dedup indexes, or
+    * (worst) lets a sink overwrite the only — possibly recoverable —
+    * copy of a dimension.
+    */
+  def parquetIfExists(spark: SparkSession, path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null && e.getCondition.startsWith("PATH_NOT_FOUND") =>
+        None
+    }
+
   def csv(spark: SparkSession, path: String, schema: Option[StructType] = None,
       header: Boolean = true): DataFrame = {
     val r = spark.read.option("header", header.toString)

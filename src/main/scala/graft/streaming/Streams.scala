@@ -148,13 +148,13 @@ object Streams {
     // The index read likewise drops any rows a half-finished attempt of
     // THIS batch already landed — otherwise a replay would join the batch
     // against its own signatures and emit self-pairs forever after.
-    // Path-missing (first batch ever) and schema-mismatch are DIFFERENT
-    // failures: a legacy index without the batch_id column must fail
-    // loudly, not be silently treated as empty (which would drop every
-    // pre-existing signature from dedup and mix layouts on disk).
+    // Path-missing (first batch ever), corrupt files and schema-mismatch
+    // are DIFFERENT failures: only the first means "no index yet"
+    // (parquetIfExists); a legacy index without the batch_id column must
+    // fail loudly, not be silently treated as empty (which would drop
+    // every pre-existing signature from dedup and mix layouts on disk).
     val existing =
-      (try Some(spark.read.parquet(indexDir))
-       catch { case _: org.apache.spark.sql.AnalysisException => None }) match {
+      graft.sources.Sources.parquetIfExists(spark, indexDir) match {
         case None => sig.limit(0) // no index yet
         case Some(idx) =>
           require(idx.columns.contains("batch_id"),
@@ -215,8 +215,7 @@ object Streams {
     import graft.sim.Ann
     val vecs = batch.select(col("id"), col("vec"))
     val prior =
-      (try Some(spark.read.parquet(statsDir))
-       catch { case _: org.apache.spark.sql.AnalysisException => None })
+      graft.sources.Sources.parquetIfExists(spark, statsDir)
         .map { st =>
           require(st.columns.contains("batch_id"),
             s"IVF stats at $statsDir lack the batch_id partition column")
@@ -409,19 +408,21 @@ object Streams {
       batch: DataFrame, batchId: Long): Unit = {
     val staged = Dedup.latestPerKey(batch, keys, Seq(col("ts").desc))
       .select((keys ++ attrs).map(col): _*)
-    val existing =
-      try {
+    // Path-missing only (parquetIfExists): a CORRUPT dim must abort the
+    // batch, not be mistaken for "no dim yet" — the atomic overwrite
+    // below would replace the only (possibly recoverable) copy.
+    val existing = graft.sources.Sources.parquetIfExists(spark, dimPath) match {
+      case Some(dim) =>
         // localCheckpoint, not cache(): an evicted cached partition would
         // re-read the dim path mid-merge; the checkpoint is materialized
         // (memory+disk) and never recomputes from the source path.
-        spark.read.parquet(dimPath).localCheckpoint()
-      } catch {
-        case _: Exception =>
-          staged.limit(0)
-            .withColumn("valid_from", lit(null).cast("timestamp"))
-            .withColumn("valid_to", lit(null).cast("timestamp"))
-            .withColumn("is_current", lit(true))
-      }
+        dim.localCheckpoint()
+      case None =>
+        staged.limit(0)
+          .withColumn("valid_from", lit(null).cast("timestamp"))
+          .withColumn("valid_to", lit(null).cast("timestamp"))
+          .withColumn("is_current", lit(true))
+    }
     val merged = Scd2.merge(existing, staged, keys, attrs, current_timestamp())
     // Atomic swap: a crash mid-write leaves the current dim readable —
     // the self-overwrite would otherwise destroy the only copy

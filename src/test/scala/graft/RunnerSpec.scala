@@ -273,6 +273,67 @@ class RunnerSpec extends SparkSpec {
     assert(m2Latest.collect()(0).getAs[String]("status") == "failed")
   }
 
+  test("Runner fails loudly on a corrupt audit log instead of re-bootstrapping") {
+    val dir = Files.createTempDirectory("runner_corrupt").toFile.getAbsolutePath
+    val cfg = s"$dir/load_config.csv"
+    Files.write(java.nio.file.Paths.get(cfg),
+      ("source_type,table_name,is_active,load_mode,watermark_column\n" +
+        "sql,tx,1,incremental,ts\n").getBytes)
+    // an audit "log" that exists but is not parquet: answering "no
+    // watermarks" to this would silently full-overwrite every
+    // incremental table and mask the corruption
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/audit"))
+    Files.write(java.nio.file.Paths.get(s"$dir/audit/garbage.bin"),
+      "not parquet at all".getBytes)
+    val tx = Seq((1L, ts("2024-01-01 10:00:00"), 10.0)).toDF("id", "ts", "amt")
+    intercept[Exception] {
+      Runner.run(spark, cfg, s"$dir/out", s"$dir/audit", "run1", Map("tx" -> tx).apply)
+    }
+    assert(!new java.io.File(s"$dir/out/tx").exists(),
+      "no load may run off a corrupt audit log")
+  }
+
+  test("Runner.master drives the full staged flow: ingest -> silver -> gold") {
+    val dir = Files.createTempDirectory("runner_e2e").toFile.getAbsolutePath
+    val cfg = s"$dir/load_config.csv"
+    Files.write(java.nio.file.Paths.get(cfg),
+      ("source_type,table_name,is_active,load_mode,watermark_column\n" +
+        "sql,tx,1,full,\n").getBytes)
+    val tx = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-02 10:00:00"), 12.0),  // later version of key 1
+      (2L, ts("2024-01-01 11:00:00"), -5.0)). // quarantined (negative)
+      toDF("id", "ts", "amt")
+    val res = Runner.master(spark, s"$dir/audit", "m1", Seq(
+      Runner.Stage("ingestion", s =>
+        Runner.run(s, cfg, s"$dir/bronze", s"$dir/audit", "m1", Map("tx" -> tx).apply)
+          .forall(_.status == "succeeded")),
+      Runner.Stage("silver", { s =>
+        val silver = graft.pipeline.Medallion.silver(
+          Seq(s.read.parquet(s"$dir/bronze/tx")),
+          cdm = identity,
+          rules = Seq(graft.ops.Quality.Rule("neg_amt", col("amt") < 0)),
+          keys = Seq("id"), recency = Seq(col("ts").desc))
+        graft.sources.Sinks.overwriteAtomic(silver, s"$dir/silver/tx"); true
+      }),
+      Runner.Stage("gold", { s =>
+        val gold = s.read.parquet(s"$dir/silver/tx")
+          .filter(!col("is_quarantined"))
+          .agg(count(lit(1)).as("n"), sum(col("amt")).as("total"))
+        graft.sources.Sinks.overwriteAtomic(gold, s"$dir/gold/tx_summary"); true
+      })))
+    assert(res.map(_.status) == Seq("succeeded", "succeeded", "succeeded"), res)
+    // silver deduped key 1 to its latest version; gold excludes quarantine
+    val gold = spark.read.parquet(s"$dir/gold/tx_summary")
+      .as[(Long, Double)].collect().head
+    assert(gold == ((1L, 12.0)), s"gold summary wrong: $gold")
+    // one audit trail carries the table load AND the three stage records
+    val audit = spark.read.parquet(s"$dir/audit")
+    assert(audit.filter(col("source_system") === "master").count() == 6) // 3×(running+terminal)
+    assert(audit.filter(col("source_object") === "tx" &&
+      col("status") === "succeeded").count() == 1)
+  }
+
   test("Runner retries transient source failures up to maxAttempts") {
     val dir = Files.createTempDirectory("runner3").toFile.getAbsolutePath
     val cfg = s"$dir/load_config.csv"

@@ -329,6 +329,20 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/stats").count() == 4)
   }
 
+  test("scd2Sink aborts on a corrupt dimension instead of overwriting it") {
+    val dir = Files.createTempDirectory("scd2_corrupt").toFile.getAbsolutePath
+    val dim = s"$dir/dim"
+    Files.createDirectories(java.nio.file.Paths.get(dim))
+    Files.write(java.nio.file.Paths.get(s"$dim/garbage.bin"), "not parquet".getBytes)
+    val batch = Seq((1L, "a", ts(1))).toDF("id", "attr", "ts")
+    intercept[Exception] {
+      Streams.scd2Sink(spark, dim, Seq("id"), Seq("attr"))(batch, 0L)
+    }
+    // the (possibly recoverable) corrupt copy must still be there
+    assert(new java.io.File(s"$dim/garbage.bin").exists(),
+      "sink replaced the only copy of a corrupt dimension")
+  }
+
   test("nearDupSink replays of the same batch are idempotent (no duplicate pairs)") {
     val dir = Files.createTempDirectory("neardup_replay").toFile.getAbsolutePath
     val sink = Streams.nearDupSink(spark, s"$dir/index", s"$dir/pairs") _
