@@ -171,4 +171,11 @@ object MinHash {
       .withColumn("jaccard",
         col("shared") * lit(1.0) / (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
       .drop("sh_a", "sh_b")
+      // Family discipline, as `signature`: the verified-pairs frame is the
+      // input of THREE downstream consumers (near-dup pairs, cluster CC
+      // edges, canonical-doc selection — q20/q39/q64 build the identical
+      // plan), it is candidate-count sized (flat rows, ~24k at sf0.1 vs
+      // the corpus passes that produce it), and without the cache each
+      // consumer re-pays both array-side corpus scans and the band join.
+      .cache()
 }
