@@ -211,6 +211,52 @@ object TextQueries {
         .orderBy(col("cluster_id"))
     },
 
+    // ---- q65: end-to-end corpus curation (the pipeline the dedup family
+    // feeds): exact dedup -> near-dup cluster keep-best -> quality gate,
+    // composed as ONE plan that rides every family cache (shingles ->
+    // cached signature -> cached verified pairs -> CC). A document
+    // survives when it is (a) the min-id keeper of its exact-normalized
+    // fingerprint group, (b) either in no near-dup cluster or its
+    // cluster's highest-quality member (ties on smaller id — an exact
+    // copy can never outrank its keeper: identical text means identical
+    // quality, so the min-id tiebreak keeps the keeper), and (c) at or
+    // above the quality threshold on the tie-free floor grid. At 100 TB
+    // each leg is the already-audited operator: one groupBy for (a),
+    // banded candidates + convergence-bound CC for (b), a scan for (c).
+    "q65_curate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sh = MinHash.withShingles(docs, "doc_id", "text")
+      val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 16)
+      val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 4, 2), "doc_id")
+      val edges = MinHash.jaccard(sh, cand, "doc_id")
+        .filter(col("jaccard") >= 0.5).select(col("id_a"), col("id_b"))
+      val toks = TF.tokens(col("text"))
+      val nChars = length(col("text"))
+      val punctRatio = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")) * lit(1.0) / nChars
+      val alphaRatio = length(regexp_replace(col("text"), "[^a-zA-Z]", "")) * lit(1.0) / nChars
+      val score = least(lit(1.0), size(toks) / lit(100.0)) * 0.5 +
+        alphaRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2
+      val scored = docs.select(col("doc_id"), floor(score * 10000d + 0.5d).as("_th"))
+      val exactKeepers = docs
+        .withColumn("fp", md5(TF.normalizeText(col("text"))))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val cc = graft.ops.Graph.connectedComponents(edges, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("label"))
+      val clusterKept = cc.join(scored, "doc_id")
+        .groupBy(col("label"))
+        .agg(max(struct(col("_th"), (-col("doc_id")).as("_neg"))).as("_m"))
+        .select(col("label"), (-col("_m.`_neg`")).as("kept_doc"))
+      scored
+        .join(exactKeepers, Seq("doc_id"), "left_semi")
+        .join(cc, Seq("doc_id"), "left")
+        .join(clusterKept, Seq("label"), "left")
+        .filter(col("label").isNull || col("doc_id") === col("kept_doc"))
+        .filter(col("_th") >= 5000)
+        .select(col("doc_id"), (col("_th") / 10000d).as("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q25: token counting (whitespace + BPE-ish regex) ----
     "q25_token_count" -> { (s, d) =>
       Tables.documents(s, d)
@@ -440,6 +486,45 @@ object TextQueries {
            FROM cc JOIN sq s ON cc.id = s.doc_id)
          SELECT cluster_id, n_members, doc_id AS kept_doc, th / 10000 AS kept_quality
          FROM r WHERE rn = 1 ORDER BY cluster_id""",
+
+    "q65_curate" ->
+      s"""WITH RECURSIVE $SHINGLES_CTE,
+         ${minhashCte(4)},
+         bands AS (SELECT doc_id, salt // 2 AS band, sum(minh) AS band_val
+           FROM mh GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id),
+         $JACCARD_TAIL,
+         ej AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+         sym AS (SELECT id_a AS a, id_b AS b FROM ej
+           UNION SELECT id_b, id_a FROM ej),
+         reach(a, b) AS (
+           SELECT DISTINCT a, a FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         cc AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY 1),
+         qt AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
+         sq AS (SELECT doc_id,
+             floor((least(1.0, len(toks) / 100.0) * 0.5
+               + len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / len(text) * 0.3
+               + (1.0 - len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / len(text)) * 0.2)
+               * 10000 + 0.5) AS th
+           FROM qt),
+         keepx AS (SELECT min(doc_id) AS doc_id FROM documents
+           GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+         best AS (SELECT cluster_id, doc_id FROM (
+             SELECT cc.cluster_id, s.doc_id,
+               row_number() OVER (PARTITION BY cc.cluster_id
+                 ORDER BY s.th DESC, s.doc_id) AS rn
+             FROM cc JOIN sq s ON cc.id = s.doc_id) WHERE rn = 1)
+         SELECT s.doc_id, s.th / 10000 AS quality_score
+         FROM sq s
+         JOIN keepx k ON s.doc_id = k.doc_id
+         LEFT JOIN cc ON cc.id = s.doc_id
+         LEFT JOIN best b ON b.cluster_id = cc.cluster_id
+         WHERE (cc.id IS NULL OR s.doc_id = b.doc_id) AND s.th >= 5000
+         ORDER BY s.doc_id""",
 
     "q26_fingerprint" ->
       s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
