@@ -224,36 +224,7 @@ object TextQueries {
     // each leg is the already-audited operator: one groupBy for (a),
     // banded candidates + convergence-bound CC for (b), a scan for (c).
     "q65_curate" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val sh = MinHash.withShingles(docs, "doc_id", "text")
-      val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 16)
-      val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 4, 2), "doc_id")
-      val edges = MinHash.jaccard(sh, cand, "doc_id")
-        .filter(col("jaccard") >= 0.5).select(col("id_a"), col("id_b"))
-      val toks = TF.tokens(col("text"))
-      val nChars = length(col("text"))
-      val punctRatio = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")) * lit(1.0) / nChars
-      val alphaRatio = length(regexp_replace(col("text"), "[^a-zA-Z]", "")) * lit(1.0) / nChars
-      val score = least(lit(1.0), size(toks) / lit(100.0)) * 0.5 +
-        alphaRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2
-      val scored = docs.select(col("doc_id"), floor(score * 10000d + 0.5d).as("_th"))
-      val exactKeepers = docs
-        .withColumn("fp", md5(TF.normalizeText(col("text"))))
-        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      val cc = graft.ops.Graph.connectedComponents(edges, "id_a", "id_b")
-        .select(col("id").as("doc_id"), col("label"))
-      val clusterKept = cc.join(scored, "doc_id")
-        .groupBy(col("label"))
-        .agg(max(struct(col("_th"), (-col("doc_id")).as("_neg"))).as("_m"))
-        .select(col("label"), (-col("_m.`_neg`")).as("kept_doc"))
-      scored
-        .join(exactKeepers, Seq("doc_id"), "left_semi")
-        .join(cc, Seq("doc_id"), "left")
-        .join(clusterKept, Seq("label"), "left")
-        .filter(col("label").isNull || col("doc_id") === col("kept_doc"))
-        .filter(col("_th") >= 5000)
-        .select(col("doc_id"), (col("_th") / 10000d).as("quality_score"))
+      graft.text.Curate.keepSet(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
 

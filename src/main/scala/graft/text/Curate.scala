@@ -1,0 +1,75 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the pipeline the dedup family feeds
+  * (reference: the silver notebooks' dedup-then-survive discipline,
+  * 4_silver/silver_customers.py, applied to a training corpus):
+  * exact dedup ∧ near-dup cluster keep-best ∧ quality gate, composed as
+  * ONE Catalyst plan.
+  *
+  * A document survives when it is
+  *  (a) the min-id keeper of its exact-normalized-fingerprint group,
+  *  (b) either in no near-dup cluster, or its cluster's highest-quality
+  *      member (ties on the smaller id — an exact copy can never outrank
+  *      its keeper: identical text means identical quality, so the min-id
+  *      tiebreak keeps the keeper), and
+  *  (c) at or above `minQuality` on the tie-free floor grid
+  *      (`floor(score·10⁴ + 0.5)` — same double arithmetic in Spark and
+  *      DuckDB, so thresholding never lands on an engine-divergent tie).
+  *
+  * Scale: each leg is an already-audited operator — one map-side-combined
+  * groupBy for (a); banded LSH candidates, array-side Jaccard verify and
+  * convergence-bound pointer-jumping CC for (b); a single scan for (c).
+  * Nothing is quadratic in the corpus, and every intermediate the legs
+  * share (shingles → signature → verified pairs) is the family-cached
+  * frame the standalone operators build.
+  */
+object Curate {
+
+  /** (doc_id, quality_score) of surviving documents.
+    *
+    * @param docs       (id, text) corpus
+    * @param id         document id column (long)
+    * @param text       text column
+    * @param k          MinHash signature width (family standard: 16)
+    * @param bandK      signature components used for banding
+    * @param bandRows   rows per band (bandK / bandRows bands)
+    * @param minJaccard near-dup edge threshold (exact Jaccard on verify)
+    * @param minQuality survival threshold on the floor grid (0..10000)
+    */
+  def keepSet(docs: DataFrame, id: String, text: String,
+      k: Int = 16, bandK: Int = 4, bandRows: Int = 2,
+      minJaccard: Double = 0.5, minQuality: Int = 5000): DataFrame = {
+    val sh = MinHash.withShingles(docs, id, text)
+    val sig = MinHash.signature(MinHash.shingleRows(sh, id), id, k)
+    val cand = MinHash.candidates(MinHash.bands(sig, id, bandK, bandRows), id)
+    val edges = MinHash.jaccard(sh, cand, id)
+      .filter(col("jaccard") >= minJaccard).select(col("id_a"), col("id_b"))
+    val toks = TextFunctions.tokens(col(text))
+    val nChars = length(col(text))
+    val punctRatio = length(regexp_replace(col(text), "[a-zA-Z0-9\\s]", "")) * lit(1.0) / nChars
+    val alphaRatio = length(regexp_replace(col(text), "[^a-zA-Z]", "")) * lit(1.0) / nChars
+    val score = least(lit(1.0), size(toks) / lit(100.0)) * 0.5 +
+      alphaRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2
+    val scored = docs.select(col(id), floor(score * 10000d + 0.5d).as("_th"))
+    val exactKeepers = docs
+      .withColumn("fp", md5(TextFunctions.normalizeText(col(text))))
+      .groupBy(col("fp")).agg(min(col(id)).as(id))
+      .select(col(id))
+    val cc = graft.ops.Graph.connectedComponents(edges, "id_a", "id_b")
+      .select(col("id").as(id), col("label"))
+    val clusterKept = cc.join(scored, id)
+      .groupBy(col("label"))
+      .agg(max(struct(col("_th"), (-col(id)).as("_neg"))).as("_m"))
+      .select(col("label"), (-col("_m.`_neg`")).as("_kept"))
+    scored
+      .join(exactKeepers, Seq(id), "left_semi")
+      .join(cc, Seq(id), "left")
+      .join(clusterKept, Seq("label"), "left")
+      .filter(col("label").isNull || col(id) === col("_kept"))
+      .filter(col("_th") >= minQuality)
+      .select(col(id), (col("_th") / 10000d).as("quality_score"))
+  }
+}

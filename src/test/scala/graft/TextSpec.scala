@@ -60,6 +60,24 @@ class TextSpec extends SparkSpec {
     assert(capped.filter(col("id_a") === 100L && col("id_b") === 101L).count() == 1)
   }
 
+  test("Curate.keepSet: exact losers, cluster losers and low-quality docs drop") {
+    val baseA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val baseB = "amber basalt copper dune ember flint gneiss harbor iron jasper " +
+      "karst lagoon marble nickel onyx pumice quartz ridge slate topaz"
+    val docs = Seq(
+      (1L, baseA + " uniform victor"),           // keeper (cluster {1,2}: exact copy)
+      (2L, baseA + " uniform  victor"),          // exact copy modulo whitespace → drops
+      (3L, baseB + " whisky xray"),              // near-dup of 4, equal quality → min id kept
+      (4L, baseB + " whisky xrya"),              // anagram tail: identical score, drops on id
+      (5L, "??? !!! ;;; ::: @@@ ###"),           // punct junk → quality gate drops
+      (6L, "completely unrelated prose about entirely different things and words")
+    ).toDF("doc_id", "text")
+    val kept = graft.text.Curate.keepSet(docs, "doc_id", "text", minQuality = 4000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 6L), s"keep set wrong: $kept")
+  }
+
   test("SimHash: identical docs collide at hamming 0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
