@@ -141,7 +141,13 @@ object Streams {
       batch: DataFrame, batchId: Long): Unit = {
     import graft.text.MinHash
     val sh = MinHash.withShingles(batch, "doc_id", "text")
-    val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", k)
+    // inlineHashes: the batch signature is built fresh every micro-batch,
+    // so the broadcast-vocabulary path's `rows.cache()` would add one
+    // never-reused cache entry per batch — a slow leak over a long-running
+    // stream. Inline hashing skips that cache (identical results); the
+    // returned signature cache is explicitly dropped at the end.
+    val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", k,
+      inlineHashes = true)
     // Replay-idempotent: both outputs are partitioned by batch_id and this
     // batch's partition is dynamically overwritten, so a micro-batch retry
     // after a failure REPLACES its own rows instead of appending duplicates.
@@ -181,8 +187,100 @@ object Streams {
     // Emit pairs first (reads the old index), then extend the index.
     graft.sources.Sinks.dynamicOverwrite(
       sig.withColumn("batch_id", lit(batchId)), indexDir, Seq("batch_id"))
-    all.unpersist()
+    all.unpersist(); sig.unpersist()
   }
+
+  /** foreachBatch incremental corpus curation — the streaming face of
+    * [[graft.text.Curate]] with FIRST-SEEN-WINS survivorship (a streaming
+    * curator cannot un-keep an already-kept document, so "cluster
+    * keep-best" becomes "the first kept doc claims the cluster"):
+    *
+    *  1. quality gate (same floor grid as Curate) — junk never claims a
+    *     fingerprint or a signature bucket;
+    *  2. exact dedup: drop docs whose normalized fingerprint is already
+    *     in the kept-fingerprint log; within the batch the min-id doc
+    *     per fingerprint survives;
+    *  3. near-dup: drop a doc whose signature agrees (sig_sim >=
+    *     `minSigSim`) with ANY already-kept doc, or with a smaller-id
+    *     survivor of the same batch (greedy-by-id, deterministic).
+    *
+    * State under `stateDir`: `kept` (doc_id, quality_score), `fps`
+    * (kept fingerprints), `sigs` (kept docs' wide signatures) — all
+    * batch_id-partitioned logs, replay-idempotent via the dynamic-
+    * overwrite discipline, compactable with [[compactBatchLog]] (identity
+    * merge). Per-batch cost: one groupBy over the batch + a banded join
+    * against the kept-signature log — never a corpus rescan.
+    */
+  def curateSink(spark: SparkSession, stateDir: String, k: Int = 4,
+      bandRows: Int = 2, minSigSim: Double = 0.5, minQuality: Int = 4000)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.text.{MinHash, TextFunctions => TF}
+    val keptDir = s"$stateDir/kept"
+    val fpsDir = s"$stateDir/fps"
+    val sigsDir = s"$stateDir/sigs"
+    def prior(dir: String): Option[DataFrame] =
+      graft.sources.Sources.parquetIfExists(spark, dir)
+        .map(df => df.filter(col("batch_id") =!= batchId).drop("batch_id"))
+    // 1. quality gate (Curate's grid)
+    val toks = TF.tokens(col("text"))
+    val nChars = length(col("text"))
+    val punctRatio = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")) * lit(1.0) / nChars
+    val alphaRatio = length(regexp_replace(col("text"), "[^a-zA-Z]", "")) * lit(1.0) / nChars
+    val score = least(lit(1.0), size(toks) / lit(100.0)) * 0.5 +
+      alphaRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2
+    val gated = batch
+      .select(col("doc_id"), col("text"), floor(score * 10000d + 0.5d).as("_th"))
+      .filter(col("_th") >= minQuality)
+    // 2. exact dedup: min-id per fingerprint in-batch, anti-join the log
+    val perFp = gated
+      .withColumn("fp", md5(TF.normalizeText(col("text"))))
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("_th"), col("text"))).as("_m"))
+      .select(col("fp"), col("_m.doc_id").as("doc_id"),
+        col("_m._th").as("_th"), col("_m.text").as("text"))
+    val exactKept = prior(fpsDir).fold(perFp)(old =>
+      perFp.join(old.select(col("fp")), Seq("fp"), "left_anti")).cache()
+    // 3. near-dup vs the kept-signature log and smaller-id batch survivors
+    val sh = MinHash.withShingles(exactKept, "doc_id", "text")
+    val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", k,
+      inlineHashes = true) // no per-batch vocab cache (see nearDupSink)
+    val oldSigs = prior(sigsDir).getOrElse(sig.limit(0))
+    val allSigs = oldSigs.unionByName(sig).cache()
+    val newB = MinHash.bands(sig, "doc_id", k, bandRows)
+      .withColumnRenamed("doc_id", "id_a")
+    val otherB = MinHash.bands(oldSigs, "doc_id", k, bandRows)
+      .withColumn("_old", lit(true))
+      .unionByName(MinHash.bands(sig, "doc_id", k, bandRows).withColumn("_old", lit(false)))
+      .withColumnRenamed("doc_id", "id_b")
+    val cand = newB.join(otherB, Seq("band", "band_val"))
+      .filter(col("_old") || col("id_b") < col("id_a"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val dropped = MinHash.signatureSimilarity(cand, allSigs, "doc_id", k)
+      .filter(col("sig_sim") >= minSigSim)
+      .select(col("id_a").as("doc_id")).distinct()
+    val kept = exactKept.join(dropped, Seq("doc_id"), "left_anti").cache()
+    // 4. replay-idempotent state appends (each batch owns its partition).
+    // A batch keeping nothing writes nothing: an empty partitioned write
+    // would create a file-less directory that later schema inference
+    // cannot read (and replay of a deterministic empty batch re-derives
+    // empty, so skipping stays idempotent).
+    if (!kept.isEmpty) {
+      graft.sources.Sinks.dynamicOverwrite(
+        kept.select(col("doc_id"), (col("_th") / 10000d).as("quality_score"))
+          .withColumn("batch_id", lit(batchId)), keptDir, Seq("batch_id"))
+      graft.sources.Sinks.dynamicOverwrite(
+        kept.select(col("fp")).withColumn("batch_id", lit(batchId)),
+        fpsDir, Seq("batch_id"))
+      graft.sources.Sinks.dynamicOverwrite(
+        sig.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .withColumn("batch_id", lit(batchId)), sigsDir, Seq("batch_id"))
+    }
+    kept.unpersist(); allSigs.unpersist(); sig.unpersist(); exactKept.unpersist()
+  }
+
+  /** Current kept set from the [[curateSink]] state log. */
+  def readCurated(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/kept").drop("batch_id")
 
   /** foreachBatch streaming IVF index maintenance — the streaming face of
     * the [[graft.sim.Ann]] trained quantizer: each micro-batch of

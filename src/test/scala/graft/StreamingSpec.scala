@@ -329,6 +329,41 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/stats").count() == 4)
   }
 
+  test("curateSink: first-seen-wins streaming curation, idempotent replay") {
+    val dir = Files.createTempDirectory("curate_stream").toFile.getAbsolutePath
+    val sink = Streams.curateSink(spark, s"$dir/state") _
+    val goodA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val goodB = "amber basalt copper dune ember flint gneiss harbor iron jasper " +
+      "karst lagoon marble nickel onyx pumice quartz ridge slate topaz"
+    sink(Seq(
+      (1L, goodA),
+      (2L, goodA + " "),          // exact copy modulo whitespace → dropped
+      (3L, "??? !!! ;;; :::")     // junk → quality gate drops it
+    ).toDF("doc_id", "text"), 0L)
+    val b1 = Seq(
+      (4L, goodA.replace("tango", "tempo")), // near-dup of KEPT doc 1 → dropped
+      (5L, goodB)                            // novel → kept
+    ).toDF("doc_id", "text")
+    sink(b1, 1L)
+    sink(b1, 1L) // replay after a simulated post-write failure
+    val kept = Streams.readCurated(spark, s"$dir/state")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L), s"curated keep set wrong: $kept")
+    // state logs hold only kept docs (dup/junk never claim state)
+    assert(spark.read.parquet(s"$dir/state/fps").count() == 2)
+    assert(spark.read.parquet(s"$dir/state/sigs").count() == 2)
+    // an all-junk batch writes nothing and breaks nothing downstream
+    sink(Seq((6L, "@@@ ###")).toDF("doc_id", "text"), 2L)
+    assert(Streams.readCurated(spark, s"$dir/state").count() == 2)
+    // the state logs are compactable like every other batch log
+    assert(Streams.compactBatchLog(spark, s"$dir/state/sigs", keepLast = 1))
+    sink(Seq((7L, goodB.replace("topaz", "topas"))).toDF("doc_id", "text"), 3L)
+    assert(Streams.readCurated(spark, s"$dir/state")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 5L),
+      "near-dup of a compacted kept doc must still be dropped")
+  }
+
   test("scd2Sink aborts on a corrupt dimension instead of overwriting it") {
     val dir = Files.createTempDirectory("scd2_corrupt").toFile.getAbsolutePath
     val dim = s"$dir/dim"
