@@ -71,17 +71,30 @@ object Sinks {
     * Crash behavior: dying mid-write or before the pointer replace leaves
     * the OLD version live (plus an unreferenced v-dir the next successful
     * publish prunes); dying after it leaves the NEW version live. The
-    * immediately-previous version survives one more publish — a reader
-    * that resolved the pointer just before the swap may still be streaming
-    * its files — and older versions are pruned.
+    * retained version history (`keepVersions` most recent, default 2 =
+    * current + immediate predecessor) serves two needs: a reader that
+    * resolved the pointer just before the swap may still be streaming the
+    * old files, and retained versions are TIME-TRAVEL-readable via
+    * [[readVersion]] / listable via [[versionHistory]] (the Delta
+    * `VERSION AS OF` analog the reference's silver tables rely on).
+    * Version dirs are named `v-<seq>-<token>` with a monotonically
+    * increasing zero-padded seq, so history ordering needs no extra
+    * manifest. Single-writer per table (the Runner's discipline) — two
+    * concurrent publishers would race the seq and the pointer; an object
+    * store deployment would guard the pointer PUT with a conditional
+    * (if-match) request.
     *
     * Returns the committed version directory name.
     */
-  def publishVersioned(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): String = {
+  def publishVersioned(df: DataFrame, path: String, partitionCols: Seq[String] = Nil,
+      keepVersions: Int = 2): String = {
+    require(keepVersions >= 2,
+      s"keepVersions must be >= 2 (current + in-flight-reader predecessor), got $keepVersions")
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    val version = s"v-${java.util.UUID.randomUUID().toString.take(8)}"
+    val seq = listVersions(fs, root).lastOption.map(_._1 + 1).getOrElse(1L)
+    val version = f"v-$seq%09d-${java.util.UUID.randomUUID().toString.take(8)}"
     write(df, new Path(root, version).toString, "overwrite", partitionCols)
 
     val prev = currentVersion(fs, root)
@@ -95,13 +108,69 @@ object Sinks {
     org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
       .rename(tmpPtr, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
 
-    // Prune: everything but the new version and its immediate predecessor
-    // (covers half-written dirs left by crashed publishes).
-    val keep = Set(Some(version), prev).flatten
+    // Prune: keep the `keepVersions` most-recent well-formed versions (the
+    // new one and the pointer's predecessor always among them); everything
+    // else — aged-out versions and half-written dirs left by crashed
+    // publishes (unparseable names included) — goes.
+    val ordered = listVersions(fs, root).map(_._2)
+    val keep = (ordered.takeRight(keepVersions) ++ Seq(version) ++ prev).toSet
     fs.listStatus(root).map(_.getPath)
       .filter(p => p.getName.startsWith("v-") && !keep(p.getName))
       .foreach(fs.delete(_, true))
     version
+  }
+
+  /** Time-travel read of a retained version published by
+    * [[publishVersioned]]: accepts either the full version directory name
+    * the publish returned, or the bare sequence number (`VERSION AS OF n`).
+    * Fails with a named error when the version has been pruned past the
+    * table's `keepVersions` retention.
+    */
+  def readVersion(spark: org.apache.spark.sql.SparkSession, path: String,
+      version: String): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retained = listVersions(fs, root)
+    val hit = retained.find { case (seq, name) =>
+      name == version || version.forall(_.isDigit) && version.nonEmpty && seq == version.toLong
+    }
+    hit match {
+      case Some((_, name)) => spark.read.parquet(new Path(root, name).toString)
+      case None => sys.error(
+        s"version '$version' not retained under $path " +
+          s"(retained: ${retained.map(_._2).mkString(", ")}) — pruned past keepVersions?")
+    }
+  }
+
+  /** Retained version history for a [[publishVersioned]] table, oldest
+    * first: (seq, version dir name, commit time ms, is_current). The Delta
+    * `DESCRIBE HISTORY` analog, derived purely from the layout — no extra
+    * manifest to corrupt.
+    */
+  def versionHistory(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = currentVersion(fs, root)
+    val rows = listVersions(fs, root).map { case (seq, name) =>
+      (seq, name, fs.getFileStatus(new Path(root, name)).getModificationTime,
+        cur.contains(name))
+    }
+    spark.createDataFrame(rows)
+      .toDF("seq", "version", "committed_at_ms", "is_current")
+  }
+
+  /** Well-formed `v-<seq>-<token>` version dirs under `root`, seq
+    * ascending. Ignores unparseable `v-*` names (crashed publishes, or the
+    * pre-r5 UUID-only layout — those are prune candidates, not history).
+    */
+  private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[(Long, String)] = {
+    val VDir = """v-(\d{9})-[0-9a-f]{8}""".r
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
+      case n @ VDir(seq) => (seq.toLong, n)
+    }.sortBy(_._1)
   }
 
   /** Resolve the `_current` pointer written by [[publishVersioned]] and

@@ -147,6 +147,30 @@ class SourcesSpec extends SparkSpec {
     assert(Sinks.readCurrent(spark, path).as[(Long, String)].collect().toSeq == Seq((3L, "c")))
   }
 
+  test("readVersion time-travels retained versions; history orders and prunes") {
+    val dir = tmp("timetravel")
+    val path = s"$dir/t"
+    val v1 = Sinks.publishVersioned(Seq((1L, "a")).toDF("id", "v"), path, keepVersions = 3)
+    val v2 = Sinks.publishVersioned(Seq((2L, "b")).toDF("id", "v"), path, keepVersions = 3)
+    val v3 = Sinks.publishVersioned(Seq((3L, "c")).toDF("id", "v"), path, keepVersions = 3)
+    // by returned name and by bare seq (VERSION AS OF n)
+    assert(Sinks.readVersion(spark, path, v1).as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    assert(Sinks.readVersion(spark, path, "2").as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+    val hist = Sinks.versionHistory(spark, path)
+      .select("seq", "version", "is_current").as[(Long, String, Boolean)]
+      .collect().toSeq.sortBy(_._1)
+    assert(hist.map(_._1) == Seq(1L, 2L, 3L))
+    assert(hist.map(_._2) == Seq(v1, v2, v3))
+    assert(hist.collect { case (_, v, true) => v } == Seq(v3))
+    // v4 ages v1 out of keepVersions=3 retention; reading it names the cause
+    val v4 = Sinks.publishVersioned(Seq((4L, "d")).toDF("id", "v"), path, keepVersions = 3)
+    assert(Sinks.versionHistory(spark, path).count() == 3)
+    val err = intercept[RuntimeException](Sinks.readVersion(spark, path, v1))
+    assert(err.getMessage.contains("not retained"), err.getMessage)
+    assert(Sinks.readVersion(spark, path, "4").as[(Long, String)].collect().toSeq == Seq((4L, "d")))
+    assert(Sinks.readCurrent(spark, path).as[(Long, String)].collect().toSeq == Seq((4L, "d")))
+  }
+
   test("csvQuarantined routes malformed rows to quarantine, loads the rest") {
     val dir = tmp("csvq")
     Files.write(java.nio.file.Paths.get(s"$dir/data.csv"),
