@@ -1,0 +1,121 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+
+import graft.text.TextFunctions
+
+/** SQL surface for the text/sim primitives: every function here is a SQL
+  * scalar UDF (`CREATE FUNCTION … RETURN <expr>`) whose body is the exact
+  * SQL spelling of the corresponding [[graft.text.TextFunctions]] /
+  * [[graft.sim.Ann]] Column combinator, so `spark.sql` users get the same
+  * results — and the same PLANS — as DataFrame users: Catalyst inlines a
+  * SQL-UDF body into the caller's expression tree at analysis time (no
+  * black-box eval boundary, whole-stage codegen intact), which is why this
+  * beats a registered Scala UDF at any scale.
+  *
+  * The reference's consumers live in SQL-first notebooks (reference:
+  * 5_gold/gold_summary.py spark.sql blocks); this is what lets them switch
+  * without leaving SQL. Consistency with the Column API is spec-enforced
+  * per function (SqlSurfaceSpec).
+  *
+  * Temporary functions are session-scoped: call [[register]] once per
+  * session (idempotent — CREATE OR REPLACE).
+  */
+object SqlFunctions {
+
+  /** SQL list literal of a stopword lexicon ([[TextFunctions.stopwords]]). */
+  private def stops(lang: String): String =
+    TextFunctions.stopwords(lang).map(w => s"'$w'").mkString(", ")
+
+  private def stopCount(lang: String): String =
+    s"size(filter(toks, t -> t IN (${stops(lang)})))"
+
+  /** The function DDL, in dependency order (later bodies call earlier
+    * functions — SQL UDFs compose by name within the session).
+    */
+  private def ddl(nativeDot: Boolean): Seq[String] = Seq(
+    // TextFunctions.tokens
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_tokens(text STRING)
+      |RETURNS ARRAY<STRING>
+      |RETURN filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)""".stripMargin,
+    // TextFunctions.normalizeText
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_normalize(text STRING)
+      |RETURNS STRING
+      |RETURN trim(regexp_replace(lower(text), '\\s+', ' '))""".stripMargin,
+    // q26's exact-dedup canon: md5 of the normal form
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_fingerprint(text STRING)
+      |RETURNS STRING
+      |RETURN md5(graft_normalize(text))""".stripMargin,
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_token_count(text STRING)
+      |RETURNS INT
+      |RETURN size(graft_tokens(text))""".stripMargin,
+    // TextFunctions.wordBigrams (incl. the size>=2 guard — see its scaladoc)
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_word_bigrams(toks ARRAY<STRING>)
+      |RETURNS ARRAY<STRING>
+      |RETURN CASE WHEN size(toks) >= 2 THEN
+      |  zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
+      |           (a, b) -> concat_ws(' ', a, b))
+      |ELSE cast(array() AS ARRAY<STRING>) END""".stripMargin,
+    // TextFunctions.charNgrams (whole string when shorter than n)
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_char_ngrams(text STRING, n INT)
+      |RETURNS ARRAY<STRING>
+      |RETURN CASE WHEN length(text) >= n THEN
+      |  transform(sequence(1, length(text) - (n - 1)), i -> substr(text, i, n))
+      |ELSE array(text) END""".stripMargin,
+    // TextFunctions.langPredict: argmax of stopword counts, fixed
+    // en > de > es > fr tie priority, 'und' when all zero. The counts
+    // repeat textually per branch; Catalyst's subexpression elimination
+    // evaluates each once.
+    s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_langid_tokens(toks ARRAY<STRING>)
+       |RETURNS STRING
+       |RETURN CASE
+       |  WHEN ${stopCount("en")} + ${stopCount("de")} + ${stopCount("es")} + ${stopCount("fr")} = 0 THEN 'und'
+       |  WHEN ${stopCount("en")} >= ${stopCount("de")} AND ${stopCount("en")} >= ${stopCount("es")}
+       |       AND ${stopCount("en")} >= ${stopCount("fr")} THEN 'en'
+       |  WHEN ${stopCount("de")} >= ${stopCount("es")} AND ${stopCount("de")} >= ${stopCount("fr")} THEN 'de'
+       |  WHEN ${stopCount("es")} >= ${stopCount("fr")} THEN 'es'
+       |  ELSE 'fr' END""".stripMargin,
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_langid(text STRING)
+      |RETURNS STRING
+      |RETURN graft_langid_tokens(graft_tokens(text))""".stripMargin,
+    // q24's composite quality score on its tie-free floor grid
+    // (TextQueries q24: floor(x*1e4 + 0.5)/1e4 — identical double
+    // arithmetic in Spark and DuckDB, no HALF_UP ties)
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_quality(text STRING)
+      |RETURNS DOUBLE
+      |RETURN floor((least(1.0d, size(graft_tokens(text)) / 100.0d) * 0.5d
+      |  + (length(regexp_replace(text, '[^a-zA-Z]', '')) * 1.0d / length(text)) * 0.3d
+      |  + (1.0d - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '')) * 1.0d / length(text)) * 0.2d
+      |  ) * 10000d + 0.5d) / 10000d""".stripMargin,
+    // Ann.cosine. With GraftExtensions active the body rides the native
+    // codegen'd graft_dot; otherwise the interpreted-HOF fold — the two are
+    // bit-identical (both sequential left-to-right double sums), so which
+    // body a session gets is a throughput choice, never a results one.
+    if (nativeDot)
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_cosine(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
+        |RETURNS DOUBLE
+        |RETURN graft_dot(a, b) / (sqrt(graft_dot(a, a)) * sqrt(graft_dot(b, b)))""".stripMargin
+    else
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_cosine(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
+        |RETURNS DOUBLE
+        |RETURN aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)
+        |  / (sqrt(aggregate(transform(a, x -> x * x), 0.0d, (acc, x) -> acc + x))
+        |     * sqrt(aggregate(transform(b, x -> x * x), 0.0d, (acc, x) -> acc + x)))""".stripMargin
+  )
+
+  /** Create (or replace) the graft SQL functions in `spark`'s session. */
+  def register(spark: SparkSession): Unit =
+    ddl(nativeDot = spark.catalog.functionExists("graft_dot")).foreach(spark.sql(_))
+
+  /** Temp views over an sf-dir's tables so the whole catalog is plain-SQL
+    * queryable (`SELECT graft_langid(text) FROM documents`). Uses
+    * [[graft.Tables]]'s readers — the events ns→µs timestamp conversion
+    * included.
+    */
+  def registerTables(spark: SparkSession, dir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach {
+      case "events" => graft.Tables.events(spark, dir).createOrReplaceTempView("events")
+      case n => graft.Tables.t(spark, dir, n).createOrReplaceTempView(n)
+    }
+}
