@@ -88,7 +88,6 @@ object TextQueries {
       val stops = TF.stopwordCount(toks, "en")
       val punctRatio = punct * lit(1.0) / nChars
       val alphaRatio = alpha * lit(1.0) / nChars
-      val score = least(lit(1.0), nToks / lit(100.0)) * 0.5 + alphaRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2
       Tables.documents(s, d)
         .select(col("doc_id"), nToks.as("n_tokens"),
           round(sumTokLen * lit(1.0) / nToks, 4).as("avg_token_len"),
@@ -98,9 +97,9 @@ object TextQueries {
           // NOT round(score, 4): the 0.5 * n_tokens/100 term lands scores
           // on exact .xxxx5 boundaries, where Spark (BigDecimal shortest-
           // repr, HALF_UP) and DuckDB (double-space rounding) disagree by
-          // one ulp (3 docs at sf0.1). floor(x*1e4 + 0.5)/1e4 is the same
-          // double arithmetic in both engines — tie-free by construction.
-          (floor(score * 10000d + 0.5d) / 10000d).as("quality_score"))
+          // one ulp (3 docs at sf0.1). TF.qualityGrid's floor(x*1e4 + 0.5)
+          // is the same double arithmetic in both engines — tie-free.
+          (TF.qualityGrid(col("text")) / 10000d).as("quality_score"))
         .orderBy(col("doc_id"))
     },
 
@@ -140,15 +139,8 @@ object TextQueries {
     // is INTEGER-only on both engines (hash60(doc_id) mod 1e4 vs the
     // floor-scaled score) — deterministic, reproducible, no float compare.
     "q58_quality_sample" -> { (s, d) =>
-      val toks = TF.tokens(col("text"))
-      val nToks = size(toks)
-      val nChars = length(col("text"))
-      val punctRatio = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")) * lit(1.0) / nChars
-      val alphaRatio = length(regexp_replace(col("text"), "[^a-zA-Z]", "")) * lit(1.0) / nChars
-      val score = least(lit(1.0), nToks / lit(100.0)) * 0.5 +
-        alphaRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2
       Tables.documents(s, d)
-        .withColumn("_th", floor(score * 10000d + 0.5d))
+        .withColumn("_th", TF.qualityGrid(col("text")))
         .withColumn("_h", graft.ops.Cdm.hash60(col("doc_id").cast("string")) % 10000)
         .filter(col("_h") < col("_th"))
         .select(col("doc_id"), (col("_th") / 10000d).as("quality_score"))
@@ -192,14 +184,8 @@ object TextQueries {
       val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 4, 2), "doc_id")
       val edges = MinHash.jaccard(sh, cand, "doc_id")
         .filter(col("jaccard") >= 0.5).select(col("id_a"), col("id_b"))
-      val toks = TF.tokens(col("text"))
-      val nChars = length(col("text"))
-      val punctRatio = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")) * lit(1.0) / nChars
-      val alphaRatio = length(regexp_replace(col("text"), "[^a-zA-Z]", "")) * lit(1.0) / nChars
-      val score = least(lit(1.0), size(toks) / lit(100.0)) * 0.5 +
-        alphaRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2
       val scored = Tables.documents(s, d)
-        .select(col("doc_id"), floor(score * 10000d + 0.5d).as("_th"))
+        .select(col("doc_id"), TF.qualityGrid(col("text")).as("_th"))
       graft.ops.Graph.connectedComponents(edges, "id_a", "id_b")
         .join(scored, col("id") === col("doc_id"))
         .groupBy(col("label"))

@@ -15,8 +15,8 @@ import graft.text.TextFunctions
   *
   * The reference's consumers live in SQL-first notebooks (reference:
   * 5_gold/fact_transaction.py:16-58 — CREATE TABLE / INSERT INTO built
-  * entirely from spark.sql blocks, as are its dim_*/fact_* siblings); this
-  * is what lets them switch without leaving SQL. Consistency with the Column API is spec-enforced
+  * entirely from spark.sql blocks, as are its sibling dim and fact
+  * notebooks); this is what lets them switch without leaving SQL. Consistency with the Column API is spec-enforced
   * per function (SqlSurfaceSpec).
   *
   * Temporary functions are session-scoped: call [[register]] once per

@@ -221,15 +221,10 @@ object Streams {
     def prior(dir: String): Option[DataFrame] =
       graft.sources.Sources.parquetIfExists(spark, dir)
         .map(df => df.filter(col("batch_id") =!= batchId).drop("batch_id"))
-    // 1. quality gate (Curate's grid)
-    val toks = TF.tokens(col("text"))
-    val nChars = length(col("text"))
-    val punctRatio = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")) * lit(1.0) / nChars
-    val alphaRatio = length(regexp_replace(col("text"), "[^a-zA-Z]", "")) * lit(1.0) / nChars
-    val score = least(lit(1.0), size(toks) / lit(100.0)) * 0.5 +
-      alphaRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2
+    // 1. quality gate (TF.qualityGrid — the ONE survivorship formula shared
+    // with Curate.keepSet; batch/streaming parity depends on it)
     val gated = batch
-      .select(col("doc_id"), col("text"), floor(score * 10000d + 0.5d).as("_th"))
+      .select(col("doc_id"), col("text"), TF.qualityGrid(col("text")).as("_th"))
       .filter(col("_th") >= minQuality)
     // 2. exact dedup: min-id per fingerprint in-batch, anti-join the log
     val perFp = gated

@@ -47,13 +47,7 @@ object Curate {
     val cand = MinHash.candidates(MinHash.bands(sig, id, bandK, bandRows), id)
     val edges = MinHash.jaccard(sh, cand, id)
       .filter(col("jaccard") >= minJaccard).select(col("id_a"), col("id_b"))
-    val toks = TextFunctions.tokens(col(text))
-    val nChars = length(col(text))
-    val punctRatio = length(regexp_replace(col(text), "[a-zA-Z0-9\\s]", "")) * lit(1.0) / nChars
-    val alphaRatio = length(regexp_replace(col(text), "[^a-zA-Z]", "")) * lit(1.0) / nChars
-    val score = least(lit(1.0), size(toks) / lit(100.0)) * 0.5 +
-      alphaRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2
-    val scored = docs.select(col(id), floor(score * 10000d + 0.5d).as("_th"))
+    val scored = docs.select(col(id), TextFunctions.qualityGrid(col(text)).as("_th"))
     val exactKeepers = docs
       .withColumn("fp", md5(TextFunctions.normalizeText(col(text))))
       .groupBy(col("fp")).agg(min(col(id)).as(id))

@@ -50,6 +50,30 @@ object TextFunctions {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
+  /** Composite document quality score in [0,1]:
+    * `0.5·min(1, n_tokens/100) + 0.3·alpha_ratio + 0.2·(1 − punct_ratio)`.
+    *
+    * The SINGLE definition behind every survivorship decision — q24/q58
+    * batch scoring, q64/q65 keep-best, [[graft.text.Curate.keepSet]] and the
+    * streaming curate sink. Batch and streaming curation agree only while
+    * they share this formula; do not re-spell it at a call site.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text)
+    val punctRatio = length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")) * lit(1.0) / nChars
+    val alphaRatio = length(regexp_replace(text, "[^a-zA-Z]", "")) * lit(1.0) / nChars
+    least(lit(1.0), size(tokens(text)) / lit(100.0)) * 0.5 +
+      alphaRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2
+  }
+
+  /** [[qualityScore]] on the tie-free integer grid `floor(score·1e4 + 0.5)`
+    * (0..10000). The 0.5·n_tokens/100 term lands raw scores on exact .xxxx5
+    * boundaries where Spark and DuckDB round a ulp apart; the grid is the
+    * same double arithmetic in both engines — see q24's rounding note.
+    */
+  def qualityGrid(text: Column): Column =
+    floor(qualityScore(text) * 10000d + 0.5d)
+
   /** Portable 60-bit hash (delegates to [[Cdm.hash60]]). */
   def hash60(c: Column): Column = Cdm.hash60(c)
 
