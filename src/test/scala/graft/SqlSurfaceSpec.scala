@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.sql.SqlFunctions
+import graft.sql.{SqlFunctions, SqlOps}
 import graft.text.{TextFunctions => TF}
 
 /** The SQL surface must be indistinguishable from the Column API: every
@@ -82,5 +82,99 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF") && !plan.contains("Invoke"), plan.take(2000))
     assert(plan.contains("regexp_replace(text") && plan.contains("CASE WHEN"),
       "function bodies were not inlined:\n" + plan.take(2000))
+  }
+
+  // ---- relational ops: the SQL spelling must equal the Column API ----
+
+  /** Optimized plan with expression ids (#123) and per-run scan identities
+    * stripped — "same plan" for two reads of the same parquet path.
+    */
+  private def normPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.optimizedPlan.treeString
+      .replaceAll("#\\d+L?", "#x")
+      .replaceAll("\\[file:[^\\]]*\\]", "[path]")
+
+  private def assertSame(
+      viaSql: org.apache.spark.sql.DataFrame,
+      viaCol: org.apache.spark.sql.DataFrame,
+      what: String,
+      samePlan: Boolean = true): Unit = {
+    if (samePlan)
+      assert(normPlan(viaSql) == normPlan(viaCol),
+        s"$what: SQL plan diverges from Column plan\nSQL:\n${normPlan(viaSql)}\nCol:\n${normPlan(viaCol)}")
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty,
+      s"$what: SQL rows diverge from Column rows")
+  }
+
+  test("SqlOps.dedupLatestSql == Dedup.latestPerKey (rows AND plan)") {
+    registered
+    val viaSql = spark.sql(SqlOps.dedupLatestSql(
+      "events", Seq("user_id"), "ts DESC, event_id DESC"))
+    val viaCol = graft.ops.Dedup.latestPerKey(
+      Tables.events(spark, sfDir), Seq("user_id"),
+      Seq(col("ts").desc, col("event_id").desc))
+    assertSame(viaSql, viaCol, "dedup-latest")
+  }
+
+  private val sqlRules = Seq(
+    SqlOps.SqlRule("null_custkey", "o_custkey IS NULL"),
+    SqlOps.SqlRule("bad_price", "o_totalprice IS NULL OR o_totalprice <= 0"),
+    SqlOps.SqlRule("bad_status", "o_orderstatus NOT IN ('O','F','P')"))
+  private val colRules = Seq(
+    graft.ops.Quality.Rule("null_custkey", col("o_custkey").isNull),
+    graft.ops.Quality.Rule("bad_price", col("o_totalprice").isNull || col("o_totalprice") <= 0),
+    graft.ops.Quality.Rule("bad_status", !col("o_orderstatus").isin("O", "F", "P")))
+
+  test("SqlOps.quarantineSql == Quality.quarantine (rows AND plan)") {
+    registered
+    val viaSql = spark.sql(SqlOps.quarantineSql("orders", sqlRules))
+    val viaCol = graft.ops.Quality.quarantine(Tables.orders(spark, sfDir), colRules)
+    assertSame(viaSql, viaCol, "quarantine")
+  }
+
+  test("SqlOps.quarantineSplitSql == Quality.split (both sides)") {
+    registered
+    val (clean, bad) = graft.ops.Quality.split(Tables.orders(spark, sfDir), colRules)
+    assertSame(spark.sql(SqlOps.quarantineSplitSql("orders", sqlRules, quarantined = false)),
+      clean, "quarantine split (clean)")
+    assertSame(spark.sql(SqlOps.quarantineSplitSql("orders", sqlRules, quarantined = true)),
+      bad, "quarantine split (quarantined)")
+  }
+
+  test("SqlOps.scd2MergeSql == Scd2.merge (rows; one-statement upsert)") {
+    registered
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"),
+        col("c_mktsegment").as("segment"))
+    val existing = base
+      .withColumn("valid_from", lit("2020-01-01").cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+    val staged = base.filter(col("c_custkey") % 10 === 0)
+        .withColumn("acctbal", round(col("acctbal") + 100, 2))
+      .unionByName(base.filter(col("c_custkey") % 10 === 1))
+    existing.createOrReplaceTempView("scd2_existing")
+    staged.createOrReplaceTempView("scd2_staged")
+
+    val outCols = Seq("c_custkey", "acctbal", "segment", "valid_from", "valid_to", "is_current")
+    val viaSql = spark.sql(SqlOps.scd2MergeSql(
+      "scd2_existing", "scd2_staged", Seq("c_custkey"), Seq("acctbal", "segment"),
+      "'2024-01-01'"))
+    val viaCol = graft.ops.Scd2.merge(existing, staged, Seq("c_custkey"),
+        Seq("acctbal", "segment"), lit("2024-01-01").cast("timestamp"))
+      .select(outCols.map(col): _*)
+    // The insert branches detect "no current row" differently (key-null vs a
+    // lit(true) marker), so plans agree in shape but not expression-for-
+    // expression — rows are the contract here.
+    assertSame(viaSql, viaCol, "scd2 merge", samePlan = false)
+    // Same heavy operators (joins/unions/aggregates/windows) — Project/
+    // Filter counts may differ by trivia like the output reorder select.
+    val heavy = Set("Join", "Union", "Aggregate", "Window")
+    val shape = (df: org.apache.spark.sql.DataFrame) =>
+      df.queryExecution.optimizedPlan.collect {
+        case n if heavy(n.nodeName) => n.nodeName
+      }.sorted
+    assert(shape(viaSql) == shape(viaCol),
+      s"scd2 merge: plan shapes diverge\nSQL: ${shape(viaSql)}\nCol: ${shape(viaCol)}")
   }
 }
