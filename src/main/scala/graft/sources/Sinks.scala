@@ -79,10 +79,15 @@ object Sinks {
     * `VERSION AS OF` analog the reference's silver tables rely on).
     * Version dirs are named `v-<seq>-<token>` with a monotonically
     * increasing zero-padded seq, so history ordering needs no extra
-    * manifest. Single-writer per table (the Runner's discipline) — two
-    * concurrent publishers would race the seq and the pointer; an object
-    * store deployment would guard the pointer PUT with a conditional
-    * (if-match) request.
+    * manifest. Single-writer per table (the Runner's discipline) — but the
+    * common race is detected best-effort: after the data write, the version
+    * list is re-checked and a competing directory claiming the same seq
+    * aborts THIS publish with a named error, its own v-dir removed and the
+    * live pointer untouched. That converts silent double-assignment into a
+    * loud failure; it is NOT a transaction (two publishers can still
+    * interleave list→write inside the check window) — a real object store
+    * deployment must guard the pointer PUT with a conditional (if-match)
+    * request to close it completely.
     *
     * Returns the committed version directory name.
     */
@@ -96,6 +101,22 @@ object Sinks {
     val seq = listVersions(fs, root).lastOption.map(_._1 + 1).getOrElse(1L)
     val version = f"v-$seq%09d-${java.util.UUID.randomUUID().toString.take(8)}"
     write(df, new Path(root, version).toString, "overwrite", partitionCols)
+
+    // Best-effort concurrent-publish guard (see scaladoc): the data write is
+    // the long window, so re-listing AFTER it catches the overwhelmingly
+    // common interleaving where a second publisher claimed the same seq
+    // while we wrote. Abort loudly, drop our orphan, leave `_current` alone.
+    val rivals = listVersions(fs, root)
+      .filter { case (s, name) => s == seq && name != version }
+    if (rivals.nonEmpty) {
+      fs.delete(new Path(root, version), true)
+      sys.error(
+        s"concurrent publish detected under $path: seq $seq was also written by " +
+          s"${rivals.map(_._2).mkString(", ")}; aborting this publish (live pointer " +
+          "untouched, our version dir removed). publishVersioned is single-writer " +
+          "per table — retry to take the next seq, or serialize publishers; an " +
+          "object store needs a conditional PUT on `_current` to close the race.")
+    }
 
     val prev = currentVersion(fs, root)
     // Pointer replace: write a temp pointer file, then atomically rename it

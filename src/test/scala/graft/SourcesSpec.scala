@@ -147,6 +147,31 @@ class SourcesSpec extends SparkSpec {
     assert(Sinks.readCurrent(spark, path).as[(Long, String)].collect().toSeq == Seq((3L, "c")))
   }
 
+  test("publishVersioned: competing same-seq publish aborts loudly, pointer untouched") {
+    val dir = tmp("race")
+    val path = s"$dir/t"
+    val v1 = Sinks.publishVersioned(Seq((1L, "a")).toDF("id", "v"), path)
+
+    // The next publish will claim seq 2. Simulate a rival publisher winning
+    // the race inside the check window by materializing its same-seq version
+    // dir DURING our data write (the write evaluates this plan), i.e.
+    // between our seq selection and the post-write guard re-list.
+    val rivalDir = new java.io.File(s"$path/v-000000002-abcdef01")
+    import spark.implicits._
+    val injecting = spark.range(0, 4).mapPartitions { it =>
+      rivalDir.mkdirs(); it
+    }.toDF("id")
+    val e = intercept[RuntimeException](Sinks.publishVersioned(injecting, path))
+    assert(e.getMessage.contains("concurrent publish detected"),
+      s"wrong error: ${e.getMessage}")
+
+    // Live pointer still resolves v1; our aborted v-dir was removed (only
+    // v1 and the rival's dir remain).
+    assert(Sinks.readCurrent(spark, path).as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("v-")).toSet
+    assert(dirs == Set(v1, rivalDir.getName), s"unexpected dirs: $dirs")
+  }
+
   test("readVersion time-travels retained versions; history orders and prunes") {
     val dir = tmp("timetravel")
     val path = s"$dir/t"
