@@ -364,6 +364,110 @@ class StreamingSpec extends SparkSpec {
       "near-dup of a compacted kept doc must still be dropped")
   }
 
+  test("batch↔streaming curation parity: ordered arrival agrees, out-of-order pins the divergence") {
+    // The migration contract between Curate.keepSet (cluster keep-BEST) and
+    // curateSink (first-seen-WINS): they agree whenever quality order aligns
+    // with arrival/id order — the best variant of every near-dup cluster
+    // carries the smallest id — and deliberately diverge when a better
+    // variant arrives after a kept near-dup (a streaming curator cannot
+    // un-keep). Both sides run the ONE shared formula TF.qualityGrid, so
+    // any disagreement here is survivorship policy, never scoring.
+    val goodA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val goodB = "amber basalt copper dune ember flint gneiss harbor iron jasper " +
+      "karst lagoon marble nickel onyx pumice quartz ridge slate topaz"
+    val lowA = goodA + " !!! ??? ;;;" // same tokens → jaccard 1.0, lower quality
+
+    // AGREE: one ordered corpus (best variant first). doc 1 beats its
+    // near-dup 2 on quality AND id; 3 is junk; 4 an exact copy of 1; 5 novel.
+    val ordered = Seq(
+      (1L, goodA), (2L, lowA), (3L, "??? !!! ;;; :::"), (4L, goodA + "  "), (5L, goodB))
+    val batchKept = graft.text.Curate
+      .keepSet(ordered.toDF("doc_id", "text"), "doc_id", "text", minQuality = 4000)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val dirA = Files.createTempDirectory("curate_par_a").toFile.getAbsolutePath
+    Streams.curateSink(spark, s"$dirA/state")(ordered.toDF("doc_id", "text"), 0L)
+    val streamKept = Streams.readCurated(spark, s"$dirA/state")
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    assert(batchKept == streamKept,
+      s"ordered-arrival parity broken: batch=$batchKept stream=$streamKept")
+    assert(batchKept.keySet == Set(1L, 5L))
+
+    // DIVERGE: the better variant arrives after its near-dup (higher id,
+    // later batch). Batch keep-best keeps 12; streaming keeps 11 — pinned.
+    val unordered = Seq((11L, lowA), (12L, goodA))
+    val batchKept2 = graft.text.Curate
+      .keepSet(unordered.toDF("doc_id", "text"), "doc_id", "text", minQuality = 4000)
+      .select("doc_id").as[Long].collect().toSet
+    val dirB = Files.createTempDirectory("curate_par_b").toFile.getAbsolutePath
+    val sinkB = Streams.curateSink(spark, s"$dirB/state") _
+    sinkB(Seq((11L, lowA)).toDF("doc_id", "text"), 0L)
+    sinkB(Seq((12L, goodA)).toDF("doc_id", "text"), 1L)
+    val streamKept2 = Streams.readCurated(spark, s"$dirB/state")
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept2 == Set(12L), s"batch keep-best should keep the better doc: $batchKept2")
+    assert(streamKept2 == Set(11L), s"streaming first-seen should keep the earlier doc: $streamKept2")
+  }
+
+  test("drift→retrain loop e2e: caller polls the signal, retrains past threshold, recall recovers") {
+    import graft.sim.Ann
+    val dir = Files.createTempDirectory("ivfe2e").toFile.getAbsolutePath
+    val sink = Streams.ivfIndexSink(spark, s"$dir/index", s"$dir/stats", k = 3) _
+    def driftOf(b: Long): Double = spark.read.parquet(s"$dir/stats_drift")
+      .filter(col("batch_id").cast("long") === b)
+      .select("mean_displacement").as[Double].head()
+    // The caller policy under spec: after each batch, poll the signal and
+    // retrain past the threshold.
+    val threshold = 0.5
+    def policyFired(b: Long): Boolean =
+      if (driftOf(b) > threshold) {
+        Streams.ivfRetrain(spark, s"$dir/index", s"$dir/stats", k = 3); true
+      } else false
+
+    // Corpus: clusters A≈(0,10) and B≈(10,0); the drifted batch lands a NEW
+    // cluster C on A/B's perpendicular bisector (x=y), each point offset to
+    // one side — so stale cells split C, which is what kills nprobe=1
+    // recall until a retrain gives C its own cell.
+    def ab(id: Long) =
+      if (id % 2 == 0) (id, Seq(0.0 + id * 0.001, 10.0 - id * 0.001))
+      else (id, Seq(10.0 - id * 0.001, 0.0 + id * 0.001))
+    def cpt(id: Long) = {
+      val d = if (id % 2 == 0) 0.3 else -0.3
+      (id, Seq(5.2 + d + id * 0.001, 5.2 - d - id * 0.001))
+    }
+    sink((1L to 8L).map(ab).toDF("id", "vec"), 0L) // bootstrap (trains k=3)
+    sink((9L to 12L).map(ab).toDF("id", "vec"), 1L) // stationary
+    assert(!policyFired(1L), s"stationary batch must not trigger a retrain: ${driftOf(1L)}")
+
+    sink((21L to 28L).map(cpt).toDF("id", "vec"), 2L) // drifted: cluster C appears
+
+    val queries = Seq((101L, Seq(5.19, 5.21)), (102L, Seq(5.23, 5.17)))
+      .toDF("id", "vec")
+    def recallAt8: Double = {
+      val corpus = spark.read.parquet(s"$dir/index").drop("batch_id")
+      def sets(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val truth = sets(Ann.bruteforceTopK(corpus.select(col("id"), col("vec")), queries, 8))
+      val got = sets(Ann.ivfTopK(corpus, queries, 1, 8))
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    }
+
+    val before = recallAt8
+    assert(before <= 0.75, s"stale cells should split cluster C (recall@8 ~0.5), got $before")
+    assert(policyFired(2L), s"drifted batch must trigger the retrain: ${driftOf(2L)}")
+    val after = recallAt8
+    assert(after >= 0.9 && after > before,
+      s"retrain must recover post-drift recall: before=$before after=$after")
+
+    // The loop keeps running after the retrain: a batch at the new centers
+    // reads as stationary again.
+    sink((31L to 34L).map(cpt).toDF("id", "vec"), 3L)
+    assert(!policyFired(3L), s"post-retrain C batch should be stationary: ${driftOf(3L)}")
+  }
+
   test("scd2Sink aborts on a corrupt dimension instead of overwriting it") {
     val dir = Files.createTempDirectory("scd2_corrupt").toFile.getAbsolutePath
     val dim = s"$dir/dim"
