@@ -220,7 +220,14 @@ object Streams {
     val sigsDir = s"$stateDir/sigs"
     def prior(dir: String): Option[DataFrame] =
       graft.sources.Sources.parquetIfExists(spark, dir)
-        .map(df => df.filter(col("batch_id") =!= batchId).drop("batch_id"))
+        .map { df =>
+          // Same corrupt≠absent discipline as nearDupSink/ivfIndexSink: a
+          // legacy layout without batch_id must fail loudly, not read empty.
+          require(df.columns.contains("batch_id"),
+            s"curation state at $dir lacks the batch_id partition column " +
+              "(legacy layout) — migrate before streaming resumes")
+          df.filter(col("batch_id") =!= batchId).drop("batch_id")
+        }
     // 1. quality gate (TF.qualityGrid — the ONE survivorship formula shared
     // with Curate.keepSet; batch/streaming parity depends on it)
     val gated = batch

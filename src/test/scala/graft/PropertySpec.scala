@@ -154,6 +154,28 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("FuzzyLink finds hamming-opaque insert+delete run shifts (adversarial, deterministic)") {
+    // The class a pigeonhole-only blocker drops: equal-length pairs at
+    // Levenshtein 2 via one insert + one delete whose hamming distance is
+    // the WHOLE length — every tiling segment damaged, so only the
+    // deletion-variant pass can block them. Random small-alphabet corpora
+    // (above) rarely generate long shifts; these pin the exact shape.
+    val pairs = Seq(
+      ("abcdabcd", "bcdabcda"), // full rotation: hamming 8, lev 2
+      ("xabcdefg", "abcdefgx"), // head char moved to tail
+      ("a0001234", "00012345")) // zero-pad run shift (the q50 key shape)
+    pairs.foreach { case (a, b) => assert(a.length == b.length) }
+    val batch = pairs.zipWithIndex.map { case ((a, _), i) => (i.toLong, a) }
+    val master = pairs.zipWithIndex.map { case ((_, b), i) => (1000L + i, b) }
+    val got = graft.ops.FuzzyLink.linkage(
+        batch.toDF("key", "name"), master.toDF("key", "name"),
+        "key", "name", 6, 2)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    pairs.indices.foreach(i =>
+      assert(got.contains((i.toLong, 1000L + i)),
+        s"missed shift pair ${pairs(i)} — deletion-variant blocking broken"))
+  }
+
   test("incremental (count, sum) state merge equals the one-pass aggregation") {
     // The q62 algebra on random data and a random split point: folding the
     // stored partial state with the new window's partials must equal the
