@@ -81,5 +81,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_hash60"),
       new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
       (children: Seq[Expression]) => Hash60(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bitand_count"),
+      new ExpressionInfo(classOf[BitAndCount].getName, "graft_bitand_count"),
+      (children: Seq[Expression]) => BitAndCount(children.head, children(1))))
   }
 }

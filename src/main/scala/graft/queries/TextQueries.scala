@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.Dedup
-import graft.text.{MinHash, SimHash, TextFunctions => TF}
+import graft.text.{Containment, MinHash, SimHash, TextFunctions => TF}
 
 /** B-block (text): dedup family + text analysis over `documents`.
   *
@@ -233,6 +233,43 @@ object TextQueries {
           md5(col("_norm")).as("fp_md5"),
           array_min(transform(TF.charNgrams(col("_norm"), 8), g => TF.hash60(g))).as("fp_min_ngram"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q66: winnowing fingerprint match (shared-substring detection) ----
+    // Position-local fingerprints (TF.winnowSelect scaladoc has the
+    // guarantee): pairs sharing >= minShared selected k-gram-window minima
+    // share substrings of length >= w + k - 1 — partial-overlap detection
+    // that global MinHash (one signature per whole doc) dilutes away.
+    // Over-common fingerprints (df > maxDf: corpus boilerplate) are dropped
+    // BEFORE the pair join — standard winnowing practice and the scale
+    // guard: the join is banded by fingerprint, and the df cap bounds every
+    // bucket, so candidate volume is sum(df²) <= maxDf · corpus-fps, never
+    // all-pairs.
+    "q66_winnow" -> { (s, d) =>
+      val (k, w, maxDf, minShared) = (8, 4, 20, 3)
+      // Cached FLAT (doc_id, fp) rows: the df pass and both self-join
+      // sides read it — the hashing pass runs once, and nothing with an
+      // array column is ever cached (columnar array caching is slow).
+      val fps = Tables.documents(s, d)
+        .withColumn("_hs", TF.gramHashes(col("text"), k))
+        .select(col("doc_id"), explode(TF.winnowSelect(col("_hs"), w)).as("fp"))
+        .cache()
+      val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDf).select(col("fp"))
+      val kept = fps.join(rare, Seq("fp"), "left_semi")
+      kept.select(col("doc_id").as("id_a"), col("fp"))
+        .join(kept.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- q67: asymmetric containment join (quote/boilerplate inclusion) ----
+    "q67_containment" -> { (s, d) =>
+      Containment.containmentJoin(Tables.documents(s, d), "doc_id", "text", 0.8)
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
 
@@ -491,7 +528,37 @@ object TextQueries {
            FROM n)
          SELECT g.doc_id, md5(any_value(g.s)) AS fp_md5,
            min(${h60("gram")}) AS fp_min_ngram
-         FROM g GROUP BY g.doc_id ORDER BY g.doc_id"""
+         FROM g GROUP BY g.doc_id ORDER BY g.doc_id""",
+
+    "q66_winnow" ->
+      s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+           FROM documents),
+         h AS (SELECT doc_id, CASE WHEN len(s) >= 8
+             THEN [${h60("substr(s, i, 8)")} for i in range(1, len(s) - 6)]
+             ELSE [${h60("s")}] END AS hs FROM n),
+         wm AS (SELECT doc_id, CASE WHEN len(hs) >= 4
+             THEN [list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]
+             ELSE [list_min(hs)] END AS sel FROM h),
+         f AS (SELECT DISTINCT doc_id, unnest(sel) AS fp FROM wm),
+         rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 20),
+         ff AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3
+         ORDER BY 1, 2""",
+
+    // TRUE quadratic containment (fine at oracle SF) — the Spark side must
+    // produce it through prefix-filter blocking, so this checks blocking
+    // completeness, not just agreement on a shortcut.
+    "q67_containment" ->
+      s"""WITH $SHINGLES_CTE,
+         hs AS (SELECT doc_id, list_sort(list(${h60("shingle")})) AS hs
+           FROM sh GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.hs, b.hs)) * 1.0 / len(a.hs) AS c
+           FROM hs a JOIN hs b ON a.doc_id <> b.doc_id)
+         SELECT id_a, id_b, floor(c * 10000 + 0.5) / 10000 AS containment
+         FROM p WHERE c >= 0.8 ORDER BY id_a, id_b"""
   )
 
   /** en-stopword count over `toks` (used inside q24's oracle). */

@@ -1,0 +1,151 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Asymmetric set-containment join over shingle sets: find ordered pairs
+  * (a, b) with `|shingles(a) ∩ shingles(b)| / |shingles(a)| >= threshold` —
+  * the quote-inclusion / boilerplate-wrap shape symmetric Jaccard dedup is
+  * blind to (a short document fully quoted inside a long one has containment
+  * ~1 but Jaccard ~|a|/|b|, far below any near-dup threshold).
+  *
+  * TWO physical paths, picked by a measured corpus statistic (the same way
+  * a join picks broadcast vs shuffle from size stats):
+  *
+  *  - SPARSE vocabulary (real text — the 100 TB regime): prefix-filter
+  *    blocking (the ppjoin family's core). Order every document's shingle
+  *    hashes by ascending document frequency (ties on hash) and emit the
+  *    first `m = min(n, ⌊(1−t)·n⌋ + c)` as probe keys against the full
+  *    inverted index; a candidate must match at least `m − ⌊(1−t)·n⌋` of
+  *    them (pigeonhole: b misses at most ⌊(1−t)·n⌋ of a's elements, so a
+  *    true pair always shares that many probes — completeness is exact for
+  *    every c, and the df order puts each document's rarest shingles in
+  *    the probes). The exact intersection verify (`cand ⋈ rows_a ⋈semi
+  *    rows_b → count`) runs on candidates only; everything is flat
+  *    (id, hash) rows — no array is ever shuffled or cached.
+  *
+  *  - DENSE vocabulary (measured `|vocab| <= denseVocabMax`): signature
+  *    blocking is structurally non-discriminating — with few distinct
+  *    shingles even each document's rarest have high df, so near-all pairs
+  *    collide (measured at sf0.1: vocab 931, probe df ≈ 185, c=1 candidates
+  *    = 9.87M of 25M possible). No blocking beats exhaustive here, so the
+  *    dense path makes the exhaustive compare optimal instead: each
+  *    document's shingle set becomes a `⌈vocab/64⌉`-long bitset over the
+  *    global hash rank, pairs come from a broadcast nested-loop join (no
+  *    shuffle), and the intersection is native popcount codegen
+  *    ([[graft.functions.BitAndCount]]) — a few machine words per pair.
+  *    The N² pair count is bounded by the corpus that triggers the path:
+  *    a dense vocabulary means template-generated near-duplicate text,
+  *    where the MATCH set itself approaches N², i.e. the output, not the
+  *    algorithm, is quadratic.
+  *
+  * Both paths produce identical rows (and both are property-tested against
+  * the quadratic truth; the DuckDB oracle for q67 is the quadratic
+  * definition, so the driver check verifies blocking completeness).
+  *
+  * Reference anchor: the 4_silver notebooks' dedup keeps only whole-row /
+  * near-whole-text duplicates; containment is the corpus-curation
+  * generalization a training-data pipeline needs for sub-document overlap.
+  */
+object Containment {
+
+  /** (id_a, id_b, containment) with containment(a→b) >= `threshold`,
+    * over distinct word-bigram shingle sets (empty-shingle docs — under
+    * two tokens — cannot be contained and are excluded). Both directions
+    * of a symmetric near-dup pair appear; a strict quote-inclusion shows
+    * only (quoted → quoting).
+    *
+    * @param minProbeMatches sparse-path probe-count bound c (see object
+    *   scaladoc) — measured at sf0.1: c=1 → 9.87M candidates, c=3 → 1.11M,
+    *   c=6 → 25k
+    * @param denseVocabMax switch to the dense bitmap path when the corpus'
+    *   distinct-shingle count is at or below this (0 forces sparse)
+    */
+  def containmentJoin(docs: DataFrame, id: String, text: String,
+      threshold: Double, minProbeMatches: Int = 6,
+      denseVocabMax: Long = 4096): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    require(minProbeMatches >= 1, s"minProbeMatches >= 1, got $minProbeMatches")
+    // Flat (id, h) shingle-hash rows — distinct per doc by construction
+    // (withShingles dedups the shingle array). The ONE frame every later
+    // step derives from; cached because 4-5 subplans read it.
+    val rows = MinHash.withShingles(docs, id, text)
+      .select(col(id), explode(col("shingles")).as("_s"))
+      .select(col(id), TextFunctions.hash60(col("_s")).as("h"))
+      .cache()
+    val dfh = rows.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // One driver-side scalar decides the path (FuzzyLink's entropySegments
+    // discipline: boundaries from a stats pass, profile not exact counts).
+    val vocab = dfh.count()
+    if (vocab <= denseVocabMax) dense(rows, id, threshold, vocab)
+    else sparse(rows, dfh, id, threshold, minProbeMatches)
+  }
+
+  /** Containment on the tie-free floor grid (q24 discipline: round(x, 4)
+    * lands i/n on exact .xxxx5 halves where Spark HALF_UP and DuckDB
+    * disagree by one ulp; the grid is the same double arithmetic in both).
+    */
+  private def grid(c: Column): Column = floor(c * 10000d + 0.5d) / 10000d
+
+  private def sparse(rows: DataFrame, dfh: DataFrame, id: String,
+      threshold: Double, minProbeMatches: Int): DataFrame = {
+    val sizes = rows.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    // Rare-first rank within each doc under the global (df, h) order.
+    val byRarity = Window.partitionBy(col(id)).orderBy(col("df"), col("h"))
+    val maxMiss = floor(lit(1.0 - threshold) * col("n"))
+    val m = least(col("n"), maxMiss + minProbeMatches)
+    val probes = rows.join(dfh, Seq("h"))
+      .withColumn("_rn", row_number().over(byRarity))
+      .join(sizes, Seq(id))
+      .filter(col("_rn") <= m)
+      .select(col(id).as("id_a"), col("h"), (m - maxMiss).as("_need"))
+    val cand = probes
+      .join(rows.select(col(id).as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("_got"), first(col("_need")).as("_need"))
+      .filter(col("_got") >= col("_need"))
+      .select(col("id_a"), col("id_b"))
+    // |A ∩ B| per candidate: A's rows semi-joined to B's, then counted.
+    cand
+      .join(rows.select(col(id).as("id_a"), col("h")), Seq("id_a"))
+      .join(rows.select(col(id).as("id_b"), col("h")), Seq("id_b", "h"), "left_semi")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("_inter"))
+      .join(sizes.select(col(id).as("id_a"), col("n").as("_na")), Seq("id_a"))
+      .withColumn("containment", col("_inter") * lit(1.0) / col("_na"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), grid(col("containment")).as("containment"))
+  }
+
+  private def dense(rows: DataFrame, id: String, threshold: Double,
+      vocab: Long): DataFrame = {
+    val words = ((vocab + 63) / 64).toInt
+    // Global dense rank of each hash: one single-partition window over
+    // vocab rows — metadata-rate by the density precondition.
+    val ranks = rows.select(col("h")).distinct()
+      .withColumn("r", row_number().over(Window.orderBy(col("h"))) - 1)
+    // One bitset row per doc. The HOF bitset build is interpreted but runs
+    // once per DOCUMENT (words × n ops); the per-PAIR hot path below is
+    // the native codegen popcount.
+    val bits = rows.join(ranks, Seq("h"))
+      .groupBy(col(id))
+      .agg(collect_list(col("r")).as("_rs"), count(lit(1)).as("n"))
+      .select(col(id), col("n"),
+        transform(sequence(lit(0), lit(words - 1)), w =>
+          aggregate(filter(col("_rs"), r => (r / 64).cast("int") === w),
+            lit(0L),
+            (acc, r) => acc.bitwiseOR(
+              call_function("shiftleft", lit(1L), (r % 64).cast("int")))))
+          .as("bits"))
+    val a = bits.select(col(id).as("id_a"), col("n").as("_na"), col("bits").as("_ba"))
+    val b = bits.select(col(id).as("id_b"), col("bits").as("_bb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("containment",
+        call_function("graft_bitand_count", col("_ba"), col("_bb")) * lit(1.0) / col("_na"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), grid(col("containment")).as("containment"))
+  }
+}

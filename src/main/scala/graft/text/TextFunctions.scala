@@ -66,6 +66,50 @@ object TextFunctions {
       alphaRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2
   }
 
+  /** Per-position [[hash60]] values of the normalized text's character
+    * k-grams — the hash stream winnowing selects from.
+    *
+    * The normal form is bound INSIDE the expression via a one-element
+    * `transform` lambda (`array(norm) → s → …`): the per-gram `substr`
+    * lambda then reads the lambda variable instead of an inlined
+    * normalizeText subtree, which would re-run the regex once PER GRAM
+    * (the q26 lesson, O(len²) per document — the q66 query measured 39.6s
+    * inlined vs ~4s bound at sf0.1). A `withColumn` binding is not enough
+    * here: the optimizer can inline single-use projections into generator
+    * filters.
+    */
+  def gramHashes(text: Column, k: Int): Column =
+    element_at(
+      transform(array(normalizeText(text)), s =>
+        transform(
+          when(length(s) >= k,
+            transform(sequence(lit(1), length(s) - (k - 1)), i => s.substr(i, lit(k))))
+            .otherwise(array(s)),
+          g => hash60(g))),
+      1)
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003) over a k-gram hash stream: the minimum of every `w`-hash
+    * window, distinct. Guarantees: two documents sharing ANY substring of
+    * length >= w + k - 1 share at least one fingerprint (every length-w
+    * window of the shared region selects the same local minimum on both
+    * sides), and selection density is ~2/(w+1) — position-local, unlike a
+    * global MinHash, so it detects PARTIAL overlap. Streams shorter than
+    * `w` collapse to one window. Same one-element-lambda binding as
+    * [[gramHashes]]: the stream is evaluated once, however the caller
+    * spells the argument.
+    */
+  def winnowSelect(hashes: Column, w: Int): Column =
+    element_at(
+      transform(array(hashes), hs =>
+        array_distinct(
+          when(size(hs) >= w,
+            transform(sequence(lit(1), size(hs) - (w - 1)),
+              i => array_min(slice(hs, i, lit(w)))))
+            .otherwise(array(array_min(hs))))),
+      1)
+
   /** [[qualityScore]] on the tie-free integer grid `floor(score·1e4 + 0.5)`
     * (0..10000). The 0.5·n_tokens/100 term lands raw scores on exact .xxxx5
     * boundaries where Spark and DuckDB round a ulp apart; the grid is the

@@ -176,6 +176,56 @@ class PropertySpec extends SparkSpec {
         s"missed shift pair ${pairs(i)} — deletion-variant blocking broken"))
   }
 
+  test("winnowing guarantee: a shared substring of length >= w+k-1 shares a fingerprint") {
+    // The SIGMOD'03 local-fingerprinting property the q66 join rides: any
+    // common substring of length w + k - 1 (= 11 at k=8, w=4) contributes
+    // a full window of identical k-gram hashes on both sides, whose local
+    // minimum both documents select.
+    val lowerAlpha = Gen.listOfN(11, Gen.choose('a', 'z')).map(_.mkString)
+    val gen = for {
+      shared <- lowerAlpha
+      pre1 <- Gen.listOfN(12, Gen.choose('a', 'z')).map(_.mkString)
+      suf1 <- Gen.listOfN(12, Gen.choose('a', 'z')).map(_.mkString)
+      pre2 <- Gen.listOfN(12, Gen.choose('a', 'z')).map(_.mkString)
+      suf2 <- Gen.listOfN(12, Gen.choose('a', 'z')).map(_.mkString)
+    } yield (pre1 + shared + suf1, pre2 + shared + suf2)
+    check(forAll(gen) { case (docA, docB) =>
+      val fps = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+        .withColumn("_hs", graft.text.TextFunctions.gramHashes(col("text"), 8))
+        .select(col("doc_id"),
+          explode(graft.text.TextFunctions.winnowSelect(col("_hs"), 4)).as("fp"))
+        .as[(Long, Long)].collect()
+      val (a, b) = fps.partition(_._1 == 1L)
+      a.map(_._2).toSet.intersect(b.map(_._2).toSet).nonEmpty
+    })
+  }
+
+  test("containment prefix filter equals the quadratic truth on random corpora") {
+    // Blocking completeness for the asymmetric join: every ordered pair at
+    // containment >= t must survive the prefix probe (and no extras —
+    // the verify is exact). Truth computed driver-side on the same
+    // distinct-bigram shingle definition.
+    val word = Gen.oneOf("red", "blue", "green", "ash", "oak", "elm", "fox", "owl")
+    val doc = Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val gen = Gen.choose(3, 8).flatMap(n => Gen.listOfN(n, doc))
+    def shingleSet(s: String): Set[String] =
+      s.split(" ").toSeq.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSet
+    check(forAll(gen) { docs =>
+      val df = docs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+      // Both physical paths must equal the truth: denseVocabMax=0 forces
+      // the sparse prefix-filter path (these corpora are all dense).
+      def run(denseMax: Long) = graft.text.Containment
+        .containmentJoin(df, "doc_id", "text", 0.8, denseVocabMax = denseMax)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val sets = docs.zipWithIndex.map { case (s, i) => i.toLong -> shingleSet(s) }.toMap
+      val want = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a != b && sa.nonEmpty && sa.intersect(sb).size.toDouble / sa.size >= 0.8
+      } yield (a, b)).toSet
+      run(4096) == want && run(0) == want
+    })
+  }
+
   test("incremental (count, sum) state merge equals the one-pass aggregation") {
     // The q62 algebra on random data and a random split point: folding the
     // stored partial state with the new window's partials must equal the
