@@ -34,7 +34,17 @@ object SqlFunctions {
   /** The function DDL, in dependency order (later bodies call earlier
     * functions — SQL UDFs compose by name within the session).
     */
-  private def ddl(nativeDot: Boolean): Seq[String] = Seq(
+  private def ddl(nativeDot: Boolean, nativeHash: Boolean): Seq[String] = (
+    // Without GraftExtensions, spell hash60 from built-ins (the
+    // Cdm.hash60Composed chain — same values, AnnSpec-pinned). With them,
+    // the native function is already in the registry and a temp function
+    // of the same name would SHADOW the codegen'd one.
+    if (nativeHash) Seq.empty[String]
+    else Seq(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_hash60(s STRING)
+        |RETURNS BIGINT
+        |RETURN cast(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)""".stripMargin)
+  ) ++ Seq(
     // TextFunctions.tokens
     """CREATE OR REPLACE TEMPORARY FUNCTION graft_tokens(text STRING)
       |RETURNS ARRAY<STRING>
@@ -88,6 +98,24 @@ object SqlFunctions {
       |  + (length(regexp_replace(text, '[^a-zA-Z]', '')) * 1.0d / length(text)) * 0.3d
       |  + (1.0d - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '')) * 1.0d / length(text)) * 0.2d
       |  ) * 10000d + 0.5d) / 10000d""".stripMargin,
+    // TextFunctions.gramHashes / winnowSelect (q66's primitives). The
+    // one-element-lambda wrapper is load-bearing exactly as in the Column
+    // spelling: it binds the normal form / the hash stream to a lambda
+    // variable so inlining at the call site cannot multiply its
+    // evaluation per gram / per window.
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_gram_hashes(text STRING, k INT)
+      |RETURNS ARRAY<BIGINT>
+      |RETURN element_at(transform(array(graft_normalize(text)), s ->
+      |  transform(CASE WHEN length(s) >= k
+      |      THEN transform(sequence(1, length(s) - (k - 1)), i -> substr(s, i, k))
+      |      ELSE array(s) END,
+      |    g -> graft_hash60(g))), 1)""".stripMargin,
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_winnow(hs ARRAY<BIGINT>, w INT)
+      |RETURNS ARRAY<BIGINT>
+      |RETURN element_at(transform(array(hs), a ->
+      |  array_distinct(CASE WHEN size(a) >= w
+      |      THEN transform(sequence(1, size(a) - (w - 1)), i -> array_min(slice(a, i, w)))
+      |      ELSE array(array_min(a)) END)), 1)""".stripMargin,
     // Ann.cosine. With GraftExtensions active the body rides the native
     // codegen'd graft_dot; otherwise the interpreted-HOF fold — the two are
     // bit-identical (both sequential left-to-right double sums), so which
@@ -106,7 +134,8 @@ object SqlFunctions {
 
   /** Create (or replace) the graft SQL functions in `spark`'s session. */
   def register(spark: SparkSession): Unit =
-    ddl(nativeDot = spark.catalog.functionExists("graft_dot")).foreach(spark.sql(_))
+    ddl(nativeDot = spark.catalog.functionExists("graft_dot"),
+      nativeHash = spark.catalog.functionExists("graft_hash60")).foreach(spark.sql(_))
 
   /** Temp views over an sf-dir's tables so the whole catalog is plain-SQL
     * queryable (`SELECT graft_langid(text) FROM documents`). Uses

@@ -86,6 +86,23 @@ class PlanSpec extends SparkSpec {
       s"linkage must block, not cross:\n$p")
   }
 
+  test("q67 dense containment path is shuffle-free: broadcast NLJ, no hash exchange after the bitset build") {
+    // The dense-vocab path's whole point: pair generation must be a
+    // broadcast nested-loop (no Exchange between the bitset frames and the
+    // pair filter), with the popcount running as the native expression.
+    val p = plan("q67_containment")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"dense containment must pair via broadcast NLJ:\n$p")
+    assert(p.contains("graft_bitand_count"),
+      s"dense containment must verify via the native popcount:\n$p")
+  }
+
+  test("q66 winnow pair join is an equi-join on fingerprints — never quadratic") {
+    val p = plan("q66_winnow")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"winnow matching must block on fingerprints, not cross:\n$p")
+  }
+
   test("q28 hyperplane bucket build is one wide aggregation — at most 2 exchanges") {
     // The wide form carries `planes` parallel sums through ONE groupBy(id);
     // the regression shape (explode per plane + two groupBys) costs a

@@ -84,6 +84,16 @@ class SqlSurfaceSpec extends SparkSpec {
       "function bodies were not inlined:\n" + plan.take(2000))
   }
 
+  test("graft_winnow(graft_gram_hashes(...)) == TextFunctions winnow spelling") {
+    registered
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_winnow(graft_gram_hashes(text, 8), 4) AS fps FROM documents")
+    val viaCol = Tables.documents(spark, sfDir).select(col("doc_id"),
+      TF.winnowSelect(TF.gramHashes(col("text"), 8), 4).as("fps"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty,
+      "SQL winnow spelling diverges from the Column API")
+  }
+
   // ---- relational ops: the SQL spelling must equal the Column API ----
 
   /** Optimized plan with expression ids (#123) and per-run scan identities
