@@ -284,6 +284,74 @@ object Streams {
   def readCurated(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/kept").drop("batch_id")
 
+  /** foreachBatch incremental containment rejection — the streaming face
+    * of [[graft.text.Containment]]: drop a batch document whose distinct
+    * word-bigram shingle set is covered (containment >= `minContainment`)
+    * by ANY single already-kept document, or by a smaller-id member of
+    * the same batch (greedy-by-id, deterministic — the curateSink
+    * survivorship discipline: a streaming curator cannot un-keep, so the
+    * quoted FRAGMENT drops and the wrapper survives, and within a batch
+    * the earlier id wins even when a later wrapper covers it).
+    *
+    * State under `stateDir`: `shingles` — the kept docs' FLAT (doc_id, h)
+    * inverted index — and `kept` (doc_id), both batch_id-partitioned,
+    * replay-idempotent via the dynamic-overwrite discipline, compactable
+    * with [[compactBatchLog]]. Per-batch cost: one inverted-index probe
+    * (batch shingles ⋈ kept index on the hash) + one exact per-pair
+    * count — never a corpus rescan, nothing quadratic in the corpus.
+    * Docs with no shingles (under two tokens) cannot be contained and
+    * pass through (quality gating is [[curateSink]]'s job, not this
+    * sink's).
+    */
+  def containmentSink(spark: SparkSession, stateDir: String,
+      minContainment: Double = 0.8)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.text.{MinHash, TextFunctions => TF}
+    val shDir = s"$stateDir/shingles"
+    val keptDir = s"$stateDir/kept"
+    def prior(dir: String): Option[DataFrame] =
+      graft.sources.Sources.parquetIfExists(spark, dir).map { df =>
+        require(df.columns.contains("batch_id"),
+          s"containment state at $dir lacks the batch_id partition column " +
+            "(legacy layout) — migrate before streaming resumes")
+        df.filter(col("batch_id") =!= batchId).drop("batch_id")
+      }
+    val rows = MinHash.withShingles(batch, "doc_id", "text")
+      .select(col("doc_id"), explode(col("shingles")).as("_s"))
+      .select(col("doc_id"), TF.hash60(col("_s")).as("h"))
+      .cache()
+    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val idx = prior(shDir).getOrElse(rows.limit(0))
+      .select(col("doc_id").as("id_b"), col("h")).withColumn("_old", lit(true))
+      .unionByName(rows.select(col("doc_id").as("id_b"), col("h"))
+        .withColumn("_old", lit(false)))
+    val dropped = rows.select(col("doc_id").as("id_a"), col("h"))
+      .join(idx, Seq("h"))
+      .filter(col("_old") || col("id_b") < col("id_a"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("_inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n")), Seq("id_a"))
+      .filter(col("_inter") * lit(1.0) / col("n") >= minContainment)
+      .select(col("id_a").as("doc_id")).distinct()
+    val kept = batch.select(col("doc_id"))
+      .join(dropped, Seq("doc_id"), "left_anti").cache()
+    // Empty-batch discipline as in curateSink: a batch keeping nothing
+    // writes nothing (file-less partition dirs break later reads; replay
+    // re-derives empty deterministically).
+    if (!kept.isEmpty) {
+      graft.sources.Sinks.dynamicOverwrite(
+        kept.withColumn("batch_id", lit(batchId)), keptDir, Seq("batch_id"))
+      val keptRows = rows.join(kept, Seq("doc_id"), "left_semi")
+      if (!keptRows.isEmpty)
+        graft.sources.Sinks.dynamicOverwrite(
+          keptRows.withColumn("batch_id", lit(batchId)), shDir, Seq("batch_id"))
+    }
+    kept.unpersist(); rows.unpersist()
+  }
+
+  /** Current kept set from the [[containmentSink]] state log. */
+  def readContainmentKept(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/kept").drop("batch_id")
+
   /** foreachBatch streaming IVF index maintenance — the streaming face of
     * the [[graft.sim.Ann]] trained quantizer: each micro-batch of
     * (id, vec) is assigned to its nearest cell against the centroids

@@ -468,6 +468,44 @@ class StreamingSpec extends SparkSpec {
     assert(!policyFired(3L), s"post-retrain C batch should be stationary: ${driftOf(3L)}")
   }
 
+  test("containmentSink drops quoted fragments against kept state, idempotent replay") {
+    val dir = Files.createTempDirectory("containment_stream").toFile.getAbsolutePath
+    val sink = Streams.containmentSink(spark, s"$dir/state") _
+    val quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val wrapper = "intro words before the quotation " + quote +
+      " and a long commentary tail following the quoted passage here"
+    sink(Seq(
+      (1L, wrapper),
+      (2L, "entirely different content about other things altogether")
+    ).toDF("doc_id", "text"), 0L)
+    val b1 = Seq(
+      (3L, quote),                       // fully contained in kept doc 1 → dropped
+      (4L, "novel material nothing shares with the existing corpus state")
+    ).toDF("doc_id", "text")
+    sink(b1, 1L)
+    sink(b1, 1L) // replay after a simulated post-write failure
+    def kept = Streams.readContainmentKept(spark, s"$dir/state")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L), s"kept set wrong: $kept")
+    // dropped docs never claim shingle state
+    assert(spark.read.parquet(s"$dir/state/shingles")
+      .select("doc_id").distinct().as[Long].collect().toSet == Set(1L, 2L, 4L))
+
+    // Within a batch the earlier id wins: a LATER wrapper covering an
+    // earlier fragment does not evict it, but a later fragment of an
+    // earlier doc drops (greedy-by-id).
+    val frag = "solar lunar stellar orbital cosmic astral"
+    sink(Seq(
+      (5L, "prefix chatter " + frag + " suffix chatter closing words here"),
+      (6L, frag) // contained in batch-mate 5 (smaller id) → dropped
+    ).toDF("doc_id", "text"), 2L)
+    assert(kept == Set(1L, 2L, 4L, 5L), s"within-batch greedy-by-id broken: $kept")
+
+    // No-shingle docs (under two tokens) pass through untouched.
+    sink(Seq((7L, "solo")).toDF("doc_id", "text"), 3L)
+    assert(kept.contains(7L))
+  }
+
   test("scd2Sink aborts on a corrupt dimension instead of overwriting it") {
     val dir = Files.createTempDirectory("scd2_corrupt").toFile.getAbsolutePath
     val dim = s"$dir/dim"

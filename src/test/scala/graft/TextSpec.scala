@@ -78,6 +78,38 @@ class TextSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 6L), s"keep set wrong: $kept")
   }
 
+  test("winnow edges: short text collapses to one gram, short stream to one window") {
+    // len < k → charNgrams yields the whole string → one hash → one
+    // fingerprint; k <= len < k+w-1 → fewer than w grams → one window.
+    val out = Seq((1L, "abc"), (2L, "abcdefghi"), (3L, ""))
+      .toDF("doc_id", "text")
+      .withColumn("_hs", TF.gramHashes(col("text"), 8))
+      .select(col("doc_id"), TF.winnowSelect(col("_hs"), 4).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(out(1L).size == 1, s"short text must yield one fingerprint: ${out(1L)}")
+    assert(out(2L).size == 1, s"short stream must yield one window min: ${out(2L)}")
+    assert(out(3L).size == 1, "empty text degenerates to the empty-string gram")
+  }
+
+  test("containment: a quoted document is detected inside its quoting wrapper") {
+    // The asymmetric shape the operator exists for: doc 1 fully quoted
+    // inside doc 2 (low Jaccard, containment 1.0); doc 3 unrelated.
+    val quoted = "alpha beta gamma delta epsilon zeta"
+    val wrapper = "intro words before the quote " + quoted +
+      " and a long tail of commentary after the quotation ends here with extra context"
+    val docs = Seq((1L, quoted), (2L, wrapper), (3L, "entirely different content altogether"))
+      .toDF("doc_id", "text")
+    def run(denseMax: Long) = graft.text.Containment
+      .containmentJoin(docs, "doc_id", "text", 0.8, denseVocabMax = denseMax)
+      .select("id_a", "id_b", "containment").as[(Long, Long, Double)].collect().toSet
+    for (denseMax <- Seq(0L, 4096L)) {
+      val got = run(denseMax)
+      assert(got.map(p => (p._1, p._2)) == Set((1L, 2L)),
+        s"denseMax=$denseMax: expected only (quoted → quoting), got $got")
+      assert(got.head._3 == 1.0, s"full quote must score containment 1.0: $got")
+    }
+  }
+
   test("SimHash: identical docs collide at hamming 0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
