@@ -504,6 +504,51 @@ class StreamingSpec extends SparkSpec {
     // No-shingle docs (under two tokens) pass through untouched.
     sink(Seq((7L, "solo")).toDF("doc_id", "text"), 3L)
     assert(kept.contains(7L))
+
+    // The shingle log is compactable like every other batch log, and a
+    // fragment of a COMPACTED kept doc still drops.
+    assert(Streams.compactBatchLog(spark, s"$dir/state/shingles", keepLast = 1))
+    sink(Seq((8L, quote)).toDF("doc_id", "text"), 4L)
+    assert(!kept.contains(8L), "fragment of a compacted kept doc must still drop")
+  }
+
+  test("batch↔streaming containment parity: ordered arrival agrees on drops, direction pins the divergence") {
+    // Contract mirror of the curation parity spec: the BATCH join reports
+    // both directions of coverage; the SINK drops only the contained side,
+    // and only when the covering doc arrived earlier (smaller id / earlier
+    // batch). When wrappers arrive before their fragments, the sink's
+    // dropped set equals the batch join's covered-by-earlier side; a
+    // fragment arriving BEFORE its wrapper survives streaming (cannot
+    // un-keep) while the batch join still reports it covered.
+    val frag = "orange violet indigo crimson amber teal maroon olive"
+    val wrap = "heading text " + frag + " trailing commentary of substantial further length"
+    val ordered = Seq((1L, wrap), (2L, frag), (3L, "unrelated material on a wholly different topic"))
+    val batchPairs = graft.text.Containment
+      .containmentJoin(ordered.toDF("doc_id", "text"), "doc_id", "text", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(batchPairs == Set((2L, 1L)), s"batch join should report fragment→wrapper: $batchPairs")
+    val dirA = Files.createTempDirectory("cont_par_a").toFile.getAbsolutePath
+    Streams.containmentSink(spark, s"$dirA/state")(ordered.toDF("doc_id", "text"), 0L)
+    val keptA = Streams.readContainmentKept(spark, s"$dirA/state")
+      .select("doc_id").as[Long].collect().toSet
+    // streaming drops exactly the batch-reported contained-in-earlier docs
+    assert(keptA == Set(1L, 3L), s"ordered-arrival parity broken: $keptA")
+
+    // Divergence: fragment first (batch 0), wrapper later (batch 1) —
+    // streaming keeps BOTH; the batch join over the same corpus still
+    // reports the containment.
+    val dirB = Files.createTempDirectory("cont_par_b").toFile.getAbsolutePath
+    val sinkB = Streams.containmentSink(spark, s"$dirB/state") _
+    sinkB(Seq((11L, frag)).toDF("doc_id", "text"), 0L)
+    sinkB(Seq((12L, wrap)).toDF("doc_id", "text"), 1L)
+    val keptB = Streams.readContainmentKept(spark, s"$dirB/state")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptB == Set(11L, 12L), s"first-seen fragment must survive: $keptB")
+    val batchPairsB = graft.text.Containment
+      .containmentJoin(Seq((11L, frag), (12L, wrap)).toDF("doc_id", "text"),
+        "doc_id", "text", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(batchPairsB == Set((11L, 12L)), s"batch still reports the coverage: $batchPairsB")
   }
 
   test("scd2Sink aborts on a corrupt dimension instead of overwriting it") {
