@@ -270,6 +270,24 @@ object TextQueries {
     "q67_containment" -> { (s, d) =>
       Containment.containmentJoin(Tables.documents(s, d), "doc_id", "text", 0.8)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- q68: containment pruning (the dedup end-step over q67) ----
+    // Keep every document NOT covered (containment >= t) by an
+    // earlier-id document — the crawl-snapshot dedup direction: fragments
+    // and re-wraps of already-seen content drop, first occurrence
+    // survives, docs without shingles pass through. Shares q67's cached
+    // plan (identical containmentJoin subtree → one materialization for
+    // the pair).
+    "q68_containment_prune" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val coveredByEarlier = Containment
+        .containmentJoin(docs, "doc_id", "text", 0.8)
+        .filter(col("id_b") < col("id_a"))
+        .select(col("id_a").as("doc_id")).distinct()
+      docs.join(coveredByEarlier, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -558,7 +576,18 @@ object TextQueries {
              len(list_intersect(a.hs, b.hs)) * 1.0 / len(a.hs) AS c
            FROM hs a JOIN hs b ON a.doc_id <> b.doc_id)
          SELECT id_a, id_b, floor(c * 10000 + 0.5) / 10000 AS containment
-         FROM p WHERE c >= 0.8 ORDER BY id_a, id_b"""
+         FROM p WHERE c >= 0.8 ORDER BY id_a, id_b""",
+
+    "q68_containment_prune" ->
+      s"""WITH $SHINGLES_CTE,
+         hs AS (SELECT doc_id, list_sort(list(${h60("shingle")})) AS hs
+           FROM sh GROUP BY doc_id),
+         drops AS (SELECT DISTINCT a.doc_id FROM hs a JOIN hs b
+           ON b.doc_id < a.doc_id
+           AND len(list_intersect(a.hs, b.hs)) * 1.0 / len(a.hs) >= 0.8)
+         SELECT d.doc_id FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+         ORDER BY d.doc_id"""
   )
 
   /** en-stopword count over `toks` (used inside q24's oracle). */
