@@ -85,5 +85,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bitand_count"),
       new ExpressionInfo(classOf[BitAndCount].getName, "graft_bitand_count"),
       (children: Seq[Expression]) => BitAndCount(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_gram_hash60"),
+      new ExpressionInfo(classOf[GramHash60].getName, "graft_gram_hash60"),
+      (children: Seq[Expression]) => GramHash60(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_winnow_select"),
+      new ExpressionInfo(classOf[WinnowSelect].getName, "graft_winnow_select"),
+      (children: Seq[Expression]) => WinnowSelect(children.head, children(1))))
   }
 }

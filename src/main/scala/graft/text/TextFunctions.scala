@@ -67,18 +67,25 @@ object TextFunctions {
   }
 
   /** Per-position [[hash60]] values of the normalized text's character
-    * k-grams — the hash stream winnowing selects from.
-    *
-    * The normal form is bound INSIDE the expression via a one-element
-    * `transform` lambda (`array(norm) → s → …`): the per-gram `substr`
-    * lambda then reads the lambda variable instead of an inlined
-    * normalizeText subtree, which would re-run the regex once PER GRAM
-    * (the q26 lesson, O(len²) per document — the q66 query measured 39.6s
-    * inlined vs ~4s bound at sf0.1). A `withColumn` binding is not enough
-    * here: the optimizer can inline single-use projections into generator
-    * filters.
+    * k-grams — the hash stream winnowing selects from. Delegates to the
+    * native [[graft.functions.GramHash60]] (one generated call per
+    * document; the normal form is an ordinary child expression, evaluated
+    * once by construction). [[gramHashesHof]] is the built-ins-only
+    * spelling, parity-pinned by test.
     */
   def gramHashes(text: Column, k: Int): Column =
+    call_function("graft_gram_hash60", normalizeText(text), lit(k))
+
+  /** Built-ins-only [[gramHashes]] (same values): the normal form is bound
+    * INSIDE the expression via a one-element `transform` lambda
+    * (`array(norm) → s → …`) so the per-gram `substr` lambda reads a
+    * lambda variable instead of an inlined normalizeText subtree, which
+    * would re-run the regex once PER GRAM (the q26 lesson, O(len²) per
+    * document — the q66 query measured 39.6s inlined vs ~4s bound at
+    * sf0.1). A `withColumn` binding is not enough: the optimizer can
+    * inline single-use projections into generator filters.
+    */
+  private[graft] def gramHashesHof(text: Column, k: Int): Column =
     element_at(
       transform(array(normalizeText(text)), s =>
         transform(
@@ -96,11 +103,18 @@ object TextFunctions {
     * window of the shared region selects the same local minimum on both
     * sides), and selection density is ~2/(w+1) — position-local, unlike a
     * global MinHash, so it detects PARTIAL overlap. Streams shorter than
-    * `w` collapse to one window. Same one-element-lambda binding as
-    * [[gramHashes]]: the stream is evaluated once, however the caller
-    * spells the argument.
+    * `w` collapse to one window. Delegates to the native one-pass
+    * monotonic-deque [[graft.functions.WinnowSelect]];
+    * [[winnowSelectHof]] is the built-ins-only spelling, parity-pinned.
     */
   def winnowSelect(hashes: Column, w: Int): Column =
+    call_function("graft_winnow_select", hashes, lit(w))
+
+  /** Built-ins-only [[winnowSelect]] (same values, O(m·w) interpreted):
+    * the one-element-lambda binding keeps the stream evaluated once
+    * however the caller spells the argument.
+    */
+  private[graft] def winnowSelectHof(hashes: Column, w: Int): Column =
     element_at(
       transform(array(hashes), hs =>
         array_distinct(

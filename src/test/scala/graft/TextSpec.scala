@@ -78,6 +78,22 @@ class TextSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 6L), s"keep set wrong: $kept")
   }
 
+  test("native gramHashes/winnowSelect equal the built-ins HOF spelling") {
+    // The native expressions are the hot path; the HOF spellings are the
+    // specification. Any divergence is a native-code bug, so pin equality
+    // on real documents plus adversarial shapes (multibyte chars, ties,
+    // short/empty strings).
+    val docs = Tables.documents(spark, sfDir).select(col("text"))
+      .unionByName(Seq("", "ab", "aaaaaaaaaaaa", "ünïcødé grams héré indeed",
+        "x y z " * 4).toDF("text"))
+    val nat = docs.select(
+      TF.winnowSelect(TF.gramHashes(col("text"), 8), 4).as("fps"))
+    val hof = docs.select(
+      TF.winnowSelectHof(TF.gramHashesHof(col("text"), 8), 4).as("fps"))
+    assert(nat.exceptAll(hof).isEmpty && hof.exceptAll(nat).isEmpty,
+      "native winnow family diverges from the HOF specification")
+  }
+
   test("winnow edges: short text collapses to one gram, short stream to one window") {
     // len < k → charNgrams yields the whole string → one hash → one
     // fingerprint; k <= len < k+w-1 → fewer than w grams → one window.
