@@ -250,7 +250,9 @@ object TextQueries {
       // Cached FLAT (doc_id, fp) rows: the df pass and both self-join
       // sides read it — the hashing pass runs once, and nothing with an
       // array column is ever cached (columnar array caching is slow).
-      val fps = Tables.documents(s, d)
+      // widen: the sf-test documents table is one row group = one task,
+      // which would serialize the per-character hashing on a single core.
+      val fps = graft.sources.Sources.widen(Tables.documents(s, d))
         .withColumn("_hs", TF.gramHashes(col("text"), k))
         .select(col("doc_id"), explode(TF.winnowSelect(col("_hs"), w)).as("fp"))
         .cache()

@@ -29,6 +29,21 @@ object Sources {
     * (worst) lets a sink overwrite the only — possibly recoverable —
     * copy of a dimension.
     */
+  /** Round-robin widen a NARROW input (fewer partitions than the session's
+    * shuffle width) before per-row-heavy work. A small parquet table is
+    * often one row group = ONE Spark task, which serializes downstream
+    * per-character/per-element compute onto a single core (measured: the
+    * q66 fingerprint hash stream ran 2.2s single-threaded from a
+    * one-row-group documents scan). At scale the scan already has enough
+    * splits and this is a no-op — the partition check, not the shuffle,
+    * is the contract, so a 100 TB input never pays a blind full-text
+    * reshuffle.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= width) df else df.repartition(width)
+  }
+
   def parquetIfExists(spark: SparkSession, path: String): Option[DataFrame] =
     try Some(spark.read.parquet(path))
     catch {

@@ -70,6 +70,11 @@ object Containment {
     // Flat (id, h) shingle-hash rows — distinct per doc by construction
     // (withShingles dedups the shingle array). The ONE frame every later
     // step derives from; cached because 4-5 subplans read it.
+    // NOT widened (Sources.widen): unlike q66's per-character hashing, the
+    // shingle build is not this plan's dominant cost, and a 4-run
+    // interleaved A/B measured the widen shuffle as a net loss here
+    // (q68 2.4 → 3.0s) — more tiny-partition stage overhead than the
+    // parallelized build repays at bench scale.
     val rows = MinHash.withShingles(docs, id, text)
       .select(col(id), explode(col("shingles")).as("_s"))
       .select(col(id), TextFunctions.hash60(col("_s")).as("h"))
