@@ -31,11 +31,11 @@ case class GramHash60(left: Expression, right: Expression) extends BinaryExpress
   }
 
   override def nullSafeEval(s: Any, k: Any): Any =
-    GramHash60.eval(s.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+    GramHash60.hashStream(s.asInstanceOf[UTF8String], k.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (s, k) =>
-      s"${ev.value} = graft.functions.GramHash60.eval($s, $k);")
+      s"${ev.value} = graft.functions.GramHash60.hashStream($s, $k);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -45,7 +45,15 @@ case class GramHash60(left: Expression, right: Expression) extends BinaryExpress
 }
 
 object GramHash60 {
-  def eval(s: UTF8String, k: Int): ArrayData = {
+  /** Named `hashStream`, NOT `eval`: the case class inherits
+    * `Expression.eval(InternalRow)`, and scalac suppresses the companion's
+    * static forwarder when the class already has a method of that name — so
+    * generated code calling `GramHash60.eval(UTF8String, int)` failed janino
+    * compilation and silently demoted every stage containing this expression
+    * to interpreted execution (Spark's codegen-fallback path). The
+    * fallback-disabled spec in TextSpec pins compilability.
+    */
+  def hashStream(s: UTF8String, k: Int): ArrayData = {
     val n = s.numChars()
     if (n < k) return new GenericArrayData(Array(Hash60.hash(s.getBytes)))
     val out = new Array[Long](n - k + 1)

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget shard packing: assign every row the training shard implied
+  * by the GLOBAL running total of a weight (token count) in id order —
+  * `shard_id = prefix_sum_before(weight) div budget` — the offset-based
+  * sharding a training-data writer needs (each shard holds ~budget tokens;
+  * a document straddling a boundary stays whole in the earlier shard's
+  * overflow, so assignment is deterministic and order-stable).
+  *
+  * The naive spelling is one window over the whole corpus ordered by id —
+  * a SINGLE PARTITION holding 100 TB. This is the classic two-phase
+  * distributed prefix sum instead:
+  *   1. coarse buckets (`id div bucketSize`) aggregate per-bucket weight
+  *      totals — one map-side-combinable shuffle;
+  *   2. the global cumulative offset runs over the BUCKET TOTALS (one row
+  *      per bucket — pick `bucketSize` so that's ~1e5 rows at target scale,
+  *      the only single-task step, over kilobytes);
+  *   3. offsets broadcast back and a window PARTITIONED BY bucket finishes
+  *      the within-bucket cumsum in parallel.
+  */
+object ShardPack {
+
+  /** `df` must carry unique non-negative long `idCol` and an integral
+    * `weightCol`. Returns the input columns plus `shard_id`.
+    */
+  def assign(df: DataFrame, idCol: String, weightCol: String,
+             budget: Long, bucketSize: Long = 1L << 20): DataFrame = {
+    require(budget > 0 && bucketSize > 0, "budget and bucketSize must be positive")
+    val w = df.withColumn("_bkt", expr(s"`$idCol` DIV $bucketSize"))
+    val offsets = w.groupBy(col("_bkt")).agg(sum(col(weightCol)).as("_tot"))
+      .withColumn("_off",
+        coalesce(sum(col("_tot")).over(
+          Window.orderBy(col("_bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("_bkt"), col("_off"))
+    val inBkt = Window.partitionBy(col("_bkt")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    w.join(broadcast(offsets), Seq("_bkt"))
+      .withColumn("_cum_before",
+        col("_off") + coalesce(sum(col(weightCol)).over(inBkt), lit(0L)))
+      .withColumn("shard_id", expr(s"_cum_before DIV $budget"))
+      .drop("_bkt", "_off", "_cum_before")
+  }
+}

@@ -274,6 +274,58 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ---- q69: benchmark decontamination (eval-gram collision rule) ----
+    // source='src0' plays the benchmark suite; every other doc is flagged
+    // with its count of distinct 8-token grams shared with it. Eval grams
+    // broadcast (benchmarks are MBs by nature); the corpus side is one
+    // tokenize pass filtered by the broadcast join BEFORE the only shuffle
+    // (the per-doc agg over the rare contaminated grams).
+    "q69_decontaminate" -> { (s, d) =>
+      graft.text.Decontaminate.hits(
+          Tables.documents(s, d), "doc_id", "text", col("source") === "src0", 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q70: repetition filter (Gopher-style duplicate-text signals) ----
+    // Gopher-style repetition heuristics re-expressed doc-locally:
+    // duplicate-word fraction ((n_tokens - n_types)/n_tokens > 0.65,
+    // ~p80 on this corpus) and most-repeated-bigram coverage
+    // (top_bigram_cnt/n_tokens > 0.08, ~p95), both spelled as INTEGER
+    // cross-multiplications so the verdict is bit-identical across
+    // engines (no float threshold). All three stats come from the token
+    // array itself (array_distinct + sorted-run max) — a pure map over the
+    // corpus, no explode/shuffle; zero-token docs are non-repetitive by
+    // definition (0 > 0 is false on both sides).
+    "q70_repetition" -> { (s, d) =>
+      val toks = TF.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_types"),
+          TF.maxRunCount(TF.wordBigrams(toks)).as("top_bigram_cnt"))
+        .withColumn("repetitive",
+          when((col("n_tokens") - col("n_types")) * 20 > col("n_tokens") * 13
+            || col("top_bigram_cnt") * 25 > col("n_tokens") * 2, 1L).otherwise(0L))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q71: token-budget shard packing (distributed prefix sum) ----
+    // Offset-based training-shard assignment: shard = global running token
+    // total before this doc, integer-divided by the budget. The running
+    // total is the two-phase prefix sum (ops/ShardPack.scala) — per-bucket
+    // partials, a single-task window over the TINY bucket-total table, a
+    // broadcast join back — never a single-partition window over the
+    // corpus. Test-scale knobs (bucket=64 docs, budget=512 tokens) keep
+    // both phases non-trivial at sf0.01.
+    "q71_shard_pack" -> { (s, d) =>
+      graft.ops.ShardPack.assign(
+          Tables.documents(s, d)
+            .select(col("doc_id"), size(TF.tokens(col("text"))).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", budget = 512, bucketSize = 64)
+        .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q68: containment pruning (the dedup end-step over q67) ----
     // Keep every document NOT covered (containment >= t) by an
     // earlier-id document — the crawl-snapshot dedup direction: fragments
@@ -579,6 +631,41 @@ object TextQueries {
            FROM hs a JOIN hs b ON a.doc_id <> b.doc_id)
          SELECT id_a, id_b, floor(c * 10000 + 0.5) / 10000 AS containment
          FROM p WHERE c >= 0.8 ORDER BY id_a, id_b""",
+
+    "q69_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, source, $TOKS AS toks FROM documents),
+         g AS (SELECT doc_id, source, unnest(CASE WHEN len(toks) >= 8
+             THEN [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks) - 6)]
+             ELSE [] END) AS gram FROM tk),
+         ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+         SELECT doc_id, count(DISTINCT gram) AS n_hits
+         FROM g JOIN ev USING (gram)
+         WHERE source <> 'src0'
+         GROUP BY 1 ORDER BY doc_id""",
+
+    "q70_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         bx AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+             THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+             ELSE [] END) AS bg FROM tk),
+         top AS (SELECT doc_id, max(cnt) AS top_bigram_cnt FROM
+           (SELECT doc_id, bg, count(*) AS cnt FROM bx GROUP BY 1, 2) GROUP BY 1),
+         m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+             len(list_distinct(toks))::BIGINT AS n_types FROM tk)
+         SELECT m.doc_id, m.n_tokens, m.n_types,
+           coalesce(t.top_bigram_cnt, 0)::BIGINT AS top_bigram_cnt,
+           (CASE WHEN (m.n_tokens - m.n_types) * 20 > m.n_tokens * 13
+                 OR coalesce(t.top_bigram_cnt, 0) * 25 > m.n_tokens * 2
+            THEN 1 ELSE 0 END)::BIGINT AS repetitive
+         FROM m LEFT JOIN top t USING (doc_id) ORDER BY m.doc_id""",
+
+    "q71_shard_pack" ->
+      s"""WITH t AS (SELECT doc_id, len($TOKS)::BIGINT AS n_tokens FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t)
+         SELECT doc_id, n_tokens, (cb // 512)::BIGINT AS shard_id
+         FROM c ORDER BY doc_id""",
 
     "q68_containment_prune" ->
       s"""WITH $SHINGLES_CTE,

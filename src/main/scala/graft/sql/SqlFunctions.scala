@@ -67,6 +67,25 @@ object SqlFunctions {
       |  zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
       |           (a, b) -> concat_ws(' ', a, b))
       |ELSE cast(array() AS ARRAY<STRING>) END""".stripMargin,
+    // TextFunctions.wordNgrams — the one-element-lambda binding is
+    // load-bearing as in the Column spelling (tokenization must not be
+    // re-inlined per gram).
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_word_ngrams(toks ARRAY<STRING>, n INT)
+      |RETURNS ARRAY<STRING>
+      |RETURN element_at(transform(array(toks), ts ->
+      |  CASE WHEN size(ts) >= n THEN
+      |    transform(sequence(1, size(ts) - (n - 1)), i -> concat_ws(' ', slice(ts, i, n)))
+      |  ELSE cast(array() AS ARRAY<STRING>) END), 1)""".stripMargin,
+    // TextFunctions.maxRunCount (q70's doc-local repetition statistic)
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_max_run_count(arr ARRAY<STRING>)
+      |RETURNS BIGINT
+      |RETURN aggregate(array_sort(arr),
+      |  named_struct('prev', '', 'run', 0L, 'best', 0L),
+      |  (acc, x) -> named_struct(
+      |    'prev', x,
+      |    'run', CASE WHEN x = acc.prev THEN acc.run + 1L ELSE 1L END,
+      |    'best', greatest(acc.best, CASE WHEN x = acc.prev THEN acc.run + 1L ELSE 1L END)),
+      |  acc -> acc.best)""".stripMargin,
     // TextFunctions.charNgrams (whole string when shorter than n)
     """CREATE OR REPLACE TEMPORARY FUNCTION graft_char_ngrams(text STRING, n INT)
       |RETURNS ARRAY<STRING>

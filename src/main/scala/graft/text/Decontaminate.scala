@@ -1,0 +1,48 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.{TextFunctions => TF}
+
+/** Benchmark decontamination: flag training documents that share any word
+  * n-gram with an evaluation/benchmark corpus (the n-gram collision rule
+  * from the GPT-3 appendix-C / PaLM contamination analyses — public
+  * methodology, not a reference-repo operator; it extends the curation
+  * family of text/Curate.scala toward the north-star training pipeline).
+  *
+  * Scale shape (100 TB): the EVAL side is a benchmark suite — megabytes by
+  * nature, thousands-to-millions of distinct n-grams — so its distinct-gram
+  * set broadcasts, and the corpus side is ONE tokenize+explode pass filtered
+  * by the broadcast join before anything shuffles. The only shuffle is the
+  * final per-doc aggregation over the (rare) contaminated grams. If an eval
+  * set ever outgrew the broadcast threshold, drop the `broadcast` hint and
+  * let AQE pick the join; the plan stays one corpus pass either way.
+  */
+object Decontaminate {
+
+  /** Per-document contamination hits: (`idCol`, n_hits) for every non-eval
+    * document sharing >= 1 word `n`-gram with the eval side; clean documents
+    * produce no row. `isEval` partitions the input (eval rows are the
+    * benchmark; the rest are the corpus under test).
+    */
+  def hits(docs: DataFrame, idCol: String, textCol: String,
+           isEval: Column, n: Int): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+        explode(TF.wordNgrams(TF.tokens(col(textCol)), n)).as("gram"))
+    val evalGrams = grams(docs.filter(isEval)).select(col("gram")).distinct()
+    grams(docs.filter(!isEval))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_hits"))
+  }
+
+  /** The decontaminated corpus: non-eval documents with zero eval-gram
+    * collisions (eval rows themselves are not part of the output).
+    */
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+            isEval: Column, n: Int): DataFrame =
+    docs.filter(!isEval)
+      .join(hits(docs, idCol, textCol, isEval, n).select(col(idCol)),
+        Seq(idCol), "left_anti")
+}

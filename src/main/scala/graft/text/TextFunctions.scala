@@ -40,11 +40,45 @@ object TextFunctions {
         (a, b) => concat_ws(" ", a, b)))
       .otherwise(array().cast("array<string>"))
 
+  /** Space-joined word n-grams of a token array; empty when fewer than `n`
+    * tokens (same `when` guard as [[wordBigrams]]). The one-element-lambda
+    * binding keeps the token array evaluated ONCE however the caller spells
+    * it (the q26 lesson: an optimizer-inlined child inside the per-index
+    * lambda re-tokenizes once per gram, O(len²) per document); the per-gram
+    * work reads the lambda variable via `slice`, a constant-cost view.
+    */
+  def wordNgrams(toks: Column, n: Int): Column =
+    element_at(
+      transform(array(toks), ts =>
+        when(size(ts) >= n,
+          transform(sequence(lit(1), size(ts) - (n - 1)),
+            i => concat_ws(" ", slice(ts, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))),
+      1)
+
   /** Character n-grams of a string (whole string when shorter than n). */
   def charNgrams(c: Column, n: Int): Column =
     when(length(c) >= n,
       transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n))))
       .otherwise(array(c))
+
+  /** Maximum multiplicity of any element of a string array (0 for empty) —
+    * the per-document "most-repeated n-gram count" behind Gopher-style
+    * repetition filtering. Doc-LOCAL by construction: sort the array, then
+    * one `aggregate` pass tracks the longest equal-run — O(m log m) per
+    * document, zero shuffle, instead of exploding the corpus into a
+    * (doc, gram) aggregation whose shuffle is corpus-sized at 100 TB.
+    */
+  def maxRunCount(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
 
   /** Whitespace-collapsed, trimmed, lowercased normal form (dedup canon). */
   def normalizeText(c: Column): Column =

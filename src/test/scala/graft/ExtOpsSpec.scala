@@ -157,4 +157,31 @@ class ExtOpsSpec extends SparkSpec {
     assert(math.abs(incremental - exact).toDouble / exact < 0.05,
       s"estimate $incremental vs exact $exact")
   }
+
+  test("ShardPack.assign equals the single-window prefix sum, across bucket boundaries") {
+    import graft.ops.ShardPack
+    // Irregular weights and sparse ids so bucket boundaries (size 4) fall
+    // mid-shard and shards (budget 10) span buckets.
+    val rows = Seq((0L, 3L), (1L, 7L), (3L, 1L), (4L, 9L), (7L, 2L),
+      (8L, 8L), (9L, 4L), (12L, 6L), (15L, 5L), (16L, 1L))
+    val df = rows.toDF("doc_id", "n_tokens")
+    val got = ShardPack.assign(df, "doc_id", "n_tokens", budget = 10, bucketSize = 4)
+      .select(col("doc_id"), col("shard_id")).as[(Long, Long)].collect().toMap
+    // Brute-force truth: running total before each row, div budget.
+    var cum = 0L
+    val want = rows.sortBy(_._1).map { case (id, w) =>
+      val s = cum / 10; cum += w; id -> s
+    }.toMap
+    assert(got == want, s"got $got want $want")
+    // Shards must be contiguous in id order and non-decreasing.
+    val ordered = rows.sortBy(_._1).map { case (id, _) => got(id) }
+    assert(ordered == ordered.sorted)
+  }
+
+  test("ShardPack rejects non-positive knobs") {
+    import graft.ops.ShardPack
+    val df = Seq((1L, 1L)).toDF("doc_id", "n_tokens")
+    intercept[IllegalArgumentException](ShardPack.assign(df, "doc_id", "n_tokens", 0))
+    intercept[IllegalArgumentException](ShardPack.assign(df, "doc_id", "n_tokens", 10, -1))
+  }
 }

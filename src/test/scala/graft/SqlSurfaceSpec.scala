@@ -38,6 +38,20 @@ class SqlSurfaceSpec extends SparkSpec {
       "SQL text surface diverges from the Column API")
   }
 
+  test("graft_word_ngrams / graft_max_run_count == their Column twins") {
+    registered
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_word_ngrams(graft_tokens(text), 8) AS grams,
+        |       graft_max_run_count(graft_word_bigrams(graft_tokens(text))) AS top_bg
+        |FROM documents""".stripMargin)
+    val viaCol = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      TF.wordNgrams(TF.tokens(col("text")), 8).as("grams"),
+      TF.maxRunCount(TF.wordBigrams(TF.tokens(col("text")))).as("top_bg"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty,
+      "graft_word_ngrams/graft_max_run_count diverge from the Column API")
+  }
+
   test("graft_quality == q24's quality_score column") {
     registered
     val viaSql = spark.sql(

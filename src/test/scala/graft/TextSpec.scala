@@ -126,6 +126,65 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("wordNgrams yields sliding space-joined grams, empty under n tokens") {
+    val out = Seq("a b c d", "a b").toDF("text")
+      .select(TF.wordNgrams(TF.tokens(col("text")), 3)).as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1).isEmpty)
+  }
+
+  test("maxRunCount is the max element multiplicity, 0 for empty") {
+    val out = Seq(
+      Seq("x", "y", "x", "z", "x"), // x appears 3x
+      Seq("solo"),
+      Seq.empty[String])
+      .toDF("arr").select(TF.maxRunCount(col("arr"))).as[Long].collect()
+    assert(out.toSeq == Seq(3L, 1L, 0L))
+  }
+
+  test("Decontaminate flags only corpus docs sharing an eval n-gram") {
+    import graft.text.Decontaminate
+    val docs = Seq(
+      (0L, "eval", "one two three four five six seven eight nine"),
+      (1L, "web", "one two three four five six seven eight nine tail"), // shares 2 distinct 8-grams
+      (2L, "web", "completely different words with no overlap at all here"),
+      (3L, "web", "short")) // no 8-grams at all
+      .toDF("doc_id", "source", "text")
+    val hits = Decontaminate.hits(docs, "doc_id", "text", col("source") === "eval", 8)
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 2L), s"got $hits")
+    val clean = Decontaminate.clean(docs, "doc_id", "text", col("source") === "eval", 8)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(clean == Set(2L, 3L), s"got $clean")
+  }
+
+  test("native expressions codegen-compile with fallback disabled") {
+    // With spark.sql.codegen.fallback=true (the default), a janino compile
+    // error silently demotes the whole stage to interpreted execution —
+    // exactly what hid the GramHash60.eval static-forwarder clash (scalac
+    // emits no forwarder when the class inherits a method of the same
+    // name). Disabling fallback turns any such clash into a hard failure.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "zeta eta theta"))
+        .toDF("doc_id", "text")
+      val n = docs
+        .withColumn("_hs", TF.gramHashes(col("text"), 8))
+        .select(col("doc_id"), TF.winnowSelect(col("_hs"), 4).as("fps"),
+          TF.hash60(col("text")).as("h"))
+        .count()
+      assert(n == 2)
+      val emb = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      assert(emb.select(call_function("graft_dot", col("a"), col("b"))).head().getDouble(0) == 11.0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("SimHash: identical docs collide at hamming 0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
