@@ -26,13 +26,39 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local mode = driver-only JVM; the box has 128 GiB and the bench
-  // accumulates caches + localCheckpoints across 63 queries — size the
-  // heap so storage never evicts and GC stays out of the measurement.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  // local mode = driver-only JVM. 16g fits the full catalog's caches at
+  // sf0.1 with room to spare — and measurably BEATS a big heap: with
+  // -Xmx64g on this host the full-catalog bench degraded 10-17×
+  // (356-605s vs 36s), stalling for minutes at a time on young
+  // GCs/safepoints (0.7s avg young GC, jcmd attach timeouts, executors
+  // parked while `main` crawled) as G1 repeatedly grew eden into
+  // never-touched pages. Fixed Xms=Xmx + AlwaysPreTouch pays the page
+  // commit once at JVM start (uncounted warmup) instead of mid-query.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
   // 63 queries × several whole-stage-codegen units × janino classes blow
   // through the JVM's default 240 MB code cache; once it fills, the JIT
   // stops compiling and everything from that point runs interpreted —
   // which is a mid-bench cliff, not a graceful slowdown.
   "-XX:ReservedCodeCacheSize=1g",
-)
+) ++
+  // Diagnostics hook: extra JVM flags for the forked run/test JVMs without
+  // editing the build (e.g. SPARK_GRAFT_JVM_EXTRA="-Xlog:gc*,safepoint:file=/tmp/jvm.log").
+  sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
+
+// glibc malloc tuning for the forked JVMs. Profiled on the full-catalog
+// bench: executor threads spent whole 5s windows ~3:1 system:user, kernel
+// stacks parked in mmap/munmap — glibc serves each large malloc/free
+// (compression + serialization buffers) with a fresh mmap once the dynamic
+// threshold is crossed, and the process-wide mmap_lock those calls hold
+// also serializes EVERY page fault, so 32 task threads + a growing heap
+// collapse to single-digit effective parallelism in bursts. Raising the
+// mmap threshold keeps big buffers in reusable arenas (one-time RSS cost,
+// bounded by the matching trim threshold); 8 arenas bound fragmentation.
+// Callers can still override any knob via their own environment.
+ThisBuild / envVars ++= Seq(
+  "MALLOC_MMAP_THRESHOLD_" -> "134217728",
+  "MALLOC_TRIM_THRESHOLD_" -> "134217728",
+  "MALLOC_ARENA_MAX" -> "8",
+).filterNot { case (k, _) => sys.env.contains(k) }.toMap
