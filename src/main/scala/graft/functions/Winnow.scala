@@ -55,14 +55,28 @@ object GramHash60 {
     */
   def hashStream(s: UTF8String, k: Int): ArrayData = {
     val n = s.numChars()
-    if (n < k) return new GenericArrayData(Array(Hash60.hash(s.getBytes)))
+    val bytes = s.getBytes // one materialization per document
+    if (n < k) return new GenericArrayData(Array(Hash60.hash(bytes)))
+    // Single forward byte-walk, O(n·k) total: `start`/`end` are the byte
+    // offsets of chars i and i+k, each advanced once per position via the
+    // UTF-8 first-byte length — the previous substringSQL spelling re-walked
+    // the string from byte 0 to locate char i at EVERY position (O(n²) in
+    // document length; a 1 MB doc cost ~10^11 byte touches) and allocated a
+    // fresh UTF8String + byte copy per gram. hashRange hashes in place.
     val out = new Array[Long](n - k + 1)
+    var end = 0
+    var c = 0
+    while (c < k) { end += UTF8String.numBytesForFirstByte(bytes(end)); c += 1 }
+    var start = 0
     var i = 0
-    while (i < out.length) {
-      out(i) = Hash60.hash(s.substringSQL(i + 1, k).getBytes)
+    while (true) {
+      out(i) = Hash60.hashRange(bytes, start, end - start)
       i += 1
+      if (i == out.length) return new GenericArrayData(out)
+      start += UTF8String.numBytesForFirstByte(bytes(start))
+      end += UTF8String.numBytesForFirstByte(bytes(end))
     }
-    new GenericArrayData(out)
+    throw new IllegalStateException("unreachable")
   }
 }
 

@@ -25,12 +25,23 @@ import org.apache.spark.sql.functions._
 object ShardPack {
 
   /** `df` must carry unique non-negative long `idCol` and an integral
-    * `weightCol`. Returns the input columns plus `shard_id`.
+    * `weightCol`, and must not already contain the internal working names
+    * or the `shard_id` output — `withColumn` would silently REPLACE a
+    * caller column of the same name and corrupt the result; colliding
+    * inputs fail fast instead.
     */
   def assign(df: DataFrame, idCol: String, weightCol: String,
              budget: Long, bucketSize: Long = 1L << 20): DataFrame = {
     require(budget > 0 && bucketSize > 0, "budget and bucketSize must be positive")
-    val w = df.withColumn("_bkt", expr(s"`$idCol` DIV $bucketSize"))
+    val reserved = Seq("_bkt", "_off", "_tot", "_cum_before", "shard_id")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"input columns collide with ShardPack working/output names: ${clash.mkString(", ")}")
+    // Column-built arithmetic, not string-spliced expr(): an idCol needing
+    // more than backtick quoting can't break the parse. `div` is the
+    // registry's IntegralDivide — exact bigint division (a double `/` +
+    // cast would silently mis-bucket ids past 2^53).
+    val w = df.withColumn("_bkt", call_function("div", col(idCol), lit(bucketSize)))
     val offsets = w.groupBy(col("_bkt")).agg(sum(col(weightCol)).as("_tot"))
       .withColumn("_off",
         coalesce(sum(col("_tot")).over(
@@ -42,7 +53,7 @@ object ShardPack {
     w.join(broadcast(offsets), Seq("_bkt"))
       .withColumn("_cum_before",
         col("_off") + coalesce(sum(col(weightCol)).over(inBkt), lit(0L)))
-      .withColumn("shard_id", expr(s"_cum_before DIV $budget"))
+      .withColumn("shard_id", call_function("div", col("_cum_before"), lit(budget)))
       .drop("_bkt", "_off", "_cum_before")
   }
 }

@@ -105,12 +105,21 @@ object Runner {
     * resolve tables via [[graft.sources.Sinks.readCurrent]]. Incremental
     * appends are unchanged (appending new files is already safe on an
     * object store — nothing existing is touched).
+    *
+    * `onFailure` fires once per table whose load exhausted its attempts —
+    * the engine-side analog of the reference's explicit Fail activities
+    * (reference: pl_ingestion_bronze.json:60,322 — the pipeline's failure
+    * path is wired, not inferred from logs), so "page me when a load
+    * fails" is a callback, not an audit-log poll. A throwing callback is
+    * contained: it cannot break per-table isolation or the audit trail
+    * (the `failed` row is already written when it fires).
     */
   def run(spark: SparkSession, configPath: String, outDir: String, auditDir: String,
       runId: String, source: String => DataFrame,
       transform: Map[String, DataFrame => DataFrame] = Map.empty,
       maxAttempts: Int = 1, parallelism: Int = 1,
-      objectStoreCommit: Boolean = false): Seq[LoadResult] = {
+      objectStoreCommit: Boolean = false,
+      onFailure: LoadResult => Unit = _ => ()): Seq[LoadResult] = {
     val watermarks = lastWatermarks(spark, auditDir)
 
     // ADF-style per-activity retry. DataFrames are lazy, so transient
@@ -186,7 +195,12 @@ object Runner {
             e.loadMode, e.watermarkColumn.getOrElse(""),
             watermarks.get(wmKey).orNull,
             0L, "failed", start, new Timestamp(System.currentTimeMillis())))
-          LoadResult(e.qualifiedName, e.loadMode, 0L, "failed", None)
+          val res = LoadResult(e.qualifiedName, e.loadMode, 0L, "failed", None)
+          try onFailure(res) catch {
+            case cbEx: Exception => System.err.println(
+              s"[runner] onFailure callback for ${e.qualifiedName} threw: $cbEx")
+          }
+          res
       }
     }
 
@@ -219,9 +233,15 @@ object Runner {
     *
     * A stage wrapping [[run]] succeeds when every table load did:
     * `Stage("ingestion", s => Runner.run(...).forall(_.status == "succeeded"))`.
+    *
+    * `onFailure` fires for the stage that FAILED (not for the gated
+    * `skipped` stages after it — one page per incident, not one per
+    * downstream casualty); a throwing callback cannot alter the gating or
+    * the audit trail.
     */
   def master(spark: SparkSession, auditDir: String, runId: String,
-      stages: Seq[Stage]): Seq[StageResult] = {
+      stages: Seq[Stage],
+      onFailure: StageResult => Unit = _ => ()): Seq[StageResult] = {
     var gate = true
     stages.map { st =>
       val start = new Timestamp(System.currentTimeMillis())
@@ -234,7 +254,12 @@ object Runner {
         val ok = try st.body(spark) catch { case _: Exception => false }
         audit(if (ok) "succeeded" else "failed")
         if (!ok) gate = false
-        StageResult(st.name, if (ok) "succeeded" else "failed")
+        val res = StageResult(st.name, if (ok) "succeeded" else "failed")
+        if (!ok) try onFailure(res) catch {
+          case cbEx: Exception => System.err.println(
+            s"[runner] onFailure callback for stage ${st.name} threw: $cbEx")
+        }
+        res
       }
     }
   }

@@ -61,10 +61,19 @@ object Containment {
     *   c=6 → 25k
     * @param denseVocabMax switch to the dense bitmap path when the corpus'
     *   distinct-shingle count is at or below this (0 forces sparse)
+    * @param denseBroadcastMaxBytes upper bound on the estimated size of the
+    *   broadcast bitset table (`docs × (⌈vocab/64⌉·8 + 16) B`) before the
+    *   dense path is allowed — vocabulary density alone does NOT bound the
+    *   corpus row count, and the dense path broadcasts EVERY document's
+    *   bitset: a billion template-generated docs over a 1k vocabulary is
+    *   exactly the dense-vocab regime yet would ship ~150 GB to every
+    *   executor. Past the budget the sparse path (correct in every regime)
+    *   runs instead.
     */
   def containmentJoin(docs: DataFrame, id: String, text: String,
       threshold: Double, minProbeMatches: Int = 6,
-      denseVocabMax: Long = 4096): DataFrame = {
+      denseVocabMax: Long = 4096,
+      denseBroadcastMaxBytes: Long = 256L << 20): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     require(minProbeMatches >= 1, s"minProbeMatches >= 1, got $minProbeMatches")
     // Flat (id, h) shingle-hash rows — distinct per doc by construction
@@ -80,10 +89,18 @@ object Containment {
       .select(col(id), TextFunctions.hash60(col("_s")).as("h"))
       .cache()
     val dfh = rows.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    // One driver-side scalar decides the path (FuzzyLink's entropySegments
+    // Driver-side scalars decide the path (FuzzyLink's entropySegments
     // discipline: boundaries from a stats pass, profile not exact counts).
+    // Both stats read the cached flat rows; doc count only runs when the
+    // vocab test already passed (short-circuit keeps sparse corpora at one
+    // stats job).
     val vocab = dfh.count()
-    if (vocab <= denseVocabMax) dense(rows, id, threshold, vocab)
+    def denseFits: Boolean = {
+      val nDocs = rows.select(col(id)).distinct().count()
+      val bitsetBytes = ((vocab + 63) / 64) * 8 + 16
+      nDocs * bitsetBytes <= denseBroadcastMaxBytes
+    }
+    if (vocab <= denseVocabMax && denseFits) dense(rows, id, threshold, vocab)
     else sparse(rows, dfh, id, threshold, minProbeMatches)
   }
 

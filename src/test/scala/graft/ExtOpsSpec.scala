@@ -184,4 +184,17 @@ class ExtOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](ShardPack.assign(df, "doc_id", "n_tokens", 0))
     intercept[IllegalArgumentException](ShardPack.assign(df, "doc_id", "n_tokens", 10, -1))
   }
+
+  test("ShardPack rejects inputs colliding with its working/output columns") {
+    // withColumn would silently REPLACE a same-named caller column (e.g. a
+    // pre-existing shard_id from an earlier pass) and corrupt the result —
+    // collisions must fail fast, not clobber.
+    import graft.ops.ShardPack
+    val withShard = Seq((1L, 1L, 0L)).toDF("doc_id", "n_tokens", "shard_id")
+    val withBkt = Seq((1L, 1L, 0L)).toDF("doc_id", "n_tokens", "_bkt")
+    val e = intercept[IllegalArgumentException](
+      ShardPack.assign(withShard, "doc_id", "n_tokens", 10))
+    assert(e.getMessage.contains("shard_id"))
+    intercept[IllegalArgumentException](ShardPack.assign(withBkt, "doc_id", "n_tokens", 10))
+  }
 }

@@ -305,4 +305,46 @@ class PropertySpec extends SparkSpec {
       oneCurrentEach && currentValueRight && expired == changedKeys
     })
   }
+
+  test("GramHash60.hashStream equals the code-point sliding reference on multi-byte UTF-8") {
+    // The single-pass byte-walk must agree with the definitional spelling
+    // (hash of each k-code-point window's UTF-8 bytes) on every byte width:
+    // ASCII (1), Latin/Greek (2), CJK (3), astral emoji (4 — a surrogate
+    // PAIR in the Java string, ONE char to UTF8String).
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.{GramHash60, Hash60}
+    val chars = Gen.oneOf("a", "b", "é", "ß", "中", "文", "🙂", "🚀", " ")
+    val gen = for {
+      n <- Gen.choose(0, 40)
+      cs <- Gen.listOfN(n, chars)
+      k <- Gen.choose(1, 9)
+    } yield (cs.mkString, k)
+    check(forAll(gen) { case (s, k) =>
+      val got = GramHash60.hashStream(UTF8String.fromString(s), k)
+      val cps = s.codePoints().toArray
+      val expect =
+        if (cps.length < k) Seq(Hash60.hash(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        else cps.sliding(k).map(w => Hash60.hash(
+          new String(w, 0, w.length).getBytes(java.nio.charset.StandardCharsets.UTF_8))).toSeq
+      got.toLongArray().toSeq == expect
+    })
+  }
+
+  test("GramHash60.hashStream is linear in document length (1 MB doc, bounded wall time)") {
+    // Regression pin for the O(n²) substringSQL spelling: locating char i
+    // from byte 0 at every position cost ~10^11 byte touches on a 1 MB doc
+    // (minutes); the single forward byte-walk is O(n·k) (~10^7) and
+    // finishes in well under a second. The 10s bound is ~100× the expected
+    // time — loose enough for a contended host, far below the quadratic
+    // regime.
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.GramHash60
+    val doc = UTF8String.fromString(("lorem ipsum dölor sit amet " * 40000).take(1 << 20))
+    GramHash60.hashStream(UTF8String.fromString("warm üp text " * 100), 8) // JIT warm
+    val t0 = System.nanoTime()
+    val out = GramHash60.hashStream(doc, 8)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(out.numElements() == doc.numChars() - 7)
+    assert(sec < 10.0, f"1 MB hashStream took $sec%.1fs — quadratic regression?")
+  }
 }

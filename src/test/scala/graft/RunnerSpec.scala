@@ -71,6 +71,48 @@ class RunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out/good").count() == 1)
   }
 
+  test("Runner onFailure fires per failed table; a throwing callback keeps isolation") {
+    val dir = Files.createTempDirectory("runner_cb").toFile.getAbsolutePath
+    val cfg = s"$dir/load_config.csv"
+    Files.write(java.nio.file.Paths.get(cfg),
+      ("source_type,table_name,is_active,load_mode,watermark_column\n" +
+        "sql,good,1,full,\n" +
+        "sql,bad1,1,full,\n" +
+        "sql,bad2,1,full,\n").getBytes)
+    val good = Seq((1L, "x")).toDF("id", "v")
+    val src: String => DataFrame = {
+      case "good" => good
+      case other  => throw new RuntimeException(s"source $other unavailable")
+    }
+    val fired = scala.collection.mutable.ArrayBuffer[String]()
+    val res = Runner.run(spark, cfg, s"$dir/out", s"$dir/audit", "run1", src,
+      onFailure = { r =>
+        fired.synchronized { fired += r.table }
+        throw new RuntimeException("pager is down") // must not break anything
+      })
+    // fired exactly for the failures — never for the success...
+    assert(fired.sorted == Seq("bad1", "bad2"), s"callback fired for: $fired")
+    // ...and the throwing callback broke neither isolation nor the audit.
+    assert(res.map(r => r.table -> r.status).toMap ==
+      Map("good" -> "succeeded", "bad1" -> "failed", "bad2" -> "failed"))
+    assert(spark.read.parquet(s"$dir/audit")
+      .filter(col("status") === "failed").count() == 2)
+    assert(spark.read.parquet(s"$dir/out/good").count() == 1)
+  }
+
+  test("Runner.master onFailure fires for the failed stage only, not gated skips") {
+    val dir = Files.createTempDirectory("runner_mcb").toFile.getAbsolutePath
+    val fired = scala.collection.mutable.ArrayBuffer[String]()
+    val res = Runner.master(spark, s"$dir/audit", "run1", Seq(
+      Runner.Stage("ingest", _ => true),
+      Runner.Stage("silver", _ => false),
+      Runner.Stage("gold", _ => true)),
+      onFailure = { st => fired += st.stage; throw new RuntimeException("boom") })
+    assert(fired == Seq("silver"), s"one page per incident, got: $fired")
+    assert(res.map(r => r.stage -> r.status) ==
+      Seq("ingest" -> "succeeded", "silver" -> "failed", "gold" -> "skipped"))
+  }
+
   test("Runner drives full + incremental loads over JDBC with watermark pushdown") {
     val dir = Files.createTempDirectory("runner_jdbc").toFile.getAbsolutePath
     val cfg = s"$dir/load_config.csv"

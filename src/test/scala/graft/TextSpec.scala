@@ -115,15 +115,28 @@ class TextSpec extends SparkSpec {
       " and a long tail of commentary after the quotation ends here with extra context"
     val docs = Seq((1L, quoted), (2L, wrapper), (3L, "entirely different content altogether"))
       .toDF("doc_id", "text")
-    def run(denseMax: Long) = graft.text.Containment
-      .containmentJoin(docs, "doc_id", "text", 0.8, denseVocabMax = denseMax)
-      .select("id_a", "id_b", "containment").as[(Long, Long, Double)].collect().toSet
+    def run(denseMax: Long, budget: Long = 256L << 20) = graft.text.Containment
+      .containmentJoin(docs, "doc_id", "text", 0.8, denseVocabMax = denseMax,
+        denseBroadcastMaxBytes = budget)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "containment").as[(Long, Long, Double)].collect().toSet
     for (denseMax <- Seq(0L, 4096L)) {
-      val got = run(denseMax)
+      val got = pairs(run(denseMax))
       assert(got.map(p => (p._1, p._2)) == Set((1L, 2L)),
         s"denseMax=$denseMax: expected only (quoted → quoting), got $got")
       assert(got.head._3 == 1.0, s"full quote must score containment 1.0: $got")
     }
+    // The dense predicate is vocab AND broadcast budget: a dense vocabulary
+    // with a corpus too large to broadcast must fall back to sparse (the
+    // bitset table ships to every executor — vocabulary says nothing about
+    // row count). Path identified by the dense-only native popcount.
+    val dense = run(4096L)
+    val fellBack = run(4096L, budget = 1L)
+    assert(dense.queryExecution.analyzed.toString.contains("graft_bitand_count"),
+      "in-budget dense corpus must take the bitset path")
+    assert(!fellBack.queryExecution.analyzed.toString.contains("graft_bitand_count"),
+      "over-budget corpus must fall back to the sparse path")
+    assert(pairs(fellBack) == pairs(dense), "fallback path must produce identical rows")
   }
 
   test("wordNgrams yields sliding space-joined grams, empty under n tokens") {
@@ -164,25 +177,25 @@ class TextSpec extends SparkSpec {
     // exactly what hid the GramHash60.eval static-forwarder clash (scalac
     // emits no forwarder when the class inherits a method of the same
     // name). Disabling fallback turns any such clash into a hard failure.
-    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
-    spark.conf.set("spark.sql.codegen.fallback", "false")
-    try {
-      val docs = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "zeta eta theta"))
-        .toDF("doc_id", "text")
-      val n = docs
-        .withColumn("_hs", TF.gramHashes(col("text"), 8))
-        .select(col("doc_id"), TF.winnowSelect(col("_hs"), 4).as("fps"),
-          TF.hash60(col("text")).as("h"))
-        .count()
-      assert(n == 2)
-      val emb = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
-      assert(emb.select(call_function("graft_dot", col("a"), col("b"))).head().getDouble(0) == 11.0)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
-        case None => spark.conf.unset("spark.sql.codegen.fallback")
-      }
-    }
+    // Isolated session: suites run in parallel inside the forked test JVM,
+    // and flipping fallback on the SHARED session would transiently subject
+    // other suites' queries to fallback=false — a cross-suite flake risk.
+    // newSession() shares the SparkContext but owns its conf (and inherits
+    // the registered extensions).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    val ims = s2.implicits
+    import ims._
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "zeta eta theta"))
+      .toDF("doc_id", "text")
+    val n = docs
+      .withColumn("_hs", TF.gramHashes(col("text"), 8))
+      .select(col("doc_id"), TF.winnowSelect(col("_hs"), 4).as("fps"),
+        TF.hash60(col("text")).as("h"))
+      .count()
+    assert(n == 2)
+    val emb = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    assert(emb.select(call_function("graft_dot", col("a"), col("b"))).head().getDouble(0) == 11.0)
   }
 
   test("SimHash: identical docs collide at hamming 0") {
