@@ -59,4 +59,68 @@ object ApiExtract {
       .write.mode("append").parquet(bronzeDir)
     obs.get("rows").asInstanceOf[Long]
   }
+
+  /** Thrown when `fetchWithRetry` exhausts its attempts; carries the last
+    * failure so the caller's error path (audit row, onFailure page) can
+    * name the root cause.
+    */
+  final case class FetchFailed(attempts: Int, cause: Throwable)
+    extends RuntimeException(s"fetch failed after $attempts attempts: $cause", cause)
+
+  /** Bounded retry + per-attempt timeout around a caller-supplied fetch —
+    * the transport-hardening shape of the reference's extract (reference:
+    * 3_api_extracts/api_fx_rates.py:44-57 — requests.get with a timeout,
+    * `raise_for_status`, retry loop), with the HTTP client still injected
+    * (the sandbox has no network; production passes a real client).
+    *
+    * Each attempt runs on a daemon thread with a hard wait bound, so a
+    * HUNG endpoint (the failure `raise_for_status` can't see) costs one
+    * timeout, not a wedged pipeline. Backoff doubles per retry. `sleep` is
+    * injectable for deterministic tests.
+    */
+  def fetchWithRetry(fetch: () => String, maxAttempts: Int = 3,
+      attemptTimeoutMs: Long = 30000, backoffMs: Long = 1000,
+      sleep: Long => Unit = Thread.sleep): String = {
+    require(maxAttempts >= 1, s"maxAttempts >= 1, got $maxAttempts")
+    var last: Throwable = null
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      if (attempt > 0) sleep(backoffMs << (attempt - 1))
+      val task = new java.util.concurrent.FutureTask[String](() => fetch())
+      val t = new Thread(task, s"api-fetch-attempt-$attempt")
+      t.setDaemon(true)
+      t.start()
+      try {
+        return task.get(attemptTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      } catch {
+        case e: java.util.concurrent.ExecutionException => last = e.getCause
+        case e: java.util.concurrent.TimeoutException =>
+          task.cancel(true)
+          last = new java.util.concurrent.TimeoutException(
+            s"fetch attempt ${attempt + 1} exceeded ${attemptTimeoutMs}ms")
+      }
+      attempt += 1
+    }
+    throw FetchFailed(maxAttempts, last)
+  }
+
+  /** Fail a batch whose payloads parsed to NOTHING: `parseFx` tolerates
+    * individual malformed documents (null-field rows are filtered), so an
+    * endpoint that silently changed shape would otherwise land an empty
+    * append and read as a clean run — the required-column validation of
+    * the reference's extract (api_fx_rates.py: KeyError on missing keys
+    * fails the run), adapted to the skip-bad-snapshots contract: SOME
+    * rows must survive.
+    */
+  def landFxValidated(spark: SparkSession, payloads: Seq[String],
+      bronzeDir: String): Long = {
+    val parsed = parseFx(spark, payloads).cache()
+    try {
+      val rows = parsed.count()
+      require(payloads.isEmpty || rows > 0,
+        s"all ${payloads.size} payloads failed to parse — endpoint shape change?")
+      parsed.write.mode("append").parquet(bronzeDir)
+      rows
+    } finally parsed.unpersist()
+  }
 }

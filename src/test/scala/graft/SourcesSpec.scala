@@ -107,6 +107,42 @@ class SourcesSpec extends SparkSpec {
     assert(latest2 == 1.09)
   }
 
+  test("ApiExtract.fetchWithRetry: transient failures retry with backoff, hangs time out") {
+    import graft.sources.ApiExtract
+    // Succeeds on attempt 3; sleeps recorded, not slept (injectable clock).
+    var calls = 0
+    val slept = scala.collection.mutable.ArrayBuffer[Long]()
+    val got = ApiExtract.fetchWithRetry(
+      () => { calls += 1; if (calls < 3) throw new RuntimeException("503") else "body" },
+      maxAttempts = 3, backoffMs = 100, sleep = slept += _)
+    assert(got == "body" && calls == 3)
+    assert(slept.toSeq == Seq(100L, 200L), s"backoff must double: $slept")
+    // Exhausted attempts carry the LAST cause out.
+    val failed = intercept[ApiExtract.FetchFailed](ApiExtract.fetchWithRetry(
+      () => throw new RuntimeException("boom"), maxAttempts = 2, sleep = _ => ()))
+    assert(failed.attempts == 2 && failed.cause.getMessage == "boom")
+    // A hung endpoint costs one bounded timeout per attempt, not a wedge.
+    val hung = intercept[ApiExtract.FetchFailed](ApiExtract.fetchWithRetry(
+      () => { Thread.sleep(60000); "never" },
+      maxAttempts = 1, attemptTimeoutMs = 200))
+    assert(hung.cause.isInstanceOf[java.util.concurrent.TimeoutException])
+  }
+
+  test("ApiExtract.landFxValidated fails loudly when a batch parses to nothing") {
+    import graft.sources.ApiExtract
+    val dir = tmp("fxv")
+    // Healthy batch with one bad snapshot: lands fine (skip-bad contract).
+    val ok = ApiExtract.landFxValidated(spark, Seq(
+      """{"base":"EUR","as_of":"2024-01-04","rates":{"USD":1.08}}""",
+      "garbage"), s"$dir/bronze")
+    assert(ok == 1)
+    // Endpoint shape change (every payload malformed): must fail the run,
+    // not land an empty append that reads as a clean load.
+    intercept[IllegalArgumentException](
+      ApiExtract.landFxValidated(spark, Seq("garbage", "also garbage"), s"$dir/bronze"))
+    assert(spark.read.parquet(s"$dir/bronze").count() == 1, "failed batch must land nothing")
+  }
+
   test("overwriteAtomic swaps cleanly: data replaced, no temp/old leftovers") {
     val dir = tmp("atomic")
     val path = s"$dir/t"
