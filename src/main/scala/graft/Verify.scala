@@ -45,9 +45,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     System.err.println(
       f"[verify] fork->session ${(System.currentTimeMillis() - jvmStartMs) / 1e3}%.1fs")
-    val total = SparkEntry.queries.size
+    // Dev-only subset filter (comma-separated names); driver leaves it unset.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val total = catalog.size
     var done = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    catalog.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -79,6 +79,33 @@ object ExtQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    // ---- q72: sub-document dedup (chunk-level exact, first-occurrence wins) ----
+    // The granularity between doc-level (q19) and the shingle families:
+    // boilerplate repeated ACROSS distinct documents (headers, license
+    // blocks, templated sections) survives doc-level dedup but shows up as
+    // identical chunks. Chunks ride q40's tokenize+window spelling; global
+    // first-occurrence-wins is one row_number over chunk_hash (each hash
+    // group is duplicate-count-sized, so the window partitions stay tiny at
+    // any corpus scale — no single-partition risk), then a per-doc rollup
+    // reports how much of each document is redundant corpus-wide.
+    "q72_chunk_dedup" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("chunk_hash")).orderBy(col("doc_id"), col("chunk_id"))
+      Tables.documents(s, d)
+        .withColumn("_toks", TF.tokens(col("text")))
+        .filter(size(col("_toks")) > 0)
+        .select(col("doc_id"), col("_toks"),
+          explode(TF.chunkStarts(col("_toks"), 40)).as("i"))
+        .select(col("doc_id"), expr("(i - 1) div 40").as("chunk_id"),
+          TF.hash60(concat_ws(" ", TF.chunk(col("_toks"), col("i"), 50))).as("chunk_hash"))
+        .withColumn("_rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("_rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("kept_frac", round(col("n_kept") * lit(1.0) / col("n_chunks"), 4))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q41: pattern redaction (PII-scrub shape) ----
     "q41_redact" -> { (s, d) =>
       val (red, n) = TF.redact(col("text"), RedactPat, "[X]")
@@ -433,6 +460,20 @@ object ExtQueries {
            len(list_slice(toks, i, i + 49)) AS n_tokens,
            ${TextQueries.h60("array_to_string(list_slice(toks, i, i + 49), ' ')")} AS chunk_hash
          FROM ch ORDER BY doc_id, chunk_id""",
+
+    "q72_chunk_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, ${TextQueries.TOKS} AS toks FROM documents),
+         ch AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 40)) AS i
+           FROM tk WHERE len(toks) > 0),
+         h AS (SELECT doc_id, (i - 1) // 40 AS chunk_id,
+           ${TextQueries.h60("array_to_string(list_slice(toks, i, i + 49), ' ')")} AS chunk_hash
+           FROM ch),
+         r AS (SELECT doc_id, row_number() OVER (PARTITION BY chunk_hash
+             ORDER BY doc_id, chunk_id) AS rn FROM h)
+         SELECT doc_id, count(*)::BIGINT AS n_chunks,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS kept_frac
+         FROM r GROUP BY 1 ORDER BY 1""",
 
     "q41_redact" ->
       s"""SELECT doc_id,

@@ -68,6 +68,19 @@ object SimQueries {
       Ann.kmeansCells(vecs(s, d).select(col("id"), col("vec")), 4, 2)
         .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
         .orderBy(col("label"))
+    },
+
+    // ---- q73: IVF-PQ ANN (coarse cells + product-quantized ADC rank) ----
+    // The memory-scale ANN path: 8 one-byte codes stand in for the 64
+    // doubles at candidate-scoring time. Codebook training is driver-local
+    // Lloyd on a bounded deterministic sample — not SQL-expressible, so no
+    // oracleSql (rows-only driver check); AnnSpec carries the strong
+    // checks (code range/determinism + recall gates vs exact top-k).
+    "q73_ann_ivfpq" -> { (s, d) =>
+      val v = vecs(s, d)
+      Ann.ivfPqTopK(v, v.filter(col("id") < 10), m = 8, ksub = 16,
+          nprobe = 2, k = 3, rerank = 32)
+        .orderBy(col("query_id"), col("rank"))
     }
   )
 

@@ -342,6 +342,37 @@ object TextQueries {
       docs.join(coveredByEarlier, Seq("doc_id"), "left_anti")
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q74: corpus-trained bigram LM score (perplexity-filter shape) ----
+    // The CCNet-style quality signal without an external model: train the
+    // bigram MLE on the corpus ITSELF (c(w1 w2) / c(w1 ·) over occurrence
+    // counts), score each doc by its mean ln P(w2|w1). Low scores = text
+    // whose transitions the corpus has rarely seen (gibberish, wrong
+    // language, OCR noise); degenerate-repetitive docs score HIGH here,
+    // which is exactly why q70 exists alongside. Every doc bigram occurs in
+    // the counts it contributed to, so P > 0 by construction — no smoothing
+    // term to pick. Scale: TWO corpus passes (bigram-count agg + the score
+    // join), not three — the w1 denominator folds from the DISTINCT-bigram
+    // count table (vocab-scale: c(w1·) = Σ c(w1 w2)), so its agg and join
+    // never touch corpus-sized rows; count tables are corpus-derived, so
+    // joins stay shuffle (AQE broadcasts them when they measure small);
+    // under-2-token docs are unscorable and excluded.
+    "q74_bigram_logprob" -> { (s, d) =>
+      val bg = Tables.documents(s, d)
+        .withColumn("_toks", TF.tokens(col("text")))
+        .filter(size(col("_toks")) >= 2)
+        .select(col("doc_id"), explode(TF.wordBigrams(col("_toks"))).as("bigram"))
+      val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      val c1 = c2.withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      bg.join(c2, "bigram")
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .join(c1, "w1")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log(col("c2") * lit(1.0) / col("c1"))), 4).as("avg_logprob"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -676,7 +707,20 @@ object TextQueries {
            AND len(list_intersect(a.hs, b.hs)) * 1.0 / len(a.hs) >= 0.8)
          SELECT d.doc_id FROM documents d
          WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+
+    "q74_bigram_logprob" ->
+      s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         bg AS (SELECT doc_id,
+             unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram
+           FROM tk WHERE len(toks) >= 2),
+         b1 AS (SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1 FROM bg),
+         c2 AS (SELECT bigram, count(*) AS c2 FROM b1 GROUP BY 1),
+         c1 AS (SELECT w1, count(*) AS c1 FROM b1 GROUP BY 1)
+         SELECT b1.doc_id, count(*)::BIGINT AS n_bigrams,
+           round(avg(ln(c2.c2 * 1.0 / c1.c1)), 4) AS avg_logprob
+         FROM b1 JOIN c2 USING (bigram) JOIN c1 USING (w1)
+         GROUP BY 1 ORDER BY 1"""
   )
 
   /** en-stopword count over `toks` (used inside q24's oracle). */

@@ -210,6 +210,185 @@ object Ann {
         col("label").as("cell"), col("cos"))
   }
 
+  /** Product quantization: train `m` per-block sub-codebooks of `ksub`
+    * centroids each over the block slices of a DETERMINISTIC md5-ordered
+    * sample (the kmeansCells seeding discipline: codebooks need the
+    * sub-space GEOMETRY, not every point — classic PQ trains on a sample),
+    * farthest-point seeded + driver-local Lloyd. Returns (block, code,
+    * cvec) — O(m·ksub·subDim) doubles, the broadcast payload of every
+    * later stage. A cluster that empties keeps its previous centroid
+    * (codes stay dense and the trainer stays deterministic).
+    *
+    * Why PQ at 100 TB: a d=64 float corpus is 256 B/vector; m=8 one-byte
+    * codes are 8 B — the index that decides which vectors an ANN probe
+    * touches fits in memory at ~30× more corpus per executor, with the
+    * exact vectors left in parquet for optional rerank.
+    */
+  def pqTrain(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sampleN = math.max(256, 32 * ksub)
+    val sample = corpus.select(col("id"), col("vec"))
+      .withColumn("_h", md5(col("id").cast("string")))
+      .orderBy(col("_h"), col("id")).limit(sampleN)
+      .select(col("id"), col("vec")).as[(Long, Seq[Double])].collect()
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    val d = sample.head._2.length
+    require(m > 0 && d % m == 0, s"dim $d must divide into m=$m blocks")
+    val sub = d / m
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }
+      s
+    }
+    val rows = (0 until m).flatMap { b =>
+      val pts = sample.map { case (id, v) => (id, v.slice(b * sub, (b + 1) * sub).toArray) }
+      // Farthest-point seeding (ties on smaller sample id), then Lloyd.
+      val seeds = scala.collection.mutable.ArrayBuffer(pts.head._2)
+      val dmin = Array.fill(pts.length)(Double.MaxValue)
+      while (seeds.length < math.min(ksub, pts.length)) {
+        val last = seeds.last
+        var bi = 0
+        for (i <- pts.indices) {
+          dmin(i) = math.min(dmin(i), d2(pts(i)._2, last))
+          if (dmin(i) > dmin(bi) ||
+            (dmin(i) == dmin(bi) && pts(i)._1 < pts(bi)._1)) bi = i
+        }
+        seeds += pts(bi)._2
+      }
+      var cent = seeds.toArray
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(cent.length)(new Array[Double](sub))
+        val counts = new Array[Long](cent.length)
+        pts.foreach { case (_, p) =>
+          var best = 0
+          var bd = Double.MaxValue
+          for (c <- cent.indices) {
+            val dd = d2(p, cent(c))
+            if (dd < bd) { bd = dd; best = c }
+          }
+          counts(best) += 1
+          for (j <- 0 until sub) sums(best)(j) += p(j)
+        }
+        cent = cent.indices.map { c =>
+          if (counts(c) == 0) cent(c)
+          else Array.tabulate(sub)(j => sums(c)(j) / counts(c))
+        }.toArray
+      }
+      cent.zipWithIndex.map { case (cv, code) => (b, code, cv.toSeq) }
+    }
+    rows.toDF("block", "code", "cvec")
+  }
+
+  /** Block slices of each vector, no shuffle: (id, block, svec). */
+  private def blockSlices(vectors: DataFrame, m: Int, subDim: Int): DataFrame =
+    vectors.select(col("id"), explode(array((0 until m).map(b =>
+        struct(lit(b).as("block"),
+          slice(col("vec"), b * subDim + 1, subDim).as("svec"))): _*)).as("_bs"))
+      .select(col("id"), col("_bs.block").as("block"), col("_bs.svec").as("svec"))
+
+  /** PQ-encode the corpus: nearest sub-centroid per (vector, block) →
+    * (id, block, code). Broadcast codebook join (no shuffle) + min(struct)
+    * argmin with map-side combine — the shuffle carries N·m code rows,
+    * never the N·m·ksub distance rows.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val cb = broadcast(codebooks.withColumn("_cn2", dot(col("cvec"), col("cvec"))))
+    blockSlices(corpus, m, subDim)
+      .join(cb, "block")
+      .withColumn("_d2",
+        dot(col("svec"), col("svec")) - lit(2.0) * dot(col("svec"), col("cvec")) + col("_cn2"))
+      .groupBy(col("id"), col("block"))
+      .agg(min(struct(round(col("_d2"), 9).as("d"), col("code").as("c"))).as("_m"))
+      .select(col("id"), col("block"), col("_m").getField("c").as("code"))
+  }
+
+  /** IVF-PQ ANN: coarse cells prune the corpus (probe the `nprobe`
+    * nearest cells per query, as [[ivfTopK]]), then candidates are ranked
+    * by ASYMMETRIC DISTANCE (ADC): approx_d2(q, x) = Σ_blocks
+    * d2(q_block, centroid(code_block(x))) — each query builds an
+    * m×ksub lookup table against the broadcast codebooks, and scoring a
+    * candidate is m table lookups over its codes, never a touch of the
+    * full vector. Output (query_id, rank, neighbor_id, approx_d2), ranks
+    * on rounded distance with id tiebreaks.
+    *
+    * Scale: codebooks and the per-query ADC tables broadcast (queries ×
+    * m × ksub rows); candidates shuffle once on neighbor_id to meet their
+    * codes and once for the per-query top-k.
+    *
+    * `rerank > 0` adds the classic refine stage: ADC shortlists the top
+    * `rerank` per query, then EXACT cosine ranks only the shortlist (the
+    * full vectors are touched for shortlist-sized data, not per
+    * candidate) — quantization error at fine granularity (near-tied
+    * in-cell neighbors) costs ADC-only recall, and the shortlist buys it
+    * back for a bounded exact-compute budget. Output (query_id, rank,
+    * neighbor_id, score): score is rounded cosine when reranked, rounded
+    * approx L2 distance when not.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, m: Int, ksub: Int,
+      nprobe: Int, k: Int, iters: Int = 5, rerank: Int = 0): DataFrame = {
+    val d = corpus.select(size(col("vec"))).head().getInt(0)
+    require(d % m == 0, s"dim $d must divide into m=$m blocks")
+    val sub = d / m
+    val codebooks = pqTrain(corpus, m, ksub, iters)
+    val codes = pqEncode(corpus, codebooks, m, sub)
+      .withColumnRenamed("id", "neighbor_id")
+    // Coarse probe: nearest nprobe cell centroids per query (ivfTopK's
+    // ranking, minus the exact rerank that IVF-PQ exists to avoid).
+    val cent = broadcast(cellCentroids(corpus)
+      .withColumn("cn2", dot(col("cvec"), col("cvec"))))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
+      dot(col("vec"), col("vec")).as("qd2"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("d2"), 6), col("label"))
+    val probed = q.crossJoin(cent)
+      .withColumn("d2", col("qd2") - lit(2.0) * dot(col("qvec"), col("cvec")) + col("cn2"))
+      .withColumn("prn", row_number().over(wCell))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("label"))
+    // ADC tables: per (query, block, code) partial distance, broadcast.
+    val cb = broadcast(codebooks.withColumn("_cn2", dot(col("cvec"), col("cvec"))))
+    val adc = broadcast(
+      blockSlices(queries.select(col("id"), col("vec")), m, sub)
+        .withColumnRenamed("id", "query_id")
+        .join(cb, "block")
+        .select(col("query_id"), col("block"), col("code"),
+          (dot(col("svec"), col("svec")) - lit(2.0) * dot(col("svec"), col("cvec")) +
+            col("_cn2")).as("pd")))
+    val cand = probed
+      .join(corpus.select(col("id").as("neighbor_id"), col("label")), Seq("label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("approx_d2"), 6), col("neighbor_id"))
+    val adcTop = cand.join(codes, Seq("neighbor_id"))
+      .join(adc, Seq("query_id", "block", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("pd")).as("approx_d2"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= math.max(k, rerank))
+    if (rerank <= 0)
+      adcTop.select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("approx_d2"), 6).as("score"))
+    else {
+      val qv = broadcast(queries.select(col("id").as("query_id"),
+        col("vec").as("qvec2"), norm(col("vec")).as("qn")))
+      val cv = corpus.select(col("id").as("neighbor_id"),
+        col("vec").as("nvec"), norm(col("vec")).as("nn"))
+      val wR = Window.partitionBy(col("query_id"))
+        .orderBy(round(col("cos"), 6).desc, col("neighbor_id"))
+      adcTop.select(col("query_id"), col("neighbor_id"))
+        .join(qv, Seq("query_id"))
+        .join(cv, Seq("neighbor_id"))
+        .withColumn("cos",
+          dot(col("qvec2"), col("nvec")) / (col("qn") * col("nn")))
+        .withColumn("rank", row_number().over(wR))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("score"))
+    }
+  }
+
   /** Top-1 in-bucket neighbor per vector (bucketed ANN): join on bucket id,
     * exact cosine rerank inside the bucket. Vectors alone in their bucket
     * produce no row.

@@ -145,6 +145,43 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.9, s"trained-IVF recall@3 = $recall")
   }
 
+  test("PQ codes are dense, in range, and deterministic across runs") {
+    val v = clusteredCorpus().select(col("id"), col("vec"))
+    val cb = Ann.pqTrain(v, m = 8, ksub = 16)
+    // Codebook shape: 8 blocks × 16 codes (enough sample points exist).
+    assert(cb.count() == 128)
+    val codes = Ann.pqEncode(v, cb, m = 8, subDim = 8)
+    // One code per (vector, block), every code in [0, 16).
+    assert(codes.count() == 400 * 8)
+    assert(codes.filter(col("code") < 0 || col("code") >= 16).count() == 0)
+    // Deterministic end to end: an independent retrain+re-encode agrees.
+    val again = Ann.pqEncode(v, Ann.pqTrain(v, m = 8, ksub = 16), m = 8, subDim = 8)
+    assert(codes.exceptAll(again).isEmpty && again.exceptAll(codes).isEmpty,
+      "PQ train/encode must be deterministic")
+  }
+
+  test("IVF-PQ: ADC alone is partial at fine granularity; shortlist rerank restores recall") {
+    // Within a cluster all 39 neighbors are near-tied, so pure-ADC top-3
+    // pays the quantization error (measured ~0.55 here) — the documented
+    // reason the refine stage exists. The ADC top-30 shortlist + exact
+    // rerank must recover >= 0.9 while touching full vectors only for the
+    // shortlist.
+    val v = clusteredCorpus()
+    val queries = v.filter(col("id") % 40 < 2)
+    val exact = Ann.bruteforceTopK(v, queries, 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val nExact = exact.count()
+    def recall(rerank: Int): Double = exact.join(
+      Ann.ivfPqTopK(v, queries, m = 8, ksub = 16, nprobe = 2, k = 3, rerank = rerank)
+        .select(col("query_id"), col("neighbor_id")),
+      Seq("query_id", "neighbor_id")).count().toDouble / nExact
+    val adcOnly = recall(0)
+    assert(adcOnly >= 0.45, s"pure-ADC recall collapsed: $adcOnly")
+    val reranked = recall(30)
+    assert(reranked >= 0.9, s"reranked IVF-PQ recall@3 = $reranked")
+    assert(reranked >= adcOnly, "rerank must never lose recall")
+  }
+
   test("native graft_hash60 matches the composed conv(md5) chain exactly") {
     val df = Tables.documents(spark, sfDir)
       .select(col("text"), col("doc_id").cast("string").as("id_s"))
