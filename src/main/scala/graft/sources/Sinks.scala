@@ -59,6 +59,42 @@ object Sinks {
     } finally fs.delete(tmp, true)
   }
 
+  /** Small-file compaction (i13): rewrite an unpartitioned parquet table
+    * into `ceil(bytes / targetFileBytes)` files via the [[overwriteAtomic]]
+    * swap — the live table is never half-written, and a crash mid-compact
+    * leaves it untouched. The 100 TB problem this serves: a table fed by
+    * incremental appends (the Runner's steady state) accretes one-file-per-
+    * run; every later scan then pays per-file open/footer cost and the
+    * scheduler pays per-split overhead, which quietly dominates once files
+    * outnumber cores by enough. Rewriting through `coalesce` (no shuffle)
+    * keeps the cost at read+write of the data once; output sizes track
+    * input skew rather than rebalancing it (Spark has no shuffle-free
+    * bin-packing), which is the standard compaction trade.
+    *
+    * Partitioned tables compact per-partition-directory by the same move
+    * (point this at one partition dir); compacting across partition
+    * boundaries would need the partition columns re-derived, which a
+    * caller can do explicitly with a repartition+dynamicOverwrite.
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Int = fs.listStatus(p)
+      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    val before = dataFiles()
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // The read materializes INTO the temp dir before any rename touches
+    // the live dir (overwriteAtomic's write-then-swap), so reading the
+    // path being compacted is safe.
+    overwriteAtomic(spark.read.parquet(path).coalesce(n), path)
+    (before, dataFiles())
+  }
+
   /** Object-store-safe atomic publish (manifest-pointer commit): data lands
     * in a fresh immutable `v-<token>` directory under `path`, and the
     * commit is ONE replace of the tiny `_current` pointer file naming the

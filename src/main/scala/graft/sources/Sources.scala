@@ -118,6 +118,61 @@ object Sources {
     (good, bad)
   }
 
+  /** Schema-contract read with an explicit evolution policy (i12). A
+    * long-lived 100 TB table accumulates years of partitions written at
+    * different schema versions; `mergeSchema` alone reconciles silently,
+    * which is exactly how a type change or a vanished column corrupts
+    * downstream maths without a failure. This read states the contract:
+    *
+    *  - a column added over time (present in newer files only) reads as
+    *    null for older rows — ordinary additive evolution, allowed;
+    *  - an expected NULLABLE column absent from every file backfills as
+    *    typed nulls (the contract predates the first write carrying it);
+    *    an absent non-nullable column fails loudly;
+    *  - a column whose type differs from the contract fails loudly with
+    *    the column named (silent casts are how 2.5 becomes 2);
+    *  - columns not in the contract are dropped, or fail when
+    *    `failOnNewColumns` (a strict bronze that wants to NOTICE new
+    *    upstream fields);
+    *  - files whose types conflict with EACH OTHER fail in the merge
+    *    pre-pass, rewrapped with the path named.
+    *
+    * Output is projected to exactly the contract's columns in contract
+    * order.
+    */
+  def readEvolved(spark: SparkSession, path: String, expected: StructType,
+      failOnNewColumns: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val actual =
+      try parquet(spark, path, mergeSchema = true)
+      catch {
+        case e: org.apache.spark.SparkException =>
+          throw new IllegalStateException(
+            s"schema drift at $path: files disagree on types " +
+              s"(${String.valueOf(e.getMessage).take(300)})", e)
+      }
+    val actualMap = actual.schema.map(f => f.name -> f).toMap
+    val drifted = expected.fields.toSeq.flatMap { ef =>
+      actualMap.get(ef.name).collect {
+        case af if af.dataType != ef.dataType =>
+          s"${ef.name}: expected ${ef.dataType.simpleString}, found ${af.dataType.simpleString}"
+      }
+    }
+    if (drifted.nonEmpty)
+      throw new IllegalStateException(s"schema drift at $path: ${drifted.mkString("; ")}")
+    val unexpected = actual.schema.fieldNames.toSet -- expected.fieldNames.toSet
+    if (failOnNewColumns && unexpected.nonEmpty)
+      throw new IllegalStateException(
+        s"schema drift at $path: unexpected columns ${unexpected.toSeq.sorted.mkString(", ")}")
+    val backfilled = expected.fields.filterNot(f => actualMap.contains(f.name))
+      .foldLeft(actual) { (df, f) =>
+        if (f.nullable) df.withColumn(f.name, lit(null).cast(f.dataType))
+        else throw new IllegalStateException(
+          s"schema drift at $path: required column ${f.name} absent from every file")
+      }
+    backfilled.select(expected.fieldNames.map(col).toSeq: _*)
+  }
+
   /** File-based stream: new files under `path` become micro-batches
     * (the bronze "incremental drops" pattern,
     * reference: 4_silver/silver_transactions.py:58 glob reads — but as a

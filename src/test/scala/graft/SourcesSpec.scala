@@ -31,6 +31,51 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,90"), plan)
   }
 
+  test("readEvolved: additive evolution reads, drift fails loudly with the column named") {
+    val dir = tmp("evolve")
+    // v1 files (id, v) then v2 files (id, v, extra) — the long-lived-table shape.
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$dir/t")
+    Seq((3L, "c", 1.5)).toDF("id", "v", "extra").write.mode("append").parquet(s"$dir/t")
+    val v2 = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("v", StringType), StructField("extra", DoubleType)))
+    // Contract = newest schema: older rows read with null extra.
+    val got = Sources.readEvolved(spark, s"$dir/t", v2)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v", "extra"))
+    assert(got.count() == 3 && got.filter(col("extra").isNull).count() == 2)
+    // Contract = old schema: the new upstream column drops silently by
+    // default, or fails when the caller wants to NOTICE it.
+    val v1 = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    assert(Sources.readEvolved(spark, s"$dir/t", v1).schema.fieldNames.toSeq == Seq("id", "v"))
+    val newCol = intercept[IllegalStateException](
+      Sources.readEvolved(spark, s"$dir/t", v1, failOnNewColumns = true))
+    assert(newCol.getMessage.contains("extra"))
+    // A nullable contract column no file carries yet backfills as nulls...
+    val v3 = v2.add(StructField("later", LongType, nullable = true))
+    assert(Sources.readEvolved(spark, s"$dir/t", v3)
+      .filter(col("later").isNull).count() == 3)
+    // ...but a required absent column, and a type change, fail loudly.
+    intercept[IllegalStateException](Sources.readEvolved(spark, s"$dir/t",
+      v2.add(StructField("must", LongType, nullable = false))))
+    val typed = intercept[IllegalStateException](Sources.readEvolved(spark, s"$dir/t",
+      StructType(Seq(StructField("id", LongType), StructField("v", DoubleType)))))
+    assert(typed.getMessage.contains("v:") && typed.getMessage.contains("double"))
+  }
+
+  test("compact folds small files into the target count atomically") {
+    val dir = tmp("compact")
+    val path = s"$dir/t"
+    (1L to 1000L).map(i => (i, s"row$i")).toDF("id", "v")
+      .repartition(40).write.parquet(path)
+    val (before, after) = Sinks.compact(spark, path, targetFileBytes = 1L << 30)
+    assert(before >= 40, s"fixture should start fragmented, had $before files")
+    assert(after == 1, s"one target-sized file expected, got $after")
+    val back = spark.read.parquet(path)
+    assert(back.count() == 1000 && back.agg(sum(col("id"))).head().getLong(0) == 500500L)
+    // no temp/old leftovers from the swap
+    val leftovers = new java.io.File(dir).list().filter(_.startsWith("t."))
+    assert(leftovers.isEmpty, s"swap leftovers: ${leftovers.mkString(", ")}")
+  }
+
   test("dynamicOverwrite replaces only the partitions present in the batch") {
     val dir = tmp("dynpart")
     val day1 = Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("dt", "v")
