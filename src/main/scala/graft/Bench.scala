@@ -18,6 +18,7 @@ object Bench {
     // yields ONE parseable line on stdout (round 6 was zeroed by exactly
     // this failure mode: all output held until the end, rc=124 → no data).
     val results = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     @volatile var warmFails = 0
     @volatile var startupSec = -1.0 // set once the session is up
     @volatile var expected = -1
@@ -28,6 +29,8 @@ object Bench {
         val rs = results.asScala.toSeq.sortBy(_._1)
         val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
+        val fails = failed.asScala.toSeq.sorted
+          .map("\"" + _ + "\"").mkString("[", ",", "]")
         val total = rs.map(_._2).sum
         // methodology: steady-state (JMH-style) — every query ran once
         // uncounted at warmDir before timing, so measurements are
@@ -36,7 +39,7 @@ object Bench {
         println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
           s""""methodology":"steady-state","startup_sec":$startupSec,""" +
           s""""completed":${rs.size},"expected":$expected,"partial":$partial,""" +
-          s""""warmup_failures":$warmFails}""")
+          s""""failed_queries":$fails,"warmup_failures":$warmFails}""")
         System.out.flush()
         finalPrinted = true
       }
@@ -101,7 +104,15 @@ object Bench {
     // cache-HIT time. Per-query progress streams to stderr as it completes.
     catalog.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // A measured-run failure still records elapsed time (the driver's
+      // total stays comparable) but is NAMED in the JSON — a silent
+      // time-to-failure reading as a fast query would be worse than no
+      // number.
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable =>
+          failed.add(name)
+          System.err.println(s"[bench] MEASURED $name failed: ${String.valueOf(t).take(200)}")
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       results.add(name -> sec)
       System.err.println(f"[bench] $name $sec%.2fs (${results.size}/$expected)")

@@ -352,6 +352,62 @@ object Streams {
   def readContainmentKept(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/kept").drop("batch_id")
 
+  /** foreachBatch benchmark decontamination — the streaming face of
+    * [[graft.text.Decontaminate]]: every batch document sharing >= 1 word
+    * `n`-gram with the (static) eval/benchmark gram set routes to the
+    * `flagged` log with its hit count; the rest go to `clean`. The eval
+    * side of a deployment is a benchmark suite — megabytes by nature —
+    * so `evalGrams` (one `gram` column, e.g. from [[evalGramSet]])
+    * broadcasts per batch, and the batch pays one tokenize+explode pass
+    * filtered by the broadcast join before its only shuffle (the per-doc
+    * hit count).
+    *
+    * STATELESS across batches by design (each doc's verdict depends only
+    * on the static eval set — no cross-batch interaction), so replay
+    * idempotence needs only the dynamic-overwrite partition discipline;
+    * both logs are batch_id-partitioned and compactable with
+    * [[compactBatchLog]].
+    */
+  def decontaminateSink(spark: SparkSession, stateDir: String,
+      evalGrams: DataFrame, n: Int = 8)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.text.{TextFunctions => TF}
+    val hits = batch
+      .select(col("doc_id"),
+        explode(TF.wordNgrams(TF.tokens(col("text")), n)).as("gram"))
+      .join(broadcast(evalGrams.select(col("gram"))), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_hits"))
+      .cache()
+    val clean = batch.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left_anti")
+    // Empty-batch discipline as in curateSink: a side keeping nothing
+    // writes nothing (file-less partition dirs break later reads; replay
+    // re-derives the same emptiness deterministically).
+    if (!clean.isEmpty)
+      graft.sources.Sinks.dynamicOverwrite(
+        clean.withColumn("batch_id", lit(batchId)),
+        s"$stateDir/clean", Seq("batch_id"))
+    if (!hits.isEmpty)
+      graft.sources.Sinks.dynamicOverwrite(
+        hits.withColumn("batch_id", lit(batchId)),
+        s"$stateDir/flagged", Seq("batch_id"))
+    hits.unpersist()
+  }
+
+  /** Distinct word `n`-gram set of an eval/benchmark corpus — the static
+    * side of [[decontaminateSink]]; cache it once per deployment.
+    */
+  def evalGramSet(evalDocs: DataFrame, textCol: String, n: Int = 8): DataFrame = {
+    import graft.text.{TextFunctions => TF}
+    evalDocs
+      .select(explode(TF.wordNgrams(TF.tokens(col(textCol)), n)).as("gram"))
+      .distinct()
+  }
+
+  /** Current clean set from the [[decontaminateSink]] log. */
+  def readDecontaminated(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/clean").drop("batch_id")
+
   /** foreachBatch streaming IVF index maintenance — the streaming face of
     * the [[graft.sim.Ann]] trained quantizer: each micro-batch of
     * (id, vec) is assigned to its nearest cell against the centroids

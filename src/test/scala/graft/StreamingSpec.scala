@@ -551,6 +551,47 @@ class StreamingSpec extends SparkSpec {
     assert(batchPairsB == Set((11L, 12L)), s"batch still reports the coverage: $batchPairsB")
   }
 
+  test("decontaminateSink routes eval-gram collisions to flagged, batch parity, idempotent replay") {
+    val dir = Files.createTempDirectory("decon_stream").toFile.getAbsolutePath
+    val evalDocs = Seq((0L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val evalGrams = Streams.evalGramSet(evalDocs, "text").cache()
+    val sink = Streams.decontaminateSink(spark, s"$dir/state", evalGrams) _
+    val contaminated = "one two three four five six seven eight nine tail"
+    val b0 = Seq(
+      (1L, contaminated),                                       // shares 2 eval 8-grams
+      (2L, "completely different words with no overlap at all here"),
+      (3L, "short")) // no 8-grams → clean by construction
+      .toDF("doc_id", "text")
+    sink(b0, 0L)
+    sink(b0, 0L) // replay after a simulated post-write failure
+    def clean = Streams.readDecontaminated(spark, s"$dir/state")
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 3L), s"clean set wrong: $clean")
+    val flagged = spark.read.parquet(s"$dir/state/flagged")
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+    assert(flagged == Map(1L -> 2L), s"flagged wrong: $flagged")
+    // STATELESS across batches: verdicts depend only on the static eval
+    // set, so streaming equals the batch operator on the union — exact
+    // parity, not the ordered-arrival-only kind the stateful sinks pin.
+    val b1 = Seq((4L, "tail " + contaminated), (5L, "more novel prose entirely")).toDF("doc_id", "text")
+    sink(b1, 1L)
+    val batchClean = graft.text.Decontaminate.clean(
+      evalDocs.withColumn("src", lit("eval"))
+        .unionByName(b0.withColumn("src", lit("web")))
+        .unionByName(b1.withColumn("src", lit("web"))),
+      "doc_id", "text", col("src") === "eval", 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == batchClean, s"stream $clean != batch $batchClean")
+    // an all-flagged batch writes no clean partition and breaks nothing
+    sink(Seq((6L, contaminated)).toDF("doc_id", "text"), 2L)
+    assert(clean == batchClean)
+    // the logs are compactable like every other batch log
+    assert(Streams.compactBatchLog(spark, s"$dir/state/clean", keepLast = 1))
+    assert(clean == batchClean, "compaction must not change the clean set")
+    evalGrams.unpersist()
+  }
+
   test("scd2Sink aborts on a corrupt dimension instead of overwriting it") {
     val dir = Files.createTempDirectory("scd2_corrupt").toFile.getAbsolutePath
     val dim = s"$dir/dim"
