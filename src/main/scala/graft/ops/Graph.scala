@@ -112,4 +112,50 @@ object Graph {
     if (sys.props.contains("graft.debug.cc")) println(s"[cc] rounds=$iter p=$p")
     labels
   }
+
+  /** PageRank over a directed edge set, `iters` synchronous iterations of
+    * the simplified update (no dangling-mass redistribution — sinks absorb;
+    * both engines of the oracle pair use the SAME convention, and ranking
+    * order is what the downstream consumers read):
+    *
+    *   rank'(v) = (1−d)/N + d · Σ_{(u,v)∈E} rank(u) / outdeg(u)
+    *
+    * Edges are DISTINCTed (simple graph). Each iteration is one join of the
+    * checkpointed edge set with the current ranks plus a per-dst sum —
+    * shuffle on vertex id, nothing driver-side but the node count — and
+    * ends in the same eager `localCheckpoint()` discipline as
+    * [[connectedComponents]] (iterative lineage otherwise makes planning
+    * cost grow with the iteration count; on a durable cluster run swap for
+    * `checkpoint()`).
+    *
+    * Float-parity note for the oracle pair: the per-edge term divides
+    * BEFORE summing (`rank/outdeg` per edge, then Σ), and the teleport
+    * base spells `(1 − damping)/N` so both engines compute the identical
+    * double (1−0.85 in binary is NOT the literal 0.15).
+    */
+  def pageRank(edges: DataFrame, src: String, dst: String,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count().toDouble
+    if (n == 0) return nodes.withColumn("rank", lit(0.0))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("outdeg"))
+      .localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, e("src") === ranks("node"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("_c"))
+        .groupBy(col("node")).agg(sum(col("_c")).as("_contrib"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - damping) / n) +
+            lit(damping) * coalesce(col("_contrib"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
 }

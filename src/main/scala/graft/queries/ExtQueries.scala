@@ -106,6 +106,27 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q75: PageRank over the customer→part purchase graph ----
+    // Iterative graph analytics beyond q39's connected components: 5
+    // synchronous iterations over the DISTINCT (customer → part) edges of
+    // orders⋈lineitem (part node ids offset out of the customer id space).
+    // Per-iteration cost is one edge⋈ranks join + a per-dst sum — the
+    // localCheckpoint-per-round discipline keeps planning cost flat (see
+    // ops/Graph.scala). Oracle: DuckDB recursive CTE carrying the
+    // iteration counter, with zero-weight self-loops standing in for the
+    // "every node each iteration" left join (adding 0.0 to a double sum is
+    // exact, so both engines produce identical bits before rounding).
+    "q75_pagerank" -> { (s, d) =>
+      val edges = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_partkey") + lit(1000000000L)).as("dst"))
+      Graph.pageRank(edges, "src", "dst", iters = 5)
+        .select(col("node"), round(col("rank"), 8).as("rank"))
+        .orderBy(col("node"))
+    },
+
     // ---- q41: pattern redaction (PII-scrub shape) ----
     "q41_redact" -> { (s, d) =>
       val (red, n) = TF.redact(col("text"), RedactPat, "[X]")
@@ -460,6 +481,33 @@ object ExtQueries {
            len(list_slice(toks, i, i + 49)) AS n_tokens,
            ${TextQueries.h60("array_to_string(list_slice(toks, i, i + 49), ' ')")} AS chunk_hash
          FROM ch ORDER BY doc_id, chunk_id""",
+
+    "q75_pagerank" ->
+      """WITH RECURSIVE
+         e AS (SELECT DISTINCT o_custkey AS src, l_partkey + 1000000000 AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         -- DISTINCT over UNION ALL, not bare UNION: under WITH RECURSIVE,
+         -- DuckDB 1.0 evaluates a UNION inside a NON-recursive CTE with
+         -- recursive-iteration semantics and leaks duplicate rows.
+         nodes AS (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+         nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY 1),
+         ew AS (SELECT src, dst, 1.0 AS w FROM e
+           UNION ALL SELECT node, node, 0.0 FROM nodes),
+         pr AS (
+           SELECT 0 AS iter, node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+           UNION ALL
+           SELECT p.iter + 1, ew.dst,
+             (1 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * sum(p.rank / coalesce(d.outdeg, 1) * ew.w)
+           FROM pr p
+           JOIN ew ON ew.src = p.node
+           LEFT JOIN deg d ON d.src = p.node
+           WHERE p.iter < 5
+           GROUP BY ew.dst, p.iter)
+         SELECT node, round(rank, 8) AS rank FROM pr WHERE iter = 5
+         ORDER BY node""",
 
     "q72_chunk_dedup" ->
       s"""WITH tk AS (SELECT doc_id, ${TextQueries.TOKS} AS toks FROM documents),

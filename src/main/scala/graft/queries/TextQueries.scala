@@ -363,7 +363,11 @@ object TextQueries {
         .withColumn("_toks", TF.tokens(col("text")))
         .filter(size(col("_toks")) >= 2)
         .select(col("doc_id"), explode(TF.wordBigrams(col("_toks"))).as("bigram"))
-      val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      // Cached because TWO consumers read it (the c1 fold and the score
+      // join) — uncached, Catalyst duplicates the subtree and the corpus
+      // explode runs a third time (the PlanSpec pin counts the Generates).
+      // Vocab-sized: distinct bigrams, not corpus rows.
+      val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2")).cache()
       val c1 = c2.withColumn("w1", substring_index(col("bigram"), " ", 1))
         .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
       bg.join(c2, "bigram")

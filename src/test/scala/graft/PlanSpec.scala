@@ -103,6 +103,37 @@ class PlanSpec extends SparkSpec {
       s"winnow matching must block on fingerprints, not cross:\n$p")
   }
 
+  test("q72 chunk dedup blocks on chunk hashes — never quadratic") {
+    val p = plan("q72_chunk_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"chunk dedup must stay a hash-partitioned window over chunk_hash:\n$p")
+  }
+
+  test("q74 bigram LM stays at two corpus passes (the denominator folds from counts)") {
+    // Counted on the cache-substituted LOGICAL plan: InMemoryRelation is a
+    // leaf there, so live Generates = corpus explodes actually executed by
+    // THIS query (the cache build pays the one other pass, once). 1 live
+    // explode + 2 cached reads = the two-pass claim; a third live explode
+    // means the w1 denominator regressed to its own corpus pass.
+    val q = SparkEntry.queries("q74_bigram_logprob")(spark, sfDir).queryExecution
+    val live = q.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }.size
+    val cachedReads = q.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r }.size
+    assert(live == 1, s"expected 1 live corpus explode, found $live:\n${q.optimizedPlan}")
+    assert(cachedReads == 2,
+      s"both count consumers must read the cached vocab table, found $cachedReads")
+    assert(!q.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("q73 IVF-PQ: pair expansion only against broadcast state, codes never cross-joined") {
+    val p = plan("q73_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"),
+      s"PQ scoring must ride broadcast lookup tables, never a cross join:\n$p")
+    // ADC tables and codebooks broadcast; candidate scoring is equi-join.
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q28 hyperplane bucket build is one wide aggregation — at most 2 exchanges") {
     // The wide form carries `planes` parallel sums through ONE groupBy(id);
     // the regression shape (explode per plane + two groupBys) costs a

@@ -306,6 +306,34 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("pageRank equals the driver-side reference on random graphs") {
+    val edgesGen = for {
+      n <- Gen.choose(2, 16)
+      m <- Gen.choose(1, 30)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+    } yield es.distinct
+    check(forAll(edgesGen) { es =>
+      es.isEmpty || {
+        val got = Graph.pageRank(es.toDF("s", "t"), "s", "t", iters = 4)
+          .as[(Long, Double)].collect().toMap
+        // reference: dense synchronous iteration, same simplified update
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val n = nodes.size.toDouble
+        val outdeg = es.groupBy(_._1).map { case (s, g) => s -> g.size.toDouble }
+        var rank = nodes.map(_ -> 1.0 / n).toMap
+        for (_ <- 1 to 4) {
+          val contrib = es.groupBy(_._2).map { case (t, in) =>
+            t -> in.map(e => rank(e._1) / outdeg(e._1)).sum
+          }
+          rank = nodes.map(v => v -> ((1 - 0.85) / n + 0.85 * contrib.getOrElse(v, 0.0))).toMap
+        }
+        // sums associate differently across partitions — compare within 1e-12
+        got.keySet == rank.keySet &&
+          nodes.forall(v => math.abs(got(v) - rank(v)) < 1e-12)
+      }
+    })
+  }
+
   test("GramHash60.hashStream equals the code-point sliding reference on multi-byte UTF-8") {
     // The single-pass byte-walk must agree with the definitional spelling
     // (hash of each k-code-point window's UTF-8 bytes) on every byte width:
