@@ -153,6 +153,31 @@ object ExtQueries {
         .limit(100)
     },
 
+    // ---- q77: time-series gap fill (calendar densify + zero-fill + LOCF) ----
+    // The resample shape q16's bucket agg can't produce: buckets with NO
+    // rows must EXIST downstream (zero-filled for additive measures,
+    // last-observation-carried-forward for state-like ones). Per-user
+    // calendar = sequence(min_day, max_day) exploded — row count is
+    // users × their own span, never a global calendar cross join; LOCF is
+    // one ignoreNulls last() window per user ordered by day.
+    "q77_gap_fill" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("v"))
+      val cal = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("_lo"), max(col("day")).as("_hi"))
+        .select(col("user_id"),
+          explode(sequence(col("_lo"), col("_hi"))).as("day"))
+      cal.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("v"), lit(0.0)).as("v"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_locf"))
+        .orderBy(col("user_id"), col("day"))
+    },
+
     // ---- q41: pattern redaction (PII-scrub shape) ----
     "q41_redact" -> { (s, d) =>
       val (red, n) = TF.redact(col("text"), RedactPat, "[X]")
@@ -544,6 +569,21 @@ object ExtQueries {
          GROUP BY 1, 2
          ORDER BY n_orders DESC, part_a, part_b
          LIMIT 100""",
+
+    "q77_gap_fill" ->
+      """WITH daily AS (SELECT user_id, (ts::TIMESTAMP)::DATE AS day,
+           round(sum(value), 2) AS v
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+           FROM daily GROUP BY 1),
+         cal AS (SELECT user_id, unnest(generate_series(lo, hi,
+           INTERVAL 1 DAY))::DATE AS day FROM r)
+         SELECT c.user_id, c.day, coalesce(d.v, 0) AS v,
+           last_value(d.v IGNORE NULLS) OVER (PARTITION BY c.user_id
+             ORDER BY c.day ROWS UNBOUNDED PRECEDING) AS v_locf
+         FROM cal c LEFT JOIN daily d
+           ON d.user_id = c.user_id AND d.day = c.day
+         ORDER BY 1, 2""",
 
     "q72_chunk_dedup" ->
       s"""WITH tk AS (SELECT doc_id, ${TextQueries.TOKS} AS toks FROM documents),
