@@ -178,6 +178,49 @@ object ExtQueries {
         .orderBy(col("user_id"), col("day"))
     },
 
+    // ---- q78: rolling 7-day distinct users per day ----
+    // Distinct counts don't window-sum (unlike q47's moving averages), so
+    // the scale-sane EXACT spelling is a bounded contribution explode:
+    // each distinct (day, user) pair feeds the ≤7 window-end days it
+    // belongs to (fixed ×7 row expansion — never a range self-join of the
+    // corpus), then one distinct-agg per window end, kept to days that
+    // exist in the data. The approximate face of the same shape is i10's
+    // mergeable HLL sketch state (per-day sketches unioned over the
+    // window) when exactness can be traded for a 7× smaller shuffle.
+    "q78_rolling_distinct" -> { (s, d) =>
+      val pairs = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      pairs
+        .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("w_end"),
+          col("user_id"))
+        .join(pairs.select(col("day").as("w_end")).distinct(), Seq("w_end"), "left_semi")
+        .groupBy(col("w_end"))
+        .agg(countDistinct(col("user_id")).as("u7"))
+        .orderBy(col("w_end"))
+    },
+
+    // ---- q79: weekly cohort retention matrix ----
+    // Cohort = ISO week of a user's FIRST activity; cell (cohort_week,
+    // week_offset) counts distinct users from that cohort active that many
+    // weeks later. One min-agg for first-activity (map-side combinable),
+    // one broadcast-eligible join back (first-activity table is
+    // users-sized), one distinct-agg for the matrix — no window over the
+    // corpus. Both engines truncate to Monday (ISO) weeks.
+    "q79_cohort_retention" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("_fd"))
+      ev.join(first, Seq("user_id"))
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("_fd"))).as("cohort_week"),
+          floor(datediff(col("day"), to_date(date_trunc("week", col("_fd")))) / 7)
+            .cast("long").as("week_offset"))
+        .distinct()
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
     // ---- q41: pattern redaction (PII-scrub shape) ----
     "q41_redact" -> { (s, d) =>
       val (red, n) = TF.redact(col("text"), RedactPat, "[X]")
@@ -584,6 +627,25 @@ object ExtQueries {
          FROM cal c LEFT JOIN daily d
            ON d.user_id = c.user_id AND d.day = c.day
          ORDER BY 1, 2""",
+
+    "q78_rolling_distinct" ->
+      """WITH dpairs AS (SELECT DISTINCT (ts::TIMESTAMP)::DATE AS day, user_id
+           FROM events),
+         days AS (SELECT DISTINCT day FROM dpairs)
+         SELECT d.day AS w_end, count(DISTINCT p.user_id)::BIGINT AS u7
+         FROM days d JOIN dpairs p ON p.day BETWEEN d.day - 6 AND d.day
+         GROUP BY 1 ORDER BY 1""",
+
+    "q79_cohort_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id, (ts::TIMESTAMP)::DATE AS day
+           FROM events),
+         f AS (SELECT user_id, date_trunc('week', min(day))::DATE AS cw
+           FROM ev GROUP BY 1),
+         cells AS (SELECT DISTINCT ev.user_id, f.cw AS cohort_week,
+             ((ev.day - f.cw) // 7)::BIGINT AS week_offset
+           FROM ev JOIN f ON ev.user_id = f.user_id)
+         SELECT cohort_week, week_offset, count(*)::BIGINT AS n_users
+         FROM cells GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q72_chunk_dedup" ->
       s"""WITH tk AS (SELECT doc_id, ${TextQueries.TOKS} AS toks FROM documents),
