@@ -221,6 +221,28 @@ object ExtQueries {
         .orderBy(col("cohort_week"), col("week_offset"))
     },
 
+    // ---- q80: event-type transition matrix (Markov flow analysis) ----
+    // P(next event type | current) over each user's time-ordered stream:
+    // one lag window PER USER (partition-parallel, deterministic
+    // (ts, event_id) tiebreak), one count agg, probabilities normalized by
+    // the per-prev totals folded from the pair counts (vocab-scale, the
+    // q74 denominator discipline — no second corpus pass).
+    "q80_transition_matrix" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("_prev", lag(col("event_type"), 1).over(w))
+        .filter(col("_prev").isNotNull)
+        .groupBy(col("_prev").as("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("_tot"))
+      pairs.join(totals, Seq("prev_type"))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          round(col("n") * lit(1.0) / col("_tot"), 4).as("p"))
+        .orderBy(col("prev_type"), col("next_type"))
+    },
+
     // ---- q41: pattern redaction (PII-scrub shape) ----
     "q41_redact" -> { (s, d) =>
       val (red, n) = TF.redact(col("text"), RedactPat, "[X]")
@@ -646,6 +668,20 @@ object ExtQueries {
            FROM ev JOIN f ON ev.user_id = f.user_id)
          SELECT cohort_week, week_offset, count(*)::BIGINT AS n_users
          FROM cells GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q80_transition_matrix" ->
+      """WITH tr AS (SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         pc AS (SELECT prev_type, event_type AS next_type,
+             count(*)::BIGINT AS n
+           FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT prev_type, sum(n) AS tot FROM pc GROUP BY 1)
+         SELECT pc.prev_type, pc.next_type, pc.n,
+           round(pc.n * 1.0 / tot.tot, 4) AS p
+         FROM pc JOIN tot USING (prev_type)
+         ORDER BY 1, 2""",
 
     "q72_chunk_dedup" ->
       s"""WITH tk AS (SELECT doc_id, ${TextQueries.TOKS} AS toks FROM documents),
