@@ -344,6 +344,32 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q81: dataset mixture balancing (equalized language strata) ----
+    // The data-mixing step before training: downsample every language
+    // stratum to the size of the RAREST one, deterministically. Stratum
+    // counts are one agg (5 rows — bounded metadata to the driver, the
+    // kmeansCells discipline); per-stratum keep thresholds are INTEGER
+    // arithmetic (floor(n_min·10^6 / n_s)) so Spark and the oracle compute
+    // identical values; the keep decision is a per-row hash compare
+    // (q42's shuffle-free discipline — no per-stratum window, whose
+    // 5-partition skew would serialize a 100 TB corpus). Hash thresholding
+    // yields EXPECTED stratum sizes (±binomial noise), which is the
+    // standard trade for a corpus-parallel sampler.
+    "q81_mixture_sample" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nMin = counts.values.min
+      val thresh = counts.map { case (l, n) => l -> nMin * 1000000L / n }
+      val threshCol = thresh.foldLeft(lit(0L)) { case (acc, (l, t)) =>
+        when(col("lang") === l, lit(t)).otherwise(acc)
+      }
+      docs.filter(pmod(graft.ops.Cdm.hash60(col("doc_id").cast("string")), lit(1000000L))
+          < threshCol)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q74: corpus-trained bigram LM score (perplexity-filter shape) ----
     // The CCNet-style quality signal without an external model: train the
     // bigram MLE on the corpus ITSELF (c(w1 w2) / c(w1 ·) over occurrence
@@ -711,6 +737,14 @@ object TextQueries {
            AND len(list_intersect(a.hs, b.hs)) * 1.0 / len(a.hs) >= 0.8)
          SELECT d.doc_id FROM documents d
          WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+         ORDER BY d.doc_id""",
+
+    "q81_mixture_sample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         m AS (SELECT min(n) AS n_min FROM c),
+         t AS (SELECT lang, (SELECT n_min FROM m) * 1000000 // n AS thr FROM c)
+         SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.lang
+         WHERE ${h60("d.doc_id::VARCHAR")} % 1000000 < t.thr
          ORDER BY d.doc_id""",
 
     "q74_bigram_logprob" ->
