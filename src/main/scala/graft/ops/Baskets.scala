@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Within-basket item pairing — the candidate-generation step of
+  * market-basket / co-occurrence analysis (the pairwise slice of frequent
+  * itemsets; reference analog: the gold-layer fact aggregations of
+  * 5_gold/fact_transaction.py re-read as "which parts sell together").
+  *
+  * The pair expansion is map-side C(n,2) over each basket's distinct item
+  * set, which is quadratic in basket size — the classic skew scale-killer
+  * when one degenerate basket (a crawler cart, a batch-import order) holds
+  * 10^5 items: 5×10^9 pairs from a single row. `maxBasket` is therefore a
+  * REQUIRED bound, applied as a deterministic truncation: the basket's
+  * distinct items are sorted ascending and only the first `maxBasket`
+  * (smallest item ids) pair up, so one bad basket contributes at most
+  * C(maxBasket, 2) pairs and results are reproducible run-to-run (no
+  * "whichever items arrived first" nondeterminism). Truncation slightly
+  * undercounts support for items that only co-occur in over-cap baskets —
+  * the standard trade; callers who need those baskets exactly can
+  * pre-split them upstream.
+  *
+  * The per-group `collect_set` buffer stays LINEAR in raw basket size
+  * (bytes, not pairs — the quadratic term is what the cap removes); a
+  * corpus with adversarially huge baskets should pre-aggregate
+  * `(basket, item)` distinct before calling.
+  */
+object Baskets {
+
+  /** One row per ordered item pair `(item_a < item_b)` co-occurring in a
+    * basket, at most C(maxBasket, 2) pairs per basket (see object doc for
+    * the truncation contract). Output columns: `basketCol`, `item_a`,
+    * `item_b`.
+    */
+  def pairs(items: DataFrame, basketCol: String, itemCol: String,
+      maxBasket: Int = 256): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    val ps: Column = slice(array_sort(collect_set(col(itemCol))), 1, maxBasket)
+    items
+      .groupBy(col(basketCol))
+      .agg(ps.as("_ps"))
+      .select(col(basketCol), explode(flatten(transform(col("_ps"), (a, i) =>
+        transform(slice(col("_ps"), i + lit(2), size(col("_ps"))),
+          b => struct(a.as("item_a"), b.as("item_b")))))).as("_p"))
+      .select(col(basketCol), col("_p.item_a"), col("_p.item_b"))
+  }
+
+  /** Pair support counts: distinct baskets containing both items, top
+    * `topN` by support with a full deterministic tiebreak (support desc,
+    * then both item ids) — runs as TakeOrderedAndProject (per-partition
+    * top-N, no global sort).
+    */
+  def copurchaseTopN(items: DataFrame, basketCol: String, itemCol: String,
+      topN: Int, maxBasket: Int = 256): DataFrame =
+    pairs(items, basketCol, itemCol, maxBasket)
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .orderBy(col("n_baskets").desc, col("item_a"), col("item_b"))
+      .limit(topN)
+}

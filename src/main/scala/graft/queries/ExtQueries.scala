@@ -135,46 +135,34 @@ object ExtQueries {
     // shuffles — the self-join spelling scanned + distinct-shuffled the
     // corpus TWICE (no exchange reuse once one side broadcasts; measured
     // 1.4 vs 1.1s at sf0.1 and strictly worse at scale). The pair HOF is
-    // interpreted but runs per ORDER over ≤7 elements. A real deployment
-    // caps basket size before pairing — same guard, bigger baskets.
-    // Top-100 with full deterministic tiebreak (support desc, then both
-    // part ids) runs as TakeOrderedAndProject — per-partition top-N, no
-    // global sort.
+    // interpreted but runs per ORDER over ≤7 elements. The per-basket
+    // expansion is BOUNDED by ops/Baskets' maxBasket truncation (64 here,
+    // ≥9× TPC-H's max basket — no row is ever truncated at any test SF,
+    // so the oracle is the uncapped self-join), which caps a degenerate
+    // 10^5-item basket at C(64,2) pairs instead of 5×10^9.
     "q76_copurchase" -> { (s, d) =>
-      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        .groupBy(col("l_orderkey"))
-        .agg(array_sort(collect_set(col("l_partkey"))).as("_ps"))
-        .select(explode(flatten(transform(col("_ps"), (a, i) =>
-          transform(slice(col("_ps"), i + lit(2), size(col("_ps"))),
-            b => struct(a.as("part_a"), b.as("part_b")))))).as("_p"))
-        .select(col("_p.part_a"), col("_p.part_b"))
-        .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("n_orders"))
+      graft.ops.Baskets.copurchaseTopN(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", topN = 100, maxBasket = 64)
+        .select(col("item_a").as("part_a"), col("item_b").as("part_b"),
+          col("n_baskets").as("n_orders"))
         .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
-        .limit(100)
     },
 
     // ---- q77: time-series gap fill (calendar densify + zero-fill + LOCF) ----
     // The resample shape q16's bucket agg can't produce: buckets with NO
     // rows must EXIST downstream (zero-filled for additive measures,
-    // last-observation-carried-forward for state-like ones). Per-user
-    // calendar = sequence(min_day, max_day) exploded — row count is
-    // users × their own span, never a global calendar cross join; LOCF is
-    // one ignoreNulls last() window per user ordered by day.
+    // last-observation-carried-forward for state-like ones). ops/GapFill:
+    // per-user calendar = sequence(min_day, max_day) exploded — row count
+    // is users × their own span, never a global calendar cross join; LOCF
+    // is one ignoreNulls last() window per user; a per-key span guard
+    // turns one corrupt 1970 timestamp into a named diagnosis instead of
+    // a 20k-row calendar (GapFillSpec exercises the poisoned row).
     "q77_gap_fill" -> { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("day"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       val daily = Tables.events(s, d)
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))
         .agg(round(sum(col("value")), 2).as("v"))
-      val cal = daily.groupBy(col("user_id"))
-        .agg(min(col("day")).as("_lo"), max(col("day")).as("_hi"))
-        .select(col("user_id"),
-          explode(sequence(col("_lo"), col("_hi"))).as("day"))
-      cal.join(daily, Seq("user_id", "day"), "left")
-        .select(col("user_id"), col("day"),
-          coalesce(col("v"), lit(0.0)).as("v"),
-          last(col("v"), ignoreNulls = true).over(w).as("v_locf"))
+      graft.ops.GapFill.dense(daily, "user_id", "day", "v")
         .orderBy(col("user_id"), col("day"))
     },
 

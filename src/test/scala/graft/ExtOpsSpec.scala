@@ -197,4 +197,62 @@ class ExtOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("shard_id"))
     intercept[IllegalArgumentException](ShardPack.assign(withBkt, "doc_id", "n_tokens", 10))
   }
+
+  test("Baskets.pairs caps an over-cap basket at C(maxBasket,2), keeping the smallest items") {
+    // basket 1 is degenerate (100 items, cap 10): expansion must be C(10,2)
+    // = 45 pairs over the 10 SMALLEST item ids (deterministic truncation),
+    // never the quadratic 4950; basket 2 checks dedup + ordered pairs.
+    val items = ((0 until 100).map(i => (1L, i.toLong)) ++
+      Seq((2L, 5L), (2L, 3L), (2L, 3L), (2L, 8L))).toDF("basket", "item")
+    val out = graft.ops.Baskets.pairs(items, "basket", "item", maxBasket = 10)
+      .as[(Long, Long, Long)].collect()
+    val b1 = out.filter(_._1 == 1L)
+    assert(b1.length == 45, s"expected 45 capped pairs, got ${b1.length}")
+    assert(b1.forall(p => p._2 < p._3 && p._3 <= 9L))
+    val b2 = out.filter(_._1 == 2L).map(p => (p._2, p._3)).toSet
+    assert(b2 == Set((3L, 5L), (3L, 8L), (5L, 8L)))
+  }
+
+  test("GapFill.dense densifies, zero-fills, LOCFs — and names the key on an over-span row") {
+    val daily = Seq(
+      (1L, java.sql.Date.valueOf("2024-03-01"), 5.0),
+      (1L, java.sql.Date.valueOf("2024-03-04"), 7.0),
+      (2L, java.sql.Date.valueOf("2024-03-02"), 1.0))
+      .toDF("user_id", "day", "v")
+    val out = graft.ops.GapFill.dense(daily, "user_id", "day", "v")
+      .orderBy("user_id", "day")
+      .as[(Long, java.sql.Date, Double, Option[Double])].collect().toSeq
+    assert(out.map(r => (r._1, r._2.toString, r._3, r._4)) == Seq(
+      (1L, "2024-03-01", 5.0, Some(5.0)),
+      (1L, "2024-03-02", 0.0, Some(5.0)),
+      (1L, "2024-03-03", 0.0, Some(5.0)),
+      (1L, "2024-03-04", 7.0, Some(7.0)),
+      (2L, "2024-03-02", 1.0, Some(1.0))))
+    // One poisoned epoch-zero date must become a NAMED diagnosis carrying
+    // the key, not a ~20k-row calendar or a deep sequence() stack trace.
+    val poisoned = daily.union(Seq(
+      (3L, java.sql.Date.valueOf("1970-01-01"), 9.9),
+      (3L, java.sql.Date.valueOf("2024-03-01"), 1.0)).toDF("user_id", "day", "v"))
+    val e = intercept[Exception] {
+      graft.ops.GapFill.dense(poisoned, "user_id", "day", "v").count()
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(msg.contains("gap_fill") && msg.contains("key 3"),
+      s"expected a named gap_fill error carrying key 3, got: $msg")
+    // clean keys under a tighter bound still pass
+    assert(graft.ops.GapFill.dense(daily, "user_id", "day", "v",
+      maxSpanDays = 3).count() == 5)
+    intercept[IllegalArgumentException](
+      graft.ops.GapFill.dense(daily, "user_id", "day", "v", maxSpanDays = 0))
+  }
+
+  test("Baskets.pairs leaves under-cap baskets exact and rejects maxBasket < 2") {
+    val items = Seq((1L, 7L), (1L, 2L), (1L, 9L)).toDF("basket", "item")
+    val out = graft.ops.Baskets.pairs(items, "basket", "item", maxBasket = 64)
+      .as[(Long, Long, Long)].collect().map(p => (p._2, p._3)).toSet
+    assert(out == Set((2L, 7L), (2L, 9L), (7L, 9L)))
+    intercept[IllegalArgumentException](
+      graft.ops.Baskets.pairs(items, "basket", "item", maxBasket = 1))
+  }
 }
