@@ -370,6 +370,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q82: line-level exact dedup (C4/RefinedWeb boilerplate removal) ----
+    // The granularity q19 (whole doc) and q72 (fixed-size chunk) bracket:
+    // variable-length delimiter segments, corpus-wide first-occurrence
+    // wins, and the surviving text REASSEMBLED per doc (text/LineDedup).
+    // The synthetic corpus has no literal newlines, so the segment
+    // delimiter here is the frequent token " the " — the operator's
+    // production default is "\n"; the plan is identical either way (split
+    // + posexplode + one duplicate-count-sized window + per-doc rollup).
+    "q82_line_dedup" -> { (s, d) =>
+      graft.text.LineDedup.dedupRollup(
+          Tables.documents(s, d), "doc_id", "text", delimRegex = " the ")
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q74: corpus-trained bigram LM score (perplexity-filter shape) ----
     // The CCNet-style quality signal without an external model: train the
     // bigram MLE on the corpus ITSELF (c(w1 w2) / c(w1 ·) over occurrence
@@ -746,6 +760,25 @@ object TextQueries {
          SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.lang
          WHERE ${h60("d.doc_id::VARCHAR")} % 1000000 < t.thr
          ORDER BY d.doc_id""",
+
+    "q82_line_dedup" ->
+      """WITH sp AS (SELECT doc_id, string_split_regex(text, ' the ') AS segs
+           FROM documents),
+         l0 AS (SELECT doc_id, unnest([{'idx': i, 'line': trim(segs[i])}
+             for i in range(1, len(segs)+1)]) AS e FROM sp),
+         l AS (SELECT doc_id, e.idx AS line_idx, e.line AS line
+           FROM l0 WHERE len(e.line) > 0),
+         k AS (SELECT doc_id, line_idx, line,
+             row_number() OVER (PARTITION BY md5(line)
+               ORDER BY doc_id, line_idx) AS rn FROM l)
+         SELECT doc_id, count(*)::BIGINT AS n_lines,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS kept_frac,
+           CASE WHEN sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+             THEN md5(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+               ORDER BY line_idx)) END AS surviving_fp
+         FROM k GROUP BY 1 ORDER BY 1""",
 
     "q74_bigram_logprob" ->
       s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),

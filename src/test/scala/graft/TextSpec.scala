@@ -207,4 +207,32 @@ class TextSpec extends SparkSpec {
       SimHash.fingerprints(docs, "doc_id", "text"), "doc_id", 3).collect()
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
   }
+
+  test("LineDedup: first occurrence wins corpus-wide, survivors reassemble in order") {
+    val docs = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta"),          // beta first seen in doc 1 → only delta survives
+      (3L, "beta"),                 // nothing survives
+      (4L, "  \nalpha  \nepsilon")) // empty segment dropped; alpha trims to a dup
+      .toDF("doc_id", "text")
+    val out = graft.text.LineDedup.dedupRollup(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Option[String])].collect().toSeq
+    def fp(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(out == Seq(
+      (1L, 3L, 3L, 1.0, Some(fp("alpha\nbeta\ngamma"))),
+      (2L, 2L, 1L, 0.5, Some(fp("delta"))),
+      (3L, 1L, 0L, 0.0, None),
+      (4L, 2L, 1L, 0.5, Some(fp("epsilon")))))
+  }
+
+  test("LineDedup: within-doc repeated lines dedup too (first line_idx wins)") {
+    val docs = Seq((7L, "x\nx\ny")).toDF("doc_id", "text")
+    val out = graft.text.LineDedup.markLines(docs, "doc_id", "text")
+      .orderBy("line_idx").as[(Long, Int, String, Boolean)].collect().toSeq
+    assert(out == Seq((7L, 0, "x", true), (7L, 1, "x", false), (7L, 2, "y", true)))
+  }
 }
