@@ -113,17 +113,42 @@ object Graph {
     labels
   }
 
-  /** PageRank over a directed edge set, `iters` synchronous iterations of
-    * the simplified update (no dangling-mass redistribution — sinks absorb;
-    * both engines of the oracle pair use the SAME convention, and ranking
-    * order is what the downstream consumers read):
+  /** Iteration count of the most recent [[pageRank]] call on this JVM —
+    * a test/diagnostic hook for the convergence stop (the DataFrame result
+    * cannot carry it); not meaningful under concurrent pageRank calls.
+    */
+  @volatile private[graft] var lastPageRankIters: Int = 0
+
+  /** PageRank over a directed edge set, up to `iters` synchronous
+    * iterations. The DEFAULT update is the simplified variant (no
+    * dangling-mass redistribution — sinks absorb; both engines of the
+    * oracle pair use the SAME convention, and ranking order is what the
+    * downstream consumers read):
     *
     *   rank'(v) = (1−d)/N + d · Σ_{(u,v)∈E} rank(u) / outdeg(u)
     *
+    * With `redistributeDangling = true` the rank mass sitting on SINK
+    * nodes (no out-edges) each iteration is re-injected uniformly — the
+    * standard PageRank convention, under which ranks sum to 1:
+    *
+    *   rank'(v) = (1−d)/N + d · (Σ rank(u)/outdeg(u) + danglingMass/N)
+    *
+    * Cost of the option is ONE extra vocab-scale aggregation per iteration
+    * (sum of rank over the checkpointed sink-node set — a scalar to the
+    * driver, never row data).
+    *
+    * With `tol > 0` iterations stop early once `max |Δrank| < tol`
+    * (`iters` stays the hard bound). The delta metric rides the SAME
+    * materialization job as the iteration's checkpoint via `observe()` —
+    * one extra nodes-sized join against the previous ranks, no separate
+    * pass. `tol = 0` (default) runs exactly `iters` iterations with the
+    * delta machinery compiled out entirely, keeping the oracle-paired
+    * plan unchanged.
+    *
     * Edges are DISTINCTed (simple graph). Each iteration is one join of the
     * checkpointed edge set with the current ranks plus a per-dst sum —
-    * shuffle on vertex id, nothing driver-side but the node count — and
-    * ends in the same eager `localCheckpoint()` discipline as
+    * shuffle on vertex id, nothing driver-side but scalars — and ends in
+    * the same eager `localCheckpoint()` discipline as
     * [[connectedComponents]] (iterative lineage otherwise makes planning
     * cost grow with the iteration count; on a durable cluster run swap for
     * `checkpoint()`).
@@ -131,31 +156,64 @@ object Graph {
     * Float-parity note for the oracle pair: the per-edge term divides
     * BEFORE summing (`rank/outdeg` per edge, then Σ), and the teleport
     * base spells `(1 − damping)/N` so both engines compute the identical
-    * double (1−0.85 in binary is NOT the literal 0.15).
+    * double (1−0.85 in binary is NOT the literal 0.15; adding the exact
+    * 0.0 dangling term of the default variant is bit-transparent).
     */
   def pageRank(edges: DataFrame, src: String, dst: String,
-      iters: Int, damping: Double = 0.85): DataFrame = {
+      iters: Int, damping: Double = 0.85,
+      redistributeDangling: Boolean = false, tol: Double = 0.0): DataFrame = {
     require(iters >= 0, s"iters must be non-negative, got $iters")
+    require(tol >= 0.0, s"tol must be non-negative, got $tol")
     val e = edges.select(col(src).as("src"), col(dst).as("dst"))
       .distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val n = nodes.count().toDouble
+    lastPageRankIters = 0
     if (n == 0) return nodes.withColumn("rank", lit(0.0))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("outdeg"))
       .localCheckpoint()
+    // Sink-node set, materialized ONCE (graph topology doesn't change
+    // across iterations) — only when the dangling option pays for it.
+    val sinks = if (redistributeDangling)
+      nodes.join(deg, nodes("node") === deg("src"), "left_anti")
+        .select(col("node")).localCheckpoint()
+    else null
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
-    for (_ <- 1 to iters) {
+    var it = 0
+    var done = false
+    while (it < iters && !done) {
+      val dangling = if (redistributeDangling)
+        Option(ranks.join(sinks, Seq("node"), "left_semi")
+            .agg(sum(col("rank"))).head.get(0))
+          .fold(0.0)(_.asInstanceOf[Double])
+      else 0.0
       val contribs = e.join(ranks, e("src") === ranks("node"))
         .join(deg, Seq("src"))
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("_c"))
         .groupBy(col("node")).agg(sum(col("_c")).as("_contrib"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      val updated = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit((1 - damping) / n) +
+          (lit((1 - damping) / n + damping * dangling / n) +
             lit(damping) * coalesce(col("_contrib"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+      if (tol > 0.0) {
+        val obs = Observation()
+        val next = updated
+          .join(ranks.select(col("node"), col("rank").as("_prev")), Seq("node"))
+          .observe(obs, max(abs(col("rank") - col("_prev"))).as("d"))
+          .select(col("node"), col("rank"))
+          .localCheckpoint()
+        val dmax = obs.get("d") match {
+          case v: java.lang.Double => v.doubleValue()
+          case _ => Double.MaxValue // empty metrics: keep iterating
+        }
+        ranks = next
+        done = dmax < tol
+      } else ranks = updated.localCheckpoint()
+      it += 1
     }
+    lastPageRankIters = it
+    if (sys.props.contains("graft.debug.pr")) println(s"[pr] rounds=$it")
     ranks
   }
 }

@@ -334,6 +334,75 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("pageRank with dangling redistribution matches the reference and sums to 1") {
+    val edgesGen = for {
+      n <- Gen.choose(2, 16)
+      m <- Gen.choose(1, 30)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+    } yield es.distinct
+    check(forAll(edgesGen) { es =>
+      es.isEmpty || {
+        val got = Graph.pageRank(es.toDF("s", "t"), "s", "t", iters = 4,
+            redistributeDangling = true)
+          .as[(Long, Double)].collect().toMap
+        // reference: dense synchronous iteration, standard dangling-mass
+        // re-injection — rank'(v) = (1-d)/N + d*(Σ in + dangling/N)
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val n = nodes.size.toDouble
+        val outdeg = es.groupBy(_._1).map { case (s, g) => s -> g.size.toDouble }
+        var rank = nodes.map(_ -> 1.0 / n).toMap
+        for (_ <- 1 to 4) {
+          val dangling = nodes.filterNot(outdeg.contains).map(rank).sum
+          val contrib = es.groupBy(_._2).map { case (t, in) =>
+            t -> in.map(e => rank(e._1) / outdeg(e._1)).sum
+          }
+          rank = nodes.map(v => v ->
+            ((1 - 0.85) / n + 0.85 * dangling / n
+              + 0.85 * contrib.getOrElse(v, 0.0))).toMap
+        }
+        val close = nodes.forall(v => math.abs(got(v) - rank(v)) < 1e-12)
+        // standard semantics: total rank mass is conserved
+        val sumsToOne = math.abs(got.values.sum - 1.0) < 1e-9
+        got.keySet == rank.keySet && close && sumsToOne
+      }
+    })
+  }
+
+  test("pageRank convergence stop halts early and agrees with the fixed point") {
+    // A directed ring is stationary from the start (every node has outdeg
+    // 1 and one incoming edge): iteration 1 computes Δ = 0, so tol > 0
+    // must stop after exactly one round, well under the iters bound.
+    val ring = (0L until 8L).map(i => (i, (i + 1) % 8)).toDF("s", "t")
+    val got = Graph.pageRank(ring, "s", "t", iters = 50, tol = 1e-12)
+      .as[(Long, Double)].collect().toMap
+    assert(Graph.lastPageRankIters == 1,
+      s"ring should converge in 1 round, took ${Graph.lastPageRankIters}")
+    assert(got.values.forall(r => math.abs(r - 1.0 / 8) < 1e-15))
+    // On an asymmetric graph the tol-stopped result must sit at the fixed
+    // point: within ~tol·d/(1−d) of a driver-side reference iterated to
+    // full convergence. damping 0.5 keeps the Spark-side round count ~20
+    // (deltas shrink ~d^k; 0.85 would need ~85 checkpointed rounds — same
+    // mechanism, 4× the CI cost).
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L), (3L, 0L))
+    val stopped = Graph.pageRank(es.toDF("s", "t"), "s", "t",
+        iters = 100, damping = 0.5, tol = 1e-6)
+      .as[(Long, Double)].collect().toMap
+    val itersUsed = Graph.lastPageRankIters
+    assert(itersUsed < 60, s"tol stop never fired (ran $itersUsed rounds)")
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val outdeg = es.groupBy(_._1).map { case (s, g) => s -> g.size.toDouble }
+    var ref = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 200) {
+      val contrib = es.groupBy(_._2).map { case (t, in) =>
+        t -> in.map(e => ref(e._1) / outdeg(e._1)).sum
+      }
+      ref = nodes.map(v => v -> ((1 - 0.5) / n + 0.5 * contrib.getOrElse(v, 0.0))).toMap
+    }
+    assert(stopped.keySet == ref.keySet &&
+      nodes.forall(v => math.abs(stopped(v) - ref(v)) < 1e-5))
+  }
+
   test("GramHash60.hashStream equals the code-point sliding reference on multi-byte UTF-8") {
     // The single-pass byte-walk must agree with the definitional spelling
     // (hash of each k-code-point window's UTF-8 bytes) on every byte width:
