@@ -110,4 +110,86 @@ object SqlOps {
        |UNION ALL SELECT * FROM _expired
        |UNION ALL SELECT * FROM _inserts""".stripMargin
   }
+
+  // ---- B-block spellings (require SqlFunctions.register for graft_*) ----
+
+  /** SQL twin of [[graft.text.Decontaminate.hits]]: per-document count of
+    * distinct word `n`-grams shared with the eval side (`evalPredSql` true
+    * = benchmark row). Same shape as the Column plan: one tokenize+explode
+    * pass, the eval-gram set distinct'd and BROADCAST (benchmarks are
+    * MBs by nature), the only shuffle the per-doc distinct-agg. Needs
+    * `graft_tokens`/`graft_word_ngrams` ([[SqlFunctions.register]]).
+    */
+  def decontaminateSql(table: String, idCol: String, textCol: String,
+      evalPredSql: String, n: Int): String = {
+    val (id, txt) = (bt(idCol), bt(textCol))
+    s"""WITH _a AS (
+       |  SELECT $id, ($evalPredSql) AS _is_eval,
+       |    graft_word_ngrams(graft_tokens($txt), $n) AS _grams
+       |  FROM $table),
+       |-- UDF in a projection, exploded as a plain column: Spark rejects a
+       |-- SQL UDF directly inside a Generate (UNSUPPORTED_SQL_UDF_USAGE)
+       |_g AS (SELECT $id, _is_eval, explode(_grams) AS gram FROM _a),
+       |_ev AS (SELECT DISTINCT gram FROM _g WHERE _is_eval)
+       |SELECT /*+ BROADCAST(_ev) */ $id, count(DISTINCT gram) AS n_hits
+       |FROM _g JOIN _ev USING (gram)
+       |WHERE NOT _is_eval
+       |GROUP BY $id""".stripMargin
+  }
+
+  /** SQL twin of q70's Gopher-style repetition signals — duplicate-word
+    * fraction and most-repeated-bigram coverage, verdicts spelled as
+    * INTEGER cross-multiplications (bit-identical across engines, no float
+    * threshold), all doc-local (pure map, zero shuffle). Thresholds are
+    * q70's calibrated 13/20 (~p80) and 2/25 (~p95).
+    */
+  def repetitionSql(table: String, idCol: String, textCol: String): String = {
+    val (id, txt) = (bt(idCol), bt(textCol))
+    s"""WITH _t AS (SELECT $id, graft_tokens($txt) AS toks FROM $table),
+       |_m AS (SELECT $id,
+       |    cast(size(toks) AS BIGINT) AS n_tokens,
+       |    cast(size(array_distinct(toks)) AS BIGINT) AS n_types,
+       |    graft_max_run_count(graft_word_bigrams(toks)) AS top_bigram_cnt
+       |  FROM _t)
+       |SELECT $id, n_tokens, n_types, top_bigram_cnt,
+       |  CASE WHEN (n_tokens - n_types) * 20 > n_tokens * 13
+       |         OR top_bigram_cnt * 25 > n_tokens * 2
+       |  THEN 1L ELSE 0L END AS repetitive
+       |FROM _m""".stripMargin
+  }
+
+  /** SQL SEMANTIC spelling of [[graft.ops.ShardPack.assign]]: shard =
+    * global running weight total before this row, integer-`div`d by the
+    * budget. The single global window here is the DEFINITION (one
+    * partition — fine for notebook exploration at moderate scale); a
+    * 100 TB run must go through ShardPack's two-phase distributed prefix
+    * sum instead, which produces identical rows (spec-pinned).
+    */
+  def shardPackSql(table: String, idCol: String, weightCol: String,
+      budget: Long): String = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val (id, wc) = (bt(idCol), bt(weightCol))
+    s"""SELECT $id, $wc,
+       |  coalesce(sum($wc) OVER (ORDER BY $id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)
+       |    div ${budget}L AS shard_id
+       |FROM $table""".stripMargin
+  }
+
+  /** SQL twin of q81's mixture balancing: every stratum downsampled to the
+    * rarest one's size, deterministically. Stratum counts and thresholds
+    * derive IN-PLAN (two tiny aggregations + a scalar subquery) instead of
+    * q81's driver round-trip — same integer arithmetic
+    * (`floor(n_min·10^6 / n_s)` via `div`), same shuffle-free hash-compare
+    * keep decision, so rows are identical (spec-pinned). Output: all of
+    * `table`'s columns for surviving rows. Needs `graft_hash60`.
+    */
+  def mixtureSampleSql(table: String, idCol: String, stratumCol: String): String = {
+    val (id, st) = (bt(idCol), bt(stratumCol))
+    s"""WITH _c AS (SELECT $st AS _s, count(*) AS _n FROM $table GROUP BY $st),
+       |_m AS (SELECT min(_n) AS _n_min FROM _c),
+       |_t AS (SELECT _s, (SELECT _n_min FROM _m) * 1000000L div _n AS _thr FROM _c)
+       |SELECT t.* FROM $table t JOIN _t ON t.$st = _t._s
+       |WHERE pmod(graft_hash60(cast(t.$id AS STRING)), 1000000L) < _t._thr""".stripMargin
+  }
 }

@@ -201,4 +201,51 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(shape(viaSql) == shape(viaCol),
       s"scd2 merge: plan shapes diverge\nSQL: ${shape(viaSql)}\nCol: ${shape(viaCol)}")
   }
+
+  test("SqlOps.decontaminateSql == Decontaminate.hits (rows)") {
+    registered
+    val viaSql = spark.sql(SqlOps.decontaminateSql(
+      "documents", "doc_id", "text", "source = 'src0'", 8))
+    val viaCol = graft.text.Decontaminate.hits(
+      Tables.documents(spark, sfDir), "doc_id", "text",
+      col("source") === "src0", 8)
+    assertSame(viaSql, viaCol, "decontaminate", samePlan = false)
+    // same heavy shape: two aggregates (distinct grams, per-doc agg) + the
+    // broadcast collision join
+    val heavy = Set("Join", "Aggregate")
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case n if heavy(n.nodeName) => n.nodeName
+      }.sorted
+    assert(shape(viaSql) == shape(viaCol),
+      s"decontaminate plan shapes diverge\nSQL: ${shape(viaSql)}\nCol: ${shape(viaCol)}")
+  }
+
+  test("SqlOps.repetitionSql == q70's repetition columns (rows)") {
+    registered
+    val viaSql = spark.sql(SqlOps.repetitionSql("documents", "doc_id", "text"))
+    val viaCol = SparkEntry.queries("q70_repetition")(spark, sfDir)
+    assertSame(viaSql, viaCol, "repetition", samePlan = false)
+  }
+
+  test("SqlOps.shardPackSql == ShardPack.assign (rows; SQL is the definitional window)") {
+    registered
+    spark.sql("SELECT doc_id, graft_token_count(text) AS n_tokens FROM documents")
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+      .createOrReplaceTempView("shard_in")
+    val viaSql = spark.sql(SqlOps.shardPackSql("shard_in", "doc_id", "n_tokens", 512L))
+    val viaCol = graft.ops.ShardPack.assign(
+        spark.table("shard_in"), "doc_id", "n_tokens",
+        budget = 512, bucketSize = 64)
+      .select("doc_id", "n_tokens", "shard_id")
+    assertSame(viaSql, viaCol, "shard pack", samePlan = false)
+  }
+
+  test("SqlOps.mixtureSampleSql == q81's mixture balancing (rows)") {
+    registered
+    val viaSql = spark.sql(SqlOps.mixtureSampleSql("documents", "doc_id", "lang"))
+      .select("doc_id", "lang")
+    val viaCol = SparkEntry.queries("q81_mixture_sample")(spark, sfDir)
+    assertSame(viaSql, viaCol, "mixture sample", samePlan = false)
+  }
 }
