@@ -408,6 +408,76 @@ object Streams {
   def readDecontaminated(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/clean").drop("batch_id")
 
+  /** s13: streaming dataset-mixture balancing — the streaming face of
+    * q81's equalized-strata sampler, closing the sampling family
+    * (q42/q58/q81) with a streaming member. Per-stratum counts are
+    * maintained INCREMENTALLY as per-batch partials (the goldAggSink
+    * partial-fold discipline: `counts/` holds (batch_id, stratum, n) —
+    * strata-count rows per batch, metadata-rate), and each batch re-derives
+    * the keep thresholds from the CUMULATIVE totals with q81's exact
+    * integer arithmetic (floor(n_min·10^6 / n_s)) before hash-gating its
+    * own rows — shuffle-free per row, one tiny agg per batch.
+    *
+    * Semantics: thresholds evolve as the stream's mixture drifts — a batch
+    * is gated by the mixture observed UP TO AND INCLUDING itself, so
+    * earlier batches are not retro-resampled (append-only logs; a
+    * training-data writer wants exactly this monotonicity). On a
+    * single-batch stream the thresholds equal the batch operator's and the
+    * kept set is IDENTICAL to q81's (parity-pinned in StreamingSpec).
+    *
+    * Replay-idempotent like [[decontaminateSink]]: the prior-counts read
+    * excludes the current batch_id and both logs dynamically overwrite
+    * their own batch_id partition, so a micro-batch retry reproduces its
+    * rows. Both logs are batch_id-partitioned and compactable with
+    * [[compactBatchLog]] (`kept/`) / [[compactGoldAgg]]-style refold
+    * (`counts/` partials are sum-mergeable).
+    */
+  def mixtureSink(spark: SparkSession, stateDir: String,
+      idCol: String = "doc_id", stratumCol: String = "lang")(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return // empty-batch discipline: write nothing
+    val batchCounts = batch.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n")).cache()
+    val prior = graft.sources.Sources.parquetIfExists(spark, s"$stateDir/counts")
+      .map { st =>
+        require(st.columns.contains("batch_id"),
+          s"mixture counts at $stateDir/counts lack the batch_id partition column")
+        st.filter(col("batch_id") =!= batchId)
+      }
+      .filter(!_.isEmpty)
+    val totals = prior match {
+      case None => batchCounts
+      case Some(p) =>
+        batchCounts.unionByName(p.select(col(stratumCol), col("n")))
+          .groupBy(col(stratumCol)).agg(sum(col("n")).as("n"))
+    }
+    // Stratum counts are bounded driver metadata (q81's discipline — one
+    // row per stratum, never per doc).
+    val counts = totals.collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val nMin = counts.values.min
+    val threshCol = counts.foldLeft(lit(0L)) { case (acc, (s, n)) =>
+      when(col(stratumCol).cast("string") === s, lit(nMin * 1000000L / n))
+        .otherwise(acc)
+    }
+    val kept = batch
+      .filter(pmod(graft.ops.Cdm.hash60(col(idCol).cast("string")),
+        lit(1000000L)) < threshCol)
+      .select(col(idCol), col(stratumCol))
+    if (!kept.isEmpty)
+      graft.sources.Sinks.dynamicOverwrite(
+        kept.withColumn("batch_id", lit(batchId)),
+        s"$stateDir/kept", Seq("batch_id"))
+    graft.sources.Sinks.dynamicOverwrite(
+      batchCounts.withColumn("batch_id", lit(batchId)),
+      s"$stateDir/counts", Seq("batch_id"))
+    batchCounts.unpersist()
+  }
+
+  /** Kept rows accumulated by [[mixtureSink]]. */
+  def readMixtureKept(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/kept").drop("batch_id")
+
   /** foreachBatch streaming IVF index maintenance — the streaming face of
     * the [[graft.sim.Ann]] trained quantizer: each micro-batch of
     * (id, vec) is assigned to its nearest cell against the centroids

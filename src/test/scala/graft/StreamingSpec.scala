@@ -592,6 +592,45 @@ class StreamingSpec extends SparkSpec {
     evalGrams.unpersist()
   }
 
+  test("mixtureSink: single-batch parity with q81, idempotent replay, incremental refold") {
+    val dir = Files.createTempDirectory("mixture_stream").toFile.getAbsolutePath
+    val sink = Streams.mixtureSink(spark, s"$dir/state") _
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
+    sink(docs, 0L)
+    sink(docs, 0L) // replay after a simulated post-write failure
+    def kept = Streams.readMixtureKept(spark, s"$dir/state")
+      .select("doc_id").as[Long].collect().toSet
+    // Single-batch stream == the batch operator (thresholds derive from
+    // the same cumulative counts; identical integer+hash arithmetic).
+    val batchKept = SparkEntry.queries("q81_mixture_sample")(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == batchKept, s"stream ${kept.size} != batch ${batchKept.size}")
+    // replay must not double-fold the counts partials
+    val totals = spark.read.parquet(s"$dir/state/counts")
+      .groupBy("lang").agg(sum("n").as("n"))
+      .as[(String, Long)].collect().toMap
+    val direct = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(totals == direct, s"counts log double-folded: $totals vs $direct")
+    // Incremental: a second batch skewing one stratum tightens ITS
+    // threshold (cumulative counts), earlier batches stay as written.
+    val skew = (0 until 40).map(i => (10000L + i, "en", s"filler text $i"))
+      .toDF("doc_id", "lang", "text")
+    sink(skew, 1L)
+    val cum = direct.map { case (l, n) => l -> (n + (if (l == "en") 40L else 0L)) }
+    val nMin = cum.values.min
+    val expectB1 = skew
+      .filter(pmod(graft.ops.Cdm.hash60(col("doc_id").cast("string")), lit(1000000L))
+        < lit(nMin * 1000000L / cum("en")))
+      .select("doc_id").as[Long].collect().toSet
+    val b1Kept = spark.read.parquet(s"$dir/state/kept")
+      .filter(col("batch_id") === 1L).select("doc_id").as[Long].collect().toSet
+    assert(b1Kept == expectB1, s"batch-1 gate wrong: $b1Kept vs $expectB1")
+    assert(kept == batchKept ++ b1Kept, "earlier batches were retro-resampled")
+    // kept log compacts like every other batch log
+    assert(Streams.compactBatchLog(spark, s"$dir/state/kept", keepLast = 1))
+    assert(kept == batchKept ++ b1Kept, "compaction must not change the kept set")
+  }
+
   test("scd2Sink aborts on a corrupt dimension instead of overwriting it") {
     val dir = Files.createTempDirectory("scd2_corrupt").toFile.getAbsolutePath
     val dim = s"$dir/dim"
