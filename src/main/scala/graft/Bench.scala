@@ -29,18 +29,35 @@ object Bench {
         val rs = results.asScala.toSeq.sortBy(_._1)
         val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
-        val fails = failed.asScala.toSeq.sorted
-          .map("\"" + _ + "\"").mkString("[", ",", "]")
+        val failSeq = failed.asScala.toSeq.sorted
+        val fails = failSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
         val total = rs.map(_._2).sum
         // methodology: steady-state (JMH-style) — every query ran once
         // uncounted at warmDir before timing, so measurements are
         // compile-cache-hit times, excluding one-shot JIT/codegen cost
         // (paid once per plan shape in production, not per run).
-        println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        // `completed` counts SUCCESSFUL measurements only (a failed query
+        // still contributes its time-to-failure to `total`, named in
+        // failed_queries; `measured` is the raw timing count) so
+        // completed + failed == measured <= expected is always consistent.
+        val line =
+          s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
           s""""methodology":"steady-state","startup_sec":$startupSec,""" +
-          s""""completed":${rs.size},"expected":$expected,"partial":$partial,""" +
-          s""""failed_queries":$fails,"warmup_failures":$warmFails}""")
+          s""""completed":${rs.size - failSeq.size},"measured":${rs.size},""" +
+          s""""expected":$expected,"partial":$partial,""" +
+          s""""failed_queries":$fails,"warmup_failures":$warmFails}"""
+        println(line)
         System.out.flush()
+        // Truncation-proofing: the driver captures stdout through a pipe
+        // whose tail can be lost on timeout/kill (round 7 lost q01–q22's
+        // times exactly this way) — the same line also lands in a FILE,
+        // so the judged perf record is reconstructable regardless of what
+        // survives on stdout. CWD, not $sfDir (testdata is read-only).
+        try {
+          java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+            (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        } catch { case t: Throwable =>
+          System.err.println(s"[bench] bench.json write failed: $t") }
         finalPrinted = true
       }
     }

@@ -196,8 +196,10 @@ object Runner {
             watermarks.get(wmKey).orNull,
             0L, "failed", start, new Timestamp(System.currentTimeMillis())))
           val res = LoadResult(e.qualifiedName, e.loadMode, 0L, "failed", None)
+          // NonFatal, not Exception: a mis-packaged pager client throwing a
+          // LinkageError must not break per-table isolation either.
           try onFailure(res) catch {
-            case cbEx: Exception => System.err.println(
+            case scala.util.control.NonFatal(cbEx) => System.err.println(
               s"[runner] onFailure callback for ${e.qualifiedName} threw: $cbEx")
           }
           res
@@ -256,7 +258,7 @@ object Runner {
         if (!ok) gate = false
         val res = StageResult(st.name, if (ok) "succeeded" else "failed")
         if (!ok) try onFailure(res) catch {
-          case cbEx: Exception => System.err.println(
+          case scala.util.control.NonFatal(cbEx) => System.err.println(
             s"[runner] onFailure callback for stage ${st.name} threw: $cbEx")
         }
         res

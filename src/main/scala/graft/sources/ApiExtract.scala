@@ -96,6 +96,17 @@ object ApiExtract {
         case e: java.util.concurrent.ExecutionException => last = e.getCause
         case e: java.util.concurrent.TimeoutException =>
           task.cancel(true)
+          // cancel(true) only INTERRUPTS; a fetch client that ignores
+          // interrupts keeps running on the daemon thread, so two requests
+          // against a non-idempotent endpoint could be in flight at once.
+          // Join with a short grace period (bounded — a truly wedged client
+          // must not wedge the retry loop) before launching the next
+          // attempt; clients should still be interrupt-responsive or
+          // idempotent, which this narrows but cannot fully guarantee.
+          t.join(math.min(attemptTimeoutMs, 2000L))
+          if (t.isAlive) System.err.println(
+            s"[api] fetch attempt ${attempt + 1} still running after " +
+              "interrupt+grace; endpoint should be idempotent")
           last = new java.util.concurrent.TimeoutException(
             s"fetch attempt ${attempt + 1} exceeded ${attemptTimeoutMs}ms")
       }

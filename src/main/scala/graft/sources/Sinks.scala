@@ -83,6 +83,19 @@ object Sinks {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Fail fast on a PARTITIONED table root: dataFiles() would count 0
+    // top-level part files and the unpartitioned rewrite would materialize
+    // the inferred partition columns as data columns — silently flattening
+    // the on-disk layout for every downstream reader. The documented
+    // contract (point compact at ONE partition directory) becomes a loud
+    // error instead of a quiet corruption.
+    val partDirs = fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.getName)
+    require(partDirs.isEmpty,
+      s"compact() must target an unpartitioned table or ONE partition " +
+        s"directory; $path has partition-style subdirectories: " +
+        partDirs.take(3).mkString(", "))
     def dataFiles(): Int = fs.listStatus(p)
       .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
     val before = dataFiles()

@@ -76,6 +76,24 @@ class SourcesSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"swap leftovers: ${leftovers.mkString(", ")}")
   }
 
+  test("compact fails fast on a partitioned table root, leaving it untouched") {
+    // Pointed at a partitioned ROOT, the unpartitioned rewrite would
+    // materialize partition columns as data columns and flatten the
+    // layout — the guard must make that a loud error, not a corruption.
+    val dir = tmp("compactpart")
+    val path = s"$dir/t"
+    Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("dt", "v")
+      .write.partitionBy("dt").parquet(path)
+    val e = intercept[IllegalArgumentException](Sinks.compact(spark, path))
+    assert(e.getMessage.contains("partition-style"))
+    // layout intact: partition dirs still present, data still readable
+    assert(new java.io.File(path).list().exists(_.startsWith("dt=")))
+    assert(spark.read.parquet(path).count() == 2)
+    // ...while ONE partition directory remains a valid compaction target
+    val (_, after) = Sinks.compact(spark, s"$path/dt=2024-01-01")
+    assert(after == 1)
+  }
+
   test("dynamicOverwrite replaces only the partitions present in the batch") {
     val dir = tmp("dynpart")
     val day1 = Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("dt", "v")
