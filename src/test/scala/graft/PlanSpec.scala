@@ -126,6 +126,42 @@ class PlanSpec extends SparkSpec {
     assert(!q.executedPlan.toString.contains("CartesianProduct"))
   }
 
+  test("q82 line dedup: hash-partitioned window, no quadratic join, one corpus explode") {
+    val q = SparkEntry.queries("q82_line_dedup")(spark, sfDir).queryExecution
+    val p = q.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"line dedup must stay a window over line hashes:\n$p")
+    // The dedup window partitions by line hash — never a global
+    // (partition-less) window over the corpus.
+    val badWindow = p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("partitionBy=[]"))
+    assert(!badWindow, s"line-dedup window lost its partitioning:\n$p")
+    // split+posexplode runs ONCE (markLines feeds the rollup directly —
+    // a second Generate would mean the rollup re-derived the lines).
+    val gens = q.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }.size
+    assert(gens == 1, s"expected 1 corpus explode, found $gens")
+  }
+
+  test("q76 co-purchase: capped map-side expansion, top-N without a global sort") {
+    val p = plan("q76_copurchase")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairing must be the map-side basket explode, never a self-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must run as per-partition top-N, not a global sort:\n$p")
+  }
+
+  test("q77 gap fill: per-key calendar (no global cross join), guard not pruned") {
+    val q = SparkEntry.queries("q77_gap_fill")(spark, sfDir).queryExecution
+    val p = q.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"calendar must be per-key sequence explode, never a global calendar join:\n$p")
+    // The span guard must survive optimization: raise_error rides the
+    // calendar-building when(), so column pruning cannot drop it.
+    assert(q.optimizedPlan.toString.contains("raise_error"),
+      "gap-fill span guard was optimized away")
+  }
+
   test("q73 IVF-PQ: pair expansion only against broadcast state, codes never cross-joined") {
     val p = plan("q73_ann_ivfpq")
     assert(!p.contains("CartesianProduct"),
