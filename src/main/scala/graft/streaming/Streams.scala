@@ -478,6 +478,69 @@ object Streams {
   def readMixtureKept(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/kept").drop("batch_id")
 
+  /** s14: streaming line-level exact dedup — the streaming face of q82
+    * ([[graft.text.LineDedup]]): corpus-wide FIRST-SEEN-WINS at line
+    * grain, incrementally. Each batch marks its lines batch-locally
+    * (LineDedup.markLines), demotes any line whose hash is already in the
+    * accumulated seen-hash log, rolls up per doc (n_lines / n_kept /
+    * kept_frac / reassembled surviving_fp → `docs/`), and appends the
+    * hashes IT introduced to `seen/`.
+    *
+    * Per-batch cost: one split+explode over the batch + one
+    * hash-partitioned equi-join against the seen log (line-hash-sized, as
+    * s06's signature index is — an inverted log, never a corpus rescan).
+    *
+    * Ordered-arrival parity: a single batch equals the batch operator
+    * exactly; across batches, first-seen-wins matches q82's
+    * (doc_id, line_idx) order whenever arrival order agrees with id
+    * order (the s10 parity discipline — a streaming dedup cannot un-keep).
+    *
+    * Replay-idempotent: the seen read excludes the current batch_id and
+    * both logs dynamic-overwrite their own partition, so a retry
+    * reproduces — not duplicates — its rows. Logs are batch_id-partitioned
+    * and compactable with [[compactBatchLog]].
+    */
+  def lineDedupSink(spark: SparkSession, stateDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      delimRegex: String = "\n")(batch: DataFrame, batchId: Long): Unit = {
+    import graft.text.LineDedup
+    if (batch.isEmpty) return // empty-batch discipline: write nothing
+    val m = LineDedup.markLines(batch, idCol, textCol, delimRegex)
+      .withColumn("_lh", md5(col("line")))
+    val prior = graft.sources.Sources.parquetIfExists(spark, s"$stateDir/seen")
+      .map { st =>
+        require(st.columns.contains("batch_id"),
+          s"line-dedup seen log at $stateDir/seen lacks the batch_id partition column")
+        st.filter(col("batch_id") =!= batchId)
+      }
+      .filter(!_.isEmpty)
+    // LEFT-join marker, not an anti-join: the rollup needs EVERY line of
+    // the doc with its final verdict, not just the survivors.
+    val adjusted = (prior match {
+      case None => m.withColumn("_seen", lit(false))
+      case Some(p) =>
+        m.join(p.select(col("line_hash").as("_lh")).distinct()
+            .withColumn("_hit", lit(true)), Seq("_lh"), "left")
+          .withColumn("_seen", coalesce(col("_hit"), lit(false)))
+    }).withColumn("kept", col("kept") && !col("_seen")).cache()
+    val docs = LineDedup.rollup(
+      adjusted.select(col(idCol), col("line_idx"), col("line"), col("kept")),
+      idCol)
+    graft.sources.Sinks.dynamicOverwrite(
+      docs.withColumn("batch_id", lit(batchId)), s"$stateDir/docs", Seq("batch_id"))
+    val newSeen = adjusted.filter(col("kept"))
+      .select(col("_lh").as("line_hash")).distinct()
+    if (!newSeen.isEmpty)
+      graft.sources.Sinks.dynamicOverwrite(
+        newSeen.withColumn("batch_id", lit(batchId)),
+        s"$stateDir/seen", Seq("batch_id"))
+    adjusted.unpersist()
+  }
+
+  /** Per-doc line-dedup rollups accumulated by [[lineDedupSink]]. */
+  def readLineDedup(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/docs").drop("batch_id")
+
   /** foreachBatch streaming IVF index maintenance — the streaming face of
     * the [[graft.sim.Ann]] trained quantizer: each micro-batch of
     * (id, vec) is assigned to its nearest cell against the centroids

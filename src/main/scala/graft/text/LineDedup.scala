@@ -46,20 +46,21 @@ object LineDedup {
       .drop("_lh")
   }
 
-  /** Per-document rollup of [[markLines]]: total lines, surviving lines,
-    * survival fraction, and the md5 of the surviving text (kept lines
-    * joined by `\n` in original order — the reassembled document). Docs
-    * whose every line was seen earlier report n_kept = 0 with a null
-    * surviving fingerprint (nothing survives).
+  /** Per-document rollup over a marked line frame (`idCol`, line_idx,
+    * line, kept): total lines, surviving lines, survival fraction, and the
+    * md5 of the surviving text (kept lines joined by `\n` in original
+    * order — the reassembled document). Docs whose every line was seen
+    * earlier report n_kept = 0 with a null surviving fingerprint.
+    * Exposed separately from [[dedupRollup]] so the streaming face can
+    * adjust the kept flag against accumulated state before rolling up.
     */
-  def dedupRollup(docs: DataFrame, idCol: String, textCol: String,
-      delimRegex: String = "\n"): DataFrame = {
+  def rollup(marked: DataFrame, idCol: String): DataFrame = {
     // Ordered reassembly: collect_list has no ordering guarantee, so kept
     // lines ride a (line_idx, line) struct sorted after collection — the
     // sort is per-doc over that doc's kept lines only.
     val keptLines = array_sort(collect_list(
       when(col("kept"), struct(col("line_idx"), col("line")))))
-    markLines(docs, idCol, textCol, delimRegex)
+    marked
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
@@ -70,4 +71,9 @@ object LineDedup {
           md5(concat_ws("\n", transform(col("_kl"), _.getField("line")))))
           .as("surviving_fp"))
   }
+
+  /** [[markLines]] + [[rollup]] in one call — the batch operator (q82). */
+  def dedupRollup(docs: DataFrame, idCol: String, textCol: String,
+      delimRegex: String = "\n"): DataFrame =
+    rollup(markLines(docs, idCol, textCol, delimRegex), idCol)
 }

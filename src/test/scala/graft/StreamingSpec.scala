@@ -631,6 +631,38 @@ class StreamingSpec extends SparkSpec {
     assert(kept == batchKept ++ b1Kept, "compaction must not change the kept set")
   }
 
+  test("lineDedupSink: batch parity, cross-batch first-seen-wins, replay, compaction") {
+    val dir = Files.createTempDirectory("linededup_stream").toFile.getAbsolutePath
+    val sink = Streams.lineDedupSink(spark, s"$dir/state") _
+    val b0 = Seq((1L, "alpha\nbeta\ngamma"), (2L, "beta\ndelta"))
+      .toDF("doc_id", "text")
+    sink(b0, 0L)
+    sink(b0, 0L) // replay after a simulated post-write failure
+    def out = Streams.readLineDedup(spark, s"$dir/state")
+      .as[(Long, Long, Long, Double, Option[String])].collect()
+      .sortBy(_._1).toSeq
+    // single processed batch == the batch operator exactly
+    val batchOut = graft.text.LineDedup.dedupRollup(b0, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Option[String])].collect()
+      .sortBy(_._1).toSeq
+    assert(out == batchOut, s"single-batch parity broken:\n$out\nvs\n$batchOut")
+    // a later batch loses lines already seen, keeps its novel ones
+    sink(Seq((3L, "beta\nepsilon")).toDF("doc_id", "text"), 1L)
+    def fp(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val d3 = out.find(_._1 == 3L).get
+    assert(d3 == ((3L, 2L, 1L, 0.5, Some(fp("epsilon")))), s"cross-batch verdict wrong: $d3")
+    assert(out.filter(_._1 <= 2L) == batchOut, "earlier rollups were rewritten")
+    // the seen log compacts; dedup still holds afterwards
+    assert(Streams.compactBatchLog(spark, s"$dir/state/seen", keepLast = 1))
+    sink(Seq((4L, "epsilon")).toDF("doc_id", "text"), 2L)
+    val d4 = out.find(_._1 == 4L).get
+    assert(d4 == ((4L, 1L, 0L, 0.0, None)),
+      s"compacted seen state lost a hash — duplicate survived: $d4")
+  }
+
   test("scd2Sink aborts on a corrupt dimension instead of overwriting it") {
     val dir = Files.createTempDirectory("scd2_corrupt").toFile.getAbsolutePath
     val dim = s"$dir/dim"
