@@ -384,6 +384,39 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q83: cross-source n-gram overlap matrix ----
+    // Corpus-composition analytics at SOURCE granularity: for every source
+    // pair, the count of distinct 8-token grams they share, normalized by
+    // the smaller side's gram vocabulary (containment-style overlap) — the
+    // "which feeds duplicate which" diagnostic run before mixing sources
+    // (q81) or deduping across them (q59). Scale shape: one tokenize pass
+    // → distinct (gram, source) rows (vocab×source-scale, never corpus
+    // rows) → per-gram source-set pairing via ops/Baskets (basket = gram,
+    // items = the ≤|sources| sources containing it — candidate volume is
+    // Σ_gram C(df_src,2) ≤ grams·C(S,2), bounded by the source-catalog
+    // size, never doc-pairs) → pair-count agg; per-source vocab counts
+    // broadcast. Source ids compare identically in Spark and DuckDB
+    // (binary string order on both sides).
+    "q83_source_overlap" -> { (s, d) =>
+      val g = Tables.documents(s, d)
+        .select(col("source"),
+          explode(TF.wordNgrams(TF.tokens(col("text")), 8)).as("gram"))
+        .distinct()
+      val cnt = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      graft.ops.Baskets.pairs(g, "gram", "source", maxBasket = 32)
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(cnt.select(col("source").as("item_a"), col("n").as("_na"))),
+          Seq("item_a"))
+        .join(broadcast(cnt.select(col("source").as("item_b"), col("n").as("_nb"))),
+          Seq("item_b"))
+        .select(col("item_a").as("source_a"), col("item_b").as("source_b"),
+          col("n_shared"),
+          round(col("n_shared") * lit(1.0) / least(col("_na"), col("_nb")), 4)
+            .as("overlap"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
     // ---- q74: corpus-trained bigram LM score (perplexity-filter shape) ----
     // The CCNet-style quality signal without an external model: train the
     // bigram MLE on the corpus ITSELF (c(w1 w2) / c(w1 ·) over occurrence
@@ -779,6 +812,23 @@ object TextQueries {
              THEN md5(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
                ORDER BY line_idx)) END AS surviving_fp
          FROM k GROUP BY 1 ORDER BY 1""",
+
+    "q83_source_overlap" ->
+      s"""WITH tk AS (SELECT source, $TOKS AS toks FROM documents),
+         g AS (SELECT DISTINCT source, gram FROM (
+           SELECT source, unnest(CASE WHEN len(toks) >= 8
+             THEN [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks) - 6)]
+             ELSE [] END) AS gram FROM tk)),
+         cnt AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+         pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+             count(*)::BIGINT AS n_shared
+           FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT p.source_a, p.source_b, p.n_shared,
+           round(p.n_shared * 1.0 / least(ca.n, cb.n), 4) AS overlap
+         FROM pairs p JOIN cnt ca ON p.source_a = ca.source
+         JOIN cnt cb ON p.source_b = cb.source
+         ORDER BY 1, 2""",
 
     "q74_bigram_logprob" ->
       s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),

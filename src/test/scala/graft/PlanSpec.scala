@@ -162,6 +162,14 @@ class PlanSpec extends SparkSpec {
       "gap-fill span guard was optimized away")
   }
 
+  test("q83 source overlap: map-side per-gram pairing, broadcast counts, no doc-pair join") {
+    val p = plan("q83_source_overlap")
+    assert(!p.contains("CartesianProduct"),
+      s"source pairing must ride the per-gram basket explode:\n$p")
+    // the per-source vocab counts join back as broadcasts (S rows)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q73 IVF-PQ: pair expansion only against broadcast state, codes never cross-joined") {
     val p = plan("q73_ann_ivfpq")
     assert(!p.contains("CartesianProduct"),
