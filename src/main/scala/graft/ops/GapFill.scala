@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 /** Time-series gap fill: calendar densify + zero-fill + LOCF — the
   * resample shape a bucket aggregation can't produce, because buckets with
   * NO rows must EXIST downstream (reference analog: the gold-layer daily
-  * summary of 5_gold/gold_summary.py read as a dense series).
+  * fact aggregations — reference: 5_gold/fact_transaction.py — read as a
+  * dense series: a reporting day with no transactions must still appear).
   *
   * Per-key calendar = `sequence(min_day, max_day)` exploded, so row count
   * is keys × their own span — never a global calendar cross join. LOCF is

@@ -82,4 +82,21 @@ class MetaSpec extends SparkSpec {
     val none = Audit.newWatermark(Tables.events(spark, sfDir).filter(lit(false)), "ts")
     assert(none.isEmpty)
   }
+
+  test("registry invariants: every query oracle-backed or on the rows-only waiver list") {
+    // The driver's correctness gate is only as strong as the registry is
+    // honest: a query silently missing its oracle would pass as a weaker
+    // rows-only check. Pin the waiver list explicitly — additions to
+    // `queries` without an oracle entry must touch THIS list (and justify
+    // themselves): q55/q73 embed driver-local k-means, which DuckDB SQL
+    // cannot reproduce (their strong gates are AnnSpec's recall/purity).
+    val rowsOnlyWaivers = Set("q55_kmeans_cells", "q73_ann_ivfpq")
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
+    assert(qs -- os == rowsOnlyWaivers,
+      s"queries missing an oracle beyond the waiver list: ${qs -- os -- rowsOnlyWaivers}")
+    // Every query name follows the stable q<NN>_ scheme the driver sorts on.
+    assert(qs.forall(_.matches("q\\d{2}_[a-z0-9_]+")), qs.filterNot(_.matches("q\\d{2}_[a-z0-9_]+")))
+  }
 }
