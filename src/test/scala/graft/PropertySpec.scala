@@ -334,6 +334,27 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("pageRank stays exact across the lazy-composition chunk boundary (12 rounds)") {
+    // The default path checkpoints every 8 rounds and composes the rest
+    // lazily — 12 fixed rounds cross one checkpoint plus a lazy tail, so
+    // this pins that chunking changes nothing but the job structure.
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L), (3L, 0L), (2L, 3L))
+    val got = Graph.pageRank(es.toDF("s", "t"), "s", "t", iters = 12)
+      .as[(Long, Double)].collect().toMap
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val outdeg = es.groupBy(_._1).map { case (s, g) => s -> g.size.toDouble }
+    var ref = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 12) {
+      val contrib = es.groupBy(_._2).map { case (t, in) =>
+        t -> in.map(e => ref(e._1) / outdeg(e._1)).sum
+      }
+      ref = nodes.map(v => v -> ((1 - 0.85) / n + 0.85 * contrib.getOrElse(v, 0.0))).toMap
+    }
+    assert(got.keySet == ref.keySet &&
+      nodes.forall(v => math.abs(got(v) - ref(v)) < 1e-12))
+  }
+
   test("pageRank with dangling redistribution matches the reference and sums to 1") {
     val edgesGen = for {
       n <- Gen.choose(2, 16)
