@@ -176,6 +176,38 @@ object SqlOps {
        |FROM $table""".stripMargin
   }
 
+  /** SQL twin of q82's line-level exact dedup
+    * ([[graft.text.LineDedup.dedupRollup]]): delimiter-split lines,
+    * corpus-wide first-occurrence-wins over line hashes (one row_number
+    * window with duplicate-count-sized partitions), per-doc rollup with
+    * the surviving text reassembled IN ORDER (array_sort over
+    * (line_idx, line) structs — collect_list alone has no order
+    * guarantee, exactly as in the Column spelling). `delimRegex` is
+    * embedded as a SQL string literal — callers own escaping (same trust
+    * model as the other generators).
+    */
+  def lineDedupSql(table: String, idCol: String, textCol: String,
+      delimRegex: String = "\\n"): String = {
+    val (id, txt) = (bt(idCol), bt(textCol))
+    s"""WITH _l0 AS (
+       |  SELECT $id, posexplode(split($txt, '$delimRegex')) AS (line_idx, _raw)
+       |  FROM $table),
+       |_l AS (SELECT $id, line_idx, trim(_raw) AS line
+       |  FROM _l0 WHERE length(trim(_raw)) > 0),
+       |_k AS (SELECT *, row_number() OVER (PARTITION BY md5(line)
+       |    ORDER BY $id, line_idx) = 1 AS kept FROM _l)
+       |SELECT $id, count(*) AS n_lines,
+       |  sum(CASE WHEN kept THEN 1L ELSE 0L END) AS n_kept,
+       |  round(sum(CASE WHEN kept THEN 1L ELSE 0L END) * 1.0 / count(*), 4)
+       |    AS kept_frac,
+       |  CASE WHEN sum(CASE WHEN kept THEN 1L ELSE 0L END) > 0
+       |    THEN md5(concat_ws('\\n', transform(
+       |      array_sort(collect_list(CASE WHEN kept
+       |        THEN struct(line_idx, line) END)),
+       |      x -> x.line))) END AS surviving_fp
+       |FROM _k GROUP BY $id""".stripMargin
+  }
+
   /** SQL twin of q81's mixture balancing: every stratum downsampled to the
     * rarest one's size, deterministically. Stratum counts and thresholds
     * derive IN-PLAN (two tiny aggregations + a scalar subquery) instead of

@@ -241,6 +241,14 @@ class SqlSurfaceSpec extends SparkSpec {
     assertSame(viaSql, viaCol, "shard pack", samePlan = false)
   }
 
+  test("SqlOps.lineDedupSql == LineDedup.dedupRollup (rows)") {
+    registered
+    val viaSql = spark.sql(SqlOps.lineDedupSql("documents", "doc_id", "text", " the "))
+    val viaCol = graft.text.LineDedup.dedupRollup(
+      Tables.documents(spark, sfDir), "doc_id", "text", " the ")
+    assertSame(viaSql, viaCol, "line dedup", samePlan = false)
+  }
+
   test("SqlOps.mixtureSampleSql == q81's mixture balancing (rows)") {
     registered
     val viaSql = spark.sql(SqlOps.mixtureSampleSql("documents", "doc_id", "lang"))
