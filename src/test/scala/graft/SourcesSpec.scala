@@ -94,6 +94,53 @@ class SourcesSpec extends SparkSpec {
     assert(after == 1)
   }
 
+  test("zorderWrite clusters both dimensions: thin slabs touch ~sqrt files, not all") {
+    val dir = tmp("zorder")
+    // 256×256 uniform grid, 16 files → each z-ordered file should cover a
+    // ~64×64 REGION; a thin slab in either dimension then crosses ~4
+    // region files, while a single-column sort is perfect on its own
+    // column and touches EVERY file for the other.
+    val data = spark.range(1L << 16).select(
+      (col("id") % 256).as("x"), (col("id") / 256).as("y"))
+    Sinks.zorderWrite(data, s"$dir/z", "x", "y", nFiles = 16, bits = 8)
+    data.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$dir/xsort")
+    def filesTouched(path: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).filter(pred)
+        .select(col("_metadata.file_name")).distinct().count()
+    val xSlab = col("x") >= 100 && col("x") < 105
+    val ySlab = col("y") >= 100 && col("y") < 105
+    assert(filesTouched(s"$dir/xsort", xSlab) <= 2) // perfect on its sort column
+    assert(filesTouched(s"$dir/xsort", ySlab) == 16) // blind on the other
+    val (zx, zy) = (filesTouched(s"$dir/z", xSlab), filesTouched(s"$dir/z", ySlab))
+    assert(zx <= 8 && zy <= 8, s"z-order locality too weak: x-slab=$zx y-slab=$zy of 16")
+    // layout move only — the data itself is intact
+    assert(spark.read.parquet(s"$dir/z").count() == (1L << 16))
+    assert(spark.read.parquet(s"$dir/z").agg(sum(col("x"))).head().getLong(0) ==
+      data.agg(sum(col("x"))).head().getLong(0))
+  }
+
+  test("zorderValue interleaves bits and rejects bad knobs") {
+    // Morton property on exact small values: z(1,0)=1 (a bit 0 → pos 0),
+    // z(0,1)=2 (b bit 0 → pos 1), z(3,3)=15, z(2,1)=... a=10₂→pos{2}=4?
+    // spell out: a bits at even positions, b bits at odd.
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (255L, 0L), (0L, 255L))
+      .toDF("a", "b")
+    val z = Sinks.zorderValue(col("a"), col("b"), 0, 255, 0, 255, bits = 8)
+    val m = df.select(col("a"), col("b"), z.as("z"))
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(m((0L, 0L)) == 0L)
+    assert(m((1L, 0L)) == 1L)   // a's bit 0 → position 0
+    assert(m((0L, 1L)) == 2L)   // b's bit 0 → position 1
+    assert(m((3L, 3L)) == 15L)  // both low bit-pairs set
+    assert(m((255L, 0L)) == 0x5555L) // a fills even positions
+    assert(m((0L, 255L)) == 0xAAAAL) // b fills odd positions
+    intercept[IllegalArgumentException](
+      Sinks.zorderValue(col("a"), col("b"), 0, 255, 0, 255, bits = 40))
+    intercept[IllegalArgumentException](
+      Sinks.zorderValue(col("a"), col("b"), 5, 5, 0, 255))
+  }
+
   test("dynamicOverwrite replaces only the partitions present in the batch") {
     val dir = tmp("dynpart")
     val day1 = Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("dt", "v")
