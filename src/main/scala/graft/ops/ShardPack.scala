@@ -29,10 +29,18 @@ object ShardPack {
     * or the `shard_id` output — `withColumn` would silently REPLACE a
     * caller column of the same name and corrupt the result; colliding
     * inputs fail fast instead.
+    *
+    * `offset` shifts the global running total's starting point — the
+    * incremental hook: a caller packing batch N of a stream passes the
+    * cumulative weight of batches 0..N−1, and shard ids continue exactly
+    * where the previous batch stopped (a boundary-straddling shard keeps
+    * filling; see [[graft.streaming.Streams.shardPackSink]]).
     */
   def assign(df: DataFrame, idCol: String, weightCol: String,
-             budget: Long, bucketSize: Long = 1L << 20): DataFrame = {
+             budget: Long, bucketSize: Long = 1L << 20,
+             offset: Long = 0L): DataFrame = {
     require(budget > 0 && bucketSize > 0, "budget and bucketSize must be positive")
+    require(offset >= 0, s"offset must be non-negative, got $offset")
     val reserved = Seq("_bkt", "_off", "_tot", "_cum_before", "shard_id")
     val clash = df.columns.toSeq.intersect(reserved)
     require(clash.isEmpty,
@@ -52,7 +60,7 @@ object ShardPack {
       .rowsBetween(Window.unboundedPreceding, -1)
     w.join(broadcast(offsets), Seq("_bkt"))
       .withColumn("_cum_before",
-        col("_off") + coalesce(sum(col(weightCol)).over(inBkt), lit(0L)))
+        lit(offset) + col("_off") + coalesce(sum(col(weightCol)).over(inBkt), lit(0L)))
       .withColumn("shard_id", call_function("div", col("_cum_before"), lit(budget)))
       .drop("_bkt", "_off", "_cum_before")
   }

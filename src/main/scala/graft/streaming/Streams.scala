@@ -541,6 +541,55 @@ object Streams {
   def readLineDedup(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/docs").drop("batch_id")
 
+  /** s15: streaming token-budget shard packing — the streaming face of
+    * q71 ([[graft.ops.ShardPack]]): a live training-data writer assigning
+    * every arriving document its shard from the GLOBAL running token
+    * total, continued across micro-batches. State is ONE scalar per batch
+    * (the batch's total weight, in `totals/` — pure metadata); each batch
+    * runs the batch operator's two-phase distributed prefix sum WITHIN
+    * the batch, offset by the cumulative total of all prior batches, so a
+    * shard straddling a batch boundary keeps filling exactly where the
+    * previous batch stopped (spec-pinned).
+    *
+    * Ordering: shards pack in ARRIVAL order across batches and id order
+    * within a batch — equal to the batch operator whenever arrival order
+    * agrees with id order (the s10 parity discipline; a streaming writer
+    * cannot re-sort history).
+    *
+    * Replay-idempotent: the totals read excludes the current batch_id and
+    * both logs dynamic-overwrite their own partition. Logs compact with
+    * [[compactBatchLog]] (`docs/`); `totals/` partials are sum-mergeable.
+    */
+  def shardPackSink(spark: SparkSession, stateDir: String,
+      idCol: String = "doc_id", weightCol: String = "n_tokens",
+      budget: Long = 512, bucketSize: Long = 1L << 20)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return // empty-batch discipline: write nothing
+    val priorTotal = graft.sources.Sources.parquetIfExists(spark, s"$stateDir/totals")
+      .map { st =>
+        require(st.columns.contains("batch_id"),
+          s"shard-pack totals at $stateDir/totals lack the batch_id partition column")
+        st.filter(col("batch_id") =!= batchId)
+      }
+      .filter(!_.isEmpty)
+      .map(_.agg(sum(col("total"))).head.getLong(0))
+      .getOrElse(0L)
+    val assigned = graft.ops.ShardPack.assign(
+      batch, idCol, weightCol, budget, bucketSize, offset = priorTotal).cache()
+    graft.sources.Sinks.dynamicOverwrite(
+      assigned.withColumn("batch_id", lit(batchId)), s"$stateDir/docs", Seq("batch_id"))
+    val batchTotal = assigned.agg(sum(col(weightCol))).head.getLong(0)
+    graft.sources.Sinks.dynamicOverwrite(
+      spark.range(1).select(lit(batchTotal).as("total"),
+        lit(batchId).as("batch_id")),
+      s"$stateDir/totals", Seq("batch_id"))
+    assigned.unpersist()
+  }
+
+  /** Shard assignments accumulated by [[shardPackSink]]. */
+  def readShardPack(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/docs").drop("batch_id")
+
   /** foreachBatch streaming IVF index maintenance — the streaming face of
     * the [[graft.sim.Ann]] trained quantizer: each micro-batch of
     * (id, vec) is assigned to its nearest cell against the centroids

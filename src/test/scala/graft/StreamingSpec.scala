@@ -663,6 +663,31 @@ class StreamingSpec extends SparkSpec {
       s"compacted seen state lost a hash — duplicate survived: $d4")
   }
 
+  test("shardPackSink: continues shards across batches, equals batch operator, replays clean") {
+    val dir = Files.createTempDirectory("shardpack_stream").toFile.getAbsolutePath
+    val sink = Streams.shardPackSink(spark, s"$dir/state", budget = 100, bucketSize = 4) _
+    // batch 0 ends mid-shard (total 230 → shard 2 is open at 30/100)
+    val b0 = Seq((1L, 80L), (2L, 70L), (3L, 80L)).toDF("doc_id", "n_tokens")
+    sink(b0, 0L)
+    sink(b0, 0L) // replay after a simulated post-write failure
+    // batch 1's first doc must CONTINUE shard 2, not restart at 0
+    val b1 = Seq((4L, 50L), (5L, 40L)).toDF("doc_id", "n_tokens")
+    sink(b1, 1L)
+    def got = Streams.readShardPack(spark, s"$dir/state")
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    // cum-before: 0,80,150,230,280 → shards 0,0,1,2,2
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 2L), s"$got")
+    // ordered arrival == the batch operator on the union
+    val batchOp = graft.ops.ShardPack.assign(
+        b0.unionByName(b1), "doc_id", "n_tokens", budget = 100, bucketSize = 4)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    assert(got == batchOp, s"stream $got != batch $batchOp")
+    // replay of a MIDDLE batch reproduces identical rows (totals read
+    // excludes itself, so the offset is unchanged)
+    sink(b1, 1L)
+    assert(got == batchOp, "replay shifted the running offset")
+  }
+
   test("scd2Sink aborts on a corrupt dimension instead of overwriting it") {
     val dir = Files.createTempDirectory("scd2_corrupt").toFile.getAbsolutePath
     val dim = s"$dir/dim"
