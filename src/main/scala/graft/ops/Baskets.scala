@@ -36,6 +36,14 @@ object Baskets {
   def pairs(items: DataFrame, basketCol: String, itemCol: String,
       maxBasket: Int = 256): DataFrame = {
     require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    // Output/working names must not collide with caller columns (the
+    // ShardPack discipline): a caller `item_a` would silently alias into
+    // the pair output and corrupt downstream grouping.
+    val clash = items.columns.toSeq
+      .intersect(Seq("item_a", "item_b", "_ps", "_p"))
+      .filterNot(c => c == basketCol || c == itemCol)
+    require(clash.isEmpty,
+      s"input columns collide with Baskets working/output names: ${clash.mkString(", ")}")
     val ps: Column = slice(array_sort(collect_set(col(itemCol))), 1, maxBasket)
     items
       .groupBy(col(basketCol))

@@ -254,5 +254,10 @@ class ExtOpsSpec extends SparkSpec {
     assert(out == Set((2L, 7L), (2L, 9L), (7L, 9L)))
     intercept[IllegalArgumentException](
       graft.ops.Baskets.pairs(items, "basket", "item", maxBasket = 1))
+    // colliding caller columns fail fast instead of silently aliasing
+    val withClash = Seq((1L, 2L, 0L)).toDF("basket", "item", "item_a")
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Baskets.pairs(withClash, "basket", "item"))
+    assert(e.getMessage.contains("item_a"))
   }
 }
