@@ -465,4 +465,91 @@ class PropertySpec extends SparkSpec {
     assert(out.numElements() == doc.numChars() - 7)
     assert(sec < 10.0, f"1 MB hashStream took $sec%.1fs — quadratic regression?")
   }
+
+  test("Baskets.pairs equals the capped quadratic reference on random baskets") {
+    val gen = for {
+      nb <- Gen.choose(1, 4)
+      baskets <- Gen.listOfN(nb, Gen.zip(Gen.choose(0L, 9L),
+        Gen.listOf(Gen.choose(0L, 11L))))
+      cap <- Gen.choose(2, 6)
+    } yield (baskets.flatMap { case (bk, its) => its.map(bk -> _) }, cap)
+    check(forAll(gen) { case (rows, cap) =>
+      rows.isEmpty || {
+        val got = graft.ops.Baskets.pairs(rows.toDF("basket", "item"),
+            "basket", "item", maxBasket = cap)
+          .as[(Long, Long, Long)].collect().toSet
+        val want = rows.groupBy(_._1).flatMap { case (bk, g) =>
+          val kept = g.map(_._2).distinct.sorted.take(cap)
+          for (i <- kept.indices; j <- i + 1 until kept.size)
+            yield (bk, kept(i), kept(j))
+        }.toSet
+        got == want
+      }
+    })
+  }
+
+  test("LineDedup.dedupRollup equals the driver reference on random corpora") {
+    // Small word pool forces cross-document duplicate lines; whitespace
+    // and empty segments exercise the drop rule.
+    val line = Gen.oneOf("alpha beta", "gamma", "alpha beta", "delta eps",
+      "  ", "", "zeta", "gamma")
+    val gen = for {
+      nd <- Gen.choose(1, 5)
+      docs <- Gen.listOfN(nd, Gen.listOf(line))
+    } yield docs.zipWithIndex.map { case (ls, i) => (i.toLong, ls.mkString("\n")) }
+    def md5hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    check(forAll(gen) { docs =>
+      docs.isEmpty || {
+        val got = graft.text.LineDedup.dedupRollup(
+            docs.toDF("doc_id", "text"), "doc_id", "text")
+          .as[(Long, Long, Long, Double, Option[String])].collect()
+          .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+        val seen = scala.collection.mutable.Set[String]()
+        val want = docs.flatMap { case (id, text) =>
+          val lines = text.split("\n", -1).map(_.trim).filter(_.nonEmpty)
+          if (lines.isEmpty) None else {
+            val kept = lines.filter(l => seen.add(l))
+            val frac = BigDecimal(kept.length.toDouble / lines.length)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            Some(id -> ((lines.length.toLong, kept.length.toLong, frac,
+              if (kept.nonEmpty) Some(md5hex(kept.mkString("\n"))) else None)))
+          }
+        }.toMap
+        got == want
+      }
+    })
+  }
+
+  test("GapFill.dense equals the driver reference on random sparse series") {
+    val day0 = java.time.LocalDate.of(2024, 3, 1)
+    val gen = for {
+      nk <- Gen.choose(1, 3)
+      rows <- Gen.listOfN(nk * 3, Gen.zip(Gen.choose(1L, 3L),
+        Gen.choose(0, 20), Gen.choose(1, 99)))
+    } yield rows.map { case (k, d, v) => (k, d, v) }
+      .groupBy(r => (r._1, r._2)).values.map(_.head).toList // one row per (key, day)
+    check(forAll(gen) { rows =>
+      rows.isEmpty || {
+        val df = rows.map { case (k, d, v) =>
+          (k, java.sql.Date.valueOf(day0.plusDays(d)), v.toDouble)
+        }.toDF("k", "day", "v")
+        val got = graft.ops.GapFill.dense(df, "k", "day", "v")
+          .as[(Long, java.sql.Date, Double, Option[Double])].collect()
+          .map(t => (t._1, t._2.toString) -> ((t._3, t._4))).toMap
+        val want = rows.groupBy(_._1).flatMap { case (k, g) =>
+          val byDay = g.map(r => r._2 -> r._3.toDouble).toMap
+          val (lo, hi) = (g.map(_._2).min, g.map(_._2).max)
+          (lo to hi).map { d =>
+            val locf = (lo to d).flatMap(byDay.get).lastOption
+            (k, day0.plusDays(d).toString) ->
+              ((byDay.getOrElse(d, 0.0), locf))
+          }
+        }.toMap
+        got == want
+      }
+    })
+  }
 }
