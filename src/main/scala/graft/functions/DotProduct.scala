@@ -93,5 +93,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_winnow_select"),
       new ExpressionInfo(classOf[WinnowSelect].getName, "graft_winnow_select"),
       (children: Seq[Expression]) => WinnowSelect(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bitset"),
+      new ExpressionInfo(classOf[BitsetFromRanks].getName, "graft_bitset"),
+      (children: Seq[Expression]) => BitsetFromRanks(children.head, children(1))))
   }
 }

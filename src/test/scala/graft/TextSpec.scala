@@ -196,6 +196,11 @@ class TextSpec extends SparkSpec {
     assert(n == 2)
     val emb = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
     assert(emb.select(call_function("graft_dot", col("a"), col("b"))).head().getDouble(0) == 11.0)
+    val bs = Seq((Seq(0, 65), Seq(1L, 2L))).toDF("rs", "bits")
+    assert(bs.select(
+        call_function("graft_bitand_count",
+          call_function("graft_bitset", col("rs"), lit(2)), col("bits")))
+      .head().getInt(0) == 2)
   }
 
   test("SimHash: identical docs collide at hamming 0") {
@@ -206,6 +211,39 @@ class TextSpec extends SparkSpec {
     val pairs = SimHash.nearPairs(
       SimHash.fingerprints(docs, "doc_id", "text"), "doc_id", 3).collect()
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
+  }
+
+  test("graft_bitset equals the HOF bitset spelling (the parity-pinned specification)") {
+    // The HOF filter+aggregate chain IS the definition; the native
+    // expression must reproduce it bit-for-bit, including duplicate and
+    // out-of-range ranks.
+    val words = 3
+    val cases = Seq(
+      Seq[Int](),                       // empty → all-zero words
+      Seq(0),                           // lowest bit of word 0
+      Seq(63, 64, 127, 128, 191),       // word boundaries
+      Seq(5, 5, 5),                     // duplicates idempotent
+      Seq(191, 0, 100, 100, 63),        // unsorted with duplicates
+      Seq(192, 500),                    // out of range → ignored
+      (0 until 192).toSeq)              // fully set
+    val df = cases.zipWithIndex.map { case (rs, i) => (i.toLong, rs) }
+      .toDF("id", "rs")
+    val hof = transform(sequence(lit(0), lit(words - 1)), w =>
+      aggregate(filter(col("rs"), r => (r / 64).cast("int") === w),
+        lit(0L),
+        (acc, r) => acc.bitwiseOR(
+          call_function("shiftleft", lit(1L), (r % 64).cast("int")))))
+    val out = df.select(col("id"),
+        call_function("graft_bitset", col("rs"), lit(words)).as("native"),
+        hof.as("spec"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    out.foreach { case (i, n, s) =>
+      assert(n == s, s"case $i: native $n != spec $s")
+    }
+    // long-typed rank arrays work too (collect_list over bigint ranks)
+    val dfl = Seq((1L, Seq(0L, 64L, 127L))).toDF("id", "rs")
+    assert(dfl.select(call_function("graft_bitset", col("rs"), lit(2)))
+      .as[Seq[Long]].head() == Seq(1L, java.lang.Long.parseUnsignedLong("8000000000000001", 16)))
   }
 
   test("LineDedup: first occurrence wins corpus-wide, survivors reassemble in order") {
