@@ -109,6 +109,8 @@ object Sinks {
       nFiles: Int, bits: Int = 16): Unit = {
     import org.apache.spark.sql.functions._
     require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
+    require(!df.columns.contains("_graft_z"),
+      "input column _graft_z collides with zorderWrite's working name")
     val r = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()

@@ -139,6 +139,10 @@ class SourcesSpec extends SparkSpec {
       Sinks.zorderValue(col("a"), col("b"), 0, 255, 0, 255, bits = 40))
     intercept[IllegalArgumentException](
       Sinks.zorderValue(col("a"), col("b"), 5, 5, 0, 255))
+    // a pre-existing working column fails fast instead of being clobbered
+    val clash = Seq((1L, 2L, 3L)).toDF("a", "b", "_graft_z")
+    intercept[IllegalArgumentException](
+      Sinks.zorderWrite(clash, "/tmp/never-written", "a", "b", nFiles = 1))
   }
 
   test("dynamicOverwrite replaces only the partitions present in the batch") {
