@@ -23,10 +23,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark reads
-    * only as a raw long (`spark.sql.legacy.parquet.nanosAsLong=true`, set by
-    * Verify/Bench/tests). The data is µs-aligned (verified: every value has
-    * ns%1000==0), so `div 1000` converts losslessly to a µs timestamp.
+  /** `events.ts` encoding has varied across testdata generations:
+    * TIMESTAMP(NANOS) (readable only as a raw long via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set by Verify/Bench/tests;
+    * data is µs-aligned so `div 1000` converts losslessly) and plain
+    * `timestamp[us]` without tz metadata, which Spark 4 infers as
+    * TIMESTAMP_NTZ. The NTZ read is passed through untouched — the DuckDB
+    * oracle reads the same file as a naive TIMESTAMP, so NTZ is the
+    * parity-preserving type; consumers needing instant-typed functions
+    * (e.g. unix_micros) cast locally, value-preserving under the UTC
+    * session tz.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = t(s, d, "events")

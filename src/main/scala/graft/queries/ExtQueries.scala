@@ -84,24 +84,30 @@ object ExtQueries {
     // boilerplate repeated ACROSS distinct documents (headers, license
     // blocks, templated sections) survives doc-level dedup but shows up as
     // identical chunks. Chunks ride q40's tokenize+window spelling; global
-    // first-occurrence-wins is one row_number over chunk_hash (each hash
-    // group is duplicate-count-sized, so the window partitions stay tiny at
-    // any corpus scale — no single-partition risk), then a per-doc rollup
-    // reports how much of each document is redundant corpus-wide.
+    // first-occurrence-wins is a per-hash min(struct(doc_id, chunk_id))
+    // groupBy + join-back — NOT a row_number window: a corpus-frequent
+    // boilerplate chunk's duplicate count is corpus-scale, and a window
+    // partition is one task's sorted buffer (AQE cannot split it). The
+    // min-struct agg partially aggregates map-side so the hot key shrinks
+    // BEFORE the shuffle; the join-back equi-join is AQE-skew-splittable
+    // (same discipline as text/LineDedup). Then a per-doc rollup reports
+    // how much of each document is redundant corpus-wide.
     "q72_chunk_dedup" -> { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("chunk_hash")).orderBy(col("doc_id"), col("chunk_id"))
-      Tables.documents(s, d)
+      val chunks = Tables.documents(s, d)
         .withColumn("_toks", TF.tokens(col("text")))
         .filter(size(col("_toks")) > 0)
         .select(col("doc_id"), col("_toks"),
           explode(TF.chunkStarts(col("_toks"), 40)).as("i"))
         .select(col("doc_id"), expr("(i - 1) div 40").as("chunk_id"),
           TF.hash60(concat_ws(" ", TF.chunk(col("_toks"), col("i"), 50))).as("chunk_hash"))
-        .withColumn("_rn", row_number().over(w))
+      val firsts = chunks.groupBy(col("chunk_hash"))
+        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("_first"))
+      chunks.join(firsts, Seq("chunk_hash"))
+        .withColumn("_kept",
+          struct(col("doc_id"), col("chunk_id")) === col("_first"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("_rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+          sum(when(col("_kept"), 1L).otherwise(0L)).as("n_kept"))
         .withColumn("kept_frac", round(col("n_kept") * lit(1.0) / col("n_chunks"), 4))
         .orderBy(col("doc_id"))
     },
@@ -376,7 +382,12 @@ object ExtQueries {
         .select(col("event_id"), col("user_id"), col("ts"))
       AsOf.asofJoin(purchases, views, "user_id", "ts", "vts")
         .filter(col("view_id").isNotNull &&
-          unix_micros(col("ts")) - unix_micros(col("view_ts")) <= 3600L * 1000000L)
+          // cast("timestamp") absorbs both event-ts encodings the testdata
+          // has shipped (TIMESTAMP and TIMESTAMP_NTZ — unix_micros accepts
+          // only the former); under the UTC session tz the cast is
+          // value-preserving either way.
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("view_ts").cast("timestamp")) <= 3600L * 1000000L)
         .select(col("event_id"), col("user_id"), col("view_id"))
         .orderBy(col("event_id"))
     },

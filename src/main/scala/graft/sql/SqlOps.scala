@@ -178,8 +178,11 @@ object SqlOps {
 
   /** SQL twin of q82's line-level exact dedup
     * ([[graft.text.LineDedup.dedupRollup]]): delimiter-split lines,
-    * corpus-wide first-occurrence-wins over line hashes (one row_number
-    * window with duplicate-count-sized partitions), per-doc rollup with
+    * corpus-wide first-occurrence-wins over line hashes (per-hash
+    * `min(struct(id, line_idx))` + join-back, NOT a row_number window —
+    * a boilerplate line's duplicate count is corpus-scale and a window
+    * partition is one task's buffer; the min-struct agg shrinks the hot
+    * key map-side, exactly as the Column spelling), per-doc rollup with
     * the surviving text reassembled IN ORDER (array_sort over
     * (line_idx, line) structs — collect_list alone has no order
     * guarantee, exactly as in the Column spelling). `delimRegex` is
@@ -194,8 +197,12 @@ object SqlOps {
        |  FROM $table),
        |_l AS (SELECT $id, line_idx, trim(_raw) AS line
        |  FROM _l0 WHERE length(trim(_raw)) > 0),
-       |_k AS (SELECT *, row_number() OVER (PARTITION BY md5(line)
-       |    ORDER BY $id, line_idx) = 1 AS kept FROM _l)
+       |_h AS (SELECT *, md5(line) AS _lh FROM _l),
+       |_f AS (SELECT _lh, min(struct($id, line_idx)) AS _first
+       |  FROM _h GROUP BY _lh),
+       |_k AS (SELECT _h.$id, _h.line_idx, _h.line,
+       |    struct(_h.$id, _h.line_idx) = _f._first AS kept
+       |  FROM _h JOIN _f ON _h._lh = _f._lh)
        |SELECT $id, count(*) AS n_lines,
        |  sum(CASE WHEN kept THEN 1L ELSE 0L END) AS n_kept,
        |  round(sum(CASE WHEN kept THEN 1L ELSE 0L END) * 1.0 / count(*), 4)

@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Line-level exact deduplication across the corpus — the C4/RefinedWeb
@@ -15,12 +14,23 @@ import org.apache.spark.sql.functions._
   * (Reference analog: the silver-layer DQ normalize shape of
   * 4_silver/silver_transactions.py applied at line grain.)
   *
-  * Scale shape (q72's discipline): one scan → split+posexplode (row count
-  * = total lines, linear in corpus bytes) → ONE row_number window
-  * partitioned by line hash, where each partition is duplicate-count-sized
-  * (never corpus-sized — no single-partition risk at any scale) → per-doc
-  * rollup. First occurrence = smallest (doc_id, line_idx), deterministic
-  * across runs.
+  * Scale shape (q72's discipline): split+posexplode (row count = total
+  * lines, linear in corpus bytes) → per-hash `min(struct(doc_id,
+  * line_idx))` via `groupBy.agg` → equi-join back to mark survivors.
+  * Deliberately NOT `row_number over (partition by hash)`: a window
+  * partition is one task's sorted buffer, and the operator's entire
+  * premise is that boilerplate lines ("Privacy Policy", nav chrome,
+  * license headers) recur across a large fraction of documents — so the
+  * hot line's duplicate count is CORPUS-scale, one key would serialize
+  * one task, and AQE's skew handling does not split window partitions.
+  * The min-struct aggregation partially aggregates map-side (each map
+  * task emits ONE row per hash it saw), so the hot key shrinks before
+  * the shuffle; the join-back is a plain equi-join (skew-splittable by
+  * AQE, no per-key buffering). The lines subtree is computed twice (agg
+  * build + join probe — two linear scans, visible as two Generates in
+  * the plan); at corpus scale re-running a projection is cheaper than
+  * caching a corpus-sized intermediate. First occurrence = smallest
+  * (doc_id, line_idx), deterministic across runs.
   *
   * `delimRegex` defaults to newline (the production line grain); corpora
   * without literal newlines pass whatever delimiter defines their segment
@@ -35,15 +45,21 @@ object LineDedup {
     */
   def markLines(docs: DataFrame, idCol: String, textCol: String,
       delimRegex: String = "\n"): DataFrame = {
-    val w = Window.partitionBy(col("_lh")).orderBy(col(idCol), col("line_idx"))
-    docs
+    val lines = docs
       .select(col(idCol), posexplode(split(col(textCol), delimRegex))
         .as(Seq("line_idx", "_raw")))
       .select(col(idCol), col("line_idx"), trim(col("_raw")).as("line"))
       .filter(length(col("line")) > 0)
       .withColumn("_lh", md5(col("line")))
-      .withColumn("kept", row_number().over(w) === 1)
-      .drop("_lh")
+    // Struct min compares field-by-field = ORDER BY (idCol, line_idx)
+    // ascending — the same first-occurrence order the window spelled, now
+    // with map-side partial aggregation (see object doc: hot-key safety).
+    val firsts = lines.groupBy(col("_lh"))
+      .agg(min(struct(col(idCol), col("line_idx"))).as("_first"))
+    lines.join(firsts, Seq("_lh"))
+      .withColumn("kept",
+        struct(col(idCol), col("line_idx")) === col("_first"))
+      .select(col(idCol), col("line_idx"), col("line"), col("kept"))
   }
 
   /** Per-document rollup over a marked line frame (`idCol`, line_idx,

@@ -103,10 +103,17 @@ class PlanSpec extends SparkSpec {
       s"winnow matching must block on fingerprints, not cross:\n$p")
   }
 
-  test("q72 chunk dedup blocks on chunk hashes — never quadratic") {
+  test("q72 chunk dedup: min-struct aggregation, no Window, never quadratic") {
     val p = plan("q72_chunk_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"chunk dedup must stay a hash-partitioned window over chunk_hash:\n$p")
+      s"chunk dedup must block on chunk_hash, not cross:\n$p")
+    // First-occurrence-wins is a groupBy min(struct) + join-back — a
+    // row_number window would hand a corpus-frequent boilerplate chunk
+    // (the operator's target case) to ONE task's sorted buffer at 100×.
+    assert(!p.contains("Window"),
+      s"chunk dedup must not use a window (hot-key partition at scale):\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"min-struct must partially aggregate map-side (hot-key shrink before shuffle):\n$p")
   }
 
   test("q74 bigram LM stays at two corpus passes (the denominator folds from counts)") {
@@ -126,21 +133,25 @@ class PlanSpec extends SparkSpec {
     assert(!q.executedPlan.toString.contains("CartesianProduct"))
   }
 
-  test("q82 line dedup: hash-partitioned window, no quadratic join, one corpus explode") {
+  test("q82 line dedup: min-struct aggregation, no Window, no quadratic join") {
     val q = SparkEntry.queries("q82_line_dedup")(spark, sfDir).queryExecution
     val p = q.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"line dedup must stay a window over line hashes:\n$p")
-    // The dedup window partitions by line hash — never a global
-    // (partition-less) window over the corpus.
-    val badWindow = p.linesIterator.exists(l =>
-      l.contains("Window") && l.contains("partitionBy=[]"))
-    assert(!badWindow, s"line-dedup window lost its partitioning:\n$p")
-    // split+posexplode runs ONCE (markLines feeds the rollup directly —
-    // a second Generate would mean the rollup re-derived the lines).
+      s"line dedup must block on line hashes, not cross:\n$p")
+    // First-occurrence-wins is a groupBy min(struct) + join-back — a
+    // row_number window over the line hash would hand a corpus-frequent
+    // boilerplate line (the operator's target case: "Privacy Policy", nav
+    // chrome, license headers) to ONE task's sorted buffer at 100×, and
+    // AQE cannot split window partitions.
+    assert(!p.contains("Window"),
+      s"line dedup must not use a window (hot-key partition at scale):\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"min-struct must partially aggregate map-side (hot-key shrink before shuffle):\n$p")
+    // The lines subtree feeds the agg build AND the join probe: exactly 2
+    // Generates. A third would mean the rollup re-derived the lines.
     val gens = q.optimizedPlan.collect {
       case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }.size
-    assert(gens == 1, s"expected 1 corpus explode, found $gens")
+    assert(gens == 2, s"expected 2 corpus explodes (agg build + join probe), found $gens")
   }
 
   test("q76 co-purchase: capped map-side expansion, top-N without a global sort") {

@@ -273,4 +273,31 @@ class TextSpec extends SparkSpec {
       .orderBy("line_idx").as[(Long, Int, String, Boolean)].collect().toSeq
     assert(out == Seq((7L, 0, "x", true), (7L, 1, "x", false), (7L, 2, "y", true)))
   }
+
+  test("LineDedup: corpus-hot boilerplate line (the skew case) stays exact") {
+    // The operator's target shape: ONE line ("Privacy Policy") recurring in
+    // ~every document — the hot key the min-struct spelling exists for. At
+    // unit scale this proves exactness on the skewed distribution; the
+    // PlanSpec q82 pin proves the plan that handles it at 100× (partial_min
+    // map-side combine, no Window).
+    val n = 5000
+    val docs = spark.range(1, n + 1)
+      .selectExpr("id AS doc_id",
+        "concat('Privacy Policy\\nunique-', id, '\\nPrivacy Policy') AS text")
+    val marked = graft.text.LineDedup.markLines(docs, "doc_id", "text")
+    // Exactly one survivor of the hot line, in doc 1 at line_idx 0.
+    val hot = marked.filter(col("line") === "Privacy Policy")
+    assert(hot.count() == 2L * n)
+    val kept = hot.filter(col("kept"))
+      .select("doc_id", "line_idx").as[(Long, Int)].collect().toSeq
+    assert(kept == Seq((1L, 0)), s"hot-line survivor wrong: $kept")
+    // Every unique line survives; rollup accounting is exact. Doc 1 keeps
+    // its hot line (first occurrence) + its unique line; its second
+    // "Privacy Policy" is a within-doc dup. Every other doc keeps only its
+    // unique line.
+    val roll = graft.text.LineDedup.dedupRollup(docs, "doc_id", "text")
+    assert(roll.filter(col("doc_id") === 1 && col("n_kept") === 2).count() == 1)
+    assert(roll.filter(col("n_kept") === 1).count() == n - 1)
+    assert(roll.agg(sum("n_lines")).as[Long].head() == 3L * n)
+  }
 }
