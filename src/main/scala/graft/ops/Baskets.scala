@@ -38,10 +38,14 @@ object Baskets {
     require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
     // Output/working names must not collide with caller columns (the
     // ShardPack discipline): a caller `item_a` would silently alias into
-    // the pair output and corrupt downstream grouping.
-    val clash = items.columns.toSeq
-      .intersect(Seq("item_a", "item_b", "_ps", "_p"))
-      .filterNot(c => c == basketCol || c == itemCol)
+    // the pair output and corrupt downstream grouping. No exemption for
+    // basketCol/itemCol — a basket or item column NAMED item_a/_ps would
+    // produce duplicate or shadowed output columns just the same.
+    val reserved = Seq("item_a", "item_b", "_ps", "_p")
+    require(!reserved.contains(basketCol) && !reserved.contains(itemCol),
+      s"basketCol/itemCol must not use Baskets working/output names " +
+        s"(${reserved.mkString(", ")}); got basketCol=$basketCol itemCol=$itemCol")
+    val clash = items.columns.toSeq.intersect(reserved)
     require(clash.isEmpty,
       s"input columns collide with Baskets working/output names: ${clash.mkString(", ")}")
     val ps: Column = slice(array_sort(collect_set(col(itemCol))), 1, maxBasket)

@@ -14,6 +14,39 @@ import graft.text.{Containment, MinHash, SimHash, TextFunctions => TF}
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Cross-source n-gram overlap matrix (q83's body, factored for direct
+    * testing): for every source pair, distinct shared 8-token grams,
+    * normalized by the smaller side's gram vocabulary.
+    *
+    * The Baskets cap is DERIVED from the data — `maxBasket` = the distinct
+    * source count (one bounded-metadata count job over the pruned `source`
+    * column; a source catalog is catalog-sized, never corpus-sized) — so no
+    * gram's source set is ever truncated and `n_shared` is exact at any
+    * catalog size. A fixed cap here would silently undercount the moment
+    * the catalog outgrew it — the worst failure mode for a diagnostic
+    * operator (wrong-but-plausible numbers).
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val g = docs
+      .select(col("source"),
+        explode(TF.wordNgrams(TF.tokens(col("text")), 8)).as("gram"))
+      .distinct()
+    val nSources = docs.select(col("source")).distinct().count()
+    val cnt = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    graft.ops.Baskets.pairs(g, "gram", "source",
+        maxBasket = math.max(2L, nSources).toInt)
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(cnt.select(col("source").as("item_a"), col("n").as("_na"))),
+        Seq("item_a"))
+      .join(broadcast(cnt.select(col("source").as("item_b"), col("n").as("_nb"))),
+        Seq("item_b"))
+      .select(col("item_a").as("source_a"), col("item_b").as("source_b"),
+        col("n_shared"),
+        round(col("n_shared") * lit(1.0) / least(col("_na"), col("_nb")), 4)
+          .as("overlap"))
+  }
+
   val defs: Map[String, Q] = Map(
     // ---- q19: exact dedup by normalized-text fingerprint ----
     "q19_dedup_exact" -> { (s, d) =>
@@ -377,7 +410,7 @@ object TextQueries {
     // The synthetic corpus has no literal newlines, so the segment
     // delimiter here is the frequent token " the " — the operator's
     // production default is "\n"; the plan is identical either way (split
-    // + posexplode + one duplicate-count-sized window + per-doc rollup).
+    // + posexplode + min-struct first-occurrence agg + per-doc rollup).
     "q82_line_dedup" -> { (s, d) =>
       graft.text.LineDedup.dedupRollup(
           Tables.documents(s, d), "doc_id", "text", delimRegex = " the ")
@@ -398,22 +431,7 @@ object TextQueries {
     // broadcast. Source ids compare identically in Spark and DuckDB
     // (binary string order on both sides).
     "q83_source_overlap" -> { (s, d) =>
-      val g = Tables.documents(s, d)
-        .select(col("source"),
-          explode(TF.wordNgrams(TF.tokens(col("text")), 8)).as("gram"))
-        .distinct()
-      val cnt = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      graft.ops.Baskets.pairs(g, "gram", "source", maxBasket = 32)
-        .groupBy(col("item_a"), col("item_b"))
-        .agg(count(lit(1)).as("n_shared"))
-        .join(broadcast(cnt.select(col("source").as("item_a"), col("n").as("_na"))),
-          Seq("item_a"))
-        .join(broadcast(cnt.select(col("source").as("item_b"), col("n").as("_nb"))),
-          Seq("item_b"))
-        .select(col("item_a").as("source_a"), col("item_b").as("source_b"),
-          col("n_shared"),
-          round(col("n_shared") * lit(1.0) / least(col("_na"), col("_nb")), 4)
-            .as("overlap"))
+      sourceOverlap(Tables.documents(s, d))
         .orderBy(col("source_a"), col("source_b"))
     },
 

@@ -259,5 +259,28 @@ class ExtOpsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       graft.ops.Baskets.pairs(withClash, "basket", "item"))
     assert(e.getMessage.contains("item_a"))
+    // ... including when the reserved name IS basketCol/itemCol — the old
+    // guard exempted them, letting pairs(basketCol="item_a") emit two
+    // item_a columns.
+    val asBasket = Seq((1L, 2L)).toDF("item_a", "item")
+    val e2 = intercept[IllegalArgumentException](
+      graft.ops.Baskets.pairs(asBasket, "item_a", "item"))
+    assert(e2.getMessage.contains("item_a"))
+    val asItem = Seq((1L, 2L)).toDF("basket", "_ps")
+    intercept[IllegalArgumentException](
+      graft.ops.Baskets.pairs(asItem, "basket", "_ps"))
+  }
+
+  test("sourceOverlap derives its basket cap from the catalog — exact past any fixed cap") {
+    // 40 sources (> the old fixed cap of 32) all sharing one 8-token gram:
+    // a fixed cap would truncate the gram's source set to the 32 smallest
+    // sources and undercount n_shared; the derived cap keeps every pair.
+    val shared = "a b c d e f g h"
+    val docs = (1 to 40).map(i => (f"src$i%02d", s"$shared uniq$i"))
+      .toDF("source", "text")
+    val out = graft.queries.TextQueries.sourceOverlap(docs)
+    // every C(40,2) pair shares exactly the one common gram
+    assert(out.count() == 40L * 39 / 2)
+    assert(out.filter(col("n_shared") =!= 1L).count() == 0)
   }
 }
