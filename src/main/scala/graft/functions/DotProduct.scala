@@ -97,5 +97,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bitset"),
       new ExpressionInfo(classOf[BitsetFromRanks].getName, "graft_bitset"),
       (children: Seq[Expression]) => BitsetFromRanks(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bin"),
+      new ExpressionInfo(classOf[BinBySplits].getName, "graft_bin"),
+      (children: Seq[Expression]) => BinBySplits(children.head, children(1))))
   }
 }

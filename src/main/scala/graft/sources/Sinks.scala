@@ -66,9 +66,8 @@ object Sinks {
     * (a's bit i at position 2i, b's at 2i+1), so rows close in BOTH
     * dimensions land close on the curve. Pure integer arithmetic — one
     * codegen'd expression, no UDF. Linear scaling is the simple binning
-    * variant (skewed columns deserve rank-based binning upstream —
-    * `ntile` per column at moderate scale, approx-quantile bucketing at
-    * 100 TB; the interleave is identical either way).
+    * variant; skewed columns get the same interleave over rank bins
+    * instead — [[zorderWriteRanked]].
     */
   def zorderValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
       minA: Double, maxA: Double, minB: Double, maxB: Double,
@@ -84,7 +83,17 @@ object Sinks {
       least(lit(scaleMax), greatest(lit(0L),
         floor((c.cast("double") - lit(lo)) * lit(scaleMax.toDouble) / lit(hi - lo))
           .cast("long")))
-    val (sa, sb) = (scaled(a, minA, maxA), scaled(b, minB, maxB))
+    interleaveBits(scaled(a, minA, maxA), scaled(b, minB, maxB), bits)
+  }
+
+  /** Morton interleave of two already-binned values in `[0, 2^bits)`:
+    * `sa`'s bit i lands at position 2i, `sb`'s at 2i+1. Shared by the
+    * linear ([[zorderValue]]) and rank ([[zorderValueRanked]]) binnings —
+    * the curve doesn't care how the bins were drawn.
+    */
+  private def interleaveBits(sa: org.apache.spark.sql.Column,
+      sb: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
     (0 until bits).foldLeft(lit(0L)) { case (acc, i) =>
       acc
         .bitwiseOR(shiftleft(sa.bitwiseAND(lit(1L << i)).cast("long"), i)
@@ -92,6 +101,38 @@ object Sinks {
         .bitwiseOR(shiftleft(sb.bitwiseAND(lit(1L << i)).cast("long"), i + 1)
           .cast("long"))
     }
+  }
+
+  /** Rank-binned Morton value: each column is mapped to its quantile bin
+    * (binary search against the supplied sorted split arrays — the native
+    * [[graft.functions.BinBySplits]] expression, log2(|splits|) probes per
+    * row in codegen), then the bin indices interleave exactly as in
+    * [[zorderValue]]. This is the skew-proof binning: linear scaling puts
+    * a zipf column's dense mass into one or two buckets, destroying the
+    * curve's locality exactly where the data lives — rank bins hold
+    * ~equal ROW counts by construction, so the curve stays uniform in
+    * rank space no matter the value distribution.
+    *
+    * `splitsA`/`splitsB` are interior cut points, sorted ascending,
+    * deduplicated ([[zorderWriteRanked]] builds them from
+    * `approxQuantile`); a value's bin = #{splits <= v}.
+    */
+  def zorderValueRanked(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      splitsA: Array[Double], splitsB: Array[Double]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(splitsA.nonEmpty && splitsB.nonEmpty,
+      "degenerate rank splits for z-order (all values in one bin)")
+    def sortedDistinct(s: Array[Double]) =
+      s.indices.tail.forall(i => s(i - 1) < s(i))
+    require(sortedDistinct(splitsA) && sortedDistinct(splitsB),
+      "z-order splits must be sorted ascending with no duplicates")
+    def bitsFor(nBins: Int) =
+      math.max(1, 32 - Integer.numberOfLeadingZeros(nBins - 1))
+    val bits = math.max(bitsFor(splitsA.length + 1), bitsFor(splitsB.length + 1))
+    def bin(c: org.apache.spark.sql.Column, splits: Array[Double]) =
+      call_function("graft_bin", c.cast("double"),
+        lit(splits))
+    interleaveBits(bin(a, splitsA), bin(b, splitsB), bits)
   }
 
   /** i14: Z-order clustered write — the `OPTIMIZE ZORDER BY (a, b)` layout
@@ -103,20 +144,72 @@ object Sinks {
     * perfectly on that column and not at all on the other; z-order prunes
     * on both at ~sqrt cost (a thin predicate slab in either dimension
     * touches ~√nFiles files instead of all of them — spec-measured).
-    * Column min/max for the scaling come from one 4-scalar aggregation.
+    *
+    * Execution contract: the DEFAULT (`ranges = None`) runs the input plan
+    * twice — once for the 4-scalar min/max aggregation that anchors the
+    * scaling, once for the write. Fine for a table scan; pointed at an
+    * expensive pipeline, pass precomputed `ranges = Some((minA, maxA,
+    * minB, maxB))` (known bounds, or from a caller-cached frame) and the
+    * input executes exactly once (spec-asserted). Skewed columns: use
+    * [[zorderWriteRanked]] instead — linear binning collapses a zipf
+    * column's dense mass into one bucket and the pruning quietly
+    * evaporates.
     */
   def zorderWrite(df: DataFrame, path: String, colA: String, colB: String,
-      nFiles: Int, bits: Int = 16): Unit = {
+      nFiles: Int, bits: Int = 16,
+      ranges: Option[(Double, Double, Double, Double)] = None): Unit = {
     import org.apache.spark.sql.functions._
     require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
     require(!df.columns.contains("_graft_z"),
       "input column _graft_z collides with zorderWrite's working name")
-    val r = df.agg(
-      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
-    require(!r.anyNull, s"z-order range scan found only nulls in $colA/$colB")
-    val z = zorderValue(col(colA), col(colB),
-      r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), bits)
+    val (minA, maxA, minB, maxB) = ranges.getOrElse {
+      val r = df.agg(
+        min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+        min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+      require(!r.anyNull, s"z-order range scan found only nulls in $colA/$colB")
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    }
+    val z = zorderValue(col(colA), col(colB), minA, maxA, minB, maxB, bits)
+    writeByZ(df, z, nFiles, path)
+  }
+
+  /** Rank-binned z-order write — [[zorderWrite]] for SKEWED clustering
+    * columns (amounts, timestamps — at 100 TB the interesting columns
+    * almost always are). Bin boundaries come from `approxQuantile` at
+    * `nBins` equi-depth cuts (relative error `relErr`; one extra pass
+    * over the two columns, bounded driver state — the GK sketch), get
+    * deduplicated (heavy ties collapse cuts), and each row's bin pair
+    * interleaves via [[zorderValueRanked]]. Equal-depth bins mean every
+    * z-curve cell holds ~the same row count, so file regions stay compact
+    * in RANK space regardless of the value distribution — the pruning
+    * bound the linear spec pins holds on zipf data too (spec-measured).
+    *
+    * Like the default [[zorderWrite]], this executes the input plan twice
+    * (quantile pass + write); pass precomputed `splits` to skip the
+    * quantile pass and execute the input once.
+    */
+  def zorderWriteRanked(df: DataFrame, path: String, colA: String, colB: String,
+      nFiles: Int, nBins: Int = 4096, relErr: Double = 1e-4,
+      splits: Option[(Array[Double], Array[Double])] = None): Unit = {
+    import org.apache.spark.sql.functions._
+    require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
+    require(nBins >= 2 && nBins <= (1 << 20), s"nBins must be in [2, 2^20], got $nBins")
+    require(!df.columns.contains("_graft_z"),
+      "input column _graft_z collides with zorderWriteRanked's working name")
+    val (sa, sb) = splits.getOrElse {
+      val probs = (1 until nBins).map(_.toDouble / nBins).toArray
+      val qs = df.select(col(colA).cast("double").as(colA),
+          col(colB).cast("double").as(colB))
+        .stat.approxQuantile(Array(colA, colB), probs, relErr)
+      (qs(0).distinct.sorted, qs(1).distinct.sorted)
+    }
+    val z = zorderValueRanked(col(colA), col(colB), sa, sb)
+    writeByZ(df, z, nFiles, path)
+  }
+
+  private def writeByZ(df: DataFrame, z: org.apache.spark.sql.Column,
+      nFiles: Int, path: String): Unit = {
+    import org.apache.spark.sql.functions._
     df.withColumn("_graft_z", z)
       .repartitionByRange(nFiles, col("_graft_z"))
       .sortWithinPartitions(col("_graft_z"))

@@ -120,6 +120,65 @@ class SourcesSpec extends SparkSpec {
       data.agg(sum(col("x"))).head().getLong(0))
   }
 
+  test("zorderWriteRanked holds the pruning bound on zipf-skewed data where linear binning fails") {
+    val dir = tmp("zorder-rank")
+    // Zipf-ish x: 256 distinct values v(k)=1e6/k — half the distinct
+    // values (and half the ROWS) live below ~78e3, i.e. inside 0.4% of the
+    // value range. Linear binning at 8 bits maps that entire dense mass to
+    // bin 0-1, so the curve cannot separate it and a selective predicate
+    // there degenerates to most files. Rank bins are equi-DEPTH, so the
+    // same predicate covers ~2% of rank space and locality survives.
+    val data = spark.range(1L << 16).select(
+      floor(lit(1000000.0) / ((col("id") % 256) + 1)).cast("double").as("x"),
+      (col("id") / 256).cast("double").as("y"))
+    Sinks.zorderWriteRanked(data, s"$dir/zr", "x", "y", nFiles = 16, nBins = 256,
+      relErr = 1e-3)
+    Sinks.zorderWrite(data, s"$dir/zl", "x", "y", nFiles = 16, bits = 8)
+    def filesTouched(path: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).filter(pred)
+        .select(col("_metadata.file_name")).distinct().count()
+    // thin slab in the DENSE region: k in (100..105] ≈ 2% of rows
+    val denseSlab = col("x") >= 1000000.0 / 105 && col("x") < 1000000.0 / 100
+    // thin slab in the uniform dimension
+    val ySlab = col("y") >= 100 && col("y") < 105
+    val (rx, ry) = (filesTouched(s"$dir/zr", denseSlab), filesTouched(s"$dir/zr", ySlab))
+    val lx = filesTouched(s"$dir/zl", denseSlab)
+    assert(rx <= 8 && ry <= 8,
+      s"rank-binned locality too weak on zipf data: dense-slab=$rx y-slab=$ry of 16")
+    assert(rx < lx, s"rank binning should beat linear on the dense slab: rank=$rx linear=$lx")
+    // layout move only — the data itself is intact
+    assert(spark.read.parquet(s"$dir/zr").count() == (1L << 16))
+    assert(spark.read.parquet(s"$dir/zr").agg(sum(col("x"))).head().getDouble(0) ==
+      data.agg(sum(col("x"))).head().getDouble(0))
+  }
+
+  test("zorderWrite with precomputed ranges eliminates the min/max pass over the input") {
+    val dir = tmp("zorder-once")
+    val acc = spark.sparkContext.longAccumulator("zorder-once-rows")
+    val base = spark.range(0, 1024, 1, 4)
+    val instrumented = spark.createDataFrame(
+      base.rdd.map { r => acc.add(1); org.apache.spark.sql.Row(r % 32, r / 32) },
+      new org.apache.spark.sql.types.StructType()
+        .add("a", org.apache.spark.sql.types.LongType)
+        .add("b", org.apache.spark.sql.types.LongType))
+    Sinks.zorderWrite(instrumented, s"$dir/z", "a", "b", nFiles = 2, bits = 5,
+      ranges = Some((0.0, 31.0, 0.0, 31.0)))
+    val withRanges = acc.value
+    assert(spark.read.parquet(s"$dir/z").count() == 1024)
+    acc.reset()
+    Sinks.zorderWrite(instrumented, s"$dir/z2", "a", "b", nFiles = 2, bits = 5)
+    val withoutRanges = acc.value
+    // The overload's claim: the 4-scalar min/max aggregation pass is GONE —
+    // the default runs exactly one more full evaluation of the upstream.
+    // (repartitionByRange's range-partitioner sampling is a pass of its
+    // own in BOTH variants — inherent to the layout write, not the agg.)
+    assert(withoutRanges - withRanges == 1024L,
+      s"expected the default to cost exactly one extra upstream pass: " +
+        s"with=$withRanges without=$withoutRanges")
+    assert(withRanges <= 2048L,
+      s"ranges variant must run at most write + partitioner sample: $withRanges")
+  }
+
   test("zorderValue interleaves bits and rejects bad knobs") {
     // Morton property on exact small values: z(1,0)=1 (a bit 0 → pos 0),
     // z(0,1)=2 (b bit 0 → pos 1), z(3,3)=15, z(2,1)=... a=10₂→pos{2}=4?

@@ -201,6 +201,13 @@ class TextSpec extends SparkSpec {
         call_function("graft_bitand_count",
           call_function("graft_bitset", col("rs"), lit(2)), col("bits")))
       .head().getInt(0) == 2)
+    // graft_bin: #{splits <= v} — below-first=0, at-a-split counts it,
+    // above-last=|splits|.
+    val binned = Seq(0.5, 1.0, 2.5, 9.0).toDF("v")
+      .select(call_function("graft_bin", col("v"),
+        lit(Array(1.0, 2.0, 3.0))).as("b"))
+      .as[Long].collect().toSeq
+    assert(binned == Seq(0L, 1L, 2L, 3L))
   }
 
   test("SimHash: identical docs collide at hamming 0") {
