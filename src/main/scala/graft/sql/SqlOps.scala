@@ -231,4 +231,146 @@ object SqlOps {
        |SELECT t.* FROM $table t JOIN _t ON t.$st = _t._s
        |WHERE pmod(graft_hash60(cast(t.$id AS STRING)), 1000000L) < _t._thr""".stripMargin
   }
+
+  /** SQL twin of [[graft.ops.GapFill.dense]]: per-key calendar densify +
+    * zero-fill + LOCF. Same shape as the Column plan — the calendar is
+    * `sequence(min, max)` PER KEY (row count = keys × their own span,
+    * never a global calendar cross join), the span guard rides the
+    * calendar `CASE` (unprunable, free on clean data, raises a named
+    * error carrying the poisoned key), and LOCF windows the PRE-coalesce
+    * value so a true 0.0 observation and a filled gap stay distinct.
+    * Output: `keyCol`, `dayCol` (DATE), `valCol` zero-filled,
+    * `<valCol>_locf`.
+    */
+  def gapFillSql(table: String, keyCol: String, dayCol: String, valCol: String,
+      maxSpanDays: Int = 3700): String = {
+    require(maxSpanDays > 0, s"maxSpanDays must be positive, got $maxSpanDays")
+    val (k, dy, v) = (bt(keyCol), bt(dayCol), bt(valCol))
+    val locf = bt(valCol + "_locf")
+    s"""WITH _r AS (SELECT $k, min($dy) AS _lo, max($dy) AS _hi
+       |  FROM $table GROUP BY $k),
+       |_cal AS (SELECT $k, explode(
+       |    CASE WHEN datediff(_hi, _lo) > $maxSpanDays
+       |      THEN raise_error(concat('gap_fill: key ', CAST($k AS STRING),
+       |        ' spans ', CAST(datediff(_hi, _lo) AS STRING),
+       |        ' days (> max $maxSpanDays) from ', CAST(_lo AS STRING),
+       |        ' — corrupt timestamp?'))
+       |      ELSE sequence(_lo, _hi) END) AS $dy
+       |  FROM _r)
+       |SELECT c.$k, c.$dy,
+       |  coalesce(t.$v, 0.0d) AS $v,
+       |  last(t.$v, true) OVER (PARTITION BY c.$k ORDER BY c.$dy
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS $locf
+       |FROM _cal c LEFT JOIN $table t ON c.$k = t.$k AND c.$dy = t.$dy""".stripMargin
+  }
+
+  /** SQL twin of [[graft.ops.Baskets.copurchaseTopN]]: same map-side
+    * C(maxBasket, 2) pair expansion AFTER the per-basket aggregation
+    * (sorted-set slice, deterministic keep-smallest truncation — never a
+    * basket self-join), pair-support count, top-N with the full
+    * deterministic tiebreak. The ORDER BY + LIMIT plans as
+    * TakeOrderedAndProject — per-partition top-N, no global sort.
+    */
+  def copurchaseTopNSql(table: String, basketCol: String, itemCol: String,
+      topN: Int, maxBasket: Int = 256): String = {
+    require(topN >= 1, s"topN must be positive, got $topN")
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    val (bk, it) = (bt(basketCol), bt(itemCol))
+    s"""WITH _b AS (SELECT $bk,
+       |    slice(array_sort(collect_set($it)), 1, $maxBasket) AS _ps
+       |  FROM $table GROUP BY $bk),
+       |_p AS (SELECT explode(flatten(transform(_ps, (a, i) ->
+       |    transform(slice(_ps, i + 2, size(_ps)),
+       |      b -> struct(a AS item_a, b AS item_b))))) AS _pr
+       |  FROM _b)
+       |SELECT _pr.item_a AS item_a, _pr.item_b AS item_b,
+       |  count(*) AS n_baskets
+       |FROM _p GROUP BY 1, 2
+       |ORDER BY n_baskets DESC, item_a, item_b
+       |LIMIT $topN""".stripMargin
+  }
+
+  /** SQL twin of [[graft.queries.TextQueries.sourceOverlap]] (q83): the
+    * cross-source n-gram overlap matrix. Same scale shape — distinct
+    * (gram, source) rows, per-gram source-SET pairing (candidate volume
+    * Σ_gram C(df_src, 2), bounded by the source catalog, never doc
+    * pairs), broadcast per-source vocabulary counts. The SQL spelling
+    * needs no basket cap at all: a gram's basket IS its source set,
+    * catalog-bounded by construction, and `collect_set` holds it exactly
+    * — matching the Column side's derived (uncapped-in-effect) cap.
+    * Needs `graft_tokens`/`graft_word_ngrams` ([[SqlFunctions.register]]).
+    */
+  def sourceOverlapSql(table: String, sourceCol: String, textCol: String,
+      n: Int = 8): String = {
+    require(n >= 1, s"n must be positive, got $n")
+    val (src, txt) = (bt(sourceCol), bt(textCol))
+    s"""WITH _a AS (SELECT $src AS _src,
+       |    graft_word_ngrams(graft_tokens($txt), $n) AS _grams
+       |  FROM $table),
+       |-- UDF in a projection, exploded as a plain column (a SQL UDF
+       |-- directly under a Generate is UNSUPPORTED_SQL_UDF_USAGE)
+       |_g0 AS (SELECT _src, explode(_grams) AS _gram FROM _a),
+       |_g AS (SELECT DISTINCT _src, _gram FROM _g0),
+       |_c AS (SELECT _src, count(*) AS _n FROM _g GROUP BY _src),
+       |_b AS (SELECT _gram, array_sort(collect_set(_src)) AS _ps
+       |  FROM _g GROUP BY _gram),
+       |_p AS (SELECT explode(flatten(transform(_ps, (a, i) ->
+       |    transform(slice(_ps, i + 2, size(_ps)),
+       |      b -> struct(a AS sa, b AS sb))))) AS _pr
+       |  FROM _b),
+       |_n AS (SELECT _pr.sa AS source_a, _pr.sb AS source_b,
+       |    count(*) AS n_shared
+       |  FROM _p GROUP BY 1, 2)
+       |SELECT /*+ BROADCAST(ca), BROADCAST(cb) */
+       |  source_a, source_b, n_shared,
+       |  round(n_shared * 1.0 / least(ca._n, cb._n), 4) AS overlap
+       |FROM _n JOIN _c ca ON _n.source_a = ca._src
+       |JOIN _c cb ON _n.source_b = cb._src""".stripMargin
+  }
+
+  /** SQL twin of [[graft.ops.AsOf.asofJoin]]: each left row picks up the
+    * most recent right row with `rightTs <= leftTs` for its key (>=
+    * semantics — a quote stamped exactly at the event time matches).
+    * Same scale shape as the Column operator: union + one running
+    * `last(ignoreNulls)` window per key — ONE hash shuffle, O(n log n)
+    * per partition, no per-key row explosion (the naive theta join
+    * materializes O(|l|·|r|) rows per key) — and the right values carry
+    * as ONE struct, so a NULL field never stitches in from an older
+    * quote. The SQL shape then joins the carried values back to the left
+    * table on (key, ts): set-identical to the Column output, since every
+    * left (key, ts) appears in the windowed union.
+    *
+    * The typed NULL struct on the left side of the union comes from an
+    * empty scalar subquery over `right` — no caller-supplied type list.
+    * Contract: `key` and both ts columns non-null (a NULL key never
+    * equality-joins — same as the Column API's hash partitioning would
+    * co-locate but the join-back here drops it; don't rely on NULL keys
+    * either way); right rows unique per (key, ts), pre-aggregate
+    * otherwise.
+    *
+    * `leftCols` = the left table's output columns (SQL generators can't
+    * introspect schemas); `rightVals` = the right columns to carry.
+    */
+  def asofJoinSql(left: String, right: String, key: String,
+      leftTs: String, rightTs: String,
+      leftCols: Seq[String], rightVals: Seq[String]): String = {
+    require(leftCols.contains(key) && leftCols.contains(leftTs),
+      s"leftCols must include the key and ts columns; got $leftCols")
+    require(rightVals.nonEmpty, "rightVals must name at least one column to carry")
+    val (k, lts, rts) = (bt(key), bt(leftTs), bt(rightTs))
+    val vstruct = s"struct(${rightVals.map(bt).mkString(", ")})"
+    val outVals = rightVals.map(c => s"_m._gvals.${bt(c)} AS ${bt(c)}").mkString(", ")
+    s"""WITH _rv AS (SELECT $k, $rts AS _gts, 0 AS _gside, $vstruct AS _gvals
+       |  FROM $right),
+       |_lv AS (SELECT $k, $lts AS _gts, 1 AS _gside,
+       |    (SELECT first($vstruct) FROM $right WHERE 1 = 0) AS _gvals
+       |  FROM $left),
+       |_w AS (SELECT $k, _gts, _gside,
+       |    last(_gvals, true) OVER (PARTITION BY $k ORDER BY _gts, _gside
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _gvals
+       |  FROM (SELECT * FROM _lv UNION ALL SELECT * FROM _rv)),
+       |_m AS (SELECT DISTINCT $k, _gts, _gvals FROM _w WHERE _gside = 1)
+       |SELECT ${leftCols.map(c => s"l.${bt(c)}").mkString(", ")}, $outVals
+       |FROM $left l JOIN _m ON l.$k = _m.$k AND l.$lts = _m._gts""".stripMargin
+  }
 }

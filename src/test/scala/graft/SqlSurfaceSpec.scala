@@ -256,4 +256,61 @@ class SqlSurfaceSpec extends SparkSpec {
     val viaCol = SparkEntry.queries("q81_mixture_sample")(spark, sfDir)
     assertSame(viaSql, viaCol, "mixture sample", samePlan = false)
   }
+
+  test("SqlOps.gapFillSql == GapFill.dense (rows)") {
+    registered
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 2).as("v"))
+      .createOrReplaceTempView("gapfill_daily")
+    val viaSql = spark.sql(SqlOps.gapFillSql("gapfill_daily", "user_id", "day", "v"))
+    val viaCol = graft.ops.GapFill.dense(
+      spark.table("gapfill_daily"), "user_id", "day", "v")
+    assertSame(viaSql, viaCol, "gap fill", samePlan = false)
+  }
+
+  test("SqlOps.copurchaseTopNSql == Baskets.copurchaseTopN (rows, incl. truncation)") {
+    registered
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    items.createOrReplaceTempView("copurchase_items")
+    // maxBasket=5 forces real truncation at test SF, so the spelling's
+    // keep-smallest slice is exercised, not just the happy path.
+    val viaSql = spark.sql(SqlOps.copurchaseTopNSql(
+      "copurchase_items", "l_orderkey", "l_partkey", topN = 50, maxBasket = 5))
+    val viaCol = graft.ops.Baskets.copurchaseTopN(
+      items, "l_orderkey", "l_partkey", topN = 50, maxBasket = 5)
+    // Top-N ties beyond the tiebreak columns can't exist (full tiebreak),
+    // so rows are deterministic on both sides.
+    assertSame(viaSql, viaCol, "copurchase top-N", samePlan = false)
+    // the SQL spelling must keep the TakeOrderedAndProject shape
+    val phys = viaSql.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"SQL top-N lost the per-partition top-N shape:\n${phys.take(1500)}")
+  }
+
+  test("SqlOps.sourceOverlapSql == TextQueries.sourceOverlap (rows)") {
+    registered
+    val viaSql = spark.sql(SqlOps.sourceOverlapSql("documents", "source", "text", 8))
+    val viaCol = graft.queries.TextQueries.sourceOverlap(
+      Tables.documents(spark, sfDir))
+    assertSame(viaSql, viaCol, "source overlap", samePlan = false)
+  }
+
+  test("SqlOps.asofJoinSql == AsOf.asofJoin (rows)") {
+    registered
+    val ev = Tables.events(spark, sfDir)
+    val quotes = ev.filter(col("event_type") === "purchase")
+      .select((col("user_id") % 5).as("ccy"), col("ts"), col("value"))
+      .groupBy(col("ccy"), col("ts")).agg(max(col("value")).as("rate"))
+    val trades = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), (col("user_id") % 5).as("ccy"), col("ts"))
+    quotes.createOrReplaceTempView("asof_quotes")
+    trades.createOrReplaceTempView("asof_trades")
+    val viaSql = spark.sql(SqlOps.asofJoinSql(
+      "asof_trades", "asof_quotes", "ccy", "ts", "ts",
+      leftCols = Seq("event_id", "ccy", "ts"), rightVals = Seq("rate")))
+    val viaCol = graft.ops.AsOf.asofJoin(trades, quotes, "ccy", "ts", "ts")
+    assertSame(viaSql, viaCol, "as-of join", samePlan = false)
+  }
 }
