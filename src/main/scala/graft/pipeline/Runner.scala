@@ -196,10 +196,16 @@ object Runner {
             watermarks.get(wmKey).orNull,
             0L, "failed", start, new Timestamp(System.currentTimeMillis())))
           val res = LoadResult(e.qualifiedName, e.loadMode, 0L, "failed", None)
-          // NonFatal, not Exception: a mis-packaged pager client throwing a
-          // LinkageError must not break per-table isolation either.
+          // NonFatal alone is NOT enough: scala.util.control.NonFatal
+          // classifies LinkageError as fatal, so a mis-packaged pager
+          // client throwing NoClassDefFoundError would still break
+          // per-table isolation. Catch it explicitly; genuinely fatal
+          // errors (VirtualMachineError, InterruptedException) still
+          // propagate.
           try onFailure(res) catch {
-            case scala.util.control.NonFatal(cbEx) => System.err.println(
+            case cbEx: Throwable
+                if scala.util.control.NonFatal(cbEx) ||
+                  cbEx.isInstanceOf[LinkageError] => System.err.println(
               s"[runner] onFailure callback for ${e.qualifiedName} threw: $cbEx")
           }
           res
@@ -257,8 +263,11 @@ object Runner {
         audit(if (ok) "succeeded" else "failed")
         if (!ok) gate = false
         val res = StageResult(st.name, if (ok) "succeeded" else "failed")
+        // Same LinkageError carve-out as the per-table callback above.
         if (!ok) try onFailure(res) catch {
-          case scala.util.control.NonFatal(cbEx) => System.err.println(
+          case cbEx: Throwable
+              if scala.util.control.NonFatal(cbEx) ||
+                cbEx.isInstanceOf[LinkageError] => System.err.println(
             s"[runner] onFailure callback for stage ${st.name} threw: $cbEx")
         }
         res

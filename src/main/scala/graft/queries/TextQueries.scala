@@ -390,8 +390,15 @@ object TextQueries {
     // standard trade for a corpus-parallel sampler.
     "q81_mixture_sample" -> { (s, d) =>
       val docs = Tables.documents(s, d)
+      // NULL-stratum fail-fast mirrors streaming mixtureSink: a null lang
+      // would tighten every threshold via nMin while its rows silently
+      // drop (null never equality-matches).
       val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        .collect().map { r =>
+          require(!r.isNullAt(0),
+            "mixture stratum is NULL — assign or quarantine upstream before balancing")
+          r.getString(0) -> r.getLong(1)
+        }.toMap
       val nMin = counts.values.min
       val thresh = counts.map { case (l, n) => l -> nMin * 1000000L / n }
       val threshCol = thresh.foldLeft(lit(0L)) { case (acc, (l, t)) =>

@@ -225,7 +225,13 @@ object SqlOps {
     */
   def mixtureSampleSql(table: String, idCol: String, stratumCol: String): String = {
     val (id, st) = (bt(idCol), bt(stratumCol))
-    s"""WITH _c AS (SELECT $st AS _s, count(*) AS _n FROM $table GROUP BY $st),
+    s"""WITH _c0 AS (SELECT $st AS _s, count(*) AS _n FROM $table GROUP BY $st),
+       |-- NULL stratum fails fast (mirrors the Column/streaming twins): it
+       |-- would tighten every named stratum's threshold via min(_n) while
+       |-- its own rows never equality-join below.
+       |_c AS (SELECT CASE WHEN _s IS NULL THEN raise_error(
+       |    'mixture stratum is NULL — assign or quarantine upstream before balancing')
+       |  ELSE _s END AS _s, _n FROM _c0),
        |_m AS (SELECT min(_n) AS _n_min FROM _c),
        |_t AS (SELECT _s, (SELECT _n_min FROM _m) * 1000000L div _n AS _thr FROM _c)
        |SELECT t.* FROM $table t JOIN _t ON t.$st = _t._s

@@ -452,12 +452,20 @@ object Streams {
           .groupBy(col(stratumCol)).agg(sum(col("n")).as("n"))
     }
     // Stratum counts are bounded driver metadata (q81's discipline — one
-    // row per stratum, never per doc).
-    val counts = totals.collect()
-      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    // row per stratum, never per doc). A NULL stratum fails fast: it
+    // would silently tighten every named stratum's threshold via nMin
+    // while its own rows never match an equality compare — assign or
+    // quarantine upstream (q03's job). Keyed on the RAW value, not a
+    // String rendering, so a stratum literally named "null" can't
+    // collide with anything.
+    val counts = totals.collect().map { r =>
+      require(!r.isNullAt(0),
+        "mixture stratum is NULL — assign or quarantine upstream before balancing")
+      r.get(0) -> r.getLong(1)
+    }.toMap
     val nMin = counts.values.min
     val threshCol = counts.foldLeft(lit(0L)) { case (acc, (s, n)) =>
-      when(col(stratumCol).cast("string") === s, lit(nMin * 1000000L / n))
+      when(col(stratumCol) === lit(s), lit(nMin * 1000000L / n))
         .otherwise(acc)
     }
     val kept = batch

@@ -88,7 +88,11 @@ class RunnerSpec extends SparkSpec {
     val res = Runner.run(spark, cfg, s"$dir/out", s"$dir/audit", "run1", src,
       onFailure = { r =>
         fired.synchronized { fired += r.table }
-        throw new RuntimeException("pager is down") // must not break anything
+        // Alternate the two callback failure classes isolation must absorb:
+        // a plain exception AND a LinkageError (fatal per NonFatal — the
+        // mis-packaged-pager-client case the catch carves out explicitly).
+        if (fired.size % 2 == 0) throw new NoClassDefFoundError("pager client")
+        else throw new RuntimeException("pager is down")
       })
     // fired exactly for the failures — never for the success...
     assert(fired.sorted == Seq("bad1", "bad2"), s"callback fired for: $fired")

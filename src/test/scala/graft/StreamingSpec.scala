@@ -629,6 +629,15 @@ class StreamingSpec extends SparkSpec {
     // kept log compacts like every other batch log
     assert(Streams.compactBatchLog(spark, s"$dir/state/kept", keepLast = 1))
     assert(kept == batchKept ++ b1Kept, "compaction must not change the kept set")
+    // A NULL stratum fails fast instead of silently tightening every
+    // named stratum's threshold (via nMin) while its own rows drop —
+    // and a stratum literally named "null" must NOT be confused with it.
+    val nullStratum = Seq((20000L, null.asInstanceOf[String], "x"),
+      (20001L, "null", "y")).toDF("doc_id", "lang", "text")
+    val e = intercept[IllegalArgumentException](sink(nullStratum, 2L))
+    assert(e.getMessage.contains("stratum is NULL"))
+    val literalNull = Seq((20002L, "null", "y")).toDF("doc_id", "lang", "text")
+    sink(literalNull, 3L) // the string "null" is a perfectly good stratum
   }
 
   test("lineDedupSink: batch parity, cross-batch first-seen-wins, replay, compaction") {
