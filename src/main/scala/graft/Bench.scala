@@ -17,9 +17,9 @@ object Bench {
     // print hasn't happened — so a driver `timeout` SIGTERM mid-bench still
     // yields ONE parseable line on stdout (round 6 was zeroed by exactly
     // this failure mode: all output held until the end, rc=124 → no data).
-    // (name, seconds, start offset from measurement t0, probe ms)
+    // (name, seconds, start offset from measurement t0, probe ms, parallel probe ms)
     val results =
-      new java.util.concurrent.ConcurrentLinkedQueue[(String, Double, Double, Double)]()
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Double, Double, Double, Double)]()
     val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     @volatile var warmFails = 0
     @volatile var startupSec = -1.0 // set once the session is up
@@ -29,18 +29,23 @@ object Bench {
       if (!finalPrinted) {
         import scala.jdk.CollectionConverters._
         val rs = results.asScala.toSeq.sortBy(_._1)
-        val qs = rs.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+        val qs = rs.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
         // Contention legibility (the single-shot times are otherwise
         // unfalsifiable against host steal): per-query start offsets
-        // locate any slow band in wall-clock, and probe_ms is a FIXED
-        // cpu-bound spin measured immediately before each query — its
-        // inflation during a band is direct evidence of external
-        // contention, while flat probes under slow queries point at the
-        // queries themselves.
-        val starts = rs.map { case (k, _, s, _) => f""""$k":$s%.2f""" }
+        // locate any slow band in wall-clock; probe_ms is a FIXED
+        // single-threaded cpu spin measured immediately before each query
+        // (inflation = the core itself is stolen); pprobe_ms runs the
+        // same spin on EVERY core at once and reports the slowest —
+        // inflation with a flat probe_ms means the host's PARALLEL
+        // capacity is oversubscribed (co-tenant steal), the mode that
+        // slows 32-thread queries while single-thread spins stay clean.
+        // Flat both under a slow band = the queries own their numbers.
+        val starts = rs.map { case (k, _, s, _, _) => f""""$k":$s%.2f""" }
           .mkString("{", ",", "}")
-        val probes = rs.map { case (k, _, _, p) => f""""$k":$p%.2f""" }
+        val probes = rs.map { case (k, _, _, p, _) => f""""$k":$p%.2f""" }
+          .mkString("{", ",", "}")
+        val pprobes = rs.map { case (k, _, _, _, pp) => f""""$k":$pp%.2f""" }
           .mkString("{", ",", "}")
         val failSeq = failed.asScala.toSeq.sorted
         val fails = failSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -58,7 +63,7 @@ object Bench {
           s""""methodology":"steady-state","startup_sec":$startupSec,""" +
           s""""completed":${rs.size - failSeq.size},"measured":${rs.size},""" +
           s""""expected":$expected,"partial":$partial,""" +
-          s""""starts_sec":$starts,"probe_ms":$probes,""" +
+          s""""starts_sec":$starts,"probe_ms":$probes,"pprobe_ms":$pprobes,""" +
           s""""failed_queries":$fails,"warmup_failures":$warmFails}"""
         println(line)
         System.out.flush()
@@ -141,18 +146,37 @@ object Bench {
     // single-threaded cpu spin (~few ms) right before each query — probe
     // inflation over a band = external contention; flat probes = the
     // queries own their numbers.
-    def spinProbe(): Double = {
-      val t0 = System.nanoTime()
+    def spin(): Long = {
       var s = 0L
       var i = 0
       while (i < (1 << 22)) { s += i * 2654435761L; i += 1 }
-      if (s == 42L) System.err.println("") // defeat dead-code elimination
+      s
+    }
+    def spinProbe(): Double = {
+      val t0 = System.nanoTime()
+      if (spin() == 42L) System.err.println("") // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e6
     }
-    spinProbe() // JIT-warm the probe itself before the first measurement
+    // Parallel probe: the same spin on EVERY core at once; report the
+    // slowest thread's wall. A reused pool so thread startup isn't in the
+    // measurement after the first call.
+    val nProbeThreads = Runtime.getRuntime.availableProcessors()
+    val probePool = java.util.concurrent.Executors.newFixedThreadPool(nProbeThreads)
+    def parallelProbe(): Double = {
+      import scala.jdk.CollectionConverters._
+      val t0 = System.nanoTime()
+      val tasks = Seq.fill(nProbeThreads)(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = spin()
+      }).asJava
+      val rs = probePool.invokeAll(tasks).asScala.map(_.get())
+      if (rs.sum == 42L) System.err.println("")
+      (System.nanoTime() - t0) / 1e6
+    }
+    spinProbe(); parallelProbe() // JIT-warm the probes before measuring
     val measureT0 = System.nanoTime()
     catalog.foreach { case (name, fn) =>
       val probeMs = spinProbe()
+      val pprobeMs = parallelProbe()
       val startOff = (System.nanoTime() - measureT0) / 1e9
       val t0 = System.nanoTime()
       // A measured-run failure still records elapsed time (the driver's
@@ -165,9 +189,10 @@ object Bench {
           System.err.println(s"[bench] MEASURED $name failed: ${String.valueOf(t).take(200)}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      results.add((name, sec, startOff, probeMs))
+      results.add((name, sec, startOff, probeMs, pprobeMs))
       System.err.println(f"[bench] $name $sec%.2fs (${results.size}/$expected)")
     }
+    probePool.shutdown()
     emit(partial = false)
     spark.stop()
   }
