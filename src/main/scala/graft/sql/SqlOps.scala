@@ -357,6 +357,46 @@ object SqlOps {
     * `leftCols` = the left table's output columns (SQL generators can't
     * introspect schemas); `rightVals` = the right columns to carry.
     */
+  /** SQL twin of [[graft.ops.Graph.pageRank]] (sinks-absorb default):
+    * `iters` synchronous rounds of the simplified update, UNROLLED into a
+    * chain of CTEs — one per round. Spark's `WITH RECURSIVE` cannot spell
+    * the per-round aggregation (recursive references are rejected inside
+    * aggregates, INVALID_RECURSIVE_REFERENCE.PLACE — verified on this
+    * build), and unrolling is exactly what the Column operator's lazy
+    * composition does anyway: each round references the previous once, so
+    * the plan is LINEAR in `iters` and Catalyst sees the same shape a
+    * notebook would get from the API. Per round: edge⋈ranks⋈outdeg →
+    * per-dst sum, LEFT JOIN back to the node set so rankless nodes hold
+    * the (1-d)/n floor. Round `rank` downstream when comparing across
+    * engines (float sum order).
+    */
+  def pageRankSql(edges: String, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85): String = {
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    require(damping >= 0.0 && damping <= 1.0, s"damping must be in [0,1], got $damping")
+    val (sc, dc) = (bt(srcCol), bt(dstCol))
+    val base = (1.0 - damping).toString
+    val rounds = (1 to iters).map { i =>
+      s"""_pr$i AS (SELECT n.node,
+         |    ${base}d / (SELECT n FROM _nn)
+         |      + ${damping}d * coalesce(c._contrib, 0.0d) AS rank
+         |  FROM _nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.rank / d.outdeg) AS _contrib
+         |    FROM _e e JOIN _pr${i - 1} p ON e.src = p.node
+         |    JOIN _deg d ON d.src = e.src
+         |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+    }
+    (Seq(
+      s"""WITH _e AS (SELECT DISTINCT $sc AS src, $dc AS dst FROM $edges),
+         |_nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM _e UNION ALL SELECT dst FROM _e)),
+         |_nn AS (SELECT cast(count(*) AS DOUBLE) AS n FROM _nodes),
+         |_deg AS (SELECT src, cast(count(*) AS DOUBLE) AS outdeg FROM _e GROUP BY src),
+         |_pr0 AS (SELECT node, 1.0d / (SELECT n FROM _nn) AS rank FROM _nodes)""".stripMargin
+    ) ++ rounds).mkString(",\n") +
+      s"\nSELECT node, rank FROM _pr$iters"
+  }
+
   def asofJoinSql(left: String, right: String, key: String,
       leftTs: String, rightTs: String,
       leftCols: Seq[String], rightVals: Seq[String]): String = {
