@@ -442,6 +442,32 @@ object TextQueries {
         .orderBy(col("source_a"), col("source_b"))
     },
 
+    // ---- q84: per-source adaptive quality cutoff ----
+    // A single corpus-wide quality threshold over-prunes clean sources and
+    // under-prunes noisy ones (their score distributions differ), so
+    // production curation sets the cutoff PER SOURCE: here, drop each
+    // source's bottom quartile. Scale shape: scores on qualityGrid's
+    // tie-free integer grid (one map pass); per-source p25 via
+    // approx_percentile — a bounded Greenwald-Khanna summary per source
+    // (q54's discipline: at accuracy >= group size it returns the exact
+    // discrete percentile, matching DuckDB quantile_disc value-for-value,
+    // which keeps this hash-checkable at test SF while staying the
+    // operator that scales — an exact per-source percentile would buffer
+    // every group value); cutoffs are catalog-sized → broadcast join-back,
+    // one shuffle total (the percentile agg), no window anywhere.
+    "q84_quality_cutoff" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TF.qualityGrid(col("text")).cast("long").as("quality_grid"))
+      val cuts = docs.groupBy(col("source"))
+        .agg(expr("approx_percentile(quality_grid, 0.25, 10000000)")
+          .as("cutoff_grid"))
+      docs.join(broadcast(cuts), Seq("source"))
+        .filter(col("quality_grid") >= col("cutoff_grid"))
+        .select(col("doc_id"), col("source"), col("quality_grid"), col("cutoff_grid"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q74: corpus-trained bigram LM score (perplexity-filter shape) ----
     // The CCNet-style quality signal without an external model: train the
     // bigram MLE on the corpus ITSELF (c(w1 w2) / c(w1 ·) over occurrence
@@ -854,6 +880,24 @@ object TextQueries {
          FROM pairs p JOIN cnt ca ON p.source_a = ca.source
          JOIN cnt cb ON p.source_b = cb.source
          ORDER BY 1, 2""",
+
+    // quality formula mirrors q24's oracle term-for-term; the tie-free
+    // integer grid (floor(score*1e4 + 0.5)) is qualityGrid's spelling, and
+    // quantile_disc == approx_percentile in its exact regime (q54's note).
+    "q84_quality_cutoff" ->
+      s"""WITH tk AS (SELECT doc_id, source, text, $TOKS AS toks FROM documents),
+         q AS (SELECT doc_id, source,
+             CAST(floor((least(1.0, len(toks) / 100.0) * 0.5
+               + (len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / len(text)) * 0.3
+               + (1.0 - len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / len(text)) * 0.2)
+               * 10000 + 0.5) AS BIGINT) AS quality_grid
+           FROM tk),
+         c AS (SELECT source, quantile_disc(quality_grid, 0.25) AS cutoff_grid
+           FROM q GROUP BY source)
+         SELECT q.doc_id, q.source, q.quality_grid, c.cutoff_grid
+         FROM q JOIN c USING (source)
+         WHERE q.quality_grid >= c.cutoff_grid
+         ORDER BY q.doc_id""",
 
     "q74_bigram_logprob" ->
       s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),

@@ -154,6 +154,18 @@ class PlanSpec extends SparkSpec {
     assert(gens == 2, s"expected 2 corpus explodes (agg build + join probe), found $gens")
   }
 
+  test("q84 quality cutoff: broadcast join-back, no window, one aggregation shuffle") {
+    val p = plan("q84_quality_cutoff")
+    assert(!p.contains("CartesianProduct"), s"quality cutoff must not cross:\n$p")
+    // The per-source cutoff is an aggregation (bounded GK summary per
+    // source, map-side partial), never a per-source window — a window
+    // would sort every source's documents in one task.
+    assert(!p.contains("Window"),
+      s"quality cutoff must not use a window (per-source sort at scale):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"catalog-sized cutoffs must broadcast back:\n$p")
+  }
+
   test("q76 co-purchase: capped map-side expansion, top-N without a global sort") {
     val p = plan("q76_copurchase")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
