@@ -442,6 +442,29 @@ object TextQueries {
         .orderBy(col("source_a"), col("source_b"))
     },
 
+    // ---- q85: corpus-global boilerplate n-gram heavy hitters ----
+    // The diagnostic mined BEFORE line/chunk dedup (q82/q72): which exact
+    // 8-token grams recur across the most documents — nav chrome, license
+    // headers, templated sections surface at the top, and the list guides
+    // what the dedup passes should expect to remove. Complements q83 (the
+    // same statistic at source-PAIR grain). Scale shape: one tokenize
+    // pass → distinct (doc, gram) (document frequency, not occurrence
+    // count — a gram repeated inside one doc is q70's business, not
+    // boilerplate) → per-gram count (map-side partial; a corpus-hot gram
+    // shrinks before the shuffle, the q82 discipline) → top-25 with a
+    // full deterministic tiebreak, planned as TakeOrderedAndProject (no
+    // global sort).
+    "q85_boilerplate_grams" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TF.wordNgrams(TF.tokens(col("text")), 8)).as("gram"))
+        .distinct()
+        .groupBy(col("gram")).agg(count(lit(1)).as("doc_freq"))
+        .filter(col("doc_freq") >= 2)
+        .orderBy(col("doc_freq").desc, col("gram"))
+        .limit(25)
+    },
+
     // ---- q84: per-source adaptive quality cutoff ----
     // A single corpus-wide quality threshold over-prunes clean sources and
     // under-prunes noisy ones (their score distributions differ), so
@@ -898,6 +921,16 @@ object TextQueries {
          FROM q JOIN c USING (source)
          WHERE q.quality_grid >= c.cutoff_grid
          ORDER BY q.doc_id""",
+
+    "q85_boilerplate_grams" ->
+      s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         g AS (SELECT DISTINCT doc_id, gram FROM (
+           SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+             THEN [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks) - 6)]
+             ELSE [] END) AS gram FROM tk))
+         SELECT gram, count(*)::BIGINT AS doc_freq
+         FROM g GROUP BY 1 HAVING count(*) >= 2
+         ORDER BY doc_freq DESC, gram LIMIT 25""",
 
     "q74_bigram_logprob" ->
       s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
