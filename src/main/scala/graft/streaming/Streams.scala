@@ -486,6 +486,88 @@ object Streams {
   def readMixtureKept(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/kept").drop("batch_id")
 
+  /** s16: streaming per-source adaptive quality cutoff — the streaming
+    * face of q84, exact at any corpus scale because the state is a
+    * BOUNDED EXACT sketch: quality lives on qualityGrid's integer grid
+    * (0..10000), so the per-source score distribution is a histogram of
+    * at most 10001 rows per source regardless of how many documents
+    * streamed through — the same trick that makes s09's gold partials
+    * mergeable. `hist/` logs (batch_id, source, quality_grid, n)
+    * partials; each batch folds the CUMULATIVE histogram, derives each
+    * source's p-quantile cutoff from the running counts, and gates its
+    * own rows.
+    *
+    * The cutoff rule is pinned to `approx_percentile`'s exact regime
+    * (verified empirically on this build, PropertySpec-pinned against
+    * randomized data): the value at 1-indexed rank `ceil(q·n)` of the
+    * sorted values = the smallest grid whose cumulative count reaches
+    * that rank. The per-source running sum is a window over the
+    * HISTOGRAM — partition size <= 10001 BY CONSTRUCTION (grid width,
+    * not corpus size), the one place a window is scale-safe without
+    * argument. Default q=0.25 is exactly representable in binary, so
+    * `ceil(q*n)` can't round a ulp apart from the batch operator.
+    *
+    * Semantics match [[mixtureSink]]: cutoffs evolve with the observed
+    * distribution; a batch is gated by the distribution up to and
+    * including itself, earlier batches are not retro-gated (append-only
+    * logs). Single-batch stream == q84 exactly (parity-pinned).
+    * Replay-idempotent: the prior-histogram read excludes the current
+    * batch_id; both logs dynamically overwrite their own partition.
+    * `hist/` partials are sum-mergeable and compactable.
+    */
+  def qualityCutoffSink(spark: SparkSession, stateDir: String,
+      idCol: String = "doc_id", sourceCol: String = "source",
+      textCol: String = "text", q: Double = 0.25)(
+      batch: DataFrame, batchId: Long): Unit = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
+    if (batch.isEmpty) return // empty-batch discipline: write nothing
+    val scored = batch.select(col(idCol), col(sourceCol),
+      graft.text.TextFunctions.qualityGrid(col(textCol)).cast("long")
+        .as("quality_grid"))
+    val batchHist = scored.groupBy(col(sourceCol), col("quality_grid"))
+      .agg(count(lit(1)).as("n")).cache()
+    val prior = graft.sources.Sources.parquetIfExists(spark, s"$stateDir/hist")
+      .map { st =>
+        require(st.columns.contains("batch_id"),
+          s"quality histogram at $stateDir/hist lacks the batch_id partition column")
+        st.filter(col("batch_id") =!= batchId)
+      }
+      .filter(!_.isEmpty)
+    val cumulative = prior match {
+      case None => batchHist
+      case Some(p) =>
+        batchHist.unionByName(p.select(col(sourceCol), col("quality_grid"), col("n")))
+          .groupBy(col(sourceCol), col("quality_grid")).agg(sum(col("n")).as("n"))
+    }
+    // Smallest grid whose running count reaches rank ceil(q·total): the
+    // window partition is one source's HISTOGRAM (<= 10001 rows).
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col("quality_grid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(sourceCol))
+    val cutoffs = cumulative
+      .withColumn("_cum", sum(col("n")).over(wCum))
+      .withColumn("_rank", ceil(lit(q) * sum(col("n")).over(wAll)))
+      .filter(col("_cum") >= col("_rank"))
+      .groupBy(col(sourceCol)).agg(min(col("quality_grid")).as("cutoff_grid"))
+    val kept = scored
+      .join(broadcast(cutoffs), Seq(sourceCol))
+      .filter(col("quality_grid") >= col("cutoff_grid"))
+      .select(col(idCol), col(sourceCol), col("quality_grid"), col("cutoff_grid"))
+    if (!kept.isEmpty)
+      graft.sources.Sinks.dynamicOverwrite(
+        kept.withColumn("batch_id", lit(batchId)),
+        s"$stateDir/kept", Seq("batch_id"))
+    graft.sources.Sinks.dynamicOverwrite(
+      batchHist.withColumn("batch_id", lit(batchId)),
+      s"$stateDir/hist", Seq("batch_id"))
+    batchHist.unpersist()
+  }
+
+  /** Kept rows accumulated by [[qualityCutoffSink]]. */
+  def readQualityKept(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/kept").drop("batch_id")
+
   /** s14: streaming line-level exact dedup — the streaming face of q82
     * ([[graft.text.LineDedup]]): corpus-wide FIRST-SEEN-WINS at line
     * grain, incrementally. Each batch marks its lines batch-locally

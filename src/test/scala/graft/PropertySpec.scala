@@ -552,4 +552,24 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("histogram rank rule == approx_percentile exact regime (the s16/q84 contract)") {
+    // qualityCutoffSink derives each source's cutoff from a cumulative
+    // histogram as "the value at 1-indexed rank ceil(q·n)"; q84 uses
+    // approx_percentile at full accuracy. These must be THE SAME function
+    // on every distribution — heavy ties, single values, all-equal runs —
+    // for every quantile the sink might be configured with.
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 8; qv <- Seq(0.25, 0.5, 0.75)) {
+      val n = 1 + rnd.nextInt(400)
+      val ties = 1 + rnd.nextInt(30) // small value domain → heavy ties
+      val vals = Seq.fill(n)(rnd.nextInt(ties).toLong)
+      val viaAp = vals.toDF("v")
+        .agg(expr(s"approx_percentile(v, $qv, 1000000)")).as[Long].head()
+      val rank = math.ceil(qv * n).toLong.max(1L)
+      val viaRank = vals.sorted.apply((rank - 1).toInt)
+      assert(viaAp == viaRank,
+        s"n=$n q=$qv ties=$ties: approx_percentile=$viaAp rank-rule=$viaRank")
+    }
+  }
 }

@@ -640,6 +640,56 @@ class StreamingSpec extends SparkSpec {
     sink(literalNull, 3L) // the string "null" is a perfectly good stratum
   }
 
+  test("qualityCutoffSink: q84 parity, replay, cumulative cutoffs, compaction") {
+    val dir = Files.createTempDirectory("qcut_stream").toFile.getAbsolutePath
+    val sink = Streams.qualityCutoffSink(spark, s"$dir/state") _
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    sink(docs, 0L)
+    sink(docs, 0L) // replay after a simulated post-write failure
+    def kept = Streams.readQualityKept(spark, s"$dir/state")
+      .select("doc_id").as[Long].collect().toSet
+    // Single-batch stream == the batch operator: same kept set AND the
+    // same per-source cutoffs (the histogram rank rule vs approx_percentile).
+    val batchQ84 = SparkEntry.queries("q84_quality_cutoff")(spark, sfDir)
+    val batchKept = batchQ84.select("doc_id").as[Long].collect().toSet
+    assert(kept == batchKept, s"stream ${kept.size} != batch ${batchKept.size}")
+    val streamCuts = Streams.readQualityKept(spark, s"$dir/state")
+      .select("source", "cutoff_grid").distinct()
+      .as[(String, Long)].collect().toMap
+    val batchCuts = batchQ84.select("source", "cutoff_grid").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(streamCuts == batchCuts, s"cutoffs diverge: $streamCuts vs $batchCuts")
+    // replay must not double-fold the histogram partials
+    val total = spark.read.parquet(s"$dir/state/hist")
+      .agg(sum("n")).as[Long].head()
+    assert(total == docs.count(), s"hist log double-folded: $total")
+    // Batch 1 gates by the CUMULATIVE distribution (batch 0 + itself):
+    // expected = approx_percentile cutoffs over the union, applied to
+    // batch 1's rows only; earlier batches stay as written.
+    val scored = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("doc_id"), col("source"),
+        graft.text.TextFunctions.qualityGrid(col("text")).cast("long")
+          .as("quality_grid"))
+    val b1 = (0 until 60).map(i =>
+      (90000L + i, if (i % 2 == 0) "src0" else "src1",
+        "the quick brown fox jumps over the lazy dog and keeps going " * (1 + i % 3)))
+      .toDF("doc_id", "source", "text")
+    sink(b1, 1L)
+    val cumCuts = scored(docs).unionByName(scored(b1))
+      .groupBy(col("source"))
+      .agg(expr("approx_percentile(quality_grid, 0.25, 10000000)").as("cutoff_grid"))
+    val expectB1 = scored(b1).join(cumCuts, Seq("source"))
+      .filter(col("quality_grid") >= col("cutoff_grid"))
+      .select("doc_id").as[Long].collect().toSet
+    val b1Kept = spark.read.parquet(s"$dir/state/kept")
+      .filter(col("batch_id") === 1L).select("doc_id").as[Long].collect().toSet
+    assert(b1Kept == expectB1, s"batch-1 gate wrong: ${b1Kept.size} vs ${expectB1.size}")
+    assert(kept == batchKept ++ b1Kept, "earlier batches were retro-gated")
+    // kept log compacts like every other batch log
+    assert(Streams.compactBatchLog(spark, s"$dir/state/kept", keepLast = 1))
+    assert(kept == batchKept ++ b1Kept, "compaction must not change the kept set")
+  }
+
   test("lineDedupSink: batch parity, cross-batch first-seen-wins, replay, compaction") {
     val dir = Files.createTempDirectory("linededup_stream").toFile.getAbsolutePath
     val sink = Streams.lineDedupSink(spark, s"$dir/state") _
