@@ -357,6 +357,45 @@ object SqlOps {
     * `leftCols` = the left table's output columns (SQL generators can't
     * introspect schemas); `rightVals` = the right columns to carry.
     */
+  /** SQL twin of q84's per-source adaptive quality cutoff: scores on the
+    * tie-free integer grid (`graft_quality`'s value on qualityGrid's
+    * `floor(score·1e4 + 0.5)` spelling), per-source p-quantile via
+    * `approx_percentile` in its exact regime, catalog-sized cutoffs
+    * broadcast back. Needs `graft_quality` ([[SqlFunctions.register]]).
+    */
+  def qualityCutoffSql(table: String, idCol: String, sourceCol: String,
+      textCol: String, q: Double = 0.25): String = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
+    val (id, src, txt) = (bt(idCol), bt(sourceCol), bt(textCol))
+    s"""WITH _q AS (SELECT $id, $src,
+       |    CAST(floor(graft_quality($txt) * 10000 + 0.5) AS BIGINT) AS quality_grid
+       |  FROM $table),
+       |_c AS (SELECT $src, approx_percentile(quality_grid, $q, 10000000)
+       |    AS cutoff_grid
+       |  FROM _q GROUP BY $src)
+       |SELECT /*+ BROADCAST(_c) */ _q.$id, _q.$src, _q.quality_grid, _c.cutoff_grid
+       |FROM _q JOIN _c ON _q.$src = _c.$src
+       |WHERE _q.quality_grid >= _c.cutoff_grid""".stripMargin
+  }
+
+  /** SQL twin of q85's corpus-global boilerplate heavy hitters: top
+    * `topN` exact `n`-token grams by DOCUMENT frequency, full
+    * deterministic tiebreak, TakeOrderedAndProject shape. Needs
+    * `graft_tokens`/`graft_word_ngrams`.
+    */
+  def boilerplateGramsSql(table: String, idCol: String, textCol: String,
+      n: Int = 8, minDocFreq: Long = 2L, topN: Int = 25): String = {
+    require(n >= 1 && topN >= 1 && minDocFreq >= 1, s"bad knobs: n=$n topN=$topN minDocFreq=$minDocFreq")
+    val (id, txt) = (bt(idCol), bt(textCol))
+    s"""WITH _a AS (SELECT $id, graft_word_ngrams(graft_tokens($txt), $n) AS _grams
+       |  FROM $table),
+       |_g0 AS (SELECT $id, explode(_grams) AS gram FROM _a),
+       |_g AS (SELECT DISTINCT $id, gram FROM _g0)
+       |SELECT gram, count(*) AS doc_freq
+       |FROM _g GROUP BY gram HAVING count(*) >= $minDocFreq
+       |ORDER BY doc_freq DESC, gram LIMIT $topN""".stripMargin
+  }
+
   /** SQL twin of [[graft.ops.Graph.pageRank]] (sinks-absorb default):
     * `iters` synchronous rounds of the simplified update, UNROLLED into a
     * chain of CTEs — one per round. Spark's `WITH RECURSIVE` cannot spell

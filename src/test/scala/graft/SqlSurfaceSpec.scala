@@ -297,6 +297,16 @@ class SqlSurfaceSpec extends SparkSpec {
     assertSame(viaSql, viaCol, "source overlap", samePlan = false)
   }
 
+  test("SqlOps.qualityCutoffSql == q84 (rows); boilerplateGramsSql == q85 (rows)") {
+    registered
+    val viaSql84 = spark.sql(SqlOps.qualityCutoffSql("documents", "doc_id", "source", "text"))
+    val viaCol84 = SparkEntry.queries("q84_quality_cutoff")(spark, sfDir)
+    assertSame(viaSql84, viaCol84, "quality cutoff", samePlan = false)
+    val viaSql85 = spark.sql(SqlOps.boilerplateGramsSql("documents", "doc_id", "text"))
+    val viaCol85 = SparkEntry.queries("q85_boilerplate_grams")(spark, sfDir)
+    assertSame(viaSql85, viaCol85, "boilerplate grams", samePlan = false)
+  }
+
   test("SqlOps.pageRankSql == Graph.pageRank (rows at round-8 precision)") {
     registered
     val edges = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
