@@ -154,6 +154,14 @@ class PlanSpec extends SparkSpec {
     assert(gens == 2, s"expected 2 corpus explodes (agg build + join probe), found $gens")
   }
 
+  test("q85 boilerplate grams: top-N without a global sort, no cartesian") {
+    val p = plan("q85_boilerplate_grams")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate grams must stay scan->agg->topN:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N must plan per-partition (no global sort):\n$p")
+  }
+
   test("q84 quality cutoff: broadcast join-back, no window, one aggregation shuffle") {
     val p = plan("q84_quality_cutoff")
     assert(!p.contains("CartesianProduct"), s"quality cutoff must not cross:\n$p")
