@@ -41,11 +41,16 @@ object Bench {
         // capacity is oversubscribed (co-tenant steal), the mode that
         // slows 32-thread queries while single-thread spins stay clean.
         // Flat both under a slow band = the queries own their numbers.
-        val starts = rs.map { case (k, _, s, _, _) => f""""$k":$s%.2f""" }
+        // Locale.ROOT, NOT the f interpolator: default-locale %.2f prints
+        // a comma decimal separator on comma-decimal JVMs and corrupts
+        // the one machine-read JSON line this file exists to protect.
+        def f2(d: Double): String =
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+        val starts = rs.map { case (k, _, s, _, _) => s""""$k":${f2(s)}""" }
           .mkString("{", ",", "}")
-        val probes = rs.map { case (k, _, _, p, _) => f""""$k":$p%.2f""" }
+        val probes = rs.map { case (k, _, _, p, _) => s""""$k":${f2(p)}""" }
           .mkString("{", ",", "}")
-        val pprobes = rs.map { case (k, _, _, _, pp) => f""""$k":$pp%.2f""" }
+        val pprobes = rs.map { case (k, _, _, _, pp) => s""""$k":${f2(pp)}""" }
           .mkString("{", ",", "}")
         val failSeq = failed.asScala.toSeq.sorted
         val fails = failSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -160,8 +165,14 @@ object Bench {
     // Parallel probe: the same spin on EVERY core at once; report the
     // slowest thread's wall. A reused pool so thread startup isn't in the
     // measurement after the first call.
+    // Daemon threads: a throwable unwinding main between pool creation and
+    // shutdown must not leave non-daemon probe threads holding the JVM
+    // open until the driver's timeout (the zeroed-round failure mode the
+    // shutdown hook exists to prevent).
     val nProbeThreads = Runtime.getRuntime.availableProcessors()
-    val probePool = java.util.concurrent.Executors.newFixedThreadPool(nProbeThreads)
+    val probePool = java.util.concurrent.Executors.newFixedThreadPool(
+      nProbeThreads,
+      (r: Runnable) => { val t = new Thread(r, "bench-probe"); t.setDaemon(true); t })
     def parallelProbe(): Double = {
       import scala.jdk.CollectionConverters._
       val t0 = System.nanoTime()

@@ -26,6 +26,28 @@ object TextQueries {
     * the catalog outgrew it — the worst failure mode for a diagnostic
     * operator (wrong-but-plausible numbers).
     */
+  /** q84's body, factored for direct testing: per-source adaptive quality
+    * cutoff — drop each source's bottom `q`-quantile by qualityGrid score.
+    * A NULL source fails fast (the mixture-family discipline): the
+    * equality join-back would otherwise silently drop its rows while its
+    * histogram still participated — assign or quarantine upstream. The
+    * guard rides the scored projection (consumed downstream, unprunable).
+    */
+  def qualityCutoff(docs: DataFrame, q: Double = 0.25): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
+    val scored = docs.select(col("doc_id"),
+      when(col("source").isNull, raise_error(lit(
+          "quality_cutoff: source is NULL — assign or quarantine upstream")))
+        .otherwise(col("source")).as("source"),
+      TF.qualityGrid(col("text")).cast("long").as("quality_grid"))
+    val cuts = scored.groupBy(col("source"))
+      .agg(expr(s"approx_percentile(quality_grid, $q, 10000000)")
+        .as("cutoff_grid"))
+    scored.join(broadcast(cuts), Seq("source"))
+      .filter(col("quality_grid") >= col("cutoff_grid"))
+      .select(col("doc_id"), col("source"), col("quality_grid"), col("cutoff_grid"))
+  }
+
   def sourceOverlap(docs: DataFrame): DataFrame = {
     val g = docs
       .select(col("source"),
@@ -479,16 +501,7 @@ object TextQueries {
     // every group value); cutoffs are catalog-sized → broadcast join-back,
     // one shuffle total (the percentile agg), no window anywhere.
     "q84_quality_cutoff" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          TF.qualityGrid(col("text")).cast("long").as("quality_grid"))
-      val cuts = docs.groupBy(col("source"))
-        .agg(expr("approx_percentile(quality_grid, 0.25, 10000000)")
-          .as("cutoff_grid"))
-      docs.join(broadcast(cuts), Seq("source"))
-        .filter(col("quality_grid") >= col("cutoff_grid"))
-        .select(col("doc_id"), col("source"), col("quality_grid"), col("cutoff_grid"))
-        .orderBy(col("doc_id"))
+      qualityCutoff(Tables.documents(s, d)).orderBy(col("doc_id"))
     },
 
     // ---- q74: corpus-trained bigram LM score (perplexity-filter shape) ----

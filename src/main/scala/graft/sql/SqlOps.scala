@@ -277,6 +277,16 @@ object SqlOps {
     * deterministic tiebreak. The ORDER BY + LIMIT plans as
     * TakeOrderedAndProject — per-partition top-N, no global sort.
     */
+  /** The C(n,2) ordered-pair expansion over a sorted set column — ONE
+    * definition of [[graft.ops.Baskets.pairs]]' map-side expansion shared
+    * by [[copurchaseTopNSql]] and [[sourceOverlapSql]], so the 1-based
+    * slice arithmetic can't drift between spellings.
+    */
+  private def pairExpansionSql(psCol: String, aName: String, bName: String): String =
+    s"""explode(flatten(transform($psCol, (a, i) ->
+       |    transform(slice($psCol, i + 2, size($psCol)),
+       |      b -> struct(a AS $aName, b AS $bName)))))""".stripMargin
+
   def copurchaseTopNSql(table: String, basketCol: String, itemCol: String,
       topN: Int, maxBasket: Int = 256): String = {
     require(topN >= 1, s"topN must be positive, got $topN")
@@ -285,9 +295,7 @@ object SqlOps {
     s"""WITH _b AS (SELECT $bk,
        |    slice(array_sort(collect_set($it)), 1, $maxBasket) AS _ps
        |  FROM $table GROUP BY $bk),
-       |_p AS (SELECT explode(flatten(transform(_ps, (a, i) ->
-       |    transform(slice(_ps, i + 2, size(_ps)),
-       |      b -> struct(a AS item_a, b AS item_b))))) AS _pr
+       |_p AS (SELECT ${pairExpansionSql("_ps", "item_a", "item_b")} AS _pr
        |  FROM _b)
        |SELECT _pr.item_a AS item_a, _pr.item_b AS item_b,
        |  count(*) AS n_baskets
@@ -320,9 +328,7 @@ object SqlOps {
        |_c AS (SELECT _src, count(*) AS _n FROM _g GROUP BY _src),
        |_b AS (SELECT _gram, array_sort(collect_set(_src)) AS _ps
        |  FROM _g GROUP BY _gram),
-       |_p AS (SELECT explode(flatten(transform(_ps, (a, i) ->
-       |    transform(slice(_ps, i + 2, size(_ps)),
-       |      b -> struct(a AS sa, b AS sb))))) AS _pr
+       |_p AS (SELECT ${pairExpansionSql("_ps", "sa", "sb")} AS _pr
        |  FROM _b),
        |_n AS (SELECT _pr.sa AS source_a, _pr.sb AS source_b,
        |    count(*) AS n_shared
@@ -367,7 +373,10 @@ object SqlOps {
       textCol: String, q: Double = 0.25): String = {
     require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
     val (id, src, txt) = (bt(idCol), bt(sourceCol), bt(textCol))
-    s"""WITH _q AS (SELECT $id, $src,
+    s"""WITH _q AS (SELECT $id,
+       |    CASE WHEN $src IS NULL THEN raise_error(
+       |      'quality_cutoff: source is NULL — assign or quarantine upstream')
+       |    ELSE $src END AS $src,
        |    CAST(floor(graft_quality($txt) * 10000 + 0.5) AS BIGINT) AS quality_grid
        |  FROM $table),
        |_c AS (SELECT $src, approx_percentile(quality_grid, $q, 10000000)

@@ -521,7 +521,13 @@ object Streams {
       batch: DataFrame, batchId: Long): Unit = {
     require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
     if (batch.isEmpty) return // empty-batch discipline: write nothing
-    val scored = batch.select(col(idCol), col(sourceCol),
+    // NULL source fails fast (the mixture-family discipline): the
+    // equality join-back below would silently drop its rows while its
+    // histogram still tightened nothing — same guard as batch q84.
+    val scored = batch.select(col(idCol),
+      when(col(sourceCol).isNull, raise_error(lit(
+          "quality_cutoff: source is NULL — assign or quarantine upstream")))
+        .otherwise(col(sourceCol)).as(sourceCol),
       graft.text.TextFunctions.qualityGrid(col(textCol)).cast("long")
         .as("quality_grid"))
     val batchHist = scored.groupBy(col(sourceCol), col("quality_grid"))

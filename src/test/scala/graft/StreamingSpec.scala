@@ -688,6 +688,17 @@ class StreamingSpec extends SparkSpec {
     // kept log compacts like every other batch log
     assert(Streams.compactBatchLog(spark, s"$dir/state/kept", keepLast = 1))
     assert(kept == batchKept ++ b1Kept, "compaction must not change the kept set")
+    // NULL source fails fast instead of silently dropping its rows at the
+    // equality join-back (the mixture-family discipline; batch twin below).
+    val nullSrc = Seq((30000L, null.asInstanceOf[String], "some text here"))
+      .toDF("doc_id", "source", "text")
+    val e = intercept[Throwable](sink(nullSrc, 9L))
+    assert(String.valueOf(e.getMessage).contains("source is NULL") ||
+      String.valueOf(e.getCause).contains("source is NULL"), s"wrong error: $e")
+    val eBatch = intercept[Throwable](
+      graft.queries.TextQueries.qualityCutoff(nullSrc).collect())
+    assert(String.valueOf(eBatch.getMessage).contains("source is NULL") ||
+      String.valueOf(eBatch.getCause).contains("source is NULL"), s"wrong error: $eBatch")
   }
 
   test("lineDedupSink: batch parity, cross-batch first-seen-wins, replay, compaction") {
