@@ -574,6 +574,25 @@ object Streams {
   def readQualityKept(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/kept").drop("batch_id")
 
+  /** [[compactBatchLog]] for the [[mixtureSink]] stratum-count partials:
+    * the refold is the partials' own merge algebra (sum per stratum), so
+    * cumulative totals — and therefore future thresholds — are unchanged
+    * (spec-pinned).
+    */
+  def compactMixtureCounts(spark: SparkSession, stateDir: String,
+      stratumCol: String = "lang", keepLast: Int = 1): Boolean =
+    compactBatchLog(spark, s"$stateDir/counts", keepLast, df =>
+      df.groupBy(col(stratumCol)).agg(sum(col("n")).as("n")))
+
+  /** [[compactBatchLog]] for the [[qualityCutoffSink]] histogram partials:
+    * refold = sum per (source, grid) — cumulative histograms, and
+    * therefore future cutoffs, are unchanged (spec-pinned).
+    */
+  def compactQualityHist(spark: SparkSession, stateDir: String,
+      sourceCol: String = "source", keepLast: Int = 1): Boolean =
+    compactBatchLog(spark, s"$stateDir/hist", keepLast, df =>
+      df.groupBy(col(sourceCol), col("quality_grid")).agg(sum(col("n")).as("n")))
+
   /** s14: streaming line-level exact dedup — the streaming face of q82
     * ([[graft.text.LineDedup]]): corpus-wide FIRST-SEEN-WINS at line
     * grain, incrementally. Each batch marks its lines batch-locally

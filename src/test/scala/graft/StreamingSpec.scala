@@ -629,6 +629,12 @@ class StreamingSpec extends SparkSpec {
     // kept log compacts like every other batch log
     assert(Streams.compactBatchLog(spark, s"$dir/state/kept", keepLast = 1))
     assert(kept == batchKept ++ b1Kept, "compaction must not change the kept set")
+    // ...and the counts log refolds by its own merge algebra: cumulative
+    // totals (the threshold inputs) are identical after compaction.
+    assert(Streams.compactMixtureCounts(spark, s"$dir/state", keepLast = 1))
+    val refolded = spark.read.parquet(s"$dir/state/counts")
+      .groupBy("lang").agg(sum("n").as("n")).as[(String, Long)].collect().toMap
+    assert(refolded == cum, s"counts refold drifted: $refolded vs $cum")
     // A NULL stratum fails fast instead of silently tightening every
     // named stratum's threshold (via nMin) while its own rows drop —
     // and a stratum literally named "null" must NOT be confused with it.
@@ -688,6 +694,16 @@ class StreamingSpec extends SparkSpec {
     // kept log compacts like every other batch log
     assert(Streams.compactBatchLog(spark, s"$dir/state/kept", keepLast = 1))
     assert(kept == batchKept ++ b1Kept, "compaction must not change the kept set")
+    // ...and the histogram log refolds by its own merge algebra: the
+    // cumulative histogram (the cutoff input) is identical after.
+    val histBefore = spark.read.parquet(s"$dir/state/hist")
+      .groupBy("source", "quality_grid").agg(sum("n").as("n"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(Streams.compactQualityHist(spark, s"$dir/state", keepLast = 1))
+    val histAfter = spark.read.parquet(s"$dir/state/hist")
+      .groupBy("source", "quality_grid").agg(sum("n").as("n"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(histAfter == histBefore, "hist refold drifted")
     // NULL source fails fast instead of silently dropping its rows at the
     // equality join-back (the mixture-family discipline; batch twin below).
     val nullSrc = Seq((30000L, null.asInstanceOf[String], "some text here"))
