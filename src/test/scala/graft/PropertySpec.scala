@@ -553,6 +553,28 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("graft_bin == #{splits <= v} on random splits/values incl. NaN/infinities") {
+    // The z-order rank-binning expression must agree with its one-line
+    // definition on every input class: interior values, exact split hits,
+    // below-first, above-last, ±Infinity, and NaN (Java compare order:
+    // above everything → top bin).
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 6) {
+      val splits = Seq.fill(1 + rnd.nextInt(40))(rnd.nextInt(1000) / 7.0)
+        .distinct.sorted
+      val vals = Seq.fill(200)(rnd.nextInt(1200) / 7.0 - 10.0) ++
+        Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+          splits.head, splits.last)
+      val got = vals.toDF("v")
+        .select(call_function("graft_bin", col("v"), lit(splits.toArray)).as("b"))
+        .as[Long].collect().toSeq
+      val want = vals.map(v =>
+        splits.count(s => java.lang.Double.compare(s, v) <= 0).toLong)
+      assert(got == want, s"splits=${splits.take(5)}...: first diff at " +
+        s"${got.zip(want).indexWhere(t => t._1 != t._2)}")
+    }
+  }
+
   test("histogram rank rule == approx_percentile exact regime (the s16/q84 contract)") {
     // qualityCutoffSink derives each source's cutoff from a cumulative
     // histogram as "the value at 1-indexed rank ceil(q·n)"; q84 uses
