@@ -357,13 +357,19 @@ object ExtQueries {
     },
 
     // ---- q52: windowed distribution: spend quartiles per segment ----
+    // ntile over (partition by c_mktsegment) hands each segment —
+    // corpus/5 rows for a 5-value key — to ONE task's sorted window
+    // buffer at scale, the q82 hot-key class. ops/Windows.ntileDistributed
+    // is the exact two-phase range-bucketed spelling (rank = bucket
+    // offset + within-bucket row_number; tile from Spark's ntile
+    // distribution), property-pinned equal to the window ntile.
     "q52_ntile" -> { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("c_mktsegment"))
-        .orderBy(col("c_acctbal").desc, col("c_custkey"))
-      Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_mktsegment"),
-          ntile(4).over(w).as("quartile"))
+      graft.ops.Windows.ntileDistributed(
+          Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+          Seq("c_mktsegment"), Seq(col("c_acctbal").desc, col("c_custkey")),
+          tiles = 4, tileCol = "quartile")
+        .select(col("c_custkey"), col("c_mktsegment"), col("quartile"))
         .orderBy(col("c_custkey"))
     },
 

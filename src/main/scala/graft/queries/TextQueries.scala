@@ -175,13 +175,21 @@ object TextQueries {
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+      // df via groupBy + join-back, NOT count().over(partition by tok): a
+      // stop-word's window partition is its POSTINGS LIST — corpus-doc-
+      // count-sized for "the" — one task's buffer at 100×. The aggregation
+      // partially combines map-side (hot tokens shrink before the
+      // shuffle); the join-back equi-join is AQE-skew-splittable. Same
+      // hazard class and same fix as q82's first-occurrence window; costs
+      // one extra recompute of the tf subtree (the documented q56 trade —
+      // caching it measured slower and is corpus-scale memory).
+      val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d)
         .filter(size(TF.tokens(col("text"))) > 0)
         .agg(count(lit(1)).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
-      tf.withColumn("df", count(lit(1)).over(wTok)).crossJoin(broadcast(n))
+      tf.join(dfTab, Seq("tok")).crossJoin(broadcast(n))
         .withColumn("score", round(col("tf") * log(col("n_docs") * lit(1.0) / col("df")), 4))
         .withColumn("term_rank", row_number().over(w))
         .filter(col("term_rank") <= 3)

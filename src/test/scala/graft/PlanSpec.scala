@@ -154,6 +154,34 @@ class PlanSpec extends SparkSpec {
     assert(gens == 2, s"expected 2 corpus explodes (agg build + join probe), found $gens")
   }
 
+  test("q52 ntile: no segment-only window over the corpus (two-phase rank)") {
+    val q = SparkEntry.queries("q52_ntile")(spark, sfDir).queryExecution
+    val wins = q.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    // Exactly two windows: the within-bucket rank (partition includes
+    // _bkt → slice-sized) and the bucket-offset cumsum whose CHILD is the
+    // bucket×segment count aggregate (bounded metadata, never corpus rows).
+    assert(wins.size == 2, s"expected 2 windows, got ${wins.size}:\n${q.optimizedPlan}")
+    val (bucketed, offs) = wins.partition(
+      _.partitionSpec.exists(_.references.exists(_.name == "_bkt")))
+    assert(bucketed.size == 1,
+      s"corpus-side window must partition on the range bucket:\n${q.optimizedPlan}")
+    assert(offs.head.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.nonEmpty,
+      s"offset window must run over the bucket-count aggregate:\n${q.optimizedPlan}")
+  }
+
+  test("q56 tfidf: document frequency is an aggregation, not a per-token window") {
+    val q = SparkEntry.queries("q56_tfidf")(spark, sfDir).queryExecution
+    val wins = q.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    // Only the per-doc term-rank window survives — a df window partitioned
+    // by token would hand a stop-word's postings list to one task.
+    assert(wins.size == 1, s"expected 1 window, got ${wins.size}:\n${q.optimizedPlan}")
+    assert(wins.head.partitionSpec.exists(_.references.exists(_.name == "doc_id")),
+      s"the surviving window must partition per document:\n${q.optimizedPlan}")
+  }
+
   test("q85 boilerplate grams: top-N without a global sort, no cartesian") {
     val p = plan("q85_boilerplate_grams")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -553,6 +553,38 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("ntileDistributed == window ntile on random coarse-keyed data") {
+    // The two-phase range-bucketed spelling must reproduce Spark's ntile
+    // distribution exactly: groups smaller than the tile count, heavy
+    // value ties (unique tiebreak carries the order), every bucket count
+    // from 1 (degenerate: one global bucket) past the partition default.
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 4) {
+      val nGroups = 1 + rnd.nextInt(4)
+      val rows = (1 to 300 + rnd.nextInt(500)).map { i =>
+        (i.toLong, s"g${rnd.nextInt(nGroups)}", rnd.nextInt(20).toDouble) }
+      val df = rows.toDF("id", "grp", "v")
+      val tiles = 1 + rnd.nextInt(6)
+      val order = Seq(col("v").desc, col("id"))
+      val viaWindow = df.withColumn("tile",
+          ntile(tiles).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("grp")).orderBy(order: _*)))
+        .select("id", "tile").as[(Long, Int)].collect().toMap
+      for (buckets <- Seq(1, 7)) {
+        val viaRange = graft.ops.Windows.ntileDistributed(
+            df, Seq("grp"), order, tiles, buckets = buckets)
+          .select("id", "tile").as[(Long, Int)].collect().toMap
+        assert(viaRange == viaWindow,
+          s"trial=$trial tiles=$tiles buckets=$buckets: first diff " +
+            viaWindow.collectFirst { case (k, t) if viaRange.get(k) != Some(t) =>
+              s"id=$k window=$t range=${viaRange.get(k)}" }.getOrElse(""))
+      }
+    }
+    // reserved-name collision fails fast
+    intercept[IllegalArgumentException](graft.ops.Windows.ntileDistributed(
+      Seq((1L, "a", 1.0)).toDF("id", "grp", "_bkt"), Seq("grp"), Seq(col("id")), 2))
+  }
+
   test("graft_bin == #{splits <= v} on random splits/values incl. NaN/infinities") {
     // The z-order rank-binning expression must agree with its one-line
     // definition on every input class: interior values, exact split hits,
