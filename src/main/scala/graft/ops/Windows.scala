@@ -59,62 +59,97 @@ object Windows {
     * corpus/|segments| rows for a coarse key like market segment — to one
     * task's sorted buffer, the same hot-key hazard class as
     * first-occurrence dedup's old window (and AQE cannot split window
-    * partitions). This is the ShardPack two-phase prefix discipline
-    * applied to RANKS over an arbitrary total order:
+    * partitions). This is the two-phase distributed rank:
     *
-    *   1. per-group totals: one map-side-combinable aggregation,
-    *      group-cardinality rows, broadcast;
-    *   2. rows range-partition by (group ++ order) into `buckets` chunks —
-    *      chunk size tracks data/buckets, NOT group cardinality;
-    *   3. per-(bucket, group) counts roll into bucket OFFSETS with a
-    *      window over the bucket×group count table (bounded metadata, the
-    *      only narrow step), broadcast;
-    *   4. within-bucket `row_number` (partition = one bucket's slice of
-    *      one group) + offset = the exact global rank, and the tile
-    *      follows from Spark's ntile distribution: the first n%t tiles
-    *      hold ceil(n/t) rows, the rest floor(n/t).
+    *   1. range-partition + sort by (group ++ order) — chunk size tracks
+    *      data/partitions, NOT group cardinality;
+    *   2. pass 1 over the sorted partitions: per-(partition, group) row
+    *      counts → driver (bounded: partitions × groups-per-partition —
+    *      this operator is FOR coarse, catalog-cardinality group keys;
+    *      fine keys belong in the ordinary window, whose partitions are
+    *      then small by definition);
+    *   3. pass 2 over the SAME partitions: global rank = broadcast offset
+    *      + running local count, and the tile follows Spark's exact ntile
+    *      distribution (first n%t tiles hold ceil(n/t) rows, the rest
+    *      floor(n/t)).
+    *
+    * Deliberately the RDD two-pass, NOT a DataFrame self-reference: a
+    * DataFrame spelling that references the range-partitioned frame twice
+    * (bucket-count branch + rank branch) plans TWO independent range
+    * exchanges — `ReuseExchange` does not fire because column pruning
+    * specializes the copies — and each exchange draws its OWN
+    * RangePartitioner sample, so a row near a boundary can land in bucket
+    * b on one side and b+1 on the other: silently wrong ranks, and only
+    * at scale (small data is sampled exhaustively, so tests pass).
+    * Holding ONE RDD makes pass 2 reuse pass 1's shuffle files — bucket
+    * assignment is consistent BY CONSTRUCTION. (This is guideline tier
+    * (d), mapPartitions, taken because the declarative spelling is
+    * provably unsound here.)
     *
     * `order` must be a TOTAL order (include a unique tiebreak): ties
     * spanning a range-partition boundary would otherwise make bucket
     * membership — and the rank — nondeterministic. Output = input columns
-    * + `tileCol`. Rows identical to `ntile(tiles) over (partition by
-    * group order by order)` — property-pinned against the window spelling.
+    * + `tileCol` (int). Rows identical to `ntile(tiles) over (partition
+    * by group order by order)` — property-pinned against the window
+    * spelling, including pruning-divergent payload columns.
     */
   def ntileDistributed(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
       tiles: Int, tileCol: String = "tile", buckets: Int = 0): DataFrame = {
     require(tiles >= 1, s"tiles must be positive, got $tiles")
-    val reserved = Seq("_bkt", "_boff", "_bn", "_n", "_rank0", tileCol)
-    val clash = df.columns.toSeq.intersect(reserved)
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    val clash = df.columns.toSeq.intersect(Seq(tileCol))
     require(clash.isEmpty,
-      s"input columns collide with ntileDistributed working/output names: ${clash.mkString(", ")}")
+      s"input columns collide with ntileDistributed output: ${clash.mkString(", ")}")
     val spark = df.sparkSession
     val p = if (buckets > 0) buckets
             else spark.sessionState.conf.numShufflePartitions
-    val gCols = groupCols.map(col)
-    val totals = df.groupBy(gCols: _*).agg(count(lit(1)).as("_n"))
-    val ranged = df
-      .repartitionByRange(p, gCols ++ order: _*)
-      .withColumn("_bkt", spark_partition_id())
-    val bktCounts = ranged.groupBy((col("_bkt") +: gCols): _*)
-      .agg(count(lit(1)).as("_bn"))
-    val wOff = Window.partitionBy(gCols: _*).orderBy(col("_bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bktCounts
-      .withColumn("_boff", coalesce(sum(col("_bn")).over(wOff), lit(0L)))
-      .select((col("_bkt") +: gCols :+ col("_boff")): _*)
-    val wIn = Window.partitionBy((col("_bkt") +: gCols): _*).orderBy(order: _*)
-    val base = call_function("div", col("_n"), lit(tiles.toLong))
-    val rem = col("_n") % tiles
-    val rank0 = col("_boff") + row_number().over(wIn) - 1
-    // when base == 0 (fewer rows than tiles) every rank satisfies the
-    // first branch, so the base-divide branch never evaluates.
-    val tile = when(rank0 < (base + 1) * rem,
-        call_function("div", rank0, base + 1) + 1)
-      .otherwise(rem + call_function("div", rank0 - (base + 1) * rem, base) + 1)
-    ranged
-      .join(broadcast(offsets), "_bkt" +: groupCols)
-      .join(broadcast(totals), groupCols)
-      .withColumn(tileCol, tile.cast("int"))
-      .drop("_bkt", "_boff", "_n")
+    val sortCols = groupCols.map(col) ++ order
+    val sorted = df.repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = sorted.schema
+    val gIdx = groupCols.map(schema.fieldIndex)
+    val rdd = sorted.rdd // ONE instance: pass 2 reuses pass 1's shuffle
+    // pass 1: per-(partition, group) counts — bounded driver metadata
+    val partCounts: Array[(Int, Seq[(Seq[Any], Long)])] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Long]()
+        it.foreach { r =>
+          val k = gIdx.map(r.get)
+          m.update(k, m.getOrElse(k, 0L) + 1L)
+        }
+        Iterator.single((pid, m.toSeq))
+      }.collect()
+    val totals = scala.collection.mutable.HashMap[Seq[Any], Long]()
+    // offsets(pid)(key) = rows of `key` in partitions before pid
+    val offsets: Map[Int, Map[Seq[Any], Long]] =
+      partCounts.sortBy(_._1).map { case (pid, counts) =>
+        val off = counts.map { case (k, n) =>
+          val prior = totals.getOrElse(k, 0L)
+          totals.update(k, prior + n)
+          k -> prior
+        }.toMap
+        pid -> off
+      }.toMap
+    val totalsB = spark.sparkContext.broadcast(totals.toMap)
+    val offsetsB = spark.sparkContext.broadcast(offsets)
+    val t = tiles.toLong
+    val tiled = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val local = scala.collection.mutable.HashMap[Seq[Any], Long]()
+      val off = offsetsB.value.getOrElse(pid, Map.empty)
+      it.map { r =>
+        val k = gIdx.map(r.get)
+        val rank0 = off.getOrElse(k, 0L) + local.getOrElse(k, 0L)
+        local.update(k, local.getOrElse(k, 0L) + 1L)
+        val n = totalsB.value(k)
+        val base = n / t
+        val rem = n % t
+        val tile = if (rank0 < (base + 1L) * rem) rank0 / (base + 1L) + 1L
+                   else rem + (rank0 - (base + 1L) * rem) / base + 1L
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ tile.toInt)
+      }
+    }
+    spark.createDataFrame(tiled,
+      schema.add(org.apache.spark.sql.types.StructField(
+        tileCol, org.apache.spark.sql.types.IntegerType, nullable = false)))
   }
 }

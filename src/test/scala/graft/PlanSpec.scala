@@ -154,21 +154,18 @@ class PlanSpec extends SparkSpec {
     assert(gens == 2, s"expected 2 corpus explodes (agg build + join probe), found $gens")
   }
 
-  test("q52 ntile: no segment-only window over the corpus (two-phase rank)") {
+  test("q52 ntile: no segment-partitioned window anywhere (two-phase RDD rank)") {
     val q = SparkEntry.queries("q52_ntile")(spark, sfDir).queryExecution
+    // The distributed ntile is the RDD two-pass (one shared range shuffle,
+    // rank from broadcast offsets) — a window partitioned by the 5-value
+    // segment would hand corpus/5 rows to one task, and the DataFrame
+    // double-reference spelling is unsound (two independently-sampled
+    // range exchanges — see Windows.ntileDistributed's doc).
     val wins = q.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
-    // Exactly two windows: the within-bucket rank (partition includes
-    // _bkt → slice-sized) and the bucket-offset cumsum whose CHILD is the
-    // bucket×segment count aggregate (bounded metadata, never corpus rows).
-    assert(wins.size == 2, s"expected 2 windows, got ${wins.size}:\n${q.optimizedPlan}")
-    val (bucketed, offs) = wins.partition(
-      _.partitionSpec.exists(_.references.exists(_.name == "_bkt")))
-    assert(bucketed.size == 1,
-      s"corpus-side window must partition on the range bucket:\n${q.optimizedPlan}")
-    assert(offs.head.collectFirst {
-        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.nonEmpty,
-      s"offset window must run over the bucket-count aggregate:\n${q.optimizedPlan}")
+    assert(wins.isEmpty, s"expected no windows, got ${wins.size}:\n${q.optimizedPlan}")
+    assert(q.executedPlan.toString.contains("ExistingRDD"),
+      s"expected the two-pass RDD rank path:\n${q.executedPlan}")
   }
 
   test("q56 tfidf: document frequency is an aggregation, not a per-token window") {

@@ -562,8 +562,14 @@ class PropertySpec extends SparkSpec {
     for (trial <- 1 to 4) {
       val nGroups = 1 + rnd.nextInt(4)
       val rows = (1 to 300 + rnd.nextInt(500)).map { i =>
-        (i.toLong, s"g${rnd.nextInt(nGroups)}", rnd.nextInt(20).toDouble) }
-      val df = rows.toDF("id", "grp", "v")
+        (i.toLong, s"g${rnd.nextInt(nGroups)}", rnd.nextInt(20).toDouble,
+          s"payload-$i" * 3, rnd.nextLong()) }
+      // The two payload columns are used by NEITHER group nor order: column
+      // pruning specializes the counts-branch copy of the ranged subtree
+      // differently from the main copy, so this exercises the
+      // boundary-consistency contract (both branches must see the SAME
+      // bucket assignment), not just the arithmetic.
+      val df = rows.toDF("id", "grp", "v", "pay1", "pay2")
       val tiles = 1 + rnd.nextInt(6)
       val order = Seq(col("v").desc, col("id"))
       val viaWindow = df.withColumn("tile",
@@ -580,9 +586,9 @@ class PropertySpec extends SparkSpec {
               s"id=$k window=$t range=${viaRange.get(k)}" }.getOrElse(""))
       }
     }
-    // reserved-name collision fails fast
+    // output-name collision fails fast
     intercept[IllegalArgumentException](graft.ops.Windows.ntileDistributed(
-      Seq((1L, "a", 1.0)).toDF("id", "grp", "_bkt"), Seq("grp"), Seq(col("id")), 2))
+      Seq((1L, "a", 1.0)).toDF("id", "grp", "tile"), Seq("grp"), Seq(col("id")), 2))
   }
 
   test("graft_bin == #{splits <= v} on random splits/values incl. NaN/infinities") {
