@@ -31,7 +31,27 @@ case class BinBySplits(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (DoubleType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      // A null split element would read as an undefined 0.0 through
+      // ArrayData.getDouble and silently mis-bin every row below it —
+      // corrupt layout, no error. Null-freeness must be PROVEN at
+      // analysis: by the type (containsNull=false), or, for a
+      // containsNull=true type, by folding the splits (every graft call
+      // site passes a constant array — `lit(Array[Double])` types as
+      // containsNull=true in Spark, so the type alone can't prove it).
+      case (DoubleType, ArrayType(DoubleType, false)) => TypeCheckResult.TypeCheckSuccess
+      case (DoubleType, ArrayType(DoubleType, true)) if right.foldable =>
+        val v = right.eval()
+        val hasNull = v == null || {
+          val a = v.asInstanceOf[ArrayData]
+          (0 until a.numElements()).exists(a.isNullAt)
+        }
+        if (hasNull) TypeCheckResult.TypeCheckFailure(
+          "graft_bin splits array must not be/contain null: a null split " +
+            "would silently mis-bin rows")
+        else TypeCheckResult.TypeCheckSuccess
+      case (DoubleType, ArrayType(DoubleType, true)) => TypeCheckResult.TypeCheckFailure(
+        "graft_bin splits must be provably null-free: pass an array typed " +
+          "containsNull=false or a constant (foldable) splits array")
       case _ => TypeCheckResult.TypeCheckFailure(
         s"graft_bin expects (double, array<double>), got ${left.dataType} / ${right.dataType}")
     }

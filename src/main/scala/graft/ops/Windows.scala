@@ -64,10 +64,13 @@ object Windows {
     *   1. range-partition + sort by (group ++ order) — chunk size tracks
     *      data/partitions, NOT group cardinality;
     *   2. pass 1 over the sorted partitions: per-(partition, group) row
-    *      counts → driver (bounded: partitions × groups-per-partition —
-    *      this operator is FOR coarse, catalog-cardinality group keys;
-    *      fine keys belong in the ordinary window, whose partitions are
-    *      then small by definition);
+    *      counts → driver (bounded BY `maxGroups`: each partition fails
+    *      fast with a named error past `maxGroups` distinct keys, so the
+    *      driver payload is ≤ partitions × maxGroups — this operator is
+    *      FOR coarse, catalog-cardinality group keys; fine keys belong in
+    *      the ordinary window, whose partitions are then small by
+    *      definition. Binary-typed group columns are rejected up front:
+    *      they would compare by reference in the count maps);
     *   3. pass 2 over the SAME partitions: global rank = broadcast offset
     *      + running local count, and the tile follows Spark's exact ntile
     *      distribution (first n%t tiles hold ceil(n/t) rows, the rest
@@ -94,12 +97,31 @@ object Windows {
     * spelling, including pruning-divergent payload columns.
     */
   def ntileDistributed(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
-      tiles: Int, tileCol: String = "tile", buckets: Int = 0): DataFrame = {
+      tiles: Int, tileCol: String = "tile", buckets: Int = 0,
+      maxGroups: Int = 10000): DataFrame = {
     require(tiles >= 1, s"tiles must be positive, got $tiles")
     require(groupCols.nonEmpty, "groupCols must name at least one column")
     val clash = df.columns.toSeq.intersect(Seq(tileCol))
     require(clash.isEmpty,
       s"input columns collide with ntileDistributed output: ${clash.mkString(", ")}")
+    require(maxGroups >= 1, s"maxGroups must be positive, got $maxGroups")
+    // Group keys are compared as Seq[Any] from Row.get: binary columns would
+    // fall back to Array reference equality and silently split every group.
+    groupCols.foreach { c =>
+      def hasBinary(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.BinaryType => true
+        case a: org.apache.spark.sql.types.ArrayType => hasBinary(a.elementType)
+        case m: org.apache.spark.sql.types.MapType =>
+          hasBinary(m.keyType) || hasBinary(m.valueType)
+        case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasBinary(f.dataType))
+        case _ => false
+      }
+      val dt = df.schema(c).dataType
+      require(!hasBinary(dt),
+        s"ntileDistributed: group column '$c' has binary type $dt; binary keys " +
+          "compare by reference in the per-partition count maps — hash the " +
+          "column to a string/long first, or use the ordinary window ntile")
+    }
     val spark = df.sparkSession
     val p = if (buckets > 0) buckets
             else spark.sessionState.conf.numShufflePartitions
@@ -116,6 +138,17 @@ object Windows {
         it.foreach { r =>
           val k = gIdx.map(r.get)
           m.update(k, m.getOrElse(k, 0L) + 1L)
+          // Fail in the EXECUTOR, before the driver collect: the bound is
+          // per partition, so the collected metadata is ≤ partitions ×
+          // maxGroups keys by construction — a fine-grained key dies with a
+          // named error instead of a silent driver OOM.
+          if (m.size > maxGroups) throw new IllegalArgumentException(
+            s"ntileDistributed: more than $maxGroups distinct group keys in " +
+              s"one range partition (group cols ${groupCols.mkString(", ")}). " +
+              "This operator is for coarse, catalog-cardinality group keys; " +
+              "for fine keys use the ordinary window ntile, whose partitions " +
+              "are then small by definition. Raise maxGroups only if the " +
+              "driver can hold partitions x maxGroups keys.")
         }
         Iterator.single((pid, m.toSeq))
       }.collect()

@@ -44,7 +44,11 @@ object SimQueries {
         .orderBy(col("vec_id"))
     },
 
-    // ---- q30: multimodal binary payloads + typed stub decode ----
+    // ---- q30: multimodal binary payloads + typed REAL decode ----
+    // Ingest renders each doc as a spec-valid P6 PPM (raster = the UTF-8
+    // bytes on a 32-wide canvas); decode runs the actual header parser on
+    // those bytes. The oracle recomputes the metadata arithmetically from
+    // octet_length (closed-form by construction of the canvas).
     "q30_multimodal_meta" -> { (s, d) =>
       Binary.metadata(s, Tables.documents(s, d)).toDF()
         .orderBy(col("doc_id"))
@@ -135,13 +139,14 @@ object SimQueries {
          GROUP BY 1, 2 ORDER BY vec_id""",
 
     "q30_multimodal_meta" ->
-      """WITH h AS (SELECT doc_id, text,
-           ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv FROM documents)
+      """WITH h AS (SELECT doc_id,
+           greatest(1, cast(ceil(octet_length(encode(text)) / 96.0) AS BIGINT)) AS ph
+           FROM documents)
          SELECT doc_id,
-           octet_length(encode(text))::INT AS byte_len,
-           (320 + hv % 1600)::INT AS width,
-           (240 + (hv // 1600) % 840)::INT AS height,
-           CASE hv % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+           (11 + length(ph::VARCHAR) + 96 * ph)::INT AS byte_len,
+           32 AS width,
+           ph::INT AS height,
+           'ppm' AS format
          FROM h ORDER BY doc_id""",
 
     "q35_dedup_cosine" ->

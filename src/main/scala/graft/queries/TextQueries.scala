@@ -14,6 +14,24 @@ import graft.text.{Containment, MinHash, SimHash, TextFunctions => TF}
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** q84's TEST-scale `approx_percentile` accuracy: ≥ every per-source group
+    * size at oracle SF, which puts the GK sketch in its EXACT regime (the
+    * summary holds every distinct value) so the cutoff is hash-checkable
+    * against DuckDB's `quantile_disc`. This couples the setting to test SF
+    * by design — the sketch then holds up to `accuracy` tuples per source in
+    * the agg buffer, which is the memory-heavy end of the knob.
+    *
+    * At production scale DON'T inherit this: derive accuracy from a target
+    * rank error — GK guarantees rank error ≤ n/accuracy, so accuracy =
+    * 1/ε for relative rank error ε (e.g. 10^4 for ε=10^-4, a few hundred KB
+    * per source, independent of corpus size). The sketch error only moves a
+    * cutoff across quantile-adjacent grid scores; [[QualityCutoffSpec]] pins
+    * that bound. The streaming face (s16 `qualityCutoffSink`) shows the
+    * exact-AND-bounded alternative: a ≤10001-row histogram per source works
+    * because quality is on an integer grid.
+    */
+  val QualityCutoffExactAccuracy: Int = 10000000
+
   /** Cross-source n-gram overlap matrix (q83's body, factored for direct
     * testing): for every source pair, distinct shared 8-token grams,
     * normalized by the smaller side's gram vocabulary.
@@ -33,15 +51,17 @@ object TextQueries {
     * histogram still participated — assign or quarantine upstream. The
     * guard rides the scored projection (consumed downstream, unprunable).
     */
-  def qualityCutoff(docs: DataFrame, q: Double = 0.25): DataFrame = {
+  def qualityCutoff(docs: DataFrame, q: Double = 0.25,
+      accuracy: Int = QualityCutoffExactAccuracy): DataFrame = {
     require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
+    require(accuracy >= 1, s"accuracy must be positive, got $accuracy")
     val scored = docs.select(col("doc_id"),
       when(col("source").isNull, raise_error(lit(
           "quality_cutoff: source is NULL — assign or quarantine upstream")))
         .otherwise(col("source")).as("source"),
       TF.qualityGrid(col("text")).cast("long").as("quality_grid"))
     val cuts = scored.groupBy(col("source"))
-      .agg(expr(s"approx_percentile(quality_grid, $q, 10000000)")
+      .agg(expr(s"approx_percentile(quality_grid, $q, $accuracy)")
         .as("cutoff_grid"))
     scored.join(broadcast(cuts), Seq("source"))
       .filter(col("quality_grid") >= col("cutoff_grid"))
@@ -49,8 +69,14 @@ object TextQueries {
   }
 
   def sourceOverlap(docs: DataFrame): DataFrame = {
+    // NULL source fails fast (same discipline as q81/q84/mixtureSink): it
+    // would count into nSources but vanish from collect_set inside
+    // Baskets.pairs — a silently incomplete overlap matrix.
     val g = docs
-      .select(col("source"),
+      .select(
+        when(col("source").isNull, raise_error(lit(
+            "source_overlap: source is NULL — assign or quarantine upstream")))
+          .otherwise(col("source")).as("source"),
         explode(TF.wordNgrams(TF.tokens(col("text")), 8)).as("gram"))
       .distinct()
     val nSources = docs.select(col("source")).distinct().count()

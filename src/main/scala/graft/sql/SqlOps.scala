@@ -318,7 +318,10 @@ object SqlOps {
       n: Int = 8): String = {
     require(n >= 1, s"n must be positive, got $n")
     val (src, txt) = (bt(sourceCol), bt(textCol))
-    s"""WITH _a AS (SELECT $src AS _src,
+    s"""WITH _a AS (SELECT
+       |    CASE WHEN $src IS NULL THEN raise_error(
+       |      'source_overlap: source is NULL — assign or quarantine upstream')
+       |    ELSE $src END AS _src,
        |    graft_word_ngrams(graft_tokens($txt), $n) AS _grams
        |  FROM $table),
        |-- UDF in a projection, exploded as a plain column (a SQL UDF
@@ -370,8 +373,10 @@ object SqlOps {
     * broadcast back. Needs `graft_quality` ([[SqlFunctions.register]]).
     */
   def qualityCutoffSql(table: String, idCol: String, sourceCol: String,
-      textCol: String, q: Double = 0.25): String = {
+      textCol: String, q: Double = 0.25,
+      accuracy: Int = graft.queries.TextQueries.QualityCutoffExactAccuracy): String = {
     require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
+    require(accuracy >= 1, s"accuracy must be positive, got $accuracy")
     val (id, src, txt) = (bt(idCol), bt(sourceCol), bt(textCol))
     s"""WITH _q AS (SELECT $id,
        |    CASE WHEN $src IS NULL THEN raise_error(
@@ -379,7 +384,7 @@ object SqlOps {
        |    ELSE $src END AS $src,
        |    CAST(floor(graft_quality($txt) * 10000 + 0.5) AS BIGINT) AS quality_grid
        |  FROM $table),
-       |_c AS (SELECT $src, approx_percentile(quality_grid, $q, 10000000)
+       |_c AS (SELECT $src, approx_percentile(quality_grid, $q, $accuracy)
        |    AS cutoff_grid
        |  FROM _q GROUP BY $src)
        |SELECT /*+ BROADCAST(_c) */ _q.$id, _q.$src, _q.quality_grid, _c.cutoff_grid

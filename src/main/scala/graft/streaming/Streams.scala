@@ -512,7 +512,9 @@ object Streams {
     * including itself, earlier batches are not retro-gated (append-only
     * logs). Single-batch stream == q84 exactly (parity-pinned).
     * Replay-idempotent: the prior-histogram read excludes the current
-    * batch_id; both logs dynamically overwrite their own partition.
+    * batch_id; both logs dynamically overwrite their own partition, and a
+    * replay whose recomputed kept set is EMPTY deletes the batch's stale
+    * kept partition (dynamic overwrite of an empty frame writes nothing).
     * `hist/` partials are sum-mergeable and compactable.
     */
   def qualityCutoffSink(spark: SparkSession, stateDir: String,
@@ -564,6 +566,17 @@ object Streams {
       graft.sources.Sinks.dynamicOverwrite(
         kept.withColumn("batch_id", lit(batchId)),
         s"$stateDir/kept", Seq("batch_id"))
+    else {
+      // Replay idempotence must hold even when the recomputation keeps
+      // NOTHING (cutoff drift after compaction, config change): dynamic
+      // overwrite of an empty frame writes no partitions, so the stale
+      // kept partition for this batch_id must be deleted explicitly —
+      // otherwise a replay silently resurrects rows the replayed batch no
+      // longer keeps.
+      val part = new org.apache.hadoop.fs.Path(s"$stateDir/kept/batch_id=$batchId")
+      val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(part)) fs.delete(part, true)
+    }
     graft.sources.Sinks.dynamicOverwrite(
       batchHist.withColumn("batch_id", lit(batchId)),
       s"$stateDir/hist", Seq("batch_id"))

@@ -197,14 +197,22 @@ class AnnSpec extends SparkSpec {
     assert(vals.forall(v => v._1 == v._2))
   }
 
-  test("typed mapPartitions decode agrees with the column-level fake decode") {
+  test("typed mapPartitions decode parses REAL PPM payloads (metadata matches the canvas arithmetic)") {
     val docs = Tables.documents(spark, sfDir).limit(20)
     val typed = Binary.metadata(spark, docs).toDF()
+    // closed-form expectation from the 32-wide canvas construction
     val sql = docs.select(col("doc_id"),
-      length(col("text").cast("binary")).as("byte_len"),
-      (lit(320) + graft.ops.Cdm.hash60(col("text")) % 1600).cast("int").as("width"))
-    val joined = typed.join(sql, "doc_id")
-      .filter(typed("byte_len") =!= sql("byte_len") || typed("width") =!= sql("width"))
+      greatest(lit(1L), ceil(length(col("text").cast("binary")) / lit(96.0)).cast("long"))
+        .as("_ph"))
+      .select(col("doc_id"),
+        (lit(11) + length(col("_ph").cast("string")) + lit(96) * col("_ph"))
+          .cast("int").as("byte_len"),
+        lit(32).as("width"), col("_ph").cast("int").as("height"),
+        lit("ppm").as("format"))
+    val joined = typed.alias("t").join(sql.alias("e"), "doc_id")
+      .filter(col("t.byte_len") =!= col("e.byte_len") ||
+        col("t.width") =!= col("e.width") || col("t.height") =!= col("e.height") ||
+        col("t.format") =!= col("e.format"))
     assert(joined.count() == 0)
   }
 }

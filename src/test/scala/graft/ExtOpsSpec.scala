@@ -283,4 +283,19 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.count() == 40L * 39 / 2)
     assert(out.filter(col("n_shared") =!= 1L).count() == 0)
   }
+
+  test("sourceOverlap fails fast on a NULL source (mixture-family discipline)") {
+    // A NULL source would count into nSources but vanish inside
+    // collect_set's basket — a silently incomplete overlap matrix.
+    val docs = Seq(
+      (Option("a"), "a b c d e f g h x"),
+      (Option("b"), "a b c d e f g h y"),
+      (Option.empty[String], "a b c d e f g h z")).toDF("source", "text")
+    val e = intercept[Exception](
+      graft.queries.TextQueries.sourceOverlap(docs).collect())
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(c => String.valueOf(c.getMessage)).mkString(" | ")
+    assert(msgs(e).contains("source_overlap: source is NULL"), msgs(e).take(300))
+  }
 }

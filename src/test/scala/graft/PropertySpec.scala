@@ -591,6 +591,34 @@ class PropertySpec extends SparkSpec {
       Seq((1L, "a", 1.0)).toDF("id", "grp", "tile"), Seq("grp"), Seq(col("id")), 2))
   }
 
+  test("ntileDistributed fails fast on fine-grained and binary group keys") {
+    // Fine key: every row its own group — past maxGroups the per-partition
+    // count map aborts in the EXECUTOR with the named error, instead of a
+    // silent corpus-scale driver collect. (Window-ntile is the right tool
+    // there, as the message says.)
+    val fine = (1 to 500).map(i => (i.toLong, s"k$i", i.toDouble)).toDF("id", "grp", "v")
+    val e = intercept[Exception](graft.ops.Windows.ntileDistributed(
+      fine, Seq("grp"), Seq(col("v"), col("id")), 4, buckets = 2, maxGroups = 50)
+      .count())
+    assert(String.valueOf(e.getMessage) != null)
+    def anyMessage(t: Throwable): String = {
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(c => String.valueOf(c.getMessage)).mkString(" | ")
+    }
+    assert(anyMessage(e).contains("ntileDistributed"), anyMessage(e).take(300))
+    // The same data under the bound passes (sanity: the guard is a bound,
+    // not a behavior change).
+    val coarse = fine.withColumn("grp", lit("all"))
+    assert(graft.ops.Windows.ntileDistributed(
+      coarse, Seq("grp"), Seq(col("v"), col("id")), 4, buckets = 2).count() == 500)
+    // Binary group key: Seq[Any] equality would be Array reference equality
+    // → wrong per-key totals. Rejected at plan time.
+    val bin = fine.withColumn("grp", col("grp").cast("binary"))
+    val eb = intercept[IllegalArgumentException](graft.ops.Windows.ntileDistributed(
+      bin, Seq("grp"), Seq(col("v"), col("id")), 4))
+    assert(eb.getMessage.contains("binary"))
+  }
+
   test("graft_bin == #{splits <= v} on random splits/values incl. NaN/infinities") {
     // The z-order rank-binning expression must agree with its one-line
     // definition on every input class: interior values, exact split hits,
@@ -611,6 +639,15 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"splits=${splits.take(5)}...: first diff at " +
         s"${got.zip(want).indexWhere(t => t._1 != t._2)}")
     }
+    // A nullable-element splits array fails ANALYSIS: a null split would
+    // read as an undefined 0.0 through ArrayData.getDouble and silently
+    // mis-bin rows (zorderWriteRanked's splits are null-free by contract).
+    val nullableSplits = array(lit(1.0), lit(null).cast("double"))
+    val ea = intercept[org.apache.spark.sql.AnalysisException](
+      Seq(0.5).toDF("v")
+        .select(call_function("graft_bin", col("v"), nullableSplits))
+        .collect())
+    assert(ea.getMessage.contains("graft_bin"))
   }
 
   test("histogram rank rule == approx_percentile exact regime (the s16/q84 contract)") {

@@ -717,6 +717,34 @@ class StreamingSpec extends SparkSpec {
       String.valueOf(eBatch.getCause).contains("source is NULL"), s"wrong error: $eBatch")
   }
 
+  test("qualityCutoffSink: a replay that keeps NOTHING clears the stale kept partition") {
+    // Dynamic overwrite of an empty frame writes no partitions — so an
+    // empty recomputed kept set (cutoff drift after compaction, config
+    // change) must DELETE the batch's old partition explicitly, or the
+    // replay silently resurrects rows the replayed batch no longer keeps.
+    val dir = Files.createTempDirectory("qcut_replay").toFile.getAbsolutePath
+    val sink = Streams.qualityCutoffSink(spark, s"$dir/state") _
+    val good = (1 to 90).map(i =>
+      (i.toLong, "s", "many plain english words with letters only " * 4))
+      .toDF("doc_id", "source", "text")
+    sink(good, 0L)
+    // stale pre-drift state: batch 7 once kept a row
+    graft.sources.Sinks.dynamicOverwrite(
+      Seq((777L, "s", 9999L, 1L, 7L))
+        .toDF("doc_id", "source", "quality_grid", "cutoff_grid", "batch_id"),
+      s"$dir/state/kept", Seq("batch_id"))
+    // replayed batch 7: pure-punctuation junk scores far below the
+    // cumulative cutoff set by the 90 good docs → kept set is EMPTY
+    val junk = (1 to 20).map(i => (1000L + i, "s", "!!!! ???? ;;;; ####"))
+      .toDF("doc_id", "source", "text")
+    sink(junk, 7L)
+    val keptLog = spark.read.parquet(s"$dir/state/kept")
+    assert(keptLog.filter(col("batch_id") === 7L).count() == 0,
+      "stale batch-7 kept partition survived an empty replay")
+    assert(keptLog.filter(col("batch_id") === 0L).count() > 0,
+      "other batches' kept partitions must be untouched")
+  }
+
   test("lineDedupSink: batch parity, cross-batch first-seen-wins, replay, compaction") {
     val dir = Files.createTempDirectory("linededup_stream").toFile.getAbsolutePath
     val sink = Streams.lineDedupSink(spark, s"$dir/state") _

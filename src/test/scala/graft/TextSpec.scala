@@ -307,4 +307,43 @@ class TextSpec extends SparkSpec {
     assert(roll.filter(col("n_kept") === 1).count() == n - 1)
     assert(roll.agg(sum("n_lines")).as[Long].head() == 3L * n)
   }
+
+  test("qualityCutoff accuracy knob: exact at the test setting, GK-bounded when dialed down") {
+    // The default accuracy (QualityCutoffExactAccuracy) puts approx_percentile
+    // in its exact regime at test SF; production derives accuracy = 1/ε from a
+    // target rank error instead (see the constant's doc). This pins BOTH
+    // regimes: default == the exact rank rule; a low-accuracy sketch lands
+    // within GK's rank bound (± n/accuracy of rank ceil(q·n)).
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val q = 0.25
+    val exact: Map[String, IndexedSeq[Long]] = docs
+      .select(col("source"),
+        graft.text.TextFunctions.qualityGrid(col("text")).cast("long").as("g"))
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (s, vs) => s -> vs.map(_._2).sorted.toIndexedSeq }
+    def cutoffs(acc: Int): Map[String, Long] =
+      graft.queries.TextQueries.qualityCutoff(docs, q, acc)
+        .select("source", "cutoff_grid").distinct()
+        .as[(String, Long)].collect().toMap
+    // default accuracy: cutoff IS the value at 1-indexed rank ceil(q·n)
+    cutoffs(graft.queries.TextQueries.QualityCutoffExactAccuracy).foreach {
+      case (src, cut) =>
+        val vals = exact(src)
+        val want = vals(math.ceil(q * vals.size).toInt - 1)
+        assert(cut == want, s"$src: exact-regime cutoff $cut != rank-rule $want")
+    }
+    // low accuracy: the sketch's cutoff sits within the GK rank bound
+    val lowAcc = 50
+    cutoffs(lowAcc).foreach { case (src, cut) =>
+      val vals = exact(src)
+      val n = vals.size
+      val target = math.ceil(q * n)
+      val lo = vals.count(_ < cut) + 1 // rank span the cutoff value occupies
+      val hi = vals.count(_ <= cut)
+      val eps = n.toDouble / lowAcc
+      assert(lo - eps <= target && target <= hi + eps,
+        s"$src: low-accuracy cutoff $cut occupies ranks [$lo,$hi], " +
+          s"target $target outside ± $eps")
+    }
+  }
 }
