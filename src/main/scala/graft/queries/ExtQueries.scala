@@ -578,8 +578,7 @@ object ExtQueries {
     "q39_dup_clusters" ->
       s"""WITH RECURSIVE ${TextQueries.SHINGLES_CTE},
          ${TextQueries.minhashCte(4)},
-         bands AS (SELECT doc_id, salt // 2 AS band, sum(minh) AS band_val
-           FROM mh GROUP BY 1, 2),
+         ${TextQueries.bandsCte(2)},
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
              AND a.doc_id < b.doc_id),

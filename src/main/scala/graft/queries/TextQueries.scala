@@ -245,7 +245,12 @@ object TextQueries {
     "q59_crosscorpus_dedup" -> { (s, d) =>
       val sh = MinHash.withShingles(Tables.documents(s, d), "doc_id", "text")
       val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 16)
-      val bands = MinHash.bands(sig, "doc_id", 4, 2)
+      // Bucket cap BEFORE the parity split (mirrors the oracle's bandsCte):
+      // bucket size is a property of the whole corpus's band distribution,
+      // and a saturated bucket is quadratic across the batch/corpus split
+      // exactly as within one side.
+      val bands = MinHash.capBuckets(
+        MinHash.bands(sig, "doc_id", 4, 2), MinHash.BucketCap)
       val a = bands.filter(col("doc_id") % 2 === 0)
         .select(col("band"), col("band_val"), col("doc_id").as("id_a"))
       val b = bands.filter(col("doc_id") % 2 =!= 0)
@@ -596,6 +601,20 @@ object TextQueries {
           FROM sh CROSS JOIN (SELECT unnest(range($k)) AS salt) salts
           GROUP BY 1, 2)"""
 
+  /** bands + the bucket-cap filter — the SQL mirror of `MinHash.bands` +
+    * `MinHash.capBuckets(BucketCap)`, so the capped candidate semantics ARE
+    * the oracle definition at any SF (see MinHash.BucketCap for the
+    * saturation rationale and the measured 100× volumes).
+    */
+  private[queries] def bandsCte(r: Int) =
+    s"""bands0 AS (SELECT doc_id, salt // $r AS band, sum(minh) AS band_val
+           FROM mh GROUP BY 1, 2),
+         bands AS (SELECT b0.doc_id, b0.band, b0.band_val FROM bands0 b0
+           JOIN (SELECT band, band_val, count(*) AS bn FROM bands0
+                 GROUP BY 1, 2) bc
+             ON b0.band = bc.band AND b0.band_val = bc.band_val
+           WHERE bc.bn <= ${MinHash.BucketCap})"""
+
   private[queries] val JACCARD_TAIL =
     """cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        inter AS (SELECT c.id_a, c.id_b, count(*) AS shared
@@ -623,8 +642,7 @@ object TextQueries {
     "q20_ngram_jaccard" ->
       s"""WITH $SHINGLES_CTE,
          ${minhashCte(4)},
-         bands AS (SELECT doc_id, salt // 2 AS band, sum(minh) AS band_val
-           FROM mh GROUP BY 1, 2),
+         ${bandsCte(2)},
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
              AND a.doc_id < b.doc_id),
@@ -635,8 +653,7 @@ object TextQueries {
     "q21_minhash_lsh" ->
       s"""WITH $SHINGLES_CTE,
          ${minhashCte(16)},
-         bands AS (SELECT doc_id, salt // 4 AS band, sum(minh) AS band_val
-           FROM mh GROUP BY 1, 2),
+         ${bandsCte(4)},
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
              AND a.doc_id < b.doc_id),
@@ -712,8 +729,7 @@ object TextQueries {
     "q59_crosscorpus_dedup" ->
       s"""WITH $SHINGLES_CTE,
          ${minhashCte(4)},
-         bands AS (SELECT doc_id, salt // 2 AS band, sum(minh) AS band_val
-           FROM mh GROUP BY 1, 2),
+         ${bandsCte(2)},
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
              AND a.doc_id % 2 = 0 AND b.doc_id % 2 <> 0),
@@ -753,8 +769,7 @@ object TextQueries {
     "q64_keep_best" ->
       s"""WITH RECURSIVE $SHINGLES_CTE,
          ${minhashCte(4)},
-         bands AS (SELECT doc_id, salt // 2 AS band, sum(minh) AS band_val
-           FROM mh GROUP BY 1, 2),
+         ${bandsCte(2)},
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
              AND a.doc_id < b.doc_id),
@@ -785,8 +800,7 @@ object TextQueries {
     "q65_curate" ->
       s"""WITH RECURSIVE $SHINGLES_CTE,
          ${minhashCte(4)},
-         bands AS (SELECT doc_id, salt // 2 AS band, sum(minh) AS band_val
-           FROM mh GROUP BY 1, 2),
+         ${bandsCte(2)},
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
              AND a.doc_id < b.doc_id),

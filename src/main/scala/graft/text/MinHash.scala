@@ -110,23 +110,48 @@ object MinHash {
       .select(col(id), col("bb.band").as("band"), col("bb.band_val").as("band_val"))
   }
 
-  /** Distinct candidate pairs (id_a < id_b) sharing any band value.
+  /** Band-bucket cap, ON by default (round 10). A degenerate bucket of B
+    * docs (a stop-shingle that lands in most documents) contributes B²/2
+    * candidate pairs — at corpus scale that one bucket IS a cross join, and
+    * on a corpus whose shingle space saturates (boilerplate-heavy data; the
+    * synthetic corpus's closed 31-token vocab is the extreme case) EVERY
+    * bucket grows linearly with the corpus, making total candidates
+    * quadratic. Measured on the 100× scale-up (SCALE_r10: sf0.1 → sf10):
+    * uncapped pair volume 24k → 197M (×82 per decade, max bucket 65 →
+    * 6030); capped at 100 it is 24k → 5.8M, and total pairs are bounded by
+    * cap·N/2 — linear in the corpus — because each of the ≥N/cap surviving
+    * buckets contributes ≤ cap²/2.
     *
-    * `maxBucket` caps band-bucket size: a degenerate bucket of B docs (a
-    * stop-shingle that lands in most documents) contributes B²/2 pairs —
-    * at corpus scale that one bucket IS a cross join. Buckets above the
-    * cap are dropped before pairing; a genuinely similar pair loses only
-    * that band's vote and still collides in its other k/r bands (the
-    * standard LSH recall trade for boundedness). Default off so small-SF
-    * results match the exact oracle.
+    * 100 is ≥ every bucket the oracle scale factors produce (max 8 at
+    * sf0.01, 65 at sf0.1), so capped results are bit-identical there — and
+    * the DuckDB oracles mirror the cap anyway (bandsCte), so the capped
+    * semantics ARE the definition at any SF. A dropped bucket loses only
+    * that band's vote; a genuinely similar pair still collides in its other
+    * k/r bands (the standard LSH recall trade for boundedness). Pass
+    * `maxBucket = None` for exhaustive candidates on corpora known to be
+    * saturation-free.
     */
-  def candidates(bandsDf: DataFrame, id: String, maxBucket: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pruned = maxBucket.fold(bandsDf) { cap =>
-      val w = Window.partitionBy(col("band"), col("band_val"))
-      bandsDf.withColumn("_n", count(lit(1)).over(w))
-        .filter(col("_n") <= cap).drop("_n")
-    }
+  val BucketCap = 100
+
+  /** Drops band buckets larger than `cap`: map-side-combinable count +
+    * AQE-splittable left-semi join back. Deliberately NOT a
+    * count-over-window — the window partition would be the hot bucket
+    * itself, one task's sorted buffer at corpus scale (the q82 hot-key
+    * class this codebase eliminates everywhere else).
+    */
+  def capBuckets(bandsDf: DataFrame, cap: Int): DataFrame = {
+    val small = bandsDf.groupBy(col("band"), col("band_val"))
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") <= cap)
+    bandsDf.join(small, Seq("band", "band_val"), "left_semi")
+  }
+
+  /** Distinct candidate pairs (id_a < id_b) sharing any band value.
+    * Bucket-capped by default — see [[BucketCap]].
+    */
+  def candidates(bandsDf: DataFrame, id: String,
+      maxBucket: Option[Int] = Some(BucketCap)): DataFrame = {
+    val pruned = maxBucket.fold(bandsDf)(cap => capBuckets(bandsDf, cap))
     val a = pruned.select(col("band"), col("band_val"), col(id).as("id_a"))
     val b = pruned.select(col("band"), col("band_val"), col(id).as("id_b"))
     a.join(b, Seq("band", "band_val")).filter(col("id_a") < col("id_b"))

@@ -51,13 +51,34 @@ class TextSpec extends SparkSpec {
     val sh = MinHash.withShingles(df, "doc_id", "text")
     val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 8)
     val bands = MinHash.bands(sig, "doc_id", 8, 1) // r=1: hot shingle degenerates
-    val uncapped = MinHash.candidates(bands, "doc_id").count()
+    val uncapped = MinHash.candidates(bands, "doc_id", maxBucket = None).count()
     val capped = MinHash.candidates(bands, "doc_id", maxBucket = Some(10))
     // the 40-doc bucket (780 pairs per colliding band) is gone...
     assert(capped.count() < uncapped / 4,
       s"cap did not bound the hot bucket: ${capped.count()} vs $uncapped")
     // ...but the genuine duplicate pair still collides in its own buckets
     assert(capped.filter(col("id_a") === 100L && col("id_b") === 101L).count() == 1)
+  }
+
+  test("MinHash: the DEFAULT bucket cap bounds a saturated bucket (r10 scale fix)") {
+    // BucketCap+20 exact clones form one band bucket above the default cap:
+    // uncapped their pair count is quadratic (the sf10-observed blowup —
+    // 197M candidates from a saturated shingle space); the default drops
+    // the bucket while a small genuine-dup bucket survives untouched.
+    val n = MinHash.BucketCap + 20
+    val docs = (1L to n.toLong).map(i => (i, "saturated corpus hot boilerplate line here")) :+
+      (9000L, "real duplicate pair of docs") :+ (9001L, "real duplicate pair of docs")
+    val df = docs.toDF("doc_id", "text")
+    val sig = MinHash.signature(
+      MinHash.shingleRows(MinHash.withShingles(df, "doc_id", "text"), "doc_id"), "doc_id", 8)
+    val bands = MinHash.bands(sig, "doc_id", 8, 2)
+    val byDefault = MinHash.candidates(bands, "doc_id")
+    assert(byDefault.filter(col("id_a") <= n && col("id_b") <= n).count() === 0L,
+      "the over-cap clone bucket must contribute no candidate pairs by default")
+    assert(byDefault.filter(col("id_a") === 9000L && col("id_b") === 9001L).count() === 1L)
+    val exhaustive = MinHash.candidates(bands, "doc_id", maxBucket = None)
+    assert(exhaustive.filter(col("id_a") <= n && col("id_b") <= n).count() ===
+      n.toLong * (n - 1) / 2, "opt-out must restore exhaustive candidates")
   }
 
   test("Curate.keepSet: exact losers, cluster losers and low-quality docs drop") {
