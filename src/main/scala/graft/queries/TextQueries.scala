@@ -678,8 +678,13 @@ object TextQueries {
            FROM th CROSS JOIN (SELECT unnest(range(60)) AS j) js GROUP BY 1, 2),
          fp AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
            FROM bits GROUP BY 1),
-         banded AS (SELECT doc_id, simhash, band, (simhash >> (band * 10)) & 1023 AS band_val
+         banded0 AS (SELECT doc_id, simhash, band, (simhash >> (band * 10)) & 1023 AS band_val
            FROM fp CROSS JOIN (SELECT unnest(range(6)) AS band) bs),
+         banded AS (SELECT b0.* FROM banded0 b0
+           JOIN (SELECT band, band_val, count(*) AS bn FROM banded0
+                 GROUP BY 1, 2) bc
+             ON b0.band = bc.band AND b0.band_val = bc.band_val
+           WHERE bc.bn <= ${SimHash.BandBucketCap}),
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              a.simhash AS sim_a, b.simhash AS sim_b
            FROM banded a JOIN banded b ON a.band = b.band AND a.band_val = b.band_val

@@ -51,11 +51,36 @@ object SimHash {
       .cache()
   }
 
-  /** Pairs within `maxHamming` of each other, found via 6 × 10-bit bands. */
-  def nearPairs(fp: DataFrame, id: String, maxHamming: Int): DataFrame = {
-    val banded = fp.select(col(id), col("simhash"),
+  /** Band-bucket cap, ON by default (round 10). The 6 × 10-bit banding has
+    * AT MOST 6·1024 buckets — at any corpus size past ~10⁵ docs every
+    * bucket is corpus-fraction-sized and candidate volume is quadratic
+    * (Σ C(n_bucket, 2) ≈ 3N²/1024 whatever the data; measured ×159 for
+    * ×100 data on the 100× scale-up). The cap bounds candidates to
+    * ≤ 3·cap·N — linear — by dropping over-cap buckets before pairing.
+    *
+    * 600 is ≥ every bucket the oracle SFs produce (max 62 at sf0.01, 553
+    * at sf0.1) so capped results are bit-identical there, and the DuckDB
+    * oracle mirrors the cap so the capped semantics are the definition.
+    * The pairs a drop loses are hot-fingerprint cliques — corpus-hot
+    * near-identical boilerplate whose members ALSO collide in their other
+    * ≥ 6−maxHamming matching bands unless those are hot too; a clique
+    * larger than the cap is exact-duplicate-grade repetition, q19's
+    * territory (hamming-0 pairs of the same text are found there), not a
+    * pair-enumeration problem. `maxBucket = None` opts out.
+    */
+  val BandBucketCap = 600
+
+  /** Pairs within `maxHamming` of each other, found via 6 × 10-bit bands.
+    * Bucket-capped by default — see [[BandBucketCap]].
+    */
+  def nearPairs(fp: DataFrame, id: String, maxHamming: Int,
+      maxBucket: Option[Int] = Some(BandBucketCap)): DataFrame = {
+    val banded0 = fp.select(col(id), col("simhash"),
       explode(sequence(lit(0), lit(5))).as("band"))
       .withColumn("band_val", expr("(simhash >> (band * 10)) & 1023"))
+    // Same shape as MinHash.capBuckets: map-side count + left-semi
+    // join-back, never a count-over-window on the hot bucket itself.
+    val banded = maxBucket.fold(banded0)(cap => MinHash.capBuckets(banded0, cap))
     val a = banded.select(col("band"), col("band_val"), col(id).as("id_a"), col("simhash").as("sim_a"))
     val b = banded.select(col("band"), col("band_val"), col(id).as("id_b"), col("simhash").as("sim_b"))
     a.join(b, Seq("band", "band_val")).filter(col("id_a") < col("id_b"))

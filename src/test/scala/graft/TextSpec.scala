@@ -81,6 +81,24 @@ class TextSpec extends SparkSpec {
       n.toLong * (n - 1) / 2, "opt-out must restore exhaustive candidates")
   }
 
+  test("SimHash: band-bucket cap drops a hot-fingerprint clique, keeps isolated pairs") {
+    // 30 identical docs share one fingerprint → every band bucket holds the
+    // whole clique; an unrelated near-pair sits in its own buckets.
+    val docs = (1L to 30L).map(i => (i, "hot boilerplate text repeated verbatim")) :+
+      (500L, "rare document about something else entirely") :+
+      (501L, "rare document about something else entirely")
+    val fp = SimHash.fingerprints(docs.toDF("doc_id", "text"), "doc_id", "text")
+    val capped = SimHash.nearPairs(fp, "doc_id", 3, maxBucket = Some(10))
+    assert(capped.filter(col("id_a") <= 30L).count() === 0L,
+      "over-cap clique must contribute no pairs")
+    assert(capped.filter(col("id_a") === 500L && col("id_b") === 501L).count() === 1L)
+    // opt-out restores the clique's quadratic pairs
+    val exhaustive = SimHash.nearPairs(fp, "doc_id", 3, maxBucket = None)
+    assert(exhaustive.filter(col("id_a") <= 30L).count() === 30L * 29 / 2)
+    // the default cap is a no-op at this scale
+    assert(SimHash.nearPairs(fp, "doc_id", 3).count() === exhaustive.count())
+  }
+
   test("Curate.keepSet: exact losers, cluster losers and low-quality docs drop") {
     val baseA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
       "kilo lima mike november oscar papa quebec romeo sierra tango"
