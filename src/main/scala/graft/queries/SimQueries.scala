@@ -63,6 +63,24 @@ object SimQueries {
         .orderBy(col("vec_id"))
     },
 
+    // ---- q86: SemDeDup-style embedding dedup verdicts ----
+    // Drop a vector when an earlier-id vector in its LSH bucket covers it
+    // at cosine >= tau (covered-by-earlier, the q68/q72/q82 first-
+    // occurrence-wins semantics); the verdict records the smallest-id
+    // coverer and the coverer count. tau=0.35 is the DATA-DERIVED test
+    // point: the synthetic embeddings are near-uniform (in-bucket cosine
+    // tops out ~0.45 at sf0.01 / ~0.6 at sf0.1), so the paper's ~0.95
+    // operating point would never fire here; production derives tau from
+    // the real cluster-cosine distribution (Ann.semDedup scaladoc).
+    "q86_semdedup" -> { (s, d) =>
+      val v = vecs(s, d)
+      Ann.semDedup(v.select(col("id"), col("vec")),
+          Ann.hyperplaneBuckets(v, 8), 0.35)
+        .select(col("id").as("vec_id"), col("bucket"),
+          col("dropped_by"), col("n_coverers"))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- q55: trained IVF quantizer (k-means cell build) ----
     // Deterministic end to end (farthest-point seeding + Lloyd, no RNG),
     // but k-means is not practically SQL-expressible — no oracleSql entry,
@@ -158,6 +176,18 @@ object SimQueries {
          ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
              ORDER BY cos DESC, neighbor_id) AS rn FROM pairs)
          SELECT vec_id, neighbor_id, round(cos, 6) AS cosine, bucket::BIGINT AS bucket
-         FROM ranked WHERE rn = 1 ORDER BY vec_id"""
+         FROM ranked WHERE rn = 1 ORDER BY vec_id""",
+
+    "q86_semdedup" ->
+      s"""WITH $E, $BUCKET_CTES,
+         eb AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk ON e.vec_id = bk.vec_id),
+         drops AS (SELECT b.vec_id, min(a.vec_id) AS dropped_by,
+             count(*)::BIGINT AS n_coverers
+           FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             AND ${cosSql("a.v", "b.v")} >= 0.35
+           GROUP BY 1)
+         SELECT bk.vec_id, bk.bucket::BIGINT AS bucket, d.dropped_by,
+           coalesce(d.n_coverers, 0) AS n_coverers
+         FROM bk LEFT JOIN drops d USING (vec_id) ORDER BY vec_id"""
   )
 }

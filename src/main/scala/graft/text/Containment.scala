@@ -69,11 +69,22 @@ object Containment {
     *   exactly the dense-vocab regime yet would ship ~150 GB to every
     *   executor. Past the budget the sparse path (correct in every regime)
     *   runs instead.
+    * @param maxSparseCandidates fail-fast budget on the sparse path's
+    *   candidate expansion, Σ over probe rows of df(probe hash) — the
+    *   exact row count the probe⋈index join produces. On a corpus whose
+    *   rarest per-doc shingles are still corpus-hot (a saturated/
+    *   boilerplate-dominated shingle space — the regime the 100× scale
+    *   run exposed), prefix filtering stops discriminating and that join
+    *   quietly goes quadratic; the estimate is one bounded agg over the
+    *   already-built probe frame, so the operator dies with a NAMED error
+    *   (pointing at dedup-first / the minhash family / a higher budget)
+    *   instead of committing the cluster to 10¹³ join rows. 0 disables.
     */
   def containmentJoin(docs: DataFrame, id: String, text: String,
       threshold: Double, minProbeMatches: Int = 6,
       denseVocabMax: Long = 4096,
-      denseBroadcastMaxBytes: Long = 256L << 20): DataFrame = {
+      denseBroadcastMaxBytes: Long = 256L << 20,
+      maxSparseCandidates: Long = 4_000_000_000L): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     require(minProbeMatches >= 1, s"minProbeMatches >= 1, got $minProbeMatches")
     // Flat (id, h) shingle-hash rows — distinct per doc by construction
@@ -101,7 +112,7 @@ object Containment {
       nDocs * bitsetBytes <= denseBroadcastMaxBytes
     }
     if (vocab <= denseVocabMax && denseFits) dense(rows, id, threshold, vocab)
-    else sparse(rows, dfh, id, threshold, minProbeMatches)
+    else sparse(rows, dfh, id, threshold, minProbeMatches, maxSparseCandidates)
   }
 
   /** Containment on the tie-free floor grid (q24 discipline: round(x, 4)
@@ -111,7 +122,8 @@ object Containment {
   private def grid(c: Column): Column = floor(c * 10000d + 0.5d) / 10000d
 
   private def sparse(rows: DataFrame, dfh: DataFrame, id: String,
-      threshold: Double, minProbeMatches: Int): DataFrame = {
+      threshold: Double, minProbeMatches: Int,
+      maxSparseCandidates: Long): DataFrame = {
     val sizes = rows.groupBy(col(id)).agg(count(lit(1)).as("n"))
     // Rare-first rank within each doc under the global (df, h) order.
     val byRarity = Window.partitionBy(col(id)).orderBy(col("df"), col("h"))
@@ -121,8 +133,26 @@ object Containment {
       .withColumn("_rn", row_number().over(byRarity))
       .join(sizes, Seq(id))
       .filter(col("_rn") <= m)
-      .select(col(id).as("id_a"), col("h"), (m - maxMiss).as("_need"))
-    val cand = probes
+      .select(col(id).as("id_a"), col("h"), (m - maxMiss).as("_need"),
+        col("df"))
+    if (maxSparseCandidates > 0) {
+      // One bounded agg over the probe frame (rows is cached; the window
+      // re-runs once): Σ df(probe hash) IS the probe⋈index join's output
+      // row count — the quantity that goes quadratic when prefix filtering
+      // stops discriminating.
+      val est = Option(probes.agg(sum(col("df"))).head().get(0))
+        .fold(0L)(_.asInstanceOf[Long])
+      if (est > maxSparseCandidates) throw new IllegalArgumentException(
+        s"containment_join: sparse-path candidate expansion would be $est rows " +
+          s"(> budget $maxSparseCandidates) — the corpus's rarest per-document " +
+          "shingles are still corpus-hot, so prefix-filter blocking cannot " +
+          "discriminate (saturated/boilerplate-dominated shingle space). " +
+          "Dedup the corpus first (q19/q72/q82), use the capped minhash " +
+          "family for near-dup discovery, or raise maxSparseCandidates if " +
+          "the cluster can hold the join.")
+    }
+    val probesKeyed = probes.drop("df")
+    val cand = probesKeyed
       .join(rows.select(col(id).as("id_b"), col("h")), Seq("h"))
       .filter(col("id_a") =!= col("id_b"))
       .groupBy(col("id_a"), col("id_b"))

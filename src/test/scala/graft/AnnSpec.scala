@@ -35,6 +35,27 @@ class AnnSpec extends SparkSpec {
     assert((b1(0) ^ b1(1)) == 255L)
   }
 
+  test("semDedup: covered-by-earlier verdicts, cross-bucket blindness, kept rows NULL") {
+    // Hand-built buckets (bypass LSH): bucket 7 holds three near-parallel
+    // vectors (1,2,3) and one orthogonal (4); vector 5 duplicates 1 but
+    // sits in another bucket, so it cannot be covered.
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.999, 0.01)), (3L, Seq(0.99, 0.02)),
+      (4L, Seq(0.0, 1.0)), (5L, Seq(1.0, 0.0)))
+      .toDF("id", "vec")
+    val buckets = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 7L), (5L, 9L))
+      .toDF("id", "bucket")
+    val out = Ann.semDedup(vecs, buckets, 0.95).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getLong(3))).toMap
+    assert(out(1L) == (None, 0L), "first occurrence is kept")
+    assert(out(2L) == (Some(1L), 1L), "covered by the earlier near-parallel")
+    assert(out(3L) == (Some(1L), 2L), "both 1 and 2 cover 3; smallest id wins")
+    assert(out(4L) == (None, 0L), "orthogonal vector is kept")
+    assert(out(5L) == (None, 0L), "duplicate in another bucket is invisible to LSH")
+    assert(out.size == 5, "one verdict row per input vector")
+  }
+
   test("native graft_dot matches the interpreted HOF fold bit-for-bit") {
     val df = Tables.embeddings(spark, sfDir).limit(100)
       .select(col("vec_id"), Ann.toDouble(col("embedding")).as("v"))

@@ -226,6 +226,25 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("containment sparse path fails fast when prefix filtering cannot discriminate") {
+    // Every doc shares the same hot shingles (saturated space): each probe's
+    // df is the corpus size, so the candidate expansion is quadratic. A low
+    // budget must die with the named error instead of running the join; a
+    // high budget (and the default at this scale) must run and agree.
+    val docs = (1L to 40L).map(i => (i, "common anchor boilerplate line everywhere"))
+      .toDF("doc_id", "text")
+    def run(budget: Long) = graft.text.Containment
+      .containmentJoin(docs, "doc_id", "text", 0.8,
+        denseVocabMax = 0, maxSparseCandidates = budget)
+    val e = intercept[IllegalArgumentException](run(100).count())
+    assert(e.getMessage.contains("containment_join") &&
+      e.getMessage.contains("candidate expansion"))
+    // 40 docs x 5 probes x df 40 = 8000 expansion rows — the corpus is all
+    // mutual containment, so the surviving output is the full 40x39.
+    assert(run(10000).count() === 40L * 39)
+    assert(run(0).count() === 40L * 39) // 0 disables the guard
+  }
+
   test("incremental (count, sum) state merge equals the one-pass aggregation") {
     // The q62 algebra on random data and a random split point: folding the
     // stored partial state with the new window's partials must equal the
