@@ -389,6 +389,24 @@ object Ann {
     }
   }
 
+  /** Hyperplane count that holds the EXPECTED bucket size at `targetBucket`
+    * as the corpus grows: planes = ceil(log2(n / targetBucket)). This is
+    * the scale lever the bucketed operators (bucketTop1 / semDedup)
+    * document — with FIXED planes the 2^planes buckets saturate and
+    * in-bucket pair work grows ~N²/2^planes (the 100× run measured q35 at
+    * exponent 0.95 and bending toward 2 as buckets fill); holding bucket
+    * size constant costs one extra plane per corpus doubling and keeps
+    * pair work ~N·targetBucket. The catalog queries keep FIXED planes (the
+    * count is baked into their DuckDB oracle spellings); a production
+    * index build derives it from the corpus count — bounded metadata.
+    */
+  def planesFor(n: Long, targetBucket: Int = 256): Int = {
+    require(n >= 0, s"n must be non-negative, got $n")
+    require(targetBucket >= 1, s"targetBucket must be positive, got $targetBucket")
+    math.max(1, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+  }
+
   /** SemDeDup-style embedding dedup verdicts (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication"):
     * inside each LSH bucket, a vector is DROPPED when an earlier-id vector

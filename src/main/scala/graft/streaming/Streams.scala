@@ -352,6 +352,62 @@ object Streams {
   def readContainmentKept(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/kept").drop("batch_id")
 
+  /** foreachBatch streaming SemDeDup — the streaming face of q86
+    * ([[graft.sim.Ann.semDedup]]) with FIRST-SEEN-WINS survivorship:
+    * a batch vector is DROPPED when
+    *
+    *  - any ALREADY-KEPT vector shares its hyperplane bucket at cosine >=
+    *    `tau` (stream order wins, NOT id order — a streaming deduper
+    *    cannot un-keep state, exactly the curateSink/containmentSink
+    *    survivorship), or
+    *  - a smaller-id member of the SAME batch covers it (q86's
+    *    covered-by-any-earlier rule, so a single batch over empty state
+    *    reproduces q86's verdicts exactly — parity is spec-pinned).
+    *
+    * State: `kept` (id, bucket, vec) as a batch_id-partitioned log —
+    * replay-idempotent via dynamic overwrite, compactable with
+    * [[compactBatchLog]] (identity merge). Per-batch cost: one
+    * hyperplane pass over the batch + a bucket equi-join against the
+    * kept log — never a corpus rescan, no window. Bucket granularity is
+    * the cost lever ([[graft.sim.Ann.planesFor]]): a long-lived index
+    * should pick `planes` for the CORPUS it will accumulate, not the
+    * batch size.
+    */
+  def semDedupSink(spark: SparkSession, stateDir: String, planes: Int = 8,
+      tau: Double = 0.35)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.sim.Ann
+    val keptDir = s"$stateDir/kept"
+    val vecs = batch.select(col("id"), col("vec")).cache()
+    val withB = vecs.join(Ann.hyperplaneBuckets(vecs, planes), "id")
+    val prior = graft.sources.Sources.parquetIfExists(spark, keptDir).map { df =>
+      require(df.columns.contains("batch_id"),
+        s"semdedup state at $keptDir lacks the batch_id partition column " +
+          "(legacy layout) — migrate before streaming resumes")
+      df.filter(col("batch_id") =!= batchId).drop("batch_id")
+    }
+    val covers = prior.getOrElse(withB.limit(0))
+      .select(col("bucket"), col("id").as("cover_id"), col("vec").as("cvec"))
+      .withColumn("_old", lit(true))
+      .unionByName(withB
+        .select(col("bucket"), col("id").as("cover_id"), col("vec").as("cvec"))
+        .withColumn("_old", lit(false)))
+    val dropped = withB.join(covers, Seq("bucket"))
+      .filter(col("_old") || col("cover_id") < col("id"))
+      .filter(Ann.cosine(col("vec"), col("cvec")) >= tau)
+      .select(col("id")).distinct()
+    val kept = withB.join(dropped, Seq("id"), "left_anti").cache()
+    // Empty-kept discipline as containmentSink: file-less partition dirs
+    // break later reads; replay re-derives empty deterministically.
+    if (!kept.isEmpty)
+      graft.sources.Sinks.dynamicOverwrite(
+        kept.withColumn("batch_id", lit(batchId)), keptDir, Seq("batch_id"))
+    kept.unpersist(); vecs.unpersist()
+  }
+
+  /** Current kept set from the [[semDedupSink]] state log. */
+  def readSemDedupKept(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/kept").drop("batch_id")
+
   /** foreachBatch benchmark decontamination — the streaming face of
     * [[graft.text.Decontaminate]]: every batch document sharing >= 1 word
     * `n`-gram with the (static) eval/benchmark gram set routes to the

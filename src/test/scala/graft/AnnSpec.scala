@@ -56,6 +56,18 @@ class AnnSpec extends SparkSpec {
     assert(out.size == 5, "one verdict row per input vector")
   }
 
+  test("planesFor holds expected bucket size across corpus growth") {
+    // one extra plane per doubling; expected n/2^planes never exceeds target
+    assert(Ann.planesFor(256, 256) === 1)
+    assert(Ann.planesFor(2000, 256) === 3)
+    assert(Ann.planesFor(200000, 256) === 10)
+    for (n <- Seq(1L, 1000L, 50000L, 5000000L, 500000000L)) {
+      val p = Ann.planesFor(n)
+      assert(n.toDouble / math.pow(2, p) <= 256.0, s"n=$n planes=$p")
+    }
+    assert(Ann.planesFor(1L << 40, 256) === 32) // log-growth, never huge
+  }
+
   test("native graft_dot matches the interpreted HOF fold bit-for-bit") {
     val df = Tables.embeddings(spark, sfDir).limit(100)
       .select(col("vec_id"), Ann.toDouble(col("embedding")).as("v"))

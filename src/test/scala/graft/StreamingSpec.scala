@@ -512,6 +512,42 @@ class StreamingSpec extends SparkSpec {
     assert(!kept.contains(8L), "fragment of a compacted kept doc must still drop")
   }
 
+  test("semDedupSink: q86 parity on one batch, first-seen-wins across batches, idempotent replay, compactable") {
+    val dir = Files.createTempDirectory("semdedup_stream").toFile.getAbsolutePath
+    val sink = Streams.semDedupSink(spark, s"$dir/state") _
+    // near-parallel pair (10, 11) + an orthogonal vector
+    val b0 = Seq((10L, Seq(1.0, 0.0)), (11L, Seq(0.999, 0.01)), (12L, Seq(0.0, 1.0)))
+      .toDF("id", "vec")
+    sink(b0, 0L)
+    def kept = Streams.readSemDedupKept(spark, s"$dir/state")
+      .select("id").as[Long].collect().toSet
+    // single batch over empty state == q86's covered-by-earlier verdicts
+    val batchKept = graft.sim.Ann
+      .semDedup(b0, graft.sim.Ann.hyperplaneBuckets(b0, 8), 0.35)
+      .filter(col("dropped_by").isNull).select("id").as[Long].collect().toSet
+    assert(kept == batchKept, s"single-batch parity broken: $kept vs $batchKept")
+    assert(kept == Set(10L, 12L), s"kept set wrong: $kept")
+
+    // FIRST-SEEN-WINS: id 5 arrives later and is covered by ALREADY-KEPT
+    // id 10 — it drops despite the smaller id (stream order, not id
+    // order); the opposite-direction vector is kept.
+    val b1 = Seq((5L, Seq(1.0, 0.005)), (20L, Seq(-1.0, 0.0))).toDF("id", "vec")
+    sink(b1, 1L)
+    sink(b1, 1L) // replay after a simulated post-write failure
+    assert(kept == Set(10L, 12L, 20L), s"first-seen-wins broken: $kept")
+    // replay left exactly one state row per kept id
+    val rows = spark.read.parquet(s"$dir/state/kept").groupBy(col("id"))
+      .count().filter(col("count") > 1).count()
+    assert(rows == 0L, "replay must not duplicate kept state")
+
+    // the kept log compacts like every batch log; a near-dup of a
+    // COMPACTED kept vector still drops
+    assert(Streams.compactBatchLog(spark, s"$dir/state/kept", keepLast = 1))
+    sink(Seq((30L, Seq(1.0, -0.005))).toDF("id", "vec"), 2L)
+    assert(!kept.contains(30L), "near-dup of a compacted kept vector must still drop")
+    assert(kept == Set(10L, 12L, 20L))
+  }
+
   test("batch↔streaming containment parity: ordered arrival agrees on drops, direction pins the divergence") {
     // Contract mirror of the curation parity spec: the BATCH join reports
     // both directions of coverage; the SINK drops only the contained side,
