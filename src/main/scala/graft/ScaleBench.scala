@@ -56,7 +56,8 @@ object ScaleBench {
     "q43_ann_ivf", "q56_tfidf", "q59_crosscorpus_dedup",
     "q66_winnow", "q67_containment", "q68_containment_prune",
     "q72_chunk_dedup", "q74_bigram_logprob", "q76_copurchase",
-    "q82_line_dedup", "q83_source_overlap", "q85_boilerplate_grams")
+    "q82_line_dedup", "q83_source_overlap", "q85_boilerplate_grams",
+    "q86_semdedup")
 
   /** Key stride between copies: far above any sf0.1 key range, so strided
     * ids never collide across copies.

@@ -172,7 +172,15 @@ object Streams {
     val all = existing.unionByName(sig).cache()
     val newBands = MinHash.bands(sig, "doc_id", k, bandRows)
       .withColumnRenamed("doc_id", "id_new")
-    val allBands = MinHash.bands(all, "doc_id", k, bandRows)
+    // Bucket cap on the ACCUMULATED index side (r10, MinHash.BucketCap
+    // discipline): a corpus-hot band bucket in a long-lived index grows
+    // with everything ever ingested, and every new batch member matching
+    // it would pair against the whole bucket — the same saturated-bucket
+    // quadratic the 100x run exposed in the batch family, compounding
+    // per batch here. Over-cap buckets stop generating candidates; a true
+    // near-dup still collides in its other bands.
+    val allBands = MinHash.capBuckets(
+        MinHash.bands(all, "doc_id", k, bandRows), MinHash.BucketCap)
       .withColumnRenamed("doc_id", "id_other")
     val cand = newBands.join(allBands, Seq("band", "band_val"))
       .filter(col("id_new") =!= col("id_other"))
@@ -250,9 +258,13 @@ object Streams {
     val allSigs = oldSigs.unionByName(sig).cache()
     val newB = MinHash.bands(sig, "doc_id", k, bandRows)
       .withColumnRenamed("doc_id", "id_a")
-    val otherB = MinHash.bands(oldSigs, "doc_id", k, bandRows)
-      .withColumn("_old", lit(true))
-      .unionByName(MinHash.bands(sig, "doc_id", k, bandRows).withColumn("_old", lit(false)))
+    // Same accumulated-index bucket cap as nearDupSink (r10).
+    val otherB = MinHash.capBuckets(
+        MinHash.bands(oldSigs, "doc_id", k, bandRows)
+          .withColumn("_old", lit(true))
+          .unionByName(MinHash.bands(sig, "doc_id", k, bandRows)
+            .withColumn("_old", lit(false))),
+        MinHash.BucketCap)
       .withColumnRenamed("doc_id", "id_b")
     val cand = newB.join(otherB, Seq("band", "band_val"))
       .filter(col("_old") || col("id_b") < col("id_a"))
