@@ -372,6 +372,47 @@ object SqlOps {
     * `approx_percentile` in its exact regime, catalog-sized cutoffs
     * broadcast back. Needs `graft_quality` ([[SqlFunctions.register]]).
     */
+  /** SQL twin of q86 ([[graft.sim.Ann.semDedup]] over
+    * [[graft.sim.Ann.planesFor]]-style fixed hyperplanes): SemDeDup-style
+    * embedding dedup verdicts — per vector its hyperplane bucket, the
+    * smallest-id earlier coverer at cosine ≥ `tau` (NULL when kept) and
+    * the coverer count. The md5-sign hyperplane table and the cosine ride
+    * the same spellings as the Column op (`graft_cosine` — needs
+    * [[SqlFunctions.register]]), so results are value-identical.
+    * `vecCol` is cast to ARRAY<DOUBLE> (accepts float embeddings).
+    */
+  def semDedupSql(table: String, idCol: String, vecCol: String,
+      planes: Int = 8, tau: Double = 0.35): String = {
+    require(planes >= 1 && planes <= 62, s"planes in [1,62], got $planes")
+    require(tau > 0 && tau <= 1, s"tau in (0,1], got $tau")
+    val (id, vc) = (bt(idCol), bt(vecCol))
+    s"""WITH _v AS (SELECT $id AS _id, CAST($vc AS ARRAY<DOUBLE>) AS _vec
+       |  FROM $table),
+       |_ex AS (SELECT _id, pos, v FROM _v
+       |  LATERAL VIEW posexplode(_vec) _t AS pos, v),
+       |_sg AS (SELECT pos, j,
+       |    CASE WHEN substring(md5(concat_ws('-', j, pos)), 1, 1) >= '8'
+       |         THEN 1 ELSE -1 END AS sgn
+       |  FROM (SELECT DISTINCT pos FROM _ex)
+       |  LATERAL VIEW explode(sequence(0, ${planes - 1})) _tj AS j),
+       |_bits AS (SELECT e._id, s.j, sum(e.v * s.sgn) AS s
+       |  FROM _ex e JOIN _sg s ON e.pos = s.pos GROUP BY e._id, s.j),
+       |_bk AS (SELECT _id, sum(CASE WHEN s > 0
+       |    THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)
+       |    AS bucket
+       |  FROM _bits GROUP BY _id),
+       |_eb AS (SELECT v._id, v._vec, b.bucket FROM _v v JOIN _bk b
+       |  ON v._id = b._id),
+       |_dr AS (SELECT b._id, min(a._id) AS dropped_by,
+       |    count(*) AS n_coverers
+       |  FROM _eb a JOIN _eb b ON a.bucket = b.bucket AND a._id < b._id
+       |    AND graft_cosine(a._vec, b._vec) >= $tau
+       |  GROUP BY b._id)
+       |SELECT k._id AS $id, k.bucket, d.dropped_by,
+       |  coalesce(d.n_coverers, CAST(0 AS BIGINT)) AS n_coverers
+       |FROM _bk k LEFT JOIN _dr d ON k._id = d._id""".stripMargin
+  }
+
   def qualityCutoffSql(table: String, idCol: String, sourceCol: String,
       textCol: String, q: Double = 0.25,
       accuracy: Int = graft.queries.TextQueries.QualityCutoffExactAccuracy): String = {

@@ -307,6 +307,17 @@ class SqlSurfaceSpec extends SparkSpec {
     assertSame(viaSql85, viaCol85, "boilerplate grams", samePlan = false)
   }
 
+  test("SqlOps.semDedupSql == Ann.semDedup (rows)") {
+    registered
+    val viaSql = spark.sql(SqlOps.semDedupSql("embeddings", "vec_id", "embedding"))
+    val v = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), graft.sim.Ann.toDouble(col("embedding")).as("vec"))
+    val viaCol = graft.sim.Ann
+      .semDedup(v, graft.sim.Ann.hyperplaneBuckets(v, 8), 0.35)
+      .select(col("id").as("vec_id"), col("bucket"), col("dropped_by"), col("n_coverers"))
+    assertSame(viaSql, viaCol, "semdedup", samePlan = false)
+  }
+
   test("SqlOps.pageRankSql == Graph.pageRank (rows at round-8 precision)") {
     registered
     val edges = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
