@@ -144,8 +144,11 @@ object ScaleBench {
       System.err.println(f"[scale] generated in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
 
+    // An explicit SPARK_GRAFT_QUERIES list may name ANY registered query
+    // (the derived corpora carry every table), not just the hot set.
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
-    val catalog = hotSet.filter(n => only.forall(_.contains(n)))
+    val catalog = only
+      .fold(hotSet)(sel => SparkEntry.queries.keys.toSeq.sorted.filter(sel.contains))
       .map(n => n -> SparkEntry.queries(n))
 
     // Steady-state warmup (compile-cache fill) at the smallest SF.
@@ -182,7 +185,8 @@ object ScaleBench {
     // cleared at each pass boundary so family-cache builds are paid in both.
     val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
     val best = scala.collection.mutable.Map[(String, String), (Double, Double, Double)]()
-    val dirs = Seq("sf0.1" -> srcDir, "sf1" -> outDir)
+    val scaledTag = s"x$k" // k=10 -> "x10" (sf1), k=100 -> "x100" (sf10)
+    val dirs = Seq("sf0.1" -> srcDir, scaledTag -> outDir)
     (1 to passes).foreach { pass =>
       dirs.foreach { case (tag, dir) =>
         spark.catalog.clearCache()
@@ -205,13 +209,13 @@ object ScaleBench {
     def f2(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val rows = catalog.map(_._1).map { n =>
       val (a, pa, ppa) = best((n, "sf0.1"))
-      val (b, pb, ppb) = best((n, "sf1"))
+      val (b, pb, ppb) = best((n, scaledTag))
       val ratio = b / a
       val expo = math.log(ratio) / math.log(k.toDouble)
       (n, a, b, ratio, expo, Seq(pa, pb).max, Seq(ppa, ppb).max)
     }
     val qjson = rows.map { case (n, a, b, r, e, p, pp) =>
-      s""""$n":{"sf0_1_sec":${f2(a)},"sf1_sec":${f2(b)},"ratio":${f2(r)},"exponent":${f2(e)},"probe_ms":${f2(p)},"pprobe_ms":${f2(pp)}}"""
+      s""""$n":{"sf0_1_sec":${f2(a)},"scaled_sec":${f2(b)},"ratio":${f2(r)},"exponent":${f2(e)},"probe_ms":${f2(p)},"pprobe_ms":${f2(pp)}}"""
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"scale","k":$k,"passes":$passes,"queries":$qjson}"""
     println(line)
