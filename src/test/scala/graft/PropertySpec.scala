@@ -226,6 +226,34 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("bucket caps are sound on random corpora: capped ⊆ exhaustive, equal when buckets fit") {
+    // The r10 cap semantics on arbitrary data: dropping over-cap buckets
+    // can only REMOVE candidate pairs (never invent them), and when no
+    // bucket exceeds the cap the capped result is the exhaustive one —
+    // which is why the oracle-SF results stayed bit-identical.
+    import graft.text.{MinHash, SimHash}
+    val word = Gen.oneOf("sun", "moon", "tide", "rock", "fern", "moss")
+    val doc = Gen.choose(2, 10).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val gen = Gen.choose(4, 10).flatMap(n => Gen.listOfN(n, doc))
+    check(forAll(gen) { docs =>
+      val df = docs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+      val sig = MinHash.signature(
+        MinHash.shingleRows(MinHash.withShingles(df, "doc_id", "text"), "doc_id"), "doc_id", 8)
+      val bands = MinHash.bands(sig, "doc_id", 8, 2)
+      def pairs(cap: Option[Int]) = MinHash.candidates(bands, "doc_id", cap)
+        .as[(Long, Long)].collect().toSet
+      val exhaustive = pairs(None)
+      val tight = pairs(Some(2))   // may drop buckets on tiny corpora
+      val roomy = pairs(Some(1000)) // no bucket can exceed this here
+      val fp = SimHash.fingerprints(df, "doc_id", "text")
+      val simEx = SimHash.nearPairs(fp, "doc_id", 5, maxBucket = None)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val simTight = SimHash.nearPairs(fp, "doc_id", 5, maxBucket = Some(2))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      tight.subsetOf(exhaustive) && roomy == exhaustive && simTight.subsetOf(simEx)
+    })
+  }
+
   test("containment sparse path fails fast when prefix filtering cannot discriminate") {
     // Every doc shares the same hot shingles (saturated space): each probe's
     // df is the corpus size, so the candidate expansion is quadratic. A low
