@@ -41,8 +41,8 @@ import org.apache.spark.sql.functions._
   * min-of-2 passes with cache clears at pass boundaries, single-thread and
   * all-core spin probes before each measurement so host contention is
   * legible in the record. Output: one JSON line + scale.json in CWD with
-  * per-query {sf0_1_sec, sf1_sec, ratio, exponent}; exponent =
-  * log(ratio)/log(10) (1.0 = linear, <=~1.2 allows shuffle growth).
+  * per-query {sf0_1_sec, scaled_sec, ratio, exponent}; exponent =
+  * log(ratio)/log(k) (1.0 = linear, <=~1.2 allows shuffle growth).
   */
 object ScaleBench {
 
