@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side shape is the real one — typed Encoders, binary schema,
   * mapPartitions batching (one decoder instantiation per partition, the
-  * shape a JNI/FFMPEG/image codec binding needs) — and as of round 10 the
-  * decode itself is REAL for the containerless formats a pure JVM can parse:
-  * PPM (P6, including comment lines), BMP (BITMAPINFOHEADER, uncompressed),
-  * and WAV (RIFF/PCM). Payloads whose magic matches none of these fall back
-  * to the deterministic `fakeDecode` (md5-derived metadata) standing in for
-  * the heavyweight codecs (JPEG/PNG/H.264) that are out of sandbox scope —
-  * the dispatch point (`decodePayload`) is where a codec binding plugs in.
+  * shape a JNI/FFMPEG/image codec binding needs) — and the decode itself
+  * is REAL for every format whose metadata a pure JVM can parse: PPM (P6,
+  * including comment lines), BMP (BITMAPINFOHEADER, uncompressed), WAV
+  * (RIFF/PCM), PNG (signature + IHDR dimensions), and JPEG (SOF0/1/2
+  * marker scan). Payloads whose magic matches none of these fall back to
+  * the deterministic `fakeDecode` (md5-derived metadata) standing in for
+  * the heavyweight pixel codecs (DCT/deflate/H.264 rasters) that are out
+  * of sandbox scope — the dispatch point (`decodePayload`) is where a
+  * codec binding plugs in.
   */
 object Binary {
 
@@ -226,10 +228,77 @@ object Binary {
     math.sqrt(s / n)
   }
 
+  private def be32(p: Array[Byte], off: Int): Int =
+    ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+      ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+
+  private def be16(p: Array[Byte], off: Int): Int =
+    ((p(off) & 0xff) << 8) | (p(off + 1) & 0xff)
+
+  /** PNG signature bytes (8), per the PNG spec §5.2. */
+  private val PngMagic =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+
+  /** PNG: the 8-byte signature must be followed by the IHDR chunk (the
+    * spec mandates IHDR first), whose data starts at offset 16 with
+    * big-endian width then height. Validates the chunk tag and the
+    * dimension range so a truncated or reordered payload fails NAMED.
+    */
+  def parsePng(p: Array[Byte]): (Int, Int, String) = {
+    if (p.length < 8 || !PngMagic.indices.forall(i => p(i) == PngMagic(i)))
+      fail("png", "missing PNG signature")
+    if (p.length < 24) fail("png", "truncated before IHDR")
+    if (!(p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R'))
+      fail("png", "first chunk is not IHDR")
+    val ihdrLen = be32(p, 8)
+    if (ihdrLen != 13) fail("png", s"IHDR length $ihdrLen != 13")
+    val w = be32(p, 16)
+    val h = be32(p, 20)
+    if (w <= 0 || h <= 0) fail("png", s"bad dimensions ${w}x$h")
+    (w, h, "png")
+  }
+
+  /** JPEG: scans the marker stream for the first frame header (SOF0
+    * baseline / SOF1 extended / SOF2 progressive — the three DCT frame
+    * types real files carry), whose payload is [precision, height:16,
+    * width:16]. Skips every other variable-length segment by its declared
+    * length; a payload that ends before any SOF fails NAMED. (Pixel
+    * DECODE needs a DCT codec — out of scope; dimensions and format live
+    * entirely in the header stream, like the other parsers here.)
+    */
+  def parseJpeg(p: Array[Byte]): (Int, Int, String) = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
+      fail("jpeg", "missing SOI magic")
+    var i = 2
+    while (i + 4 <= p.length) {
+      if ((p(i) & 0xff) != 0xff) fail("jpeg", s"expected marker at byte $i")
+      val marker = p(i + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+        i += 2 // standalone markers carry no length
+      } else if (marker == 0xd9 || marker == 0xda) {
+        // EOI / start-of-scan before any SOF: no frame header to read
+        fail("jpeg", "no SOF frame header before scan data")
+      } else {
+        val len = be16(p, i + 2)
+        if (len < 2 || i + 2 + len > p.length)
+          fail("jpeg", s"segment 0x${marker.toHexString} truncated")
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+          if (len < 7) fail("jpeg", "SOF segment too short")
+          val h = be16(p, i + 5)
+          val w = be16(p, i + 7)
+          if (w <= 0 || h <= 0) fail("jpeg", s"bad dimensions ${w}x$h")
+          return (w, h, "jpeg")
+        }
+        i += 2 + len
+      }
+    }
+    fail("jpeg", "truncated before any SOF frame header")
+  }
+
   /** Magic-dispatched decode: real parser when the payload declares a
-    * format this JVM can parse without codecs, deterministic stub
-    * otherwise. This is the single seam where a JNI codec binding extends
-    * the format set.
+    * format this JVM can parse without codecs (PPM, BMP, WAV, and the
+    * header-parseable PNG/JPEG), deterministic stub otherwise. This is
+    * the single seam where a JNI codec binding extends the format set.
     */
   def decodePayload(payload: Array[Byte]): (Int, Int, String) = {
     val p = payload
@@ -237,6 +306,10 @@ object Binary {
     else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') parseBmp(p)
     else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F')
       parseWav(p)
+    else if (p.length >= 8 && p(0) == PngMagic(0) && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+      parsePng(p)
+    else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
+      parseJpeg(p)
     else fakeDecode(p)
   }
 

@@ -31,6 +31,33 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyLink {
 
+  /** Linkage-block cap, ON by default (round 11 — the [[graft.text.MinHash.BucketCap]]
+    * discipline applied to linkage blocks). A blocking key shared by B
+    * master rows meets every batch row carrying the same key: one
+    * degenerate key (an all-constant suffix segment, a cloned-name
+    * corpus) turns candidate generation into batch × B — the 100×
+    * derived corpus measured ~640M true edges precisely because every
+    * name is cloned 100-fold and every block is hot. With the cap,
+    * candidates are bounded by cap × |blocked batch rows| — linear in
+    * the batch — because only ≤cap master blocks survive per key.
+    *
+    * 2000 sits strictly above every block the oracle-verified corpora
+    * produce (measured master-side maxima: 100 at sf0.01, 150 at sf0.1,
+    * 1500 at the 10× derived corpus), so capped results are identical
+    * there and the q50 completeness check against the TRUE quadratic
+    * oracle still holds; only the ≥100× degenerate regime is capped. A
+    * dropped block loses candidate pairs that agree on NO other blocking
+    * key (unlike LSH bands there is no other vote for a pair whose only
+    * agreement is the hot segment — though pairs within substitution
+    * distance usually share several of the C(maxDist+2, 2) joint keys
+    * and all deletion-variant keys). `maxBlock = None` restores
+    * exhaustive candidates; `failOnOverCap = true` turns the cap into a
+    * named diagnosis instead — the degenerate-key corpus dies with the
+    * block key and size in the error, not by committing the cluster to
+    * the quadratic output.
+    */
+  val BlockCap = 2000
+
   /** Contiguous (start, length) segments (1-based, for `substr`) tiling
     * positions 1..suffixLen of `right(nameCol, suffixLen)`, balanced by
     * measured per-position approx character cardinality. All-constant
@@ -96,9 +123,17 @@ object FuzzyLink {
     * exploding: repeated characters (zero-padding runs) make many of the
     * suffixLen variants identical, and k identical variants per side
     * turn one true pair into k² joined rows.
+    *
+    * Block budget: master-side blocks larger than `maxBlock` are dropped
+    * (default [[BlockCap]] — see its scaladoc for the bound argument and
+    * the oracle-SF headroom) or, with `failOnOverCap = true`, raise a
+    * named error carrying the hot key and its size.
     */
   def linkage(batch: DataFrame, master: DataFrame, keyCol: String, nameCol: String,
-      suffixLen: Int, maxDist: Int): DataFrame = {
+      suffixLen: Int, maxDist: Int,
+      maxBlock: Option[Int] = Some(BlockCap),
+      failOnOverCap: Boolean = false): DataFrame = {
+    maxBlock.foreach(c => require(c >= 1, s"maxBlock must be positive, got $c"))
     // Suffixes too short to tile into maxDist + 2 parts fall back to the
     // single-segment scheme (agree on ≥1 of maxDist + 1 — same
     // completeness, just without the joint-key selectivity).
@@ -142,8 +177,39 @@ object FuzzyLink {
         .select(col(keyAs), col(nameAs), col("len"),
           col("b.i").as("i"), col("b.seg").as("seg"))
     }
+    val masterBlocked = {
+      val mb = blocked(master, "key_b", "name_b")
+      maxBlock.fold(mb) { cap =>
+        // Master-side per-key counts: map-side-combinable agg + left-semi
+        // join back (the MinHash.capBuckets shape — never a count-over-
+        // window, whose partition would be the hot block itself). Capping
+        // the master side alone bounds the join: candidates <= cap ×
+        // |blocked batch rows|.
+        val counts = mb.groupBy(col("len"), col("i"), col("seg"))
+          .agg(count(lit(1)).as("_bn"))
+        val small =
+          if (failOnOverCap)
+            // The named diagnosis rides the JOIN KEY (seg), which the
+            // semi-join must evaluate for every aggregated key — a
+            // projection-only _bn check would be pruned out of the plan.
+            counts.select(col("len"), col("i"),
+              when(col("_bn") > cap, raise_error(concat(
+                lit("fuzzy_link: blocking key (len="), col("len").cast("string"),
+                lit(", segment="), col("i").cast("string"),
+                lit(", value='"), col("seg"), lit("') holds "),
+                col("_bn").cast("string"),
+                lit(s" master rows > maxBlock=$cap — a degenerate name key " +
+                  "makes candidate generation quadratic; deduplicate the key " +
+                  "upstream, raise maxBlock, or accept the documented drop " +
+                  "with failOnOverCap=false"))))
+                .otherwise(col("seg")).as("seg"))
+          else counts.filter(col("_bn") <= cap)
+            .select(col("len"), col("i"), col("seg"))
+        mb.join(small, Seq("len", "i", "seg"), "left_semi")
+      }
+    }
     blocked(batch, "key_a", "name_a")
-      .join(blocked(master, "key_b", "name_b"), Seq("len", "i", "seg"))
+      .join(masterBlocked, Seq("len", "i", "seg"))
       .select(col("key_a"), col("key_b"), col("name_a"), col("name_b")).distinct()
       // Thresholded Levenshtein early-exits once the running distance
       // exceeds maxDist (returns -1), pruning the verify from O(n²) to

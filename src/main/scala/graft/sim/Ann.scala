@@ -35,9 +35,11 @@ object Ann {
     dot(a, b) / (norm(a) * norm(b))
 
   /** Cosine from a precomputed-norm pair — at N·M pairs this does one dot
-    * per pair instead of three.
+    * per pair instead of three. Public: the streaming kept-log
+    * ([[graft.streaming.Streams.semDedupSink]]) persists norms so replayed
+    * batches ride this shape too.
     */
-  private def cosinePre(ab: Column, na: Column, nb: Column): Column = ab / (na * nb)
+  def cosinePre(ab: Column, na: Column, nb: Column): Column = ab / (na * nb)
 
   /** Exact top-k neighbors for each query vector (queries broadcast).
     * Inputs: (id, vec double[]) on both sides; self-pairs excluded.
@@ -403,8 +405,36 @@ object Ann {
   def planesFor(n: Long, targetBucket: Int = 256): Int = {
     require(n >= 0, s"n must be non-negative, got $n")
     require(targetBucket >= 1, s"targetBucket must be positive, got $targetBucket")
-    math.max(1, math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+    // 62 = the bucket-id bitmask bound (bucket is one Long of sign bits);
+    // 2^62 buckets sits far beyond any corpus, so the clamp is a type
+    // bound, not a capacity one.
+    math.min(62, math.max(1, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+  }
+
+  /** [[semDedup]] with `planes` DERIVED from the corpus count
+    * ([[planesFor]]) — the production shape of q86. The catalog query
+    * keeps FIXED planes because its DuckDB oracle bakes the count into
+    * its SQL spelling; an index build on a real corpus should hold
+    * EXPECTED bucket size constant instead, which is what turns the
+    * measured fixed-planes super-linear bend (SCALE_r10: q35 exponent
+    * 0.95, bending toward 2 as the 2^8 buckets saturate) back into
+    * ~N·targetBucket pair work. The corpus count is one `count()` —
+    * bounded metadata, the kmeansCells discipline.
+    */
+  def semDedupAuto(vectors: DataFrame, tau: Double,
+      targetBucket: Int = 256): DataFrame = {
+    val planes = planesFor(vectors.count(), targetBucket)
+    semDedup(vectors.select(col("id"), col("vec")),
+      hyperplaneBuckets(vectors, planes), tau)
+  }
+
+  /** [[bucketTop1]] with derived planes — the production shape of q35
+    * (same rationale as [[semDedupAuto]]).
+    */
+  def bucketTop1Auto(vectors: DataFrame, targetBucket: Int = 256): DataFrame = {
+    val planes = planesFor(vectors.count(), targetBucket)
+    bucketTop1(vectors, hyperplaneBuckets(vectors, planes))
   }
 
   /** SemDeDup-style embedding dedup verdicts (Abbas et al. 2023, "SemDeDup:

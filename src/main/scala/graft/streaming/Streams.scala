@@ -376,36 +376,48 @@ object Streams {
     *    covered-by-any-earlier rule, so a single batch over empty state
     *    reproduces q86's verdicts exactly — parity is spec-pinned).
     *
-    * State: `kept` (id, bucket, vec) as a batch_id-partitioned log —
+    * State: `kept` (id, bucket, vec, nrm) as a batch_id-partitioned log —
     * replay-idempotent via dynamic overwrite, compactable with
-    * [[compactBatchLog]] (identity merge). Per-batch cost: one
-    * hyperplane pass over the batch + a bucket equi-join against the
-    * kept log — never a corpus rescan, no window. Bucket granularity is
-    * the cost lever ([[graft.sim.Ann.planesFor]]): a long-lived index
-    * should pick `planes` for the CORPUS it will accumulate, not the
-    * batch size.
+    * [[compactBatchLog]] (identity merge). The PERSISTED norm is why the
+    * per-pair arithmetic is one dot product, not three
+    * ([[graft.sim.Ann.cosinePre]]): each kept vector's norm is computed
+    * once when it enters the log, never re-derived per candidate pair.
+    * Pre-r11 logs lacking the `nrm` column fail NAMED (migrate with one
+    * rewrite adding `sqrt(graft_dot(vec, vec))` — the batch_id-layout
+    * discipline). Per-batch cost: one hyperplane pass over the batch + a
+    * bucket equi-join against the kept log — never a corpus rescan, no
+    * window. Bucket granularity is the cost lever
+    * ([[graft.sim.Ann.planesFor]]): a long-lived index should pick
+    * `planes` for the CORPUS it will accumulate, not the batch size —
+    * [[semDedupSinkAuto]] derives it from the expected corpus count.
     */
   def semDedupSink(spark: SparkSession, stateDir: String, planes: Int = 8,
       tau: Double = 0.35)(batch: DataFrame, batchId: Long): Unit = {
     import graft.sim.Ann
     val keptDir = s"$stateDir/kept"
-    val vecs = batch.select(col("id"), col("vec")).cache()
+    val vecs = batch.select(col("id"), col("vec"), Ann.norm(col("vec")).as("nrm")).cache()
     val withB = vecs.join(Ann.hyperplaneBuckets(vecs, planes), "id")
     val prior = graft.sources.Sources.parquetIfExists(spark, keptDir).map { df =>
       require(df.columns.contains("batch_id"),
         s"semdedup state at $keptDir lacks the batch_id partition column " +
           "(legacy layout) — migrate before streaming resumes")
+      require(df.columns.contains("nrm"),
+        s"semdedup state at $keptDir lacks the nrm (precomputed norm) column " +
+          "(pre-r11 layout) — rewrite the log once adding nrm = sqrt(dot(vec, vec)) " +
+          "before streaming resumes")
       df.filter(col("batch_id") =!= batchId).drop("batch_id")
     }
     val covers = prior.getOrElse(withB.limit(0))
-      .select(col("bucket"), col("id").as("cover_id"), col("vec").as("cvec"))
+      .select(col("bucket"), col("id").as("cover_id"), col("vec").as("cvec"),
+        col("nrm").as("cn"))
       .withColumn("_old", lit(true))
       .unionByName(withB
-        .select(col("bucket"), col("id").as("cover_id"), col("vec").as("cvec"))
+        .select(col("bucket"), col("id").as("cover_id"), col("vec").as("cvec"),
+          col("nrm").as("cn"))
         .withColumn("_old", lit(false)))
     val dropped = withB.join(covers, Seq("bucket"))
       .filter(col("_old") || col("cover_id") < col("id"))
-      .filter(Ann.cosine(col("vec"), col("cvec")) >= tau)
+      .filter(Ann.cosinePre(Ann.dot(col("vec"), col("cvec")), col("nrm"), col("cn")) >= tau)
       .select(col("id")).distinct()
     val kept = withB.join(dropped, Seq("id"), "left_anti").cache()
     // Empty-kept discipline as containmentSink: file-less partition dirs
@@ -413,8 +425,34 @@ object Streams {
     if (!kept.isEmpty)
       graft.sources.Sinks.dynamicOverwrite(
         kept.withColumn("batch_id", lit(batchId)), keptDir, Seq("batch_id"))
+    else {
+      // Replay idempotence when the recomputation keeps NOTHING (tau /
+      // planes config drift between run and replay, state compaction):
+      // dynamic overwrite of an empty frame writes no partitions, so the
+      // stale kept partition for this batch_id must be deleted explicitly
+      // — the qualityCutoffSink discipline, or a replay silently
+      // resurrects vectors the replayed batch no longer keeps.
+      val part = new org.apache.hadoop.fs.Path(s"$keptDir/batch_id=$batchId")
+      val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(part)) fs.delete(part, true)
+    }
     kept.unpersist(); vecs.unpersist()
   }
+
+  /** [[semDedupSink]] with `planes` DERIVED from the corpus the index is
+    * expected to accumulate ([[graft.sim.Ann.planesFor]]): expected bucket
+    * size stays ~`targetBucket` at `expectedCorpus` vectors, so per-batch
+    * candidate work stays ~batch × targetBucket instead of growing with
+    * the kept log (fixed planes measured bending super-linear at the 100×
+    * decade — SCALE_r10 q35/q86). Size for the TERMINAL corpus: planes
+    * too coarse for early batches only cost small buckets; planes too
+    * fine for the final corpus cost recall, never correctness of the
+    * first-seen-wins contract.
+    */
+  def semDedupSinkAuto(spark: SparkSession, stateDir: String, expectedCorpus: Long,
+      tau: Double = 0.35, targetBucket: Int = 256)(batch: DataFrame, batchId: Long): Unit =
+    semDedupSink(spark, stateDir,
+      graft.sim.Ann.planesFor(expectedCorpus, targetBucket), tau)(batch, batchId)
 
   /** Current kept set from the [[semDedupSink]] state log. */
   def readSemDedupKept(spark: SparkSession, stateDir: String): DataFrame =

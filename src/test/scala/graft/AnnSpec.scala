@@ -66,6 +66,25 @@ class AnnSpec extends SparkSpec {
       assert(n.toDouble / math.pow(2, p) <= 256.0, s"n=$n planes=$p")
     }
     assert(Ann.planesFor(1L << 40, 256) === 32) // log-growth, never huge
+    // clamped at the Long bucket-bitmask bound
+    assert(Ann.planesFor(Long.MaxValue, 1) === 62)
+  }
+
+  test("semDedupAuto / bucketTop1Auto equal the fixed-planes ops at the derived count") {
+    val v = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), Ann.toDouble(col("embedding")).as("vec"))
+    val derived = Ann.planesFor(v.count(), targetBucket = 64)
+    val auto = Ann.semDedupAuto(v, 0.35, targetBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = Ann.semDedup(v.select(col("id"), col("vec")),
+        Ann.hyperplaneBuckets(v, derived), 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == fixed && auto.nonEmpty)
+    val autoTop = Ann.bucketTop1Auto(v, targetBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixedTop = Ann.bucketTop1(v, Ann.hyperplaneBuckets(v, derived))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(autoTop == fixedTop && autoTop.nonEmpty)
   }
 
   test("native graft_dot matches the interpreted HOF fold bit-for-bit") {

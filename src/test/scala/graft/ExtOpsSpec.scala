@@ -137,6 +137,43 @@ class ExtOpsSpec extends SparkSpec {
     assert(out == Set((1L, 10L, 2)), s"shift pair not linked: $out")
   }
 
+  test("FuzzyLink block budget: over-cap blocks drop bounded, or fail with the named diagnosis") {
+    import graft.ops.FuzzyLink
+    // A 6-way cloned name: EVERY blocking key it produces is one hot block
+    // (the degenerate-key regime the 100x derived corpus measures at
+    // ~640M edges).
+    val master = (10L to 15L).map(k => (k, "aaabbbccc")).toDF("k", "nm")
+    val batch = Seq((1L, "aaabbbccc")).toDF("k", "nm")
+    // Exhaustive and default-capped agree far below BlockCap…
+    assert(FuzzyLink.linkage(batch, master, "k", "nm", 9, 2,
+      maxBlock = None).count() == 6L)
+    assert(FuzzyLink.linkage(batch, master, "k", "nm", 9, 2).count() == 6L)
+    // …and a cap below the clone count drops the hot blocks entirely:
+    // bounded candidates, not quadratic commitment.
+    assert(FuzzyLink.linkage(batch, master, "k", "nm", 9, 2,
+      maxBlock = Some(5)).count() == 0L)
+    // Fail mode dies with the hot key in the message instead of dropping.
+    val e = intercept[Throwable] {
+      FuzzyLink.linkage(batch, master, "k", "nm", 9, 2,
+        maxBlock = Some(5), failOnOverCap = true).count()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("fuzzy_link") && msgs.contains("maxBlock=5"),
+      s"named diagnosis missing: $msgs")
+    // The cap must never fire at oracle SFs: sf0.001 linkage under the
+    // default equals the exhaustive run (the quadratic-truth spec above
+    // already runs the default path; this pins default == None there).
+    val c = Tables.customer(spark, sfDir)
+    val b = c.filter(col("c_custkey") % 100 === 0)
+    val m = c.filter(col("c_custkey") % 100 =!= 0)
+    val capped = FuzzyLink.linkage(b, m, "c_custkey", "c_name", 9, 2)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    val exhaustive = FuzzyLink.linkage(b, m, "c_custkey", "c_name", 9, 2,
+      maxBlock = None).select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(capped == exhaustive && exhaustive.nonEmpty)
+  }
+
   test("Sketches: merged daily HLL states equal the one-pass sketch; bounded error") {
     import graft.ops.Sketches
     val ev = Tables.events(spark, sfDir)

@@ -42,6 +42,67 @@ class MultimodalSpec extends SparkSpec {
     b.array()
   }
 
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + 25) // sig + IHDR chunk (len+tag+13+crc)
+    b.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+    b.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    b.putInt(0) // CRC not validated by the header parser
+    b.array()
+  }
+
+  private def jpeg(w: Int, h: Int, sofMarker: Int = 0xc0): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(2 + 18 + 19 + 2)
+    b.put(0xff.toByte).put(0xd8.toByte) // SOI
+    b.put(0xff.toByte).put(0xe0.toByte).putShort(16) // APP0, 14 payload bytes
+    b.put("JFIF".getBytes("US-ASCII")).put(new Array[Byte](10))
+    b.put(0xff.toByte).put(sofMarker.toByte).putShort(17) // SOF, 3 components
+    b.put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+    b.put(new Array[Byte](9))
+    b.put(0xff.toByte).put(0xd9.toByte) // EOI
+    b.array()
+  }
+
+  test("parsePng reads IHDR dimensions, fails named on truncation and reordered chunks") {
+    assert(Binary.parsePng(png(640, 480)) == ((640, 480, "png")))
+    assert(Binary.parsePng(png(1, 1)) == ((1, 1, "png")))
+    val truncated = png(640, 480).take(20)
+    assert(intercept[IllegalArgumentException](Binary.parsePng(truncated))
+      .getMessage.contains("truncated before IHDR"))
+    val reordered = png(640, 480)
+    reordered(12) = 'g'.toByte // first chunk tag no longer IHDR
+    assert(intercept[IllegalArgumentException](Binary.parsePng(reordered))
+      .getMessage.contains("not IHDR"))
+    val zeroDim = png(0, 480)
+    assert(intercept[IllegalArgumentException](Binary.parsePng(zeroDim))
+      .getMessage.contains("bad dimensions"))
+  }
+
+  test("parseJpeg scans markers to SOF0/SOF2, fails named on scan-first and truncation") {
+    assert(Binary.parseJpeg(jpeg(1024, 768)) == ((1024, 768, "jpeg")))
+    assert(Binary.parseJpeg(jpeg(64, 48, sofMarker = 0xc2)) == ((64, 48, "jpeg")))
+    // segment stream cut before any SOF
+    val cut = jpeg(1024, 768).take(12)
+    assert(intercept[IllegalArgumentException](Binary.parseJpeg(cut))
+      .getMessage.contains("truncated"))
+    // scan data (SOS) before any frame header
+    val sos = jpeg(1024, 768)
+    sos(21) = 0xda.toByte // rewrite the SOF marker byte to SOS
+    assert(intercept[IllegalArgumentException](Binary.parseJpeg(sos))
+      .getMessage.contains("no SOF"))
+    val noSoi = jpeg(10, 10).drop(2)
+    assert(intercept[IllegalArgumentException](Binary.parseJpeg(noSoi))
+      .getMessage.contains("missing SOI"))
+  }
+
+  test("decodePayload routes real PNG/JPEG payloads to the header parsers") {
+    assert(Binary.decodePayload(png(320, 200)) == ((320, 200, "png")))
+    assert(Binary.decodePayload(jpeg(800, 600)) == ((800, 600, "jpeg")))
+    // a corrupt-but-magic'd payload fails NAMED (never the stub fallback)
+    intercept[IllegalArgumentException](Binary.decodePayload(png(8, 8).take(20)))
+    intercept[IllegalArgumentException](Binary.decodePayload(jpeg(8, 8).take(12)))
+  }
+
   test("parsePpm reads dimensions, supports comments, validates the raster") {
     assert(Binary.parsePpm(ppm(5, 3, 42)) == ((5, 3, "ppm")))
     assert(Binary.parsePpm(ppm(7, 2, 0, comment = true)) == ((7, 2, "ppm")))

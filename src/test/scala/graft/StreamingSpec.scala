@@ -546,6 +546,58 @@ class StreamingSpec extends SparkSpec {
     sink(Seq((30L, Seq(1.0, -0.005))).toDF("id", "vec"), 2L)
     assert(!kept.contains(30L), "near-dup of a compacted kept vector must still drop")
     assert(kept == Set(10L, 12L, 20L))
+
+    // The kept log carries the PRECOMPUTED norm (the cosinePre shape):
+    // norms are paid once per kept vector, never per candidate pair.
+    val cols = spark.read.parquet(s"$dir/state/kept").columns.toSet
+    assert(cols.contains("nrm"), s"kept log must persist norms: $cols")
+  }
+
+  test("semDedupSink: replay keeping nothing deletes the stale kept partition (tau drift)") {
+    val dir = Files.createTempDirectory("semdedup_replay").toFile.getAbsolutePath
+    def kept = Streams.readSemDedupKept(spark, s"$dir/state")
+      .select("id").as[Long].collect().toSet
+    Streams.semDedupSink(spark, s"$dir/state")(
+      Seq((1L, Seq(1.0, 0.0))).toDF("id", "vec"), 0L)
+    // batch 1 under a strict tau: the near-parallel vector survives
+    // (cos ~0.99995 < 0.9999999)
+    val b1 = Seq((2L, Seq(0.999, 0.01))).toDF("id", "vec")
+    Streams.semDedupSink(spark, s"$dir/state", tau = 0.9999999)(b1, 1L)
+    assert(kept == Set(1L, 2L), s"strict-tau batch should keep: $kept")
+    // REPLAY batch 1 after a config change (loose tau): the recomputation
+    // keeps NOTHING — the stale batch_id=1 partition must be deleted, not
+    // silently resurrected (the qualityCutoffSink discipline).
+    Streams.semDedupSink(spark, s"$dir/state", tau = 0.5)(b1, 1L)
+    assert(kept == Set(1L), s"stale kept partition resurrected: $kept")
+    assert(!new java.io.File(s"$dir/state/kept/batch_id=1").exists(),
+      "stale batch_id=1 partition dir must be gone")
+  }
+
+  test("semDedupSink: pre-r11 kept log without the nrm column fails named") {
+    val dir = Files.createTempDirectory("semdedup_legacy").toFile.getAbsolutePath
+    graft.sources.Sinks.dynamicOverwrite(
+      Seq((1L, 3L, Seq(1.0, 0.0))).toDF("id", "bucket", "vec")
+        .withColumn("batch_id", lit(0L)),
+      s"$dir/state/kept", Seq("batch_id"))
+    val e = intercept[IllegalArgumentException] {
+      Streams.semDedupSink(spark, s"$dir/state")(
+        Seq((2L, Seq(0.0, 1.0))).toDF("id", "vec"), 1L)
+    }
+    assert(e.getMessage.contains("nrm"), s"migration diagnosis missing: ${e.getMessage}")
+  }
+
+  test("semDedupSinkAuto derives planes from the expected corpus (planesFor parity)") {
+    val dirA = Files.createTempDirectory("semdedup_auto").toFile.getAbsolutePath
+    val dirB = Files.createTempDirectory("semdedup_fixed").toFile.getAbsolutePath
+    val b0 = Seq((10L, Seq(1.0, 0.0)), (11L, Seq(0.999, 0.01)), (12L, Seq(0.0, 1.0)))
+      .toDF("id", "vec")
+    Streams.semDedupSinkAuto(spark, s"$dirA/state", expectedCorpus = 1000L)(b0, 0L)
+    Streams.semDedupSink(spark, s"$dirB/state",
+      planes = graft.sim.Ann.planesFor(1000L))(b0, 0L)
+    def k(d: String) = Streams.readSemDedupKept(spark, s"$d/state")
+      .select("id").as[Long].collect().toSet
+    assert(k(dirA) == k(dirB) && k(dirA).nonEmpty,
+      s"auto/fixed divergence: ${k(dirA)} vs ${k(dirB)}")
   }
 
   test("batch↔streaming containment parity: ordered arrival agrees on drops, direction pins the divergence") {
