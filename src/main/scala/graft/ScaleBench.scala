@@ -36,18 +36,30 @@ import org.apache.spark.sql.functions._
   * Generated once under target/scaledata/sf1 (gitignored), reused across
   * runs; SPARK_GRAFT_SCALE_FORCE=1 regenerates.
   *
+  * Chained derivations (r11): the 1000x corpus derives from the 10x one
+  * (SPARK_GRAFT_SF_DIR=target/scaledata/sf1, k=100) with
+  * SPARK_GRAFT_SCALE_STRIDE=100000000000 (past the first derivation's id
+  * range), SPARK_GRAFT_SCALE_SEED decorrelating the permutation chain
+  * (see vocabPermutation), and SPARK_GRAFT_SCALE_TABLES restricting
+  * generation to the tables the selected queries read.
+  *
   * == Measurement ==
-  * Same discipline as Bench: steady-state (full warmup pass at sf0.001),
-  * min-of-2 passes with cache clears at pass boundaries, single-thread and
-  * all-core spin probes before each measurement so host contention is
-  * legible in the record. Output: one JSON line + scale.json in CWD with
-  * per-query {sf0_1_sec, scaled_sec, ratio, exponent}; exponent =
+  * Same discipline as Bench: steady-state (full warmup pass at sf0.001,
+  * or SPARK_GRAFT_WARM_DIR), min-of-2 passes with cache clears at pass
+  * boundaries, single-thread and all-core spin probes before each
+  * measurement so host contention is legible in the record. A pass that
+  * throws records NO timing; a query with no successful pass emits
+  * {failed, failed_at, error} instead of a flattering near-zero number.
+  * Output: one JSON line + scale.json in CWD with per-query {base_sec,
+  * scaled_sec, ratio, exponent} plus base_tag/scaled_tag; exponent =
   * log(ratio)/log(k) (1.0 = linear, <=~1.2 allows shuffle growth).
   */
 object ScaleBench {
 
   /** Queries whose cost model the 100 TB claims lean on, plus three
-    * relational anchors (q01/q06/q17) as linear-scaling controls.
+    * relational anchors (q01/q06/q17) as linear-scaling controls and the
+    * derived-planes x-variants (r11) so fixed-vs-derived bucket
+    * granularity is measured side by side.
     */
   val hotSet: Seq[String] = Seq(
     "q01_pricing_summary", "q06_star_agg", "q17_sessionize",
@@ -57,23 +69,46 @@ object ScaleBench {
     "q66_winnow", "q67_containment", "q68_containment_prune",
     "q72_chunk_dedup", "q74_bigram_logprob", "q76_copurchase",
     "q82_line_dedup", "q83_source_overlap", "q85_boilerplate_grams",
-    "q86_semdedup")
+    "q86_semdedup", "x35_dedup_cosine_auto", "x86_semdedup_auto")
 
-  /** Key stride between copies: far above any sf0.1 key range, so strided
-    * ids never collide across copies.
+  /** Default key stride between copies: far above any sf0.1 key range, so
+    * strided ids never collide across copies. A SECOND derivation (e.g.
+    * the 1000x corpus derived FROM the 10x one) must stride past the first
+    * derivation's id range — SPARK_GRAFT_SCALE_STRIDE overrides (1e11 for
+    * the third decade).
     */
-  private val Stride = 100000000L
+  private val DefaultStride = 100000000L
 
-  /** Deterministic vocab permutation for one copy (seeded shuffle). */
-  private def vocabPermutation(vocab: Seq[String], copy: Int): Map[String, String] = {
-    val rnd = new scala.util.Random(1042L + copy)
+  /** Deterministic vocab permutation for one copy (seeded shuffle).
+    * `seedBase` decorrelates CHAINED derivations: re-deriving with the
+    * first derivation's seeds would make new-copy-j of old-copy-0 a
+    * verbatim clone of new-copy-0 of old-copy-j (perm_j∘id = id∘perm_j),
+    * inflating the exact-dup rate; a distinct seed base keeps composed
+    * permutations distinct.
+    */
+  private def vocabPermutation(vocab: Seq[String], copy: Int,
+      seedBase: Long): Map[String, String] = {
+    val rnd = new scala.util.Random(seedBase + copy)
     vocab.zip(rnd.shuffle(vocab)).toMap
   }
 
-  def generate(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit = {
+  /** All derivable tables; SPARK_GRAFT_SCALE_TABLES restricts generation
+    * to the ones a selected query set reads (a documents-only 1000x corpus
+    * is gigabytes; its lineitem sibling would be 600M rows of dead weight).
+    */
+  private val AllTables = Set("region", "nation", "part", "supplier",
+    "customer", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def generate(spark: SparkSession, srcDir: String, outDir: String, k: Int,
+      stride: Long = DefaultStride, seedBase: Long = 1042L,
+      tables: Set[String] = AllTables): Unit = {
     import spark.implicits._
-    def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    val unknown = tables -- AllTables
+    require(unknown.isEmpty, s"unknown scale tables: ${unknown.mkString(", ")}")
+    // By-name: an unselected table's source is never even opened (a
+    // restricted derivation may run against a partial source tree).
+    def write(df: => DataFrame, name: String): Unit =
+      if (tables(name)) df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
 
     // Catalog tables: fixed across copies (catalogs grow slower than facts).
     Seq("region", "nation", "part", "supplier").foreach { t =>
@@ -82,9 +117,9 @@ object ScaleBench {
 
     val copies = spark.range(0, k).select($"id".cast("int").as("copy"))
 
-    def strided(df: DataFrame, keys: Seq[String]): DataFrame = {
+    def strided(df: => DataFrame, keys: Seq[String]): DataFrame = {
       val crossed = df.crossJoin(broadcast(copies))
-      keys.foldLeft(crossed)((d, c) => d.withColumn(c, col(c) + $"copy" * Stride))
+      keys.foldLeft(crossed)((d, c) => d.withColumn(c, col(c) + $"copy" * stride))
         .drop("copy")
     }
     write(strided(Tables.customer(spark, srcDir), Seq("c_custkey")), "customer")
@@ -93,66 +128,109 @@ object ScaleBench {
     write(strided(Tables.events(spark, srcDir), Seq("event_id", "user_id")), "events")
 
     // Documents: per-copy vocab permutation (see object doc). The vocab is
-    // closed and tiny by construction of the synthetic corpus; guard anyway.
-    val docs = Tables.documents(spark, srcDir)
-    val vocab = docs.select(explode(split($"text", " ")).as("tok"))
-      .where(length($"tok") > 0).distinct().as[String].collect().toSeq.sorted
-    require(vocab.size <= 10000,
-      s"scale-up vocab permutation expects a closed synthetic vocabulary; got ${vocab.size} tokens")
-    val permuted = (0 until k).map { copy =>
-      val withId = docs.withColumn("doc_id", $"doc_id" + lit(copy.toLong * Stride))
-      if (copy == 0) withId
-      else {
-        val m = vocabPermutation(vocab, copy)
-        val mapCol = map(m.toSeq.flatMap { case (a, b) => Seq(lit(a), lit(b)) }: _*)
-        withId
-          .withColumn("text",
-            array_join(transform(split($"text", " "),
-              t => coalesce(element_at(mapCol, t), t)), " "))
-          .withColumn("n_chars", length($"text"))
-      }
-    }.reduce(_ unionByName _)
-    write(permuted, "documents")
+    // closed and tiny by construction of the synthetic corpus (and closed
+    // under permutation, so chained derivations keep it); guard anyway.
+    if (tables("documents")) {
+      val docs = Tables.documents(spark, srcDir)
+      val vocab = docs.select(explode(split($"text", " ")).as("tok"))
+        .where(length($"tok") > 0).distinct().as[String].collect().toSeq.sorted
+      require(vocab.size <= 10000,
+        s"scale-up vocab permutation expects a closed synthetic vocabulary; got ${vocab.size} tokens")
+      val permuted = (0 until k).map { copy =>
+        val withId = docs.withColumn("doc_id", $"doc_id" + lit(copy.toLong * stride))
+        if (copy == 0) withId
+        else {
+          val m = vocabPermutation(vocab, copy, seedBase)
+          val mapCol = map(m.toSeq.flatMap { case (a, b) => Seq(lit(a), lit(b)) }: _*)
+          withId
+            .withColumn("text",
+              array_join(transform(split($"text", " "),
+                t => coalesce(element_at(mapCol, t), t)), " "))
+            .withColumn("n_chars", length($"text"))
+        }
+      }.reduce(_ unionByName _)
+      write(permuted, "documents")
+    }
 
     // Embeddings: strided ids + per-(id, dim) jitter in [-0.005, 0.005).
-    val emb = Tables.embeddings(spark, srcDir)
-    val scaledEmb = emb.crossJoin(broadcast(copies))
-      .withColumn("vec_id", $"vec_id" + $"copy" * Stride)
-      .withColumn("embedding", when($"copy" === 0, $"embedding").otherwise(
-        transform($"embedding",
-          (v, j) => (v + (pmod(hash($"vec_id", j), lit(1000)) - 500) / lit(100000.0))
-            .cast("float"))))
-      .drop("copy")
-    write(scaledEmb, "embeddings")
+    if (tables("embeddings")) {
+      val emb = Tables.embeddings(spark, srcDir)
+      val scaledEmb = emb.crossJoin(broadcast(copies))
+        .withColumn("vec_id", $"vec_id" + $"copy" * stride)
+        .withColumn("embedding", when($"copy" === 0, $"embedding").otherwise(
+          transform($"embedding",
+            (v, j) => (v + (pmod(hash($"vec_id", j), lit(1000)) - 500) / lit(100000.0))
+              .cast("float"))))
+        .drop("copy")
+      write(scaledEmb, "embeddings")
+    }
   }
+
+  /** Derived-planes variants of the fixed-plane catalog dedup queries
+    * (q35 / q86 keep planes=8 because their DuckDB oracles bake the count
+    * in): [[graft.sim.Ann.planesFor]] holds expected bucket size at 256 as
+    * the corpus grows — the production index-build shape. Measured here so
+    * the fixed-vs-derived exponent gap is OBSERVED, not argued.
+    */
+  val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x35_dedup_cosine_auto" -> { (s, d) =>
+      graft.sim.Ann.bucketTop1Auto(
+        Tables.embeddings(s, d).select(col("vec_id").as("id"),
+          graft.sim.Ann.toDouble(col("embedding")).as("vec")))
+    },
+    "x86_semdedup_auto" -> { (s, d) =>
+      graft.sim.Ann.semDedupAuto(
+        Tables.embeddings(s, d).select(col("vec_id").as("id"),
+          graft.sim.Ann.toDouble(col("embedding")).as("vec")), 0.35)
+    })
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scaledata/sf1")
     val k = sys.env.get("SPARK_GRAFT_SCALE_K").map(_.toInt).getOrElse(10)
+    val stride = sys.env.get("SPARK_GRAFT_SCALE_STRIDE").map(_.toLong)
+      .getOrElse(DefaultStride)
+    val seedBase = sys.env.get("SPARK_GRAFT_SCALE_SEED").map(_.toLong).getOrElse(1042L)
+    val genTables = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").toSet).getOrElse(AllTables)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = Graft.session(s"local[$cpus]", Some(cpus.toInt))
     spark.sparkContext.setLogLevel("WARN")
 
+    // The marker records the derivation PARAMETERS: a partial or
+    // differently-derived corpus at the same path regenerates instead of
+    // being silently mistaken for the requested one.
     val marker = new java.io.File(s"$outDir/_GRAFT_SCALE_OK")
-    if (!marker.isFile || sys.env.contains("SPARK_GRAFT_SCALE_FORCE")) {
-      System.err.println(s"[scale] generating ${k}x corpus at $outDir from $srcDir")
+    val wantMarker =
+      s"k=$k src=$srcDir stride=$stride seed=$seedBase tables=${genTables.toSeq.sorted.mkString("+")}\n"
+    val markerOk = marker.isFile && {
+      val got = new String(java.nio.file.Files.readAllBytes(marker.toPath))
+      got == wantMarker ||
+        // pre-r11 marker format — equivalent iff every new param is default
+        (got == s"k=$k src=$srcDir\n" && stride == DefaultStride &&
+          seedBase == 1042L && genTables == AllTables)
+    }
+    if (!markerOk || sys.env.contains("SPARK_GRAFT_SCALE_FORCE")) {
+      System.err.println(s"[scale] generating ${k}x corpus at $outDir from $srcDir " +
+        s"(stride=$stride seed=$seedBase tables=${genTables.toSeq.sorted.mkString(",")})")
       val t0 = System.nanoTime()
-      generate(spark, srcDir, outDir, k)
-      java.nio.file.Files.write(marker.toPath, s"k=$k src=$srcDir\n".getBytes)
+      generate(spark, srcDir, outDir, k, stride, seedBase, genTables)
+      java.nio.file.Files.write(marker.toPath, wantMarker.getBytes)
       System.err.println(f"[scale] generated in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
 
     // An explicit SPARK_GRAFT_QUERIES list may name ANY registered query
-    // (the derived corpora carry every table), not just the hot set.
+    // (when the derived corpus carries its tables) or an extraQueries
+    // entry, not just the hot set.
+    val allQueries = SparkEntry.queries ++ extraQueries
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val catalog = only
-      .fold(hotSet)(sel => SparkEntry.queries.keys.toSeq.sorted.filter(sel.contains))
-      .map(n => n -> SparkEntry.queries(n))
+      .fold(hotSet)(sel => allQueries.keys.toSeq.sorted.filter(sel.contains))
+      .map(n => n -> allQueries(n))
 
     // Steady-state warmup (compile-cache fill) at the smallest SF.
-    val warmDir = {
+    val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR").getOrElse {
       val sib = new java.io.File(new java.io.File(srcDir).getParentFile, "sf0.001")
       if (sib.isDirectory) sib.getPath else srcDir
     }
@@ -181,43 +259,59 @@ object ScaleBench {
     } catch { case _: Throwable => -1.0 }
     probe(); pprobe()
 
-    // name -> (dir-tag -> (best sec, probes)); min over passes, caches
-    // cleared at each pass boundary so family-cache builds are paid in both.
+    // name -> (dir-tag -> (best sec, probes)); min over SUCCESSFUL passes,
+    // caches cleared at each pass boundary so family-cache builds are paid
+    // in both. A pass that THROWS records no timing (its near-zero elapsed
+    // would otherwise flatter the exponent — r10 ADVICE); a query with no
+    // successful pass on a dir emits an explicit failure marker row.
     val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
     val best = scala.collection.mutable.Map[(String, String), (Double, Double, Double)]()
-    val scaledTag = s"x$k" // k=10 -> "x10" (sf1), k=100 -> "x100" (sf10)
-    val dirs = Seq("sf0.1" -> srcDir, scaledTag -> outDir)
+    val failures = scala.collection.mutable.Map[(String, String), String]()
+    val baseTag = new java.io.File(srcDir).getName // "sf0.1", "sf1", …
+    val scaledTag = s"${baseTag}x$k" // e.g. sf0.1x10, sf1x100
+    val dirs = Seq(baseTag -> srcDir, scaledTag -> outDir)
     (1 to passes).foreach { pass =>
       dirs.foreach { case (tag, dir) =>
         spark.catalog.clearCache()
         catalog.foreach { case (name, fn) =>
           val p = probe(); val pp = pprobe()
           val t0 = System.nanoTime()
-          try fn(spark, dir).count() catch {
-            case t: Throwable =>
-              System.err.println(s"[scale] $name@$tag FAILED: ${String.valueOf(t).take(200)}")
-          }
+          val ok =
+            try { fn(spark, dir).count(); true } catch {
+              case t: Throwable =>
+                System.err.println(s"[scale] $name@$tag FAILED: ${String.valueOf(t).take(200)}")
+                failures((name, tag)) = String.valueOf(t.getMessage).take(160)
+                false
+            }
           val sec = (System.nanoTime() - t0) / 1e9
-          val cur = best.get((name, tag))
-          if (cur.forall(_._1 > sec)) best((name, tag)) = (sec, p, pp)
-          System.err.println(f"[scale] pass$pass $name@$tag $sec%.2fs (probe $p%.1f/$pp%.1f ms)")
+          if (ok) {
+            val cur = best.get((name, tag))
+            if (cur.forall(_._1 > sec)) best((name, tag)) = (sec, p, pp)
+          }
+          System.err.println(
+            f"[scale] pass$pass $name@$tag $sec%.2fs${if (ok) "" else " [FAILED]"} (probe $p%.1f/$pp%.1f ms)")
         }
       }
     }
     pool.shutdown()
 
     def f2(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val rows = catalog.map(_._1).map { n =>
-      val (a, pa, ppa) = best((n, "sf0.1"))
-      val (b, pb, ppb) = best((n, scaledTag))
-      val ratio = b / a
-      val expo = math.log(ratio) / math.log(k.toDouble)
-      (n, a, b, ratio, expo, Seq(pa, pb).max, Seq(ppa, ppb).max)
-    }
-    val qjson = rows.map { case (n, a, b, r, e, p, pp) =>
-      s""""$n":{"sf0_1_sec":${f2(a)},"scaled_sec":${f2(b)},"ratio":${f2(r)},"exponent":${f2(e)},"probe_ms":${f2(p)},"pprobe_ms":${f2(pp)}}"""
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val qjson = catalog.map(_._1).map { n =>
+      (best.get((n, baseTag)), best.get((n, scaledTag))) match {
+        case (Some((a, pa, ppa)), Some((b, pb, ppb))) =>
+          val ratio = b / a
+          val expo = math.log(ratio) / math.log(k.toDouble)
+          s""""$n":{"base_sec":${f2(a)},"scaled_sec":${f2(b)},"ratio":${f2(ratio)},"exponent":${f2(expo)},"probe_ms":${f2(Seq(pa, pb).max)},"pprobe_ms":${f2(Seq(ppa, ppb).max)}}"""
+        case (ba, _) =>
+          val failedTag = if (ba.isEmpty) baseTag else scaledTag
+          val why = failures.getOrElse((n, failedTag), "unknown")
+          s""""$n":{"failed":true,"failed_at":${jstr(failedTag)},"error":${jstr(why)}}"""
+      }
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"scale","k":$k,"passes":$passes,"queries":$qjson}"""
+    val line = s"""{"metric":"scale","k":$k,"passes":$passes,"base_tag":${jstr(baseTag)},"scaled_tag":${jstr(scaledTag)},"queries":$qjson}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get("scale.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -369,9 +369,14 @@ object TextQueries {
       // containmentJoin subtree and rides this materialization instead of
       // re-paying the pair generation (at 100× the dense path's N² NLJ is
       // the whole cost: the sf10 run measured q68 re-paying 443s without
-      // the cache). Not cached inside the operator: containmentSink calls
-      // it per streaming batch, where an implicit cache would accumulate
-      // storage across batches.
+      // the cache). Not cached inside the operator: an operator-internal
+      // cache would pin executor storage for EVERY caller (streaming or
+      // not) with no opt-out. The q67↔q68 sharing rides Catalyst plan
+      // canonicalization (CacheManager sameResult — PlanSpec-pinned); the
+      // frames are never explicitly unpersisted, so a LONG-LIVED session
+      // composing catalog queries should spark.catalog.clearCache() at its
+      // own batch boundaries (Bench does, at pass boundaries) or accept
+      // LRU eviction of the candidate-pair-sized frame.
       Containment.containmentJoin(Tables.documents(s, d), "doc_id", "text", 0.8)
         .cache()
         .orderBy(col("id_a"), col("id_b"))

@@ -413,6 +413,53 @@ object SqlOps {
        |FROM _bk k LEFT JOIN _dr d ON k._id = d._id""".stripMargin
   }
 
+  /** SQL twin of the MinHash-LSH candidate generator
+    * ([[graft.text.MinHash]] shingles → k salted-min signature → r-row
+    * bands → BUCKET-CAPPED distinct pairs): (id_a, id_b) with id_a <
+    * id_b sharing any band value. The r10 bucket budget is a PARAMETER
+    * here exactly as on the Column side — `maxBucket` defaults to
+    * [[graft.text.MinHash.BucketCap]], callers override it or pass None
+    * for exhaustive candidates on corpora known saturation-free (the
+    * Column API's `MinHash.candidates(maxBucket = …)` contract). Same
+    * scale shape: map-side-combinable band-bucket counts + a semi-join
+    * back, never a window over the hot bucket. Needs `graft_tokens` /
+    * `graft_word_bigrams` / `graft_hash60` ([[SqlFunctions.register]]).
+    */
+  def minhashCandidatesSql(table: String, idCol: String, textCol: String,
+      k: Int = 16, bandRows: Int = 4,
+      maxBucket: Option[Int] = Some(graft.text.MinHash.BucketCap)): String = {
+    require(k >= 1 && bandRows >= 1 && k % bandRows == 0,
+      s"signature width $k must divide into bands of $bandRows rows")
+    maxBucket.foreach(c => require(c >= 1, s"maxBucket must be positive, got $c"))
+    val (id, txt) = (bt(idCol), bt(textCol))
+    // UDFs live in projections; explode consumes plain columns (a SQL UDF
+    // directly under a Generate is UNSUPPORTED_SQL_UDF_USAGE).
+    val capped = if (maxBucket.isDefined) "_b" else "_b0"
+    val capCtes = maxBucket.fold("") { cap =>
+      s""",
+         |_bc AS (SELECT band, band_val FROM _b0
+         |  GROUP BY band, band_val HAVING count(*) <= $cap),
+         |_b AS (SELECT b.* FROM _b0 b LEFT SEMI JOIN _bc c
+         |  ON b.band = c.band AND b.band_val = c.band_val)""".stripMargin
+    }
+    s"""WITH _g0 AS (SELECT $id AS _id,
+       |    graft_word_bigrams(graft_tokens($txt)) AS _grams
+       |  FROM $table),
+       |_sh AS (SELECT DISTINCT _id, _s FROM (
+       |  SELECT _id, explode(_grams) AS _s FROM _g0)),
+       |_mh AS (SELECT _id, salt,
+       |    min(graft_hash60(concat_ws('|', salt, _s))) AS minh
+       |  FROM _sh
+       |  LATERAL VIEW explode(sequence(0, ${k - 1})) _t AS salt
+       |  GROUP BY _id, salt),
+       |_b0 AS (SELECT _id, CAST(salt / $bandRows AS INT) AS band,
+       |    sum(minh) AS band_val
+       |  FROM _mh GROUP BY _id, CAST(salt / $bandRows AS INT))$capCtes
+       |SELECT DISTINCT a._id AS id_a, b._id AS id_b
+       |FROM $capped a JOIN $capped b
+       |  ON a.band = b.band AND a.band_val = b.band_val AND a._id < b._id""".stripMargin
+  }
+
   def qualityCutoffSql(table: String, idCol: String, sourceCol: String,
       textCol: String, q: Double = 0.25,
       accuracy: Int = graft.queries.TextQueries.QualityCutoffExactAccuracy): String = {

@@ -147,7 +147,8 @@ object MinHash {
   }
 
   /** Distinct candidate pairs (id_a < id_b) sharing any band value.
-    * Bucket-capped by default — see [[BucketCap]].
+    * Bucket-capped by default — see [[BucketCap]]; [[overCapPairs]] is the
+    * side channel that keeps >cap cliques visible to curation flows.
     */
   def candidates(bandsDf: DataFrame, id: String,
       maxBucket: Option[Int] = Some(BucketCap)): DataFrame = {
@@ -156,6 +157,40 @@ object MinHash {
     val b = pruned.select(col("band"), col("band_val"), col(id).as("id_b"))
     a.join(b, Seq("band", "band_val")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** The buckets [[capBuckets]] DROPS — (band, band_val, n) with n > cap.
+    * Bounded diagnostics (one row per over-cap bucket, not per member):
+    * the operator's observability face, so a capped run can REPORT what
+    * it skipped instead of silently reading as exhaustive.
+    */
+  def overCapBuckets(bandsDf: DataFrame, cap: Int): DataFrame =
+    bandsDf.groupBy(col("band"), col("band_val"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap)
+
+  /** Representative pairs for the over-cap buckets the cap makes invisible
+    * to [[candidates]]: each member of a >cap bucket pairs with the
+    * bucket's SMALLEST id — (id_a = representative < id_b = member),
+    * distinct across buckets. A >cap NEAR-duplicate clique saturates all
+    * of its own band buckets, so under the cap alone it yields zero
+    * candidates and every member survives dedup (the exact-dup pass only
+    * catches verbatim clones); routing these star pairs into a keep-best /
+    * curate flow collapses the clique to its representative while staying
+    * LINEAR in bucket size (members pair with ONE id, never each other —
+    * the cap's boundedness is preserved, cap²/2 per kept bucket plus n per
+    * dropped one). min+join-back shape, map-side combinable, no window.
+    * Pairs are CANDIDATES exactly like [[candidates]]' output: run the
+    * same exact-similarity verify before acting on them.
+    */
+  def overCapPairs(bandsDf: DataFrame, id: String, cap: Int): DataFrame = {
+    val hot = bandsDf.groupBy(col("band"), col("band_val"))
+      .agg(count(lit(1)).as("_bn"), min(col(id)).as("_rep"))
+      .filter(col("_bn") > cap)
+      .select(col("band"), col("band_val"), col("_rep"))
+    bandsDf.join(hot, Seq("band", "band_val"))
+      .filter(col(id) =!= col("_rep"))
+      .select(col("_rep").as("id_a"), col(id).as("id_b")).distinct()
   }
 
   /** Signature similarity per candidate pair: fraction of the k wide

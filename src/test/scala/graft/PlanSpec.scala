@@ -97,6 +97,20 @@ class PlanSpec extends SparkSpec {
       s"dense containment must verify via the native popcount:\n$p")
   }
 
+  test("q67/q68 cache sharing: the containmentJoin subtrees canonicalize equal") {
+    // The q67↔q68 one-materialization contract rides CacheManager's
+    // sameResult canonicalization of the two independently-built
+    // containmentJoin plans; if either call site's inputs drift the cache
+    // silently degrades to double materialization (the sf10-measured 443s
+    // re-pay). Pin the equality itself.
+    val a = graft.text.Containment
+      .containmentJoin(Tables.documents(spark, sfDir), "doc_id", "text", 0.8)
+    val b = graft.text.Containment
+      .containmentJoin(Tables.documents(spark, sfDir), "doc_id", "text", 0.8)
+    assert(a.queryExecution.optimizedPlan.sameResult(b.queryExecution.optimizedPlan),
+      "containmentJoin plans no longer canonicalize equal — q68 would re-pay q67's pair generation")
+  }
+
   test("q66 winnow pair join is an equi-join on fingerprints — never quadratic") {
     val p = plan("q66_winnow")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

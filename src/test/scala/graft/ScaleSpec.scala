@@ -76,6 +76,31 @@ class ScaleSpec extends SparkSpec {
     assert(noCust === 0L)
   }
 
+  test("chained derivation: restricted tables, wider stride, decorrelated seeds") {
+    // The third-decade corpus derives from an already-derived one: only
+    // the selected tables are written, the wider stride clears the first
+    // derivation's id range, and the distinct seed base keeps composed
+    // vocab permutations from cloning first-derivation copies verbatim.
+    val d2 = java.nio.file.Files.createTempDirectory("graft-scale2").toString
+    ScaleBench.generate(spark, outDir, d2, k = 2,
+      stride = 10000000000L, seedBase = 2042L, tables = Set("documents"))
+    val written = new java.io.File(d2).listFiles().map(_.getName).toSet
+    assert(written == Set("documents.parquet"), s"restricted write leaked: $written")
+    val docs = spark.read.parquet(s"$d2/documents.parquet")
+    val srcCount = t("documents").count()
+    assert(docs.count() === srcCount * 2)
+    assert(docs.select($"doc_id").distinct().count() === srcCount * 2,
+      "wider stride must keep chained ids collision-free")
+    // copy 1 (seed 2042 permutation of the WHOLE first-decade corpus)
+    // shares almost no verbatim text with copy 0 = the first-decade corpus
+    // itself — composed permutations stay distinct from first-round ones.
+    val cloned = docs.where($"doc_id" >= 10000000000L)
+      .join(docs.where($"doc_id" < 10000000000L).select($"text"),
+        Seq("text"), "left_semi").count()
+    assert(cloned < srcCount / 2,
+      s"chained copies should not clone first-derivation text ($cloned of $srcCount)")
+  }
+
   test("embedding copies are jittered, not duplicated, and keep dimension") {
     val emb = t("embeddings")
     val base = Tables.embeddings(spark, sfDir)

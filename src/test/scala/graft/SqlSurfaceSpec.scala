@@ -318,6 +318,30 @@ class SqlSurfaceSpec extends SparkSpec {
     assertSame(viaSql, viaCol, "semdedup", samePlan = false)
   }
 
+  test("SqlOps.minhashCandidatesSql == MinHash.candidates at every cap setting") {
+    registered
+    import graft.text.MinHash
+    val docs = Tables.documents(spark, sfDir)
+    def colSide(k: Int, r: Int, cap: Option[Int]) = {
+      val sh = MinHash.withShingles(docs, "doc_id", "text")
+      val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", k)
+      MinHash.candidates(MinHash.bands(sig, "doc_id", k, r), "doc_id", cap)
+    }
+    // default cap, an override that actually prunes, and the None opt-out
+    for (cap <- Seq(Some(MinHash.BucketCap), Some(2), None)) {
+      val viaSql = spark.sql(SqlOps.minhashCandidatesSql(
+        "documents", "doc_id", "text", k = 4, bandRows = 2, maxBucket = cap))
+      assertSame(viaSql, colSide(4, 2, cap), s"minhash candidates cap=$cap",
+        samePlan = false)
+    }
+    // the cap=2 override must genuinely prune relative to exhaustive
+    val n2 = spark.sql(SqlOps.minhashCandidatesSql(
+      "documents", "doc_id", "text", k = 4, bandRows = 2, maxBucket = Some(2))).count()
+    val nAll = spark.sql(SqlOps.minhashCandidatesSql(
+      "documents", "doc_id", "text", k = 4, bandRows = 2, maxBucket = None)).count()
+    assert(n2 < nAll, s"cap=2 should prune: $n2 vs $nAll")
+  }
+
   test("SqlOps.pageRankSql == Graph.pageRank (rows at round-8 precision)") {
     registered
     val edges = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))

@@ -81,6 +81,34 @@ class TextSpec extends SparkSpec {
       n.toLong * (n - 1) / 2, "opt-out must restore exhaustive candidates")
   }
 
+  test("MinHash: over-cap side channel reports dropped buckets and star-pairs the clique") {
+    // The cap's recall cliff (r10 ADVICE): a >cap clique saturates all of
+    // its own buckets → zero candidates → every member survives dedup.
+    // The side channel pairs each member with the bucket's min-id
+    // representative — LINEAR in clique size — so curation can still
+    // collapse the clique.
+    val n = MinHash.BucketCap + 20
+    val docs = (1L to n.toLong).map(i => (i, "saturated corpus hot boilerplate line here")) :+
+      (9000L, "real duplicate pair of docs") :+ (9001L, "real duplicate pair of docs")
+    val df = docs.toDF("doc_id", "text")
+    val sig = MinHash.signature(
+      MinHash.shingleRows(MinHash.withShingles(df, "doc_id", "text"), "doc_id"), "doc_id", 8)
+    val bands = MinHash.bands(sig, "doc_id", 8, 2)
+    // diagnostics: one row per dropped bucket, each holding the clique
+    val hot = MinHash.overCapBuckets(bands, MinHash.BucketCap).collect()
+    assert(hot.nonEmpty && hot.forall(_.getLong(2) == n.toLong),
+      s"every over-cap bucket is the clique: ${hot.mkString(",")}")
+    // star pairs: every clique member pairs with the representative (id 1),
+    // exactly once, and the under-cap genuine pair is NOT reported here
+    val pairs = MinHash.overCapPairs(bands, "doc_id", MinHash.BucketCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (2L to n.toLong).map(i => (1L, i)).toSet,
+      "one star pair per non-representative member")
+    // side channel + capped candidates together cover the clique linearly:
+    // n-1 star pairs instead of the n*(n-1)/2 exhaustive ones
+    assert(pairs.size == n - 1)
+  }
+
   test("SimHash: band-bucket cap drops a hot-fingerprint clique, keeps isolated pairs") {
     // 30 identical docs share one fingerprint → every band bucket holds the
     // whole clique; an unrelated near-pair sits in its own buckets.
