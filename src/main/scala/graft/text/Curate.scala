@@ -38,13 +38,32 @@ object Curate {
     * @param bandRows   rows per band (bandK / bandRows bands)
     * @param minJaccard near-dup edge threshold (exact Jaccard on verify)
     * @param minQuality survival threshold on the floor grid (0..10000)
+    * @param overCapStars also route [[MinHash.overCapPairs]]' star
+    *        candidates (each over-cap-bucket member × its min-id
+    *        representative) through the SAME exact-Jaccard verify: a
+    *        >BucketCap NEAR-dup clique saturates its own band buckets, so
+    *        under the cap alone it yields zero candidates and every
+    *        member survives — the cap's documented recall cliff. The
+    *        stars stay linear in clique size and false candidates die in
+    *        the verify. OFF by default: the q65 oracle (and the whole
+    *        capped family's SQL definition) mirrors plain capped
+    *        candidates — at oracle SFs no bucket exceeds the cap, so the
+    *        flag changes nothing there; at saturation scale it trades the
+    *        oracle-mirrored spelling for clique recall.
     */
   def keepSet(docs: DataFrame, id: String, text: String,
       k: Int = 16, bandK: Int = 4, bandRows: Int = 2,
-      minJaccard: Double = 0.5, minQuality: Int = 5000): DataFrame = {
+      minJaccard: Double = 0.5, minQuality: Int = 5000,
+      overCapStars: Boolean = false): DataFrame = {
     val sh = MinHash.withShingles(docs, id, text)
     val sig = MinHash.signature(MinHash.shingleRows(sh, id), id, k)
-    val cand = MinHash.candidates(MinHash.bands(sig, id, bandK, bandRows), id)
+    val bands = MinHash.bands(sig, id, bandK, bandRows)
+    val baseCand = MinHash.candidates(bands, id)
+    val cand =
+      if (!overCapStars) baseCand
+      else baseCand
+        .unionByName(MinHash.overCapPairs(bands, id, MinHash.BucketCap))
+        .distinct()
     val edges = MinHash.jaccard(sh, cand, id)
       .filter(col("jaccard") >= minJaccard).select(col("id_a"), col("id_b"))
     val scored = docs.select(col(id), TextFunctions.qualityGrid(col(text)).as("_th"))

@@ -70,14 +70,19 @@ object SimHash {
     */
   val BandBucketCap = 600
 
+  /** (id, simhash, band, band_val) rows — 6 × 10-bit bands per doc. */
+  private def bandRows(fp: DataFrame, id: String): DataFrame =
+    fp.select(col(id), col("simhash"),
+      explode(sequence(lit(0), lit(5))).as("band"))
+      .withColumn("band_val", expr("(simhash >> (band * 10)) & 1023"))
+
   /** Pairs within `maxHamming` of each other, found via 6 × 10-bit bands.
-    * Bucket-capped by default — see [[BandBucketCap]].
+    * Bucket-capped by default — see [[BandBucketCap]]; [[overCapPairs]]
+    * is the side channel that keeps >cap cliques visible.
     */
   def nearPairs(fp: DataFrame, id: String, maxHamming: Int,
       maxBucket: Option[Int] = Some(BandBucketCap)): DataFrame = {
-    val banded0 = fp.select(col(id), col("simhash"),
-      explode(sequence(lit(0), lit(5))).as("band"))
-      .withColumn("band_val", expr("(simhash >> (band * 10)) & 1023"))
+    val banded0 = bandRows(fp, id)
     // Same shape as MinHash.capBuckets: map-side count + left-semi
     // join-back, never a count-over-window on the hot bucket itself.
     val banded = maxBucket.fold(banded0)(cap => MinHash.capBuckets(banded0, cap))
@@ -89,4 +94,20 @@ object SimHash {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** The capped family's side channel, as [[MinHash.overCapPairs]]: each
+    * member of a >cap band bucket pairs with the bucket's min-id
+    * representative, hamming-verified like [[nearPairs]]' output — linear
+    * in bucket size, so >cap NEAR-dup cliques (the cap's recall cliff)
+    * stay collapsible by curation flows. Same output contract as
+    * [[nearPairs]]: (id_a, id_b, hamming), id_a < id_b by construction.
+    */
+  def overCapPairs(fp: DataFrame, id: String, maxHamming: Int,
+      cap: Int = BandBucketCap): DataFrame =
+    MinHash.overCapPairs(bandRows(fp, id), id, cap)
+      .join(fp.select(col(id).as("id_a"), col("simhash").as("sim_a")), "id_a")
+      .join(fp.select(col(id).as("id_b"), col("simhash").as("sim_b")), "id_b")
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
 }

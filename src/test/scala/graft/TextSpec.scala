@@ -109,6 +109,32 @@ class TextSpec extends SparkSpec {
     assert(pairs.size == n - 1)
   }
 
+  test("Curate.keepSet(overCapStars): a >cap NEAR-dup clique collapses instead of all surviving") {
+    // Members share a 30-token base (distinct trailing token → distinct
+    // fingerprints, so exact dedup can't touch them; pairwise Jaccard
+    // ~29/31 — genuine near-dups). The clique saturates its own band
+    // buckets past BucketCap: capped candidates alone see NOTHING and all
+    // members survive; the star side channel routes member×representative
+    // pairs through the same exact verify and the clique collapses.
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val n = MinHash.BucketCap + 60
+    val cliqueIds = (1L to n.toLong).toSet
+    val docs = ((1L to n.toLong).map(i => (i, s"$base extra$i")) :+
+      (9000L, "totally unrelated content standing well apart"))
+      .toDF("doc_id", "text")
+    val without = graft.text.Curate.keepSet(docs, "doc_id", "text", minQuality = 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(cliqueIds.subsetOf(without),
+      s"capped-only candidates should miss the saturated clique (survivors ${without.size})")
+    val withStars = graft.text.Curate
+      .keepSet(docs, "doc_id", "text", minQuality = 0, overCapStars = true)
+      .select("doc_id").as[Long].collect().toSet
+    val surviving = withStars.intersect(cliqueIds)
+    assert(surviving.size < n / 4,
+      s"star pairs should collapse the clique: ${surviving.size} of $n survive")
+    assert(withStars.contains(9000L), "unrelated doc must survive either way")
+  }
+
   test("SimHash: band-bucket cap drops a hot-fingerprint clique, keeps isolated pairs") {
     // 30 identical docs share one fingerprint → every band bucket holds the
     // whole clique; an unrelated near-pair sits in its own buckets.
@@ -125,6 +151,12 @@ class TextSpec extends SparkSpec {
     assert(exhaustive.filter(col("id_a") <= 30L).count() === 30L * 29 / 2)
     // the default cap is a no-op at this scale
     assert(SimHash.nearPairs(fp, "doc_id", 3).count() === exhaustive.count())
+    // the side channel star-pairs the dropped clique linearly: member ×
+    // min-id representative, hamming-verified, nothing for small buckets
+    val stars = SimHash.overCapPairs(fp, "doc_id", 3, cap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(stars == (2L to 30L).map(i => (1L, i, 0)).toSet,
+      s"one zero-hamming star per clique member: ${stars.take(5)}")
   }
 
   test("Curate.keepSet: exact losers, cluster losers and low-quality docs drop") {
