@@ -272,6 +272,8 @@ object Binary {
     var i = 2
     while (i + 4 <= p.length) {
       if ((p(i) & 0xff) != 0xff) fail("jpeg", s"expected marker at byte $i")
+      // the spec allows any number of 0xFF FILL bytes before a marker
+      while (i + 2 < p.length && (p(i + 1) & 0xff) == 0xff) i += 1
       val marker = p(i + 1) & 0xff
       if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
         i += 2 // standalone markers carry no length

@@ -93,6 +93,10 @@ class MultimodalSpec extends SparkSpec {
     val noSoi = jpeg(10, 10).drop(2)
     assert(intercept[IllegalArgumentException](Binary.parseJpeg(noSoi))
       .getMessage.contains("missing SOI"))
+    // 0xFF FILL bytes before a marker are legal (spec B.1.1.2) and common
+    val body = jpeg(320, 240)
+    val filled = body.take(2) ++ Array.fill(3)(0xff.toByte) ++ body.drop(2).tail
+    assert(Binary.parseJpeg(filled) == ((320, 240, "jpeg")))
   }
 
   test("decodePayload routes real PNG/JPEG payloads to the header parsers") {
