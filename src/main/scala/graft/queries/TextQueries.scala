@@ -593,6 +593,15 @@ object TextQueries {
         .agg(count(lit(1)).as("n_bigrams"),
           round(avg(log(col("c2") * lit(1.0) / col("c1"))), 4).as("avg_logprob"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q89: Gopher-style rule filter (named per-rule verdicts) ----
+    // The rule-based face of quality filtering (q24/q84 are the score
+    // faces): one tokenize pass, per-row integer-arithmetic verdicts, no
+    // shuffle — the first, cheapest stage of a production curation stack.
+    "q89_gopher_filter" -> { (s, d) =>
+      graft.text.Gopher.verdicts(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1026,7 +1035,37 @@ object TextQueries {
          SELECT b1.doc_id, count(*)::BIGINT AS n_bigrams,
            round(avg(ln(c2.c2 * 1.0 / c1.c1)), 4) AS avg_logprob
          FROM b1 JOIN c2 USING (bigram) JOIN c1 USING (w1)
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+
+    "q89_gopher_filter" ->
+      s"""WITH tk AS (SELECT doc_id, text, $TOKS AS toks,
+             string_split(text, chr(10)) AS lines FROM documents),
+         m AS (SELECT doc_id,
+             len(toks) AS n,
+             len(lines) AS n_lines,
+             coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS sum_len,
+             len(text) - len(replace(text, '#', '')) AS n_hash,
+             len(regexp_extract_all(text, '\\.\\.\\.')) AS n_dots,
+             len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+               OR starts_with(ltrim(l), '*'))) AS n_bullet,
+             len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS n_ellipsis,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+             len(list_filter(toks, t -> list_contains(
+               ['the','be','to','of','and','that','have','with'], t))) AS n_stops
+           FROM tk)
+         SELECT doc_id, n AS n_tokens,
+           (n >= 50 AND n <= 100000) AS words_ok,
+           (sum_len >= n * 3 AND sum_len <= n * 10) AS word_len_ok,
+           ((n_hash + n_dots) * 10 <= n) AS symbol_ok,
+           (n_bullet * 10 <= n_lines * 9) AS bullet_ok,
+           (n_ellipsis * 10 <= n_lines * 3) AS ellipsis_ok,
+           (n_alpha * 5 >= n * 4) AS alpha_ok,
+           (n_stops >= 2) AS stopword_ok,
+           ((n >= 50 AND n <= 100000) AND (sum_len >= n * 3 AND sum_len <= n * 10)
+             AND ((n_hash + n_dots) * 10 <= n) AND (n_bullet * 10 <= n_lines * 9)
+             AND (n_ellipsis * 10 <= n_lines * 3) AND (n_alpha * 5 >= n * 4)
+             AND (n_stops >= 2)) AS keep
+         FROM m ORDER BY doc_id"""
   )
 
   /** en-stopword count over `toks` (used inside q24's oracle). */

@@ -445,4 +445,45 @@ class TextSpec extends SparkSpec {
           s"target $target outside ± $eps")
     }
   }
+
+  test("Gopher.verdicts: each rule trips on its own boundary case") {
+    val fifty = (1 to 48).map(i => s"word$i").mkString(" ") // 48 alpha tokens
+    val docs = Seq(
+      // 50 tokens (the+the pushes to 50), 2 indicator words → keep
+      (1L, s"the the $fifty"),
+      // 49 tokens → words_ok false, everything else fine
+      (2L, "the the " + (1 to 47).map(i => s"word$i").mkString(" ")),
+      // mean word length < 3 (fifty 2-char tokens) → word_len_ok false
+      (3L, "the the " + Seq.fill(48)("ab").mkString(" ")),
+      // symbol-heavy: 7 '#' on 50 tokens → 70 > 50 → symbol_ok false
+      (4L, s"the the $fifty #######"),
+      // all 3 lines bullets → bullet_ok false; 2/3 ellipsis → ellipsis_ok false
+      (5L, s"- the the $fifty...\n* more...\n- deeper"),
+      // numeric tokens: 20 of 50 lack alpha → alpha_ok false
+      (6L, "the the " + (1 to 20).map(_.toString).mkString(" ") + " " +
+        (1 to 28).map(i => s"w$i").mkString(" ")),
+      // only one indicator occurrence → stopword_ok false
+      (7L, s"the $fifty extra"))
+      .toDF("doc_id", "text")
+    val v = graft.text.Gopher.verdicts(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, c: String) = v(id).getBoolean(v(id).fieldIndex(c))
+    assert(b(1, "keep"), v(1).toString)
+    assert(!b(2, "words_ok") && !b(2, "keep"))
+    assert(b(2, "word_len_ok") && b(2, "stopword_ok"))
+    assert(!b(3, "word_len_ok") && b(3, "words_ok"))
+    assert(!b(4, "symbol_ok") && b(4, "words_ok"))
+    assert(!b(5, "bullet_ok") && !b(5, "ellipsis_ok"))
+    assert(!b(6, "alpha_ok") && b(6, "words_ok"))
+    assert(!b(7, "stopword_ok") && b(7, "words_ok"))
+  }
+
+  test("Gopher.verdicts: empty and degenerate docs produce verdicts, not errors") {
+    val docs = Seq((1L, ""), (2L, "###"), (3L, "a b c")).toDF("doc_id", "text")
+    val v = graft.text.Gopher.verdicts(docs, "doc_id", "text").collect()
+    assert(v.length == 3)
+    val byId = v.map(r => r.getLong(0) -> r).toMap
+    assert(!byId(1L).getBoolean(byId(1L).fieldIndex("keep")))
+    assert(!byId(2L).getBoolean(byId(2L).fieldIndex("symbol_ok")))
+  }
 }
