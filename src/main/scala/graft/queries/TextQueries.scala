@@ -595,6 +595,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q87: duplicate-substring spans (the LINEAR dedup face) ----
+    // Lee et al. 2021 substring dedup, diagnostic form: per-doc token
+    // intervals whose 8-grams occur verbatim in >= 2 distinct docs. No doc
+    // pair is ever materialized — gram-frequency agg + semi join-back +
+    // bounded per-doc window — so unlike q20-q22 there is no quadratic
+    // regime to cap (see text/SpanDedup.scala).
+    "q87_span_dedup" -> { (s, d) =>
+      graft.text.SpanDedup.dupSpans(Tables.documents(s, d), "doc_id", "text", 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
     // ---- q89: Gopher-style rule filter (named per-rule verdicts) ----
     // The rule-based face of quality filtering (q24/q84 are the score
     // faces): one tokenize pass, per-row integer-arithmetic verdicts, no
@@ -1036,6 +1047,26 @@ object TextQueries {
            round(avg(ln(c2.c2 * 1.0 / c1.c1)), 4) AS avg_logprob
          FROM b1 JOIN c2 USING (bigram) JOIN c1 USING (w1)
          GROUP BY 1 ORDER BY 1""",
+
+    "q87_span_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         posi AS (SELECT doc_id, toks, unnest(CASE WHEN len(toks) >= 8
+             THEN range(1, len(toks) - 6) ELSE [] END) AS pos FROM tk),
+         pg AS (SELECT doc_id, pos,
+             ${h60("array_to_string(toks[pos:pos+7], ' ')")} AS h FROM posi),
+         dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM pg)
+           GROUP BY h HAVING count(*) >= 2),
+         hits AS (SELECT doc_id, pos FROM pg JOIN dup USING (h)),
+         brk AS (SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+               THEN 1 ELSE 0 END AS b
+           FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         grp AS (SELECT doc_id, pos, sum(b) OVER
+             (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+           FROM brk)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+           max(pos) + 8 - min(pos) AS span_tokens
+         FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""",
 
     "q89_gopher_filter" ->
       s"""WITH tk AS (SELECT doc_id, text, $TOKS AS toks,

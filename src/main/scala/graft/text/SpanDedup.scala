@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.{TextFunctions => TF}
+
+/** Duplicate-substring SPAN detection (Lee et al. 2021, "Deduplicating
+  * Training Data Makes Language Models Better" — public methodology): find,
+  * per document, the contiguous token regions that also occur verbatim in
+  * at least one OTHER document. The paper removes such spans from all-but-
+  * one occurrence; this operator is the diagnostic face (span inventory),
+  * and curation composes it (drop/trim decisions are corpus policy).
+  *
+  * THE LINEAR MEMBER of the dedup family — the scale story the pair-based
+  * faces (q20/q21/q22, MinHash/SimHash buckets) cannot have: no document
+  * pair is ever materialized. A positional n-gram posting list is
+  * aggregated by gram hash (count of DISTINCT holding docs), grams held by
+  * >= 2 docs are semi-joined back, and matched positions merge into spans
+  * with one bounded per-document window. A boilerplate gram shared by
+  * millions of documents costs its POSTINGS (linear), not its pairs
+  * (quadratic) — which is why the band-bucket caps that bound q20-q22 have
+  * no analog here; there is nothing quadratic to cap.
+  *
+  * Per-stage scale shape at 100 TB:
+  *  - postings: one tokenize+explode pass, ~n_tokens rows, 16-byte
+  *    (pos, hash) payload — no gram strings cross the wire;
+  *  - dup grams: distinct (h, doc) + count >= 2 — two linear shuffles on a
+  *    60-bit key; map-side combine collapses within-doc repeats first;
+  *  - join-back: shuffle semi join on h (the dup-gram side is output-sized;
+  *    AQE broadcasts it when it measures small);
+  *  - span merge: window partitioned by doc_id — bounded by document
+  *    length, never corpus-skewed (the safe window class; contrast q52's
+  *    segment-window discussion).
+  *
+  * Reference lineage: the silver dedup pattern
+  * (4_silver/silver_transactions.py:109) generalized from whole-row keys to
+  * intra-document substrings.
+  */
+object SpanDedup {
+
+  /** Positional n-gram hashes: array of struct(pos, h), pos 1-based; empty
+    * for docs shorter than `n` tokens. One-element-lambda bound (the q26
+    * lesson): the token array is evaluated once however the caller spells
+    * it, and each gram reads `slice` — constant-cost — off the lambda var.
+    */
+  def posGramHashes(toks: Column, n: Int): Column =
+    element_at(
+      transform(array(toks), ts =>
+        when(size(ts) >= n,
+          transform(sequence(lit(1), size(ts) - (n - 1)),
+            i => struct(i.as("pos"),
+              TF.hash60(concat_ws(" ", slice(ts, i, lit(n)))).as("h"))))
+          .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))),
+      1)
+
+  /** Cross-document duplicate spans: (`idCol`, span_start, span_end,
+    * span_tokens) with a 1-based token interval [span_start, span_end).
+    * Positions whose n-gram occurs in >= 2 distinct documents merge into
+    * maximal spans (grams overlapping OR touching — a position exactly `n`
+    * after the previous match continues the same contiguous duplicated
+    * region). Documents with no cross-doc gram produce no rows.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, s"span gram width must be >= 2, got $n")
+    val postings = docs
+      .select(col(idCol), explode_outer(
+        posGramHashes(TF.tokens(col(textCol)), n)).as("pg"))
+      .filter(col("pg").isNotNull)
+      .select(col(idCol), col("pg.pos").as("pos"), col("pg.h").as("h"))
+    // Grams held by >= 2 distinct docs. distinct-then-count instead of a
+    // countDistinct agg: both are two shuffles, but the distinct's
+    // map-side combine also collapses within-doc repeats before the wire.
+    val dupGrams = postings.select(col("h"), col(idCol)).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= 2).select(col("h"))
+    val hits = postings.join(dupGrams, Seq("h"), "left_semi")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prev = lag(col("pos"), 1).over(w)
+    val brk = hits.withColumn("_b",
+      when(prev.isNull || col("pos") > prev + n, 1).otherwise(0))
+    val grp = brk.withColumn("_g",
+      sum(col("_b")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    grp.groupBy(col(idCol), col("_g"))
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + n).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+}

@@ -446,6 +446,41 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("SpanDedup: finds shared spans, merges touching grams, ignores within-doc repeats") {
+    val shared = (1 to 12).map(i => s"dup$i").mkString(" ") // 12-token shared run
+    val docs = Seq(
+      (1L, s"alpha beta $shared tail1 tail2 tail3"),
+      (2L, s"$shared other words here now"),
+      // within-doc repetition only — no cross-doc gram, no span
+      (3L, ("loop " * 30).trim),
+      // too short for any 8-gram
+      (4L, "tiny doc"),
+      // unrelated
+      (5L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val spans = graft.text.SpanDedup.dupSpans(docs, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(s => (s._1, s._2))
+    // doc 1: shared run occupies tokens 3..14 → grams at pos 3..7 → span [3, 15)
+    // doc 2: tokens 1..12 → grams at pos 1..5 → span [1, 13)
+    assert(spans.toSeq == Seq((1L, 3, 15, 12), (2L, 1, 13, 12)), spans.toSeq.toString)
+  }
+
+  test("SpanDedup: two separated shared regions produce two spans") {
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val gap = (1 to 10).map(i => s"g$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$a $gap $b"),
+      (2L, s"$a x1 x2 x3 x4 x5 x6 x7 x8 x9 $b"))
+      .toDF("doc_id", "text")
+    val spans = graft.text.SpanDedup.dupSpans(docs, "doc_id", "text", 8)
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).sorted
+    // doc 1: a at tokens 1..8 → span [1,9); b at tokens 19..26 → span [19,27)
+    assert(spans.toSeq == Seq((1, 9), (19, 27)), spans.toSeq.toString)
+  }
+
   test("Gopher.verdicts: each rule trips on its own boundary case") {
     val fifty = (1 to 48).map(i => s"word$i").mkString(" ") // 48 alpha tokens
     val docs = Seq(
