@@ -595,6 +595,18 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q88: decontamination, bloom-prefilter scale path ----
+    // Same answer as q69 (spec- and oracle-pinned) through a different
+    // 100 TB story: a 16-bit/gram Bloom filter of the eval grams replaces
+    // the eval-gram-set broadcast (~30-100x smaller), prunes the corpus
+    // BEFORE any shuffle, and an exact gram-string verify removes every
+    // false positive (see text/BloomDecontaminate.scala).
+    "q88_bloom_decontaminate" -> { (s, d) =>
+      graft.text.BloomDecontaminate.hits(
+          Tables.documents(s, d), "doc_id", "text", col("source") === "src0", 8)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q87: duplicate-substring spans (the LINEAR dedup face) ----
     // Lee et al. 2021 substring dedup, diagnostic form: per-doc token
     // intervals whose 8-grams occur verbatim in >= 2 distinct docs. No doc
@@ -1047,6 +1059,20 @@ object TextQueries {
            round(avg(ln(c2.c2 * 1.0 / c1.c1)), 4) AS avg_logprob
          FROM b1 JOIN c2 USING (bigram) JOIN c1 USING (w1)
          GROUP BY 1 ORDER BY 1""",
+
+    // Bit-identical to q69 by design: the bloom is a prefilter whose false
+    // positives the exact verify removes — the ORACLE is the definition of
+    // decontamination, not of the bloom.
+    "q88_bloom_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, source, $TOKS AS toks FROM documents),
+         g AS (SELECT doc_id, source, unnest(CASE WHEN len(toks) >= 8
+             THEN [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks) - 6)]
+             ELSE [] END) AS gram FROM tk),
+         ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+         SELECT doc_id, count(DISTINCT gram) AS n_hits
+         FROM g JOIN ev USING (gram)
+         WHERE source <> 'src0'
+         GROUP BY 1 ORDER BY doc_id""",
 
     "q87_span_dedup" ->
       s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),

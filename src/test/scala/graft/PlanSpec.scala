@@ -283,6 +283,35 @@ class PlanSpec extends SparkSpec {
       s"day-string filtering replaced the ts predicate:\n${filters.mkString("\n")}")
   }
 
+  test("q88 bloom decontaminate: probe prunes below every exchange, verify stays equi") {
+    val p = plan("q88_bloom_decontaminate")
+    // The bloom probe rides the one-row broadcast (NLJ); the only joins on
+    // corpus-sized rows must be equi-joins (the exact verify) — never a
+    // cartesian over data.
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // The probe filter exists and the corpus branch reaches it unshuffled.
+    // Exchange budget (pre-AQE), all on bounded sides: eval-gram distinct
+    // (1), bits build per-word agg + global assembly (2), exact-verify
+    // equi-join sides (2), final countDistinct two-stage agg (3:
+    // (doc,gram) dedup + partial/final on doc) = 8. A 9th exchange means
+    // corpus grams started shuffling BEFORE the bloom probe pruned them.
+    assert(p.linesIterator.exists(l => l.contains("xxhash64")),
+      s"no bloom-probe expression found:\n$p")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange SinglePartition"))
+    assert(exchanges <= 8, s"expected <= 8 exchanges, got $exchanges:\n$p")
+  }
+
+  test("q87 span dedup: no doc-pair join anywhere — the linear dedup face") {
+    val p = plan("q87_span_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"span dedup must never materialize doc pairs:\n$p")
+    // per-doc window only: every Window partitions by doc_id
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.forall(_.contains("doc_id")), windows.mkString("\n"))
+  }
+
   test("whole-stage codegen covers the q01 aggregation") {
     // Under AQE the codegen spans only appear in the finalized plan, and
     // simpleString renders them as "*(n)" stage markers.

@@ -446,6 +446,44 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("Bloom: inserted keys always hit; random keys mostly miss at the sized rate") {
+    val m = 64L * 64L // 4096 bits for 100 keys ≈ 40 bits/key
+    val keys = (1L to 100L).toDF("h")
+    val bits = graft.functions.Bloom.bits(keys, "h", m)
+    val probeAll = keys.crossJoin(broadcast(bits))
+      .filter(graft.functions.Bloom.mightContain(col("h"), col("bits"), m))
+    assert(probeAll.count() == 100, "bloom has a false negative")
+    val misses = (10001L to 11000L).toDF("h").crossJoin(broadcast(bits))
+      .filter(graft.functions.Bloom.mightContain(col("h"), col("bits"), m))
+      .count()
+    assert(misses < 100, s"false-positive rate implausibly high: $misses/1000")
+  }
+
+  test("BloomDecontaminate equals Decontaminate exactly, even under a tiny FP-heavy filter") {
+    val docs = Tables.documents(spark, sfDir)
+    val expected = graft.text.Decontaminate.hits(
+        docs, "doc_id", "text", col("source") === "src0", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture has no contamination — spec is vacuous")
+    val got = graft.text.BloomDecontaminate.hits(
+        docs, "doc_id", "text", col("source") === "src0", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    // 1 bit/gram with 6 probes: filter saturates, nearly everything is a
+    // candidate — the exact verify must still produce the same answer.
+    val fpHeavy = graft.text.BloomDecontaminate.hits(
+        docs, "doc_id", "text", col("source") === "src0", 8, bitsPerGram = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fpHeavy == expected)
+  }
+
+  test("BloomDecontaminate: empty eval side yields an empty result, not an error") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = graft.text.BloomDecontaminate.hits(
+      docs, "doc_id", "text", lit(false), 8)
+    assert(out.count() == 0)
+  }
+
   test("SpanDedup: finds shared spans, merges touching grams, ignores within-doc repeats") {
     val shared = (1 to 12).map(i => s"dup$i").mkString(" ") // 12-token shared run
     val docs = Seq(
