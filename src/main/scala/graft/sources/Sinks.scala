@@ -266,6 +266,81 @@ object Sinks {
     (before, dataFiles())
   }
 
+  /** File-level min/max stats manifest (i15): writes, for each data file of
+    * the parquet table at `path`, the min/max of `statsCols` (+ row count)
+    * to `path/_graft_stats` — the underscore prefix keeps the manifest
+    * invisible to every parquet reader of the table itself. One extra scan
+    * of the written table (grouped by `input_file_name`, file-catalog-sized
+    * output, write-time cost); [[readSkipping]] then prunes the file list
+    * by predicate interval BEFORE Spark plans the scan — the Delta/Iceberg
+    * data-skipping move derived purely from the layout, and the read-side
+    * payoff of [[zorderWrite]]/[[zorderWriteRanked]]/[[compact]] (each of
+    * which clusters values so per-file ranges are tight).
+    *
+    * Call AFTER the table is (re)written; any later rewrite/append makes
+    * the manifest stale, which [[readSkipping]] detects and fails NAMED on
+    * (a silently stale manifest would skip files that now hold matching
+    * rows — the worst failure mode for a pruning layer).
+    */
+  def writeStatsManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      statsCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    require(statsCols.nonEmpty, "statsCols must not be empty")
+    val df = spark.read.parquet(path)
+    val missing = statsCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"stats columns absent from $path: ${missing.mkString(", ")}")
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_graft_stats")
+  }
+
+  /** Pruned interval read (i15): rows of `path` with `c` in [lo, hi],
+    * planned over ONLY the files whose manifest [min_c, max_c] range
+    * intersects the interval. The manifest is file-catalog-sized, so the
+    * driver-side file filtering is bounded metadata by construction. Files
+    * whose stats are NULL (no non-null `c` values) are skipped — their rows
+    * cannot satisfy the interval predicate. The row-level filter is still
+    * applied on the surviving files (their ranges overlap the interval;
+    * their rows need not), so results are EXACTLY the full-scan filter —
+    * equality the spec pins.
+    *
+    * Fails NAMED when the manifest is missing, doesn't index `c`, or is
+    * STALE (its file set differs from the directory's current data files —
+    * silent skipping of unindexed new files would drop matching rows).
+    */
+  def readSkipping(spark: org.apache.spark.sql.SparkSession, path: String,
+      c: String, lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val statsPath = new Path(s"$path/_graft_stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(statsPath),
+      s"no stats manifest at $statsPath — run writeStatsManifest after writing $path")
+    val stats = spark.read.parquet(statsPath.toString)
+    require(stats.columns.contains(s"min_$c"),
+      s"column $c is not indexed by the stats manifest at $statsPath " +
+        s"(indexed: ${stats.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).mkString(", ")})")
+    def norm(u: String) = new Path(u).toUri.getPath
+    val rows = stats.select(col("file"),
+      coalesce(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi),
+        lit(false)).as("keep")).collect()
+    val manifestFiles = rows.map(r => norm(r.getString(0))).toSet
+    val actual = fs.listStatus(new Path(path))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(s => norm(s.getPath.toString)).toSet
+    require(manifestFiles == actual,
+      s"stats manifest is STALE for $path (manifest ${manifestFiles.size} files, " +
+        s"directory ${actual.size}) — rewrite it with writeStatsManifest")
+    val kept = rows.filter(r => r.getBoolean(1)).map(_.getString(0))
+    val pruned =
+      if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(kept.toIndexedSeq: _*)
+    pruned.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+  }
+
   /** Object-store-safe atomic publish (manifest-pointer commit): data lands
     * in a fresh immutable `v-<token>` directory under `path`, and the
     * commit is ONE replace of the tiny `_current` pointer file naming the

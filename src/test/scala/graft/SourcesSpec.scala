@@ -436,6 +436,56 @@ class SourcesSpec extends SparkSpec {
     assert(bad.as[String].collect().toSeq == Seq("{\"id\":2,\"v\":"))
   }
 
+  test("stats skipping: pruned read touches fewer files, equals the full-scan filter") {
+    val dir = tmp("skip")
+    val path = s"$dir/lineitem"
+    // range-partition by key so each file covers a contiguous key range —
+    // the layout readSkipping exists to exploit
+    Tables.lineitem(spark, sfDir).repartitionByRange(8, col("l_orderkey"))
+      .write.mode("overwrite").parquet(path)
+    Sinks.writeStatsManifest(spark, path, Seq("l_orderkey", "l_quantity"))
+    val all = spark.read.parquet(path)
+    val keys = all.select(col("l_orderkey")).as[Long].collect().sorted
+    val (lo, hi) = (keys(keys.length / 4), keys(keys.length / 4 + keys.length / 16))
+    val skipped = Sinks.readSkipping(spark, path, "l_orderkey", lo, hi)
+    assert(skipped.inputFiles.length < all.inputFiles.length,
+      s"no files pruned: ${skipped.inputFiles.length} of ${all.inputFiles.length}")
+    val expect = all.filter(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
+      .select(col("l_orderkey"), col("l_linenumber")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val got = skipped.select(col("l_orderkey"), col("l_linenumber")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(got == expect)
+    // empty intersection: zero rows without touching any data file
+    assert(Sinks.readSkipping(spark, path, "l_orderkey",
+      keys.last + 1000L, keys.last + 2000L).count() == 0)
+  }
+
+  test("stats skipping fails named on stale manifests and unindexed columns") {
+    val dir = tmp("skip_stale")
+    val path = s"$dir/t"
+    Tables.lineitem(spark, sfDir).limit(100)
+      .write.mode("overwrite").parquet(path)
+    // missing manifest
+    val none = intercept[IllegalArgumentException] {
+      Sinks.readSkipping(spark, path, "l_orderkey", 1L, 2L)
+    }
+    assert(none.getMessage.contains("no stats manifest"), none.getMessage)
+    Sinks.writeStatsManifest(spark, path, Seq("l_orderkey"))
+    // unindexed column
+    val unidx = intercept[IllegalArgumentException] {
+      Sinks.readSkipping(spark, path, "l_quantity", 1.0, 2.0)
+    }
+    assert(unidx.getMessage.contains("not indexed"), unidx.getMessage)
+    // append a file AFTER the manifest → stale, named
+    Tables.lineitem(spark, sfDir).limit(10)
+      .write.mode("append").parquet(path)
+    val stale = intercept[IllegalArgumentException] {
+      Sinks.readSkipping(spark, path, "l_orderkey", 1L, 2L)
+    }
+    assert(stale.getMessage.contains("STALE"), stale.getMessage)
+  }
+
   test("json reader with schema reads nested props") {
     val dir = tmp("json")
     Files.write(java.nio.file.Paths.get(s"$dir/d.json"),
