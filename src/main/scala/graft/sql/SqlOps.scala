@@ -560,4 +560,114 @@ object SqlOps {
        |SELECT ${leftCols.map(c => s"l.${bt(c)}").mkString(", ")}, $outVals
        |FROM $left l JOIN _m ON l.$k = _m.$k AND l.$lts = _m._gts""".stripMargin
   }
+
+  /** SQL twin of q89's Gopher rule filter — per-row integer-arithmetic
+    * verdicts, one tokenize pass, zero shuffle (see text/Gopher.scala for
+    * the thresholds and their provenance).
+    */
+  def gopherFilterSql(table: String, idCol: String, textCol: String): String = {
+    val (id, txt) = (bt(idCol), bt(textCol))
+    val stops = graft.text.Gopher.indicatorWords.map(w => s"'$w'").mkString(", ")
+    val rules = Seq(
+      "words_ok" -> "(n >= 50 AND n <= 100000)",
+      "word_len_ok" -> "(sum_len >= n * 3L AND sum_len <= n * 10L)",
+      "symbol_ok" -> "((n_hash + n_dots) * 10L <= CAST(n AS BIGINT))",
+      "bullet_ok" -> "(n_bullet * 10L <= n_lines * 9L)",
+      "ellipsis_ok" -> "(n_ellipsis * 10L <= n_lines * 3L)",
+      "alpha_ok" -> "(n_alpha * 5L >= n * 4L)",
+      "stopword_ok" -> "(n_stops >= 2)")
+    val cols = rules.map { case (nm, e) => s"$e AS $nm" }.mkString(",\n  ")
+    val keep = rules.map(_._2).mkString(" AND ")
+    s"""WITH _b AS (SELECT $id, $txt AS _text, graft_tokens($txt) AS _toks,
+       |    split($txt, '\\n') AS _lines FROM $table),
+       |_m AS (SELECT $id,
+       |    size(_toks) AS n,
+       |    size(_lines) AS n_lines,
+       |    aggregate(transform(_toks, t -> length(t)), 0L, (acc, x) -> acc + x) AS sum_len,
+       |    length(_text) - length(replace(_text, '#', '')) AS n_hash,
+       |    regexp_count(_text, '\\\\.\\\\.\\\\.') AS n_dots,
+       |    size(filter(_lines, l -> startswith(ltrim(l), '-')
+       |      OR startswith(ltrim(l), '*'))) AS n_bullet,
+       |    size(filter(_lines, l -> endswith(rtrim(l), '...'))) AS n_ellipsis,
+       |    size(filter(_toks, t -> t RLIKE '[a-z]')) AS n_alpha,
+       |    size(filter(_toks, t -> t IN ($stops))) AS n_stops
+       |  FROM _b)
+       |SELECT $id, n AS n_tokens,
+       |  $cols,
+       |  ($keep) AS keep
+       |FROM _m""".stripMargin
+  }
+
+  /** SQL twin of q87's duplicate-substring span detection — positional
+    * gram postings, gram doc-frequency >= 2, per-doc window merge (see
+    * text/SpanDedup.scala for the linearity argument).
+    */
+  def spanDedupSql(table: String, idCol: String, textCol: String,
+      n: Int = 8): String = {
+    require(n >= 2, s"span gram width must be >= 2, got $n")
+    val (id, txt) = (bt(idCol), bt(textCol))
+    s"""WITH _tk AS (SELECT $id, graft_tokens($txt) AS _toks FROM $table),
+       |-- one-element-lambda binding (the q26 lesson): grams slice a lambda
+       |-- var, so tokenization runs once per doc however the optimizer inlines
+       |_pa AS (SELECT $id, element_at(transform(array(_toks), ts ->
+       |    CASE WHEN size(ts) >= $n THEN transform(sequence(1, size(ts) - ${n - 1}),
+       |        i -> named_struct('pos', i, 'h',
+       |          graft_hash60(concat_ws(' ', slice(ts, i, $n)))))
+       |      ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, h: BIGINT>>) END), 1) AS _pgs
+       |  FROM _tk),
+       |_p AS (SELECT $id, _pg.pos AS pos, _pg.h AS h
+       |  FROM _pa LATERAL VIEW explode_outer(_pgs) _e AS _pg WHERE _pg IS NOT NULL),
+       |_dup AS (SELECT h FROM (SELECT DISTINCT h, $id FROM _p)
+       |  GROUP BY h HAVING count(*) >= 2),
+       |_hit AS (SELECT $id, pos FROM _p LEFT SEMI JOIN _dup USING (h)),
+       |_brk AS (SELECT $id, pos,
+       |    CASE WHEN lag(pos) OVER _w IS NULL OR pos > lag(pos) OVER _w + $n
+       |      THEN 1 ELSE 0 END AS _b
+       |  FROM _hit WINDOW _w AS (PARTITION BY $id ORDER BY pos)),
+       |_grp AS (SELECT $id, pos, sum(_b) OVER
+       |    (PARTITION BY $id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS _g
+       |  FROM _brk)
+       |SELECT $id, min(pos) AS span_start, max(pos) + $n AS span_end,
+       |  max(pos) + $n - min(pos) AS span_tokens
+       |FROM _grp GROUP BY $id, _g""".stripMargin
+  }
+
+  /** SQL twin of q88's Bloom-prefilter decontamination — the WHOLE scale
+    * path in one statement: filter sizing from the eval-gram count, bit
+    * positions via `pmod(xxhash64(hash, j), m)`, per-word `bit_or`
+    * assembly, dense-array materialization, k-probe conjunction against
+    * the one-row bits frame, exact verify. Rows equal q69/q88
+    * (spec-pinned); `bitsPerGram`/`k` are the same cost knobs as the
+    * Column op (see text/BloomDecontaminate.scala).
+    */
+  def bloomDecontaminateSql(table: String, idCol: String, textCol: String,
+      evalPredSql: String, n: Int, bitsPerGram: Int = 16, k: Int = 6): String = {
+    require(bitsPerGram >= 1 && k >= 1, s"bad bloom knobs: $bitsPerGram/$k")
+    val (id, txt) = (bt(idCol), bt(textCol))
+    def probe(j: Int) =
+      s"""(shiftright(element_at(_bits, CAST(pmod(xxhash64(graft_hash60(gram), $j), _m) / 64 AS INT) + 1),
+         |      CAST(pmod(xxhash64(graft_hash60(gram), $j), _m) % 64 AS INT)) & 1L) = 1L""".stripMargin
+    val probes = (0 until k).map(probe).mkString("\n    AND ")
+    s"""WITH _a AS (SELECT $id, ($evalPredSql) AS _is_eval,
+       |    graft_word_ngrams(graft_tokens($txt), $n) AS _grams FROM $table),
+       |_g AS (SELECT $id, _is_eval, explode(_grams) AS gram FROM _a),
+       |_ev AS (SELECT DISTINCT gram FROM _g WHERE _is_eval),
+       |_sz AS (SELECT greatest(1024L,
+       |    CAST(ceil(count(*) * $bitsPerGram / 64.0) AS BIGINT) * 64) AS _m FROM _ev),
+       |_pos AS (SELECT explode(transform(sequence(0, ${k - 1}),
+       |    j -> pmod(xxhash64(graft_hash60(gram), j), _m))) AS p
+       |  FROM _ev CROSS JOIN _sz),
+       |_wb AS (SELECT CAST(p / 64 AS INT) AS w, bit_or(shiftleft(1L, CAST(p % 64 AS INT))) AS bw
+       |  FROM _pos GROUP BY 1),
+       |_bits AS (SELECT transform(sequence(0, CAST(_m / 64 AS INT) - 1),
+       |      i -> coalesce(element_at(_wm, i), 0L)) AS _bits, _m
+       |  FROM (SELECT map_from_entries(collect_list(struct(w, bw))) AS _wm FROM _wb)
+       |  CROSS JOIN _sz),
+       |_cand AS (SELECT /*+ BROADCAST(_bits) */ $id, gram
+       |  FROM _g CROSS JOIN _bits
+       |  WHERE NOT _is_eval AND $probes)
+       |SELECT $id, count(DISTINCT gram) AS n_hits
+       |FROM _cand JOIN _ev USING (gram)
+       |GROUP BY $id""".stripMargin
+  }
 }

@@ -40,8 +40,14 @@ object BloomDecontaminate {
     def grams(df: DataFrame): DataFrame =
       df.select(col(idCol),
         explode(TF.wordNgrams(TF.tokens(col(textCol)), n)).as("gram"))
-    // Cached: three consumers (size count, filter build, exact verify).
-    val evalGrams = grams(docs.filter(isEval)).select(col("gram")).distinct().cache()
+    // Three consumers (size count, filter build, exact verify) — and
+    // deliberately NOT cached here: an operator-internal cache pins
+    // executor storage for every caller (the corrected q67 rationale), and
+    // its plan canonicalizes equal to q69's eval subtree, so it would
+    // silently rewrite OTHER queries' plans through the cache manager. The
+    // eval side is benchmark-sized by premise; callers who feed something
+    // bigger can cache/persist their eval frame upstream.
+    val evalGrams = grams(docs.filter(isEval)).select(col("gram")).distinct()
     // Bounded-metadata count: the eval side is benchmark-sized by nature,
     // and the filter must be broadcastable anyway — sizing it needs n.
     val nGrams = evalGrams.count()

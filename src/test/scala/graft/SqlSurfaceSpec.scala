@@ -378,4 +378,33 @@ class SqlSurfaceSpec extends SparkSpec {
     val viaCol = graft.ops.AsOf.asofJoin(trades, quotes, "ccy", "ts", "ts")
     assertSame(viaSql, viaCol, "as-of join", samePlan = false)
   }
+
+  test("SqlOps.gopherFilterSql == Gopher.verdicts (rows)") {
+    registered
+    val viaSql = spark.sql(SqlOps.gopherFilterSql("documents", "doc_id", "text"))
+    val viaCol = graft.text.Gopher.verdicts(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+    assertSame(viaSql, viaCol, "gopher filter", samePlan = false)
+  }
+
+  test("SqlOps.spanDedupSql == SpanDedup.dupSpans (rows)") {
+    registered
+    val viaSql = spark.sql(SqlOps.spanDedupSql("documents", "doc_id", "text", 8))
+    val viaCol = graft.text.SpanDedup.dupSpans(
+      Tables.documents(spark, sfDir), "doc_id", "text", 8)
+    assertSame(viaSql, viaCol, "span dedup", samePlan = false)
+  }
+
+  test("SqlOps.bloomDecontaminateSql == BloomDecontaminate.hits == q69 (rows)") {
+    registered
+    val viaSql = spark.sql(SqlOps.bloomDecontaminateSql(
+      "documents", "doc_id", "text", "source = 'src0'", 8))
+    val viaCol = graft.text.BloomDecontaminate.hits(
+      Tables.documents(spark, sfDir), "doc_id", "text", col("source") === "src0", 8)
+    assertSame(viaSql, viaCol, "bloom decontaminate", samePlan = false)
+    // and the saturated 1-bit/gram filter still verifies back to the truth
+    val viaSqlFp = spark.sql(SqlOps.bloomDecontaminateSql(
+      "documents", "doc_id", "text", "source = 'src0'", 8, bitsPerGram = 1))
+    assertSame(viaSqlFp, viaCol, "bloom decontaminate (fp-heavy)", samePlan = false)
+  }
 }
