@@ -659,10 +659,13 @@ object SqlOps {
        |  FROM _ev CROSS JOIN _sz),
        |_wb AS (SELECT CAST(p / 64 AS INT) AS w, bit_or(shiftleft(1L, CAST(p % 64 AS INT))) AS bw
        |  FROM _pos GROUP BY 1),
-       |_bits AS (SELECT transform(sequence(0, CAST(_m / 64 AS INT) - 1),
-       |      i -> coalesce(element_at(_wm, i), 0L)) AS _bits, _m
-       |  FROM (SELECT map_from_entries(collect_list(struct(w, bw))) AS _wm FROM _wb)
-       |  CROSS JOIN _sz),
+       |-- dense assembly by range LEFT JOIN + ordered collect (O(nw log nw));
+       |-- map element_at would be a linear ArrayBasedMapData scan per index
+       |-- (O(nw^2) in one task — the Column op measured 65s at 117k words)
+       |_idx AS (SELECT explode(sequence(0, CAST(_m / 64 AS INT) - 1)) AS w FROM _sz),
+       |_dw AS (SELECT i.w, coalesce(b.bw, 0L) AS bw FROM _idx i LEFT JOIN _wb b USING (w)),
+       |_bits AS (SELECT transform(array_sort(collect_list(struct(w, bw))), e -> e.bw) AS _bits, _m
+       |  FROM _dw CROSS JOIN _sz GROUP BY _m),
        |_cand AS (SELECT /*+ BROADCAST(_bits) */ $id, gram
        |  FROM _g CROSS JOIN _bits
        |  WHERE NOT _is_eval AND $probes)

@@ -775,6 +775,88 @@ object Streams {
   def readLineDedup(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/docs").drop("batch_id")
 
+  /** s18: streaming duplicate-substring span detection — the streaming
+    * face of q87 ([[graft.text.SpanDedup]]): per arriving batch, the token
+    * spans whose `n`-grams occur in ANY other document seen so far — a
+    * batch-mate (q87's cross-doc rule, applied within the batch) or any
+    * prior-batch document (the accumulated seen-gram log). FIRST-SEEN
+    * asymmetry by construction: the doc that INTRODUCED a gram is not
+    * re-flagged retroactively when a later doc repeats it (streamed output
+    * cannot re-open history — the s10/s14 parity discipline); one batch
+    * over empty state therefore reproduces q87 exactly (spec-pinned), and
+    * the span merge is [[graft.text.SpanDedup.mergeSpans]] ITSELF, shared
+    * with the batch operator.
+    *
+    * q87's linearity carries over: per-batch cost is one tokenize+explode
+    * over the batch, one equi-(semi-)join against the gram-hash log (an
+    * inverted log, never a corpus rescan), and the bounded per-doc window
+    * — no doc pair is ever materialized, so there is nothing to cap.
+    *
+    * State: `seen/` = distinct gram hashes, batch_id-partitioned,
+    * compactable with [[compactBatchLog]] (refold = distinct); only grams
+    * the batch INTRODUCES are appended, so the log is vocabulary-sized.
+    * Replay-idempotent: the seen read excludes the current batch_id, both
+    * outputs dynamic-overwrite their own partition, and a replay that
+    * produces NO spans deletes its stale spans partition (the
+    * qualityCutoffSink discipline).
+    */
+  def spanDedupSink(spark: SparkSession, stateDir: String,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 8)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.text.SpanDedup
+    if (batch.isEmpty) return // empty-batch discipline: write nothing
+    val p = SpanDedup.postings(batch, idCol, textCol, n).cache()
+    val prior = graft.sources.Sources.parquetIfExists(spark, s"$stateDir/seen")
+      .map { st =>
+        require(st.columns.contains("batch_id"),
+          s"span-dedup seen log at $stateDir/seen lacks the batch_id partition column")
+        st.filter(col("batch_id") =!= batchId)
+      }
+      .filter(!_.isEmpty)
+    val batchDup = p.select(col("h"), col(idCol)).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= 2).select(col("h"))
+    val dupSrc = prior match {
+      case None => batchDup
+      case Some(st) => batchDup.unionByName(st.select(col("h")))
+    }
+    val spans = SpanDedup.mergeSpans(
+      p.join(dupSrc, Seq("h"), "left_semi"), idCol, n)
+    if (spans.isEmpty) {
+      // Replays must also delete: a batch that no longer produces spans
+      // (n/config drift between run and replay) would otherwise leave the
+      // stale spans partition in place.
+      val part = new org.apache.hadoop.fs.Path(s"$stateDir/spans/batch_id=$batchId")
+      val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(part)) fs.delete(part, true)
+    } else {
+      graft.sources.Sinks.dynamicOverwrite(
+        spans.withColumn("batch_id", lit(batchId)),
+        s"$stateDir/spans", Seq("batch_id"))
+    }
+    val distinctH = p.select(col("h")).distinct()
+    val newSeen = prior match {
+      case None => distinctH
+      case Some(st) => distinctH.join(st.select(col("h")), Seq("h"), "left_anti")
+    }
+    if (newSeen.isEmpty) {
+      // Same discipline for the gram log: a replay that introduces nothing
+      // must not leave stale "seen" grams claiming coverage they lost.
+      val part = new org.apache.hadoop.fs.Path(s"$stateDir/seen/batch_id=$batchId")
+      val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(part)) fs.delete(part, true)
+    } else {
+      graft.sources.Sinks.dynamicOverwrite(
+        newSeen.withColumn("batch_id", lit(batchId)),
+        s"$stateDir/seen", Seq("batch_id"))
+    }
+    p.unpersist()
+  }
+
+  /** Duplicate spans accumulated by [[spanDedupSink]]. */
+  def readSpans(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/spans").drop("batch_id")
+
   /** s15: streaming token-budget shard packing — the streaming face of
     * q71 ([[graft.ops.ShardPack]]): a live training-data writer assigning
     * every arriving document its shard from the GLOBAL running token

@@ -54,28 +54,22 @@ object SpanDedup {
           .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))),
       1)
 
-  /** Cross-document duplicate spans: (`idCol`, span_start, span_end,
-    * span_tokens) with a 1-based token interval [span_start, span_end).
-    * Positions whose n-gram occurs in >= 2 distinct documents merge into
-    * maximal spans (grams overlapping OR touching — a position exactly `n`
-    * after the previous match continues the same contiguous duplicated
-    * region). Documents with no cross-doc gram produce no rows.
-    */
-  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 8): DataFrame = {
-    require(n >= 2, s"span gram width must be >= 2, got $n")
-    val postings = docs
-      .select(col(idCol), explode_outer(
+  /** (`idCol`, pos, h) positional gram-hash postings of `docs`. */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol), explode_outer(
         posGramHashes(TF.tokens(col(textCol)), n)).as("pg"))
       .filter(col("pg").isNotNull)
       .select(col(idCol), col("pg.pos").as("pos"), col("pg.h").as("h"))
-    // Grams held by >= 2 distinct docs. distinct-then-count instead of a
-    // countDistinct agg: both are two shuffles, but the distinct's
-    // map-side combine also collapses within-doc repeats before the wire.
-    val dupGrams = postings.select(col("h"), col(idCol)).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("_nd"))
-      .filter(col("_nd") >= 2).select(col("h"))
-    val hits = postings.join(dupGrams, Seq("h"), "left_semi")
+
+  /** Merge matched positions (rows of (`idCol`, pos)) into maximal spans:
+    * grams overlapping OR touching (a position exactly `n` after the
+    * previous match continues the same contiguous duplicated region) form
+    * one span. The window partitions by document — bounded by document
+    * length, never corpus-skewed. Shared by the batch operator and the
+    * streaming face (s18), so both merge identically by construction.
+    */
+  def mergeSpans(hits: DataFrame, idCol: String, n: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val prev = lag(col("pos"), 1).over(w)
     val brk = hits.withColumn("_b",
@@ -86,5 +80,24 @@ object SpanDedup {
       .agg(min(col("pos")).as("span_start"), (max(col("pos")) + n).as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** Cross-document duplicate spans: (`idCol`, span_start, span_end,
+    * span_tokens) with a 1-based token interval [span_start, span_end).
+    * Positions whose n-gram occurs in >= 2 distinct documents merge into
+    * maximal spans ([[mergeSpans]]). Documents with no cross-doc gram
+    * produce no rows.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, s"span gram width must be >= 2, got $n")
+    val p = postings(docs, idCol, textCol, n)
+    // Grams held by >= 2 distinct docs. distinct-then-count instead of a
+    // countDistinct agg: both are two shuffles, but the distinct's
+    // map-side combine also collapses within-doc repeats before the wire.
+    val dupGrams = p.select(col("h"), col(idCol)).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= 2).select(col("h"))
+    mergeSpans(p.join(dupGrams, Seq("h"), "left_semi"), idCol, n)
   }
 }

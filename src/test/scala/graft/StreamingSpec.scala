@@ -865,6 +865,46 @@ class StreamingSpec extends SparkSpec {
       s"compacted seen state lost a hash — duplicate survived: $d4")
   }
 
+  test("spanDedupSink: single-batch parity with q87, cross-batch first-seen, replay, compaction") {
+    val dir = Files.createTempDirectory("spandedup_stream").toFile.getAbsolutePath
+    val sink = Streams.spanDedupSink(spark, s"$dir/state") _
+    val shared = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val b0 = Seq(
+      (1L, s"alpha beta $shared tail1 tail2 tail3"),
+      (2L, s"$shared other words here now"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    sink(b0, 0L)
+    sink(b0, 0L) // replay after a simulated post-write failure
+    def spans = Streams.readSpans(spark, s"$dir/state")
+      .as[(Long, Int, Int, Int)].collect().sortBy(s => (s._1, s._2)).toSeq
+    // one batch over empty state == the batch operator exactly
+    val batchOut = graft.text.SpanDedup.dupSpans(b0, "doc_id", "text", 8)
+      .as[(Long, Int, Int, Int)].collect().sortBy(s => (s._1, s._2)).toSeq
+    assert(spans == batchOut && spans.nonEmpty,
+      s"single-batch parity broken:\n$spans\nvs\n$batchOut")
+    // a later doc repeating batch-0 content is flagged; history is NOT
+    // re-opened (first-seen asymmetry), unrelated docs stay clean
+    val b1 = Seq(
+      (10L, s"fresh opener $shared closing words"),
+      (11L, "entirely novel content with no repeats anywhere at all today"))
+      .toDF("doc_id", "text")
+    sink(b1, 1L)
+    assert(spans.filter(_._1 <= 3L) == batchOut, "history was re-opened")
+    val d10 = spans.filter(_._1 == 10L)
+    // shared run at tokens 3..14 → grams pos 3..7 → span [3, 15)
+    assert(d10 == Seq((10L, 3, 15, 12)), s"cross-batch span wrong: $d10")
+    assert(!spans.exists(_._1 == 11L), "novel doc falsely flagged")
+    // gram log compacts; coverage survives
+    assert(Streams.compactBatchLog(spark, s"$dir/state/seen", keepLast = 1))
+    sink(Seq((20L, s"$shared again appended here")).toDF("doc_id", "text"), 2L)
+    assert(spans.exists(_._1 == 20L), "compacted seen log lost gram coverage")
+    // a replay that no longer produces spans deletes its stale partitions
+    sink(Seq((21L, "totally different text with zero gram overlap whatsoever")).toDF("doc_id", "text"), 2L)
+    assert(!spans.exists(_._1 == 20L),
+      "stale spans partition survived a span-free replay")
+  }
+
   test("shardPackSink: continues shards across batches, equals batch operator, replays clean") {
     val dir = Files.createTempDirectory("shardpack_stream").toFile.getAbsolutePath
     val sink = Streams.shardPackSink(spark, s"$dir/state", budget = 100, bucketSize = 4) _
