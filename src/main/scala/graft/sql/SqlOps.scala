@@ -645,8 +645,8 @@ object SqlOps {
     require(bitsPerGram >= 1 && k >= 1, s"bad bloom knobs: $bitsPerGram/$k")
     val (id, txt) = (bt(idCol), bt(textCol))
     def probe(j: Int) =
-      s"""(shiftright(element_at(_bits, CAST(pmod(xxhash64(graft_hash60(gram), $j), _m) / 64 AS INT) + 1),
-         |      CAST(pmod(xxhash64(graft_hash60(gram), $j), _m) % 64 AS INT)) & 1L) = 1L""".stripMargin
+      s"""(shiftright(element_at(_bits, CAST(pmod(xxhash64(gram, $j), _m) / 64 AS INT) + 1),
+         |      CAST(pmod(xxhash64(gram, $j), _m) % 64 AS INT)) & 1L) = 1L""".stripMargin
     val probes = (0 until k).map(probe).mkString("\n    AND ")
     s"""WITH _a AS (SELECT $id, ($evalPredSql) AS _is_eval,
        |    graft_word_ngrams(graft_tokens($txt), $n) AS _grams FROM $table),
@@ -655,7 +655,7 @@ object SqlOps {
        |_sz AS (SELECT greatest(1024L,
        |    CAST(ceil(count(*) * $bitsPerGram / 64.0) AS BIGINT) * 64) AS _m FROM _ev),
        |_pos AS (SELECT explode(transform(sequence(0, ${k - 1}),
-       |    j -> pmod(xxhash64(graft_hash60(gram), j), _m))) AS p
+       |    j -> pmod(xxhash64(gram, j), _m))) AS p
        |  FROM _ev CROSS JOIN _sz),
        |_wb AS (SELECT CAST(p / 64 AS INT) AS w, bit_or(shiftleft(1L, CAST(p % 64 AS INT))) AS bw
        |  FROM _pos GROUP BY 1),

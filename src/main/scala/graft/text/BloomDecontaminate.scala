@@ -52,11 +52,15 @@ object BloomDecontaminate {
     // and the filter must be broadcastable anyway — sizing it needs n.
     val nGrams = evalGrams.count()
     val m = math.max(1024L, ((nGrams * bitsPerGram + 63L) / 64L) * 64L)
+    // xxhash64 on the gram string, NOT the oracle-portable md5 hash60: the
+    // bloom is invisible to the oracle (the exact verify defines the
+    // result), so the probe can use the cheap codegen'd hash — md5 per
+    // corpus gram occurrence would dominate the prefilter it feeds.
     val bitsDf = Bloom.bits(
-      evalGrams.select(TF.hash60(col("gram")).as("h")), "h", m, k)
+      evalGrams.select(xxhash64(col("gram")).as("h")), "h", m, k)
     val cand = grams(docs.filter(!isEval))
       .crossJoin(broadcast(bitsDf))
-      .filter(Bloom.mightContain(TF.hash60(col("gram")), col("bits"), m, k))
+      .filter(Bloom.mightContain(xxhash64(col("gram")), col("bits"), m, k))
       .select(col(idCol), col("gram"))
     // Exact verify on the gram STRING (not its hash): removes bloom false
     // positives AND keeps countDistinct semantics identical to q69 even
