@@ -697,6 +697,68 @@ class PropertySpec extends SparkSpec {
     assert(ea.getMessage.contains("graft_bin"))
   }
 
+  test("SpanDedup.dupSpans equals the driver reference on random corpora") {
+    // Small alphabet forces genuine cross-doc gram collisions; reference
+    // is a straight-line sliding-window + interval-merge on the driver.
+    val alpha = Vector("a", "b", "c", "d")
+    val docGen = for {
+      nDocs <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(nDocs, Gen.choose(0, 14).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(alpha))))
+    } yield docs.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+    val n = 3
+    check(forAll(docGen) { docs =>
+      val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+      val got = graft.text.SpanDedup.dupSpans(df, "doc_id", "text", n)
+        .as[(Long, Int, Int, Int)].collect().toSet
+      // reference
+      val grams = docs.map { case (id, ts) =>
+        id -> (if (ts.size >= n) ts.sliding(n).zipWithIndex
+          .map { case (g, i) => (i + 1, g.mkString(" ")) }.toSeq else Seq.empty)
+      }
+      val holders = scala.collection.mutable.Map[String, Set[Long]]()
+      grams.foreach { case (id, gs) =>
+        gs.foreach { case (_, g) => holders(g) = holders.getOrElse(g, Set()) + id } }
+      val want = grams.flatMap { case (id, gs) =>
+        val hits = gs.collect { case (p, g) if (holders(g) - id).nonEmpty => p }.sorted
+        if (hits.isEmpty) Seq.empty
+        else {
+          val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+          var (start, last) = (hits.head, hits.head)
+          hits.tail.foreach { p =>
+            if (p > last + n) { spans += ((start, last + n)); start = p }
+            last = p
+          }
+          spans += ((start, last + n))
+          spans.map { case (s, e) => (id, s, e, e - s) }
+        }
+      }.toSet
+      got == want
+    })
+  }
+
+  test("BloomDecontaminate equals Decontaminate on random corpora (any filter size)") {
+    // Bigram collisions are common at a 4-token alphabet, and a 1-bit/gram
+    // filter saturates — the exact verify must win in every regime.
+    val alpha = Vector("x", "y", "z", "w")
+    val corpusGen = for {
+      nDocs <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(nDocs, Gen.choose(0, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(alpha))))
+      bits <- Gen.oneOf(1, 16)
+    } yield (docs.zipWithIndex.map { case (ts, i) =>
+      (i.toLong, ts.mkString(" "), i % 3 == 0) }, bits)
+    check(forAll(corpusGen) { case (docs, bits) =>
+      val df = docs.toDF("doc_id", "text", "is_eval")
+      val want = graft.text.Decontaminate.hits(df, "doc_id", "text", col("is_eval"), 2)
+        .as[(Long, Long)].collect().toSet
+      val got = graft.text.BloomDecontaminate.hits(
+          df, "doc_id", "text", col("is_eval"), 2, bitsPerGram = bits)
+        .as[(Long, Long)].collect().toSet
+      got == want
+    })
+  }
+
   test("histogram rank rule == approx_percentile exact regime (the s16/q84 contract)") {
     // qualityCutoffSink derives each source's cutoff from a cumulative
     // histogram as "the value at 1-indexed rank ceil(q·n)"; q84 uses
