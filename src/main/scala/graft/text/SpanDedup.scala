@@ -100,4 +100,25 @@ object SpanDedup {
       .filter(col("_nd") >= 2).select(col("h"))
     mergeSpans(p.join(dupGrams, Seq("h"), "left_semi"), idCol, n)
   }
+
+  /** Per-document rollup of [[dupSpans]]: (`idCol`, n_tokens, dup_tokens,
+    * n_spans, dup_frac) for EVERY document — clean docs report 0/0/0.0,
+    * so the frame is a complete curation signal (join-free thresholding
+    * downstream, the q64/q84 consumption shape). One extra aggregation
+    * over the span frame + a left join back to the corpus' token counts.
+    */
+  def stats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val perDoc = dupSpans(docs, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(sum(col("span_tokens")).as("dup_tokens"),
+        count(lit(1)).as("n_spans"))
+    docs.select(col(idCol), size(TF.tokens(col(textCol))).as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        round(coalesce(col("dup_tokens"), lit(0L)) /
+          greatest(col("n_tokens"), lit(1)), 4).as("dup_frac"))
+  }
 }

@@ -504,6 +504,21 @@ class TextSpec extends SparkSpec {
     assert(spans.toSeq == Seq((1L, 3, 15, 12), (2L, 1, 13, 12)), spans.toSeq.toString)
   }
 
+  test("SpanDedup.stats: complete per-doc rollup, zeros for clean docs") {
+    val shared = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared tail1 tail2 tail3"), // 17 toks, 12 dup
+      (2L, s"$shared other words here now"),         // 16 toks, 12 dup
+      (3L, "totally clean and unrelated content"))   // 5 toks, 0 dup
+      .toDF("doc_id", "text")
+    val st = graft.text.SpanDedup.stats(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(st(1L) == ((17, 12L, 1L, 0.7059)), st(1L).toString)
+    assert(st(2L) == ((16, 12L, 1L, 0.75)), st(2L).toString)
+    assert(st(3L) == ((5, 0L, 0L, 0.0)), st(3L).toString)
+  }
+
   test("SpanDedup: two separated shared regions produce two spans") {
     val a = (1 to 8).map(i => s"a$i").mkString(" ")
     val b = (1 to 8).map(i => s"b$i").mkString(" ")
