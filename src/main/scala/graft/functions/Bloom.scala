@@ -40,9 +40,14 @@ object Bloom {
   /** Build the filter over a column of 64-bit hashes: ONE row with
     * `bits: array<bigint>` of [[numWords]] words. Distributed end-to-end —
     * per-word `bit_or` partial-aggregates map-side, the final global agg
-    * assembles the (≤ numWords, i.e. broadcast-bounded by design) sparse
-    * words into the dense array in-plan. Empty input yields an all-zero
+    * assembles the dense array in-plan. Empty input yields an all-zero
     * filter (probes return false).
+    *
+    * The final assembly task collects numWords (word, bits) structs — the
+    * filter's own size class, which must broadcast anyway, so the task is
+    * bounded by design (a 100M-key/16-bit filter is ~25M words ≈ a few
+    * hundred MB transient in that one task; beyond that, the broadcast
+    * itself is the binding constraint, not this assembly).
     */
   def bits(hashes: DataFrame, hCol: String, m: Long, k: Int = DefaultK): DataFrame = {
     require(m > 0 && m % 64 == 0, s"m must be a positive multiple of 64, got $m")

@@ -286,6 +286,19 @@ object Sinks {
       statsCols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions._
     require(statsCols.nonEmpty, "statsCols must not be empty")
+    // Unpartitioned tables (or one partition dir) only — the compact()
+    // contract: readSkipping re-reads pruned files INDIVIDUALLY, which
+    // would silently drop hive-style partition-column values from a
+    // partitioned root's schema. Loud error beats quiet schema loss.
+    val root = new Path(path)
+    val rfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partDirs = rfs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.getName)
+    require(partDirs.isEmpty,
+      s"writeStatsManifest must target an unpartitioned table or ONE " +
+        s"partition directory; $path has partition-style subdirectories: " +
+        partDirs.take(3).mkString(", "))
     val df = spark.read.parquet(path)
     val missing = statsCols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"stats columns absent from $path: ${missing.mkString(", ")}")

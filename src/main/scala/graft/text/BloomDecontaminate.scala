@@ -35,23 +35,31 @@ object BloomDecontaminate {
     */
   def hits(docs: DataFrame, idCol: String, textCol: String,
       isEval: Column, n: Int, bitsPerGram: Int = 16,
-      k: Int = Bloom.DefaultK): DataFrame = {
+      k: Int = Bloom.DefaultK, mOverride: Option[Long] = None): DataFrame = {
     require(bitsPerGram >= 1, s"bitsPerGram must be >= 1, got $bitsPerGram")
     def grams(df: DataFrame): DataFrame =
       df.select(col(idCol),
         explode(TF.wordNgrams(TF.tokens(col(textCol)), n)).as("gram"))
-    // Three consumers (size count, filter build, exact verify) — and
-    // deliberately NOT cached here: an operator-internal cache pins
+    // Consumed by the size count, the filter build, and the exact verify —
+    // and deliberately NOT cached here: an operator-internal cache pins
     // executor storage for every caller (the corrected q67 rationale), and
     // its plan canonicalizes equal to q69's eval subtree, so it would
     // silently rewrite OTHER queries' plans through the cache manager. The
     // eval side is benchmark-sized by premise; callers who feed something
     // bigger can cache/persist their eval frame upstream.
     val evalGrams = grams(docs.filter(isEval)).select(col("gram")).distinct()
-    // Bounded-metadata count: the eval side is benchmark-sized by nature,
-    // and the filter must be broadcastable anyway — sizing it needs n.
-    val nGrams = evalGrams.count()
-    val m = math.max(1024L, ((nGrams * bitsPerGram + 63L) / 64L) * 64L)
+    // Exact sizing costs one bounded-metadata count pass over the eval
+    // side; a caller who knows their suite's size class passes `mOverride`
+    // (rounded up to 64 here) and skips that pass — undersizing only
+    // raises the FP rate the verify absorbs, never correctness.
+    val m = mOverride match {
+      case Some(mo) =>
+        require(mo >= 64, s"mOverride must be >= 64 bits, got $mo")
+        ((mo + 63L) / 64L) * 64L
+      case None =>
+        val nGrams = evalGrams.count()
+        math.max(1024L, ((nGrams * bitsPerGram + 63L) / 64L) * 64L)
+    }
     // xxhash64 on the gram string, NOT the oracle-portable md5 hash60: the
     // bloom is invisible to the oracle (the exact verify defines the
     // result), so the probe can use the cheap codegen'd hash — md5 per

@@ -484,6 +484,16 @@ class SourcesSpec extends SparkSpec {
       Sinks.readSkipping(spark, path, "l_orderkey", 1L, 2L)
     }
     assert(stale.getMessage.contains("STALE"), stale.getMessage)
+    // partitioned roots are rejected loudly — a per-file re-read would
+    // silently drop hive partition-column values (the compact() contract)
+    val pdir = s"$dir/pt"
+    Tables.lineitem(spark, sfDir).limit(50)
+      .withColumn("flag", col("l_linenumber") % 2)
+      .write.partitionBy("flag").mode("overwrite").parquet(pdir)
+    val part = intercept[IllegalArgumentException] {
+      Sinks.writeStatsManifest(spark, pdir, Seq("l_orderkey"))
+    }
+    assert(part.getMessage.contains("partition-style"), part.getMessage)
   }
 
   test("json reader with schema reads nested props") {

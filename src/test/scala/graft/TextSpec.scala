@@ -475,6 +475,13 @@ class TextSpec extends SparkSpec {
         docs, "doc_id", "text", col("source") === "src0", 8, bitsPerGram = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(fpHeavy == expected)
+    // explicit sizing skips the count pass; correctness unchanged even
+    // when deliberately undersized
+    val sized = graft.text.BloomDecontaminate.hits(
+        docs, "doc_id", "text", col("source") === "src0", 8,
+        mOverride = Some(1000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sized == expected)
   }
 
   test("BloomDecontaminate: empty eval side yields an empty result, not an error") {
