@@ -595,6 +595,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q90: span-level contamination (surgical decontamination) ----
+    // WHERE the eval overlap sits, not just which docs have it: q69 flags
+    // documents, q90 marks the maximal overlapping token intervals so
+    // curation can mask/trim the region instead of dropping the document.
+    "q90_contamination_spans" -> { (s, d) =>
+      graft.text.Decontaminate.contaminationSpans(
+          Tables.documents(s, d), "doc_id", "text", col("source") === "src0", 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
     // ---- q88: decontamination, bloom-prefilter scale path ----
     // Same answer as q69 (spec- and oracle-pinned) through a different
     // 100 TB story: a 16-bit/gram Bloom filter of the eval grams replaces
@@ -1059,6 +1069,29 @@ object TextQueries {
            round(avg(ln(c2.c2 * 1.0 / c1.c1)), 4) AS avg_logprob
          FROM b1 JOIN c2 USING (bigram) JOIN c1 USING (w1)
          GROUP BY 1 ORDER BY 1""",
+
+    "q90_contamination_spans" ->
+      s"""WITH tk AS (SELECT doc_id, source, $TOKS AS toks FROM documents),
+         posi AS (SELECT doc_id, toks, unnest(CASE WHEN len(toks) >= 8
+             THEN range(1, len(toks) - 6) ELSE [] END) AS pos
+           FROM tk WHERE source <> 'src0'),
+         pg AS (SELECT doc_id, pos,
+             ${h60("array_to_string(toks[pos:pos+7], ' ')")} AS h FROM posi),
+         ev AS (SELECT DISTINCT ${h60("array_to_string(toks[i:i+7], ' ')")} AS h
+           FROM (SELECT toks, unnest(CASE WHEN len(toks) >= 8
+               THEN range(1, len(toks) - 6) ELSE [] END) AS i
+             FROM tk WHERE source = 'src0')),
+         hits AS (SELECT doc_id, pos FROM pg JOIN ev USING (h)),
+         brk AS (SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+               THEN 1 ELSE 0 END AS b
+           FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         grp AS (SELECT doc_id, pos, sum(b) OVER
+             (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+           FROM brk)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+           max(pos) + 8 - min(pos) AS span_tokens
+         FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""",
 
     // Bit-identical to q69 by design: the bloom is a prefilter whose false
     // positives the exact verify removes — the ORACLE is the definition of

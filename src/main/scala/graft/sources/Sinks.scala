@@ -326,20 +326,35 @@ object Sinks {
     * silent skipping of unindexed new files would drop matching rows).
     */
   def readSkipping(spark: org.apache.spark.sql.SparkSession, path: String,
-      c: String, lo: Any, hi: Any): DataFrame = {
+      c: String, lo: Any, hi: Any): DataFrame =
+    readSkipping(spark, path, Seq((c, lo, hi)))
+
+  /** Multi-column [[readSkipping]]: rows where EVERY `(c, lo, hi)` interval
+    * holds, planned over only the files whose per-column ranges intersect
+    * ALL intervals. This is the read that pays for [[zorderWrite]]'s 2-D
+    * clustering: a z-ordered layout keeps each file compact in BOTH
+    * dimensions, so the conjunction prunes multiplicatively where a
+    * single-column sort prunes on one axis and scans the other.
+    */
+  def readSkipping(spark: org.apache.spark.sql.SparkSession, path: String,
+      preds: Seq[(String, Any, Any)]): DataFrame = {
     import org.apache.spark.sql.functions._
+    require(preds.nonEmpty, "readSkipping needs at least one (column, lo, hi) predicate")
     val statsPath = new Path(s"$path/_graft_stats")
     val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(statsPath),
       s"no stats manifest at $statsPath — run writeStatsManifest after writing $path")
     val stats = spark.read.parquet(statsPath.toString)
-    require(stats.columns.contains(s"min_$c"),
-      s"column $c is not indexed by the stats manifest at $statsPath " +
-        s"(indexed: ${stats.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).mkString(", ")})")
+    preds.foreach { case (c, _, _) =>
+      require(stats.columns.contains(s"min_$c"),
+        s"column $c is not indexed by the stats manifest at $statsPath " +
+          s"(indexed: ${stats.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).mkString(", ")})")
+    }
     def norm(u: String) = new Path(u).toUri.getPath
-    val rows = stats.select(col("file"),
-      coalesce(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi),
-        lit(false)).as("keep")).collect()
+    val keepCol = preds.map { case (c, lo, hi) =>
+      coalesce(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi), lit(false))
+    }.reduce(_ && _)
+    val rows = stats.select(col("file"), keepCol.as("keep")).collect()
     val manifestFiles = rows.map(r => norm(r.getString(0))).toSet
     val actual = fs.listStatus(new Path(path))
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
@@ -351,7 +366,8 @@ object Sinks {
     val pruned =
       if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
       else spark.read.parquet(kept.toIndexedSeq: _*)
-    pruned.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    pruned.filter(preds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _))
   }
 
   /** Object-store-safe atomic publish (manifest-pointer commit): data lands

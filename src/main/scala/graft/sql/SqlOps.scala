@@ -632,6 +632,42 @@ object SqlOps {
        |FROM _grp GROUP BY $id, _g""".stripMargin
   }
 
+  /** SQL twin of q90's span-level contamination — the spanDedupSql scaffold
+    * with the eval side's broadcast gram-hash set replacing the
+    * doc-frequency rule (see text/Decontaminate.contaminationSpans).
+    */
+  def contaminationSpansSql(table: String, idCol: String, textCol: String,
+      evalPredSql: String, n: Int = 8): String = {
+    require(n >= 2, s"span gram width must be >= 2, got $n")
+    val (id, txt) = (bt(idCol), bt(textCol))
+    s"""WITH _tk AS (SELECT $id, ($evalPredSql) AS _is_eval,
+       |    graft_tokens($txt) AS _toks FROM $table),
+       |_pa AS (SELECT $id, element_at(transform(array(_toks), ts ->
+       |    CASE WHEN size(ts) >= $n THEN transform(sequence(1, size(ts) - ${n - 1}),
+       |        i -> named_struct('pos', i, 'h',
+       |          graft_hash60(concat_ws(' ', slice(ts, i, $n)))))
+       |      ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, h: BIGINT>>) END), 1) AS _pgs
+       |  FROM _tk WHERE NOT _is_eval),
+       |_p AS (SELECT $id, _pg.pos AS pos, _pg.h AS h
+       |  FROM _pa LATERAL VIEW explode_outer(_pgs) _e AS _pg WHERE _pg IS NOT NULL),
+       |-- UDF projected before the explode (Spark rejects SQL UDFs in a Generate)
+       |_e0 AS (SELECT graft_word_ngrams(_toks, $n) AS _grams FROM _tk WHERE _is_eval),
+       |_ev AS (SELECT DISTINCT graft_hash60(gram) AS h
+       |  FROM (SELECT explode(_grams) AS gram FROM _e0)),
+       |_hit AS (SELECT /*+ BROADCAST(_ev) */ $id, pos
+       |  FROM _p LEFT SEMI JOIN _ev USING (h)),
+       |_brk AS (SELECT $id, pos,
+       |    CASE WHEN lag(pos) OVER _w IS NULL OR pos > lag(pos) OVER _w + $n
+       |      THEN 1 ELSE 0 END AS _b
+       |  FROM _hit WINDOW _w AS (PARTITION BY $id ORDER BY pos)),
+       |_grp AS (SELECT $id, pos, sum(_b) OVER
+       |    (PARTITION BY $id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS _g
+       |  FROM _brk)
+       |SELECT $id, min(pos) AS span_start, max(pos) + $n AS span_end,
+       |  max(pos) + $n - min(pos) AS span_tokens
+       |FROM _grp GROUP BY $id, _g""".stripMargin
+  }
+
   /** SQL twin of q88's Bloom-prefilter decontamination — the WHOLE scale
     * path in one statement: filter sizing from the eval-gram count, bit
     * positions via `pmod(xxhash64(hash, j), m)`, per-word `bit_or`

@@ -45,4 +45,31 @@ object Decontaminate {
     docs.filter(!isEval)
       .join(hits(docs, idCol, textCol, isEval, n).select(col(idCol)),
         Seq(idCol), "left_anti")
+
+  /** Span-LEVEL contamination: for each non-eval document, the maximal
+    * token intervals whose `n`-grams appear in the eval side — the
+    * surgical alternative to [[clean]]'s whole-document drop (PaLM-style
+    * analyses remove or mask the overlapping REGION; dropping a long
+    * document for one leaked benchmark sentence wastes the rest).
+    * (`idCol`, span_start, span_end, span_tokens), 1-based [start, end).
+    *
+    * Pure composition of proven parts: [[SpanDedup.postings]] positional
+    * gram hashes on the corpus side, the eval side's distinct gram hashes
+    * broadcast (benchmark-sized, q69's premise — for an eval suite beyond
+    * broadcast, prefilter with [[BloomDecontaminate]] first and span only
+    * the flagged docs), [[SpanDedup.mergeSpans]] for the interval merge —
+    * so batch dedup, streaming dedup, and contamination spans share one
+    * merge definition.
+    */
+  def contaminationSpans(docs: DataFrame, idCol: String, textCol: String,
+      isEval: Column, n: Int): DataFrame = {
+    val corpus = SpanDedup.postings(docs.filter(!isEval), idCol, textCol, n)
+    // Same hash spelling as the postings (hash60 over the space-joined
+    // gram), so collision behavior is shared — and mirrored in the oracle.
+    val evalH = docs.filter(isEval)
+      .select(explode(TF.wordNgrams(TF.tokens(col(textCol)), n)).as("gram"))
+      .select(TF.hash60(col("gram")).as("h")).distinct()
+    SpanDedup.mergeSpans(
+      corpus.join(broadcast(evalH), Seq("h"), "left_semi"), idCol, n)
+  }
 }

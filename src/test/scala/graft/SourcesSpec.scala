@@ -461,6 +461,31 @@ class SourcesSpec extends SparkSpec {
       keys.last + 1000L, keys.last + 2000L).count() == 0)
   }
 
+  test("stats skipping pays for z-order: a 2-D predicate prunes files multiplicatively") {
+    val dir = tmp("skip_z")
+    val path = s"$dir/li"
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_linenumber"))
+    Sinks.zorderWrite(li, path, "l_orderkey", "l_quantity", nFiles = 16)
+    Sinks.writeStatsManifest(spark, path, Seq("l_orderkey", "l_quantity"))
+    val all = spark.read.parquet(path)
+    val keys = all.select(col("l_orderkey")).as[Long].collect().sorted
+    val (kLo, kHi) = (keys(keys.length / 3), keys(keys.length / 3 + keys.length / 8))
+    val preds = Seq[(String, Any, Any)](
+      ("l_orderkey", kLo, kHi), ("l_quantity", 5.0, 15.0))
+    val skipped = Sinks.readSkipping(spark, path, preds)
+    // a thin 2-D region of a 16-file z-layout must not touch most files
+    assert(skipped.inputFiles.length <= 8,
+      s"2-D pruning too weak: ${skipped.inputFiles.length} of ${all.inputFiles.length}")
+    val expect = all.filter(col("l_orderkey").between(kLo, kHi) &&
+        col("l_quantity").between(5.0, 15.0))
+      .select(col("l_orderkey"), col("l_linenumber")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val got = skipped.select(col("l_orderkey"), col("l_linenumber")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(got == expect)
+  }
+
   test("stats skipping fails named on stale manifests and unindexed columns") {
     val dir = tmp("skip_stale")
     val path = s"$dir/t"

@@ -395,6 +395,15 @@ class SqlSurfaceSpec extends SparkSpec {
     assertSame(viaSql, viaCol, "span dedup", samePlan = false)
   }
 
+  test("SqlOps.contaminationSpansSql == Decontaminate.contaminationSpans (rows)") {
+    registered
+    val viaSql = spark.sql(SqlOps.contaminationSpansSql(
+      "documents", "doc_id", "text", "source = 'src0'", 8))
+    val viaCol = graft.text.Decontaminate.contaminationSpans(
+      Tables.documents(spark, sfDir), "doc_id", "text", col("source") === "src0", 8)
+    assertSame(viaSql, viaCol, "contamination spans", samePlan = false)
+  }
+
   test("SqlOps.bloomDecontaminateSql == BloomDecontaminate.hits == q69 (rows)") {
     registered
     val viaSql = spark.sql(SqlOps.bloomDecontaminateSql(

@@ -511,6 +511,30 @@ class TextSpec extends SparkSpec {
     assert(spans.toSeq == Seq((1L, 3, 15, 12), (2L, 1, 13, 12)), spans.toSeq.toString)
   }
 
+  test("contaminationSpans marks the leaked region; doc set equals hits exactly") {
+    val leak = (1 to 10).map(i => s"eval$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"benchmark question here $leak and the answer too", true),
+      (2L, s"intro words $leak outro words trailing", false), // leak at 3..12
+      (3L, "completely clean training document with original content", false))
+      .toDF("doc_id", "text", "is_eval")
+    val spans = graft.text.Decontaminate.contaminationSpans(
+        docs, "doc_id", "text", col("is_eval"), 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // doc 2: eval run at tokens 3..12 → grams pos 3..5 → span [3, 13)
+    assert(spans.toSeq == Seq((2L, 3, 13, 10)), spans.toSeq.toString)
+    // the span-level doc set must equal q69's doc-level verdicts
+    val sfDocs = Tables.documents(spark, sfDir)
+    val spanDocs = graft.text.Decontaminate.contaminationSpans(
+        sfDocs, "doc_id", "text", col("source") === "src0", 8)
+      .select(col("doc_id")).distinct().as[Long].collect().toSet
+    val hitDocs = graft.text.Decontaminate.hits(
+        sfDocs, "doc_id", "text", col("source") === "src0", 8)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(spanDocs == hitDocs, s"span docs ${spanDocs.size} != hit docs ${hitDocs.size}")
+    assert(hitDocs.nonEmpty, "fixture has no contamination — pin is vacuous")
+  }
+
   test("SpanDedup.stats: complete per-doc rollup, zeros for clean docs") {
     val shared = (1 to 12).map(i => s"dup$i").mkString(" ")
     val docs = Seq(
