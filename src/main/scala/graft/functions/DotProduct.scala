@@ -90,6 +90,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GramHash60].getName, "graft_gram_hash60"),
       (children: Seq[Expression]) => GramHash60(children.head, children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_word_gram_hash60"),
+      new ExpressionInfo(classOf[WordGramHash60].getName, "graft_word_gram_hash60"),
+      (children: Seq[Expression]) => WordGramHash60(children.head, children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_winnow_select"),
       new ExpressionInfo(classOf[WinnowSelect].getName, "graft_winnow_select"),
       (children: Seq[Expression]) => WinnowSelect(children.head, children(1))))

@@ -39,12 +39,16 @@ import graft.text.{TextFunctions => TF}
   */
 object SpanDedup {
 
-  /** Positional n-gram hashes: array of struct(pos, h), pos 1-based; empty
-    * for docs shorter than `n` tokens. One-element-lambda bound (the q26
-    * lesson): the token array is evaluated once however the caller spells
-    * it, and each gram reads `slice` — constant-cost — off the lambda var.
+  /** Positional n-gram hashes, built-ins-only spelling: array of
+    * struct(pos, h), pos 1-based; empty for docs shorter than `n` tokens.
+    * One-element-lambda bound (the q26 lesson): the token array is
+    * evaluated once however the caller spells it, and each gram reads
+    * `slice` — constant-cost — off the lambda var. [[postings]] uses the
+    * value-identical native [[graft.functions.WordGramHash60]] (no
+    * per-gram string concat, one generated call per doc); this spelling
+    * is its parity twin (property-pinned).
     */
-  def posGramHashes(toks: Column, n: Int): Column =
+  private[graft] def posGramHashes(toks: Column, n: Int): Column =
     element_at(
       transform(array(toks), ts =>
         when(size(ts) >= n,
@@ -54,13 +58,16 @@ object SpanDedup {
           .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))),
       1)
 
-  /** (`idCol`, pos, h) positional gram-hash postings of `docs`. */
+  /** (`idCol`, pos, h) positional gram-hash postings of `docs` — the
+    * native hash stream + `posexplode` (0-based position + 1).
+    */
   def postings(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(col(idCol), explode_outer(
-        posGramHashes(TF.tokens(col(textCol)), n)).as("pg"))
-      .filter(col("pg").isNotNull)
-      .select(col(idCol), col("pg.pos").as("pos"), col("pg.h").as("h"))
+    docs.select(col(idCol),
+        posexplode_outer(call_function("graft_word_gram_hash60",
+          TF.tokens(col(textCol)), lit(n))).as(Seq("_p0", "h")))
+      .filter(col("h").isNotNull)
+      .select(col(idCol), (col("_p0") + 1).as("pos"), col("h"))
 
   /** Merge matched positions (rows of (`idCol`, pos)) into maximal spans:
     * grams overlapping OR touching (a position exactly `n` after the

@@ -697,6 +697,28 @@ class PropertySpec extends SparkSpec {
     assert(ea.getMessage.contains("graft_bin"))
   }
 
+  test("WordGramHash60 == the built-ins hash60(concat_ws) spelling, incl. multi-byte UTF-8") {
+    val tokGen = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("héllo", "héllo wörld".split(" ").head, "日本語", "ünïcode", "a"))
+    val docGen = for {
+      len <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(len, tokGen)
+      n <- Gen.choose(2, 4)
+    } yield (toks, n)
+    check(forAll(docGen) { case (toks, n) =>
+      val df = Seq(toks.mkString("")).toDF("raw")
+        .select(split(col("raw"), "").as("toks"))
+      // split("") yields [""]; normalize the empty-doc case to an empty array
+      val toksCol = when(lit(toks.isEmpty), array().cast("array<string>"))
+        .otherwise(col("toks"))
+      val native = df.select(call_function("graft_word_gram_hash60",
+        toksCol, lit(n))).as[Seq[Long]].head()
+      val hof = df.select(graft.text.SpanDedup.posGramHashes(toksCol, n))
+        .as[Seq[(Int, Long)]].head()
+      native == hof.map(_._2) && hof.map(_._1) == (1 to native.size)
+    })
+  }
+
   test("SpanDedup.dupSpans equals the driver reference on random corpora") {
     // Small alphabet forces genuine cross-doc gram collisions; reference
     // is a straight-line sliding-window + interval-merge on the driver.
