@@ -297,10 +297,25 @@ object Binary {
     fail("jpeg", "truncated before any SOF frame header")
   }
 
+  /** GIF87a/GIF89a: 6-byte version magic, then the logical screen
+    * descriptor's little-endian width and height at bytes 6-9. Zero
+    * dimensions or a truncated descriptor fail NAMED.
+    */
+  def parseGif(p: Array[Byte]): (Int, Int, String) = {
+    if (p.length < 6 || p(0) != 'G' || p(1) != 'I' || p(2) != 'F' ||
+        p(3) != '8' || !(p(4) == '7' || p(4) == '9') || p(5) != 'a')
+      fail("gif", "missing GIF87a/GIF89a magic")
+    if (p.length < 10) fail("gif", "truncated before the screen descriptor")
+    val w = (p(6) & 0xff) | ((p(7) & 0xff) << 8)
+    val h = (p(8) & 0xff) | ((p(9) & 0xff) << 8)
+    if (w <= 0 || h <= 0) fail("gif", s"bad dimensions ${w}x$h")
+    (w, h, "gif")
+  }
+
   /** Magic-dispatched decode: real parser when the payload declares a
-    * format this JVM can parse without codecs (PPM, BMP, WAV, and the
-    * header-parseable PNG/JPEG), deterministic stub otherwise. This is
-    * the single seam where a JNI codec binding extends the format set.
+    * format this JVM can parse without codecs (PPM, BMP, WAV, GIF, and
+    * the header-parseable PNG/JPEG), deterministic stub otherwise. This
+    * is the single seam where a JNI codec binding extends the format set.
     */
   def decodePayload(payload: Array[Byte]): (Int, Int, String) = {
     val p = payload
@@ -312,6 +327,8 @@ object Binary {
       parsePng(p)
     else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
       parseJpeg(p)
+    else if (p.length >= 3 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F')
+      parseGif(p)
     else fakeDecode(p)
   }
 

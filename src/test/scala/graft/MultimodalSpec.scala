@@ -63,6 +63,30 @@ class MultimodalSpec extends SparkSpec {
     b.array()
   }
 
+  private def gif(w: Int, h: Int, version: Char = '9'): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(13)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(s"GIF8${version}a".getBytes("US-ASCII"))
+    b.putShort(w.toShort).putShort(h.toShort)
+    b.put(0.toByte).put(0.toByte).put(0.toByte) // flags, bg index, aspect
+    b.array()
+  }
+
+  test("parseGif reads both versions' screen size, fails named on truncation/zero dims") {
+    assert(Binary.parseGif(gif(320, 200)) == ((320, 200, "gif")))
+    assert(Binary.parseGif(gif(1, 1, version = '7')) == ((1, 1, "gif")))
+    assert(Binary.decodePayload(gif(320, 200)) == ((320, 200, "gif")))
+    assert(intercept[IllegalArgumentException](Binary.parseGif(gif(320, 200).take(8)))
+      .getMessage.contains("truncated before the screen descriptor"))
+    assert(intercept[IllegalArgumentException](Binary.parseGif(gif(0, 200)))
+      .getMessage.contains("bad dimensions"))
+    // GIF88a is not a real version — named magic failure, and the
+    // dispatcher must NOT silently route it to the fake decoder
+    val bad = gif(320, 200); bad(4) = '8'.toByte
+    assert(intercept[IllegalArgumentException](Binary.decodePayload(bad))
+      .getMessage.contains("missing GIF87a/GIF89a magic"))
+  }
+
   test("parsePng reads IHDR dimensions, fails named on truncation and reordered chunks") {
     assert(Binary.parsePng(png(640, 480)) == ((640, 480, "png")))
     assert(Binary.parsePng(png(1, 1)) == ((1, 1, "png")))
