@@ -51,6 +51,12 @@ object Bloom {
     */
   def bits(hashes: DataFrame, hCol: String, m: Long, k: Int = DefaultK): DataFrame = {
     require(m > 0 && m % 64 == 0, s"m must be a positive multiple of 64, got $m")
+    // numWords truncates to Int: past this bound the filter would silently
+    // build EMPTY and every probe would return false — bloom false
+    // negatives, the one failure mode the design forbids. Fail named (a
+    // filter this size cannot broadcast anyway).
+    require(m <= 64L * Int.MaxValue,
+      s"filter of $m bits exceeds the ${64L * Int.MaxValue}-bit array bound")
     val nw = numWords(m)
     val pos = hashes.select(
       explode(array(bitPositions(col(hCol), m, k): _*)).as("p"))

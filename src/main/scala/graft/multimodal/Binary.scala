@@ -274,6 +274,9 @@ object Binary {
       if ((p(i) & 0xff) != 0xff) fail("jpeg", s"expected marker at byte $i")
       // the spec allows any number of 0xFF FILL bytes before a marker
       while (i + 2 < p.length && (p(i + 1) & 0xff) == 0xff) i += 1
+      // the fill skip may have consumed the outer guard's headroom — a
+      // variable-length segment still needs its 2 length bytes in range
+      if (i + 4 > p.length) fail("jpeg", "truncated in a marker segment")
       val marker = p(i + 1) & 0xff
       if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
         i += 2 // standalone markers carry no length

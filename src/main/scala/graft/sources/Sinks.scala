@@ -305,8 +305,27 @@ object Sinks {
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
       count(lit(1)).as("n_rows")
-    df.groupBy(input_file_name().as("file"))
+    val grouped = df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+    // The manifest is file-catalog-sized: collect it once (one data scan
+    // total) and finish driver-side. groupBy(input_file_name) can never
+    // list a ZERO-ROW part file (Spark writers open every task's file
+    // eagerly, so they exist on disk), and a missing manifest row would
+    // make readSkipping's staleness check reject a fresh manifest forever
+    // — cover them with explicit null-stat rows; null stats already mean
+    // "skip safely" on the read side.
+    val groupedRows = grouped.collect()
+    val counted = groupedRows
+      .map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    val zeroRows = rfs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(s => s.getPath.toUri.getPath)
+      .filterNot(counted)
+      .map(f => org.apache.spark.sql.Row.fromSeq(
+        f +: Seq.fill(statsCols.size * 2)(null) :+ 0L))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize((groupedRows ++ zeroRows).toIndexedSeq, 1),
+        grouped.schema)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_graft_stats")
   }

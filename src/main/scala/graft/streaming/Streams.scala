@@ -34,6 +34,25 @@ object Streams {
   // collides with the generated aggregate helpers.
   final case class SessState(startUs: Long, endUs: Long, cnt: Long, total: Double)
 
+  /** The replay-idempotence write shared by every batch-log sink: when
+    * `df` is non-empty, dynamic-overwrite its rows into
+    * `dir/batch_id=<batchId>`; when the recomputation produces NOTHING,
+    * delete the stale partition instead — dynamic overwrite of an empty
+    * frame writes no partitions, so a replay after config/state drift
+    * would otherwise silently resurrect rows the replayed batch no longer
+    * produces. One definition, not a per-sink copy.
+    */
+  private def writeBatchPartition(spark: SparkSession, df: DataFrame,
+      dir: String, batchId: Long): Unit =
+    if (df.isEmpty) {
+      val part = new org.apache.hadoop.fs.Path(s"$dir/batch_id=$batchId")
+      val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(part)) fs.delete(part, true)
+    } else {
+      graft.sources.Sinks.dynamicOverwrite(
+        df.withColumn("batch_id", lit(batchId)), dir, Seq("batch_id"))
+    }
+
   /** Watermarked tumbling-window count/sum over an event stream. */
   def windowedAgg(events: DataFrame, watermarkDelay: String, windowLen: String): DataFrame =
     events
@@ -422,20 +441,10 @@ object Streams {
     val kept = withB.join(dropped, Seq("id"), "left_anti").cache()
     // Empty-kept discipline as containmentSink: file-less partition dirs
     // break later reads; replay re-derives empty deterministically.
-    if (!kept.isEmpty)
-      graft.sources.Sinks.dynamicOverwrite(
-        kept.withColumn("batch_id", lit(batchId)), keptDir, Seq("batch_id"))
-    else {
-      // Replay idempotence when the recomputation keeps NOTHING (tau /
-      // planes config drift between run and replay, state compaction):
-      // dynamic overwrite of an empty frame writes no partitions, so the
-      // stale kept partition for this batch_id must be deleted explicitly
-      // — the qualityCutoffSink discipline, or a replay silently
-      // resurrects vectors the replayed batch no longer keeps.
-      val part = new org.apache.hadoop.fs.Path(s"$keptDir/batch_id=$batchId")
-      val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(part)) fs.delete(part, true)
-    }
+    // Replay idempotence even when the recomputation keeps NOTHING (tau /
+    // planes drift between run and replay, state compaction) — see
+    // writeBatchPartition.
+    writeBatchPartition(spark, kept, keptDir, batchId)
     kept.unpersist(); vecs.unpersist()
   }
 
@@ -668,21 +677,10 @@ object Streams {
       .join(broadcast(cutoffs), Seq(sourceCol))
       .filter(col("quality_grid") >= col("cutoff_grid"))
       .select(col(idCol), col(sourceCol), col("quality_grid"), col("cutoff_grid"))
-    if (!kept.isEmpty)
-      graft.sources.Sinks.dynamicOverwrite(
-        kept.withColumn("batch_id", lit(batchId)),
-        s"$stateDir/kept", Seq("batch_id"))
-    else {
-      // Replay idempotence must hold even when the recomputation keeps
-      // NOTHING (cutoff drift after compaction, config change): dynamic
-      // overwrite of an empty frame writes no partitions, so the stale
-      // kept partition for this batch_id must be deleted explicitly —
-      // otherwise a replay silently resurrects rows the replayed batch no
-      // longer keeps.
-      val part = new org.apache.hadoop.fs.Path(s"$stateDir/kept/batch_id=$batchId")
-      val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(part)) fs.delete(part, true)
-    }
+    // Replay idempotence even when the recomputation keeps NOTHING
+    // (cutoff drift after compaction, config change) — see
+    // writeBatchPartition.
+    writeBatchPartition(spark, kept, s"$stateDir/kept", batchId)
     graft.sources.Sinks.dynamicOverwrite(
       batchHist.withColumn("batch_id", lit(batchId)),
       s"$stateDir/hist", Seq("batch_id"))
@@ -813,43 +811,22 @@ object Streams {
         st.filter(col("batch_id") =!= batchId)
       }
       .filter(!_.isEmpty)
-    val batchDup = p.select(col("h"), col(idCol)).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("_nd"))
-      .filter(col("_nd") >= 2).select(col("h"))
+    val batchDup = SpanDedup.dupGrams(p, idCol)
     val dupSrc = prior match {
       case None => batchDup
       case Some(st) => batchDup.unionByName(st.select(col("h")))
     }
     val spans = SpanDedup.mergeSpans(
       p.join(dupSrc, Seq("h"), "left_semi"), idCol, n)
-    if (spans.isEmpty) {
-      // Replays must also delete: a batch that no longer produces spans
-      // (n/config drift between run and replay) would otherwise leave the
-      // stale spans partition in place.
-      val part = new org.apache.hadoop.fs.Path(s"$stateDir/spans/batch_id=$batchId")
-      val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(part)) fs.delete(part, true)
-    } else {
-      graft.sources.Sinks.dynamicOverwrite(
-        spans.withColumn("batch_id", lit(batchId)),
-        s"$stateDir/spans", Seq("batch_id"))
-    }
+    writeBatchPartition(spark, spans, s"$stateDir/spans", batchId)
     val distinctH = p.select(col("h")).distinct()
     val newSeen = prior match {
       case None => distinctH
       case Some(st) => distinctH.join(st.select(col("h")), Seq("h"), "left_anti")
     }
-    if (newSeen.isEmpty) {
-      // Same discipline for the gram log: a replay that introduces nothing
-      // must not leave stale "seen" grams claiming coverage they lost.
-      val part = new org.apache.hadoop.fs.Path(s"$stateDir/seen/batch_id=$batchId")
-      val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(part)) fs.delete(part, true)
-    } else {
-      graft.sources.Sinks.dynamicOverwrite(
-        newSeen.withColumn("batch_id", lit(batchId)),
-        s"$stateDir/seen", Seq("batch_id"))
-    }
+    // Same discipline for the gram log: a replay that introduces nothing
+    // must not leave stale "seen" grams claiming coverage they lost.
+    writeBatchPartition(spark, newSeen, s"$stateDir/seen", batchId)
     p.unpersist()
   }
 

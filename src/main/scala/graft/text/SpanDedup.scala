@@ -95,17 +95,23 @@ object SpanDedup {
     * maximal spans ([[mergeSpans]]). Documents with no cross-doc gram
     * produce no rows.
     */
+  /** Gram hashes held by >= 2 distinct documents of the postings frame —
+    * THE duplicate-gram rule, shared by the batch operator and the
+    * streaming face's batch-internal half (one definition, like
+    * [[mergeSpans]]). distinct-then-count instead of a countDistinct agg:
+    * both are two shuffles, but the distinct's map-side combine also
+    * collapses within-doc repeats before the wire.
+    */
+  def dupGrams(postings: DataFrame, idCol: String): DataFrame =
+    postings.select(col("h"), col(idCol)).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= 2).select(col("h"))
+
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     require(n >= 2, s"span gram width must be >= 2, got $n")
     val p = postings(docs, idCol, textCol, n)
-    // Grams held by >= 2 distinct docs. distinct-then-count instead of a
-    // countDistinct agg: both are two shuffles, but the distinct's
-    // map-side combine also collapses within-doc repeats before the wire.
-    val dupGrams = p.select(col("h"), col(idCol)).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("_nd"))
-      .filter(col("_nd") >= 2).select(col("h"))
-    mergeSpans(p.join(dupGrams, Seq("h"), "left_semi"), idCol, n)
+    mergeSpans(p.join(dupGrams(p, idCol), Seq("h"), "left_semi"), idCol, n)
   }
 
   /** Per-document rollup of [[dupSpans]]: (`idCol`, n_tokens, dup_tokens,

@@ -63,6 +63,17 @@ class MultimodalSpec extends SparkSpec {
     b.array()
   }
 
+  test("parseJpeg: fill bytes running to the buffer end fail named, not out-of-bounds") {
+    // FF D8 FF FF FF C0 — the fill-skip advances past the outer guard's
+    // headroom; be16 on the segment length would read past the array
+    val tail = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xc0).map(_.toByte)
+    assert(intercept[IllegalArgumentException](Binary.parseJpeg(tail))
+      .getMessage.contains("truncated in a marker segment"))
+    val tail2 = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xc0, 0x00).map(_.toByte)
+    assert(intercept[IllegalArgumentException](Binary.parseJpeg(tail2))
+      .getMessage.contains("truncated"))
+  }
+
   private def gif(w: Int, h: Int, version: Char = '9'): Array[Byte] = {
     val b = java.nio.ByteBuffer.allocate(13)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)

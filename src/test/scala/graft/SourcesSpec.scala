@@ -461,6 +461,29 @@ class SourcesSpec extends SparkSpec {
       keys.last + 1000L, keys.last + 2000L).count() == 0)
   }
 
+  test("stats skipping tolerates zero-row part files (manifest covers them, reads skip them)") {
+    val dir = tmp("skip_zero")
+    val path = s"$dir/t"
+    // 3 rows round-robined over 8 partitions → ≥ 5 zero-row part files
+    Tables.lineitem(spark, sfDir).limit(3).repartition(8)
+      .write.mode("overwrite").parquet(path)
+    val nFiles = spark.read.parquet(path).inputFiles.length
+    Sinks.writeStatsManifest(spark, path, Seq("l_orderkey"))
+    val manifest = spark.read.parquet(s"$path/_graft_stats")
+    assert(manifest.count() == nFiles,
+      s"manifest must cover every data file: ${manifest.count()} vs $nFiles")
+    // a fresh manifest must NOT read as stale, and results stay exact
+    val keys = spark.read.parquet(path).select(col("l_orderkey")).as[Long].collect()
+    val got = Sinks.readSkipping(spark, path, "l_orderkey", keys.min, keys.max)
+      .count()
+    assert(got == 3, s"expected 3 rows, got $got")
+    if (nFiles > 3) {
+      // zero-row files must be skippable: null stats never intersect
+      val pruned = Sinks.readSkipping(spark, path, "l_orderkey", keys.min, keys.min)
+      assert(pruned.inputFiles.length <= 3, pruned.inputFiles.length.toString)
+    }
+  }
+
   test("stats skipping pays for z-order: a 2-D predicate prunes files multiplicatively") {
     val dir = tmp("skip_z")
     val path = s"$dir/li"
