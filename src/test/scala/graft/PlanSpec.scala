@@ -312,6 +312,15 @@ class PlanSpec extends SparkSpec {
     assert(windows.forall(_.contains("doc_id")), windows.mkString("\n"))
   }
 
+  test("q90 contamination spans: broadcast semi join against eval hashes, no pair expansion") {
+    val p = plan("q90_contamination_spans")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination spans must never expand pairs:\n$p")
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.forall(_.contains("doc_id")), windows.mkString("\n"))
+  }
+
   test("whole-stage codegen covers the q01 aggregation") {
     // Under AQE the codegen spans only appear in the finalized plan, and
     // simpleString renders them as "*(n)" stage markers.
