@@ -50,11 +50,17 @@ object Curate {
     *        candidates — at oracle SFs no bucket exceeds the cap, so the
     *        flag changes nothing there; at saturation scale it trades the
     *        oracle-mirrored spelling for clique recall.
+    * @param gopherRules additionally require [[Gopher.verdicts]]' combined
+    *        `keep` (rule gate BEFORE the score gate — the production
+    *        curation order: rules are cheap, interpretable drops; the
+    *        score then ranks what rules kept). OFF by default: the q65
+    *        oracle predates the rule family, and this synthetic corpus's
+    *        sub-50-token docs would fail `words_ok` wholesale.
     */
   def keepSet(docs: DataFrame, id: String, text: String,
       k: Int = 16, bandK: Int = 4, bandRows: Int = 2,
       minJaccard: Double = 0.5, minQuality: Int = 5000,
-      overCapStars: Boolean = false): DataFrame = {
+      overCapStars: Boolean = false, gopherRules: Boolean = false): DataFrame = {
     val sh = MinHash.withShingles(docs, id, text)
     val sig = MinHash.signature(MinHash.shingleRows(sh, id), id, k)
     val bands = MinHash.bands(sig, id, bandK, bandRows)
@@ -77,7 +83,12 @@ object Curate {
       .groupBy(col("label"))
       .agg(max(struct(col("_th"), (-col(id)).as("_neg"))).as("_m"))
       .select(col("label"), (-col("_m.`_neg`")).as("_kept"))
-    scored
+    val ruled =
+      if (!gopherRules) scored
+      else scored.join(
+        Gopher.verdicts(docs, id, text).filter(col("keep")).select(col(id)),
+        Seq(id), "left_semi")
+    ruled
       .join(exactKeepers, Seq(id), "left_semi")
       .join(cc, Seq(id), "left")
       .join(clusterKept, Seq("label"), "left")

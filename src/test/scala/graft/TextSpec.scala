@@ -159,6 +159,21 @@ class TextSpec extends SparkSpec {
       s"one zero-hamming star per clique member: ${stars.take(5)}")
   }
 
+  test("Curate.keepSet(gopherRules): rule failures drop before the score gate") {
+    val long = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"the the $long"),             // rules pass, survives
+      (2L, "the the short doc here now")) // < 50 tokens → words_ok false
+      .toDF("doc_id", "text")
+    val without = graft.text.Curate.keepSet(docs, "doc_id", "text", minQuality = 0)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(without == Set(1L, 2L))
+    val ruled = graft.text.Curate.keepSet(docs, "doc_id", "text", minQuality = 0,
+        gopherRules = true)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(ruled == Set(1L), ruled.toString)
+  }
+
   test("Curate.keepSet: exact losers, cluster losers and low-quality docs drop") {
     val baseA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
       "kilo lima mike november oscar papa quebec romeo sierra tango"
