@@ -595,6 +595,15 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q91: corpus health report (the curator's first query) ----
+    // One (metric, value) row per corpus-level signal, each computed by
+    // the SAME definition its operator family uses (q19 fingerprints, q82
+    // line grain, q87 spans, q85 gram rule, q24 quality grid, q23
+    // lang-ID) — see text/CorpusReport.scala.
+    "q91_corpus_report" -> { (s, d) =>
+      graft.text.CorpusReport.report(Tables.documents(s, d), "doc_id", "text")
+    },
+
     // ---- q90: span-level contamination (surgical decontamination) ----
     // WHERE the eval overlap sits, not just which docs have it: q69 flags
     // documents, q90 marks the maximal overlapping token intervals so
@@ -1069,6 +1078,68 @@ object TextQueries {
            round(avg(ln(c2.c2 * 1.0 / c1.c1)), 4) AS avg_logprob
          FROM b1 JOIN c2 USING (bigram) JOIN c1 USING (w1)
          GROUP BY 1 ORDER BY 1""",
+
+    "q91_corpus_report" ->
+      s"""WITH tk AS (SELECT doc_id, text, lang, $TOKS AS toks FROM documents),
+         posi AS (SELECT doc_id, toks, unnest(CASE WHEN len(toks) >= 8
+             THEN range(1, len(toks) - 6) ELSE [] END) AS pos FROM tk),
+         pg AS (SELECT doc_id, pos,
+             ${h60("array_to_string(toks[pos:pos+7], ' ')")} AS h FROM posi),
+         dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM pg)
+           GROUP BY h HAVING count(*) >= 2),
+         hits AS (SELECT doc_id, pos FROM pg JOIN dup USING (h)),
+         brk AS (SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+               THEN 1 ELSE 0 END AS b
+           FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         grp AS (SELECT doc_id, pos, sum(b) OVER
+             (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+           FROM brk),
+         spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+           FROM grp GROUP BY doc_id, g),
+         sd AS (SELECT coalesce(sum(e - s), 0) AS dup_toks FROM spans),
+         tot AS (SELECT count(*) AS n, sum(len(toks)) AS n_toks FROM tk),
+         lm AS (SELECT count(*) AS nl, count(DISTINCT l) AS dl FROM
+           (SELECT unnest(string_split(text, chr(10))) AS l FROM tk)),
+         bg AS (SELECT count(*) AS n FROM (
+           SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+               THEN [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks) - 6)]
+               ELSE [] END) AS gram FROM tk))
+           GROUP BY gram HAVING count(*) >= 2)),
+         q AS (SELECT sum(grid) AS sg, count(*) AS n FROM (
+           SELECT floor((least(1.0, len(toks) / 100.0) * 0.5 + alpha_ratio * 0.3
+             + (1.0 - punct_ratio) * 0.2) * 10000 + 0.5) AS grid FROM (
+             SELECT toks,
+               len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / len(text) AS punct_ratio,
+               len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / len(text) AS alpha_ratio
+             FROM tk))),
+         lg AS (SELECT sum(CASE WHEN lang <> pred THEN 1 ELSE 0 END) AS mm,
+             count(*) AS n FROM (
+           SELECT lang,
+             CASE WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+                  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS pred
+           FROM (SELECT lang, ${stopCount("en")} AS s_en, ${stopCount("de")} AS s_de,
+                   ${stopCount("es")} AS s_es, ${stopCount("fr")} AS s_fr FROM tk))),
+         fpx AS (SELECT count(*) - count(DISTINCT
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS dups FROM tk)
+         SELECT * FROM (
+           SELECT 'boilerplate_grams' AS metric, n * 1.0 AS value FROM bg
+           UNION ALL SELECT 'dup_line_frac',
+             floor((nl - dl) * 1.0 / nl * 10000 + 0.5) / 10000 FROM lm
+           UNION ALL SELECT 'exact_dup_docs', dups * 1.0 FROM fpx
+           UNION ALL SELECT 'langid_mismatch_frac',
+             floor(mm * 1.0 / n * 10000 + 0.5) / 10000 FROM lg
+           UNION ALL SELECT 'mean_quality',
+             floor(sg * 1.0 / (n * 10000) * 10000 + 0.5) / 10000 FROM q
+           UNION ALL SELECT 'n_docs', n * 1.0 FROM tot
+           UNION ALL SELECT 'n_tokens', n_toks * 1.0 FROM tot
+           UNION ALL SELECT 'span_dup_token_frac',
+             floor(dup_toks * 1.0 / (SELECT n_toks FROM tot) * 10000 + 0.5) / 10000 FROM sd
+         ) ORDER BY metric""",
 
     "q90_contamination_spans" ->
       s"""WITH tk AS (SELECT doc_id, source, $TOKS AS toks FROM documents),

@@ -1,0 +1,80 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.{TextFunctions => TF}
+
+/** Corpus health report — the diagnostic frame a curator runs BEFORE
+  * configuring the pipeline: one (metric, value) row per corpus-level
+  * signal, each computed by the same definition its operator family uses
+  * (exact-dup fingerprints = q19's, span fractions = q87's, quality grid
+  * = q24's, lang-ID = q23's), so the report's numbers are the numbers the
+  * downstream operators will act on — not a parallel re-implementation
+  * that can drift.
+  *
+  * Every ratio is an exact-integer division pushed through the tie-free
+  * `floor(x·10⁴ + 0.5)/10⁴` grid (the q24 rounding lesson) — `round()` on
+  * a float ratio lands on .xxxx5 boundaries where Spark and DuckDB round
+  * a ulp apart.
+  *
+  * Scale shape: a fixed number of independent linear aggregations (each a
+  * groupBy/distinct over one derived column) plus the q87 span frame —
+  * nothing quadratic, nothing collected beyond the ~8-row result. The
+  * metric set is deliberately cheap; deep diagnostics (cluster size
+  * histograms, per-source cutoffs) live in their dedicated operators.
+  */
+object CorpusReport {
+
+  /** Tie-free 4-decimal grid of an exact-integer-division double. */
+  private def r4(x: Column): Column = floor(x * 10000d + 0.5d) / 10000d
+
+  /** (metric, value) rows:
+    *  - n_docs, n_tokens: corpus size
+    *  - exact_dup_docs: docs minus distinct normalized fingerprints (q19)
+    *  - dup_line_frac: (lines - distinct lines) / lines (q82's grain)
+    *  - span_dup_token_frac: q87 duplicate-span tokens / all tokens
+    *  - boilerplate_grams: distinct 8-grams held by >= 2 docs (q85's rule)
+    *  - mean_quality: sum of q24 quality grids / (docs · 10⁴)
+    *  - langid_mismatch_frac: labeled lang != q23 prediction (only when a
+    *    `lang` column exists; omitted otherwise)
+    */
+  def report(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol).as("_text"),
+      TF.tokens(col(textCol)).as("_toks"))
+
+    def one(name: String, value: Column, from: DataFrame): DataFrame =
+      from.agg(value.as("value")).select(lit(name).as("metric"), col("value"))
+
+    val nDocs = one("n_docs", count(lit(1)).cast("double"), base)
+    val nTokens = one("n_tokens", sum(size(col("_toks"))).cast("double"), base)
+    val exactDups = one("exact_dup_docs",
+      (count(lit(1)) - countDistinct(md5(TF.normalizeText(col("_text")))))
+        .cast("double"), base)
+    val lines = base.select(explode(split(col("_text"), "\n")).as("_line"))
+    val dupLineFrac = one("dup_line_frac",
+      r4((count(lit(1)) - countDistinct(col("_line"))) * lit(1.0) / count(lit(1))),
+      lines)
+    val spanToks = SpanDedup.dupSpans(docs, idCol, textCol, 8)
+      .agg(coalesce(sum(col("span_tokens")), lit(0L)).as("_dup"))
+    val totToks = base.agg(sum(size(col("_toks"))).as("_tot"))
+    val spanFrac = spanToks.crossJoin(totToks)
+      .select(lit("span_dup_token_frac").as("metric"),
+        r4(col("_dup") * lit(1.0) / col("_tot")).as("value"))
+    val boiler = one("boilerplate_grams", count(lit(1)).cast("double"),
+      base.select(col(idCol),
+          explode(TF.wordNgrams(col("_toks"), 8)).as("_gram")).distinct()
+        .groupBy(col("_gram")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") >= 2))
+    val meanQ = one("mean_quality",
+      r4(sum(TF.qualityGrid(col("_text")).cast("long")) * lit(1.0) /
+        (count(lit(1)) * lit(10000L))), base)
+    val parts = Seq(nDocs, nTokens, exactDups, dupLineFrac, spanFrac, boiler, meanQ) ++
+      (if (docs.columns.contains("lang"))
+        Seq(one("langid_mismatch_frac",
+          r4(sum(when(col("lang") =!= TF.langPredict(col("_toks")), 1L)
+            .otherwise(0L)) * lit(1.0) / count(lit(1))),
+          docs.select(col("lang"), TF.tokens(col(textCol)).as("_toks"))))
+      else Nil)
+    parts.reduce(_ unionByName _).orderBy(col("metric"))
+  }
+}

@@ -526,6 +526,29 @@ class TextSpec extends SparkSpec {
     assert(spans.toSeq == Seq((1L, 3, 15, 12), (2L, 1, 13, 12)), spans.toSeq.toString)
   }
 
+  test("CorpusReport: known corpus produces the hand-computed metric values") {
+    val shared = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared tail1 tail2 tail3", "en"), // 17 toks, 12 span-dup
+      (2L, s"$shared other words here now", "en"),         // 16 toks, 12 span-dup
+      (3L, "alpha beta gamma", "en"),                      // 3 toks
+      (4L, "alpha beta gamma", "de"))                      // exact dup of 3
+      .toDF("doc_id", "text", "lang")
+    val m = graft.text.CorpusReport.report(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("n_docs") == 4.0)
+    assert(m("n_tokens") == 39.0)
+    assert(m("exact_dup_docs") == 1.0)
+    // 4 single-line docs, one duplicated line → (4-3)/4
+    assert(m("dup_line_frac") == 0.25)
+    assert(m("span_dup_token_frac") == math.floor(24.0 / 39.0 * 10000 + 0.5) / 10000)
+    // shared 8-grams across docs 1/2: pos 3..7 of doc1 == pos 1..5 of doc2 → 5
+    assert(m("boilerplate_grams") == 5.0)
+    // all four docs predict 'und' (no stopwords) → every label mismatches
+    assert(m("langid_mismatch_frac") == 1.0)
+    assert(m("mean_quality") > 0.0 && m("mean_quality") < 1.0)
+  }
+
   test("contaminationSpans marks the leaked region; doc set equals hits exactly") {
     val leak = (1 to 10).map(i => s"eval$i").mkString(" ")
     val docs = Seq(
