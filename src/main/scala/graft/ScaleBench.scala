@@ -70,7 +70,7 @@ object ScaleBench {
     "q72_chunk_dedup", "q74_bigram_logprob", "q76_copurchase",
     "q82_line_dedup", "q83_source_overlap", "q85_boilerplate_grams",
     "q86_semdedup", "q87_span_dedup", "q88_bloom_decontaminate",
-    "q89_gopher_filter", "q90_contamination_spans", "x35_dedup_cosine_auto", "x86_semdedup_auto")
+    "q89_gopher_filter", "q90_contamination_spans", "q91_corpus_report", "x35_dedup_cosine_auto", "x86_semdedup_auto")
 
   /** Default key stride between copies: far above any sf0.1 key range, so
     * strided ids never collide across copies. A SECOND derivation (e.g.
