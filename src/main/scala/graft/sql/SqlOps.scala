@@ -668,6 +668,76 @@ object SqlOps {
        |FROM _grp GROUP BY $id, _g""".stripMargin
   }
 
+  /** SQL twin of q91's corpus health report — the same family definitions
+    * (span chain = spanDedupSql's, gram rule = q85's, quality grid =
+    * graft_quality's floor grid) assembled into one UNION statement; every
+    * ratio goes through the tie-free floor grid exactly as the Column op
+    * (see text/CorpusReport.scala). `langCol` None omits the lang-ID row.
+    */
+  def corpusReportSql(table: String, idCol: String, textCol: String,
+      langCol: Option[String] = Some("lang"), n: Int = 8): String = {
+    val (id, txt) = (bt(idCol), bt(textCol))
+    val langCte = langCol.map { lc =>
+      s""",
+         |_lg AS (SELECT sum(CASE WHEN ${bt(lc)} <> graft_langid($txt)
+         |      THEN 1L ELSE 0L END) AS mm, count(*) AS n FROM $table)""".stripMargin
+    }.getOrElse("")
+    val langRow = langCol.map { _ =>
+      s"""
+         |  UNION ALL SELECT 'langid_mismatch_frac',
+         |    floor(mm * 1.0 / n * 10000d + 0.5d) / 10000d FROM _lg""".stripMargin
+    }.getOrElse("")
+    s"""WITH _tk AS (SELECT $id, $txt AS _text, graft_tokens($txt) AS _toks FROM $table),
+       |_pa AS (SELECT $id, element_at(transform(array(_toks), ts ->
+       |    CASE WHEN size(ts) >= $n THEN transform(sequence(1, size(ts) - ${n - 1}),
+       |        i -> named_struct('pos', i, 'h',
+       |          graft_hash60(concat_ws(' ', slice(ts, i, $n)))))
+       |      ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, h: BIGINT>>) END), 1) AS _pgs
+       |  FROM _tk),
+       |_p AS (SELECT $id, _pg.pos AS pos, _pg.h AS h
+       |  FROM _pa LATERAL VIEW explode_outer(_pgs) _e AS _pg WHERE _pg IS NOT NULL),
+       |_dup AS (SELECT h FROM (SELECT DISTINCT h, $id FROM _p)
+       |  GROUP BY h HAVING count(*) >= 2),
+       |_hit AS (SELECT $id, pos FROM _p LEFT SEMI JOIN _dup USING (h)),
+       |_brk AS (SELECT $id, pos,
+       |    CASE WHEN lag(pos) OVER _w IS NULL OR pos > lag(pos) OVER _w + $n
+       |      THEN 1 ELSE 0 END AS _b
+       |  FROM _hit WINDOW _w AS (PARTITION BY $id ORDER BY pos)),
+       |_grp AS (SELECT $id, pos, sum(_b) OVER
+       |    (PARTITION BY $id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS _g
+       |  FROM _brk),
+       |_spans AS (SELECT $id, min(pos) AS s, max(pos) + $n AS e
+       |  FROM _grp GROUP BY $id, _g),
+       |_sd AS (SELECT coalesce(sum(e - s), 0L) AS dup_toks FROM _spans),
+       |_tot AS (SELECT count(*) AS nd, sum(size(_toks)) AS n_toks FROM _tk),
+       |_lm AS (SELECT count(*) AS nl, count(DISTINCT _line) AS dl FROM
+       |  (SELECT explode(split(_text, '\\n')) AS _line FROM _tk)),
+       |_ga AS (SELECT $id, graft_word_ngrams(_toks, $n) AS _grams FROM _tk),
+       |_bg AS (SELECT count(*) AS n FROM (
+       |  SELECT _gram FROM (SELECT DISTINCT $id, _gram FROM
+       |    (SELECT $id, explode(_grams) AS _gram FROM _ga))
+       |  GROUP BY _gram HAVING count(*) >= 2)),
+       |-- graft_quality is grid/1e4 exactly; scaling back is within ±ulp of
+       |-- the integer grid, so +0.5-and-truncate recovers it exactly
+       |_q AS (SELECT sum(CAST(graft_quality(_text) * 10000d + 0.5d AS BIGINT)) AS sg,
+       |    count(*) AS n FROM _tk),
+       |_fp AS (SELECT count(*) - count(DISTINCT graft_fingerprint(_text)) AS dups
+       |  FROM _tk)$langCte
+       |SELECT * FROM (
+       |  SELECT 'boilerplate_grams' AS metric, n * 1.0 AS value FROM _bg
+       |  UNION ALL SELECT 'dup_line_frac',
+       |    floor((nl - dl) * 1.0 / nl * 10000d + 0.5d) / 10000d FROM _lm
+       |  UNION ALL SELECT 'exact_dup_docs', dups * 1.0 FROM _fp$langRow
+       |  UNION ALL SELECT 'mean_quality',
+       |    floor(sg * 1.0 / (n * 10000L) * 10000d + 0.5d) / 10000d FROM _q
+       |  UNION ALL SELECT 'n_docs', nd * 1.0 FROM _tot
+       |  UNION ALL SELECT 'n_tokens', n_toks * 1.0 FROM _tot
+       |  UNION ALL SELECT 'span_dup_token_frac',
+       |    floor(dup_toks * 1.0 / (SELECT n_toks FROM _tot) * 10000d + 0.5d) / 10000d
+       |  FROM _sd
+       |) ORDER BY metric""".stripMargin
+  }
+
   /** SQL twin of q88's Bloom-prefilter decontamination — the WHOLE scale
     * path in one statement: filter sizing from the eval-gram count, bit
     * positions via `pmod(xxhash64(hash, j), m)`, per-word `bit_or`

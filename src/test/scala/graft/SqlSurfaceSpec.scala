@@ -395,6 +395,14 @@ class SqlSurfaceSpec extends SparkSpec {
     assertSame(viaSql, viaCol, "span dedup", samePlan = false)
   }
 
+  test("SqlOps.corpusReportSql == CorpusReport.report (rows)") {
+    registered
+    val viaSql = spark.sql(SqlOps.corpusReportSql("documents", "doc_id", "text"))
+    val viaCol = graft.text.CorpusReport.report(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+    assertSame(viaSql, viaCol, "corpus report", samePlan = false)
+  }
+
   test("SqlOps.contaminationSpansSql == Decontaminate.contaminationSpans (rows)") {
     registered
     val viaSql = spark.sql(SqlOps.contaminationSpansSql(
