@@ -174,6 +174,17 @@ object ScaleBench {
     * the fixed-vs-derived exponent gap is OBSERVED, not argued.
     */
   val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q88 with a FIXED eval suite (copy-0's src0 docs — original ids stay
+    // < the first stride through every chained derivation) while the
+    // corpus grows: the production decontamination regime, where the
+    // catalog q88's derived-corpus eval side grows WITH the corpus and
+    // inflates both filter size and true-hit volume. Measured so the
+    // "fixed suite stays corpus-linear" claim is observed, not argued.
+    "x88_bloom_fixed_eval" -> { (s, d) =>
+      graft.text.BloomDecontaminate.hits(Tables.documents(s, d),
+        "doc_id", "text",
+        col("source") === "src0" && col("doc_id") < 100000000L, 8)
+    },
     "x35_dedup_cosine_auto" -> { (s, d) =>
       graft.sim.Ann.bucketTop1Auto(
         Tables.embeddings(s, d).select(col("vec_id").as("id"),
