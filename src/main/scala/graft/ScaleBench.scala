@@ -70,7 +70,8 @@ object ScaleBench {
     "q72_chunk_dedup", "q74_bigram_logprob", "q76_copurchase",
     "q82_line_dedup", "q83_source_overlap", "q85_boilerplate_grams",
     "q86_semdedup", "q87_span_dedup", "q88_bloom_decontaminate",
-    "q89_gopher_filter", "q90_contamination_spans", "q91_corpus_report", "x35_dedup_cosine_auto", "x86_semdedup_auto")
+    "q89_gopher_filter", "q90_contamination_spans", "q91_corpus_report",
+    "x35_dedup_cosine_auto", "x86_semdedup_auto", "x88_bloom_fixed_eval")
 
   /** Default key stride between copies: far above any sf0.1 key range, so
     * strided ids never collide across copies. A SECOND derivation (e.g.
@@ -167,11 +168,13 @@ object ScaleBench {
     }
   }
 
-  /** Derived-planes variants of the fixed-plane catalog dedup queries
-    * (q35 / q86 keep planes=8 because their DuckDB oracles bake the count
-    * in): [[graft.sim.Ann.planesFor]] holds expected bucket size at 256 as
-    * the corpus grows — the production index-build shape. Measured here so
-    * the fixed-vs-derived exponent gap is OBSERVED, not argued.
+  /** Production-regime x-variants of catalog queries whose oracle bakes a
+    * test-scale knob in: derived-planes embedding dedup (q35/q86 keep
+    * planes=8 for their DuckDB oracles; [[graft.sim.Ann.planesFor]] holds
+    * expected bucket size as the corpus grows) and fixed-eval bloom
+    * decontamination (the catalog q88's derived-corpus eval side grows
+    * WITH the corpus). Measured here so each fixed-vs-production exponent
+    * gap is OBSERVED, not argued.
     */
   val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q88 with a FIXED eval suite (copy-0's src0 docs — original ids stay

@@ -685,7 +685,7 @@ object SqlOps {
     val langRow = langCol.map { _ =>
       s"""
          |  UNION ALL SELECT 'langid_mismatch_frac',
-         |    floor(mm * 1.0 / n * 10000d + 0.5d) / 10000d FROM _lg""".stripMargin
+         |    coalesce(floor(mm * 1.0 / n * 10000d + 0.5d) / 10000d, 0.0d) FROM _lg""".stripMargin
     }.getOrElse("")
     s"""WITH _tk AS (SELECT $id, $txt AS _text, graft_tokens($txt) AS _toks FROM $table),
        |_pa AS (SELECT $id, element_at(transform(array(_toks), ts ->
@@ -726,14 +726,14 @@ object SqlOps {
        |SELECT * FROM (
        |  SELECT 'boilerplate_grams' AS metric, n * 1.0 AS value FROM _bg
        |  UNION ALL SELECT 'dup_line_frac',
-       |    floor((nl - dl) * 1.0 / nl * 10000d + 0.5d) / 10000d FROM _lm
+       |    coalesce(floor((nl - dl) * 1.0 / nl * 10000d + 0.5d) / 10000d, 0.0d) FROM _lm
        |  UNION ALL SELECT 'exact_dup_docs', dups * 1.0 FROM _fp$langRow
        |  UNION ALL SELECT 'mean_quality',
-       |    floor(sg * 1.0 / (n * 10000L) * 10000d + 0.5d) / 10000d FROM _q
+       |    coalesce(floor(sg * 1.0 / (n * 10000L) * 10000d + 0.5d) / 10000d, 0.0d) FROM _q
        |  UNION ALL SELECT 'n_docs', nd * 1.0 FROM _tot
        |  UNION ALL SELECT 'n_tokens', n_toks * 1.0 FROM _tot
        |  UNION ALL SELECT 'span_dup_token_frac',
-       |    floor(dup_toks * 1.0 / (SELECT n_toks FROM _tot) * 10000d + 0.5d) / 10000d
+       |    coalesce(floor(dup_toks * 1.0 / (SELECT n_toks FROM _tot) * 10000d + 0.5d) / 10000d, 0.0d)
        |  FROM _sd
        |) ORDER BY metric""".stripMargin
   }

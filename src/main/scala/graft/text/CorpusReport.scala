@@ -15,38 +15,44 @@ import graft.text.{TextFunctions => TF}
   * Every ratio is an exact-integer division pushed through the tie-free
   * `floor(x·10⁴ + 0.5)/10⁴` grid (the q24 rounding lesson) — `round()` on
   * a float ratio lands on .xxxx5 boundaries where Spark and DuckDB round
-  * a ulp apart.
+  * a ulp apart — and coalesces to 0.0 on an empty corpus (0/0 would
+  * surface null metrics to a consumer reading doubles).
   *
   * Scale shape: a fixed number of independent linear aggregations (each a
   * groupBy/distinct over one derived column) plus the q87 span frame —
-  * nothing quadratic, nothing collected beyond the ~8-row result. The
-  * metric set is deliberately cheap; deep diagnostics (cluster size
-  * histograms, per-source cutoffs) live in their dedicated operators.
+  * nothing quadratic, nothing collected beyond the ~8-row result; the
+  * corpus-wide token total is aggregated ONCE and reused by both rows
+  * that need it. The metric set is deliberately cheap; deep diagnostics
+  * (cluster size histograms, per-source cutoffs) live in their dedicated
+  * operators.
   */
 object CorpusReport {
 
-  /** Tie-free 4-decimal grid of an exact-integer-division double. */
-  private def r4(x: Column): Column = floor(x * 10000d + 0.5d) / 10000d
+  /** Tie-free 4-decimal grid of an exact-integer-division double; 0.0 on
+    * the empty-corpus null.
+    */
+  private def r4(x: Column): Column =
+    coalesce(floor(x * 10000d + 0.5d) / 10000d, lit(0.0))
 
   /** (metric, value) rows:
     *  - n_docs, n_tokens: corpus size
     *  - exact_dup_docs: docs minus distinct normalized fingerprints (q19)
     *  - dup_line_frac: (lines - distinct lines) / lines (q82's grain)
     *  - span_dup_token_frac: q87 duplicate-span tokens / all tokens
-    *  - boilerplate_grams: distinct 8-grams held by >= 2 docs (q85's rule)
+    *  - boilerplate_grams: distinct `n`-grams held by >= 2 docs (q85's rule)
     *  - mean_quality: sum of q24 quality grids / (docs · 10⁴)
-    *  - langid_mismatch_frac: labeled lang != q23 prediction (only when a
-    *    `lang` column exists; omitted otherwise)
+    *  - langid_mismatch_frac: `langCol` label != q23 prediction (row
+    *    omitted when `langCol` is None — same knob as the SQL twin)
     */
-  def report(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def report(docs: DataFrame, idCol: String, textCol: String,
+      langCol: Option[String] = Some("lang"), n: Int = 8): DataFrame = {
     val base = docs.select(col(idCol), col(textCol).as("_text"),
       TF.tokens(col(textCol)).as("_toks"))
 
     def one(name: String, value: Column, from: DataFrame): DataFrame =
       from.agg(value.as("value")).select(lit(name).as("metric"), col("value"))
 
-    val nDocs = one("n_docs", count(lit(1)).cast("double"), base)
-    val nTokens = one("n_tokens", sum(size(col("_toks"))).cast("double"), base)
+    val nDocs = one("n_docs", coalesce(count(lit(1)).cast("double"), lit(0.0)), base)
     val exactDups = one("exact_dup_docs",
       (count(lit(1)) - countDistinct(md5(TF.normalizeText(col("_text")))))
         .cast("double"), base)
@@ -54,27 +60,33 @@ object CorpusReport {
     val dupLineFrac = one("dup_line_frac",
       r4((count(lit(1)) - countDistinct(col("_line"))) * lit(1.0) / count(lit(1))),
       lines)
-    val spanToks = SpanDedup.dupSpans(docs, idCol, textCol, 8)
+    // ONE corpus-wide token total, reused by n_tokens and the span ratio.
+    val totToks = base.agg(coalesce(sum(size(col("_toks"))), lit(0L)).as("_tot"))
+    val nTokens = totToks.select(lit("n_tokens").as("metric"),
+      col("_tot").cast("double").as("value"))
+    val spanToks = SpanDedup.dupSpans(docs, idCol, textCol, n)
       .agg(coalesce(sum(col("span_tokens")), lit(0L)).as("_dup"))
-    val totToks = base.agg(sum(size(col("_toks"))).as("_tot"))
     val spanFrac = spanToks.crossJoin(totToks)
       .select(lit("span_dup_token_frac").as("metric"),
         r4(col("_dup") * lit(1.0) / col("_tot")).as("value"))
     val boiler = one("boilerplate_grams", count(lit(1)).cast("double"),
       base.select(col(idCol),
-          explode(TF.wordNgrams(col("_toks"), 8)).as("_gram")).distinct()
+          explode(TF.wordNgrams(col("_toks"), n)).as("_gram")).distinct()
         .groupBy(col("_gram")).agg(count(lit(1)).as("_df"))
         .filter(col("_df") >= 2))
     val meanQ = one("mean_quality",
       r4(sum(TF.qualityGrid(col("_text")).cast("long")) * lit(1.0) /
         (count(lit(1)) * lit(10000L))), base)
     val parts = Seq(nDocs, nTokens, exactDups, dupLineFrac, spanFrac, boiler, meanQ) ++
-      (if (docs.columns.contains("lang"))
-        Seq(one("langid_mismatch_frac",
-          r4(sum(when(col("lang") =!= TF.langPredict(col("_toks")), 1L)
+      langCol.map { lc =>
+        require(docs.columns.contains(lc),
+          s"corpus report: lang column '$lc' absent from ${docs.columns.mkString(", ")}" +
+            " — pass langCol = None to omit the lang-ID row")
+        one("langid_mismatch_frac",
+          r4(sum(when(col(lc) =!= TF.langPredict(col("_toks")), 1L)
             .otherwise(0L)) * lit(1.0) / count(lit(1))),
-          docs.select(col("lang"), TF.tokens(col(textCol)).as("_toks"))))
-      else Nil)
+          docs.select(col(lc), TF.tokens(col(textCol)).as("_toks")))
+      }.toSeq
     parts.reduce(_ unionByName _).orderBy(col("metric"))
   }
 }

@@ -79,15 +79,20 @@ object Curate {
       .select(col(id))
     val cc = graft.ops.Graph.connectedComponents(edges, "id_a", "id_b")
       .select(col("id").as(id), col("label"))
-    val clusterKept = cc.join(scored, id)
-      .groupBy(col("label"))
-      .agg(max(struct(col("_th"), (-col(id)).as("_neg"))).as("_m"))
-      .select(col("label"), (-col("_m.`_neg`")).as("_kept"))
+    // The rule gate applies BEFORE cluster keep-best (the documented
+    // production order): keep-best must pick the best RULE-PASSING member,
+    // or a rule-failing cluster-best would eliminate every passing member
+    // of its cluster (no survivor at all). Exact-dup groups need no such
+    // care — identical text gives identical verdicts.
     val ruled =
       if (!gopherRules) scored
       else scored.join(
         Gopher.verdicts(docs, id, text).filter(col("keep")).select(col(id)),
         Seq(id), "left_semi")
+    val clusterKept = cc.join(ruled, id)
+      .groupBy(col("label"))
+      .agg(max(struct(col("_th"), (-col(id)).as("_neg"))).as("_m"))
+      .select(col("label"), (-col("_m.`_neg`")).as("_kept"))
     ruled
       .join(exactKeepers, Seq(id), "left_semi")
       .join(cc, Seq(id), "left")

@@ -174,6 +174,31 @@ class TextSpec extends SparkSpec {
     assert(ruled == Set(1L), ruled.toString)
   }
 
+  test("Curate.keepSet(gopherRules): cluster keep-best runs over rule-PASSING members") {
+    // Near-dup pair where the higher-quality member fails the rule gate:
+    // doc 1 has no indicator stopwords (stopword_ok=false) but longer text
+    // (higher quality score); doc 2 passes rules. Keep-best over ALL docs
+    // would pick doc 1 as cluster best and then drop BOTH; the production
+    // order keeps doc 2 as the best rule-passing member.
+    val run = (1 to 58).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run extra1 extra2 extra3 extra4 extra5 extra6"), // 64 toks, 0 stopwords
+      (2L, s"the the $run"))                                   // 60 toks, near-dup of 1
+      .toDF("doc_id", "text")
+    // fixture premise: the pair must actually collide into a cluster, or
+    // the test degenerates to the independent-survival path
+    val sh = MinHash.withShingles(docs, "doc_id", "text")
+    val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 16)
+    val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 4, 2), "doc_id")
+    assert(MinHash.jaccard(sh, cand, "doc_id")
+      .filter(col("jaccard") >= 0.5).count() == 1,
+      "fixture premise broken: docs are not near-dup candidates")
+    val ruled = graft.text.Curate.keepSet(docs, "doc_id", "text", minQuality = 0,
+        gopherRules = true)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(ruled == Set(2L), s"cluster lost its rule-passing member: $ruled")
+  }
+
   test("Curate.keepSet: exact losers, cluster losers and low-quality docs drop") {
     val baseA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
       "kilo lima mike november oscar papa quebec romeo sierra tango"
