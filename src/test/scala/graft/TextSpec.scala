@@ -524,6 +524,23 @@ class TextSpec extends SparkSpec {
     assert(sized == expected)
   }
 
+  test("Bloom: an array-bound-exceeding filter size fails named, never empty-and-silent") {
+    // past 64 * Int.MaxValue bits numWords overflows Int — an EMPTY filter
+    // would return false for everything (bloom false negatives, the one
+    // forbidden failure mode); the guard must fire instead
+    val tooBig = 64L * (Int.MaxValue.toLong + 1L)
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.Bloom.bits(Seq(1L).toDF("h"), "h", tooBig)
+    }
+    assert(e.getMessage.contains("exceeds"), e.getMessage)
+    val viaOverride = intercept[IllegalArgumentException] {
+      graft.text.BloomDecontaminate.hits(
+        Tables.documents(spark, sfDir), "doc_id", "text",
+        col("source") === "src0", 8, mOverride = Some(tooBig)).collect()
+    }
+    assert(viaOverride.getMessage.contains("exceeds"), viaOverride.getMessage)
+  }
+
   test("BloomDecontaminate: empty eval side yields an empty result, not an error") {
     val docs = Tables.documents(spark, sfDir)
     val out = graft.text.BloomDecontaminate.hits(
