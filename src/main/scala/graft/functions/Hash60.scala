@@ -102,15 +102,23 @@ object Hash60 {
 
   /** hash60 of `parts.slice(from, from + n)` joined by a single space —
     * md5-identical to `hash60(concat_ws(" ", ...))` with zero string
-    * concatenation: the digest streams each part's bytes in place.
+    * concatenation: the digest streams each part's bytes in place. Null
+    * parts are skipped ENTIRELY (no joiner either side), exactly as
+    * `concat_ws` skips null arguments — so [a, null, b] hashes "a b",
+    * not "a  b".
     */
   def hashJoined(parts: Array[Array[Byte]], from: Int, n: Int): Long = {
     val m = md5.get()
     m.reset()
     var i = 0
+    var emitted = false
     while (i < n) {
-      if (i > 0) m.update(' '.toByte)
-      m.update(parts(from + i))
+      val p = parts(from + i)
+      if (p != null) {
+        if (emitted) m.update(' '.toByte)
+        m.update(p)
+        emitted = true
+      }
       i += 1
     }
     fold()
@@ -128,7 +136,10 @@ object Hash60 {
   /** [[WordGramHash60]]'s body (named, like GramHash60.hashStream, to keep
     * the static forwarder janino-visible): per-position word-gram hashes;
     * empty array when the document has fewer than `n` tokens. A null token
-    * element hashes as empty bytes (tokens() never produces one).
+    * element is skipped entirely — joiner included — matching the
+    * `concat_ws(" ", ...)` spelling the expression is documented identical
+    * to (tokens() never produces one, but the function is registered as a
+    * general SQL function, so arbitrary token arrays must agree).
     */
   def wordGramHashes(arr: org.apache.spark.sql.catalyst.util.ArrayData,
       n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
@@ -139,7 +150,7 @@ object Hash60 {
     var i = 0
     while (i < cnt) {
       parts(i) =
-        if (arr.isNullAt(i)) Array.emptyByteArray
+        if (arr.isNullAt(i)) null
         else arr.getUTF8String(i).getBytes
       i += 1
     }

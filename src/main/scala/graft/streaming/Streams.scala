@@ -793,10 +793,16 @@ object Streams {
     * State: `seen/` = distinct gram hashes, batch_id-partitioned,
     * compactable with [[compactBatchLog]] (refold = distinct); only grams
     * the batch INTRODUCES are appended, so the log is vocabulary-sized.
-    * Replay-idempotent: the seen read excludes the current batch_id, both
-    * outputs dynamic-overwrite their own partition, and a replay that
-    * produces NO spans deletes its stale spans partition (the
-    * qualityCutoffSink discipline).
+    * Replay-idempotent FOR THE LATEST BATCH — the only batch structured
+    * streaming's foreachBatch contract ever replays: the seen read
+    * excludes the current batch_id, both outputs dynamic-overwrite their
+    * own partition, and a replay that produces NO spans deletes its stale
+    * spans partition (the qualityCutoffSink discipline). The `=!= batchId`
+    * filter deliberately does NOT mean replaying an OLDER batch is
+    * first-seen-faithful (it would see grams later batches introduced);
+    * a `< batchId` filter can't offer that either once [[compactBatchLog]]
+    * has refolded the partitions, so the contract is stated at the
+    * foreachBatch guarantee, same as the repo's other sinks.
     */
   def spanDedupSink(spark: SparkSession, stateDir: String,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 8)(

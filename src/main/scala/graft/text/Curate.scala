@@ -73,22 +73,29 @@ object Curate {
     val edges = MinHash.jaccard(sh, cand, id)
       .filter(col("jaccard") >= minJaccard).select(col("id_a"), col("id_b"))
     val scored = docs.select(col(id), TextFunctions.qualityGrid(col(text)).as("_th"))
-    val exactKeepers = docs
-      .withColumn("fp", md5(TextFunctions.normalizeText(col(text))))
-      .groupBy(col("fp")).agg(min(col(id)).as(id))
-      .select(col(id))
     val cc = graft.ops.Graph.connectedComponents(edges, "id_a", "id_b")
       .select(col("id").as(id), col("label"))
-    // The rule gate applies BEFORE cluster keep-best (the documented
-    // production order): keep-best must pick the best RULE-PASSING member,
-    // or a rule-failing cluster-best would eliminate every passing member
-    // of its cluster (no survivor at all). Exact-dup groups need no such
-    // care — identical text gives identical verdicts.
+    // The rule gate applies BEFORE cluster keep-best AND before exact-dup
+    // keeper election (the documented production order): each keep-best /
+    // keeper pick must land on a RULE-PASSING member, or a rule-failing
+    // winner would eliminate every passing member of its group (no
+    // survivor at all). Exact-dup groups genuinely need this too: the
+    // fingerprint normalizes whitespace but the rule verdicts read RAW
+    // text, so two fingerprint-identical variants can disagree on the
+    // line-shape rules (bullet/ellipsis ratios count raw lines) — the
+    // min-id keeper is therefore elected among ruled members only.
     val ruled =
       if (!gopherRules) scored
       else scored.join(
         Gopher.verdicts(docs, id, text).filter(col("keep")).select(col(id)),
         Seq(id), "left_semi")
+    val keeperPool =
+      if (!gopherRules) docs
+      else docs.join(ruled.select(col(id)), Seq(id), "left_semi")
+    val exactKeepers = keeperPool
+      .withColumn("fp", md5(TextFunctions.normalizeText(col(text))))
+      .groupBy(col("fp")).agg(min(col(id)).as(id))
+      .select(col(id))
     val clusterKept = cc.join(ruled, id)
       .groupBy(col("label"))
       .agg(max(struct(col("_th"), (-col(id)).as("_neg"))).as("_m"))

@@ -719,6 +719,25 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("WordGramHash60 skips null tokens exactly like concat_ws (no orphan joiner)") {
+    // [a, null, b] must hash "a b", not "a  b" — the function is a
+    // registered SQL function, so arbitrary (null-bearing) token arrays
+    // must agree with the documented concat_ws spelling.
+    val df = spark.range(1).select(
+      array(lit("a"), lit(null).cast("string"), lit("b")).as("toks"))
+    val native = df.select(call_function("graft_word_gram_hash60",
+      col("toks"), lit(3))).as[Seq[Long]].head()
+    val viaConcat = df.select(graft.text.TextFunctions.hash60(
+      concat_ws(" ", col("toks")))).as[Long].head()
+    assert(native == Seq(viaConcat))
+    // all-null gram degenerates to hash60("") — same as concat_ws
+    val allNull = spark.range(1).select(
+      array(lit(null).cast("string"), lit(null).cast("string")).as("toks"))
+    assert(allNull.select(call_function("graft_word_gram_hash60",
+        col("toks"), lit(2))).as[Seq[Long]].head() ==
+      Seq(allNull.select(graft.text.TextFunctions.hash60(lit(""))).as[Long].head()))
+  }
+
   test("SpanDedup.dupSpans equals the driver reference on random corpora") {
     // Small alphabet forces genuine cross-doc gram collisions; reference
     // is a straight-line sliding-window + interval-merge on the driver.

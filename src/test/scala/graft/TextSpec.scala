@@ -199,6 +199,29 @@ class TextSpec extends SparkSpec {
     assert(ruled == Set(2L), s"cluster lost its rule-passing member: $ruled")
   }
 
+  test("Curate.keepSet(gopherRules): exact keeper elected among rule-PASSING members") {
+    // Fingerprints normalize WHITESPACE but rule verdicts read RAW text:
+    // both docs normalize to the identical string ("- the the w1..w60" on
+    // one line), yet doc 1's raw form is a single all-bullet line
+    // (bullet_ok false: 1 of 1 lines) while doc 2 splits the dash onto its
+    // own line (1 of 2 lines → passes). Electing the keeper over ALL
+    // members picks rule-failing doc 1 and the group loses every member;
+    // the production order keeps doc 2.
+    val run = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"- the the $run"),
+      (2L, s"-\nthe the $run"))
+      .toDF("doc_id", "text")
+    val v = graft.text.Gopher.verdicts(docs, "doc_id", "text")
+      .select(col("doc_id"), col("keep")).as[(Long, Boolean)].collect().toMap
+    assert(v == Map(1L -> false, 2L -> true),
+      s"fixture premise broken: verdicts must split on line shape: $v")
+    val kept = graft.text.Curate.keepSet(docs, "doc_id", "text", minQuality = 0,
+        gopherRules = true)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept == Set(2L), s"exact group lost its rule-passing member: $kept")
+  }
+
   test("Curate.keepSet: exact losers, cluster losers and low-quality docs drop") {
     val baseA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
       "kilo lima mike november oscar papa quebec romeo sierra tango"
