@@ -637,6 +637,19 @@ object TextQueries {
         .orderBy(col("doc_id"), col("span_start"))
     },
 
+    // ---- q94: span-dedup ACTION face (corpus rewrite) ----
+    // Lee et al.'s actual transformation: q87 inventories duplicate spans,
+    // q94 REMOVES them from all-but-one occurrence (min-id owner doc keeps
+    // its text; foreign occurrences are trimmed, first-occurrence-wins —
+    // the q82 reassembly discipline in token space). Fingerprint instead
+    // of the full rewritten text so the dump stays row-sized.
+    "q94_span_trim" -> { (s, d) =>
+      graft.text.SpanDedup.trim(Tables.documents(s, d), "doc_id", "text", 8)
+        .select(col("doc_id"), col("n_tokens"), col("removed_tokens"),
+          col("n_spans"), md5(col("text_trimmed")).as("trimmed_fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q89: Gopher-style rule filter (named per-rule verdicts) ----
     // The rule-based face of quality filtering (q24/q84 are the score
     // faces): one tokenize pass, per-row integer-arithmetic verdicts, no
@@ -1197,6 +1210,47 @@ object TextQueries {
          SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
            max(pos) + 8 - min(pos) AS span_tokens
          FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""",
+
+    // q87's machinery extended with owner election + token-space rewrite:
+    // the removal spans are EXACTLY q87's merge run over foreign (non-
+    // owner) dup-gram positions, and the reassembly is a per-doc list
+    // comprehension dropping removed positions.
+    "q94_span_trim" ->
+      s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         posi AS (SELECT doc_id, toks, unnest(CASE WHEN len(toks) >= 8
+             THEN range(1, len(toks) - 6) ELSE [] END) AS pos FROM tk),
+         pg AS (SELECT doc_id, pos,
+             ${h60("array_to_string(toks[pos:pos+7], ' ')")} AS h FROM posi),
+         dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM pg)
+           GROUP BY h HAVING count(*) >= 2),
+         own AS (SELECT h, min(doc_id) AS owner FROM pg
+           JOIN dup USING (h) GROUP BY h),
+         hits AS (SELECT pg.doc_id, pos FROM pg JOIN own USING (h)
+           WHERE pg.doc_id <> own.owner),
+         brk AS (SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+               THEN 1 ELSE 0 END AS b
+           FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         grp AS (SELECT doc_id, pos, sum(b) OVER
+             (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+           FROM brk),
+         spans AS (SELECT doc_id, min(pos) AS span_start,
+             max(pos) + 8 AS span_end, max(pos) + 8 - min(pos) AS span_tokens
+           FROM grp GROUP BY doc_id, g),
+         rem AS (SELECT doc_id, list(DISTINCT pos) AS poss FROM (
+             SELECT doc_id, unnest(range(span_start, span_end)) AS pos
+             FROM spans) GROUP BY doc_id),
+         st AS (SELECT doc_id, count(*) AS n_spans,
+             sum(span_tokens) AS removed_tokens FROM spans GROUP BY doc_id)
+         SELECT tk.doc_id, len(tk.toks) AS n_tokens,
+           coalesce(st.removed_tokens, 0)::BIGINT AS removed_tokens,
+           coalesce(st.n_spans, 0)::BIGINT AS n_spans,
+           md5(coalesce(array_to_string(
+             [tk.toks[i] for i in range(1, len(tk.toks) + 1)
+               if NOT list_contains(coalesce(rem.poss, []), i)],
+             ' '), '')) AS trimmed_fp
+         FROM tk LEFT JOIN rem USING (doc_id) LEFT JOIN st USING (doc_id)
+         ORDER BY doc_id""",
 
     "q89_gopher_filter" ->
       s"""WITH tk AS (SELECT doc_id, text, $TOKS AS toks,

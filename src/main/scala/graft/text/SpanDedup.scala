@@ -114,6 +114,68 @@ object SpanDedup {
     mergeSpans(p.join(dupGrams(p, idCol), Seq("h"), "left_semi"), idCol, n)
   }
 
+  /** The ACTION face of [[dupSpans]] — Lee et al.'s actual transformation:
+    * remove every duplicated span from all-but-one occurrence and rewrite
+    * the corpus. Occurrence granularity is the DOCUMENT, first-occurrence-
+    * wins (q82's discipline): each duplicate gram's OWNER is the min-id
+    * document holding it; in every other document, positions covered by a
+    * foreign dup gram merge into removal spans ([[mergeSpans]] — the exact
+    * q87 merge) and those tokens are dropped. The owner keeps its text
+    * untouched, so every duplicated region survives exactly once at doc
+    * grain. The rewrite is in TOKEN space (lowercased, delimiter-
+    * normalized — the grain the grams are defined on): `text_trimmed` is
+    * the kept tokens joined by single spaces, the empty string when every
+    * token was removed.
+    *
+    * Returns one row per input document: (`idCol`, n_tokens,
+    * removed_tokens, n_spans, text_trimmed).
+    *
+    * Scale shape = q87's linear story plus three linear joins: owner
+    * election is a vocab-sized `min` agg over dup-gram postings (map-side
+    * combined — a boilerplate gram held by millions of docs shrinks to one
+    * row per map task before the wire); removal positions explode from
+    * SPANS (output-sized, each position once — spans are disjoint by
+    * construction); the reassembly is a per-doc `collect_list` bounded by
+    * document length, window-free. The postings subtree is evaluated
+    * twice (dup-gram agg + owner/hit probe) — two linear scans; at corpus
+    * scale re-running a projection beats caching a corpus-sized
+    * intermediate (the LineDedup rationale).
+    */
+  def trim(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, s"span gram width must be >= 2, got $n")
+    val p = postings(docs, idCol, textCol, n)
+    val owners = p.join(dupGrams(p, idCol), Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(min(col(idCol)).as("_owner"))
+    val foreign = p.join(owners, Seq("h"))
+      .filter(col(idCol) =!= col("_owner"))
+      .select(col(idCol), col("pos"))
+    val spans = mergeSpans(foreign, idCol, n)
+    val removed = spans.select(col(idCol),
+      explode(sequence(col("span_start"), col("span_end") - 1)).as("pos"))
+    val toks = docs.select(col(idCol),
+        posexplode(TF.tokens(col(textCol))).as(Seq("_p0", "tok")))
+      .select(col(idCol), (col("_p0") + 1).as("pos"), col("tok"))
+    // collect_list has no ordering guarantee: kept tokens ride a
+    // (pos, tok) struct sorted after collection, per-doc bounded.
+    val keptAgg = toks.join(removed, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        _.getField("tok"))).as("_kept"))
+    val spanStats = spans.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("removed_tokens"))
+    // Left joins restore zero-token docs and docs whose EVERY token was
+    // removed (no surviving (pos, tok) rows) — every input doc emits a row.
+    docs.select(col(idCol), size(TF.tokens(col(textCol))).as("n_tokens"))
+      .join(keptAgg, Seq(idCol), "left")
+      .join(spanStats, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("_kept"), lit("")).as("text_trimmed"))
+  }
+
   /** Per-document rollup of [[dupSpans]]: (`idCol`, n_tokens, dup_tokens,
     * n_spans, dup_frac) for EVERY document — clean docs report 0/0/0.0,
     * so the frame is a complete curation signal (join-free thresholding

@@ -778,6 +778,76 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("SpanDedup.trim equals the driver reference on random corpora") {
+    // Same generator shape as the dupSpans property; the reference elects
+    // min-id owners per dup gram, interval-merges foreign hit positions
+    // and rewrites the token list on the driver.
+    val alpha = Vector("a", "b", "c", "d")
+    val docGen = for {
+      nDocs <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(nDocs, Gen.choose(0, 14).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(alpha))))
+    } yield docs.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+    val n = 3
+    check(forAll(docGen) { docs =>
+      val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+      val got = graft.text.SpanDedup.trim(df, "doc_id", "text", n)
+        .as[(Long, Int, Long, Long, String)].collect()
+        .map(r => (r._1, (r._2, r._3, r._4, r._5))).toMap
+      // reference
+      val grams = docs.map { case (id, ts) =>
+        id -> (if (ts.size >= n) ts.sliding(n).zipWithIndex
+          .map { case (g, i) => (i + 1, g.mkString(" ")) }.toSeq else Seq.empty)
+      }
+      val holders = scala.collection.mutable.Map[String, Set[Long]]()
+      grams.foreach { case (id, gs) =>
+        gs.foreach { case (_, g) => holders(g) = holders.getOrElse(g, Set()) + id } }
+      val owner = holders.collect {
+        case (g, hs) if hs.size >= 2 => g -> hs.min }
+      val want = docs.map { case (id, ts) =>
+        val gs = grams.toMap.apply(id)
+        val hits = gs.collect {
+          case (p, g) if owner.get(g).exists(_ != id) => p }.sorted
+        val spans = if (hits.isEmpty) Seq.empty[(Int, Int)] else {
+          val buf = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+          var (start, last) = (hits.head, hits.head)
+          hits.tail.foreach { p =>
+            if (p > last + n) { buf += ((start, last + n)); start = p }
+            last = p
+          }
+          buf += ((start, last + n))
+          buf.toSeq
+        }
+        val removedPos = spans.flatMap { case (s, e) => s until e }.toSet
+        val kept = ts.zipWithIndex.collect {
+          case (t, i) if !removedPos.contains(i + 1) => t }
+        id -> ((ts.size, removedPos.size.toLong, spans.size.toLong,
+          kept.mkString(" ")))
+      }.toMap
+      got == want
+    })
+  }
+
+  test("SpanDedup.trim output re-runs to zero dup spans (crafted clique)") {
+    // Three docs sharing an 8-token boilerplate block plus unique tails:
+    // after trimming, only the min-id owner holds the block, so a q87
+    // re-run over the rewritten corpus finds nothing.
+    val block = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$block one extra tail here"),
+      (2L, s"$block two other words follow"),
+      (3L, s"prefix stuff then $block three"))
+      .toDF("doc_id", "text")
+    val trimmed = graft.text.SpanDedup.trim(docs, "doc_id", "text", 8)
+      .select(col("doc_id"), col("text_trimmed"))
+    assert(graft.text.SpanDedup.dupSpans(
+      trimmed, "doc_id", "text_trimmed", 8).count() === 0L)
+    // and the owner kept its block verbatim
+    val kept = trimmed.filter(col("doc_id") === 1L)
+      .as[(Long, String)].head()._2
+    assert(kept.contains("dup1"), kept)
+  }
+
   test("BloomDecontaminate equals Decontaminate on random corpora (any filter size)") {
     // Bigram collisions are common at a 4-token alphabet, and a 1-bit/gram
     // filter saturates — the exact verify must win in every regime.
