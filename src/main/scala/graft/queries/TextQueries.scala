@@ -637,6 +637,31 @@ object TextQueries {
         .orderBy(col("doc_id"), col("span_start"))
     },
 
+    // ---- q93: HTML main-content extraction (the intake step) ----
+    // The B-block assumes clean text; real web intake starts from markup.
+    // The corpus is WRAPPED in deterministic page chrome (nav + ad every
+    // third doc + footer — link-dense boilerplate) in BOTH engines, then
+    // HtmlExtract.mainText keeps the text-dense/link-sparse blocks
+    // (Arc90/jusText-style public heuristics, integer-exact thresholds).
+    "q93_html_extract" -> { (s, d) =>
+      val html = concat(
+        lit("<html><head><title>t</title><style>p{margin:0}</style>" +
+          "<script>var x=1;</script></head><body>" +
+          "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a>" +
+          " <a href=\"/c\">Contact</a></div>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<div class=\"ad\"><a href=\"/buy\">BUY NOW CLICK HERE</a></div>"))
+          .otherwise(lit("")),
+        lit("<p>"), regexp_replace(col("text"), "\n", "</p><p>"), lit("</p>"),
+        lit("<div class=\"footer\"><a href=\"/tos\">Terms</a> (c) 2024 example" +
+          "</div></body></html>"))
+      graft.text.HtmlExtract.mainText(
+          Tables.documents(s, d).withColumn("html", html), "doc_id", "html")
+        .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+          col("kept_chars"), md5(col("main_text")).as("main_fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q94: span-dedup ACTION face (corpus rewrite) ----
     // Lee et al.'s actual transformation: q87 inventories duplicate spans,
     // q94 REMOVES them from all-but-one occurrence (min-id owner doc keeps
@@ -1210,6 +1235,47 @@ object TextQueries {
          SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
            max(pos) + 8 - min(pos) AS span_tokens
          FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""",
+
+    // Shares HtmlExtract's RE2-compatible patterns verbatim (BlockTags is
+    // the same constant); DuckDB regexp_replace needs the explicit 'g'
+    // flag Spark applies by default.
+    "q93_html_extract" ->
+      s"""WITH base AS (SELECT doc_id,
+           '<html><head><title>t</title><style>p{margin:0}</style><script>var x=1;</script></head><body><div class="nav"><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>'
+           || CASE WHEN doc_id % 3 = 0
+                THEN '<div class="ad"><a href="/buy">BUY NOW CLICK HERE</a></div>'
+                ELSE '' END
+           || '<p>' || replace(text, chr(10), '</p><p>') || '</p>'
+           || '<div class="footer"><a href="/tos">Terms</a> (c) 2024 example</div></body></html>'
+           AS html FROM documents),
+         seg0 AS (SELECT doc_id, string_split(regexp_replace(regexp_replace(
+             regexp_replace(html,
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?is)</?(${graft.text.HtmlExtract.BlockTags})[^>]*>', chr(10), 'g'),
+             chr(10)) AS bl FROM base),
+         seg AS (SELECT doc_id, unnest(bl) AS raw,
+             unnest(range(1, len(bl) + 1)) AS bi FROM seg0),
+         cand AS (SELECT doc_id, bi,
+             trim(regexp_replace(raw, '<[^>]*>', '', 'g')) AS btext,
+             coalesce(list_sum(list_transform(
+               regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1),
+               a -> len(trim(regexp_replace(a, '<[^>]*>', '', 'g'))))), 0) AS link_len
+           FROM seg),
+         sc AS (SELECT doc_id, bi, btext, len(btext) AS text_len, link_len
+           FROM cand WHERE len(btext) > 0),
+         roll AS (SELECT doc_id, count(*) AS n_blocks,
+             count(*) FILTER (WHERE keep) AS n_kept,
+             coalesce(sum(text_len) FILTER (WHERE keep), 0) AS kept_chars,
+             coalesce(string_agg(btext, chr(10) ORDER BY bi) FILTER (WHERE keep),
+               '') AS main_text
+           FROM (SELECT *, text_len >= 10 AND link_len * 100 <= text_len * 20
+             AS keep FROM sc) GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(r.n_blocks, 0)::BIGINT AS n_blocks,
+           coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+           coalesce(r.kept_chars, 0)::BIGINT AS kept_chars,
+           md5(coalesce(r.main_text, '')) AS main_fp
+         FROM documents d LEFT JOIN roll r USING (doc_id) ORDER BY doc_id""",
 
     // q87's machinery extended with owner election + token-space rewrite:
     // the removal spans are EXACTLY q87's merge run over foreign (non-

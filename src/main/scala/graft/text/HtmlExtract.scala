@@ -1,0 +1,107 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML → main-text extraction — the INTAKE step a real web corpus runs
+  * before any of the text-quality/dedup family applies (C4/RefinedWeb
+  * lineage): strip invisible content, segment on block-level tags, keep
+  * the text-dense / link-sparse blocks (public Arc90-readability and
+  * jusText heuristics), reassemble the survivors in document order.
+  *
+  * Every decision is a per-row projection with integer-exact thresholds
+  * (the q89 spelling): zero shuffle until the per-doc reassembly, which is
+  * one bounded `collect_list` group-by (document-sized, never
+  * corpus-skewed). At 100 TB this is scan-shaped — the regexes are
+  * RE2-compatible (no backreferences, no lookaround) so the SAME patterns
+  * define the DuckDB oracle.
+  *
+  * Boilerplate the rule targets: navigation chrome and footers are LINK-
+  * DENSE (most of their visible text sits inside `<a>`), ads/button rows
+  * are short; article prose is long and link-sparse. The two knobs:
+  * `minLen` (min visible chars for a content block) and `maxLinkPct`
+  * (max % of visible chars inside anchors).
+  *
+  * Reference lineage: the bronze→silver normalize-before-logic step
+  * (4_silver/silver_transactions.py cast/trim block) applied at markup
+  * level — canonical text first, every downstream operator after.
+  */
+object HtmlExtract {
+
+  /** Block-level tags whose open OR close marks a segment boundary. */
+  val BlockTags: String = "p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|thead|" +
+    "tbody|section|article|aside|main|header|footer|nav|blockquote|pre|form"
+
+  /** Drop content that renders nothing: script and style elements (two
+    * passes — RE2 has no backreferences, and the oracle shares these
+    * patterns verbatim).
+    */
+  def dropInvisible(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+
+  /** Remove every remaining tag, keeping visible text. */
+  def stripTags(c: Column): Column = regexp_replace(c, "<[^>]*>", "")
+
+  /** Segment html into candidate blocks: invisible content dropped,
+    * block-tag boundaries → newline, split. Inline tags (`<a>`, `<b>`,
+    * `<span>`…) stay inside their block for the density read.
+    */
+  def toBlocks(c: Column): Column =
+    split(regexp_replace(dropInvisible(c),
+      s"(?is)</?($BlockTags)[^>]*>", "\n"), "\n")
+
+  /** One row per NON-EMPTY candidate block: (`idCol`, block_idx,
+    * block_text, text_len, link_len) where `block_text` is the trimmed
+    * visible text, `text_len` its length and `link_len` the total visible
+    * chars inside the block's `<a>` elements. Tag-only / whitespace-only
+    * segments are dropped here (they carry no content and are the most
+    * common segment — every adjacent-tag boundary makes one).
+    */
+  def blocks(docs: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    docs.select(col(idCol),
+        posexplode(toBlocks(col(htmlCol))).as(Seq("block_idx", "_raw")))
+      .withColumn("block_text", trim(stripTags(col("_raw"))))
+      .filter(length(col("block_text")) > 0)
+      .withColumn("text_len", length(col("block_text")))
+      .withColumn("link_len", coalesce(aggregate(
+        transform(
+          regexp_extract_all(col("_raw"), lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+          a => length(trim(stripTags(a)))),
+        lit(0), (acc, x) => acc + x), lit(0)))
+      .select(col(idCol), col("block_idx"), col("block_text"),
+        col("text_len"), col("link_len"))
+
+  /** Main-text extraction rollup: one row per input document —
+    * (`idCol`, n_blocks, n_kept, kept_chars, main_text) where a block is
+    * kept iff `text_len >= minLen` AND `link_len·100 <= text_len·
+    * maxLinkPct` (integer-exact, no float compare), and `main_text` joins
+    * kept blocks by newline in document order. Documents with no candidate
+    * blocks (or none kept) report 0 counts and the empty string.
+    */
+  def mainText(docs: DataFrame, idCol: String, htmlCol: String,
+      minLen: Int = 10, maxLinkPct: Int = 20): DataFrame = {
+    val b = blocks(docs, idCol, htmlCol)
+      .withColumn("_keep", col("text_len") >= minLen &&
+        col("link_len") * 100 <= col("text_len") * maxLinkPct)
+    // collect_list skips the when()'s nulls; sort restores document order
+    // (per-doc bounded — the LineDedup.rollup reassembly discipline).
+    val roll = b.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_keep"), col("text_len")).otherwise(0L)).as("kept_chars"),
+        array_sort(collect_list(
+          when(col("_keep"), struct(col("block_idx"), col("block_text")))))
+          .as("_kb"))
+    docs.select(col(idCol))
+      .join(roll, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"),
+        coalesce(concat_ws("\n",
+          transform(col("_kb"), _.getField("block_text"))), lit(""))
+          .as("main_text"))
+  }
+}

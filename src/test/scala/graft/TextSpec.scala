@@ -708,4 +708,66 @@ class TextSpec extends SparkSpec {
     assert(!byId(1L).getBoolean(byId(1L).fieldIndex("keep")))
     assert(!byId(2L).getBoolean(byId(2L).fieldIndex("symbol_ok")))
   }
+
+  test("HtmlExtract.mainText: keeps prose, drops nav/ad/footer/script/style") {
+    val html = "<html><head><title>t</title><style>p{color:red}</style>" +
+      "<script>alert('hidden words that must never surface')</script></head>" +
+      "<body><div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a>" +
+      " <a href=\"/c\">Contact</a></div>" +
+      "<h1>A headline long enough to keep</h1>" +
+      "<p>The first real paragraph of the article with plenty of prose " +
+      "and even an inline <a href=\"/ref\">reference link</a> inside it.</p>" +
+      "<div class=\"ad\"><a href=\"/buy\">BUY NOW CLICK HERE</a></div>" +
+      "<p>Second paragraph, also long enough to pass the length rule.</p>" +
+      "<div class=\"footer\"><a href=\"/tos\">Terms</a> (c) 2024 example</div>" +
+      "</body></html>"
+    val out = graft.text.HtmlExtract.mainText(
+        Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .as[(Long, Long, Long, Long, String)].head()
+    val (_, nBlocks, nKept, keptChars, main) = out
+    assert(nKept === 3L, s"headline + 2 paragraphs: $out\n$main")
+    assert(main.startsWith("A headline long enough to keep\n"))
+    assert(main.contains("reference link"), "inline anchors keep their text")
+    assert(!main.contains("Home") && !main.contains("BUY NOW") &&
+      !main.contains("Terms") && !main.contains("hidden words") &&
+      !main.contains("color:red"), main)
+    assert(nBlocks > nKept && keptChars == main.replace("\n", "").length)
+  }
+
+  test("HtmlExtract.mainText: every doc emits a row; degenerate inputs survive") {
+    val docs = Seq(
+      (1L, ""),                                     // no blocks at all
+      (2L, "<div><a href=\"/x\">only a link row here</a></div>"), // all dropped
+      (3L, "plain text with no markup at all, long enough to keep"))
+      .toDF("doc_id", "html")
+    val out = graft.text.HtmlExtract.mainText(docs, "doc_id", "html")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L)._5 == "" && out(1L)._2 == 0L)
+    assert(out(2L)._5 == "" && out(2L)._3 == 0L && out(2L)._2 == 1L)
+    assert(out(3L)._5 == "plain text with no markup at all, long enough to keep")
+  }
+
+  test("HtmlExtract feeds the B block: boilerplate grams vanish downstream") {
+    // The direction check the intake step exists for: shared page chrome
+    // dominates cross-doc duplicate grams on RAW tag-stripped text, and
+    // extraction removes it. Unique prose per doc, identical chrome.
+    val mk = (id: Long, body: String) =>
+      (id, "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About us now</a>" +
+        " <a href=\"/c\">Contact the team today please</a></div>" +
+        s"<p>$body</p>" +
+        "<div class=\"footer\"><a href=\"/t\">Terms of service and privacy policy" +
+        " text for every single page</a></div>")
+    val docs = (1L to 6L).map(i => mk(i,
+      (1 to 12).map(j => s"unique${i}word$j").mkString(" "))).toDF("doc_id", "html")
+    val raw = docs.select(col("doc_id"),
+      graft.text.HtmlExtract.stripTags(col("html")).as("text"))
+    val extracted = graft.text.HtmlExtract.mainText(docs, "doc_id", "html")
+      .select(col("doc_id"), col("main_text").as("text"))
+    val before = graft.text.SpanDedup.dupSpans(raw, "doc_id", "text", 8).count()
+    val after = graft.text.SpanDedup.dupSpans(extracted, "doc_id", "text", 8).count()
+    assert(before >= 6L, s"chrome must duplicate across raw docs: $before")
+    assert(after === 0L, s"extracted prose must carry no cross-doc spans: $after")
+  }
 }
