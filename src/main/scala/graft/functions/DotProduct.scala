@@ -105,5 +105,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bin"),
       new ExpressionInfo(classOf[BinBySplits].getName, "graft_bin"),
       (children: Seq[Expression]) => BinBySplits(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
+      (children: Seq[Expression]) => BpeEncode(children.head, children(1))))
   }
 }

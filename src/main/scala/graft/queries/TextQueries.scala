@@ -637,6 +637,41 @@ object TextQueries {
         .orderBy(col("doc_id"), col("span_start"))
     },
 
+    // ---- q92: BPE subword encode (fixed merge table) ----
+    // Merge APPLICATION under Bpe.FixedMerges, oracle-pinned end to end:
+    // per-doc model-token counts + a fingerprint of the full subword
+    // stream ('+' joins subwords within a word, ' ' joins words). The
+    // TRAINED path is q95 (rows-only — DuckDB cannot train) + the
+    // replay-equivalence property specs.
+    "q92_bpe_encode" -> { (s, d) =>
+      val enc = (t: org.apache.spark.sql.Column) => call_function(
+        "graft_bpe_encode", t, typedLit(graft.text.Bpe.FixedMerges))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("_toks"))
+        .withColumn("_enc", transform(col("_toks"), t => enc(t)))
+        .select(col("doc_id"),
+          size(col("_toks")).cast("long").as("n_words"),
+          aggregate(transform(col("_enc"), e => size(e)),
+            lit(0L), (a, x) => a + x).as("n_bpe_tokens"),
+          md5(concat_ws(" ",
+            transform(col("_enc"), e => array_join(e, "+")))).as("bpe_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q95: BPE vocabulary training (rows-only by design) ----
+    // Driver-side merge learning over the bounded deterministic
+    // word-frequency table (the q55/q73 discipline: training isn't
+    // SQL-expressible; the strong gates are BpeSpec's determinism +
+    // driver-reference + replay-equivalence properties).
+    "q95_bpe_train" -> { (s, d) =>
+      import s.implicits._
+      graft.text.Bpe.train(Tables.documents(s, d), "text", numMerges = 32)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i + 1, s"$a $b") }
+        .toDF("rank", "merge")
+        .orderBy(col("rank"))
+    },
+
     // ---- q93: HTML main-content extraction (the intake step) ----
     // The B-block assumes clean text; real web intake starts from markup.
     // The corpus is WRAPPED in deterministic page chrome (nav + ad every
@@ -1235,6 +1270,50 @@ object TextQueries {
          SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
            max(pos) + 8 - min(pos) AS span_tokens
          FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""",
+
+    // BPE merge application as a recursive CTE: state = (word, symbol
+    // list); each step fuses the LEFTMOST occurrence of the LOWEST-ranked
+    // adjacent pair (list_position rank lookup against the same
+    // Bpe.FixedMerges literal, 0 = absent in DuckDB 1.0); terminal states
+    // (no ranked pair) join back to positional words. Provably the same
+    // algorithm as the native expression's min-rank/leftmost loop.
+    "q92_bpe_encode" -> {
+      val ml = graft.text.Bpe.FixedMerges.map(m => s"'$m'").mkString("[", ",", "]")
+      s"""WITH RECURSIVE
+         tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         dt AS (SELECT doc_id, unnest(toks) AS tok,
+             unnest(range(1, len(toks) + 1)) AS ti FROM tk),
+         w0 AS (SELECT DISTINCT tok FROM dt),
+         wch AS (SELECT tok, [tok[i] for i in range(1, len(tok) + 1)] AS syms
+           FROM w0),
+         enc AS (
+           SELECT tok, syms FROM wch
+           UNION ALL
+           SELECT tok, syms[1:bp-1] || [syms[bp] || syms[bp+1]] || syms[bp+2:] AS syms
+           FROM (
+             SELECT tok, syms,
+               list_min(list_filter(rks, x -> x > 0)) AS br,
+               list_position(rks, list_min(list_filter(rks, x -> x > 0))) AS bp
+             FROM (
+               SELECT tok, syms,
+                 [list_position($ml, syms[i] || ' ' || syms[i+1])
+                   for i in range(1, len(syms))] AS rks
+               FROM enc WHERE len(syms) > 1) a) b
+           WHERE br IS NOT NULL),
+         fin AS (
+           SELECT tok, syms FROM enc
+           WHERE len(syms) <= 1 OR list_min(list_filter(
+             [list_position($ml, syms[i] || ' ' || syms[i+1])
+               for i in range(1, len(syms))], x -> x > 0)) IS NULL),
+         j AS (SELECT dt.doc_id, dt.ti, f.syms FROM dt JOIN fin f USING (tok)),
+         roll AS (SELECT doc_id, count(*) AS n_words, sum(len(syms)) AS n_bpe,
+             string_agg(array_to_string(syms, '+'), ' ' ORDER BY ti) AS fpstr
+           FROM j GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(r.n_words, 0)::BIGINT AS n_words,
+           coalesce(r.n_bpe, 0)::BIGINT AS n_bpe_tokens,
+           md5(coalesce(r.fpstr, '')) AS bpe_fp
+         FROM documents d LEFT JOIN roll r USING (doc_id) ORDER BY d.doc_id"""
+    },
 
     // Shares HtmlExtract's RE2-compatible patterns verbatim (BlockTags is
     // the same constant); DuckDB regexp_replace needs the explicit 'g'

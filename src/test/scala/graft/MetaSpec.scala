@@ -89,8 +89,12 @@ class MetaSpec extends SparkSpec {
     // rows-only check. Pin the waiver list explicitly — additions to
     // `queries` without an oracle entry must touch THIS list (and justify
     // themselves): q55/q73 embed driver-local k-means, which DuckDB SQL
-    // cannot reproduce (their strong gates are AnnSpec's recall/purity).
-    val rowsOnlyWaivers = Set("q55_kmeans_cells", "q73_ann_ivfpq")
+    // cannot reproduce (their strong gates are AnnSpec's recall/purity);
+    // q95 is driver-side BPE vocabulary TRAINING (same discipline — the
+    // APPLY step q92 is fully oracle-backed with a fixed merge table, and
+    // training's strong gates are BpeSpec's determinism/driver-reference/
+    // replay-equivalence properties).
+    val rowsOnlyWaivers = Set("q55_kmeans_cells", "q73_ann_ivfpq", "q95_bpe_train")
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")

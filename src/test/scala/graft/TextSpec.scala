@@ -370,6 +370,12 @@ class TextSpec extends SparkSpec {
         lit(Array(1.0, 2.0, 3.0))).as("b"))
       .as[Long].collect().toSeq
     assert(binned == Seq(0L, 1L, 2L, 3L))
+    // graft_bpe_encode: the referenced rank map must survive codegen
+    val bpe = Seq("there").toDF("t")
+      .select(call_function("graft_bpe_encode", col("t"),
+        typedLit(Seq("e r", "t h", "th e"))).as("s"))
+      .as[Seq[String]].head()
+    assert(bpe == Seq("th", "er", "e"))
   }
 
   test("SimHash: identical docs collide at hamming 0") {
