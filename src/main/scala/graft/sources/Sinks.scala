@@ -330,6 +330,78 @@ object Sinks {
       .write.mode("overwrite").parquet(s"$path/_graft_stats")
   }
 
+  /** Incremental manifest maintenance for APPEND-ONLY tables (i15b): stat
+    * ONLY the data files the manifest doesn't know yet and union them in —
+    * refreshing after an append costs O(new files), not the full rescan
+    * [[writeStatsManifest]] pays, and [[readSkipping]]'s staleness check
+    * passes again the moment this returns. Indexed columns come FROM the
+    * existing manifest, so a refresh can never drift the manifest schema.
+    *
+    * Fails NAMED when no manifest exists (nothing to append to), or when
+    * the manifest lists files MISSING on disk — that table was rewritten
+    * or compacted, not appended (part files are immutable and rewrites
+    * mint new names, so missing-known-files is a reliable rewrite
+    * signal), and only a full [[writeStatsManifest]] can make the
+    * manifest honest again. No-op when the manifest is already current.
+    */
+  def appendStatsManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val root = new Path(path)
+    val rfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statsPath = new Path(s"$path/_graft_stats")
+    require(rfs.exists(statsPath),
+      s"no stats manifest at $statsPath — appendStatsManifest refreshes an " +
+        "existing manifest; run writeStatsManifest first")
+    val partDirs = rfs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.getName)
+    require(partDirs.isEmpty,
+      s"appendStatsManifest must target an unpartitioned table or ONE " +
+        s"partition directory; $path has partition-style subdirectories: " +
+        partDirs.take(3).mkString(", "))
+    // The manifest is file-catalog-sized by contract: collect it BEFORE
+    // the overwrite below (a lazy union reading the parquet it overwrites
+    // would corrupt the manifest mid-write).
+    val old = spark.read.parquet(statsPath.toString)
+    val oldRows = old.collect()
+    val statsCols = old.columns.filter(_.startsWith("min_"))
+      .map(_.stripPrefix("min_")).toSeq
+    def norm(u: String) = new Path(u).toUri.getPath
+    val known = oldRows.map(r => norm(r.getString(old.columns.indexOf("file")))).toSet
+    val disk = rfs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(s => s.getPath.toUri.getPath)
+    val gone = known -- disk.toSet
+    require(gone.isEmpty,
+      s"stats manifest for $path lists files missing on disk — the table " +
+        s"was rewritten/compacted, not appended; run writeStatsManifest " +
+        s"(missing: ${gone.take(3).mkString(", ")})")
+    val fresh = disk.filterNot(known).toIndexedSeq
+    if (fresh.isEmpty) return // manifest already covers every data file
+    val df = spark.read.parquet(fresh: _*)
+    val missing = statsCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"stats columns absent from appended files of $path: ${missing.mkString(", ")}")
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    val grouped = df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(old.columns.map(col).toIndexedSeq: _*) // pin the manifest column order
+    val groupedRows = grouped.collect()
+    val counted = groupedRows.map(r => norm(r.getString(0))).toSet
+    val zeroRows = fresh.filterNot(counted)
+      .map(f => org.apache.spark.sql.Row.fromSeq(
+        f +: Seq.fill(statsCols.size * 2)(null) :+ 0L))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          (oldRows ++ groupedRows ++ zeroRows).toIndexedSeq, 1),
+        old.schema)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsPath.toString)
+  }
+
   /** Pruned interval read (i15): rows of `path` with `c` in [lo, hi],
     * planned over ONLY the files whose manifest [min_c, max_c] range
     * intersects the interval. The manifest is file-catalog-sized, so the

@@ -544,6 +544,60 @@ class SourcesSpec extends SparkSpec {
     assert(part.getMessage.contains("partition-style"), part.getMessage)
   }
 
+  test("appendStatsManifest: append-only refresh stats only the new files (i15b)") {
+    val dir = tmp("skip_append")
+    val path = s"$dir/t"
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(col("l_linenumber") =!= 1).repartitionByRange(4, col("l_orderkey"))
+      .write.mode("overwrite").parquet(path)
+    Sinks.writeStatsManifest(spark, path, Seq("l_orderkey"))
+    val before = spark.read.parquet(s"$path/_graft_stats").count()
+    // append (including zero-row part files: 3 rows over 8 partitions)
+    li.filter(col("l_linenumber") === 1).limit(3).repartition(8)
+      .write.mode("append").parquet(path)
+    intercept[IllegalArgumentException] { // stale until refreshed
+      Sinks.readSkipping(spark, path, "l_orderkey", 1L, 2L)
+    }
+    Sinks.appendStatsManifest(spark, path)
+    val manifest = spark.read.parquet(s"$path/_graft_stats")
+    val nFiles = spark.read.parquet(path).inputFiles.length
+    assert(manifest.count() == nFiles,
+      s"refreshed manifest must cover every file: ${manifest.count()} vs $nFiles")
+    assert(manifest.count() > before, "append must add manifest rows")
+    // pruned read equals the full-scan filter over old + appended rows
+    val all = spark.read.parquet(path)
+    val keys = all.select(col("l_orderkey")).as[Long].collect().sorted
+    val (lo, hi) = (keys(keys.length / 4), keys(keys.length / 2))
+    val got = Sinks.readSkipping(spark, path, "l_orderkey", lo, hi)
+      .select(col("l_orderkey"), col("l_linenumber")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val expect = all.filter(col("l_orderkey").between(lo, hi))
+      .select(col("l_orderkey"), col("l_linenumber")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(got == expect)
+    // idempotent no-op when already current
+    Sinks.appendStatsManifest(spark, path)
+    assert(spark.read.parquet(s"$path/_graft_stats").count() == nFiles)
+    // a compaction/rewrite (not an append) leaves the manifest knowing
+    // files that no longer exist → named failure, full rewrite required.
+    // (A plain .mode(overwrite) also wipes _graft_stats itself, landing in
+    // the no-manifest branch; deleting a data file models the compaction
+    // case where the manifest survives but its file set is wrong.)
+    val victim = spark.read.parquet(path).inputFiles.head
+    Files.delete(java.nio.file.Paths.get(new java.net.URI(victim).getPath))
+    val gone = intercept[IllegalArgumentException] {
+      Sinks.appendStatsManifest(spark, path)
+    }
+    assert(gone.getMessage.contains("rewritten/compacted"), gone.getMessage)
+    // and with no manifest at all, append refuses (nothing to append to)
+    val p2 = s"$dir/t2"
+    li.limit(5).write.mode("overwrite").parquet(p2)
+    val none = intercept[IllegalArgumentException] {
+      Sinks.appendStatsManifest(spark, p2)
+    }
+    assert(none.getMessage.contains("writeStatsManifest first"), none.getMessage)
+  }
+
   test("json reader with schema reads nested props") {
     val dir = tmp("json")
     Files.write(java.nio.file.Paths.get(s"$dir/d.json"),
