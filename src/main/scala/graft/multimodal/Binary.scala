@@ -315,6 +315,243 @@ object Binary {
     (w, h, "gif")
   }
 
+  /** Fully decoded PNG raster: `samples` holds the defiltered bytes
+    * row-major, `channels` samples per pixel (gray=1, gray+alpha=2,
+    * RGB=3, RGBA=4).
+    */
+  final case class PngPixels(width: Int, height: Int, channels: Int,
+      samples: Array[Byte])
+
+  /** REAL PNG pixel decode — pure JVM: concatenated IDAT chunks inflate
+    * through `java.util.zip.Inflater`, then each scanline defilters per
+    * the PNG spec §9 (None/Sub/Up/Average/Paeth against the
+    * bytes-per-pixel left/up/up-left neighbors). Supports the ubiquitous
+    * non-interlaced 8-bit gray/RGB/gray+alpha/RGBA profiles; palette
+    * (needs PLTE), 16-bit and Adam7 fail NAMED — as does a truncated or
+    * corrupt IDAT stream (short inflate / DataFormatException), never
+    * garbage pixels.
+    */
+  def decodePngPixels(p: Array[Byte]): PngPixels = {
+    val (w, h, _) = parsePng(p)
+    val bitDepth = p(24) & 0xff
+    val colorType = p(25) & 0xff
+    val compression = p(26) & 0xff
+    val filterMethod = p(27) & 0xff
+    val interlace = p(28) & 0xff
+    if (bitDepth != 8) fail("png", s"unsupported bit depth $bitDepth (8 only)")
+    val channels = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 4 => 2
+      case 6 => 4
+      case 3 => fail("png", "palette color type needs a PLTE lookup — unsupported")
+      case t => fail("png", s"bad color type $t")
+    }
+    if (compression != 0) fail("png", s"bad compression method $compression")
+    if (filterMethod != 0) fail("png", s"bad filter method $filterMethod")
+    if (interlace != 0) fail("png", "Adam7 interlace unsupported")
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var sawEnd = false
+    while (!sawEnd) {
+      if (i + 8 > p.length) fail("png", s"truncated chunk header at byte $i")
+      val len = be32(p, i)
+      if (len < 0 || i + 12 + len > p.length)
+        fail("png", s"truncated chunk at byte $i (declared $len data bytes)")
+      val tag = new String(p, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (tag == "IDAT") idat.write(p, i + 8, len)
+      else if (tag == "IEND") sawEnd = true
+      i += 12 + len
+    }
+    if (idat.size == 0) fail("png", "no IDAT chunk")
+    val stride = w * channels
+    val raw = new Array[Byte](h * (stride + 1))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput())
+          fail("png", s"IDAT truncated: inflated $off of ${raw.length} filtered bytes")
+        off += n
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        fail("png", s"corrupt IDAT deflate stream: ${e.getMessage}")
+    } finally inf.end()
+    if (off < raw.length)
+      fail("png", s"IDAT truncated: inflated $off of ${raw.length} filtered bytes")
+    val out = new Array[Byte](h * stride)
+    val bpp = channels // 8-bit only, so bytes-per-pixel == channels
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      val rs = y * (stride + 1) + 1
+      val os = y * stride
+      var x = 0
+      while (x < stride) {
+        val rb = raw(rs + x) & 0xff
+        val a = if (x >= bpp) out(os + x - bpp) & 0xff else 0
+        val b = if (y > 0) out(os - stride + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) out(os - stride + x - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => rb
+          case 1 => rb + a
+          case 2 => rb + b
+          case 3 => rb + ((a + b) / 2)
+          case 4 =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a)
+            val pb = math.abs(pp - b)
+            val pc = math.abs(pp - c)
+            rb + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case t => fail("png", s"bad filter type $t on row $y")
+        }
+        out(os + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    PngPixels(w, h, channels, out)
+  }
+
+  /** Per-channel sample means of a decoded PNG — the first real
+    * feature-extract over actual pixels (not payload hashes).
+    */
+  def pngChannelMeans(p: Array[Byte]): Array[Double] = {
+    val px = decodePngPixels(p)
+    val sums = new Array[Long](px.channels)
+    var i = 0
+    while (i < px.samples.length) {
+      sums(i % px.channels) += px.samples(i) & 0xff
+      i += 1
+    }
+    val n = px.width.toLong * px.height
+    sums.map(_.toDouble / n)
+  }
+
+  /** `bins`-bucket luminance histogram of a decoded PNG: luma = the gray
+    * sample for gray profiles, the integer Rec.601 weighting
+    * (299·R + 587·G + 114·B)/1000 for color — integer-exact, so the spec
+    * fixtures pin every bucket.
+    */
+  def pngLumaHistogram(p: Array[Byte], bins: Int = 16): Array[Long] = {
+    require(bins > 0 && 256 % bins == 0, s"bins must divide 256, got $bins")
+    val px = decodePngPixels(p)
+    val hist = new Array[Long](bins)
+    val ch = px.channels
+    var i = 0
+    while (i < px.samples.length) {
+      val luma =
+        if (ch <= 2) px.samples(i) & 0xff
+        else ((px.samples(i) & 0xff) * 299 + (px.samples(i + 1) & 0xff) * 587 +
+          (px.samples(i + 2) & 0xff) * 114) / 1000
+      hist(luma * bins / 256) += 1
+      i += ch
+    }
+    hist
+  }
+
+  /** Real per-image pixel statistics for PNG payloads, in the
+    * partition-batched decode shape: (doc_id, width, height, channels,
+    * mean_luma, luma histogram). Non-PNG payloads fail NAMED — this is
+    * the pixel path; header-level metadata for the other formats stays
+    * [[decodeMeta]].
+    */
+  final case class PngStats(doc_id: Long, width: Int, height: Int,
+      channels: Int, mean_luma: Double, luma_hist: Array[Long])
+
+  def decodePngStats(payloads: Dataset[MediaPayload], bins: Int = 16): Dataset[PngStats] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      it.map { mp =>
+        val px = decodePngPixels(mp.payload)
+        val hist = pngLumaHistogram(mp.payload, bins)
+        val n = px.width.toLong * px.height
+        var lumaSum = 0L
+        val ch = px.channels
+        var i = 0
+        while (i < px.samples.length) {
+          lumaSum +=
+            (if (ch <= 2) px.samples(i) & 0xff
+            else ((px.samples(i) & 0xff) * 299 + (px.samples(i + 1) & 0xff) * 587 +
+              (px.samples(i + 2) & 0xff) * 114) / 1000)
+          i += ch
+        }
+        PngStats(mp.doc_id, px.width, px.height, ch, lumaSum.toDouble / n, hist)
+      }
+    }
+  }
+
+  /** PNG canvas width used by [[toPngPayloads]]; grayscale, 1 byte/pixel. */
+  val PngWidth = 32
+
+  /** Render a text corpus as REAL spec-valid PNGs (the [[toPpmPayloads]]
+    * move with an actual deflate pipeline): UTF-8 bytes become the gray-8
+    * raster of a `PngWidth`-wide canvas, zero-padded to fill the last row,
+    * each scanline written with filter type 0 and the whole stream
+    * deflated; chunk CRCs are correct, so any external tool opens these.
+    * Round-tripping through [[decodePngPixels]] recovers the exact bytes
+    * (spec-pinned), making the inflate+defilter path REAL end to end.
+    */
+  def toPngPayloads(spark: SparkSession, docs: DataFrame): Dataset[MediaPayload] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val crc = new java.util.zip.CRC32()
+        def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+          val out = new Array[Byte](12 + data.length)
+          def put32(off: Int, v: Int): Unit = {
+            out(off) = (v >>> 24).toByte; out(off + 1) = (v >>> 16).toByte
+            out(off + 2) = (v >>> 8).toByte; out(off + 3) = v.toByte
+          }
+          put32(0, data.length)
+          val tb = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          System.arraycopy(tb, 0, out, 4, 4)
+          System.arraycopy(data, 0, out, 8, data.length)
+          crc.reset()
+          crc.update(out, 4, 4 + data.length)
+          put32(8 + data.length, crc.getValue.toInt)
+          out
+        }
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val w = PngWidth
+          val h = math.max(1, (bytes.length + w - 1) / w)
+          val ihdr = new Array[Byte](13)
+          ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+          ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+          ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+          ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+          ihdr(8) = 8 // bit depth
+          ihdr(9) = 0 // gray
+          // compression/filter/interlace = 0
+          val raw = new Array[Byte](h * (w + 1))
+          var y = 0
+          while (y < h) {
+            val n = math.min(w, math.max(0, bytes.length - y * w))
+            if (n > 0) System.arraycopy(bytes, y * w, raw, y * (w + 1) + 1, n)
+            y += 1
+          }
+          val deflater = new java.util.zip.Deflater()
+          deflater.setInput(raw)
+          deflater.finish()
+          val zbuf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+          deflater.end()
+          val bos = new java.io.ByteArrayOutputStream()
+          bos.write(PngMagic)
+          bos.write(chunk("IHDR", ihdr))
+          bos.write(chunk("IDAT", zbuf.toByteArray))
+          bos.write(chunk("IEND", Array.emptyByteArray))
+          MediaPayload(id, bos.toByteArray, "image/png")
+        }
+      }
+  }
+
   /** Magic-dispatched decode: real parser when the payload declares a
     * format this JVM can parse without codecs (PPM, BMP, WAV, GIF, and
     * the header-parseable PNG/JPEG), deterministic stub otherwise. This

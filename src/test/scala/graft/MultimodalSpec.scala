@@ -205,4 +205,135 @@ class MultimodalSpec extends SparkSpec {
     val expect = text.map(_ & 0xff).sum.toDouble / 96
     assert(math.abs(Binary.ppmMeanByte(ps(1L)) - expect) < 1e-9)
   }
+
+  /** Encode a BufferedImage to PNG bytes via the JDK's own encoder — an
+    * INDEPENDENT reference implementation whose output exercises the
+    * adaptive filter types (Sub/Up/Average/Paeth) our decoder must undo.
+    */
+  private def imageioPng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos), "JDK PNG writer missing")
+    bos.toByteArray
+  }
+
+  test("decodePngPixels == the JDK reference decoder on random RGB/gray images") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 6) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val gray = trial % 2 == 0
+      val img = new java.awt.image.BufferedImage(w, h,
+        if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, rnd.nextInt() & 0xffffff)
+      val p = imageioPng(img)
+      val px = Binary.decodePngPixels(p)
+      assert((px.width, px.height) == ((w, h)))
+      assert(px.channels == (if (gray) 1 else 3), s"trial $trial: ${px.channels}")
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        if (gray) {
+          // getRGB would gamma-convert gray→sRGB; the raw raster sample is
+          // what the file stores and what our decoder must reproduce
+          val want = img.getRaster.getSample(x, y, 0)
+          val got = px.samples(y * w + x) & 0xff
+          assert(got == want, s"($x,$y): $got vs $want")
+        } else {
+          val o = (y * w + x) * 3
+          val got = ((px.samples(o) & 0xff) << 16) |
+            ((px.samples(o + 1) & 0xff) << 8) | (px.samples(o + 2) & 0xff)
+          assert(got == (rgb & 0xffffff), s"($x,$y): $got vs ${rgb & 0xffffff}")
+        }
+      }
+    }
+  }
+
+  test("pngChannelMeans and luma histogram: exact on a known fixture") {
+    // 2x2 RGB: two pure-red, one pure-green, one pure-blue pixel
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0xff0000)
+    img.setRGB(0, 1, 0x00ff00); img.setRGB(1, 1, 0x0000ff)
+    val p = imageioPng(img)
+    val means = Binary.pngChannelMeans(p)
+    assert(means.toSeq == Seq(127.5, 63.75, 63.75), means.toSeq.toString)
+    // lumas: red 255*299/1000=76 (bin 4), green 255*587/1000=149 (bin 9),
+    // blue 255*114/1000=29 (bin 1)
+    val hist = Binary.pngLumaHistogram(p, 16)
+    val expect = Array.fill(16)(0L)
+    expect(4) = 2L; expect(9) = 1L; expect(1) = 1L
+    assert(hist.toSeq == expect.toSeq, hist.toSeq.toString)
+  }
+
+  test("toPngPayloads: spec-valid PNGs whose raster round-trips the text bytes") {
+    val docs = Seq((1L, "hello world"), (2L, "y" * 200), (3L, "")).toDF("doc_id", "text")
+    val ps = Binary.toPngPayloads(spark, docs).collect().map(p => p.doc_id -> p.payload).toMap
+    assert(Binary.parsePng(ps(2L)) == ((32, 7, "png"))) // 200 bytes → 7 rows of 32
+    val px = Binary.decodePngPixels(ps(1L))
+    assert((px.width, px.height, px.channels) == ((32, 1, 1)))
+    val text = "hello world".getBytes("UTF-8")
+    assert(px.samples.take(text.length).toSeq == text.toSeq, "raster == text bytes")
+    assert(px.samples.drop(text.length).forall(_ == 0), "zero padding")
+    // the JDK's reference decoder opens our files too (CRCs are real)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ps(1L)))
+    assert(ref != null && ref.getWidth == 32 && ref.getHeight == 1)
+    assert(ref.getRaster.getSample(0, 0, 0) == 'h'.toInt, "pixel 0 is 'h'")
+    // and the batched stats face agrees with the closed form
+    val stats = Binary.decodePngStats(Binary.toPngPayloads(spark, docs))
+      .collect().map(s => s.doc_id -> s).toMap
+    assert(math.abs(stats(1L).mean_luma - text.map(_ & 0xff).sum.toDouble / 32) < 1e-9)
+    assert(stats(3L).mean_luma == 0.0 && stats(3L).luma_hist(0) == 32L)
+  }
+
+  test("decodePngPixels fails NAMED on truncated/corrupt IDAT and unsupported profiles") {
+    val good = Binary.toPngPayloads(spark, Seq((1L, "z" * 100)).toDF("doc_id", "text"))
+      .collect().head.payload
+    // payload cut mid-chunk
+    val cut = intercept[IllegalArgumentException](
+      Binary.decodePngPixels(good.take(good.length - 20)))
+    assert(cut.getMessage.contains("truncated chunk"), cut.getMessage)
+    // structurally intact chunks, but the deflate stream inflates short:
+    // rebuild the file with an IDAT holding HALF the filtered bytes
+    val half = {
+      val raw = new Array[Byte](50) // far fewer than h*(w+1)
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val zb = new java.io.ByteArrayOutputStream()
+      val t = new Array[Byte](8192)
+      while (!d.finished()) zb.write(t, 0, d.deflate(t))
+      d.end()
+      val crc = new java.util.zip.CRC32()
+      val data = zb.toByteArray
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(good, 0, 8 + 25) // signature + IHDR chunk
+      val hdr = java.nio.ByteBuffer.allocate(8).putInt(data.length)
+        .put("IDAT".getBytes("US-ASCII")).array()
+      bos.write(hdr); bos.write(data)
+      crc.update(hdr, 4, 4); crc.update(data)
+      bos.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      bos.write(Array[Byte](0, 0, 0, 0, 'I', 'E', 'N', 'D'))
+      bos.write(java.nio.ByteBuffer.allocate(4).putInt({
+        val c = new java.util.zip.CRC32(); c.update("IEND".getBytes("US-ASCII")); c.getValue.toInt
+      }).array())
+      bos.toByteArray
+    }
+    val short0 = intercept[IllegalArgumentException](Binary.decodePngPixels(half))
+    assert(short0.getMessage.contains("IDAT truncated"), short0.getMessage)
+    // garbage deflate stream → corrupt, named
+    val garbled = good.clone()
+    garbled(8 + 25 + 8) = 0x77 // first IDAT data byte: invalid zlib header
+    val bad = intercept[IllegalArgumentException](Binary.decodePngPixels(garbled))
+    assert(bad.getMessage.contains("IDAT"), bad.getMessage)
+    // Adam7 flag → named
+    val inter = good.clone()
+    inter(28) = 1
+    val i7 = intercept[IllegalArgumentException](Binary.decodePngPixels(inter))
+    assert(i7.getMessage.contains("Adam7"), i7.getMessage)
+    // palette profile (JDK TYPE_BYTE_INDEXED → color type 3) → named
+    val pal = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    val palErr = intercept[IllegalArgumentException](
+      Binary.decodePngPixels(imageioPng(pal)))
+    assert(palErr.getMessage.contains("palette"), palErr.getMessage)
+  }
 }
