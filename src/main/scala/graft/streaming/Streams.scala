@@ -509,6 +509,81 @@ object Streams {
     hits.unpersist()
   }
 
+  /** One-time deployment step for [[bloomDecontaminateSink]] (s19):
+    * persist the eval-gram set AND its Bloom filter into the sink's state
+    * dir. The build runs ONCE — q88's cost story moved off the per-batch
+    * path: each micro-batch re-reads a filter of ~bits/8 bytes instead of
+    * re-broadcasting (or rebuilding) the gram set, which is what makes a
+    * 100M-gram suite (filter ~200 MB, gram set tens of GB) workable on a
+    * live intake. `bitsPerGram` is the FP-rate knob — never a correctness
+    * one (the sink's exact verify removes every false positive).
+    */
+  def prepareBloomDecontamination(spark: SparkSession, stateDir: String,
+      evalDocs: DataFrame, textCol: String = "text", n: Int = 8,
+      bitsPerGram: Int = 16, k: Int = graft.functions.Bloom.DefaultK): Unit = {
+    require(bitsPerGram >= 1, s"bitsPerGram must be >= 1, got $bitsPerGram")
+    val grams = evalGramSet(evalDocs, textCol, n).cache()
+    try {
+      grams.write.mode("overwrite").parquet(s"$stateDir/eval_grams")
+      val nGrams = grams.count()
+      val m = math.max(1024L, ((nGrams * bitsPerGram + 63L) / 64L) * 64L)
+      graft.functions.Bloom.bits(
+          grams.select(xxhash64(col("gram")).as("h")), "h", m, k)
+        .withColumn("m", lit(m)).withColumn("k", lit(k))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/bloom")
+    } finally grams.unpersist()
+  }
+
+  /** s19: streaming decontamination through the persisted Bloom prefilter
+    * — [[decontaminateSink]]'s contract (same `clean`/`flagged` logs, same
+    * n_hits semantics, stateless-across-batches, replay-idempotent via
+    * dynamic partition overwrite) with q88's scale path per batch: the
+    * batch's grams probe the ONE-ROW persisted filter (broadcast of
+    * ~bits/8 bytes), and only bloom-HITTING candidates reach the exact
+    * verify join against the persisted gram set — candidate volume is
+    * output-sized + the sized FP trickle, so the verify join is tiny and
+    * AQE broadcasts the eval side when it measures small. Row-for-row
+    * EQUAL to [[decontaminateSink]] on any suite (parity-pinned): no
+    * false negatives exist and the verify removes every false positive.
+    *
+    * Fails NAMED when the state dir lacks the prepared filter — the
+    * deployment step ([[prepareBloomDecontamination]]) is explicit, not
+    * lazily inferred from a batch (a half-prepared dir must never read as
+    * an empty eval suite).
+    */
+  def bloomDecontaminateSink(spark: SparkSession, stateDir: String,
+      n: Int = 8)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.text.{TextFunctions => TF}
+    val bloom = graft.sources.Sources.parquetIfExists(spark, s"$stateDir/bloom")
+      .getOrElse(throw new IllegalArgumentException(
+        s"no Bloom filter at $stateDir/bloom — run prepareBloomDecontamination first"))
+    val meta = bloom.select(col("m"), col("k")).head()
+    val (m, k) = (meta.getLong(0), meta.getInt(1))
+    val evalGrams = spark.read.parquet(s"$stateDir/eval_grams")
+    val cand = batch
+      .select(col("doc_id"),
+        explode(TF.wordNgrams(TF.tokens(col("text")), n)).as("gram"))
+      .crossJoin(broadcast(bloom.select(col("bits"))))
+      .filter(graft.functions.Bloom.mightContain(
+        xxhash64(col("gram")), col("bits"), m, k))
+      .select(col("doc_id"), col("gram"))
+    val hits = cand.join(evalGrams, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_hits"))
+      .cache()
+    val clean = batch.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left_anti")
+    if (!clean.isEmpty)
+      graft.sources.Sinks.dynamicOverwrite(
+        clean.withColumn("batch_id", lit(batchId)),
+        s"$stateDir/clean", Seq("batch_id"))
+    if (!hits.isEmpty)
+      graft.sources.Sinks.dynamicOverwrite(
+        hits.withColumn("batch_id", lit(batchId)),
+        s"$stateDir/flagged", Seq("batch_id"))
+    hits.unpersist()
+  }
+
   /** Distinct word `n`-gram set of an eval/benchmark corpus — the static
     * side of [[decontaminateSink]]; cache it once per deployment.
     */

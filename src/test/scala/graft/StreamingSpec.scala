@@ -680,6 +680,57 @@ class StreamingSpec extends SparkSpec {
     evalGrams.unpersist()
   }
 
+  test("bloomDecontaminateSink: parity with decontaminateSink, replay, compaction (s19)") {
+    val dir = Files.createTempDirectory("bloom_decon_stream").toFile.getAbsolutePath
+    val evalDocs = Seq((0L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    // un-prepared state fails named, never reads as an empty suite
+    val unprep = intercept[IllegalArgumentException] {
+      Streams.bloomDecontaminateSink(spark, s"$dir/state")(
+        Seq((9L, "x")).toDF("doc_id", "text"), 0L)
+    }
+    assert(unprep.getMessage.contains("prepareBloomDecontamination"), unprep.getMessage)
+    // deployment step builds the filter ONCE; a 1-bit/gram filter
+    // saturates with false positives — the exact verify must still win
+    Streams.prepareBloomDecontamination(spark, s"$dir/state", evalDocs,
+      bitsPerGram = 1)
+    val sink = Streams.bloomDecontaminateSink(spark, s"$dir/state") _
+    val contaminated = "one two three four five six seven eight nine tail"
+    val b0 = Seq(
+      (1L, contaminated),
+      (2L, "completely different words with no overlap at all here"),
+      (3L, "short"))
+      .toDF("doc_id", "text")
+    sink(b0, 0L)
+    sink(b0, 0L) // replay after a simulated post-write failure
+    def clean = Streams.readDecontaminated(spark, s"$dir/state")
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 3L), s"clean set wrong: $clean")
+    val flagged = spark.read.parquet(s"$dir/state/flagged")
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+    assert(flagged == Map(1L -> 2L), s"flagged wrong: $flagged")
+    // row-for-row parity with the broadcast sink on the same batches
+    val dir2 = Files.createTempDirectory("bloom_decon_ref").toFile.getAbsolutePath
+    val evalGrams = Streams.evalGramSet(evalDocs, "text").cache()
+    val refSink = Streams.decontaminateSink(spark, s"$dir2/state", evalGrams) _
+    val b1 = Seq((4L, "tail " + contaminated), (5L, "more novel prose entirely"))
+      .toDF("doc_id", "text")
+    refSink(b0, 0L); refSink(b1, 1L)
+    sink(b1, 1L)
+    val refClean = Streams.readDecontaminated(spark, s"$dir2/state")
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == refClean, s"bloom $clean != broadcast $refClean")
+    val refFlagged = spark.read.parquet(s"$dir2/state/flagged")
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+    val bloomFlagged = spark.read.parquet(s"$dir/state/flagged")
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+    assert(bloomFlagged == refFlagged, s"$bloomFlagged != $refFlagged")
+    evalGrams.unpersist()
+    // logs compact like every other batch log
+    assert(Streams.compactBatchLog(spark, s"$dir/state/clean", keepLast = 1))
+    assert(clean == refClean, "compaction must not change the clean set")
+  }
+
   test("mixtureSink: single-batch parity with q81, idempotent replay, incremental refold") {
     val dir = Files.createTempDirectory("mixture_stream").toFile.getAbsolutePath
     val sink = Streams.mixtureSink(spark, s"$dir/state") _
