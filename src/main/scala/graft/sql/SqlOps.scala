@@ -425,23 +425,17 @@ object SqlOps {
     * back, never a window over the hot bucket. Needs `graft_tokens` /
     * `graft_word_bigrams` / `graft_hash60` ([[SqlFunctions.register]]).
     */
-  def minhashCandidatesSql(table: String, idCol: String, textCol: String,
-      k: Int = 16, bandRows: Int = 4,
-      maxBucket: Option[Int] = Some(graft.text.MinHash.BucketCap)): String = {
+  /** Shared CTE scaffold: `_g0` shingles → `_sh` distinct → `_mh` salted
+    * minhash → `_b0` band sums (the [[graft.text.MinHash]] pipeline up to
+    * banding, spelled once for the candidate AND the over-cap-star faces).
+    */
+  private def minhashBandsCtes(table: String, idCol: String, textCol: String,
+      k: Int, bandRows: Int): String = {
     require(k >= 1 && bandRows >= 1 && k % bandRows == 0,
       s"signature width $k must divide into bands of $bandRows rows")
-    maxBucket.foreach(c => require(c >= 1, s"maxBucket must be positive, got $c"))
     val (id, txt) = (bt(idCol), bt(textCol))
     // UDFs live in projections; explode consumes plain columns (a SQL UDF
     // directly under a Generate is UNSUPPORTED_SQL_UDF_USAGE).
-    val capped = if (maxBucket.isDefined) "_b" else "_b0"
-    val capCtes = maxBucket.fold("") { cap =>
-      s""",
-         |_bc AS (SELECT band, band_val FROM _b0
-         |  GROUP BY band, band_val HAVING count(*) <= $cap),
-         |_b AS (SELECT b.* FROM _b0 b LEFT SEMI JOIN _bc c
-         |  ON b.band = c.band AND b.band_val = c.band_val)""".stripMargin
-    }
     s"""WITH _g0 AS (SELECT $id AS _id,
        |    graft_word_bigrams(graft_tokens($txt)) AS _grams
        |  FROM $table),
@@ -454,10 +448,70 @@ object SqlOps {
        |  GROUP BY _id, salt),
        |_b0 AS (SELECT _id, CAST(salt / $bandRows AS INT) AS band,
        |    sum(minh) AS band_val
-       |  FROM _mh GROUP BY _id, CAST(salt / $bandRows AS INT))$capCtes
-       |SELECT DISTINCT a._id AS id_a, b._id AS id_b
+       |  FROM _mh GROUP BY _id, CAST(salt / $bandRows AS INT))""".stripMargin
+  }
+
+  /** @param includeOverCapStars also union [[minhashOverCapPairsSql]]'s
+    *        star pairs (each >cap-bucket member × the bucket's min-id
+    *        representative) into the candidate stream — the SQL spelling
+    *        of `Curate.keepSet(overCapStars = true)`'s recall-cliff
+    *        mitigation: a >cap near-dup clique saturates its own buckets
+    *        and yields ZERO capped candidates, so without the stars every
+    *        member survives curation. Star pairs are candidates like any
+    *        other: run the same exact-similarity verify downstream.
+    */
+  def minhashCandidatesSql(table: String, idCol: String, textCol: String,
+      k: Int = 16, bandRows: Int = 4,
+      maxBucket: Option[Int] = Some(graft.text.MinHash.BucketCap),
+      includeOverCapStars: Boolean = false): String = {
+    maxBucket.foreach(c => require(c >= 1, s"maxBucket must be positive, got $c"))
+    require(!includeOverCapStars || maxBucket.isDefined,
+      "includeOverCapStars needs a maxBucket: an uncapped run has no over-cap buckets")
+    val capped = if (maxBucket.isDefined) "_b" else "_b0"
+    val capCtes = maxBucket.fold("") { cap =>
+      s""",
+         |_bc AS (SELECT band, band_val FROM _b0
+         |  GROUP BY band, band_val HAVING count(*) <= $cap),
+         |_b AS (SELECT b.* FROM _b0 b LEFT SEMI JOIN _bc c
+         |  ON b.band = c.band AND b.band_val = c.band_val)""".stripMargin
+    }
+    val starCtes = if (!includeOverCapStars) "" else {
+      val cap = maxBucket.get
+      s""",
+         |_hot AS (SELECT band, band_val, min(_id) AS _rep FROM _b0
+         |  GROUP BY band, band_val HAVING count(*) > $cap)""".stripMargin
+    }
+    val starUnion = if (!includeOverCapStars) "" else {
+      s"""
+         |UNION
+         |SELECT h._rep AS id_a, b._id AS id_b
+         |FROM _b0 b JOIN _hot h
+         |  ON b.band = h.band AND b.band_val = h.band_val AND b._id <> h._rep""".stripMargin
+    }
+    s"""${minhashBandsCtes(table, idCol, textCol, k, bandRows)}$capCtes$starCtes
+       |SELECT DISTINCT id_a, id_b FROM (
+       |SELECT a._id AS id_a, b._id AS id_b
        |FROM $capped a JOIN $capped b
-       |  ON a.band = b.band AND a.band_val = b.band_val AND a._id < b._id""".stripMargin
+       |  ON a.band = b.band AND a.band_val = b.band_val AND a._id < b._id$starUnion
+       |)""".stripMargin
+  }
+
+  /** SQL twin of [[graft.text.MinHash.overCapPairs]] — the star-pair side
+    * channel alone: each member of a >cap band bucket pairs with the
+    * bucket's smallest id (id_a = the bucket min, so id_a < id_b always),
+    * distinct across buckets, LINEAR in bucket size. Feed the same
+    * exact-similarity verify as the candidate stream.
+    */
+  def minhashOverCapPairsSql(table: String, idCol: String, textCol: String,
+      k: Int = 16, bandRows: Int = 4,
+      cap: Int = graft.text.MinHash.BucketCap): String = {
+    require(cap >= 1, s"cap must be positive, got $cap")
+    s"""${minhashBandsCtes(table, idCol, textCol, k, bandRows)},
+       |_hot AS (SELECT band, band_val, min(_id) AS _rep FROM _b0
+       |  GROUP BY band, band_val HAVING count(*) > $cap)
+       |SELECT DISTINCT h._rep AS id_a, b._id AS id_b
+       |FROM _b0 b JOIN _hot h
+       |  ON b.band = h.band AND b.band_val = h.band_val AND b._id <> h._rep""".stripMargin
   }
 
   def qualityCutoffSql(table: String, idCol: String, sourceCol: String,
@@ -630,6 +684,122 @@ object SqlOps {
        |SELECT $id, min(pos) AS span_start, max(pos) + $n AS span_end,
        |  max(pos) + $n - min(pos) AS span_tokens
        |FROM _grp GROUP BY $id, _g""".stripMargin
+  }
+
+  /** SQL twin of q94 / [[graft.text.SpanDedup.trim]] — the spanDedupSql
+    * scaffold extended with min-id owner election, removal-span explode and
+    * the token-space reassembly (collect_list of (pos, tok) structs sorted
+    * after collection, the q82 discipline). One statement, same output
+    * columns: (`idCol`, n_tokens, removed_tokens, n_spans, text_trimmed).
+    */
+  def spanTrimSql(table: String, idCol: String, textCol: String,
+      n: Int = 8): String = {
+    require(n >= 2, s"span gram width must be >= 2, got $n")
+    val (id, txt) = (bt(idCol), bt(textCol))
+    s"""WITH _tk AS (SELECT $id, graft_tokens($txt) AS _toks FROM $table),
+       |_pa AS (SELECT $id, element_at(transform(array(_toks), ts ->
+       |    CASE WHEN size(ts) >= $n THEN transform(sequence(1, size(ts) - ${n - 1}),
+       |        i -> named_struct('pos', i, 'h',
+       |          graft_hash60(concat_ws(' ', slice(ts, i, $n)))))
+       |      ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, h: BIGINT>>) END), 1) AS _pgs
+       |  FROM _tk),
+       |_p AS (SELECT $id, _pg.pos AS pos, _pg.h AS h
+       |  FROM _pa LATERAL VIEW explode_outer(_pgs) _e AS _pg WHERE _pg IS NOT NULL),
+       |_dup AS (SELECT h FROM (SELECT DISTINCT h, $id FROM _p)
+       |  GROUP BY h HAVING count(*) >= 2),
+       |_own AS (SELECT h, min($id) AS _owner
+       |  FROM (SELECT h, $id FROM _p LEFT SEMI JOIN _dup USING (h)) GROUP BY h),
+       |_hit AS (SELECT p.$id, p.pos FROM _p p JOIN _own o
+       |  ON p.h = o.h AND p.$id <> o._owner),
+       |_brk AS (SELECT $id, pos,
+       |    CASE WHEN lag(pos) OVER _w IS NULL OR pos > lag(pos) OVER _w + $n
+       |      THEN 1 ELSE 0 END AS _b
+       |  FROM _hit WINDOW _w AS (PARTITION BY $id ORDER BY pos)),
+       |_grp AS (SELECT $id, pos, sum(_b) OVER
+       |    (PARTITION BY $id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS _g
+       |  FROM _brk),
+       |_spans AS (SELECT $id, min(pos) AS span_start, max(pos) + $n AS span_end,
+       |    max(pos) + $n - min(pos) AS span_tokens
+       |  FROM _grp GROUP BY $id, _g),
+       |_rem AS (SELECT $id, explode(sequence(span_start, span_end - 1)) AS pos
+       |  FROM _spans),
+       |_tox AS (SELECT $id, _p0 + 1 AS pos, tok FROM _tk
+       |  LATERAL VIEW posexplode(_toks) _e AS _p0, tok),
+       |_kept AS (SELECT $id, concat_ws(' ', transform(
+       |    array_sort(collect_list(named_struct('pos', pos, 'tok', tok))),
+       |    s -> s.tok)) AS _kt
+       |  FROM (SELECT t.$id, t.pos, t.tok FROM _tox t
+       |    LEFT ANTI JOIN _rem r ON t.$id = r.$id AND t.pos = r.pos)
+       |  GROUP BY $id),
+       |_st AS (SELECT $id, count(*) AS n_spans, sum(span_tokens) AS removed_tokens
+       |  FROM _spans GROUP BY $id)
+       |SELECT t.$id, size(t._toks) AS n_tokens,
+       |  coalesce(s.removed_tokens, CAST(0 AS BIGINT)) AS removed_tokens,
+       |  coalesce(s.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       |  coalesce(k._kt, '') AS text_trimmed
+       |FROM _tk t LEFT JOIN _kept k ON t.$id = k.$id
+       |LEFT JOIN _st s ON t.$id = s.$id""".stripMargin
+  }
+
+  /** SQL twin of q93 / [[graft.text.HtmlExtract.mainText]]: segment on
+    * block tags, keep text-dense/link-sparse blocks (integer-exact
+    * thresholds), reassemble in document order. Patterns are the SAME
+    * RE2-compatible constants the Column API uses.
+    */
+  def htmlExtractSql(table: String, idCol: String, htmlCol: String,
+      minLen: Int = 10, maxLinkPct: Int = 20): String = {
+    val (id, html) = (bt(idCol), bt(htmlCol))
+    val blockPat = s"(?is)</?(${graft.text.HtmlExtract.BlockTags})[^>]*>"
+    s"""WITH _bl AS (SELECT $id, split(regexp_replace(regexp_replace(
+       |    regexp_replace($html, '(?is)<script[^>]*>.*?</script>', ' '),
+       |    '(?is)<style[^>]*>.*?</style>', ' '),
+       |    '$blockPat', '\\n'), '\\n') AS _segs FROM $table),
+       |_sg AS (SELECT $id, block_idx, _raw FROM _bl
+       |  LATERAL VIEW posexplode(_segs) _e AS block_idx, _raw),
+       |_cand AS (SELECT $id, block_idx,
+       |    trim(regexp_replace(_raw, '<[^>]*>', '')) AS block_text,
+       |    coalesce(aggregate(transform(
+       |      regexp_extract_all(_raw, '(?is)<a[^>]*>(.*?)</a>', 1),
+       |      a -> length(trim(regexp_replace(a, '<[^>]*>', '')))),
+       |      0, (acc, x) -> acc + x), 0) AS link_len
+       |  FROM _sg),
+       |_sc AS (SELECT $id, block_idx, block_text,
+       |    length(block_text) AS text_len, link_len,
+       |    length(block_text) >= $minLen
+       |      AND link_len * 100 <= length(block_text) * $maxLinkPct AS _keep
+       |  FROM _cand WHERE length(block_text) > 0),
+       |_roll AS (SELECT $id, count(*) AS n_blocks,
+       |    sum(CASE WHEN _keep THEN CAST(1 AS BIGINT) ELSE 0 END) AS n_kept,
+       |    sum(CASE WHEN _keep THEN CAST(text_len AS BIGINT) ELSE 0 END) AS kept_chars,
+       |    array_sort(collect_list(CASE WHEN _keep THEN
+       |      named_struct('block_idx', block_idx, 'block_text', block_text) END)) AS _kb
+       |  FROM _sc GROUP BY $id)
+       |SELECT d.$id,
+       |  coalesce(r.n_blocks, CAST(0 AS BIGINT)) AS n_blocks,
+       |  coalesce(r.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       |  coalesce(r.kept_chars, CAST(0 AS BIGINT)) AS kept_chars,
+       |  coalesce(concat_ws('\\n', transform(r._kb, s -> s.block_text)), '') AS main_text
+       |FROM (SELECT $id FROM $table) d LEFT JOIN _roll r ON d.$id = r.$id""".stripMargin
+  }
+
+  /** SQL twin of q92's BPE encode: the native `graft_bpe_encode` is a
+    * registered SQL function, so the whole query is one projection —
+    * merges inline as a constant array literal (each `"a b"`, rank =
+    * position, the [[graft.text.Bpe]] format).
+    */
+  def bpeEncodeSql(table: String, idCol: String, textCol: String,
+      merges: Seq[String]): String = {
+    require(merges.nonEmpty, "merge table must not be empty")
+    require(merges.forall(!_.contains("'")), "merge symbols must not contain quotes")
+    val (id, txt) = (bt(idCol), bt(textCol))
+    val ml = merges.map(m => s"'$m'").mkString("array(", ", ", ")")
+    s"""SELECT $id, CAST(size(_toks) AS BIGINT) AS n_words,
+       |  aggregate(transform(_enc, e -> size(e)), CAST(0 AS BIGINT),
+       |    (a, x) -> a + x) AS n_bpe_tokens,
+       |  md5(concat_ws(' ', transform(_enc, e -> array_join(e, '+')))) AS bpe_fp
+       |FROM (SELECT $id, _toks,
+       |    transform(_toks, t -> graft_bpe_encode(t, $ml)) AS _enc
+       |  FROM (SELECT $id, graft_tokens($txt) AS _toks FROM $table))""".stripMargin
   }
 
   /** SQL twin of q90's span-level contamination — the spanDedupSql scaffold

@@ -342,6 +342,72 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(n2 < nAll, s"cap=2 should prune: $n2 vs $nAll")
   }
 
+  test("SqlOps.minhashOverCapPairsSql == MinHash.overCapPairs; star flag == keepSet union") {
+    registered
+    import spark.implicits._
+    import graft.text.MinHash
+    // a 12-doc verbatim clique saturates its buckets at cap=5
+    val clique = (1L to 12L).map(i => (i, "hot boilerplate text repeated verbatim here"))
+    val docs = (clique :+ (100L, "rare unrelated document about other things"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("overcap_docs")
+    val bands = {
+      val sh = MinHash.withShingles(docs, "doc_id", "text")
+      val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 4)
+      MinHash.bands(sig, "doc_id", 4, 2)
+    }
+    val viaSql = spark.sql(SqlOps.minhashOverCapPairsSql(
+      "overcap_docs", "doc_id", "text", k = 4, bandRows = 2, cap = 5))
+    val viaCol = MinHash.overCapPairs(bands, "doc_id", cap = 5)
+    assertSame(viaSql, viaCol, "over-cap star pairs", samePlan = false)
+    assert(viaSql.count() == 11L, "one star per non-representative clique member")
+    // includeOverCapStars: the candidate stream grows by exactly the stars
+    val withStars = spark.sql(SqlOps.minhashCandidatesSql(
+      "overcap_docs", "doc_id", "text", k = 4, bandRows = 2,
+      maxBucket = Some(5), includeOverCapStars = true))
+    val viaColUnion = MinHash.candidates(bands, "doc_id", Some(5))
+      .unionByName(MinHash.overCapPairs(bands, "doc_id", 5)).distinct()
+    assertSame(withStars, viaColUnion, "candidates + stars", samePlan = false)
+    // an uncapped run has no over-cap buckets to star — misuse fails fast
+    intercept[IllegalArgumentException] {
+      SqlOps.minhashCandidatesSql("overcap_docs", "doc_id", "text",
+        maxBucket = None, includeOverCapStars = true)
+    }
+  }
+
+  test("SqlOps.spanTrimSql == SpanDedup.trim (rows)") {
+    registered
+    val viaSql = spark.sql(SqlOps.spanTrimSql("documents", "doc_id", "text", 8))
+    val viaCol = graft.text.SpanDedup.trim(
+      Tables.documents(spark, sfDir), "doc_id", "text", 8)
+    assertSame(viaSql, viaCol, "span trim", samePlan = false)
+  }
+
+  test("SqlOps.htmlExtractSql == HtmlExtract.mainText (rows)") {
+    registered
+    import spark.implicits._
+    val html = Seq(
+      (1L, "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a></div>" +
+        "<p>A long enough paragraph of real prose to keep here.</p>" +
+        "<script>var hidden = true;</script>" +
+        "<p>Another paragraph with an inline <a href=\"x\">link</a> in it, also kept.</p>"),
+      (2L, ""),
+      (3L, "<div><a href=\"/x\">only links</a></div>"))
+      .toDF("doc_id", "html")
+    html.createOrReplaceTempView("html_docs")
+    val viaSql = spark.sql(SqlOps.htmlExtractSql("html_docs", "doc_id", "html"))
+    val viaCol = graft.text.HtmlExtract.mainText(html, "doc_id", "html")
+    assertSame(viaSql, viaCol, "html extract", samePlan = false)
+  }
+
+  test("SqlOps.bpeEncodeSql == q92's Column spelling (rows)") {
+    registered
+    val viaSql = spark.sql(SqlOps.bpeEncodeSql(
+      "documents", "doc_id", "text", graft.text.Bpe.FixedMerges))
+    val viaCol = SparkEntry.queries("q92_bpe_encode")(spark, sfDir)
+    assertSame(viaSql, viaCol, "bpe encode", samePlan = false)
+  }
+
   test("SqlOps.pageRankSql == Graph.pageRank (rows at round-8 precision)") {
     registered
     val edges = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
