@@ -71,7 +71,9 @@ object ScaleBench {
     "q82_line_dedup", "q83_source_overlap", "q85_boilerplate_grams",
     "q86_semdedup", "q87_span_dedup", "q88_bloom_decontaminate",
     "q89_gopher_filter", "q90_contamination_spans", "q91_corpus_report",
-    "x35_dedup_cosine_auto", "x86_semdedup_auto", "x88_bloom_fixed_eval")
+    "q95_bpe_train",
+    "x35_dedup_cosine_auto", "x86_semdedup_auto", "x88_bloom_fixed_eval",
+    "x92_bpe_encode_work", "x93_html_extract_work", "x94_span_trim_work")
 
   /** Default key stride between copies: far above any sf0.1 key range, so
     * strided ids never collide across copies. A SECOND derivation (e.g.
@@ -197,6 +199,28 @@ object ScaleBench {
       graft.sim.Ann.semDedupAuto(
         Tables.embeddings(s, d).select(col("vec_id").as("id"),
           graft.sim.Ann.toDouble(col("embedding")).as("vec")), 0.35)
+    },
+    // Prune-proof work variants (r12): the harness action is `.count()`,
+    // and Catalyst rightly ELIMINATES work a count doesn't need — a
+    // projection-shaped query (q92/q93) prunes to its scan, and q94's
+    // per-doc left joins against aggregates are dropped wholesale by the
+    // outer-join eliminator (measured: "q94" 0.67s where q87, a strict
+    // subset of its work, runs 41.6s at the same 100x corpus). Grouping BY
+    // the computed fingerprints forces every row's full computation into
+    // the key, so these x-variants measure the OPERATOR, not the scan.
+    // The catalog queries keep their oracle-matching shapes.
+    "x92_bpe_encode_work" -> { (s, d) =>
+      SparkEntry.queries("q92_bpe_encode")(s, d)
+        .groupBy(col("bpe_fp")).agg(sum(col("n_bpe_tokens")).as("t"))
+    },
+    "x93_html_extract_work" -> { (s, d) =>
+      SparkEntry.queries("q93_html_extract")(s, d)
+        .groupBy(col("main_fp")).agg(sum(col("kept_chars")).as("t"))
+    },
+    "x94_span_trim_work" -> { (s, d) =>
+      graft.text.SpanDedup.trim(Tables.documents(s, d), "doc_id", "text", 8)
+        .groupBy(md5(col("text_trimmed")).as("fp"))
+        .agg(sum(col("removed_tokens")).as("t"))
     })
 
   def main(args: Array[String]): Unit = {
