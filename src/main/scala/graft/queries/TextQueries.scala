@@ -658,6 +658,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q96: shard packing on MODEL-TOKENIZER counts ----
+    // The composition the tokenizer exists for: q71 budgets shards in
+    // whitespace tokens (1.3-1.7x off on web text); q96 feeds q92's BPE
+    // counts into the SAME two-phase distributed prefix sum, so training
+    // shards hold ~budget real subword tokens. Pure projection into
+    // ShardPack.assign — no new shuffle beyond q71's.
+    "q96_bpe_pack" -> { (s, d) =>
+      val enc = (t: org.apache.spark.sql.Column) => call_function(
+        "graft_bpe_encode", t, typedLit(graft.text.Bpe.FixedMerges))
+      val weighted = Tables.documents(s, d)
+        .select(col("doc_id"),
+          aggregate(transform(TF.tokens(col("text")), t => size(enc(t))),
+            lit(0L), (a, x) => a + x).as("n_bpe_tokens"))
+      graft.ops.ShardPack.assign(weighted, "doc_id", "n_bpe_tokens",
+          budget = 512, bucketSize = 64)
+        .select(col("doc_id"), col("n_bpe_tokens"), col("shard_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q95: BPE vocabulary training (rows-only by design) ----
     // Driver-side merge learning over the bounded deterministic
     // word-frequency table (the q55/q73 discipline: training isn't
@@ -728,6 +747,43 @@ object TextQueries {
 
   /** Portable hash60 of a varchar expression. */
   private[queries] def h60(e: String) = s"('0x' || substr(md5($e),1,15))::BIGINT"
+
+  /** BPE merge-application CTE chain (expects `WITH RECURSIVE` and a
+    * `documents` scan): distinct words → code-point symbol lists →
+    * recursive min-rank/leftmost fusion against the
+    * [[graft.text.Bpe.FixedMerges]] literal → terminal states `fin` →
+    * positional join-back `j` (doc_id, ti, syms). Shared by the q92 and
+    * q96 oracles so encode is defined ONCE.
+    */
+  private lazy val BPE_CTES: String = {
+    val ml = graft.text.Bpe.FixedMerges.map(m => s"'$m'").mkString("[", ",", "]")
+    s"""tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
+       dt AS (SELECT doc_id, unnest(toks) AS tok,
+           unnest(range(1, len(toks) + 1)) AS ti FROM tk),
+       w0 AS (SELECT DISTINCT tok FROM dt),
+       wch AS (SELECT tok, [tok[i] for i in range(1, len(tok) + 1)] AS syms
+         FROM w0),
+       enc AS (
+         SELECT tok, syms FROM wch
+         UNION ALL
+         SELECT tok, syms[1:bp-1] || [syms[bp] || syms[bp+1]] || syms[bp+2:] AS syms
+         FROM (
+           SELECT tok, syms,
+             list_min(list_filter(rks, x -> x > 0)) AS br,
+             list_position(rks, list_min(list_filter(rks, x -> x > 0))) AS bp
+           FROM (
+             SELECT tok, syms,
+               [list_position($ml, syms[i] || ' ' || syms[i+1])
+                 for i in range(1, len(syms))] AS rks
+             FROM enc WHERE len(syms) > 1) a) b
+         WHERE br IS NOT NULL),
+       fin AS (
+         SELECT tok, syms FROM enc
+         WHERE len(syms) <= 1 OR list_min(list_filter(
+           [list_position($ml, syms[i] || ' ' || syms[i+1])
+             for i in range(1, len(syms))], x -> x > 0)) IS NULL),
+       j AS (SELECT dt.doc_id, dt.ti, f.syms FROM dt JOIN fin f USING (tok))"""
+  }
 
   /** Distinct word-bigram shingles CTE (expects a `documents` scan). */
   private[queries] val SHINGLES_CTE =
@@ -1277,43 +1333,31 @@ object TextQueries {
     // Bpe.FixedMerges literal, 0 = absent in DuckDB 1.0); terminal states
     // (no ranked pair) join back to positional words. Provably the same
     // algorithm as the native expression's min-rank/leftmost loop.
-    "q92_bpe_encode" -> {
-      val ml = graft.text.Bpe.FixedMerges.map(m => s"'$m'").mkString("[", ",", "]")
+    "q92_bpe_encode" ->
       s"""WITH RECURSIVE
-         tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
-         dt AS (SELECT doc_id, unnest(toks) AS tok,
-             unnest(range(1, len(toks) + 1)) AS ti FROM tk),
-         w0 AS (SELECT DISTINCT tok FROM dt),
-         wch AS (SELECT tok, [tok[i] for i in range(1, len(tok) + 1)] AS syms
-           FROM w0),
-         enc AS (
-           SELECT tok, syms FROM wch
-           UNION ALL
-           SELECT tok, syms[1:bp-1] || [syms[bp] || syms[bp+1]] || syms[bp+2:] AS syms
-           FROM (
-             SELECT tok, syms,
-               list_min(list_filter(rks, x -> x > 0)) AS br,
-               list_position(rks, list_min(list_filter(rks, x -> x > 0))) AS bp
-             FROM (
-               SELECT tok, syms,
-                 [list_position($ml, syms[i] || ' ' || syms[i+1])
-                   for i in range(1, len(syms))] AS rks
-               FROM enc WHERE len(syms) > 1) a) b
-           WHERE br IS NOT NULL),
-         fin AS (
-           SELECT tok, syms FROM enc
-           WHERE len(syms) <= 1 OR list_min(list_filter(
-             [list_position($ml, syms[i] || ' ' || syms[i+1])
-               for i in range(1, len(syms))], x -> x > 0)) IS NULL),
-         j AS (SELECT dt.doc_id, dt.ti, f.syms FROM dt JOIN fin f USING (tok)),
+         $BPE_CTES,
          roll AS (SELECT doc_id, count(*) AS n_words, sum(len(syms)) AS n_bpe,
              string_agg(array_to_string(syms, '+'), ' ' ORDER BY ti) AS fpstr
            FROM j GROUP BY doc_id)
          SELECT d.doc_id, coalesce(r.n_words, 0)::BIGINT AS n_words,
            coalesce(r.n_bpe, 0)::BIGINT AS n_bpe_tokens,
            md5(coalesce(r.fpstr, '')) AS bpe_fp
-         FROM documents d LEFT JOIN roll r USING (doc_id) ORDER BY d.doc_id"""
-    },
+         FROM documents d LEFT JOIN roll r USING (doc_id) ORDER BY d.doc_id""",
+
+    // q92's recursive encode feeding q71's prefix-sum packer: shard
+    // budgets computed on MODEL-TOKENIZER counts, the composition the
+    // tokenizer exists for.
+    "q96_bpe_pack" ->
+      s"""WITH RECURSIVE
+         $BPE_CTES,
+         t AS (SELECT d.doc_id, coalesce(x.n, 0)::BIGINT AS n_bpe_tokens
+           FROM documents d LEFT JOIN (SELECT doc_id, sum(len(syms)) AS n
+             FROM j GROUP BY doc_id) x USING (doc_id)),
+         c AS (SELECT doc_id, n_bpe_tokens,
+             coalesce(sum(n_bpe_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t)
+         SELECT doc_id, n_bpe_tokens, (cb // 512)::BIGINT AS shard_id
+         FROM c ORDER BY doc_id""",
 
     // Shares HtmlExtract's RE2-compatible patterns verbatim (BlockTags is
     // the same constant); DuckDB regexp_replace needs the explicit 'g'

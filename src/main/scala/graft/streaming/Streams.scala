@@ -509,6 +509,32 @@ object Streams {
     hits.unpersist()
   }
 
+  /** s20: streaming HTML main-content extraction — the streaming face of
+    * q93 ([[graft.text.HtmlExtract]]): a live web-intake writer running
+    * the markup → main-text step as each batch arrives, so everything
+    * downstream (the whole B block) reads clean text. STATELESS across
+    * batches by construction (extraction is a per-row projection — no
+    * cross-document interaction at all), so streaming equals the batch
+    * operator row-for-row on any batch split (parity-pinned), and replay
+    * idempotence needs only the dynamic-overwrite partition discipline.
+    * The log is batch_id-partitioned and compactable with
+    * [[compactBatchLog]].
+    */
+  def htmlExtractSink(spark: SparkSession, stateDir: String,
+      idCol: String = "doc_id", htmlCol: String = "html",
+      minLen: Int = 10, maxLinkPct: Int = 20)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return // empty-batch discipline: write nothing
+    graft.sources.Sinks.dynamicOverwrite(
+      graft.text.HtmlExtract.mainText(batch, idCol, htmlCol, minLen, maxLinkPct)
+        .withColumn("batch_id", lit(batchId)),
+      s"$stateDir/extracted", Seq("batch_id"))
+  }
+
+  /** Accumulated extractions from the [[htmlExtractSink]] log. */
+  def readExtracted(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/extracted").drop("batch_id")
+
   /** One-time deployment step for [[bloomDecontaminateSink]] (s19):
     * persist the eval-gram set AND its Bloom filter into the sink's state
     * dir. The build runs ONCE — q88's cost story moved off the per-batch

@@ -680,6 +680,38 @@ class StreamingSpec extends SparkSpec {
     evalGrams.unpersist()
   }
 
+  test("htmlExtractSink: batch parity, idempotent replay, compaction (s20)") {
+    val dir = Files.createTempDirectory("html_stream").toFile.getAbsolutePath
+    val sink = Streams.htmlExtractSink(spark, s"$dir/state") _
+    def page(id: Long, body: String) =
+      (id, "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a></div>" +
+        s"<p>$body</p><div class=\"footer\"><a href=\"/t\">Terms</a> (c) site</div>")
+    val b0 = Seq(
+      page(1L, "a first long-enough paragraph of real prose content"),
+      page(2L, "short"), // under minLen → dropped, row still emitted
+      (3L, "")).toDF("doc_id", "html")
+    val b1 = Seq(page(4L, "a second batch paragraph that also passes the rule"))
+      .toDF("doc_id", "html")
+    sink(b0, 0L)
+    sink(b0, 0L) // replay after a simulated post-write failure
+    sink(b1, 1L)
+    def got = Streams.readExtracted(spark, s"$dir/state")
+      .select("doc_id", "n_blocks", "n_kept", "kept_chars", "main_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    // STATELESS: streaming equals the batch operator on the union —
+    // exact parity on any batch split
+    val want = graft.text.HtmlExtract.mainText(
+        b0.unionByName(b1), "doc_id", "html")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got == want, s"stream $got != batch $want")
+    assert(got.exists { case (id, _, k, _, t) =>
+      id == 1L && k == 1L && t.contains("first long-enough") && !t.contains("Home") })
+    assert(got.exists { case (id, _, k, _, t) => id == 3L && k == 0L && t == "" })
+    // the log compacts like every other batch log
+    assert(Streams.compactBatchLog(spark, s"$dir/state/extracted", keepLast = 1))
+    assert(got == want, "compaction must not change the extracted set")
+  }
+
   test("bloomDecontaminateSink: parity with decontaminateSink, replay, compaction (s19)") {
     val dir = Files.createTempDirectory("bloom_decon_stream").toFile.getAbsolutePath
     val evalDocs = Seq((0L, "one two three four five six seven eight nine"))
