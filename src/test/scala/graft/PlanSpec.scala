@@ -321,6 +321,44 @@ class PlanSpec extends SparkSpec {
     assert(windows.forall(_.contains("doc_id")), windows.mkString("\n"))
   }
 
+  test("q92 bpe encode is scan-shaped: zero hash exchanges, no join") {
+    // Pure projection through the native expression — the only exchange
+    // the plan may carry is the orderBy's range partitioning.
+    val p = plan("q92_bpe_encode")
+    assert(!p.contains("Exchange hashpartitioning"), s"projection grew a shuffle:\n$p")
+    assert(!p.contains("Join"), s"projection grew a join:\n$p")
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("q93 html extract: one reassembly shuffle, broadcast join-back, no pair joins") {
+    val p = plan("q93_html_extract")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly the per-doc reassembly exchange, got $exchanges:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q94 span trim: no doc-pair join, every window partitioned by doc") {
+    val p = plan("q94_span_trim")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span trim must never expand pairs:\n$p")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
+      s"every trim window must be doc-bounded:\n${windows.mkString("\n")}")
+  }
+
+  test("q96 bpe pack: two-phase prefix sum — no corpus-wide single-partition window") {
+    val p = plan("q96_bpe_pack")
+    // windows: within-bucket cumsum (partitioned by _bkt) and the
+    // bucket-totals global offset (one row per bucket by design); a
+    // corpus-ordered unpartitioned window over doc_id is the 100-TB bug.
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.size == 2, windows.mkString("\n"))
+    assert(windows.count(_.contains("_bkt")) == 2,
+      s"both windows must key on the coarse bucket:\n${windows.mkString("\n")}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the q01 aggregation") {
     // Under AQE the codegen spans only appear in the finalized plan, and
     // simpleString renders them as "*(n)" stage markers.
