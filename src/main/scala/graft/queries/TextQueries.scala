@@ -488,6 +488,41 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q98: temperature-scaled mixture sampling (τ = 2) ----
+    // Between q81's full equalization (keep n_min of every stratum) and
+    // the natural mixture sits TEMPERATURE sampling (mT5 §3.2, GPT-3's
+    // mixing weights — public methodology): keep probability
+    // (n_min/n_s)^(1/τ), here τ=2 — the square root damps dominance
+    // without flattening. Cross-engine exactness: thr = floor(sqrt(n_min·
+    // 10¹² // n_s)) — one exact integer division (quotient ≤ 10¹² < 2⁵³,
+    // representable) and one CORRECTLY-ROUNDED IEEE sqrt (the only
+    // float op both engines define bit-identically; a general pow(x, α)
+    // is not correctly rounded and could flip a floor at the boundary).
+    // Same driver-side bounded counts + hash-threshold filter as q81:
+    // shuffle-free per row.
+    "q98_temperature_sample" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .collect().map { r =>
+          require(!r.isNullAt(0),
+            "mixture stratum is NULL — assign or quarantine upstream before balancing")
+          r.getString(0) -> r.getLong(1)
+        }.toMap
+      val nMin = counts.values.min
+      val thresh = counts.map { case (l, n) =>
+        // BigInt keeps the product exact at any corpus size; the quotient
+        // is <= 10^12 by construction, so toDouble is lossless.
+        l -> math.sqrt((BigInt(nMin) * BigInt(1000000000000L) / BigInt(n)).toDouble).toLong
+      }
+      val threshCol = thresh.foldLeft(lit(0L)) { case (acc, (l, t)) =>
+        when(col("lang") === l, lit(t)).otherwise(acc)
+      }
+      docs.filter(pmod(graft.ops.Cdm.hash60(col("doc_id").cast("string")), lit(1000000L))
+          < threshCol)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q82: line-level exact dedup (C4/RefinedWeb boilerplate removal) ----
     // The granularity q19 (whole doc) and q72 (fixed-size chunk) bracket:
     // variable-length delimiter segments, corpus-wide first-occurrence
@@ -612,6 +647,19 @@ object TextQueries {
       graft.text.Decontaminate.contaminationSpans(
           Tables.documents(s, d), "doc_id", "text", col("source") === "src0", 8)
         .orderBy(col("doc_id"), col("span_start"))
+    },
+
+    // ---- q97: surgical decontamination (span REMOVAL) ----
+    // q69 drops contaminated docs, q90 locates the leaked regions, q97
+    // REMOVES them and keeps the rest of the document — the action face,
+    // sharing q94's reassembly (applySpanRemoval) so the two rewrites
+    // cannot drift. Fingerprint keeps the dump row-sized.
+    "q97_contamination_trim" -> { (s, d) =>
+      graft.text.Decontaminate.trim(
+          Tables.documents(s, d), "doc_id", "text", col("source") === "src0", 8)
+        .select(col("doc_id"), col("n_tokens"), col("removed_tokens"),
+          col("n_spans"), md5(col("text_trimmed")).as("trimmed_fp"))
+        .orderBy(col("doc_id"))
     },
 
     // ---- q88: decontamination, bloom-prefilter scale path ----
@@ -1131,6 +1179,16 @@ object TextQueries {
          WHERE ${h60("d.doc_id::VARCHAR")} % 1000000 < t.thr
          ORDER BY d.doc_id""",
 
+    // floor(sqrt(exact integer quotient)) — sqrt is the one float op both
+    // engines round identically (IEEE correctly-rounded), see the q98 def.
+    "q98_temperature_sample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         m AS (SELECT min(n) AS n_min FROM c),
+         t AS (SELECT lang, floor(sqrt((((SELECT n_min FROM m) * 1000000000000 // n))::DOUBLE))::BIGINT AS thr FROM c)
+         SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.lang
+         WHERE ${h60("d.doc_id::VARCHAR")} % 1000000 < t.thr
+         ORDER BY d.doc_id""",
+
     "q82_line_dedup" ->
       """WITH sp AS (SELECT doc_id, string_split_regex(text, ' the ') AS segs
            FROM documents),
@@ -1292,6 +1350,44 @@ object TextQueries {
          SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
            max(pos) + 8 - min(pos) AS span_tokens
          FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""",
+
+    // q90's span CTEs + q94's reassembly tail over the non-eval corpus.
+    "q97_contamination_trim" ->
+      s"""WITH tk AS (SELECT doc_id, source, $TOKS AS toks FROM documents),
+         ctk AS (SELECT doc_id, toks FROM tk WHERE source <> 'src0'),
+         posi AS (SELECT doc_id, toks, unnest(CASE WHEN len(toks) >= 8
+             THEN range(1, len(toks) - 6) ELSE [] END) AS pos FROM ctk),
+         pg AS (SELECT doc_id, pos,
+             ${h60("array_to_string(toks[pos:pos+7], ' ')")} AS h FROM posi),
+         ev AS (SELECT DISTINCT ${h60("array_to_string(toks[i:i+7], ' ')")} AS h
+           FROM (SELECT toks, unnest(CASE WHEN len(toks) >= 8
+               THEN range(1, len(toks) - 6) ELSE [] END) AS i
+             FROM tk WHERE source = 'src0')),
+         hits AS (SELECT doc_id, pos FROM pg JOIN ev USING (h)),
+         brk AS (SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+               THEN 1 ELSE 0 END AS b
+           FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         grp AS (SELECT doc_id, pos, sum(b) OVER
+             (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+           FROM brk),
+         spans AS (SELECT doc_id, min(pos) AS span_start,
+             max(pos) + 8 AS span_end, max(pos) + 8 - min(pos) AS span_tokens
+           FROM grp GROUP BY doc_id, g),
+         rem AS (SELECT doc_id, list(DISTINCT pos) AS poss FROM (
+             SELECT doc_id, unnest(range(span_start, span_end)) AS pos
+             FROM spans) GROUP BY doc_id),
+         st AS (SELECT doc_id, count(*) AS n_spans,
+             sum(span_tokens) AS removed_tokens FROM spans GROUP BY doc_id)
+         SELECT c.doc_id, len(c.toks) AS n_tokens,
+           coalesce(st.removed_tokens, 0)::BIGINT AS removed_tokens,
+           coalesce(st.n_spans, 0)::BIGINT AS n_spans,
+           md5(coalesce(array_to_string(
+             [c.toks[i] for i in range(1, len(c.toks) + 1)
+               if NOT list_contains(coalesce(rem.poss, []), i)],
+             ' '), '')) AS trimmed_fp
+         FROM ctk c LEFT JOIN rem USING (doc_id) LEFT JOIN st USING (doc_id)
+         ORDER BY c.doc_id""",
 
     // Bit-identical to q69 by design: the bloom is a prefilter whose false
     // positives the exact verify removes — the ORACLE is the definition of

@@ -72,4 +72,20 @@ object Decontaminate {
     SpanDedup.mergeSpans(
       corpus.join(broadcast(evalH), Seq("h"), "left_semi"), idCol, n)
   }
+
+  /** Surgical decontamination — the ACTION face of [[contaminationSpans]]
+    * (what [[SpanDedup.trim]] is to q87): rewrite every NON-EVAL document
+    * with its eval-overlapping spans REMOVED, in token space, instead of
+    * dropping the whole document (one leaked benchmark sentence shouldn't
+    * cost a long document — the PaLM-appendix move made executable). Span
+    * inventory and removal share [[SpanDedup.applySpanRemoval]]'s
+    * reassembly, so q94's rewrite semantics and this one cannot drift.
+    * One row per non-eval document: (`idCol`, n_tokens, removed_tokens,
+    * n_spans, text_trimmed); clean documents pass through with zero
+    * removal (their token-normalized text).
+    */
+  def trim(docs: DataFrame, idCol: String, textCol: String,
+      isEval: Column, n: Int): DataFrame =
+    SpanDedup.applySpanRemoval(docs.filter(!isEval),
+      contaminationSpans(docs, idCol, textCol, isEval, n), idCol, textCol)
 }

@@ -150,14 +150,30 @@ object SpanDedup {
     val foreign = p.join(owners, Seq("h"))
       .filter(col(idCol) =!= col("_owner"))
       .select(col(idCol), col("pos"))
-    val spans = mergeSpans(foreign, idCol, n)
+    applySpanRemoval(docs, mergeSpans(foreign, idCol, n), idCol, textCol)
+  }
+
+  /** Token-space span-removal rewrite, shared by [[trim]] and
+    * [[Decontaminate.trim]]: drop every token of `docs` covered by a span
+    * row (`idCol`, span_start, span_end, span_tokens — disjoint per doc,
+    * the [[mergeSpans]] contract), reassemble the survivors in order.
+    * One row per input doc: (`idCol`, n_tokens, removed_tokens, n_spans,
+    * text_trimmed) — the empty string when every token was removed.
+    *
+    * Removal positions explode from SPANS (output-sized; disjoint means
+    * each position appears once); the reassembly is a per-doc
+    * `collect_list` bounded by document length (collect_list has no
+    * ordering guarantee, so kept tokens ride a (pos, tok) struct sorted
+    * after collection); the left joins restore zero-token docs and docs
+    * whose EVERY token was removed — every input doc emits a row.
+    */
+  private[text] def applySpanRemoval(docs: DataFrame, spans: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     val removed = spans.select(col(idCol),
       explode(sequence(col("span_start"), col("span_end") - 1)).as("pos"))
     val toks = docs.select(col(idCol),
         posexplode(TF.tokens(col(textCol))).as(Seq("_p0", "tok")))
       .select(col(idCol), (col("_p0") + 1).as("pos"), col("tok"))
-    // collect_list has no ordering guarantee: kept tokens ride a
-    // (pos, tok) struct sorted after collection, per-doc bounded.
     val keptAgg = toks.join(removed, Seq(idCol, "pos"), "left_anti")
       .groupBy(col(idCol))
       .agg(concat_ws(" ", transform(
@@ -165,8 +181,6 @@ object SpanDedup {
         _.getField("tok"))).as("_kept"))
     val spanStats = spans.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("removed_tokens"))
-    // Left joins restore zero-token docs and docs whose EVERY token was
-    // removed (no surviving (pos, tok) rows) — every input doc emits a row.
     docs.select(col(idCol), size(TF.tokens(col(textCol))).as("n_tokens"))
       .join(keptAgg, Seq(idCol), "left")
       .join(spanStats, Seq(idCol), "left")

@@ -715,6 +715,63 @@ class TextSpec extends SparkSpec {
     assert(!byId(2L).getBoolean(byId(2L).fieldIndex("symbol_ok")))
   }
 
+  test("q98 temperature sampling sits between equalized (q81) and natural mixtures") {
+    val sfDir01 = "/root/testdata/sf0.001"
+    val q81 = SparkEntry.queries("q81_mixture_sample")(spark, sfDir01)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val q98 = SparkEntry.queries("q98_temperature_sample")(spark, sfDir01)
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect()
+    val q98ids = q98.map(_._1).toSet
+    // sqrt(x) >= x on [0,1]: every equalized keeper survives temperature
+    assert(q81.subsetOf(q98ids), s"q81 ${q81.size} ⊄ q98 ${q98ids.size}")
+    val docs = Tables.documents(spark, sfDir01)
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect()
+    val counts = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nMin = counts.values.min
+    // the min stratum keeps EVERYTHING (thr = 10^6); dominant strata damp
+    val minLangs = counts.filter(_._2 == nMin).keySet
+    val keptBy = q98.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    minLangs.foreach(l => assert(keptBy.getOrElse(l, 0L) == nMin,
+      s"min stratum $l must keep all $nMin rows, kept ${keptBy.getOrElse(l, 0L)}"))
+    val maxLang = counts.maxBy(_._2)._1
+    if (counts(maxLang) > nMin * 2)
+      assert(keptBy(maxLang) < counts(maxLang),
+        "dominant stratum must be damped below natural")
+  }
+
+  test("Decontaminate.trim removes exactly the leaked region, keeps the rest") {
+    val leak = (1 to 10).map(i => s"bench$i").mkString(" ")
+    val docs = Seq(
+      (0L, "eval", leak),                                    // the benchmark
+      (1L, "web", s"prefix words here then $leak and a suffix tail"),
+      (2L, "web", "a completely clean document with no overlap whatsoever"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.text.Decontaminate.trim(
+        docs, "doc_id", "text", col("source") === "eval", 8)
+      .as[(Long, Int, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // eval rows are NOT in the output; both web docs are
+    assert(out.keySet == Set(1L, 2L))
+    val (_, n1, rem1, sp1, t1) = out(1L)
+    assert(sp1 == 1L && rem1 == 10L, out(1L).toString)
+    assert(t1 == "prefix words here then and a suffix tail", t1)
+    assert(n1 == 18) // 4 prefix + 10 leak + 4 suffix tokens
+    assert(out(2L)._3 == 0L &&
+      out(2L)._5 == "a completely clean document with no overlap whatsoever")
+    // the doc set with removals == q69's flagged set
+    val flagged = graft.text.Decontaminate.hits(
+        docs, "doc_id", "text", col("source") === "eval", 8)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(out.filter(_._2._3 > 0).keySet == flagged)
+    // re-running span location on the trimmed corpus finds nothing
+    val trimmed = docs.filter(col("source") === "eval")
+      .select(col("doc_id"), col("source"), col("text"))
+      .unionByName(out.toSeq.sortBy(_._1).map { case (id, r) => (id, "web", r._5) }
+        .toDF("doc_id", "source", "text"))
+    assert(graft.text.Decontaminate.contaminationSpans(
+      trimmed, "doc_id", "text", col("source") === "eval", 8).count() == 0L)
+  }
+
   test("HtmlExtract.mainText: keeps prose, drops nav/ad/footer/script/style") {
     val html = "<html><head><title>t</title><style>p{color:red}</style>" +
       "<script>alert('hidden words that must never surface')</script></head>" +
