@@ -782,6 +782,78 @@ object SqlOps {
        |FROM (SELECT $id FROM $table) d LEFT JOIN _roll r ON d.$id = r.$id""".stripMargin
   }
 
+  /** SQL twin of q97 / [[graft.text.Decontaminate.trim]] — the
+    * [[spanTrimSql]] scaffold with eval-gram ownership replacing dup-gram
+    * owner election: corpus = rows failing `evalPredSql`, removal spans =
+    * positions whose gram hash appears in the eval side, reassembly
+    * identical to q94's.
+    */
+  def contaminationTrimSql(table: String, idCol: String, textCol: String,
+      evalPredSql: String, n: Int = 8): String = {
+    require(n >= 2, s"span gram width must be >= 2, got $n")
+    val (id, txt) = (bt(idCol), bt(textCol))
+    s"""WITH _tk AS (SELECT $id, graft_tokens($txt) AS _toks FROM $table
+       |  WHERE NOT ($evalPredSql)),
+       |_pa AS (SELECT $id, element_at(transform(array(_toks), ts ->
+       |    CASE WHEN size(ts) >= $n THEN transform(sequence(1, size(ts) - ${n - 1}),
+       |        i -> named_struct('pos', i, 'h',
+       |          graft_hash60(concat_ws(' ', slice(ts, i, $n)))))
+       |      ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, h: BIGINT>>) END), 1) AS _pgs
+       |  FROM _tk),
+       |_p AS (SELECT $id, _pg.pos AS pos, _pg.h AS h
+       |  FROM _pa LATERAL VIEW explode_outer(_pgs) _e AS _pg WHERE _pg IS NOT NULL),
+       |_ev AS (SELECT DISTINCT graft_hash60(_g) AS h FROM (
+       |  SELECT explode(_gs) AS _g FROM (
+       |    SELECT graft_word_ngrams(graft_tokens($txt), $n) AS _gs
+       |    FROM $table WHERE ($evalPredSql)))),
+       |_hit AS (SELECT $id, pos FROM _p LEFT SEMI JOIN _ev USING (h)),
+       |_brk AS (SELECT $id, pos,
+       |    CASE WHEN lag(pos) OVER _w IS NULL OR pos > lag(pos) OVER _w + $n
+       |      THEN 1 ELSE 0 END AS _b
+       |  FROM _hit WINDOW _w AS (PARTITION BY $id ORDER BY pos)),
+       |_grp AS (SELECT $id, pos, sum(_b) OVER
+       |    (PARTITION BY $id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS _g
+       |  FROM _brk),
+       |_spans AS (SELECT $id, min(pos) AS span_start, max(pos) + $n AS span_end,
+       |    max(pos) + $n - min(pos) AS span_tokens
+       |  FROM _grp GROUP BY $id, _g),
+       |_rem AS (SELECT $id, explode(sequence(span_start, span_end - 1)) AS pos
+       |  FROM _spans),
+       |_tox AS (SELECT $id, _p0 + 1 AS pos, tok FROM _tk
+       |  LATERAL VIEW posexplode(_toks) _e AS _p0, tok),
+       |_kept AS (SELECT $id, concat_ws(' ', transform(
+       |    array_sort(collect_list(named_struct('pos', pos, 'tok', tok))),
+       |    s -> s.tok)) AS _kt
+       |  FROM (SELECT t.$id, t.pos, t.tok FROM _tox t
+       |    LEFT ANTI JOIN _rem r ON t.$id = r.$id AND t.pos = r.pos)
+       |  GROUP BY $id),
+       |_st AS (SELECT $id, count(*) AS n_spans, sum(span_tokens) AS removed_tokens
+       |  FROM _spans GROUP BY $id)
+       |SELECT t.$id, size(t._toks) AS n_tokens,
+       |  coalesce(s.removed_tokens, CAST(0 AS BIGINT)) AS removed_tokens,
+       |  coalesce(s.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       |  coalesce(k._kt, '') AS text_trimmed
+       |FROM _tk t LEFT JOIN _kept k ON t.$id = k.$id
+       |LEFT JOIN _st s ON t.$id = s.$id""".stripMargin
+  }
+
+  /** SQL twin of q98's temperature mixture sampling (τ = 2): thresholds
+    * from the same exact-integer-division + correctly-rounded-sqrt grid —
+    * see the q98 registration for why τ is fixed at 2 (general pow is not
+    * correctly rounded across engines).
+    */
+  def temperatureSampleSql(table: String, idCol: String,
+      stratumCol: String): String = {
+    val (id, st) = (bt(idCol), bt(stratumCol))
+    s"""WITH _c AS (SELECT $st AS _s, count(*) AS _n FROM $table GROUP BY $st),
+       |_m AS (SELECT min(_n) AS _nmin FROM _c),
+       |_t AS (SELECT _s, CAST(floor(sqrt(CAST(
+       |    (SELECT _nmin FROM _m) * 1000000000000L div _n AS DOUBLE))) AS BIGINT) AS _thr
+       |  FROM _c)
+       |SELECT d.$id, d.$st FROM $table d JOIN _t ON d.$st = _t._s
+       |WHERE pmod(graft_hash60(CAST(d.$id AS STRING)), 1000000) < _t._thr""".stripMargin
+  }
+
   /** SQL twin of q92's BPE encode: the native `graft_bpe_encode` is a
     * registered SQL function, so the whole query is one projection —
     * merges inline as a constant array literal (each `"a b"`, rank =

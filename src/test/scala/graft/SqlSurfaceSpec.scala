@@ -400,6 +400,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assertSame(viaSql, viaCol, "html extract", samePlan = false)
   }
 
+  test("SqlOps.contaminationTrimSql == Decontaminate.trim (rows)") {
+    registered
+    val viaSql = spark.sql(SqlOps.contaminationTrimSql(
+      "documents", "doc_id", "text", "source = 'src0'", 8))
+    val viaCol = graft.text.Decontaminate.trim(
+      Tables.documents(spark, sfDir), "doc_id", "text", col("source") === "src0", 8)
+    assertSame(viaSql, viaCol, "contamination trim", samePlan = false)
+  }
+
+  test("SqlOps.temperatureSampleSql == q98's Column spelling (rows)") {
+    registered
+    val viaSql = spark.sql(SqlOps.temperatureSampleSql("documents", "doc_id", "lang"))
+    val viaCol = SparkEntry.queries("q98_temperature_sample")(spark, sfDir)
+    assertSame(viaSql, viaCol, "temperature sample", samePlan = false)
+  }
+
   test("SqlOps.bpeEncodeSql == q92's Column spelling (rows)") {
     registered
     val viaSql = spark.sql(SqlOps.bpeEncodeSql(
