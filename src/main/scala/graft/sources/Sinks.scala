@@ -330,6 +330,160 @@ object Sinks {
       .write.mode("overwrite").parquet(s"$path/_graft_stats")
   }
 
+  /** Stats manifest for HIVE-PARTITIONED tables (i16) — closes i15's
+    * documented unpartitioned-only limitation (at 100 TB every real table
+    * is partitioned): one data scan computes per-file min/max(+rows) for
+    * `statsCols` AND records each file's partition-column values (constant
+    * per file by the hive layout), so [[readSkippingPartitioned]] can
+    * prune on data stats and partition values together and re-attach the
+    * partition columns a per-file re-read would silently lose (the exact
+    * failure [[writeStatsManifest]] refuses partitioned roots over).
+    * Manifest lands at `path/_graft_stats`; same staleness contract.
+    */
+  def writeStatsManifestPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, statsCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    require(statsCols.nonEmpty, "statsCols must not be empty")
+    val df = spark.read.parquet(path)
+    val partCols = df.schema.fields.map(_.name).toSeq.diff(
+      spark.read.parquet(firstLeafFile(spark, path)).schema.fields.map(_.name).toSeq)
+    require(partCols.nonEmpty,
+      s"$path has no hive partition columns — use writeStatsManifest")
+    val missing = statsCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"stats columns absent from $path: ${missing.mkString(", ")}")
+    val overlap = statsCols.intersect(partCols)
+    require(overlap.isEmpty,
+      s"partition columns are pruned by VALUE, not stats — drop ${overlap.mkString(", ")} from statsCols")
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      partCols.map(c => first(col(c)).as(s"part_$c")) :+
+      count(lit(1)).as("n_rows")
+    val grouped = df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    val groupedRows = grouped.collect()
+    // Zero-row part files: cover with null stats + partition values parsed
+    // from the file's own k=v path segments (the hive layout contract).
+    val counted = groupedRows
+      .map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    val root = new Path(path)
+    val rfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val zeroRows = leafDataFiles(rfs, root)
+      .filterNot(f => counted(f))
+      .map { f =>
+        val kv = f.split("/").collect {
+          case seg if seg.contains("=") =>
+            val Array(k, v) = seg.split("=", 2)
+            k -> v
+        }.toMap
+        org.apache.spark.sql.Row.fromSeq(
+          (f +: statsCols.flatMap(_ => Seq(null, null))) ++
+            partCols.map(c => kv.getOrElse(c,
+              sys.error(s"zero-row file $f lacks partition segment $c="))) :+ 0L)
+      }
+    // Partition values ride as STRINGS in the zero-row case; align the
+    // grouped rows to the same manifest schema by casting part_* to string
+    // (readSkippingPartitioned re-casts to the table's inferred types).
+    val stringified = grouped.select(
+      (col("file") +: statsCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))))
+        ++ partCols.map(c => col(s"part_$c").cast("string").as(s"part_$c"))
+        :+ col("n_rows"): _*)
+    val strRows = stringified.collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize((strRows ++ zeroRows).toIndexedSeq, 1),
+        stringified.schema)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_graft_stats")
+  }
+
+  /** First leaf data file under a (possibly partitioned) root — used to
+    * read the FILE schema (which excludes hive partition columns).
+    */
+  private def firstLeafFile(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val root = new Path(path)
+    val rfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    leafDataFiles(rfs, root).headOption
+      .getOrElse(sys.error(s"no part- files under $path"))
+  }
+
+  /** All part- files under `root`, recursive, normalized paths; skips the
+    * `_graft_stats` manifest dir and other underscore-prefixed metadata.
+    */
+  private def leafDataFiles(rfs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(p: Path): Unit =
+      rfs.listStatus(p).foreach { s =>
+        if (s.isDirectory) {
+          if (!s.getPath.getName.startsWith("_")) walk(s.getPath)
+        } else if (s.getPath.getName.startsWith("part-"))
+          out += s.getPath.toUri.getPath
+      }
+    walk(root)
+    out.toSeq
+  }
+
+  /** [[readSkipping]] over a HIVE-PARTITIONED table (i16): prunes files
+    * whose per-column stat ranges OR partition values cannot satisfy the
+    * conjunction, then re-reads the survivors per partition with the
+    * partition columns re-attached as literals cast to the table's
+    * inferred types — so results are EXACTLY the full-scan filter, with
+    * partition columns usable in `preds` like any data column (their
+    * "range" is the single value). Staleness = manifest file set vs the
+    * recursive directory walk, same named failure as [[readSkipping]].
+    */
+  def readSkippingPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, preds: Seq[(String, Any, Any)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(preds.nonEmpty, "readSkippingPartitioned needs at least one predicate")
+    val statsPath = new Path(s"$path/_graft_stats")
+    val rfs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(rfs.exists(statsPath),
+      s"no stats manifest at $statsPath — run writeStatsManifestPartitioned after writing $path")
+    val stats = spark.read.parquet(statsPath.toString)
+    val partCols = stats.columns.filter(_.startsWith("part_")).map(_.stripPrefix("part_")).toSeq
+    require(partCols.nonEmpty,
+      s"manifest at $statsPath is unpartitioned — use readSkipping")
+    val tableSchema = spark.read.parquet(path).schema
+    preds.foreach { case (c, _, _) =>
+      require(stats.columns.contains(s"min_$c") || partCols.contains(c),
+        s"column $c is neither stats-indexed nor a partition column of $statsPath")
+    }
+    def norm(u: String) = new Path(u).toUri.getPath
+    val keepCol = preds.map { case (c, lo, hi) =>
+      if (partCols.contains(c)) {
+        val v = col(s"part_$c").cast(tableSchema(c).dataType)
+        coalesce(v >= lit(lo) && v <= lit(hi), lit(false))
+      } else
+        coalesce(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi), lit(false))
+    }.reduce(_ && _)
+    val rows = stats
+      .select((col("file") +: col("n_rows") +: keepCol.as("keep") +:
+        partCols.map(c => col(s"part_$c"))): _*)
+      .collect()
+    val manifestFiles = rows.map(r => norm(r.getString(0))).toSet
+    val actual = leafDataFiles(rfs, new Path(path)).toSet
+    require(manifestFiles == actual,
+      s"stats manifest is STALE for $path (manifest ${manifestFiles.size} files, " +
+        s"directory ${actual.size}) — rewrite it with writeStatsManifestPartitioned")
+    val kept = rows.filter(_.getAs[Boolean]("keep"))
+    val dataFilter = preds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
+    if (kept.isEmpty)
+      return spark.read.parquet(path).filter(lit(false)).select(
+        tableSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
+    // one read per surviving PARTITION (bounded by the manifest), its
+    // partition values re-attached as typed literals
+    val perPartition = kept.groupBy(r => partCols.map(c => r.getAs[String](s"part_$c")))
+      .map { case (vals, rs) =>
+        val base = spark.read.parquet(rs.map(_.getString(0)).toIndexedSeq: _*)
+        partCols.zip(vals).foldLeft(base) { case (df, (c, v)) =>
+          df.withColumn(c, lit(v).cast(tableSchema(c).dataType))
+        }.select(tableSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
+      }.toSeq
+    perPartition.reduce(_.unionByName(_)).filter(dataFilter)
+  }
+
   /** Incremental manifest maintenance for APPEND-ONLY tables (i15b): stat
     * ONLY the data files the manifest doesn't know yet and union them in —
     * refreshing after an append costs O(new files), not the full rescan

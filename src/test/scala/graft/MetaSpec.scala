@@ -122,6 +122,6 @@ class MetaSpec extends SparkSpec {
       s"survey-only: ${qRows.toSet -- SparkEntry.queries.keySet}; " +
         s"registry-only: ${SparkEntry.queries.keySet -- qRows.toSet}")
     assert(rows("s").size == 20, s"streaming table rows: ${rows("s").size}")
-    assert(rows("i").size == 15, s"infra table rows: ${rows("i").size}")
+    assert(rows("i").size == 16, s"infra table rows: ${rows("i").size}")
   }
 }

@@ -544,6 +544,55 @@ class SourcesSpec extends SparkSpec {
     assert(part.getMessage.contains("partition-style"), part.getMessage)
   }
 
+  test("partitioned stats skipping: value+stat pruning, exact rows, typed partition cols (i16)") {
+    val dir = tmp("skip_part")
+    val path = s"$dir/li"
+    // partition by a derived flag; range-partition within so key stats prune
+    Tables.lineitem(spark, sfDir)
+      .withColumn("flag", (col("l_linenumber") % 3).cast("int"))
+      .repartitionByRange(4, col("l_orderkey"))
+      .write.partitionBy("flag").mode("overwrite").parquet(path)
+    // the unpartitioned writer refuses; the partitioned one covers it
+    intercept[IllegalArgumentException] {
+      Sinks.writeStatsManifest(spark, path, Seq("l_orderkey"))
+    }
+    // partition columns are pruned by VALUE — statsCols naming one fails
+    val ov = intercept[IllegalArgumentException] {
+      Sinks.writeStatsManifestPartitioned(spark, path, Seq("l_orderkey", "flag"))
+    }
+    assert(ov.getMessage.contains("pruned by VALUE"), ov.getMessage)
+    Sinks.writeStatsManifestPartitioned(spark, path, Seq("l_orderkey"))
+    val all = spark.read.parquet(path)
+    val nFiles = all.inputFiles.length
+    assert(spark.read.parquet(s"$path/_graft_stats").count() == nFiles)
+    val keys = all.select(col("l_orderkey")).as[Long].collect().sorted
+    val (lo, hi) = (keys(keys.length / 4), keys(keys.length / 2))
+    // 2-D conjunction: key range + partition VALUE
+    val preds = Seq[(String, Any, Any)](("l_orderkey", lo, hi), ("flag", 1, 1))
+    val skipped = Sinks.readSkippingPartitioned(spark, path, preds)
+    assert(skipped.inputFiles.length < nFiles,
+      s"no files pruned: ${skipped.inputFiles.length} of $nFiles")
+    // results EXACTLY equal the full-scan filter, schema incl. typed flag
+    assert(skipped.schema("flag").dataType == all.schema("flag").dataType)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("l_orderkey"), col("l_linenumber"), col("flag")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    assert(key(skipped) == key(all.filter(
+      col("l_orderkey").between(lo, hi) && col("flag") === 1)))
+    // empty intersection reads no data files, schema intact
+    val none = Sinks.readSkippingPartitioned(spark, path,
+      Seq(("l_orderkey", keys.last + 10L, keys.last + 20L)))
+    assert(none.count() == 0 && none.columns.contains("flag"))
+    // append → stale, named
+    Tables.lineitem(spark, sfDir).limit(5)
+      .withColumn("flag", lit(1))
+      .write.partitionBy("flag").mode("append").parquet(path)
+    val stale = intercept[IllegalArgumentException] {
+      Sinks.readSkippingPartitioned(spark, path, preds)
+    }
+    assert(stale.getMessage.contains("STALE"), stale.getMessage)
+  }
+
   test("appendStatsManifest: append-only refresh stats only the new files (i15b)") {
     val dir = tmp("skip_append")
     val path = s"$dir/t"
