@@ -73,7 +73,8 @@ object ScaleBench {
     "q89_gopher_filter", "q90_contamination_spans", "q91_corpus_report",
     "q95_bpe_train",
     "x35_dedup_cosine_auto", "x86_semdedup_auto", "x88_bloom_fixed_eval",
-    "x92_bpe_encode_work", "x93_html_extract_work", "x94_span_trim_work")
+    "x92_bpe_encode_work", "x93_html_extract_work", "x94_span_trim_work",
+    "x97_contamination_trim_work")
 
   /** Default key stride between copies: far above any sf0.1 key range, so
     * strided ids never collide across copies. A SECOND derivation (e.g.
@@ -219,6 +220,12 @@ object ScaleBench {
     },
     "x94_span_trim_work" -> { (s, d) =>
       graft.text.SpanDedup.trim(Tables.documents(s, d), "doc_id", "text", 8)
+        .groupBy(md5(col("text_trimmed")).as("fp"))
+        .agg(sum(col("removed_tokens")).as("t"))
+    },
+    "x97_contamination_trim_work" -> { (s, d) =>
+      graft.text.Decontaminate.trim(Tables.documents(s, d),
+          "doc_id", "text", col("source") === "src0", 8)
         .groupBy(md5(col("text_trimmed")).as("fp"))
         .agg(sum(col("removed_tokens")).as("t"))
     })
