@@ -472,16 +472,15 @@ object Sinks {
     if (kept.isEmpty)
       return spark.read.parquet(path).filter(lit(false)).select(
         tableSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
-    // one read per surviving PARTITION (bounded by the manifest), its
-    // partition values re-attached as typed literals
-    val perPartition = kept.groupBy(r => partCols.map(c => r.getAs[String](s"part_$c")))
-      .map { case (vals, rs) =>
-        val base = spark.read.parquet(rs.map(_.getString(0)).toIndexedSeq: _*)
-        partCols.zip(vals).foldLeft(base) { case (df, (c, v)) =>
-          df.withColumn(c, lit(v).cast(tableSchema(c).dataType))
-        }.select(tableSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
-      }.toSeq
-    perPartition.reduce(_.unionByName(_)).filter(dataFilter)
+    // basePath keeps hive partition-column INFERENCE alive on a per-file
+    // read (values and types come from the k=v path segments exactly as a
+    // root read infers them) — one scan node however many partitions
+    // survive, where a per-partition union-of-literals would grow the
+    // plan linearly in surviving-partition count.
+    spark.read.option("basePath", path)
+      .parquet(kept.map(_.getString(0)).toIndexedSeq: _*)
+      .select(tableSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
+      .filter(dataFilter)
   }
 
   /** Incremental manifest maintenance for APPEND-ONLY tables (i15b): stat
