@@ -339,6 +339,12 @@ object Sinks {
     * partition columns a per-file re-read would silently lose (the exact
     * failure [[writeStatsManifest]] refuses partitioned roots over).
     * Manifest lands at `path/_graft_stats`; same staleness contract.
+    *
+    * Zero-row part files take their partition values from their own k=v
+    * path segments AS WRITTEN — hive URL-escapes special characters
+    * (`%3D` for `=`, `__HIVE_DEFAULT_PARTITION__` for null), so partition
+    * VALUES are assumed URL-safe and non-null; a value needing escaping
+    * would mismatch the data-derived rows only for zero-row files.
     */
   def writeStatsManifestPartitioned(spark: org.apache.spark.sql.SparkSession,
       path: String, statsCols: Seq[String]): Unit = {
