@@ -647,10 +647,22 @@ object Streams {
     * rows. Both logs are batch_id-partitioned and compactable with
     * [[compactBatchLog]] (`kept/`) / [[compactGoldAgg]]-style refold
     * (`counts/` partials are sum-mergeable).
+    *
+    * `temperature` selects the damping: 1 = full equalization (q81,
+    * default — keep probability n_min/n_s), 2 = temperature sampling
+    * (q98 — (n_min/n_s)^(1/2) through the same exact-integer +
+    * correctly-rounded-sqrt grid; single-batch q98 parity is
+    * spec-pinned). Only τ ∈ {1, 2} is offered because sqrt is the one
+    * float op both engines (and any IEEE platform) round identically —
+    * a free exponent would ride non-correctly-rounded pow, see the q98
+    * registration.
     */
   def mixtureSink(spark: SparkSession, stateDir: String,
-      idCol: String = "doc_id", stratumCol: String = "lang")(
+      idCol: String = "doc_id", stratumCol: String = "lang",
+      temperature: Int = 1)(
       batch: DataFrame, batchId: Long): Unit = {
+    require(temperature == 1 || temperature == 2,
+      s"temperature must be 1 (equalized) or 2 (sqrt damping), got $temperature")
     if (batch.isEmpty) return // empty-batch discipline: write nothing
     val batchCounts = batch.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("n")).cache()
@@ -680,9 +692,11 @@ object Streams {
       r.get(0) -> r.getLong(1)
     }.toMap
     val nMin = counts.values.min
+    def thr(n: Long): Long =
+      if (temperature == 1) nMin * 1000000L / n
+      else math.sqrt((BigInt(nMin) * BigInt(1000000000000L) / BigInt(n)).toDouble).toLong
     val threshCol = counts.foldLeft(lit(0L)) { case (acc, (s, n)) =>
-      when(col(stratumCol) === lit(s), lit(nMin * 1000000L / n))
-        .otherwise(acc)
+      when(col(stratumCol) === lit(s), lit(thr(n))).otherwise(acc)
     }
     val kept = batch
       .filter(pmod(graft.ops.Cdm.hash60(col(idCol).cast("string")),

@@ -763,6 +763,21 @@ class StreamingSpec extends SparkSpec {
     assert(clean == refClean, "compaction must not change the clean set")
   }
 
+  test("mixtureSink(temperature=2): single-batch parity with q98") {
+    val dir = Files.createTempDirectory("mixture_temp_stream").toFile.getAbsolutePath
+    val sink = Streams.mixtureSink(spark, s"$dir/state", temperature = 2) _
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
+    sink(docs, 0L)
+    val kept = Streams.readMixtureKept(spark, s"$dir/state")
+      .select("doc_id").as[Long].collect().toSet
+    val batchKept = SparkEntry.queries("q98_temperature_sample")(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == batchKept, s"stream ${kept.size} != q98 ${batchKept.size}")
+    intercept[IllegalArgumentException] {
+      Streams.mixtureSink(spark, s"$dir/state", temperature = 3)(docs, 1L)
+    }
+  }
+
   test("mixtureSink: single-batch parity with q81, idempotent replay, incremental refold") {
     val dir = Files.createTempDirectory("mixture_stream").toFile.getAbsolutePath
     val sink = Streams.mixtureSink(spark, s"$dir/state") _
