@@ -777,6 +777,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q99: first-occurrence gram novelty (contribution ordering) ----
+    // The asymmetric counterpart of q87's symmetric dup_frac: each gram is
+    // owned by its min-id doc; a doc's novelty = fraction of its distinct
+    // grams it owns. The ranking corpus-pruning/curriculum policies use,
+    // and the scoring face of q94's owner election.
+    "q99_novelty" -> { (s, d) =>
+      graft.text.SpanDedup.novelty(Tables.documents(s, d), "doc_id", "text", 8)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q89: Gopher-style rule filter (named per-rule verdicts) ----
     // The rule-based face of quality filtering (q24/q84 are the score
     // faces): one tokenize pass, per-row integer-arithmetic verdicts, no
@@ -1536,6 +1546,20 @@ object TextQueries {
              ' '), '')) AS trimmed_fp
          FROM tk LEFT JOIN rem USING (doc_id) LEFT JOIN st USING (doc_id)
          ORDER BY doc_id""",
+
+    "q99_novelty" ->
+      s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         pg AS (SELECT DISTINCT doc_id,
+             ${h60("array_to_string(toks[i:i+7], ' ')")} AS h
+           FROM (SELECT doc_id, toks, unnest(CASE WHEN len(toks) >= 8
+               THEN range(1, len(toks) - 6) ELSE [] END) AS i FROM tk)),
+         own AS (SELECT h, min(doc_id) AS owner FROM pg GROUP BY h)
+         SELECT doc_id, count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN doc_id = owner THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+           floor(sum(CASE WHEN doc_id = owner THEN 1 ELSE 0 END) * 10000.0
+             / count(*) + 0.5) / 10000.0 AS novelty_frac
+         FROM pg JOIN own USING (h)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "q89_gopher_filter" ->
       s"""WITH tk AS (SELECT doc_id, text, $TOKS AS toks,

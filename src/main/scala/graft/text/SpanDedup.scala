@@ -190,6 +190,38 @@ object SpanDedup {
         coalesce(col("_kept"), lit("")).as("text_trimmed"))
   }
 
+  /** Per-document first-occurrence NOVELTY — the asymmetric counterpart
+    * of [[stats]]' dup_frac (which is symmetric: both copies of a shared
+    * region count as duplicated): each distinct gram is OWNED by its
+    * min-id document, and a document's novelty is the fraction of its
+    * distinct grams it owns. Early documents score high, later
+    * re-statements score low — the contribution ordering corpus-pruning
+    * and curriculum policies rank by (and the scoring face of [[trim]]'s
+    * owner election: novelty 1.0 ⇔ trim removes nothing).
+    *
+    * (`idCol`, n_grams, n_novel, novelty_frac) for every document with at
+    * least `n` tokens (shorter docs have no grams to own — no row, the
+    * dupSpans convention); the ratio rides the tie-free floor grid.
+    *
+    * Scale: distinct (doc, gram) postings → one vocab-sized min agg
+    * (map-side combined) → join-back + per-doc count — all linear, no
+    * pairs, no windows.
+    */
+  def novelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, s"gram width must be >= 2, got $n")
+    val p = postings(docs, idCol, textCol, n)
+      .select(col(idCol), col("h")).distinct()
+    val owners = p.groupBy(col("h")).agg(min(col(idCol)).as("_owner"))
+    p.join(owners, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col(idCol) === col("_owner"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col(idCol), col("n_grams"), col("n_novel"),
+        (floor(col("n_novel") * lit(10000.0) / col("n_grams") + 0.5) / 10000.0)
+          .as("novelty_frac"))
+  }
+
   /** Per-document rollup of [[dupSpans]]: (`idCol`, n_tokens, dup_tokens,
     * n_spans, dup_frac) for EVERY document — clean docs report 0/0/0.0,
     * so the frame is a complete curation signal (join-free thresholding

@@ -739,6 +739,28 @@ class TextSpec extends SparkSpec {
         "dominant stratum must be damped below natural")
   }
 
+  test("SpanDedup.novelty: owners score 1.0, verbatim copies 0.0, partials in between") {
+    val block = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, block),                                 // owns all 3 of its grams
+      (2L, block),                                 // verbatim copy: owns none
+      (3L, s"$block plus four fresh tokens here"), // mixed
+      (4L, "entirely novel content all of it never repeated anywhere else ok"))
+      .toDF("doc_id", "text")
+    val nv = graft.text.SpanDedup.novelty(docs, "doc_id", "text", 8)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(nv(1L)._4 == 1.0 && nv(2L)._4 == 0.0, s"${nv(1L)} ${nv(2L)}")
+    assert(nv(3L)._4 > 0.0 && nv(3L)._4 < 1.0, nv(3L).toString)
+    assert(nv(4L)._4 == 1.0)
+    // consistency with the trim owner election: novelty 1.0 ⇔ trim
+    // removes nothing from that doc
+    val trimmed = graft.text.SpanDedup.trim(docs, "doc_id", "text", 8)
+      .select(col("doc_id"), col("removed_tokens")).as[(Long, Long)].collect().toMap
+    nv.foreach { case (id, (_, _, _, f)) =>
+      assert((f == 1.0) == (trimmed(id) == 0L), s"doc $id: novelty $f, removed ${trimmed(id)}")
+    }
+  }
+
   test("Decontaminate.trim removes exactly the leaked region, keeps the rest") {
     val leak = (1 to 10).map(i => s"bench$i").mkString(" ")
     val docs = Seq(
