@@ -356,7 +356,11 @@ object Binary {
     while (!sawEnd) {
       if (i + 8 > p.length) fail("png", s"truncated chunk header at byte $i")
       val len = be32(p, i)
-      if (len < 0 || i + 12 + len > p.length)
+      // Long math: a crafted len near Int.MaxValue would wrap `i + 12 + len`
+      // negative and slide past the truncation check into a bare
+      // IndexOutOfBounds — the named-failure contract covers hostile
+      // headers, not just honest truncation.
+      if (len < 0 || i.toLong + 12L + len > p.length)
         fail("png", s"truncated chunk at byte $i (declared $len data bytes)")
       val tag = new String(p, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
       if (tag == "IDAT") idat.write(p, i + 8, len)
@@ -364,16 +368,30 @@ object Binary {
       i += 12 + len
     }
     if (idat.size == 0) fail("png", "no IDAT chunk")
-    val stride = w * channels
-    val raw = new Array[Byte](h * (stride + 1))
+    // Same hostile-header discipline for the raster allocation: 65536²
+    // RGBA dims overflow Int and would throw NegativeArraySize unnamed.
+    val strideL = w.toLong * channels
+    val rawLenL = h.toLong * (strideL + 1)
+    if (rawLenL > Int.MaxValue - 16)
+      fail("png", s"raster too large to decode in one array: ${w}x$h x$channels " +
+        s"($rawLenL filtered bytes)")
+    val stride = strideL.toInt
+    val raw = new Array[Byte](rawLenL.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var off = 0
     try {
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput())
+        if (n == 0) {
+          // 0 without progress: truncated stream (needsInput), a
+          // preset-dictionary zlib header (needsDictionary — valid zlib,
+          // not valid PNG), or any other stall — all must fail NAMED
+          // rather than spin this loop forever on hostile payloads.
+          if (inf.needsDictionary())
+            fail("png", "IDAT declares a preset zlib dictionary (FDICT) — not valid PNG")
           fail("png", s"IDAT truncated: inflated $off of ${raw.length} filtered bytes")
+        }
         off += n
       }
     } catch {
@@ -431,24 +449,29 @@ object Binary {
     sums.map(_.toDouble / n)
   }
 
-  /** `bins`-bucket luminance histogram of a decoded PNG: luma = the gray
-    * sample for gray profiles, the integer Rec.601 weighting
-    * (299·R + 587·G + 114·B)/1000 for color — integer-exact, so the spec
-    * fixtures pin every bucket.
+  /** Integer Rec.601 luma of the pixel at sample offset `i`: the gray
+    * sample for 1/2-channel profiles, (299·R + 587·G + 114·B)/1000 for
+    * color — integer-exact, the ONE luma definition (histogram and mean
+    * share it by construction).
     */
-  def pngLumaHistogram(p: Array[Byte], bins: Int = 16): Array[Long] = {
+  private def lumaAt(px: PngPixels, i: Int): Int =
+    if (px.channels <= 2) px.samples(i) & 0xff
+    else ((px.samples(i) & 0xff) * 299 + (px.samples(i + 1) & 0xff) * 587 +
+      (px.samples(i + 2) & 0xff) * 114) / 1000
+
+  /** `bins`-bucket luminance histogram of a decoded PNG ([[lumaAt]] luma;
+    * spec fixtures pin every bucket).
+    */
+  def pngLumaHistogram(p: Array[Byte], bins: Int = 16): Array[Long] =
+    lumaHistogram(decodePngPixels(p), bins)
+
+  private def lumaHistogram(px: PngPixels, bins: Int): Array[Long] = {
     require(bins > 0 && 256 % bins == 0, s"bins must divide 256, got $bins")
-    val px = decodePngPixels(p)
     val hist = new Array[Long](bins)
-    val ch = px.channels
     var i = 0
     while (i < px.samples.length) {
-      val luma =
-        if (ch <= 2) px.samples(i) & 0xff
-        else ((px.samples(i) & 0xff) * 299 + (px.samples(i + 1) & 0xff) * 587 +
-          (px.samples(i + 2) & 0xff) * 114) / 1000
-      hist(luma * bins / 256) += 1
-      i += ch
+      hist(lumaAt(px, i) * bins / 256) += 1
+      i += px.channels
     }
     hist
   }
@@ -467,20 +490,16 @@ object Binary {
     import spark.implicits._
     payloads.mapPartitions { it =>
       it.map { mp =>
+        // ONE decode per payload; histogram and mean share the single
+        // luma pass (inflate+defilter dominates this path's cost).
         val px = decodePngPixels(mp.payload)
-        val hist = pngLumaHistogram(mp.payload, bins)
-        val n = px.width.toLong * px.height
+        val hist = lumaHistogram(px, bins)
         var lumaSum = 0L
-        val ch = px.channels
         var i = 0
-        while (i < px.samples.length) {
-          lumaSum +=
-            (if (ch <= 2) px.samples(i) & 0xff
-            else ((px.samples(i) & 0xff) * 299 + (px.samples(i + 1) & 0xff) * 587 +
-              (px.samples(i + 2) & 0xff) * 114) / 1000)
-          i += ch
-        }
-        PngStats(mp.doc_id, px.width, px.height, ch, lumaSum.toDouble / n, hist)
+        while (i < px.samples.length) { lumaSum += lumaAt(px, i); i += px.channels }
+        val n = px.width.toLong * px.height
+        PngStats(mp.doc_id, px.width, px.height, px.channels,
+          lumaSum.toDouble / n, hist)
       }
     }
   }

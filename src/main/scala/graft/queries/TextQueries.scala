@@ -692,11 +692,10 @@ object TextQueries {
     // TRAINED path is q95 (rows-only — DuckDB cannot train) + the
     // replay-equivalence property specs.
     "q92_bpe_encode" -> { (s, d) =>
-      val enc = (t: org.apache.spark.sql.Column) => call_function(
-        "graft_bpe_encode", t, typedLit(graft.text.Bpe.FixedMerges))
       Tables.documents(s, d)
         .select(col("doc_id"), TF.tokens(col("text")).as("_toks"))
-        .withColumn("_enc", transform(col("_toks"), t => enc(t)))
+        .withColumn("_enc", transform(col("_toks"),
+          t => graft.text.Bpe.encode(t, graft.text.Bpe.FixedMerges)))
         .select(col("doc_id"),
           size(col("_toks")).cast("long").as("n_words"),
           aggregate(transform(col("_enc"), e => size(e)),
@@ -713,11 +712,10 @@ object TextQueries {
     // shards hold ~budget real subword tokens. Pure projection into
     // ShardPack.assign — no new shuffle beyond q71's.
     "q96_bpe_pack" -> { (s, d) =>
-      val enc = (t: org.apache.spark.sql.Column) => call_function(
-        "graft_bpe_encode", t, typedLit(graft.text.Bpe.FixedMerges))
       val weighted = Tables.documents(s, d)
         .select(col("doc_id"),
-          aggregate(transform(TF.tokens(col("text")), t => size(enc(t))),
+          aggregate(transform(TF.tokens(col("text")),
+            t => size(graft.text.Bpe.encode(t, graft.text.Bpe.FixedMerges))),
             lit(0L), (a, x) => a + x).as("n_bpe_tokens"))
       graft.ops.ShardPack.assign(weighted, "doc_id", "n_bpe_tokens",
           budget = 512, bucketSize = 64)
@@ -1080,8 +1078,12 @@ object TextQueries {
                + (1.0 - len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / len(text)) * 0.2)
                * 10000 + 0.5) AS th
            FROM qt),
-         keepx AS (SELECT min(doc_id) AS doc_id FROM documents
-           GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+         -- keeper elected among QUALITY-PASSING members (mirrors
+         -- Curate.keepSet: a below-threshold min-id variant must not
+         -- eliminate its above-threshold fingerprint twin)
+         keepx AS (SELECT min(d.doc_id) AS doc_id FROM documents d
+           JOIN sq q ON q.doc_id = d.doc_id AND q.th >= 5000
+           GROUP BY md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')))),
          best AS (SELECT cluster_id, doc_id FROM (
              SELECT cc.cluster_id, s.doc_id,
                row_number() OVER (PARTITION BY cc.cluster_id

@@ -364,12 +364,19 @@ object Sinks {
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
       partCols.map(c => first(col(c)).as(s"part_$c")) :+
       count(lit(1)).as("n_rows")
+    // Partition values ride as STRINGS (the zero-row cover below parses
+    // them from k=v path segments; readSkippingPartitioned re-casts to
+    // the table's inferred types). ONE collect = one data scan total.
     val grouped = df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-    val groupedRows = grouped.collect()
+    val stringified = grouped.select(
+      (col("file") +: statsCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))))
+        ++ partCols.map(c => col(s"part_$c").cast("string").as(s"part_$c"))
+        :+ col("n_rows"): _*)
+    val strRows = stringified.collect()
     // Zero-row part files: cover with null stats + partition values parsed
     // from the file's own k=v path segments (the hive layout contract).
-    val counted = groupedRows
+    val counted = strRows
       .map(r => new Path(r.getString(0)).toUri.getPath).toSet
     val root = new Path(path)
     val rfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -386,14 +393,6 @@ object Sinks {
             partCols.map(c => kv.getOrElse(c,
               sys.error(s"zero-row file $f lacks partition segment $c="))) :+ 0L)
       }
-    // Partition values ride as STRINGS in the zero-row case; align the
-    // grouped rows to the same manifest schema by casting part_* to string
-    // (readSkippingPartitioned re-casts to the table's inferred types).
-    val stringified = grouped.select(
-      (col("file") +: statsCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))))
-        ++ partCols.map(c => col(s"part_$c").cast("string").as(s"part_$c"))
-        :+ col("n_rows"): _*)
-    val strRows = stringified.collect()
     spark.createDataFrame(
         spark.sparkContext.parallelize((strRows ++ zeroRows).toIndexedSeq, 1),
         stringified.schema)

@@ -845,10 +845,21 @@ object SqlOps {
   def temperatureSampleSql(table: String, idCol: String,
       stratumCol: String): String = {
     val (id, st) = (bt(idCol), bt(stratumCol))
-    s"""WITH _c AS (SELECT $st AS _s, count(*) AS _n FROM $table GROUP BY $st),
+    s"""WITH _c0 AS (SELECT $st AS _s, count(*) AS _n FROM $table GROUP BY $st),
+       |-- NULL stratum fails fast (mirrors the Column/streaming twins): it
+       |-- would tighten every named stratum's threshold via min(_n) while
+       |-- its own rows never equality-join below.
+       |_c AS (SELECT CASE WHEN _s IS NULL THEN raise_error(
+       |    'mixture stratum is NULL — assign or quarantine upstream before balancing')
+       |  ELSE _s END AS _s, _n FROM _c0),
        |_m AS (SELECT min(_n) AS _nmin FROM _c),
+       |-- DECIMAL(38,0) product: a BIGINT n_min·10¹² wraps once the
+       |-- smallest stratum passes ~9.2M rows (the Column spelling uses
+       |-- BigInt for the same reason); the quotient is <= 10¹² so the
+       |-- DOUBLE cast stays lossless and sqrt correctly rounded.
        |_t AS (SELECT _s, CAST(floor(sqrt(CAST(
-       |    (SELECT _nmin FROM _m) * 1000000000000L div _n AS DOUBLE))) AS BIGINT) AS _thr
+       |    CAST((SELECT _nmin FROM _m) AS DECIMAL(38,0)) * 1000000000000
+       |      div _n AS DOUBLE))) AS BIGINT) AS _thr
        |  FROM _c)
        |SELECT d.$id, d.$st FROM $table d JOIN _t ON d.$st = _t._s
        |WHERE pmod(graft_hash60(CAST(d.$id AS STRING)), 1000000) < _t._thr""".stripMargin

@@ -75,23 +75,25 @@ object Curate {
     val scored = docs.select(col(id), TextFunctions.qualityGrid(col(text)).as("_th"))
     val cc = graft.ops.Graph.connectedComponents(edges, "id_a", "id_b")
       .select(col("id").as(id), col("label"))
-    // The rule gate applies BEFORE cluster keep-best AND before exact-dup
-    // keeper election (the documented production order): each keep-best /
-    // keeper pick must land on a RULE-PASSING member, or a rule-failing
-    // winner would eliminate every passing member of its group (no
-    // survivor at all). Exact-dup groups genuinely need this too: the
-    // fingerprint normalizes whitespace but the rule verdicts read RAW
-    // text, so two fingerprint-identical variants can disagree on the
-    // line-shape rules (bullet/ellipsis ratios count raw lines) — the
-    // min-id keeper is therefore elected among ruled members only.
+    // EVERY gate applies BEFORE exact-dup keeper election (the documented
+    // production order): the min-id keeper pick must land on a member that
+    // will actually SURVIVE the rule and quality gates, or a doomed winner
+    // eliminates every surviving member of its group (no survivor at
+    // all). Exact-dup groups genuinely hit both cases: the fingerprint
+    // normalizes whitespace, but the rule verdicts read RAW lines
+    // (bullet/ellipsis ratios) AND the quality score reads RAW chars
+    // (alpha/punct ratios over len(text)) — so two fingerprint-identical
+    // variants can straddle either gate. Cluster keep-best needs no
+    // quality care: it picks MAX quality, which fails the floor only when
+    // every member does.
     val ruled =
       if (!gopherRules) scored
       else scored.join(
         Gopher.verdicts(docs, id, text).filter(col("keep")).select(col(id)),
         Seq(id), "left_semi")
-    val keeperPool =
-      if (!gopherRules) docs
-      else docs.join(ruled.select(col(id)), Seq(id), "left_semi")
+    val keeperPool = docs.join(
+      ruled.filter(col("_th") >= minQuality).select(col(id)),
+      Seq(id), "left_semi")
     val exactKeepers = keeperPool
       .withColumn("fp", md5(TextFunctions.normalizeText(col(text))))
       .groupBy(col("fp")).agg(min(col(id)).as(id))

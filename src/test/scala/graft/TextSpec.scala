@@ -715,6 +715,29 @@ class TextSpec extends SparkSpec {
     assert(!byId(2L).getBoolean(byId(2L).fieldIndex("symbol_ok")))
   }
 
+  test("Curate.keepSet: exact keeper elected among QUALITY-passing members") {
+    // Fingerprint twins straddling the quality floor: extra whitespace
+    // doesn't change the normalized fingerprint but LOWERS the score
+    // (alpha/punct ratios read raw chars over len(text)). Electing the
+    // keeper over all members picks the below-floor min-id variant and
+    // the group loses every member; the production order keeps the twin.
+    val run = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, run + " " * 400), // whitespace-heavy: same fingerprint, lower score
+      (2L, run))
+      .toDF("doc_id", "text")
+    val grids = docs
+      .select(col("doc_id"), graft.text.TextFunctions.qualityGrid(col("text")).as("g"))
+      .as[(Long, Long)].collect().toMap
+    assert(grids(1L) < grids(2L), s"fixture premise broken: $grids")
+    val floorQ = grids(2L).toInt // doc 1 below, doc 2 at the floor
+    assert(grids(1L) < floorQ)
+    val kept = graft.text.Curate.keepSet(docs, "doc_id", "text",
+        minQuality = floorQ)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept == Set(2L), s"exact group lost its quality-passing member: $kept")
+  }
+
   test("q98 temperature sampling sits between equalized (q81) and natural mixtures") {
     val sfDir01 = "/root/testdata/sf0.001"
     val q81 = SparkEntry.queries("q81_mixture_sample")(spark, sfDir01)
