@@ -73,8 +73,8 @@ object ScaleBench {
     "q89_gopher_filter", "q90_contamination_spans", "q91_corpus_report",
     "q95_bpe_train",
     "x35_dedup_cosine_auto", "x86_semdedup_auto", "x88_bloom_fixed_eval",
-    "x92_bpe_encode_work", "x93_html_extract_work", "x94_span_trim_work",
-    "x97_contamination_trim_work")
+    "x89_gopher_work", "x92_bpe_encode_work", "x93_html_extract_work",
+    "x94_span_trim_work", "x97_contamination_trim_work")
 
   /** Default key stride between copies: far above any sf0.1 key range, so
     * strided ids never collide across copies. A SECOND derivation (e.g.
@@ -228,6 +228,13 @@ object ScaleBench {
           "doc_id", "text", col("source") === "src0", 8)
         .groupBy(md5(col("text_trimmed")).as("fp"))
         .agg(sum(col("removed_tokens")).as("t"))
+    },
+    "x89_gopher_work" -> { (s, d) =>
+      graft.text.Gopher.verdicts(Tables.documents(s, d), "doc_id", "text")
+        .groupBy(col("words_ok"), col("word_len_ok"), col("symbol_ok"),
+          col("bullet_ok"), col("ellipsis_ok"), col("alpha_ok"),
+          col("stopword_ok"), col("keep"))
+        .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("t"))
     })
 
   def main(args: Array[String]): Unit = {
