@@ -955,6 +955,71 @@ object Streams {
   def readSpans(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/spans").drop("batch_id")
 
+  /** s21: streaming first-occurrence gram novelty — the streaming face of
+    * q99 ([[graft.text.SpanDedup.novelty]]): each arriving document is
+    * scored by the fraction of its distinct `n`-grams NOT seen before —
+    * neither in any prior batch (the accumulated seen-gram log, the
+    * [[spanDedupSink]] state shape) nor owned by a smaller-id batch-mate
+    * (q99's min-id ownership, applied within the batch). FIRST-SEEN
+    * asymmetry by construction: a document's score is fixed when it
+    * arrives and never re-opened when later documents repeat its grams —
+    * so on batches arriving in id order the accumulated rollup EQUALS
+    * batch q99 on the union exactly (the s10 parity discipline,
+    * spec-pinned), and one batch over empty state reproduces q99 alone.
+    *
+    * Per-batch cost is q99's linear story: distinct batch postings, one
+    * vocab-sized min agg, one anti-join against the seen log (inverted,
+    * never a corpus rescan), one per-doc count. State = distinct gram
+    * hashes, batch_id-partitioned, compactable with [[compactBatchLog]];
+    * replay-idempotent via the `=!= batchId` read + dynamic overwrite of
+    * both logs (latest-batch contract, the spanDedupSink note).
+    */
+  def noveltySink(spark: SparkSession, stateDir: String,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 8)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.text.SpanDedup
+    if (batch.isEmpty) return // empty-batch discipline: write nothing
+    val p = SpanDedup.postings(batch, idCol, textCol, n)
+      .select(col(idCol), col("h")).distinct().cache()
+    val prior = graft.sources.Sources.parquetIfExists(spark, s"$stateDir/seen")
+      .map { st =>
+        require(st.columns.contains("batch_id"),
+          s"novelty seen log at $stateDir/seen lacks the batch_id partition column")
+        st.filter(col("batch_id") =!= batchId)
+      }
+      .filter(!_.isEmpty)
+    val owners = p.groupBy(col("h")).agg(min(col(idCol)).as("_owner"))
+    val withOwner = p.join(owners, Seq("h"))
+    val scored = (prior match {
+      case None => withOwner.withColumn("_seen", lit(false))
+      case Some(st) => withOwner
+        .join(st.select(col("h"), lit(true).as("_seen")).distinct(), Seq("h"), "left")
+        .withColumn("_seen", coalesce(col("_seen"), lit(false)))
+    })
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(!col("_seen") && col(idCol) === col("_owner"), 1L)
+          .otherwise(0L)).as("n_novel"))
+      .select(col(idCol), col("n_grams"), col("n_novel"),
+        (floor(col("n_novel") * lit(10000.0) / col("n_grams") + 0.5) / 10000.0)
+          .as("novelty_frac"))
+    if (!scored.isEmpty)
+      graft.sources.Sinks.dynamicOverwrite(
+        scored.withColumn("batch_id", lit(batchId)),
+        s"$stateDir/docs", Seq("batch_id"))
+    val distinctH = p.select(col("h")).distinct()
+    val newSeen = prior match {
+      case None => distinctH
+      case Some(st) => distinctH.join(st.select(col("h")), Seq("h"), "left_anti")
+    }
+    writeBatchPartition(spark, newSeen, s"$stateDir/seen", batchId)
+    p.unpersist()
+  }
+
+  /** Per-doc novelty rollups accumulated by [[noveltySink]]. */
+  def readNovelty(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/docs").drop("batch_id")
+
   /** s15: streaming token-budget shard packing — the streaming face of
     * q71 ([[graft.ops.ShardPack]]): a live training-data writer assigning
     * every arriving document its shard from the GLOBAL running token

@@ -680,6 +680,37 @@ class StreamingSpec extends SparkSpec {
     evalGrams.unpersist()
   }
 
+  test("noveltySink: ordered-arrival parity with q99, first-seen monotonic, replay (s21)") {
+    val dir = Files.createTempDirectory("novelty_stream").toFile.getAbsolutePath
+    val sink = Streams.noveltySink(spark, s"$dir/state") _
+    val block = (1 to 10).map(i => s"shr$i").mkString(" ")
+    val b0 = Seq(
+      (1L, block),                                  // owns its grams
+      (2L, block),                                  // batch-mate copy: 0.0
+      (3L, s"$block plus four fresh tokens here"))  // partial
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (4L, block),                                  // prior-batch repeat: 0.0
+      (5L, "entirely new material never before seen in any batch at all"))
+      .toDF("doc_id", "text")
+    sink(b0, 0L)
+    sink(b0, 0L) // replay after a simulated post-write failure
+    sink(b1, 1L)
+    def got = Streams.readNovelty(spark, s"$dir/state")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // batches arrive in id order → the rollup EQUALS batch q99 on the union
+    val want = graft.text.SpanDedup.novelty(
+        b0.unionByName(b1), "doc_id", "text", 8)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got == want, s"stream $got != batch $want")
+    assert(got(1L)._4 == 1.0 && got(2L)._4 == 0.0 && got(4L)._4 == 0.0)
+    assert(got(3L)._4 > 0.0 && got(3L)._4 < 1.0 && got(5L)._4 == 1.0)
+    // first-seen monotonicity: doc 1's score did not re-open when 4 repeated it
+    assert(Streams.compactBatchLog(spark, s"$dir/state/seen", keepLast = 1,
+      merge = _.distinct()))
+    assert(got == want, "compaction must not change the rollup")
+  }
+
   test("htmlExtractSink: batch parity, idempotent replay, compaction (s20)") {
     val dir = Files.createTempDirectory("html_stream").toFile.getAbsolutePath
     val sink = Streams.htmlExtractSink(spark, s"$dir/state") _
