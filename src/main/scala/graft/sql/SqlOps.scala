@@ -782,6 +782,31 @@ object SqlOps {
        |FROM (SELECT $id FROM $table) d LEFT JOIN _roll r ON d.$id = r.$id""".stripMargin
   }
 
+  /** SQL twin of q99 / [[graft.text.SpanDedup.novelty]]: distinct
+    * positional gram hashes → min-id owner per gram → per-doc owned
+    * fraction on the tie-free floor grid.
+    */
+  def noveltySql(table: String, idCol: String, textCol: String,
+      n: Int = 8): String = {
+    require(n >= 2, s"gram width must be >= 2, got $n")
+    val (id, txt) = (bt(idCol), bt(textCol))
+    s"""WITH _tk AS (SELECT $id, graft_tokens($txt) AS _toks FROM $table),
+       |_pa AS (SELECT $id, element_at(transform(array(_toks), ts ->
+       |    CASE WHEN size(ts) >= $n THEN transform(sequence(1, size(ts) - ${n - 1}),
+       |        i -> graft_hash60(concat_ws(' ', slice(ts, i, $n))))
+       |      ELSE CAST(array() AS ARRAY<BIGINT>) END), 1) AS _hs
+       |  FROM _tk),
+       |_p AS (SELECT DISTINCT $id, _h FROM _pa
+       |  LATERAL VIEW explode_outer(_hs) _e AS _h WHERE _h IS NOT NULL),
+       |_own AS (SELECT _h, min($id) AS _owner FROM _p GROUP BY _h)
+       |SELECT p.$id, count(*) AS n_grams,
+       |  sum(CASE WHEN p.$id = o._owner THEN CAST(1 AS BIGINT) ELSE 0 END) AS n_novel,
+       |  floor(sum(CASE WHEN p.$id = o._owner THEN 1 ELSE 0 END) * 10000.0
+       |    / count(*) + 0.5) / 10000.0 AS novelty_frac
+       |FROM _p p JOIN _own o ON p._h = o._h
+       |GROUP BY p.$id""".stripMargin
+  }
+
   /** SQL twin of q97 / [[graft.text.Decontaminate.trim]] — the
     * [[spanTrimSql]] scaffold with eval-gram ownership replacing dup-gram
     * owner election: corpus = rows failing `evalPredSql`, removal spans =

@@ -375,6 +375,14 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("SqlOps.noveltySql == SpanDedup.novelty (rows)") {
+    registered
+    val viaSql = spark.sql(SqlOps.noveltySql("documents", "doc_id", "text", 8))
+    val viaCol = graft.text.SpanDedup.novelty(
+      Tables.documents(spark, sfDir), "doc_id", "text", 8)
+    assertSame(viaSql, viaCol, "novelty", samePlan = false)
+  }
+
   test("SqlOps.spanTrimSql == SpanDedup.trim (rows)") {
     registered
     val viaSql = spark.sql(SqlOps.spanTrimSql("documents", "doc_id", "text", 8))
