@@ -978,6 +978,7 @@ object Streams {
       idCol: String = "doc_id", textCol: String = "text", n: Int = 8)(
       batch: DataFrame, batchId: Long): Unit = {
     import graft.text.SpanDedup
+    require(n >= 2, s"gram width must be >= 2, got $n") // the q99/noveltySql guard
     if (batch.isEmpty) return // empty-batch discipline: write nothing
     val p = SpanDedup.postings(batch, idCol, textCol, n)
       .select(col(idCol), col("h")).distinct().cache()
@@ -1003,10 +1004,10 @@ object Streams {
       .select(col(idCol), col("n_grams"), col("n_novel"),
         (floor(col("n_novel") * lit(10000.0) / col("n_grams") + 0.5) / 10000.0)
           .as("novelty_frac"))
-    if (!scored.isEmpty)
-      graft.sources.Sinks.dynamicOverwrite(
-        scored.withColumn("batch_id", lit(batchId)),
-        s"$stateDir/docs", Seq("batch_id"))
+    // writeBatchPartition for BOTH logs (the spanDedupSink discipline):
+    // a replay that scores nothing must delete its stale docs partition,
+    // not leave the failed attempt's rows readable.
+    writeBatchPartition(spark, scored, s"$stateDir/docs", batchId)
     val distinctH = p.select(col("h")).distinct()
     val newSeen = prior match {
       case None => distinctH

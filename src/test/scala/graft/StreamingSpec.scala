@@ -705,10 +705,17 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"stream $got != batch $want")
     assert(got(1L)._4 == 1.0 && got(2L)._4 == 0.0 && got(4L)._4 == 0.0)
     assert(got(3L)._4 > 0.0 && got(3L)._4 < 1.0 && got(5L)._4 == 1.0)
-    // first-seen monotonicity: doc 1's score did not re-open when 4 repeated it
+    // compaction must preserve gram COVERAGE, not just the rollup: a
+    // post-compaction batch repeating the block must still score 0.0
     assert(Streams.compactBatchLog(spark, s"$dir/state/seen", keepLast = 1,
       merge = _.distinct()))
-    assert(got == want, "compaction must not change the rollup")
+    sink(Seq((6L, block)).toDF("doc_id", "text"), 2L)
+    assert(got(6L)._4 == 0.0, s"compacted seen log lost coverage: ${got(6L)}")
+    assert(got.filter(_._1 != 6L) == want, "earlier scores must not re-open")
+    // misuse guard: the q99/noveltySql gram-width precondition
+    intercept[IllegalArgumentException] {
+      Streams.noveltySink(spark, s"$dir/state", n = 1)(b0, 3L)
+    }
   }
 
   test("htmlExtractSink: batch parity, idempotent replay, compaction (s20)") {
