@@ -69,6 +69,29 @@ object Sources {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Raw text-lines corpus intake: one document per line, the format web
+    * dumps and many corpus releases actually ship in (one-JSON-per-line
+    * goes through [[json]]; this is the plain-text sibling). Returns
+    * (doc_id, text) with doc_id = the line's 0-based position in the
+    * file order Spark reads — DETERMINISTIC for a fixed file set
+    * (`zipWithIndex` assigns by partition order then offset), which is
+    * exactly the id stability the first-occurrence family (q82/q99, the
+    * min-id keepers) needs from an intake id. `wholetext=false` default
+    * splits on newlines; pass a glob for sharded dumps.
+    */
+  def textLines(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    // zipWithIndex, deliberately the RDD spelling: contiguous stable ids
+    // need a global prefix over partition sizes — zipWithIndex runs that
+    // as one bounded count job + a partition-local offset map (the q52
+    // two-phase shape), where the declarative alternatives are either
+    // non-contiguous (monotonically_increasing_id) or a corpus-wide
+    // single-partition window (the scale bug this repo bans).
+    spark.read.textFile(path).rdd.zipWithIndex()
+      .map { case (t, i) => (i, t) }
+      .toDF("doc_id", "text")
+  }
+
   /** PERMISSIVE CSV read with corrupt-record routing — the reference's
     * quarantine-don't-fail DQ philosophy (README "Invalid or malformed
     * records are redirected to a quarantine flow") applied at the PARSE

@@ -647,6 +647,21 @@ class SourcesSpec extends SparkSpec {
     assert(none.getMessage.contains("writeStatsManifest first"), none.getMessage)
   }
 
+  test("textLines: one doc per line, deterministic contiguous ids, feeds the B block") {
+    val dir = tmp("textlines")
+    Files.write(java.nio.file.Paths.get(s"$dir/corpus.txt"),
+      "first document line here\nsecond line of text\nthird one\n".getBytes)
+    val df = Sources.textLines(spark, s"$dir/corpus.txt")
+    val rows = df.as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L), "contiguous 0-based ids")
+    assert(rows(0)._2 == "first document line here" && rows(2)._2 == "third one")
+    // stable across re-reads (the min-id keeper family premise)
+    assert(Sources.textLines(spark, s"$dir/corpus.txt")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq == rows.toSeq)
+    // and the frame is directly consumable by the text operators
+    assert(graft.text.SpanDedup.novelty(df, "doc_id", "text", 2).count() == 3)
+  }
+
   test("json reader with schema reads nested props") {
     val dir = tmp("json")
     Files.write(java.nio.file.Paths.get(s"$dir/d.json"),

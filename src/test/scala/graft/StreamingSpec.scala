@@ -680,6 +680,26 @@ class StreamingSpec extends SparkSpec {
     evalGrams.unpersist()
   }
 
+  test("shardPackSink packs on BPE weights: single-batch parity with q96") {
+    // The weight column is the sink's composition seam: projecting
+    // model-tokenizer counts upstream gives the live intake q96's
+    // honest-budget packing with zero sink changes.
+    val dir = Files.createTempDirectory("bpe_pack_stream").toFile.getAbsolutePath
+    val sink = Streams.shardPackSink(spark, s"$dir/state",
+      weightCol = "n_bpe_tokens", budget = 512, bucketSize = 64) _
+    val weighted = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        aggregate(transform(graft.text.TextFunctions.tokens(col("text")),
+          t => size(graft.text.Bpe.encode(t, graft.text.Bpe.FixedMerges))),
+          lit(0L), (a, x) => a + x).as("n_bpe_tokens"))
+    sink(weighted, 0L)
+    val got = spark.read.parquet(s"$dir/state/docs")
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    val want = SparkEntry.queries("q96_bpe_pack")(spark, sfDir)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    assert(got == want, s"stream ${got.size} != q96 ${want.size}")
+  }
+
   test("noveltySink: ordered-arrival parity with q99, first-seen monotonic, replay (s21)") {
     val dir = Files.createTempDirectory("novelty_stream").toFile.getAbsolutePath
     val sink = Streams.noveltySink(spark, s"$dir/state") _
