@@ -359,6 +359,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q97 contamination trim: broadcast eval probe, doc-bounded windows, no pair join") {
+    val p = plan("q97_contamination_trim")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination trim must never expand pairs:\n$p")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
+      s"every trim window must be doc-bounded:\n${windows.mkString("\n")}")
+  }
+
+  test("q98 temperature sampling is a pushed filter — zero hash exchanges") {
+    // Thresholds are driver-derived constants; the row decision is a
+    // hash-mod compare that must reach the scan as a data filter.
+    val p = plan("q98_temperature_sample")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row gating must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"threshold fold must not become a join:\n$p")
+  }
+
+  test("q99 novelty: vocab-keyed aggregation + equi-join, no windows, no pair join") {
+    val p = plan("q99_novelty")
+    assert(!p.contains("windowspecdefinition"), s"novelty needs no window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the q01 aggregation") {
     // Under AQE the codegen spans only appear in the finalized plan, and
     // simpleString renders them as "*(n)" stage markers.
