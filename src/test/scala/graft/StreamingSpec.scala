@@ -680,6 +680,33 @@ class StreamingSpec extends SparkSpec {
     evalGrams.unpersist()
   }
 
+  test("htmlExtractSink under a REAL StreamingQuery (MemoryStream + foreachBatch)") {
+    // The r12 sinks are unit-driven elsewhere (the established direct-call
+    // pattern); this one rides an actual micro-batch runtime end to end —
+    // checkpointing, batch-id assignment, processAllAvailable — the
+    // nearDupSink integration template extended to the intake family.
+    val dir = Files.createTempDirectory("html_rt").toFile.getAbsolutePath
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "html")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch(Streams.htmlExtractSink(spark, s"$dir/state") _)
+      .start()
+    try {
+      in.addData((1L,
+        "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a></div>" +
+        "<p>the first real paragraph with enough prose to keep</p>"))
+      q.processAllAvailable()
+      in.addData((2L, "<p>a second batch paragraph also long enough</p>" +
+        "<div class=\"footer\"><a href=\"/t\">Terms</a> (c) site</div>"))
+      q.processAllAvailable()
+      val got = Streams.readExtracted(spark, s"$dir/state")
+        .select("doc_id", "main_text").as[(Long, String)].collect().toMap
+      assert(got(1L) == "the first real paragraph with enough prose to keep", got(1L))
+      assert(got(2L) == "a second batch paragraph also long enough", got(2L))
+    } finally q.stop()
+  }
+
   test("shardPackSink packs on BPE weights: single-batch parity with q96") {
     // The weight column is the sink's composition seam: projecting
     // model-tokenizer counts upstream gives the live intake q96's
