@@ -351,6 +351,7 @@ object Binary {
     if (filterMethod != 0) fail("png", s"bad filter method $filterMethod")
     if (interlace != 0) fail("png", "Adam7 interlace unsupported")
     val idat = new java.io.ByteArrayOutputStream()
+    val crc = new java.util.zip.CRC32()
     var i = 8
     var sawEnd = false
     while (!sawEnd) {
@@ -363,6 +364,15 @@ object Binary {
       if (len < 0 || i.toLong + 12L + len > p.length)
         fail("png", s"truncated chunk at byte $i (declared $len data bytes)")
       val tag = new String(p, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      // Chunk CRC32 covers tag + data (PNG spec §5.3). Without this check
+      // a bit-flipped IDAT that still inflates to the right length decodes
+      // to wrong pixel VALUES — the one corruption class the truncation
+      // and deflate-format checks can't see, and the documented contract
+      // is "corrupt fails named, never garbage pixels".
+      crc.reset()
+      crc.update(p, i + 4, 4 + len)
+      if (crc.getValue.toInt != be32(p, i + 8 + len))
+        fail("png", s"chunk $tag CRC mismatch at byte $i — corrupt payload")
       if (tag == "IDAT") idat.write(p, i + 8, len)
       else if (tag == "IEND") sawEnd = true
       i += 12 + len

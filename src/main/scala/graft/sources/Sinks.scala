@@ -316,7 +316,7 @@ object Sinks {
     // "skip safely" on the read side.
     val groupedRows = grouped.collect()
     val counted = groupedRows
-      .map(r => new Path(r.getString(0)).toUri.getPath).toSet
+      .map(r => normFilePath(r.getString(0))).toSet
     val zeroRows = rfs.listStatus(root)
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(s => s.getPath.toUri.getPath)
@@ -341,10 +341,11 @@ object Sinks {
     * Manifest lands at `path/_graft_stats`; same staleness contract.
     *
     * Zero-row part files take their partition values from their own k=v
-    * path segments AS WRITTEN — hive URL-escapes special characters
-    * (`%3D` for `=`, `__HIVE_DEFAULT_PARTITION__` for null), so partition
-    * VALUES are assumed URL-safe and non-null; a value needing escaping
-    * would mismatch the data-derived rows only for zero-row files.
+    * path segments, UNESCAPED per the hive layout contract: `%XX` escape
+    * sequences decode to their character (`%3D` → `=`) and
+    * `__HIVE_DEFAULT_PARTITION__` maps to null — so the stored value
+    * matches what the data-derived rows would have held, and pruning
+    * never drops a zero-row file on its escaped spelling.
     */
   def writeStatsManifestPartitioned(spark: org.apache.spark.sql.SparkSession,
       path: String, statsCols: Seq[String]): Unit = {
@@ -377,7 +378,7 @@ object Sinks {
     // Zero-row part files: cover with null stats + partition values parsed
     // from the file's own k=v path segments (the hive layout contract).
     val counted = strRows
-      .map(r => new Path(r.getString(0)).toUri.getPath).toSet
+      .map(r => normFilePath(r.getString(0))).toSet
     val root = new Path(path)
     val rfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val zeroRows = leafDataFiles(rfs, root)
@@ -386,7 +387,7 @@ object Sinks {
         val kv = f.split("/").collect {
           case seg if seg.contains("=") =>
             val Array(k, v) = seg.split("=", 2)
-            k -> v
+            k -> unescapeHivePartitionValue(v)
         }.toMap
         org.apache.spark.sql.Row.fromSeq(
           (f +: statsCols.flatMap(_ => Seq(null, null))) ++
@@ -399,6 +400,48 @@ object Sinks {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_graft_stats")
   }
+
+  /** Normalize a file reference to its raw on-disk path spelling.
+    * `input_file_name()` — and manifest rows derived from it — return
+    * URI-ESCAPED strings: a literal `%` in a hive-escaped partition
+    * directory (`src=a%3Db` on disk) arrives as `%25` (`…a%253Db…`),
+    * while `FileSystem` directory walks return the raw path. Comparing
+    * the two spellings directly double-counts every file under an
+    * escaped partition directory (one phantom "zero-row" manifest entry
+    * per real file) and then fails the staleness check.
+    */
+  private def normFilePath(u: String): String =
+    if (u.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) new java.net.URI(u).getPath
+    else new Path(u).toUri.getPath
+
+  /** Decode a hive partition-path VALUE segment back to the value the
+    * writer held: `%XX` escapes (hive escapes `=`, `/`, `%`, … when
+    * writing `k=v` directories) decode byte-for-byte, and the sentinel
+    * `__HIVE_DEFAULT_PARTITION__` is the null spelling. Not
+    * `URLDecoder`: hive escaping never turns space into `+`, so a
+    * literal `+` in a partition value must survive.
+    */
+  private def unescapeHivePartitionValue(v: String): String =
+    if (v == "__HIVE_DEFAULT_PARTITION__") null
+    else if (!v.contains('%')) v
+    else {
+      val sb = new StringBuilder(v.length)
+      var i = 0
+      while (i < v.length) {
+        val c = v.charAt(i)
+        if (c == '%' && i + 3 <= v.length) {
+          val hex = v.substring(i + 1, i + 3)
+          val code = try Integer.parseInt(hex, 16) catch {
+            case _: NumberFormatException =>
+              sys.error(s"malformed hive escape '%$hex' in partition segment '$v'")
+          }
+          sb.append(code.toChar); i += 3
+        } else if (c == '%')
+          sys.error(s"malformed hive escape at end of partition segment '$v'")
+        else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
 
   /** First leaf data file under a (possibly partitioned) root — used to
     * read the FILE schema (which excludes hive partition columns).
@@ -454,7 +497,7 @@ object Sinks {
       require(stats.columns.contains(s"min_$c") || partCols.contains(c),
         s"column $c is neither stats-indexed nor a partition column of $statsPath")
     }
-    def norm(u: String) = new Path(u).toUri.getPath
+    def norm(u: String) = normFilePath(u)
     val keepCol = preds.map { case (c, lo, hi) =>
       if (partCols.contains(c)) {
         val v = col(s"part_$c").cast(tableSchema(c).dataType)
@@ -483,7 +526,7 @@ object Sinks {
     // survive, where a per-partition union-of-literals would grow the
     // plan linearly in surviving-partition count.
     spark.read.option("basePath", path)
-      .parquet(kept.map(_.getString(0)).toIndexedSeq: _*)
+      .parquet(kept.map(r => normFilePath(r.getString(0))).toIndexedSeq: _*)
       .select(tableSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
       .filter(dataFilter)
   }
@@ -525,7 +568,7 @@ object Sinks {
     val oldRows = old.collect()
     val statsCols = old.columns.filter(_.startsWith("min_"))
       .map(_.stripPrefix("min_")).toSeq
-    def norm(u: String) = new Path(u).toUri.getPath
+    def norm(u: String) = normFilePath(u)
     val known = oldRows.map(r => norm(r.getString(old.columns.indexOf("file")))).toSet
     val disk = rfs.listStatus(root)
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
@@ -599,7 +642,7 @@ object Sinks {
         s"column $c is not indexed by the stats manifest at $statsPath " +
           s"(indexed: ${stats.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).mkString(", ")})")
     }
-    def norm(u: String) = new Path(u).toUri.getPath
+    def norm(u: String) = normFilePath(u)
     val keepCol = preds.map { case (c, lo, hi) =>
       coalesce(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi), lit(false))
     }.reduce(_ && _)
@@ -611,7 +654,7 @@ object Sinks {
     require(manifestFiles == actual,
       s"stats manifest is STALE for $path (manifest ${manifestFiles.size} files, " +
         s"directory ${actual.size}) — rewrite it with writeStatsManifest")
-    val kept = rows.filter(r => r.getBoolean(1)).map(_.getString(0))
+    val kept = rows.filter(r => r.getBoolean(1)).map(r => normFilePath(r.getString(0)))
     val pruned =
       if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
       else spark.read.parquet(kept.toIndexedSeq: _*)

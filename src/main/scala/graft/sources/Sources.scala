@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.mapreduce.lib.input.{FileSplit => NewFileSplit, TextInputFormat => NewTextInputFormat}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -72,23 +74,41 @@ object Sources {
   /** Raw text-lines corpus intake: one document per line, the format web
     * dumps and many corpus releases actually ship in (one-JSON-per-line
     * goes through [[json]]; this is the plain-text sibling). Returns
-    * (doc_id, text) with doc_id = the line's 0-based position in the
-    * file order Spark reads — DETERMINISTIC for a fixed file set
-    * (`zipWithIndex` assigns by partition order then offset), which is
-    * exactly the id stability the first-occurrence family (q82/q99, the
-    * min-id keepers) needs from an intake id. `wholetext=false` default
-    * splits on newlines; pass a glob for sharded dumps.
+    * (doc_id, text) with doc_id = the line's 0-based rank in the total
+    * order (file path, byte offset of the line start) — a PURE FUNCTION
+    * OF THE FILE SET, independent of split planning, session config, or
+    * cluster size. That is the id stability the first-occurrence family
+    * (q82/q99, the min-id keepers) needs from an intake id: a bare
+    * `zipWithIndex` over `spark.read.textFile` is deterministic only for
+    * a fixed `maxPartitionBytes`/parallelism, so a re-read on a
+    * differently-sized cluster could renumber documents and silently
+    * move the min-id keeper.
+    *
+    * Cost: TextInputFormat supplies each line's in-file byte offset for
+    * free during the scan; one `sortByKey` shuffle puts the corpus in
+    * (file, offset) order, and `zipWithIndex` then ranks it with one
+    * bounded count job + partition-local offsets (the q52 two-phase
+    * shape). Ids are contiguous AND deterministic: range-partition
+    * boundaries vary with sampling, but partitions hold disjoint sorted
+    * key ranges, so the concatenated order — which is all zipWithIndex
+    * reads — is always the unique total order. Pass a glob for sharded
+    * dumps; file-path order ranks the shards.
     */
   def textLines(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    // zipWithIndex, deliberately the RDD spelling: contiguous stable ids
-    // need a global prefix over partition sizes — zipWithIndex runs that
-    // as one bounded count job + a partition-local offset map (the q52
-    // two-phase shape), where the declarative alternatives are either
-    // non-contiguous (monotonically_increasing_id) or a corpus-wide
-    // single-partition window (the scale bug this repo bans).
-    spark.read.textFile(path).rdd.zipWithIndex()
-      .map { case (t, i) => (i, t) }
+    val sc = spark.sparkContext
+    val raw = sc.newAPIHadoopFile(
+        path, classOf[NewTextInputFormat], classOf[LongWritable], classOf[Text],
+        sc.hadoopConfiguration)
+      .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
+    raw.mapPartitionsWithInputSplit { (split, iter) =>
+        val file = split.asInstanceOf[NewFileSplit].getPath.toString
+        // Hadoop reuses the Writable instances — materialize per record.
+        iter.map { case (off, line) => ((file, off.get), line.toString) }
+      }
+      .sortByKey()
+      .zipWithIndex()
+      .map { case ((_, text), id) => (id, text) }
       .toDF("doc_id", "text")
   }
 

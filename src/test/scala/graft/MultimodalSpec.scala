@@ -336,4 +336,30 @@ class MultimodalSpec extends SparkSpec {
       Binary.decodePngPixels(imageioPng(pal)))
     assert(palErr.getMessage.contains("palette"), palErr.getMessage)
   }
+
+  test("decodePngPixels verifies chunk CRCs — a bit flip fails named, never wrong pixels") {
+    // A flipped IDAT byte deep in the deflate stream can still inflate to
+    // the expected length (dynamic-huffman literals), which would decode
+    // to WRONG pixel values under a length-only check. The CRC walk must
+    // reject any payload whose bytes don't match the chunk checksum.
+    import spark.implicits._
+    val good = Binary.toPngPayloads(spark, Seq((1L, "crc check fixture " * 8))
+      .toDF("doc_id", "text")).collect().head.payload
+    // flip one bit in the middle of the IDAT data (well past the zlib header)
+    val idatStart = 8 + 25 + 8 // signature + IHDR chunk + IDAT len/tag
+    val flipped = good.clone()
+    val mid = idatStart + (good.length - idatStart - 16) / 2
+    flipped(mid) = (flipped(mid) ^ 0x10).toByte
+    val err = intercept[IllegalArgumentException](Binary.decodePngPixels(flipped))
+    assert(err.getMessage.contains("CRC mismatch"), err.getMessage)
+    // and a flipped CRC FIELD (payload intact) also fails named — the
+    // checksum itself is part of the contract
+    val crcFlip = good.clone()
+    // IEND CRC = last 4 bytes
+    crcFlip(crcFlip.length - 1) = (crcFlip(crcFlip.length - 1) ^ 0x01).toByte
+    val err2 = intercept[IllegalArgumentException](Binary.decodePngPixels(crcFlip))
+    assert(err2.getMessage.contains("CRC mismatch"), err2.getMessage)
+    // untouched payload still decodes
+    assert(Binary.decodePngPixels(good).samples.nonEmpty)
+  }
 }

@@ -593,6 +593,37 @@ class SourcesSpec extends SparkSpec {
     assert(stale.getMessage.contains("STALE"), stale.getMessage)
   }
 
+  test("partitioned manifest unescapes hive partition segments for zero-row files") {
+    // Hive escapes special characters when writing k=v directories
+    // ('a=b' lands as src=a%3Db) and spells null as
+    // __HIVE_DEFAULT_PARTITION__. Zero-row part files take their
+    // partition value from the path segment, so the manifest must store
+    // the UNESCAPED value — or value pruning would drop those files on
+    // the escaped spelling ('a%3Db' != 'a=b').
+    val dir = tmp("skip_escape")
+    val path = s"$dir/t"
+    // 2 rows spread over 5 partitions → ≥ 3 zero-row part files, in a
+    // partition whose value needs escaping AND one that is null
+    Seq((1L, "a=b"), (2L, null.asInstanceOf[String]))
+      .toDF("k", "src").repartition(5)
+      .write.partitionBy("src").mode("overwrite").parquet(path)
+    val escaped = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith("src="))
+    assert(escaped.contains("src=a%3Db"), escaped.toSeq.toString)
+    Sinks.writeStatsManifestPartitioned(spark, path, Seq("k"))
+    val manifest = spark.read.parquet(s"$path/_graft_stats")
+    // every manifest row holds the unescaped value — zero-row rows match
+    // the data-derived spelling exactly
+    val vals = manifest.select(col("part_src")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(vals == Set("a=b", null), vals.toString)
+    // pruning on the unescaped value keeps the row (and its zero-row
+    // partition-mates never block the read)
+    val got = Sinks.readSkippingPartitioned(spark, path,
+      Seq[(String, Any, Any)](("src", "a=b", "a=b")))
+    assert(got.select(col("k")).as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("appendStatsManifest: append-only refresh stats only the new files (i15b)") {
     val dir = tmp("skip_append")
     val path = s"$dir/t"
@@ -660,6 +691,38 @@ class SourcesSpec extends SparkSpec {
       .as[(Long, String)].collect().sortBy(_._1).toSeq == rows.toSeq)
     // and the frame is directly consumable by the text operators
     assert(graft.text.SpanDedup.novelty(df, "doc_id", "text", 2).count() == 3)
+  }
+
+  test("textLines ids are a pure function of the file set — split planning can't renumber") {
+    // The r12 spelling (textFile + zipWithIndex) was deterministic only
+    // for a fixed split plan: a different maxSplitSize/cluster could
+    // renumber documents and silently move min-id keepers (q82/q99).
+    // Ids now rank (file path, byte offset), so forcing a pathological
+    // split plan must yield the SAME ids, and multi-file globs must rank
+    // shards in path order with in-file line order inside each.
+    val dir = tmp("textlines_stable")
+    Files.write(java.nio.file.Paths.get(s"$dir/a_shard.txt"),
+      "alpha line one\nalpha line two with more bytes in it\nalpha three\n".getBytes)
+    Files.write(java.nio.file.Paths.get(s"$dir/b_shard.txt"),
+      "beta first\nbeta second\n".getBytes)
+    val normal = Sources.textLines(spark, s"$dir/*.txt")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(normal.map(_._1) == (0L until 5L),
+      "contiguous ids across a multi-file glob")
+    assert(normal.map(_._2) == Seq(
+      "alpha line one", "alpha line two with more bytes in it", "alpha three",
+      "beta first", "beta second"), "path order ranks shards, offset order ranks lines")
+    // Force many tiny splits (TextInputFormat still stitches lines that
+    // straddle split boundaries) and require identical numbering.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val prior = Option(conf.get(key))
+    conf.set(key, "16")
+    try {
+      val tiny = Sources.textLines(spark, s"$dir/*.txt")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(tiny == normal, "split planning changed the ids")
+    } finally prior.fold(conf.unset(key))(conf.set(key, _))
   }
 
   test("json reader with schema reads nested props") {
