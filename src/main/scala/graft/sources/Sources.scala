@@ -216,6 +216,12 @@ object Sources {
     backfilled.select(expected.fieldNames.map(col).toSeq: _*)
   }
 
+  /** WARC crawl-archive intake (i17) → (records, quarantine); see
+    * [[Warc.read]] for the frame-level quarantine and scale contract.
+    */
+  def warc(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    Warc.read(spark, path)
+
   /** File-based stream: new files under `path` become micro-batches
     * (the bronze "incremental drops" pattern,
     * reference: 4_silver/silver_transactions.py:58 glob reads — but as a

@@ -1,0 +1,432 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayInputStream, ByteArrayOutputStream, EOFException, InputStream, PushbackInputStream}
+import java.util.zip.{CRC32, DataFormatException, Inflater}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** i17 WARC intake — the web-archive format real crawl corpora ship in
+  * (ISO 28500; Common Crawl's container format), parsed record-framed so
+  * the B-block text pipeline (q93 HtmlExtract → quality → dedup) runs off
+  * an actual crawl file instead of pre-extracted text.
+  *
+  * Reference lineage: the format-aware bronze readers
+  * (2_bronze_ingestion_adf/datasets/generic_adls_flat_file_ds.json) — a
+  * new source format lands as one more typed reader feeding the same
+  * silver flow, and malformed input routes to quarantine rather than
+  * failing the load (README "Invalid or malformed records are redirected
+  * to a quarantine flow" — here applied at the FRAME level, before any
+  * row exists).
+  *
+  * Format facts this reader is built on (all public):
+  *  - a `.warc.gz` is a CONCATENATION OF GZIP MEMBERS, conventionally one
+  *    WARC record per member, so records are independently decompressible;
+  *  - each record is `WARC/1.x CRLF` + headers + CRLF CRLF + exactly
+  *    `Content-Length` payload bytes + CRLF CRLF;
+  *  - a `response` record's payload is the raw HTTP response (status line,
+  *    headers, body) — the html lives in the HTTP body.
+  *
+  * Scale design: gzip members carry no global index, so a single WARC
+  * file is NOT byte-splittable — the parallelism unit is the FILE, which
+  * matches how crawls actually ship (Common Crawl: ~80k files of ~1 GB per
+  * snapshot; 100 TB of crawl is ~10⁵ independent tasks, far wider than any
+  * cluster). Within a task everything streams: the member decompressor is
+  * a hand-rolled `Inflater` loop (NOT `GZIPInputStream`, which fuses
+  * members and dies unrecoverably at the first corrupt one) that knows
+  * each member's compressed extent, so a corrupt member quarantines
+  * by NAME (file, compressed offset, reason) and parsing RESUMES at the
+  * next member's magic bytes — one bit-flipped page in a 1 GB file costs
+  * one record, not the file. Memory is bounded by `maxRecordBytes`
+  * (over-cap members quarantine, never OOM a 100 TB intake).
+  */
+object Warc {
+
+  /** Parsed-record schema: one row per WARC record that framed correctly.
+    * `payload` is the record block for non-HTTP records and the HTTP BODY
+    * for `application/http` records (status + content-type lifted out).
+    */
+  val recordSchema: StructType = StructType(Seq(
+    StructField("warc_file", StringType, nullable = false),
+    StructField("rec_offset", LongType, nullable = false),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("url", StringType, nullable = true),
+    StructField("fetch_ts", TimestampType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** Quarantine schema: one row per frame that could NOT be parsed —
+    * corrupt gzip member, truncated record, malformed headers. `rec_offset`
+    * is the COMPRESSED file offset of the failing member (so the bad bytes
+    * are addressable for forensics without re-parsing the file).
+    */
+  val quarantineSchema: StructType = StructType(Seq(
+    StructField("warc_file", StringType, nullable = false),
+    StructField("rec_offset", LongType, nullable = false),
+    StructField("reason", StringType, nullable = false),
+    StructField("detail", StringType, nullable = true)))
+
+  /** One parse event: a good record or a quarantined frame. */
+  private[sources] sealed trait Item
+  private[sources] final case class Rec(offset: Long, warcType: String,
+      url: String, fetchTs: java.sql.Timestamp, contentType: String,
+      httpStatus: Integer, payload: Array[Byte]) extends Item
+  private[sources] final case class Quar(offset: Long, reason: String,
+      detail: String) extends Item
+
+  /** Hard per-record decompressed-size cap: a member that inflates past
+    * this quarantines (`record_too_large`) instead of buffering — the
+    * memory bound that lets one executor core hold exactly one in-flight
+    * record regardless of what the crawl contains.
+    */
+  val DefaultMaxRecordBytes: Int = 64 << 20
+
+  // ---------------------------------------------------------------------
+  // gzip member framing (RFC 1952) — hand-rolled so member boundaries and
+  // failures are visible. Returns per member: (compressedOffset, bytes) or
+  // a quarantine event, resyncing at the next 1f 8b 08 magic on failure.
+  // ---------------------------------------------------------------------
+
+  private val GzMagic0 = 0x1f
+  private val GzMagic1 = 0x8b
+  private val GzDeflate = 8
+
+  private[sources] def readMembers(raw: InputStream, maxBytes: Int)
+      : Iterator[Either[Quar, (Long, Array[Byte])]] =
+    new Iterator[Either[Quar, (Long, Array[Byte])]] {
+      private val ChunkSize = 1 << 16
+      private val in = new PushbackInputStream(
+        new BufferedInputStream(raw, ChunkSize), ChunkSize + 8)
+      private var pos = 0L
+      private var nextItem: Option[Either[Quar, (Long, Array[Byte])]] = null
+
+      private def read1(): Int = { val b = in.read(); if (b >= 0) pos += 1; b }
+      private def readN(n: Int): Array[Byte] = {
+        val out = new Array[Byte](n)
+        var got = 0
+        while (got < n) {
+          val r = in.read(out, got, n - got)
+          if (r < 0) throw new EOFException(s"eof after $got/$n bytes")
+          got += r; pos += r
+        }
+        out
+      }
+      private def le32(b: Array[Byte], off: Int): Long =
+        (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+          ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+      private def resync(): Unit = {
+        var b = read1()
+        while (b >= 0) {
+          if (b == GzMagic0) {
+            val nxt = read1()
+            if (nxt == GzMagic1) { in.unread(nxt); in.unread(GzMagic0); pos -= 2; return }
+            if (nxt < 0) return
+            b = nxt // the byte after a lone 0x1f might itself start a magic
+          } else b = read1()
+        }
+      }
+
+      private def skipHeader(): Unit = {
+        val fixed = readN(10)
+        if ((fixed(0) & 0xff) != GzMagic0 || (fixed(1) & 0xff) != GzMagic1)
+          throw new DataFormatException("bad gzip magic")
+        if (fixed(2) != GzDeflate)
+          throw new DataFormatException(s"unsupported compression method ${fixed(2)}")
+        val flg = fixed(3) & 0xff
+        if ((flg & 0x04) != 0) {
+          val xl = readN(2)
+          readN(((xl(0) & 0xff) | ((xl(1) & 0xff) << 8)))
+        }
+        if ((flg & 0x08) != 0) while (read1() > 0) ()
+        if ((flg & 0x10) != 0) while (read1() > 0) ()
+        if ((flg & 0x02) != 0) readN(2)
+      }
+
+      private def readMember(): Option[Either[Quar, (Long, Array[Byte])]] = {
+        val first = in.read()
+        if (first < 0) return None
+        in.unread(first)
+        val memberOff = pos
+        val inflater = new Inflater(true)
+        val inBuf = new Array[Byte](ChunkSize)
+        var lastLen = 0
+        try {
+          skipHeader()
+          val crc = new CRC32()
+          val out = new ByteArrayOutputStream(8192)
+          val outBuf = new Array[Byte](ChunkSize)
+          while (!inflater.finished()) {
+            if (inflater.needsInput()) {
+              val r = in.read(inBuf)
+              if (r < 0) throw new EOFException("truncated deflate data")
+              pos += r
+              lastLen = r
+              inflater.setInput(inBuf, 0, r)
+            }
+            val n = inflater.inflate(outBuf)
+            if (n > 0) {
+              out.write(outBuf, 0, n); crc.update(outBuf, 0, n)
+              if (out.size() > maxBytes)
+                throw new DataFormatException(s"inflated past $maxBytes bytes")
+            } else if (n == 0 && inflater.needsDictionary())
+              throw new DataFormatException("preset dictionary not supported")
+          }
+          // Bytes of the last chunk the inflater didn't consume belong to
+          // the trailer / next member: push them back.
+          val rem = inflater.getRemaining
+          if (rem > 0) { in.unread(inBuf, lastLen - rem, rem); pos -= rem }
+          val trailer = readN(8)
+          val bytes = out.toByteArray
+          if (le32(trailer, 0) != crc.getValue)
+            throw new DataFormatException("gzip CRC mismatch")
+          if (le32(trailer, 4) != (bytes.length & 0xffffffffL))
+            throw new DataFormatException("gzip ISIZE mismatch")
+          Some(Right((memberOff, bytes)))
+        } catch {
+          case e @ (_: DataFormatException | _: EOFException) =>
+            val q = Quar(memberOff, "corrupt_gzip_member",
+              String.valueOf(e.getMessage).take(200))
+            // The last chunk fed to the inflater may hold bytes PAST the
+            // corrupt member (a 64 KiB read can span several small
+            // members): push the unconsumed tail back so resync scans it —
+            // otherwise one bad member would eat everything its chunk
+            // happened to contain.
+            val rem = try inflater.getRemaining catch { case _: Throwable => 0 }
+            if (rem > 0 && rem <= lastLen) { in.unread(inBuf, lastLen - rem, rem); pos -= rem }
+            resync()
+            Some(Left(q))
+        } finally inflater.end()
+      }
+
+      override def hasNext: Boolean = {
+        if (nextItem == null) nextItem = readMember()
+        nextItem.isDefined
+      }
+      override def next(): Either[Quar, (Long, Array[Byte])] = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = nextItem.get; nextItem = null; r
+      }
+    }
+
+  // ---------------------------------------------------------------------
+  // WARC record framing over decompressed bytes.
+  // ---------------------------------------------------------------------
+
+  private def readLine(in: InputStream): String = {
+    val sb = new java.lang.StringBuilder(96)
+    var b = in.read()
+    while (b >= 0 && b != '\n') { sb.append(b.toChar); b = in.read() }
+    if (b < 0 && sb.length == 0) null
+    else {
+      if (sb.length > 0 && sb.charAt(sb.length - 1) == '\r')
+        sb.setLength(sb.length - 1)
+      sb.toString
+    }
+  }
+
+  private def readFully(in: InputStream, n: Long): Array[Byte] = {
+    if (n > Int.MaxValue) throw new EOFException(s"record length $n exceeds buffer limit")
+    val out = new Array[Byte](n.toInt)
+    var got = 0
+    while (got < n) {
+      val r = in.read(out, got, n.toInt - got)
+      if (r < 0) throw new EOFException(s"truncated record: $got/$n payload bytes")
+      got += r
+    }
+    out
+  }
+
+  private def parseTs(s: String): java.sql.Timestamp =
+    try java.sql.Timestamp.from(java.time.Instant.parse(s))
+    catch { case _: Exception => null }
+
+  /** Parse every WARC record in one decompressed frame (one gzip member,
+    * or a whole uncompressed `.warc`). `frameOff` names the frame in
+    * quarantine rows. HTTP response payloads are unwrapped: status +
+    * Content-Type lifted into columns, `payload` = the body bytes.
+    */
+  private[sources] def parseRecords(bytes: Array[Byte], frameOff: Long)
+      : Iterator[Item] = parseRecords(new ByteArrayInputStream(bytes), frameOff)
+
+  private[sources] def parseRecords(in: InputStream, frameOff: Long)
+      : Iterator[Item] =
+    new Iterator[Item] {
+      private var nextItem: Item = _
+      private var done = false
+
+      private def readOne(): Item = {
+        var line = readLine(in)
+        while (line != null && line.isEmpty) line = readLine(in) // inter-record CRLFs
+        if (line == null) return null
+        if (!line.startsWith("WARC/"))
+          return Quar(frameOff, "bad_warc_version", line.take(100))
+        val headers = scala.collection.mutable.Map.empty[String, String]
+        var h = readLine(in)
+        while (h != null && h.nonEmpty) {
+          val i = h.indexOf(':')
+          if (i > 0) headers.put(h.substring(0, i).trim.toLowerCase, h.substring(i + 1).trim)
+          h = readLine(in)
+        }
+        val lenStr = headers.getOrElse("content-length", null)
+        if (lenStr == null)
+          return Quar(frameOff, "missing_content_length", headers.keys.mkString(","))
+        val len = try lenStr.toLong catch {
+          case _: NumberFormatException =>
+            return Quar(frameOff, "bad_content_length", lenStr.take(50))
+        }
+        val block = try readFully(in, len) catch {
+          case e: EOFException =>
+            return Quar(frameOff, "truncated_record", String.valueOf(e.getMessage).take(200))
+        }
+        val warcType = headers.getOrElse("warc-type", null)
+        val url = headers.getOrElse("warc-target-uri", null)
+        val ts = headers.get("warc-date").map(parseTs).orNull
+        val blockType = headers.getOrElse("content-type", null)
+        if (blockType != null && blockType.startsWith("application/http")) {
+          // HTTP message: status line, headers, CRLFCRLF, body.
+          val hin = new ByteArrayInputStream(block)
+          val status = readLine(hin)
+          val httpStatus: Integer = if (status != null && status.startsWith("HTTP/")) {
+            val parts = status.split(" ")
+            if (parts.length >= 2) try Integer.valueOf(parts(1).toInt)
+            catch { case _: NumberFormatException => null } else null
+          } else null
+          var ct: String = null
+          var hl = readLine(hin)
+          while (hl != null && hl.nonEmpty) {
+            val i = hl.indexOf(':')
+            if (i > 0 && hl.substring(0, i).trim.equalsIgnoreCase("content-type"))
+              ct = hl.substring(i + 1).trim
+            hl = readLine(hin)
+          }
+          val body = new Array[Byte](hin.available())
+          hin.read(body)
+          Rec(frameOff, warcType, url, ts, ct, httpStatus, body)
+        } else Rec(frameOff, warcType, url, ts, blockType, null, block)
+      }
+
+      override def hasNext: Boolean = {
+        if (done) return false
+        if (nextItem == null) {
+          nextItem = readOne()
+          if (nextItem == null) { done = true; return false }
+        }
+        true
+      }
+      override def next(): Item = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = nextItem; nextItem = null
+        r match {
+          // A framing failure poisons the rest of THIS frame (the stream
+          // position is untrustworthy past it); member-per-record gz files
+          // lose exactly one record.
+          case q: Quar => done = true; q
+          case x => x
+        }
+      }
+    }
+
+  /** Parse one whole WARC file (gzip or plain — sniffed by magic bytes)
+    * into parse events. Streams: one gzip member in memory at a time.
+    */
+  private[sources] def parseFile(open: () => InputStream, maxRecordBytes: Int)
+      : Iterator[Item] = {
+    val raw = new PushbackInputStream(new BufferedInputStream(open(), 1 << 16), 2)
+    val b0 = raw.read(); val b1 = raw.read()
+    if (b1 >= 0) raw.unread(b1)
+    if (b0 >= 0) raw.unread(b0)
+    if (b0 == GzMagic0 && b1 == GzMagic1)
+      readMembers(raw, maxRecordBytes).flatMap {
+        case Left(q) => Iterator.single(q)
+        case Right((off, bytes)) => parseRecords(bytes, off)
+      }
+    else parseRecords(raw, 0L) // uncompressed .warc: stream-parse directly
+  }
+
+  // ---------------------------------------------------------------------
+  // Spark faces.
+  // ---------------------------------------------------------------------
+
+  /** Batch WARC read → (records, quarantine). `path` takes globs
+    * (star-dot-warc-dot-gz). Each frame is built lazily from the same parse —
+    * materializing both costs two passes over the files, the same
+    * land-then-split trade [[Sources.csvQuarantined]] documents: at bronze
+    * scale, land the records frame once and split from the landed copy.
+    *
+    * Parallelism = files (`binaryFiles`; WARC gzip members carry no split
+    * index, so a file is the atomic task — crawls ship as many ~1 GB files,
+    * which is exactly the width a 1000-executor cluster wants).
+    */
+  def read(spark: SparkSession, path: String,
+      maxRecordBytes: Int = DefaultMaxRecordBytes): (DataFrame, DataFrame) = {
+    val items = spark.sparkContext.binaryFiles(path)
+      .flatMap { case (file, pds) =>
+        parseFile(() => pds.open(), maxRecordBytes).map(item => (file, item))
+      }
+    val recs = spark.createDataFrame(
+      items.collect { case (f, Rec(off, t, u, ts, ct, st, p)) =>
+        Row(f, off, t, u, ts, ct, st, p) },
+      recordSchema)
+    val quar = spark.createDataFrame(
+      items.collect { case (f, Quar(off, r, d)) => Row(f, off, r, d) },
+      quarantineSchema)
+    (recs, quar)
+  }
+
+  /** html `response` records of a parsed WARC frame as a documents table:
+    * (doc_id, url, fetch_ts, html) with `doc_id` the (file, offset) frame
+    * address — unique, deterministic, and independent of split planning
+    * (the i03 `textLines` id discipline). Feeds [[graft.text.HtmlExtract]]
+    * directly: `HtmlExtract.mainText(Warc.htmlDocuments(recs), "doc_id",
+    * "html")` is the crawl-to-clean-text intake.
+    */
+  def htmlDocuments(records: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    records
+      .filter(col("warc_type") === "response" &&
+        col("http_status") === 200 &&
+        col("content_type").startsWith("text/html"))
+      .select(
+        concat_ws(":", col("warc_file"), col("rec_offset")).as("doc_id"),
+        col("url"), col("fetch_ts"),
+        // decode() maps invalid UTF-8 to replacement chars — a charset
+        // guess gone wrong degrades one document, never fails the scan.
+        decode(col("payload"), "UTF-8").as("html"))
+  }
+
+  /** Streaming WARC intake: new files under `path` become micro-batches
+    * (the `binaryFile` stream source), parsed with the SAME frame parser
+    * as the batch face. One unified frame — good records carry
+    * `reason = null`, quarantined frames carry it set (a stream can't
+    * return two frames; filter on `reason` to split). Composes into the
+    * s20 html-extract sink: crawl files land → records parse → main text
+    * extracts, one continuous flow.
+    */
+  def stream(spark: SparkSession, path: String,
+      maxRecordBytes: Int = DefaultMaxRecordBytes): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val unified = StructType(recordSchema.fields ++ Seq(
+      StructField("reason", StringType, nullable = true),
+      StructField("detail", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(unified)
+    val binFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile").schema(binFileSchema).load(path)
+      .select(col("path"), col("content"))
+      .flatMap { row =>
+        val file = row.getString(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        parseFile(() => new ByteArrayInputStream(bytes), maxRecordBytes).map {
+          case Rec(off, t, u, ts, ct, st, p) =>
+            Row(file, off, t, u, ts, ct, st, p, null, null)
+          case Quar(off, r, d) =>
+            Row(file, off, null, null, null, null, null, null, r, d)
+        }
+      }(enc)
+  }
+}

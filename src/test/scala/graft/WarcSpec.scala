@@ -1,0 +1,182 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+import graft.sources.Warc
+import graft.text.HtmlExtract
+
+/** i17 WARC intake: record framing, member-level quarantine + recovery,
+  * plain-vs-gz parity, and the q93/s20 composition off a real crawl file.
+  */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  // -- fixture builders (hand-rolled bytes, no library) -------------------
+
+  private def warcRecord(typ: String, url: String, date: String,
+      contentType: String, payload: Array[Byte]): Array[Byte] = {
+    val hdr = s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $url\r\n" +
+      s"WARC-Date: $date\r\nWARC-Record-ID: <urn:test:$url>\r\n" +
+      s"Content-Type: $contentType\r\nContent-Length: ${payload.length}\r\n\r\n"
+    hdr.getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  private def httpResponse(status: Int, contentType: String, body: String): Array[Byte] =
+    (s"HTTP/1.1 $status OK\r\nContent-Type: $contentType\r\n" +
+      s"Server: test\r\n\r\n").getBytes("UTF-8") ++ body.getBytes("UTF-8")
+
+  private def gzMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos)
+    g.write(bytes); g.close()
+    bos.toByteArray
+  }
+
+  private val htmlA =
+    "<html><head><script>var x=1;</script></head><body>" +
+      "<p>The quick brown fox jumps over the lazy dog repeatedly.</p>" +
+      "<div><a href=\"/x\">nav</a> <a href=\"/y\">more nav</a></div>" +
+      "<p>A second paragraph of plain readable prose content here.</p>" +
+      "</body></html>"
+  private val htmlB =
+    "<html><body><p>Entirely different page with its own long paragraph " +
+      "of content for extraction.</p><footer><a href=\"/z\">links</a></footer>" +
+      "</body></html>"
+
+  private def goodRecords: Seq[Array[Byte]] = Seq(
+    warcRecord("warcinfo", "urn:info", "2024-01-01T00:00:00Z",
+      "application/warc-fields", "software: test\r\n".getBytes("UTF-8")),
+    warcRecord("response", "http://a.example/page", "2024-01-02T03:04:05Z",
+      "application/http; msgtype=response", httpResponse(200, "text/html; charset=utf-8", htmlA)),
+    warcRecord("response", "http://b.example/page", "2024-01-03T00:00:00Z",
+      "application/http; msgtype=response", httpResponse(200, "text/html", htmlB)),
+    warcRecord("response", "http://c.example/miss", "2024-01-04T00:00:00Z",
+      "application/http; msgtype=response", httpResponse(404, "text/html", "<html>gone</html>")),
+    warcRecord("response", "http://d.example/img", "2024-01-05T00:00:00Z",
+      "application/http; msgtype=response", httpResponse(200, "image/png", "notpixels")))
+
+  private def writeGz(dir: String, name: String, members: Seq[Array[Byte]]): String = {
+    val p = s"$dir/$name"
+    val out = new ByteArrayOutputStream()
+    members.foreach(m => out.write(m))
+    Files.write(Paths.get(p), out.toByteArray)
+    p
+  }
+
+  test("warc.gz: records frame with typed fields; http payload unwrapped") {
+    val dir = tmp("warc")
+    writeGz(dir, "crawl.warc.gz", goodRecords.map(gzMember))
+    val (recs, quar) = Warc.read(spark, s"$dir/crawl.warc.gz")
+    assert(quar.count() == 0)
+    val rows = recs.orderBy("rec_offset").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getString(2)).toSeq ==
+      Seq("warcinfo", "response", "response", "response", "response"))
+    val a = rows(1)
+    assert(a.getString(3) == "http://a.example/page")
+    assert(a.getTimestamp(4).toInstant == java.time.Instant.parse("2024-01-02T03:04:05Z"))
+    assert(a.getString(5) == "text/html; charset=utf-8")
+    assert(a.getInt(6) == 200)
+    assert(new String(a.getAs[Array[Byte]](7), "UTF-8") == htmlA)
+    // offsets are the compressed member starts: strictly increasing, first at 0
+    val offs = rows.map(_.getLong(1)).toSeq
+    assert(offs.head == 0L && offs == offs.sorted && offs.distinct == offs)
+    // non-http record keeps its block verbatim
+    assert(new String(rows(0).getAs[Array[Byte]](7), "UTF-8") == "software: test\r\n")
+  }
+
+  test("corrupt gzip member quarantines by offset; later members still parse") {
+    val dir = tmp("warc")
+    val members = goodRecords.map(gzMember)
+    // Zero out 24 bytes of member 2's deflate data (no 1f 8b can appear).
+    val bad = members(2).clone()
+    java.util.Arrays.fill(bad, 12, 36, 0.toByte)
+    val all = Seq(members(0), members(1), bad, members(3), members(4))
+    writeGz(dir, "crawl.warc.gz", all)
+    val (recs, quar) = Warc.read(spark, s"$dir/crawl.warc.gz")
+    val qRows = quar.collect()
+    assert(qRows.length == 1, qRows.mkString(";"))
+    assert(qRows(0).getString(2) == "corrupt_gzip_member")
+    assert(qRows(0).getLong(1) == members(0).length + members(1).length)
+    // the two records before and the two after the corrupt member survive
+    assert(recs.count() == 4)
+    assert(recs.filter(col("url") === "http://c.example/miss").count() == 1)
+  }
+
+  test("plain .warc parses identically to the gz framing") {
+    val dir = tmp("warc")
+    writeGz(dir, "crawl.warc.gz", goodRecords.map(gzMember))
+    writeGz(dir, "crawl.warc", Seq(goodRecords.flatten.toArray))
+    val (gz, _) = Warc.read(spark, s"$dir/crawl.warc.gz")
+    val (plain, pq) = Warc.read(spark, s"$dir/crawl.warc")
+    assert(pq.count() == 0)
+    val strip = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("warc_type"), col("url"), col("fetch_ts"), col("content_type"),
+        col("http_status"), decode(col("payload"), "UTF-8").as("p"))
+      .orderBy("url").collect().toSeq
+    assert(strip(gz) == strip(plain))
+  }
+
+  test("truncated record and bad version quarantine with named reasons") {
+    val dir = tmp("warc")
+    // Content-Length overruns the actual bytes → truncated_record.
+    val truncated = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\n" +
+      "short").getBytes("UTF-8")
+    writeGz(dir, "t.warc.gz", Seq(gzMember(truncated)))
+    val (r1, q1) = Warc.read(spark, s"$dir/t.warc.gz")
+    assert(r1.count() == 0 && q1.select("reason").as[String].collect().toSeq ==
+      Seq("truncated_record"))
+    // Frame that isn't WARC at all → bad_warc_version.
+    writeGz(dir, "v.warc.gz", Seq(gzMember("HELLO/9 not warc\r\n\r\n".getBytes)))
+    val (r2, q2) = Warc.read(spark, s"$dir/v.warc.gz")
+    assert(r2.count() == 0 && q2.select("reason").as[String].collect().toSeq ==
+      Seq("bad_warc_version"))
+  }
+
+  test("q93 composition: HtmlExtract over WARC equals the direct-text path") {
+    val dir = tmp("warc")
+    writeGz(dir, "crawl.warc.gz", goodRecords.map(gzMember))
+    val (recs, _) = Warc.read(spark, s"$dir/crawl.warc.gz")
+    val docs = Warc.htmlDocuments(recs)
+    // only the two 200 text/html responses qualify
+    assert(docs.select("url").as[String].collect().sorted.toSeq ==
+      Seq("http://a.example/page", "http://b.example/page"))
+    val viaWarc = HtmlExtract.mainText(docs, "url", "html")
+      .select("url", "n_blocks", "n_kept", "main_text")
+      .orderBy("url").collect().toSeq
+    val direct = HtmlExtract.mainText(
+      Seq(("http://a.example/page", htmlA), ("http://b.example/page", htmlB))
+        .toDF("url", "html"), "url", "html")
+      .select("url", "n_blocks", "n_kept", "main_text")
+      .orderBy("url").collect().toSeq
+    assert(viaWarc == direct)
+    assert(viaWarc.forall(_.getString(3).nonEmpty))
+  }
+
+  test("streaming face: crawl files land → records parse, quarantine named in-band") {
+    val dir = tmp("warcstream")
+    val members = goodRecords.map(gzMember)
+    val bad = members(2).clone()
+    java.util.Arrays.fill(bad, 12, 36, 0.toByte)
+    writeGz(dir, "part-000.warc.gz", Seq(members(0), members(1), bad, members(3)))
+    val q = Warc.stream(spark, s"$dir/*.warc.gz")
+      .writeStream.format("memory").queryName("warc_stream")
+      .option("checkpointLocation", tmp("warcchk")).start()
+    try {
+      q.processAllAvailable()
+      // second file lands → next micro-batch picks it up
+      writeGz(dir, "part-001.warc.gz", Seq(members(4)))
+      q.processAllAvailable()
+      val got = spark.table("warc_stream")
+      assert(got.filter(col("reason").isNull).count() == 4)
+      assert(got.filter(col("reason") === "corrupt_gzip_member").count() == 1)
+      assert(got.filter(col("url") === "http://d.example/img").count() == 1)
+    } finally q.stop()
+  }
+}
