@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Raw pass-through for the forked mains' stdout: Bench's machine-read JSON
+// line must not carry sbt's "[info] " logger prefix (the driver parses the
+// captured tail of the run log — a prefixed line isn't valid JSON).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

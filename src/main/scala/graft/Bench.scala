@@ -60,6 +60,31 @@ object Bench {
         val failSeq = failed.asScala.toSeq.sorted
         val fails = failSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
         val total = rs.map(_._2).sum
+        // Contention self-adjudication (r15, verdict ask #7): the r13
+        // episode shipped a 5×-inflated total as the judged number with no
+        // machine-readable flag. Detector: the PARALLEL probe (same fixed
+        // spin on every core; wall of the slowest thread) is the signal
+        // that tracks the mode that actually slows 32-thread queries —
+        // co-tenant steal of parallel capacity. Absolute thresholds are
+        // untrustworthy (frequency scaling, GC tails after a query, and
+        // thread wake latency inflate even quiet-host probes bimodally),
+        // so the rule is RELATIVE TO THE RUN'S OWN QUIET WINDOWS: flag
+        // contended when the median parallel probe exceeds 2.5× the run's
+        // 10th-percentile parallel probe — i.e. MOST of the run ran
+        // substantially slower than the run's demonstrated-achievable
+        // floor. A uniformly-stolen host (no quiet window at all) is
+        // undetectable from inside by construction; the raw medians are
+        // emitted alongside so cross-round comparison can catch that mode.
+        // Small runs (<10 samples, dev subsets) never flag.
+        def pct(xs: Seq[Double], p: Double): Double =
+          if (xs.isEmpty) -1.0
+          else xs.sorted.apply(math.min(xs.size - 1, (xs.size * p).toInt))
+        val probesV = rs.map(_._4).filter(_ > 0)
+        val pprobesV = rs.map(_._5).filter(_ > 0)
+        val probeMed = pct(probesV, 0.5)
+        val pprobeMed = pct(pprobesV, 0.5)
+        val pprobeP10 = pct(pprobesV, 0.1)
+        val contended = pprobesV.size >= 10 && pprobeMed > 2.5 * pprobeP10
         // methodology: steady-state (JMH-style) — every query ran once
         // uncounted at warmDir before timing, so measurements are
         // compile-cache-hit times, excluding one-shot JIT/codegen cost
@@ -73,33 +98,39 @@ object Bench {
           s""""methodology":"steady-state","startup_sec":$startupSec,""" +
           s""""completed":${rs.size - failSeq.size},"measured":${rs.size},""" +
           s""""expected":$expected,"partial":$partial,"passes":$passesConfigured,""" +
+          s""""contended":$contended,"probe_med_ms":${f2(probeMed)},""" +
+          s""""pprobe_med_ms":${f2(pprobeMed)},"pprobe_p10_ms":${f2(pprobeP10)},""" +
           s""""starts_sec":$starts,"probe_ms":$probes,"pprobe_ms":$pprobes,""" +
           s""""failed_queries":$fails,"warmup_failures":$warmFails}"""
         println(line)
         // The driver's round record keeps only a 2000-char TAIL of the run
-        // log; the full line above (~9 kB with the probe maps) overflows it,
-        // so r9's record captured the middle of pprobe_ms and parsed to
-        // nothing. This trailing line is the driver-legible copy: {total,
-        // queries} only, values at reduced precision, degraded further if
-        // the catalog ever grows it past the capture budget — the LAST
-        // ~1900 bytes of stdout always parse to the full query map. Full
-        // precision lives in the line above and in bench.json.
+        // log and parses the JSON out of THAT — the full line above (~9 kB
+        // with the probe maps) always overflowed it, which is why every
+        // BENCH_r*.json through r14 carries "parsed": null. The LAST stdout
+        // line is therefore the driver-legible canonical record: the same
+        // "metric"-keyed shape, sized ≤1900 bytes (query values at reduced
+        // precision; qNN-prefix keys as last resort — unambiguous in this
+        // catalog) so it survives the tail capture whole, sbt's trailing
+        // [success] line included. Full precision lives above + bench.json.
         def sigf(d: Double): String = String.format(java.util.Locale.ROOT,
           if (d >= 100) "%.0f" else if (d >= 10) "%.1f" else "%.2f", Double.box(d))
-        def compactLine(fmt: Double => String, key: String => String): String = {
+        def canonLine(fmt: Double => String, key: String => String): String = {
           val m = rs.map { case (k, v, _, _, _) => "\"" + key(k) + "\":" + fmt(v) }
             .mkString("{", ",", "}")
-          s"""{"total":${sigf(total)},"queries":$m}"""
+          s"""{"metric":"total","value":${sigf(total)},"unit":"sec","sf":"$sfDir",""" +
+          s""""contended":$contended,"completed":${rs.size - failSeq.size},""" +
+          s""""expected":$expected,"partial":$partial,"failed_queries":$fails,""" +
+          s""""warmup_failures":$warmFails,"queries":$m}"""
         }
-        val compact = Seq[() => String](
-          () => compactLine(sigf, identity),
-          () => compactLine(d => String.format(java.util.Locale.ROOT,
+        val canon = Seq[() => String](
+          () => canonLine(sigf, identity),
+          () => canonLine(d => String.format(java.util.Locale.ROOT,
             if (d >= 10) "%.0f" else "%.1f", Double.box(d)), identity),
-          // last resort: qNN prefixes (unambiguous in this catalog)
-          () => compactLine(sigf, _.takeWhile(_ != '_'))
+          () => canonLine(sigf, _.takeWhile(_ != '_'))
         ).iterator.map(_.apply()).find(_.length <= 1900)
-          .getOrElse(s"""{"total":${sigf(total)}}""")
-        println(compact)
+          .getOrElse(s"""{"metric":"total","value":${sigf(total)},"unit":"sec",""" +
+            s""""sf":"$sfDir","contended":$contended}""")
+        println(canon)
         System.out.flush()
         // Truncation-proofing: the driver captures stdout through a pipe
         // whose tail can be lost on timeout/kill (round 7 lost q01–q22's

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Graft, Tables}
 import graft.ops.Dedup
 import graft.text.{Containment, MinHash, SimHash, TextFunctions => TF}
 
@@ -132,7 +132,8 @@ object TextQueries {
     "q21_minhash_lsh" -> { (s, d) =>
       val sh = MinHash.withShingles(Tables.documents(s, d), "doc_id", "text")
       val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 16)
-      val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 16, 4), "doc_id").cache()
+      val cand = Graft.registerCache(
+        MinHash.candidates(MinHash.bands(sig, "doc_id", 16, 4), "doc_id"))
       val sigSim = MinHash.signatureSimilarity(cand, sig, "doc_id", 16)
       MinHash.jaccard(sh, cand, "doc_id")
         .join(sigSim, Seq("id_a", "id_b"))
@@ -346,10 +347,10 @@ object TextQueries {
       // array column is ever cached (columnar array caching is slow).
       // widen: the sf-test documents table is one row group = one task,
       // which would serialize the per-character hashing on a single core.
-      val fps = graft.sources.Sources.widen(Tables.documents(s, d))
-        .withColumn("_hs", TF.gramHashes(col("text"), k))
-        .select(col("doc_id"), explode(TF.winnowSelect(col("_hs"), w)).as("fp"))
-        .cache()
+      val fps = Graft.registerCache(
+        graft.sources.Sources.widen(Tables.documents(s, d))
+          .withColumn("_hs", TF.gramHashes(col("text"), k))
+          .select(col("doc_id"), explode(TF.winnowSelect(col("_hs"), w)).as("fp")))
       val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
         .filter(col("_df") <= maxDf).select(col("fp"))
       val kept = fps.join(rare, Seq("fp"), "left_semi")
@@ -372,13 +373,12 @@ object TextQueries {
       // the cache). Not cached inside the operator: an operator-internal
       // cache would pin executor storage for EVERY caller (streaming or
       // not) with no opt-out. The q67↔q68 sharing rides Catalyst plan
-      // canonicalization (CacheManager sameResult — PlanSpec-pinned); the
-      // frames are never explicitly unpersisted, so a LONG-LIVED session
-      // composing catalog queries should spark.catalog.clearCache() at its
-      // own batch boundaries (Bench does, at pass boundaries) or accept
-      // LRU eviction of the candidate-pair-sized frame.
-      Containment.containmentJoin(Tables.documents(s, d), "doc_id", "text", 0.8)
-        .cache()
+      // canonicalization (CacheManager sameResult — PlanSpec-pinned).
+      // Registered (r15): a long-lived session composing catalog queries
+      // calls Graft.releaseCaches() at its batch boundaries instead of
+      // pinning the candidate-pair-sized frame until LRU eviction.
+      Graft.registerCache(
+          Containment.containmentJoin(Tables.documents(s, d), "doc_id", "text", 0.8))
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -443,11 +443,10 @@ object TextQueries {
     // the pair).
     "q68_containment_prune" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      // Same .cache() as q67 (idempotent on the identical plan): whichever
-      // of the pair runs first materializes the pair frame, the other hits.
-      val coveredByEarlier = Containment
-        .containmentJoin(docs, "doc_id", "text", 0.8)
-        .cache()
+      // Same registered cache as q67 (idempotent on the identical plan):
+      // whichever of the pair runs first materializes, the other hits.
+      val coveredByEarlier = Graft.registerCache(Containment
+          .containmentJoin(docs, "doc_id", "text", 0.8))
         .filter(col("id_b") < col("id_a"))
         .select(col("id_a").as("doc_id")).distinct()
       docs.join(coveredByEarlier, Seq("doc_id"), "left_anti")
@@ -618,7 +617,8 @@ object TextQueries {
       // join) — uncached, Catalyst duplicates the subtree and the corpus
       // explode runs a third time (the PlanSpec pin counts the Generates).
       // Vocab-sized: distinct bigrams, not corpus rows.
-      val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2")).cache()
+      val c2 = Graft.registerCache(
+        bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2")))
       val c1 = c2.withColumn("w1", substring_index(col("bigram"), " ", 1))
         .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
       bg.join(c2, "bigram")

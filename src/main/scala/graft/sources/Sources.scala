@@ -84,15 +84,22 @@ object Sources {
     * differently-sized cluster could renumber documents and silently
     * move the min-id keeper.
     *
-    * Cost: TextInputFormat supplies each line's in-file byte offset for
-    * free during the scan; one `sortByKey` shuffle puts the corpus in
-    * (file, offset) order, and `zipWithIndex` then ranks it with one
-    * bounded count job + partition-local offsets (the q52 two-phase
-    * shape). Ids are contiguous AND deterministic: range-partition
-    * boundaries vary with sampling, but partitions hold disjoint sorted
-    * key ranges, so the concatenated order — which is all zipWithIndex
-    * reads — is always the unique total order. Pass a glob for sharded
-    * dumps; file-path order ranks the shards.
+    * Cost: ZERO SHUFFLE — two scans, both map-only (r15; the previous
+    * spelling paid a full-corpus `sortByKey` range shuffle for the same
+    * total order, which at 100 TB intake is the difference between
+    * reading the corpus twice and range-shuffling it once). A line
+    * belongs to the split containing its START (TextInputFormat's
+    * boundary contract) and splits are contiguous byte ranges, so the
+    * (file, offset) total order is exactly: splits sorted by
+    * (file, splitStart), lines in read order within each split. Pass 1
+    * counts lines per split (one bounded, split-catalog-sized collect —
+    * the q52 two-phase shape); the driver prefix-sums over the sorted
+    * split list; pass 2 re-reads and assigns id = split's prefix offset
+    * + local rank, partition-locally. Both passes run over the SAME RDD
+    * instance, so the split plan is computed once and cannot disagree
+    * with itself — and even across sessions the ids are stable, because
+    * any split planning yields the same (file, offset) ranking. Pass a
+    * glob for sharded dumps; file-path order ranks the shards.
     */
   def textLines(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
@@ -101,14 +108,30 @@ object Sources {
         path, classOf[NewTextInputFormat], classOf[LongWritable], classOf[Text],
         sc.hadoopConfiguration)
       .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
+    // Pass 1: per-split line counts, keyed by the split's identity.
+    val counts = raw.mapPartitionsWithInputSplit { (split, iter) =>
+        val fs = split.asInstanceOf[NewFileSplit]
+        var n = 0L
+        while (iter.hasNext) { iter.next(); n += 1 }
+        Iterator.single(((fs.getPath.toString, fs.getStart), n))
+      }.collect()
+    // Driver prefix sum over the (file, splitStart)-sorted split list.
+    val sorted = counts.sortBy(_._1)
+    val startIds = new scala.collection.mutable.HashMap[(String, Long), Long]
+    var acc = 0L
+    sorted.foreach { case (k, n) => startIds.put(k, acc); acc += n }
+    val bc = sc.broadcast(startIds)
+    // Pass 2: partition-local contiguous assignment from the broadcast
+    // offsets. Iterator order within a split IS offset order (sequential
+    // read), so id = prefix + local rank is the global (file, offset) rank.
     raw.mapPartitionsWithInputSplit { (split, iter) =>
-        val file = split.asInstanceOf[NewFileSplit].getPath.toString
+        val fs = split.asInstanceOf[NewFileSplit]
+        var id = bc.value((fs.getPath.toString, fs.getStart))
         // Hadoop reuses the Writable instances — materialize per record.
-        iter.map { case (off, line) => ((file, off.get), line.toString) }
+        iter.map { case (_, line) =>
+          val row = (id, line.toString); id += 1; row
+        }
       }
-      .sortByKey()
-      .zipWithIndex()
-      .map { case ((_, text), id) => (id, text) }
       .toDF("doc_id", "text")
   }
 

@@ -111,6 +111,22 @@ class PlanSpec extends SparkSpec {
       "containmentJoin plans no longer canonicalize equal — q68 would re-pay q67's pair generation")
   }
 
+  test("cache registry: registered frames release in one call and re-materialize (r15)") {
+    import spark.implicits._
+    val df = Graft.registerCache(Seq(1, 2, 3).toDF("x"))
+    df.count()
+    assert(df.storageLevel.useMemory, "registered frame should be cached after an action")
+    assert(Graft.releaseCaches() >= 1)
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "releaseCaches must unpersist every registered frame")
+    // a re-registration re-materializes — release is a batch boundary,
+    // not a permanent opt-out
+    Graft.registerCache(df)
+    df.count()
+    assert(df.storageLevel.useMemory)
+    Graft.releaseCaches()
+  }
+
   test("q66 winnow pair join is an equi-join on fingerprints — never quadratic") {
     val p = plan("q66_winnow")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -691,6 +691,11 @@ class SourcesSpec extends SparkSpec {
       .as[(Long, String)].collect().sortBy(_._1).toSeq == rows.toSeq)
     // and the frame is directly consumable by the text operators
     assert(graft.text.SpanDedup.novelty(df, "doc_id", "text", 2).count() == 3)
+    // r15: id assignment is SHUFFLE-FREE — two map-only scans (per-split
+    // counts → driver prefix sum → partition-local ranks). The previous
+    // spelling range-shuffled the whole corpus through sortByKey.
+    val lineage = df.rdd.toDebugString
+    assert(!lineage.contains("Shuffle"), lineage)
   }
 
   test("textLines ids are a pure function of the file set — split planning can't renumber") {
