@@ -514,6 +514,117 @@ object Binary {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // ImageIO seam (r15): pixel decode for the formats whose rasters need a
+  // real codec (JPEG's DCT, GIF's LZW+palette) and the PNG profiles the
+  // pure-JVM path names as unsupported (palette / Adam7 / 16-bit).
+  // `javax.imageio` is pure-JVM (headless-safe) and was already this
+  // module's test reference — here it becomes the decoder INSIDE the same
+  // partition-batched shape, behind the same named-failure contract.
+  // ---------------------------------------------------------------------
+
+  /** PNG profile failures that are ROUTABLE to ImageIO — valid files the
+    * pure decoder declines — as opposed to corruption (CRC mismatch,
+    * truncation), which must keep failing named rather than be handed to
+    * a codec that might tolerate it.
+    */
+  private def pngProfileGap(msg: String): Boolean =
+    msg.contains("palette") || msg.contains("Adam7") || msg.contains("bit depth")
+
+  /** Decode any supported image payload to the [[PngPixels]] raster shape.
+    * Dispatch: PNG → the pure-JVM decoder (CRC-verified; its three
+    * unsupported PROFILES — palette, Adam7, 16-bit — fall through to
+    * ImageIO, its corruption failures do NOT); JPEG/GIF → header-validate
+    * with the named parsers (truncation keeps its exact named error),
+    * then ImageIO rasterizes. Unknown magic fails named.
+    *
+    * Channel conventions match the PNG path: gray=1, gray+alpha=2, RGB=3,
+    * RGBA=4; 16-bit sources are rendered at 8 bits (ImageIO's sRGB
+    * conversion), so every downstream stat shares one sample domain.
+    */
+  def decodeImagePixels(p: Array[Byte]): PngPixels =
+    if (p.length >= 4 && p(0) == PngMagic(0) && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') {
+      try decodePngPixels(p)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && pngProfileGap(e.getMessage) =>
+          imageIoPixels(p, "png")
+      }
+    } else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
+      parseJpeg(p) // named header/truncation errors first — ImageIO's are opaque
+      imageIoPixels(p, "jpeg")
+    } else if (p.length >= 3 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F') {
+      parseGif(p)
+      imageIoPixels(p, "gif")
+    } else fail("image", "no decodable image magic (png/jpeg/gif)")
+
+  private def imageIoPixels(p: Array[Byte], format: String): PngPixels = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      catch { case e: Exception => fail(format, s"codec error: ${e.getMessage}") }
+    if (img == null) fail(format, "no registered ImageIO codec decoded the payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0) fail(format, s"bad decoded dimensions ${w}x$h")
+    val cm = img.getColorModel
+    val gray = cm.getColorSpace.getType == java.awt.color.ColorSpace.TYPE_GRAY &&
+      // palette images report their index color space — classify by the
+      // RENDERED space: an IndexColorModel is RGB content
+      !cm.isInstanceOf[java.awt.image.IndexColorModel]
+    val hasAlpha = cm.hasAlpha
+    val channels = (if (gray) 1 else 3) + (if (hasAlpha) 1 else 0)
+    val strideL = w.toLong * channels
+    if (h.toLong * strideL > Int.MaxValue - 16)
+      fail(format, s"raster too large to decode in one array: ${w}x$h x$channels")
+    val out = new Array[Byte](h * strideL.toInt)
+    val row = new Array[Int](w)
+    var y = 0
+    var o = 0
+    while (y < h) {
+      // getRGB renders every source profile (palette, 16-bit, CMYK…) into
+      // packed 8-bit sRGB — the one sample domain the stats share.
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val v = row(x)
+        if (gray) { out(o) = (v & 0xff).toByte; o += 1 }
+        else {
+          out(o) = ((v >>> 16) & 0xff).toByte
+          out(o + 1) = ((v >>> 8) & 0xff).toByte
+          out(o + 2) = (v & 0xff).toByte
+          o += 3
+        }
+        if (hasAlpha) { out(o) = ((v >>> 24) & 0xff).toByte; o += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    PngPixels(w, h, channels, out)
+  }
+
+  /** [[decodePngStats]] widened to every decodable image format (r15):
+    * same output shape, same single luma pass, dispatch via
+    * [[decodeImagePixels]]. The q30 catalog path stays on
+    * [[decodePngStats]] — its oracle is pinned to the pure-JVM decode of
+    * the self-rendered PNGs and does not change.
+    */
+  def decodeImageStats(payloads: Dataset[MediaPayload], bins: Int = 16): Dataset[PngStats] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      it.map { mp =>
+        val px = decodeImagePixels(mp.payload)
+        val hist = lumaHistogram(px, bins)
+        var lumaSum = 0L
+        var i = 0
+        while (i < px.samples.length) { lumaSum += lumaAt(px, i); i += px.channels }
+        val n = px.width.toLong * px.height
+        PngStats(mp.doc_id, px.width, px.height, px.channels,
+          lumaSum.toDouble / n, hist)
+      }
+    }
+  }
+
   /** PNG canvas width used by [[toPngPayloads]]; grayscale, 1 byte/pixel. */
   val PngWidth = 32
 

@@ -362,4 +362,164 @@ class MultimodalSpec extends SparkSpec {
     // untouched payload still decodes
     assert(Binary.decodePngPixels(good).samples.nonEmpty)
   }
+
+  // ---- r15: ImageIO seam (JPEG/GIF pixels; PNG profile-gap routing) ----
+
+  private def imageioBytes(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK $fmt writer missing")
+    bos.toByteArray
+  }
+
+  test("decodeImagePixels: JPEG rasterizes through ImageIO; uniform gray stays uniform") {
+    // Lossy codec, so the reference IS ImageIO's own read — the seam must
+    // reproduce it sample-for-sample (channel-mapping correctness)...
+    val rnd = new scala.util.Random(7)
+    val img = new java.awt.image.BufferedImage(24, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 24) img.setRGB(x, y, rnd.nextInt() & 0xffffff)
+    val jpeg = imageioBytes(img, "jpg")
+    val px = Binary.decodeImagePixels(jpeg)
+    assert((px.width, px.height, px.channels) == ((24, 16, 3)))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val o = (y * 24 + x) * 3
+      val got = ((px.samples(o) & 0xff) << 16) |
+        ((px.samples(o + 1) & 0xff) << 8) | (px.samples(o + 2) & 0xff)
+      assert(got == (ref.getRGB(x, y) & 0xffffff), s"($x,$y)")
+    }
+    // ...and a DC-only fixture pins values independently of the codec: a
+    // uniform mid-gray image must decode to (near-)uniform mid-gray.
+    val flat = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) flat.setRGB(x, y, 0x808080)
+    val fpx = Binary.decodeImagePixels(imageioBytes(flat, "jpg"))
+    val mean = fpx.samples.map(_ & 0xff).sum.toDouble / fpx.samples.length
+    assert(math.abs(mean - 128.0) <= 1.5, s"uniform gray drifted: $mean")
+  }
+
+  test("decodeImagePixels: GIF palette raster decodes to exact known stats") {
+    // GIF is lossless over its palette: half pure-red, half pure-blue
+    // (both exact entries in TYPE_BYTE_INDEXED's 6x6x6 cube). 8x8, not
+    // smaller: the JDK GIF writer mangles the LZW tail of tiny rasters
+    // (a 4x2 fixture round-trips with its second row black).
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0xff0000 else 0x0000ff)
+    val gif = imageioBytes(img, "gif")
+    Binary.parseGif(gif) // fixture sanity: real GIF magic
+    val px = Binary.decodeImagePixels(gif)
+    assert((px.width, px.height) == ((8, 8)))
+    assert(px.channels == 3 || px.channels == 4, s"channels ${px.channels}")
+    // exact per-channel sums over the first 3 channels
+    val sums = new Array[Long](px.channels)
+    for (i <- px.samples.indices) sums(i % px.channels) += px.samples(i) & 0xff
+    assert(sums(0) == 32L * 255 && sums(1) == 0L && sums(2) == 32L * 255,
+      sums.toSeq.toString)
+    if (px.channels == 4) assert(sums(3) == 64L * 255, "alpha should be opaque")
+    // and the stats face: luma(red)=76, luma(blue)=29 (integer Rec.601)
+    val stats = Binary.decodeImageStats(
+      Seq(Binary.MediaPayload(1L, gif, "image/gif")).toDS(), bins = 16).collect().head
+    assert(stats.mean_luma == (32 * 76 + 32 * 29) / 64.0, stats.mean_luma.toString)
+    assert(stats.luma_hist(4) == 32 && stats.luma_hist(1) == 32 &&
+      stats.luma_hist.sum == 64, stats.luma_hist.toSeq.toString)
+  }
+
+  test("decodeImagePixels: palette and Adam7 PNGs route to ImageIO (profile gaps closed)") {
+    // palette PNG (color type 3) — the pure decoder names it unsupported,
+    // the seam decodes it; values are exact (palette is lossless)
+    val pal = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 4; x <- 0 until 4)
+      pal.setRGB(x, y, if ((x + y) % 2 == 0) 0xffffff else 0x000000)
+    val palPng = imageioPng(pal)
+    intercept[IllegalArgumentException](Binary.decodePngPixels(palPng))
+    val ppx = Binary.decodeImagePixels(palPng)
+    assert((ppx.width, ppx.height) == ((4, 4)))
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val want = if ((x + y) % 2 == 0) 255 else 0
+      val o = (y * 4 + x) * ppx.channels
+      assert((ppx.samples(o) & 0xff) == want, s"($x,$y)")
+    }
+    // Adam7: write a progressive PNG, pin the interlace flag, and require
+    // the seam's decode to equal the straight decode of the same image
+    val src = new java.awt.image.BufferedImage(9, 7,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(3)
+    for (y <- 0 until 7; x <- 0 until 9) src.setRGB(x, y, rnd.nextInt() & 0xffffff)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val wp = writer.getDefaultWriteParam
+    wp.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(src, null, null), wp)
+    ios.close(); writer.dispose()
+    val adam7 = bos.toByteArray
+    assert((adam7(28) & 0xff) == 1, "fixture should be Adam7-interlaced")
+    intercept[IllegalArgumentException](Binary.decodePngPixels(adam7))
+    val apx = Binary.decodeImagePixels(adam7)
+    val straight = Binary.decodeImagePixels(imageioPng(src))
+    assert(apx.width == straight.width && apx.height == straight.height &&
+      apx.channels == straight.channels)
+    assert(apx.samples.toSeq == straight.samples.toSeq,
+      "interlaced decode must equal the straight decode")
+  }
+
+  test("ImageIO seam keeps corruption NAMED — never routed to a tolerant codec") {
+    import javax.imageio.ImageWriteParam
+    // CRC-flipped PNG: a profile the pure decoder OWNS must keep its CRC
+    // contract even though an ImageIO fallback now exists
+    val good = Binary.toPngPayloads(spark, Seq((1L, "seam contract " * 10))
+      .toDF("doc_id", "text")).collect().head.payload
+    val flipped = good.clone()
+    val mid = 8 + 25 + 8 + (good.length - (8 + 25 + 8) - 16) / 2
+    flipped(mid) = (flipped(mid) ^ 0x10).toByte
+    val crcErr = intercept[IllegalArgumentException](Binary.decodeImagePixels(flipped))
+    assert(crcErr.getMessage.contains("CRC mismatch"), crcErr.getMessage)
+    // JPEG truncated before any SOF: the named header error survives
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jpeg = imageioBytes(img, "jpg")
+    val sofAt = {
+      var i = 2
+      var at = -1
+      while (at < 0 && i + 4 <= jpeg.length) {
+        val m = jpeg(i + 1) & 0xff
+        if (m == 0xc0 || m == 0xc1 || m == 0xc2) at = i
+        else i += 2 + (((jpeg(i + 2) & 0xff) << 8) | (jpeg(i + 3) & 0xff))
+      }
+      at
+    }
+    assert(sofAt > 0, "fixture should contain a SOF marker")
+    val cut = intercept[IllegalArgumentException](
+      Binary.decodeImagePixels(jpeg.take(sofAt + 2)))
+    assert(cut.getMessage.contains("truncated"), cut.getMessage)
+    // unknown magic fails named (no stub fallback on the pixel path)
+    val unk = intercept[IllegalArgumentException](
+      Binary.decodeImagePixels("not an image".getBytes))
+    assert(unk.getMessage.contains("image"), unk.getMessage)
+    val _ = ImageWriteParam.MODE_DEFAULT // keep the import honest
+  }
+
+  test("decodeImageStats: one mixed-format partition batch, one schema") {
+    val rgb = new java.awt.image.BufferedImage(6, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 6) rgb.setRGB(x, y, 0x406080)
+    val batch = Seq(
+      Binary.MediaPayload(1L,
+        Binary.toPngPayloads(spark, Seq((1L, "png doc")).toDF("doc_id", "text"))
+          .collect().head.payload, "image/png"),
+      Binary.MediaPayload(2L, imageioBytes(rgb, "jpg"), "image/jpeg"),
+      Binary.MediaPayload(3L, imageioBytes(rgb, "gif"), "image/gif")).toDS()
+    val stats = Binary.decodeImageStats(batch).collect().sortBy(_.doc_id)
+    assert(stats.length == 3)
+    assert(stats.map(_.doc_id).toSeq == Seq(1L, 2L, 3L))
+    assert(stats(1).width == 6 && stats(2).width == 6)
+    assert(stats.forall(s => s.luma_hist.sum == s.width.toLong * s.height))
+    // jpeg and gif of the same flat image agree on luma to codec tolerance
+    assert(math.abs(stats(1).mean_luma - stats(2).mean_luma) <= 2.0,
+      s"${stats(1).mean_luma} vs ${stats(2).mean_luma}")
+  }
 }
