@@ -109,5 +109,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bpe_encode"),
       new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
       (children: Seq[Expression]) => BpeEncode(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_byte_encode"),
+      new ExpressionInfo(classOf[BpeByteEncode].getName, "graft_bpe_byte_encode"),
+      (children: Seq[Expression]) => BpeByteEncode(children.head, children(1))))
   }
 }

@@ -46,6 +46,51 @@ object Bpe {
   def encode(tok: Column, merges: Seq[String]): Column =
     call_function("graft_bpe_encode", tok, typedLit(merges))
 
+  /** BYTE-LEVEL subword array of `tok` (r15): 256-byte base alphabet via
+    * the GPT-2 byte↔unicode bijection + an end-of-word symbol — no OOV by
+    * construction, and [[decodeBytes]] inverts it EXACTLY for arbitrary
+    * unicode under any merge table (the round-trip property the code-point
+    * mode can't give: there, an unseen code point has no decomposition
+    * and NFC-unstable text re-segments).
+    */
+  def encodeBytes(tok: Column, merges: Seq[String]): Column =
+    call_function("graft_bpe_byte_encode", tok, typedLit(merges))
+
+  /** Exact inverse of the byte-level encode of ONE token: concatenate the
+    * subwords, strip the end-of-word symbol, invert the byte bijection,
+    * UTF-8 decode. Total for well-formed encodes; a char that is not a
+    * byte symbol fails NAMED (it means the input wasn't a byte-level
+    * encode).
+    */
+  def decodeBytes(subwords: Seq[String]): String = {
+    import graft.functions.BpeEncode.{CharToByte, EndOfWord}
+    val joined = subwords.mkString
+    val body =
+      if (joined.endsWith(EndOfWord)) joined.substring(0, joined.length - EndOfWord.length)
+      else joined
+    val bytes = new Array[Byte](body.length)
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      val b = if (c < 512) CharToByte(c) else -1
+      if (b < 0) throw new IllegalArgumentException(
+        s"decodeBytes: '$c' (U+${c.toInt.toHexString}) is not a byte symbol — " +
+          "input is not a byte-level BPE encode")
+      bytes(i) = b.toByte
+      i += 1
+    }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Byte-symbol sequence of one word — the byte-level training alphabet
+    * ([[graft.functions.BpeEncode.encodeBytes]]'s pre-merge state).
+    */
+  def byteSymbols(w: String): Seq[String] = {
+    import graft.functions.BpeEncode.{ByteToChar, EndOfWord}
+    val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    bytes.map(b => String.valueOf(ByteToChar(b & 0xff))).toSeq :+ EndOfWord
+  }
+
   /** `"a b"` merge-table spelling of trained pairs. */
   def mergeStrings(merges: Seq[(String, String)]): Seq[String] =
     merges.map { case (a, b) => s"$a $b" }
@@ -78,8 +123,8 @@ object Bpe {
     * the best pair's support falls below `minCount`.
     */
   def trainOnCounts(wordCounts: Seq[(String, Long)], numMerges: Int,
-      minCount: Long = 2): Seq[(String, String)] = {
-    val words = wordCounts.map { case (w, c) =>
+      minCount: Long = 2): Seq[(String, String)] =
+    trainLoop(wordCounts.map { case (w, c) =>
       val syms = scala.collection.mutable.ArrayBuffer[String]()
       var i = 0
       while (i < w.length) {
@@ -88,7 +133,39 @@ object Bpe {
         i += n
       }
       (syms, c)
-    }
+    }, numMerges, minCount)
+
+  /** Byte-level training (r15): same loop, same determinism, but the
+    * initial symbols are [[byteSymbols]] (256-byte alphabet + end-of-word)
+    * — the learned merges feed [[encodeBytes]]. End-of-word participates
+    * in merges like any symbol (frequent word-final subwords absorb it),
+    * which is what makes whole common words single tokens.
+    */
+  def trainBytesOnCounts(wordCounts: Seq[(String, Long)], numMerges: Int,
+      minCount: Long = 2): Seq[(String, String)] =
+    trainLoop(wordCounts.map { case (w, c) =>
+      (scala.collection.mutable.ArrayBuffer[String](byteSymbols(w): _*), c)
+    }, numMerges, minCount)
+
+  /** Distributed byte-level training face — [[train]]'s bounded-collect
+    * discipline with the byte alphabet.
+    */
+  def trainBytes(docs: DataFrame, textCol: String, numMerges: Int = 64,
+      maxWords: Int = 1 << 16, minCount: Long = 2): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .as[(String, Long)].collect().toSeq
+    trainBytesOnCounts(wc, numMerges, minCount)
+  }
+
+  private def trainLoop(
+      words: Seq[(scala.collection.mutable.ArrayBuffer[String], Long)],
+      numMerges: Int, minCount: Long): Seq[(String, String)] = {
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var go = true
     while (go && merges.size < numMerges) {
