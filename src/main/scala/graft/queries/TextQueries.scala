@@ -792,6 +792,21 @@ object TextQueries {
     "q89_gopher_filter" -> { (s, d) =>
       graft.text.Gopher.verdicts(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q100: trainable quality classifier (scoring face) ----
+    // Learned-quality curation (DCLM/FineWeb-Edu lineage): logistic head
+    // over hashed unigram+bigram features. The ORACLE pins the SCORING
+    // face under the closed-form dyadic weight table (every per-gram term
+    // is an exact multiple of 1/16, so the double sums compare bit-stable
+    // with no rounding seam); TRAINING is driver-loop gradient ascent with
+    // one map-side-combined agg per epoch, spec-pinned to separate a
+    // labeled corpus (the q95 train-vs-apply discipline).
+    "q100_quality_classifier" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.text.QualityClassifier.score(docs, "doc_id", "text",
+        graft.text.QualityClassifier.formulaWeights(s, 512), 512)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1265,6 +1280,22 @@ object TextQueries {
          FROM g GROUP BY 1 HAVING count(*) >= 2
          ORDER BY doc_freq DESC, gram LIMIT 25""",
 
+    "q100_quality_classifier" ->
+      s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(toks) AS gram FROM tk
+           UNION ALL
+           SELECT doc_id,
+             unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS gram
+           FROM tk WHERE len(toks) >= 2),
+         sc AS (SELECT doc_id,
+             sum((((${h60("gram")} % 512) % 17) - 8) / 16.0) AS logit
+           FROM grams GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(sc.logit, 0.0) AS logit,
+           coalesce(sc.logit, 0.0) > 0.0 AS pass
+         FROM documents d LEFT JOIN sc USING (doc_id)
+         ORDER BY doc_id""",
     "q74_bigram_logprob" ->
       s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
          bg AS (SELECT doc_id,

@@ -101,7 +101,7 @@ class MetaSpec extends SparkSpec {
     assert(qs -- os == rowsOnlyWaivers,
       s"queries missing an oracle beyond the waiver list: ${qs -- os -- rowsOnlyWaivers}")
     // Every query name follows the stable q<NN>_ scheme the driver sorts on.
-    assert(qs.forall(_.matches("q\\d{2}_[a-z0-9_]+")), qs.filterNot(_.matches("q\\d{2}_[a-z0-9_]+")))
+    assert(qs.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")), qs.filterNot(_.matches("q\\d{2,3}_[a-z0-9_]+")))
   }
 
   test("SURVEY §2 tables match the registry — the judged inventory can't drift") {
@@ -114,7 +114,7 @@ class MetaSpec extends SparkSpec {
       java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
     def rows(prefix: String): Seq[String] =
       survey.linesIterator
-        .filter(_.matches(s"^\\| $prefix\\d{2}_[a-z0-9_]+ .*"))
+        .filter(_.matches(s"^\\| $prefix\\d{2,3}_[a-z0-9_]+ .*"))
         .map(_.split("\\|")(1).trim).toSeq
     val qRows = rows("q")
     assert(qRows.distinct == qRows, s"duplicate §2 query rows: ${qRows.diff(qRows.distinct)}")
@@ -134,7 +134,7 @@ class MetaSpec extends SparkSpec {
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
     def tableRows(prefix: String): Int =
-      survey.linesIterator.count(_.matches(s"^\\| $prefix\\d{2}_[a-z0-9_]+ .*"))
+      survey.linesIterator.count(_.matches(s"^\\| $prefix\\d{2,3}_[a-z0-9_]+ .*"))
     val (q, s, i) = (tableRows("q"), tableRows("s"), tableRows("i"))
     val claim = """(\d+) components \((\d+) q \+ (\d+) s \+ (\d+) i\)""".r
     val hits = claim.findAllMatchIn(survey).toSeq
@@ -148,7 +148,7 @@ class MetaSpec extends SparkSpec {
     // Every §2 inventory row carries its status cell — the column the
     // judge keys on (r12 shipped s19–s21 with 5 cells instead of 6).
     val missingStatus = survey.linesIterator
-      .filter(_.matches("^\\| [qsi]\\d{2}_[a-z0-9_]+ .*"))
+      .filter(_.matches("^\\| [qsi]\\d{2,3}_[a-z0-9_]+ .*"))
       .filterNot(_.trim.endsWith("✅ |")).toSeq
     assert(missingStatus.isEmpty,
       s"§2 rows missing the ✅ status cell: ${missingStatus.map(_.take(40))}")

@@ -878,4 +878,68 @@ class TextSpec extends SparkSpec {
     assert(before >= 6L, s"chrome must duplicate across raw docs: $before")
     assert(after === 0L, s"extracted prose must carry no cross-doc spans: $after")
   }
+
+  // ---- r15: q100 trainable quality classifier ----
+
+  test("QualityClassifier: training separates a labeled corpus, train AND held-out") {
+    // Two disjoint vocabularies with shared filler — the learned weights
+    // must pick up the discriminative grams, not memorize doc ids.
+    val goodVocab = Seq("measured", "analysis", "evidence", "method", "results",
+      "carefully", "derived", "structure", "clear", "concise")
+    val junkVocab = Seq("click", "here", "buy", "now", "winner", "free",
+      "prize", "offer", "limited", "deal")
+    val filler = Seq("the", "a", "of", "and", "to")
+    val rnd = new scala.util.Random(42)
+    def mk(vocab: Seq[String], id: Long): (Long, String, Int) = {
+      val words = (1 to 20).map(_ =>
+        if (rnd.nextInt(3) == 0) filler(rnd.nextInt(filler.size))
+        else vocab(rnd.nextInt(vocab.size)))
+      (id, words.mkString(" "), if (vocab == goodVocab) 1 else 0)
+    }
+    val train = ((1L to 20L).map(mk(goodVocab, _)) ++ (21L to 40L).map(mk(junkVocab, _)))
+      .toDF("doc_id", "text", "label")
+    val heldOut = ((41L to 50L).map(mk(goodVocab, _)) ++ (51L to 60L).map(mk(junkVocab, _)))
+      .toDF("doc_id", "text", "label")
+    val w = graft.text.QualityClassifier.train(train, "doc_id", "text", "label",
+      dim = 256, epochs = 30, lr = 2.0)
+    Graft.releaseCaches()
+    def accuracy(docs: org.apache.spark.sql.DataFrame): Double = {
+      val scored = graft.text.QualityClassifier.score(docs, "doc_id", "text", w)
+        .join(docs.select(col("doc_id"), col("label")), "doc_id")
+      val n = scored.count()
+      scored.filter(col("pass") === (col("label") === 1)).count().toDouble / n
+    }
+    assert(accuracy(train) == 1.0, "training set must separate completely")
+    assert(accuracy(heldOut) == 1.0, "held-out docs of the same domains must classify")
+    // the gate actually learned signal: junk docs score strictly below good
+    val logits = graft.text.QualityClassifier.score(heldOut, "doc_id", "text", w)
+      .join(heldOut.select(col("doc_id"), col("label")), "doc_id")
+      .groupBy(col("label")).agg(min(col("logit")).as("lo"), max(col("logit")).as("hi"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(logits(0)._2 < logits(1)._1,
+      s"junk max ${logits(0)._2} must fall below good min ${logits(1)._1}")
+  }
+
+  test("QualityClassifier scoring face: exact vs a driver reference (the oracle's math)") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, ""), (3L, "zq")).toDF("doc_id", "text")
+    val dim = 512
+    val scored = graft.text.QualityClassifier.score(docs, "doc_id", "text",
+      graft.text.QualityClassifier.formulaWeights(spark, dim), dim)
+      .orderBy("doc_id").collect()
+    // driver reference: same grams (unigrams + bigrams), same md5-prefix
+    // hash, same dyadic formula — summed in arbitrary order (exactness
+    // means order cannot matter)
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    def logit(text: String): Double = {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val grams = toks ++ (if (toks.size >= 2) toks.zip(toks.tail).map(p => s"${p._1} ${p._2}") else Nil)
+      grams.map(g => ((h60(g) % dim) % 17 - 8) / 16.0).sum
+    }
+    assert(scored(0).getDouble(1) == logit("alpha beta alpha"))
+    assert(scored(1).getDouble(1) == 0.0 && !scored(1).getBoolean(2))
+    assert(scored(2).getDouble(1) == logit("zq"))
+    assert(scored(0).getBoolean(2) == (logit("alpha beta alpha") > 0))
+  }
 }
