@@ -1315,4 +1315,123 @@ object Streams {
     // (the reference gets this from Delta MERGE transactionality).
     graft.sources.Sinks.overwriteAtomic(merged, dimPath)
   }
+
+  // --------------------------------------------------------------------
+  // s22: tokenizer drift (r15) — the s08 drift/retrain template applied
+  // to the deployed BPE tokenizer.
+  // --------------------------------------------------------------------
+
+  /** Deployed merge table of a [[tokenizerDriftSink]] state dir, in rank
+    * order (driver-side; merge tables are vocab-bounded metadata).
+    */
+  def readMerges(spark: SparkSession, stateDir: String): Seq[String] = {
+    import spark.implicits._
+    spark.read.parquet(s"$stateDir/merges")
+      .orderBy(col("rank")).select(col("merge")).as[String].collect().toSeq
+  }
+
+  private def writeMerges(spark: SparkSession, stateDir: String,
+      merges: Seq[String]): Unit = {
+    import spark.implicits._
+    graft.sources.Sinks.overwriteAtomic(
+      merges.zipWithIndex.map { case (m, i) => (i + 1, m) }.toDF("rank", "merge"),
+      s"$stateDir/merges")
+  }
+
+  /** Per-batch drift metrics accumulated by [[tokenizerDriftSink]]:
+    * (batch_id, n_word_occurrences, n_distinct_words, fertility,
+    * oov_rate).
+    */
+  def readTokenizerDrift(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/drift")
+
+  /** foreachBatch tokenizer-drift monitor — the s08 drift/retrain template
+    * for the DEPLOYED byte-level BPE merges (q92/q95/q96's tokenizer):
+    * each micro-batch of documents lands its word counts in its own
+    * batch_id partition, and two metadata-rate metrics are computed under
+    * the CURRENT merge table:
+    *
+    *  - `fertility`: average subwords per word OCCURRENCE — THE tokenizer
+    *    health number (training-budget math runs on it); rises when the
+    *    stream's vocabulary drifts away from what the merges were learned
+    *    on (new words fall back toward bytes);
+    *  - `oov_rate`: fraction of word occurrences whose encoding applied NO
+    *    merge at all (encoded length == byte count + end-of-word) — the
+    *    byte-level analog of OOV (nothing is truly OOV by construction,
+    *    but a fully-unmerged word is one the tokenizer never learned).
+    *
+    * The FIRST batch bootstraps the merge table from its own word counts
+    * ([[graft.text.Bpe.trainBytesOnCounts]], deterministic); subsequent
+    * batches only MEASURE — retraining is caller policy, triggered off
+    * the drift frame and executed by [[bpeRetrain]], which re-learns from
+    * the ACCUMULATED word counts and atomically swaps the table (the s08
+    * `ivfRetrain` shape; fertility then returns to baseline).
+    *
+    * Replay-idempotent: words/drift overwrite their own batch_id
+    * partition; the bootstrap decision reads prior-batch state EXCLUDING
+    * the current batch id, so a replay of the first batch re-trains the
+    * identical (deterministic) table. Scale: per batch, one
+    * map-side-combined word count + one vocab-sized projection through
+    * the native encode — never a corpus rescan; the encode's merge table
+    * is a constant literal, so it rides codegen exactly like q92.
+    */
+  def tokenizerDriftSink(spark: SparkSession, stateDir: String,
+      textCol: String = "text", numMerges: Int = 64, maxWords: Int = 1 << 16)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import spark.implicits._
+    import graft.text.{Bpe, TextFunctions}
+    val words = batch
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .cache()
+    graft.sources.Sinks.dynamicOverwrite(
+      words.withColumn("batch_id", lit(batchId)), s"$stateDir/words", Seq("batch_id"))
+    val hasPrior = graft.sources.Sources
+      .parquetIfExists(spark, s"$stateDir/words")
+      .exists(!_.filter(col("batch_id") =!= batchId).isEmpty)
+    val merges: Seq[String] =
+      if (!hasPrior) {
+        // bootstrap (or bootstrap replay): deterministic train on THIS batch
+        val wc = words.orderBy(col("c").desc, col("w")).limit(maxWords)
+          .as[(String, Long)].collect().toSeq
+        val ms = Bpe.mergeStrings(Bpe.trainBytesOnCounts(wc, numMerges, minCount = 1))
+        writeMerges(spark, stateDir, ms)
+        ms
+      } else readMerges(spark, stateDir)
+    val drift = words
+      .select(col("c"),
+        size(Bpe.encodeBytes(col("w"), merges)).as("t"),
+        (octet_length(col("w")) + 1).as("base"))
+      .agg(
+        sum(col("c")).as("n_word_occurrences"),
+        count(lit(1)).as("n_distinct_words"),
+        (sum(col("c") * col("t")).cast("double") / sum(col("c"))).as("fertility"),
+        (sum(when(col("t") === col("base"), col("c")).otherwise(0L)).cast("double") /
+          sum(col("c"))).as("oov_rate"))
+      .withColumn("batch_id", lit(batchId))
+    graft.sources.Sinks.dynamicOverwrite(drift, s"$stateDir/drift", Seq("batch_id"))
+    words.unpersist()
+  }
+
+  /** Retrain the deployed merge table from the ACCUMULATED word counts and
+    * swap it atomically — the caller policy [[tokenizerDriftSink]]'s drift
+    * frame triggers. Deterministic ([[graft.text.Bpe.trainBytesOnCounts]]
+    * on an exact, (count desc, word asc)-ordered top-`maxWords` fold of
+    * the per-batch counts); a crash before the swap leaves the old table
+    * serving, re-running repairs. Subsequent batches measure against the
+    * new table and fertility returns to baseline until the stream drifts
+    * again.
+    */
+  def bpeRetrain(spark: SparkSession, stateDir: String, numMerges: Int = 64,
+      maxWords: Int = 1 << 16): Seq[String] = {
+    import spark.implicits._
+    import graft.text.Bpe
+    val wc = spark.read.parquet(s"$stateDir/words")
+      .groupBy(col("w")).agg(sum(col("c")).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(maxWords)
+      .as[(String, Long)].collect().toSeq
+    val ms = Bpe.mergeStrings(Bpe.trainBytesOnCounts(wc, numMerges, minCount = 1))
+    writeMerges(spark, stateDir, ms)
+    ms
+  }
 }

@@ -1142,4 +1142,58 @@ class StreamingSpec extends SparkSpec {
     // index holds exactly one signature row per doc, not one per attempt
     assert(spark.read.parquet(s"$dir/index").count() == 3)
   }
+
+  test("tokenizerDriftSink: fertility rises under vocab shift, bpeRetrain restores, replay idempotent (s22)") {
+    val dir = Files.createTempDirectory("tokdrift").toFile.getAbsolutePath
+    val state = s"$dir/state"
+    val sink = Streams.tokenizerDriftSink(spark, state, numMerges = 64) _
+    // Two byte-disjoint vocabularies: merges trained on A apply to NOTHING
+    // in B, so the drift is structural, not statistical.
+    val vocabA = Seq("the", "then", "these", "stone", "holes")
+    val vocabB = Seq("zqxv", "vxqz", "qzvx", "xvzq", "qvxz", "zxqv")
+    val rnd = new scala.util.Random(5)
+    def docs(vocab: Seq[String], ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i.toLong,
+        (1 to 12).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+        .toDF("doc_id", "text")
+    def drift(b: Long): (Double, Double) = {
+      val r = Streams.readTokenizerDrift(spark, state)
+        .filter(col("batch_id") === b).select("fertility", "oov_rate")
+        .as[(Double, Double)].head()
+      r
+    }
+    sink(docs(vocabA, 1 to 8), 0L) // bootstrap: trains the deployed table on A
+    sink(docs(vocabA, 9 to 16), 1L) // stationary
+    val (fertA, oovA) = drift(1L)
+    assert(fertA < 2.0, s"A-batch under A-merges should compress: fertility $fertA")
+    assert(oovA < 0.1, s"A-batch oov should be ~0: $oovA")
+    // replay idempotence: drive the SAME frame twice under one batch id —
+    // words partition and drift row must come out identical
+    val fixed = docs(vocabA, 17 to 20)
+    sink(fixed, 2L)
+    val snap1 = (spark.read.parquet(s"$state/words").filter(col("batch_id") === 2L)
+      .orderBy("w").collect().toSeq, drift(2L))
+    sink(fixed, 2L)
+    val snap2 = (spark.read.parquet(s"$state/words").filter(col("batch_id") === 2L)
+      .orderBy("w").collect().toSeq, drift(2L))
+    assert(snap1 == snap2, "replaying the same batch must reproduce identical state")
+    // vocabulary shift: fertility jumps, oov → 1 (no A-merge applies to B)
+    sink(docs(vocabB, 21 to 28), 3L)
+    val (fertB, oovB) = drift(3L)
+    assert(fertB == 5.0, s"B words are 4 bytes + eow with zero merges applied: $fertB")
+    assert(oovB == 1.0, s"every B occurrence is fully unmerged: $oovB")
+    assert(fertB > fertA + 1.0, "the drift signal must be unmistakable")
+    // caller policy fires: retrain on the ACCUMULATED counts, table swaps
+    val retrained = Streams.bpeRetrain(spark, state, numMerges = 64)
+    assert(Streams.readMerges(spark, state) == retrained,
+      "the swapped table must be the one subsequent batches read")
+    sink(docs(vocabB, 31 to 38), 4L)
+    val (fertB2, oovB2) = drift(4L)
+    assert(fertB2 < fertB - 2.0, s"retrain must restore fertility: $fertB2 vs $fertB")
+    assert(oovB2 == 0.0, s"retrained table covers B: oov $oovB2")
+    // and the A side still compresses under the joint table
+    sink(docs(vocabA, 41 to 44), 5L)
+    val (fertA2, oovA2) = drift(5L)
+    assert(fertA2 < 2.5 && oovA2 < 0.1, s"joint table keeps A healthy: $fertA2/$oovA2")
+  }
 }
