@@ -910,6 +910,32 @@ object SqlOps {
        |  FROM (SELECT $id, graft_tokens($txt) AS _toks FROM $table))""".stripMargin
   }
 
+  /** SQL twin of q100's quality-classifier SCORING face (r15): hashed
+    * unigram+bigram buckets through `graft_hash60`, logit under the
+    * closed-form dyadic weight formula (((bucket mod 17) − 8)/16 — exact
+    * in double, so the equality with the Column spelling is bit-stable).
+    * Scoring under TRAINED weights is the same query with the formula
+    * replaced by a join against a weights table.
+    */
+  def qualityClassifierSql(table: String, idCol: String, textCol: String,
+      dim: Int = 512): String = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val (id, txt) = (bt(idCol), bt(textCol))
+    s"""WITH _tk AS (SELECT $id, graft_tokens($txt) AS _toks FROM $table),
+       |_gs AS (SELECT $id,
+       |    concat(_toks, graft_word_bigrams(_toks)) AS _grams FROM _tk),
+       |_g AS (SELECT $id, explode(_grams) AS _gram FROM _gs),
+       |_sc AS (SELECT $id,
+       |    sum((CAST((graft_hash60(_gram) % $dim) % 17 AS DOUBLE) - 8.0d) / 16.0d)
+       |      AS _logit
+       |  FROM _g GROUP BY $id)
+       |SELECT t.$id,
+       |  coalesce(_sc._logit, 0.0d) AS logit,
+       |  coalesce(_sc._logit, 0.0d) > 0.0d AS pass
+       |FROM $table t LEFT JOIN _sc ON t.$id = _sc.$id
+       |ORDER BY t.$id""".stripMargin
+  }
+
   /** SQL twin of q90's span-level contamination — the spanDedupSql scaffold
     * with the eval side's broadcast gram-hash set replacing the
     * doc-frequency rule (see text/Decontaminate.contaminationSpans).

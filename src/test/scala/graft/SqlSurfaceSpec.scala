@@ -432,6 +432,23 @@ class SqlSurfaceSpec extends SparkSpec {
     assertSame(viaSql, viaCol, "bpe encode", samePlan = false)
   }
 
+  test("SqlOps.qualityClassifierSql == q100's Column spelling (rows, exact doubles)") {
+    registered
+    val viaSql = spark.sql(SqlOps.qualityClassifierSql("documents", "doc_id", "text"))
+    val viaCol = SparkEntry.queries("q100_quality_classifier")(spark, sfDir)
+    // exact equality is the point: the dyadic weight table makes both
+    // plans' double sums bit-identical whatever the aggregation order
+    assertSame(viaSql, viaCol, "quality classifier", samePlan = false)
+  }
+
+  test("graft_bpe_byte_encode is SQL-reachable and round-trips through decodeBytes") {
+    registered
+    val enc = spark.sql(
+      "SELECT graft_bpe_byte_encode('héllo🚀', array('l l')) AS s")
+      .head().getSeq[String](0)
+    assert(graft.text.Bpe.decodeBytes(enc) == "héllo🚀")
+  }
+
   test("SqlOps.pageRankSql == Graph.pageRank (rows at round-8 precision)") {
     registered
     val edges = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
