@@ -235,6 +235,14 @@ object ScaleBench {
           col("bullet_ok"), col("ellipsis_ok"), col("alpha_ok"),
           col("stopword_ok"), col("keep"))
         .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("t"))
+    },
+    // q100's count() is prunable the q94 way (its per-doc LEFT join against
+    // a grouped aggregate preserves cardinality, so the eliminator can drop
+    // the scoring wholesale); summing the logits forces every doc's hash +
+    // weight fold to execute.
+    "x100_classifier_work" -> { (s, d) =>
+      SparkEntry.queries("q100_quality_classifier")(s, d)
+        .groupBy(col("pass")).agg(sum(col("logit")).as("t"), count(lit(1)).as("n"))
     })
 
   def main(args: Array[String]): Unit = {
