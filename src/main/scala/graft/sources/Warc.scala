@@ -294,15 +294,35 @@ object Warc {
             catch { case _: NumberFormatException => null } else null
           } else null
           var ct: String = null
+          var chunked = false
+          var gzipped = false
           var hl = readLine(hin)
           while (hl != null && hl.nonEmpty) {
             val i = hl.indexOf(':')
-            if (i > 0 && hl.substring(0, i).trim.equalsIgnoreCase("content-type"))
-              ct = hl.substring(i + 1).trim
+            if (i > 0) {
+              val name = hl.substring(0, i).trim
+              val value = hl.substring(i + 1).trim
+              if (name.equalsIgnoreCase("content-type")) ct = value
+              // Real crawls store the raw wire bytes: chunked framing and
+              // gzip entity encoding are BOTH common in Common Crawl
+              // responses, and html extraction over still-chunked bytes
+              // silently degrades (chunk-size lines interleave the markup).
+              else if (name.equalsIgnoreCase("transfer-encoding") &&
+                value.toLowerCase.contains("chunked")) chunked = true
+              else if (name.equalsIgnoreCase("content-encoding") &&
+                value.toLowerCase.contains("gzip")) gzipped = true
+            }
             hl = readLine(hin)
           }
-          val body = new Array[Byte](hin.available())
-          hin.read(body)
+          val raw = new Array[Byte](hin.available())
+          hin.read(raw)
+          // Decode best-effort: a crawl record with a malformed chunk
+          // trailer or truncated gzip body DEGRADES to its raw bytes
+          // rather than dropping — the document is usually still mostly
+          // usable, and the quality/langid gates downstream are the right
+          // place to judge it.
+          val unchunked = if (chunked) dechunk(raw).getOrElse(raw) else raw
+          val body = if (gzipped) gunzipBody(unchunked).getOrElse(unchunked) else unchunked
           Rec(frameOff, warcType, url, ts, ct, httpStatus, body)
         } else Rec(frameOff, warcType, url, ts, blockType, null, block)
       }
@@ -327,6 +347,47 @@ object Warc {
         }
       }
     }
+
+  /** HTTP/1.1 chunked-transfer decode (RFC 9112 §7.1): size-line in hex
+    * (optional `;ext` suffix) + chunk bytes + CRLF, terminated by a 0
+    * chunk; trailer headers ignored. None on any malformed framing — the
+    * caller keeps the raw bytes.
+    */
+  private[sources] def dechunk(raw: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new ByteArrayInputStream(raw)
+      val out = new ByteArrayOutputStream(raw.length)
+      var done = false
+      while (!done) {
+        val sizeLine = readLine(in)
+        if (sizeLine == null) return None
+        val hex = sizeLine.takeWhile(c => c != ';').trim
+        if (hex.isEmpty) return None
+        val n = java.lang.Long.parseLong(hex, 16)
+        if (n < 0 || n > raw.length) return None
+        if (n == 0) done = true
+        else {
+          out.write(readFully(in, n))
+          val sep = readLine(in) // chunk-terminating CRLF
+          if (sep == null || sep.nonEmpty) return None
+        }
+      }
+      Some(out.toByteArray)
+    } catch { case _: NumberFormatException | _: EOFException => None }
+
+  /** Entity-level gunzip of an HTTP body (single gzip stream; bounded by
+    * the body's own framing). None on corruption/truncation — caller
+    * keeps the raw bytes.
+    */
+  private[sources] def gunzipBody(raw: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(new ByteArrayInputStream(raw))
+      val out = new ByteArrayOutputStream(raw.length * 4)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
 
   /** Parse one whole WARC file (gzip or plain — sniffed by magic bytes)
     * into parse events. Streams: one gzip member in memory at a time.

@@ -159,6 +159,80 @@ class WarcSpec extends SparkSpec {
     assert(viaWarc.forall(_.getString(3).nonEmpty))
   }
 
+  test("chunked and gzip-encoded HTTP bodies decode; malformed framing degrades to raw") {
+    def chunk(body: Array[Byte], sizes: Seq[Int]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      var off = 0
+      sizes.foreach { n =>
+        out.write(s"${n.toHexString}\r\n".getBytes("US-ASCII"))
+        out.write(body, off, n); off += n
+        out.write("\r\n".getBytes("US-ASCII"))
+      }
+      assert(off == body.length, "test fixture must chunk the whole body")
+      out.write("0\r\n\r\n".getBytes("US-ASCII"))
+      out.toByteArray
+    }
+    def http(extraHeaders: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n$extraHeaders\r\n").getBytes("US-ASCII") ++ body
+    val bodyBytes = htmlA.getBytes("UTF-8")
+    // chunked
+    val chunked = warcRecord("response", "http://c.example/chunked", "2024-01-06T00:00:00Z",
+      "application/http; msgtype=response",
+      http("Transfer-Encoding: chunked\r\n", chunk(bodyBytes, Seq(10, 50, bodyBytes.length - 60))))
+    // gzip entity
+    val gzBody = gzMember(bodyBytes) // a gzip stream (member == stream here)
+    val gzipped = warcRecord("response", "http://c.example/gz", "2024-01-06T00:00:00Z",
+      "application/http; msgtype=response",
+      http("Content-Encoding: gzip\r\n", gzBody))
+    // chunked AND gzipped (wire order: gzip entity, then chunk the wire bytes)
+    val both = warcRecord("response", "http://c.example/both", "2024-01-06T00:00:00Z",
+      "application/http; msgtype=response",
+      http("Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+        chunk(gzBody, Seq(gzBody.length / 2, gzBody.length - gzBody.length / 2))))
+    // malformed chunk framing → raw bytes kept, record NOT dropped
+    val badWire = "zz-not-hex\r\ngarbage".getBytes("US-ASCII")
+    val bad = warcRecord("response", "http://c.example/bad", "2024-01-06T00:00:00Z",
+      "application/http; msgtype=response",
+      http("Transfer-Encoding: chunked\r\n", badWire))
+    val dir = tmp("warcenc")
+    writeGz(dir, "enc.warc.gz", Seq(chunked, gzipped, both, bad).map(gzMember))
+    val (recs, quar) = Warc.read(spark, s"$dir/enc.warc.gz")
+    assert(quar.count() == 0)
+    val byUrl = recs.collect().map(r => r.getString(3) -> new String(r.getAs[Array[Byte]](7), "UTF-8")).toMap
+    assert(byUrl("http://c.example/chunked") == htmlA, "dechunk must recover the entity")
+    assert(byUrl("http://c.example/gz") == htmlA, "gzip body must decompress")
+    assert(byUrl("http://c.example/both") == htmlA, "chunked+gzip must compose")
+    assert(byUrl("http://c.example/bad") == new String(badWire, "UTF-8"),
+      "malformed framing keeps the raw bytes instead of dropping the record")
+  }
+
+  test("s20 composition: warc stream → htmlExtractSink equals the batch q93 path") {
+    import graft.streaming.Streams
+    val dir = tmp("warcs20")
+    writeGz(dir, "crawl-000.warc.gz", goodRecords.map(gzMember))
+    val state = s"$dir/state"
+    val q = Warc.stream(spark, s"$dir/*.warc.gz")
+      .filter(col("reason").isNull && col("warc_type") === "response" &&
+        col("http_status") === 200 && col("content_type").startsWith("text/html"))
+      .select(concat_ws(":", col("warc_file"), col("rec_offset")).as("doc_id"),
+        decode(col("payload"), "UTF-8").as("html"))
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streams.htmlExtractSink(spark, state)(b, id))
+      .option("checkpointLocation", tmp("warcs20chk"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Streams.readExtracted(spark, state)
+      .select("doc_id", "n_blocks", "n_kept", "main_text")
+    val (recs, _) = Warc.read(spark, s"$dir/*.warc.gz")
+    val batch = graft.text.HtmlExtract.mainText(
+      Warc.htmlDocuments(recs), "doc_id", "html")
+      .select("doc_id", "n_blocks", "n_kept", "main_text")
+    assert(streamed.count() == 2)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "crawl-file streaming extraction must equal the batch composition")
+  }
+
   test("streaming face: crawl files land → records parse, quarantine named in-band") {
     val dir = tmp("warcstream")
     val members = goodRecords.map(gzMember)
