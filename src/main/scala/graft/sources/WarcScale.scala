@@ -1,0 +1,111 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only i17 scale probe (not part of the driver contract): renders the
+  * sf documents table as a REAL sharded `.warc.gz` crawl (one gzip member
+  * per record, http-wrapped html pages) and measures the intake path —
+  * record parse and the full q93 composition — at 1 file vs many files.
+  * The claim under measurement: WARC parallelism = files (a single file is
+  * one sequential task; sharded files scale with cores until I/O binds).
+  *
+  * Run: `sbt 'runMain graft.sources.WarcScale'`
+  * (SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_WARC_FILES respected).
+  */
+object WarcScale {
+
+  /** One http-response WARC record wrapping `html`, as its own gzip member. */
+  private def member(url: String, html: String): Array[Byte] = {
+    val body = html.getBytes("UTF-8")
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      s"Server: warcscale\r\n\r\n").getBytes("US-ASCII") ++ body
+    val rec = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $url\r\n" +
+      s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes("US-ASCII") ++
+      http ++ "\r\n\r\n".getBytes("US-ASCII")
+    val bos = new ByteArrayOutputStream(rec.length / 2)
+    val gz = new GZIPOutputStream(bos)
+    gz.write(rec); gz.close()
+    bos.toByteArray
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val nFiles = sys.env.get("SPARK_GRAFT_WARC_FILES").map(_.toInt).getOrElse(16)
+    val spark = graft.Graft.session(s"local[$cpus]", Some(cpus.toInt))
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val outRoot = java.nio.file.Files.createTempDirectory("warcscale").toString
+    // Render every document as a page with nav chrome so mainText has
+    // boilerplate to strip (the q93 workload, not a trivial passthrough).
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    val nDocs = docs.count()
+
+    def writeShards(dir: String, shards: Int): (Long, Double) = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val t0 = System.nanoTime()
+      val bytes = docs.repartition(shards).rdd.mapPartitionsWithIndex { (i, it) =>
+        val path = f"$dir/part-$i%05d.warc.gz"
+        val out = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(path), 1 << 16)
+        var b = 0L
+        it.foreach { case (id, text) =>
+          val html = s"<html><head><title>doc $id</title></head><body>" +
+            "<div><a href=\"/home\">home</a> <a href=\"/next\">next</a></div>" +
+            s"<p>${text.replace("<", "&lt;")}</p>" +
+            "<footer><a href=\"/terms\">terms of service and privacy policy</a></footer>" +
+            "</body></html>"
+          val m = member(s"http://ex.com/$id", html)
+          out.write(m); b += m.length
+        }
+        out.close()
+        Iterator.single(b)
+      }.sum().toLong
+      ((bytes), (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (bytesMany, _) = writeShards(s"$outRoot/many", nFiles)
+    val (bytesOne, _) = writeShards(s"$outRoot/one", 1)
+
+    def bestOf2(f: => Long): (Long, Double) = {
+      var best = Double.MaxValue; var rows = 0L
+      (1 to 2).foreach { _ =>
+        val t0 = System.nanoTime(); rows = f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      (rows, best)
+    }
+    // warm the code paths once on the sharded copy
+    Warc.read(spark, s"$outRoot/many/*.warc.gz")._1.count()
+
+    val (rowsMany, parseMany) = bestOf2(Warc.read(spark, s"$outRoot/many/*.warc.gz")._1.count())
+    val (rowsOne, parseOne) = bestOf2(Warc.read(spark, s"$outRoot/one/*.warc.gz")._1.count())
+    def q93(path: String): Long = {
+      val (recs, _) = Warc.read(spark, path)
+      graft.text.HtmlExtract.mainText(Warc.htmlDocuments(recs), "doc_id", "html")
+        .agg(sum(col("kept_chars"))).head(); nDocs
+    }
+    val (_, q93Many) = bestOf2(q93(s"$outRoot/many/*.warc.gz"))
+    val (_, q93One) = bestOf2(q93(s"$outRoot/one/*.warc.gz"))
+
+    def f2(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    println(s"""{"metric":"warc_scale","docs":$nDocs,"files":$nFiles,""" +
+      s""""bytes_gz":$bytesMany,"bytes_gz_one":$bytesOne,""" +
+      s""""records_many":$rowsMany,"records_one":$rowsOne,""" +
+      s""""parse_many_sec":${f2(parseMany)},"parse_one_sec":${f2(parseOne)},""" +
+      s""""parse_speedup":${f2(parseOne / parseMany)},""" +
+      s""""q93_many_sec":${f2(q93Many)},"q93_one_sec":${f2(q93One)},""" +
+      s""""q93_speedup":${f2(q93One / q93Many)},""" +
+      s""""mb_per_sec_many":${f2(bytesMany / 1e6 / parseMany)}}""")
+    spark.stop()
+  }
+}

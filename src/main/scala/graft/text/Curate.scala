@@ -57,10 +57,19 @@ object Curate {
     *        oracle predates the rule family, and this synthetic corpus's
     *        sub-50-token docs would fail `words_ok` wholesale.
     */
+  /** @param classifierWeights additionally require the LEARNED gate: a
+    *        positive [[QualityClassifier]] logit under these weights
+    *        (trained via `QualityClassifier.train` or any fixed table) —
+    *        the third stage of the production curation order (cheap rules
+    *        → learned classifier → score floor), applied BEFORE keeper
+    *        election like the other gates. OFF (None) by default: the q65
+    *        oracle predates the classifier.
+    */
   def keepSet(docs: DataFrame, id: String, text: String,
       k: Int = 16, bandK: Int = 4, bandRows: Int = 2,
       minJaccard: Double = 0.5, minQuality: Int = 5000,
-      overCapStars: Boolean = false, gopherRules: Boolean = false): DataFrame = {
+      overCapStars: Boolean = false, gopherRules: Boolean = false,
+      classifierWeights: Option[Array[Double]] = None): DataFrame = {
     val sh = MinHash.withShingles(docs, id, text)
     val sig = MinHash.signature(MinHash.shingleRows(sh, id), id, k)
     val bands = MinHash.bands(sig, id, bandK, bandRows)
@@ -86,11 +95,16 @@ object Curate {
     // variants can straddle either gate. Cluster keep-best needs no
     // quality care: it picks MAX quality, which fails the floor only when
     // every member does.
-    val ruled =
+    val gatedByRules =
       if (!gopherRules) scored
       else scored.join(
         Gopher.verdicts(docs, id, text).filter(col("keep")).select(col(id)),
         Seq(id), "left_semi")
+    val ruled = classifierWeights.fold(gatedByRules)(w =>
+      gatedByRules.join(
+        QualityClassifier.score(docs, id, text, w)
+          .filter(col("pass")).select(col(id)),
+        Seq(id), "left_semi"))
     val keeperPool = docs.join(
       ruled.filter(col("_th") >= minQuality).select(col(id)),
       Seq(id), "left_semi")

@@ -222,6 +222,54 @@ class TextSpec extends SparkSpec {
     assert(kept == Set(2L), s"exact group lost its rule-passing member: $kept")
   }
 
+  test("Curate.keepSet(classifierWeights): learned gate drops before election (r15)") {
+    // Train the q100 classifier on a tiny labeled set, then curate a
+    // corpus where a near-dup pair splits on the LEARNED gate: the member
+    // with the higher heuristic quality score carries junk vocabulary
+    // (classifier-negative), its near-dup carries good vocabulary. Cluster
+    // keep-best over ALL members would elect the junk doc and drop both;
+    // the production order (rules → classifier → score) keeps the passing
+    // member.
+    val goodV = Seq("excellent", "insightful", "rigorous", "useful")
+    val junkV = Seq("spamword", "junkword", "clickbait", "scamword")
+    val train = ((1L to 10L).map(i => (i, (goodV ++ goodV).mkString(" "), 1)) ++
+      (11L to 20L).map(i => (i, (junkV ++ junkV).mkString(" "), 0)))
+      .toDF("doc_id", "text", "label")
+    val w = graft.text.QualityClassifier.train(train, "doc_id", "text", "label",
+      dim = 4096, epochs = 25, lr = 2.0)
+    Graft.releaseCaches()
+    val run = (1 to 58).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"the the and and of of $run spamword junkword clickbait scamword"),
+      (2L, s"$run excellent insightful"))
+      .toDF("doc_id", "text")
+    // fixture premises: (a) the pair really collides into a cluster,
+    val sh = MinHash.withShingles(docs, "doc_id", "text")
+    val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 16)
+    val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 4, 2), "doc_id")
+    assert(MinHash.jaccard(sh, cand, "doc_id")
+      .filter(col("jaccard") >= 0.5).count() == 1,
+      "fixture premise broken: docs are not near-dup candidates")
+    // (b) the junk doc wins the HEURISTIC score, and (c) the learned gate
+    // splits them the other way
+    val th = docs.select(col("doc_id"), TF.qualityGrid(col("text")).as("t"))
+      .as[(Long, Long)].collect().toMap
+    assert(th(1L) > th(2L), s"fixture premise broken: junk doc must out-score: $th")
+    val verdict = graft.text.QualityClassifier.score(docs, "doc_id", "text", w)
+      .select(col("doc_id"), col("pass")).as[(Long, Boolean)].collect().toMap
+    assert(verdict == Map(1L -> false, 2L -> true),
+      s"fixture premise broken: classifier must split the pair: $verdict")
+    // without the gate, keep-best elects the junk doc
+    val ungated = graft.text.Curate.keepSet(docs, "doc_id", "text", minQuality = 0)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(ungated == Set(1L), ungated.toString)
+    // with it, the cluster keeps its classifier-passing member
+    val gated = graft.text.Curate.keepSet(docs, "doc_id", "text", minQuality = 0,
+        classifierWeights = Some(w))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(gated == Set(2L), s"cluster lost its classifier-passing member: $gated")
+  }
+
   test("Curate.keepSet: exact losers, cluster losers and low-quality docs drop") {
     val baseA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
       "kilo lima mike november oscar papa quebec romeo sierra tango"
