@@ -1413,6 +1413,63 @@ object Streams {
     words.unpersist()
   }
 
+  // --------------------------------------------------------------------
+  // s23: streaming quality classifier (r15) — q100's live-intake face.
+  // --------------------------------------------------------------------
+
+  /** One-time deployment of a trained q100 weight table into a
+    * [[classifierScoreSink]] state dir (the s19
+    * `prepareBloomDecontamination` discipline: deployment is an explicit
+    * step, never lazily inferred from a batch). Train with
+    * [[graft.text.QualityClassifier.train]] over a labeled frame, deploy
+    * here, score the stream.
+    */
+  def prepareClassifier(spark: SparkSession, stateDir: String,
+      weights: Array[Double]): Unit = {
+    import spark.implicits._
+    graft.sources.Sinks.overwriteAtomic(
+      weights.toSeq.zipWithIndex.map { case (v, b) => (b.toLong, v) }
+        .toDF("bucket", "w"),
+      s"$stateDir/weights")
+  }
+
+  /** Deployed weights of a [[classifierScoreSink]] state dir. */
+  def readClassifierWeights(spark: SparkSession, stateDir: String): Array[Double] = {
+    val rows = spark.read.parquet(s"$stateDir/weights")
+      .select(col("bucket").cast("int"), col("w").cast("double")).collect()
+    val out = new Array[Double](rows.map(_.getInt(0)).max + 1)
+    rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
+    out
+  }
+
+  /** foreachBatch streaming scoring under the DEPLOYED q100 weights:
+    * each micro-batch of (doc_id, text) lands (doc_id, logit, pass) in
+    * its own batch_id partition — single-batch output EQUAL to the batch
+    * [[graft.text.QualityClassifier.score]] under the same weights
+    * (parity-pinned; the scoring face is a pure function of the batch, so
+    * the stream face is stateless-across-batches and replay-idempotent by
+    * partition overwrite, the s12 decontamination discipline). A missing
+    * deployment fails NAMED. Per batch: one explode + two map-side-
+    * combined aggs + a broadcast join against the dim-row weights table —
+    * scan-shaped on the intake.
+    */
+  def classifierScoreSink(spark: SparkSession, stateDir: String,
+      idCol: String = "doc_id", textCol: String = "text")(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (graft.sources.Sources.parquetIfExists(spark, s"$stateDir/weights").isEmpty)
+      throw new IllegalArgumentException(
+        s"no deployed weights at $stateDir/weights — run prepareClassifier first")
+    val w = readClassifierWeights(spark, stateDir)
+    graft.sources.Sinks.dynamicOverwrite(
+      graft.text.QualityClassifier.score(batch, idCol, textCol, w)
+        .withColumn("batch_id", lit(batchId)),
+      s"$stateDir/scored", Seq("batch_id"))
+  }
+
+  /** Accumulated scores from the [[classifierScoreSink]] log. */
+  def readClassifierScores(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/scored").drop("batch_id")
+
   /** Retrain the deployed merge table from the ACCUMULATED word counts and
     * swap it atomically — the caller policy [[tokenizerDriftSink]]'s drift
     * frame triggers. Deterministic ([[graft.text.Bpe.trainBytesOnCounts]]

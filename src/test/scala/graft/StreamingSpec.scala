@@ -1143,6 +1143,47 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/index").count() == 3)
   }
 
+  test("classifierScoreSink: batch parity under deployed weights, replay, named missing-deploy (s23)") {
+    val dir = Files.createTempDirectory("clsink").toFile.getAbsolutePath
+    val state = s"$dir/state"
+    // train on a labeled frame, deploy, score the stream
+    val goodV = Seq("measured", "careful", "rigorous")
+    val junkV = Seq("clickbait", "spamword", "scamword")
+    val train = ((1L to 8L).map(i => (i, (goodV ++ goodV).mkString(" "), 1)) ++
+      (9L to 16L).map(i => (i, (junkV ++ junkV).mkString(" "), 0)))
+      .toDF("doc_id", "text", "label")
+    val w = graft.text.QualityClassifier.train(train, "doc_id", "text", "label",
+      dim = 1024, epochs = 20, lr = 2.0)
+    Graft.releaseCaches()
+    // the undeployed sink fails NAMED (never an empty-weights zero score)
+    val sink = Streams.classifierScoreSink(spark, state) _
+    val b1 = Seq((101L, "measured careful rigorous text"),
+      (102L, "clickbait spamword scamword junk")).toDF("doc_id", "text")
+    val missing = intercept[IllegalArgumentException](sink(b1, 0L))
+    assert(missing.getMessage.contains("prepareClassifier"), missing.getMessage)
+    Streams.prepareClassifier(spark, state, w)
+    assert(Streams.readClassifierWeights(spark, state).toSeq == w.toSeq,
+      "deployed weights must round-trip exactly")
+    sink(b1, 0L)
+    val b2 = Seq((103L, "rigorous measured prose"), (104L, "")).toDF("doc_id", "text")
+    sink(b2, 1L)
+    // single-batch parity with the batch scoring face (exact doubles)
+    val streamed = Streams.readClassifierScores(spark, state)
+    val batchRef = graft.text.QualityClassifier.score(b1.unionByName(b2),
+      "doc_id", "text", w)
+    assert(streamed.exceptAll(batchRef).isEmpty && batchRef.exceptAll(streamed).isEmpty,
+      "streamed scores must equal the batch scoring face")
+    // the learned gate splits the live intake
+    val byId = streamed.select(col("doc_id"), col("pass"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(byId(101L) && !byId(102L) && byId(103L) && !byId(104L), byId.toString)
+    // replay: same frame, same batch id → identical partition
+    sink(b1, 0L)
+    val replayed = Streams.readClassifierScores(spark, state)
+    assert(replayed.count() == 4 &&
+      replayed.exceptAll(batchRef).isEmpty, "replay must not duplicate or drift")
+  }
+
   test("tokenizerDriftSink: fertility rises under vocab shift, bpeRetrain restores, replay idempotent (s22)") {
     val dir = Files.createTempDirectory("tokdrift").toFile.getAbsolutePath
     val state = s"$dir/state"
