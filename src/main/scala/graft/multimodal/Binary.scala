@@ -464,7 +464,7 @@ object Binary {
     * color — integer-exact, the ONE luma definition (histogram and mean
     * share it by construction).
     */
-  private def lumaAt(px: PngPixels, i: Int): Int =
+  private[multimodal] def lumaAt(px: PngPixels, i: Int): Int =
     if (px.channels <= 2) px.samples(i) & 0xff
     else ((px.samples(i) & 0xff) * 299 + (px.samples(i + 1) & 0xff) * 587 +
       (px.samples(i + 2) & 0xff) * 114) / 1000

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.multimodal.Binary
+import graft.multimodal.{Binary, ImageHash}
 import graft.sim.Ann
 
 /** B-block (similarity + multimodal): ANN over `embeddings`, centroid
@@ -79,6 +79,23 @@ object SimQueries {
         .select(col("id").as("vec_id"), col("bucket"),
           col("dropped_by"), col("n_coverers"))
         .orderBy(col("vec_id"))
+    },
+
+    // ---- q101: perceptual near-dup image pairs (dHash + banded LSH) ----
+    // Ingest renders each doc as a REAL gray-8 PNG (raster = the UTF-8
+    // bytes, zero-padded to the 32-wide canvas); the hash runs the actual
+    // inflate+defilter pixel decode, then the 60-bit dHash rides SimHash's
+    // banded candidate machinery. The oracle recomputes the hash
+    // arithmetically from the text bytes (closed-form by construction of
+    // the canvas — the q30 discipline) and mirrors the band/cap/Hamming
+    // pipeline in SQL.
+    "q101_image_dhash" -> { (s, d) =>
+      val hashes = ImageHash.dhashes(
+        Binary.toPngPayloads(s, Tables.documents(s, d)))
+      ImageHash.nearPairs(hashes, maxHamming = 16)
+        .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
+          col("hamming"))
+        .orderBy(col("doc_id_a"), col("doc_id_b"))
     },
 
     // ---- q55: trained IVF quantizer (k-means cell build) ----
@@ -166,6 +183,45 @@ object SimQueries {
            ph::INT AS height,
            'ppm' AS format
          FROM h ORDER BY doc_id""",
+
+    // The dHash is closed-form in the doc's bytes: the PNG raster IS the
+    // text (ASCII by construction of the generator; zero-padded), so grid
+    // sample (r,c) of a len-byte doc on the 32-wide, h-row canvas is byte
+    // (r·h/6)·32 + (c·32/11). Bands/cap/Hamming mirror SimHash's oracle
+    // shape; the 600 cap never bites at oracle SFs (max bucket 80 at
+    // sf0.1) so capped semantics are bit-identical there.
+    "q101_image_dhash" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS len,
+                  greatest(1, (length(text)+31)//32) AS h
+           FROM documents
+         ), grid AS (
+           SELECT doc_id, gr.range AS r, gc.range AS c,
+                  CASE WHEN ((gr.range*h)//6)*32 + ((gc.range*32)//11) < len
+                       THEN ascii(substr(text, ((gr.range*h)//6)*32 + ((gc.range*32)//11) + 1, 1))
+                       ELSE 0 END AS g
+           FROM d, range(6) gr, range(11) gc
+         ), bits AS (
+           SELECT a.doc_id, a.r, a.c,
+                  CASE WHEN a.g > b.g THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+           FROM grid a JOIN grid b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+         ), hash AS (
+           SELECT doc_id, bit_or(bit << (r*10 + c)::INT) AS dh FROM bits GROUP BY doc_id
+         ), banded AS (
+           SELECT doc_id, dh, b.range AS band, (dh >> (b.range*10)::INT) & 1023 AS band_val
+           FROM hash, range(6) b
+         ), capped AS (
+           SELECT doc_id, dh, band, band_val FROM
+             (SELECT *, count(*) OVER (PARTITION BY band, band_val) AS n FROM banded)
+           WHERE n <= 600
+         ), pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.dh AS ha, b.dh AS hb
+           FROM capped a JOIN capped b
+             ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         )
+         SELECT doc_id_a, doc_id_b, bit_count(xor(ha, hb)) AS hamming
+         FROM pairs WHERE bit_count(xor(ha, hb)) <= 16
+         ORDER BY doc_id_a, doc_id_b""",
 
     "q35_dedup_cosine" ->
       s"""WITH $E, $BUCKET_CTES,

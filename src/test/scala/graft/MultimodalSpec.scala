@@ -522,4 +522,76 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(stats(1).mean_luma - stats(2).mean_luma) <= 2.0,
       s"${stats(1).mean_luma} vs ${stats(2).mean_luma}")
   }
+
+  // ------------------------- q101: perceptual dHash -------------------------
+
+  import graft.multimodal.ImageHash
+
+  private def grayPx(w: Int, h: Int)(f: (Int, Int) => Int): Binary.PngPixels =
+    Binary.PngPixels(w, h, 1,
+      Array.tabulate(w * h)(i => f(i / w, i % w).toByte))
+
+  test("dhash60: gradient fixtures — monotone ramps pin every bit") {
+    // On an 11-wide, 6-tall canvas the grid samples ARE the pixels
+    // (row r·6/6 = r, col c·11/11 = c), so the hash is closed-form.
+    val inc = grayPx(11, 6)((_, c) => c * 20)          // rising rows: no bit set
+    val dec = grayPx(11, 6)((_, c) => 200 - c * 20)    // falling rows: all 60 set
+    assert(ImageHash.dhash60(inc) == 0L)
+    assert(ImageHash.dhash60(dec) == (1L << 60) - 1)
+    // flat image: no strict decreases anywhere
+    assert(ImageHash.dhash60(grayPx(32, 9)((_, _) => 128)) == 0L)
+  }
+
+  test("dhash60: invariant under nearest-neighbor 2x upscale (the perceptual property)") {
+    val base = grayPx(11, 6)((r, c) => (r * 37 + c * 91) % 256)
+    val up = grayPx(22, 12)((r, c) => (r / 2 * 37 + c / 2 * 91) % 256)
+    assert(ImageHash.dhash60(base) == ImageHash.dhash60(up),
+      "a 2x pixel-doubled image must hash identically")
+    // ...while inverting the image flips the gradient structure entirely
+    val inv = grayPx(11, 6)((r, c) => 255 - (r * 37 + c * 91) % 256)
+    val hamming = java.lang.Long.bitCount(
+      ImageHash.dhash60(base) ^ ImageHash.dhash60(inv))
+    assert(hamming > 40, s"inverted image should be far: hamming $hamming")
+  }
+
+  test("dhashes: the real PNG decode path equals the closed-form byte formula") {
+    // Reference spelling of the oracle arithmetic: raster = UTF-8 bytes on
+    // the 32-wide canvas, zero-padded; sample (r,c) is byte
+    // (r·h/6)·32 + (c·32/11).
+    def expected(text: String): Long = {
+      val b = text.getBytes("UTF-8")
+      val h = math.max(1, (b.length + 31) / 32)
+      var hash = 0L
+      for (r <- 0 until 6) {
+        val g = (0 until 11).map { c =>
+          val i = (r * h / 6) * 32 + (c * 32 / 11)
+          if (i < b.length) b(i) & 0xff else 0
+        }
+        for (c <- 0 until 10) if (g(c) > g(c + 1)) hash |= 1L << (r * 10 + c)
+      }
+      hash
+    }
+    val docs = Seq((1L, "a short doc"), (2L, "z" * 100),
+      (3L, ('!' to '~').mkString * 3), (4L, "the quick brown fox " * 9))
+      .toDF("doc_id", "text")
+    val got = ImageHash.dhashes(Binary.toPngPayloads(spark, docs))
+      .as[(Long, Long)].collect().toMap
+    Seq((1L, "a short doc"), (2L, "z" * 100),
+      (3L, ('!' to '~').mkString * 3), (4L, "the quick brown fox " * 9))
+      .foreach { case (id, t) =>
+        assert(got(id) == expected(t), s"doc $id: ${got(id)} vs ${expected(t)}")
+      }
+  }
+
+  test("nearPairs: finds hamming-close hashes via bands, excludes far ones") {
+    val hashes = Seq(
+      (1L, 0L),                              // all-zero
+      (2L, 3L),                              // hamming 2 from doc 1
+      (3L, (1L << 60) - 1),                  // hamming 60 from doc 1
+      (4L, (1L << 60) - 1 - 5)               // hamming 2 from doc 3
+    ).toDF("doc_id", "dhash")
+    val pairs = ImageHash.nearPairs(hashes, maxHamming = 10)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 2), (3L, 4L, 2)), pairs.toString)
+  }
 }
