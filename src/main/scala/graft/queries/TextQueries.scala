@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Graft, Tables}
 import graft.ops.Dedup
-import graft.text.{Containment, MinHash, SimHash, TextFunctions => TF}
+import graft.text.{Containment, MinHash, SimHash, Urls, TextFunctions => TF}
 
 /** B-block (text): dedup family + text analysis over `documents`.
   *
@@ -807,6 +807,45 @@ object TextQueries {
       graft.text.QualityClassifier.score(docs, "doc_id", "text",
         graft.text.QualityClassifier.formulaWeights(s, 512), 512)
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q102: URL-level crawl curation ----
+    // canonicalize → domain blocklist → per-domain cap: the three URL
+    // policies every crawl pipeline runs before any text-level filter. The
+    // documents table carries no URL column, so ingest synthesizes the
+    // messy raw form deterministically from (doc_id, source, lang) — mixed
+    // case, www., default :443, tracking params (leading and trailing),
+    // fragments, trailing slashes — and the REAL general-purpose
+    // canonicalizer (text/Urls.scala) cleans it. The oracle reconstructs
+    // the canonical form closed-form by construction (the q30 discipline),
+    // so every rule in the chain is oracle-pinned on every synthesized
+    // shape. Blocklist is a broadcast anti-join; the cap is q08's
+    // top-N-per-group (domain-partitioned window — domains are many and
+    // bounded, never a corpus-wide key).
+    "q102_url_curate" -> { (s, d) =>
+      import s.implicits._
+      val ids = col("doc_id").cast("string")
+      val raw = concat(
+        lit("HTTPS://"),
+        when(col("doc_id") % 2 === 0, concat(lit("WWW."), upper(col("source"))))
+          .otherwise(col("source")),
+        lit(".Example.COM"),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/"), col("lang"), lit("/doc/"), ids,
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, concat(lit("?utm_source=feed&id="), ids))
+          .when(col("doc_id") % 4 === 1, concat(lit("?id="), ids, lit("&utm_campaign=x")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+      val canon = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), Urls.canonicalize(raw).as("url"))
+        .withColumn("domain", Urls.domain(col("url")))
+      val blocked = Seq("src3.example.com", "src7.example.com").toDF("domain")
+      val kept = canon.join(broadcast(blocked), Seq("domain"), "left_anti")
+      graft.ops.Windows.topNPerGroup(kept, Seq("domain"),
+          Seq(col("n_chars").desc, col("doc_id").asc), 15)
+        .select(col("doc_id"), col("domain"), col("url"), col("rn"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1296,6 +1335,24 @@ object TextQueries {
            coalesce(sc.logit, 0.0) > 0.0 AS pass
          FROM documents d LEFT JOIN sc USING (doc_id)
          ORDER BY doc_id""",
+
+    // q102: the canonical URL is closed-form by construction of the
+    // synthesized raw form — every rule (case, www., :443, utm params
+    // leading and trailing, fragment, trailing slash) collapses to the
+    // one clean spelling below; blocklist + per-domain cap mirror the
+    // Spark plan directly.
+    "q102_url_curate" ->
+      """WITH c AS (
+           SELECT doc_id, n_chars, source || '.example.com' AS domain,
+             'https://' || source || '.example.com/' || lang || '/doc/' || doc_id ||
+               CASE WHEN doc_id % 4 IN (0, 1) THEN '?id=' || doc_id ELSE '' END AS url
+           FROM documents
+         ), k AS (
+           SELECT doc_id, domain, url,
+             row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rn
+           FROM c WHERE domain NOT IN ('src3.example.com', 'src7.example.com')
+         )
+         SELECT doc_id, domain, url, rn FROM k WHERE rn <= 15 ORDER BY doc_id""",
     "q74_bigram_logprob" ->
       s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
          bg AS (SELECT doc_id,

@@ -139,6 +139,31 @@ object SqlFunctions {
     // codegen'd graft_dot; otherwise the interpreted-HOF fold — the two are
     // bit-identical (both sequential left-to-right double sums), so which
     // body a session gets is a throughput choice, never a results one.
+    // text.Urls.canonicalize — same regexp chain, Catalyst-inlined. The
+    // tracking-param alternation comes from the one Scala constant so the
+    // two surfaces cannot drift.
+    s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_url_canon(url STRING)
+       |RETURNS STRING
+       |RETURN regexp_replace(
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace(
+       |            element_at(transform(array(regexp_replace(trim(url), '#.*$$', '')), u ->
+       |              element_at(transform(
+       |                array(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)),
+       |                p -> concat(lower(p), substr(u, length(p) + 1, 1000000))), 1)), 1),
+       |            '^([a-z][a-z0-9+.-]*://)www\\\\.', '$$1'),
+       |          '^(http://[^/?:]*):80(?=[/?]|$$)', '$$1'),
+       |        '^(https://[^/?:]*):443(?=[/?]|$$)', '$$1'),
+       |      '(?<=[?&])(?:${graft.text.Urls.TrackingParams})=[^&#]*&?', ''),
+       |    '[?&]+$$', ''),
+       |  '/+(\\\\?|$$)', '$$1')""".stripMargin,
+    // text.Urls.domain (of a canonical url)
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_url_domain(url STRING)
+      |RETURNS STRING
+      |RETURN regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?:]*)', 1)""".stripMargin,
     if (nativeDot)
       """CREATE OR REPLACE TEMPORARY FUNCTION graft_cosine(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
         |RETURNS DOUBLE

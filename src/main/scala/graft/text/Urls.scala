@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for crawl-intake curation — the step between the
+  * i17 WARC reader and every per-domain policy: the same page arrives as
+  * `HTTP://WWW.Site.COM:80/a/?utm_source=feed#top` and
+  * `http://site.com/a`, and until the two spell identically, URL-level
+  * dedup, domain blocklists, and per-domain caps all silently miss.
+  *
+  * Everything here is built from codegen'd Spark built-ins
+  * (regexp_replace/regexp_extract chains — no UDF, SQL-UDF registerable),
+  * so the canonical form is computable inside a scan projection at intake
+  * throughput. The rules are the conservative, semantics-preserving set:
+  *
+  *  1. drop the fragment (`#…` — client-side only, never part of identity)
+  *  2. lowercase the scheme and authority (RFC 3986 §6.2.2.1; path and
+  *     query stay case-sensitive and untouched)
+  *  3. strip a leading `www.` from the host
+  *  4. strip the scheme's DEFAULT port only (`http…:80`, `https…:443`;
+  *     a non-default port is identity-bearing and kept)
+  *  5. remove tracking query params ([[TrackingParams]]: `utm_*`,
+  *     `fbclid`, `gclid`, `msclkid`) and clean the separators they leave
+  *  6. strip trailing `/` runs at end-of-path (so `/a/` == `/a`, and the
+  *     bare-root `host/` == `host`)
+  *
+  * Param REORDERING is deliberately not done: `?a=1&b=2` vs `?b=2&a=1`
+  * may hit different cache keys on real servers, and a sort would need a
+  * per-row array shuffle for a rewrite most URLs don't need.
+  *
+  * Reference analog: the bronze layer's path normalization before
+  * watermark comparison (2_bronze_ingestion_adf/pipelines/pl_master.json
+  * — dataset paths are case-normalized config, not raw strings).
+  */
+object Urls {
+
+  /** Tracking-param name alternation removed by [[canonicalize]]. */
+  val TrackingParams = "utm_[a-z0-9_]+|fbclid|gclid|msclkid"
+
+  /** The canonical form of `url` (rules above). A string with no
+    * recognizable `scheme://` prefix passes through rules 1/5/6 only —
+    * never mangled, never nulled.
+    */
+  def canonicalize(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    // Lowercase scheme://authority; the remainder (path?query) is appended
+    // untouched. One-element-lambda binding so the regexp_extract runs
+    // once, not once per use (the graft_gram_hashes discipline).
+    val lowered = element_at(transform(array(noFrag), u =>
+      element_at(transform(
+        array(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1)),
+        p => concat(lower(p), u.substr(length(p) + 1, lit(1000000)))), 1)), 1)
+    val noWww = regexp_replace(lowered, "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
+    val noDefPort = regexp_replace(
+      regexp_replace(noWww, "^(http://[^/?:]*):80(?=[/?]|$)", "$1"),
+      "^(https://[^/?:]*):443(?=[/?]|$)", "$1")
+    val noTrack = regexp_replace(noDefPort,
+      s"(?<=[?&])(?:$TrackingParams)=[^&#]*&?", "")
+    val noDanglingSep = regexp_replace(noTrack, "[?&]+$", "")
+    regexp_replace(noDanglingSep, "/+(\\?|$)", "$1")
+  }
+
+  /** The registrable-domain column of a CANONICAL url (lowercase by
+    * [[canonicalize]]; empty string when there is no `scheme://` prefix).
+    */
+  def domain(canonicalUrl: Column): Column =
+    regexp_extract(canonicalUrl, "^[a-z][a-z0-9+.-]*://([^/?:]*)", 1)
+}

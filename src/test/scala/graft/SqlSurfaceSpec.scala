@@ -52,6 +52,27 @@ class SqlSurfaceSpec extends SparkSpec {
       "graft_word_ngrams/graft_max_run_count diverge from the Column API")
   }
 
+  test("graft_url_canon / graft_url_domain == the Urls Column API") {
+    registered
+    import spark.implicits._
+    val urls = Seq(
+      "HTTP://WWW.Example.COM:80/Path/Sub/?utm_source=x&id=5#frag",
+      "https://Site.com:443/a", "https://site.com:8443/a",
+      "https://a.com/p?gclid=1&x=2&utm_x=3", "https://www.a.com/",
+      "no-scheme/path/?utm_source=1#f", "https://a.com/p?b=2&a=1")
+    val df = urls.toDF("u")
+    df.createOrReplaceTempView("urls_fixture")
+    val viaSql = spark.sql(
+      """SELECT u, graft_url_canon(u) AS canon,
+        |       graft_url_domain(graft_url_canon(u)) AS dom
+        |FROM urls_fixture""".stripMargin)
+    val viaCol = df.select(col("u"),
+      graft.text.Urls.canonicalize(col("u")).as("canon"),
+      graft.text.Urls.domain(graft.text.Urls.canonicalize(col("u"))).as("dom"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty,
+      "SQL url surface diverges from the Column API")
+  }
+
   test("graft_quality == q24's quality_score column") {
     registered
     val viaSql = spark.sql(

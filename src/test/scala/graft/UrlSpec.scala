@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Urls
+
+/** [[Urls.canonicalize]] rule-by-rule on real-world URL shapes, plus the
+  * idempotence property (a canonical form must be a fixed point — q102
+  * composes canonicalize with joins that may re-canonicalize).
+  */
+class UrlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixtures: Seq[(String, String)] = Seq(
+    // case: scheme+authority lower, path/query case preserved
+    ("HTTP://WWW.Example.COM/Path/Sub", "http://example.com/Path/Sub"),
+    ("https://A.com/P?Q=aB", "https://a.com/P?Q=aB"),
+    // default ports stripped, non-default kept (incl. the :8080 near-miss)
+    ("https://Site.com:443/a", "https://site.com/a"),
+    ("http://site.com:80/a?x=1", "http://site.com/a?x=1"),
+    ("https://site.com:8443/a", "https://site.com:8443/a"),
+    ("http://site.com:8080/", "http://site.com:8080"),
+    // fragments are never identity
+    ("https://a.com/p#section-2", "https://a.com/p"),
+    ("https://a.com/p?x=1#f", "https://a.com/p?x=1"),
+    // tracking params: leading, trailing, multiple, param-only
+    ("https://a.com/p?utm_source=feed&id=5", "https://a.com/p?id=5"),
+    ("https://a.com/p?id=5&utm_campaign=x", "https://a.com/p?id=5"),
+    ("https://a.com/p?utm_a=1&utm_b=2", "https://a.com/p"),
+    ("https://a.com/p?gclid=1&x=2&utm_x=3", "https://a.com/p?x=2"),
+    ("https://a.com/p?x=1&fbclid=abc", "https://a.com/p?x=1"),
+    // trailing slashes (incl. bare root) and whitespace
+    ("https://www.a.com/", "https://a.com"),
+    ("https://a.com/path/", "https://a.com/path"),
+    ("https://a.com/path//?id=1", "https://a.com/path?id=1"),
+    ("  https://a.com  ", "https://a.com"),
+    // the kitchen sink
+    ("HTTP://WWW.Example.COM:80/Path/Sub/?utm_source=x&id=5#frag",
+      "http://example.com/Path/Sub?id=5"),
+    // no scheme: rules 1/5/6 only, never mangled
+    ("no-scheme/path/?utm_source=1#f", "no-scheme/path"),
+    // param ORDER is preserved (deliberately not sorted)
+    ("https://a.com/p?b=2&a=1", "https://a.com/p?b=2&a=1"))
+
+  test("canonicalize: rule fixtures") {
+    val got = fixtures.map(_._1).toDF("u")
+      .select(Urls.canonicalize(col("u"))).as[String].collect()
+    fixtures.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"canonicalize($in) = $g, want $want")
+    }
+  }
+
+  test("canonicalize is idempotent on every fixture") {
+    val canon = fixtures.map(_._2).toDF("u")
+      .select(Urls.canonicalize(col("u"))).as[String].collect()
+    fixtures.map(_._2).zip(canon).foreach { case (c, cc) =>
+      assert(cc == c, s"not a fixed point: $c -> $cc")
+    }
+  }
+
+  test("domain: host of the canonical form, empty without a scheme") {
+    val rows = Seq("https://a.b.com:8443/x", "http://site.com/p?q=1",
+      "relative/path").toDF("u")
+      .select(Urls.domain(Urls.canonicalize(col("u")))).as[String].collect()
+    assert(rows.toSeq == Seq("a.b.com", "site.com", ""))
+  }
+}
