@@ -86,6 +86,35 @@ object ImageHash {
     SimHash.nearPairs(hashes.withColumnRenamed("dhash", "simhash"),
       "doc_id", maxHamming, maxBucket)
 
+  /** Per-payload decode+hash with MEMBER-LEVEL quarantine (the i17 WARC
+    * discipline): a corrupt payload yields (doc_id, null, error) instead
+    * of failing the scan — the streaming sink must survive one bad image
+    * in a million. Only the decoder's NAMED rejections are caught; any
+    * other throw is a bug and stays fatal.
+    */
+  def dhashesWithErrors(payloads: Dataset[MediaPayload]): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.mapPartitions(_.map { mp =>
+        try ((mp.doc_id, Option(dhash60(Binary.decodePngPixels(mp.payload))),
+          Option.empty[String]))
+        catch {
+          case e: IllegalArgumentException =>
+            (mp.doc_id, Option.empty[Long], Option(e.getMessage))
+        }
+      })
+      .toDF("doc_id", "dhash", "decode_error")
+  }
+
+  /** (doc_id, dhash, band, band_val) rows — the 6 × 10-bit banding of
+    * [[SimHash]], public here for asymmetric (new-batch vs accumulated-
+    * index) joins like the s24 streaming sink.
+    */
+  def bandRows(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc_id"), col("dhash"),
+        explode(sequence(lit(0), lit(5))).as("band"))
+      .withColumn("band_val", expr("(dhash >> (band * 10)) & 1023"))
+
   /** The capped family's star side channel ([[SimHash.overCapPairs]]):
     * >cap band-bucket cliques stay visible through their min-id
     * representative.

@@ -1470,6 +1470,86 @@ object Streams {
   def readClassifierScores(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/scored").drop("batch_id")
 
+  // --------------------------------------------------------------------
+  // s24: streaming perceptual image dedup (r15) — q101's live-intake face.
+  // --------------------------------------------------------------------
+
+  /** foreachBatch perceptual image dedup against an ACCUMULATED dHash
+    * index — [[nearDupSink]]'s template applied to pixels: each
+    * micro-batch of (doc_id, payload) decodes through the REAL PNG pixel
+    * path with MEMBER-LEVEL quarantine (a corrupt image lands in
+    * `stateDir/quarantine`, never fails the stream — the i17 discipline),
+    * hashes ([[graft.multimodal.ImageHash.dhash60]]), band-joins the new
+    * hashes against the capped accumulated index (6 × 10-bit bands,
+    * [[graft.text.SimHash.BandBucketCap]] on the index side — a
+    * corpus-hot bucket in a long-lived index must not pair every new
+    * arrival against everything ever ingested), Hamming-verifies, and
+    * appends the batch's hashes to the index.
+    *
+    * All three outputs (`index`, `pairs`, `quarantine`) are
+    * batch_id-partitioned logs: replay = partition overwrite
+    * (idempotent), compactable with [[compactBatchLog]]. The index read
+    * drops any rows a half-finished attempt of THIS batch already landed
+    * — the [[nearDupSink]] self-pair guard. State is one 2-long row per
+    * doc — the cheapest index in the family.
+    */
+  def imageDedupSink(spark: SparkSession, stateDir: String,
+      maxHamming: Int = 16, idCol: String = "doc_id",
+      payloadCol: String = "payload")(
+      batch: DataFrame, batchId: Long): Unit = {
+    import spark.implicits._
+    import graft.multimodal.ImageHash
+    import graft.text.{MinHash, SimHash}
+    val indexDir = s"$stateDir/index"
+    val decoded = ImageHash.dhashesWithErrors(
+      batch.select(col(idCol).cast("long").as("doc_id"),
+          col(payloadCol).as("payload"), lit("image/png").as("media_type"))
+        .as[graft.multimodal.Binary.MediaPayload]).cache()
+    graft.sources.Sinks.dynamicOverwrite(
+      decoded.filter(col("decode_error").isNotNull)
+        .select(col("doc_id"), col("decode_error"))
+        .withColumn("batch_id", lit(batchId)),
+      s"$stateDir/quarantine", Seq("batch_id"))
+    val fresh = decoded.filter(col("decode_error").isNull)
+      .select(col("doc_id"), col("dhash"))
+    val existing =
+      graft.sources.Sources.parquetIfExists(spark, indexDir) match {
+        case None => fresh.limit(0)
+        case Some(idx) =>
+          require(idx.columns.contains("batch_id"),
+            s"image-dedup index at $indexDir lacks the batch_id partition " +
+              "column (legacy layout) — migrate before streaming resumes")
+          idx.filter(col("batch_id") =!= batchId).drop("batch_id")
+      }
+    val all = existing.unionByName(fresh).cache()
+    val newBands = ImageHash.bandRows(fresh)
+      .select(col("band"), col("band_val"), col("doc_id").as("id_new"))
+    val allBands = MinHash.capBuckets(ImageHash.bandRows(all),
+        SimHash.BandBucketCap)
+      .select(col("band"), col("band_val"), col("doc_id").as("id_other"))
+    val cand = newBands.join(allBands, Seq("band", "band_val"))
+      .filter(col("id_new") =!= col("id_other"))
+      .select(least(col("id_new"), col("id_other")).as("id_a"),
+        greatest(col("id_new"), col("id_other")).as("id_b"))
+      .distinct()
+    val verified = cand
+      .join(all.select(col("doc_id").as("id_a"), col("dhash").as("h_a")), "id_a")
+      .join(all.select(col("doc_id").as("id_b"), col("dhash").as("h_b")), "id_b")
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+    graft.sources.Sinks.dynamicOverwrite(
+      verified.withColumn("batch_id", lit(batchId)),
+      s"$stateDir/pairs", Seq("batch_id"))
+    graft.sources.Sinks.dynamicOverwrite(
+      fresh.withColumn("batch_id", lit(batchId)), indexDir, Seq("batch_id"))
+    all.unpersist(); decoded.unpersist()
+  }
+
+  /** Accumulated near-dup image pairs from the [[imageDedupSink]] log. */
+  def readImagePairs(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/pairs").drop("batch_id")
+
   /** Retrain the deployed merge table from the ACCUMULATED word counts and
     * swap it atomically — the caller policy [[tokenizerDriftSink]]'s drift
     * frame triggers. Deterministic ([[graft.text.Bpe.trainBytesOnCounts]]

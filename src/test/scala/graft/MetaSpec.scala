@@ -121,7 +121,7 @@ class MetaSpec extends SparkSpec {
     assert(qRows.toSet == SparkEntry.queries.keySet,
       s"survey-only: ${qRows.toSet -- SparkEntry.queries.keySet}; " +
         s"registry-only: ${SparkEntry.queries.keySet -- qRows.toSet}")
-    assert(rows("s").size == 23, s"streaming table rows: ${rows("s").size}")
+    assert(rows("s").size == 24, s"streaming table rows: ${rows("s").size}")
     assert(rows("i").size == 17, s"infra table rows: ${rows("i").size}")
   }
 

@@ -1184,6 +1184,52 @@ class StreamingSpec extends SparkSpec {
       replayed.exceptAll(batchRef).isEmpty, "replay must not duplicate or drift")
   }
 
+  test("imageDedupSink: cross-batch pairs, member quarantine, batch parity, replay (s24)") {
+    import graft.multimodal.{Binary, ImageHash}
+    val dir = Files.createTempDirectory("imgdedup").toFile.getAbsolutePath
+    val state = s"$dir/state"
+    def pngs(docs: Seq[(Long, String)]) =
+      Binary.toPngPayloads(spark, docs.toDF("doc_id", "text")).toDF()
+        .select(col("doc_id"), col("payload"))
+    val t = "the quick brown fox jumps over the lazy dog " * 3
+    val b1docs = Seq((1L, t), (2L, t.replace("quick", "quack")),
+      (3L, ('!' to '~').mkString * 2))
+    val b2docs = Seq((4L, t), (5L, "z" * 200))
+    val sink = Streams.imageDedupSink(spark, state) _
+    // batch 1 carries one corrupt member: truncated IDAT → quarantined, not fatal
+    val corrupt = Binary.toPngPayloads(spark, Seq((99L, "x" * 100)).toDF("doc_id", "text"))
+      .collect().head.payload.dropRight(20)
+    sink(pngs(b1docs).unionByName(
+      Seq((99L, corrupt)).toDF("doc_id", "payload")), 0L)
+    val quarantined = spark.read.parquet(s"$state/quarantine")
+      .select(col("doc_id"), col("decode_error")).as[(Long, String)].collect()
+    assert(quarantined.map(_._1).toSeq == Seq(99L) && quarantined.head._2.nonEmpty,
+      quarantined.mkString(","))
+    sink(pngs(b2docs), 1L)
+    // exact re-upload across batches: doc 4 == doc 1 → hamming-0 pair
+    val pairs = Streams.readImagePairs(spark, state)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 4L, 0)), pairs.toString)
+    // ordered-arrival parity: accumulated pairs == batch q101 machinery on
+    // the union (cap never bites at this size)
+    val expected = ImageHash.nearPairs(
+        ImageHash.dhashes(Binary.toPngPayloads(spark,
+          (b1docs ++ b2docs).toDF("doc_id", "text"))), maxHamming = 16)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == expected, s"stream $pairs vs batch $expected")
+    // the index holds only clean members
+    assert(spark.read.parquet(s"$state/index").select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L, 4L, 5L))
+    // replay of the LATEST batch (the replay contract): identical state,
+    // no duplicate pairs — count-strict, not just set-equal
+    sink(pngs(b2docs), 1L)
+    val replayed = Streams.readImagePairs(spark, state)
+      .as[(Long, Long, Int)].collect()
+    assert(replayed.toSet == expected && replayed.length == expected.size,
+      "replay must not duplicate or drift")
+    assert(spark.read.parquet(s"$state/quarantine").count() == 1)
+  }
+
   test("tokenizerDriftSink: fertility rises under vocab shift, bpeRetrain restores, replay idempotent (s22)") {
     val dir = Files.createTempDirectory("tokdrift").toFile.getAbsolutePath
     val state = s"$dir/state"
