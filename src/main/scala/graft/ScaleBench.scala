@@ -243,6 +243,33 @@ object ScaleBench {
     "x100_classifier_work" -> { (s, d) =>
       SparkEntry.queries("q100_quality_classifier")(s, d)
         .groupBy(col("pass")).agg(sum(col("logit")).as("t"), count(lit(1)).as("n"))
+    },
+    // q101's pair count is NOT join-eliminable (the banded join gates
+    // cardinality), but summing hamming additionally forces the verify
+    // column; render+decode+hash is the linear term, banded candidates
+    // the SimHash-family term (cap-bounded past bucket saturation).
+    "x101_image_dhash_work" -> { (s, d) =>
+      SparkEntry.queries("q101_image_dhash")(s, d)
+        .agg(count(lit(1)).as("n"), sum(col("hamming")).as("t"))
+    },
+    // q102: a bare count() lets column pruning drop the canonicalize
+    // regexp chain (rank needs only domain + n_chars + doc_id); summing
+    // url lengths forces the full canonical form per surviving row.
+    "x102_url_curate_work" -> { (s, d) =>
+      SparkEntry.queries("q102_url_curate")(s, d)
+        .groupBy(col("domain"))
+        .agg(sum(length(col("url"))).as("t"), count(lit(1)).as("n"))
+    },
+    // The capped end-to-end variant above lets Catalyst defer the url
+    // projection past the rank filter (a GOOD plan — only ~cap·domains
+    // survivors get canonicalized), so it measures the window, not the
+    // regexp chain. This one runs canonicalize over EVERY row — the
+    // intake-scan regime where the canonicalizer actually lives.
+    "x102_url_canon_work" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(graft.text.Urls.canonicalize(
+          graft.queries.TextQueries.syntheticRawUrl).as("u"))
+        .agg(sum(length(col("u"))).as("t"), count(lit(1)).as("n"))
     })
 
   def main(args: Array[String]): Unit = {

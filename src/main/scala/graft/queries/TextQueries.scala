@@ -824,21 +824,9 @@ object TextQueries {
     // bounded, never a corpus-wide key).
     "q102_url_curate" -> { (s, d) =>
       import s.implicits._
-      val ids = col("doc_id").cast("string")
-      val raw = concat(
-        lit("HTTPS://"),
-        when(col("doc_id") % 2 === 0, concat(lit("WWW."), upper(col("source"))))
-          .otherwise(col("source")),
-        lit(".Example.COM"),
-        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
-        lit("/"), col("lang"), lit("/doc/"), ids,
-        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
-        when(col("doc_id") % 4 === 0, concat(lit("?utm_source=feed&id="), ids))
-          .when(col("doc_id") % 4 === 1, concat(lit("?id="), ids, lit("&utm_campaign=x")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
       val canon = Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"), Urls.canonicalize(raw).as("url"))
+        .select(col("doc_id"), col("n_chars"),
+          Urls.canonicalize(syntheticRawUrl).as("url"))
         .withColumn("domain", Urls.domain(col("url")))
       val blocked = Seq("src3.example.com", "src7.example.com").toDF("domain")
       val kept = canon.join(broadcast(blocked), Seq("domain"), "left_anti")
@@ -848,6 +836,28 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }
   )
+
+  /** q102's deterministic messy-URL synthesis from (doc_id, source, lang)
+    * — mixed case, www., default :443, tracking params leading and
+    * trailing, fragments, trailing slashes. Shared with the scale harness
+    * (x102_url_canon_work) so the canonicalizer's uncapped scan cost is
+    * measured on exactly the q102 input shapes.
+    */
+  private[graft] def syntheticRawUrl: org.apache.spark.sql.Column = {
+    val ids = col("doc_id").cast("string")
+    concat(
+      lit("HTTPS://"),
+      when(col("doc_id") % 2 === 0, concat(lit("WWW."), upper(col("source"))))
+        .otherwise(col("source")),
+      lit(".Example.COM"),
+      when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+      lit("/"), col("lang"), lit("/doc/"), ids,
+      when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, concat(lit("?utm_source=feed&id="), ids))
+        .when(col("doc_id") % 4 === 1, concat(lit("?id="), ids, lit("&utm_campaign=x")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+  }
 
   // ---------------- DuckDB oracle fragments ----------------
 
