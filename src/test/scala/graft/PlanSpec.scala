@@ -400,6 +400,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q101 image dhash: banded equi-join candidates, never a pair expansion") {
+    val p = plan("q101_image_dhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"image near-dup must stay on the banded equi-join:\n$p")
+    // the bucket cap's count must be map-side combined, not a window over
+    // the hot bucket (the MinHash.capBuckets discipline)
+    assert(!p.contains("Window"), s"no window on the band bucket:\n$p")
+  }
+
+  test("q102 url curate: broadcast blocklist anti-join, domain-partitioned window") {
+    val p = plan("q102_url_curate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"blocklist must broadcast anti-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the cap window partitions by domain — never a corpus-wide
+    // single-partition sort
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.forall(_.contains("domain")),
+      s"cap window must partition by domain:\n$windowLines")
+  }
+
   test("whole-stage codegen covers the q01 aggregation") {
     // Under AQE the codegen spans only appear in the finalized plan, and
     // simpleString renders them as "*(n)" stage markers.
