@@ -457,6 +457,28 @@ object Warc {
         decode(col("payload"), "UTF-8").as("html"))
   }
 
+  /** FIRST-FETCH-WINS canonical-URL dedup of a crawl documents frame
+    * ([[htmlDocuments]] shape): the same page arrives under
+    * `HTTP://WWW.Site.COM:80/a/?utm_source=x` and `http://site.com/a`,
+    * and a crawl re-fetches it across snapshots — keep the EARLIEST
+    * fetch per [[graft.text.Urls.canonicalize]] spelling (tiebreak
+    * doc_id; an undated fetch loses to any dated one). Min-struct
+    * first-occurrence aggregation (the q82/q72 discipline): ONE shuffle
+    * on the canonical url, never a window over a hot key.
+    */
+  def dedupByUrl(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sentinel = lit("9999-12-31 23:59:59").cast("timestamp")
+    docs
+      .withColumn("url_canon", graft.text.Urls.canonicalize(col("url")))
+      .groupBy(col("url_canon"))
+      .agg(min(struct(coalesce(col("fetch_ts"), sentinel).as("ord_ts"),
+        col("doc_id"), col("url"), col("fetch_ts"), col("html"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("url_canon"),
+        col("k.url").as("url"), col("k.fetch_ts").as("fetch_ts"),
+        col("k.html").as("html"))
+  }
+
   /** Streaming WARC intake: new files under `path` become micro-batches
     * (the `binaryFile` stream source), parsed with the SAME frame parser
     * as the batch face. One unified frame — good records carry

@@ -206,6 +206,29 @@ class WarcSpec extends SparkSpec {
       "malformed framing keeps the raw bytes instead of dropping the record")
   }
 
+  test("dedupByUrl: first fetch wins per canonical spelling, undated loses") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val docs = Seq(
+      // three spellings of ONE page, second fetch earliest → kept
+      ("f1:0", "HTTP://WWW.A.com:80/x?utm_source=z", ts("2026-02-01 00:00:00"), "<p>v2</p>"),
+      ("f1:9", "http://a.com/x", ts("2026-01-01 00:00:00"), "<p>v1</p>"),
+      ("f2:0", "http://a.com/x/", ts("2026-03-01 00:00:00"), "<p>v3</p>"),
+      // a different page on the same host survives independently
+      ("f2:7", "http://a.com/y", ts("2026-01-05 00:00:00"), "<p>y</p>"),
+      // undated re-fetch of /y loses to the dated one
+      ("f3:0", "HTTP://A.com/y", null.asInstanceOf[java.sql.Timestamp], "<p>y-undated</p>"))
+      .toDF("doc_id", "url", "fetch_ts", "html")
+    val kept = Warc.dedupByUrl(docs)
+      .select(col("url_canon"), col("doc_id"), col("html"))
+      .as[(String, String, String)].collect().toSet
+    assert(kept == Set(
+      ("http://a.com/x", "f1:9", "<p>v1</p>"),
+      ("http://a.com/y", "f2:7", "<p>y</p>")), kept.toString)
+    // no window anywhere — the min-struct form is the plan
+    val p = Warc.dedupByUrl(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"url dedup must stay on the min-struct agg:\n$p")
+  }
+
   test("s20 composition: warc stream → htmlExtractSink equals the batch q93 path") {
     import graft.streaming.Streams
     val dir = tmp("warcs20")
