@@ -238,6 +238,27 @@ object SqlOps {
        |WHERE pmod(graft_hash60(cast(t.$id AS STRING)), 1000000L) < _t._thr""".stripMargin
   }
 
+  /** SQL twin of q102's URL curation over a table carrying a raw URL
+    * column: canonicalize (the session's `graft_url_canon` — register via
+    * [[SqlFunctions.register]]) → domain blocklist → per-domain rank cap.
+    * `orderSql` is the cap's ORDER BY body (include a unique tiebreak).
+    * Output mirrors the catalog query: (idCol, domain, url, rn).
+    */
+  def urlCurateSql(table: String, idCol: String, urlCol: String,
+      orderSql: String, blocklist: Seq[String], k: Int): String = {
+    val (id, u) = (bt(idCol), bt(urlCol))
+    val bl = blocklist.map(d => s"'$d'").mkString(", ")
+    s"""WITH _c AS (
+       |  SELECT t.*, graft_url_canon($u) AS _url,
+       |         graft_url_domain(graft_url_canon($u)) AS domain
+       |  FROM $table t
+       |), _k AS (
+       |  SELECT *, row_number() OVER (PARTITION BY domain ORDER BY $orderSql) AS rn
+       |  FROM _c WHERE domain NOT IN ($bl)
+       |)
+       |SELECT $id, domain, _url AS url, rn FROM _k WHERE rn <= $k""".stripMargin
+  }
+
   /** SQL twin of [[graft.ops.GapFill.dense]]: per-key calendar densify +
     * zero-fill + LOCF. Same shape as the Column plan — the calendar is
     * `sequence(min, max)` PER KEY (row count = keys × their own span,

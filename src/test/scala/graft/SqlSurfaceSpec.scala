@@ -270,6 +270,18 @@ class SqlSurfaceSpec extends SparkSpec {
     assertSame(viaSql, viaCol, "line dedup", samePlan = false)
   }
 
+  test("SqlOps.urlCurateSql == q102's url curation (rows)") {
+    registered
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        graft.queries.TextQueries.syntheticRawUrl.as("raw_url"))
+      .createOrReplaceTempView("docs_urls")
+    val viaSql = spark.sql(SqlOps.urlCurateSql("docs_urls", "doc_id", "raw_url",
+      "n_chars DESC, doc_id", Seq("src3.example.com", "src7.example.com"), 15))
+    val viaCol = SparkEntry.queries("q102_url_curate")(spark, sfDir)
+    assertSame(viaSql, viaCol, "url curate", samePlan = false)
+  }
+
   test("SqlOps.mixtureSampleSql == q81's mixture balancing (rows)") {
     registered
     val viaSql = spark.sql(SqlOps.mixtureSampleSql("documents", "doc_id", "lang"))
