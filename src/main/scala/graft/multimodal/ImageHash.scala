@@ -63,16 +63,19 @@ object ImageHash {
     hash
   }
 
-  /** (doc_id, dhash) through the REAL pixel path: each payload inflates
-    * and defilters via [[Binary.decodePngPixels]], then hashes. One
-    * per-partition scan — the decode cost amortizes exactly like
-    * [[Binary.decodeImageStats]].
+  /** (doc_id, dhash) through the REAL pixel path for EVERY decodable
+    * format ([[Binary.decodeImagePixels]]: PNG stays on the pure-JVM
+    * inflate+defilter decoder, JPEG/GIF header-validate named then
+    * rasterize through the ImageIO seam) — a re-save of the same art as
+    * JPEG hashes within a few bits of the PNG (gradient structure
+    * survives lossy re-encode; spec-pinned). One per-partition scan —
+    * the decode cost amortizes exactly like [[Binary.decodeImageStats]].
     */
   def dhashes(payloads: Dataset[MediaPayload]): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
     payloads.mapPartitions(_.map(mp =>
-        (mp.doc_id, dhash60(Binary.decodePngPixels(mp.payload)))))
+        (mp.doc_id, dhash60(Binary.decodeImagePixels(mp.payload)))))
       .toDF("doc_id", "dhash")
   }
 
@@ -96,7 +99,7 @@ object ImageHash {
     val spark = payloads.sparkSession
     import spark.implicits._
     payloads.mapPartitions(_.map { mp =>
-        try ((mp.doc_id, Option(dhash60(Binary.decodePngPixels(mp.payload))),
+        try ((mp.doc_id, Option(dhash60(Binary.decodeImagePixels(mp.payload))),
           Option.empty[String]))
         catch {
           case e: IllegalArgumentException =>

@@ -583,6 +583,32 @@ class MultimodalSpec extends SparkSpec {
       }
   }
 
+  test("dhashes: JPEG/GIF re-encodes of the same art hash near the PNG original") {
+    // The operator's reason to exist: the same page art re-saved through a
+    // lossy codec must land within a few bits, while a different image
+    // stays far. Smooth low-frequency gradient (JPEG-friendly), 8-bit gray.
+    def grayImg(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(33, 12,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 12; x <- 0 until 33)
+        img.getRaster.setSample(x, y, 0, f(x, y))
+      img
+    }
+    val base = grayImg((x, y) => 128 + (100 * math.sin((x + 2 * y) / 3.0)).toInt)
+    val inv = grayImg((x, y) => 127 - (100 * math.sin((x + 2 * y) / 3.0)).toInt)
+    val ds = Seq(
+      Binary.MediaPayload(1L, imageioBytes(base, "png"), "image/png"),
+      Binary.MediaPayload(2L, imageioBytes(base, "jpg"), "image/jpeg"),
+      Binary.MediaPayload(3L, imageioBytes(base, "gif"), "image/gif"),
+      Binary.MediaPayload(4L, imageioBytes(inv, "png"), "image/png")).toDS()
+    val h = graft.multimodal.ImageHash.dhashes(ds).as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(3L)) <= 4, s"gif drifted ${ham(h(1L), h(3L))} bits")
+    assert(ham(h(1L), h(2L)) <= 8, s"jpeg drifted ${ham(h(1L), h(2L))} bits")
+    assert(ham(h(1L), h(4L)) > 40,
+      s"inverted image should be far: ${ham(h(1L), h(4L))}")
+  }
+
   test("nearPairs: finds hamming-close hashes via bands, excludes far ones") {
     val hashes = Seq(
       (1L, 0L),                              // all-zero
@@ -593,5 +619,14 @@ class MultimodalSpec extends SparkSpec {
     val pairs = ImageHash.nearPairs(hashes, maxHamming = 10)
       .as[(Long, Long, Int)].collect().toSet
     assert(pairs == Set((1L, 2L, 2), (3L, 4L, 2)), pairs.toString)
+  }
+
+  test("overCapPairs: >cap band cliques stay visible via the min-id star") {
+    // cap=1 makes every shared bucket over-cap, so the star channel must
+    // pair each member with the bucket's min-id representative.
+    val hashes = Seq((1L, 0L), (2L, 3L), (3L, 1L << 20)).toDF("doc_id", "dhash")
+    val stars = graft.multimodal.ImageHash.overCapPairs(hashes, maxHamming = 60, cap = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(stars == Set((1L, 2L, 2), (1L, 3L, 1)), stars.toString)
   }
 }
