@@ -834,6 +834,32 @@ object TextQueries {
           Seq(col("n_chars").desc, col("doc_id").asc), 15)
         .select(col("doc_id"), col("domain"), col("url"), col("rn"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q103: mixture UPSAMPLING (replicate-to-majority) ----
+    // q81/q98 only sample DOWN; real mixing weights exceed 1 (repeat the
+    // scarce high-quality stratum rather than discard the abundant one —
+    // the "epochs per source" knob). Every doc replicates
+    // floor(maxc/c_s) times, plus ONE extra copy when its portable hash
+    // mod c_s clears the remainder threshold — deterministic, integer-
+    // exact, and per-stratum totals land within ±c_s of the majority
+    // count by construction (no RNG, no rank window; the q81 hash-
+    // threshold discipline pointed up). Plan: one broadcast join against
+    // the dim-sized stratum table + a row-local sequence explode — scan-
+    // shaped, output-proportional.
+    "q103_mixture_upsample" -> { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      val targets = counts.crossJoin(
+        broadcast(counts.agg(max(col("c")).as("maxc"))))
+      val copies = expr("maxc div c") +
+        when(TF.hash60(col("doc_id").cast("string")) % col("c")
+          < col("maxc") % col("c"), 1L).otherwise(0L)
+      Tables.documents(s, d)
+        .join(broadcast(targets), "lang")
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(0L), copies - 1)).as("copy"))
+        .orderBy(col("doc_id"), col("copy"))
     }
   )
 
@@ -1363,6 +1389,21 @@ object TextQueries {
            FROM c WHERE domain NOT IN ('src3.example.com', 'src7.example.com')
          )
          SELECT doc_id, domain, url, rn FROM k WHERE rn <= 15 ORDER BY doc_id""",
+
+    // q103: integer-exact replication arithmetic — floor(maxc/c) copies
+    // per doc plus one extra when the portable hash clears the remainder
+    // threshold; the oracle mirrors the closed form (hash60 is the
+    // md5-prefix construction on both sides).
+    "q103_mixture_upsample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+         m AS (SELECT max(c) AS maxc FROM c),
+         t AS (SELECT lang, c, (SELECT maxc FROM m) AS maxc FROM c),
+         k AS (SELECT doc_id, d.lang,
+             maxc // c + CASE WHEN ${h60("doc_id::VARCHAR")} % c < maxc % c
+               THEN 1 ELSE 0 END AS n_copies
+           FROM documents d JOIN t USING (lang))
+         SELECT doc_id, lang, unnest(range(n_copies)) AS copy
+         FROM k ORDER BY doc_id, copy""",
     "q74_bigram_logprob" ->
       s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
          bg AS (SELECT doc_id,

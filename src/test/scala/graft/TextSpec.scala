@@ -810,6 +810,31 @@ class TextSpec extends SparkSpec {
         "dominant stratum must be damped below natural")
   }
 
+  test("q103 upsampling lands every stratum within one stratum-size of the majority") {
+    val sfDir01 = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q103_mixture_upsample")(spark, sfDir01)
+      .select(col("doc_id"), col("lang"), col("copy"))
+      .as[(Long, String, Long)].collect()
+    val natural = Tables.documents(spark, sfDir01)
+      .groupBy(col("lang")).count().as[(String, Long)].collect().toMap
+    val maxc = natural.values.max
+    val upsampled = out.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    natural.foreach { case (l, c) =>
+      // floor(maxc/c)*c <= total <= ceil(maxc/c)*c — the hash threshold
+      // moves totals within ±c of the majority, never past it
+      assert(upsampled(l) >= (maxc / c) * c && upsampled(l) <= ((maxc + c - 1) / c) * c,
+        s"stratum $l: $c natural -> ${upsampled(l)} upsampled, majority $maxc")
+    }
+    // the majority stratum replicates exactly once (copies = 1, no extras)
+    val maxLang = natural.maxBy(_._2)._1
+    assert(upsampled(maxLang) == maxc, s"majority must not inflate: ${upsampled(maxLang)}")
+    // copies are dense 0..k-1 per doc (replay-stable shard addressing)
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      val cs = rows.map(_._3).sorted
+      assert(cs.head == 0L && cs.last == cs.length - 1L, s"doc $id copies: ${cs.toSeq}")
+    }
+  }
+
   test("SpanDedup.novelty: owners score 1.0, verbatim copies 0.0, partials in between") {
     val block = (1 to 10).map(i => s"shared$i").mkString(" ")
     val docs = Seq(
