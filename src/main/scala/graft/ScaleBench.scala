@@ -74,7 +74,9 @@ object ScaleBench {
     "q95_bpe_train",
     "x35_dedup_cosine_auto", "x86_semdedup_auto", "x88_bloom_fixed_eval",
     "x89_gopher_work", "x92_bpe_encode_work", "x93_html_extract_work",
-    "x94_span_trim_work", "x97_contamination_trim_work")
+    "x94_span_trim_work", "x97_contamination_trim_work",
+    "x100_classifier_work", "x101_image_dhash_work",
+    "x102_url_curate_work", "x102_url_canon_work")
 
   /** Default key stride between copies: far above any sf0.1 key range, so
     * strided ids never collide across copies. A SECOND derivation (e.g.
