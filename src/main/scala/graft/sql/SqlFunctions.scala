@@ -155,15 +155,18 @@ object SqlFunctions {
        |                array(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)),
        |                p -> concat(lower(p), substr(u, length(p) + 1, 1000000))), 1)), 1),
        |            '^([a-z][a-z0-9+.-]*://)www\\\\.', '$$1'),
-       |          '^(http://[^/?:]*):80(?=[/?]|$$)', '$$1'),
-       |        '^(https://[^/?:]*):443(?=[/?]|$$)', '$$1'),
+       |          '^(http://(?:\\\\[[^\\\\]]+\\\\]|[^/?:]*)):80(?=[/?]|$$)', '$$1'),
+       |        '^(https://(?:\\\\[[^\\\\]]+\\\\]|[^/?:]*)):443(?=[/?]|$$)', '$$1'),
        |      '(?<=[?&])(?:${graft.text.Urls.TrackingParams})=[^&#]*&?', ''),
        |    '[?&]+$$', ''),
        |  '/+(\\\\?|$$)', '$$1')""".stripMargin,
     // text.Urls.domain (of a canonical url)
+    // plain triple-quote: backslashes are NOT escape-processed here (unlike
+    // the s-interpolated canon body above), so SQL-level `\[` is spelled \\[
     """CREATE OR REPLACE TEMPORARY FUNCTION graft_url_domain(url STRING)
       |RETURNS STRING
-      |RETURN regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?:]*)', 1)""".stripMargin,
+      |RETURN regexp_extract(url,
+      |  '^[a-z][a-z0-9+.-]*://(\\[[^\\]]+\\]|[^/?:]*)', 1)""".stripMargin,
     if (nativeDot)
       """CREATE OR REPLACE TEMPORARY FUNCTION graft_cosine(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
         |RETURNS DOUBLE

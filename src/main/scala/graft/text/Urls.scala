@@ -52,9 +52,12 @@ object Urls {
         array(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1)),
         p => concat(lower(p), u.substr(length(p) + 1, lit(1000000)))), 1)), 1)
     val noWww = regexp_replace(lowered, "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
+    // bracketed IPv6 hosts carry colons INSIDE the authority — the host
+    // alternation must consume the whole bracket group before the port
     val noDefPort = regexp_replace(
-      regexp_replace(noWww, "^(http://[^/?:]*):80(?=[/?]|$)", "$1"),
-      "^(https://[^/?:]*):443(?=[/?]|$)", "$1")
+      regexp_replace(noWww,
+        "^(http://(?:\\[[^\\]]+\\]|[^/?:]*)):80(?=[/?]|$)", "$1"),
+      "^(https://(?:\\[[^\\]]+\\]|[^/?:]*)):443(?=[/?]|$)", "$1")
     val noTrack = regexp_replace(noDefPort,
       s"(?<=[?&])(?:$TrackingParams)=[^&#]*&?", "")
     val noDanglingSep = regexp_replace(noTrack, "[?&]+$", "")
@@ -62,8 +65,10 @@ object Urls {
   }
 
   /** The registrable-domain column of a CANONICAL url (lowercase by
-    * [[canonicalize]]; empty string when there is no `scheme://` prefix).
+    * [[canonicalize]]; empty string when there is no `scheme://` prefix;
+    * bracketed IPv6 hosts come back whole, brackets included).
     */
   def domain(canonicalUrl: Column): Column =
-    regexp_extract(canonicalUrl, "^[a-z][a-z0-9+.-]*://([^/?:]*)", 1)
+    regexp_extract(canonicalUrl,
+      "^[a-z][a-z0-9+.-]*://(\\[[^\\]]+\\]|[^/?:]*)", 1)
 }

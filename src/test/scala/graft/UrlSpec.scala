@@ -36,6 +36,9 @@ class UrlSpec extends SparkSpec {
     // the kitchen sink
     ("HTTP://WWW.Example.COM:80/Path/Sub/?utm_source=x&id=5#frag",
       "http://example.com/Path/Sub?id=5"),
+    // bracketed IPv6 authority: default port strips, non-default kept
+    ("https://[2001:DB8::1]:443/a", "https://[2001:db8::1]/a"),
+    ("http://[::1]:8080/x", "http://[::1]:8080/x"),
     // no scheme: rules 1/5/6 only, never mangled
     ("no-scheme/path/?utm_source=1#f", "no-scheme/path"),
     // param ORDER is preserved (deliberately not sorted)
@@ -59,8 +62,8 @@ class UrlSpec extends SparkSpec {
 
   test("domain: host of the canonical form, empty without a scheme") {
     val rows = Seq("https://a.b.com:8443/x", "http://site.com/p?q=1",
-      "relative/path").toDF("u")
+      "https://[2001:DB8::1]/a", "relative/path").toDF("u")
       .select(Urls.domain(Urls.canonicalize(col("u")))).as[String].collect()
-    assert(rows.toSeq == Seq("a.b.com", "site.com", ""))
+    assert(rows.toSeq == Seq("a.b.com", "site.com", "[2001:db8::1]", ""))
   }
 }
