@@ -122,7 +122,7 @@ class MetaSpec extends SparkSpec {
       s"survey-only: ${qRows.toSet -- SparkEntry.queries.keySet}; " +
         s"registry-only: ${SparkEntry.queries.keySet -- qRows.toSet}")
     assert(rows("s").size == 24, s"streaming table rows: ${rows("s").size}")
-    assert(rows("i").size == 17, s"infra table rows: ${rows("i").size}")
+    assert(rows("i").size == 18, s"infra table rows: ${rows("i").size}")
   }
 
   test("SURVEY state-block prose counts match the tables — prose can't drift") {
