@@ -457,6 +457,34 @@ object Warc {
         decode(col("payload"), "UTF-8").as("html"))
   }
 
+  /** The crawl's own robots.txt bodies as a (domain, robots_txt) frame —
+    * a crawl archive carries the policy files it was fetched under as
+    * ordinary `response` records, so [[graft.sources.Robots.verdicts]]
+    * can gate the archive against itself with no external fetch. One
+    * body per domain: latest fetch wins (robots change; the newest
+    * snapshot is the operative one), min doc_id tiebreak via the same
+    * min-struct shape as [[dedupByUrl]].
+    */
+  def robotsBodies(records: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sentinel = lit("1970-01-01 00:00:00").cast("timestamp")
+    records
+      .filter(col("warc_type") === "response" &&
+        col("http_status") === 200 &&
+        col("url").rlike("^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+/robots\\.txt$"))
+      .select(
+        graft.text.Urls.domain(graft.text.Urls.canonicalize(col("url")))
+          .as("domain"),
+        col("fetch_ts"), col("rec_offset"),
+        decode(col("payload"), "UTF-8").as("robots_txt"))
+      .groupBy(col("domain"))
+      // latest ts wins; equal ts → lowest record offset (negated so the
+      // max-struct picks it) — deterministic under re-fetch storms
+      .agg(max(struct(coalesce(col("fetch_ts"), sentinel).as("ord_ts"),
+        (-col("rec_offset")).as("ord_off"), col("robots_txt"))).as("k"))
+      .select(col("domain"), col("k.robots_txt").as("robots_txt"))
+  }
+
   /** FIRST-FETCH-WINS canonical-URL dedup of a crawl documents frame
     * ([[htmlDocuments]] shape): the same page arrives under
     * `HTTP://WWW.Site.COM:80/a/?utm_source=x` and `http://site.com/a`,

@@ -229,6 +229,34 @@ class WarcSpec extends SparkSpec {
     assert(!p.contains("Window"), s"url dedup must stay on the min-struct agg:\n$p")
   }
 
+  test("robots composition: the crawl's own robots.txt gates its pages (i17+i18)") {
+    val dir = tmp("warcrobots")
+    val members = Seq(
+      warcRecord("response", "http://a.example/robots.txt", "2024-01-01T00:00:00Z",
+        "application/http; msgtype=response",
+        httpResponse(200, "text/plain", "User-agent: *\nAllow: /\n")),
+      // a LATER robots fetch flips the policy — latest must win
+      warcRecord("response", "http://a.example/robots.txt", "2024-02-01T00:00:00Z",
+        "application/http; msgtype=response",
+        httpResponse(200, "text/plain", "User-agent: *\nDisallow: /page\n")),
+      warcRecord("response", "http://a.example/page", "2024-01-02T03:04:05Z",
+        "application/http; msgtype=response", httpResponse(200, "text/html", htmlA)),
+      warcRecord("response", "http://b.example/page", "2024-01-03T00:00:00Z",
+        "application/http; msgtype=response", httpResponse(200, "text/html", htmlB)))
+      .map(gzMember)
+    writeGz(dir, "c.warc.gz", members)
+    val (recs, _) = Warc.read(spark, s"$dir/c.warc.gz")
+    val robots = Warc.robotsBodies(recs).as[(String, String)].collect().toMap
+    assert(robots == Map("a.example" -> "User-agent: *\nDisallow: /page\n"),
+      robots.toString)
+    val verdicts = graft.sources.Robots.verdicts(spark,
+        Warc.htmlDocuments(recs), "url", Warc.robotsBodies(recs), "graftbot")
+      .select(col("url"), col("robots_allowed"))
+      .as[(String, Boolean)].collect().toMap
+    assert(verdicts == Map("http://a.example/page" -> false,
+      "http://b.example/page" -> true), verdicts.toString)
+  }
+
   test("s20 composition: warc stream → htmlExtractSink equals the batch q93 path") {
     import graft.streaming.Streams
     val dir = tmp("warcs20")
