@@ -315,6 +315,105 @@ object Binary {
     (w, h, "gif")
   }
 
+  /** Parsed MP4/BMFF container metadata: major brand, presentation
+    * dimensions of the first VISUAL track (0×0 for audio-only files —
+    * an .m4a is a legitimate container), movie duration in seconds
+    * (mvhd duration/timescale), and the track count.
+    */
+  final case class Mp4Meta(brand: String, widthPx: Int, heightPx: Int,
+      durationSec: Double, nTracks: Int)
+
+  /** ISO BMFF (MP4/MOV — ISO 14496-12) container metadata, pure JVM: walk
+    * the top-level box tree (u32 size + 4cc; size 1 → 64-bit largesize;
+    * size 0 → to-EOF), read `ftyp`'s major brand, `moov/mvhd`'s
+    * timescale+duration (v0 and v1 layouts), count `trak` boxes, and take
+    * width/height from the first `tkhd` with nonzero 16.16 presentation
+    * size (visual tracks carry it; audio tracks are 0×0 by spec).
+    * Truncated boxes, a missing `moov`/`mvhd`, and a zero timescale fail
+    * NAMED — never garbage metadata.
+    */
+  def parseMp4Meta(p: Array[Byte]): Mp4Meta = {
+    if (p.length < 12 || p(4) != 'f' || p(5) != 't' || p(6) != 'y' || p(7) != 'p')
+      fail("mp4", "missing ftyp box")
+    def be32(off: Int): Long = {
+      if (off + 4 > p.length) fail("mp4", s"truncated u32 at byte $off")
+      ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+        ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+    }
+    def be64(off: Int): Long = (be32(off) << 32) | be32(off + 4)
+    /** (payloadStart, payloadEnd, type) for each box in [lo, hi). */
+    def boxes(lo: Int, hi: Int): Iterator[(Int, Int, String)] =
+      new Iterator[(Int, Int, String)] {
+        private var i = lo
+        override def hasNext: Boolean = i < hi
+        override def next(): (Int, Int, String) = {
+          if (i + 8 > hi) fail("mp4", s"truncated box header at byte $i")
+          val size0 = be32(i)
+          val typ = new String(p, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          val (start, end) =
+            if (size0 == 1) {
+              val large = be64(i + 8)
+              if (large < 16 || i + large > hi)
+                fail("mp4", s"box $typ largesize $large overruns at byte $i")
+              (i + 16, i + large.toInt)
+            } else if (size0 == 0) (i + 8, hi) // extends to end of file
+            else {
+              if (size0 < 8 || i + size0 > hi)
+                fail("mp4", s"box $typ size $size0 overruns at byte $i")
+              (i + 8, (i + size0).toInt)
+            }
+          i = end
+          (start, end, typ)
+        }
+      }
+    val top = boxes(0, p.length).toSeq
+    val brand = new String(p, 8, 4, java.nio.charset.StandardCharsets.US_ASCII).trim
+    val moov = top.find(_._3 == "moov").getOrElse(fail("mp4", "no moov box"))
+    var timescale = 0L
+    var duration = 0L
+    var nTracks = 0
+    var w = 0
+    var h = 0
+    boxes(moov._1, moov._2).foreach {
+      case (s, e, "mvhd") =>
+        val v = p(s) & 0xff
+        if (v == 1) {
+          if (s + 32 > e) fail("mp4", "mvhd v1 truncated")
+          timescale = be32(s + 20); duration = be64(s + 24)
+        } else {
+          if (s + 20 > e) fail("mp4", "mvhd v0 truncated")
+          timescale = be32(s + 12); duration = be32(s + 16)
+        }
+      case (s, e, "trak") =>
+        nTracks += 1
+        boxes(s, e).foreach {
+          case (ts, te, "tkhd") if w == 0 =>
+            val v = p(ts) & 0xff
+            val wOff = if (v == 1) ts + 88 else ts + 76
+            if (wOff + 8 <= te) {
+              val tw = (be32(wOff) >> 16).toInt   // 16.16 fixed point
+              val th = (be32(wOff + 4) >> 16).toInt
+              if (tw > 0 && th > 0) { w = tw; h = th }
+            } else fail("mp4", "tkhd truncated before presentation size")
+          case _ =>
+        }
+      case _ =>
+    }
+    if (timescale == 0) fail("mp4", "no mvhd timescale")
+    Mp4Meta(brand, w, h, duration.toDouble / timescale, nTracks)
+  }
+
+  /** The (w, h, format) dims face of [[parseMp4Meta]] — an audio-only
+    * container has no dimensions and fails NAMED here (use
+    * [[parseMp4Meta]] when 0×0 is acceptable).
+    */
+  def parseMp4(p: Array[Byte]): (Int, Int, String) = {
+    val m = parseMp4Meta(p)
+    if (m.widthPx <= 0 || m.heightPx <= 0)
+      fail("mp4", "no visual track carries presentation dimensions")
+    (m.widthPx, m.heightPx, "mp4")
+  }
+
   /** Fully decoded PNG raster: `samples` holds the defiltered bytes
     * row-major, `channels` samples per pixel (gray=1, gray+alpha=2,
     * RGB=3, RGBA=4).
@@ -709,6 +808,8 @@ object Binary {
       parseJpeg(p)
     else if (p.length >= 3 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F')
       parseGif(p)
+    else if (p.length >= 12 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p')
+      parseMp4(p)
     else fakeDecode(p)
   }
 

@@ -523,6 +523,68 @@ class MultimodalSpec extends SparkSpec {
       s"${stats(1).mean_luma} vs ${stats(2).mean_luma}")
   }
 
+  // ------------------------- MP4/BMFF container -------------------------
+
+  private def u32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def mp4box(typ: String, payload: Array[Byte]): Array[Byte] =
+    u32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+
+  /** Minimal spec-shaped MP4: ftyp(isom) + moov(mvhd + audio trak + video trak). */
+  private def mp4Fixture(v1: Boolean = false): Array[Byte] = {
+    def mvhd: Array[Byte] =
+      if (v1) mp4box("mvhd", Array[Byte](1, 0, 0, 0) ++
+        new Array[Byte](16) ++ u32(600) ++ u32(0) ++ u32(1200) ++ new Array[Byte](76))
+      else mp4box("mvhd", new Array[Byte](4) ++
+        new Array[Byte](8) ++ u32(600) ++ u32(1200) ++ new Array[Byte](76))
+    def tkhd(w: Int, h: Int): Array[Byte] =
+      if (v1) mp4box("tkhd", Array[Byte](1, 0, 0, 0) ++
+        new Array[Byte](84) ++ u32(w.toLong << 16) ++ u32(h.toLong << 16))
+      else mp4box("tkhd", new Array[Byte](4) ++
+        new Array[Byte](72) ++ u32(w.toLong << 16) ++ u32(h.toLong << 16))
+    val ftyp = mp4box("ftyp", "isom".getBytes("US-ASCII") ++ u32(0) ++
+      "isomavc1".getBytes("US-ASCII"))
+    val moov = mp4box("moov", mvhd ++
+      mp4box("trak", tkhd(0, 0)) ++      // audio track: 0x0 by spec
+      mp4box("trak", tkhd(320, 240)))
+    ftyp ++ moov ++ mp4box("mdat", "framesgohere".getBytes("US-ASCII"))
+  }
+
+  test("parseMp4Meta: brand, first visual track dims, duration, track count (v0 + v1)") {
+    for (v1 <- Seq(false, true)) {
+      val m = Binary.parseMp4Meta(mp4Fixture(v1))
+      assert(m == Binary.Mp4Meta("isom", 320, 240, 2.0, 2), s"v1=$v1: $m")
+    }
+    // decodePayload dispatches on the ftyp magic at bytes 4-7
+    assert(Binary.decodePayload(mp4Fixture()) == ((320, 240, "mp4")))
+  }
+
+  test("parseMp4: named failures — truncation, no moov, audio-only, bad timescale") {
+    val good = mp4Fixture()
+    val truncated = intercept[IllegalArgumentException](
+      Binary.parseMp4Meta(good.take(good.length - 30)))
+    assert(truncated.getMessage.contains("overruns"), truncated.getMessage)
+    val ftypOnly = mp4box("ftyp", "isom".getBytes("US-ASCII") ++ u32(0))
+    assert(intercept[IllegalArgumentException](Binary.parseMp4Meta(ftypOnly))
+      .getMessage.contains("no moov"))
+    // audio-only: metadata face reports 0x0, dims face fails NAMED
+    val audioOnly = mp4box("ftyp", "M4A ".getBytes("US-ASCII") ++ u32(0)) ++
+      mp4box("moov",
+        mp4box("mvhd", new Array[Byte](12) ++ u32(600) ++ u32(300) ++ new Array[Byte](76)) ++
+        mp4box("trak", mp4box("tkhd", new Array[Byte](76) ++ u32(0) ++ u32(0))))
+    val am = Binary.parseMp4Meta(audioOnly)
+    assert(am == Binary.Mp4Meta("M4A", 0, 0, 0.5, 1), am.toString)
+    assert(intercept[IllegalArgumentException](Binary.parseMp4(audioOnly))
+      .getMessage.contains("no visual track"))
+    // zero timescale can never silently divide
+    val zeroTs = mp4box("ftyp", "isom".getBytes("US-ASCII") ++ u32(0)) ++
+      mp4box("moov", mp4box("mvhd", new Array[Byte](12) ++ u32(0) ++ u32(300) ++ new Array[Byte](76)))
+    assert(intercept[IllegalArgumentException](Binary.parseMp4Meta(zeroTs))
+      .getMessage.contains("timescale"))
+  }
+
   // ------------------------- q101: perceptual dHash -------------------------
 
   import graft.multimodal.ImageHash
