@@ -126,4 +126,25 @@ object ImageHash {
       cap: Int = SimHash.BandBucketCap): DataFrame =
     SimHash.overCapPairs(hashes.withColumnRenamed("dhash", "simhash"),
       "doc_id", maxHamming, cap)
+
+  /** Survivorship verdicts over the image near-dup graph — the q39/q63
+    * discipline applied to pixels: connected components of
+    * [[nearPairs]] ∪ [[overCapPairs]] edges (the star channel keeps
+    * >cap cliques collapsible), min-id survivor per component. Every
+    * hashed doc gets a row: (doc_id, keep, dup_of) — singletons keep
+    * themselves with a null `dup_of`.
+    */
+  def keepSet(hashes: DataFrame, maxHamming: Int,
+      maxBucket: Option[Int] = Some(SimHash.BandBucketCap)): DataFrame = {
+    val direct = nearPairs(hashes, maxHamming, maxBucket)
+    val edges = maxBucket
+      .fold(direct)(cap => direct.unionByName(overCapPairs(hashes, maxHamming, cap)))
+      .select(col("id_a"), col("id_b"))
+    val cc = graft.ops.Graph.connectedComponents(edges, "id_a", "id_b")
+    hashes.select(col("doc_id"))
+      .join(cc.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("label").isNull || col("label") === col("doc_id")).as("keep"),
+        when(col("label") =!= col("doc_id"), col("label")).as("dup_of"))
+  }
 }

@@ -683,6 +683,22 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 2), (3L, 4L, 2)), pairs.toString)
   }
 
+  test("keepSet: min-id survivor per near-dup component, singletons keep themselves") {
+    val far = (1L << 60) - 1
+    val hashes = Seq(
+      (1L, 0L), (2L, 3L),           // component {1, 2}
+      (3L, far), (4L, far - 1),     // component {3, 4}
+      (5L, ((1L << 60) - 1) / 3 * 2) // singleton: alternating bits — every
+                                     // band reads 682, colliding with no one
+    ).toDF("doc_id", "dhash")
+    val got = graft.multimodal.ImageHash.keepSet(hashes, maxHamming = 10)
+      .as[(Long, Boolean, Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, true, None), (2L, false, Some(1L)),
+      (3L, true, None), (4L, false, Some(3L)),
+      (5L, true, None)), got.toString)
+  }
+
   test("overCapPairs: >cap band cliques stay visible via the min-id star") {
     // cap=1 makes every shared bucket over-cap, so the star channel must
     // pair each member with the bucket's min-id representative.

@@ -1228,6 +1228,13 @@ class StreamingSpec extends SparkSpec {
     assert(replayed.toSet == expected && replayed.length == expected.size,
       "replay must not duplicate or drift")
     assert(spark.read.parquet(s"$state/quarantine").count() == 1)
+    // the index is an identity-merge batch log: compaction preserves it
+    val preCompact = spark.read.parquet(s"$state/index")
+      .select(col("doc_id"), col("dhash")).as[(Long, Long)].collect().toSet
+    assert(Streams.compactBatchLog(spark, s"$state/index", keepLast = 1))
+    val postCompact = spark.read.parquet(s"$state/index")
+      .select(col("doc_id"), col("dhash")).as[(Long, Long)].collect().toSet
+    assert(postCompact == preCompact, "compaction must preserve the index")
   }
 
   test("tokenizerDriftSink: fertility rises under vocab shift, bpeRetrain restores, replay idempotent (s22)") {
