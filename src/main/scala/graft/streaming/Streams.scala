@@ -1550,6 +1550,45 @@ object Streams {
   def readImagePairs(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/pairs").drop("batch_id")
 
+  // --------------------------------------------------------------------
+  // s25: streaming robots gate (r15) — i18 at intake.
+  // --------------------------------------------------------------------
+
+  /** Deploy a (domain, robots_txt) policy table into a [[robotsGateSink]]
+    * state dir (the s19/s23 deploy-then-serve discipline). Source it from
+    * [[graft.sources.Warc.robotsBodies]] to gate a crawl against its own
+    * policies, or from any curated table; redeploy atomically as policies
+    * refresh.
+    */
+  def prepareRobots(spark: SparkSession, stateDir: String,
+      robots: DataFrame): Unit =
+    graft.sources.Sinks.overwriteAtomic(
+      robots.select(col("domain"), col("robots_txt")), s"$stateDir/robots")
+
+  /** foreachBatch robots verdicts under the DEPLOYED policy table: each
+    * micro-batch lands with a `robots_allowed` column in its own batch_id
+    * partition. Stateless-across-batches (a verdict is a pure function of
+    * the row and the deployed table), so streamed output EQUALS batch
+    * [[graft.sources.Robots.verdicts]] under the same table
+    * (parity-pinned) and replay = partition overwrite. A missing
+    * deployment fails NAMED — an ungated crawl must never look gated.
+    */
+  def robotsGateSink(spark: SparkSession, stateDir: String, agent: String,
+      urlCol: String = "url")(batch: DataFrame, batchId: Long): Unit = {
+    if (graft.sources.Sources.parquetIfExists(spark, s"$stateDir/robots").isEmpty)
+      throw new IllegalArgumentException(
+        s"no deployed robots table at $stateDir/robots — run prepareRobots first")
+    val robots = spark.read.parquet(s"$stateDir/robots")
+    graft.sources.Sinks.dynamicOverwrite(
+      graft.sources.Robots.verdicts(spark, batch, urlCol, robots, agent)
+        .withColumn("batch_id", lit(batchId)),
+      s"$stateDir/verdicts", Seq("batch_id"))
+  }
+
+  /** Accumulated verdicts from the [[robotsGateSink]] log. */
+  def readRobotsVerdicts(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/verdicts").drop("batch_id")
+
   /** Retrain the deployed merge table from the ACCUMULATED word counts and
     * swap it atomically — the caller policy [[tokenizerDriftSink]]'s drift
     * frame triggers. Deterministic ([[graft.text.Bpe.trainBytesOnCounts]]

@@ -121,8 +121,22 @@ class MetaSpec extends SparkSpec {
     assert(qRows.toSet == SparkEntry.queries.keySet,
       s"survey-only: ${qRows.toSet -- SparkEntry.queries.keySet}; " +
         s"registry-only: ${SparkEntry.queries.keySet -- qRows.toSet}")
-    assert(rows("s").size == 24, s"streaming table rows: ${rows("s").size}")
+    assert(rows("s").size == 25, s"streaming table rows: ${rows("s").size}")
     assert(rows("i").size == 18, s"infra table rows: ${rows("i").size}")
+  }
+
+  test("documents corpus is pure ASCII — the q101 oracle's closed form depends on it") {
+    // The q101 oracle recomputes the dHash from text CHARACTERS
+    // (ascii(substr(...))) while the engine hashes the rendered BYTES; the
+    // two coincide only while the generator emits ASCII. A regenerated
+    // corpus that breaks this must fail HERE with a pointed message, not
+    // as an opaque oracle hash mismatch.
+    val nonAscii = Tables.documents(spark, sfDir)
+      .filter(not(col("text").rlike("^[\\x00-\\x7F]*$"))).count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents carry non-ASCII text — the q101 oracle's " +
+        "char-indexed closed form no longer matches the byte raster; " +
+        "switch the oracle to byte indexing before trusting it")
   }
 
   test("SURVEY state-block prose counts match the tables — prose can't drift") {

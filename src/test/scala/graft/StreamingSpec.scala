@@ -1237,6 +1237,39 @@ class StreamingSpec extends SparkSpec {
     assert(postCompact == preCompact, "compaction must preserve the index")
   }
 
+  test("robotsGateSink: deployed-policy parity, named missing-deploy, replay (s25)") {
+    val dir = Files.createTempDirectory("robotsgate").toFile.getAbsolutePath
+    val state = s"$dir/state"
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /private/"),
+      ("b.com", "User-agent: graftbot\nDisallow: /")).toDF("domain", "robots_txt")
+    val sink = Streams.robotsGateSink(spark, state, "graftbot") _
+    val b1 = Seq((1L, "http://a.com/private/x"), (2L, "http://a.com/ok"))
+      .toDF("doc_id", "url")
+    // serving before deployment fails NAMED — ungated must never look gated
+    val missing = intercept[IllegalArgumentException](sink(b1, 0L))
+    assert(missing.getMessage.contains("prepareRobots"), missing.getMessage)
+    Streams.prepareRobots(spark, state, robots)
+    sink(b1, 0L)
+    val b2 = Seq((3L, "http://b.com/anything"), (4L, "http://c.com/free"))
+      .toDF("doc_id", "url")
+    sink(b2, 1L)
+    val streamed = Streams.readRobotsVerdicts(spark, state)
+    // stateless sink: exact parity with the batch verdicts on the union
+    val batchRef = graft.sources.Robots.verdicts(spark,
+      b1.unionByName(b2), "url", robots, "graftbot")
+    assert(streamed.exceptAll(batchRef).isEmpty && batchRef.exceptAll(streamed).isEmpty,
+      "streamed verdicts must equal the batch face")
+    val byId = streamed.select(col("doc_id"), col("robots_allowed"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(byId == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true), byId.toString)
+    // replay of the latest batch: identical partition, no duplicates
+    sink(b2, 1L)
+    val replayed = Streams.readRobotsVerdicts(spark, state)
+      .as[(Long, String, Boolean)].collect()
+    assert(replayed.length == 4, s"replay duplicated: ${replayed.length}")
+  }
+
   test("tokenizerDriftSink: fertility rises under vocab shift, bpeRetrain restores, replay idempotent (s22)") {
     val dir = Files.createTempDirectory("tokdrift").toFile.getAbsolutePath
     val state = s"$dir/state"
