@@ -860,6 +860,24 @@ object TextQueries {
         .select(col("doc_id"), col("lang"),
           explode(sequence(lit(0L), copies - 1)).as("copy"))
         .orderBy(col("doc_id"), col("copy"))
+    },
+
+    // ---- q104: learned multiclass language ID (scoring face) ----
+    // q23 is the stopword heuristic; this is the fastText-style learned
+    // face over hashed char trigrams (text/LangClassifier.scala). The
+    // oracle pins the SCORING machinery under the closed-form dyadic
+    // per-class weight table — exact per-class sums, deterministic
+    // argmax (logit DESC, class index ASC) — while LangSpec pins the
+    // REAL property: trained weights separate the corpus's languages on
+    // held-out docs. Classes derive from the data identically on both
+    // sides (sorted distinct lang).
+    "q104_langid_learned" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val classes = docs.select(col("lang").cast("string")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq // bounded: the lang catalog
+      graft.text.LangClassifier.score(docs, "doc_id", "text",
+        graft.text.LangClassifier.formulaWeights(s, classes, 1024), 1024)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1404,6 +1422,29 @@ object TextQueries {
            FROM documents d JOIN t USING (lang))
          SELECT doc_id, lang, unnest(range(n_copies)) AS copy
          FROM k ORDER BY doc_id, copy""",
+
+    // q104: char-trigram featurize (the q26 normalize+ngram mirror),
+    // closed-form per-class dyadic weights, exact logit sums,
+    // deterministic argmax.
+    "q104_langid_learned" ->
+      s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+           FROM documents),
+         g AS (SELECT doc_id, unnest(CASE WHEN len(s) >= 3
+             THEN [substr(s, i, 3) for i in range(1, len(s) - 1)] ELSE [s] END) AS gram
+           FROM n),
+         f AS (SELECT doc_id, ${h60("gram")} % 1024 AS bucket, count(*) AS cnt
+           FROM g GROUP BY 1, 2),
+         cls AS (SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS ci
+           FROM (SELECT DISTINCT lang FROM documents)),
+         lg AS (SELECT f.doc_id, c.lang, c.ci,
+             sum(f.cnt * ((((f.bucket + 31*c.ci) % 17) - 8) / 16.0)) AS logit
+           FROM f CROSS JOIN cls c GROUP BY 1, 2, 3),
+         best AS (SELECT doc_id, lang, logit,
+             row_number() OVER (PARTITION BY doc_id ORDER BY logit DESC, ci) AS rn
+           FROM lg)
+         SELECT d.doc_id, b.lang AS pred_lang, b.logit
+         FROM documents d JOIN best b USING (doc_id) WHERE b.rn = 1
+         ORDER BY d.doc_id""",
     "q74_bigram_logprob" ->
       s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
          bg AS (SELECT doc_id,

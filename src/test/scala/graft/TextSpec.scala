@@ -835,6 +835,38 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("q104 training separates a synthetic multilingual corpus (train + held-out)") {
+    // The testdata corpus's `lang` column labels a SHARED vocabulary (the
+    // generator emits the same token set for every language), so real
+    // separation is unlearnable there by construction — the q104 oracle
+    // pins the scoring machinery on it instead. The TRAINING property
+    // needs linguistically distinct classes: build them from the
+    // per-language stopword lexicons (the q100 synthetic-corpus
+    // discipline).
+    import graft.text.{LangClassifier, TextFunctions => TFn}
+    val langs = Seq("en", "de", "es", "fr")
+    val docs = langs.zipWithIndex.flatMap { case (l, li) =>
+      val words = TFn.stopwords(l).toIndexedSeq
+      (0 until 12).map { i =>
+        val text = (0 until 30)
+          .map(j => words((i * 7 + j * 3 + li) % words.size)).mkString(" ")
+        (li * 100L + i, text, l)
+      }
+    }.toDF("doc_id", "text", "lang")
+    val train = docs.filter(col("doc_id") % 3 =!= 0)
+    val held = docs.filter(col("doc_id") % 3 === 0)
+    val w = LangClassifier.train(train, "doc_id", "text", "lang",
+      dim = 2048, epochs = 25, lr = 4.0)
+    Graft.releaseCaches()
+    def accuracy(d: org.apache.spark.sql.DataFrame): Double = {
+      val joined = LangClassifier.score(d, "doc_id", "text", w, 2048)
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      joined.filter(col("pred_lang") === col("lang")).count().toDouble / joined.count()
+    }
+    assert(accuracy(train) == 1.0, "training corpus must separate exactly")
+    assert(accuracy(held) >= 0.9, "held-out accuracy must carry")
+  }
+
   test("SpanDedup.novelty: owners score 1.0, verbatim copies 0.0, partials in between") {
     val block = (1 to 10).map(i => s"shared$i").mkString(" ")
     val docs = Seq(
