@@ -76,7 +76,7 @@ object ScaleBench {
     "x89_gopher_work", "x92_bpe_encode_work", "x93_html_extract_work",
     "x94_span_trim_work", "x97_contamination_trim_work",
     "x100_classifier_work", "x101_image_dhash_work",
-    "x102_url_curate_work", "x102_url_canon_work")
+    "x102_url_curate_work", "x102_url_canon_work", "x104_langid_work")
 
   /** Default key stride between copies: far above any sf0.1 key range, so
     * strided ids never collide across copies. A SECOND derivation (e.g.
@@ -272,6 +272,15 @@ object ScaleBench {
         .select(graft.text.Urls.canonicalize(
           graft.queries.TextQueries.syntheticRawUrl).as("u"))
         .agg(sum(length(col("u"))).as("t"), count(lit(1)).as("n"))
+    },
+    // q104's left join preserves cardinality (outer-join eliminable under
+    // a bare count, the q100/q94 honesty class); grouping on the
+    // prediction and summing logits forces every doc's featurize + K-way
+    // score + argmax.
+    "x104_langid_work" -> { (s, d) =>
+      SparkEntry.queries("q104_langid_learned")(s, d)
+        .groupBy(col("pred_lang"))
+        .agg(sum(col("logit")).as("t"), count(lit(1)).as("n"))
     })
 
   def main(args: Array[String]): Unit = {

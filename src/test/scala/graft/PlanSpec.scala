@@ -421,6 +421,13 @@ class PlanSpec extends SparkSpec {
       s"cap window must partition by domain:\n$windowLines")
   }
 
+  test("q104 langid scoring: broadcast weights, max-struct argmax, no per-doc window") {
+    val p = plan("q104_langid_learned")
+    assert(p.contains("BroadcastHashJoin"), s"weights must broadcast:\n$p")
+    assert(!p.contains("Window"), s"argmax must be the max-struct agg, not a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the q01 aggregation") {
     // Under AQE the codegen spans only appear in the finalized plan, and
     // simpleString renders them as "*(n)" stage markers.
