@@ -957,6 +957,39 @@ object SqlOps {
        |ORDER BY t.$id""".stripMargin
   }
 
+  /** SQL twin of q104's langid scoring face under the closed-form
+    * per-class dyadic weights (the qualityClassifierSql discipline:
+    * weights inlined as arithmetic, classes as a VALUES list; the gram
+    * hashes ride the session `graft_gram_hashes`, which itself rides the
+    * native expression when registered). Same argmax spelling: one
+    * max-struct aggregation, logit DESC / class-index ASC ties.
+    */
+  def langidScoreSql(table: String, idCol: String, textCol: String,
+      classes: Seq[String], dim: Int = 1024): String = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    require(classes.nonEmpty, "langid needs at least one class")
+    val (id, txt) = (bt(idCol), bt(textCol))
+    val cls = classes.sorted.zipWithIndex
+      .map { case (l, ci) => s"('$l', $ci)" }.mkString(", ")
+    val minClass = classes.sorted.head
+    s"""WITH _g AS (SELECT $id, graft_gram_hashes($txt, 3) AS _hs FROM $table),
+       |_f AS (SELECT $id, _h % $dim AS _bucket, count(*) AS _cnt
+       |  FROM (SELECT $id, explode(_hs) AS _h FROM _g)
+       |  GROUP BY 1, 2),
+       |_lg AS (SELECT _f.$id, _c._lang, _c._ci,
+       |    sum(_cnt * (CAST((_bucket + 31 * _ci) % 17 AS DOUBLE) - 8.0d) / 16.0d) AS _logit
+       |  FROM _f CROSS JOIN (VALUES $cls) AS _c(_lang, _ci)
+       |  GROUP BY 1, 2, 3),
+       |_b AS (SELECT $id,
+       |    max(named_struct('l', _logit, 'n', -_ci, 'lang', _lang)) AS _k
+       |  FROM _lg GROUP BY 1)
+       |SELECT t.$id,
+       |  coalesce(_b._k.lang, '$minClass') AS pred_lang,
+       |  coalesce(_b._k.l, 0.0d) AS logit
+       |FROM $table t LEFT JOIN _b ON t.$id = _b.$id
+       |ORDER BY t.$id""".stripMargin
+  }
+
   /** SQL twin of q90's span-level contamination — the spanDedupSql scaffold
     * with the eval side's broadcast gram-hash set replacing the
     * doc-frequency rule (see text/Decontaminate.contaminationSpans).

@@ -283,6 +283,17 @@ class SqlSurfaceSpec extends SparkSpec {
     assertSame(viaSql, viaCol, "url curate", samePlan = false)
   }
 
+  test("SqlOps.langidScoreSql == q104's scoring face (rows)") {
+    registered
+    val classes = Tables.documents(spark, sfDir)
+      .select(col("lang").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val viaSql = spark.sql(SqlOps.langidScoreSql("documents", "doc_id", "text",
+      classes, dim = 1024))
+    val viaCol = SparkEntry.queries("q104_langid_learned")(spark, sfDir)
+    assertSame(viaSql, viaCol, "langid score", samePlan = false)
+  }
+
   test("SqlOps.mixtureSampleSql == q81's mixture balancing (rows)") {
     registered
     val viaSql = spark.sql(SqlOps.mixtureSampleSql("documents", "doc_id", "lang"))
