@@ -738,57 +738,104 @@ object Binary {
   def toPngPayloads(spark: SparkSession, docs: DataFrame): Dataset[MediaPayload] = {
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .mapPartitions { it =>
-        val crc = new java.util.zip.CRC32()
-        def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
-          val out = new Array[Byte](12 + data.length)
-          def put32(off: Int, v: Int): Unit = {
-            out(off) = (v >>> 24).toByte; out(off + 1) = (v >>> 16).toByte
-            out(off + 2) = (v >>> 8).toByte; out(off + 3) = v.toByte
-          }
-          put32(0, data.length)
-          val tb = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-          System.arraycopy(tb, 0, out, 4, 4)
-          System.arraycopy(data, 0, out, 8, data.length)
-          crc.reset()
-          crc.update(out, 4, 4 + data.length)
-          put32(8 + data.length, crc.getValue.toInt)
-          out
-        }
-        it.map { case (id, text) =>
-          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val w = PngWidth
-          val h = math.max(1, (bytes.length + w - 1) / w)
-          val ihdr = new Array[Byte](13)
-          ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
-          ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
-          ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
-          ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
-          ihdr(8) = 8 // bit depth
-          ihdr(9) = 0 // gray
-          // compression/filter/interlace = 0
-          val raw = new Array[Byte](h * (w + 1))
-          var y = 0
-          while (y < h) {
-            val n = math.min(w, math.max(0, bytes.length - y * w))
-            if (n > 0) System.arraycopy(bytes, y * w, raw, y * (w + 1) + 1, n)
-            y += 1
-          }
-          val deflater = new java.util.zip.Deflater()
-          deflater.setInput(raw)
-          deflater.finish()
-          val zbuf = new java.io.ByteArrayOutputStream()
-          val tmp = new Array[Byte](8192)
-          while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
-          deflater.end()
-          val bos = new java.io.ByteArrayOutputStream()
-          bos.write(PngMagic)
-          bos.write(chunk("IHDR", ihdr))
-          bos.write(chunk("IDAT", zbuf.toByteArray))
-          bos.write(chunk("IEND", Array.emptyByteArray))
-          MediaPayload(id, bos.toByteArray, "image/png")
-        }
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val w = PngWidth
+        val h = math.max(1, (bytes.length + w - 1) / w)
+        val raster = java.util.Arrays.copyOf(bytes, w * h) // zero-padded
+        MediaPayload(id, encodeGrayPng(w, h, raster), "image/png")
+      })
+  }
+
+  /** Encode a gray-8 raster (`bytes`, row-major, length w·h) as a
+    * spec-valid PNG: filter-0 scanlines, one deflated IDAT, correct chunk
+    * CRCs — any external tool opens it, [[decodePngPixels]] round-trips
+    * it exactly.
+    */
+  def encodeGrayPng(w: Int, h: Int, bytes: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && bytes.length == w * h,
+      s"raster must be w*h=${w * h} bytes, got ${bytes.length}")
+    val crc = new java.util.zip.CRC32()
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](12 + data.length)
+      def put32(off: Int, v: Int): Unit = {
+        out(off) = (v >>> 24).toByte; out(off + 1) = (v >>> 16).toByte
+        out(off + 2) = (v >>> 8).toByte; out(off + 3) = v.toByte
       }
+      put32(0, data.length)
+      val tb = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      System.arraycopy(tb, 0, out, 4, 4)
+      System.arraycopy(data, 0, out, 8, data.length)
+      crc.reset()
+      crc.update(out, 4, 4 + data.length)
+      put32(8 + data.length, crc.getValue.toInt)
+      out
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 0 // gray
+    // compression/filter/interlace = 0
+    val raw = new Array[Byte](h * (w + 1))
+    var y = 0
+    while (y < h) {
+      System.arraycopy(bytes, y * w, raw, y * (w + 1) + 1, w)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(PngMagic)
+    bos.write(chunk("IHDR", ihdr))
+    bos.write(chunk("IDAT", zbuf.toByteArray))
+    bos.write(chunk("IEND", Array.emptyByteArray))
+    bos.toByteArray
+  }
+
+  /** Nearest-sample resize of a decoded raster to a w×h GRAY-8 raster
+    * (luma via [[lumaAt]] — the one Rec.601 definition): output pixel
+    * (r, c) reads source pixel (r·H/h, c·W/w). Integer-exact, any
+    * dimensions, and consistent with [[graft.multimodal.ImageHash]]'s
+    * grid sampling — resizing to an integer multiple of the dHash grid
+    * preserves the hash (spec-pinned).
+    */
+  def resizeGray(px: PngPixels, w: Int, h: Int): PngPixels = {
+    require(w > 0 && h > 0, s"bad resize target ${w}x$h")
+    val out = new Array[Byte](w * h)
+    var r = 0
+    while (r < h) {
+      val sr = r * px.height / h
+      var c = 0
+      while (c < w) {
+        val sc = c * px.width / w
+        out(r * w + c) = lumaAt(px, (sr * px.width + sc) * px.channels).toByte
+        c += 1
+      }
+      r += 1
+    }
+    PngPixels(w, h, 1, out)
+  }
+
+  /** decode → resize → re-encode over a payload frame: every decodable
+    * format in, spec-valid w×h gray PNGs out — the thumbnail/normalize
+    * step a multimodal training pipeline runs before feature extraction,
+    * partition-batched like every decode face.
+    */
+  def resizePayloads(payloads: Dataset[MediaPayload], w: Int, h: Int): Dataset[MediaPayload] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.mapPartitions(_.map { mp =>
+      val rs = resizeGray(decodeImagePixels(mp.payload), w, h)
+      MediaPayload(mp.doc_id, encodeGrayPng(w, h, rs.samples), "image/png")
+    })
   }
 
   /** Magic-dispatched decode: real parser when the payload declares a

@@ -683,6 +683,42 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 2), (3L, 4L, 2)), pairs.toString)
   }
 
+  test("resizeGray + resizePayloads: nearest-sample exact, round-trips, any input format") {
+    // known sampling: 4x4 ramp down to 2x2 reads pixels (0,0) (0,2) (2,0) (2,2)
+    val src = grayPx(4, 4)((r, c) => r * 40 + c * 10)
+    val small = Binary.resizeGray(src, 2, 2)
+    assert(small.samples.map(_ & 0xff).toSeq == Seq(0, 20, 80, 100), small.samples.toSeq)
+    // upscale then downscale by the same integer factor is the identity
+    val up = Binary.resizeGray(src, 8, 8)
+    assert(Binary.resizeGray(up, 4, 4).samples.toSeq == src.samples.toSeq)
+    // the Spark face: decode -> resize -> re-encode, every decodable format
+    val base = grayPx(33, 12)((r, c) => (r * 37 + c * 91) % 256)
+    val ds = Seq(
+      Binary.MediaPayload(1L, Binary.encodeGrayPng(33, 12, base.samples), "image/png"),
+      Binary.MediaPayload(2L, imageioBytes({
+        val img = new java.awt.image.BufferedImage(33, 12,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        for (y <- 0 until 12; x <- 0 until 33)
+          img.getRaster.setSample(x, y, 0, (y * 37 + x * 91) % 256)
+        img
+      }, "gif"), "image/gif")).toDS()
+    val out = Binary.resizePayloads(ds, 11, 6).collect().sortBy(_.doc_id)
+    out.foreach { mp =>
+      val px = Binary.decodePngPixels(mp.payload) // spec-valid PNG round-trip
+      assert(px.width == 11 && px.height == 6 && px.channels == 1)
+    }
+    // both formats resize to the same raster (GIF of a gray image is lossless)
+    assert(out(0).payload.toSeq == out(1).payload.toSeq,
+      "png and gif sources must produce identical resized payloads")
+    // resizing to the dHash grid dims preserves the hash EXACTLY: the
+    // 11x6 resize reads source pixels (2r, 3c) — the very pixels the
+    // hash's own 6x11 grid samples on the 33x12 original
+    val hashedFull = ImageHash.dhash60(base)
+    val hashedSmall = ImageHash.dhash60(Binary.decodePngPixels(out(0).payload))
+    assert(hashedFull == hashedSmall,
+      s"grid-aligned resize must be hash-exact: ${hashedFull} vs ${hashedSmall}")
+  }
+
   test("keepSet: min-id survivor per near-dup component, singletons keep themselves") {
     val far = (1L << 60) - 1
     val hashes = Seq(
