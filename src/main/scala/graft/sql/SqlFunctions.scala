@@ -150,10 +150,12 @@ object SqlFunctions {
        |      regexp_replace(
        |        regexp_replace(
        |          regexp_replace(
-       |            element_at(transform(array(regexp_replace(trim(url), '#.*$$', '')), u ->
-       |              element_at(transform(
-       |                array(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)),
-       |                p -> concat(lower(p), substr(u, length(p) + 1, 1000000))), 1)), 1),
+       |            regexp_replace(
+       |              element_at(transform(array(regexp_replace(trim(url), '#.*$$', '')), u ->
+       |                element_at(transform(
+       |                  array(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)),
+       |                  p -> concat(lower(p), substr(u, length(p) + 1, 1000000))), 1)), 1),
+       |              '^([a-z][a-z0-9+.-]*://)[^/?@]*@', '$$1'),
        |            '^([a-z][a-z0-9+.-]*://)www\\\\.', '$$1'),
        |          '^(http://(?:\\\\[[^\\\\]]+\\\\]|[^/?:]*)):80(?=[/?]|$$)', '$$1'),
        |        '^(https://(?:\\\\[[^\\\\]]+\\\\]|[^/?:]*)):443(?=[/?]|$$)', '$$1'),

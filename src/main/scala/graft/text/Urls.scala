@@ -51,7 +51,11 @@ object Urls {
       element_at(transform(
         array(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1)),
         p => concat(lower(p), u.substr(length(p) + 1, lit(1000000)))), 1)), 1)
-    val noWww = regexp_replace(lowered, "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
+    // strip userinfo: identity never rides `user:pass@` in crawl corpora,
+    // and keeping it lets phishing-shaped URLs (`https://bank.com@evil.io`)
+    // masquerade under the decoy host in every per-domain policy
+    val noUser = regexp_replace(lowered, "^([a-z][a-z0-9+.-]*://)[^/?@]*@", "$1")
+    val noWww = regexp_replace(noUser, "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
     // bracketed IPv6 hosts carry colons INSIDE the authority — the host
     // alternation must consume the whole bracket group before the port
     val noDefPort = regexp_replace(
