@@ -76,7 +76,8 @@ object ScaleBench {
     "x89_gopher_work", "x92_bpe_encode_work", "x93_html_extract_work",
     "x94_span_trim_work", "x97_contamination_trim_work",
     "x100_classifier_work", "x101_image_dhash_work",
-    "x102_url_curate_work", "x102_url_canon_work", "x104_langid_work")
+    "x102_url_curate_work", "x102_url_canon_work", "x104_langid_work",
+    "x105_link_graph_work")
 
   /** Default key stride between copies: far above any sf0.1 key range, so
     * strided ids never collide across copies. A SECOND derivation (e.g.
@@ -281,6 +282,16 @@ object ScaleBench {
       SparkEntry.queries("q104_langid_learned")(s, d)
         .groupBy(col("pred_lang"))
         .agg(sum(col("logit")).as("t"), count(lit(1)).as("n"))
+    },
+    // q105's own groupBy already forces the per-anchor extract→resolve→
+    // canonicalize chain (target_host derives from the canonical url, so
+    // nothing prunes); the sum over the edge rollup just collapses the
+    // bounded host-pair output. q106 adds only a HOST-sized PageRank on
+    // top (graph size follows the host catalog, not the corpus), so q105
+    // is the scaling face for both.
+    "x105_link_graph_work" -> { (s, d) =>
+      SparkEntry.queries("q105_link_graph")(s, d)
+        .agg(sum(col("n_links")).as("t"), count(lit(1)).as("n"))
     })
 
   def main(args: Array[String]): Unit = {

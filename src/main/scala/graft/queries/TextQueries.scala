@@ -878,8 +878,106 @@ object TextQueries {
       graft.text.LangClassifier.score(docs, "doc_id", "text",
         graft.text.LangClassifier.formulaWeights(s, classes, 1024), 1024)
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q105: host-level link graph from crawl HTML ----
+    // The step q93 leaves on the floor: a page's OUTBOUND LINKS are the
+    // crawl's connectivity signal (host ranking, seed discovery, spam
+    // cliques). One regexp pass extracts hrefs from VISIBLE markup
+    // (script-embedded strings don't count), Urls.resolve handles every
+    // reference shape crawl anchors take (absolute, protocol-relative,
+    // root-relative, path-relative with ../ climbing, fragment-only),
+    // canonicalize makes the edge key, non-http schemes filtered AFTER
+    // resolution. Self-host edges drop (intra-site nav isn't graph
+    // signal); the edge rollup is one bounded groupBy — host pairs, not
+    // doc pairs. The oracle pins the WHOLE parse→resolve→canonicalize
+    // chain against the closed form the synthesis implies (the q30/q102
+    // discipline: every anchor shape lands on a reconstructible target,
+    // so one mis-resolved href anywhere shifts a count); UrlSpec pins
+    // resolve rule-by-rule on shapes beyond the synthesis.
+    "q105_link_graph" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("base_url", syntheticBaseUrl)
+        .withColumn("html", syntheticLinkHtml)
+      val lk = graft.text.HtmlExtract.links(docs, "doc_id", "html", "base_url")
+      lk.filter(col("target_host") =!= col("src_host"))
+        .groupBy(col("src_host"), col("target_host"))
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("src_host"), col("target_host"))
+    },
+
+    // ---- q106: host-rank curation prior (PageRank over q105's graph) ----
+    // The Common-Crawl-style host centrality score joined back per doc —
+    // the graph-side quality prior curation stacks mix with the text-side
+    // scores (q24/q100): link-isolated hosts rank at the teleport floor,
+    // well-cited hosts above it. Reuses ops/Graph.pageRank unchanged
+    // (string-keyed: vertex ids are hosts) — 5 synchronous iterations,
+    // one shuffle each, checkpoint-disciplined — and the rank table is
+    // HOST-sized, so the join back to docs broadcasts. Oracle = the q75
+    // recursive-CTE spelling (same float-parity discipline: per-edge
+    // divide, (1−d)/N teleport base, round 8) over the q105 closed-form
+    // edge set.
+    "q106_host_rank" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("base_url", syntheticBaseUrl)
+        .withColumn("html", syntheticLinkHtml)
+      val lk = graft.text.HtmlExtract.links(docs, "doc_id", "html", "base_url")
+      val edges = lk.filter(col("target_host") =!= col("src_host"))
+        .select(col("src_host").as("src"), col("target_host").as("dst"))
+      val ranks = graft.ops.Graph.pageRank(edges, "src", "dst", iters = 5)
+        .withColumnRenamed("node", "host")
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(col("source"), lit(".example.com")).as("host"))
+        .join(broadcast(ranks), Seq("host"), "left")
+        .select(col("doc_id"), col("host"),
+          round(col("rank"), 8).as("host_rank"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** q105/q106's deterministic page-URL + link-HTML synthesis from
+    * (doc_id, source, lang): every anchor shape [[graft.text.Urls.resolve]]
+    * handles appears, each landing on a closed-form reconstructible
+    * target so the oracle pins the whole chain —
+    *  - `/` + `#top` + `../doc/k?ref=1`: same-host (root-, fragment-,
+    *    path-relative with a `..` climb) — present in the links face,
+    *    filtered from the edge rollup
+    *  - TWO absolute anchors to `src{doc_id%10}.example.com` (one
+    *    uppercase/www./tracking-paramed/trailing-slashed — the q102 mess —
+    *    one clean), making n_links = 2·n_docs on src→src edges
+    *  - protocol-relative `//cdn{doc_id%3}.example.com/…` (inherits the
+    *    base's https) and absolute `http://partner{doc_id%5}.example.org:80/…`
+    *    (default port strips)
+    *  - `mailto:` + `javascript:` anchors and a script-EMBEDDED href
+    *    (must be invisible to extraction): contribute nothing
+    */
+  private[graft] def syntheticBaseUrl: org.apache.spark.sql.Column =
+    concat(lit("https://"), col("source"), lit(".example.com/"),
+      col("lang"), lit("/doc/"), col("doc_id").cast("string"))
+
+  private[graft] def syntheticLinkHtml: org.apache.spark.sql.Column = {
+    val ids = col("doc_id").cast("string")
+    val hub = concat(lit("src"), (col("doc_id") % 10).cast("string"),
+      lit(".Example.COM"))
+    concat(
+      lit("<html><head><script>var u=\"<a href=\\\"http://evil.example.com/x\\\">\";" +
+        "</script></head><body>" +
+        "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"#top\">Top</a> " +
+        "<a href=\"mailto:admin@example.com\">Mail</a></div><p>"),
+      regexp_replace(col("text"), "\n", "</p><p>"),
+      lit("</p><p>See <a href=\"HTTPS://WWW."), hub,
+      lit("/hub/?utm_source=feed\">hub</a> " +
+        "<a href=\"https://"), lower(hub),
+      lit("/other\">more</a> <a href=\"//cdn"),
+      (col("doc_id") % 3).cast("string"),
+      lit(".example.com/asset/"), (col("doc_id") % 4).cast("string"),
+      lit("\">asset</a> <a href=\"../doc/"), (col("doc_id") % 100).cast("string"),
+      lit("?ref=1\">sibling</a> <a href=\"http://partner"),
+      (col("doc_id") % 5).cast("string"),
+      lit(".example.org:80/p\">partner</a>.</p>" +
+        "<a href=\"javascript:void(0)\">noop</a></body></html>"))
+  }
 
   /** q102's deterministic messy-URL synthesis from (doc_id, source, lang)
     * — mixed case, www., default :443, tracking params leading and
@@ -1444,6 +1542,67 @@ object TextQueries {
            FROM lg)
          SELECT d.doc_id, b.lang AS pred_lang, b.logit
          FROM documents d JOIN best b USING (doc_id) WHERE b.rn = 1
+         ORDER BY d.doc_id""",
+
+    // q105/q106: closed-form link reconstruction (the q30/q102 discipline)
+    // — the synthesis puts every anchor on a deterministically-known
+    // canonical target, so the oracle recomputes the edge set from
+    // (doc_id, source) arithmetic and any mis-parse/mis-resolve/mis-
+    // canonicalization anywhere in the engine chain shifts a count. The
+    // same-host anchors (/ #top ../doc/k) and the filtered schemes
+    // (mailto:, javascript:, script-embedded) contribute NOTHING here —
+    // which is exactly the pin: if the engine leaks one of them into the
+    // edge set, src→src self-rows or phantom hosts appear.
+    "q105_link_graph" ->
+      """WITH d AS (SELECT doc_id, source || '.example.com' AS src_host,
+             'src' || (doc_id % 10) || '.example.com' AS hub_host,
+             'cdn' || (doc_id % 3) || '.example.com' AS cdn_host,
+             'partner' || (doc_id % 5) || '.example.org' AS partner_host
+           FROM documents),
+         l AS (SELECT src_host, hub_host AS dst_host, doc_id FROM d
+           UNION ALL SELECT src_host, hub_host, doc_id FROM d
+           UNION ALL SELECT src_host, cdn_host, doc_id FROM d
+           UNION ALL SELECT src_host, partner_host, doc_id FROM d)
+         SELECT src_host, dst_host AS target_host, count(*)::BIGINT AS n_links,
+           count(DISTINCT doc_id)::BIGINT AS n_docs
+         FROM l WHERE dst_host <> src_host
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q106: the q75 recursive-CTE PageRank spelling (per-edge divide,
+    // (1−d)/N teleport base, self-edges at w=0 so every node survives
+    // each iteration, round 8) over q105's closed-form edge set, joined
+    // back per doc.
+    "q106_host_rank" ->
+      """WITH RECURSIVE
+         d AS (SELECT doc_id, source || '.example.com' AS src_host,
+             'src' || (doc_id % 10) || '.example.com' AS hub_host,
+             'cdn' || (doc_id % 3) || '.example.com' AS cdn_host,
+             'partner' || (doc_id % 5) || '.example.org' AS partner_host
+           FROM documents),
+         l AS (SELECT src_host, hub_host AS dst_host FROM d
+           UNION ALL SELECT src_host, cdn_host FROM d
+           UNION ALL SELECT src_host, partner_host FROM d),
+         e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM l
+           WHERE dst_host <> src_host),
+         nodes AS (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+         nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY 1),
+         ew AS (SELECT src, dst, 1.0 AS w FROM e
+           UNION ALL SELECT node, node, 0.0 FROM nodes),
+         pr AS (
+           SELECT 0 AS iter, node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+           UNION ALL
+           SELECT p.iter + 1, ew.dst,
+             (1 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * sum(p.rank / coalesce(g.outdeg, 1) * ew.w)
+           FROM pr p
+           JOIN ew ON ew.src = p.node
+           LEFT JOIN deg g ON g.src = p.node
+           WHERE p.iter < 5
+           GROUP BY ew.dst, p.iter)
+         SELECT d.doc_id, d.src_host AS host, round(pr.rank, 8) AS host_rank
+         FROM d LEFT JOIN pr ON pr.node = d.src_host AND pr.iter = 5
          ORDER BY d.doc_id""",
     "q74_bigram_logprob" ->
       s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),

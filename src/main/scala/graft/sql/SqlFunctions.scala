@@ -169,6 +169,66 @@ object SqlFunctions {
       |RETURNS STRING
       |RETURN regexp_extract(url,
       |  '^[a-z][a-z0-9+.-]*://(\\[[^\\]]+\\]|[^/?:]*)', 1)""".stripMargin,
+    // text.Urls.removeDotSegments — the same bounded fold, SQL-spelled.
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_dotsegs(p STRING)
+      |RETURNS STRING
+      |RETURN element_at(transform(array(concat_ws('/',
+      |    aggregate(split(p, '/'), cast(array() as array<string>),
+      |      (acc, s) -> CASE WHEN s = '.' THEN acc
+      |        WHEN s = '..' THEN
+      |          CASE WHEN size(acc) > 1 THEN slice(acc, 1, size(acc) - 1)
+      |               ELSE acc END
+      |        ELSE array_append(acc, s) END))),
+      |  j -> CASE WHEN j = '' THEN '/' ELSE j END), 1)""".stripMargin,
+    // text.Urls.resolve — the same branch chain; locals ride the
+    // one-element-transform binding (h = trimmed href, nqb = base minus
+    // query+fragment, o = origin) so each regexp runs once, not per use.
+    // The dot-segment fold is SPLICED inline (not a graft_dotsegs call):
+    // a SQL UDF invoked with a lambda-variable argument fails analysis —
+    // the inliner plants a Project that can't see the enclosing lambda
+    // binding (MISSING_ATTRIBUTES on `h`).
+    {
+      val dotsegs: String => String = p =>
+        """element_at(transform(array(concat_ws('/',
+          |            aggregate(split(<P>, '/'), cast(array() as array<string>),
+          |              (acc2, s2) -> CASE WHEN s2 = '.' THEN acc2
+          |                WHEN s2 = '..' THEN
+          |                  CASE WHEN size(acc2) > 1
+          |                       THEN slice(acc2, 1, size(acc2) - 1)
+          |                       ELSE acc2 END
+          |                ELSE array_append(acc2, s2) END))),
+          |          j2 -> CASE WHEN j2 = '' THEN '/' ELSE j2 END), 1)""".stripMargin
+          .replace("<P>", p)
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_url_resolve(base STRING, href STRING)
+        |RETURNS STRING
+        |RETURN element_at(transform(array(trim(href)), h ->
+        |  element_at(transform(array(regexp_replace(
+        |      regexp_replace(trim(base), '#.*$', ''), '\\?.*$', '')), nqb ->
+        |    element_at(transform(array(regexp_extract(nqb,
+        |        '^([A-Za-z][A-Za-z0-9+.-]*://(?:\\[[^\\]]+\\]|[^/?#])*)', 1)), o ->
+        |      CASE
+        |        WHEN h rlike '^[A-Za-z][A-Za-z0-9+.-]*:' THEN h
+        |        WHEN h rlike '^//' THEN concat(lower(
+        |          regexp_extract(nqb, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)), ':', h)
+        |        WHEN h rlike '^/' THEN concat(o,
+        |          <DS_ROOT>,
+        |          regexp_extract(h, '([?#].*)$', 1))
+        |        WHEN h rlike '^\\?' THEN concat(nqb, h)
+        |        WHEN h rlike '^#' or h = ''
+        |          THEN regexp_replace(trim(base), '#.*$', '')
+        |        ELSE concat(o,
+        |          <DS_REL>,
+        |          regexp_extract(h, '([?#].*)$', 1))
+        |      END), 1)), 1)), 1)""".stripMargin
+        .replace("<DS_ROOT>", dotsegs("regexp_replace(h, '[?#].*$', '')"))
+        .replace("<DS_REL>", dotsegs(
+          """concat(
+            |            CASE WHEN substr(nqb, length(o) + 1, 1000000) rlike '/'
+            |              THEN regexp_replace(
+            |                substr(nqb, length(o) + 1, 1000000), '/[^/]*$', '/')
+            |              ELSE '/' END,
+            |            regexp_replace(h, '[?#].*$', ''))""".stripMargin))
+    },
     if (nativeDot)
       """CREATE OR REPLACE TEMPORARY FUNCTION graft_cosine(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
         |RETURNS DOUBLE

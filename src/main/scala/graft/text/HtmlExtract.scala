@@ -73,6 +73,38 @@ object HtmlExtract {
       .select(col(idCol), col("block_idx"), col("block_text"),
         col("text_len"), col("link_len"))
 
+  /** Anchor targets the page actually links to: one row per `<a href>` in
+    * VISIBLE markup — (`idCol`, src_host, href, target_url, target_host)
+    * where `href` is the raw attribute value, `target_url` its resolved
+    * ([[Urls.resolve]] against `baseCol`) and canonicalized
+    * ([[Urls.canonicalize]]) form, and the hosts come from
+    * [[Urls.domain]]. Script/style content is dropped FIRST (an href
+    * inside `<script>` is string data, not a link), and non-http(s)
+    * targets (`mailto:`, `javascript:`, `tel:`…) are filtered AFTER
+    * resolution — on the resolved scheme, so a page linking `//evil.io/x`
+    * still counts under its base's scheme.
+    *
+    * Scan-shaped: one regexp pass + a per-row explode of a page-bounded
+    * anchor list, every downstream column a codegen'd projection — the
+    * link-graph intake step (host-graph edges, anchor-text priors,
+    * Common-Crawl-style host ranking) runs at crawl throughput with zero
+    * shuffle until the caller aggregates.
+    */
+  def links(docs: DataFrame, idCol: String, htmlCol: String,
+      baseCol: String): DataFrame =
+    docs.select(col(idCol),
+        graft.text.Urls.domain(graft.text.Urls.canonicalize(col(baseCol)))
+          .as("src_host"),
+        col(baseCol).as("_base"),
+        explode(regexp_extract_all(dropInvisible(col(htmlCol)),
+          lit("(?is)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\""), lit(1)))
+          .as("href"))
+      .withColumn("target_url", graft.text.Urls.canonicalize(
+        graft.text.Urls.resolve(col("_base"), col("href"))))
+      .filter(col("target_url").rlike("^https?://"))
+      .select(col(idCol), col("src_host"), col("href"), col("target_url"),
+        graft.text.Urls.domain(col("target_url")).as("target_host"))
+
   /** Main-text extraction rollup: one row per input document —
     * (`idCol`, n_blocks, n_kept, kept_chars, main_text) where a block is
     * kept iff `text_len >= minLen` AND `link_len·100 <= text_len·

@@ -75,4 +75,76 @@ object Urls {
   def domain(canonicalUrl: Column): Column =
     regexp_extract(canonicalUrl,
       "^[a-z][a-z0-9+.-]*://(\\[[^\\]]+\\]|[^/?:]*)", 1)
+
+  /** RFC 3986 §5.2.4 dot-segment removal over an absolute PATH column
+    * (leading `/`): one bounded per-row fold over the split segments —
+    * `.` is skipped, `..` pops the previous segment (never past the
+    * root), everything else pushes. Exact at any nesting depth (a
+    * regexp-chain spelling would cap the depth), and entirely row-local:
+    * paths are path-sized, so the HOF cost is invisible next to the scan.
+    *
+    * One RFC deviation, deliberate: a trailing `.`/`..` segment does not
+    * leave the trailing `/` the RFC algorithm would (`/a/b/..` → `/a`,
+    * not `/a/`) — [[canonicalize]] strips trailing-slash runs anyway, so
+    * the canonical identity is unchanged and the fold stays one pass.
+    */
+  def removeDotSegments(path: Column): Column = {
+    val folded = aggregate(split(path, "/"),
+      array().cast("array<string>"),
+      (acc, s) => when(s === ".", acc)
+        .when(s === "..",
+          // never pop the root marker (the leading empty segment)
+          when(size(acc) > 1, slice(acc, lit(1), size(acc) - 1)).otherwise(acc))
+        .otherwise(array_append(acc, s)))
+    // ["",""] (input "/", or "/a/.." collapsing to root) must render "/",
+    // not the "" concat_ws gives a lone-root array after a trailing pop.
+    val joined = concat_ws("/", folded)
+    when(joined === "", lit("/")).otherwise(joined)
+  }
+
+  /** Resolve an anchor `href` against the page's `base` URL — RFC 3986 §5
+    * reduced to the reference shapes crawl anchors actually take:
+    *
+    *  - absolute (`scheme:…`) → kept as-is (non-http schemes like
+    *    `mailto:`/`javascript:` survive here so the CALLER can filter on
+    *    the resolved scheme — dropping them silently would hide them)
+    *  - protocol-relative (`//host/…`) → base's scheme + `:` + href
+    *  - root-relative (`/path…`) → base origin + dot-normalized path
+    *  - query-only (`?…`) → base minus its query/fragment + href
+    *  - fragment-only (`#…`) or empty → base minus its fragment
+    *  - path-relative (anything else) → base DIRECTORY + href, with
+    *    [[removeDotSegments]] applied (`../doc/7` climbs correctly)
+    *
+    * Built from the same codegen'd regexp/HOF built-ins as
+    * [[canonicalize]] — no UDF, scan-projection cost — and meant to be
+    * composed with it: `canonicalize(resolve(base, href))` is the
+    * link-graph edge key. A base with no `scheme://` prefix resolves
+    * nothing sensibly; absolute hrefs still pass through, everything
+    * else concatenates onto the malformed base unguarded (crawl frames
+    * carry real fetch URLs — i17 guarantees the base).
+    */
+  def resolve(base: Column, href: Column): Column = {
+    val h = trim(href)
+    val noFragBase = regexp_replace(trim(base), "#.*$", "")
+    val noQueryBase = regexp_replace(noFragBase, "\\?.*$", "")
+    val origin = regexp_extract(noQueryBase,
+      "^([A-Za-z][A-Za-z0-9+.-]*://(?:\\[[^\\]]+\\]|[^/?#])*)", 1)
+    val scheme = lower(regexp_extract(noQueryBase,
+      "^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    // base path after the origin ("" when the base is origin-only);
+    // its DIRECTORY is everything up to and including the last "/".
+    val basePath = substring(noQueryBase, length(origin) + 1, lit(1000000))
+    val dirPath = when(basePath.rlike("/"),
+      regexp_replace(basePath, "/[^/]*$", "/")).otherwise(lit("/"))
+    when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), h)
+      .when(h.rlike("^//"), concat(scheme, lit(":"), h))
+      .when(h.rlike("^/"), concat(origin,
+        removeDotSegments(regexp_replace(h, "[?#].*$", "")),
+        regexp_extract(h, "([?#].*)$", 1)))
+      .when(h.rlike("^\\?"), concat(noQueryBase, h))
+      .when(h.rlike("^#") || (h === ""), noFragBase)
+      .otherwise(concat(origin,
+        removeDotSegments(concat(dirPath, regexp_replace(h, "[?#].*$", ""))),
+        regexp_extract(h, "([?#].*)$", 1)))
+  }
 }

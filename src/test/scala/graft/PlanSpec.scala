@@ -64,6 +64,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "vocab hash join should broadcast")
   }
 
+  test("q105 link graph is scan → explode → one bounded agg (no window, " +
+      "no pair expansion)") {
+    val p = plan("q105_link_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"link graph must never pair docs:\n$p")
+    assert(!p.contains("Window"), s"no per-doc window in the edge rollup:\n$p")
+    assert(p.contains("Generate explode"), "anchor list explodes row-locally")
+  }
+
   test("bucketed tables join without a shuffle (i05 co-located join)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

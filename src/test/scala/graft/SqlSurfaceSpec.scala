@@ -75,6 +75,30 @@ class SqlSurfaceSpec extends SparkSpec {
       "SQL url surface diverges from the Column API")
   }
 
+  test("graft_url_resolve == the Urls.resolve Column API") {
+    registered
+    import spark.implicits._
+    val cases = Seq( // (base, href) — one per resolve branch + climbs
+      ("https://a.com/b/c", "HTTP://Other.com/X"),
+      ("https://a.com/b/c", "mailto:x@y.com"),
+      ("HTTPS://a.com/b/c", "//cdn.com/lib.js"),
+      ("https://a.com/b/c?q=1#f", "/x/../y?id=2"),
+      ("https://a.com/b/c?old=1", "?new=2"),
+      ("https://a.com/b/c#s", "#top"), ("https://a.com/b/c#s", ""),
+      ("https://a.com/b/c", "./d"), ("https://a.com/b/c", "../d?q=1#s"),
+      ("https://a.com/1/2/3/4/5/f", "../../../../x"),
+      ("https://a.com", "d/e"),
+      ("http://[2001:db8::1]:8080/a/b", "c"))
+    val df = cases.toDF("b", "h")
+    df.createOrReplaceTempView("resolve_fixture")
+    val viaSql = spark.sql(
+      "SELECT b, h, graft_url_resolve(b, h) AS r FROM resolve_fixture")
+    val viaCol = df.select(col("b"), col("h"),
+      graft.text.Urls.resolve(col("b"), col("h")).as("r"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty,
+      "SQL resolve surface diverges from the Column API")
+  }
+
   test("graft_quality == q24's quality_score column") {
     registered
     val viaSql = spark.sql(

@@ -962,6 +962,41 @@ class TextSpec extends SparkSpec {
     assert(out(3L)._5 == "plain text with no markup at all, long enough to keep")
   }
 
+  test("HtmlExtract.links: visible anchors only, resolved + canonicalized, " +
+      "non-http filtered") {
+    val html = "<html><head><script>var u=\"<a href=\\\"http://evil.io/x\\\">\";" +
+      "</script></head><body>" +
+      "<a href=\"/\">Home</a>" +                        // root-relative, self
+      "<a href=\"#top\">Top</a>" +                      // fragment-only, self
+      "<a href=\"mailto:x@y.com\">Mail</a>" +           // filtered scheme
+      "<a href=\"javascript:void(0)\">noop</a>" +       // filtered scheme
+      "<a href=\"HTTPS://WWW.Other.COM:443/Hub/?utm_source=f\">hub</a>" +
+      "<a href=\"//cdn.net/lib\">cdn</a>" +             // protocol-relative
+      "<a href=\"../doc/7?ref=1\">sib</a>" +            // ../ climb, query kept
+      "</body></html>"
+    val docs = Seq((1L, html, "https://src1.example.com/en/doc/42"))
+      .toDF("doc_id", "html", "base_url")
+    val out = graft.text.HtmlExtract.links(docs, "doc_id", "html", "base_url")
+      .orderBy("href")
+      .as[(Long, String, String, String, String)].collect()
+    // mailto/javascript filtered; the script-embedded evil.io href NEVER
+    // appears (it's string data, not a link); 5 visible http(s) anchors stay
+    assert(!out.exists(_._4.contains("evil.io")), out.mkString("\n"))
+    assert(out.map(_._3).toSeq ==
+      Seq("#top", "../doc/7?ref=1", "/", "//cdn.net/lib",
+        "HTTPS://WWW.Other.COM:443/Hub/?utm_source=f").sorted, out.mkString("\n"))
+    val byHref = out.map(r => r._3 -> r).toMap
+    assert(out.forall(_._2 == "src1.example.com")) // src_host from the base
+    assert(byHref("/")._4 == "https://src1.example.com")
+    assert(byHref("#top")._4 == "https://src1.example.com/en/doc/42")
+    assert(byHref("../doc/7?ref=1")._4 ==
+      "https://src1.example.com/en/doc/7?ref=1")
+    assert(byHref("HTTPS://WWW.Other.COM:443/Hub/?utm_source=f")._4 ==
+      "https://other.com/Hub" && byHref("HTTPS://WWW.Other.COM:443/Hub/?utm_source=f")._5 == "other.com")
+    assert(byHref("//cdn.net/lib")._4 == "https://cdn.net/lib" &&
+      byHref("//cdn.net/lib")._5 == "cdn.net")
+  }
+
   test("HtmlExtract feeds the B block: boilerplate grams vanish downstream") {
     // The direction check the intake step exists for: shared page chrome
     // dominates cross-doc duplicate grams on RAW tag-stripped text, and

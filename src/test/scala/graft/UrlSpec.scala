@@ -70,4 +70,61 @@ class UrlSpec extends SparkSpec {
       .select(Urls.domain(Urls.canonicalize(col("u")))).as[String].collect()
     assert(rows.toSeq == Seq("a.b.com", "site.com", "[2001:db8::1]", ""))
   }
+
+  // (base, href, want) — every reference shape resolve handles, RFC 3986
+  // §5.4's own examples where they apply. Resolution output is the RAW
+  // resolved URL (canonicalize is a separate, composed step — q105 runs
+  // canonicalize(resolve(..)) but resolve alone must already be right).
+  private val resolveFixtures: Seq[(String, String, String)] = Seq(
+    // absolute: kept as-is, scheme case preserved (canonicalize lowers it)
+    ("https://a.com/b/c", "HTTP://Other.com/X", "HTTP://Other.com/X"),
+    // non-http schemes survive resolution (the CALLER filters on scheme)
+    ("https://a.com/b/c", "mailto:x@y.com", "mailto:x@y.com"),
+    ("https://a.com/b/c", "javascript:void(0)", "javascript:void(0)"),
+    // protocol-relative inherits the base's scheme (lowercased)
+    ("HTTPS://a.com/b/c", "//cdn.com/lib.js", "https://cdn.com/lib.js"),
+    // root-relative: origin + path, dot segments normalized, query kept
+    ("https://a.com/b/c?q=1#f", "/x/y?id=2", "https://a.com/x/y?id=2"),
+    ("https://a.com/b/c", "/x/../y", "https://a.com/y"),
+    // query-only: replaces the base's query
+    ("https://a.com/b/c?old=1", "?new=2", "https://a.com/b/c?new=2"),
+    // fragment-only and empty: the base minus its fragment
+    ("https://a.com/b/c#s", "#top", "https://a.com/b/c"),
+    ("https://a.com/b/c#s", "", "https://a.com/b/c"),
+    // path-relative: resolved against the base DIRECTORY
+    ("https://a.com/b/c", "d", "https://a.com/b/d"),
+    ("https://a.com/b/c/", "d", "https://a.com/b/c/d"),
+    ("https://a.com/b/c", "./d", "https://a.com/b/d"),
+    ("https://a.com/b/c", "../d", "https://a.com/d"),
+    // ../ climbing never escapes the root (RFC 3986 §5.4.2)
+    ("https://a.com/b/c", "../../../../d", "https://a.com/d"),
+    // deep climbs are exact at ANY depth (the fold, not a regexp chain)
+    ("https://a.com/1/2/3/4/5/f", "../../../../x", "https://a.com/1/x"),
+    // relative href's own query/fragment survive the path fold
+    ("https://a.com/b/c", "../d?q=1#s", "https://a.com/d?q=1#s"),
+    // origin-only base: directory is the root
+    ("https://a.com", "d/e", "https://a.com/d/e"),
+    ("https://a.com", "/d", "https://a.com/d"),
+    // IPv6 base: the bracket colons don't truncate the origin
+    ("http://[2001:db8::1]:8080/a/b", "/c", "http://[2001:db8::1]:8080/c"),
+    ("http://[2001:db8::1]/a/b", "c", "http://[2001:db8::1]/a/c"))
+
+  test("resolve: reference-shape fixtures (RFC 3986 §5 reduced)") {
+    val got = resolveFixtures.map(t => (t._1, t._2)).toDF("b", "h")
+      .select(Urls.resolve(col("b"), col("h"))).as[String].collect()
+    resolveFixtures.zip(got).foreach { case ((b, h, want), g) =>
+      assert(g == want, s"resolve($b, $h) = $g, want $want")
+    }
+  }
+
+  test("removeDotSegments: root collapse and trailing-pop shapes") {
+    val cases = Seq(
+      ("/", "/"), ("/a/./b", "/a/b"), ("/a/../", "/"), ("/a/..", "/"),
+      ("/a/b/../c/", "/a/c/"), ("/../a", "/a"), ("/a//b", "/a//b"))
+    val got = cases.map(_._1).toDF("p")
+      .select(Urls.removeDotSegments(col("p"))).as[String].collect()
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"removeDotSegments($in) = $g, want $want")
+    }
+  }
 }
