@@ -242,26 +242,52 @@ object Warc {
     try java.sql.Timestamp.from(java.time.Instant.parse(s))
     catch { case _: Exception => null }
 
+  /** Byte-position tracker for the uncompressed-warc path: per-record
+    * offsets need the position of each record's `WARC/` line.
+    */
+  private final class CountingInputStream(in: InputStream)
+      extends java.io.FilterInputStream(in) {
+    var count: Long = 0L
+    override def read(): Int = { val b = super.read(); if (b >= 0) count += 1; b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val n = super.read(b, off, len); if (n > 0) count += n; n
+    }
+  }
+
   /** Parse every WARC record in one decompressed frame (one gzip member,
     * or a whole uncompressed `.warc`). `frameOff` names the frame in
     * quarantine rows. HTTP response payloads are unwrapped: status +
     * Content-Type lifted into columns, `payload` = the body bytes.
+    *
+    * `perRecordOffsets = true` (the UNCOMPRESSED path) emits each record
+    * at `frameOff` + the byte position of its `WARC/` line, so
+    * `rec_offset` stays a true random-access address ([[fetchAt]]) and a
+    * UNIQUE (file, offset) id — with the shared frame offset, every
+    * record of a plain `.warc` collided onto one [[htmlDocuments]]
+    * doc_id. Gzip members keep the member's compressed offset for every
+    * record they frame (intra-member positions aren't independently
+    * addressable in gz).
     */
   private[sources] def parseRecords(bytes: Array[Byte], frameOff: Long)
       : Iterator[Item] = parseRecords(new ByteArrayInputStream(bytes), frameOff)
 
-  private[sources] def parseRecords(in: InputStream, frameOff: Long)
-      : Iterator[Item] =
+  private[sources] def parseRecords(in0: InputStream, frameOff: Long,
+      perRecordOffsets: Boolean = false): Iterator[Item] =
     new Iterator[Item] {
+      private val in = new CountingInputStream(in0)
       private var nextItem: Item = _
       private var done = false
 
       private def readOne(): Item = {
+        var recStart = in.count
         var line = readLine(in)
-        while (line != null && line.isEmpty) line = readLine(in) // inter-record CRLFs
+        while (line != null && line.isEmpty) { // inter-record CRLFs
+          recStart = in.count; line = readLine(in)
+        }
         if (line == null) return null
+        val recOff = if (perRecordOffsets) frameOff + recStart else frameOff
         if (!line.startsWith("WARC/"))
-          return Quar(frameOff, "bad_warc_version", line.take(100))
+          return Quar(recOff, "bad_warc_version", line.take(100))
         val headers = scala.collection.mutable.Map.empty[String, String]
         var h = readLine(in)
         while (h != null && h.nonEmpty) {
@@ -271,14 +297,14 @@ object Warc {
         }
         val lenStr = headers.getOrElse("content-length", null)
         if (lenStr == null)
-          return Quar(frameOff, "missing_content_length", headers.keys.mkString(","))
+          return Quar(recOff, "missing_content_length", headers.keys.mkString(","))
         val len = try lenStr.toLong catch {
           case _: NumberFormatException =>
-            return Quar(frameOff, "bad_content_length", lenStr.take(50))
+            return Quar(recOff, "bad_content_length", lenStr.take(50))
         }
         val block = try readFully(in, len) catch {
           case e: EOFException =>
-            return Quar(frameOff, "truncated_record", String.valueOf(e.getMessage).take(200))
+            return Quar(recOff, "truncated_record", String.valueOf(e.getMessage).take(200))
         }
         val warcType = headers.getOrElse("warc-type", null)
         val url = headers.getOrElse("warc-target-uri", null)
@@ -323,8 +349,8 @@ object Warc {
           // place to judge it.
           val unchunked = if (chunked) dechunk(raw).getOrElse(raw) else raw
           val body = if (gzipped) gunzipBody(unchunked).getOrElse(unchunked) else unchunked
-          Rec(frameOff, warcType, url, ts, ct, httpStatus, body)
-        } else Rec(frameOff, warcType, url, ts, blockType, null, block)
+          Rec(recOff, warcType, url, ts, ct, httpStatus, body)
+        } else Rec(recOff, warcType, url, ts, blockType, null, block)
       }
 
       override def hasNext: Boolean = {
@@ -403,7 +429,92 @@ object Warc {
         case Left(q) => Iterator.single(q)
         case Right((off, bytes)) => parseRecords(bytes, off)
       }
-    else parseRecords(raw, 0L) // uncompressed .warc: stream-parse directly
+    // uncompressed .warc: stream-parse directly, per-record byte offsets
+    else parseRecords(raw, 0L, perRecordOffsets = true)
+  }
+
+  /** One random-access-fetched record (i19): a [[recordSchema]] row as a
+    * driver-side value — payload unwrapped identically to the scan path.
+    */
+  final case class WarcRecord(recOffset: Long, warcType: String, url: String,
+      fetchTs: java.sql.Timestamp, contentType: String, httpStatus: Integer,
+      payload: Array[Byte])
+
+  /** Random access (i19): the records of the frame at `offset` — for
+    * `.warc.gz`, ALL records of the gzip member starting there (one, in
+    * the member-per-record crawl convention); for plain `.warc`, the
+    * single record whose `WARC/` line starts there. This is the fetch
+    * side of [[cdxIndex]]: every `rec_offset` the scan emits is a valid
+    * `offset` here, so a capture-index lookup retrieves one page from a
+    * multi-TB archive by reading ONE member instead of re-parsing a file.
+    * A corrupt or absent frame fails NAMED (offset + reason) — random
+    * access to a bad address is an error, never a silent empty.
+    */
+  def fetchAt(open: () => InputStream, offset: Long,
+      maxRecordBytes: Int = DefaultMaxRecordBytes): Seq[WarcRecord] = {
+    val raw = open()
+    try {
+      var toSkip = offset
+      while (toSkip > 0) {
+        val s = raw.skip(toSkip)
+        if (s > 0) toSkip -= s
+        else if (raw.read() < 0)
+          throw new IllegalArgumentException(s"fetchAt: offset $offset past EOF")
+        else toSkip -= 1
+      }
+      val pb = new PushbackInputStream(new BufferedInputStream(raw, 1 << 16), 2)
+      val b0 = pb.read(); val b1 = pb.read()
+      if (b1 >= 0) pb.unread(b1)
+      if (b0 >= 0) pb.unread(b0)
+      val items: Iterator[Item] =
+        if (b0 == GzMagic0 && b1 == GzMagic1)
+          readMembers(pb, maxRecordBytes).take(1).flatMap {
+            case Left(q) => Iterator.single[Item](q)
+            case Right((_, bytes)) => parseRecords(bytes, offset)
+          }
+        else parseRecords(pb, offset, perRecordOffsets = true).take(1)
+      val out = items.map {
+        case Rec(off, t, u, ts, ct, st, p) => WarcRecord(off, t, u, ts, ct, st, p)
+        case q: Quar => throw new IllegalStateException(
+          s"fetchAt: frame at offset $offset is not parseable: ${q.reason} (${q.detail})")
+      }.toVector
+      if (out.isEmpty)
+        throw new IllegalArgumentException(s"fetchAt: no record at offset $offset")
+      out
+    } finally raw.close()
+  }
+
+  /** Local-file convenience for [[fetchAt]] (tests, driver-side lookups). */
+  def fetchAt(path: String, offset: Long): Seq[WarcRecord] =
+    fetchAt(() => new java.io.FileInputStream(path.stripPrefix("file:")), offset)
+
+  /** CDX-style capture index (i19) over a parsed records frame: one row
+    * per `response` capture —
+    * (surt_key, url_canon, url, fetch_ts, http_status, mime, payload_len,
+    * warc_file, rec_offset) — the public Common-Crawl/web-archive lookup
+    * convention: [[graft.text.Urls.surtKey]] is the sort key (host labels
+    * reversed so one domain's captures are lexicographically contiguous),
+    * (warc_file, rec_offset) is the [[fetchAt]] address. `payload_len` is
+    * the UNWRAPPED body length (the scan already decoded transfer/content
+    * encodings; classic CDX's compressed-extent field needs the NEXT
+    * member's offset, which a per-member scan doesn't see).
+    *
+    * Pure projection — scan-shaped at any archive size. The layout step
+    * for a serveable index is the ranked write the library already owns:
+    * range-partition by `surt_key`, sort within partitions
+    * (`Sinks.writeZOrderedRanked` discipline) so a lookup binary-searches
+    * one partition file.
+    */
+  def cdxIndex(records: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    records.filter(col("warc_type") === "response")
+      .withColumn("url_canon", graft.text.Urls.canonicalize(col("url")))
+      .select(
+        graft.text.Urls.surtKey(col("url_canon")).as("surt_key"),
+        col("url_canon"), col("url"), col("fetch_ts"),
+        col("http_status"), col("content_type").as("mime"),
+        length(col("payload")).cast("long").as("payload_len"),
+        col("warc_file"), col("rec_offset"))
   }
 
   // ---------------------------------------------------------------------

@@ -1286,6 +1286,56 @@ object Streams {
         .agg(sum(col("_n")).as("_n"),
           sum(col("_s")).cast("decimal(28,6)").as("_s")))
 
+  /** s26: streaming LINK-GRAPH intake — q105's live face on the s09
+    * partial-aggregate template. Each micro-batch of (id, html, base_url)
+    * pages extracts outbound links ([[graft.text.HtmlExtract.links]]:
+    * visible anchors, resolved + canonicalized, non-http filtered), drops
+    * self-host edges, and lands host-pair edge PARTIALS
+    * (src_host, target_host, _n_links, _n_docs) in the batch's own
+    * batch_id partition — replay = partition overwrite. Per-batch doc
+    * counts SUM across batches because a page arrives in exactly ONE
+    * intake batch (the same invariant every batch_id log here leans on);
+    * a re-crawled page is a NEW capture and counts again, matching what
+    * the batch rollup over the union would say. State is metadata-rate:
+    * host pairs per batch, never per-anchor rows.
+    *
+    * The accumulated graph serves the q106 prior incrementally:
+    * `Graph.pageRank(readLinkGraph(spark, dir), "src_host", "target_host",
+    * iters)` re-ranks from the folded edges — the s08 retrain discipline
+    * (recompute from accumulated state, swap atomically) without a model
+    * to swap.
+    */
+  def linkGraphSink(spark: SparkSession, edgesDir: String,
+      idCol: String = "doc_id", htmlCol: String = "html",
+      baseCol: String = "base_url")(batch: DataFrame, batchId: Long): Unit = {
+    val lk = graft.text.HtmlExtract.links(batch, idCol, htmlCol, baseCol)
+    graft.sources.Sinks.dynamicOverwrite(
+      lk.filter(col("target_host") =!= col("src_host"))
+        .groupBy(col("src_host"), col("target_host"))
+        .agg(count(lit(1)).as("_n_links"),
+          countDistinct(col(idCol)).as("_n_docs"))
+        .withColumn("batch_id", lit(batchId)),
+      edgesDir, Seq("batch_id"))
+  }
+
+  /** Current host-pair edge rollup from the [[linkGraphSink]] partial log
+    * — the q105 output shape (src_host, target_host, n_links, n_docs).
+    */
+  def readLinkGraph(spark: SparkSession, edgesDir: String): DataFrame =
+    spark.read.parquet(edgesDir)
+      .groupBy(col("src_host"), col("target_host"))
+      .agg(sum(col("_n_links")).as("n_links"), sum(col("_n_docs")).as("n_docs"))
+
+  /** [[compactBatchLog]] for the link-graph partial log: re-sum the edge
+    * partials into the base partition.
+    */
+  def compactLinkGraph(spark: SparkSession, edgesDir: String,
+      keepLast: Int): Boolean =
+    compactBatchLog(spark, edgesDir, keepLast, df =>
+      df.groupBy(col("src_host"), col("target_host"))
+        .agg(sum(col("_n_links")).as("_n_links"),
+          sum(col("_n_docs")).as("_n_docs")))
+
   /** foreachBatch SCD2 upsert sink: each micro-batch is deduped to its
     * latest row per key and merged into the parquet dimension at `dimPath`
     * with [[Scd2.merge]] semantics.

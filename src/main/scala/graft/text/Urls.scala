@@ -76,6 +76,30 @@ object Urls {
     regexp_extract(canonicalUrl,
       "^[a-z][a-z0-9+.-]*://(\\[[^\\]]+\\]|[^/?:]*)", 1)
 
+  /** SURT (Sort-friendly URI Reordering Transform) key of a CANONICAL
+    * url — the public web-archive/CDX sort convention: host labels
+    * reversed and comma-joined, optional `:port`, then `)` + path+query
+    * (`https://a.example.com/p?q=1` → `com,example,a)/p?q=1`). Reversing
+    * the host makes one registrable domain's captures — and its
+    * subdomains' — lexicographically CONTIGUOUS, which is what lets a
+    * sorted capture index range-scan a site. Scheme is dropped (http and
+    * https captures of a page sort together); a bracketed IPv6 host has
+    * no label order to reverse and passes through whole; a string
+    * without a `scheme://` prefix has no host — null key.
+    */
+  def surtKey(canonicalUrl: Column): Column = {
+    val host = domain(canonicalUrl)
+    val port = regexp_extract(canonicalUrl,
+      "^[a-z][a-z0-9+.-]*://(?:\\[[^\\]]+\\]|[^/?:]*):(\\d+)", 1)
+    val rest = regexp_replace(canonicalUrl, "^[a-z][a-z0-9+.-]*://[^/?]*", "")
+    val revHost = when(host.startsWith("["), host)
+      .otherwise(array_join(reverse(split(host, "\\.")), ","))
+    when(host === "", lit(null).cast("string"))
+      .otherwise(concat(revHost,
+        when(port =!= "", concat(lit(":"), port)).otherwise(lit("")),
+        lit(")"), rest))
+  }
+
   /** RFC 3986 §5.2.4 dot-segment removal over an absolute PATH column
     * (leading `/`): one bounded per-row fold over the split segments —
     * `.` is skipped, `..` pops the previous segment (never past the

@@ -329,6 +329,54 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/stats").count() == 4)
   }
 
+  test("linkGraphSink: accumulated host graph equals the batch rollup on " +
+      "the union; replay + compaction exact (s26)") {
+    val dir = Files.createTempDirectory("linkgraph").toFile.getAbsolutePath
+    val sink = Streams.linkGraphSink(spark, s"$dir/edges") _
+    def page(id: Long, hrefs: Seq[String]): (Long, String, String) =
+      (id, "<html><body>" +
+        hrefs.map(h => s"""<a href="$h">x</a>""").mkString(" ") +
+        "</body></html>", s"https://site$id.example/en/doc/$id")
+    val b1 = Seq(
+      page(1L, Seq("https://hub.example/a", "//cdn.example/lib", "/self")),
+      page(2L, Seq("https://hub.example/a", "mailto:x@y.com"))).toDF("doc_id", "html", "base_url")
+    val b2 = Seq(
+      page(3L, Seq("https://hub.example/b", "https://hub.example/c")),
+      page(1L, Seq("https://hub.example/a"))) // re-crawl: a NEW capture
+      .toDF("doc_id", "html", "base_url")
+    sink(b1, 0L)
+    sink(b2, 1L)
+    sink(b2, 1L) // replay after a simulated post-write failure
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      graft.text.HtmlExtract.links(df, "doc_id", "html", "base_url")
+        .filter(col("target_host") =!= col("src_host"))
+        .groupBy(col("src_host"), col("target_host"))
+        .agg(count(lit(1)).as("n_links"), countDistinct(col("doc_id")).as("n_docs"))
+    val expected = rollup(b1).unionByName(rollup(b2))
+      .groupBy(col("src_host"), col("target_host"))
+      .agg(sum("n_links").as("n_links"), sum("n_docs").as("n_docs"))
+    val got = Streams.readLinkGraph(spark, s"$dir/edges")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      s"stream rollup diverged:\n${got.collect().mkString("\n")}\nvs\n" +
+        expected.collect().mkString("\n"))
+    // spot values: hub.example is cited by site1 (twice: b1 + re-crawl),
+    // site2, site3; the self link and mailto contributed nothing
+    val hub = got.filter(col("target_host") === "hub.example")
+      .select("src_host", "n_links", "n_docs")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(hub == Map("site1.example" -> ((2L, 2L)), "site2.example" -> ((1L, 1L)),
+      "site3.example" -> ((2L, 1L))), hub)
+    // compaction folds batch 0 into the base; the read face is unchanged
+    assert(Streams.compactLinkGraph(spark, s"$dir/edges", keepLast = 1))
+    val after = Streams.readLinkGraph(spark, s"$dir/edges")
+    assert(after.exceptAll(expected).isEmpty && expected.exceptAll(after).isEmpty)
+    // the q106 composition: the accumulated graph ranks directly
+    val ranks = graft.ops.Graph.pageRank(
+      Streams.readLinkGraph(spark, s"$dir/edges"), "src_host", "target_host", 3)
+    val top = ranks.orderBy(col("rank").desc).select("node").as[String].head()
+    assert(top == "hub.example", s"the cited hub must outrank its citers: $top")
+  }
+
   test("curateSink: first-seen-wins streaming curation, idempotent replay") {
     val dir = Files.createTempDirectory("curate_stream").toFile.getAbsolutePath
     val sink = Streams.curateSink(spark, s"$dir/state") _

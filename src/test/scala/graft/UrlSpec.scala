@@ -117,6 +117,35 @@ class UrlSpec extends SparkSpec {
     }
   }
 
+  test("surtKey: reversed-host sort key of the canonical form (CDX convention)") {
+    val cases = Seq(
+      ("https://a.example.com/p?q=1", "com,example,a)/p?q=1"),
+      ("http://example.com", "com,example)"),
+      ("http://b.example:8080/x", "example,b:8080)/x"),
+      // http and https captures of one page sort TOGETHER (scheme dropped)
+      ("http://example.com/p", "com,example)/p"),
+      ("https://example.com/p", "com,example)/p"),
+      // IPv6: no label order to reverse, bracket form passes through
+      ("https://[2001:db8::1]/a", "[2001:db8::1])/a"),
+      // no scheme → no host → no key
+      ("relative/path", null))
+    val got = cases.map(_._1).toDF("u")
+      .select(Urls.surtKey(Urls.canonicalize(col("u")))).as[String].collect()
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"surtKey($in) = $g, want $want")
+    }
+    // subdomain contiguity — the property the reversal exists for: every
+    // example.com capture sorts inside [com,example; com,exampleζ)
+    val ks = Seq("https://example.com/z", "https://a.example.com/a",
+      "https://b.example.com/m", "https://examplezz.com/a", "https://exampl.com/a")
+      .toDF("u").select(Urls.surtKey(Urls.canonicalize(col("u")))).as[String]
+      .collect().sorted.toSeq
+    val inSite = ks.filter(k => k.startsWith("com,example)") || k.startsWith("com,example,"))
+    assert(inSite.size == 3 &&
+      ks.slice(ks.indexOf(inSite.head), ks.indexOf(inSite.head) + 3) == inSite,
+      s"site captures must be contiguous in sorted key order: $ks")
+  }
+
   test("removeDotSegments: root collapse and trailing-pop shapes") {
     val cases = Seq(
       ("/", "/"), ("/a/./b", "/a/b"), ("/a/../", "/"), ("/a/..", "/"),

@@ -139,6 +139,73 @@ class WarcSpec extends SparkSpec {
       Seq("bad_warc_version"))
   }
 
+  test("cdxIndex + fetchAt: every capture addressable; latest-capture " +
+      "lookup round-trips one member read (i19)") {
+    val dir = tmp("warc")
+    // two captures of the SAME canonical page (messy + clean spelling,
+    // different fetch times) + one other host, one gz member per record
+    val recs = Seq(
+      warcRecord("warcinfo", "urn:info", "2024-01-01T00:00:00Z",
+        "application/warc-fields", "software: test\r\n".getBytes("UTF-8")),
+      warcRecord("response", "HTTP://WWW.A.Example:80/page/?utm_source=x",
+        "2024-01-02T00:00:00Z", "application/http; msgtype=response",
+        httpResponse(200, "text/html", "<html>old capture</html>")),
+      warcRecord("response", "http://a.example/page", "2024-03-02T00:00:00Z",
+        "application/http; msgtype=response",
+        httpResponse(200, "text/html", "<html>new capture</html>")),
+      warcRecord("response", "http://b.example:8080/x?q=1", "2024-01-03T00:00:00Z",
+        "application/http; msgtype=response",
+        httpResponse(404, "text/html", "<html>gone</html>")))
+    val f = writeGz(dir, "crawl.warc.gz", recs.map(gzMember))
+    val (records, _) = Warc.read(spark, f)
+    val idx = Warc.cdxIndex(records).collect()
+    assert(idx.length == 3, "warcinfo is not a capture")
+    // SURT keys: reversed host labels, port kept, canonical path+query
+    val keys = idx.map(r => r.getAs[String]("surt_key")).sorted.toSeq
+    assert(keys == Seq("example,a)/page", "example,a)/page",
+      "example,b:8080)/x?q=1"), keys)
+    // the two a.example captures collapse onto ONE canonical spelling
+    assert(idx.filter(_.getAs[String]("url_canon") == "http://a.example/page")
+      .length == 2)
+    // every capture's (file, offset) address fetches EXACTLY its record
+    idx.foreach { r =>
+      val got = Warc.fetchAt(r.getAs[String]("warc_file"),
+        r.getAs[Long]("rec_offset"))
+      assert(got.length == 1, got)
+      assert(got.head.url == r.getAs[String]("url"))
+      assert(got.head.payload.length == r.getAs[Long]("payload_len"))
+    }
+    // the CDX use: latest capture of the canonical page, fetched directly
+    val latest = idx.filter(_.getAs[String]("url_canon") == "http://a.example/page")
+      .maxBy(_.getAs[java.sql.Timestamp]("fetch_ts").getTime)
+    val page = Warc.fetchAt(latest.getAs[String]("warc_file"),
+      latest.getAs[Long]("rec_offset")).head
+    assert(new String(page.payload, "UTF-8") == "<html>new capture</html>")
+    // a mid-member address is not a frame: fails NAMED, never silent
+    val e = intercept[Exception](Warc.fetchAt(f, latest.getAs[Long]("rec_offset") + 3))
+    assert(e.getMessage.contains("offset"), e.getMessage)
+  }
+
+  test("plain .warc: per-record offsets are unique, addressable, and " +
+      "keep htmlDocuments ids collision-free") {
+    val dir = tmp("warc")
+    val f = writeGz(dir, "crawl.warc", Seq(goodRecords.flatten.toArray))
+    val (records, _) = Warc.read(spark, f)
+    val offs = records.select("rec_offset").as[Long].collect().toSeq
+    assert(offs.distinct.size == offs.size,
+      s"plain-warc offsets must be per-record, got $offs")
+    assert(offs.exists(_ > 0), "offsets are byte positions, not frame 0")
+    // every offset round-trips through random access
+    records.select("rec_offset", "url", "payload").collect().foreach { r =>
+      val got = Warc.fetchAt(f, r.getAs[Long]("rec_offset"))
+      assert(got.length == 1 && got.head.url == r.getAs[String]("url"))
+      assert(java.util.Arrays.equals(got.head.payload, r.getAs[Array[Byte]]("payload")))
+    }
+    // the collision this fixes: 2 html docs → 2 DISTINCT doc_ids
+    val ids = Warc.htmlDocuments(records).select("doc_id").as[String].collect()
+    assert(ids.length == 2 && ids.distinct.length == 2, ids.toSeq)
+  }
+
   test("q93 composition: HtmlExtract over WARC equals the direct-text path") {
     val dir = tmp("warc")
     writeGz(dir, "crawl.warc.gz", goodRecords.map(gzMember))
