@@ -91,12 +91,21 @@ object HtmlExtract {
     * shuffle until the caller aggregates.
     */
   def links(docs: DataFrame, idCol: String, htmlCol: String,
-      baseCol: String): DataFrame =
+      baseCol: String): DataFrame = {
+    // Real crawls spell href all three legal ways (double-quoted,
+    // single-quoted, unquoted); regexp_extract_all returns ONE group
+    // index, so the single- and un-quoted forms are first NORMALIZED onto
+    // the double-quoted spelling (the unquoted alternation's first char
+    // excludes quotes, so already-quoted values never re-wrap).
+    val normalized = regexp_replace(
+      regexp_replace(dropInvisible(col(htmlCol)),
+        "(?is)(<a\\s[^>]*?href\\s*=\\s*)'([^']*)'", "$1\"$2\""),
+      "(?is)(<a\\s[^>]*?href\\s*=\\s*)([^\"'\\s>][^\\s>]*)", "$1\"$2\"")
     docs.select(col(idCol),
         graft.text.Urls.domain(graft.text.Urls.canonicalize(col(baseCol)))
           .as("src_host"),
         col(baseCol).as("_base"),
-        explode(regexp_extract_all(dropInvisible(col(htmlCol)),
+        explode(regexp_extract_all(normalized,
           lit("(?is)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\""), lit(1)))
           .as("href"))
       .withColumn("target_url", graft.text.Urls.canonicalize(
@@ -104,6 +113,7 @@ object HtmlExtract {
       .filter(col("target_url").rlike("^https?://"))
       .select(col(idCol), col("src_host"), col("href"), col("target_url"),
         graft.text.Urls.domain(col("target_url")).as("target_host"))
+  }
 
   /** Main-text extraction rollup: one row per input document —
     * (`idCol`, n_blocks, n_kept, kept_chars, main_text) where a block is

@@ -997,6 +997,25 @@ class TextSpec extends SparkSpec {
       byHref("//cdn.net/lib")._5 == "cdn.net")
   }
 
+  test("HtmlExtract.links: single-quoted and unquoted hrefs extract like " +
+      "double-quoted (real-crawl spellings)") {
+    // (a literal `"` inside a single-quoted value would truncate at the
+    // normalization seam — it's URL-invalid per RFC 3986 §2 anyway; real
+    // crawls carry %22)
+    val html = "<html><body>" +
+      "<a href=\"https://dq.example/a\">dq</a>" +
+      "<a href='https://sq.example/b?x=1'>sq</a>" +
+      "<a class='nav' href=https://uq.example/c>uq</a>" +
+      "<a href = 'https://sp.example/d'>spaced</a>" +
+      "</body></html>"
+    val docs = Seq((1L, html, "https://base.example/p"))
+      .toDF("doc_id", "html", "base_url")
+    val got = graft.text.HtmlExtract.links(docs, "doc_id", "html", "base_url")
+      .select("target_url").as[String].collect().sorted.toSeq
+    assert(got == Seq("https://dq.example/a", "https://sp.example/d",
+      "https://sq.example/b?x=1", "https://uq.example/c"), got)
+  }
+
   test("HtmlExtract feeds the B block: boilerplate grams vanish downstream") {
     // The direction check the intake step exists for: shared page chrome
     // dominates cross-doc duplicate grams on RAW tag-stripped text, and
