@@ -488,6 +488,95 @@ object Warc {
   def fetchAt(path: String, offset: Long): Seq[WarcRecord] =
     fetchAt(() => new java.io.FileInputStream(path.stripPrefix("file:")), offset)
 
+  /** One serialized WARC record: `WARC/1.0` + headers + CRLFCRLF +
+    * exactly Content-Length payload bytes + CRLFCRLF — the same framing
+    * [[parseRecords]] reads back. `WARC-Date` is omitted when `ts` is
+    * null (the parser reports a null fetch_ts either way).
+    */
+  private[sources] def buildRecord(warcType: String, url: String,
+      ts: java.sql.Timestamp, contentType: String,
+      payload: Array[Byte]): Array[Byte] = {
+    val date = if (ts == null) ""
+      else s"WARC-Date: ${java.time.Instant.ofEpochMilli(ts.getTime)}\r\n"
+    val hdr = s"WARC/1.0\r\nWARC-Type: $warcType\r\nWARC-Target-URI: $url\r\n" +
+      date +
+      s"WARC-Record-ID: <urn:graft:${Integer.toHexString(url.##)}>\r\n" +
+      s"Content-Type: $contentType\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n"
+    hdr.getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  /** WET-style archive EXPORT (i20): publish a documents frame back as a
+    * sharded `.warc.gz` — the other half of the intake story (curate a
+    * crawl, re-publish the survivors in the format the ecosystem's
+    * tooling already reads). One gzip member PER RECORD (the crawl
+    * convention [[read]] is built on), so the written archive is itself
+    * member-addressable: [[cdxIndex]] + [[fetchAt]] work on our own
+    * output, and a downstream [[read]] round-trips it exactly
+    * (spec-pinned). `warcType`/`contentType` default to the WET
+    * convention (`conversion` + `text/plain`); text encodes UTF-8.
+    *
+    * Layout: `shards` output files (0 = keep the frame's partitioning),
+    * written executor-side through the Hadoop FS API (the conf ships as
+    * key-value pairs — works on any filesystem Spark reads), into a temp
+    * dir that atomically swaps in ([[Sinks.overwriteAtomic]] discipline:
+    * a crash mid-export leaves the previous archive intact). Task
+    * retries overwrite their own shard file with identical bytes (the
+    * per-partition content is deterministic); empty partitions write no
+    * file.
+    */
+  def writeWarcGz(docs: DataFrame, path: String, urlCol: String = "url",
+      tsCol: String = "fetch_ts", textCol: String = "text", shards: Int = 0,
+      warcType: String = "conversion",
+      contentType: String = "text/plain"): Unit = {
+    val spark = docs.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val confKV: Array[(String, String)] = {
+      val it = hconf.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.__tmp-$token")
+    val old = new org.apache.hadoop.fs.Path(s"$path.__old-$token")
+    val live = new org.apache.hadoop.fs.Path(path)
+    try {
+      fs.mkdirs(tmp)
+      val tmpStr = tmp.toString
+      val (wt, ct) = (warcType, contentType)
+      import org.apache.spark.sql.functions.col
+      val frame = docs.select(col(urlCol).cast("string"),
+        col(tsCol).cast("timestamp"), col(textCol).cast("string"))
+      val part = if (shards > 0) frame.repartition(shards) else frame
+      part.rdd.foreachPartition { rows =>
+        if (rows.hasNext) {
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confKV.foreach { case (k, v) => conf.set(k, v) }
+          val idx = org.apache.spark.TaskContext.getPartitionId()
+          val p = new org.apache.hadoop.fs.Path(f"$tmpStr/part-$idx%05d.warc.gz")
+          val pfs = p.getFileSystem(conf)
+          val out = pfs.create(p, true)
+          try rows.foreach { r =>
+            val body = Option(r.getString(2)).getOrElse("").getBytes("UTF-8")
+            val rec = buildRecord(wt, String.valueOf(r.getString(0)),
+              r.getAs[java.sql.Timestamp](1), ct, body)
+            val bos = new ByteArrayOutputStream(rec.length / 2 + 64)
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            gz.write(rec); gz.close()
+            out.write(bos.toByteArray)
+          } finally out.close()
+        }
+      }
+      if (fs.exists(live)) {
+        if (!fs.rename(live, old)) sys.error(s"rename $live -> $old failed")
+      }
+      if (!fs.rename(tmp, live)) sys.error(s"rename $tmp -> $live failed")
+      fs.delete(old, true)
+    } finally fs.delete(tmp, true)
+  }
+
   /** CDX-style capture index (i19) over a parsed records frame: one row
     * per `response` capture —
     * (surt_key, url_canon, url, fetch_ts, http_status, mime, payload_len,
@@ -505,9 +594,10 @@ object Warc {
     * (`Sinks.writeZOrderedRanked` discipline) so a lookup binary-searches
     * one partition file.
     */
-  def cdxIndex(records: DataFrame): DataFrame = {
+  def cdxIndex(records: DataFrame,
+      captureTypes: Seq[String] = Seq("response", "conversion")): DataFrame = {
     import org.apache.spark.sql.functions._
-    records.filter(col("warc_type") === "response")
+    records.filter(col("warc_type").isin(captureTypes: _*))
       .withColumn("url_canon", graft.text.Urls.canonicalize(col("url")))
       .select(
         graft.text.Urls.surtKey(col("url_canon")).as("surt_key"),

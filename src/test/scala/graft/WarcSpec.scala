@@ -206,6 +206,46 @@ class WarcSpec extends SparkSpec {
     assert(ids.length == 2 && ids.distinct.length == 2, ids.toSeq)
   }
 
+  test("writeWarcGz: WET-style export round-trips through read, indexes, " +
+      "and random-accesses (i20)") {
+    val dir = tmp("warc")
+    val docs = Seq(
+      ("https://a.example/p1", java.sql.Timestamp.valueOf("2024-01-02 03:04:05"),
+        "first extracted text body"),
+      ("https://a.example/p2", java.sql.Timestamp.valueOf("2024-02-03 04:05:06"),
+        "second body with unicode: café — ok"),
+      ("https://b.example/x", null.asInstanceOf[java.sql.Timestamp],
+        "undated doc survives too"))
+      .toDF("url", "fetch_ts", "text")
+    Warc.writeWarcGz(docs, s"$dir/wet", shards = 2)
+    val files = new java.io.File(s"$dir/wet").listFiles()
+      .filter(_.getName.endsWith(".warc.gz"))
+    assert(files.length == 2, files.map(_.getName).toSeq)
+    // read-back parity: every row, typed, payload byte-exact
+    val (recs, quar) = Warc.read(spark, s"$dir/wet/*.warc.gz")
+    assert(quar.count() == 0)
+    val got = recs.select(col("warc_type"), col("content_type"), col("url"),
+        col("fetch_ts"), decode(col("payload"), "UTF-8").as("text"))
+      .orderBy("url").collect().toSeq
+    assert(got.map(_.getString(0)).forall(_ == "conversion"))
+    assert(got.map(_.getString(1)).forall(_ == "text/plain"))
+    assert(got.map(r => (r.getString(2), r.getTimestamp(3), r.getString(4))) ==
+      docs.orderBy("url").collect().toSeq
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2))))
+    // our own output is a first-class archive: CDX-indexable + fetchable
+    val idx = Warc.cdxIndex(recs).collect()
+    assert(idx.length == 3, "conversion records are captures")
+    idx.foreach { r =>
+      val one = Warc.fetchAt(r.getAs[String]("warc_file"),
+        r.getAs[Long]("rec_offset"))
+      assert(one.length == 1 && one.head.url == r.getAs[String]("url"))
+    }
+    // atomic re-export REPLACES the archive (overwriteAtomic discipline)
+    Warc.writeWarcGz(docs.limit(1), s"$dir/wet", shards = 1)
+    val (recs2, _) = Warc.read(spark, s"$dir/wet/*.warc.gz")
+    assert(recs2.count() == 1)
+  }
+
   test("q93 composition: HtmlExtract over WARC equals the direct-text path") {
     val dir = tmp("warc")
     writeGz(dir, "crawl.warc.gz", goodRecords.map(gzMember))
