@@ -26,6 +26,54 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, s"property falsified: ${res.status}")
   }
 
+  test("Urls.resolve equals java.net.URI.resolve on random reference shapes") {
+    // java.net.URI implements the PUBLIC reference-resolution algorithm
+    // (RFC 2396, which matches RFC 3986 on all NORMAL relative shapes),
+    // so it is a driver-side oracle for the Column fold. The generator
+    // stays inside the cases where the two RFC editions agree and
+    // production anchors live: dot segments only in PATH-relative refs
+    // (2396 resolves absolute-path refs verbatim while 3986 normalizes
+    // them — UrlSpec's `/x/../y` fixture pins the 3986 behavior we ship),
+    // every `..` has a preceding segment to pop (abnormal climbs past
+    // root also differ), final segments are plain (trailing `.`/`..`
+    // leave a `/` we canonicalize away), and empty/fragment-only refs
+    // are fixture-covered instead.
+    val segGen = Gen.oneOf("x", "y", "z")
+    val pairGen: Gen[(String, String)] = for {
+      nl <- Gen.choose(1, 3)
+      labels <- Gen.listOfN(nl, Gen.oneOf("aa", "bb", "cc"))
+      nb <- Gen.choose(1, 3)
+      bsegs <- Gen.listOfN(nb, Gen.oneOf("s1", "s2", "s3"))
+      btrail <- Gen.oneOf("", "/")
+      bq <- Gen.oneOf("", "?b=1")
+      kind <- Gen.choose(0, 3)
+      pre <- Gen.listOfN(2, segGen)
+      mid <- Gen.oneOf(Seq.empty[String], Seq("."), Seq(".."))
+      last <- segGen
+      hq <- Gen.oneOf("", "?k=v")
+    } yield {
+      val base = s"https://${labels.mkString(".")}/${bsegs.mkString("/")}$btrail$bq"
+      val href = kind match {
+        case 0 => s"http://ext.example/$last"
+        case 1 => s"//other.example/$last$hq"
+        case 2 => s"/${(pre :+ last).mkString("/")}$hq"
+        case _ => s"${(pre ++ mid :+ last).mkString("/")}$hq"
+      }
+      (base, href)
+    }
+    // NoShrink: scalacheck's string shrinker escapes the generator's
+    // domain (an empty base is not a resolvable URI on either side).
+    check(Prop.forAllNoShrink(Gen.listOfN(30, pairGen)) { pairs =>
+      val got = pairs.toDF("b", "h")
+        .select(graft.text.Urls.resolve(col("b"), col("h")))
+        .as[String].collect().toSeq
+      val want = pairs.map { case (b, h) =>
+        new java.net.URI(b).resolve(new java.net.URI(h)).toString
+      }
+      got == want
+    })
+  }
+
   test("connectedComponents equals driver-side union-find on random graphs") {
     val edgesGen = for {
       n <- Gen.choose(2, 24)
