@@ -44,6 +44,32 @@ object WarcScale {
     import spark.implicits._
 
     val outRoot = java.nio.file.Files.createTempDirectory("warcscale").toString
+
+    // SPARK_GRAFT_WARC_MODE=export: measure the i20 WET writer instead —
+    // Warc.writeWarcGz over the documents table (min-of-2, atomic-swap
+    // included), then read-back count as the integrity check.
+    if (sys.env.get("SPARK_GRAFT_WARC_MODE").contains("export")) {
+      val docsE = graft.Tables.documents(spark, sfDir)
+        .select(concat(lit("https://ex.com/doc/"), col("doc_id")).as("url"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("fetch_ts"),
+          col("text"))
+      val nDocs = docsE.count()
+      val dir = s"$outRoot/wet"
+      var best = Double.MaxValue
+      (1 to 2).foreach { _ =>
+        val t0 = System.nanoTime()
+        Warc.writeWarcGz(docsE, dir, shards = nFiles)
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      val bytes = new java.io.File(dir).listFiles().map(_.length()).sum
+      val readBack = Warc.read(spark, s"$dir/*.warc.gz")._1.count()
+      def f2(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+      println(s"""{"metric":"wet_export","docs":$nDocs,"files":$nFiles,""" +
+        s""""bytes_gz":$bytes,"write_sec":${f2(best)},""" +
+        s""""docs_per_sec":${f2(nDocs / best)},""" +
+        s""""mb_per_sec":${f2(bytes / 1e6 / best)},"read_back":$readBack}""")
+      spark.stop(); return
+    }
     // Render every document as a page with nav chrome so mainText has
     // boilerplate to strip (the q93 workload, not a trivial passthrough).
     val docs = graft.Tables.documents(spark, sfDir)

@@ -169,6 +169,23 @@ object SqlFunctions {
       |RETURNS STRING
       |RETURN regexp_extract(url,
       |  '^[a-z][a-z0-9+.-]*://(\\[[^\\]]+\\]|[^/?:]*)', 1)""".stripMargin,
+    // text.Urls.surtKey (of a canonical url) — same branch structure;
+    // the host local rides the one-element-transform binding.
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_surt_key(url STRING)
+      |RETURNS STRING
+      |RETURN element_at(transform(array(graft_url_domain(url)), hst ->
+      |  CASE WHEN hst = '' THEN cast(null as string)
+      |  ELSE concat(
+      |    CASE WHEN hst like '[%' THEN hst
+      |         ELSE array_join(reverse(split(hst, '\\.')), ',') END,
+      |    CASE WHEN regexp_extract(url,
+      |        '^[a-z][a-z0-9+.-]*://(?:\\[[^\\]]+\\]|[^/?:]*):([0-9]+)', 1) != ''
+      |      THEN concat(':', regexp_extract(url,
+      |        '^[a-z][a-z0-9+.-]*://(?:\\[[^\\]]+\\]|[^/?:]*):([0-9]+)', 1))
+      |      ELSE '' END,
+      |    ')',
+      |    regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/?]*', ''))
+      |  END), 1)""".stripMargin,
     // text.Urls.removeDotSegments — the same bounded fold, SQL-spelled.
     """CREATE OR REPLACE TEMPORARY FUNCTION graft_dotsegs(p STRING)
       |RETURNS STRING

@@ -99,6 +99,21 @@ class SqlSurfaceSpec extends SparkSpec {
       "SQL resolve surface diverges from the Column API")
   }
 
+  test("graft_surt_key == the Urls.surtKey Column API") {
+    registered
+    import spark.implicits._
+    val urls = Seq("https://a.example.com/p?q=1", "http://example.com",
+      "http://b.example:8080/x", "https://[2001:db8::1]/a", "relative/path")
+    val df = urls.toDF("u")
+    df.createOrReplaceTempView("surt_fixture")
+    val viaSql = spark.sql(
+      "SELECT u, graft_surt_key(graft_url_canon(u)) AS k FROM surt_fixture")
+    val viaCol = df.select(col("u"),
+      graft.text.Urls.surtKey(graft.text.Urls.canonicalize(col("u"))).as("k"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty,
+      "SQL surt surface diverges from the Column API")
+  }
+
   test("graft_quality == q24's quality_score column") {
     registered
     val viaSql = spark.sql(
