@@ -964,6 +964,44 @@ object SqlOps {
     * native expression when registered). Same argmax spelling: one
     * max-struct aggregation, logit DESC / class-index ASC ties.
     */
+  /** SQL twin of q105 ([[graft.text.HtmlExtract.links]] → self-host
+    * filter → host-pair edge rollup) in ONE statement: the same
+    * script/style drop and href-quote normalization regexes, the same
+    * extraction pattern exploded per anchor, resolve + canonicalize via
+    * the registered `graft_url_resolve`/`graft_url_canon` functions, and
+    * the same cross-host aggregation. Equality-pinned against the Column
+    * plan in SqlSurfaceSpec.
+    */
+  def linkGraphSql(table: String, idCol: String, htmlCol: String,
+      baseCol: String): String = {
+    val (id, h, b) = (bt(idCol), bt(htmlCol), bt(baseCol))
+    s"""WITH _n AS (
+       |  SELECT $id, $b AS _base,
+       |    graft_url_domain(graft_url_canon($b)) AS src_host,
+       |    regexp_replace(regexp_replace(
+       |      regexp_replace(regexp_replace($h,
+       |        '(?is)<script[^>]*>.*?</script>', ' '),
+       |        '(?is)<style[^>]*>.*?</style>', ' '),
+       |      "(?is)(<a\\\\s[^>]*?href\\\\s*=\\\\s*)'([^']*)'", '$$1"$$2"'),
+       |      '(?is)(<a\\\\s[^>]*?href\\\\s*=\\\\s*)([^"\\'\\\\s>][^\\\\s>]*)',
+       |      '$$1"$$2"') AS _html
+       |  FROM $table
+       |), _a AS (
+       |  SELECT $id, src_host,
+       |    graft_url_canon(graft_url_resolve(_base, _href)) AS target_url
+       |  FROM _n
+       |  LATERAL VIEW explode(regexp_extract_all(_html,
+       |    '(?is)<a\\\\s[^>]*href\\\\s*=\\\\s*"([^"]*)"', 1)) AS _href
+       |)
+       |SELECT src_host, graft_url_domain(target_url) AS target_host,
+       |  count(*) AS n_links, count(DISTINCT $id) AS n_docs
+       |FROM _a
+       |WHERE target_url rlike '^https?://'
+       |  AND graft_url_domain(target_url) != src_host
+       |GROUP BY src_host, target_host
+       |ORDER BY src_host, target_host""".stripMargin
+  }
+
   def langidScoreSql(table: String, idCol: String, textCol: String,
       classes: Seq[String], dim: Int = 1024): String = {
     require(dim > 0, s"dim must be positive, got $dim")

@@ -114,6 +114,24 @@ class SqlSurfaceSpec extends SparkSpec {
       "SQL surt surface diverges from the Column API")
   }
 
+  test("SqlOps.linkGraphSql == q105's link-graph plan (rows)") {
+    registered
+    import org.apache.spark.sql.functions.col
+    // the q105 synthesis, registered as a plain (id, html, base) view —
+    // the twin must reproduce extraction, resolution, canonicalization,
+    // and the edge rollup from SQL alone
+    graft.Tables.documents(spark, sfDir)
+      .withColumn("base_url", graft.queries.TextQueries.syntheticBaseUrl)
+      .withColumn("html", graft.queries.TextQueries.syntheticLinkHtml)
+      .select("doc_id", "html", "base_url")
+      .createOrReplaceTempView("linkgraph_docs")
+    val viaSql = spark.sql(graft.sql.SqlOps.linkGraphSql(
+      "linkgraph_docs", "doc_id", "html", "base_url"))
+    val q105 = SparkEntry.queries("q105_link_graph")(spark, sfDir)
+    assert(viaSql.exceptAll(q105).isEmpty && q105.exceptAll(viaSql).isEmpty,
+      "SQL link-graph twin diverges from the Column plan")
+  }
+
   test("graft_quality == q24's quality_score column") {
     registered
     val viaSql = spark.sql(
