@@ -933,6 +933,33 @@ object TextQueries {
         .select(col("doc_id"), col("host"),
           round(col("rank"), 8).as("host_rank"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q107: crawl frontier (seed discovery) ----
+    // The crawler's next decision, off q105's machinery: link targets NOT
+    // yet in the crawled set (anti-join on the canonical url — the q102
+    // prerequisite: until spellings collapse, "new" urls are re-crawls),
+    // citation-ranked per host with a per-host cap (the politeness budget
+    // — a crawler never takes one host's whole frontier). Fragment-only
+    // anchors resolve to their own page and anti-join AWAY (the oracle
+    // pins that); same-host discoveries (the uncrawled site root, sibling
+    // docs under ?ref=) stay IN — a frontier is not cross-host-only.
+    // Plan: one shuffle for the per-url citation agg, one equi anti-join
+    // against the crawled set, the q08 top-N window over host groups
+    // (host count is catalog-bounded, never skewed corpus-wide).
+    "q107_crawl_frontier" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("base_url", syntheticBaseUrl)
+        .withColumn("html", syntheticLinkHtml)
+      val lk = graft.text.HtmlExtract.links(docs, "doc_id", "html", "base_url")
+      val crawled = docs.select(Urls.canonicalize(col("base_url")).as("target_url"))
+      val cites = lk.groupBy(col("target_url"), col("target_host"))
+        .agg(countDistinct(col("doc_id")).as("n_citations"))
+        .join(crawled, Seq("target_url"), "left_anti")
+      graft.ops.Windows.topNPerGroup(cites, Seq("target_host"),
+          Seq(col("n_citations").desc, col("target_url").asc), 10)
+        .select(col("target_url"), col("target_host"), col("n_citations"), col("rn"))
+        .orderBy(col("target_host"), col("rn"), col("target_url"))
     }
   )
 
@@ -1604,6 +1631,44 @@ object TextQueries {
          SELECT d.doc_id, d.src_host AS host, round(pr.rank, 8) AS host_rank
          FROM d LEFT JOIN pr ON pr.node = d.src_host AND pr.iter = 5
          ORDER BY d.doc_id""",
+
+    // q107: the closed-form target list INCLUDES the fragment-only anchor
+    // (it resolves to the page itself) so the anti-join is what removes
+    // it — mirroring the engine exactly; every other synthesized target
+    // reconstructs arithmetically (the q105 discipline).
+    "q107_crawl_frontier" ->
+      """WITH d AS (SELECT doc_id, source, lang,
+             source || '.example.com' AS src_host,
+             'https://' || source || '.example.com/' || lang || '/doc/' || doc_id AS base_url
+           FROM documents),
+         l AS (
+           SELECT doc_id, 'https://' || src_host AS url, src_host AS host FROM d
+           UNION ALL SELECT doc_id, base_url, src_host FROM d
+           UNION ALL SELECT doc_id,
+             'https://src' || (doc_id % 10) || '.example.com/hub',
+             'src' || (doc_id % 10) || '.example.com' FROM d
+           UNION ALL SELECT doc_id,
+             'https://src' || (doc_id % 10) || '.example.com/other',
+             'src' || (doc_id % 10) || '.example.com' FROM d
+           UNION ALL SELECT doc_id,
+             'https://cdn' || (doc_id % 3) || '.example.com/asset/' || (doc_id % 4),
+             'cdn' || (doc_id % 3) || '.example.com' FROM d
+           UNION ALL SELECT doc_id,
+             'https://' || src_host || '/' || lang || '/doc/' || (doc_id % 100) || '?ref=1',
+             src_host FROM d
+           UNION ALL SELECT doc_id,
+             'http://partner' || (doc_id % 5) || '.example.org/p',
+             'partner' || (doc_id % 5) || '.example.org' FROM d),
+         cit AS (SELECT url, host, count(DISTINCT doc_id) AS n_citations
+           FROM l WHERE url NOT IN (SELECT base_url FROM d)
+           GROUP BY 1, 2),
+         rk AS (SELECT url, host, n_citations,
+             row_number() OVER (PARTITION BY host
+               ORDER BY n_citations DESC, url) AS rn
+           FROM cit)
+         SELECT url AS target_url, host AS target_host, n_citations, rn
+         FROM rk WHERE rn <= 10
+         ORDER BY target_host, rn, target_url""",
     "q74_bigram_logprob" ->
       s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
          bg AS (SELECT doc_id,
