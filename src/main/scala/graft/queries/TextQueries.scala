@@ -896,10 +896,7 @@ object TextQueries {
     // so one mis-resolved href anywhere shifts a count); UrlSpec pins
     // resolve rule-by-rule on shapes beyond the synthesis.
     "q105_link_graph" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-        .withColumn("base_url", syntheticBaseUrl)
-        .withColumn("html", syntheticLinkHtml)
-      val lk = graft.text.HtmlExtract.links(docs, "doc_id", "html", "base_url")
+      val lk = syntheticLinkFrame(s, d)
       lk.filter(col("target_host") =!= col("src_host"))
         .groupBy(col("src_host"), col("target_host"))
         .agg(count(lit(1)).as("n_links"),
@@ -919,10 +916,7 @@ object TextQueries {
     // divide, (1−d)/N teleport base, round 8) over the q105 closed-form
     // edge set.
     "q106_host_rank" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-        .withColumn("base_url", syntheticBaseUrl)
-        .withColumn("html", syntheticLinkHtml)
-      val lk = graft.text.HtmlExtract.links(docs, "doc_id", "html", "base_url")
+      val lk = syntheticLinkFrame(s, d)
       val edges = lk.filter(col("target_host") =!= col("src_host"))
         .select(col("src_host").as("src"), col("target_host").as("dst"))
       val ranks = graft.ops.Graph.pageRank(edges, "src", "dst", iters = 5)
@@ -948,11 +942,9 @@ object TextQueries {
     // against the crawled set, the q08 top-N window over host groups
     // (host count is catalog-bounded, never skewed corpus-wide).
     "q107_crawl_frontier" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-        .withColumn("base_url", syntheticBaseUrl)
-        .withColumn("html", syntheticLinkHtml)
-      val lk = graft.text.HtmlExtract.links(docs, "doc_id", "html", "base_url")
-      val crawled = docs.select(Urls.canonicalize(col("base_url")).as("target_url"))
+      val lk = syntheticLinkFrame(s, d)
+      val crawled = Tables.documents(s, d)
+        .select(Urls.canonicalize(syntheticBaseUrl).as("target_url"))
       val cites = lk.groupBy(col("target_url"), col("target_host"))
         .agg(countDistinct(col("doc_id")).as("n_citations"))
         .join(crawled, Seq("target_url"), "left_anti")
@@ -979,6 +971,21 @@ object TextQueries {
     *  - `mailto:` + `javascript:` anchors and a script-EMBEDDED href
     *    (must be invisible to extraction): contribute nothing
     */
+  /** The shared q105/q106/q107 link frame, REGISTRY-CACHED (the q67/q68
+    * sharing discipline): all three queries build the identical logical
+    * plan, so Catalyst's CacheManager serves q106's edges and q107's
+    * citations from q105's materialization instead of re-running the
+    * extract->resolve->canonicalize scan three times. `Graft.
+    * releaseCaches()` frees it at a batch boundary; correctness never
+    * depends on the cache (a released frame recomputes).
+    */
+  private def syntheticLinkFrame(s: SparkSession, d: String): DataFrame =
+    Graft.registerCache(graft.text.HtmlExtract.links(
+      Tables.documents(s, d)
+        .withColumn("base_url", syntheticBaseUrl)
+        .withColumn("html", syntheticLinkHtml),
+      "doc_id", "html", "base_url"))
+
   private[graft] def syntheticBaseUrl: org.apache.spark.sql.Column =
     concat(lit("https://"), col("source"), lit(".example.com/"),
       col("lang"), lit("/doc/"), col("doc_id").cast("string"))
