@@ -77,7 +77,7 @@ object ScaleBench {
     "x94_span_trim_work", "x97_contamination_trim_work",
     "x100_classifier_work", "x101_image_dhash_work",
     "x102_url_curate_work", "x102_url_canon_work", "x104_langid_work",
-    "x105_link_graph_work")
+    "x105_link_graph_work", "x107_frontier_work")
 
   /** Default key stride between copies: far above any sf0.1 key range, so
     * strided ids never collide across copies. A SECOND derivation (e.g.
@@ -292,6 +292,14 @@ object ScaleBench {
     "x105_link_graph_work" -> { (s, d) =>
       SparkEntry.queries("q105_link_graph")(s, d)
         .agg(sum(col("n_links")).as("t"), count(lit(1)).as("n"))
+    },
+    // q107's own cost model beyond x105's scan: the per-url citation agg
+    // + the corpus-sized anti-join against the crawled set. The host
+    // window needs every citation row, so nothing prunes; the per-host
+    // cap only bounds the OUTPUT.
+    "x107_frontier_work" -> { (s, d) =>
+      SparkEntry.queries("q107_crawl_frontier")(s, d)
+        .agg(sum(col("n_citations")).as("t"), count(lit(1)).as("n"))
     })
 
   def main(args: Array[String]): Unit = {
