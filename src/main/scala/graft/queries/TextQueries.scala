@@ -952,6 +952,28 @@ object TextQueries {
           Seq(col("n_citations").desc, col("target_url").asc), 10)
         .select(col("target_url"), col("target_host"), col("n_citations"), col("rn"))
         .orderBy(col("target_host"), col("rn"), col("target_url"))
+    },
+
+    // ---- q108: anchor-text profile per target host ----
+    // What OTHER pages call a host — the label signal q105's edge counts
+    // drop (anchor-text corpora for retrieval training; off-page spam
+    // text detection). HtmlExtract.anchorTexts pairs each well-formed
+    // visible anchor's inner text with its resolved+canonical target;
+    // the rollup is one bounded groupBy over (host, text). The oracle
+    // pins inner-text extraction through the whole chain — the
+    // synthesized texts are constants per anchor kind, so a mis-paired
+    // href/text anywhere shifts a count.
+    "q108_anchor_text" -> { (s, d) =>
+      val at = graft.text.HtmlExtract.anchorTexts(
+        Tables.documents(s, d)
+          .withColumn("base_url", syntheticBaseUrl)
+          .withColumn("html", syntheticLinkHtml),
+        "doc_id", "html", "base_url")
+      at.filter(col("target_host") =!= col("src_host"))
+        .groupBy(col("target_host"), col("anchor_text"))
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("target_host"), col("anchor_text"))
     }
   )
 
@@ -1676,6 +1698,24 @@ object TextQueries {
          SELECT url AS target_url, host AS target_host, n_citations, rn
          FROM rk WHERE rn <= 10
          ORDER BY target_host, rn, target_url""",
+
+    // q108: the synthesized anchor TEXTS are constants per anchor kind
+    // (hub→'hub', clean twin→'more', cdn→'asset', partner→'partner';
+    // same-host and non-http anchors contribute nothing) — closed-form.
+    "q108_anchor_text" ->
+      """WITH d AS (SELECT doc_id, source || '.example.com' AS src_host,
+             'src' || (doc_id % 10) || '.example.com' AS hub_host,
+             'cdn' || (doc_id % 3) || '.example.com' AS cdn_host,
+             'partner' || (doc_id % 5) || '.example.org' AS partner_host
+           FROM documents),
+         l AS (SELECT src_host, hub_host AS thost, 'hub' AS atext, doc_id FROM d
+           UNION ALL SELECT src_host, hub_host, 'more', doc_id FROM d
+           UNION ALL SELECT src_host, cdn_host, 'asset', doc_id FROM d
+           UNION ALL SELECT src_host, partner_host, 'partner', doc_id FROM d)
+         SELECT thost AS target_host, atext AS anchor_text,
+           count(*)::BIGINT AS n_links, count(DISTINCT doc_id)::BIGINT AS n_docs
+         FROM l WHERE thost <> src_host
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q74_bigram_logprob" ->
       s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
          bg AS (SELECT doc_id,

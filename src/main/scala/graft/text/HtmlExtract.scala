@@ -90,17 +90,21 @@ object HtmlExtract {
     * Common-Crawl-style host ranking) runs at crawl throughput with zero
     * shuffle until the caller aggregates.
     */
-  def links(docs: DataFrame, idCol: String, htmlCol: String,
-      baseCol: String): DataFrame = {
-    // Real crawls spell href all three legal ways (double-quoted,
-    // single-quoted, unquoted); regexp_extract_all returns ONE group
-    // index, so the single- and un-quoted forms are first NORMALIZED onto
-    // the double-quoted spelling (the unquoted alternation's first char
-    // excludes quotes, so already-quoted values never re-wrap).
-    val normalized = regexp_replace(
+  /** Visible markup with every href NORMALIZED onto the double-quoted
+    * spelling: real crawls use all three legal forms, and
+    * regexp_extract_all returns ONE group index, so the single- and
+    * un-quoted forms rewrite first (the unquoted alternation's first
+    * char excludes quotes, so already-quoted values never re-wrap).
+    */
+  private def normalizedAnchors(htmlCol: String): Column =
+    regexp_replace(
       regexp_replace(dropInvisible(col(htmlCol)),
         "(?is)(<a\\s[^>]*?href\\s*=\\s*)'([^']*)'", "$1\"$2\""),
       "(?is)(<a\\s[^>]*?href\\s*=\\s*)([^\"'\\s>][^\\s>]*)", "$1\"$2\"")
+
+  def links(docs: DataFrame, idCol: String, htmlCol: String,
+      baseCol: String): DataFrame = {
+    val normalized = normalizedAnchors(htmlCol)
     docs.select(col(idCol),
         graft.text.Urls.domain(graft.text.Urls.canonicalize(col(baseCol)))
           .as("src_host"),
@@ -114,6 +118,39 @@ object HtmlExtract {
       .select(col(idCol), col("src_host"), col("href"), col("target_url"),
         graft.text.Urls.domain(col("target_url")).as("target_host"))
   }
+
+  /** Anchor TEXT per link — the label signal [[links]] drops: what other
+    * pages CALL a target is a classic retrieval-training / host-quality
+    * feature (anchor-text corpora). One row per WELL-FORMED visible
+    * anchor — `<a …href…>text</a>` with a closing tag; an unclosed
+    * anchor still counts as a link in [[links]] but carries no
+    * extractable text, so it is skipped HERE (lazy inner match, so a
+    * malformed open anchor never swallows its neighbors' text beyond the
+    * next close). Columns: (idCol, src_host, href, anchor_text,
+    * target_url, target_host) — `anchor_text` is the tag-stripped
+    * trimmed inner text (inline markup like `<b>` inside the anchor
+    * contributes its text). Same normalization, resolution,
+    * canonicalization, and non-http filter as [[links]]; same
+    * scan-shaped cost (one more regexp pass + two per-element extracts).
+    */
+  def anchorTexts(docs: DataFrame, idCol: String, htmlCol: String,
+      baseCol: String): DataFrame =
+    docs.select(col(idCol),
+        graft.text.Urls.domain(graft.text.Urls.canonicalize(col(baseCol)))
+          .as("src_host"),
+        col(baseCol).as("_base"),
+        explode(regexp_extract_all(normalizedAnchors(htmlCol),
+          lit("(?is)<a\\s[^>]*href\\s*=\\s*\"[^\"]*\"[^>]*>.*?</a>"), lit(0)))
+          .as("_a"))
+      .withColumn("href", regexp_extract(col("_a"),
+        "(?is)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\"", 1))
+      .withColumn("anchor_text", trim(stripTags(col("_a"))))
+      .withColumn("target_url", graft.text.Urls.canonicalize(
+        graft.text.Urls.resolve(col("_base"), col("href"))))
+      .filter(col("target_url").rlike("^https?://"))
+      .select(col(idCol), col("src_host"), col("href"), col("anchor_text"),
+        col("target_url"),
+        graft.text.Urls.domain(col("target_url")).as("target_host"))
 
   /** Main-text extraction rollup: one row per input document —
     * (`idCol`, n_blocks, n_kept, kept_chars, main_text) where a block is

@@ -1016,6 +1016,28 @@ class TextSpec extends SparkSpec {
       "https://sq.example/b?x=1", "https://uq.example/c"), got)
   }
 
+  test("HtmlExtract.anchorTexts: inner text per well-formed anchor; " +
+      "unclosed anchors skipped, inline markup stripped") {
+    val html = "<html><body>" +
+      "<a href=\"https://x.example/a\">plain text</a>" +
+      "<a href=\"https://x.example/b\">has <b>bold</b> inside</a>" +
+      "<a href=\"https://x.example/unclosed\">never closes " + // no </a>
+      "<p>prose</p>" +
+      "</body></html>"
+    val docs = Seq((1L, html, "https://base.example/p"))
+      .toDF("doc_id", "html", "base_url")
+    val got = graft.text.HtmlExtract
+      .anchorTexts(docs, "doc_id", "html", "base_url")
+      .select("href", "anchor_text").as[(String, String)].collect().sortBy(_._1)
+    // the unclosed anchor swallows up to the NEXT </a> — there is none
+    // after it, so it drops here (links() still counts its href)
+    assert(got.toSeq == Seq(
+      ("https://x.example/a", "plain text"),
+      ("https://x.example/b", "has bold inside")), got.toSeq)
+    val links = graft.text.HtmlExtract.links(docs, "doc_id", "html", "base_url")
+    assert(links.count() == 3, "links() still counts the unclosed anchor")
+  }
+
   test("HtmlExtract feeds the B block: boilerplate grams vanish downstream") {
     // The direction check the intake step exists for: shared page chrome
     // dominates cross-doc duplicate grams on RAW tag-stripped text, and
