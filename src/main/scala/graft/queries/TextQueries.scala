@@ -974,6 +974,41 @@ object TextQueries {
         .agg(count(lit(1)).as("n_links"),
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("target_host"), col("anchor_text"))
+    },
+
+    // ---- q109: corpus collocations (PMI phrase mining) ----
+    // Statistically-bound word pairs — phrase-table seeding, tokenizer
+    // pre-merges, stock-phrase detection. q74 scores DOCS under the
+    // bigram LM; this mines the PAIRS: PMI against the bigram table's
+    // own margins. The RANKING key is exact-integer arithmetic, the q98
+    // discipline — lift_ppm = floor(n_pair·N·10⁶ / (c_left·c_right))
+    // over exact-integer doubles (products stay under 2^53 at any test
+    // SF; both engines round the one division identically), so the
+    // top-50 cut is bit-deterministic while the display pmi (ln, libm)
+    // rounds at 4 like q74. One corpus scan; margins and joins are
+    // VOCAB-sized; top-50 is TakeOrdered, never a global sort.
+    "q109_collocations" -> { (s, d) =>
+      val bg = Tables.documents(s, d)
+        .withColumn("_toks", TF.tokens(col("text")))
+        .filter(size(col("_toks")) >= 2)
+        .select(explode(TF.wordBigrams(col("_toks"))).as("bigram"))
+      val c2 = Graft.registerCache(
+        bg.groupBy(col("bigram")).agg(count(lit(1)).as("n_pair"))
+          .withColumn("w1", substring_index(col("bigram"), " ", 1))
+          .withColumn("w2", substring_index(col("bigram"), " ", -1)))
+      // one scalar to the driver (total bigram mass), the q104 discipline
+      val n = c2.agg(sum(col("n_pair"))).head.getLong(0).toDouble
+      val cl = c2.groupBy(col("w1")).agg(sum(col("n_pair")).as("c_left"))
+      val cr = c2.groupBy(col("w2")).agg(sum(col("n_pair")).as("c_right"))
+      c2.join(cl, Seq("w1")).join(cr, Seq("w2"))
+        .filter(col("n_pair") >= 3)
+        .select(col("w1"), col("w2"), col("n_pair"),
+          floor(col("n_pair") * lit(n) * lit(1000000.0) /
+            (col("c_left") * col("c_right"))).cast("long").as("lift_ppm"),
+          round(log(col("n_pair") * lit(n) / (col("c_left") * col("c_right"))), 4)
+            .as("pmi"))
+        .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+        .limit(50)
     }
   )
 
@@ -1716,6 +1751,29 @@ object TextQueries {
            count(*)::BIGINT AS n_links, count(DISTINCT doc_id)::BIGINT AS n_docs
          FROM l WHERE thost <> src_host
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q109: identical left-assoc double arithmetic on exact-integer
+    // operands (products < 2^53) makes floor() bit-deterministic in both
+    // engines; the ln display rounds at 4 (the q74 libm discipline).
+    "q109_collocations" ->
+      s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         bg AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
+             for i in range(1, len(toks))]) AS bigram
+           FROM tk WHERE len(toks) >= 2),
+         c2 AS (SELECT bigram, split_part(bigram, ' ', 1) AS w1,
+             split_part(bigram, ' ', 2) AS w2, count(*) AS n_pair
+           FROM bg GROUP BY 1, 2, 3),
+         nn AS (SELECT sum(n_pair)::DOUBLE AS n FROM c2),
+         cl AS (SELECT w1, sum(n_pair) AS c_left FROM c2 GROUP BY 1),
+         cr AS (SELECT w2, sum(n_pair) AS c_right FROM c2 GROUP BY 1)
+         SELECT c2.w1, c2.w2, c2.n_pair::BIGINT AS n_pair,
+           floor(c2.n_pair * (SELECT n FROM nn) * 1000000.0
+             / (cl.c_left * cr.c_right))::BIGINT AS lift_ppm,
+           round(ln(c2.n_pair * (SELECT n FROM nn)
+             / (cl.c_left * cr.c_right)), 4) AS pmi
+         FROM c2 JOIN cl USING (w1) JOIN cr USING (w2)
+         WHERE c2.n_pair >= 3
+         ORDER BY lift_ppm DESC, w1, w2 LIMIT 50""",
     "q74_bigram_logprob" ->
       s"""WITH tk AS (SELECT doc_id, $TOKS AS toks FROM documents),
          bg AS (SELECT doc_id,
