@@ -120,6 +120,29 @@ object SimQueries {
       Ann.ivfPqTopK(v, v.filter(col("id") < 10), m = 8, ksub = 16,
           nprobe = 2, k = 3, rerank = 32)
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ---- q110: PCA projection (scoring face) ----
+    // The dimensionality-reduction step SemDeDup-style pipelines run
+    // before clustering. FIT (scatter pass + driver Jacobi eigen,
+    // sim/Pca.scala) is the q95/q100 train discipline and is spec-gated
+    // (known-matrix eigenpairs, orthonormality, residuals, variance
+    // capture on correlated data); the ORACLE pins the PROJECTION
+    // machinery under a closed-form DYADIC component matrix
+    // (w(i,j) = ((31i+7j) mod 17 − 8)/16, mean 0): every per-term
+    // product is exact (dyadic × float), both engines fold the same
+    // sequence left-to-right (graft_dot == list_sum — the q27
+    // discipline), and the display rounds at 6.
+    "q110_pca_project" -> { (s, d) =>
+      val (k, dim) = (4, 64)
+      val w = Array.tabulate(k, dim)((i, j) =>
+        (((i * 31 + j * 7) % 17) - 8) / 16.0)
+      val model = graft.sim.Pca.Model(
+        Array.fill(dim)(0.0), Array.fill(k)(0.0), w)
+      graft.sim.Pca.transform(Tables.embeddings(s, d), "embedding", model, "p")
+        .select(col("vec_id"), posexplode(col("p")).as(Seq("comp", "proj")))
+        .select(col("vec_id"), col("comp"), round(col("proj"), 6).as("proj"))
+        .orderBy(col("vec_id"), col("comp"))
     }
   )
 
@@ -244,6 +267,18 @@ object SimQueries {
            GROUP BY 1)
          SELECT bk.vec_id, bk.bucket::BIGINT AS bucket, d.dropped_by,
            coalesce(d.n_coverers, 0) AS n_coverers
-         FROM bk LEFT JOIN drops d USING (vec_id) ORDER BY vec_id"""
+         FROM bk LEFT JOIN drops d USING (vec_id) ORDER BY vec_id""",
+
+    // q110: same dyadic weight formula, same left-to-right fold
+    // (list_sum == the graft_dot sequential sum — the q27 discipline).
+    "q110_pca_project" ->
+      s"""WITH $E,
+         c AS (SELECT unnest(range(4)) AS comp),
+         p AS (SELECT vec_id, comp,
+             list_sum([(((comp * 31 + (j - 1) * 7) % 17 - 8) / 16.0) * v[j]
+               for j in range(1, len(v) + 1)]) AS proj
+           FROM e CROSS JOIN c)
+         SELECT vec_id, comp, round(proj, 6) AS proj
+         FROM p ORDER BY vec_id, comp"""
   )
 }

@@ -1,0 +1,162 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PCA over an embedding column — the whitening/reduction step
+  * SemDeDup-lineage pipelines run before clustering/bucketing (cluster in
+  * a reduced space, dedup in it, map survivors back).
+  *
+  * FIT follows the q95/q100 train discipline translated to linear
+  * algebra: the d-mean and d×d scatter accumulate in ONE map-side-combined
+  * pass (`treeAggregate` with a (1+d+d²)-double buffer — model-sized
+  * partials, never row data; this is the public RowMatrix pattern and the
+  * one sanctioned imperative-RDD use: per-partition dense accumulation),
+  * then a DRIVER-side cyclic Jacobi eigendecomposition of the d×d
+  * symmetric covariance — deterministic by construction: fixed sweep
+  * order, fixed convergence threshold, eigenpairs sorted by eigenvalue
+  * descending, eigenvector sign fixed by largest-|entry| positive.
+  *
+  * TRANSFORM is scan-shaped: k native-dot folds per row
+  * ([[Ann.dot]], codegen'd) against the broadcast (mean, components)
+  * literals — no shuffle, no UDF.
+  *
+  * 100 TB note: the scatter pass is d² flops/row (4096 at d=64) over the
+  * FIT input only — production fits on a bounded sample (pass a sampled
+  * frame; the estimator doesn't care) and transforms the corpus, which
+  * costs k·d flops/row.
+  */
+object Pca {
+
+  /** Fitted model: `components(i)` is the i-th principal axis (unit
+    * length, largest-|entry| positive), `eigenvalues(i)` its variance.
+    */
+  final case class Model(mean: Array[Double], eigenvalues: Array[Double],
+      components: Array[Array[Double]])
+
+  /** Mean + top-`k` principal components of `vecCol` (array<float> or
+    * array<double>), via one scatter pass + driver Jacobi.
+    */
+  def fit(df: DataFrame, vecCol: String, k: Int): Model = {
+    val vecs = df.select(col(vecCol).cast("array<double>")).rdd
+      .map(_.getSeq[Double](0).toArray)
+    val d = vecs.first().length
+    require(k >= 1 && k <= d, s"k must be in [1, $d], got $k")
+    val zero = new Array[Double](1 + d + d * d)
+    def seqOp(acc: Array[Double], v: Array[Double]): Array[Double] = {
+      require(v.length == d, s"ragged vector: ${v.length} != $d")
+      acc(0) += 1
+      var i = 0
+      while (i < d) { acc(1 + i) += v(i); i += 1 }
+      i = 0
+      while (i < d) {
+        val vi = v(i)
+        val base = 1 + d + i * d
+        var j = 0
+        while (j < d) { acc(base + j) += vi * v(j); j += 1 }
+        i += 1
+      }
+      acc
+    }
+    def combOp(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+    }
+    val agg = vecs.treeAggregate(zero)(seqOp, combOp)
+    val n = agg(0)
+    require(n > 1, s"PCA needs more than one vector, got ${n.toLong}")
+    val mean = Array.tabulate(d)(i => agg(1 + i) / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      agg(1 + d + i * d + j) / n - mean(i) * mean(j))
+    val (vals, axes) = symmetricEigen(cov)
+    Model(mean, vals.take(k), axes.take(k))
+  }
+
+  /** Append `outCol` = the k-component centered projection of `vecCol`
+    * under `model` — per row, k codegen'd dot folds against broadcast
+    * literals.
+    */
+  def transform(df: DataFrame, vecCol: String, model: Model,
+      outCol: String = "pca"): DataFrame = {
+    val centered = zip_with(Ann.toDouble(col(vecCol)),
+      typedlit(model.mean.toSeq), (x, m) => x - m)
+    val tmp = "__pca_centered"
+    val withC = df.withColumn(tmp, centered)
+    val comps = model.components.map(c => Ann.dot(col(tmp), typedlit(c.toSeq)))
+    withC.withColumn(outCol, array(comps.toIndexedSeq: _*)).drop(tmp)
+  }
+
+  /** Eigendecomposition of a symmetric matrix by cyclic Jacobi rotations
+    * (public textbook algorithm; Golub & Van Loan §8.5): sweeps over all
+    * (p, q) pairs in fixed order until the off-diagonal Frobenius mass
+    * drops below tolerance. Returns (eigenvalues desc, eigenvectors as
+    * rows), signs fixed largest-|entry|-positive so the decomposition is
+    * a pure function of the input.
+    */
+  private[graft] def symmetricEigen(m: Array[Array[Double]],
+      maxSweeps: Int = 64, tol: Double = 1e-20)
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var p = 0
+      while (p < n) {
+        var q = p + 1
+        while (q < n) { s += a(p)(q) * a(p)(q); q += 1 }
+        p += 1
+      }
+      s
+    }
+    var sweep = 0
+    while (sweep < maxSweeps && off() > tol) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1))
+            val c = 1.0 / math.sqrt(t * t + 1)
+            val s = t * c
+            var i = 0
+            while (i < n) { // A ← A·J (columns p, q)
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < n) { // A ← Jᵀ·A (rows p, q)
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < n) { // V ← V·J
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val pairs = (0 until n)
+      .map(i => (a(i)(i), Array.tabulate(n)(r => v(r)(i))))
+      .sortBy(-_._1)
+    val fixed = pairs.map { case (ev, vec) =>
+      val mx = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
+      if (vec(mx) < 0) (ev, vec.map(x => -x)) else (ev, vec)
+    }
+    (fixed.map(_._1).toArray, fixed.map(_._2).toArray)
+  }
+}

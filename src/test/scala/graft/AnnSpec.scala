@@ -87,6 +87,74 @@ class AnnSpec extends SparkSpec {
     assert(autoTop == fixedTop && autoTop.nonEmpty)
   }
 
+  test("Pca.symmetricEigen: known 2x2 eigenpairs, orthonormal, sign-fixed") {
+    val (vals, vecs) = graft.sim.Pca.symmetricEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-12 && math.abs(vals(1) - 1.0) < 1e-12)
+    val r = 1.0 / math.sqrt(2.0)
+    assert(vecs(0).zip(Array(r, r)).forall { case (a, b) => math.abs(a - b) < 1e-12 },
+      vecs(0).toSeq)
+    assert(vecs(1).zip(Array(r, -r)).forall { case (a, b) => math.abs(a - b) < 1e-12 },
+      vecs(1).toSeq)
+  }
+
+  test("Pca.fit recovers planted axes: eigen residuals, orthonormality, " +
+      "variance capture; transform == driver projection") {
+    // deterministic planted-subspace corpus in d=6: big variance along
+    // u1, smaller along u2, trace noise elsewhere (no RNG — index math)
+    val d = 6
+    val u1 = Array(1.0, 1.0, 0.0, 0.0, 0.0, 0.0).map(_ / math.sqrt(2))
+    val u2 = Array(0.0, 0.0, 1.0, -1.0, 0.0, 0.0).map(_ / math.sqrt(2))
+    val rows = (0 until 200).map { i =>
+      val a = math.sin(i * 0.37) * 10.0
+      val b = math.cos(i * 0.53) * 3.0
+      val noise = Array.tabulate(d)(j => math.sin(i * 1.1 + j * 2.3) * 0.05)
+      (i.toLong, Array.tabulate(d)(j =>
+        (a * u1(j) + b * u2(j) + noise(j)).toFloat))
+    }
+    val df = rows.toDF("id", "vec")
+    val model = graft.sim.Pca.fit(df, "vec", 3)
+    // variance ordering + capture: two planted axes dominate
+    assert(model.eigenvalues(0) > model.eigenvalues(1) &&
+      model.eigenvalues(1) > model.eigenvalues(2))
+    assert(model.eigenvalues(0) > 20 && model.eigenvalues(1) > 2 &&
+      model.eigenvalues(2) < 0.1, model.eigenvalues.toSeq)
+    // components orthonormal
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val dot = model.components(i).zip(model.components(j)).map(t => t._1 * t._2).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"($i,$j) $dot")
+    }
+    // top components span the planted axes (|cos| ≈ 1 up to noise)
+    def absCos(a: Array[Double], b: Array[Double]) =
+      math.abs(a.zip(b).map(t => t._1 * t._2).sum)
+    assert(absCos(model.components(0), u1) > 0.999, model.components(0).toSeq)
+    assert(absCos(model.components(1), u2) > 0.999, model.components(1).toSeq)
+    // eigen residual against the actual covariance: ||C·v − λ·v|| small
+    val n = rows.size.toDouble
+    val mean = Array.tabulate(d)(j => rows.map(_._2(j).toDouble).sum / n)
+    val cov = Array.tabulate(d, d)((p, q) =>
+      rows.map(r => (r._2(p) - mean(p)) * (r._2(q) - mean(q))).sum / n)
+    for (i <- 0 until 3) {
+      val v = model.components(i)
+      val cv = Array.tabulate(d)(p => (0 until d).map(q => cov(p)(q) * v(q)).sum)
+      val res = math.sqrt(Array.tabulate(d)(p =>
+        math.pow(cv(p) - model.eigenvalues(i) * v(p), 2)).sum)
+      assert(res < 1e-6, s"eigen residual $i: $res")
+    }
+    // transform parity with the driver-side projection
+    val got = graft.sim.Pca.transform(df, "vec", model, "p")
+      .select(col("id"), col("p")).as[(Long, Seq[Double])].collect()
+      .sortBy(_._1).take(5)
+    got.foreach { case (id, p) =>
+      val vec = rows(id.toInt)._2.map(_.toDouble)
+      val want = model.components.map(c =>
+        c.indices.map(j => (vec(j) - model.mean(j)) * c(j)).sum)
+      p.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-9, s"id=$id $p vs ${want.toSeq}")
+      }
+    }
+  }
+
   test("native graft_dot matches the interpreted HOF fold bit-for-bit") {
     val df = Tables.embeddings(spark, sfDir).limit(100)
       .select(col("vec_id"), Ann.toDouble(col("embedding")).as("v"))
