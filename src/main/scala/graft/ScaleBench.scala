@@ -77,7 +77,8 @@ object ScaleBench {
     "x94_span_trim_work", "x97_contamination_trim_work",
     "x100_classifier_work", "x101_image_dhash_work",
     "x102_url_curate_work", "x102_url_canon_work", "x104_langid_work",
-    "x105_link_graph_work", "x107_frontier_work")
+    "x105_link_graph_work", "x107_frontier_work", "x108_anchor_work",
+    "x109_colloc_work", "x110_pca_work")
 
   /** Default key stride between copies: far above any sf0.1 key range, so
     * strided ids never collide across copies. A SECOND derivation (e.g.
@@ -300,6 +301,21 @@ object ScaleBench {
     "x107_frontier_work" -> { (s, d) =>
       SparkEntry.queries("q107_crawl_frontier")(s, d)
         .agg(sum(col("n_citations")).as("t"), count(lit(1)).as("n"))
+    },
+    // q108: the rollup needs every anchor's text+target — nothing prunes.
+    "x108_anchor_work" -> { (s, d) =>
+      SparkEntry.queries("q108_anchor_text")(s, d)
+        .agg(sum(col("n_links")).as("t"), count(lit(1)).as("n"))
+    },
+    // q109: the top-50 cut needs every bigram's lift — nothing prunes.
+    "x109_colloc_work" -> { (s, d) =>
+      SparkEntry.queries("q109_collocations")(s, d)
+        .agg(sum(col("lift_ppm")).as("t"), count(lit(1)).as("n"))
+    },
+    // q110: summing projections forces every row's k dot folds.
+    "x110_pca_work" -> { (s, d) =>
+      SparkEntry.queries("q110_pca_project")(s, d)
+        .agg(sum(col("proj")).as("t"), count(lit(1)).as("n"))
     })
 
   def main(args: Array[String]): Unit = {
