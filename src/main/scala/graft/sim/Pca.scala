@@ -37,11 +37,18 @@ object Pca {
   /** Mean + top-`k` principal components of `vecCol` (array<float> or
     * array<double>), via one scatter pass + driver Jacobi.
     */
-  def fit(df: DataFrame, vecCol: String, k: Int): Model = {
+  def fit(df: DataFrame, vecCol: String, k: Int): Model =
+    modelFromScatter(scatterOf(df, vecCol), k)
+
+  /** The one accumulation pass: a (1 + d + d²)-double buffer holding
+    * [n, Σv, Σvvᵀ] — an exact MERGE ALGEBRA (element-wise sums), which is
+    * what lets the streaming face (s27) land per-batch partials and fold
+    * them later into the same model.
+    */
+  private[graft] def scatterOf(df: DataFrame, vecCol: String): Array[Double] = {
     val vecs = df.select(col(vecCol).cast("array<double>")).rdd
       .map(_.getSeq[Double](0).toArray)
     val d = vecs.first().length
-    require(k >= 1 && k <= d, s"k must be in [1, $d], got $k")
     val zero = new Array[Double](1 + d + d * d)
     def seqOp(acc: Array[Double], v: Array[Double]): Array[Double] = {
       require(v.length == d, s"ragged vector: ${v.length} != $d")
@@ -61,7 +68,16 @@ object Pca {
     def combOp(a: Array[Double], b: Array[Double]): Array[Double] = {
       var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
     }
-    val agg = vecs.treeAggregate(zero)(seqOp, combOp)
+    vecs.treeAggregate(zero)(seqOp, combOp)
+  }
+
+  /** Model from an accumulated [n, Σv, Σvvᵀ] buffer (one batch's or a
+    * fold of many — the buffer layout IS the merge state).
+    */
+  private[graft] def modelFromScatter(agg: Array[Double], k: Int): Model = {
+    val d = ((math.sqrt(4.0 * (agg.length - 1) + 1) - 1) / 2).round.toInt
+    require(1 + d + d * d == agg.length, s"bad scatter buffer: ${agg.length}")
+    require(k >= 1 && k <= d, s"k must be in [1, $d], got $k")
     val n = agg(0)
     require(n > 1, s"PCA needs more than one vector, got ${n.toLong}")
     val mean = Array.tabulate(d)(i => agg(1 + i) / n)
@@ -73,15 +89,23 @@ object Pca {
 
   /** Append `outCol` = the k-component centered projection of `vecCol`
     * under `model` — per row, k codegen'd dot folds against broadcast
-    * literals.
+    * literals. With `whiten = true` each component divides by
+    * √(eigenvalue + 1e-12), so the projected coordinates have UNIT
+    * variance on the fit corpus (the actual whitening SemDeDup-style
+    * stacks want before cosine thresholds: without it the first axis
+    * dominates every distance).
     */
   def transform(df: DataFrame, vecCol: String, model: Model,
-      outCol: String = "pca"): DataFrame = {
+      outCol: String = "pca", whiten: Boolean = false): DataFrame = {
     val centered = zip_with(Ann.toDouble(col(vecCol)),
       typedlit(model.mean.toSeq), (x, m) => x - m)
     val tmp = "__pca_centered"
     val withC = df.withColumn(tmp, centered)
-    val comps = model.components.map(c => Ann.dot(col(tmp), typedlit(c.toSeq)))
+    val comps = model.components.zipWithIndex.map { case (c, i) =>
+      val proj = Ann.dot(col(tmp), typedlit(c.toSeq))
+      if (whiten) proj / lit(math.sqrt(model.eigenvalues(i) + 1e-12))
+      else proj
+    }
     withC.withColumn(outCol, array(comps.toIndexedSeq: _*)).drop(tmp)
   }
 

@@ -1336,6 +1336,58 @@ object Streams {
         .agg(sum(col("_n_links")).as("_n_links"),
           sum(col("_n_docs")).as("_n_docs")))
 
+  /** s27: streaming PCA scatter accumulation — q110's FIT at intake.
+    * Each micro-batch of embedding rows lands ONE partial row
+    * (batch_id, n, sums d, scatter d²) in its own batch_id partition —
+    * the s09 partial-aggregate template where the "group" is the whole
+    * model: the [n, Σv, Σvvᵀ] buffer is an exact merge algebra
+    * (element-wise sums), so the fold is lossless and replay = partition
+    * overwrite. State is MODEL-rate: one (1+d+d²)-double row per batch
+    * (33 KB at d=64), compactable with plain [[compactBatchLog]]
+    * (identity merge — the read-side fold re-sums anyway).
+    *
+    * [[readPcaModel]] folds the log and runs the same driver Jacobi as
+    * the batch fit — the s08 recompute-from-accumulated-state retrain
+    * discipline. Parity note: the fold sums per batch THEN across
+    * batches while the batch fit sums in partition order, so agreement
+    * is to float tolerance (double addition is order-sensitive), which
+    * the spec pins at 1e-9 on axes and eigenvalues — never bit-exactness
+    * claimed where it cannot hold.
+    */
+  def pcaScatterSink(spark: SparkSession, statsDir: String,
+      vecCol: String = "embedding")(batch: DataFrame, batchId: Long): Unit = {
+    val agg = graft.sim.Pca.scatterOf(batch, vecCol)
+    val d = ((math.sqrt(4.0 * (agg.length - 1) + 1) - 1) / 2).round.toInt
+    import spark.implicits._
+    val row = Seq((agg(0), agg.slice(1, 1 + d).toSeq,
+      agg.slice(1 + d, agg.length).toSeq))
+      .toDF("n", "sums", "scatter")
+      .withColumn("batch_id", lit(batchId))
+    graft.sources.Sinks.dynamicOverwrite(row, statsDir, Seq("batch_id"))
+  }
+
+  /** Fold the [[pcaScatterSink]] partial log into a PCA model: exact
+    * element-wise sums of the batch buffers, then the same driver-side
+    * eigendecomposition the batch [[graft.sim.Pca.fit]] runs.
+    */
+  def readPcaModel(spark: SparkSession, statsDir: String,
+      k: Int): graft.sim.Pca.Model = {
+    val rows = spark.read.parquet(statsDir)
+      .select(col("n"), col("sums"), col("scatter")).collect()
+    require(rows.nonEmpty, s"no PCA partials at $statsDir")
+    val d = rows.head.getSeq[Double](1).length
+    val acc = new Array[Double](1 + d + d * d)
+    rows.foreach { r =>
+      acc(0) += r.getDouble(0)
+      val s = r.getSeq[Double](1); val sc = r.getSeq[Double](2)
+      var i = 0
+      while (i < d) { acc(1 + i) += s(i); i += 1 }
+      i = 0
+      while (i < d * d) { acc(1 + d + i) += sc(i); i += 1 }
+    }
+    graft.sim.Pca.modelFromScatter(acc, k)
+  }
+
   /** foreachBatch SCD2 upsert sink: each micro-batch is deduped to its
     * latest row per key and merged into the parquet dimension at `dimPath`
     * with [[Scd2.merge]] semantics.

@@ -153,6 +153,15 @@ class AnnSpec extends SparkSpec {
         assert(math.abs(g - w) < 1e-9, s"id=$id $p vs ${want.toSeq}")
       }
     }
+    // whiten = true → unit variance per component on the fit corpus
+    val wh = graft.sim.Pca.transform(df, "vec", model, "p", whiten = true)
+      .select(col("p")).as[Seq[Double]].collect()
+    for (i <- 0 until 3) {
+      val xs = wh.map(_(i))
+      val mu = xs.sum / xs.size
+      val va = xs.map(x => (x - mu) * (x - mu)).sum / xs.size
+      assert(math.abs(va - 1.0) < 1e-6, s"whitened comp $i variance $va")
+    }
   }
 
   test("native graft_dot matches the interpreted HOF fold bit-for-bit") {

@@ -377,6 +377,46 @@ class StreamingSpec extends SparkSpec {
     assert(top == "hub.example", s"the cited hub must outrank its citers: $top")
   }
 
+  test("pcaScatterSink: folded model matches the batch fit; replay and " +
+      "compaction exact (s27)") {
+    val dir = Files.createTempDirectory("pcastream").toFile.getAbsolutePath
+    val sink = Streams.pcaScatterSink(spark, s"$dir/stats", "vec") _
+    val d = 6
+    val u1 = Array(1.0, 1.0, 0.0, 0.0, 0.0, 0.0).map(_ / math.sqrt(2))
+    val u2 = Array(0.0, 0.0, 1.0, -1.0, 0.0, 0.0).map(_ / math.sqrt(2))
+    def mk(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val a = math.sin(i * 0.37) * 10.0
+      val b = math.cos(i * 0.53) * 3.0
+      (i.toLong, Array.tabulate(d)(j =>
+        ((a * u1(j) + b * u2(j) + math.sin(i * 1.1 + j * 2.3) * 0.05)).toFloat))
+    }
+    val b1 = mk(0, 90).toDF("id", "vec")
+    val b2 = mk(90, 200).toDF("id", "vec")
+    sink(b1, 0L)
+    sink(b2, 1L)
+    sink(b2, 1L) // replay after a simulated post-write failure
+    // one model-rate row per batch, no duplicates from the replay
+    assert(spark.read.parquet(s"$dir/stats").count() == 2)
+    val streamed = Streams.readPcaModel(spark, s"$dir/stats", 3)
+    val batch = graft.sim.Pca.fit(b1.unionByName(b2), "vec", 3)
+    // fold vs partition-order summation: float tolerance, never bit
+    streamed.eigenvalues.zip(batch.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"$a vs $b")
+    }
+    streamed.components.zip(batch.components).foreach { case (sa, ba) =>
+      val cos = sa.zip(ba).map(t => t._1 * t._2).sum
+      assert(math.abs(cos - 1.0) < 1e-9, s"axis drifted: cos=$cos")
+    }
+    // compaction (identity merge — the read fold re-sums): model unchanged
+    assert(Streams.compactBatchLog(spark, s"$dir/stats", keepLast = 1))
+    val after = Streams.readPcaModel(spark, s"$dir/stats", 3)
+    // (float tolerance: compaction reorders the folded rows, and double
+    // addition is order-sensitive)
+    after.eigenvalues.zip(streamed.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"compaction changed the fold: $a vs $b")
+    }
+  }
+
   test("curateSink: first-seen-wins streaming curation, idempotent replay") {
     val dir = Files.createTempDirectory("curate_stream").toFile.getAbsolutePath
     val sink = Streams.curateSink(spark, s"$dir/state") _
