@@ -537,6 +537,9 @@ object Warc {
       while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
       buf.toArray
     }
+    // broadcast, not closure capture: a real cluster conf is tens of KB
+    // and the export fans out to ~file-count tasks
+    val confBc = spark.sparkContext.broadcast(confKV)
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
     val token = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(s"$path.__tmp-$token")
@@ -553,7 +556,7 @@ object Warc {
       part.rdd.foreachPartition { rows =>
         if (rows.hasNext) {
           val conf = new org.apache.hadoop.conf.Configuration(false)
-          confKV.foreach { case (k, v) => conf.set(k, v) }
+          confBc.value.foreach { case (k, v) => conf.set(k, v) }
           val idx = org.apache.spark.TaskContext.getPartitionId()
           val p = new org.apache.hadoop.fs.Path(f"$tmpStr/part-$idx%05d.warc.gz")
           val pfs = p.getFileSystem(conf)
