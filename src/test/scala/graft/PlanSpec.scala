@@ -73,6 +73,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), "anchor list explodes row-locally")
   }
 
+  test("q109 top-50 cut is TakeOrdered, never a global sort; no pair blowup") {
+    val p = plan("q109_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bucketed tables join without a shuffle (i05 co-located join)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

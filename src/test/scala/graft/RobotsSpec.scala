@@ -96,4 +96,27 @@ class RobotsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("robots-gated frontier: q107's discoveries filter through i18 " +
+      "before scheduling") {
+    // the composition a polite crawler runs: frontier targets (q105/q107
+    // machinery) → robots verdicts → only allowed urls schedule
+    val docs = Seq(
+      (1L, "<html><body><a href=\"https://t.example/open/a\">x</a>" +
+        "<a href=\"https://t.example/private/b\">y</a>" +
+        "<a href=\"https://u.example/c\">z</a></body></html>",
+        "https://src.example/en/doc/1"))
+      .toDF("doc_id", "html", "base_url")
+    val frontier = graft.text.HtmlExtract
+      .links(docs, "doc_id", "html", "base_url")
+      .select(col("target_url")).distinct()
+    val robots = Seq(
+      ("t.example", "User-agent: *\nDisallow: /private/"))
+      .toDF("domain", "robots_txt")
+    val gated = Robots.verdicts(spark, frontier, "target_url", robots, "graftbot")
+      .filter(col("robots_allowed"))
+      .select(col("target_url")).as[String].collect().sorted.toSeq
+    // /private/b is disallowed; u.example has no robots row → allowed
+    assert(gated == Seq("https://t.example/open/a", "https://u.example/c"), gated)
+  }
 }
