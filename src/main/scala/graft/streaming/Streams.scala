@@ -1336,6 +1336,55 @@ object Streams {
         .agg(sum(col("_n_links")).as("_n_links"),
           sum(col("_n_docs")).as("_n_docs")))
 
+  /** s28: streaming crawl frontier — q107 at intake. Each micro-batch of
+    * (id, html, base_url) pages lands TWO batch_id-partitioned logs:
+    * citation partials per resolved+canonical target
+    * (target_url, target_host, _n — per-batch distinct citing docs; a
+    * page arrives in one batch, so partials SUM), and the crawled set as
+    * hash60 of each page's canonical url (one long per page — the s14
+    * seen-hash discipline, the cheapest corpus-rate state there is).
+    * Replay = partition overwrite on both logs; cites compact with a
+    * re-sum merge, crawled with the identity merge.
+    *
+    * [[readFrontier]] is the scheduling read: fold citations, anti-join
+    * the crawled hashes, per-host top-k (the q107 politeness cap). The
+    * STREAMING behavior q107's batch face can't show: a target cited in
+    * batch N and CRAWLED in batch N+1 leaves the frontier — spec-pinned.
+    */
+  def frontierSink(spark: SparkSession, stateDir: String,
+      idCol: String = "doc_id", htmlCol: String = "html",
+      baseCol: String = "base_url")(batch: DataFrame, batchId: Long): Unit = {
+    val lk = graft.text.HtmlExtract.links(batch, idCol, htmlCol, baseCol)
+    graft.sources.Sinks.dynamicOverwrite(
+      lk.groupBy(col("target_url"), col("target_host"))
+        .agg(countDistinct(col(idCol)).as("_n"))
+        .withColumn("batch_id", lit(batchId)),
+      s"$stateDir/cites", Seq("batch_id"))
+    graft.sources.Sinks.dynamicOverwrite(
+      batch.select(graft.text.TextFunctions.hash60(
+          graft.text.Urls.canonicalize(col(baseCol))).as("url_h")).distinct()
+        .withColumn("batch_id", lit(batchId)),
+      s"$stateDir/crawled", Seq("batch_id"))
+  }
+
+  /** Current frontier from the [[frontierSink]] logs: citation fold →
+    * anti-join the crawled set → per-host top-`k` — the q107 output shape
+    * (target_url, target_host, n_citations, rn).
+    */
+  def readFrontier(spark: SparkSession, stateDir: String, k: Int): DataFrame = {
+    val cites = spark.read.parquet(s"$stateDir/cites")
+      .groupBy(col("target_url"), col("target_host"))
+      .agg(sum(col("_n")).as("n_citations"))
+    val crawled = spark.read.parquet(s"$stateDir/crawled")
+      .select(col("url_h")).distinct()
+    val cand = cites.join(crawled,
+      graft.text.TextFunctions.hash60(col("target_url")) === col("url_h"),
+      "left_anti")
+    graft.ops.Windows.topNPerGroup(cand, Seq("target_host"),
+      Seq(col("n_citations").desc, col("target_url").asc), k)
+      .select(col("target_url"), col("target_host"), col("n_citations"), col("rn"))
+  }
+
   /** s27: streaming PCA scatter accumulation — q110's FIT at intake.
     * Each micro-batch of embedding rows lands ONE partial row
     * (batch_id, n, sums d, scatter d²) in its own batch_id partition —

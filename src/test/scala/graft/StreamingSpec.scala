@@ -377,6 +377,43 @@ class StreamingSpec extends SparkSpec {
     assert(top == "hub.example", s"the cited hub must outrank its citers: $top")
   }
 
+  test("frontierSink: cited-then-crawled targets leave the frontier; " +
+      "replay + compaction exact (s28)") {
+    val dir = Files.createTempDirectory("frontier").toFile.getAbsolutePath
+    val sink = Streams.frontierSink(spark, s"$dir/state") _
+    def page(id: Long, base: String, hrefs: Seq[String]) =
+      (id, "<html><body>" +
+        hrefs.map(h => s"""<a href="$h">x</a>""").mkString(" ") +
+        "</body></html>", base)
+    val b0 = Seq(
+      page(1L, "https://src.example/a",
+        Seq("https://hub.example/x", "https://next.example/b")),
+      page(2L, "https://src.example/c", Seq("https://hub.example/x")))
+      .toDF("doc_id", "html", "base_url")
+    // batch 1 CRAWLS the target batch 0 cited — it must leave the frontier
+    val b1 = Seq(
+      page(3L, "https://next.example/b", Seq("https://hub.example/x")))
+      .toDF("doc_id", "html", "base_url")
+    sink(b0, 0L)
+    val before = Streams.readFrontier(spark, s"$dir/state", 10)
+      .select("target_url", "n_citations").as[(String, Long)].collect().toMap
+    assert(before == Map("https://hub.example/x" -> 2L,
+      "https://next.example/b" -> 1L), before)
+    sink(b1, 1L)
+    sink(b1, 1L) // replay after a simulated post-write failure
+    val after = Streams.readFrontier(spark, s"$dir/state", 10)
+      .select("target_url", "n_citations").as[(String, Long)].collect().toMap
+    assert(after == Map("https://hub.example/x" -> 3L), after)
+    // compaction: cites re-sum, crawled identity — frontier unchanged
+    assert(Streams.compactBatchLog(spark, s"$dir/state/cites", keepLast = 1,
+      df => df.groupBy(col("target_url"), col("target_host"))
+        .agg(sum(col("_n")).as("_n"))))
+    assert(Streams.compactBatchLog(spark, s"$dir/state/crawled", keepLast = 1))
+    val compacted = Streams.readFrontier(spark, s"$dir/state", 10)
+      .select("target_url", "n_citations").as[(String, Long)].collect().toMap
+    assert(compacted == after, compacted)
+  }
+
   test("pcaScatterSink: folded model matches the batch fit; replay and " +
       "compaction exact (s27)") {
     val dir = Files.createTempDirectory("pcastream").toFile.getAbsolutePath
