@@ -1003,9 +1003,15 @@ object TextQueries {
       c2.join(cl, Seq("w1")).join(cr, Seq("w2"))
         .filter(col("n_pair") >= 3)
         .select(col("w1"), col("w2"), col("n_pair"),
+          // margins multiply as DOUBLES: long*long wraps silently past
+          // 2^63 at corpus scale (the oracle side would error instead) —
+          // the double product is exact under 2^53 and both engines
+          // round the one division identically either way
           floor(col("n_pair") * lit(n) * lit(1000000.0) /
-            (col("c_left") * col("c_right"))).cast("long").as("lift_ppm"),
-          round(log(col("n_pair") * lit(n) / (col("c_left") * col("c_right"))), 4)
+            (col("c_left").cast("double") * col("c_right"))).cast("long")
+            .as("lift_ppm"),
+          round(log(col("n_pair") * lit(n) /
+            (col("c_left").cast("double") * col("c_right"))), 4)
             .as("pmi"))
         .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
         .limit(50)
@@ -1768,9 +1774,9 @@ object TextQueries {
          cr AS (SELECT w2, sum(n_pair) AS c_right FROM c2 GROUP BY 1)
          SELECT c2.w1, c2.w2, c2.n_pair::BIGINT AS n_pair,
            floor(c2.n_pair * (SELECT n FROM nn) * 1000000.0
-             / (cl.c_left * cr.c_right))::BIGINT AS lift_ppm,
+             / (cl.c_left::DOUBLE * cr.c_right))::BIGINT AS lift_ppm,
            round(ln(c2.n_pair * (SELECT n FROM nn)
-             / (cl.c_left * cr.c_right)), 4) AS pmi
+             / (cl.c_left::DOUBLE * cr.c_right)), 4) AS pmi
          FROM c2 JOIN cl USING (w1) JOIN cr USING (w2)
          WHERE c2.n_pair >= 3
          ORDER BY lift_ppm DESC, w1, w2 LIMIT 50""",

@@ -45,12 +45,24 @@ object Sinks {
   def overwriteAtomic(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
     val fs = new Path(path)
       .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    atomicSwap(fs, path)(tmp => write(df, tmp.toString, "overwrite", partitionCols))
+  }
+
+  /** The write-into-temp + dual-rename swap behind [[overwriteAtomic]]
+    * (and the WET exporter): `writeInto(tmp)` fully populates a temp dir
+    * while the live one keeps serving, then live → old, tmp → live, old
+    * deleted. A crash anywhere leaves either the old directory intact or
+    * (post-swap) the new one — never a partial mix; the temp dir is
+    * cleaned up on every exit path.
+    */
+  private[graft] def atomicSwap(fs: org.apache.hadoop.fs.FileSystem,
+      path: String)(writeInto: Path => Unit): Unit = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(s"$path.__tmp-$token")
     val old = new Path(s"$path.__old-$token")
     val live = new Path(path)
     try {
-      write(df, tmp.toString, "overwrite", partitionCols)
+      writeInto(tmp)
       if (fs.exists(live)) {
         if (!fs.rename(live, old)) sys.error(s"rename $live -> $old failed")
       }

@@ -252,6 +252,9 @@ object Warc {
     override def read(b: Array[Byte], off: Int, len: Int): Int = {
       val n = super.read(b, off, len); if (n > 0) count += n; n
     }
+    override def skip(n: Long): Long = {
+      val s = super.skip(n); if (s > 0) count += s; s
+    }
   }
 
   /** Parse every WARC record in one decompressed frame (one gzip member,
@@ -272,7 +275,8 @@ object Warc {
       : Iterator[Item] = parseRecords(new ByteArrayInputStream(bytes), frameOff)
 
   private[sources] def parseRecords(in0: InputStream, frameOff: Long,
-      perRecordOffsets: Boolean = false): Iterator[Item] =
+      perRecordOffsets: Boolean = false,
+      maxRecordBytes: Long = Long.MaxValue): Iterator[Item] =
     new Iterator[Item] {
       private val in = new CountingInputStream(in0)
       private var nextItem: Item = _
@@ -301,6 +305,21 @@ object Warc {
         val len = try lenStr.toLong catch {
           case _: NumberFormatException =>
             return Quar(recOff, "bad_content_length", lenStr.take(50))
+        }
+        if (len > maxRecordBytes) {
+          // the gz path bounds allocation at inflate time (readMembers);
+          // this is the UNCOMPRESSED path's equivalent — quarantine the
+          // oversize record and SKIP its bytes (no allocation), so one
+          // hostile Content-Length neither OOMs the task nor poisons the
+          // rest of the file
+          var toSkip = len
+          while (toSkip > 0) {
+            val s = in.skip(toSkip)
+            if (s > 0) toSkip -= s
+            else if (in.read() < 0) toSkip = 0
+            else toSkip -= 1
+          }
+          return Quar(recOff, "record_too_large", s"$len > $maxRecordBytes")
         }
         val block = try readFully(in, len) catch {
           case e: EOFException =>
@@ -429,8 +448,10 @@ object Warc {
         case Left(q) => Iterator.single(q)
         case Right((off, bytes)) => parseRecords(bytes, off)
       }
-    // uncompressed .warc: stream-parse directly, per-record byte offsets
-    else parseRecords(raw, 0L, perRecordOffsets = true)
+    // uncompressed .warc: stream-parse directly, per-record byte offsets,
+    // same memory bound as the gz path
+    else parseRecords(raw, 0L, perRecordOffsets = true,
+      maxRecordBytes = maxRecordBytes.toLong)
   }
 
   /** One random-access-fetched record (i19): a [[recordSchema]] row as a
@@ -472,7 +493,8 @@ object Warc {
             case Left(q) => Iterator.single[Item](q)
             case Right((_, bytes)) => parseRecords(bytes, offset)
           }
-        else parseRecords(pb, offset, perRecordOffsets = true).take(1)
+        else parseRecords(pb, offset, perRecordOffsets = true,
+          maxRecordBytes = maxRecordBytes.toLong).take(1)
       val out = items.map {
         case Rec(off, t, u, ts, ct, st, p) => WarcRecord(off, t, u, ts, ct, st, p)
         case q: Quar => throw new IllegalStateException(
@@ -495,12 +517,12 @@ object Warc {
     */
   private[sources] def buildRecord(warcType: String, url: String,
       ts: java.sql.Timestamp, contentType: String,
-      payload: Array[Byte]): Array[Byte] = {
+      payload: Array[Byte], recordId: String): Array[Byte] = {
     val date = if (ts == null) ""
       else s"WARC-Date: ${java.time.Instant.ofEpochMilli(ts.getTime)}\r\n"
     val hdr = s"WARC/1.0\r\nWARC-Type: $warcType\r\nWARC-Target-URI: $url\r\n" +
       date +
-      s"WARC-Record-ID: <urn:graft:${Integer.toHexString(url.##)}>\r\n" +
+      s"WARC-Record-ID: <urn:graft:$recordId>\r\n" +
       s"Content-Type: $contentType\r\n" +
       s"Content-Length: ${payload.length}\r\n\r\n"
     hdr.getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
@@ -520,10 +542,13 @@ object Warc {
     * written executor-side through the Hadoop FS API (the conf ships as
     * key-value pairs — works on any filesystem Spark reads), into a temp
     * dir that atomically swaps in ([[Sinks.overwriteAtomic]] discipline:
-    * a crash mid-export leaves the previous archive intact). Task
-    * retries overwrite their own shard file with identical bytes (the
-    * per-partition content is deterministic); empty partitions write no
-    * file.
+    * a crash mid-export leaves the previous archive intact). Shard
+    * commit is attempt-safe: each task attempt writes an attempt-unique
+    * file and renames it into place, so speculative or retried attempts
+    * never interleave bytes (identical deterministic content either way;
+    * a lost rename race just drops the duplicate copy). Record IDs are
+    * (shard, seq)-unique — re-crawled urls stay distinct records. Empty
+    * partitions write no file.
     */
   def writeWarcGz(docs: DataFrame, path: String, urlCol: String = "url",
       tsCol: String = "fetch_ts", textCol: String = "text", shards: Int = 0,
@@ -541,11 +566,7 @@ object Warc {
     // and the export fans out to ~file-count tasks
     val confBc = spark.sparkContext.broadcast(confKV)
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
-    val token = java.util.UUID.randomUUID().toString.take(8)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path.__tmp-$token")
-    val old = new org.apache.hadoop.fs.Path(s"$path.__old-$token")
-    val live = new org.apache.hadoop.fs.Path(path)
-    try {
+    Sinks.atomicSwap(fs, path) { tmp =>
       fs.mkdirs(tmp)
       val tmpStr = tmp.toString
       val (wt, ct) = (warcType, contentType)
@@ -557,27 +578,37 @@ object Warc {
         if (rows.hasNext) {
           val conf = new org.apache.hadoop.conf.Configuration(false)
           confBc.value.foreach { case (k, v) => conf.set(k, v) }
-          val idx = org.apache.spark.TaskContext.getPartitionId()
-          val p = new org.apache.hadoop.fs.Path(f"$tmpStr/part-$idx%05d.warc.gz")
-          val pfs = p.getFileSystem(conf)
-          val out = pfs.create(p, true)
+          val tc = org.apache.spark.TaskContext.get()
+          val idx = tc.partitionId()
+          // task-commit discipline: write to an ATTEMPT-unique name, then
+          // rename into place — with speculation, two live attempts of one
+          // partition would interleave writes into a shared pfs.create()
+          // target; whole-file rename makes whichever attempt lands last
+          // (or first — contents are identical) internally consistent. A
+          // failed rename means the other attempt already committed: drop
+          // our copy and succeed.
+          val work = new org.apache.hadoop.fs.Path(
+            f"$tmpStr/.part-$idx%05d-attempt${tc.taskAttemptId()}.inprogress")
+          val dst = new org.apache.hadoop.fs.Path(f"$tmpStr/part-$idx%05d.warc.gz")
+          val pfs = work.getFileSystem(conf)
+          val out = pfs.create(work, true)
+          var seq = 0L
           try rows.foreach { r =>
             val body = Option(r.getString(2)).getOrElse("").getBytes("UTF-8")
+            // record ids must be UNIQUE per record (re-crawled urls appear
+            // twice); (shard, running seq) is deterministic across retries
             val rec = buildRecord(wt, String.valueOf(r.getString(0)),
-              r.getAs[java.sql.Timestamp](1), ct, body)
+              r.getAs[java.sql.Timestamp](1), ct, body, s"$idx-$seq")
+            seq += 1
             val bos = new ByteArrayOutputStream(rec.length / 2 + 64)
             val gz = new java.util.zip.GZIPOutputStream(bos)
             gz.write(rec); gz.close()
             out.write(bos.toByteArray)
           } finally out.close()
+          if (!pfs.rename(work, dst)) pfs.delete(work, false)
         }
       }
-      if (fs.exists(live)) {
-        if (!fs.rename(live, old)) sys.error(s"rename $live -> $old failed")
-      }
-      if (!fs.rename(tmp, live)) sys.error(s"rename $tmp -> $live failed")
-      fs.delete(old, true)
-    } finally fs.delete(tmp, true)
+    }
   }
 
   /** CDX-style capture index (i19) over a parsed records frame: one row

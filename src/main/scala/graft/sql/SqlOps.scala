@@ -982,8 +982,8 @@ object SqlOps {
        |      regexp_replace(regexp_replace($h,
        |        '(?is)<script[^>]*>.*?</script>', ' '),
        |        '(?is)<style[^>]*>.*?</style>', ' '),
-       |      "(?is)(<a\\\\s[^>]*?href\\\\s*=\\\\s*)'([^']*)'", '$$1"$$2"'),
-       |      '(?is)(<a\\\\s[^>]*?href\\\\s*=\\\\s*)([^"\\'\\\\s>][^\\\\s>]*)',
+       |      "(?is)(<a\\\\s(?:[^>]*\\\\s)?href\\\\s*=\\\\s*)'([^']*)'", '$$1"$$2"'),
+       |      '(?is)(<a\\\\s(?:[^>]*\\\\s)?href\\\\s*=\\\\s*)([^"\\'\\\\s>][^\\\\s>]*)',
        |      '$$1"$$2"') AS _html
        |  FROM $table
        |), _a AS (
@@ -991,7 +991,7 @@ object SqlOps {
        |    graft_url_canon(graft_url_resolve(_base, _href)) AS target_url
        |  FROM _n
        |  LATERAL VIEW explode(regexp_extract_all(_html,
-       |    '(?is)<a\\\\s[^>]*href\\\\s*=\\\\s*"([^"]*)"', 1)) AS _href
+       |    '(?is)<a\\\\s(?:[^>]*\\\\s)?href\\\\s*=\\\\s*"([^"]*)"', 1)) AS _href
        |)
        |SELECT src_host, graft_url_domain(target_url) AS target_host,
        |  count(*) AS n_links, count(DISTINCT $id) AS n_docs

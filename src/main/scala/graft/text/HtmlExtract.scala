@@ -73,6 +73,18 @@ object HtmlExtract {
       .select(col(idCol), col("block_idx"), col("block_text"),
         col("text_len"), col("link_len"))
 
+  /** Visible markup with every href NORMALIZED onto the double-quoted
+    * spelling: real crawls use all three legal forms, and
+    * regexp_extract_all returns ONE group index, so the single- and
+    * un-quoted forms rewrite first (the unquoted alternation's first
+    * char excludes quotes, so already-quoted values never re-wrap).
+    */
+  private def normalizedAnchors(htmlCol: String): Column =
+    regexp_replace(
+      regexp_replace(dropInvisible(col(htmlCol)),
+        "(?is)(<a\\s(?:[^>]*\\s)?href\\s*=\\s*)'([^']*)'", "$1\"$2\""),
+      "(?is)(<a\\s(?:[^>]*\\s)?href\\s*=\\s*)([^\"'\\s>][^\\s>]*)", "$1\"$2\"")
+
   /** Anchor targets the page actually links to: one row per `<a href>` in
     * VISIBLE markup — (`idCol`, src_host, href, target_url, target_host)
     * where `href` is the raw attribute value, `target_url` its resolved
@@ -90,18 +102,6 @@ object HtmlExtract {
     * Common-Crawl-style host ranking) runs at crawl throughput with zero
     * shuffle until the caller aggregates.
     */
-  /** Visible markup with every href NORMALIZED onto the double-quoted
-    * spelling: real crawls use all three legal forms, and
-    * regexp_extract_all returns ONE group index, so the single- and
-    * un-quoted forms rewrite first (the unquoted alternation's first
-    * char excludes quotes, so already-quoted values never re-wrap).
-    */
-  private def normalizedAnchors(htmlCol: String): Column =
-    regexp_replace(
-      regexp_replace(dropInvisible(col(htmlCol)),
-        "(?is)(<a\\s[^>]*?href\\s*=\\s*)'([^']*)'", "$1\"$2\""),
-      "(?is)(<a\\s[^>]*?href\\s*=\\s*)([^\"'\\s>][^\\s>]*)", "$1\"$2\"")
-
   def links(docs: DataFrame, idCol: String, htmlCol: String,
       baseCol: String): DataFrame = {
     val normalized = normalizedAnchors(htmlCol)
@@ -110,7 +110,7 @@ object HtmlExtract {
           .as("src_host"),
         col(baseCol).as("_base"),
         explode(regexp_extract_all(normalized,
-          lit("(?is)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\""), lit(1)))
+          lit("(?is)<a\\s(?:[^>]*\\s)?href\\s*=\\s*\"([^\"]*)\""), lit(1)))
           .as("href"))
       .withColumn("target_url", graft.text.Urls.canonicalize(
         graft.text.Urls.resolve(col("_base"), col("href"))))
@@ -122,11 +122,10 @@ object HtmlExtract {
   /** Anchor TEXT per link — the label signal [[links]] drops: what other
     * pages CALL a target is a classic retrieval-training / host-quality
     * feature (anchor-text corpora). One row per WELL-FORMED visible
-    * anchor — `<a …href…>text</a>` with a closing tag; an unclosed
-    * anchor still counts as a link in [[links]] but carries no
-    * extractable text, so it is skipped HERE (lazy inner match, so a
-    * malformed open anchor never swallows its neighbors' text beyond the
-    * next close). Columns: (idCol, src_host, href, anchor_text,
+    * anchor — `<a …href…>text</a>` with a closing tag and no nested
+    * anchor-open inside the span (the negative lookahead means an
+    * UNCLOSED anchor can never swallow its well-formed neighbor — it
+    * simply yields no text row, while [[links]] still counts its href). Columns: (idCol, src_host, href, anchor_text,
     * target_url, target_host) — `anchor_text` is the tag-stripped
     * trimmed inner text (inline markup like `<b>` inside the anchor
     * contributes its text). Same normalization, resolution,
@@ -140,10 +139,11 @@ object HtmlExtract {
           .as("src_host"),
         col(baseCol).as("_base"),
         explode(regexp_extract_all(normalizedAnchors(htmlCol),
-          lit("(?is)<a\\s[^>]*href\\s*=\\s*\"[^\"]*\"[^>]*>.*?</a>"), lit(0)))
+          lit("(?is)<a\\s(?:[^>]*\\s)?href\\s*=\\s*\"[^\"]*\"[^>]*>" +
+            "(?:(?!<a[\\s>]).)*?</a>"), lit(0)))
           .as("_a"))
       .withColumn("href", regexp_extract(col("_a"),
-        "(?is)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\"", 1))
+        "(?is)<a\\s(?:[^>]*\\s)?href\\s*=\\s*\"([^\"]*)\"", 1))
       .withColumn("anchor_text", trim(stripTags(col("_a"))))
       .withColumn("target_url", graft.text.Urls.canonicalize(
         graft.text.Urls.resolve(col("_base"), col("href"))))

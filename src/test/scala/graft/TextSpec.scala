@@ -1007,18 +1007,27 @@ class TextSpec extends SparkSpec {
       "<a href='https://sq.example/b?x=1'>sq</a>" +
       "<a class='nav' href=https://uq.example/c>uq</a>" +
       "<a href = 'https://sp.example/d'>spaced</a>" +
+      // a *href-suffixed attribute must NEVER pair as the link target —
+      // the real href wins regardless of attribute order
+      "<a href=\"https://real.example/e\" data-href=\"https://tracker.example/x\">t1</a>" +
+      "<a data-href=\"https://tracker.example/y\" href=\"https://real.example/f\">t2</a>" +
       "</body></html>"
     val docs = Seq((1L, html, "https://base.example/p"))
       .toDF("doc_id", "html", "base_url")
     val got = graft.text.HtmlExtract.links(docs, "doc_id", "html", "base_url")
       .select("target_url").as[String].collect().sorted.toSeq
-    assert(got == Seq("https://dq.example/a", "https://sp.example/d",
+    assert(got == Seq("https://dq.example/a", "https://real.example/e",
+      "https://real.example/f", "https://sp.example/d",
       "https://sq.example/b?x=1", "https://uq.example/c"), got)
   }
 
   test("HtmlExtract.anchorTexts: inner text per well-formed anchor; " +
       "unclosed anchors skipped, inline markup stripped") {
     val html = "<html><body>" +
+      // an UNCLOSED anchor FOLLOWED by a well-formed one: the lookahead
+      // stops its span at the next anchor-open, so it yields no text row
+      // and never swallows its neighbor's text or credit
+      "<a href=\"https://x.example/unclosed2\">no close " +
       "<a href=\"https://x.example/a\">plain text</a>" +
       "<a href=\"https://x.example/b\">has <b>bold</b> inside</a>" +
       "<a href=\"https://x.example/unclosed\">never closes " + // no </a>
@@ -1029,13 +1038,11 @@ class TextSpec extends SparkSpec {
     val got = graft.text.HtmlExtract
       .anchorTexts(docs, "doc_id", "html", "base_url")
       .select("href", "anchor_text").as[(String, String)].collect().sortBy(_._1)
-    // the unclosed anchor swallows up to the NEXT </a> — there is none
-    // after it, so it drops here (links() still counts its href)
     assert(got.toSeq == Seq(
       ("https://x.example/a", "plain text"),
       ("https://x.example/b", "has bold inside")), got.toSeq)
     val links = graft.text.HtmlExtract.links(docs, "doc_id", "html", "base_url")
-    assert(links.count() == 3, "links() still counts the unclosed anchor")
+    assert(links.count() == 4, "links() still counts both unclosed anchors")
   }
 
   test("HtmlExtract feeds the B block: boilerplate grams vanish downstream") {

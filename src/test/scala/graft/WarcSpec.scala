@@ -240,10 +240,36 @@ class WarcSpec extends SparkSpec {
         r.getAs[Long]("rec_offset"))
       assert(one.length == 1 && one.head.url == r.getAs[String]("url"))
     }
+    // record ids are per-record UNIQUE (re-crawled urls stay distinct
+    // records to archive tooling) — ids aren't lifted into a column, so
+    // read the raw member bytes (GZIPInputStream reads concatenated
+    // members transparently)
+    val rawIds = files.toSeq.flatMap { f =>
+      scala.io.Source.fromInputStream(new java.util.zip.GZIPInputStream(
+          new java.io.FileInputStream(f)), "UTF-8")
+        .getLines().filter(_.startsWith("WARC-Record-ID:")).toList
+    }
+    assert(rawIds.length == 3 && rawIds.distinct.length == 3, rawIds)
     // atomic re-export REPLACES the archive (overwriteAtomic discipline)
     Warc.writeWarcGz(docs.limit(1), s"$dir/wet", shards = 1)
     val (recs2, _) = Warc.read(spark, s"$dir/wet/*.warc.gz")
     assert(recs2.count() == 1)
+  }
+
+  test("plain .warc: an oversize Content-Length quarantines and the file " +
+      "keeps parsing (no allocation, no poisoning)") {
+    val dir = tmp("warc")
+    val big = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "WARC-Target-URI: urn:big\r\nContent-Length: 2000000000\r\n\r\n")
+      .getBytes("UTF-8") ++ "short actual bytes\r\n\r\n".getBytes("UTF-8")
+    val members = Seq(goodRecords.head, big, goodRecords(1))
+    val f = writeGz(dir, "crawl.warc", Seq(members.flatten.toArray))
+    val (recs, quar) = Warc.read(spark, s"$dir/crawl.warc", maxRecordBytes = 1 << 20)
+    val qs = quar.select("reason").as[String].collect().toSeq
+    assert(qs.contains("record_too_large"), qs)
+    // skipping the claimed 2 GB ran past EOF — the good record BEFORE the
+    // bad one still parsed; nothing allocated 2 GB
+    assert(recs.count() >= 1)
   }
 
   test("q93 composition: HtmlExtract over WARC equals the direct-text path") {
