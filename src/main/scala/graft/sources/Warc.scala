@@ -75,10 +75,14 @@ object Warc {
   private[sources] final case class Quar(offset: Long, reason: String,
       detail: String) extends Item
 
-  /** Hard per-record decompressed-size cap: a member that inflates past
-    * this quarantines (`record_too_large`) instead of buffering — the
+  /** Hard per-record decompressed-size cap, BOTH paths: a gz member that
+    * inflates past this drains (bounded buffer, nothing retained) to its
+    * true end and quarantines `record_too_large`; a plain-warc record
+    * whose Content-Length exceeds it skips its own bytes and quarantines
+    * the same way. Either way parsing CONTINUES at the next record — the
     * memory bound that lets one executor core hold exactly one in-flight
-    * record regardless of what the crawl contains.
+    * record regardless of what the crawl contains, at the cost of one
+    * record per oversize frame.
     */
   val DefaultMaxRecordBytes: Int = 64 << 20
 
@@ -157,6 +161,12 @@ object Warc {
           val crc = new CRC32()
           val out = new ByteArrayOutputStream(8192)
           val outBuf = new Array[Byte](ChunkSize)
+          // Over-cap members switch to DRAIN mode: keep inflating (bounded
+          // buffer, nothing retained) to find the member's true end, so
+          // the quarantine is recoverable — the stream lands exactly on
+          // the next member with no resync scan and no false magics.
+          var oversize = false
+          var inflated = 0L
           while (!inflater.finished()) {
             if (inflater.needsInput()) {
               val r = in.read(inBuf)
@@ -167,9 +177,11 @@ object Warc {
             }
             val n = inflater.inflate(outBuf)
             if (n > 0) {
-              out.write(outBuf, 0, n); crc.update(outBuf, 0, n)
-              if (out.size() > maxBytes)
-                throw new DataFormatException(s"inflated past $maxBytes bytes")
+              inflated += n
+              if (!oversize) {
+                out.write(outBuf, 0, n); crc.update(outBuf, 0, n)
+                if (out.size() > maxBytes) { oversize = true; out.reset() }
+              }
             } else if (n == 0 && inflater.needsDictionary())
               throw new DataFormatException("preset dictionary not supported")
           }
@@ -178,12 +190,17 @@ object Warc {
           val rem = inflater.getRemaining
           if (rem > 0) { in.unread(inBuf, lastLen - rem, rem); pos -= rem }
           val trailer = readN(8)
-          val bytes = out.toByteArray
-          if (le32(trailer, 0) != crc.getValue)
-            throw new DataFormatException("gzip CRC mismatch")
-          if (le32(trailer, 4) != (bytes.length & 0xffffffffL))
-            throw new DataFormatException("gzip ISIZE mismatch")
-          Some(Right((memberOff, bytes)))
+          if (oversize)
+            Some(Left(Quar(memberOff, "record_too_large",
+              s"member inflated to $inflated > $maxBytes bytes")))
+          else {
+            val bytes = out.toByteArray
+            if (le32(trailer, 0) != crc.getValue)
+              throw new DataFormatException("gzip CRC mismatch")
+            if (le32(trailer, 4) != (bytes.length & 0xffffffffL))
+              throw new DataFormatException("gzip ISIZE mismatch")
+            Some(Right((memberOff, bytes)))
+          }
         } catch {
           case e @ (_: DataFormatException | _: EOFException) =>
             val q = Quar(memberOff, "corrupt_gzip_member",
@@ -213,6 +230,20 @@ object Warc {
   // ---------------------------------------------------------------------
   // WARC record framing over decompressed bytes.
   // ---------------------------------------------------------------------
+
+  /** Skip exactly `n` bytes (read-fallback for streams whose skip()
+    * returns 0); false when EOF arrives first.
+    */
+  private def skipFully(in: InputStream, n: Long): Boolean = {
+    var toSkip = n
+    while (toSkip > 0) {
+      val s = in.skip(toSkip)
+      if (s > 0) toSkip -= s
+      else if (in.read() < 0) return false
+      else toSkip -= 1
+    }
+    true
+  }
 
   private def readLine(in: InputStream): String = {
     val sb = new java.lang.StringBuilder(96)
@@ -312,13 +343,7 @@ object Warc {
           // oversize record and SKIP its bytes (no allocation), so one
           // hostile Content-Length neither OOMs the task nor poisons the
           // rest of the file
-          var toSkip = len
-          while (toSkip > 0) {
-            val s = in.skip(toSkip)
-            if (s > 0) toSkip -= s
-            else if (in.read() < 0) toSkip = 0
-            else toSkip -= 1
-          }
+          skipFully(in, len) // EOF mid-skip just ends the iterator next round
           return Quar(recOff, "record_too_large", s"$len > $maxRecordBytes")
         }
         val block = try readFully(in, len) catch {
@@ -386,8 +411,10 @@ object Warc {
         r match {
           // A framing failure poisons the rest of THIS frame (the stream
           // position is untrustworthy past it); member-per-record gz files
-          // lose exactly one record.
-          case q: Quar => done = true; q
+          // lose exactly one record. EXCEPTION: record_too_large skipped
+          // its own bytes exactly, so the position IS trustworthy and
+          // parsing continues — one oversize record costs one record.
+          case q: Quar if q.reason != "record_too_large" => done = true; q
           case x => x
         }
       }
@@ -475,14 +502,8 @@ object Warc {
       maxRecordBytes: Int = DefaultMaxRecordBytes): Seq[WarcRecord] = {
     val raw = open()
     try {
-      var toSkip = offset
-      while (toSkip > 0) {
-        val s = raw.skip(toSkip)
-        if (s > 0) toSkip -= s
-        else if (raw.read() < 0)
-          throw new IllegalArgumentException(s"fetchAt: offset $offset past EOF")
-        else toSkip -= 1
-      }
+      if (!skipFully(raw, offset))
+        throw new IllegalArgumentException(s"fetchAt: offset $offset past EOF")
       val pb = new PushbackInputStream(new BufferedInputStream(raw, 1 << 16), 2)
       val b0 = pb.read(); val b1 = pb.read()
       if (b1 >= 0) pb.unread(b1)
@@ -574,6 +595,7 @@ object Warc {
       val frame = docs.select(col(urlCol).cast("string"),
         col(tsCol).cast("timestamp"), col(textCol).cast("string"))
       val part = if (shards > 0) frame.repartition(shards) else frame
+      val runToken = java.util.UUID.randomUUID().toString.take(8)
       part.rdd.foreachPartition { rows =>
         if (rows.hasNext) {
           val conf = new org.apache.hadoop.conf.Configuration(false)
@@ -597,16 +619,30 @@ object Warc {
             val body = Option(r.getString(2)).getOrElse("").getBytes("UTF-8")
             // record ids must be UNIQUE per record (re-crawled urls appear
             // twice); (shard, running seq) is deterministic across retries
+            // run token (driver-generated, closure-captured: identical
+            // across task retries) keeps ids unique ACROSS archives too
             val rec = buildRecord(wt, String.valueOf(r.getString(0)),
-              r.getAs[java.sql.Timestamp](1), ct, body, s"$idx-$seq")
+              r.getAs[java.sql.Timestamp](1), ct, body, s"$runToken-$idx-$seq")
             seq += 1
             val bos = new ByteArrayOutputStream(rec.length / 2 + 64)
             val gz = new java.util.zip.GZIPOutputStream(bos)
             gz.write(rec); gz.close()
             out.write(bos.toByteArray)
           } finally out.close()
-          if (!pfs.rename(work, dst)) pfs.delete(work, false)
+          if (!pfs.rename(work, dst)) {
+            // a lost race with another committed attempt is fine — but a
+            // rename that failed with NO committed file must fail the
+            // task (deleting the only copy would silently drop a shard)
+            if (pfs.exists(dst)) pfs.delete(work, false)
+            else sys.error(s"shard commit failed: $work -> $dst")
+          }
         }
+      }
+      // killed/failed attempts leave .inprogress partials; sweep them so
+      // the swap publishes ONLY committed shards
+      fs.listStatus(tmp).foreach { st =>
+        if (st.getPath.getName.endsWith(".inprogress"))
+          fs.delete(st.getPath, false)
       }
     }
   }

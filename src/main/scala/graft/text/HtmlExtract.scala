@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * Every decision is a per-row projection with integer-exact thresholds
   * (the q89 spelling): zero shuffle until the per-doc reassembly, which is
   * one bounded `collect_list` group-by (document-sized, never
-  * corpus-skewed). At 100 TB this is scan-shaped — the regexes are
-  * RE2-compatible (no backreferences, no lookaround) so the SAME patterns
-  * define the DuckDB oracle.
+  * corpus-skewed). At 100 TB this is scan-shaped — the MAIN-TEXT regexes
+  * are RE2-compatible (no backreferences, no lookaround) so the SAME
+  * patterns define the DuckDB oracle. ([[anchorTexts]] alone uses one
+  * negative lookahead — its oracle is closed-form, never
+  * pattern-mirrored, so the invariant holds where it matters.)
   *
   * Boilerplate the rule targets: navigation chrome and footers are LINK-
   * DENSE (most of their visible text sits inside `<a>`), ads/button rows

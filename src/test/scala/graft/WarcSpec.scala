@@ -256,20 +256,34 @@ class WarcSpec extends SparkSpec {
     assert(recs2.count() == 1)
   }
 
-  test("plain .warc: an oversize Content-Length quarantines and the file " +
-      "keeps parsing (no allocation, no poisoning)") {
+  test("oversize records quarantine record_too_large and parsing CONTINUES " +
+      "past them — both framings") {
     val dir = tmp("warc")
-    val big = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
-      "WARC-Target-URI: urn:big\r\nContent-Length: 2000000000\r\n\r\n")
-      .getBytes("UTF-8") ++ "short actual bytes\r\n\r\n".getBytes("UTF-8")
-    val members = Seq(goodRecords.head, big, goodRecords(1))
-    val f = writeGz(dir, "crawl.warc", Seq(members.flatten.toArray))
-    val (recs, quar) = Warc.read(spark, s"$dir/crawl.warc", maxRecordBytes = 1 << 20)
-    val qs = quar.select("reason").as[String].collect().toSeq
-    assert(qs.contains("record_too_large"), qs)
-    // skipping the claimed 2 GB ran past EOF — the good record BEFORE the
-    // bad one still parsed; nothing allocated 2 GB
-    assert(recs.count() >= 1)
+    // ACCURATE over-cap Content-Length: the skip must land exactly on the
+    // next record so the good records on BOTH sides survive
+    val bigBody = new Array[Byte](2 << 20) // 2 MB > the 1 MB cap below
+    java.util.Arrays.fill(bigBody, 'x'.toByte)
+    val big = warcRecord("resource", "urn:big", "2024-01-01T00:00:00Z",
+      "application/octet-stream", bigBody)
+    val members = Seq(goodRecords(1), big, goodRecords(2))
+
+    // plain framing: one stream, per-record offsets, skip-don't-allocate
+    val fp = writeGz(dir, "crawl.warc", Seq(members.flatten.toArray))
+    val (pr, pq) = Warc.read(spark, s"$dir/crawl.warc", maxRecordBytes = 1 << 20)
+    assert(pq.select("reason").as[String].collect().toSeq ==
+      Seq("record_too_large"), "exactly the oversize record quarantines")
+    assert(pr.select("url").as[String].collect().toSet ==
+      Set("http://a.example/page", "http://b.example/page"),
+      "records BEFORE AND AFTER the oversize one survive")
+
+    // gz framing: the over-cap member DRAINS to its true end (no resync
+    // scan), quarantines under the same reason, later members parse
+    val fg = writeGz(dir, "crawl.warc.gz", members.map(gzMember))
+    val (gr, gq) = Warc.read(spark, s"$dir/crawl.warc.gz", maxRecordBytes = 1 << 20)
+    assert(gq.select("reason").as[String].collect().toSeq ==
+      Seq("record_too_large"), gq.collect().mkString(";"))
+    assert(gr.select("url").as[String].collect().toSet ==
+      Set("http://a.example/page", "http://b.example/page"))
   }
 
   test("q93 composition: HtmlExtract over WARC equals the direct-text path") {
