@@ -46,9 +46,25 @@ object Pca {
     * them later into the same model.
     */
   private[graft] def scatterOf(df: DataFrame, vecCol: String): Array[Double] = {
-    val vecs = df.select(col(vecCol).cast("array<double>")).rdd
+    // null vectors and vectors with null ELEMENTS are excluded from the
+    // fit by name here — getSeq would NPE on the former and silently
+    // unbox the latter to 0.0, biasing the axes with no signal
+    val clean = df.filter(col(vecCol).isNotNull &&
+      !exists(col(vecCol), x => x.isNull))
+    val vecs = clean.select(col(vecCol).cast("array<double>")).rdd
       .map(_.getSeq[Double](0).toArray)
-    val d = vecs.first().length
+    // two actions (probe + aggregate) on a possibly-expensive upstream:
+    // persist for the pass, release after
+    vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try scatterOfPersisted(vecs) finally { vecs.unpersist(false); () }
+  }
+
+  private def scatterOfPersisted(
+      vecs: org.apache.spark.rdd.RDD[Array[Double]]): Array[Double] = {
+    val head = vecs.take(1)
+    require(head.nonEmpty,
+      "PCA scatter needs at least one non-null vector (empty or all-null input)")
+    val d = head(0).length
     val zero = new Array[Double](1 + d + d * d)
     def seqOp(acc: Array[Double], v: Array[Double]): Array[Double] = {
       require(v.length == d, s"ragged vector: ${v.length} != $d")
@@ -71,11 +87,17 @@ object Pca {
     vecs.treeAggregate(zero)(seqOp, combOp)
   }
 
+  /** Dimension encoded by a [n, Σv, Σvvᵀ] buffer's length — the ONE
+    * decoder for the layout (the streaming sink shares it).
+    */
+  private[graft] def dimOf(bufferLen: Int): Int =
+    ((math.sqrt(4.0 * (bufferLen - 1) + 1) - 1) / 2).round.toInt
+
   /** Model from an accumulated [n, Σv, Σvvᵀ] buffer (one batch's or a
     * fold of many — the buffer layout IS the merge state).
     */
   private[graft] def modelFromScatter(agg: Array[Double], k: Int): Model = {
-    val d = ((math.sqrt(4.0 * (agg.length - 1) + 1) - 1) / 2).round.toInt
+    val d = dimOf(agg.length)
     require(1 + d + d * d == agg.length, s"bad scatter buffer: ${agg.length}")
     require(k >= 1 && k <= d, s"k must be in [1, $d], got $k")
     val n = agg(0)
@@ -100,10 +122,14 @@ object Pca {
     val centered = zip_with(Ann.toDouble(col(vecCol)),
       typedlit(model.mean.toSeq), (x, m) => x - m)
     val tmp = "__pca_centered"
+    require(!df.columns.contains(tmp),
+      s"input frame already has a '$tmp' column (the transform's working name)")
     val withC = df.withColumn(tmp, centered)
     val comps = model.components.zipWithIndex.map { case (c, i) =>
       val proj = Ann.dot(col(tmp), typedlit(c.toSeq))
-      if (whiten) proj / lit(math.sqrt(model.eigenvalues(i) + 1e-12))
+      // max(ev, 0): round-off can leave a degenerate direction's
+      // eigenvalue slightly NEGATIVE; sqrt of that is NaN for every row
+      if (whiten) proj / lit(math.sqrt(math.max(model.eigenvalues(i), 0.0) + 1e-12))
       else proj
     }
     withC.withColumn(outCol, array(comps.toIndexedSeq: _*)).drop(tmp)
@@ -117,7 +143,7 @@ object Pca {
     * a pure function of the input.
     */
   private[graft] def symmetricEigen(m: Array[Array[Double]],
-      maxSweeps: Int = 64, tol: Double = 1e-20)
+      maxSweeps: Int = 64, relTol: Double = 1e-28)
       : (Array[Double], Array[Array[Double]]) = {
     val n = m.length
     val a = m.map(_.clone())
@@ -132,8 +158,20 @@ object Pca {
       }
       s
     }
+    // convergence threshold RELATIVE to the matrix's own Frobenius mass:
+    // an absolute tolerance either declares tiny-scaled covariances
+    // converged untouched (entries ~1e-12 start below 1e-20) or is
+    // unreachable for large-scaled ones (eps-limited at ~1e-17·‖C‖²)
+    var frobSq = 0.0
+    var fi = 0
+    while (fi < n) {
+      var fj = 0
+      while (fj < n) { frobSq += m(fi)(fj) * m(fi)(fj); fj += 1 }
+      fi += 1
+    }
+    val stop = relTol * frobSq
     var sweep = 0
-    while (sweep < maxSweeps && off() > tol) {
+    while (sweep < maxSweeps && off() > stop) {
       var p = 0
       while (p < n - 1) {
         var q = p + 1

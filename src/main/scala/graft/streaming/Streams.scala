@@ -1354,17 +1354,23 @@ object Streams {
   def frontierSink(spark: SparkSession, stateDir: String,
       idCol: String = "doc_id", htmlCol: String = "html",
       baseCol: String = "base_url")(batch: DataFrame, batchId: Long): Unit = {
-    val lk = graft.text.HtmlExtract.links(batch, idCol, htmlCol, baseCol)
-    graft.sources.Sinks.dynamicOverwrite(
-      lk.groupBy(col("target_url"), col("target_host"))
-        .agg(countDistinct(col(idCol)).as("_n"))
-        .withColumn("batch_id", lit(batchId)),
-      s"$stateDir/cites", Seq("batch_id"))
-    graft.sources.Sinks.dynamicOverwrite(
-      batch.select(graft.text.TextFunctions.hash60(
-          graft.text.Urls.canonicalize(col(baseCol))).as("url_h")).distinct()
-        .withColumn("batch_id", lit(batchId)),
-      s"$stateDir/crawled", Seq("batch_id"))
+    // two writes = two actions on the micro-batch source: persist for the
+    // pair (the foreachBatch discipline) so crawl-scale html payloads
+    // aren't fetched and decoded twice per batch
+    batch.persist()
+    try {
+      val lk = graft.text.HtmlExtract.links(batch, idCol, htmlCol, baseCol)
+      graft.sources.Sinks.dynamicOverwrite(
+        lk.groupBy(col("target_url"), col("target_host"))
+          .agg(countDistinct(col(idCol)).as("_n"))
+          .withColumn("batch_id", lit(batchId)),
+        s"$stateDir/cites", Seq("batch_id"))
+      graft.sources.Sinks.dynamicOverwrite(
+        batch.select(graft.text.TextFunctions.hash60(
+            graft.text.Urls.canonicalize(col(baseCol))).as("url_h")).distinct()
+          .withColumn("batch_id", lit(batchId)),
+        s"$stateDir/crawled", Seq("batch_id"))
+    } finally { batch.unpersist(); () }
   }
 
   /** Current frontier from the [[frontierSink]] logs: citation fold →
@@ -1405,8 +1411,13 @@ object Streams {
     */
   def pcaScatterSink(spark: SparkSession, statsDir: String,
       vecCol: String = "embedding")(batch: DataFrame, batchId: Long): Unit = {
+    // an empty (or all-null-vector) batch carries no scatter: write
+    // nothing — replay of an empty batch is also nothing, still exact.
+    // Checking the FILTERED frame, not the raw batch: scatterOf would
+    // otherwise fail its named require on an all-null batch.
+    if (batch.filter(col(vecCol).isNotNull).isEmpty) return
     val agg = graft.sim.Pca.scatterOf(batch, vecCol)
-    val d = ((math.sqrt(4.0 * (agg.length - 1) + 1) - 1) / 2).round.toInt
+    val d = graft.sim.Pca.dimOf(agg.length)
     import spark.implicits._
     val row = Seq((agg(0), agg.slice(1, 1 + d).toSeq,
       agg.slice(1 + d, agg.length).toSeq))
@@ -1429,6 +1440,13 @@ object Streams {
     rows.foreach { r =>
       acc(0) += r.getDouble(0)
       val s = r.getSeq[Double](1); val sc = r.getSeq[Double](2)
+      // a mid-stream dimension change (embedder upgrade) must fail HERE
+      // by name — silently truncating a wider row-major scatter into a
+      // narrower fold produces a garbage covariance with no error
+      require(s.length == d && sc.length == d * d,
+        s"PCA partial dimension drift: batch row has d=${s.length} " +
+          s"(scatter ${sc.length}) but the log started at d=$d — " +
+          "re-bootstrap the stats dir after an embedding change")
       var i = 0
       while (i < d) { acc(1 + i) += s(i); i += 1 }
       i = 0
