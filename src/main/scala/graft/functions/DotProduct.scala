@@ -113,5 +113,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bpe_byte_encode"),
       new ExpressionInfo(classOf[BpeByteEncode].getName, "graft_bpe_byte_encode"),
       (children: Seq[Expression]) => BpeByteEncode(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_charset_sniff"),
+      new ExpressionInfo(classOf[CharsetSniff].getName, "graft_charset_sniff"),
+      (children: Seq[Expression]) => CharsetSniff(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_charset_decode"),
+      new ExpressionInfo(classOf[CharsetDecode].getName, "graft_charset_decode"),
+      (children: Seq[Expression]) => CharsetDecode(children.head, children(1))))
   }
 }

@@ -303,7 +303,14 @@ object Warc {
     * addressable in gz).
     */
   private[sources] def parseRecords(bytes: Array[Byte], frameOff: Long)
-      : Iterator[Item] = parseRecords(new ByteArrayInputStream(bytes), frameOff)
+      : Iterator[Item] =
+    // bound every allocation by the frame's own length: a record's
+    // Content-Length can never legitimately exceed the decompressed member
+    // it lives in, so a corrupt/hostile header (e.g. 2 GB in a 4 KB
+    // member) quarantines as record_too_large instead of allocating the
+    // claimed size up front and OOMing the task
+    parseRecords(new ByteArrayInputStream(bytes), frameOff,
+      maxRecordBytes = bytes.length.toLong)
 
   private[sources] def parseRecords(in0: InputStream, frameOff: Long,
       perRecordOffsets: Boolean = false,
@@ -464,21 +471,54 @@ object Warc {
   /** Parse one whole WARC file (gzip or plain — sniffed by magic bytes)
     * into parse events. Streams: one gzip member in memory at a time.
     */
+  /** File-open counter (instrumentation): every [[parseFile]] pass opens
+    * its file exactly once, so this counts PARSE PASSES over the intake —
+    * the single-pass contract of [[read]] is spec-assertable against it in
+    * local mode (one shared JVM). Monotonic; never reset by the library.
+    */
+  private[graft] val fileOpens = new java.util.concurrent.atomic.AtomicLong
+
   private[sources] def parseFile(open: () => InputStream, maxRecordBytes: Int)
       : Iterator[Item] = {
-    val raw = new PushbackInputStream(new BufferedInputStream(open(), 1 << 16), 2)
+    val underlying = { fileOpens.incrementAndGet(); open() }
+    val raw = new PushbackInputStream(new BufferedInputStream(underlying, 1 << 16), 2)
     val b0 = raw.read(); val b1 = raw.read()
     if (b1 >= 0) raw.unread(b1)
     if (b0 >= 0) raw.unread(b0)
-    if (b0 == GzMagic0 && b1 == GzMagic1)
-      readMembers(raw, maxRecordBytes).flatMap {
-        case Left(q) => Iterator.single(q)
-        case Right((off, bytes)) => parseRecords(bytes, off)
+    val items: Iterator[Item] =
+      if (b0 == GzMagic0 && b1 == GzMagic1)
+        readMembers(raw, maxRecordBytes).flatMap {
+          case Left(q) => Iterator.single(q)
+          case Right((off, bytes)) => parseRecords(bytes, off)
+        }
+      // uncompressed .warc: stream-parse directly, per-record byte offsets,
+      // same memory bound as the gz path
+      else parseRecords(raw, 0L, perRecordOffsets = true,
+        maxRecordBytes = maxRecordBytes.toLong)
+    // Close the file handle deterministically: on iterator exhaustion (the
+    // scan path drains to EOF, but draining alone never closed the stream —
+    // handles accumulated until task end/GC on wide multi-file scans), and
+    // on task completion for early-terminated iterators (a `.take(n)` or a
+    // failed task abandons the iterator mid-file).
+    var closed = false
+    def closeNow(): Unit = if (!closed) {
+      closed = true
+      try underlying.close() catch { case _: java.io.IOException => () }
+    }
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeNow())
+    new Iterator[Item] {
+      override def hasNext: Boolean = {
+        if (closed) return false
+        val h = try items.hasNext catch { case e: Throwable => closeNow(); throw e }
+        if (!h) closeNow()
+        h
       }
-    // uncompressed .warc: stream-parse directly, per-record byte offsets,
-    // same memory bound as the gz path
-    else parseRecords(raw, 0L, perRecordOffsets = true,
-      maxRecordBytes = maxRecordBytes.toLong)
+      override def next(): Item = {
+        if (!hasNext) throw new NoSuchElementException
+        items.next()
+      }
+    }
   }
 
   /** One random-access-fetched record (i19): a [[recordSchema]] row as a
@@ -536,15 +576,26 @@ object Warc {
     * [[parseRecords]] reads back. `WARC-Date` is omitted when `ts` is
     * null (the parser reports a null fetch_ts either way).
     */
+  /** Header values are hostile input (crawled URLs): CR/LF embedded in a
+    * value would inject extra header lines into the serialized record and
+    * let a crafted URL rewrite the exported record's metadata on
+    * round-trip. Percent-encode the two framing bytes (plus an embedded
+    * '%' so the encoding is unambiguous) — the value stays one line.
+    */
+  private def hdrSafe(v: String): String =
+    if (v == null) "null"
+    else if (v.indexOf('\r') < 0 && v.indexOf('\n') < 0 && v.indexOf('%') < 0) v
+    else v.replace("%", "%25").replace("\r", "%0D").replace("\n", "%0A")
+
   private[sources] def buildRecord(warcType: String, url: String,
       ts: java.sql.Timestamp, contentType: String,
       payload: Array[Byte], recordId: String): Array[Byte] = {
     val date = if (ts == null) ""
       else s"WARC-Date: ${java.time.Instant.ofEpochMilli(ts.getTime)}\r\n"
-    val hdr = s"WARC/1.0\r\nWARC-Type: $warcType\r\nWARC-Target-URI: $url\r\n" +
+    val hdr = s"WARC/1.0\r\nWARC-Type: ${hdrSafe(warcType)}\r\nWARC-Target-URI: ${hdrSafe(url)}\r\n" +
       date +
-      s"WARC-Record-ID: <urn:graft:$recordId>\r\n" +
-      s"Content-Type: $contentType\r\n" +
+      s"WARC-Record-ID: <urn:graft:${hdrSafe(recordId)}>\r\n" +
+      s"Content-Type: ${hdrSafe(contentType)}\r\n" +
       s"Content-Length: ${payload.length}\r\n\r\n"
     hdr.getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
   }
@@ -681,11 +732,15 @@ object Warc {
   // Spark faces.
   // ---------------------------------------------------------------------
 
-  /** Batch WARC read → (records, quarantine). `path` takes globs
-    * (star-dot-warc-dot-gz). Each frame is built lazily from the same parse —
-    * materializing both costs two passes over the files, the same
-    * land-then-split trade [[Sources.csvQuarantined]] documents: at bronze
-    * scale, land the records frame once and split from the landed copy.
+  /** Batch WARC read → (records, quarantine), ONE parse pass shared by
+    * both frames: the parsed-items RDD is persisted (memory, spilling to
+    * disk) so consuming records AND quarantine decompresses every gzip
+    * member once, not twice — at 100 TB intake the second full decompress
+    * pass was the cost of a whole extra read. The persist is
+    * driver-GC-scoped: when the caller drops both frames, Spark's
+    * ContextCleaner unpersists the RDD; to release eagerly at a batch
+    * boundary, land the records frame and split from the landed copy (the
+    * [[Sources.csvQuarantined]] bronze discipline).
     *
     * Parallelism = files (`binaryFiles`; WARC gzip members carry no split
     * index, so a file is the atomic task — crawls ship as many ~1 GB files,
@@ -697,6 +752,7 @@ object Warc {
       .flatMap { case (file, pds) =>
         parseFile(() => pds.open(), maxRecordBytes).map(item => (file, item))
       }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val recs = spark.createDataFrame(
       items.collect { case (f, Rec(off, t, u, ts, ct, st, p)) =>
         Row(f, off, t, u, ts, ct, st, p) },
@@ -708,11 +764,23 @@ object Warc {
   }
 
   /** html `response` records of a parsed WARC frame as a documents table:
-    * (doc_id, url, fetch_ts, html) with `doc_id` the (file, offset) frame
-    * address — unique, deterministic, and independent of split planning
-    * (the i03 `textLines` id discipline). Feeds [[graft.text.HtmlExtract]]
-    * directly: `HtmlExtract.mainText(Warc.htmlDocuments(recs), "doc_id",
-    * "html")` is the crawl-to-clean-text intake.
+    * (doc_id, url, fetch_ts, charset, html) with `doc_id` the (file,
+    * offset) frame address — unique, deterministic, and independent of
+    * split planning (the i03 `textLines` id discipline). Feeds
+    * [[graft.text.HtmlExtract]] directly:
+    * `HtmlExtract.mainText(Warc.htmlDocuments(recs), "doc_id", "html")`
+    * is the crawl-to-clean-text intake.
+    *
+    * Decode is CHARSET-AWARE ([[graft.functions.CharsetSniff]]): the
+    * Content-Type `charset=` parameter wins, then a meta-tag prescan of
+    * the first 1024 bytes, then UTF-8 — a windows-1251 or Shift_JIS page
+    * comes out as its real text instead of replacement-char mojibake
+    * (which silently poisoned whole non-UTF-8 strata downstream: langid,
+    * quality, every dedup gram). Malformed bytes REPLACE per character
+    * (degrades one character, never fails the scan); the charset actually
+    * used is emitted so mis-sniffs are diagnosable and q91's intake-mix
+    * report can count non-UTF-8 strata. Requires the GraftExtensions
+    * session extension (all graft sessions configure it).
     */
   def htmlDocuments(records: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -720,12 +788,13 @@ object Warc {
       .filter(col("warc_type") === "response" &&
         col("http_status") === 200 &&
         col("content_type").startsWith("text/html"))
+      .withColumn("charset",
+        call_function("graft_charset_sniff", col("content_type"), col("payload")))
       .select(
         concat_ws(":", col("warc_file"), col("rec_offset")).as("doc_id"),
-        col("url"), col("fetch_ts"),
-        // decode() maps invalid UTF-8 to replacement chars — a charset
-        // guess gone wrong degrades one document, never fails the scan.
-        decode(col("payload"), "UTF-8").as("html"))
+        col("url"), col("fetch_ts"), col("charset"),
+        call_function("graft_charset_decode", col("payload"), col("charset"))
+          .as("html"))
   }
 
   /** The crawl's own robots.txt bodies as a (domain, robots_txt) frame —

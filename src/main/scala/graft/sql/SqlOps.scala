@@ -32,6 +32,12 @@ object SqlOps {
 
   private def bt(c: String): String = s"`$c`"
 
+  /** A string as a safe SQL literal: single quotes doubled (the ANSI
+    * escape both Spark and DuckDB accept) — values spliced into generated
+    * SQL (blocklists, class labels) must never break the statement.
+    */
+  private def lit(v: String): String = "'" + v.replace("'", "''") + "'"
+
   /** One row per key — the first under `orderSql` (include a unique
     * tiebreak, e.g. `"ts DESC, event_id DESC"`). SQL twin of
     * [[graft.ops.Dedup.latestPerKey]]: same window + `row_number`, one hash
@@ -247,14 +253,18 @@ object SqlOps {
   def urlCurateSql(table: String, idCol: String, urlCol: String,
       orderSql: String, blocklist: Seq[String], k: Int): String = {
     val (id, u) = (bt(idCol), bt(urlCol))
-    val bl = blocklist.map(d => s"'$d'").mkString(", ")
+    // empty blocklist → no filter (NOT IN () is a parse error); embedded
+    // quotes in a domain must not break the statement
+    val blFilter =
+      if (blocklist.isEmpty) ""
+      else s" WHERE domain NOT IN (${blocklist.map(lit).mkString(", ")})"
     s"""WITH _c AS (
        |  SELECT t.*, graft_url_canon($u) AS _url,
        |         graft_url_domain(graft_url_canon($u)) AS domain
        |  FROM $table t
        |), _k AS (
        |  SELECT *, row_number() OVER (PARTITION BY domain ORDER BY $orderSql) AS rn
-       |  FROM _c WHERE domain NOT IN ($bl)
+       |  FROM _c$blFilter
        |)
        |SELECT $id, domain, _url AS url, rn FROM _k WHERE rn <= $k""".stripMargin
   }
@@ -1008,7 +1018,7 @@ object SqlOps {
     require(classes.nonEmpty, "langid needs at least one class")
     val (id, txt) = (bt(idCol), bt(textCol))
     val cls = classes.sorted.zipWithIndex
-      .map { case (l, ci) => s"('$l', $ci)" }.mkString(", ")
+      .map { case (l, ci) => s"(${lit(l)}, $ci)" }.mkString(", ")
     val minClass = classes.sorted.head
     s"""WITH _g AS (SELECT $id, graft_gram_hashes($txt, 3) AS _hs FROM $table),
        |_f AS (SELECT $id, _h % $dim AS _bucket, count(*) AS _cnt
@@ -1022,7 +1032,7 @@ object SqlOps {
        |    max(named_struct('l', _logit, 'n', -_ci, 'lang', _lang)) AS _k
        |  FROM _lg GROUP BY 1)
        |SELECT t.$id,
-       |  coalesce(_b._k.lang, '$minClass') AS pred_lang,
+       |  coalesce(_b._k.lang, ${lit(minClass)}) AS pred_lang,
        |  coalesce(_b._k.l, 0.0d) AS logit
        |FROM $table t LEFT JOIN _b ON t.$id = _b.$id
        |ORDER BY t.$id""".stripMargin

@@ -1549,10 +1549,16 @@ object Streams {
       batch: DataFrame, batchId: Long): Unit = {
     import spark.implicits._
     import graft.text.{Bpe, TextFunctions}
+    // the curateSink/mixtureSink empty-batch discipline: an empty (or
+    // first empty) micro-batch must neither bootstrap an empty merge table
+    // nor log a drift row with null fertility/oov (sum over zero rows)
+    if (batch.isEmpty) return
     val words = batch
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .cache()
+    // a non-empty batch of all-empty texts is the same degenerate case
+    if (words.isEmpty) { words.unpersist(); return }
     graft.sources.Sinks.dynamicOverwrite(
       words.withColumn("batch_id", lit(batchId)), s"$stateDir/words", Seq("batch_id"))
     val hasPrior = graft.sources.Sources

@@ -341,6 +341,23 @@ class SqlSurfaceSpec extends SparkSpec {
     assertSame(viaSql, viaCol, "url curate", samePlan = false)
   }
 
+  test("SqlOps.urlCurateSql: empty blocklist parses (no NOT IN ()); quoted " +
+      "domains don't break the statement") {
+    registered
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        graft.queries.TextQueries.syntheticRawUrl.as("raw_url"))
+      .createOrReplaceTempView("docs_urls_g")
+    // empty blocklist = curate without the domain filter — must parse and run
+    val noBl = spark.sql(SqlOps.urlCurateSql("docs_urls_g", "doc_id", "raw_url",
+      "n_chars DESC, doc_id", Seq.empty, 15))
+    assert(noBl.count() > 0)
+    // a domain containing a single quote must be escaped, not a parse error
+    val quoted = spark.sql(SqlOps.urlCurateSql("docs_urls_g", "doc_id", "raw_url",
+      "n_chars DESC, doc_id", Seq("o'brien.example.com"), 15))
+    assert(quoted.count() == noBl.count(), "non-matching blocklist filters nothing")
+  }
+
   test("SqlOps.langidScoreSql == q104's scoring face (rows)") {
     registered
     val classes = Tables.documents(spark, sfDir)

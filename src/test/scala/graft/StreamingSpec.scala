@@ -1414,6 +1414,15 @@ class StreamingSpec extends SparkSpec {
         .as[(Double, Double)].head()
       r
     }
+    // an empty first batch must NOT bootstrap an empty merge table or log
+    // a null-metric drift row (the curateSink empty-batch discipline); nor
+    // may a non-empty batch of word-free texts
+    sink(Seq.empty[(Long, String)].toDF("doc_id", "text"), 0L)
+    sink(Seq((0L, "   ")).toDF("doc_id", "text"), 0L)
+    assert(!new java.io.File(s"$state/merges").exists(),
+      "empty batches must not deploy a tokenizer")
+    assert(graft.sources.Sources.parquetIfExists(spark, s"$state/drift").isEmpty,
+      "empty batches must not log drift rows")
     sink(docs(vocabA, 1 to 8), 0L) // bootstrap: trains the deployed table on A
     sink(docs(vocabA, 9 to 16), 1L) // stationary
     val (fertA, oovA) = drift(1L)

@@ -125,12 +125,22 @@ class WarcSpec extends SparkSpec {
 
   test("truncated record and bad version quarantine with named reasons") {
     val dir = tmp("warc")
-    // Content-Length overruns the actual bytes → truncated_record.
-    val truncated = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\n" +
+    // Content-Length overruns the whole FRAME → record_too_large (the
+    // allocation is bounded by the member's own decompressed length, so a
+    // claim past it is rejected before any buffer exists).
+    val overFrame = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\n" +
       "short").getBytes("UTF-8")
-    writeGz(dir, "t.warc.gz", Seq(gzMember(truncated)))
+    writeGz(dir, "t.warc.gz", Seq(gzMember(overFrame)))
     val (r1, q1) = Warc.read(spark, s"$dir/t.warc.gz")
     assert(r1.count() == 0 && q1.select("reason").as[String].collect().toSeq ==
+      Seq("record_too_large"))
+    // Content-Length within the frame but past the actual payload bytes →
+    // truncated_record.
+    val truncated = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 40\r\n\r\n" +
+      "short").getBytes("UTF-8")
+    writeGz(dir, "tr.warc.gz", Seq(gzMember(truncated)))
+    val (r1b, q1b) = Warc.read(spark, s"$dir/tr.warc.gz")
+    assert(r1b.count() == 0 && q1b.select("reason").as[String].collect().toSeq ==
       Seq("truncated_record"))
     // Frame that isn't WARC at all → bad_warc_version.
     writeGz(dir, "v.warc.gz", Seq(gzMember("HELLO/9 not warc\r\n\r\n".getBytes)))
@@ -429,6 +439,107 @@ class WarcSpec extends SparkSpec {
     assert(streamed.count() == 2)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       "crawl-file streaming extraction must equal the batch composition")
+  }
+
+  test("charset-aware decode: header charset, meta sniff, header-beats-meta, " +
+      "unknown falls back — real text, never mojibake") {
+    val dir = tmp("warccs")
+    val ru = "<html><body><p>Привет мир — настоящий текст страницы.</p></body></html>"
+    val ja = "<html><head><meta charset=\"shift_jis\"></head>" +
+      "<body><p>こんにちは世界のページ本文。</p></body></html>"
+    def httpBytes(status: Int, ct: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 $status OK\r\nContent-Type: $ct\r\n\r\n").getBytes("US-ASCII") ++ body
+    val members = Seq(
+      // charset declared in the HTTP header only
+      warcRecord("response", "http://ru.example/p", "2024-01-01T00:00:00Z",
+        "application/http; msgtype=response",
+        httpBytes(200, "text/html; charset=windows-1251", ru.getBytes("windows-1251"))),
+      // charset declared ONLY in a meta tag (header is bare text/html)
+      warcRecord("response", "http://ja.example/p", "2024-01-02T00:00:00Z",
+        "application/http; msgtype=response",
+        httpBytes(200, "text/html", ja.getBytes("Shift_JIS"))),
+      // header BEATS a lying meta tag (the HTTP-layer declaration wins)
+      warcRecord("response", "http://hb.example/p", "2024-01-03T00:00:00Z",
+        "application/http; msgtype=response",
+        httpBytes(200, "text/html; charset=windows-1251",
+          ("<html><head><meta charset=\"utf-8\"></head><body><p>Ёлка и юмор" +
+            " на зимней странице.</p></body></html>").getBytes("windows-1251"))),
+      // unknown declared charset falls back to utf-8, named in the column
+      warcRecord("response", "http://bogus.example/p", "2024-01-04T00:00:00Z",
+        "application/http; msgtype=response",
+        httpBytes(200, "text/html; charset=x-not-a-charset",
+          "<html><body><p>plain ascii page body here</p></body></html>".getBytes("UTF-8"))))
+    writeGz(dir, "cs.warc.gz", members.map(gzMember))
+    val (recs, quar) = Warc.read(spark, s"$dir/cs.warc.gz")
+    assert(quar.count() == 0)
+    val docs = Warc.htmlDocuments(recs)
+      .select(col("url"), col("charset"), col("html"))
+      .as[(String, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(docs("http://ru.example/p")._1 == "windows-1251")
+    assert(docs("http://ru.example/p")._2.contains("Привет мир"),
+      "windows-1251 page must round-trip its real text")
+    assert(!docs("http://ru.example/p")._2.contains("�"))
+    assert(docs("http://ja.example/p")._1 == "shift_jis")
+    assert(docs("http://ja.example/p")._2.contains("こんにちは世界"),
+      "meta-sniffed Shift_JIS page must round-trip its real text")
+    assert(docs("http://hb.example/p")._1 == "windows-1251",
+      "the HTTP header declaration beats the meta tag")
+    assert(docs("http://hb.example/p")._2.contains("Ёлка и юмор"))
+    assert(docs("http://bogus.example/p")._1 == "utf-8",
+      "an unknown declared charset falls back NAMED to utf-8")
+    assert(docs("http://bogus.example/p")._2.contains("plain ascii page body"))
+    // the old behavior this replaces: UTF-8 decode of the 1251 bytes is
+    // mojibake — pin that the fixture actually discriminates
+    assert(!new String(ru.getBytes("windows-1251"), "UTF-8").contains("Привет"))
+  }
+
+  test("read parses each file ONCE when both frames are consumed (single-pass)") {
+    val dir = tmp("warconce")
+    val members = goodRecords.map(gzMember)
+    val bad = members(2).clone()
+    java.util.Arrays.fill(bad, 12, 36, 0.toByte)
+    writeGz(dir, "crawl.warc.gz", Seq(members(0), members(1), bad, members(3), members(4)))
+    val before = Warc.fileOpens.get()
+    val (recs, quar) = Warc.read(spark, s"$dir/crawl.warc.gz")
+    assert(recs.count() == 4)
+    assert(quar.count() == 1)
+    // a second action over either frame must also hit the persisted items
+    // (the corrupt member took out one of the two html docs)
+    assert(Warc.htmlDocuments(recs).count() == 1)
+    val opens = Warc.fileOpens.get() - before
+    assert(opens == 1L,
+      s"records + quarantine + re-read must share ONE parse pass, saw $opens")
+  }
+
+  test("hostile header values: CRLF in a URL cannot inject WARC headers on export") {
+    val dir = tmp("warcinj")
+    val evil = "https://a.example/x\r\nWARC-Type: warcinfo\r\nX-Injected: yes"
+    val docs = Seq((evil, java.sql.Timestamp.valueOf("2024-01-02 03:04:05"), "body"))
+      .toDF("url", "fetch_ts", "text")
+    Warc.writeWarcGz(docs, s"$dir/wet", shards = 1)
+    val (recs, quar) = Warc.read(spark, s"$dir/wet/*.warc.gz")
+    assert(quar.count() == 0, "the exported record must still frame cleanly")
+    val r = recs.collect().head
+    assert(r.getString(2) == "conversion",
+      "injected WARC-Type must NOT override the real one")
+    assert(r.getString(3).contains("%0D%0A"),
+      s"CR/LF must be percent-encoded in the stored URL, got ${r.getString(3)}")
+    assert(!r.getString(3).contains("\r"))
+  }
+
+  test("hostile Content-Length in a small gz member quarantines without " +
+      "allocating the claimed size") {
+    val dir = tmp("warchostile")
+    // claims ~1.9 GB; the member is a few hundred bytes — the allocation
+    // bound is the member's own decompressed length
+    val hostile = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://evil.example/\r\n" +
+      "Content-Length: 1900000000\r\n\r\nshort").getBytes("UTF-8")
+    writeGz(dir, "h.warc.gz", Seq(gzMember(hostile), gzMember(goodRecords(1))))
+    val (recs, quar) = Warc.read(spark, s"$dir/h.warc.gz")
+    assert(quar.select("reason").as[String].collect().toSeq == Seq("record_too_large"))
+    assert(recs.select("url").as[String].collect().toSeq ==
+      Seq("http://a.example/page"), "the good member after it still parses")
   }
 
   test("streaming face: crawl files land → records parse, quarantine named in-band") {
