@@ -2003,10 +2003,12 @@ object TextQueries {
          seg AS (SELECT doc_id, unnest(bl) AS raw,
              unnest(range(1, len(bl) + 1)) AS bi FROM seg0),
          cand AS (SELECT doc_id, bi,
-             trim(regexp_replace(raw, '<[^>]*>', '', 'g')) AS btext,
+             trim(${graft.text.HtmlExtract.decodeEntitiesDuck(
+               "regexp_replace(raw, '<[^>]*>', '', 'g')")}) AS btext,
              coalesce(list_sum(list_transform(
                regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1),
-               a -> len(trim(regexp_replace(a, '<[^>]*>', '', 'g'))))), 0) AS link_len
+               a -> len(trim(${graft.text.HtmlExtract.decodeEntitiesDuck(
+                 "regexp_replace(a, '<[^>]*>', '', 'g')")})))), 0) AS link_len
            FROM seg),
          sc AS (SELECT doc_id, bi, btext, len(btext) AS text_len, link_len
            FROM cand WHERE len(btext) > 0),

@@ -788,10 +788,12 @@ object SqlOps {
        |_sg AS (SELECT $id, block_idx, _raw FROM _bl
        |  LATERAL VIEW posexplode(_segs) _e AS block_idx, _raw),
        |_cand AS (SELECT $id, block_idx,
-       |    trim(regexp_replace(_raw, '<[^>]*>', '')) AS block_text,
+       |    trim(${graft.text.HtmlExtract.decodeEntitiesSql(
+                 "regexp_replace(_raw, '<[^>]*>', '')")}) AS block_text,
        |    coalesce(aggregate(transform(
        |      regexp_extract_all(_raw, '(?is)<a[^>]*>(.*?)</a>', 1),
-       |      a -> length(trim(regexp_replace(a, '<[^>]*>', '')))),
+       |      a -> length(trim(${graft.text.HtmlExtract.decodeEntitiesSql(
+                 "regexp_replace(a, '<[^>]*>', '')")}))),
        |      0, (acc, x) -> acc + x), 0) AS link_len
        |  FROM _sg),
        |_sc AS (SELECT $id, block_idx, block_text,

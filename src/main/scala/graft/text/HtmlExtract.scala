@@ -46,6 +46,138 @@ object HtmlExtract {
   /** Remove every remaining tag, keeping visible text. */
   def stripTags(c: Column): Column = regexp_replace(c, "<[^>]*>", "")
 
+  // -----------------------------------------------------------------------
+  // HTML character references (entities). Undecoded entities glue words
+  // (`a&nbsp;b` is one token), inflate symbol ratios (q89), and perturb
+  // every downstream gram — so extracted text decodes them BEFORE the
+  // density read. Three spellings stay in lockstep off the shared table +
+  // pattern below: the Column API ([[decodeEntities]]), the Spark SQL twin
+  // ([[decodeEntitiesSql]]), and the DuckDB oracle ([[decodeEntitiesDuck]]).
+  // -----------------------------------------------------------------------
+
+  /** Common named character references (HTML5 subset; uppercase variants
+    * the spec also defines for the XML five). Values are the rendered
+    * characters; `nbsp`/`shy` decode to their real codepoints and are then
+    * normalized by the whitespace pass (U+00A0 → space, U+00AD → removed),
+    * so an `&nbsp;`-padded block counts as the whitespace it renders as.
+    */
+  val Entities: Seq[(String, String)] = Seq(
+    "amp" -> "&", "AMP" -> "&", "lt" -> "<", "LT" -> "<",
+    "gt" -> ">", "GT" -> ">", "quot" -> "\"", "QUOT" -> "\"",
+    "apos" -> "'", "nbsp" -> "\u00a0", "shy" -> "\u00ad",
+    "ndash" -> "–", "mdash" -> "—", "hellip" -> "…",
+    "lsquo" -> "‘", "rsquo" -> "’",
+    "ldquo" -> "“", "rdquo" -> "”",
+    "laquo" -> "«", "raquo" -> "»",
+    "copy" -> "©", "reg" -> "®", "trade" -> "™",
+    "deg" -> "°", "middot" -> "·", "sect" -> "§",
+    "para" -> "¶", "plusmn" -> "±",
+    "times" -> "×", "divide" -> "÷",
+    "frac12" -> "½", "frac14" -> "¼", "frac34" -> "¾",
+    "euro" -> "€", "pound" -> "£", "yen" -> "¥",
+    "cent" -> "¢", "bull" -> "•",
+    "eacute" -> "é", "egrave" -> "è", "ecirc" -> "ê",
+    "agrave" -> "à", "acirc" -> "â", "ccedil" -> "ç",
+    "uuml" -> "ü", "ouml" -> "ö", "auml" -> "ä",
+    "szlig" -> "ß", "ntilde" -> "ñ", "aacute" -> "á",
+    "iacute" -> "í", "oacute" -> "ó", "uacute" -> "ú")
+
+  /** Tokenizer covering the WHOLE string: each position starts a decimal
+    * reference, a hex reference, a named reference, a lone `&`, or a
+    * non-`&` run — so rejoining the transformed pieces reconstructs the
+    * string exactly. RE2-safe (no lookaround/backreferences); an
+    * unterminated or malformed reference falls through to the lone-`&`
+    * branch and survives verbatim.
+    */
+  val EntityPattern: String =
+    "&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};|&[a-zA-Z][a-zA-Z0-9]{1,31};|&|[^&]+"
+
+  private val NbspShy = "\u00a0\u00ad"
+
+  /** Decode HTML character references in visible text: numeric decimal
+    * (`&#233;`) and hex (`&#xE9;`) for any valid scalar codepoint (the
+    * codepoint's UTF-32BE bytes via `hex`/`unhex`/`decode` — all
+    * codegen'd built-ins), plus the [[Entities]] named table; anything
+    * malformed, out of range, or unknown stays verbatim. The decoded text
+    * then normalizes U+00A0 → space and drops U+00AD (they render as
+    * plain whitespace/nothing, and the density thresholds should see
+    * that). Guarded by a cheap `contains('&')` so entity-free blocks (the
+    * overwhelming majority) pay one codegen'd scan and skip the piecewise
+    * pass entirely.
+    */
+  def decodeEntities(c: Column): Column = {
+    val entityMap = map(Entities.flatMap { case (k, v) =>
+      Seq(lit("&" + k + ";"), lit(v)) }: _*)
+    def valid(cp: Column): Column =
+      cp >= 1L && cp <= 1114111L && !(cp >= 55296L && cp <= 57343L)
+    def charOf(cp: Column): Column =
+      decode(unhex(lpad(hex(cp), 8, "0")), "UTF-32")
+    val decoded = transform(
+      regexp_extract_all(c, lit(EntityPattern), lit(0)),
+      p => {
+        val decCp = p.substr(lit(3), length(p) - 3).cast("long")
+        val hexCp = conv(p.substr(lit(4), length(p) - 4), 16, 10).cast("long")
+        when(p.rlike("^&#[0-9]+;$"),
+            when(valid(decCp), charOf(decCp)).otherwise(p))
+          .when(p.rlike("^&#[xX][0-9a-fA-F]+;$"),
+            when(valid(hexCp), charOf(hexCp)).otherwise(p))
+          .otherwise(coalesce(element_at(entityMap, p), p))
+      })
+    when(c.contains("&"), translate(array_join(decoded, ""), NbspShy, " "))
+      .otherwise(c)
+  }
+
+  /** [[decodeEntities]] as Spark SQL text over the fragment `inner` — the
+    * i11 twin spelling, row-identical by construction (same table, same
+    * pattern, same built-ins).
+    */
+  def decodeEntitiesSql(inner: String): String = {
+    val whens = Entities.map { case (k, v) =>
+      s"WHEN '&$k;' THEN '${v.replace("'", "''")}'" }.mkString(" ")
+    val dec = "CAST(substr(p, 3, length(p) - 3) AS BIGINT)"
+    val hx = "CAST(conv(substr(p, 4, length(p) - 4), 16, 10) AS BIGINT)"
+    def valid(cp: String) =
+      s"($cp BETWEEN 1 AND 1114111 AND $cp NOT BETWEEN 55296 AND 57343)"
+    def charOf(cp: String) =
+      s"decode(unhex(lpad(hex($cp), 8, '0')), 'UTF-32')"
+    val d = "$"
+    s"""CASE WHEN contains($inner, '&') THEN translate(array_join(transform(
+       |    regexp_extract_all($inner, '$EntityPattern', 0),
+       |    p -> CASE
+       |      WHEN p rlike '^&#[0-9]+;$d' THEN
+       |        CASE WHEN ${valid(dec)} THEN ${charOf(dec)} ELSE p END
+       |      WHEN p rlike '^&#[xX][0-9a-fA-F]+;$d' THEN
+       |        CASE WHEN ${valid(hx)} THEN ${charOf(hx)} ELSE p END
+       |      ELSE coalesce(CASE p $whens END, p) END),
+       |  ''), '$NbspShy', ' ')
+       |ELSE $inner END""".stripMargin
+  }
+
+  /** [[decodeEntities]] as DuckDB SQL over the fragment `inner` — the
+    * oracle spelling (same table, same RE2 pattern; DuckDB's full-Unicode
+    * `chr` replaces the hex/unhex UTF-32 spelling).
+    */
+  def decodeEntitiesDuck(inner: String): String = {
+    val whens = Entities.map { case (k, v) =>
+      s"WHEN '&$k;' THEN '${v.replace("'", "''")}'" }.mkString(" ")
+    val dec = "try_cast(substr(p, 3, len(p) - 3) AS BIGINT)"
+    val hx = "try_cast('0x' || substr(p, 4, len(p) - 4) AS BIGINT)"
+    def valid(cp: String) =
+      s"($cp BETWEEN 1 AND 1114111 AND $cp NOT BETWEEN 55296 AND 57343)"
+    def charOf(cp: String) = s"chr(CAST($cp AS INTEGER))"
+    val d = "$"
+    s"""CASE WHEN contains($inner, '&') THEN replace(replace(array_to_string(
+       |    list_transform(regexp_extract_all($inner, '$EntityPattern', 0),
+       |    p -> CASE
+       |      WHEN regexp_matches(p, '^&#[0-9]+;$d') THEN
+       |        CASE WHEN ${valid(dec)} THEN ${charOf(dec)} ELSE p END
+       |      WHEN regexp_matches(p, '^&#[xX][0-9a-fA-F]+;$d') THEN
+       |        CASE WHEN ${valid(hx)} THEN ${charOf(hx)} ELSE p END
+       |      ELSE coalesce(CASE p $whens END, p) END),
+       |  ''), chr(160), ' '), chr(173), '')
+       |ELSE $inner END""".stripMargin
+  }
+
   /** Segment html into candidate blocks: invisible content dropped,
     * block-tag boundaries → newline, split. Inline tags (`<a>`, `<b>`,
     * `<span>`…) stay inside their block for the density read.
@@ -64,13 +196,13 @@ object HtmlExtract {
   def blocks(docs: DataFrame, idCol: String, htmlCol: String): DataFrame =
     docs.select(col(idCol),
         posexplode(toBlocks(col(htmlCol))).as(Seq("block_idx", "_raw")))
-      .withColumn("block_text", trim(stripTags(col("_raw"))))
+      .withColumn("block_text", trim(decodeEntities(stripTags(col("_raw")))))
       .filter(length(col("block_text")) > 0)
       .withColumn("text_len", length(col("block_text")))
       .withColumn("link_len", coalesce(aggregate(
         transform(
           regexp_extract_all(col("_raw"), lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
-          a => length(trim(stripTags(a)))),
+          a => length(trim(decodeEntities(stripTags(a))))),
         lit(0), (acc, x) => acc + x), lit(0)))
       .select(col(idCol), col("block_idx"), col("block_text"),
         col("text_len"), col("link_len"))
@@ -146,7 +278,7 @@ object HtmlExtract {
           .as("_a"))
       .withColumn("href", regexp_extract(col("_a"),
         "(?is)<a\\s(?:[^>]*\\s)?href\\s*=\\s*\"([^\"]*)\"", 1))
-      .withColumn("anchor_text", trim(stripTags(col("_a"))))
+      .withColumn("anchor_text", trim(decodeEntities(stripTags(col("_a")))))
       .withColumn("target_url", graft.text.Urls.canonicalize(
         graft.text.Urls.resolve(col("_base"), col("href"))))
       .filter(col("target_url").rlike("^https?://"))

@@ -962,6 +962,45 @@ class TextSpec extends SparkSpec {
     assert(out(3L)._5 == "plain text with no markup at all, long enough to keep")
   }
 
+  test("HtmlExtract.decodeEntities: named + numeric decode, malformed " +
+      "survives, entity-laden text extracts identically to its plain twin") {
+    import graft.text.HtmlExtract
+    // unit cases through the Column API
+    val cases = Seq(
+      (1L, "Fish &amp; Chips &lt;tasty&gt;", "Fish & Chips <tasty>"),
+      (2L, "caf&eacute; &#233;clair &#xE9;toile", "café éclair étoile"),
+      (3L, "a&nbsp;b&shy;c &#160;d", "a bc  d"), // nbsp→space, shy dropped
+      (4L, "keep &bogusname; and &amp and &#99999999; and &#xDFFF; as-is",
+        "keep &bogusname; and &amp and &#99999999; and &#xDFFF; as-is"),
+      (5L, "&amp;nbsp; decodes ONCE", "&nbsp; decodes ONCE"),
+      (6L, "no entities here at all", "no entities here at all"))
+    val got = cases.toDF("id", "s", "want")
+      .select(col("id"), HtmlExtract.decodeEntities(col("s")).as("got"), col("want"))
+      .as[(Long, String, String)].collect()
+    got.foreach { case (id, g, w) => assert(g == w, s"case $id: got '$g'") }
+    // the q93 composition: an entity-laden page and its plain twin extract
+    // THE SAME main text — so they dedup/tokenize identically downstream
+    val prose = "The quick brown fox & friends jump over the lazy dog daily."
+    val entitied = "<p>The quick brown fox &amp; friends jump over the lazy" +
+      " dog daily.</p><div class=\"nav\"><a href=\"/\">Home&nbsp;&nbsp;page</a></div>"
+    val plain = s"<p>$prose</p>" +
+      "<div class=\"nav\"><a href=\"/\">Home  page</a></div>"
+    val out = HtmlExtract.mainText(
+        Seq((1L, entitied), (2L, plain)).toDF("doc_id", "html"), "doc_id", "html")
+      .select("main_text", "n_kept", "kept_chars")
+      .distinct().collect()
+    assert(out.length == 1, s"twin pages must extract identically: ${out.toSeq}")
+    assert(out.head.getString(0) == prose)
+    // and the fingerprint-level consequence: exact dedup unifies them
+    val fps = HtmlExtract.mainText(
+        Seq((1L, entitied), (2L, plain)).toDF("doc_id", "html"), "doc_id", "html")
+      .select(md5(col("main_text"))).distinct().count()
+    assert(fps == 1L)
+    // an &nbsp;-padded link block counts as the whitespace it renders as:
+    // nav stays link-dense (dropped) even under entity padding
+    assert(!out.head.getString(0).contains("Home"))
+  }
+
   test("HtmlExtract.links: visible anchors only, resolved + canonicalized, " +
       "non-http filtered") {
     val html = "<html><head><script>var u=\"<a href=\\\"http://evil.io/x\\\">\";" +
