@@ -728,6 +728,60 @@ object Warc {
         col("warc_file"), col("rec_offset"))
   }
 
+  /** SERVABLE CDX layout (i19 + i15): [[cdxIndex]] was a frame — "all
+    * captures of host X" still scanned the whole index. This writes it as
+    * a lookup STRUCTURE from parts the library already owns: range-
+    * partition by `surt_key` (host labels reversed, so one domain's
+    * captures are lexicographically contiguous → they land in few files),
+    * sort within partitions, and publish a [[Sinks.writeStatsManifest]]
+    * min/max manifest — [[lookupHost]] then plans its scan over only the
+    * files whose key range intersects the prefix. At web-archive scale
+    * (10⁹+ captures, thousands of index files) a host lookup touches ~1
+    * file instead of all of them.
+    *
+    * `nFiles = 0` keeps the session's shuffle parallelism. Overwrites.
+    */
+  def writeCdx(index: DataFrame, path: String, nFiles: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = index.sparkSession
+    val part =
+      if (nFiles > 0) index.repartitionByRange(nFiles, col("surt_key"))
+      else index.repartitionByRange(col("surt_key"))
+    part.sortWithinPartitions(col("surt_key"))
+      .write.mode("overwrite").parquet(path)
+    Sinks.writeStatsManifest(spark, path, Seq("surt_key"))
+  }
+
+  /** The SURT prefix owning every capture of `host` (and only those):
+    * reversed labels + the `)` delimiter — `a.example` → `example,a)`.
+    * `)` sorts below the label charset, so the half-open prefix interval
+    * cannot swallow a sibling host that extends the last label
+    * (`example,ab)…` sorts AFTER every `example,a)…` key but inside the
+    * naive `example,a` prefix — the delimiter is what makes the range
+    * exact).
+    */
+  def surtHostPrefix(host: String): String =
+    host.trim.toLowerCase.split('.').reverse.mkString(",") + ")"
+
+  /** Host-prefix lookup over a [[writeCdx]] layout: file-pruned via the
+    * stats manifest ([[Sinks.readSkipping]] — touches only the files whose
+    * surt range intersects), then filtered exactly, so the result EQUALS
+    * the full-scan filter while reading ~1 file. `surtPrefix` is
+    * [[surtHostPrefix]]'s output (a whole host) or any longer key prefix
+    * (`example,a)/page`). Fetch a survivor's bytes with [[fetchAt]] on its
+    * (warc_file, rec_offset).
+    */
+  def lookupHost(spark: SparkSession, cdxPath: String,
+      surtPrefix: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    // U+FFFF caps the prefix interval: every key starting with the
+    // prefix sorts within [prefix, prefix + U+FFFF] (keys are url-derived
+    // ASCII, so U+FFFF never occurs in them)
+    Sinks.readSkipping(spark, cdxPath, "surt_key",
+        surtPrefix, surtPrefix + "\uffff")
+      .filter(col("surt_key").startsWith(surtPrefix))
+  }
+
   // ---------------------------------------------------------------------
   // Spark faces.
   // ---------------------------------------------------------------------

@@ -441,6 +441,48 @@ class WarcSpec extends SparkSpec {
       "crawl-file streaming extraction must equal the batch composition")
   }
 
+  test("servable CDX: sorted + stats-pruned layout makes a host lookup " +
+      "touch only intersecting files and equal the full scan (i19+i15)") {
+    val dir = tmp("warccdxsrv")
+    // 24 hosts × 4 captures, shuffled in url order so the range
+    // partitioner has real work to do
+    val docs = (0 until 96).map { i =>
+      val host = f"h${(i * 7) % 24}%02d.example"
+      (s"https://$host/page/${i / 24}",
+        java.sql.Timestamp.valueOf(f"2024-01-${1 + i % 27}%02d 00:00:00"),
+        s"text body $i for $host")
+    }.toDF("url", "fetch_ts", "text")
+    Warc.writeWarcGz(docs, s"$dir/wet", shards = 3)
+    val (recs, _) = Warc.read(spark, s"$dir/wet/*.warc.gz")
+    val idx = Warc.cdxIndex(recs)
+    Warc.writeCdx(idx, s"$dir/cdx", nFiles = 8)
+    val nFiles = new java.io.File(s"$dir/cdx").listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(nFiles == 8, s"fixture needs a multi-file index, got $nFiles")
+    val prefix = Warc.surtHostPrefix("h05.example")
+    assert(prefix == "example,h05)")
+    val hit = Warc.lookupHost(spark, s"$dir/cdx", prefix)
+    // exact: equals the full-scan filter, row for row
+    val full = spark.read.parquet(s"$dir/cdx")
+      .filter(col("surt_key").startsWith(prefix))
+    assert(hit.count() == 4)
+    assert(hit.exceptAll(full).isEmpty && full.exceptAll(hit).isEmpty,
+      "pruned lookup must equal the full scan exactly")
+    // the i15 discipline: the lookup's plan touches ≤ the files whose
+    // range intersects the prefix — far fewer than the full index
+    val touched = hit.select(input_file_name()).distinct().count()
+    assert(touched <= 2, s"host lookup touched $touched of $nFiles files")
+    // the full loop: index row → fetchAt → the page's actual bytes
+    val cap = hit.orderBy("fetch_ts").collect().head
+    val rec = Warc.fetchAt(cap.getAs[String]("warc_file"),
+      cap.getAs[Long]("rec_offset")).head
+    assert(rec.url == cap.getAs[String]("url"))
+    assert(new String(rec.payload, "UTF-8").contains("for h05.example"))
+    // a host that never appears prunes to zero files, zero rows, no error
+    assert(Warc.lookupHost(spark, s"$dir/cdx",
+      Warc.surtHostPrefix("nosuch.example")).count() == 0)
+  }
+
   test("charset-aware decode: header charset, meta sniff, header-beats-meta, " +
       "unknown falls back — real text, never mojibake") {
     val dir = tmp("warccs")
