@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.multimodal.{Binary, ImageHash}
+import graft.multimodal.{Audio, Binary, ImageHash}
 import graft.sim.Ann
 
 /** B-block (similarity + multimodal): ANN over `embeddings`, centroid
@@ -96,6 +96,35 @@ object SimQueries {
         .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
           col("hamming"))
         .orderBy(col("doc_id_a"), col("doc_id_b"))
+    },
+
+    // ---- q111: audio sample stats + perceptual near-dup (energy dHash) ----
+    // Ingest renders each doc as a REAL mono PCM16 WAV (samples = the
+    // closed-form byte waveform s(k) = (byte(k) − 100)·200, the q30/q101
+    // canvas discipline); decode runs the actual RIFF/PCM16 sample parser.
+    // Per clip: exact stats (peak, Σs², zero crossings) + the 60-bit
+    // energy-envelope hash riding SimHash's banded candidate machinery;
+    // `dup_candidate` = the smallest earlier clip within Hamming 16 (the
+    // q86 covered-by-earlier shape — keepSet's CC step stays engine-side,
+    // spec-gated, like q101). The oracle recomputes EVERYTHING
+    // arithmetically from the text bytes: integer-exact but for rms and
+    // duration, where both engines run the identical cast/divide/sqrt
+    // sequence and round at 6.
+    "q111_audio_dedup" -> { (s, d) =>
+      val clips = graft.Graft.registerCache(
+        Audio.clipRows(Audio.toWavPayloads(s, Tables.documents(s, d))).toDF())
+      val dup = Audio.nearPairs(clips, maxHamming = 16)
+        .groupBy(col("id_b").as("doc_id"))
+        .agg(min(col("id_a")).as("dup_candidate"))
+      clips.join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("n_samples").cast("long").as("n_samples"),
+          round(col("n_samples") / lit(8000.0), 6).as("duration_s"),
+          col("peak").cast("long").as("peak"),
+          round(sqrt(col("sum_sq").cast("double") / col("n_samples")), 6).as("rms"),
+          col("n_zero_crossings").cast("long").as("n_zero_crossings"),
+          col("fp"), col("dup_candidate"))
+        .orderBy(col("doc_id"))
     },
 
     // ---- q55: trained IVF quantizer (k-means cell build) ----
@@ -245,6 +274,53 @@ object SimQueries {
          SELECT doc_id_a, doc_id_b, bit_count(xor(ha, hb)) AS hamming
          FROM pairs WHERE bit_count(xor(ha, hb)) <= 16
          ORDER BY doc_id_a, doc_id_b""",
+
+    // q111: samples from the closed-form byte waveform; stats integer-
+    // exact (Σs² as BIGINT); the envelope hash mirrors energyHash60's
+    // nearest-sample frame bounds; bands/cap/Hamming mirror the q101
+    // pipeline; rms/duration run the identical cast→divide→sqrt→round
+    // sequence in both engines.
+    "q111_audio_dedup" ->
+      """WITH d AS (SELECT doc_id, text, greatest(1, length(text)) AS n FROM documents),
+         sm AS (SELECT doc_id, n,
+             [CASE WHEN k <= length(text) THEN (ascii(substr(text, k, 1)) - 100) * 200
+               ELSE 0 END for k in range(1, n + 1)] AS s
+           FROM d),
+         st AS (SELECT doc_id, n,
+             list_max(list_transform(s, x -> abs(x))) AS peak,
+             list_sum(list_transform(s, x -> x::BIGINT * x)) AS sum_sq,
+             coalesce(list_sum([CASE WHEN s[k] * s[k + 1] < 0 THEN 1 ELSE 0 END
+               for k in range(1, n)]), 0) AS zc
+           FROM sm),
+         fr AS (SELECT doc_id, f.range AS f,
+             coalesce(list_sum(list_transform(
+               s[(f.range * n // 61 + 1):((f.range + 1) * n // 61)],
+               x -> x::BIGINT * x)), 0) AS e
+           FROM sm, range(61) f),
+         bits AS (SELECT a.doc_id, a.f,
+             CASE WHEN a.e > b.e THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+           FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND b.f = a.f + 1),
+         fph AS (SELECT doc_id, bit_or(bit << f::INT) AS fp FROM bits GROUP BY doc_id),
+         banded AS (SELECT doc_id, fp, b.range AS band,
+             (fp >> (b.range * 10)::INT) & 1023 AS band_val
+           FROM fph, range(6) b),
+         capped AS (SELECT doc_id, fp, band, band_val FROM
+             (SELECT *, count(*) OVER (PARTITION BY band, band_val) AS bn FROM banded)
+           WHERE bn <= 600),
+         pairs AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+             a.fp AS fa, b.fp AS fb
+           FROM capped a JOIN capped b
+             ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+         dup AS (SELECT idb AS doc_id, min(ida) AS dup_candidate FROM pairs
+           WHERE bit_count(xor(fa, fb)) <= 16 GROUP BY idb)
+         SELECT st.doc_id, st.n::BIGINT AS n_samples,
+           round(st.n / 8000.0, 6) AS duration_s,
+           st.peak::BIGINT AS peak,
+           round(sqrt(st.sum_sq::DOUBLE / st.n), 6) AS rms,
+           st.zc::BIGINT AS n_zero_crossings,
+           fph.fp AS fp, dup.dup_candidate
+         FROM st JOIN fph USING (doc_id) LEFT JOIN dup USING (doc_id)
+         ORDER BY st.doc_id""",
 
     "q35_dedup_cosine" ->
       s"""WITH $E, $BUCKET_CTES,

@@ -743,4 +743,93 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(stars == Set((1L, 2L, 2), (1L, 3L, 1)), stars.toString)
   }
+
+  // ------------------------------------------------------------------
+  // q111: audio samples + energy-envelope dedup
+  // ------------------------------------------------------------------
+
+  test("wav: encode/decode round-trips samples exactly; stereo folds to " +
+      "mono; corrupt clips fail NAMED") {
+    import graft.multimodal.Audio
+    val samples = Array(0, 100, -100, 32767, -32768, 7, -7)
+    val wav = Audio.encodePcm16Wav(8000, samples)
+    val clip = Audio.decodeWavSamples(wav)
+    assert(clip.sampleRate == 8000 && clip.channels == 1)
+    assert(clip.samples.toSeq == samples.toSeq)
+    // header metadata path (q30's parser) agrees on the same bytes
+    assert(graft.multimodal.Binary.parseWav(wav) == ((samples.length, 1, "wav")))
+    // stereo: build by hand (encoder is mono) — frames average, truncating
+    val stereo = {
+      val b = Audio.encodePcm16Wav(8000, Array(0, 0)) // scaffold, rewrite fmt+data
+      b(22) = 2 // channels = 2
+      // data holds one stereo frame (10, 20) → mono (10+20)/2 = 15
+      def put16(off: Int, v: Int): Unit = {
+        b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+      }
+      put16(44, 10); put16(46, 20)
+      b
+    }
+    val folded = Audio.decodeWavSamples(stereo)
+    assert(folded.channels == 2 && folded.samples.toSeq == Seq(15))
+    // named failures, never a silent zero-clip
+    def err(bytes: Array[Byte]): String =
+      intercept[IllegalArgumentException](Audio.decodeWavSamples(bytes)).getMessage
+    assert(err("not a wav at all".getBytes("UTF-8")).contains("RIFF"))
+    val nonPcm = wav.clone(); nonPcm(20) = 3 // IEEE float format tag
+    assert(err(nonPcm).contains("unsupported audio format"))
+    val bits8 = wav.clone(); bits8(34) = 8
+    assert(err(bits8).contains("bit depth"))
+    val truncated = java.util.Arrays.copyOf(wav, wav.length - 4)
+    assert(err(truncated).contains("truncated"))
+  }
+
+  test("energyHash60: volume scaling leaves the fingerprint bit-identical " +
+      "(the re-encode robustness property)") {
+    import graft.multimodal.Audio
+    // a structured clip: rising then falling byte waveform, all samples
+    // EVEN (the synth ×200 guarantees it), so ×1/2 divides every frame
+    // energy by exactly 4 and every comparison is preserved exactly
+    val base = Array.tabulate(977)(k => ((k * 37 % 153) - 70) * 200)
+    val half = base.map(_ / 2)
+    assert(Audio.energyHash60(base) == Audio.energyHash60(half),
+      "uniform volume scaling must not move a single envelope bit")
+    // and through the full WAV round-trip, as a re-encoded clip would ship
+    val hBase = Audio.energyHash60(Audio.decodeWavSamples(
+      Audio.encodePcm16Wav(8000, base)).samples)
+    val hHalf = Audio.energyHash60(Audio.decodeWavSamples(
+      Audio.encodePcm16Wav(16000, half)).samples) // resampled-rate header too
+    assert(hBase == hHalf)
+    // a genuinely different clip is far away (discriminance guard)
+    val other = Array.tabulate(977)(k => ((k * 91 % 149) - 60) * 200)
+    assert(java.lang.Long.bitCount(
+      Audio.energyHash60(base) ^ Audio.energyHash60(other)) > 16)
+  }
+
+  test("audio keepSet: a re-encoded (half-volume) twin dedups against the " +
+      "original; quarantine keeps the scan alive") {
+    import graft.multimodal.Audio
+    import graft.multimodal.Binary.MediaPayload
+    val base = Array.tabulate(500)(k => ((k * 53 % 171) - 80) * 200)
+    val payloads = Seq(
+      MediaPayload(1L, Audio.encodePcm16Wav(8000, base), "audio/wav"),
+      MediaPayload(2L, Audio.encodePcm16Wav(8000, base.map(_ / 2)), "audio/wav"),
+      MediaPayload(3L, Audio.encodePcm16Wav(8000,
+        Array.tabulate(500)(k => ((k * 89 % 137) - 50) * 200)), "audio/wav"))
+    val clips = Audio.clipRows(spark.createDataset(payloads)(
+      org.apache.spark.sql.Encoders.product[MediaPayload])).toDF()
+    val verdicts = Audio.keepSet(clips, maxHamming = 8)
+      .as[(Long, Boolean, Option[Long])].collect().toSet
+    assert(verdicts == Set((1L, true, None), (2L, false, Some(1L)),
+      (3L, true, None)), verdicts.toString)
+    // quarantine: one corrupt clip in the batch → named error row, the
+    // good clips still decode (the i17 discipline)
+    val withBad = payloads :+ MediaPayload(4L, "garbage".getBytes("UTF-8"), "audio/wav")
+    val rows = Audio.clipRowsWithErrors(spark.createDataset(withBad)(
+        org.apache.spark.sql.Encoders.product[MediaPayload]))
+      .select(col("doc_id"), col("clip").isNotNull, col("decode_error"))
+      .as[(Long, Boolean, Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows(1L)._1 && rows(1L)._2.isEmpty)
+    assert(!rows(4L)._1 && rows(4L)._2.exists(_.contains("RIFF")))
+  }
 }
