@@ -879,6 +879,26 @@ object Warc {
       .select(col("domain"), col("k.robots_txt").as("robots_txt"))
   }
 
+  /** The crawl's own sitemap responses as a (doc_id, url, fetch_ts, xml)
+    * frame — a crawl archive carries the sitemap files it fetched as
+    * ordinary `response` records, so [[graft.text.Sitemaps.entries]] can
+    * seed the frontier from them with no external fetch. Selected by URL
+    * shape (`…sitemap….xml(.gz-less)` path — the sitemaps.org default and
+    * its indexed variants) or an XML content-type on a url ending `.xml`;
+    * bodies decode UTF-8 (the sitemap protocol requires it).
+    */
+  def sitemapBodies(records: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    records
+      .filter(col("warc_type") === "response" &&
+        col("http_status") === 200 &&
+        col("url").rlike("(?i)sitemap[^/]*\\.xml$"))
+      .select(
+        concat_ws(":", col("warc_file"), col("rec_offset")).as("doc_id"),
+        col("url"), col("fetch_ts"),
+        decode(col("payload"), "UTF-8").as("xml"))
+  }
+
   /** FIRST-FETCH-WINS canonical-URL dedup of a crawl documents frame
     * ([[htmlDocuments]] shape): the same page arrives under
     * `HTTP://WWW.Site.COM:80/a/?utm_source=x` and `http://site.com/a`,

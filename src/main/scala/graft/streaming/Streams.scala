@@ -1373,22 +1373,68 @@ object Streams {
     } finally { batch.unpersist(); () }
   }
 
-  /** Current frontier from the [[frontierSink]] logs: citation fold →
+  /** Sitemap channel of the frontier (the OTHER public seed source —
+    * anchors are what the crawl OBSERVED, sitemaps are what hosts
+    * DECLARE): each micro-batch of sitemap bodies
+    * ([[graft.sources.Warc.sitemapBodies]] shape) extracts page locs
+    * ([[graft.text.Sitemaps.entries]], entity-decoded), canonicalizes,
+    * and lands distinct (target_url, target_host) rows in the batch's own
+    * batch_id partition under `stateDir/sitemap` — replay = partition
+    * overwrite, compactable with the identity merge. [[readFrontier]]
+    * unions these in as ZERO-citation candidates tagged
+    * `source = sitemap`; a page both declared and cited ranks by its
+    * citations (`source = both`). Child-sitemap refs (`kind = sitemap`)
+    * are index entries, not pages — they don't enter the frontier here
+    * (fetch them and feed their bodies back through this sink).
+    */
+  def sitemapSink(spark: SparkSession, stateDir: String,
+      xmlCol: String = "xml")(batch: DataFrame, batchId: Long): Unit = {
+    val locs = graft.text.Sitemaps.entries(batch, "doc_id", xmlCol)
+      .filter(col("kind") === "page")
+      .withColumn("target_url", graft.text.Urls.canonicalize(col("url")))
+      .filter(col("target_url").rlike("^https?://"))
+      .select(col("target_url"),
+        graft.text.Urls.domain(col("target_url")).as("target_host"))
+      .distinct()
+    graft.sources.Sinks.dynamicOverwrite(
+      locs.withColumn("batch_id", lit(batchId)),
+      s"$stateDir/sitemap", Seq("batch_id"))
+  }
+
+  /** Current frontier from the [[frontierSink]] (+ optional
+    * [[sitemapSink]]) logs: citation fold ∪ sitemap declarations →
     * anti-join the crawled set → per-host top-`k` — the q107 output shape
-    * (target_url, target_host, n_citations, rn).
+    * (target_url, target_host, n_citations, rn) plus `source`
+    * (anchor | sitemap | both). Sitemap-only candidates carry 0 citations
+    * and rank after cited ones under the same per-host politeness cap.
     */
   def readFrontier(spark: SparkSession, stateDir: String, k: Int): DataFrame = {
     val cites = spark.read.parquet(s"$stateDir/cites")
       .groupBy(col("target_url"), col("target_host"))
       .agg(sum(col("_n")).as("n_citations"))
+    val cand0 = graft.sources.Sources
+      .parquetIfExists(spark, s"$stateDir/sitemap") match {
+      case None => cites.withColumn("source", lit("anchor"))
+      case Some(sm) =>
+        val declared = sm.select(col("target_url"), col("target_host"))
+          .distinct().withColumn("_sm", lit(true))
+        cites.withColumn("_an", lit(true))
+          .join(declared, Seq("target_url", "target_host"), "full_outer")
+          .select(col("target_url"), col("target_host"),
+            coalesce(col("n_citations"), lit(0L)).as("n_citations"),
+            when(col("_an").isNotNull && col("_sm").isNotNull, "both")
+              .when(col("_sm").isNotNull, "sitemap")
+              .otherwise("anchor").as("source"))
+    }
     val crawled = spark.read.parquet(s"$stateDir/crawled")
       .select(col("url_h")).distinct()
-    val cand = cites.join(crawled,
+    val cand = cand0.join(crawled,
       graft.text.TextFunctions.hash60(col("target_url")) === col("url_h"),
       "left_anti")
     graft.ops.Windows.topNPerGroup(cand, Seq("target_host"),
       Seq(col("n_citations").desc, col("target_url").asc), k)
-      .select(col("target_url"), col("target_host"), col("n_citations"), col("rn"))
+      .select(col("target_url"), col("target_host"), col("n_citations"),
+        col("rn"), col("source"))
   }
 
   /** s27: streaming PCA scatter accumulation — q110's FIT at intake.

@@ -414,6 +414,54 @@ class StreamingSpec extends SparkSpec {
     assert(compacted == after, compacted)
   }
 
+  test("sitemapSink: declared-only URLs enter the frontier tagged, leave " +
+      "when crawled, respect the per-host cap; replay exact (s28 sitemap channel)") {
+    val dir = Files.createTempDirectory("frontier_sm").toFile.getAbsolutePath
+    val state = s"$dir/state"
+    val sink = Streams.frontierSink(spark, state) _
+    val smSink = Streams.sitemapSink(spark, state) _
+    def page(id: Long, base: String, hrefs: Seq[String]) =
+      (id, "<html><body>" +
+        hrefs.map(h => s"""<a href="$h">x</a>""").mkString(" ") +
+        "</body></html>", base)
+    // anchors cite hub; the sitemap DECLARES three more pages on one host
+    // (cap test) + an entity-escaped loc + a child-sitemap ref (excluded)
+    val sm = Seq(("s1", """<?xml version="1.0"?><urlset>
+      <url><loc>https://declared.example/a</loc><lastmod>2024-01-01</lastmod></url>
+      <url><loc>https://declared.example/b</loc></url>
+      <url><loc> https://declared.example/c?x=1&amp;y=2 </loc></url>
+      <url><loc>https://hub.example/x</loc></url>
+      <sitemap><loc>https://declared.example/sitemap2.xml</loc></sitemap>
+      </urlset>""")).toDF("doc_id", "xml")
+    sink(Seq(page(1L, "https://src.example/a", Seq("https://hub.example/x")))
+      .toDF("doc_id", "html", "base_url"), 0L)
+    smSink(sm, 0L)
+    smSink(sm, 0L) // replay after a simulated post-write failure
+    val f1 = Streams.readFrontier(spark, state, 2)
+      .select("target_url", "n_citations", "source", "rn")
+      .as[(String, Long, String, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // hub is cited AND declared; declared-only pages carry 0 citations
+    assert(f1("https://hub.example/x") == ((1L, "both", 1)))
+    assert(f1("https://declared.example/a") == ((0L, "sitemap", 1)))
+    assert(f1("https://declared.example/b") == ((0L, "sitemap", 2)))
+    // per-host cap (k=2): the third declared page is capped out; the
+    // child-sitemap ref never entered
+    assert(!f1.contains("https://declared.example/c?x=1&y=2") &&
+      !f1.contains("https://declared.example/sitemap2.xml"), f1.toString)
+    // entity-decoded loc IS in the candidate set: k=3 admits it
+    val f3 = Streams.readFrontier(spark, state, 3)
+      .select("target_url").as[String].collect().toSet
+    assert(f3.contains("https://declared.example/c?x=1&y=2"), f3.toString)
+    // crawling a declared page removes it — sitemap-only entries leave too
+    sink(Seq(page(2L, "https://declared.example/a", Seq.empty))
+      .toDF("doc_id", "html", "base_url"), 1L)
+    val f2 = Streams.readFrontier(spark, state, 3)
+      .select("target_url").as[String].collect().toSet
+    assert(!f2.contains("https://declared.example/a"), f2.toString)
+    assert(f2.contains("https://declared.example/b"))
+  }
+
   test("pcaScatterSink: folded model matches the batch fit; replay and " +
       "compaction exact (s27)") {
     val dir = Files.createTempDirectory("pcastream").toFile.getAbsolutePath

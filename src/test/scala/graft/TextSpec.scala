@@ -1001,6 +1001,37 @@ class TextSpec extends SparkSpec {
     assert(!out.head.getString(0).contains("Home"))
   }
 
+  test("Sitemaps: urlset pages + index refs parse with entity decode; " +
+      "robots Sitemap: directives discovered") {
+    import graft.text.Sitemaps
+    val xml = """<?xml version="1.0" encoding="UTF-8"?>
+      <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        <url><loc>https://a.example/p1</loc><lastmod>2024-03-01</lastmod></url>
+        <url>
+          <loc> https://a.example/p2?a=1&amp;b=2 </loc>
+        </url>
+        <url><priority>0.5</priority></url>
+      </urlset>"""
+    val idx = """<sitemapindex>
+        <sitemap><loc>https://a.example/sitemap-news.xml</loc></sitemap>
+      </sitemapindex>"""
+    val got = Sitemaps.entries(
+        Seq((1L, xml), (2L, idx)).toDF("doc_id", "xml"), "doc_id", "xml")
+      .as[(Long, String, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, "page", "https://a.example/p1", "2024-03-01"),
+      (1L, "page", "https://a.example/p2?a=1&b=2", ""),
+      (2L, "sitemap", "https://a.example/sitemap-news.xml", "")), got.toString)
+    val robots = Seq(("a.example",
+      "User-agent: *\nDisallow: /x\nSitemap: https://a.example/sitemap.xml\n" +
+        "sitemap:https://a.example/sitemap2.xml\n"))
+      .toDF("domain", "robots_txt")
+    val sm = Sitemaps.fromRobots(robots, "domain", "robots_txt")
+      .as[(String, String)].collect().toSet
+    assert(sm == Set(("a.example", "https://a.example/sitemap.xml"),
+      ("a.example", "https://a.example/sitemap2.xml")), sm.toString)
+  }
+
   test("HtmlExtract.links: visible anchors only, resolved + canonicalized, " +
       "non-http filtered") {
     val html = "<html><head><script>var u=\"<a href=\\\"http://evil.io/x\\\">\";" +
