@@ -114,6 +114,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BpeByteEncode].getName, "graft_bpe_byte_encode"),
       (children: Seq[Expression]) => BpeByteEncode(children.head, children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_unigram_encode"),
+      new ExpressionInfo(classOf[UnigramEncode].getName, "graft_unigram_encode"),
+      (children: Seq[Expression]) => UnigramEncode(children.head, children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_charset_sniff"),
       new ExpressionInfo(classOf[CharsetSniff].getName, "graft_charset_sniff"),
       (children: Seq[Expression]) => CharsetSniff(children.head, children(1))))

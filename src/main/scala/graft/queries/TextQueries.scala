@@ -737,6 +737,24 @@ object TextQueries {
         .orderBy(col("rank"))
     },
 
+    // ---- q112: unigram-LM tokenizer training (the OTHER public family) ----
+    // SentencePiece-style (Kudo 2018): EM-scored piece vocabulary +
+    // Viterbi encode (native graft_unigram_encode expression). Same
+    // rows-only discipline as q95 — EM training isn't SQL-expressible;
+    // UnigramSpec carries the strong gates (bit-determinism, round-trip
+    // totality, compression sandwich vs chars AND byte-BPE, native ==
+    // driver parity). Output = the trained table in usage-rank order.
+    "q112_unigram_lm" -> { (s, d) =>
+      import s.implicits._
+      graft.text.Unigram.train(Tables.documents(s, d), "text",
+          vocabSize = 160, maxWords = 1 << 13, seedSize = 1 << 12)
+        .zipWithIndex
+        .map { case (p, i) =>
+          (i + 1, p.piece, math.rint(p.logProb * 1e6) / 1e6) }
+        .toDF("rank", "piece", "log_prob")
+        .orderBy(col("rank"))
+    },
+
     // ---- q93: HTML main-content extraction (the intake step) ----
     // The B-block assumes clean text; real web intake starts from markup.
     // The corpus is WRAPPED in deterministic page chrome (nav + ad every

@@ -93,8 +93,11 @@ class MetaSpec extends SparkSpec {
     // q95 is driver-side BPE vocabulary TRAINING (same discipline — the
     // APPLY step q92 is fully oracle-backed with a fixed merge table, and
     // training's strong gates are BpeSpec's determinism/driver-reference/
-    // replay-equivalence properties).
-    val rowsOnlyWaivers = Set("q55_kmeans_cells", "q73_ann_ivfpq", "q95_bpe_train")
+    // replay-equivalence properties); q112 is the unigram-LM sibling
+    // (driver-side EM training; UnigramSpec carries determinism,
+    // round-trip totality, compression sandwich, native==driver parity).
+    val rowsOnlyWaivers = Set("q55_kmeans_cells", "q73_ann_ivfpq",
+      "q95_bpe_train", "q112_unigram_lm")
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
