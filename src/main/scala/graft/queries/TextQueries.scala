@@ -635,8 +635,17 @@ object TextQueries {
     // the SAME definition its operator family uses (q19 fingerprints, q82
     // line grain, q87 spans, q85 gram rule, q24 quality grid, q23
     // lang-ID) — see text/CorpusReport.scala.
+    // The charset column is SYNTHESIZED deterministically (the q101
+    // canvas discipline: both engines know the formula) — in production
+    // it's Warc.htmlDocuments' sniffed-charset column; the metric
+    // machinery is what the oracle pins.
     "q91_corpus_report" -> { (s, d) =>
-      graft.text.CorpusReport.report(Tables.documents(s, d), "doc_id", "text")
+      graft.text.CorpusReport.report(
+        Tables.documents(s, d).withColumn("charset",
+          when(col("doc_id") % 7 === 0, "windows-1251")
+            .when(col("doc_id") % 11 === 0, "shift_jis")
+            .otherwise("utf-8")),
+        "doc_id", "text", charsetCol = Some("charset"))
     },
 
     // ---- q90: span-level contamination (surgical decontamination) ----
@@ -1857,7 +1866,9 @@ object TextQueries {
            FROM (SELECT lang, ${stopCount("en")} AS s_en, ${stopCount("de")} AS s_de,
                    ${stopCount("es")} AS s_es, ${stopCount("fr")} AS s_fr FROM tk))),
          fpx AS (SELECT count(*) - count(DISTINCT
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS dups FROM tk)
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS dups FROM tk),
+         cs AS (SELECT sum(CASE WHEN doc_id % 7 = 0 OR doc_id % 11 = 0
+             THEN 1 ELSE 0 END) AS nu, count(*) AS n FROM tk)
          SELECT * FROM (
            SELECT 'boilerplate_grams' AS metric, n * 1.0 AS value FROM bg
            UNION ALL SELECT 'dup_line_frac',
@@ -1869,6 +1880,8 @@ object TextQueries {
              floor(sg * 1.0 / (n * 10000) * 10000 + 0.5) / 10000 FROM q
            UNION ALL SELECT 'n_docs', n * 1.0 FROM tot
            UNION ALL SELECT 'n_tokens', n_toks * 1.0 FROM tot
+           UNION ALL SELECT 'non_utf8_frac',
+             floor(nu * 1.0 / n * 10000 + 0.5) / 10000 FROM cs
            UNION ALL SELECT 'span_dup_token_frac',
              floor(dup_toks * 1.0 / (SELECT n_toks FROM tot) * 10000 + 0.5) / 10000 FROM sd
          ) ORDER BY metric""",

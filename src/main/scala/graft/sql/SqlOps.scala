@@ -1083,7 +1083,8 @@ object SqlOps {
     * (see text/CorpusReport.scala). `langCol` None omits the lang-ID row.
     */
   def corpusReportSql(table: String, idCol: String, textCol: String,
-      langCol: Option[String] = Some("lang"), n: Int = 8): String = {
+      langCol: Option[String] = Some("lang"), n: Int = 8,
+      charsetCol: Option[String] = None): String = {
     val (id, txt) = (bt(idCol), bt(textCol))
     val langCte = langCol.map { lc =>
       s""",
@@ -1094,6 +1095,17 @@ object SqlOps {
       s"""
          |  UNION ALL SELECT 'langid_mismatch_frac',
          |    coalesce(floor(mm * 1.0 / n * 10000d + 0.5d) / 10000d, 0.0d) FROM _lg""".stripMargin
+    }.getOrElse("")
+    val charsetCte = charsetCol.map { cc =>
+      s""",
+         |_cs AS (SELECT sum(CASE WHEN ${bt(cc)} IS NOT NULL
+         |      AND lower(${bt(cc)}) <> 'utf-8' THEN 1L ELSE 0L END) AS nu,
+         |    count(*) AS n FROM $table)""".stripMargin
+    }.getOrElse("")
+    val charsetRow = charsetCol.map { _ =>
+      s"""
+         |  UNION ALL SELECT 'non_utf8_frac',
+         |    coalesce(floor(nu * 1.0 / n * 10000d + 0.5d) / 10000d, 0.0d) FROM _cs""".stripMargin
     }.getOrElse("")
     s"""WITH _tk AS (SELECT $id, $txt AS _text, graft_tokens($txt) AS _toks FROM $table),
        |_pa AS (SELECT $id, element_at(transform(array(_toks), ts ->
@@ -1130,12 +1142,12 @@ object SqlOps {
        |_q AS (SELECT sum(CAST(graft_quality(_text) * 10000d + 0.5d AS BIGINT)) AS sg,
        |    count(*) AS n FROM _tk),
        |_fp AS (SELECT count(*) - count(DISTINCT graft_fingerprint(_text)) AS dups
-       |  FROM _tk)$langCte
+       |  FROM _tk)$langCte$charsetCte
        |SELECT * FROM (
        |  SELECT 'boilerplate_grams' AS metric, n * 1.0 AS value FROM _bg
        |  UNION ALL SELECT 'dup_line_frac',
        |    coalesce(floor((nl - dl) * 1.0 / nl * 10000d + 0.5d) / 10000d, 0.0d) FROM _lm
-       |  UNION ALL SELECT 'exact_dup_docs', dups * 1.0 FROM _fp$langRow
+       |  UNION ALL SELECT 'exact_dup_docs', dups * 1.0 FROM _fp$langRow$charsetRow
        |  UNION ALL SELECT 'mean_quality',
        |    coalesce(floor(sg * 1.0 / (n * 10000L) * 10000d + 0.5d) / 10000d, 0.0d) FROM _q
        |  UNION ALL SELECT 'n_docs', nd * 1.0 FROM _tot

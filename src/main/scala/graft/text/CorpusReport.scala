@@ -43,9 +43,16 @@ object CorpusReport {
     *  - mean_quality: sum of q24 quality grids / (docs · 10⁴)
     *  - langid_mismatch_frac: `langCol` label != q23 prediction (row
     *    omitted when `langCol` is None — same knob as the SQL twin)
+    *  - non_utf8_frac: fraction of docs whose declared/sniffed charset is
+    *    not UTF-8 (the i17 intake-mix signal — [[graft.sources.Warc
+    *    .htmlDocuments]] emits the column; a corpus arriving 10%
+    *    windows-1251 should say so HERE, before langid/quality read it).
+    *    Null charsets count as unknown, not non-UTF-8. Row omitted when
+    *    `charsetCol` is None (corpora without intake provenance).
     */
   def report(docs: DataFrame, idCol: String, textCol: String,
-      langCol: Option[String] = Some("lang"), n: Int = 8): DataFrame = {
+      langCol: Option[String] = Some("lang"), n: Int = 8,
+      charsetCol: Option[String] = None): DataFrame = {
     val base = docs.select(col(idCol), col(textCol).as("_text"),
       TF.tokens(col(textCol)).as("_toks"))
 
@@ -86,6 +93,15 @@ object CorpusReport {
           r4(sum(when(col(lc) =!= TF.langPredict(col("_toks")), 1L)
             .otherwise(0L)) * lit(1.0) / count(lit(1))),
           docs.select(col(lc), TF.tokens(col(textCol)).as("_toks")))
+      }.toSeq ++
+      charsetCol.map { cc =>
+        require(docs.columns.contains(cc),
+          s"corpus report: charset column '$cc' absent from " +
+            s"${docs.columns.mkString(", ")} — pass charsetCol = None to omit")
+        one("non_utf8_frac",
+          r4(sum(when(col(cc).isNotNull && lower(col(cc)) =!= "utf-8", 1L)
+            .otherwise(0L)) * lit(1.0) / count(lit(1))),
+          docs.select(col(cc)))
       }.toSeq
     parts.reduce(_ unionByName _).orderBy(col("metric"))
   }

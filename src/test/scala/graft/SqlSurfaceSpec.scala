@@ -628,6 +628,17 @@ class SqlSurfaceSpec extends SparkSpec {
     val viaCol = graft.text.CorpusReport.report(
       Tables.documents(spark, sfDir), "doc_id", "text")
     assertSame(viaSql, viaCol, "corpus report", samePlan = false)
+    // the r16 intake-mix knob: both faces emit the non_utf8_frac row
+    Tables.documents(spark, sfDir)
+      .withColumn("charset",
+        when(col("doc_id") % 3 === 0, "windows-1251").otherwise("utf-8"))
+      .createOrReplaceTempView("docs_cs")
+    val sqlCs = spark.sql(SqlOps.corpusReportSql("docs_cs", "doc_id", "text",
+      charsetCol = Some("charset")))
+    val colCs = graft.text.CorpusReport.report(
+      spark.table("docs_cs"), "doc_id", "text", charsetCol = Some("charset"))
+    assertSame(sqlCs, colCs, "corpus report + charset", samePlan = false)
+    assert(colCs.filter(col("metric") === "non_utf8_frac").count() == 1)
   }
 
   test("SqlOps.contaminationSpansSql == Decontaminate.contaminationSpans (rows)") {

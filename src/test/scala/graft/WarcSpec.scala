@@ -533,6 +533,14 @@ class WarcSpec extends SparkSpec {
     // the old behavior this replaces: UTF-8 decode of the 1251 bytes is
     // mojibake — pin that the fixture actually discriminates
     assert(!new String(ru.getBytes("windows-1251"), "UTF-8").contains("Привет"))
+    // the q91 composition: the intake-mix metric reads the REAL sniffed
+    // column — 3 of the 4 pages decoded non-UTF-8
+    val mix = graft.text.CorpusReport.report(
+        Warc.htmlDocuments(recs), "doc_id", "html",
+        langCol = None, charsetCol = Some("charset"))
+      .filter(col("metric") === "non_utf8_frac")
+      .select("value").as[Double].head()
+    assert(mix == 0.75, s"expected non_utf8_frac 0.75, got $mix")
   }
 
   test("read parses each file ONCE when both frames are consumed (single-pass)") {
