@@ -78,7 +78,8 @@ object ScaleBench {
     "x100_classifier_work", "x101_image_dhash_work",
     "x102_url_curate_work", "x102_url_canon_work", "x104_langid_work",
     "x105_link_graph_work", "x107_frontier_work", "x108_anchor_work",
-    "x109_colloc_work", "x110_pca_work")
+    "x109_colloc_work", "x110_pca_work", "x111_audio_work",
+    "x112_unigram_encode_work")
 
   /** Default key stride between copies: far above any sf0.1 key range, so
     * strided ids never collide across copies. A SECOND derivation (e.g.
@@ -316,6 +317,31 @@ object ScaleBench {
     "x110_pca_work" -> { (s, d) =>
       SparkEntry.queries("q110_pca_project")(s, d)
         .agg(sum(col("proj")).as("t"), count(lit(1)).as("n"))
+    },
+    // q111's linear term, measured WITHOUT the catalog query's registry
+    // cache (a cached clips frame would make pass 2 read storage and
+    // report fake sublinearity): every clip's WAV render, sample decode,
+    // stats, and envelope hash per pass. The banded dup join is the
+    // SimHash-family capped term x101/q22 already measure.
+    "x111_audio_work" -> { (s, d) =>
+      graft.multimodal.Audio.clipRows(
+          graft.multimodal.Audio.toWavPayloads(s, Tables.documents(s, d)))
+        .toDF()
+        .agg(sum(col("sum_sq")).as("t"),
+          sum(col("n_zero_crossings")).as("z"), count(lit(1)).as("n"))
+    },
+    // q112: the ENCODE face is the corpus-scaling term (training's EM is
+    // maxWords-bounded by construction — its only corpus-rate cost is the
+    // one word-count scan, which this includes honestly): Viterbi-encode
+    // every word occurrence under the trained table, sum piece counts so
+    // nothing prunes the DP.
+    "x112_unigram_encode_work" -> { (s, d) =>
+      val vocab = graft.text.Unigram.train(Tables.documents(s, d), "text",
+        vocabSize = 160, maxWords = 1 << 13, seedSize = 1 << 12)
+      Tables.documents(s, d)
+        .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("w"))
+        .agg(sum(size(graft.text.Unigram.encode(col("w"), vocab))).as("t"),
+          count(lit(1)).as("n"))
     })
 
   def main(args: Array[String]): Unit = {

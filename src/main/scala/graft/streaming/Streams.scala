@@ -1831,4 +1831,119 @@ object Streams {
     writeMerges(spark, stateDir, ms)
     ms
   }
+
+  // --------------------------------------------------------------------
+  // s29: unigram-LM tokenizer drift (r16) — s22's discipline for the
+  // SECOND deployable model (q112): the A/B face a production tokenizer
+  // stack actually runs (two families, one drift dashboard).
+  // --------------------------------------------------------------------
+
+  /** Deployed piece table of a [[unigramDriftSink]] state dir, in rank
+    * order (driver-side; piece tables are vocab-bounded metadata).
+    */
+  def readUnigramVocab(spark: SparkSession,
+      stateDir: String): Seq[graft.text.Unigram.Piece] = {
+    spark.read.parquet(s"$stateDir/vocab").orderBy(col("rank"))
+      .select(col("piece"), col("log_prob"))
+      .collect().map(r => graft.text.Unigram.Piece(r.getString(0), r.getDouble(1)))
+      .toSeq
+  }
+
+  private def writeUnigramVocab(spark: SparkSession, stateDir: String,
+      vocab: Seq[graft.text.Unigram.Piece]): Unit = {
+    import spark.implicits._
+    graft.sources.Sinks.overwriteAtomic(
+      vocab.zipWithIndex.map { case (p, i) => (i + 1, p.piece, p.logProb) }
+        .toDF("rank", "piece", "log_prob"),
+      s"$stateDir/vocab")
+  }
+
+  /** Per-batch drift metrics accumulated by [[unigramDriftSink]]:
+    * (batch_id, n_word_occurrences, n_distinct_words, fertility,
+    * unk_rate).
+    */
+  def readUnigramDrift(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/drift")
+
+  /** foreachBatch unigram-tokenizer drift monitor — [[tokenizerDriftSink]]
+    * verbatim for the q112 model: each micro-batch lands its word counts
+    * in its own batch_id partition and two metadata-rate metrics compute
+    * under the CURRENTLY-DEPLOYED piece table:
+    *
+    *  - `fertility`: average pieces per word OCCURRENCE (the same
+    *    training-budget number as s22's);
+    *  - `unk_rate`: fraction of word occurrences whose Viterbi encode
+    *    used at least one single-codepoint UNK fallback (a character the
+    *    table has no piece for — unigram's honest OOV face, where
+    *    byte-BPE's is "fully unmerged").
+    *
+    * First batch bootstraps the table deterministically from its own
+    * counts ([[graft.text.Unigram.trainOnCounts]]); subsequent batches
+    * only MEASURE. Retraining is caller policy via [[unigramRetrain]]
+    * (accumulated counts, atomic swap — the s08/s22 shape). Replay-
+    * idempotent: words/drift overwrite their own batch_id partition; the
+    * bootstrap decision excludes the current batch id. Per batch: one
+    * map-side-combined word count + a vocab-sized projection through the
+    * native codegen'd encode — never a corpus rescan.
+    */
+  def unigramDriftSink(spark: SparkSession, stateDir: String,
+      textCol: String = "text", vocabSize: Int = 192,
+      maxWords: Int = 1 << 14)(batch: DataFrame, batchId: Long): Unit = {
+    import spark.implicits._
+    import graft.text.{TextFunctions, Unigram}
+    // the s22 empty-batch discipline: no empty-table deploy, no null
+    // drift rows
+    if (batch.isEmpty) return
+    val words = batch
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .cache()
+    if (words.isEmpty) { words.unpersist(); return }
+    graft.sources.Sinks.dynamicOverwrite(
+      words.withColumn("batch_id", lit(batchId)), s"$stateDir/words", Seq("batch_id"))
+    val hasPrior = graft.sources.Sources
+      .parquetIfExists(spark, s"$stateDir/words")
+      .exists(!_.filter(col("batch_id") =!= batchId).isEmpty)
+    val vocab: Seq[Unigram.Piece] =
+      if (!hasPrior) {
+        val wc = words.orderBy(col("c").desc, col("w")).limit(maxWords)
+          .as[(String, Long)].collect().toSeq
+        val v = Unigram.trainOnCounts(wc, vocabSize)
+        writeUnigramVocab(spark, stateDir, v)
+        v
+      } else readUnigramVocab(spark, stateDir)
+    val known = typedLit(vocab.map(_.piece))
+    val drift = words
+      .select(col("c"),
+        Unigram.encode(col("w"), vocab).as("ps"))
+      .select(col("c"), size(col("ps")).as("t"),
+        when(forall(col("ps"), p => array_contains(known, p)), 0L)
+          .otherwise(1L).as("unk"))
+      .agg(
+        sum(col("c")).as("n_word_occurrences"),
+        count(lit(1)).as("n_distinct_words"),
+        (sum(col("c") * col("t")).cast("double") / sum(col("c"))).as("fertility"),
+        (sum(col("c") * col("unk")).cast("double") / sum(col("c"))).as("unk_rate"))
+      .withColumn("batch_id", lit(batchId))
+    graft.sources.Sinks.dynamicOverwrite(drift, s"$stateDir/drift", Seq("batch_id"))
+    words.unpersist()
+    ()
+  }
+
+  /** Re-learn the piece table from the ACCUMULATED word counts and swap
+    * it atomically — [[bpeRetrain]] for the q112 model; crash-before-swap
+    * leaves the old table serving.
+    */
+  def unigramRetrain(spark: SparkSession, stateDir: String,
+      vocabSize: Int = 192,
+      maxWords: Int = 1 << 14): Seq[graft.text.Unigram.Piece] = {
+    import spark.implicits._
+    val wc = spark.read.parquet(s"$stateDir/words")
+      .groupBy(col("w")).agg(sum(col("c")).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(maxWords)
+      .as[(String, Long)].collect().toSeq
+    val v = graft.text.Unigram.trainOnCounts(wc, vocabSize)
+    writeUnigramVocab(spark, stateDir, v)
+    v
+  }
 }

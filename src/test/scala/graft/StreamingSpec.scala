@@ -414,6 +414,59 @@ class StreamingSpec extends SparkSpec {
     assert(compacted == after, compacted)
   }
 
+  test("unigramDriftSink: unk_rate spikes on unseen-alphabet shift, " +
+      "unigramRetrain restores, replay idempotent (s29)") {
+    val dir = Files.createTempDirectory("unidrift").toFile.getAbsolutePath
+    val state = s"$dir/state"
+    val sink = Streams.unigramDriftSink(spark, state, vocabSize = 48) _
+    val vocabA = Seq("the", "then", "these", "stone", "holes")
+    // digits never appear in A → every B char is an UNK fallback
+    val vocabB = Seq("0123", "3210", "1032", "2301")
+    val rnd = new scala.util.Random(7)
+    def docs(vocab: Seq[String], ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i.toLong,
+        (1 to 10).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+        .toDF("doc_id", "text")
+    def drift(b: Long): (Double, Double) =
+      Streams.readUnigramDrift(spark, state)
+        .filter(col("batch_id") === b).select("fertility", "unk_rate")
+        .as[(Double, Double)].head()
+    // empty batches must not bootstrap (the s22 discipline)
+    sink(Seq.empty[(Long, String)].toDF("doc_id", "text"), 0L)
+    assert(!new java.io.File(s"$state/vocab").exists())
+    sink(docs(vocabA, 1 to 8), 0L) // bootstrap
+    // the tiny fixture has fewer distinct substrings than vocabSize —
+    // the table holds all of them (≤ vocabSize is the contract)
+    val deployed = Streams.readUnigramVocab(spark, state)
+    assert(deployed.nonEmpty && deployed.size <= 48)
+    sink(docs(vocabA, 9 to 16), 1L) // stationary
+    val (fertA, unkA) = drift(1L)
+    assert(fertA < 2.5, s"A under A-table should compress: $fertA")
+    assert(unkA == 0.0, s"A chars are all covered: $unkA")
+    // replay idempotence
+    val fixed = docs(vocabA, 17 to 20)
+    sink(fixed, 2L)
+    val snap1 = drift(2L)
+    sink(fixed, 2L)
+    assert(drift(2L) == snap1, "replay must reproduce the drift row")
+    // alphabet shift: every B word is 4 unseen chars → 4 UNK pieces
+    sink(docs(vocabB, 21 to 28), 3L)
+    val (fertB, unkB) = drift(3L)
+    assert(fertB == 4.0, s"4 unk pieces per 4-char word: $fertB")
+    assert(unkB == 1.0, s"every B occurrence used a fallback: $unkB")
+    // retrain on the accumulated counts; the swapped table serves next
+    val retrained = Streams.unigramRetrain(spark, state, vocabSize = 48)
+    assert(Streams.readUnigramVocab(spark, state) == retrained)
+    sink(docs(vocabB, 31 to 38), 4L)
+    val (fertB2, unkB2) = drift(4L)
+    assert(unkB2 == 0.0, s"retrained table covers the digits: $unkB2")
+    assert(fertB2 < fertB, s"retrain must restore fertility: $fertB2 vs $fertB")
+    // the A side stays healthy under the joint table
+    sink(docs(vocabA, 41 to 44), 5L)
+    val (fertA2, unkA2) = drift(5L)
+    assert(fertA2 < 3.0 && unkA2 == 0.0, s"joint table keeps A healthy: $fertA2/$unkA2")
+  }
+
   test("sitemapSink: declared-only URLs enter the frontier tagged, leave " +
       "when crawled, respect the per-host cap; replay exact (s28 sitemap channel)") {
     val dir = Files.createTempDirectory("frontier_sm").toFile.getAbsolutePath
