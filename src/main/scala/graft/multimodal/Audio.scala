@@ -265,6 +265,15 @@ object Audio {
     SimHash.nearPairs(clips.select(col("doc_id"), col("fp").as("simhash")),
       "doc_id", maxHamming, maxBucket)
 
+  /** (doc_id, fp, band, band_val) rows — the 6 × 10-bit banding of
+    * [[SimHash]], public for asymmetric (new-batch vs accumulated-index)
+    * joins like the s30 streaming sink (the [[ImageHash.bandRows]] shape).
+    */
+  def bandRows(clips: DataFrame): DataFrame =
+    clips.select(col("doc_id"), col("fp"),
+        explode(sequence(lit(0), lit(5))).as("band"))
+      .withColumn("band_val", expr("(fp >> (band * 10)) & 1023"))
+
   /** Over-cap star side channel ([[SimHash.overCapPairs]]). */
   def overCapPairs(clips: DataFrame, maxHamming: Int,
       cap: Int = SimHash.BandBucketCap): DataFrame =

@@ -1772,6 +1772,79 @@ object Streams {
     spark.read.parquet(s"$stateDir/pairs").drop("batch_id")
 
   // --------------------------------------------------------------------
+  // s30: streaming perceptual audio dedup (r16) — q111's live-intake
+  // face, [[imageDedupSink]]'s template on the energy-envelope hash.
+  // --------------------------------------------------------------------
+
+  /** foreachBatch perceptual audio dedup against an ACCUMULATED
+    * fingerprint index: each micro-batch of (doc_id, payload) decodes
+    * through the REAL RIFF/PCM16 sample path with MEMBER-LEVEL quarantine
+    * (a corrupt clip lands in `stateDir/quarantine` with its named decode
+    * error — the i17 discipline), fingerprints
+    * ([[graft.multimodal.Audio.energyHash60]]), band-joins new hashes
+    * against the CAPPED accumulated index (6 × 10-bit bands,
+    * [[graft.text.SimHash.BandBucketCap]] on the index side), Hamming-
+    * verifies, appends to the index. A re-encoded (volume-scaled) upload
+    * of an already-ingested clip pairs at Hamming 0 — the q111 invariance
+    * carried live. Index/pairs/quarantine are batch_id-partitioned logs:
+    * replay = partition overwrite, compactable; index state is one
+    * 2-long row per clip.
+    */
+  def audioDedupSink(spark: SparkSession, stateDir: String,
+      maxHamming: Int = 8, idCol: String = "doc_id",
+      payloadCol: String = "payload")(
+      batch: DataFrame, batchId: Long): Unit = {
+    import spark.implicits._
+    import graft.multimodal.Audio
+    import graft.text.{MinHash, SimHash}
+    val indexDir = s"$stateDir/index"
+    val decoded = Audio.clipRowsWithErrors(
+      batch.select(col(idCol).cast("long").as("doc_id"),
+          col(payloadCol).as("payload"), lit("audio/wav").as("media_type"))
+        .as[graft.multimodal.Binary.MediaPayload]).cache()
+    graft.sources.Sinks.dynamicOverwrite(
+      decoded.filter(col("decode_error").isNotNull)
+        .select(col("doc_id"), col("decode_error"))
+        .withColumn("batch_id", lit(batchId)),
+      s"$stateDir/quarantine", Seq("batch_id"))
+    val fresh = decoded.filter(col("decode_error").isNull)
+      .select(col("doc_id"), col("clip.fp").as("fp"))
+    val existing =
+      graft.sources.Sources.parquetIfExists(spark, indexDir) match {
+        case None => fresh.limit(0)
+        case Some(idx) => idx.filter(col("batch_id") =!= batchId).drop("batch_id")
+      }
+    val all = existing.unionByName(fresh).cache()
+    val newBands = Audio.bandRows(fresh)
+      .select(col("band"), col("band_val"), col("doc_id").as("id_new"))
+    val allBands = MinHash.capBuckets(Audio.bandRows(all),
+        SimHash.BandBucketCap)
+      .select(col("band"), col("band_val"), col("doc_id").as("id_other"))
+    val cand = newBands.join(allBands, Seq("band", "band_val"))
+      .filter(col("id_new") =!= col("id_other"))
+      .select(least(col("id_new"), col("id_other")).as("id_a"),
+        greatest(col("id_new"), col("id_other")).as("id_b"))
+      .distinct()
+    val verified = cand
+      .join(all.select(col("doc_id").as("id_a"), col("fp").as("h_a")), "id_a")
+      .join(all.select(col("doc_id").as("id_b"), col("fp").as("h_b")), "id_b")
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+    graft.sources.Sinks.dynamicOverwrite(
+      verified.withColumn("batch_id", lit(batchId)),
+      s"$stateDir/pairs", Seq("batch_id"))
+    graft.sources.Sinks.dynamicOverwrite(
+      fresh.withColumn("batch_id", lit(batchId)), indexDir, Seq("batch_id"))
+    all.unpersist(); decoded.unpersist()
+    ()
+  }
+
+  /** Accumulated near-dup audio pairs from the [[audioDedupSink]] log. */
+  def readAudioPairs(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/pairs").drop("batch_id")
+
+  // --------------------------------------------------------------------
   // s25: streaming robots gate (r15) — i18 at intake.
   // --------------------------------------------------------------------
 

@@ -1463,6 +1463,56 @@ class StreamingSpec extends SparkSpec {
     assert(postCompact == preCompact, "compaction must preserve the index")
   }
 
+  test("audioDedupSink: re-encoded upload pairs cross-batch at hamming 0, " +
+      "member quarantine, batch parity, replay (s30)") {
+    import graft.multimodal.Audio
+    val dir = Files.createTempDirectory("auddedup").toFile.getAbsolutePath
+    val state = s"$dir/state"
+    val base = Array.tabulate(600)(k => ((k * 53 % 171) - 80) * 200)
+    val other = Array.tabulate(600)(k => ((k * 89 % 137) - 50) * 200)
+    val third = Array.tabulate(600)(k => ((k * 29 % 191) - 95) * 200)
+    def wav(s: Array[Int], rate: Int = 8000) = Audio.encodePcm16Wav(rate, s)
+    val sink = Streams.audioDedupSink(spark, state) _
+    // batch 0: two distinct clips + one corrupt member → quarantined, not fatal
+    sink(Seq((1L, wav(base)), (2L, wav(other)),
+        (99L, "not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "payload"), 0L)
+    val quarantined = spark.read.parquet(s"$state/quarantine")
+      .select(col("doc_id"), col("decode_error")).as[(Long, String)].collect()
+    assert(quarantined.map(_._1).toSeq == Seq(99L) &&
+      quarantined.head._2.contains("RIFF"), quarantined.mkString(","))
+    // batch 1: a half-volume re-encode of clip 1 (different rate header
+    // too — the re-upload reality) + a genuinely new clip
+    sink(Seq((4L, wav(base.map(_ / 2), rate = 16000)), (5L, wav(third)))
+      .toDF("doc_id", "payload"), 1L)
+    val pairs = Streams.readAudioPairs(spark, state)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 4L, 0)),
+      s"the volume-scaled re-upload must pair at hamming 0: $pairs")
+    // ordered-arrival parity: accumulated pairs == the batch q111 pair
+    // machinery on the union (cap never bites at this size)
+    val payloads = Seq(
+      graft.multimodal.Binary.MediaPayload(1L, wav(base), "audio/wav"),
+      graft.multimodal.Binary.MediaPayload(2L, wav(other), "audio/wav"),
+      graft.multimodal.Binary.MediaPayload(4L, wav(base.map(_ / 2), 16000), "audio/wav"),
+      graft.multimodal.Binary.MediaPayload(5L, wav(third), "audio/wav"))
+    val clips = Audio.clipRows(spark.createDataset(payloads)(
+      org.apache.spark.sql.Encoders.product[graft.multimodal.Binary.MediaPayload]))
+      .toDF()
+    val expected = Audio.nearPairs(clips, maxHamming = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == expected, s"stream $pairs vs batch $expected")
+    // index holds only clean clips; replay is count-strict idempotent
+    assert(spark.read.parquet(s"$state/index").select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 4L, 5L))
+    sink(Seq((4L, wav(base.map(_ / 2), rate = 16000)), (5L, wav(third)))
+      .toDF("doc_id", "payload"), 1L)
+    val replayed = Streams.readAudioPairs(spark, state)
+      .as[(Long, Long, Int)].collect()
+    assert(replayed.toSet == expected && replayed.length == expected.size,
+      "replay must not duplicate or drift")
+  }
+
   test("robotsGateSink: deployed-policy parity, named missing-deploy, replay (s25)") {
     val dir = Files.createTempDirectory("robotsgate").toFile.getAbsolutePath
     val state = s"$dir/state"
