@@ -796,17 +796,27 @@ object Warc {
     * boundary, land the records frame and split from the landed copy (the
     * [[Sources.csvQuarantined]] bronze discipline).
     *
+    * `persist = false` opts back into lazy unshared frames for a
+    * SCAN-ONLY consumer (one frame, one action — e.g. a throughput probe
+    * or a records-only pipeline stage): skipping the store avoids the
+    * serialize-to-cache tax on a pass that will never be re-read, at the
+    * cost of a full re-parse if the second frame IS later consumed.
+    *
     * Parallelism = files (`binaryFiles`; WARC gzip members carry no split
     * index, so a file is the atomic task — crawls ship as many ~1 GB files,
     * which is exactly the width a 1000-executor cluster wants).
     */
   def read(spark: SparkSession, path: String,
-      maxRecordBytes: Int = DefaultMaxRecordBytes): (DataFrame, DataFrame) = {
-    val items = spark.sparkContext.binaryFiles(path)
+      maxRecordBytes: Int = DefaultMaxRecordBytes,
+      persist: Boolean = true): (DataFrame, DataFrame) = {
+    val items0 = spark.sparkContext.binaryFiles(path)
       .flatMap { case (file, pds) =>
         parseFile(() => pds.open(), maxRecordBytes).map(item => (file, item))
       }
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val items =
+      if (persist)
+        items0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      else items0
     val recs = spark.createDataFrame(
       items.collect { case (f, Rec(off, t, u, ts, ct, st, p)) =>
         Row(f, off, t, u, ts, ct, st, p) },
