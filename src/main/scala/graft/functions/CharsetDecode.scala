@@ -108,7 +108,12 @@ object CharsetText {
     * Content-Type `charset=` parameter → meta-tag prescan over the first
     * [[SniffBytes]] bytes (ISO-8859-1 view — byte-transparent for ASCII
     * markup) → `utf-8`. Unsupported/malformed declared names fall through
-    * to the next source, so the result is ALWAYS a decodable charset.
+    * to the next source, so a NON-NULL result is always a decodable
+    * charset. NULL inputs follow standard SQL null semantics at the
+    * expression layer (BinaryExpression short-circuits before this method
+    * runs): a NULL content_type or payload yields a NULL sniff —
+    * `coalesce(content_type, '')` upstream if a fallback is wanted
+    * ([[graft.sources.Warc.htmlDocuments]] filters nulls out first).
     */
   def sniff(contentType: UTF8String, payload: Array[Byte]): UTF8String = {
     if (contentType != null) {
@@ -148,15 +153,20 @@ object CharsetText {
 
   /** Decode with malformed/unmappable REPLACED; an unknown charset name
     * decodes as UTF-8 (the sniffer never emits one, but the function is
-    * registered for general SQL use and must not fail a scan).
+    * registered for general SQL use and must not fail a scan — a NULL
+    * charset short-circuits to NULL at the expression layer like any SQL
+    * function). The per-thread decoder cache is keyed by the CANONICAL
+    * name, so a data-driven column of dirty/hostile names stays bounded
+    * by the JVM's supported-charset count instead of growing one entry
+    * per distinct garbage string.
     */
   def decode(payload: Array[Byte], charsetName: UTF8String): UTF8String = {
-    val name = if (charsetName == null) "utf-8" else charsetName.toString
+    val raw = if (charsetName == null) "utf-8" else charsetName.toString
+    val name = { val c = canonical(raw); if (c != null) c else "utf-8" }
     val cache = decoders.get()
     var dec = cache.get(name)
     if (dec == null) {
-      val cs = if (canonical(name) != null) Charset.forName(name) else StandardCharsets.UTF_8
-      dec = cs.newDecoder()
+      dec = Charset.forName(name).newDecoder()
         .onMalformedInput(CodingErrorAction.REPLACE)
         .onUnmappableCharacter(CodingErrorAction.REPLACE)
       cache.put(name, dec)

@@ -114,7 +114,10 @@ object Audio {
     while (i + 8 <= p.length && (channels < 0 || dataOff < 0)) {
       val id = new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val len = le32(i + 4)
-      if (len > Int.MaxValue - 16) fail(s"chunk $id too large: $len")
+      // a length past the remaining bytes is truncation OR a hostile
+      // header (the i17 Content-Length lesson) — fail NAMED before the
+      // chunk step can overflow Int and walk a negative offset
+      if (len > p.length - i - 8) fail(s"chunk $id truncated or over-long: $len")
       if (id == "fmt ") {
         if (i + 8 + 16 > p.length) fail("fmt chunk truncated")
         val audioFormat = le16(i + 8)
@@ -270,9 +273,7 @@ object Audio {
     * joins like the s30 streaming sink (the [[ImageHash.bandRows]] shape).
     */
   def bandRows(clips: DataFrame): DataFrame =
-    clips.select(col("doc_id"), col("fp"),
-        explode(sequence(lit(0), lit(5))).as("band"))
-      .withColumn("band_val", expr("(fp >> (band * 10)) & 1023"))
+    SimHash.bandRowsOf(clips, "doc_id", "fp")
 
   /** Over-cap star side channel ([[SimHash.overCapPairs]]). */
   def overCapPairs(clips: DataFrame, maxHamming: Int,
@@ -286,16 +287,6 @@ object Audio {
     * (doc_id, keep, dup_of).
     */
   def keepSet(clips: DataFrame, maxHamming: Int,
-      maxBucket: Option[Int] = Some(SimHash.BandBucketCap)): DataFrame = {
-    val direct = nearPairs(clips, maxHamming, maxBucket)
-    val edges = maxBucket
-      .fold(direct)(cap => direct.unionByName(overCapPairs(clips, maxHamming, cap)))
-      .select(col("id_a"), col("id_b"))
-    val cc = graft.ops.Graph.connectedComponents(edges, "id_a", "id_b")
-    clips.select(col("doc_id"))
-      .join(cc.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        (col("label").isNull || col("label") === col("doc_id")).as("keep"),
-        when(col("label") =!= col("doc_id"), col("label")).as("dup_of"))
-  }
+      maxBucket: Option[Int] = Some(SimHash.BandBucketCap)): DataFrame =
+    SimHash.keepSetOf(clips, "doc_id", "fp", maxHamming, maxBucket)
 }

@@ -114,9 +114,7 @@ object ImageHash {
     * index) joins like the s24 streaming sink.
     */
   def bandRows(hashes: DataFrame): DataFrame =
-    hashes.select(col("doc_id"), col("dhash"),
-        explode(sequence(lit(0), lit(5))).as("band"))
-      .withColumn("band_val", expr("(dhash >> (band * 10)) & 1023"))
+    SimHash.bandRowsOf(hashes, "doc_id", "dhash")
 
   /** The capped family's star side channel ([[SimHash.overCapPairs]]):
     * >cap band-bucket cliques stay visible through their min-id
@@ -135,16 +133,6 @@ object ImageHash {
     * themselves with a null `dup_of`.
     */
   def keepSet(hashes: DataFrame, maxHamming: Int,
-      maxBucket: Option[Int] = Some(SimHash.BandBucketCap)): DataFrame = {
-    val direct = nearPairs(hashes, maxHamming, maxBucket)
-    val edges = maxBucket
-      .fold(direct)(cap => direct.unionByName(overCapPairs(hashes, maxHamming, cap)))
-      .select(col("id_a"), col("id_b"))
-    val cc = graft.ops.Graph.connectedComponents(edges, "id_a", "id_b")
-    hashes.select(col("doc_id"))
-      .join(cc.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        (col("label").isNull || col("label") === col("doc_id")).as("keep"),
-        when(col("label") =!= col("doc_id"), col("label")).as("dup_of"))
-  }
+      maxBucket: Option[Int] = Some(SimHash.BandBucketCap)): DataFrame =
+    SimHash.keepSetOf(hashes, "doc_id", "dhash", maxHamming, maxBucket)
 }

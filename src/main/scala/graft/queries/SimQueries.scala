@@ -119,7 +119,11 @@ object SimQueries {
       clips.join(dup, Seq("doc_id"), "left")
         .select(col("doc_id"),
           col("n_samples").cast("long").as("n_samples"),
-          round(col("n_samples") / lit(8000.0), 6).as("duration_s"),
+          // the row's OWN declared rate (the oracle divides by the synth
+          // constant — identical while toWavPayloads writes SampleRate,
+          // and honest for any re-rated clip fed through the same query)
+          round(col("n_samples") / col("sample_rate").cast("double"), 6)
+            .as("duration_s"),
           col("peak").cast("long").as("peak"),
           round(sqrt(col("sum_sq").cast("double") / col("n_samples")), 6).as("rms"),
           col("n_zero_crossings").cast("long").as("n_zero_crossings"),

@@ -482,9 +482,19 @@ object Warc {
       : Iterator[Item] = {
     val underlying = { fileOpens.incrementAndGet(); open() }
     val raw = new PushbackInputStream(new BufferedInputStream(underlying, 1 << 16), 2)
-    val b0 = raw.read(); val b1 = raw.read()
-    if (b1 >= 0) raw.unread(b1)
-    if (b0 >= 0) raw.unread(b0)
+    // the magic-byte sniff runs BEFORE the close wrapper exists — an
+    // IOException here must not leak the just-opened handle
+    val (b0, b1) =
+      try {
+        val x0 = raw.read(); val x1 = raw.read()
+        if (x1 >= 0) raw.unread(x1)
+        if (x0 >= 0) raw.unread(x0)
+        (x0, x1)
+      } catch {
+        case e: Throwable =>
+          try underlying.close() catch { case _: java.io.IOException => () }
+          throw e
+      }
     val items: Iterator[Item] =
       if (b0 == GzMagic0 && b1 == GzMagic1)
         readMembers(raw, maxRecordBytes).flatMap {
@@ -579,13 +589,16 @@ object Warc {
   /** Header values are hostile input (crawled URLs): CR/LF embedded in a
     * value would inject extra header lines into the serialized record and
     * let a crafted URL rewrite the exported record's metadata on
-    * round-trip. Percent-encode the two framing bytes (plus an embedded
-    * '%' so the encoding is unambiguous) — the value stays one line.
+    * round-trip. Percent-encode ONLY the two framing bytes: raw CR/LF is
+    * invalid in a URI anyway (RFC 3986 §2 — a legal URL spells them %0D /
+    * %0A already), so this is canonicalization of invalid input, not a
+    * lossy escape; '%' itself must stay untouched or every
+    * percent-encoded URL (ubiquitous in crawls) would corrupt on export.
     */
   private def hdrSafe(v: String): String =
     if (v == null) "null"
-    else if (v.indexOf('\r') < 0 && v.indexOf('\n') < 0 && v.indexOf('%') < 0) v
-    else v.replace("%", "%25").replace("\r", "%0D").replace("\n", "%0A")
+    else if (v.indexOf('\r') < 0 && v.indexOf('\n') < 0) v
+    else v.replace("\r", "%0D").replace("\n", "%0A")
 
   private[sources] def buildRecord(warcType: String, url: String,
       ts: java.sql.Timestamp, contentType: String,
@@ -752,13 +765,14 @@ object Warc {
     Sinks.writeStatsManifest(spark, path, Seq("surt_key"))
   }
 
-  /** The SURT prefix owning every capture of `host` (and only those):
+  /** The SURT prefix owning every DEFAULT-PORT capture of `host`:
     * reversed labels + the `)` delimiter — `a.example` → `example,a)`.
     * `)` sorts below the label charset, so the half-open prefix interval
     * cannot swallow a sibling host that extends the last label
     * (`example,ab)…` sorts AFTER every `example,a)…` key but inside the
     * naive `example,a` prefix — the delimiter is what makes the range
-    * exact).
+    * exact). Non-default ports key as `example,a:8080)…` — [[lookupHost]]
+    * widens a whole-host prefix to cover them too.
     */
   def surtHostPrefix(host: String): String =
     host.trim.toLowerCase.split('.').reverse.mkString(",") + ")"
@@ -768,18 +782,26 @@ object Warc {
     * surt range intersects), then filtered exactly, so the result EQUALS
     * the full-scan filter while reading ~1 file. `surtPrefix` is
     * [[surtHostPrefix]]'s output (a whole host) or any longer key prefix
-    * (`example,a)/page`). Fetch a survivor's bytes with [[fetchAt]] on its
-    * (warc_file, rec_offset).
+    * (`example,a)/page`). A whole-host prefix (ending `)`) ALSO covers the
+    * host's non-default-port captures: `:` sorts above `)`, so
+    * `example,a:8443)…` keys live outside the base range — a second
+    * range scans them and unions in (a sibling host extending the last
+    * label matches neither range). Fetch a survivor's bytes with
+    * [[fetchAt]] on its (warc_file, rec_offset).
     */
   def lookupHost(spark: SparkSession, cdxPath: String,
       surtPrefix: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    // U+FFFF caps the prefix interval: every key starting with the
+    // U+FFFF caps each prefix interval: every key starting with the
     // prefix sorts within [prefix, prefix + U+FFFF] (keys are url-derived
     // ASCII, so U+FFFF never occurs in them)
-    Sinks.readSkipping(spark, cdxPath, "surt_key",
-        surtPrefix, surtPrefix + "\uffff")
-      .filter(col("surt_key").startsWith(surtPrefix))
+    def range(p: String): DataFrame =
+      Sinks.readSkipping(spark, cdxPath, "surt_key", p, p + "\uffff")
+        .filter(col("surt_key").startsWith(p))
+    val base = range(surtPrefix)
+    if (surtPrefix.endsWith(")"))
+      base.unionByName(range(surtPrefix.dropRight(1) + ":"))
+    else base
   }
 
   // ---------------------------------------------------------------------
@@ -893,16 +915,22 @@ object Warc {
     * frame — a crawl archive carries the sitemap files it fetched as
     * ordinary `response` records, so [[graft.text.Sitemaps.entries]] can
     * seed the frontier from them with no external fetch. Selected by URL
-    * shape (`…sitemap….xml(.gz-less)` path — the sitemaps.org default and
-    * its indexed variants) or an XML content-type on a url ending `.xml`;
-    * bodies decode UTF-8 (the sitemap protocol requires it).
+    * shape (`…sitemap….xml` path, query string allowed — the sitemaps.org
+    * default and its indexed variants) OR by an XML content-type on any
+    * `.xml` url (robots `Sitemap:` directives point at non-default paths;
+    * [[graft.text.Sitemaps.fromRobots]] discovers those). Gzipped
+    * sitemaps (`.xml.gz`) ship as gzip BYTES and are not decoded here —
+    * route them through a gunzip step first. Bodies decode UTF-8 (the
+    * sitemap protocol requires it).
     */
   def sitemapBodies(records: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     records
       .filter(col("warc_type") === "response" &&
         col("http_status") === 200 &&
-        col("url").rlike("(?i)sitemap[^/]*\\.xml$"))
+        (col("url").rlike("(?i)sitemap[^/]*\\.xml($|\\?)") ||
+          (col("content_type").rlike("(?i)^(application|text)/xml") &&
+            col("url").rlike("(?i)\\.xml($|\\?)"))))
       .select(
         concat_ws(":", col("warc_file"), col("rec_offset")).as("doc_id"),
         col("url"), col("fetch_ts"),

@@ -110,4 +110,42 @@ object SimHash {
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+
+  // ---------------------------------------------------------------------
+  // Generic faces over ANY 60-bit fingerprint column — the ONE banding
+  // implementation the three hash families (text simhash, image dhash,
+  // audio energy envelope) share; ImageHash/Audio delegate here so a cap
+  // or band-width change lands in exactly one place.
+  // ---------------------------------------------------------------------
+
+  /** Public banding rows for asymmetric (new-batch vs accumulated-index)
+    * joins: (idCol, hashCol, band, band_val) — the s24/s30 sink shape.
+    */
+  def bandRowsOf(hashes: DataFrame, id: String, hashCol: String): DataFrame =
+    hashes.select(col(id), col(hashCol),
+        explode(sequence(lit(0), lit(5))).as("band"))
+      .withColumn("band_val", expr(s"(`$hashCol` >> (band * 10)) & 1023"))
+
+  /** Survivorship verdicts over the near-dup graph of any fingerprint
+    * column — the q39/q63 discipline: connected components of
+    * [[nearPairs]] ∪ [[overCapPairs]] (the star channel keeps >cap
+    * cliques collapsible), min-id survivor per component. Every hashed
+    * row gets a verdict: (id, keep, dup_of) — singletons keep themselves
+    * with a null `dup_of`.
+    */
+  def keepSetOf(hashes: DataFrame, id: String, hashCol: String,
+      maxHamming: Int,
+      maxBucket: Option[Int] = Some(BandBucketCap)): DataFrame = {
+    val fp = hashes.select(col(id), col(hashCol).as("simhash"))
+    val direct = nearPairs(fp, id, maxHamming, maxBucket)
+    val edges = maxBucket
+      .fold(direct)(cap => direct.unionByName(overCapPairs(fp, id, maxHamming, cap)))
+      .select(col("id_a"), col("id_b"))
+    val cc = graft.ops.Graph.connectedComponents(edges, "id_a", "id_b")
+    hashes.select(col(id))
+      .join(cc.select(col("id").as(id), col("label")), Seq(id), "left")
+      .select(col(id),
+        (col("label").isNull || col("label") === col(id)).as("keep"),
+        when(col("label") =!= col(id), col("label")).as("dup_of"))
+  }
 }

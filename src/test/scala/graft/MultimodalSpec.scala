@@ -781,6 +781,13 @@ class MultimodalSpec extends SparkSpec {
     assert(err(bits8).contains("bit depth"))
     val truncated = java.util.Arrays.copyOf(wav, wav.length - 4)
     assert(err(truncated).contains("truncated"))
+    // hostile chunk length near Int.MaxValue must quarantine NAMED, not
+    // overflow the chunk walk into an unnamed index exception (which
+    // would escape the quarantine catch and kill a streaming batch)
+    val hostile = wav.clone()
+    hostile(16) = 0xEF.toByte; hostile(17) = 0xFF.toByte
+    hostile(18) = 0xFF.toByte; hostile(19) = 0x7F.toByte // fmt len ≈ 2^31
+    assert(err(hostile).contains("truncated or over-long"))
   }
 
   test("energyHash60: volume scaling leaves the fingerprint bit-identical " +

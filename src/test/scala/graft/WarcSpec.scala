@@ -414,6 +414,37 @@ class WarcSpec extends SparkSpec {
       "http://b.example/page" -> true), verdicts.toString)
   }
 
+  test("sitemapBodies: url-shape and xml-content-type selection; frontier " +
+      "seeding composes off the crawl's own sitemap records") {
+    val dir = tmp("warcsm")
+    val sm = """<?xml version="1.0"?><urlset>
+      <url><loc>https://a.example/p1</loc></url>
+      <url><loc>https://a.example/p2</loc></url></urlset>"""
+    val members = Seq(
+      // the default path
+      warcRecord("response", "http://a.example/sitemap.xml", "2024-01-01T00:00:00Z",
+        "application/http; msgtype=response", httpResponse(200, "application/xml", sm)),
+      // query-string variant
+      warcRecord("response", "http://a.example/sitemap.xml?part=2", "2024-01-01T00:00:00Z",
+        "application/http; msgtype=response",
+        httpResponse(200, "text/xml", "<urlset><url><loc>https://a.example/p3</loc></url></urlset>")),
+      // robots-declared NON-default path: caught via the content-type branch
+      warcRecord("response", "http://a.example/feeds/pages.xml", "2024-01-01T00:00:00Z",
+        "application/http; msgtype=response",
+        httpResponse(200, "application/xml", "<urlset><url><loc>https://a.example/p4</loc></url></urlset>")),
+      // an html page must NOT be selected
+      warcRecord("response", "http://a.example/page", "2024-01-02T00:00:00Z",
+        "application/http; msgtype=response", httpResponse(200, "text/html", htmlA)))
+    writeGz(dir, "c.warc.gz", members.map(gzMember))
+    val (recs, _) = Warc.read(spark, s"$dir/c.warc.gz")
+    val bodies = Warc.sitemapBodies(recs)
+    assert(bodies.count() == 3, bodies.select("url").collect().mkString(","))
+    val locs = graft.text.Sitemaps.entries(bodies, "doc_id", "xml")
+      .filter(col("kind") === "page").select("url").as[String].collect().toSet
+    assert(locs == Set("https://a.example/p1", "https://a.example/p2",
+      "https://a.example/p3", "https://a.example/p4"), locs.toString)
+  }
+
   test("s20 composition: warc stream → htmlExtractSink equals the batch q93 path") {
     import graft.streaming.Streams
     val dir = tmp("warcs20")
@@ -481,6 +512,25 @@ class WarcSpec extends SparkSpec {
     // a host that never appears prunes to zero files, zero rows, no error
     assert(Warc.lookupHost(spark, s"$dir/cdx",
       Warc.surtHostPrefix("nosuch.example")).count() == 0)
+    // NON-DEFAULT-PORT captures of the host are covered by the same
+    // whole-host lookup (':' sorts above ')' — a second range unions in),
+    // and a sibling host extending the last label stays excluded
+    val ported = (0 until 3).map(i =>
+      (s"https://h05.example:8443/alt/$i",
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), s"ported $i")) ++
+      Seq(("https://h05x.example/decoy",
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), "sibling decoy"))
+    Warc.writeWarcGz((docs.collect().map(r =>
+        (r.getString(0), r.getTimestamp(1), r.getString(2))).toSeq ++ ported)
+      .toDF("url", "fetch_ts", "text"), s"$dir/wet2", shards = 3)
+    val (recs2, _) = Warc.read(spark, s"$dir/wet2/*.warc.gz")
+    Warc.writeCdx(Warc.cdxIndex(recs2), s"$dir/cdx2", nFiles = 8)
+    val hit2 = Warc.lookupHost(spark, s"$dir/cdx2", Warc.surtHostPrefix("h05.example"))
+      .select("url").as[String].collect().toSet
+    assert(hit2.count(_.contains(":8443")) == 3,
+      s"ported captures must be covered: $hit2")
+    assert(hit2.size == 7 && !hit2.exists(_.contains("h05x")),
+      s"default-port 4 + ported 3, sibling excluded: $hit2")
   }
 
   test("charset-aware decode: header charset, meta sniff, header-beats-meta, " +
@@ -575,6 +625,15 @@ class WarcSpec extends SparkSpec {
     assert(r.getString(3).contains("%0D%0A"),
       s"CR/LF must be percent-encoded in the stored URL, got ${r.getString(3)}")
     assert(!r.getString(3).contains("\r"))
+    // a LEGAL percent-encoded URL must round-trip UNCHANGED — escaping
+    // '%' itself would corrupt every encoded URL in a real crawl
+    val legal = "https://a.example/a%20b?q=50%25"
+    Warc.writeWarcGz(Seq((legal,
+        java.sql.Timestamp.valueOf("2024-01-02 03:04:05"), "body"))
+      .toDF("url", "fetch_ts", "text"), s"$dir/wet2", shards = 1)
+    val (recs2, _) = Warc.read(spark, s"$dir/wet2/*.warc.gz")
+    assert(recs2.collect().head.getString(3) == legal,
+      "percent-encoded URLs must export byte-identical")
   }
 
   test("hostile Content-Length in a small gz member quarantines without " +
