@@ -39,16 +39,19 @@ object Robots {
     @transient lazy val rx: java.util.regex.Pattern = compile(pattern)
   }
 
-  /** Parse `robotsTxt` and resolve group selection for `agent` (product
-    * token, case-insensitive). Returns the merged rule list — empty means
-    * everything is allowed.
+  /** One parsed group: user-agent tokens (lowercased), rules, and the
+    * group's `Crawl-delay:` seconds if one parsed (de-facto extension —
+    * not in RFC 9309, but honored by major crawlers and the politeness
+    * number a frontier scheduler wants).
     */
-  def parse(robotsTxt: String, agent: String): Seq[Rule] = {
-    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
-    // (uaTokensLc, rules) per group, in file order
-    val groups = scala.collection.mutable.ArrayBuffer.empty[
-      (scala.collection.mutable.ArrayBuffer[String],
-        scala.collection.mutable.ArrayBuffer[Rule])]
+  private final case class Group(
+      uaTokens: scala.collection.mutable.ArrayBuffer[String],
+      rules: scala.collection.mutable.ArrayBuffer[Rule],
+      var delay: Option[Double])
+
+  /** The shared group walk: the RFC grammar, one pass, file order. */
+  private def parseGroups(robotsTxt: String): Seq[Group] = {
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var inUaRun = false // consecutive user-agent lines extend ONE group
     for (raw <- Option(robotsTxt).getOrElse("").linesIterator) {
       val line = raw.indexOf('#') match {
@@ -61,23 +64,76 @@ object Robots {
         val value = line.substring(sep + 1).trim
         key match {
           case "user-agent" =>
-            if (!inUaRun) groups +=
-              ((scala.collection.mutable.ArrayBuffer.empty[String],
-                scala.collection.mutable.ArrayBuffer.empty[Rule]))
-            groups.last._1 += value.toLowerCase(java.util.Locale.ROOT)
+            if (!inUaRun) groups += Group(
+              scala.collection.mutable.ArrayBuffer.empty[String],
+              scala.collection.mutable.ArrayBuffer.empty[Rule], None)
+            groups.last.uaTokens += value.toLowerCase(java.util.Locale.ROOT)
             inUaRun = true
           case "allow" | "disallow" =>
             inUaRun = false
             if (groups.nonEmpty && value.nonEmpty)
-              groups.last._2 += Rule(key == "allow", value)
+              groups.last.rules += Rule(key == "allow", value)
             // empty value: matches nothing — RFC drops the rule entirely
-          case _ => inUaRun = false // crawl-delay, sitemap, unknown: ignored
+          case "crawl-delay" =>
+            inUaRun = false
+            // positive finite seconds only; malformed values are ignored
+            // like any unknown line (lines before any group too)
+            if (groups.nonEmpty && groups.last.delay.isEmpty)
+              try {
+                val d = value.toDouble
+                if (d > 0 && java.lang.Double.isFinite(d))
+                  groups.last.delay = Some(d)
+              } catch { case _: NumberFormatException => () }
+          case _ => inUaRun = false // sitemap, unknown: ignored
         }
       }
     }
-    val exact = groups.filter(_._1.contains(agentLc)).flatMap(_._2).toSeq
-    if (exact.nonEmpty || groups.exists(_._1.contains(agentLc))) exact
-    else groups.filter(_._1.contains("*")).flatMap(_._2).toSeq
+    groups.toSeq
+  }
+
+  /** The groups selected for `agent` — exact-token groups (all of them,
+    * merged) when any exists, else the `*` groups.
+    */
+  private def selectGroups(robotsTxt: String, agent: String): Seq[Group] = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val groups = parseGroups(robotsTxt)
+    val exact = groups.filter(_.uaTokens.contains(agentLc))
+    if (exact.nonEmpty) exact
+    else groups.filter(_.uaTokens.contains("*"))
+  }
+
+  /** Parse `robotsTxt` and resolve group selection for `agent` (product
+    * token, case-insensitive). Returns the merged rule list — empty means
+    * everything is allowed.
+    */
+  def parse(robotsTxt: String, agent: String): Seq[Rule] =
+    selectGroups(robotsTxt, agent).flatMap(_.rules.toSeq)
+
+  /** Crawl-delay seconds the selected group asks of `agent` — None when
+    * no selected group declares one (or the value is malformed). When
+    * several exact-token groups merge and disagree, the MAXIMUM wins —
+    * the conservative reading: the site asked for at least that much
+    * restraint in one of the agent's own groups. A crawl scheduler
+    * consumes this next to the frontier's per-host cap.
+    */
+  def crawlDelay(robotsTxt: String, agent: String): Option[Double] = {
+    val ds = selectGroups(robotsTxt, agent).flatMap(_.delay)
+    if (ds.isEmpty) None else Some(ds.max)
+  }
+
+  /** (domain, crawl_delay) frame over a robots-bodies table
+    * ([[graft.sources.Warc.robotsBodies]] shape) — null where no delay is
+    * declared. Dim-sized; the per-partition parse is the [[verdicts]]
+    * shape without the row stream.
+    */
+  def crawlDelays(spark: SparkSession, robots: DataFrame,
+      agent: String): DataFrame = {
+    import spark.implicits._
+    robots.select(col("domain").cast("string"),
+        col("robots_txt").cast("string"))
+      .as[(String, String)]
+      .mapPartitions(_.map { case (d, txt) => (d, crawlDelay(txt, agent)) })
+      .toDF("domain", "crawl_delay")
   }
 
   /** Compile a rule pattern: byte-prefix match with `*` runs and an

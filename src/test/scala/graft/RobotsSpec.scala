@@ -119,4 +119,37 @@ class RobotsSpec extends SparkSpec {
     // /private/b is disallowed; u.example has no robots row → allowed
     assert(gated == Seq("https://t.example/open/a", "https://u.example/c"), gated)
   }
+
+  test("crawlDelay: selected-group semantics, malformed ignored, merged " +
+      "groups take the conservative max; frame face nullable (r16)") {
+    // exact-agent group's delay beats *'s
+    val body = "User-agent: *\nCrawl-delay: 1\nDisallow: /x\n\n" +
+      "User-agent: graftbot\nCrawl-delay: 5.5\nAllow: /\n"
+    assert(Robots.crawlDelay(body, "graftbot").contains(5.5))
+    assert(Robots.crawlDelay(body, "otherbot").contains(1.0))
+    // group selection must NOT change: rules still resolve per RFC
+    assert(Robots.parse(body, "graftbot").map(_.pattern) == Seq("/"))
+    // malformed / non-positive values are ignored; absent → None
+    assert(Robots.crawlDelay("User-agent: *\nCrawl-delay: soon\n", "a").isEmpty)
+    assert(Robots.crawlDelay("User-agent: *\nCrawl-delay: -3\n", "a").isEmpty)
+    assert(Robots.crawlDelay("User-agent: *\nDisallow: /x\n", "a").isEmpty)
+    // lines before any group are ignored (the RFC discipline for rules)
+    assert(Robots.crawlDelay("Crawl-delay: 9\nUser-agent: *\n", "a").isEmpty)
+    // merged same-agent groups: the conservative (max) delay wins
+    val merged = "User-agent: graftbot\nCrawl-delay: 2\nDisallow: /a\n\n" +
+      "User-agent: graftbot\nCrawl-delay: 7\nDisallow: /b\n"
+    assert(Robots.crawlDelay(merged, "graftbot").contains(7.0))
+    // only the FIRST delay of one group counts (duplicate lines ignored)
+    assert(Robots.crawlDelay(
+      "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 99\n", "a").contains(3.0))
+    // the frame face: null where undeclared, composes off robotsBodies
+    val delays = Robots.crawlDelays(spark, Seq(
+        ("a.example", body),
+        ("b.example", "User-agent: *\nDisallow: /x\n"))
+      .toDF("domain", "robots_txt"), "graftbot")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(delays == Map("a.example" -> Some(5.5), "b.example" -> None),
+      delays.toString)
+  }
 }
