@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-length training-sequence packing (q113): the layout step between
+  * a curated corpus and a pretraining dataloader — documents' tokens, in
+  * id order, concatenate into back-to-back sequences of EXACTLY `seqLen`
+  * tokens (the GPT-style "concat and chunk" convention; a document
+  * straddling a boundary is split across consecutive sequences). q71
+  * shards by token BUDGET keeping documents whole; this packs by exact
+  * LENGTH, splitting — the two layouts a training stack actually writes.
+  *
+  * Output is the packing MANIFEST, not materialized tokens: one row per
+  * (sequence, document) overlap — (seq_id, doc_id, doc_offset,
+  * seq_offset, len) — which is precisely what a loader needs to assemble
+  * sequence `seq_id` (read `len` tokens of `doc_id` starting at its
+  * `doc_offset`, place them at `seq_offset`) and what attention-boundary
+  * masking needs (each manifest row is one document span). Invariants
+  * (spec-pinned): per-sequence `len` sums to exactly `seqLen` for every
+  * sequence but the final partial one; per-document `len` sums to the
+  * document's own token count; offsets tile both sides gaplessly.
+  *
+  * Scale shape: [[ShardPack.globalStarts]]' two-phase distributed prefix
+  * sum (never a global single-partition window) + a per-document explode
+  * bounded by ⌈weight/seqLen⌉+1 — scan-shaped, exact integer arithmetic
+  * end to end (oracle-mirrorable).
+  */
+object SequencePack {
+
+  /** `df` must carry unique non-negative long `idCol` and an integral
+    * token-count `weightCol` (zero-token docs pack nowhere and are
+    * dropped). `offset` continues a previous batch's global token total
+    * — the q71 incremental hook.
+    */
+  def manifest(df: DataFrame, idCol: String, weightCol: String,
+      seqLen: Long, bucketSize: Long = 1L << 20,
+      offset: Long = 0L): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val st = ShardPack.globalStarts(df, idCol, weightCol,
+      "_gs", bucketSize, offset)
+    st.filter(col(weightCol) > 0)
+      .withColumn("_ge", col("_gs") + col(weightCol))
+      .withColumn("seq_id", explode(sequence(
+        call_function("div", col("_gs"), lit(seqLen)),
+        call_function("div", col("_ge") - 1, lit(seqLen)))))
+      .withColumn("_ss", col("seq_id") * lit(seqLen))
+      .select(col("seq_id"), col(idCol),
+        greatest(col("_ss") - col("_gs"), lit(0L)).as("doc_offset"),
+        greatest(col("_gs") - col("_ss"), lit(0L)).as("seq_offset"),
+        (least(col("_ge"), col("_ss") + lit(seqLen)) -
+          greatest(col("_gs"), col("_ss"))).as("len"))
+  }
+}

@@ -39,9 +39,24 @@ object ShardPack {
   def assign(df: DataFrame, idCol: String, weightCol: String,
              budget: Long, bucketSize: Long = 1L << 20,
              offset: Long = 0L): DataFrame = {
-    require(budget > 0 && bucketSize > 0, "budget and bucketSize must be positive")
+    require(budget > 0, "budget must be positive")
+    globalStarts(df, idCol, weightCol, "_cum_before", bucketSize, offset)
+      .withColumn("shard_id", call_function("div", col("_cum_before"), lit(budget)))
+      .drop("_cum_before")
+  }
+
+  /** The primitive [[assign]] derives shard ids from, exposed (r16) for
+    * consumers that need the offset itself (q113 sequence packing): each
+    * row's GLOBAL running-total start — the prefix sum of `weightCol`
+    * over all strictly-smaller `idCol` rows, plus `offset` — as
+    * `startCol`. Same two-phase distributed prefix sum, same contracts.
+    */
+  def globalStarts(df: DataFrame, idCol: String, weightCol: String,
+      startCol: String = "global_start", bucketSize: Long = 1L << 20,
+      offset: Long = 0L): DataFrame = {
+    require(bucketSize > 0, "bucketSize must be positive")
     require(offset >= 0, s"offset must be non-negative, got $offset")
-    val reserved = Seq("_bkt", "_off", "_tot", "_cum_before", "shard_id")
+    val reserved = Seq("_bkt", "_off", "_tot", startCol, "shard_id")
     val clash = df.columns.toSeq.intersect(reserved)
     require(clash.isEmpty,
       s"input columns collide with ShardPack working/output names: ${clash.mkString(", ")}")
@@ -59,9 +74,8 @@ object ShardPack {
     val inBkt = Window.partitionBy(col("_bkt")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     w.join(broadcast(offsets), Seq("_bkt"))
-      .withColumn("_cum_before",
+      .withColumn(startCol,
         lit(offset) + col("_off") + coalesce(sum(col(weightCol)).over(inBkt), lit(0L)))
-      .withColumn("shard_id", call_function("div", col("_cum_before"), lit(budget)))
-      .drop("_bkt", "_off", "_cum_before")
+      .drop("_bkt", "_off")
   }
 }

@@ -434,6 +434,24 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q113: fixed-length training-sequence packing (the loader step) ----
+    // q71 shards by token budget keeping docs whole; this is the OTHER
+    // layout a training stack writes — concat-and-chunk into sequences of
+    // exactly 256 tokens, docs splitting across boundaries. The output is
+    // the packing MANIFEST (one row per sequence×doc overlap with both
+    // offsets) — what a dataloader assembles from and what attention
+    // boundary masks read. Exact integer arithmetic over the q71
+    // distributed prefix sum; the oracle mirrors it with a window cumsum.
+    "q113_sequence_pack" -> { (s, d) =>
+      graft.ops.SequencePack.manifest(
+          Tables.documents(s, d)
+            .select(col("doc_id"), size(TF.tokens(col("text"))).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", seqLen = 256, bucketSize = 64)
+        .select(col("seq_id"), col("doc_id"), col("doc_offset"),
+          col("seq_offset"), col("len"))
+        .orderBy(col("seq_id"), col("doc_id"))
+    },
+
     // ---- q68: containment pruning (the dedup end-step over q67) ----
     // Keep every document NOT covered (containment >= t) by an
     // earlier-id document — the crawl-snapshot dedup direction: fragments
@@ -1493,6 +1511,24 @@ object TextQueries {
                  OR coalesce(t.top_bigram_cnt, 0) * 25 > m.n_tokens * 2
             THEN 1 ELSE 0 END)::BIGINT AS repetitive
          FROM m LEFT JOIN top t USING (doc_id) ORDER BY m.doc_id""",
+
+    // q113: the same definitional window cumsum as q71's oracle, then
+    // each doc explodes onto the sequences its token span overlaps —
+    // exact integer arithmetic end to end.
+    "q113_sequence_pack" ->
+      s"""WITH t AS (SELECT doc_id, len($TOKS)::BIGINT AS w FROM documents),
+         c AS (SELECT doc_id, w,
+             coalesce(sum(w) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gs FROM t),
+         e AS (SELECT doc_id, gs::BIGINT AS gs, (gs + w)::BIGINT AS ge
+           FROM c WHERE w > 0),
+         x AS (SELECT doc_id, gs, ge,
+             unnest(range(gs // 256, (ge - 1) // 256 + 1)) AS seq_id FROM e)
+         SELECT seq_id, doc_id,
+           greatest(seq_id * 256 - gs, 0)::BIGINT AS doc_offset,
+           greatest(gs - seq_id * 256, 0)::BIGINT AS seq_offset,
+           (least(ge, seq_id * 256 + 256) - greatest(gs, seq_id * 256))::BIGINT AS len
+         FROM x ORDER BY seq_id, doc_id""",
 
     "q71_shard_pack" ->
       s"""WITH t AS (SELECT doc_id, len($TOKS)::BIGINT AS n_tokens FROM documents),

@@ -215,6 +215,48 @@ class ExtOpsSpec extends SparkSpec {
     assert(ordered == ordered.sorted)
   }
 
+  test("SequencePack.manifest: every sequence exactly seqLen (last partial), " +
+      "per-doc spans tile the doc, offsets tile the sequence (q113)") {
+    import graft.ops.SequencePack
+    // irregular weights, sparse ids, a zero-token doc (packs nowhere), a
+    // doc longer than several sequences, bucket boundaries mid-sequence
+    val rows = Seq((0L, 3L), (1L, 17L), (3L, 0L), (4L, 9L), (7L, 41L),
+      (8L, 2L), (9L, 4L), (12L, 6L), (15L, 5L), (16L, 1L))
+    val df = rows.toDF("doc_id", "n_tokens")
+    val m = SequencePack.manifest(df, "doc_id", "n_tokens",
+        seqLen = 10, bucketSize = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val total = rows.map(_._2).sum // 88 tokens → seqs 0..8, last holds 8
+    // per-sequence: len sums to exactly seqLen except the final partial
+    val bySeq = m.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    val lastSeq = (total - 1) / 10
+    (0L to lastSeq).foreach { s =>
+      val want = if (s == lastSeq) total - s * 10 else 10L
+      assert(bySeq(s) == want, s"seq $s holds ${bySeq(s)}, want $want")
+    }
+    // per-doc: spans tile the doc gaplessly from offset 0
+    rows.filter(_._2 > 0).foreach { case (id, w) =>
+      val spans = m.filter(_._2 == id).sortBy(_._3)
+      assert(spans.map(_._5).sum == w, s"doc $id spans must sum to $w")
+      assert(spans.head._3 == 0L)
+      spans.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._5 == b._3, s"doc $id gap at $b")
+        case _ => ()
+      }
+    }
+    // zero-token doc packs nowhere
+    assert(!m.exists(_._2 == 3L))
+    // within a sequence, (seq_offset, len) spans tile [0, seqLen) in doc order
+    m.groupBy(_._1).foreach { case (s, spans0) =>
+      val spans = spans0.sortBy(_._4)
+      assert(spans.head._4 == 0L, s"seq $s must start at offset 0")
+      spans.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 == b._4, s"seq $s gap at $b")
+        case _ => ()
+      }
+    }
+  }
+
   test("ShardPack rejects non-positive knobs") {
     import graft.ops.ShardPack
     val df = Seq((1L, 1L)).toDF("doc_id", "n_tokens")
