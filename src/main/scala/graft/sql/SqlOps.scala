@@ -182,6 +182,31 @@ object SqlOps {
        |FROM $table""".stripMargin
   }
 
+  /** SQL twin of q113 / [[graft.ops.SequencePack.manifest]]: the
+    * definitional global-window prefix sum (the [[shardPackSql]]
+    * spelling — rows identical to the distributed two-phase form,
+    * spec-pinned) + a per-doc sequence explode; exact integer arithmetic.
+    */
+  def sequencePackSql(table: String, idCol: String, weightCol: String,
+      seqLen: Long): String = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val (id, wc) = (bt(idCol), bt(weightCol))
+    s"""WITH _c AS (SELECT $id, $wc,
+       |    coalesce(sum($wc) OVER (ORDER BY $id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS _gs
+       |  FROM $table),
+       |_e AS (SELECT $id, _gs, _gs + $wc AS _ge FROM _c WHERE $wc > 0),
+       |_x AS (SELECT $id, _gs, _ge,
+       |    explode(sequence(_gs div ${seqLen}L, (_ge - 1L) div ${seqLen}L)) AS seq_id
+       |  FROM _e)
+       |SELECT seq_id, $id,
+       |  greatest(seq_id * ${seqLen}L - _gs, 0L) AS doc_offset,
+       |  greatest(_gs - seq_id * ${seqLen}L, 0L) AS seq_offset,
+       |  least(_ge, seq_id * ${seqLen}L + ${seqLen}L)
+       |    - greatest(_gs, seq_id * ${seqLen}L) AS len
+       |FROM _x""".stripMargin
+  }
+
   /** SQL twin of q82's line-level exact dedup
     * ([[graft.text.LineDedup.dedupRollup]]): delimiter-split lines,
     * corpus-wide first-occurrence-wins over line hashes (per-hash

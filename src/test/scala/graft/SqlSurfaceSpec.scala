@@ -321,6 +321,20 @@ class SqlSurfaceSpec extends SparkSpec {
     assertSame(viaSql, viaCol, "shard pack", samePlan = false)
   }
 
+  test("SqlOps.sequencePackSql == SequencePack.manifest (rows; SQL is the " +
+      "definitional window)") {
+    registered
+    spark.sql("SELECT doc_id, graft_token_count(text) AS n_tokens FROM documents")
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+      .createOrReplaceTempView("seq_in")
+    val viaSql = spark.sql(SqlOps.sequencePackSql("seq_in", "doc_id", "n_tokens", 256L))
+    val viaCol = graft.ops.SequencePack.manifest(
+        spark.table("seq_in"), "doc_id", "n_tokens",
+        seqLen = 256, bucketSize = 64)
+      .select("seq_id", "doc_id", "doc_offset", "seq_offset", "len")
+    assertSame(viaSql, viaCol, "sequence pack", samePlan = false)
+  }
+
   test("SqlOps.lineDedupSql == LineDedup.dedupRollup (rows)") {
     registered
     val viaSql = spark.sql(SqlOps.lineDedupSql("documents", "doc_id", "text", " the "))
