@@ -434,6 +434,31 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q114: Unicode NFC normalization (the codepoint-level CDM) ----
+    // Real crawls mix composed and decomposed spellings of the same text;
+    // every byte-keyed operator downstream (q19 fingerprints, grams,
+    // dedup) treats them as different. The corpus is ASCII (MetaSpec-
+    // pinned), so the mixed forms are SYNTHESIZED identically in both
+    // engines (the q101 canvas discipline): a composed suffix (U+00E9 via
+    // the hex→UTF-32 spelling / chr(233)) and its decomposed twin
+    // (e + U+0301 / chr(769)). The hash column pins the ENTIRE normalized
+    // string — any divergence between the JDK and DuckDB UAX#15
+    // implementations on these strings would hash-mismatch.
+    "q114_nfc_normalize" -> { (s, d) =>
+      def nfc(c: org.apache.spark.sql.Column) = call_function("graft_nfc", c)
+      val eAcute = decode(unhex(lit("000000E9")), "UTF-32")
+      val combining = decode(unhex(lit("00000301")), "UTF-32")
+      val mixedC = concat(col("text"), lit(" caf"), eAcute)
+      val mixedD = concat(col("text"), lit(" cafe"), combining)
+      Tables.documents(s, d).select(col("doc_id"),
+          (octet_length(mixedD) - octet_length(nfc(mixedD)))
+            .cast("long").as("bytes_folded"),
+          (nfc(mixedC) === mixedC).as("composed_stable"),
+          (md5(nfc(mixedC)) === md5(nfc(mixedD))).as("forms_unify"),
+          md5(nfc(mixedD)).as("nfc_fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q113: fixed-length training-sequence packing (the loader step) ----
     // q71 shards by token budget keeping docs whole; this is the OTHER
     // layout a training stack writes — concat-and-chunk into sequences of
@@ -1511,6 +1536,19 @@ object TextQueries {
                  OR coalesce(t.top_bigram_cnt, 0) * 25 > m.n_tokens * 2
             THEN 1 ELSE 0 END)::BIGINT AS repetitive
          FROM m LEFT JOIN top t USING (doc_id) ORDER BY m.doc_id""",
+
+    // q114: the same synthesized composed/decomposed twins; DuckDB's
+    // nfc_normalize mirrors the JDK normalizer (both UAX#15).
+    "q114_nfc_normalize" ->
+      """WITH b AS (SELECT doc_id,
+           text || ' caf' || chr(233) AS mc,
+           text || ' cafe' || chr(769) AS md FROM documents)
+         SELECT doc_id,
+           (strlen(md) - strlen(nfc_normalize(md)))::BIGINT AS bytes_folded,
+           nfc_normalize(mc) = mc AS composed_stable,
+           md5(nfc_normalize(mc)) = md5(nfc_normalize(md)) AS forms_unify,
+           md5(nfc_normalize(md)) AS nfc_fp
+         FROM b ORDER BY doc_id""",
 
     // q113: the same definitional window cumsum as q71's oracle, then
     // each doc explodes onto the sequences its token span overlaps —

@@ -1001,6 +1001,31 @@ class TextSpec extends SparkSpec {
     assert(!out.head.getString(0).contains("Home"))
   }
 
+  test("graft_nfc: decomposed forms compose (Latin, Hangul), composed and " +
+      "ASCII are stable, dedup unifies the spellings (q114)") {
+    def nfc(s: String): String =
+      Seq(Tuple1(s)).toDF("t")
+        .select(call_function("graft_nfc", col("t"))).as[String].head()
+    assert(nfc("plain ascii stays") == "plain ascii stays")
+    assert(nfc("cafe\u0301") == "caf\u00e9", "e + combining acute composes")
+    assert(nfc("caf\u00e9") == "caf\u00e9", "composed is a fixed point")
+    assert(nfc("n\u0303") == "\u00f1")
+    // Hangul jamo compose to the precomposed syllable (the UAX#15 case
+    // a Latin-only implementation would miss)
+    assert(nfc("\u1100\u1161") == "\uac00")
+    // idempotence on a string NFC cannot fully compose (x + combining
+    // tilde has no precomposed form and stays two codepoints)
+    assert(nfc(nfc("cafe\u0301x\u0303")) == nfc("cafe\u0301x\u0303"))
+    assert(nfc("x\u0303") == "x\u0303")
+    // the dedup consequence: both spellings fingerprint identically
+    val fps = Seq("re\u0301sume\u0301 text", "r\u00e9sum\u00e9 text").toDF("t")
+      .select(md5(call_function("graft_nfc", col("t")))).distinct().count()
+    assert(fps == 1L)
+    // null passes through as SQL null
+    assert(Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
+      .select(call_function("graft_nfc", col("t"))).head().isNullAt(0))
+  }
+
   test("Sitemaps: urlset pages + index refs parse with entity decode; " +
       "robots Sitemap: directives discovered") {
     import graft.text.Sitemaps
