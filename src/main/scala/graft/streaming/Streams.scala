@@ -1070,6 +1070,52 @@ object Streams {
   def readShardPack(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/docs").drop("batch_id")
 
+  // --------------------------------------------------------------------
+  // s31: streaming sequence packing (r16) — q113 at intake, the s15
+  // template with the SAME offset hook: each batch's manifest continues
+  // the global token stream exactly where the previous batch stopped, so
+  // a boundary-straddling sequence keeps filling across batches.
+  // --------------------------------------------------------------------
+
+  /** foreachBatch fixed-length sequence packing: each micro-batch of
+    * (id, token-count) rows lands its [[graft.ops.SequencePack.manifest]]
+    * rows in its own batch_id partition, with the global token offset
+    * carried in a totals log ([[shardPackSink]]'s shape) — the
+    * accumulated manifest EQUALS the batch q113 manifest over the
+    * ordered union (spec-pinned), including the sequence that straddles
+    * the batch boundary. Replay-idempotent: docs/totals overwrite their
+    * own batch_id partition and the prior-total read excludes the
+    * current batch.
+    */
+  def sequencePackSink(spark: SparkSession, stateDir: String,
+      idCol: String = "doc_id", weightCol: String = "n_tokens",
+      seqLen: Long = 256, bucketSize: Long = 1L << 20)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return // empty-batch discipline: write nothing
+    val priorTotal = graft.sources.Sources.parquetIfExists(spark, s"$stateDir/totals")
+      .map(_.filter(col("batch_id") =!= batchId))
+      .filter(!_.isEmpty)
+      .map(_.agg(sum(col("total"))).head.getLong(0))
+      .getOrElse(0L)
+    batch.persist()
+    try {
+      graft.sources.Sinks.dynamicOverwrite(
+        graft.ops.SequencePack.manifest(batch, idCol, weightCol, seqLen,
+            bucketSize, offset = priorTotal)
+          .withColumn("batch_id", lit(batchId)),
+        s"$stateDir/manifest", Seq("batch_id"))
+      val batchTotal = batch.agg(sum(col(weightCol))).head.getLong(0)
+      graft.sources.Sinks.dynamicOverwrite(
+        spark.range(1).select(lit(batchTotal).as("total"),
+          lit(batchId).as("batch_id")),
+        s"$stateDir/totals", Seq("batch_id"))
+    } finally { batch.unpersist(); () }
+  }
+
+  /** The packing manifest accumulated by [[sequencePackSink]]. */
+  def readSequencePack(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/manifest").drop("batch_id")
+
   /** foreachBatch streaming IVF index maintenance — the streaming face of
     * the [[graft.sim.Ann]] trained quantizer: each micro-batch of
     * (id, vec) is assigned to its nearest cell against the centroids

@@ -414,6 +414,34 @@ class StreamingSpec extends SparkSpec {
     assert(compacted == after, compacted)
   }
 
+  test("sequencePackSink: boundary-straddling sequence keeps filling " +
+      "across batches; accumulated manifest equals batch q113; replay (s31)") {
+    val dir = Files.createTempDirectory("seqpack").toFile.getAbsolutePath
+    val state = s"$dir/state"
+    val sink = Streams.sequencePackSink(spark, state, seqLen = 10,
+      bucketSize = 4) _
+    // 27 tokens in batch 0 → sequence 2 is mid-fill at the boundary;
+    // batch 1 continues it
+    val b0 = Seq((0L, 3L), (1L, 17L), (4L, 7L)).toDF("doc_id", "n_tokens")
+    val b1 = Seq((7L, 9L), (8L, 14L)).toDF("doc_id", "n_tokens")
+    sink(b0, 0L)
+    sink(b1, 1L)
+    sink(b1, 1L) // replay after a simulated post-write failure
+    val streamed = Streams.readSequencePack(spark, state)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val batch = graft.ops.SequencePack.manifest(
+        b0.unionByName(b1), "doc_id", "n_tokens", seqLen = 10, bucketSize = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.toSeq} vs batch ${batch.toSeq}")
+    // the straddle is real: sequence 2 holds spans from BOTH batches
+    val seq2docs = streamed.filter(_._1 == 2L).map(_._2).toSet
+    assert(seq2docs.contains(4L) && seq2docs.contains(7L),
+      s"sequence 2 must straddle the batch boundary: $seq2docs")
+    // count-strict: the replay did not duplicate
+    assert(streamed.length == batch.length)
+  }
+
   test("unigramDriftSink: unk_rate spikes on unseen-alphabet shift, " +
       "unigramRetrain restores, replay idempotent (s29)") {
     val dir = Files.createTempDirectory("unidrift").toFile.getAbsolutePath
