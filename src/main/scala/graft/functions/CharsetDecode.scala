@@ -151,25 +151,31 @@ object CharsetText {
   private val decoders: ThreadLocal[java.util.HashMap[String, CharsetDecoder]] =
     ThreadLocal.withInitial(() => new java.util.HashMap[String, CharsetDecoder]())
 
+  // Keep the per-thread cache BOUNDED under data-driven garbage names
+  // (register-for-SQL contract) without paying canonical() — which
+  // constructs/catches an exception on illegal names — per row: the cache
+  // keys on the RAW name (one HashMap.get per hit, the hot path), and a
+  // rare overflow past this bound clears it wholesale (decoders are cheap
+  // to rebuild; a real scan sees a handful of distinct names).
+  private val DecoderCacheBound = 256
+
   /** Decode with malformed/unmappable REPLACED; an unknown charset name
     * decodes as UTF-8 (the sniffer never emits one, but the function is
     * registered for general SQL use and must not fail a scan — a NULL
     * charset short-circuits to NULL at the expression layer like any SQL
-    * function). The per-thread decoder cache is keyed by the CANONICAL
-    * name, so a data-driven column of dirty/hostile names stays bounded
-    * by the JVM's supported-charset count instead of growing one entry
-    * per distinct garbage string.
+    * function).
     */
   def decode(payload: Array[Byte], charsetName: UTF8String): UTF8String = {
     val raw = if (charsetName == null) "utf-8" else charsetName.toString
-    val name = { val c = canonical(raw); if (c != null) c else "utf-8" }
     val cache = decoders.get()
-    var dec = cache.get(name)
+    var dec = cache.get(raw)
     if (dec == null) {
+      if (cache.size >= DecoderCacheBound) cache.clear()
+      val name = { val c = canonical(raw); if (c != null) c else "utf-8" }
       dec = Charset.forName(name).newDecoder()
         .onMalformedInput(CodingErrorAction.REPLACE)
         .onUnmappableCharacter(CodingErrorAction.REPLACE)
-      cache.put(name, dec)
+      cache.put(raw, dec)
     }
     val out =
       try dec.decode(ByteBuffer.wrap(payload)).toString

@@ -45,11 +45,18 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
 object NfcNormalize {
 
-  /** The normalize core (janino-visible static forwarder). Already-normal
-    * input (the overwhelmingly common case) returns the INPUT UTF8String
-    * — zero allocation, no string round-trip.
+  /** The normalize core (janino-visible static forwarder). Pure-ASCII
+    * input (the overwhelmingly common case on web corpora) is detected by
+    * one byte scan over the UTF8String — ASCII is always NFC — and
+    * returns the INPUT with zero allocation; only non-ASCII rows pay the
+    * toString + isNormalized/normalize round-trip.
     */
   def nfc(s: UTF8String): UTF8String = {
+    val n = s.numBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) { if (s.getByte(i) < 0) ascii = false; i += 1 }
+    if (ascii) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

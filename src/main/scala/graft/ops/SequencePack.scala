@@ -37,6 +37,13 @@ object SequencePack {
       seqLen: Long, bucketSize: Long = 1L << 20,
       offset: Long = 0L): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    // the ShardPack clash discipline: withColumn would silently REPLACE a
+    // same-named caller column (idCol = "seq_id" would lose every doc id)
+    val reserved = Seq("_gs", "_ge", "_ss", "seq_id", "doc_offset",
+      "seq_offset", "len")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"input columns collide with SequencePack working/output names: ${clash.mkString(", ")}")
     val st = ShardPack.globalStarts(df, idCol, weightCol,
       "_gs", bucketSize, offset)
     st.filter(col(weightCol) > 0)

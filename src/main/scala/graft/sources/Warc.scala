@@ -916,9 +916,12 @@ object Warc {
     * ordinary `response` records, so [[graft.text.Sitemaps.entries]] can
     * seed the frontier from them with no external fetch. Selected by URL
     * shape (`…sitemap….xml` path, query string allowed — the sitemaps.org
-    * default and its indexed variants) OR by an XML content-type on any
-    * `.xml` url (robots `Sitemap:` directives point at non-default paths;
-    * [[graft.text.Sitemaps.fromRobots]] discovers those). Gzipped
+    * default and its indexed variants) OR, for robots-declared
+    * NON-default paths ([[graft.text.Sitemaps.fromRobots]] discovers
+    * those), by an XML content-type on a `.xml` url whose BODY opens with
+    * a sitemap root element (`<urlset`/`<sitemapindex` in the first 1024
+    * decoded chars — ubiquitous RSS/Atom feeds are also xml-typed `.xml`
+    * urls, and the root element is the honest discriminator). Gzipped
     * sitemaps (`.xml.gz`) ship as gzip BYTES and are not decoded here —
     * route them through a gunzip step first. Bodies decode UTF-8 (the
     * sitemap protocol requires it).
@@ -930,7 +933,9 @@ object Warc {
         col("http_status") === 200 &&
         (col("url").rlike("(?i)sitemap[^/]*\\.xml($|\\?)") ||
           (col("content_type").rlike("(?i)^(application|text)/xml") &&
-            col("url").rlike("(?i)\\.xml($|\\?)"))))
+            col("url").rlike("(?i)\\.xml($|\\?)") &&
+            substring(decode(col("payload"), "UTF-8"), 1, 1024)
+              .rlike("(?is)<(urlset|sitemapindex)[\\s>]"))))
       .select(
         concat_ws(":", col("warc_file"), col("rec_offset")).as("doc_id"),
         col("url"), col("fetch_ts"),

@@ -1093,7 +1093,11 @@ object Streams {
       batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return // empty-batch discipline: write nothing
     val priorTotal = graft.sources.Sources.parquetIfExists(spark, s"$stateDir/totals")
-      .map(_.filter(col("batch_id") =!= batchId))
+      .map { st =>
+        require(st.columns.contains("batch_id"),
+          s"sequence-pack totals at $stateDir/totals lack the batch_id partition column")
+        st.filter(col("batch_id") =!= batchId)
+      }
       .filter(!_.isEmpty)
       .map(_.agg(sum(col("total"))).head.getLong(0))
       .getOrElse(0L)

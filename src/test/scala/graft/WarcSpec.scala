@@ -434,11 +434,20 @@ class WarcSpec extends SparkSpec {
         httpResponse(200, "application/xml", "<urlset><url><loc>https://a.example/p4</loc></url></urlset>")),
       // an html page must NOT be selected
       warcRecord("response", "http://a.example/page", "2024-01-02T00:00:00Z",
-        "application/http; msgtype=response", httpResponse(200, "text/html", htmlA)))
+        "application/http; msgtype=response", httpResponse(200, "text/html", htmlA)),
+      // an RSS feed is xml-typed at a .xml url but is NOT a sitemap —
+      // the body's root element is the discriminator
+      warcRecord("response", "http://a.example/feed.xml", "2024-01-02T00:00:00Z",
+        "application/http; msgtype=response",
+        httpResponse(200, "application/xml",
+          "<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>" +
+            "<item><link>https://a.example/post</link></item></channel></rss>")))
     writeGz(dir, "c.warc.gz", members.map(gzMember))
     val (recs, _) = Warc.read(spark, s"$dir/c.warc.gz")
     val bodies = Warc.sitemapBodies(recs)
     assert(bodies.count() == 3, bodies.select("url").collect().mkString(","))
+    assert(bodies.filter(col("url").contains("feed.xml")).count() == 0,
+      "RSS feeds must not enter the sitemap frame")
     val locs = graft.text.Sitemaps.entries(bodies, "doc_id", "xml")
       .filter(col("kind") === "page").select("url").as[String].collect().toSet
     assert(locs == Set("https://a.example/p1", "https://a.example/p2",
