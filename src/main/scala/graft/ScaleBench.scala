@@ -79,7 +79,7 @@ object ScaleBench {
     "x102_url_curate_work", "x102_url_canon_work", "x104_langid_work",
     "x105_link_graph_work", "x107_frontier_work", "x108_anchor_work",
     "x109_colloc_work", "x110_pca_work", "x111_audio_work",
-    "x112_unigram_encode_work")
+    "x112_unigram_encode_work", "x113_sequence_pack_work")
 
   /** Default key stride between copies: far above any sf0.1 key range, so
     * strided ids never collide across copies. A SECOND derivation (e.g.
@@ -341,6 +341,14 @@ object ScaleBench {
       Tables.documents(s, d)
         .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("w"))
         .agg(sum(size(graft.text.Unigram.encode(col("w"), vocab))).as("t"),
+          count(lit(1)).as("n"))
+    },
+    // q113: summing both offsets + lens forces the full manifest (the
+    // two-phase prefix sum, the bucket-totals window — which grows with
+    // bucket COUNT, the exponent this probe watches — and the explode).
+    "x113_sequence_pack_work" -> { (s, d) =>
+      SparkEntry.queries("q113_sequence_pack")(s, d)
+        .agg(sum(col("len")).as("t"), sum(col("doc_offset") + col("seq_offset")).as("o"),
           count(lit(1)).as("n"))
     })
 
