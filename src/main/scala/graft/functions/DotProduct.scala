@@ -114,6 +114,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BpeByteEncode].getName, "graft_bpe_byte_encode"),
       (children: Seq[Expression]) => BpeByteEncode(children.head, children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_gunzip"),
+      new ExpressionInfo(classOf[Gunzip].getName, "graft_gunzip"),
+      (children: Seq[Expression]) => Gunzip(children.head, children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))

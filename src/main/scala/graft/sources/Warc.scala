@@ -914,32 +914,42 @@ object Warc {
   /** The crawl's own sitemap responses as a (doc_id, url, fetch_ts, xml)
     * frame — a crawl archive carries the sitemap files it fetched as
     * ordinary `response` records, so [[graft.text.Sitemaps.entries]] can
-    * seed the frontier from them with no external fetch. Selected by URL
-    * shape (`…sitemap….xml` path, query string allowed — the sitemaps.org
-    * default and its indexed variants) OR, for robots-declared
-    * NON-default paths ([[graft.text.Sitemaps.fromRobots]] discovers
-    * those), by an XML content-type on a `.xml` url whose BODY opens with
-    * a sitemap root element (`<urlset`/`<sitemapindex` in the first 1024
-    * decoded chars — ubiquitous RSS/Atom feeds are also xml-typed `.xml`
-    * urls, and the root element is the honest discriminator). Gzipped
-    * sitemaps (`.xml.gz`) ship as gzip BYTES and are not decoded here —
-    * route them through a gunzip step first. Bodies decode UTF-8 (the
+    * seed the frontier from them with no external fetch. Candidates come
+    * from URL shape (`…sitemap….xml(.gz)` path, query string allowed —
+    * the sitemaps.org default, its indexed variants, and the protocol's
+    * gzipped form, inflated through the CAPPED `graft_gunzip`) or, for
+    * robots-declared NON-default paths ([[graft.text.Sitemaps.fromRobots]]
+    * discovers those), from an XML content-type on a `.xml` url; EVERY
+    * candidate must then open with a sitemap root element
+    * (`<urlset`/`<sitemapindex` in the first 1024 decoded chars —
+    * ubiquitous RSS/Atom feeds are also xml-typed `.xml` urls, and the
+    * root element is the honest discriminator). Bodies decode UTF-8 (the
     * sitemap protocol requires it).
     */
   def sitemapBodies(records: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    // gzipped sitemaps (explicitly part of the protocol) ship as gzip
+    // BYTES with no Content-Encoding — inflate through the CAPPED native
+    // gunzip (zip-bomb-bounded; a bomb/corrupt stream nulls the body and
+    // the row drops at the root-element check, never fails the scan)
+    val isGz = col("url").rlike("(?i)\\.xml\\.gz($|\\?)")
+    val body = when(isGz,
+        call_function("graft_gunzip", col("payload"),
+          lit(graft.functions.Gunzip.DefaultMaxBytes)))
+      .otherwise(col("payload"))
     records
-      .filter(col("warc_type") === "response" &&
-        col("http_status") === 200 &&
-        (col("url").rlike("(?i)sitemap[^/]*\\.xml($|\\?)") ||
+      .filter(col("warc_type") === "response" && col("http_status") === 200)
+      .withColumn("_xml", decode(body, "UTF-8"))
+      .filter(
+        col("url").rlike("(?i)sitemap[^/]*\\.xml(\\.gz)?($|\\?)") ||
           (col("content_type").rlike("(?i)^(application|text)/xml") &&
-            col("url").rlike("(?i)\\.xml($|\\?)") &&
-            substring(decode(col("payload"), "UTF-8"), 1, 1024)
-              .rlike("(?is)<(urlset|sitemapindex)[\\s>]"))))
+            col("url").rlike("(?i)\\.xml($|\\?)")))
+      .filter(substring(col("_xml"), 1, 1024)
+        .rlike("(?is)<(urlset|sitemapindex)[\\s>]"))
       .select(
         concat_ws(":", col("warc_file"), col("rec_offset")).as("doc_id"),
         col("url"), col("fetch_ts"),
-        decode(col("payload"), "UTF-8").as("xml"))
+        col("_xml").as("xml"))
   }
 
   /** FIRST-FETCH-WINS canonical-URL dedup of a crawl documents frame

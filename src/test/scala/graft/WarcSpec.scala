@@ -441,17 +441,43 @@ class WarcSpec extends SparkSpec {
         "application/http; msgtype=response",
         httpResponse(200, "application/xml",
           "<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>" +
-            "<item><link>https://a.example/post</link></item></channel></rss>")))
+            "<item><link>https://a.example/post</link></item></channel></rss>")),
+      // the protocol's GZIPPED form: gzip bytes, no Content-Encoding —
+      // inflated through the capped graft_gunzip
+      warcRecord("response", "http://a.example/sitemap.xml.gz", "2024-01-03T00:00:00Z",
+        "application/http; msgtype=response",
+        ("HTTP/1.1 200 OK\r\nContent-Type: application/gzip\r\n\r\n").getBytes("US-ASCII") ++
+          gzMember("<urlset><url><loc>https://a.example/p5</loc></url></urlset>"
+            .getBytes("UTF-8"))),
+      // a CORRUPT .xml.gz nulls its body and drops — never fails the scan
+      warcRecord("response", "http://a.example/broken-sitemap.xml.gz",
+        "2024-01-03T00:00:00Z", "application/http; msgtype=response",
+        ("HTTP/1.1 200 OK\r\nContent-Type: application/gzip\r\n\r\n").getBytes("US-ASCII") ++
+          "definitely not gzip".getBytes("UTF-8")))
     writeGz(dir, "c.warc.gz", members.map(gzMember))
     val (recs, _) = Warc.read(spark, s"$dir/c.warc.gz")
     val bodies = Warc.sitemapBodies(recs)
-    assert(bodies.count() == 3, bodies.select("url").collect().mkString(","))
+    assert(bodies.count() == 4, bodies.select("url").collect().mkString(","))
     assert(bodies.filter(col("url").contains("feed.xml")).count() == 0,
       "RSS feeds must not enter the sitemap frame")
+    assert(bodies.filter(col("url").contains("broken-")).count() == 0,
+      "a corrupt .xml.gz must drop, not fail")
     val locs = graft.text.Sitemaps.entries(bodies, "doc_id", "xml")
       .filter(col("kind") === "page").select("url").as[String].collect().toSet
     assert(locs == Set("https://a.example/p1", "https://a.example/p2",
-      "https://a.example/p3", "https://a.example/p4"), locs.toString)
+      "https://a.example/p3", "https://a.example/p4",
+      "https://a.example/p5"), locs.toString)
+    // the cap is real: graft_gunzip nulls a payload that inflates past it
+    import org.apache.spark.sql.functions.{call_function, lit => flit}
+    val bomb = gzMember(new Array[Byte](1 << 20)) // 1 MB of zeros, ~1 KB gz
+    val capped = Seq(Tuple1(bomb)).toDF("p")
+      .select(call_function("graft_gunzip", col("p"), flit(1 << 16)))
+      .head()
+    assert(capped.isNullAt(0), "over-cap inflate must null, never OOM")
+    val ok = Seq(Tuple1(bomb)).toDF("p")
+      .select(call_function("graft_gunzip", col("p"), flit(2 << 20)))
+      .head().getAs[Array[Byte]](0)
+    assert(ok.length == (1 << 20), "under-cap inflate round-trips")
   }
 
   test("s20 composition: warc stream → htmlExtractSink equals the batch q93 path") {
