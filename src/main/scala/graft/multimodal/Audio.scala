@@ -119,7 +119,10 @@ object Audio {
       // chunk step can overflow Int and walk a negative offset
       if (len > p.length - i - 8) fail(s"chunk $id truncated or over-long: $len")
       if (id == "fmt ") {
-        if (i + 8 + 16 > p.length) fail("fmt chunk truncated")
+        // bound by the chunk's OWN declared length, not the file end —
+        // a hostile fmt chunk declaring len < 16 must not silently read
+        // channels/rate/bits from the next chunk's bytes
+        if (len < 16) fail("fmt chunk truncated")
         val audioFormat = le16(i + 8)
         if (audioFormat != 1) fail(s"unsupported audio format $audioFormat (PCM only)")
         channels = le16(i + 10)
@@ -194,8 +197,10 @@ object Audio {
     val e = new Array[Long](FrameCount)
     var f = 0
     while (f < FrameCount) {
-      val from = f * n / FrameCount
-      val until = (f + 1) * n / FrameCount
+      // long frame-bound math: f*n overflows Int past ~35.8M samples
+      // (~75 min at 8 kHz) and a negative index would kill the scan
+      val from = (f.toLong * n / FrameCount).toInt
+      val until = ((f + 1).toLong * n / FrameCount).toInt
       var k = from
       var acc = 0L
       while (k < until) { val s = samples(k).toLong; acc += s * s; k += 1 }

@@ -36,16 +36,45 @@ object SequencePack {
   def manifest(df: DataFrame, idCol: String, weightCol: String,
       seqLen: Long, bucketSize: Long = 1L << 20,
       offset: Long = 0L): DataFrame = {
+    checkCols(df, idCol, seqLen)
+    fromStarts(ShardPack.globalStarts(df, idCol, weightCol,
+      "_gs", bucketSize, offset), idCol, weightCol, seqLen)
+  }
+
+  /** [[manifest]] under a DETERMINISTIC CORPUS SHUFFLE (q115): documents
+    * pack in `hash60(seed ‖ '|' ‖ id)` order instead of id = crawl order,
+    * so adjacent training sequences stop being correlated neighboring
+    * pages. The q42/q58 integer-hash discipline — one sort key, no RNG,
+    * bit-replayable from `seed` alone; ties (60-bit collisions are REAL
+    * at 10¹⁰ docs) break on the id, so the permutation is total. Scale
+    * shape unchanged: [[ShardPack.globalStartsBy]] buckets the hash
+    * SPACE (`hashBucketWidth` = 2⁴⁰ → ~2²⁰ uniformly-filled buckets),
+    * never a global single-partition sort.
+    */
+  def shuffled(df: DataFrame, idCol: String, weightCol: String,
+      seqLen: Long, seed: String, hashBucketWidth: Long = 1L << 40,
+      offset: Long = 0L): DataFrame = {
+    checkCols(df, idCol, seqLen, extraReserved = Seq("_ord"))
+    val w = df.withColumn("_ord",
+      Cdm.hash60(concat_ws("|", lit(seed), col(idCol).cast("string"))))
+    fromStarts(ShardPack.globalStartsBy(w, "_ord", idCol, weightCol,
+      "_gs", hashBucketWidth, offset), idCol, weightCol, seqLen)
+  }
+
+  private def checkCols(df: DataFrame, idCol: String, seqLen: Long,
+      extraReserved: Seq[String] = Nil): Unit = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     // the ShardPack clash discipline: withColumn would silently REPLACE a
     // same-named caller column (idCol = "seq_id" would lose every doc id)
     val reserved = Seq("_gs", "_ge", "_ss", "seq_id", "doc_offset",
-      "seq_offset", "len")
+      "seq_offset", "len") ++ extraReserved
     val clash = df.columns.toSeq.intersect(reserved)
     require(clash.isEmpty,
       s"input columns collide with SequencePack working/output names: ${clash.mkString(", ")}")
-    val st = ShardPack.globalStarts(df, idCol, weightCol,
-      "_gs", bucketSize, offset)
+  }
+
+  private def fromStarts(st: DataFrame, idCol: String, weightCol: String,
+      seqLen: Long): DataFrame =
     st.filter(col(weightCol) > 0)
       .withColumn("_ge", col("_gs") + col(weightCol))
       .withColumn("seq_id", explode(sequence(
@@ -57,5 +86,4 @@ object SequencePack {
         greatest(col("_gs") - col("_ss"), lit(0L)).as("seq_offset"),
         (least(col("_ge"), col("_ss") + lit(seqLen)) -
           greatest(col("_gs"), col("_ss"))).as("len"))
-  }
 }

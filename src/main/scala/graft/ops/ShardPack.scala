@@ -53,7 +53,25 @@ object ShardPack {
     */
   def globalStarts(df: DataFrame, idCol: String, weightCol: String,
       startCol: String = "global_start", bucketSize: Long = 1L << 20,
-      offset: Long = 0L): DataFrame = {
+      offset: Long = 0L): DataFrame =
+    globalStartsBy(df, idCol, idCol, weightCol, startCol, bucketSize, offset)
+
+  /** [[globalStarts]] generalized to an EXPLICIT ordering key: the prefix
+    * sum runs in `(orderCol, tieCol)` order — the hook the deterministic
+    * corpus shuffle (q115) needs, where the order is a seeded hash of the
+    * id rather than the id itself. `orderCol` must be a non-negative
+    * long; `tieCol` breaks equal-order rows into a total order (hash
+    * collisions are rare but REAL at 10¹⁰ docs — without the tiebreak the
+    * permutation would be nondeterministic exactly where it matters).
+    * Coarse buckets come from `orderCol div bucketSize`, so equal-order
+    * rows always share a bucket and the within-bucket window closes the
+    * total order. For a hash-valued `orderCol` (uniform over [0, 2⁶⁰))
+    * pick `bucketSize` as a hash-space WIDTH — e.g. 2⁴⁰ → ~2²⁰ buckets,
+    * the same bucket-total row count the id-spelling targets.
+    */
+  def globalStartsBy(df: DataFrame, orderCol: String, tieCol: String,
+      weightCol: String, startCol: String = "global_start",
+      bucketSize: Long = 1L << 20, offset: Long = 0L): DataFrame = {
     require(bucketSize > 0, "bucketSize must be positive")
     require(offset >= 0, s"offset must be non-negative, got $offset")
     val reserved = Seq("_bkt", "_off", "_tot", startCol, "shard_id")
@@ -64,14 +82,15 @@ object ShardPack {
     // more than backtick quoting can't break the parse. `div` is the
     // registry's IntegralDivide — exact bigint division (a double `/` +
     // cast would silently mis-bucket ids past 2^53).
-    val w = df.withColumn("_bkt", call_function("div", col(idCol), lit(bucketSize)))
+    val w = df.withColumn("_bkt", call_function("div", col(orderCol), lit(bucketSize)))
     val offsets = w.groupBy(col("_bkt")).agg(sum(col(weightCol)).as("_tot"))
       .withColumn("_off",
         coalesce(sum(col("_tot")).over(
           Window.orderBy(col("_bkt")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("_bkt"), col("_off"))
-    val inBkt = Window.partitionBy(col("_bkt")).orderBy(col(idCol))
+    val inBkt = Window.partitionBy(col("_bkt"))
+      .orderBy(col(orderCol), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     w.join(broadcast(offsets), Seq("_bkt"))
       .withColumn(startCol,

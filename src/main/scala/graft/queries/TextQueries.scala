@@ -477,6 +477,24 @@ object TextQueries {
         .orderBy(col("seq_id"), col("doc_id"))
     },
 
+    // ---- q115: deterministic corpus shuffle before packing ----
+    // q113 packs in doc-id = CRAWL order, so adjacent training sequences
+    // are correlated neighboring pages — every production loader shuffles
+    // first. This is the shuffle-free deterministic spelling: docs order
+    // by hash60(seed ‖ '|' ‖ doc_id) (the q42/q58 integer-hash
+    // discipline — replayable from the seed, no RNG), ties break on the
+    // id, then the SAME q113 prefix-sum + explode. The oracle recomputes
+    // the permuted cumsum with the md5-prefix hash both engines share.
+    "q115_corpus_shuffle" -> { (s, d) =>
+      graft.ops.SequencePack.shuffled(
+          Tables.documents(s, d)
+            .select(col("doc_id"), size(TF.tokens(col("text"))).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", seqLen = 256, seed = "graft-r17")
+        .select(col("seq_id"), col("doc_id"), col("doc_offset"),
+          col("seq_offset"), col("len"))
+        .orderBy(col("seq_id"), col("doc_id"))
+    },
+
     // ---- q68: containment pruning (the dedup end-step over q67) ----
     // Keep every document NOT covered (containment >= t) by an
     // earlier-id document — the crawl-snapshot dedup direction: fragments
@@ -1557,6 +1575,24 @@ object TextQueries {
       s"""WITH t AS (SELECT doc_id, len($TOKS)::BIGINT AS w FROM documents),
          c AS (SELECT doc_id, w,
              coalesce(sum(w) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gs FROM t),
+         e AS (SELECT doc_id, gs::BIGINT AS gs, (gs + w)::BIGINT AS ge
+           FROM c WHERE w > 0),
+         x AS (SELECT doc_id, gs, ge,
+             unnest(range(gs // 256, (ge - 1) // 256 + 1)) AS seq_id FROM e)
+         SELECT seq_id, doc_id,
+           greatest(seq_id * 256 - gs, 0)::BIGINT AS doc_offset,
+           greatest(gs - seq_id * 256, 0)::BIGINT AS seq_offset,
+           (least(ge, seq_id * 256 + 256) - greatest(gs, seq_id * 256))::BIGINT AS len
+         FROM x ORDER BY seq_id, doc_id""",
+
+    // q115: q113's cumsum, but ordered by the seeded md5-prefix hash
+    // (ties on doc_id) — the identical permutation both engines derive.
+    "q115_corpus_shuffle" ->
+      s"""WITH t AS (SELECT doc_id, len($TOKS)::BIGINT AS w,
+           ${h60("'graft-r17|' || doc_id::VARCHAR")} AS h FROM documents),
+         c AS (SELECT doc_id, w,
+             coalesce(sum(w) OVER (ORDER BY h, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gs FROM t),
          e AS (SELECT doc_id, gs::BIGINT AS gs, (gs + w)::BIGINT AS ge
            FROM c WHERE w > 0),

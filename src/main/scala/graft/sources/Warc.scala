@@ -775,7 +775,10 @@ object Warc {
     * widens a whole-host prefix to cover them too.
     */
   def surtHostPrefix(host: String): String =
-    host.trim.toLowerCase.split('.').reverse.mkString(",") + ")"
+    // Locale.ROOT: index keys come from Spark's locale-independent
+    // lower(); a Turkish-default JVM would dotless-i the prefix and
+    // miss them
+    host.trim.toLowerCase(java.util.Locale.ROOT).split('.').reverse.mkString(",") + ")"
 
   /** Host-prefix lookup over a [[writeCdx]] layout: file-pruned via the
     * stats manifest ([[Sinks.readSkipping]] — touches only the files whose

@@ -257,6 +257,61 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("SequencePack.shuffled: seed-deterministic permutation, q113 tiling " +
+      "invariants hold, adjacent-sequence correlation drops (q115)") {
+    import graft.ops.SequencePack
+    // clustered fixture: ids 0..49 are "source A" (crawl-adjacent pages),
+    // 50..99 "source B" — in id order every adjacent doc pair is same-source
+    val rows = (0L until 100L).map(id => (id, 7L))
+    val df = rows.toDF("doc_id", "n_tokens")
+    val m1 = SequencePack.shuffled(df, "doc_id", "n_tokens",
+      seqLen = 25, seed = "s1").as[(Long, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val m1b = SequencePack.shuffled(df, "doc_id", "n_tokens",
+      seqLen = 25, seed = "s1").as[(Long, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(m1 == m1b, "same seed must replay bit-identically")
+    // exactness: manifest equals the driver-side recompute in hash order
+    val hs = df.select(col("doc_id"), graft.ops.Cdm.hash60(
+        concat_ws("|", lit("s1"), col("doc_id").cast("string"))))
+      .as[(Long, Long)].collect().toMap
+    val ordered = rows.sortBy { case (id, _) => (hs(id), id) }
+    var cum = 0L
+    val want = ordered.flatMap { case (id, w) =>
+      val gs = cum; cum += w
+      (gs / 25 to (gs + w - 1) / 25).map { s =>
+        (s, id, math.max(s * 25 - gs, 0L), math.max(gs - s * 25, 0L),
+          math.min(gs + w, s * 25 + 25) - math.max(gs, s * 25))
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(m1 == want, "shuffled manifest must equal the hash-order recompute")
+    // q113 invariants under the permutation: sequences tile exactly
+    val bySeq = m1.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    val lastSeq = (700L - 1) / 25
+    (0L to lastSeq).foreach(s => assert(bySeq(s) == 25L))
+    rows.foreach { case (id, w) =>
+      assert(m1.filter(_._2 == id).map(_._5).sum == w)
+    }
+    // distribution sanity: adjacent docs in PACK order are no longer
+    // id-adjacent — same-source adjacency falls from 0.99 to ~0.5
+    def sameSourceRate(m: Seq[(Long, Long, Long, Long, Long)]): Double = {
+      val packOrder = m.sortBy(r => (r._1, r._4)).map(_._2).distinct
+      val pairs = packOrder.sliding(2).toSeq
+      pairs.count { case Seq(a, b) => (a < 50) == (b < 50); case _ => false }
+        .toDouble / pairs.size
+    }
+    val idOrder = SequencePack.manifest(df, "doc_id", "n_tokens", seqLen = 25)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(sameSourceRate(idOrder) > 0.95)
+    assert(sameSourceRate(m1) < 0.8,
+      s"shuffle must break source adjacency, got ${sameSourceRate(m1)}")
+    // a different seed is a different permutation
+    val m2 = SequencePack.shuffled(df, "doc_id", "n_tokens",
+      seqLen = 25, seed = "s2").as[(Long, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(m1 != m2, "different seeds must permute differently")
+  }
+
   test("ShardPack rejects non-positive knobs") {
     import graft.ops.ShardPack
     val df = Seq((1L, 1L)).toDF("doc_id", "n_tokens")
