@@ -793,6 +793,37 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q116: token shards — the pipeline's materialized end product ----
+    // q92 encodes, q113 manifests; this WRITES the loader-ready binary
+    // artifact (i22: fixed-width int32 sequences, mmap-addressable) and
+    // reads it back, so the oracle checks the BYTES ON DISK round-trip:
+    // corpus → dense vocab (rank by frequency) → token ids → manifest
+    // assembly → writeShards → readShards must equal DuckDB's independent
+    // recompute of the assembled sequences (recursive-CTE BPE encode +
+    // row_number vocab + window-cumsum manifest + list-slice assembly).
+    // Output = per-sequence exact token sum + md5 of the token stream.
+    "q116_token_shards" -> { (s, d) =>
+      val TS = graft.sources.TokenShards
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.Bpe.FixedMerges
+      val ids = TS.tokenIdMap(TS.vocab(docs, "text", merges))
+      val dt = TS.docTokens(docs, "doc_id", "text", merges, ids)
+      val manifest = graft.ops.SequencePack.manifest(
+        dt.select(col("doc_id"), col("n_tokens")), "doc_id", "n_tokens",
+        seqLen = 128, bucketSize = 64)
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q116_" + java.util.UUID.nameUUIDFromBytes(
+          d.getBytes("UTF-8")).toString.take(8)).getAbsolutePath
+      TS.writeShards(TS.fullSequences(TS.assemble(dt, manifest), 128),
+        out, seqLen = 128, seqsPerShard = 128)
+      TS.readShards(s, out)
+        .select(col("seq_id"),
+          aggregate(col("tokens"), lit(0L), (a, x) => a + x).as("token_sum"),
+          md5(array_join(transform(col("tokens"), t => t.cast("string")), " "))
+            .as("token_fp"))
+        .orderBy(col("seq_id"))
+    },
+
     // ---- q95: BPE vocabulary training (rows-only by design) ----
     // Driver-side merge learning over the bounded deterministic
     // word-frequency table (the q55/q73 discipline: training isn't
@@ -2122,6 +2153,48 @@ object TextQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t)
          SELECT doc_id, n_bpe_tokens, (cb // 512)::BIGINT AS shard_id
          FROM c ORDER BY doc_id""",
+
+    // q116: the written shard bytes, independently recomputed — q92's
+    // recursive encode → frequency-ranked dense vocab (row_number over
+    // the same agg) → q113's window-cumsum manifest at seqLen=128 →
+    // list-slice assembly in seq_offset order → full sequences only (the
+    // writer's explicit tail-drop). Spark's column reads shards OFF DISK,
+    // so a byte-order/header/slice bug anywhere in the writer or reader
+    // hash-mismatches here.
+    "q116_token_shards" ->
+      s"""WITH RECURSIVE
+         $BPE_CTES,
+         dtk AS (SELECT doc_id, flatten(list(syms ORDER BY ti)) AS subs
+           FROM j GROUP BY doc_id),
+         vagg AS (SELECT subword, count(*) AS n FROM (
+             SELECT unnest(subs) AS subword FROM dtk) GROUP BY 1),
+         vocab AS (SELECT subword,
+             (row_number() OVER (ORDER BY n DESC, subword) - 1)::INT AS token_id
+           FROM vagg),
+         du AS (SELECT doc_id, unnest(subs) AS subword,
+             unnest(range(1, len(subs) + 1)) AS pos FROM dtk),
+         dti AS (SELECT du.doc_id, list(v.token_id ORDER BY du.pos) AS toks
+           FROM du JOIN vocab v USING (subword) GROUP BY du.doc_id),
+         t AS (SELECT doc_id, len(toks)::BIGINT AS w FROM dti),
+         c AS (SELECT doc_id, w,
+             coalesce(sum(w) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gs FROM t),
+         e AS (SELECT doc_id, gs::BIGINT AS gs, (gs + w)::BIGINT AS ge
+           FROM c WHERE w > 0),
+         x AS (SELECT doc_id, gs, ge,
+             unnest(range(gs // 128, (ge - 1) // 128 + 1)) AS seq_id FROM e),
+         mrow AS (SELECT seq_id, doc_id,
+             greatest(seq_id * 128 - gs, 0)::BIGINT AS doc_offset,
+             greatest(gs - seq_id * 128, 0)::BIGINT AS seq_offset,
+             (least(ge, seq_id * 128 + 128) - greatest(gs, seq_id * 128))::BIGINT AS len
+           FROM x),
+         asm AS (SELECT m.seq_id, flatten(list(
+               list_slice(dti.toks, m.doc_offset + 1, m.doc_offset + m.len)
+               ORDER BY m.seq_offset)) AS toks
+           FROM mrow m JOIN dti USING (doc_id) GROUP BY m.seq_id)
+         SELECT seq_id, list_sum(toks)::BIGINT AS token_sum,
+           md5(array_to_string(list_transform(toks, t -> t::VARCHAR), ' ')) AS token_fp
+         FROM asm WHERE len(toks) = 128 ORDER BY seq_id""",
 
     // Shares HtmlExtract's RE2-compatible patterns verbatim (BlockTags is
     // the same constant); DuckDB regexp_replace needs the explicit 'g'

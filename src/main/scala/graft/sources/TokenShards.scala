@@ -1,0 +1,252 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.{Bpe, TextFunctions => TF}
+
+/** Loader-ready token shards (i22): the pipeline's ACTUAL end product.
+  * q92/q112 encode tokens, q113 emits the packing manifest — this
+  * materializes the fixed-length sequences as the binary artifact a
+  * pretraining job mmaps, and reads them back as a DataFrame so the
+  * written bytes are verifiable against the manifest assembly (q116).
+  *
+  * Shard format (version 1, all little-endian, fixed-width — a loader
+  * seeks sequence k of a file at `32 + k·seqLen·4` with no index):
+  * {{{
+  *   bytes 0..7   magic "GRFTTOK1" (ASCII)
+  *   bytes 8..11  int32 version = 1
+  *   bytes 12..15 int32 seq_len (tokens per sequence)
+  *   bytes 16..23 int64 first_seq_id (global id of the file's first row)
+  *   bytes 24..27 int32 n_seqs (sequences in THIS file)
+  *   bytes 28..31 int32 reserved = 0
+  *   bytes 32..   n_seqs × seq_len × int32 token ids
+  * }}}
+  * Only FULL sequences are written — the final partial sequence of a
+  * corpus is less than one sequence of data and every GPT-style loader
+  * drops or re-buffers it; [[fullSequences]] is the explicit filter so
+  * the drop is a visible choice, not writer magic.
+  *
+  * Scale shape: one hash repartition by shard id (whole shards land on
+  * one task), in-task sort by seq_id, executor-side Hadoop-FS writes
+  * with the [[Warc.writeWarcGz]] commit discipline — attempt-unique
+  * file + rename (speculation-safe), temp dir + atomic swap (a crash
+  * mid-write leaves the previous shard set intact), `.inprogress`
+  * sweep before publish. A shard buffers in memory before its one
+  * write: `seqsPerShard · seqLen · 4` bytes, guarded ≤ 256 MB.
+  *
+  * Reference anchor: the gold layer exists to WRITE consumable
+  * artifacts (5_gold/fact_transaction.py:1-40 lands the fact table a
+  * consumer queries) — this is that layer for the training-data block.
+  */
+object TokenShards {
+
+  val Magic: Array[Byte] = "GRFTTOK1".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  val Version = 1
+  val HeaderLen = 32
+
+  /** Dense token vocabulary over the corpus' BPE subword stream:
+    * (token_id, subword, n_uses), ids 0..V−1 by (n_uses desc, subword
+    * asc) — the rank-by-frequency convention every deployed tokenizer
+    * uses, and fully oracle-mirrorable (row_number over the same agg).
+    * The ranking window is GLOBAL but runs over the vocab-sized
+    * aggregate (base symbols + ≤ merge-count fused pairs), never the
+    * corpus — the q109/q74 vocab-scale discipline.
+    */
+  def vocab(docs: DataFrame, textCol: String,
+      merges: Seq[String] = Bpe.FixedMerges): DataFrame =
+    docs.select(explode(flatten(transform(TF.tokens(col(textCol)),
+        t => Bpe.encode(t, merges)))).as("subword"))
+      .groupBy(col("subword")).agg(count(lit(1)).as("n_uses"))
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy(col("n_uses").desc, col("subword").asc))
+          - 1).cast("int"))
+      .select(col("token_id"), col("subword"), col("n_uses"))
+
+  /** Bounded driver-side subword → id map (the q95/q112 bounded-collect
+    * discipline): fails NAMED past `maxVocab` instead of silently
+    * OOM-ing the driver on a pathological corpus.
+    */
+  def tokenIdMap(vocabDf: DataFrame, maxVocab: Int = 1 << 20): Map[String, Int] = {
+    val rows = vocabDf.select(col("subword"), col("token_id"))
+      .limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"vocabulary exceeds maxVocab=$maxVocab — raise the cap or prune the corpus")
+    rows.iterator.map(r => r.getString(0) -> r.getInt(1)).toMap
+  }
+
+  /** Per-doc token-id arrays under a broadcast vocab literal:
+    * (idCol, tokens array<int>, n_tokens). The subword→id lookup is a
+    * codegen'd `element_at` on a constant map — no UDF, no join, one
+    * scan. A subword missing from `ids` yields a NULL element;
+    * [[writeShards]] fails NAMED on it (a silent 0 would corrupt
+    * training data), so vocab/corpus drift is loud.
+    */
+  def docTokens(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[String], ids: Map[String, Int]): DataFrame = {
+    val m = typedlit(ids)
+    docs.select(col(idCol).cast("long").as(idCol),
+        transform(flatten(transform(TF.tokens(col(textCol)),
+          t => Bpe.encode(t, merges))), s => element_at(m, s)).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+
+  /** Assemble sequences from a q113/q115 manifest + per-doc token
+    * arrays: (seq_id, tokens). Each manifest row slices `len` tokens of
+    * its doc at `doc_offset` and the per-sequence pieces concatenate in
+    * `seq_offset` order — the exact loader-assembly contract the
+    * manifest documents. One equi-join + one groupBy: scan-shaped.
+    */
+  def assemble(docToks: DataFrame, manifest: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    manifest.join(docToks.select(col(idCol), col("tokens")), Seq(idCol))
+      .select(col("seq_id"), col("seq_offset"),
+        slice(col("tokens"), (col("doc_offset") + 1).cast("int"),
+          col("len").cast("int")).as("_piece"))
+      .groupBy(col("seq_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("seq_offset"), col("_piece")))),
+        s => s.getField("_piece"))).as("tokens"))
+
+  /** The full-sequence filter — the tail-drop made explicit. */
+  def fullSequences(seqs: DataFrame, seqLen: Int): DataFrame =
+    seqs.filter(size(col("tokens")) === seqLen)
+
+  /** Write (seq_id, tokens array<int>) rows — every row EXACTLY `seqLen`
+    * tokens (pass through [[fullSequences]] first; a short/long/null row
+    * fails NAMED) — as fixed-width binary shards under `path`, shard
+    * `s` = seq ids `[s·seqsPerShard, (s+1)·seqsPerShard)` in file
+    * `shard-<s>.tok`. Within a shard, seq ids must be CONSECUTIVE —
+    * a gap means a lost sequence and fails the write (a training corpus
+    * silently shifted by one sequence is unfindable downstream).
+    */
+  def writeShards(seqs: DataFrame, path: String, seqLen: Int,
+      seqsPerShard: Int = 1024): Unit = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(seqsPerShard > 0, s"seqsPerShard must be positive, got $seqsPerShard")
+    require(seqsPerShard.toLong * seqLen * 4 <= (1L << 28),
+      s"shard buffer ${seqsPerShard.toLong * seqLen * 4} bytes exceeds 256 MB — lower seqsPerShard")
+    val spark = seqs.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val confKV: Array[(String, String)] = {
+      val it = hconf.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
+    val confBc = spark.sparkContext.broadcast(confKV)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    val (sl, sps) = (seqLen, seqsPerShard)
+    Sinks.atomicSwap(fs, path) { tmp =>
+      fs.mkdirs(tmp)
+      val tmpStr = tmp.toString
+      val part = seqs
+        .select(col("seq_id").cast("long"), col("tokens"))
+        .withColumn("_shard", call_function("div", col("seq_id"), lit(sps.toLong)))
+        .repartition(col("_shard"))
+        .sortWithinPartitions(col("seq_id"))
+      part.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.hasNext) {
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confBc.value.foreach { case (k, v) => conf.set(k, v) }
+          val tc = org.apache.spark.TaskContext.get()
+          val pfs = new org.apache.hadoop.fs.Path(tmpStr).getFileSystem(conf)
+          var shard = -1L
+          var firstSeq = 0L
+          var prevSeq = 0L
+          var nSeqs = 0
+          var body: java.io.ByteArrayOutputStream = null
+          def flush(): Unit = if (nSeqs > 0) {
+            val hdr = java.nio.ByteBuffer.allocate(HeaderLen)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            hdr.put(Magic); hdr.putInt(Version); hdr.putInt(sl)
+            hdr.putLong(firstSeq); hdr.putInt(nSeqs); hdr.putInt(0)
+            // attempt-unique write + rename: the writeWarcGz commit
+            // discipline — speculative twins never interleave bytes
+            val work = new org.apache.hadoop.fs.Path(
+              f"$tmpStr/.shard-$shard%06d-attempt${tc.taskAttemptId()}.inprogress")
+            val dst = new org.apache.hadoop.fs.Path(f"$tmpStr/shard-$shard%06d.tok")
+            val out = pfs.create(work, true)
+            try { out.write(hdr.array()); body.writeTo(out) } finally out.close()
+            if (!pfs.rename(work, dst)) {
+              if (pfs.exists(dst)) pfs.delete(work, false)
+              else sys.error(s"shard commit failed: $work -> $dst")
+            }
+          }
+          rows.foreach { r =>
+            val seq = r.getLong(0)
+            val s = seq / sps
+            if (s != shard) {
+              flush()
+              shard = s; firstSeq = seq; nSeqs = 0
+              body = new java.io.ByteArrayOutputStream(sps * sl * 4)
+            } else if (seq != prevSeq + 1)
+              sys.error(s"sequence gap in shard $shard: $prevSeq -> $seq — a lost sequence would silently shift the corpus")
+            val toks = r.getSeq[Any](1)
+            if (toks == null || toks.length != sl)
+              sys.error(s"sequence $seq holds ${if (toks == null) "null" else toks.length.toString} tokens, want exactly $sl — filter through fullSequences first")
+            val bb = java.nio.ByteBuffer.allocate(sl * 4)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            var k = 0
+            while (k < sl) {
+              toks(k) match {
+                case i: java.lang.Integer => bb.putInt(i.intValue())
+                case null => sys.error(
+                  s"sequence $seq token $k is NULL — the vocab does not cover the corpus (docTokens drift)")
+                case other => sys.error(s"sequence $seq token $k is ${other.getClass.getName}, want int")
+              }
+              k += 1
+            }
+            body.write(bb.array())
+            nSeqs += 1
+            prevSeq = seq
+          }
+          flush()
+        }
+      }
+      fs.listStatus(tmp).foreach { st =>
+        if (st.getPath.getName.endsWith(".inprogress"))
+          fs.delete(st.getPath, false)
+      }
+    }
+  }
+
+  /** Read a [[writeShards]] layout back as (seq_id, tokens array<int>) —
+    * the verification face: its output must equal the manifest assembly
+    * exactly (q116's oracle-checked contract). Malformed files (bad
+    * magic/version, body length disagreeing with the header) fail NAMED.
+    */
+  def readShards(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tok").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (file, bytes) =>
+        def fail(msg: String): Nothing =
+          throw new IllegalStateException(s"token shard $file: $msg")
+        if (bytes.length < HeaderLen) fail(s"truncated header (${bytes.length} bytes)")
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val magic = new Array[Byte](8); bb.get(magic)
+        if (!java.util.Arrays.equals(magic, Magic)) fail("bad magic")
+        val version = bb.getInt
+        if (version != Version) fail(s"unsupported version $version")
+        val sl = bb.getInt
+        val firstSeq = bb.getLong
+        val nSeqs = bb.getInt
+        bb.getInt // reserved
+        if (sl <= 0 || nSeqs < 0) fail(s"bad header: seq_len=$sl n_seqs=$nSeqs")
+        if (bytes.length.toLong != HeaderLen + nSeqs.toLong * sl * 4)
+          fail(s"body length ${bytes.length - HeaderLen} != n_seqs $nSeqs x seq_len $sl x 4")
+        (0 until nSeqs).iterator.map { k =>
+          val toks = new Array[Int](sl)
+          var j = 0
+          while (j < sl) { toks(j) = bb.getInt(HeaderLen + (k.toLong * sl + j).toInt * 4); j += 1 }
+          (firstSeq + k, toks)
+        }
+      })
+      .toDF("seq_id", "tokens")
+  }
+}

@@ -1,0 +1,185 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.TokenShards
+import graft.text.Bpe
+
+/** i22: loader-ready token shards — write/read round-trip, header
+  * invariants, commit atomicity, and the named failure modes.
+  */
+class TokenShardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private val merges = Bpe.FixedMerges
+
+  // small corpus: repeated words (frequency ranking is observable), a doc
+  // long enough to straddle sequences, a zero-token doc, sparse ids
+  private def fixture = Seq(
+    (0L, "the cat and the hat and the cat again"),
+    (1L, ("the quick brown fox jumps over the lazy dog " * 12).trim),
+    (3L, ""),
+    (5L, "and and and the the cat"),
+    (8L, ("tokenization is the art of cutting text " * 9).trim)
+  ).toDF("doc_id", "text")
+
+  test("vocab: dense frequency-ranked ids, deterministic ties") {
+    val v = TokenShards.vocab(fixture, "text", merges)
+      .orderBy(col("token_id"))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(v.map(_._1) == v.indices.map(_.toInt), "ids must be dense 0..V-1")
+    // ranked by count desc, then subword asc — recompute and compare
+    val want = v.map(r => (r._2, r._3)).sortBy { case (s, n) => (-n, s) }
+    assert(v.map(r => (r._2, r._3)) == want, "vocab order must be (n_uses desc, subword asc)")
+  }
+
+  test("write → read round-trips exactly; partial tail dropped; header and " +
+      "file layout match the spec (i22/q116)") {
+    val docs = fixture
+    val ids = TokenShards.tokenIdMap(TokenShards.vocab(docs, "text", merges))
+    val dt = TokenShards.docTokens(docs, "doc_id", "text", merges, ids)
+    val manifest = graft.ops.SequencePack.manifest(
+      dt.select(col("doc_id"), col("n_tokens")), "doc_id", "n_tokens",
+      seqLen = 32, bucketSize = 4)
+    val seqs = TokenShards.assemble(dt, manifest)
+    val full = TokenShards.fullSequences(seqs, 32)
+    val dir = tmp("tokshard") + "/shards"
+    TokenShards.writeShards(full, dir, seqLen = 32, seqsPerShard = 3)
+
+    val want = full.as[(Long, Seq[Int])].collect().toMap
+    val got = TokenShards.readShards(spark, dir)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got == want, "read-back must equal the manifest assembly exactly")
+    assert(want.nonEmpty && want.values.forall(_.length == 32))
+    // the corpus' partial tail exists (total tokens not divisible by 32)
+    // and is NOT in the shards
+    val all = seqs.as[(Long, Seq[Int])].collect().toMap
+    val tail = all.keySet -- want.keySet
+    assert(tail.size == 1 && all(tail.head).length < 32,
+      s"expected exactly the partial tail dropped, got $tail")
+
+    // file layout: shard s holds ids [3s, 3s+3), fixed-width, spec header
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tok"))
+      .sortBy(_.getName)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val s = f.getName.stripPrefix("shard-").stripSuffix(".tok").toLong
+      val bytes = Files.readAllBytes(f.toPath)
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val magic = new Array[Byte](8); bb.get(magic)
+      assert(new String(magic, "US-ASCII") == "GRFTTOK1")
+      assert(bb.getInt == 1, "version")
+      assert(bb.getInt == 32, "seq_len")
+      val firstSeq = bb.getLong
+      val nSeqs = bb.getInt
+      assert(firstSeq == s * 3, "shard file owns its seq range")
+      assert(bytes.length == 32 + nSeqs.toLong * 32 * 4, "fixed-width body")
+      // sequence k of the file at 32 + k*seqLen*4 — the mmap contract
+      (0 until nSeqs).foreach { k =>
+        val tok0 = bb.getInt(32 + k * 32 * 4)
+        assert(tok0 == want(firstSeq + k).head, "seek-addressable sequence start")
+      }
+    }
+    // every full sequence accounted across files, none duplicated
+    val perFile = files.map { f =>
+      val bb = java.nio.ByteBuffer.wrap(Files.readAllBytes(f.toPath))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.position(16); val first = bb.getLong; val n = bb.getInt
+      (first until first + n).toSeq
+    }.toSeq
+    assert(perFile.flatten.sorted == want.keySet.toSeq.sorted)
+  }
+
+  test("writeShards is an atomic overwrite: rewrite replaces, a crashed " +
+      "write leaves the previous shard set intact, no .inprogress leaks") {
+    val base = tmp("tokatomic")
+    val dir = s"$base/shards"
+    def seqsOf(ids: Seq[Long], v: Int) =
+      ids.map(i => (i, Seq.fill(4)(v))).toDF("seq_id", "tokens")
+    TokenShards.writeShards(seqsOf(0L to 5L, 1), dir, seqLen = 4, seqsPerShard = 2)
+    TokenShards.writeShards(seqsOf(0L to 3L, 2), dir, seqLen = 4, seqsPerShard = 2)
+    val got = TokenShards.readShards(spark, dir).as[(Long, Seq[Int])].collect().toMap
+    assert(got == (0L to 3L).map(i => i -> Seq.fill(4)(2)).toMap, "overwrite must replace")
+    // crash mid-write: a null token fails the action — previous set survives
+    val badDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(0L,
+        Seq[Integer](1, null, 3, 4)))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("seq_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("tokens",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType, containsNull = true)))))
+    val e = intercept[Exception](
+      TokenShards.writeShards(badDf, dir, seqLen = 4, seqsPerShard = 2))
+    assert(e.getMessage != null)
+    val after = TokenShards.readShards(spark, dir).as[(Long, Seq[Int])].collect().toMap
+    assert(after == got, "crashed write must leave the previous shards intact")
+    val leftovers = new java.io.File(base).listFiles().map(_.getName)
+      .filter(n => n.contains("__tmp") || n.contains("__old"))
+    assert(leftovers.isEmpty, s"swap left garbage: ${leftovers.toSeq}")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.endsWith(".inprogress")), "no .inprogress leaks")
+  }
+
+  test("named failures: sequence gap, wrong length, corrupt read") {
+    val dir = tmp("toknamed")
+    def seqsOf(ids: Seq[Long]) =
+      ids.map(i => (i, Seq.fill(4)(7))).toDF("seq_id", "tokens")
+    // gap within a shard
+    val gap = intercept[Exception](TokenShards.writeShards(
+      seqsOf(Seq(0L, 1L, 3L)), s"$dir/gap", seqLen = 4, seqsPerShard = 4))
+    assert(gap.getMessage.contains("gap"), gap.getMessage)
+    // wrong length
+    val short = intercept[Exception](TokenShards.writeShards(
+      Seq((0L, Seq(1, 2))).toDF("seq_id", "tokens"), s"$dir/short",
+      seqLen = 4, seqsPerShard = 4))
+    assert(short.getMessage.contains("fullSequences"), short.getMessage)
+    // corrupt magic / truncated body fail NAMED on read
+    TokenShards.writeShards(seqsOf(0L to 1L), s"$dir/ok", seqLen = 4, seqsPerShard = 4)
+    val f = new java.io.File(s"$dir/ok").listFiles()
+      .filter(_.getName.endsWith(".tok")).head
+    // drop Hadoop's local-FS checksum sidecars: the corruption must reach
+    // OUR parser, not the ChecksumFileSystem
+    new java.io.File(s"$dir/ok").listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val bytes = Files.readAllBytes(f.toPath)
+    bytes(0) = 'X'.toByte
+    Files.write(f.toPath, bytes)
+    val bad = intercept[Exception](
+      TokenShards.readShards(spark, s"$dir/ok").collect())
+    assert(bad.getMessage.contains("bad magic") ||
+      bad.getCause != null && bad.getCause.getMessage.contains("bad magic"))
+    bytes(0) = 'G'.toByte
+    Files.write(f.toPath, bytes.dropRight(4))
+    val trunc = intercept[Exception](
+      TokenShards.readShards(spark, s"$dir/ok").collect())
+    val msg = Option(trunc.getMessage).getOrElse("") +
+      Option(trunc.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("body length"), msg)
+  }
+
+  test("docTokens fails NAMED when the vocab does not cover the corpus") {
+    val docs = Seq((0L, "alpha beta gamma delta " * 8)).toDF("doc_id", "text")
+    val ids = TokenShards.tokenIdMap(TokenShards.vocab(
+      Seq((0L, "alpha alpha")).toDF("doc_id", "text"), "text", merges))
+    val dt = TokenShards.docTokens(docs, "doc_id", "text", merges, ids)
+    val manifest = graft.ops.SequencePack.manifest(
+      dt.select(col("doc_id"), col("n_tokens")), "doc_id", "n_tokens", seqLen = 8)
+    val seqs = TokenShards.fullSequences(TokenShards.assemble(dt, manifest), 8)
+    val e = intercept[Exception](TokenShards.writeShards(
+      seqs, tmp("tokvocab") + "/s", seqLen = 8, seqsPerShard = 4))
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("vocab"), msg)
+  }
+
+  test("tokenIdMap caps the driver collect NAMED") {
+    val v = TokenShards.vocab(fixture, "text", merges)
+    val e = intercept[IllegalArgumentException](TokenShards.tokenIdMap(v, maxVocab = 3))
+    assert(e.getMessage.contains("maxVocab"))
+  }
+}
