@@ -1073,6 +1073,39 @@ object TextQueries {
         .orderBy(col("target_host"), col("rn"), col("target_url"))
     },
 
+    // ---- q117: frontier under the robots politeness BUDGET ----
+    // q107 capped every host at a flat k; i18 parsed Crawl-delay but
+    // nothing consumed it. This is the composition a real scheduler
+    // runs: synthesized robots bodies (even-numbered srcN hosts declare
+    // Crawl-delay: 15, cdn hosts 30, partners none) parse through the
+    // REAL Robots.crawlDelays path — RFC group selection, not a regex
+    // shortcut — and Frontier.schedule derives
+    // k_host = min(k, floor(window/delay)): 4 slots for delayed src
+    // hosts, 2 for cdn, the flat 10 elsewhere, crawl_delay emitted on
+    // every candidate. The oracle recomputes the budget closed-form.
+    "q117_frontier_budget" -> { (s, d) =>
+      val lk = syntheticLinkFrame(s, d)
+      val crawled = Tables.documents(s, d)
+        .select(Urls.canonicalize(syntheticBaseUrl).as("target_url"))
+      val cites = lk.groupBy(col("target_url"), col("target_host"))
+        .agg(countDistinct(col("doc_id")).as("n_citations"))
+        .join(crawled, Seq("target_url"), "left_anti")
+      val robots = cites.select(col("target_host").as("domain")).distinct()
+        .withColumn("robots_txt",
+          when(regexp_extract(col("domain"), "^src(\\d+)\\.", 1) =!= "" &&
+            regexp_extract(col("domain"), "^src(\\d+)\\.", 1).cast("int") % 2 === 0,
+            lit("User-agent: *\nCrawl-delay: 15\n"))
+          .when(col("domain").startsWith("cdn"),
+            lit("User-agent: *\nCrawl-delay: 30\n")))
+        .filter(col("robots_txt").isNotNull)
+      val delays = graft.sources.Robots.crawlDelays(s, robots, "graftbot")
+      graft.ops.Frontier.schedule(cites, k = 10, delays = Some(delays),
+          windowSec = 60)
+        .select(col("target_url"), col("target_host"), col("n_citations"),
+          col("rn"), col("crawl_delay"))
+        .orderBy(col("target_host"), col("rn"), col("target_url"))
+    },
+
     // ---- q108: anchor-text profile per target host ----
     // What OTHER pages call a host — the label signal q105's edge counts
     // drop (anchor-text corpora for retrieval training; off-page spam
@@ -1906,6 +1939,54 @@ object TextQueries {
            FROM cit)
          SELECT url AS target_url, host AS target_host, n_citations, rn
          FROM rk WHERE rn <= 10
+         ORDER BY target_host, rn, target_url""",
+
+    // q117: q107's candidate set, the delay dim closed-form (even srcN
+    // → 15 s, cdn → 30 s), budget = min(10, floor(60/delay)); exact
+    // double division on integral operands both engines floor alike.
+    "q117_frontier_budget" ->
+      """WITH d AS (SELECT doc_id, source, lang,
+             source || '.example.com' AS src_host,
+             'https://' || source || '.example.com/' || lang || '/doc/' || doc_id AS base_url
+           FROM documents),
+         l AS (
+           SELECT doc_id, 'https://' || src_host AS url, src_host AS host FROM d
+           UNION ALL SELECT doc_id, base_url, src_host FROM d
+           UNION ALL SELECT doc_id,
+             'https://src' || (doc_id % 10) || '.example.com/hub',
+             'src' || (doc_id % 10) || '.example.com' FROM d
+           UNION ALL SELECT doc_id,
+             'https://src' || (doc_id % 10) || '.example.com/other',
+             'src' || (doc_id % 10) || '.example.com' FROM d
+           UNION ALL SELECT doc_id,
+             'https://cdn' || (doc_id % 3) || '.example.com/asset/' || (doc_id % 4),
+             'cdn' || (doc_id % 3) || '.example.com' FROM d
+           UNION ALL SELECT doc_id,
+             'https://' || src_host || '/' || lang || '/doc/' || (doc_id % 100) || '?ref=1',
+             src_host FROM d
+           UNION ALL SELECT doc_id,
+             'http://partner' || (doc_id % 5) || '.example.org/p',
+             'partner' || (doc_id % 5) || '.example.org' FROM d),
+         cit AS (SELECT url, host, count(DISTINCT doc_id) AS n_citations
+           FROM l WHERE url NOT IN (SELECT base_url FROM d)
+           GROUP BY 1, 2),
+         dl AS (SELECT DISTINCT host,
+             CASE WHEN regexp_extract(host, '^src(\d+)\.', 1) <> ''
+                    AND regexp_extract(host, '^src(\d+)\.', 1)::INT % 2 = 0
+                  THEN 15.0
+                  WHEN host LIKE 'cdn%' THEN 30.0 END AS crawl_delay
+           FROM cit),
+         rk AS (SELECT url, host, n_citations,
+             row_number() OVER (PARTITION BY host
+               ORDER BY n_citations DESC, url) AS rn
+           FROM cit),
+         sel AS (SELECT rk.url, rk.host, rk.n_citations, rk.rn, dl.crawl_delay
+           FROM rk LEFT JOIN dl USING (host))
+         SELECT url AS target_url, host AS target_host, n_citations, rn,
+           crawl_delay
+         FROM sel
+         WHERE rn <= CASE WHEN crawl_delay IS NOT NULL AND crawl_delay > 0
+           THEN least(10, floor(60 / crawl_delay)::BIGINT) ELSE 10 END
          ORDER BY target_host, rn, target_url""",
 
     // q108: the synthesized anchor TEXTS are constants per anchor kind

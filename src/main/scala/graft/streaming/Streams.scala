@@ -1455,10 +1455,20 @@ object Streams {
     * [[sitemapSink]]) logs: citation fold ∪ sitemap declarations →
     * anti-join the crawled set → per-host top-`k` — the q107 output shape
     * (target_url, target_host, n_citations, rn) plus `source`
-    * (anchor | sitemap | both). Sitemap-only candidates carry 0 citations
-    * and rank after cited ones under the same per-host politeness cap.
+    * (anchor | sitemap | both) and `crawl_delay`. Sitemap-only candidates
+    * carry 0 citations and rank after cited ones under the same per-host
+    * politeness cap.
+    *
+    * `crawlDelays` (r17) closes the i18 loop: pass
+    * [[graft.sources.Robots.crawlDelays]]' (domain, crawl_delay) dim and
+    * the per-host cap becomes the POLITENESS BUDGET
+    * `min(k, floor(windowSec / delay))` ([[graft.ops.Frontier.schedule]])
+    * — a Crawl-delay-10 host gets 6 slots of a 60 s window where an
+    * unrestricted host gets `k`; delay-less hosts are unchanged.
     */
-  def readFrontier(spark: SparkSession, stateDir: String, k: Int): DataFrame = {
+  def readFrontier(spark: SparkSession, stateDir: String, k: Int,
+      crawlDelays: Option[DataFrame] = None,
+      windowSec: Long = 60): DataFrame = {
     val cites = spark.read.parquet(s"$stateDir/cites")
       .groupBy(col("target_url"), col("target_host"))
       .agg(sum(col("_n")).as("n_citations"))
@@ -1481,10 +1491,9 @@ object Streams {
     val cand = cand0.join(crawled,
       graft.text.TextFunctions.hash60(col("target_url")) === col("url_h"),
       "left_anti")
-    graft.ops.Windows.topNPerGroup(cand, Seq("target_host"),
-      Seq(col("n_citations").desc, col("target_url").asc), k)
+    graft.ops.Frontier.schedule(cand, k, crawlDelays, windowSec)
       .select(col("target_url"), col("target_host"), col("n_citations"),
-        col("rn"), col("source"))
+        col("rn"), col("source"), col("crawl_delay"))
   }
 
   /** s27: streaming PCA scatter accumulation — q110's FIT at intake.

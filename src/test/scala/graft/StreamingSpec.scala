@@ -414,6 +414,45 @@ class StreamingSpec extends SparkSpec {
     assert(compacted == after, compacted)
   }
 
+  test("readFrontier honors the robots crawl-delay budget: a Crawl-delay-10 " +
+      "host gets floor(window/delay) slots, delay-less hosts keep k (i18→s28)") {
+    val dir = Files.createTempDirectory("frontierdelay").toFile.getAbsolutePath
+    val sink = Streams.frontierSink(spark, s"$dir/state") _
+    def page(id: Long, base: String, hrefs: Seq[String]) =
+      (id, "<html><body>" +
+        hrefs.map(h => s"""<a href="$h">x</a>""").mkString(" ") +
+        "</body></html>", base)
+    // one crawled page cites 8 urls on a slow host and 8 on a fast one
+    val slow = (1 to 8).map(i => s"https://slow.example/p$i")
+    val fast = (1 to 8).map(i => s"https://fast.example/p$i")
+    sink(Seq(page(1L, "https://src.example/a", slow ++ fast))
+      .toDF("doc_id", "html", "base_url"), 0L)
+    val delays = Seq(("slow.example", Some(10.0)), ("fast.example", None))
+      .toDF("domain", "crawl_delay")
+    val f = Streams.readFrontier(spark, s"$dir/state", k = 8,
+        crawlDelays = Some(delays), windowSec = 60)
+      .select("target_host", "target_url", "crawl_delay")
+      .as[(String, String, Option[Double])].collect().toSeq
+    val byHost = f.groupBy(_._1).view.mapValues(_.size).toMap
+    // 60s window / 10s delay = 6 slots; the unrestricted host keeps k=8
+    assert(byHost("slow.example") == 6, byHost.toString)
+    assert(byHost("fast.example") == 8, byHost.toString)
+    // crawl_delay is emitted on every candidate for downstream pacing
+    assert(f.filter(_._1 == "slow.example").forall(_._3.contains(10.0)))
+    assert(f.filter(_._1 == "fast.example").forall(_._3.isEmpty))
+    // a delay longer than the window schedules NOTHING this window
+    val f2 = Streams.readFrontier(spark, s"$dir/state", k = 8,
+        crawlDelays = Some(Seq(("slow.example", 120.0)).toDF("domain", "crawl_delay")),
+        windowSec = 60)
+      .select("target_host").as[String].collect().toSeq
+    assert(!f2.contains("slow.example") && f2.count(_ == "fast.example") == 8)
+    // no dim at all → the pre-r17 behavior, schema stable
+    val f3 = Streams.readFrontier(spark, s"$dir/state", k = 8)
+      .select("target_host", "crawl_delay")
+      .as[(String, Option[Double])].collect().toSeq
+    assert(f3.size == 16 && f3.forall(_._2.isEmpty))
+  }
+
   test("sequencePackSink: boundary-straddling sequence keeps filling " +
       "across batches; accumulated manifest equals batch q113; replay (s31)") {
     val dir = Files.createTempDirectory("seqpack").toFile.getAbsolutePath
