@@ -875,25 +875,10 @@ object Binary {
     }
   }
 
-  /** Frame sampling over an opaque payload — the video-keyframe shape:
-    * slice the payload at `stride` intervals, take `frameLen` bytes per
-    * slice, and feature-extract each sampled frame (STUB: hash60 of the
-    * frame bytes; a real pipeline swaps in a decoder + embedding model per
-    * frame batch). Payloads here are the ASCII text corpus, so character
-    * slicing == byte slicing (asserted by the oracle's octet math).
-    *
-    * Returns (doc_id, frame_id, feat) rows — one per SAMPLED frame, so
-    * downstream cost scales with the sampling rate, not the media size.
-    */
-  def sampleFrames(docs: DataFrame, frameLen: Int, stride: Int): DataFrame =
-    docs
-      .withColumn("_len", length(col("text")))
-      .filter(col("_len") > 0)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), col("_len"), lit(stride))).as("fpos"))
-      .select(col("doc_id"),
-        expr(s"(fpos - 1) div $stride").as("frame_id"),
-        graft.ops.Cdm.hash60(col("text").substr(col("fpos"), lit(frameLen))).as("feat"))
+  // The r16-and-earlier byte-stride `sampleFrames` stub is gone: q48's
+  // frame sampling decodes REAL container frames now — see
+  // [[GifAnim.frameDhashes]] (animated GIF through the ImageIO seam,
+  // per-frame dHash riding SimHash).
 
   /** End-to-end: documents → REAL PPM payloads → real parse. The q30
     * pipeline: ingest renders spec-valid P6 images, decode runs the actual

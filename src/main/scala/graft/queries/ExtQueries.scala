@@ -305,14 +305,22 @@ object ExtQueries {
         .orderBy(col("user_id"), col("event_id"))
     },
 
-    // ---- q48: multimodal frame sampling (64-byte frames @ stride 256) ----
+    // ---- q48: REAL multi-frame sampling (animated GIF, stride 2) ----
+    // r17: the stub per-frame hash is gone. Ingest renders each doc as a
+    // REAL animated GIF (hand-rolled GIF89a encoder, gray palette, frame
+    // k = text bytes [k·128,(k+1)·128) on the 32×4 canvas); the scan
+    // walks the actual container (named header validation), LZW-decodes
+    // every SECOND frame through the ImageIO seam and fingerprints it
+    // with q101's dHash — per-frame features riding the same SimHash
+    // machinery as stills. Cost scales with the sampling rate (frames
+    // decoded), not media size. The oracle recomputes each sampled
+    // frame's hash arithmetically from the text bytes (the q101 canvas
+    // closed form, offset by frame_id·128).
     "q48_frame_sample" -> { (s, d) =>
-      graft.multimodal.Binary.sampleFrames(Tables.documents(s, d), 64, 256)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_frames"),
-          min(col("feat")).as("min_feat"),
-          max(when(col("frame_id") === 0, col("feat"))).as("first_feat"))
-        .orderBy(col("doc_id"))
+      graft.multimodal.GifAnim.frameDhashes(
+          graft.multimodal.GifAnim.toGifAnimations(s, Tables.documents(s, d)),
+          frameStride = 2)
+        .orderBy(col("doc_id"), col("frame_id"))
     },
 
     // ---- q49: multi-distinct aggregation (Expand-based plan shape) ----
@@ -742,14 +750,30 @@ object ExtQueries {
              ORDER BY ts, event_id), value), 2) AS delta
          FROM events ORDER BY user_id, event_id""",
 
+    // q48 (r17): the GIF raster IS the text (gray palette, ASCII corpus),
+    // so sampled frame f's dHash grid cell (r,c) is byte
+    // f·128 + (r·4//6)·32 + (c·32//11), zero where past the text — the
+    // q101 closed form offset per frame. Sampled frames = 0,2,4,… < nf.
     "q48_frame_sample" ->
-      s"""WITH f AS (SELECT doc_id, text, unnest(range(1, length(text) + 1, 256)) AS fpos
-           FROM documents WHERE length(text) > 0)
-         SELECT doc_id, count(*) AS n_frames,
-           min(${TextQueries.h60("substr(text, fpos, 64)")}) AS min_feat,
-           max(CASE WHEN fpos = 1
-             THEN ${TextQueries.h60("substr(text, fpos, 64)")} END) AS first_feat
-         FROM f GROUP BY 1 ORDER BY 1""",
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+             greatest(1, (length(text) + 127) // 128) AS nf FROM documents),
+         fr AS (SELECT doc_id, text, len, nf,
+             unnest(range(0, nf, 2)) AS frame_id FROM d),
+         grid AS (SELECT doc_id, frame_id, nf, gr.range AS r, gc.range AS c,
+             CASE WHEN frame_id * 128 + ((gr.range * 4) // 6) * 32
+                    + ((gc.range * 32) // 11) < len
+               THEN ascii(substr(text, (frame_id * 128 + ((gr.range * 4) // 6) * 32
+                    + ((gc.range * 32) // 11))::INT + 1, 1))
+               ELSE 0 END AS g
+           FROM fr, range(6) gr, range(11) gc),
+         bits AS (SELECT a.doc_id, a.frame_id, a.nf, a.r, a.c,
+             CASE WHEN a.g > b.g THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+           FROM grid a JOIN grid b ON a.doc_id = b.doc_id
+             AND a.frame_id = b.frame_id AND a.r = b.r AND b.c = a.c + 1)
+         SELECT doc_id, frame_id::BIGINT AS frame_id, nf::BIGINT AS n_frames,
+           bit_or(bit << (r * 10 + c)::INT) AS frame_dhash
+         FROM bits GROUP BY doc_id, frame_id, nf
+         ORDER BY doc_id, frame_id""",
 
     "q49_distinct_agg" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(DISTINCT user_id) AS n_users,

@@ -839,4 +839,83 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1L)._1 && rows(1L)._2.isEmpty)
     assert(!rows(4L)._1 && rows(4L)._2.exists(_.contains("RIFF")))
   }
+
+  test("GifAnim: encode→decode round-trips every frame exactly (the " +
+      "uncompressed-LZW GIF89a is spec-valid to ImageIO)") {
+    import graft.multimodal.GifAnim
+    // > 254 pixels per frame exercises the re-CLEAR path; deterministic
+    // pseudo-random bytes exercise the full palette
+    val w = 32; val h = 10
+    val frames = (0 until 4).map { k =>
+      Array.tabulate[Byte](w * h)(i => (((i * 31 + k * 97) % 256) & 0xff).toByte)
+    }
+    val gif = GifAnim.encodeGifAnimation(w, h, frames)
+    val back = GifAnim.decodeGifFrames(gif)
+    assert(back.length == 4)
+    back.zip(frames).zipWithIndex.foreach { case ((px, want), k) =>
+      assert(px.width == w && px.height == h)
+      // gray palette: every decoded channel at every pixel IS the source
+      // byte (r=g=b=v ⇒ Rec.601 luma is v exactly)
+      (0 until w * h).foreach { i =>
+        val o = i * px.channels
+        (0 until math.min(3, px.channels)).foreach { ch =>
+          val v = px.samples(o + ch) & 0xff
+          assert(v == (want(i) & 0xff), s"frame $k pixel $i ch $ch: $v != ${want(i) & 0xff}")
+        }
+      }
+    }
+  }
+
+  test("frameDhashes: stride sampling picks frames 0,2,4,…; n_frames is the " +
+      "container's own count; truncation fails NAMED (q48)") {
+    import graft.multimodal.GifAnim
+    val docs = Seq((7L, "x" * 600)).toDF("doc_id", "text") // 5 frames of 128
+    val rows = GifAnim.frameDhashes(GifAnim.toGifAnimations(spark, docs), 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(rows.map(_._2) == Seq(0L, 2L, 4L), rows.toString)
+    assert(rows.forall(_._3 == 5L))
+    // full frames are uniform ⇒ no gradients ⇒ dhash 0; the LAST frame's
+    // zero-pad boundary is a real gradient and must show up in its hash
+    assert(rows.filter(_._2 < 4).forall(_._4 == 0L), rows.toString)
+    assert(rows.find(_._2 == 4L).get._4 != 0L, "pad boundary must set a bit")
+    val gif = GifAnim.toGifAnimations(spark, docs).head().payload
+    val e = intercept[IllegalArgumentException](
+      GifAnim.decodeGifFrames(gif.take(8)))
+    assert(e.getMessage.contains("gif"), e.getMessage)
+  }
+
+  test("near-duplicate ANIMATIONS ride the SimHash machinery: a re-encoded " +
+      "animation with one perturbed sampled pixel band-joins at small hamming") {
+    import graft.multimodal.{GifAnim, ImageHash}
+    val base = Array.tabulate[Byte](GifAnim.FrameW * GifAnim.FrameH)(
+      i => ((i * 53) % 200).toByte)
+    def anim(perturb: Boolean) = {
+      val frames = (0 until 3).map { k =>
+        val f = base.clone()
+        if (perturb && k == 1) {
+          // flip one GRID-SAMPLED pixel hard: row sample 0, col sample 5
+          val pos = (0 * GifAnim.FrameW) + (5 * GifAnim.FrameW / 11)
+          f(pos) = ((f(pos) & 0xff) ^ 0x80).toByte
+        }
+        f
+      }
+      GifAnim.encodeGifAnimation(GifAnim.FrameW, GifAnim.FrameH, frames)
+    }
+    val payloads = Seq(
+      graft.multimodal.Binary.MediaPayload(1L, anim(false), "image/gif"),
+      graft.multimodal.Binary.MediaPayload(2L, anim(true), "image/gif"))
+      .toDS()
+    // frame-keyed ids (doc·10 + frame) feed the SAME banding as stills
+    val hashes = GifAnim.frameDhashes(payloads, frameStride = 1)
+      .select((col("doc_id") * 10 + col("frame_id")).as("doc_id"),
+        col("frame_dhash").as("dhash"))
+    val pairs = ImageHash.nearPairs(hashes, maxHamming = 4)
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(r => (r._1, r._2))
+    // identical frames 0 and 2 pair at hamming 0; the perturbed frame 1
+    // pairs at a small positive hamming (one sample moved ⇒ ≤ 2 bits)
+    val byPair = pairs.map(r => (r._1, r._2) -> r._3).toMap
+    assert(byPair((10L, 20L)) == 0 && byPair((12L, 22L)) == 0, pairs.toString)
+    val h1 = byPair((11L, 21L))
+    assert(h1 > 0 && h1 <= 4, s"perturbed frame hamming $h1")
+  }
 }
