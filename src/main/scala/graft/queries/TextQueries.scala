@@ -705,8 +705,13 @@ object TextQueries {
         Tables.documents(s, d).withColumn("charset",
           when(col("doc_id") % 7 === 0, "windows-1251")
             .when(col("doc_id") % 11 === 0, "shift_jis")
-            .otherwise("utf-8")),
-        "doc_id", "text", charsetCol = Some("charset"))
+            .otherwise("utf-8"))
+          // synthetic revisit provenance (r17): in production it's a
+          // Warc.revisitEdges membership flag — the metric machinery is
+          // what the oracle pins (the charset-column discipline)
+          .withColumn("declared_dup", col("doc_id") % 13 === 0),
+        "doc_id", "text", charsetCol = Some("charset"),
+        declaredDupCol = Some("declared_dup"))
     },
 
     // ---- q90: span-level contamination (surgical decontamination) ----
@@ -2090,7 +2095,9 @@ object TextQueries {
          fpx AS (SELECT count(*) - count(DISTINCT
            md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS dups FROM tk),
          cs AS (SELECT sum(CASE WHEN doc_id % 7 = 0 OR doc_id % 11 = 0
-             THEN 1 ELSE 0 END) AS nu, count(*) AS n FROM tk)
+             THEN 1 ELSE 0 END) AS nu, count(*) AS n FROM tk),
+         dd AS (SELECT sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS dd,
+             count(*) AS n FROM tk)
          SELECT * FROM (
            SELECT 'boilerplate_grams' AS metric, n * 1.0 AS value FROM bg
            UNION ALL SELECT 'dup_line_frac',
@@ -2104,6 +2111,8 @@ object TextQueries {
            UNION ALL SELECT 'n_tokens', n_toks * 1.0 FROM tot
            UNION ALL SELECT 'non_utf8_frac',
              floor(nu * 1.0 / n * 10000 + 0.5) / 10000 FROM cs
+           UNION ALL SELECT 'declared_dup_frac',
+             floor(dd * 1.0 / n * 10000 + 0.5) / 10000 FROM dd
            UNION ALL SELECT 'span_dup_token_frac',
              floor(dup_toks * 1.0 / (SELECT n_toks FROM tot) * 10000 + 0.5) / 10000 FROM sd
          ) ORDER BY metric""",

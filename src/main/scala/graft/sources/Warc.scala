@@ -54,7 +54,9 @@ object Warc {
     StructField("fetch_ts", TimestampType, nullable = true),
     StructField("content_type", StringType, nullable = true),
     StructField("http_status", IntegerType, nullable = true),
-    StructField("payload", BinaryType, nullable = true)))
+    StructField("payload", BinaryType, nullable = true),
+    StructField("payload_digest", StringType, nullable = true),
+    StructField("refers_to_uri", StringType, nullable = true)))
 
   /** Quarantine schema: one row per frame that could NOT be parsed —
     * corrupt gzip member, truncated record, malformed headers. `rec_offset`
@@ -71,7 +73,8 @@ object Warc {
   private[sources] sealed trait Item
   private[sources] final case class Rec(offset: Long, warcType: String,
       url: String, fetchTs: java.sql.Timestamp, contentType: String,
-      httpStatus: Integer, payload: Array[Byte]) extends Item
+      httpStatus: Integer, payload: Array[Byte],
+      payloadDigest: String, refersToUri: String) extends Item
   private[sources] final case class Quar(offset: Long, reason: String,
       detail: String) extends Item
 
@@ -361,6 +364,11 @@ object Warc {
         val url = headers.getOrElse("warc-target-uri", null)
         val ts = headers.get("warc-date").map(parseTs).orNull
         val blockType = headers.getOrElse("content-type", null)
+        // revisit provenance (i17/r17): Common Crawl declares exact
+        // re-fetches as revisit records carrying the original's payload
+        // digest and target URI — free dedup edges (revisitEdges)
+        val digest = headers.getOrElse("warc-payload-digest", null)
+        val refersTo = headers.getOrElse("warc-refers-to-target-uri", null)
         if (blockType != null && blockType.startsWith("application/http")) {
           // HTTP message: status line, headers, CRLFCRLF, body.
           val hin = new ByteArrayInputStream(block)
@@ -400,8 +408,8 @@ object Warc {
           // place to judge it.
           val unchunked = if (chunked) dechunk(raw).getOrElse(raw) else raw
           val body = if (gzipped) gunzipBody(unchunked).getOrElse(unchunked) else unchunked
-          Rec(recOff, warcType, url, ts, ct, httpStatus, body)
-        } else Rec(recOff, warcType, url, ts, blockType, null, block)
+          Rec(recOff, warcType, url, ts, ct, httpStatus, body, digest, refersTo)
+        } else Rec(recOff, warcType, url, ts, blockType, null, block, digest, refersTo)
       }
 
       override def hasNext: Boolean = {
@@ -536,7 +544,8 @@ object Warc {
     */
   final case class WarcRecord(recOffset: Long, warcType: String, url: String,
       fetchTs: java.sql.Timestamp, contentType: String, httpStatus: Integer,
-      payload: Array[Byte])
+      payload: Array[Byte], payloadDigest: String = null,
+      refersToUri: String = null)
 
   /** Random access (i19): the records of the frame at `offset` — for
     * `.warc.gz`, ALL records of the gzip member starting there (one, in
@@ -567,7 +576,7 @@ object Warc {
         else parseRecords(pb, offset, perRecordOffsets = true,
           maxRecordBytes = maxRecordBytes.toLong).take(1)
       val out = items.map {
-        case Rec(off, t, u, ts, ct, st, p) => WarcRecord(off, t, u, ts, ct, st, p)
+        case Rec(off, t, u, ts, ct, st, p, dg, ru) => WarcRecord(off, t, u, ts, ct, st, p, dg, ru)
         case q: Quar => throw new IllegalStateException(
           s"fetchAt: frame at offset $offset is not parseable: ${q.reason} (${q.detail})")
       }.toVector
@@ -807,6 +816,74 @@ object Warc {
     else base
   }
 
+  /** The OTHER canonical archive query (r17): the capture of `url`
+    * CLOSEST IN TIME to `at` — how Wayback and the Common Crawl index
+    * are actually asked ("give me this page as of T"). Exact-URL lookup
+    * over the same stats-pruned layout: the url canonicalizes and SURT-
+    * keys through the IDENTICAL column expressions the index was built
+    * with (a one-row local job — drift-proof by construction), the key's
+    * own equality interval prunes the file list, then the argmin of
+    * |fetch_ts − at| runs as a TakeOrdered over the handful of matching
+    * captures. Ties break DETERMINISTICALLY: earlier capture first, then
+    * (warc_file, rec_offset). Returns ≤ 1 row (empty = never captured);
+    * feed the survivor's (warc_file, rec_offset) to [[fetchAt]].
+    */
+  def lookupAt(spark: SparkSession, cdxPath: String, url: String,
+      at: java.sql.Timestamp): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val key = spark.range(1).select(graft.text.Urls.surtKey(
+      graft.text.Urls.canonicalize(lit(url))).as("k")).head.getString(0)
+    if (key == null)
+      return spark.read.parquet(cdxPath).filter(lit(false)) // hostless url
+    val atMicros = at.getTime * 1000L
+    Sinks.readSkipping(spark, cdxPath, "surt_key", key, key)
+      .filter(col("surt_key") === key)
+      .withColumn("_dist", abs(unix_micros(col("fetch_ts")) - lit(atMicros)))
+      .orderBy(col("_dist"), col("fetch_ts"), col("warc_file"), col("rec_offset"))
+      .limit(1)
+      .drop("_dist")
+  }
+
+  /** FREE dedup signal from the archive itself (r17): crawls declare
+    * exact re-fetches as `WARC-Type: revisit` records carrying the
+    * original capture's `WARC-Payload-Digest` and
+    * `WARC-Refers-To-Target-URI` (the Common Crawl convention) — the
+    * crawler already hashed the page, so these lift at intake into
+    * (duplicate_url, original_url, original_digest) dedup edges with no
+    * content pass at all. Pure projection — scan-shaped at any archive
+    * size. Feed [[dropDeclaredDuplicates]] (the q19 keep-the-original
+    * semantics) and q91's `declared_dup_frac` intake metric.
+    */
+  def revisitEdges(records: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    records.filter(col("warc_type") === "revisit")
+      .select(
+        graft.text.Urls.canonicalize(col("url")).as("duplicate_url"),
+        graft.text.Urls.canonicalize(col("refers_to_uri")).as("original_url"),
+        col("payload_digest").as("original_digest"),
+        col("fetch_ts"), col("warc_file"), col("rec_offset"))
+  }
+
+  /** Drop the CAPTURES the archive declared duplicates (a
+    * [[revisitEdges]] frame) — q19's keep-the-original semantics with
+    * the crawler's own digest standing in for the content hash. The key
+    * is (canonical url, fetch_ts) — a revisit usually refers to an
+    * EARLIER capture of the SAME url, so matching on url alone would
+    * drop the original too; the timestamp pins exactly the re-fetch.
+    * One equi anti-join; the edges side is the small one (revisits are
+    * a fraction of captures) and broadcasts.
+    */
+  def dropDeclaredDuplicates(docs: DataFrame, edges: DataFrame,
+      urlCol: String = "url", tsCol: String = "fetch_ts"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.join(
+      broadcast(edges.select(col("duplicate_url").as("_dup_url"),
+        col("fetch_ts").as("_dup_ts")).distinct()),
+      graft.text.Urls.canonicalize(col(urlCol)) === col("_dup_url") &&
+        col(tsCol) === col("_dup_ts"),
+      "left_anti")
+  }
+
   // ---------------------------------------------------------------------
   // Spark faces.
   // ---------------------------------------------------------------------
@@ -843,8 +920,8 @@ object Warc {
         items0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       else items0
     val recs = spark.createDataFrame(
-      items.collect { case (f, Rec(off, t, u, ts, ct, st, p)) =>
-        Row(f, off, t, u, ts, ct, st, p) },
+      items.collect { case (f, Rec(off, t, u, ts, ct, st, p, dg, ru)) =>
+        Row(f, off, t, u, ts, ct, st, p, dg, ru) },
       recordSchema)
     val quar = spark.createDataFrame(
       items.collect { case (f, Quar(off, r, d)) => Row(f, off, r, d) },
@@ -1003,10 +1080,10 @@ object Warc {
         val file = row.getString(0)
         val bytes = row.getAs[Array[Byte]](1)
         parseFile(() => new ByteArrayInputStream(bytes), maxRecordBytes).map {
-          case Rec(off, t, u, ts, ct, st, p) =>
-            Row(file, off, t, u, ts, ct, st, p, null, null)
+          case Rec(off, t, u, ts, ct, st, p, dg, ru) =>
+            Row(file, off, t, u, ts, ct, st, p, dg, ru, null, null)
           case Quar(off, r, d) =>
-            Row(file, off, null, null, null, null, null, null, r, d)
+            Row(file, off, null, null, null, null, null, null, null, null, r, d)
         }
       }(enc)
   }

@@ -1109,7 +1109,8 @@ object SqlOps {
     */
   def corpusReportSql(table: String, idCol: String, textCol: String,
       langCol: Option[String] = Some("lang"), n: Int = 8,
-      charsetCol: Option[String] = None): String = {
+      charsetCol: Option[String] = None,
+      declaredDupCol: Option[String] = None): String = {
     val (id, txt) = (bt(idCol), bt(textCol))
     val langCte = langCol.map { lc =>
       s""",
@@ -1131,6 +1132,16 @@ object SqlOps {
       s"""
          |  UNION ALL SELECT 'non_utf8_frac',
          |    coalesce(floor(nu * 1.0 / n * 10000d + 0.5d) / 10000d, 0.0d) FROM _cs""".stripMargin
+    }.getOrElse("")
+    val dupCte = declaredDupCol.map { dc =>
+      s""",
+         |_dd AS (SELECT sum(CASE WHEN ${bt(dc)} = true THEN 1L ELSE 0L END) AS dd,
+         |    count(*) AS n FROM $table)""".stripMargin
+    }.getOrElse("")
+    val dupRow = declaredDupCol.map { _ =>
+      s"""
+         |  UNION ALL SELECT 'declared_dup_frac',
+         |    coalesce(floor(dd * 1.0 / n * 10000d + 0.5d) / 10000d, 0.0d) FROM _dd""".stripMargin
     }.getOrElse("")
     s"""WITH _tk AS (SELECT $id, $txt AS _text, graft_tokens($txt) AS _toks FROM $table),
        |_pa AS (SELECT $id, element_at(transform(array(_toks), ts ->
@@ -1167,12 +1178,12 @@ object SqlOps {
        |_q AS (SELECT sum(CAST(graft_quality(_text) * 10000d + 0.5d AS BIGINT)) AS sg,
        |    count(*) AS n FROM _tk),
        |_fp AS (SELECT count(*) - count(DISTINCT graft_fingerprint(_text)) AS dups
-       |  FROM _tk)$langCte$charsetCte
+       |  FROM _tk)$langCte$charsetCte$dupCte
        |SELECT * FROM (
        |  SELECT 'boilerplate_grams' AS metric, n * 1.0 AS value FROM _bg
        |  UNION ALL SELECT 'dup_line_frac',
        |    coalesce(floor((nl - dl) * 1.0 / nl * 10000d + 0.5d) / 10000d, 0.0d) FROM _lm
-       |  UNION ALL SELECT 'exact_dup_docs', dups * 1.0 FROM _fp$langRow$charsetRow
+       |  UNION ALL SELECT 'exact_dup_docs', dups * 1.0 FROM _fp$langRow$charsetRow$dupRow
        |  UNION ALL SELECT 'mean_quality',
        |    coalesce(floor(sg * 1.0 / (n * 10000L) * 10000d + 0.5d) / 10000d, 0.0d) FROM _q
        |  UNION ALL SELECT 'n_docs', nd * 1.0 FROM _tot

@@ -49,10 +49,16 @@ object CorpusReport {
     *    windows-1251 should say so HERE, before langid/quality read it).
     *    Null charsets count as unknown, not non-UTF-8. Row omitted when
     *    `charsetCol` is None (corpora without intake provenance).
+    *  - declared_dup_frac: fraction of docs the ARCHIVE declared exact
+    *    re-fetches (r17 — a boolean column derived from
+    *    [[graft.sources.Warc.revisitEdges]]: the crawler already hashed
+    *    the page, so this dedup pressure costs zero content passes).
+    *    Nulls count false. Row omitted when `declaredDupCol` is None.
     */
   def report(docs: DataFrame, idCol: String, textCol: String,
       langCol: Option[String] = Some("lang"), n: Int = 8,
-      charsetCol: Option[String] = None): DataFrame = {
+      charsetCol: Option[String] = None,
+      declaredDupCol: Option[String] = None): DataFrame = {
     val base = docs.select(col(idCol), col(textCol).as("_text"),
       TF.tokens(col(textCol)).as("_toks"))
 
@@ -102,6 +108,15 @@ object CorpusReport {
           r4(sum(when(col(cc).isNotNull && lower(col(cc)) =!= "utf-8", 1L)
             .otherwise(0L)) * lit(1.0) / count(lit(1))),
           docs.select(col(cc)))
+      }.toSeq ++
+      declaredDupCol.map { dc =>
+        require(docs.columns.contains(dc),
+          s"corpus report: declared-dup column '$dc' absent from " +
+            s"${docs.columns.mkString(", ")} — pass declaredDupCol = None to omit")
+        one("declared_dup_frac",
+          r4(sum(when(col(dc) === true, 1L).otherwise(0L)) * lit(1.0) /
+            count(lit(1))),
+          docs.select(col(dc)))
       }.toSeq
     parts.reduce(_ unionByName _).orderBy(col("metric"))
   }

@@ -653,6 +653,17 @@ class SqlSurfaceSpec extends SparkSpec {
       spark.table("docs_cs"), "doc_id", "text", charsetCol = Some("charset"))
     assertSame(sqlCs, colCs, "corpus report + charset", samePlan = false)
     assert(colCs.filter(col("metric") === "non_utf8_frac").count() == 1)
+    // the r17 revisit knob: both faces emit the declared_dup_frac row
+    Tables.documents(spark, sfDir)
+      .withColumn("declared_dup", col("doc_id") % 13 === 0)
+      .createOrReplaceTempView("docs_dd")
+    val sqlDd = spark.sql(SqlOps.corpusReportSql("docs_dd", "doc_id", "text",
+      declaredDupCol = Some("declared_dup")))
+    val colDd = graft.text.CorpusReport.report(
+      spark.table("docs_dd"), "doc_id", "text",
+      declaredDupCol = Some("declared_dup"))
+    assertSame(sqlDd, colDd, "corpus report + declared dup", samePlan = false)
+    assert(colDd.filter(col("metric") === "declared_dup_frac").count() == 1)
   }
 
   test("SqlOps.contaminationSpansSql == Decontaminate.contaminationSpans (rows)") {

@@ -568,6 +568,125 @@ class WarcSpec extends SparkSpec {
       s"default-port 4 + ported 3, sibling excluded: $hit2")
   }
 
+  test("revisit records lift into dedup edges; dropDeclaredDuplicates keeps " +
+      "the original capture; declared_dup_frac reports the fraction (r17)") {
+    val dir = tmp("warcrevisit")
+    def rec(headers: Seq[(String, String)], body: String): String = {
+      val b = body.getBytes("UTF-8")
+      "WARC/1.0\r\n" +
+        headers.map { case (k, v) => s"$k: $v\r\n" }.mkString +
+        s"Content-Length: ${b.length}\r\n\r\n" + body + "\r\n\r\n"
+    }
+    val warc =
+      rec(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://a.example/p",
+        "WARC-Date" -> "2024-01-01T00:00:00Z",
+        "Content-Type" -> "text/plain"), "original page body") +
+      // the re-fetch: archive stored BOTH the revisit declaration and a
+      // duplicate capture (some archives do; the drop must hit only it)
+      rec(Seq("WARC-Type" -> "revisit",
+        "WARC-Target-URI" -> "https://a.example/p",
+        "WARC-Date" -> "2024-02-01T00:00:00Z",
+        "WARC-Payload-Digest" -> "sha1:ORIGDIGEST123",
+        "WARC-Refers-To-Target-URI" -> "https://a.example/p",
+        "Content-Type" -> "message/http"), "") +
+      rec(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://a.example/p",
+        "WARC-Date" -> "2024-02-01T00:00:00Z",
+        "Content-Type" -> "text/plain"), "original page body") +
+      rec(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://b.example/q",
+        "WARC-Date" -> "2024-01-15T00:00:00Z",
+        "Content-Type" -> "text/plain"), "unrelated page")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.warc"),
+      warc.getBytes("UTF-8"))
+    val (recs, quar) = Warc.read(spark, s"$dir/a.warc")
+    assert(quar.count() == 0)
+    // edges: exactly the declared re-fetch, digest + referred original
+    val edges = Warc.revisitEdges(recs)
+    val e = edges.collect()
+    assert(e.length == 1)
+    assert(e(0).getAs[String]("duplicate_url") == "https://a.example/p")
+    assert(e(0).getAs[String]("original_url") == "https://a.example/p")
+    assert(e(0).getAs[String]("original_digest") == "sha1:ORIGDIGEST123")
+    // non-revisit records carry null provenance, revisit carries it
+    assert(recs.filter(col("warc_type") === "response")
+      .filter(col("payload_digest").isNotNull || col("refers_to_uri").isNotNull)
+      .count() == 0)
+    // keep-the-original drop: ONLY the Feb 1 duplicate capture leaves
+    val docs = recs.filter(col("warc_type") === "response")
+      .select(col("url"), col("fetch_ts"),
+        col("payload").cast("string").as("text"))
+    val kept = Warc.dropDeclaredDuplicates(docs, edges)
+      .select(col("url"), col("fetch_ts").cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(kept == Set(
+      ("https://a.example/p", "2024-01-01 00:00:00"),
+      ("https://b.example/q", "2024-01-15 00:00:00")), kept.toString)
+    // the q91 intake metric: 1 declared dup of 3 captures → 0.3333
+    val flagged = docs.withColumn("doc_id", col("fetch_ts").cast("long"))
+      .join(edges.select(col("duplicate_url").as("url"),
+          col("fetch_ts"), lit(true).as("declared_dup")),
+        Seq("url", "fetch_ts"), "left")
+      .withColumn("declared_dup", coalesce(col("declared_dup"), lit(false)))
+    val frac = graft.text.CorpusReport.report(flagged, "doc_id", "text",
+        langCol = None, declaredDupCol = Some("declared_dup"))
+      .filter(col("metric") === "declared_dup_frac")
+      .select("value").as[Double].head()
+    assert(frac == 0.3333, s"declared_dup_frac $frac")
+  }
+
+  test("lookupAt: closest-in-time capture of an exact URL — equals the " +
+      "full-scan argmin, pruned read, deterministic tie, fetchAt round-trip (i21)") {
+    val dir = tmp("warclookupat")
+    val url = "https://h1.example/page"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val docs = (Seq(
+      (url, ts("2024-01-01 00:00:00"), "capture v1"),
+      (url, ts("2024-01-10 00:00:00"), "capture v2"),
+      (url, ts("2024-01-20 00:00:00"), "capture v3"),
+      (s"$url/child", ts("2024-01-11 00:00:00"), "sub-path decoy"),
+      ("https://h2.example/page", ts("2024-01-11 00:00:00"), "other-host decoy")) ++
+      (0 until 40).map(i =>
+        (s"https://bulk$i.example/x", ts("2024-01-05 00:00:00"), s"bulk $i")))
+      .toDF("url", "fetch_ts", "text")
+    Warc.writeWarcGz(docs, s"$dir/wet", shards = 3)
+    val (recs, _) = Warc.read(spark, s"$dir/wet/*.warc.gz")
+    Warc.writeCdx(Warc.cdxIndex(recs), s"$dir/cdx", nFiles = 8)
+    // closest to Jan 12: v2 (Jan 10, 2 days) beats v3 (Jan 20, 8 days)
+    val hit = Warc.lookupAt(spark, s"$dir/cdx", url, ts("2024-01-12 00:00:00"))
+    val rows = hit.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("url") == url)
+    assert(rows(0).getAs[java.sql.Timestamp]("fetch_ts") == ts("2024-01-10 00:00:00"))
+    // equals the full-scan argmin exactly
+    val full = spark.read.parquet(s"$dir/cdx")
+      .filter(col("url") === url).collect()
+      .minBy(r => (math.abs(r.getAs[java.sql.Timestamp]("fetch_ts").getTime -
+        ts("2024-01-12 00:00:00").getTime),
+        r.getAs[java.sql.Timestamp]("fetch_ts").getTime))
+    assert(rows(0).getAs[String]("warc_file") == full.getAs[String]("warc_file") &&
+      rows(0).getAs[Long]("rec_offset") == full.getAs[Long]("rec_offset"))
+    // the plan reads only intersecting index files
+    val touched = Warc.lookupAt(spark, s"$dir/cdx", url, ts("2024-01-12 00:00:00"))
+      .select(input_file_name()).distinct().count()
+    assert(touched <= 2, s"exact-url lookup touched $touched of 8 files")
+    // equidistant tie (Jan 15 between Jan 10 and Jan 20): EARLIER wins
+    val tie = Warc.lookupAt(spark, s"$dir/cdx", url, ts("2024-01-15 00:00:00")).collect()
+    assert(tie(0).getAs[java.sql.Timestamp]("fetch_ts") == ts("2024-01-10 00:00:00"),
+      "tie must break to the earlier capture")
+    // the full loop: winner's address fetches the page's actual bytes
+    val rec = Warc.fetchAt(rows(0).getAs[String]("warc_file"),
+      rows(0).getAs[Long]("rec_offset")).head
+    assert(new String(rec.payload, "UTF-8") == "capture v2")
+    // never-captured url: empty result, no error
+    assert(Warc.lookupAt(spark, s"$dir/cdx",
+      "https://nosuch.example/q", ts("2024-01-12 00:00:00")).count() == 0)
+    // hostless junk: empty result, no error
+    assert(Warc.lookupAt(spark, s"$dir/cdx",
+      "not a url", ts("2024-01-12 00:00:00")).count() == 0)
+  }
+
   test("charset-aware decode: header charset, meta sniff, header-beats-meta, " +
       "unknown falls back — real text, never mojibake") {
     val dir = tmp("warccs")
