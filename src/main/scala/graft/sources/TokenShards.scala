@@ -123,6 +123,28 @@ object TokenShards {
     */
   def writeShards(seqs: DataFrame, path: String, seqLen: Int,
       seqsPerShard: Int = 1024): Unit = {
+    val spark = seqs.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    Sinks.atomicSwap(fs, path) { tmp =>
+      fs.mkdirs(tmp)
+      writeShardFiles(seqs, tmp.toString, seqLen, seqsPerShard)
+      fs.listStatus(tmp).foreach { st =>
+        if (st.getPath.getName.endsWith(".inprogress"))
+          fs.delete(st.getPath, false)
+      }
+    }
+  }
+
+  /** The executor-side shard-file writer behind [[writeShards]], exposed
+    * for the STREAMING sink (s32 writes each micro-batch's complete
+    * sequences into that batch's own directory — replay = directory
+    * overwrite — so the atomic-swap wrapper above doesn't fit there).
+    * Writes `dirStr/shard-<s>.tok` files plus attempt-unique
+    * `.inprogress` temps the caller must sweep (the batch face does).
+    */
+  private[graft] def writeShardFiles(seqs: DataFrame, dirStr: String,
+      seqLen: Int, seqsPerShard: Int): Unit = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     require(seqsPerShard > 0, s"seqsPerShard must be positive, got $seqsPerShard")
     require(seqsPerShard.toLong * seqLen * 4 <= (1L << 28),
@@ -136,17 +158,14 @@ object TokenShards {
       buf.toArray
     }
     val confBc = spark.sparkContext.broadcast(confKV)
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
     val (sl, sps) = (seqLen, seqsPerShard)
-    Sinks.atomicSwap(fs, path) { tmp =>
-      fs.mkdirs(tmp)
-      val tmpStr = tmp.toString
-      val part = seqs
-        .select(col("seq_id").cast("long"), col("tokens"))
-        .withColumn("_shard", call_function("div", col("seq_id"), lit(sps.toLong)))
-        .repartition(col("_shard"))
-        .sortWithinPartitions(col("seq_id"))
-      part.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+    val tmpStr = dirStr
+    val part = seqs
+      .select(col("seq_id").cast("long"), col("tokens"))
+      .withColumn("_shard", call_function("div", col("seq_id"), lit(sps.toLong)))
+      .repartition(col("_shard"))
+      .sortWithinPartitions(col("seq_id"))
+    part.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.hasNext) {
           val conf = new org.apache.hadoop.conf.Configuration(false)
           confBc.value.foreach { case (k, v) => conf.set(k, v) }
@@ -203,11 +222,6 @@ object TokenShards {
             prevSeq = seq
           }
           flush()
-        }
-      }
-      fs.listStatus(tmp).foreach { st =>
-        if (st.getPath.getName.endsWith(".inprogress"))
-          fs.delete(st.getPath, false)
       }
     }
   }
@@ -217,10 +231,17 @@ object TokenShards {
     * exactly (q116's oracle-checked contract). Malformed files (bad
     * magic/version, body length disagreeing with the header) fail NAMED.
     */
-  def readShards(spark: SparkSession, path: String): DataFrame = {
+  def readShards(spark: SparkSession, path: String): DataFrame =
+    parseShardFiles(spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tok").load(path))
+
+  /** Parse a `binaryFile`-shaped frame of shard files (s32 reads its
+    * per-batch shard tree through this same format reader).
+    */
+  private[graft] def parseShardFiles(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.tok").load(path)
+    files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (file, bytes) =>

@@ -1120,6 +1120,116 @@ object Streams {
   def readSequencePack(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/manifest").drop("batch_id")
 
+  // --------------------------------------------------------------------
+  // s32: streaming token-shard materialization (r17) — i22's writer at
+  // intake: each micro-batch's COMPLETE sequences land as loader-ready
+  // binary shard files; the open partial sequence carries across batches.
+  // --------------------------------------------------------------------
+
+  /** foreachBatch token-shard writer: each micro-batch of already-encoded
+    * (id, tokens array<int>) docs appends to the global token stream —
+    * the CARRY (the open sequence's tokens, < seqLen of them) prepends as
+    * a virtual id−1 doc, the q113 manifest runs at the stream's carried
+    * offset, and the batch's COMPLETE sequences write as
+    * [[graft.sources.TokenShards]]-format files under
+    * `stateDir/shards/batch_id=N/` (replay = directory overwrite, the
+    * dynamicOverwrite discipline); the new partial tail becomes the next
+    * batch's carry. State: `totals` (per-batch additive token counts, the
+    * s15/s31 offset hook), `carry` (latest-wins open-sequence tokens —
+    * bounded at seqLen−1 ints, metadata-rate), `shards` (the artifact).
+    * Replay-idempotent: totals/carry reads EXCLUDE the current batch and
+    * the batch's shard directory rewrites in place, so a retried batch
+    * reproduces — not duplicates — its files. [[readTokenShards]] over
+    * the accumulated tree EQUALS the batch i22 pipeline over the ordered
+    * union (spec-pinned, boundary-straddling sequences included).
+    */
+  def tokenShardSink(spark: SparkSession, stateDir: String,
+      idCol: String = "doc_id", tokCol: String = "tokens",
+      seqLen: Int = 256, seqsPerShard: Int = 1024,
+      bucketSize: Long = 1L << 20)(batch: DataFrame, batchId: Long): Unit = {
+    import spark.implicits._
+    if (batch.isEmpty) return // empty-batch discipline: write nothing
+    val priorTotal = graft.sources.Sources.parquetIfExists(spark, s"$stateDir/totals")
+      .map { st =>
+        require(st.columns.contains("batch_id"),
+          s"token-shard totals at $stateDir/totals lack the batch_id partition column")
+        st.filter(col("batch_id") =!= batchId)
+      }
+      .filter(!_.isEmpty)
+      .map(_.agg(sum(col("total"))).head.getLong(0))
+      .getOrElse(0L)
+    val carry: Seq[Int] = graft.sources.Sources.parquetIfExists(spark, s"$stateDir/carry")
+      .map(_.filter(col("batch_id") < batchId))
+      .filter(!_.isEmpty)
+      .map(_.orderBy(col("batch_id").desc).select(col("tokens"))
+        .as[Seq[Int]].head())
+      .getOrElse(Seq.empty)
+    // the open sequence began at the last seqLen boundary; carry holds
+    // exactly the tokens past it
+    val offset0 = priorTotal - carry.length
+    require(offset0 % seqLen == 0 && offset0 >= 0,
+      s"carry/totals state disagree: total $priorTotal, carry ${carry.length}, seqLen $seqLen")
+    val docs = batch.select(col(idCol).cast("long").as("doc_id"),
+      col(tokCol).as("tokens"))
+    val withCarry =
+      if (carry.isEmpty) docs
+      else Seq((-1L, carry)).toDF("doc_id", "tokens").unionByName(docs)
+    val dt = withCarry
+      .withColumn("n_tokens", size(col("tokens")).cast("long")).persist()
+    try {
+      require(dt.filter(col("doc_id") < 0 && col("n_tokens") >= 0)
+        .count() <= (if (carry.isEmpty) 0 else 1),
+        "batch doc ids must be non-negative (id -1 is the carry's)")
+      val manifest = graft.ops.SequencePack.manifest(
+        dt.select(col("doc_id"), col("n_tokens")), "doc_id", "n_tokens",
+        seqLen.toLong, bucketSize, offset = offset0)
+      val seqs = graft.sources.TokenShards.assemble(dt, manifest).persist()
+      try {
+        val batchDir = s"$stateDir/shards/batch_id=$batchId"
+        val fs = new org.apache.hadoop.fs.Path(batchDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(batchDir), true) // replay overwrite
+        fs.mkdirs(new org.apache.hadoop.fs.Path(batchDir))
+        graft.sources.TokenShards.writeShardFiles(
+          graft.sources.TokenShards.fullSequences(seqs, seqLen),
+          batchDir, seqLen, seqsPerShard)
+        fs.listStatus(new org.apache.hadoop.fs.Path(batchDir)).foreach { st =>
+          if (st.getPath.getName.endsWith(".inprogress"))
+            fs.delete(st.getPath, false)
+        }
+        val newCarry: Seq[Int] = seqs.filter(size(col("tokens")) < seqLen)
+          .select(col("tokens")).as[Seq[Int]].collect().toSeq match {
+          case Seq() => Seq.empty
+          case Seq(tail) => tail
+          case many => sys.error(
+            s"${many.size} partial sequences in one batch — manifest invariant broken")
+        }
+        graft.sources.Sinks.dynamicOverwrite(
+          Seq((newCarry, batchId)).toDF("tokens", "batch_id"),
+          s"$stateDir/carry", Seq("batch_id"))
+        val batchTotal = docs.agg(coalesce(sum(size(col("tokens"))
+          .cast("long")), lit(0L))).head.getLong(0)
+        graft.sources.Sinks.dynamicOverwrite(
+          spark.range(1).select(lit(batchTotal).as("total"),
+            lit(batchId).as("batch_id")),
+          s"$stateDir/totals", Seq("batch_id"))
+      } finally { seqs.unpersist(); () }
+    } finally { dt.unpersist(); () }
+  }
+
+  /** The shard tree accumulated by [[tokenShardSink]], parsed by the
+    * standard [[graft.sources.TokenShards.readShards]] format reader
+    * (recursive over the batch directories).
+    */
+  def readTokenShards(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tok")
+      .option("recursiveFileLookup", "true")
+      .load(s"$stateDir/shards")
+    graft.sources.TokenShards.parseShardFiles(files)
+  }
+
   /** foreachBatch streaming IVF index maintenance — the streaming face of
     * the [[graft.sim.Ann]] trained quantizer: each micro-batch of
     * (id, vec) is assigned to its nearest cell against the centroids

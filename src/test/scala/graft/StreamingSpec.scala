@@ -481,6 +481,56 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == batch.length)
   }
 
+  test("tokenShardSink: complete sequences land as loader shards, the open " +
+      "sequence carries across batches, accumulated == batch i22, replay (s32)") {
+    val dir = Files.createTempDirectory("tokshardsink").toFile.getAbsolutePath
+    val state = s"$dir/state"
+    val sink = Streams.tokenShardSink(spark, state, seqLen = 8,
+      seqsPerShard = 2, bucketSize = 4) _
+    def doc(id: Long, n: Int): (Long, Seq[Int]) =
+      (id, (0 until n).map(k => (id * 100 + k).toInt))
+    // batch 0: 19 tokens → 2 complete sequences + a 3-token open tail
+    val b0 = Seq(doc(0L, 5), doc(1L, 9), doc(2L, 5)).toDF("doc_id", "tokens")
+    // batch 1: 13 tokens → closes the open sequence, opens another
+    val b1 = Seq(doc(5L, 6), doc(6L, 7)).toDF("doc_id", "tokens")
+    sink(b0, 0L)
+    // after batch 0: sequences 0,1 materialized, carry = 3 tokens
+    val afterB0 = Streams.readTokenShards(spark, state)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(afterB0.keySet == Set(0L, 1L), afterB0.keySet.toString)
+    sink(b1, 1L)
+    sink(b1, 1L) // replay after a simulated post-write failure
+    val streamed = Streams.readTokenShards(spark, state)
+      .as[(Long, Seq[Int])].collect().toMap
+    // batch-mode i22 over the ordered union
+    val all = b0.unionByName(b1)
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+    val manifest = graft.ops.SequencePack.manifest(
+      all.select(col("doc_id"), col("n_tokens")), "doc_id", "n_tokens",
+      seqLen = 8, bucketSize = 4)
+    val batchSeqs = graft.sources.TokenShards.fullSequences(
+        graft.sources.TokenShards.assemble(all, manifest), 8)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(streamed == batchSeqs,
+      s"stream ${streamed.toSeq.sortBy(_._1)} vs batch ${batchSeqs.toSeq.sortBy(_._1)}")
+    // the straddle is real: sequence 2 holds tokens from docs 2 AND 5
+    assert(streamed(2L).exists(_ >= 500) && streamed(2L).exists(t => t >= 200 && t < 300),
+      s"sequence 2 must straddle the boundary: ${streamed(2L)}")
+    // count-strict: replay did not duplicate shard files
+    val files = new java.io.File(s"$state/shards").listFiles()
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.endsWith(".tok"))
+    assert(files.map(_.getName).toSeq.sorted ==
+      files.map(_.getName).distinct.toSeq.sorted)
+    // format parity: every file opens with the standard reader already
+    // (readTokenShards IS TokenShards' parser); headers carry seqLen 8
+    val bb = java.nio.ByteBuffer.wrap(
+      java.nio.file.Files.readAllBytes(files.head.toPath))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(12)
+    assert(bb.getInt == 8, "header seq_len")
+  }
+
   test("unigramDriftSink: unk_rate spikes on unseen-alphabet shift, " +
       "unigramRetrain restores, replay idempotent (s29)") {
     val dir = Files.createTempDirectory("unidrift").toFile.getAbsolutePath
