@@ -79,7 +79,9 @@ object ScaleBench {
     "x102_url_curate_work", "x102_url_canon_work", "x104_langid_work",
     "x105_link_graph_work", "x107_frontier_work", "x108_anchor_work",
     "x109_colloc_work", "x110_pca_work", "x111_audio_work",
-    "x112_unigram_encode_work", "x113_sequence_pack_work")
+    "x112_unigram_encode_work", "x113_sequence_pack_work",
+    "x48_frames_work", "x115_shuffle_pack_work", "x116_token_shards_work",
+    "x117_frontier_budget_work")
 
   /** Default key stride between copies: far above any sf0.1 key range, so
     * strided ids never collide across copies. A SECOND derivation (e.g.
@@ -350,6 +352,34 @@ object ScaleBench {
       SparkEntry.queries("q113_sequence_pack")(s, d)
         .agg(sum(col("len")).as("t"), sum(col("doc_offset") + col("seq_offset")).as("o"),
           count(lit(1)).as("n"))
+    },
+    // q48 (r17): the REAL per-frame cost — every doc's GIF encode, the
+    // container walk, the sampled frames' LZW decode + dHash. Linear in
+    // corpus bytes; the stride only divides the decode term.
+    "x48_frames_work" -> { (s, d) =>
+      SparkEntry.queries("q48_frame_sample")(s, d)
+        .agg(sum(col("frame_dhash")).as("t"), count(lit(1)).as("n"))
+    },
+    // q115: x113's manifest under the seeded-hash permutation — the
+    // probe watches the HASH-SPACE bucketing's exponent (bucket count is
+    // fixed by hashBucketWidth, fill grows with the corpus).
+    "x115_shuffle_pack_work" -> { (s, d) =>
+      SparkEntry.queries("q115_corpus_shuffle")(s, d)
+        .agg(sum(col("len")).as("t"), sum(col("doc_offset") + col("seq_offset")).as("o"),
+          count(lit(1)).as("n"))
+    },
+    // i22/q116: the WHOLE materialization — encode, vocab, manifest,
+    // assemble, shard WRITE to disk, shard READ back. The honest end-
+    // product cost (I/O included); token_sum forces every byte parsed.
+    "x116_token_shards_work" -> { (s, d) =>
+      SparkEntry.queries("q116_token_shards")(s, d)
+        .agg(sum(col("token_sum")).as("t"), count(lit(1)).as("n"))
+    },
+    // q117: x107's frontier cost + the real robots parse over the host
+    // dim + the budget filter — nothing prunes before the rank.
+    "x117_frontier_budget_work" -> { (s, d) =>
+      SparkEntry.queries("q117_frontier_budget")(s, d)
+        .agg(sum(col("n_citations")).as("t"), count(lit(1)).as("n"))
     })
 
   def main(args: Array[String]): Unit = {

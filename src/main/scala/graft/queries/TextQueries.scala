@@ -811,8 +811,12 @@ object TextQueries {
       val TS = graft.sources.TokenShards
       val docs = Tables.documents(s, d)
       val merges = graft.text.Bpe.FixedMerges
-      val ids = TS.tokenIdMap(TS.vocab(docs, "text", merges))
-      val dt = TS.docTokens(docs, "doc_id", "text", merges, ids)
+      // ONE encode pass feeds vocab AND token ids (registry-cached —
+      // BPE is the corpus-rate cost here, q92 pays it once, so do we)
+      val subs = graft.Graft.registerCache(
+        TS.docSubwords(docs, "doc_id", "text", merges))
+      val ids = TS.tokenIdMap(TS.vocabOf(subs))
+      val dt = TS.docTokensOf(subs, "doc_id", ids)
       val manifest = graft.ops.SequencePack.manifest(
         dt.select(col("doc_id"), col("n_tokens")), "doc_id", "n_tokens",
         seqLen = 128, bucketSize = 64)

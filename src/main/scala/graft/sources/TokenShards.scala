@@ -46,7 +46,18 @@ object TokenShards {
   val Version = 1
   val HeaderLen = 32
 
-  /** Dense token vocabulary over the corpus' BPE subword stream:
+  /** Per-doc BPE subword stream: (idCol, subs array<string>) — the ONE
+    * encode pass [[vocab]] and [[docTokens]] both read (BPE is the
+    * corpus-rate cost here; encoding twice would double it — cache or
+    * [[graft.Graft.registerCache]] this frame when both consume it).
+    */
+  def docSubwords(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[String] = Bpe.FixedMerges): DataFrame =
+    docs.select(col(idCol).cast("long").as(idCol),
+      flatten(transform(TF.tokens(col(textCol)),
+        t => Bpe.encode(t, merges))).as("subs"))
+
+  /** Dense token vocabulary over a [[docSubwords]] frame:
     * (token_id, subword, n_uses), ids 0..V−1 by (n_uses desc, subword
     * asc) — the rank-by-frequency convention every deployed tokenizer
     * uses, and fully oracle-mirrorable (row_number over the same agg).
@@ -54,15 +65,18 @@ object TokenShards {
     * aggregate (base symbols + ≤ merge-count fused pairs), never the
     * corpus — the q109/q74 vocab-scale discipline.
     */
-  def vocab(docs: DataFrame, textCol: String,
-      merges: Seq[String] = Bpe.FixedMerges): DataFrame =
-    docs.select(explode(flatten(transform(TF.tokens(col(textCol)),
-        t => Bpe.encode(t, merges)))).as("subword"))
+  def vocabOf(subwords: DataFrame): DataFrame =
+    subwords.select(explode(col("subs")).as("subword"))
       .groupBy(col("subword")).agg(count(lit(1)).as("n_uses"))
       .withColumn("token_id",
         (row_number().over(Window.orderBy(col("n_uses").desc, col("subword").asc))
           - 1).cast("int"))
       .select(col("token_id"), col("subword"), col("n_uses"))
+
+  /** [[vocabOf]] over a fresh encode — the one-shot convenience face. */
+  def vocab(docs: DataFrame, textCol: String,
+      merges: Seq[String] = Bpe.FixedMerges): DataFrame =
+    vocabOf(docSubwords(docs, "doc_id", textCol, merges))
 
   /** Bounded driver-side subword → id map (the q95/q112 bounded-collect
     * discipline): fails NAMED past `maxVocab` instead of silently
@@ -84,11 +98,15 @@ object TokenShards {
     * training data), so vocab/corpus drift is loud.
     */
   def docTokens(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[String], ids: Map[String, Int]): DataFrame = {
+      merges: Seq[String], ids: Map[String, Int]): DataFrame =
+    docTokensOf(docSubwords(docs, idCol, textCol, merges), idCol, ids)
+
+  /** [[docTokens]] over an already-encoded [[docSubwords]] frame. */
+  def docTokensOf(subwords: DataFrame, idCol: String,
+      ids: Map[String, Int]): DataFrame = {
     val m = typedlit(ids)
-    docs.select(col(idCol).cast("long").as(idCol),
-        transform(flatten(transform(TF.tokens(col(textCol)),
-          t => Bpe.encode(t, merges))), s => element_at(m, s)).as("tokens"))
+    subwords.select(col(idCol),
+        transform(col("subs"), s => element_at(m, s)).as("tokens"))
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
   }
 
