@@ -390,6 +390,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q115 corpus shuffle: hash-space prefix sum — both windows bucket-keyed, " +
+      "no corpus-wide single-partition window (r17)") {
+    val p = plan("q115_corpus_shuffle")
+    // same invariant as q96/q113: the ONLY unpartitioned window runs over
+    // bucket totals (one row per hash-space bucket), never the corpus
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.size == 2, windows.mkString("\n"))
+    assert(windows.count(_.contains("_bkt")) == 2,
+      s"both windows must key on the hash-space bucket:\n${windows.mkString("\n")}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q117 frontier budget: broadcast delay dim, host-partitioned rank, " +
+      "no pair join (r17)") {
+    val p = plan("q117_frontier_budget")
+    assert(p.contains("BroadcastHashJoin"), s"delay dim must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the rank window partitions by host — never a global sort
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("target_host")),
+      s"rank must be host-partitioned:\n${windows.mkString("\n")}")
+  }
+
   test("q97 contamination trim: broadcast eval probe, doc-bounded windows, no pair join") {
     val p = plan("q97_contamination_trim")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
