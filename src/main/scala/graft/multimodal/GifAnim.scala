@@ -112,12 +112,25 @@ object GifAnim {
   // Multi-frame decode through the ImageIO seam.
   // ---------------------------------------------------------------------
 
-  /** Decode EVERY frame of a GIF payload to the [[PngPixels]] raster
-    * shape (palette renders as RGB — the [[Binary.decodeImagePixels]]
-    * convention). Header-validates NAMED first ([[Binary.parseGif]]), so
-    * truncation keeps its exact error instead of an opaque codec one.
+  /** Decode EVERY frame of a GIF payload ([[decodeSampledFrames]] at
+    * stride 1, frame ids dropped).
     */
-  def decodeGifFrames(p: Array[Byte]): Seq[PngPixels] = {
+  def decodeGifFrames(p: Array[Byte]): Seq[PngPixels] =
+    decodeSampledFrames(p, 1)._2.map(_._2)
+
+  /** Decode frames 0, stride, 2·stride, … of a GIF payload to the
+    * [[PngPixels]] raster shape (palette renders as RGB — the
+    * [[Binary.decodeImagePixels]] convention), returning
+    * (container frame count, sampled (frame_id, raster) pairs).
+    * ONLY the sampled frames rasterize — `reader.read(k)` block-skips
+    * the rest, so decode cost scales with the SAMPLING RATE, which is
+    * the q48 contract. Header-validates NAMED first
+    * ([[Binary.parseGif]]), so truncation keeps its exact error instead
+    * of an opaque codec one.
+    */
+  def decodeSampledFrames(p: Array[Byte],
+      stride: Int): (Int, Seq[(Int, PngPixels)]) = {
+    require(stride > 0, s"stride must be positive, got $stride")
     Binary.parseGif(p)
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(p))
@@ -133,13 +146,14 @@ object GifAnim {
           catch { case e: Exception =>
             throw new IllegalArgumentException(s"gif: frame walk failed: ${e.getMessage}") }
         if (n < 1) throw new IllegalArgumentException("gif: no frames")
-        (0 until n).map { k =>
+        val sampled = (0 until n by stride).map { k =>
           val img =
             try reader.read(k)
             catch { case e: Exception =>
               throw new IllegalArgumentException(s"gif: frame $k decode failed: ${e.getMessage}") }
-          rasterOf(img)
+          (k, rasterOf(img))
         }
+        (n, sampled)
       } finally reader.dispose()
     } finally iis.close()
   }
@@ -216,9 +230,9 @@ object GifAnim {
     val spark = payloads.sparkSession
     import spark.implicits._
     payloads.mapPartitions(_.flatMap { mp =>
-        val frames = decodeGifFrames(mp.payload)
-        (0 until frames.length by frameStride).map { k =>
-          (mp.doc_id, k.toLong, frames.length.toLong, ImageHash.dhash60(frames(k)))
+        val (n, sampled) = decodeSampledFrames(mp.payload, frameStride)
+        sampled.map { case (k, px) =>
+          (mp.doc_id, k.toLong, n.toLong, ImageHash.dhash60(px))
         }
       })
       .toDF("doc_id", "frame_id", "n_frames", "frame_dhash")

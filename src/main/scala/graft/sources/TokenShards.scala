@@ -147,22 +147,30 @@ object TokenShards {
     Sinks.atomicSwap(fs, path) { tmp =>
       fs.mkdirs(tmp)
       writeShardFiles(seqs, tmp.toString, seqLen, seqsPerShard)
-      fs.listStatus(tmp).foreach { st =>
-        if (st.getPath.getName.endsWith(".inprogress"))
-          fs.delete(st.getPath, false)
-      }
+      // a validation failure throws HERE, before the swap — the previous
+      // shard set stays live
     }
   }
+
+  /** The per-file stats [[writeShardFiles]] returns for the GLOBAL gap
+    * check: within-shard gaps fail in-task, but a sequence lost exactly
+    * on a shard boundary (or at the head/tail of the corpus) is invisible
+    * to any single task — only the collected ranges show it.
+    */
+  private[graft] final case class ShardStat(shard: Long, firstSeq: Long, nSeqs: Int)
 
   /** The executor-side shard-file writer behind [[writeShards]], exposed
     * for the STREAMING sink (s32 writes each micro-batch's complete
     * sequences into that batch's own directory — replay = directory
     * overwrite — so the atomic-swap wrapper above doesn't fit there).
-    * Writes `dirStr/shard-<s>.tok` files plus attempt-unique
-    * `.inprogress` temps the caller must sweep (the batch face does).
+    * Writes `dirStr/shard-<s>.tok` files, sweeps the attempt-unique
+    * `.inprogress` temps, and VALIDATES global sequence contiguity over
+    * the collected per-shard ranges (shard-count-rate metadata): any
+    * lost sequence — mid-shard, on a shard boundary, head or tail —
+    * fails the write NAMED before the caller publishes.
     */
   private[graft] def writeShardFiles(seqs: DataFrame, dirStr: String,
-      seqLen: Int, seqsPerShard: Int): Unit = {
+      seqLen: Int, seqsPerShard: Int): Array[ShardStat] = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     require(seqsPerShard > 0, s"seqsPerShard must be positive, got $seqsPerShard")
     require(seqsPerShard.toLong * seqLen * 4 <= (1L << 28),
@@ -183,7 +191,8 @@ object TokenShards {
       .withColumn("_shard", call_function("div", col("seq_id"), lit(sps.toLong)))
       .repartition(col("_shard"))
       .sortWithinPartitions(col("seq_id"))
-    part.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+    val stats = part.rdd.mapPartitions { rows =>
+        val statsBuf = scala.collection.mutable.ArrayBuffer.empty[ShardStat]
         if (rows.hasNext) {
           val conf = new org.apache.hadoop.conf.Configuration(false)
           confBc.value.foreach { case (k, v) => conf.set(k, v) }
@@ -195,6 +204,7 @@ object TokenShards {
           var nSeqs = 0
           var body: java.io.ByteArrayOutputStream = null
           def flush(): Unit = if (nSeqs > 0) {
+            statsBuf += ShardStat(shard, firstSeq, nSeqs)
             val hdr = java.nio.ByteBuffer.allocate(HeaderLen)
               .order(java.nio.ByteOrder.LITTLE_ENDIAN)
             hdr.put(Magic); hdr.putInt(Version); hdr.putInt(sl)
@@ -240,8 +250,28 @@ object TokenShards {
             prevSeq = seq
           }
           flush()
-      }
+        }
+        statsBuf.iterator
+      }.collect()
+    // sweep killed/failed attempts' partials so only committed shards
+    // remain (the writeWarcGz discipline)
+    val dirFs = new org.apache.hadoop.fs.Path(dirStr).getFileSystem(hconf)
+    dirFs.listStatus(new org.apache.hadoop.fs.Path(dirStr)).foreach { st =>
+      if (st.getPath.getName.endsWith(".inprogress"))
+        dirFs.delete(st.getPath, false)
     }
+    // GLOBAL contiguity: the written ranges must tile [min, max] with no
+    // hole — catches the boundary/head/tail losses the in-task check
+    // cannot see (ranges are per-shard, so this is metadata-rate)
+    val sorted = stats.sortBy(_.firstSeq)
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        if (a.firstSeq + a.nSeqs != b.firstSeq) sys.error(
+          s"sequence gap between shards ${a.shard} and ${b.shard}: " +
+            s"${a.firstSeq + a.nSeqs - 1} -> ${b.firstSeq} — a lost sequence would silently shift the corpus")
+      case _ => ()
+    }
+    sorted
   }
 
   /** Read a [[writeShards]] layout back as (seq_id, tokens array<int>) —

@@ -1177,9 +1177,13 @@ object Streams {
     val dt = withCarry
       .withColumn("n_tokens", size(col("tokens")).cast("long")).persist()
     try {
-      require(dt.filter(col("doc_id") < 0 && col("n_tokens") >= 0)
-        .count() <= (if (carry.isEmpty) 0 else 1),
+      // fail NAMED, separately: a negative batch id would collide with
+      // the carry's virtual -1 slot; a null tokens array would silently
+      // vanish from the manifest's weight filter (a dropped training doc)
+      require(dt.filter(col("doc_id") < 0).count() <= (if (carry.isEmpty) 0 else 1),
         "batch doc ids must be non-negative (id -1 is the carry's)")
+      require(dt.filter(col("tokens").isNull).count() == 0,
+        "null tokens array in the batch — the upstream encode must not emit null docs")
       val manifest = graft.ops.SequencePack.manifest(
         dt.select(col("doc_id"), col("n_tokens")), "doc_id", "n_tokens",
         seqLen.toLong, bucketSize, offset = offset0)
@@ -1190,13 +1194,11 @@ object Streams {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(batchDir), true) // replay overwrite
         fs.mkdirs(new org.apache.hadoop.fs.Path(batchDir))
+        // writeShardFiles sweeps .inprogress temps and validates global
+        // per-batch sequence contiguity itself
         graft.sources.TokenShards.writeShardFiles(
           graft.sources.TokenShards.fullSequences(seqs, seqLen),
           batchDir, seqLen, seqsPerShard)
-        fs.listStatus(new org.apache.hadoop.fs.Path(batchDir)).foreach { st =>
-          if (st.getPath.getName.endsWith(".inprogress"))
-            fs.delete(st.getPath, false)
-        }
         val newCarry: Seq[Int] = seqs.filter(size(col("tokens")) < seqLen)
           .select(col("tokens")).as[Seq[Int]].collect().toSeq match {
           case Seq() => Seq.empty
@@ -1207,8 +1209,10 @@ object Streams {
         graft.sources.Sinks.dynamicOverwrite(
           Seq((newCarry, batchId)).toDF("tokens", "batch_id"),
           s"$stateDir/carry", Seq("batch_id"))
-        val batchTotal = docs.agg(coalesce(sum(size(col("tokens"))
-          .cast("long")), lit(0L))).head.getLong(0)
+        // from the persisted frame, batch rows only — not a second
+        // evaluation of the micro-batch source
+        val batchTotal = dt.filter(col("doc_id") >= 0)
+          .agg(coalesce(sum(col("n_tokens")), lit(0L))).head.getLong(0)
         graft.sources.Sinks.dynamicOverwrite(
           spark.range(1).select(lit(batchTotal).as("total"),
             lit(batchId).as("batch_id")),

@@ -133,6 +133,19 @@ class TokenShardsSpec extends SparkSpec {
     val gap = intercept[Exception](TokenShards.writeShards(
       seqsOf(Seq(0L, 1L, 3L)), s"$dir/gap", seqLen = 4, seqsPerShard = 4))
     assert(gap.getMessage.contains("gap"), gap.getMessage)
+    // gap exactly ON a shard boundary: invisible to any single task
+    // (each shard is internally consecutive) — the global range check
+    // must catch it, and the failed write must not publish
+    val bgap = intercept[Exception](TokenShards.writeShards(
+      seqsOf(Seq(0L, 1L, 3L)), s"$dir/bgap", seqLen = 4, seqsPerShard = 2))
+    assert(bgap.getMessage.contains("gap between shards"), bgap.getMessage)
+    assert(!new java.io.File(s"$dir/bgap").exists(),
+      "a gap-failed write must not publish a shard set")
+    // head gap relative to nothing is fine (streaming starts mid-shard) —
+    // a sparse but internally contiguous range still writes
+    TokenShards.writeShards(seqsOf(Seq(5L, 6L, 7L)), s"$dir/mid",
+      seqLen = 4, seqsPerShard = 2)
+    assert(TokenShards.readShards(spark, s"$dir/mid").count() == 3)
     // wrong length
     val short = intercept[Exception](TokenShards.writeShards(
       Seq((0L, Seq(1, 2))).toDF("seq_id", "tokens"), s"$dir/short",
