@@ -798,6 +798,27 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q118: sequence-composition report (attention-boundary stats) ----
+    // The loader-side observability face of q113: how many documents
+    // share each training sequence (every boundary is an attention mask
+    // break — too many per sequence and the model trains on fragments;
+    // the metric that decides whether seqLen fits the corpus). Pure
+    // rollup of the manifest: (seq_id, n_docs, n_boundaries, longest and
+    // shortest span, full flag). Scan-shaped on top of q113's prefix sum.
+    "q118_pack_stats" -> { (s, d) =>
+      graft.ops.SequencePack.manifest(
+          Tables.documents(s, d)
+            .select(col("doc_id"), size(TF.tokens(col("text"))).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", seqLen = 256, bucketSize = 64)
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          (count(lit(1)) - 1).as("n_boundaries"),
+          max(col("len")).as("max_span"),
+          min(col("len")).as("min_span"),
+          (sum(col("len")) === 256L).as("full"))
+        .orderBy(col("seq_id"))
+    },
+
     // ---- q116: token shards — the pipeline's materialized end product ----
     // q92 encodes, q113 manifests; this WRITES the loader-ready binary
     // artifact (i22: fixed-width int32 sequences, mmap-addressable) and
@@ -1658,6 +1679,25 @@ object TextQueries {
            greatest(gs - seq_id * 256, 0)::BIGINT AS seq_offset,
            (least(ge, seq_id * 256 + 256) - greatest(gs, seq_id * 256))::BIGINT AS len
          FROM x ORDER BY seq_id, doc_id""",
+
+    // q118: the q113 manifest CTEs + a per-sequence rollup.
+    "q118_pack_stats" ->
+      s"""WITH t AS (SELECT doc_id, len($TOKS)::BIGINT AS w FROM documents),
+         c AS (SELECT doc_id, w,
+             coalesce(sum(w) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gs FROM t),
+         e AS (SELECT doc_id, gs::BIGINT AS gs, (gs + w)::BIGINT AS ge
+           FROM c WHERE w > 0),
+         x AS (SELECT doc_id, gs, ge,
+             unnest(range(gs // 256, (ge - 1) // 256 + 1)) AS seq_id FROM e),
+         m AS (SELECT seq_id,
+             (least(ge, seq_id * 256 + 256) - greatest(gs, seq_id * 256))::BIGINT AS len
+           FROM x)
+         SELECT seq_id, count(*)::BIGINT AS n_docs,
+           (count(*) - 1)::BIGINT AS n_boundaries,
+           max(len) AS max_span, min(len) AS min_span,
+           sum(len) = 256 AS "full"
+         FROM m GROUP BY seq_id ORDER BY seq_id""",
 
     // q115: q113's cumsum, but ordered by the seeded md5-prefix hash
     // (ties on doc_id) — the identical permutation both engines derive.

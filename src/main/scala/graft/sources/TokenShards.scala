@@ -271,7 +271,61 @@ object TokenShards {
             s"${a.firstSeq + a.nSeqs - 1} -> ${b.firstSeq} — a lost sequence would silently shift the corpus")
       case _ => ()
     }
+    // the set-level MANIFEST (`_SHARDS`): which shard files exist and
+    // what they hold — the reader validates against it, because a LOST
+    // FILE otherwise just shrinks the corpus silently (the same
+    // unfindable-downstream class as a sequence gap). Doubles as the
+    // dataset card a loader reads before mmapping.
+    if (sorted.nonEmpty) {
+      val body = new StringBuilder()
+      body.append("{\"format\":\"GRFTTOK1\",\"seq_len\":").append(seqLen)
+        .append(",\"n_shards\":").append(sorted.length)
+        .append(",\"n_seqs\":").append(sorted.map(_.nSeqs.toLong).sum)
+        .append(",\"first_seq\":").append(sorted.head.firstSeq)
+        .append(",\"last_seq\":").append(sorted.last.firstSeq + sorted.last.nSeqs - 1)
+        .append(",\"shards\":[")
+      body.append(sorted.map(st =>
+        "{\"shard\":" + st.shard + ",\"first_seq\":" + st.firstSeq +
+          ",\"n_seqs\":" + st.nSeqs + "}").mkString(","))
+      body.append("]}")
+      val mf = dirFs.create(new org.apache.hadoop.fs.Path(dirStr, ManifestName), true)
+      try mf.write(body.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally mf.close()
+    }
     sorted
+  }
+
+  /** Shard-set manifest file name (no `.tok` suffix — the glob skips it). */
+  val ManifestName = "_SHARDS"
+
+  /** Validate one shard directory against its `_SHARDS` manifest: every
+    * listed shard file must exist, and extra `.tok` files are equally
+    * fatal (they would inject sequences the writer never committed). A
+    * missing manifest passes UNLESS `requireManifest` — pre-manifest
+    * layouts stay readable.
+    */
+  def validateShardDir(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, requireManifest: Boolean = false): Unit = {
+    val mf = new org.apache.hadoop.fs.Path(dir, ManifestName)
+    if (!fs.exists(mf)) {
+      if (requireManifest) sys.error(s"token shards at $dir lack a $ManifestName manifest")
+      return
+    }
+    val text = {
+      val in = fs.open(mf)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val want = "\"shard\":(\\d+)".r.findAllMatchIn(text)
+      .map(m => f"shard-${m.group(1).toLong}%06d.tok").toSet
+    val got = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".tok")).toSet
+    if (got != want) sys.error(
+      s"token shards at $dir disagree with $ManifestName: " +
+        s"missing ${(want -- got).toSeq.sorted.mkString(",")}; " +
+        s"unexpected ${(got -- want).toSeq.sorted.mkString(",")} — " +
+        "a lost or injected shard file silently corrupts the corpus")
   }
 
   /** Read a [[writeShards]] layout back as (seq_id, tokens array<int>) —
@@ -279,9 +333,15 @@ object TokenShards {
     * exactly (q116's oracle-checked contract). Malformed files (bad
     * magic/version, body length disagreeing with the header) fail NAMED.
     */
-  def readShards(spark: SparkSession, path: String): DataFrame =
+  def readShards(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // completeness gate BEFORE the lazy parse: a lost shard file must
+    // fail named here, not shrink the corpus silently
+    if (fs.isDirectory(p)) validateShardDir(fs, p)
     parseShardFiles(spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.tok").load(path))
+  }
 
   /** Parse a `binaryFile`-shaped frame of shard files (s32 reads its
     * per-batch shard tree through this same format reader).

@@ -1226,7 +1226,13 @@ object Streams {
     * (recursive over the batch directories).
     */
   def readTokenShards(spark: SparkSession, stateDir: String): DataFrame = {
-    import spark.implicits._
+    // completeness gate per batch directory: a lost shard file must fail
+    // named, not silently shrink the training corpus
+    val root = new org.apache.hadoop.fs.Path(s"$stateDir/shards")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.isDirectory(root))
+      fs.listStatus(root).filter(_.isDirectory).foreach(d =>
+        graft.sources.TokenShards.validateShardDir(fs, d.getPath))
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.tok")
       .option("recursiveFileLookup", "true")

@@ -190,6 +190,59 @@ class TokenShardsSpec extends SparkSpec {
     assert(msg.contains("vocab"), msg)
   }
 
+  test("q115 ∘ i22: shards written under the SHUFFLED manifest round-trip " +
+      "and hold the same token multiset as id-order shards") {
+    val docs = fixture
+    val ids = TokenShards.tokenIdMap(TokenShards.vocab(docs, "text", merges))
+    val dt = TokenShards.docTokens(docs, "doc_id", "text", merges, ids)
+    val plainAsm = TokenShards.assemble(dt, graft.ops.SequencePack.manifest(
+        dt.select(col("doc_id"), col("n_tokens")), "doc_id", "n_tokens",
+        seqLen = 16, bucketSize = 4))
+      .as[(Long, Seq[Int])].collect().toMap
+    val shufAsm = TokenShards.assemble(dt, graft.ops.SequencePack.shuffled(
+        dt.select(col("doc_id"), col("n_tokens")), "doc_id", "n_tokens",
+        seqLen = 16, seed = "mix1"))
+      .as[(Long, Seq[Int])].collect().toMap
+    // the permutation moves every token, loses none: same multiset over
+    // the WHOLE assembly (the dropped tail differs, so compare pre-drop)
+    def bag(m: Map[Long, Seq[Int]]) =
+      m.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    assert(bag(shufAsm) == bag(plainAsm), "shuffle must not lose or invent tokens")
+    assert(shufAsm.count(_._2.length == 16) == plainAsm.count(_._2.length == 16))
+    assert(shufAsm != plainAsm, "the shuffled layout must differ from id order")
+    // and the shuffled layout writes + reads back exactly like id order
+    val dir = tmp("tokshuf") + "/s"
+    val full = shufAsm.filter(_._2.length == 16)
+    TokenShards.writeShards(full.toSeq.toDF("seq_id", "tokens"),
+      dir, seqLen = 16, seqsPerShard = 4)
+    val back = TokenShards.readShards(spark, dir)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(back == full, "shuffled shards must round-trip byte-exactly")
+  }
+
+  test("_SHARDS manifest: a lost or injected shard file fails the read NAMED " +
+      "instead of silently shrinking the corpus") {
+    val dir = tmp("tokmanifest") + "/s"
+    val seqs = (0L to 7L).map(i => (i, Seq.fill(4)(i.toInt))).toDF("seq_id", "tokens")
+    TokenShards.writeShards(seqs, dir, seqLen = 4, seqsPerShard = 2)
+    val d = new java.io.File(dir)
+    assert(new java.io.File(d, "_SHARDS").isFile, "writer must land the manifest")
+    val before = TokenShards.readShards(spark, dir).count()
+    assert(before == 8)
+    // lose one shard file (and its crc sidecar): the read must fail named
+    val victim = d.listFiles().filter(_.getName.endsWith(".tok")).sortBy(_.getName).apply(1)
+    val bytes = Files.readAllBytes(victim.toPath)
+    victim.delete()
+    d.listFiles().filter(_.getName == s".${victim.getName}.crc").foreach(_.delete())
+    val lost = intercept[RuntimeException](TokenShards.readShards(spark, dir))
+    assert(lost.getMessage.contains("missing shard-"), lost.getMessage)
+    // an injected file the writer never committed is equally fatal
+    Files.write(victim.toPath, bytes)
+    Files.write(new java.io.File(d, "shard-000099.tok").toPath, bytes)
+    val extra = intercept[RuntimeException](TokenShards.readShards(spark, dir))
+    assert(extra.getMessage.contains("unexpected shard-000099"), extra.getMessage)
+  }
+
   test("tokenIdMap caps the driver collect NAMED") {
     val v = TokenShards.vocab(fixture, "text", merges)
     val e = intercept[IllegalArgumentException](TokenShards.tokenIdMap(v, maxVocab = 3))
