@@ -1121,6 +1121,66 @@ object Streams {
     spark.read.parquet(s"$stateDir/manifest").drop("batch_id")
 
   // --------------------------------------------------------------------
+  // s33: streaming revisit gate (r17) — the archive's own dedup signal
+  // applied LIVE: each micro-batch of parsed WARC records logs its
+  // revisit edges and its response captures; the gated read anti-joins
+  // the accumulated edges, so declared re-fetches leave the corpus no
+  // matter which batch the declaration arrived in.
+  // --------------------------------------------------------------------
+
+  /** foreachBatch revisit logger over [[graft.sources.Warc.stream]]'s
+    * unified frame (or a batch records frame — the in-band `reason`
+    * column is filtered when present): batch N lands its
+    * [[graft.sources.Warc.revisitEdges]] under `edges/batch_id=N` and
+    * its `response` captures under `docs/batch_id=N` (both
+    * replay-idempotent partition overwrites). The GATE runs at READ time
+    * ([[readRevisitGated]]), deliberately: a revisit record can arrive
+    * batches after the capture it declares a duplicate (archives
+    * interleave), and a gate-at-arrival would miss every such late
+    * declaration — the read-side anti-join is arrival-order-proof.
+    * Edge state is revisit-rate (a fraction of captures), docs are the
+    * corpus itself.
+    */
+  def revisitLogSink(spark: SparkSession, stateDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return // empty-batch discipline: write nothing
+    val recs =
+      if (batch.columns.contains("reason")) batch.filter(col("reason").isNull)
+      else batch
+    recs.persist()
+    try {
+      // a batch with no revisits (the common case) writes no edges
+      // partition — an all-empty parquet tree would be uninferable
+      val edges = graft.sources.Warc.revisitEdges(recs)
+      if (!edges.isEmpty)
+        graft.sources.Sinks.dynamicOverwrite(
+          edges.withColumn("batch_id", lit(batchId)),
+          s"$stateDir/edges", Seq("batch_id"))
+      val docs = recs.filter(col("warc_type") === "response")
+        .select(col("url"), col("fetch_ts"), col("content_type"),
+          col("payload"), col("warc_file"), col("rec_offset"))
+      if (!docs.isEmpty)
+        graft.sources.Sinks.dynamicOverwrite(
+          docs.withColumn("batch_id", lit(batchId)),
+          s"$stateDir/docs", Seq("batch_id"))
+    } finally { recs.unpersist(); () }
+  }
+
+  /** The accumulated captures minus every ARCHIVE-DECLARED duplicate
+    * ([[graft.sources.Warc.dropDeclaredDuplicates]] over the full edge
+    * log) — equals the batch composition over the ordered union
+    * regardless of which batch each declaration arrived in.
+    */
+  def readRevisitGated(spark: SparkSession, stateDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$stateDir/docs").drop("batch_id")
+    graft.sources.Sources.parquetIfExists(spark, s"$stateDir/edges") match {
+      case None => docs
+      case Some(e) =>
+        graft.sources.Warc.dropDeclaredDuplicates(docs, e.drop("batch_id"))
+    }
+  }
+
+  // --------------------------------------------------------------------
   // s32: streaming token-shard materialization (r17) — i22's writer at
   // intake: each micro-batch's COMPLETE sequences land as loader-ready
   // binary shard files; the open partial sequence carries across batches.

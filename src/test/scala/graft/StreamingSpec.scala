@@ -481,6 +481,62 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == batch.length)
   }
 
+  test("revisitLogSink: late-arriving revisit declarations still gate earlier " +
+      "captures; equals the batch composition; replay idempotent (s33)") {
+    val dir = Files.createTempDirectory("revisitgate").toFile.getAbsolutePath
+    val state = s"$dir/state"
+    def rec(headers: Seq[(String, String)], body: String): String = {
+      val b = body.getBytes("UTF-8")
+      "WARC/1.0\r\n" +
+        headers.map { case (k, v) => s"$k: $v\r\n" }.mkString +
+        s"Content-Length: ${b.length}\r\n\r\n" + body + "\r\n\r\n"
+    }
+    def resp(url: String, ts: String, body: String) =
+      rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> url,
+        "WARC-Date" -> ts, "Content-Type" -> "text/plain"), body)
+    def revisit(url: String, ts: String) =
+      rec(Seq("WARC-Type" -> "revisit", "WARC-Target-URI" -> url,
+        "WARC-Date" -> ts, "WARC-Payload-Digest" -> "sha1:D1",
+        "WARC-Refers-To-Target-URI" -> url,
+        "Content-Type" -> "message/http"), "")
+    def parse(warc: String, tag: String) = {
+      val f = s"$dir/$tag.warc"
+      java.nio.file.Files.write(java.nio.file.Paths.get(f), warc.getBytes("UTF-8"))
+      graft.sources.Warc.read(spark, f)._1
+    }
+    // batch 0: the original AND a re-fetch capture of /p, plus /q
+    val b0 = parse(
+      resp("https://a.example/p", "2024-01-01T00:00:00Z", "original") +
+      resp("https://a.example/p", "2024-02-01T00:00:00Z", "refetch copy") +
+      resp("https://b.example/q", "2024-01-05T00:00:00Z", "other"), "b0")
+    // batch 1: the revisit record declaring batch 0's Feb 1 capture a dup
+    val b1 = parse(revisit("https://a.example/p", "2024-02-01T00:00:00Z") +
+      resp("https://c.example/r", "2024-02-02T00:00:00Z", "new page"), "b1")
+    val sink = Streams.revisitLogSink(spark, state) _
+    sink(b0, 0L)
+    assert(Streams.readRevisitGated(spark, state).count() == 3,
+      "no declarations yet - all captures stand")
+    sink(b1, 1L)
+    sink(b1, 1L) // replay after a simulated post-write failure
+    val gated = Streams.readRevisitGated(spark, state)
+      .select(col("url"), col("fetch_ts").cast("string"))
+      .as[(String, String)].collect().toSet
+    // the LATE declaration removed batch 0's Feb 1 capture; the Jan 1
+    // original and everything else stand
+    assert(gated == Set(
+      ("https://a.example/p", "2024-01-01 00:00:00"),
+      ("https://b.example/q", "2024-01-05 00:00:00"),
+      ("https://c.example/r", "2024-02-02 00:00:00")), gated.toString)
+    // equals the batch composition over the union
+    val union = b0.unionByName(b1)
+    val batchGated = graft.sources.Warc.dropDeclaredDuplicates(
+        union.filter(col("warc_type") === "response"),
+        graft.sources.Warc.revisitEdges(union))
+      .select(col("url"), col("fetch_ts").cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(gated == batchGated)
+  }
+
   test("tokenShardSink: complete sequences land as loader shards, the open " +
       "sequence carries across batches, accumulated == batch i22, replay (s32)") {
     val dir = Files.createTempDirectory("tokshardsink").toFile.getAbsolutePath
