@@ -798,6 +798,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q119: curation funnel (per-stage survivor report) ----
+    // The observability face of the whole B-block curation chain — the
+    // report a production pipeline lands per corpus snapshot: docs and
+    // tokens surviving raw → gopher rules → exact-dedup keepers →
+    // decontamination → quality floor, each stage the already-shipped
+    // operator (q89/q19/q69/q24 semantics) applied in the q65 production
+    // order. The oracle chains the same four stage definitions their own
+    // oracles use.
+    "q119_curation_funnel" -> { (s, d) =>
+      graft.text.Curate.funnel(Tables.documents(s, d), "doc_id", "text",
+          col("source") === "src0")
+        .orderBy(col("stage_id"))
+    },
+
     // ---- q118: sequence-composition report (attention-boundary stats) ----
     // The loader-side observability face of q113: how many documents
     // share each training sequence (every boundary is an attention mask
@@ -1679,6 +1693,56 @@ object TextQueries {
            greatest(gs - seq_id * 256, 0)::BIGINT AS seq_offset,
            (least(ge, seq_id * 256 + 256) - greatest(gs, seq_id * 256))::BIGINT AS len
          FROM x ORDER BY seq_id, doc_id""",
+
+    // q119: the q89/q19/q69/q84 stage spellings chained in the funnel
+    // order; every stage filters the previous one's survivor set.
+    "q119_curation_funnel" ->
+      s"""WITH tk AS (SELECT doc_id, source, text, $TOKS AS toks,
+             string_split(text, chr(10)) AS lines FROM documents),
+         base AS (SELECT * FROM tk WHERE source <> 'src0'),
+         m AS (SELECT doc_id,
+             len(toks) AS n,
+             len(lines) AS n_lines,
+             coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS sum_len,
+             len(text) - len(replace(text, '#', '')) AS n_hash,
+             len(regexp_extract_all(text, '\\.\\.\\.')) AS n_dots,
+             len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+               OR starts_with(ltrim(l), '*'))) AS n_bullet,
+             len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS n_ellipsis,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+             len(list_filter(toks, t -> list_contains(
+               ['the','be','to','of','and','that','have','with'], t))) AS n_stops
+           FROM base),
+         gop AS (SELECT doc_id FROM m
+           WHERE (n >= 50 AND n <= 100000) AND (sum_len >= n * 3 AND sum_len <= n * 10)
+             AND ((n_hash + n_dots) * 10 <= n) AND (n_bullet * 10 <= n_lines * 9)
+             AND (n_ellipsis * 10 <= n_lines * 3) AND (n_alpha * 5 >= n * 4)
+             AND (n_stops >= 2)),
+         s1 AS (SELECT base.* FROM base JOIN gop USING (doc_id)),
+         kp AS (SELECT min(doc_id) AS doc_id FROM (
+             SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+             FROM s1) GROUP BY fp),
+         s2 AS (SELECT s1.* FROM s1 JOIN kp USING (doc_id)),
+         g AS (SELECT doc_id, source, unnest(CASE WHEN len(toks) >= 8
+             THEN [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks) - 6)]
+             ELSE [] END) AS gram FROM tk),
+         ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+         cont AS (SELECT DISTINCT doc_id FROM g JOIN ev USING (gram)
+           WHERE source <> 'src0'),
+         s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         s4 AS (SELECT * FROM s3 WHERE CAST(floor((least(1.0, len(toks) / 100.0) * 0.5
+             + (len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / len(text)) * 0.3
+             + (1.0 - len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / len(text)) * 0.2)
+             * 10000 + 0.5) AS BIGINT) >= 5000)
+         SELECT * FROM (
+           SELECT 0::BIGINT AS stage_id, 'raw' AS stage,
+             count(*)::BIGINT AS n_docs, coalesce(sum(len(toks)), 0)::BIGINT AS n_tokens FROM base
+           UNION ALL SELECT 1, 'gopher_rules', count(*)::BIGINT, coalesce(sum(len(toks)), 0)::BIGINT FROM s1
+           UNION ALL SELECT 2, 'exact_dedup', count(*)::BIGINT, coalesce(sum(len(toks)), 0)::BIGINT FROM s2
+           UNION ALL SELECT 3, 'decontaminated', count(*)::BIGINT, coalesce(sum(len(toks)), 0)::BIGINT FROM s3
+           UNION ALL SELECT 4, 'quality_floor', count(*)::BIGINT, coalesce(sum(len(toks)), 0)::BIGINT FROM s4
+         ) ORDER BY stage_id""",
 
     // q118: the q113 manifest CTEs + a per-sequence rollup.
     "q118_pack_stats" ->

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the pipeline the dedup family feeds
@@ -123,5 +123,49 @@ object Curate {
       .filter(col("label").isNull || col(id) === col("_kept"))
       .filter(col("_th") >= minQuality)
       .select(col(id), (col("_th") / 10000d).as("quality_score"))
+  }
+
+  /** Per-stage curation FUNNEL report (q119): the observability face a
+    * production corpus pipeline monitors per snapshot — how many
+    * documents (and tokens) survive each curation stage, in the q65
+    * production order's cheap-to-expensive sequence:
+    * raw (eval sources excluded) → gopher rule gate → exact-dedup keeper
+    * election (min id per normalized fingerprint, WITHIN rule survivors
+    * — a doomed winner must not eliminate its group) → decontamination
+    * (any `n`-gram shared with the `evalPred` set drops the doc) →
+    * the quality floor. One (stage_id, stage, n_docs, n_tokens) row per
+    * stage; attrition between rows IS the report.
+    *
+    * Scale shape: every stage is a filter or an equi semi/anti-join off
+    * the previous one (rule verdicts scan-shaped, keeper election one
+    * fingerprint groupBy, decontamination the q69 broadcast gram probe);
+    * the five stat rows are metadata-rate aggregates.
+    */
+  def funnel(docs: DataFrame, id: String, text: String,
+      evalPred: Column, n: Int = 8, minQuality: Int = 5000): DataFrame = {
+    val base = docs.filter(!evalPred)
+    val gop = Gopher.verdicts(base, id, text)
+      .filter(col("keep")).select(col(id))
+    val s1 = base.join(gop, Seq(id), "left_semi")
+    val keepers = s1
+      .withColumn("_fp", md5(TextFunctions.normalizeText(col(text))))
+      .groupBy(col("_fp")).agg(min(col(id)).as(id))
+      .select(col(id))
+    val s2 = s1.join(keepers, Seq(id), "left_semi")
+    val contaminated = Decontaminate.hits(docs, id, text, evalPred, n)
+      .select(col(id))
+    val s3 = s2.join(contaminated, Seq(id), "left_anti")
+    val s4 = s3.filter(TextFunctions.qualityGrid(col(text)) >= minQuality)
+    def stat(sid: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(TextFunctions.tokens(col(text)))), lit(0L))
+            .as("n_tokens"))
+        .select(lit(sid).as("stage_id"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    stat(0, "raw", base)
+      .unionByName(stat(1, "gopher_rules", s1))
+      .unionByName(stat(2, "exact_dedup", s2))
+      .unionByName(stat(3, "decontaminated", s3))
+      .unionByName(stat(4, "quality_floor", s4))
   }
 }
