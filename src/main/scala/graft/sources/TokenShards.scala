@@ -298,17 +298,30 @@ object TokenShards {
   /** Shard-set manifest file name (no `.tok` suffix — the glob skips it). */
   val ManifestName = "_SHARDS"
 
-  /** Validate one shard directory against its `_SHARDS` manifest: every
-    * listed shard file must exist, and extra `.tok` files are equally
-    * fatal (they would inject sequences the writer never committed). A
-    * missing manifest passes UNLESS `requireManifest` — pre-manifest
-    * layouts stay readable.
+  /** Validate one shard directory against its `_SHARDS` manifest:
+    *  - `.tok` files present WITHOUT a manifest fail (the sink's crash
+    *    window between shard writes and the manifest write must not be
+    *    served as a silently-partial batch; a dir with neither is a
+    *    legitimately empty batch and passes);
+    *  - every listed shard file must exist, extra `.tok` files are
+    *    equally fatal (they would inject sequences the writer never
+    *    committed);
+    *  - each file's LENGTH and 32-byte HEADER (seq_len, first_seq,
+    *    n_seqs) must match its manifest entry — a same-named stale file
+    *    from an older snapshot parses as internally consistent, so the
+    *    name check alone would still let the corpus silently shift.
+    * Cost: one list + one short header read per shard file, driver-side
+    * metadata-rate.
     */
   def validateShardDir(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path, requireManifest: Boolean = false): Unit = {
+      dir: org.apache.hadoop.fs.Path): Unit = {
     val mf = new org.apache.hadoop.fs.Path(dir, ManifestName)
+    val files = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".tok"))
     if (!fs.exists(mf)) {
-      if (requireManifest) sys.error(s"token shards at $dir lack a $ManifestName manifest")
+      if (files.nonEmpty) sys.error(
+        s"token shards at $dir lack a $ManifestName manifest — an " +
+          "interrupted write (or a lost manifest) must not be served as a " +
+          "silently-partial corpus")
       return
     }
     val text = {
@@ -317,15 +330,40 @@ object TokenShards {
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     }
-    val want = "\"shard\":(\\d+)".r.findAllMatchIn(text)
-      .map(m => f"shard-${m.group(1).toLong}%06d.tok").toSet
-    val got = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.endsWith(".tok")).toSet
-    if (got != want) sys.error(
+    val seqLen = "\"seq_len\":(\\d+)".r.findFirstMatchIn(text)
+      .map(_.group(1).toInt)
+      .getOrElse(sys.error(s"$ManifestName at $dir lacks seq_len"))
+    val entryRe =
+      "\\{\"shard\":(\\d+),\"first_seq\":(\\d+),\"n_seqs\":(\\d+)\\}".r
+    val want = entryRe.findAllMatchIn(text)
+      .map(m => f"shard-${m.group(1).toLong}%06d.tok" ->
+        (m.group(2).toLong, m.group(3).toInt)).toMap
+    val got = files.map(st => st.getPath.getName -> st).toMap
+    if (got.keySet != want.keySet) sys.error(
       s"token shards at $dir disagree with $ManifestName: " +
-        s"missing ${(want -- got).toSeq.sorted.mkString(",")}; " +
-        s"unexpected ${(got -- want).toSeq.sorted.mkString(",")} — " +
+        s"missing ${(want.keySet -- got.keySet).toSeq.sorted.mkString(",")}; " +
+        s"unexpected ${(got.keySet -- want.keySet).toSeq.sorted.mkString(",")} — " +
         "a lost or injected shard file silently corrupts the corpus")
+    want.foreach { case (name, (firstSeq, nSeqs)) =>
+      val st = got(name)
+      val wantLen = HeaderLen + nSeqs.toLong * seqLen * 4
+      if (st.getLen != wantLen) sys.error(
+        s"token shard $dir/$name is ${st.getLen} bytes, manifest says $wantLen — " +
+          "a stale or truncated shard file silently shifts the corpus")
+      val hdr = new Array[Byte](HeaderLen)
+      val in = fs.open(st.getPath)
+      try in.readFully(0L, hdr) finally in.close()
+      val bb = java.nio.ByteBuffer.wrap(hdr).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.position(12)
+      val hSeqLen = bb.getInt
+      val hFirst = bb.getLong
+      val hN = bb.getInt
+      if (hSeqLen != seqLen || hFirst != firstSeq || hN != nSeqs) sys.error(
+        s"token shard $dir/$name header (seq_len=$hSeqLen, first_seq=$hFirst, " +
+          s"n_seqs=$hN) disagrees with $ManifestName (seq_len=$seqLen, " +
+          s"first_seq=$firstSeq, n_seqs=$nSeqs) — a same-named stale shard " +
+          "file silently shifts the corpus")
+    }
   }
 
   /** Read a [[writeShards]] layout back as (seq_id, tokens array<int>) —

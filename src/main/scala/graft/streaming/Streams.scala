@@ -1172,7 +1172,21 @@ object Streams {
     * regardless of which batch each declaration arrived in.
     */
   def readRevisitGated(spark: SparkSession, stateDir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$stateDir/docs").drop("batch_id")
+    // BOTH logs can legitimately not exist yet: a stream whose first
+    // batches carry only revisit/metadata records writes edges but no
+    // docs (archives interleave) — the read must return empty, not crash
+    val docs = graft.sources.Sources.parquetIfExists(spark, s"$stateDir/docs")
+      .map(_.drop("batch_id"))
+      .getOrElse {
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("url", StringType),
+            StructField("fetch_ts", TimestampType),
+            StructField("content_type", StringType),
+            StructField("payload", BinaryType),
+            StructField("warc_file", StringType),
+            StructField("rec_offset", LongType))))
+      }
     graft.sources.Sources.parquetIfExists(spark, s"$stateDir/edges") match {
       case None => docs
       case Some(e) =>

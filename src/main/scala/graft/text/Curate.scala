@@ -143,29 +143,49 @@ object Curate {
     */
   def funnel(docs: DataFrame, id: String, text: String,
       evalPred: Column, n: Int = 8, minQuality: Int = 5000): DataFrame = {
+    val spark = docs.sparkSession
     val base = docs.filter(!evalPred)
-    val gop = Gopher.verdicts(base, id, text)
-      .filter(col("keep")).select(col(id))
-    val s1 = base.join(gop, Seq(id), "left_semi")
-    val keepers = s1
-      .withColumn("_fp", md5(TextFunctions.normalizeText(col(text))))
-      .groupBy(col("_fp")).agg(min(col(id)).as(id))
-      .select(col(id))
-    val s2 = s1.join(keepers, Seq(id), "left_semi")
-    val contaminated = Decontaminate.hits(docs, id, text, evalPred, n)
-      .select(col(id))
-    val s3 = s2.join(contaminated, Seq(id), "left_anti")
-    val s4 = s3.filter(TextFunctions.qualityGrid(col(text)) >= minQuality)
-    def stat(sid: Int, name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(size(TextFunctions.tokens(col(text)))), lit(0L))
-            .as("n_tokens"))
-        .select(lit(sid).as("stage_id"), lit(name).as("stage"),
-          col("n_docs"), col("n_tokens"))
-    stat(0, "raw", base)
-      .unionByName(stat(1, "gopher_rules", s1))
-      .unionByName(stat(2, "exact_dedup", s2))
-      .unionByName(stat(3, "decontaminated", s3))
-      .unionByName(stat(4, "quality_floor", s4))
+    // ONE corpus pass builds an id-thin per-doc flag frame (token count,
+    // quality grid, fingerprint, rule verdict, contamination flag); a
+    // naive per-stage union re-ran the scan+tokenize work once per stat
+    // row. The flag frame persists across the keeper-election self-join
+    // and the single final aggregate, then releases.
+    val flags = base.select(col(id),
+        size(TextFunctions.tokens(col(text))).cast("long").as("_n"),
+        TextFunctions.qualityGrid(col(text)).as("_th"),
+        md5(TextFunctions.normalizeText(col(text))).as("_fp"))
+      .join(Gopher.verdicts(base, id, text).select(col(id), col("keep").as("_g")),
+        Seq(id), "left")
+      .join(Decontaminate.hits(docs, id, text, evalPred, n)
+        .select(col(id)).withColumn("_c", lit(true)), Seq(id), "left")
+      .persist()
+    try {
+      // keeper election among rule survivors (the q65 doomed-winner
+      // discipline: electing over raw docs could crown a rule-failed id)
+      val keepers = flags.filter(col("_g"))
+        .groupBy(col("_fp")).agg(min(col(id)).as(id))
+        .select(col(id)).withColumn("_k", lit(true))
+      // furthest surviving stage per doc, then ONE cumulative rollup
+      val lvl = flags.join(keepers, Seq(id), "left")
+        .withColumn("_lvl",
+          when(!coalesce(col("_g"), lit(false)), 0)
+            .when(col("_k").isNull, 1)
+            .when(col("_c").isNotNull, 2)
+            .when(col("_th") < minQuality, 3)
+            .otherwise(4))
+      val aggs = (0 to 4).flatMap { k =>
+        Seq(sum(when(col("_lvl") >= k, 1L).otherwise(0L)).as(s"_d$k"),
+          sum(when(col("_lvl") >= k, col("_n")).otherwise(0L)).as(s"_t$k"))
+      }
+      val r = lvl.agg(aggs.head, aggs.tail: _*).head()
+      val names = Seq("raw", "gopher_rules", "exact_dedup",
+        "decontaminated", "quality_floor")
+      import spark.implicits._
+      names.zipWithIndex.map { case (name, k) =>
+        (k.toLong, name,
+          Option(r.getAs[java.lang.Long](s"_d$k")).map(_.longValue).getOrElse(0L),
+          Option(r.getAs[java.lang.Long](s"_t$k")).map(_.longValue).getOrElse(0L))
+      }.toDF("stage_id", "stage", "n_docs", "n_tokens")
+    } finally { flags.unpersist(); () }
   }
 }

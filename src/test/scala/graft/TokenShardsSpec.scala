@@ -241,6 +241,22 @@ class TokenShardsSpec extends SparkSpec {
     Files.write(new java.io.File(d, "shard-000099.tok").toPath, bytes)
     val extra = intercept[RuntimeException](TokenShards.readShards(spark, dir))
     assert(extra.getMessage.contains("unexpected shard-000099"), extra.getMessage)
+    new java.io.File(d, "shard-000099.tok").delete()
+    // a SAME-NAMED stale shard (right name, wrong range) is caught by the
+    // header/length cross-check — internal consistency is not enough
+    val other = d.listFiles().filter(_.getName.endsWith(".tok")).sortBy(_.getName)
+    val stale = Files.readAllBytes(other.head.toPath) // shard-000000's bytes
+    Files.write(victim.toPath, stale)                 // masquerade as shard-000001
+    d.listFiles().filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val swap = intercept[RuntimeException](TokenShards.readShards(spark, dir))
+    assert(swap.getMessage.contains("disagrees with _SHARDS"), swap.getMessage)
+    Files.write(victim.toPath, bytes)
+    // .tok files WITHOUT a manifest = an interrupted write — must fail,
+    // not serve a silently-partial corpus (an empty dir passes)
+    new java.io.File(d, "_SHARDS").delete()
+    d.listFiles().filter(_.getName == "._SHARDS.crc").foreach(_.delete())
+    val nomf = intercept[RuntimeException](TokenShards.readShards(spark, dir))
+    assert(nomf.getMessage.contains("lack a _SHARDS"), nomf.getMessage)
   }
 
   test("tokenIdMap caps the driver collect NAMED") {
