@@ -172,7 +172,9 @@ class TokenShardsSpec extends SparkSpec {
       TokenShards.readShards(spark, s"$dir/ok").collect())
     val msg = Option(trunc.getMessage).getOrElse("") +
       Option(trunc.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
-    assert(msg.contains("body length"), msg)
+    // the manifest length cross-check catches truncation BEFORE the
+    // parser would ("body length" remains the manifest-less backstop)
+    assert(msg.contains("manifest says") || msg.contains("body length"), msg)
   }
 
   test("docTokens fails NAMED when the vocab does not cover the corpus") {
