@@ -207,6 +207,47 @@ object SqlOps {
        |FROM _x""".stripMargin
   }
 
+  /** SQL twin of q115's deterministic corpus shuffle
+    * ([[graft.ops.SequencePack.shuffled]]): the identical manifest
+    * arithmetic as [[sequencePackSql]], but the cumsum orders by
+    * `graft_hash60(seed ‖ '|' ‖ id)` with ties on the id — the seeded,
+    * replayable permutation. The window is the DEFINITIONAL spelling;
+    * the Column face runs the distributed hash-space prefix sum
+    * (row-equal, spec-pinned).
+    */
+  def corpusShuffleSql(table: String, idCol: String, weightCol: String,
+      seqLen: Long, seed: String): String = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val (id, wc) = (bt(idCol), bt(weightCol))
+    val h = s"graft_hash60(concat_ws('|', ${lit(seed)}, CAST($id AS STRING)))"
+    s"""WITH _c AS (SELECT $id, $wc,
+       |    coalesce(sum($wc) OVER (ORDER BY $h, $id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS _gs
+       |  FROM $table),
+       |_e AS (SELECT $id, _gs, _gs + $wc AS _ge FROM _c WHERE $wc > 0),
+       |_x AS (SELECT $id, _gs, _ge,
+       |    explode(sequence(_gs div ${seqLen}L, (_ge - 1L) div ${seqLen}L)) AS seq_id
+       |  FROM _e)
+       |SELECT seq_id, $id,
+       |  greatest(seq_id * ${seqLen}L - _gs, 0L) AS doc_offset,
+       |  greatest(_gs - seq_id * ${seqLen}L, 0L) AS seq_offset,
+       |  least(_ge, seq_id * ${seqLen}L + ${seqLen}L)
+       |    - greatest(_gs, seq_id * ${seqLen}L) AS len
+       |FROM _x""".stripMargin
+  }
+
+  /** SQL twin of q118's sequence-composition report: the
+    * [[sequencePackSql]] manifest + the per-sequence rollup (docs,
+    * boundaries, span extremes, full flag).
+    */
+  def packStatsSql(table: String, idCol: String, weightCol: String,
+      seqLen: Long): String =
+    s"""WITH _m AS (${sequencePackSql(table, idCol, weightCol, seqLen)})
+       |SELECT seq_id, count(*) AS n_docs, count(*) - 1L AS n_boundaries,
+       |  max(len) AS max_span, min(len) AS min_span,
+       |  sum(len) = ${seqLen}L AS full
+       |FROM _m GROUP BY seq_id""".stripMargin
+
   /** SQL twin of q82's line-level exact dedup
     * ([[graft.text.LineDedup.dedupRollup]]): delimiter-split lines,
     * corpus-wide first-occurrence-wins over line hashes (per-hash

@@ -335,6 +335,36 @@ class SqlSurfaceSpec extends SparkSpec {
     assertSame(viaSql, viaCol, "sequence pack", samePlan = false)
   }
 
+  test("SqlOps.corpusShuffleSql == SequencePack.shuffled (rows; same seeded " +
+      "hash, definitional window vs distributed hash-space prefix sum)") {
+    registered
+    spark.sql("SELECT doc_id, graft_token_count(text) AS n_tokens FROM documents")
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+      .createOrReplaceTempView("shuf_in")
+    val viaSql = spark.sql(SqlOps.corpusShuffleSql(
+      "shuf_in", "doc_id", "n_tokens", 256L, "graft-r17"))
+    val viaCol = graft.ops.SequencePack.shuffled(
+        spark.table("shuf_in"), "doc_id", "n_tokens",
+        seqLen = 256, seed = "graft-r17")
+      .select("seq_id", "doc_id", "doc_offset", "seq_offset", "len")
+    assertSame(viaSql, viaCol, "corpus shuffle", samePlan = false)
+  }
+
+  test("SqlOps.packStatsSql == the q118 rollup (rows)") {
+    registered
+    spark.sql("SELECT doc_id, graft_token_count(text) AS n_tokens FROM documents")
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+      .createOrReplaceTempView("ps_in")
+    val viaSql = spark.sql(SqlOps.packStatsSql("ps_in", "doc_id", "n_tokens", 256L))
+    val viaCol = graft.ops.SequencePack.manifest(
+        spark.table("ps_in"), "doc_id", "n_tokens", seqLen = 256, bucketSize = 64)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), (count(lit(1)) - 1).as("n_boundaries"),
+        max(col("len")).as("max_span"), min(col("len")).as("min_span"),
+        (sum(col("len")) === 256L).as("full"))
+    assertSame(viaSql, viaCol, "pack stats", samePlan = false)
+  }
+
   test("SqlOps.lineDedupSql == LineDedup.dedupRollup (rows)") {
     registered
     val viaSql = spark.sql(SqlOps.lineDedupSql("documents", "doc_id", "text", " the "))
