@@ -81,7 +81,7 @@ object ScaleBench {
     "x109_colloc_work", "x110_pca_work", "x111_audio_work",
     "x112_unigram_encode_work", "x113_sequence_pack_work",
     "x48_frames_work", "x115_shuffle_pack_work", "x116_token_shards_work",
-    "x117_frontier_budget_work")
+    "x117_frontier_budget_work", "x120_eos_pack_work")
 
   /** Default key stride between copies: far above any sf0.1 key range, so
     * strided ids never collide across copies. A SECOND derivation (e.g.
@@ -380,6 +380,14 @@ object ScaleBench {
     "x117_frontier_budget_work" -> { (s, d) =>
       SparkEntry.queries("q117_frontier_budget")(s, d)
         .agg(sum(col("n_citations")).as("t"), count(lit(1)).as("n"))
+    },
+    // q120: x116's assembly cost with the per-doc EOS append, minus the
+    // disk round-trip — isolates the separator's (negligible) overhead
+    // and the assembly's own exponent.
+    "x120_eos_pack_work" -> { (s, d) =>
+      SparkEntry.queries("q120_eos_pack")(s, d)
+        .agg(sum(col("token_sum")).as("t"), sum(col("n_eos")).as("e"),
+          count(lit(1)).as("n"))
     })
 
   def main(args: Array[String]): Unit = {

@@ -868,6 +868,57 @@ object TextQueries {
         .orderBy(col("seq_id"))
     },
 
+    // ---- q120: EOS document separators in the pack ----
+    // q113/q116 concat documents back-to-back with NOTHING between them;
+    // every production loader appends an EOS token per document first
+    // (the GPT convention — the model needs an explicit boundary to learn
+    // to stop). eos = the first id past the dense vocab (the
+    // special-tokens-after-base-vocab layout). Output per full sequence:
+    // how many boundaries it carries (n_eos — the attention-reset count)
+    // + the exact assembled stream (sum + fp). Same scan shape as q116
+    // minus the disk round-trip (the writer is q116-gated already); the
+    // ONE encode pass is shared with q116 via the registry cache.
+    "q120_eos_pack" -> { (s, d) =>
+      val TS = graft.sources.TokenShards
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.Bpe.FixedMerges
+      val subs = graft.Graft.registerCache(
+        TS.docSubwords(docs, "doc_id", "text", merges))
+      val ids = TS.tokenIdMap(TS.vocabOf(subs))
+      val eos = ids.size
+      val dt = TS.withEos(TS.docTokensOf(subs, "doc_id", ids), eos)
+      val manifest = graft.ops.SequencePack.manifest(
+        dt.select(col("doc_id"), col("n_tokens")), "doc_id", "n_tokens",
+        seqLen = 128, bucketSize = 64)
+      TS.fullSequences(TS.assemble(dt, manifest), 128)
+        .select(col("seq_id"),
+          size(filter(col("tokens"), t => t === eos)).cast("long").as("n_eos"),
+          aggregate(col("tokens"), lit(0L), (a, x) => a + x).as("token_sum"),
+          md5(array_join(transform(col("tokens"), t => t.cast("string")), " "))
+            .as("token_fp"))
+        .orderBy(col("seq_id"))
+    },
+
+    // ---- q121: the loader's epoch plan ----
+    // Between epochs a production loader re-shuffles sequence order
+    // (replaying one order overfits its adjacency). This precomputes each
+    // epoch's seeded permutation of the FULL sequences with their
+    // physical shard addresses (i22's format arithmetic, u2 width) — a
+    // bit-replayable mmap seek plan, zero runtime RNG. Sequence-rate per
+    // epoch (corpus/seqLen rows), positions via the q115 hash-space
+    // prefix sum, never a global single-partition sort.
+    "q121_epoch_plan" -> { (s, d) =>
+      val full = graft.ops.SequencePack.manifest(
+          Tables.documents(s, d)
+            .select(col("doc_id"), size(TF.tokens(col("text"))).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", seqLen = 256, bucketSize = 64)
+        .groupBy(col("seq_id")).agg(sum(col("len")).as("_t"))
+        .filter(col("_t") === 256L)
+      graft.sources.TokenShards.epochPlan(full, epochs = 2,
+          seed = "graft-r17e", seqLen = 256, seqsPerShard = 64, dtype = "u2")
+        .orderBy(col("epoch"), col("position"))
+    },
+
     // ---- q95: BPE vocabulary training (rows-only by design) ----
     // Driver-side merge learning over the bounded deterministic
     // word-frequency table (the q55/q73 discipline: training isn't
@@ -2393,6 +2444,80 @@ object TextQueries {
          SELECT seq_id, list_sum(toks)::BIGINT AS token_sum,
            md5(array_to_string(list_transform(toks, t -> t::VARCHAR), ' ')) AS token_fp
          FROM asm WHERE len(toks) = 128 ORDER BY seq_id""",
+
+    // q120: the q116 recompute with the EOS separator appended per doc —
+    // eos = count(vocab) (first id past the dense vocab), LEFT JOIN from
+    // documents so an empty doc still emits its boundary token. n_eos =
+    // boundaries per sequence (the attention-reset count).
+    "q120_eos_pack" ->
+      s"""WITH RECURSIVE
+         $BPE_CTES,
+         dtk AS (SELECT doc_id, flatten(list(syms ORDER BY ti)) AS subs
+           FROM j GROUP BY doc_id),
+         vagg AS (SELECT subword, count(*) AS n FROM (
+             SELECT unnest(subs) AS subword FROM dtk) GROUP BY 1),
+         vocab AS (SELECT subword,
+             (row_number() OVER (ORDER BY n DESC, subword) - 1)::INT AS token_id
+           FROM vagg),
+         vv AS (SELECT count(*)::INT AS eos FROM vocab),
+         du AS (SELECT doc_id, unnest(subs) AS subword,
+             unnest(range(1, len(subs) + 1)) AS pos FROM dtk),
+         dti AS (SELECT du.doc_id, list(v.token_id ORDER BY du.pos) AS toks
+           FROM du JOIN vocab v USING (subword) GROUP BY du.doc_id),
+         dte AS (SELECT d.doc_id,
+             list_append(coalesce(dti.toks, []), vv.eos) AS toks
+           FROM documents d LEFT JOIN dti USING (doc_id) CROSS JOIN vv),
+         t AS (SELECT doc_id, len(toks)::BIGINT AS w FROM dte),
+         c AS (SELECT doc_id, w,
+             coalesce(sum(w) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gs FROM t),
+         e AS (SELECT doc_id, gs::BIGINT AS gs, (gs + w)::BIGINT AS ge
+           FROM c WHERE w > 0),
+         x AS (SELECT doc_id, gs, ge,
+             unnest(range(gs // 128, (ge - 1) // 128 + 1)) AS seq_id FROM e),
+         mrow AS (SELECT seq_id, doc_id,
+             greatest(seq_id * 128 - gs, 0)::BIGINT AS doc_offset,
+             greatest(gs - seq_id * 128, 0)::BIGINT AS seq_offset,
+             (least(ge, seq_id * 128 + 128) - greatest(gs, seq_id * 128))::BIGINT AS len
+           FROM x),
+         asm AS (SELECT m.seq_id, flatten(list(
+               list_slice(dte.toks, m.doc_offset + 1, m.doc_offset + m.len)
+               ORDER BY m.seq_offset)) AS toks
+           FROM mrow m JOIN dte USING (doc_id) GROUP BY m.seq_id)
+         SELECT seq_id,
+           len(list_filter(toks, t -> t = vv.eos))::BIGINT AS n_eos,
+           list_sum(toks)::BIGINT AS token_sum,
+           md5(array_to_string(list_transform(toks, t -> t::VARCHAR), ' ')) AS token_fp
+         FROM asm CROSS JOIN vv WHERE len(toks) = 128 ORDER BY seq_id""",
+
+    // q121: q113's manifest → full sequences → per-epoch seeded md5-prefix
+    // permutation (ties on seq_id) + the i22 u2 address arithmetic —
+    // the identical plan both engines derive.
+    "q121_epoch_plan" ->
+      s"""WITH t AS (SELECT doc_id, len($TOKS)::BIGINT AS w FROM documents),
+         c AS (SELECT doc_id, w,
+             coalesce(sum(w) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gs FROM t),
+         e AS (SELECT doc_id, gs::BIGINT AS gs, (gs + w)::BIGINT AS ge
+           FROM c WHERE w > 0),
+         x AS (SELECT doc_id, gs, ge,
+             unnest(range(gs // 256, (ge - 1) // 256 + 1)) AS seq_id FROM e),
+         m AS (SELECT seq_id,
+             (least(ge, seq_id * 256 + 256) - greatest(gs, seq_id * 256))::BIGINT AS len
+           FROM x),
+         f AS (SELECT seq_id FROM m GROUP BY seq_id HAVING sum(len) = 256),
+         ep AS (SELECT ee.epoch, f.seq_id FROM f
+           CROSS JOIN (SELECT unnest(range(0, 2)) AS epoch) ee),
+         o AS (SELECT epoch, seq_id,
+             ${h60("'graft-r17e|' || epoch::VARCHAR || '|' || seq_id::VARCHAR")} AS h
+           FROM ep)
+         SELECT epoch::BIGINT AS epoch,
+           (row_number() OVER (PARTITION BY epoch ORDER BY h, seq_id) - 1)::BIGINT
+             AS position,
+           seq_id,
+           (seq_id // 64)::BIGINT AS shard,
+           (32 + (seq_id % 64) * 256 * 2)::BIGINT AS byte_offset
+         FROM o ORDER BY epoch, position""",
 
     // Shares HtmlExtract's RE2-compatible patterns verbatim (BlockTags is
     // the same constant); DuckDB regexp_replace needs the explicit 'g'

@@ -20,9 +20,12 @@ import graft.text.{Bpe, TextFunctions => TF}
   *   bytes 12..15 int32 seq_len (tokens per sequence)
   *   bytes 16..23 int64 first_seq_id (global id of the file's first row)
   *   bytes 24..27 int32 n_seqs (sequences in THIS file)
-  *   bytes 28..31 int32 reserved = 0
-  *   bytes 32..   n_seqs × seq_len × int32 token ids
+  *   bytes 28..31 int32 dtype code (0 = int32 LE, 2 = uint16 LE)
+  *   bytes 32..   n_seqs × seq_len × dtype-width token ids
   * }}}
+  * Sequence k of a file seeks at `32 + k·seqLen·width`. dtype `u2` is the
+  * GPT-2 `.bin` convention (vocab < 65536 → half the bytes per token);
+  * an id past 65535 fails the u2 write NAMED instead of wrapping.
   * Only FULL sequences are written — the final partial sequence of a
   * corpus is less than one sequence of data and every GPT-style loader
   * drops or re-buffers it; [[fullSequences]] is the explicit filter so
@@ -45,6 +48,21 @@ object TokenShards {
   val Magic: Array[Byte] = "GRFTTOK1".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
   val Version = 1
   val HeaderLen = 32
+
+  /** Header dtype codes (bytes 28..31 — 0 was "reserved" before the knob
+    * existed, so int32 keeps code 0 and every pre-knob shard reads
+    * unchanged): `i4` = int32 LE, `u2` = uint16 LE — the GPT-2 `.bin`
+    * convention for vocabs under 65536, HALF the bytes per token (real
+    * money at 100 TB of shards). A u2 write fails NAMED on the first id
+    * past 65535 instead of silently wrapping.
+    */
+  private val DtypeCodes = Map("i4" -> 0, "u2" -> 2)
+  private def dtypeWidth(code: Int): Int = code match {
+    case 0 => 4
+    case 2 => 2
+    case other => sys.error(s"unknown token dtype code $other")
+  }
+  private def dtypeName(code: Int): String = if (code == 2) "u2" else "i4"
 
   /** Per-doc BPE subword stream: (idCol, subs array<string>) — the ONE
     * encode pass [[vocab]] and [[docTokens]] both read (BPE is the
@@ -110,6 +128,22 @@ object TokenShards {
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
   }
 
+  /** Append the document separator (q120): `tokens ++ [eosId]` per doc —
+    * the GPT-style convention every production loader applies BEFORE
+    * concat-and-chunk, so the model sees an explicit boundary token and
+    * generation can learn to stop. `eosId` is by convention the first id
+    * past the dense vocab (`tokenIdMap(...).size`) — the "special tokens
+    * after the base vocab" layout deployed tokenizers use. An EMPTY
+    * document still emits its EOS (a boundary is information, and with
+    * the separator every doc has weight ≥ 1, so none drop out of the
+    * pack); q118's boundary stats and the attention-mask breaks stay
+    * derivable from the manifest unchanged.
+    */
+  def withEos(docToks: DataFrame, eosId: Int, idCol: String = "doc_id"): DataFrame =
+    docToks.select(col(idCol),
+        concat(col("tokens"), array(lit(eosId))).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+
   /** Assemble sequences from a q113/q115 manifest + per-doc token
     * arrays: (seq_id, tokens). Each manifest row slices `len` tokens of
     * its doc at `doc_offset` and the per-sequence pieces concatenate in
@@ -131,6 +165,47 @@ object TokenShards {
   def fullSequences(seqs: DataFrame, seqLen: Int): DataFrame =
     seqs.filter(size(col("tokens")) === seqLen)
 
+  /** The loader's EPOCH PLAN (q121): for each training epoch, a seeded
+    * deterministic permutation of the full sequences, each mapped to its
+    * PHYSICAL address in the [[writeShards]] layout — (epoch, position,
+    * seq_id, shard, byte_offset). Between epochs every production loader
+    * re-shuffles sequence order (replaying one order overfits its
+    * adjacency); precomputing the permutation as a plan keeps the reader
+    * a bit-replayable mmap seeker with zero runtime RNG, and the address
+    * arithmetic is the format's own (`shard = seq_id div seqsPerShard`,
+    * `byte_offset = 32 + (seq_id mod seqsPerShard)·seqLen·width`) so the
+    * plan is valid against any shard set written with the same knobs.
+    *
+    * Scale shape: per epoch, the q115 discipline — order by
+    * `hash60(seed ‖ epoch ‖ seq_id)` with ties on the id,
+    * positions via [[graft.ops.ShardPack.globalStartsBy]] over the HASH
+    * SPACE (unit weights → the 0-based rank), never a global
+    * single-partition sort; epochs union (each epoch is one independent
+    * linear pass over seq ids — sequence-rate, not token-rate).
+    */
+  def epochPlan(fullSeqIds: DataFrame, epochs: Int, seed: String,
+      seqLen: Int, seqsPerShard: Int, dtype: String = "i4",
+      hashBucketWidth: Long = 1L << 40): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    require(seqLen > 0 && seqsPerShard > 0, "seqLen and seqsPerShard must be positive")
+    val width = dtypeWidth(DtypeCodes.getOrElse(dtype,
+      throw new IllegalArgumentException(s"unknown token dtype '$dtype'")))
+    val plans = (0 until epochs).map { e =>
+      val w = fullSeqIds.select(col("seq_id"))
+        .withColumn("_ord", graft.ops.Cdm.hash60(concat_ws("|",
+          lit(seed), lit(e.toLong).cast("string"), col("seq_id").cast("string"))))
+        .withColumn("_one", lit(1L))
+      graft.ops.ShardPack.globalStartsBy(w, "_ord", "seq_id", "_one",
+          "_pos", hashBucketWidth)
+        .select(lit(e.toLong).as("epoch"), col("_pos").as("position"),
+          col("seq_id"),
+          call_function("div", col("seq_id"), lit(seqsPerShard.toLong)).as("shard"),
+          (lit(HeaderLen.toLong) + (col("seq_id") % seqsPerShard)
+            * seqLen * width).as("byte_offset"))
+    }
+    plans.reduce(_.unionByName(_))
+  }
+
   /** Write (seq_id, tokens array<int>) rows — every row EXACTLY `seqLen`
     * tokens (pass through [[fullSequences]] first; a short/long/null row
     * fails NAMED) — as fixed-width binary shards under `path`, shard
@@ -140,13 +215,13 @@ object TokenShards {
     * silently shifted by one sequence is unfindable downstream).
     */
   def writeShards(seqs: DataFrame, path: String, seqLen: Int,
-      seqsPerShard: Int = 1024): Unit = {
+      seqsPerShard: Int = 1024, dtype: String = "i4"): Unit = {
     val spark = seqs.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
     Sinks.atomicSwap(fs, path) { tmp =>
       fs.mkdirs(tmp)
-      writeShardFiles(seqs, tmp.toString, seqLen, seqsPerShard)
+      writeShardFiles(seqs, tmp.toString, seqLen, seqsPerShard, dtype)
       // a validation failure throws HERE, before the swap — the previous
       // shard set stays live
     }
@@ -170,11 +245,15 @@ object TokenShards {
     * fails the write NAMED before the caller publishes.
     */
   private[graft] def writeShardFiles(seqs: DataFrame, dirStr: String,
-      seqLen: Int, seqsPerShard: Int): Array[ShardStat] = {
+      seqLen: Int, seqsPerShard: Int, dtype: String = "i4"): Array[ShardStat] = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     require(seqsPerShard > 0, s"seqsPerShard must be positive, got $seqsPerShard")
-    require(seqsPerShard.toLong * seqLen * 4 <= (1L << 28),
-      s"shard buffer ${seqsPerShard.toLong * seqLen * 4} bytes exceeds 256 MB — lower seqsPerShard")
+    val dtypeCode = DtypeCodes.getOrElse(dtype,
+      throw new IllegalArgumentException(
+        s"unknown token dtype '$dtype' — one of ${DtypeCodes.keys.toSeq.sorted.mkString(", ")}"))
+    val width = dtypeWidth(dtypeCode)
+    require(seqsPerShard.toLong * seqLen * width <= (1L << 28),
+      s"shard buffer ${seqsPerShard.toLong * seqLen * width} bytes exceeds 256 MB — lower seqsPerShard")
     val spark = seqs.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val confKV: Array[(String, String)] = {
@@ -208,7 +287,7 @@ object TokenShards {
             val hdr = java.nio.ByteBuffer.allocate(HeaderLen)
               .order(java.nio.ByteOrder.LITTLE_ENDIAN)
             hdr.put(Magic); hdr.putInt(Version); hdr.putInt(sl)
-            hdr.putLong(firstSeq); hdr.putInt(nSeqs); hdr.putInt(0)
+            hdr.putLong(firstSeq); hdr.putInt(nSeqs); hdr.putInt(dtypeCode)
             // attempt-unique write + rename: the writeWarcGz commit
             // discipline — speculative twins never interleave bytes
             val work = new org.apache.hadoop.fs.Path(
@@ -227,18 +306,25 @@ object TokenShards {
             if (s != shard) {
               flush()
               shard = s; firstSeq = seq; nSeqs = 0
-              body = new java.io.ByteArrayOutputStream(sps * sl * 4)
+              body = new java.io.ByteArrayOutputStream(sps * sl * width)
             } else if (seq != prevSeq + 1)
               sys.error(s"sequence gap in shard $shard: $prevSeq -> $seq — a lost sequence would silently shift the corpus")
             val toks = r.getSeq[Any](1)
             if (toks == null || toks.length != sl)
               sys.error(s"sequence $seq holds ${if (toks == null) "null" else toks.length.toString} tokens, want exactly $sl — filter through fullSequences first")
-            val bb = java.nio.ByteBuffer.allocate(sl * 4)
+            val bb = java.nio.ByteBuffer.allocate(sl * width)
               .order(java.nio.ByteOrder.LITTLE_ENDIAN)
             var k = 0
             while (k < sl) {
               toks(k) match {
-                case i: java.lang.Integer => bb.putInt(i.intValue())
+                case i: java.lang.Integer =>
+                  if (width == 2) {
+                    val t = i.intValue()
+                    if (t < 0 || t > 0xFFFF) sys.error(
+                      s"sequence $seq token $k = $t does not fit dtype u2 " +
+                        "(0..65535) — the vocab outgrew uint16; write dtype i4")
+                    bb.putShort(t.toShort)
+                  } else bb.putInt(i.intValue())
                 case null => sys.error(
                   s"sequence $seq token $k is NULL — the vocab does not cover the corpus (docTokens drift)")
                 case other => sys.error(s"sequence $seq token $k is ${other.getClass.getName}, want int")
@@ -278,7 +364,8 @@ object TokenShards {
     // dataset card a loader reads before mmapping.
     if (sorted.nonEmpty) {
       val body = new StringBuilder()
-      body.append("{\"format\":\"GRFTTOK1\",\"seq_len\":").append(seqLen)
+      body.append("{\"format\":\"GRFTTOK1\",\"dtype\":\"").append(dtypeName(dtypeCode))
+        .append("\",\"seq_len\":").append(seqLen)
         .append(",\"n_shards\":").append(sorted.length)
         .append(",\"n_seqs\":").append(sorted.map(_.nSeqs.toLong).sum)
         .append(",\"first_seq\":").append(sorted.head.firstSeq)
@@ -333,6 +420,11 @@ object TokenShards {
     val seqLen = "\"seq_len\":(\\d+)".r.findFirstMatchIn(text)
       .map(_.group(1).toInt)
       .getOrElse(sys.error(s"$ManifestName at $dir lacks seq_len"))
+    // pre-knob manifests carry no dtype: they are int32 by construction
+    val dtype = "\"dtype\":\"([a-z0-9]+)\"".r.findFirstMatchIn(text)
+      .map(_.group(1)).getOrElse("i4")
+    val width = dtypeWidth(DtypeCodes.getOrElse(dtype,
+      sys.error(s"$ManifestName at $dir declares unknown dtype '$dtype'")))
     val entryRe =
       "\\{\"shard\":(\\d+),\"first_seq\":(\\d+),\"n_seqs\":(\\d+)\\}".r
     val want = entryRe.findAllMatchIn(text)
@@ -346,7 +438,7 @@ object TokenShards {
         "a lost or injected shard file silently corrupts the corpus")
     want.foreach { case (name, (firstSeq, nSeqs)) =>
       val st = got(name)
-      val wantLen = HeaderLen + nSeqs.toLong * seqLen * 4
+      val wantLen = HeaderLen + nSeqs.toLong * seqLen * width
       if (st.getLen != wantLen) sys.error(
         s"token shard $dir/$name is ${st.getLen} bytes, manifest says $wantLen — " +
           "a stale or truncated shard file silently shifts the corpus")
@@ -358,11 +450,13 @@ object TokenShards {
       val hSeqLen = bb.getInt
       val hFirst = bb.getLong
       val hN = bb.getInt
-      if (hSeqLen != seqLen || hFirst != firstSeq || hN != nSeqs) sys.error(
-        s"token shard $dir/$name header (seq_len=$hSeqLen, first_seq=$hFirst, " +
-          s"n_seqs=$hN) disagrees with $ManifestName (seq_len=$seqLen, " +
-          s"first_seq=$firstSeq, n_seqs=$nSeqs) — a same-named stale shard " +
-          "file silently shifts the corpus")
+      val hDtype = dtypeName(bb.getInt)
+      if (hSeqLen != seqLen || hFirst != firstSeq || hN != nSeqs || hDtype != dtype)
+        sys.error(
+          s"token shard $dir/$name header (seq_len=$hSeqLen, first_seq=$hFirst, " +
+            s"n_seqs=$hN, dtype=$hDtype) disagrees with $ManifestName (seq_len=$seqLen, " +
+            s"first_seq=$firstSeq, n_seqs=$nSeqs, dtype=$dtype) — a same-named stale shard " +
+            "file silently shifts the corpus")
     }
   }
 
@@ -403,14 +497,20 @@ object TokenShards {
         val sl = bb.getInt
         val firstSeq = bb.getLong
         val nSeqs = bb.getInt
-        bb.getInt // reserved
+        val width = try dtypeWidth(bb.getInt) catch {
+          case e: RuntimeException => fail(e.getMessage)
+        }
         if (sl <= 0 || nSeqs < 0) fail(s"bad header: seq_len=$sl n_seqs=$nSeqs")
-        if (bytes.length.toLong != HeaderLen + nSeqs.toLong * sl * 4)
-          fail(s"body length ${bytes.length - HeaderLen} != n_seqs $nSeqs x seq_len $sl x 4")
+        if (bytes.length.toLong != HeaderLen + nSeqs.toLong * sl * width)
+          fail(s"body length ${bytes.length - HeaderLen} != n_seqs $nSeqs x seq_len $sl x $width")
         (0 until nSeqs).iterator.map { k =>
           val toks = new Array[Int](sl)
           var j = 0
-          while (j < sl) { toks(j) = bb.getInt(HeaderLen + (k.toLong * sl + j).toInt * 4); j += 1 }
+          while (j < sl) {
+            val off = HeaderLen + (k.toLong * sl + j).toInt * width
+            toks(j) = if (width == 2) bb.getShort(off) & 0xFFFF else bb.getInt(off)
+            j += 1
+          }
           (firstSeq + k, toks)
         }
       })

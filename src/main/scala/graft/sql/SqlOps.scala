@@ -248,6 +248,69 @@ object SqlOps {
        |  sum(len) = ${seqLen}L AS full
        |FROM _m GROUP BY seq_id""".stripMargin
 
+  /** SQL twin of q120's EOS pack — the WHOLE assembly in one statement
+    * over a table of (id, tokens array<int>): append the separator
+    * (`eosId` per doc, empty docs included — a boundary is information),
+    * definitional window cumsum, per-doc sequence explode, list-slice,
+    * seq_offset-ordered flatten, full sequences only. Output =
+    * (seq_id, tokens) — the exact frame
+    * `TokenShards.fullSequences(assemble(withEos(...), manifest))`
+    * produces, spec-pinned. The Column face runs the distributed
+    * hash-bucketed prefix sum; this window is the definitional spelling.
+    */
+  def eosPackSql(table: String, idCol: String, tokensCol: String,
+      eosId: Int, seqLen: Long): String = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val (id, tc) = (bt(idCol), bt(tokensCol))
+    s"""WITH _d AS (SELECT $id, concat($tc, array($eosId)) AS _toks FROM $table),
+       |_c AS (SELECT $id, _toks, CAST(size(_toks) AS BIGINT) AS _w,
+       |    coalesce(sum(CAST(size(_toks) AS BIGINT)) OVER (ORDER BY $id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS _gs
+       |  FROM _d),
+       |_e AS (SELECT *, _gs + _w AS _ge FROM _c WHERE _w > 0),
+       |_x AS (SELECT $id, _toks, _gs, _ge,
+       |    explode(sequence(_gs div ${seqLen}L, (_ge - 1L) div ${seqLen}L)) AS seq_id
+       |  FROM _e),
+       |_p AS (SELECT seq_id,
+       |    greatest(_gs - seq_id * ${seqLen}L, 0L) AS seq_offset,
+       |    slice(_toks,
+       |      CAST(greatest(seq_id * ${seqLen}L - _gs, 0L) + 1L AS INT),
+       |      CAST(least(_ge, seq_id * ${seqLen}L + ${seqLen}L)
+       |        - greatest(_gs, seq_id * ${seqLen}L) AS INT)) AS _piece
+       |  FROM _x)
+       |SELECT seq_id, tokens FROM (
+       |  SELECT seq_id, flatten(transform(
+       |      array_sort(collect_list(struct(seq_offset, _piece))),
+       |      s -> s._piece)) AS tokens
+       |  FROM _p GROUP BY seq_id)
+       |WHERE size(tokens) = ${seqLen}L""".stripMargin
+  }
+
+  /** SQL twin of q121's epoch plan ([[graft.sources.TokenShards.epochPlan]]):
+    * per-epoch seeded `graft_hash60` permutation of the sequence ids
+    * (definitional row_number window vs the distributed hash-space prefix
+    * sum — row-equal, spec-pinned) + the i22 shard address arithmetic.
+    * `widthBytes` = 4 (i4) or 2 (u2).
+    */
+  def epochPlanSql(table: String, seqIdCol: String, epochs: Int,
+      seed: String, seqLen: Int, seqsPerShard: Int, widthBytes: Int): String = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    require(widthBytes == 2 || widthBytes == 4,
+      s"widthBytes must be 2 (u2) or 4 (i4), got $widthBytes")
+    val id = bt(seqIdCol)
+    val h = s"graft_hash60(concat_ws('|', ${lit(seed)}, CAST(_e.epoch AS STRING), CAST($id AS STRING)))"
+    s"""WITH _ep AS (SELECT _e.epoch, $id AS seq_id, $h AS _h
+       |  FROM $table CROSS JOIN (
+       |    SELECT explode(sequence(0L, ${epochs - 1}L)) AS epoch) _e)
+       |SELECT epoch,
+       |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY _h, seq_id) - 1 AS BIGINT)
+       |    AS position,
+       |  seq_id,
+       |  seq_id div ${seqsPerShard}L AS shard,
+       |  32L + (seq_id % ${seqsPerShard}L) * ${seqLen}L * ${widthBytes}L AS byte_offset
+       |FROM _ep""".stripMargin
+  }
+
   /** SQL twin of q82's line-level exact dedup
     * ([[graft.text.LineDedup.dedupRollup]]): delimiter-split lines,
     * corpus-wide first-occurrence-wins over line hashes (per-hash

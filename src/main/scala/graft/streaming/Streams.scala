@@ -1314,6 +1314,28 @@ object Streams {
     graft.sources.TokenShards.parseShardFiles(files)
   }
 
+  /** s34: streaming versioned-table sink — i23 live. Each micro-batch
+    * appends as ONE transactional commit via
+    * [[graft.sources.VersionedTable.txnAppend]] under `(appId, batchId)`:
+    * a foreachBatch REPLAY (the engine re-delivers the last batch after
+    * any crash between the write and the checkpoint) finds its (app,
+    * batch) already in the log and commits NOTHING, and its orphaned data
+    * files are swept — exactly-once lands on the COMMIT PROTOCOL, not on
+    * sink carefulness. This is the reference's actual streaming pattern:
+    * its audit/gold Delta tables absorb micro-batch appends
+    * transactionally (1_audit/audit_start.py:2). The table must exist
+    * ([[graft.sources.VersionedTable.create]] with the stream's schema —
+    * the gold notebooks' ensure-table step); schema drift in the stream
+    * fails the batch NAMED instead of silently casting. Downstream
+    * consumers read incrementally via `readChangesSince(lastSeenVersion)`
+    * — the change feed composes with the sink at zero extra state.
+    */
+  def versionedSink(table: String, appId: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    graft.sources.VersionedTable.txnAppend(batch, table, appId, batchId)
+    ()
+  }
+
   /** foreachBatch streaming IVF index maintenance — the streaming face of
     * the [[graft.sim.Ann]] trained quantizer: each micro-batch of
     * (id, vec) is assigned to its nearest cell against the centroids

@@ -365,6 +365,34 @@ class SqlSurfaceSpec extends SparkSpec {
     assertSame(viaSql, viaCol, "pack stats", samePlan = false)
   }
 
+  test("SqlOps.eosPackSql == fullSequences(assemble(withEos)) — the whole " +
+      "assembly in one statement, empty doc's EOS included (rows)") {
+    registered
+    val TS = graft.sources.TokenShards
+    import spark.implicits._
+    // hand token arrays incl. an EMPTY doc: with the separator it still
+    // contributes its boundary token (weight 1), never drops from the pack
+    val toks = Seq(
+      (0L, Seq(5, 6, 7)), (1L, Seq.empty[Int]), (2L, (0 until 11).toSeq),
+      (3L, Seq(1)), (4L, (20 until 29).toSeq))
+      .toDF("doc_id", "tokens")
+    toks.createOrReplaceTempView("eos_in")
+    val viaSql = spark.sql(SqlOps.eosPackSql("eos_in", "doc_id", "tokens",
+      eosId = 99, seqLen = 8L))
+    val dt = TS.withEos(toks, 99)
+    val manifest = graft.ops.SequencePack.manifest(
+      dt.select(col("doc_id"), col("n_tokens")), "doc_id", "n_tokens",
+      seqLen = 8, bucketSize = 4)
+    val viaCol = TS.fullSequences(TS.assemble(dt, manifest), 8)
+    assertSame(viaSql, viaCol, "eos pack", samePlan = false)
+    // the empty doc's EOS is genuinely in the stream: weights with the
+    // separator are 4+1+12+2+10 = 29 tokens → 3 full sequences whose 24
+    // tokens hold docs 0–3's separators (doc 4's EOS is in the dropped tail)
+    val seqs = viaCol.as[(Long, Seq[Int])].collect().toMap
+    assert(seqs.keySet == Set(0L, 1L, 2L))
+    assert(seqs.values.flatten.count(_ == 99) == 4)
+  }
+
   test("SqlOps.lineDedupSql == LineDedup.dedupRollup (rows)") {
     registered
     val viaSql = spark.sql(SqlOps.lineDedupSql("documents", "doc_id", "text", " the "))
@@ -716,5 +744,18 @@ class SqlSurfaceSpec extends SparkSpec {
     val viaSqlFp = spark.sql(SqlOps.bloomDecontaminateSql(
       "documents", "doc_id", "text", "source = 'src0'", 8, bitsPerGram = 1))
     assertSame(viaSqlFp, viaCol, "bloom decontaminate (fp-heavy)", samePlan = false)
+  }
+
+  test("SqlOps.epochPlanSql == TokenShards.epochPlan (rows; definitional " +
+      "window vs distributed hash-space prefix sum)") {
+    registered
+    import spark.implicits._
+    val full = (0L until 37L).map(i => Tuple1(i)).toDF("seq_id")
+    full.createOrReplaceTempView("epoch_in")
+    val viaSql = spark.sql(SqlOps.epochPlanSql("epoch_in", "seq_id",
+      epochs = 2, seed = "s17", seqLen = 256, seqsPerShard = 64, widthBytes = 2))
+    val viaCol = graft.sources.TokenShards.epochPlan(full, epochs = 2,
+      seed = "s17", seqLen = 256, seqsPerShard = 64, dtype = "u2")
+    assertSame(viaSql, viaCol, "epoch plan", samePlan = false)
   }
 }

@@ -1781,4 +1781,35 @@ class StreamingSpec extends SparkSpec {
     val (fertA2, oovA2) = drift(5L)
     assert(fertA2 < 2.5 && oovA2 < 0.1, s"joint table keeps A healthy: $fertA2/$oovA2")
   }
+
+  test("versionedSink: exactly-once micro-batch commits, replay commits " +
+      "nothing, the change feed serves each consumer its increment (s34)") {
+    val dir = Files.createTempDirectory("vsink").toFile.getAbsolutePath
+    val t = s"$dir/table"
+    val VT = graft.sources.VersionedTable
+    // the ensure-table step (the gold notebooks' CREATE IF NOT EXISTS)
+    VT.create(Seq((0L, "seed")).toDF("id", "v").filter(lit(false)), t)
+    val sink = Streams.versionedSink(t, "intake") _
+    sink(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    val afterB0 = VT.latestVersion(spark, t)
+    sink(Seq((3L, "c")).toDF("id", "v"), 1L)
+    val afterB1 = VT.latestVersion(spark, t)
+    // replay after a simulated crash between write and checkpoint:
+    // the (app, batch) pair is already in the log — nothing commits
+    sink(Seq((3L, "c")).toDF("id", "v"), 1L)
+    assert(VT.latestVersion(spark, t) == afterB1, "replay must not commit")
+    assert(VT.read(spark, t).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+    // a change-feed consumer that saw afterB0 gets EXACTLY batch 1's rows
+    assert(VT.readChangesSince(spark, t, afterB0)
+      .select("id").as[Long].collect().toSet == Set(3L))
+    // a second app on the SAME table is independent exactly-once state
+    Streams.versionedSink(t, "backfill")(Seq((9L, "z")).toDF("id", "v"), 0L)
+    assert(VT.read(spark, t).count() == 4L)
+    // schema drift in the stream fails the batch named, never casts
+    val e = intercept[IllegalArgumentException] {
+      sink(Seq((4, "d")).toDF("id", "v"), 2L)
+    }
+    assert(e.getMessage.contains("schema drift"), e.getMessage)
+  }
 }

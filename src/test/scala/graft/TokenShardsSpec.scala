@@ -266,4 +266,104 @@ class TokenShardsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](TokenShards.tokenIdMap(v, maxVocab = 3))
     assert(e.getMessage.contains("maxVocab"))
   }
+
+  test("dtype u2: half-width shards round-trip exactly, manifest and header " +
+      "agree, an id past 65535 fails NAMED") {
+    val dir = tmp("tok_u2")
+    val seqs = (0L until 6L).map(i =>
+      (i, Seq(0, 1, 65535, (i * 777).toInt % 65536))).toDF("seq_id", "tokens")
+    TokenShards.writeShards(seqs, s"$dir/shards", seqLen = 4,
+      seqsPerShard = 2, dtype = "u2")
+    val back = TokenShards.readShards(spark, s"$dir/shards")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(back == (0L until 6L).map(i =>
+      (i, Seq(0, 1, 65535, (i * 777).toInt % 65536))).toMap)
+    // files are genuinely half-width: 32 + 2 seqs x 4 tokens x 2 bytes
+    val f = new java.io.File(s"$dir/shards").listFiles()
+      .filter(_.getName.endsWith(".tok")).head
+    assert(f.length == 32 + 2 * 4 * 2, s"u2 shard is ${f.length} bytes")
+    // the set manifest declares the dtype
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/shards/${TokenShards.ManifestName}")))
+    assert(mf.contains("\"dtype\":\"u2\""), mf)
+    // overflow fails named, never wraps
+    val big = Seq((0L, Seq(1, 2, 3, 65536))).toDF("seq_id", "tokens")
+    val e = intercept[org.apache.spark.SparkException] {
+      TokenShards.writeShards(big, s"$dir/of", seqLen = 4,
+        seqsPerShard = 2, dtype = "u2")
+    }
+    assert(e.getMessage.contains("does not fit dtype u2"), e.getMessage)
+    // an unknown dtype fails named up front
+    val bad = intercept[IllegalArgumentException] {
+      TokenShards.writeShards(seqs, s"$dir/bad", seqLen = 4,
+        seqsPerShard = 2, dtype = "f8")
+    }
+    assert(bad.getMessage.contains("unknown token dtype"), bad.getMessage)
+  }
+
+  test("dtype u2: a stale i4 file under a u2 manifest fails the read NAMED") {
+    val dir = tmp("tok_u2_stale")
+    val seqs = (0L until 2L).map(i => (i, Seq(1, 2, 3, 4))).toDF("seq_id", "tokens")
+    TokenShards.writeShards(seqs, s"$dir/shards", seqLen = 4,
+      seqsPerShard = 2, dtype = "u2")
+    // same-named i4 write into a sibling, then swap the FILE in (the
+    // stale-snapshot failure the header check exists for)
+    TokenShards.writeShards(seqs, s"$dir/other", seqLen = 4,
+      seqsPerShard = 2, dtype = "i4")
+    val name = new java.io.File(s"$dir/shards").listFiles()
+      .filter(_.getName.endsWith(".tok")).head.getName
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/other/$name"),
+      java.nio.file.Paths.get(s"$dir/shards/$name"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val e = intercept[RuntimeException] {
+      TokenShards.readShards(spark, s"$dir/shards")
+    }
+    assert(e.getMessage.contains("manifest says") ||
+      e.getMessage.contains("disagrees with"), e.getMessage)
+  }
+
+  test("epochPlan: per-epoch seeded permutation, bit-replayable, addresses " +
+      "seek to the exact sequence bytes in the written u2 layout (q121)") {
+    val dir = tmp("tok_epoch")
+    val n = 10
+    val seqs = (0L until n.toLong).map(i =>
+      (i, (0 until 4).map(k => (i * 10 + k).toInt))).toDF("seq_id", "tokens")
+    TokenShards.writeShards(seqs, s"$dir/shards", seqLen = 4,
+      seqsPerShard = 3, dtype = "u2")
+    val full = seqs.select(col("seq_id"))
+    val plan = TokenShards.epochPlan(full, epochs = 3, seed = "s17",
+      seqLen = 4, seqsPerShard = 3, dtype = "u2")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // 3 epochs x n sequences; positions are a permutation 0..n-1 per epoch
+    assert(plan.length == 3 * n)
+    plan.groupBy(_._1).foreach { case (e, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (0L until n.toLong),
+        s"epoch $e positions")
+      assert(rows.map(_._3).sorted.toSeq == (0L until n.toLong),
+        s"epoch $e seq ids")
+    }
+    // bit-replay: the same seed derives the identical plan
+    val replay = TokenShards.epochPlan(full, epochs = 3, seed = "s17",
+      seqLen = 4, seqsPerShard = 3, dtype = "u2")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(plan.sorted.toSeq == replay.sorted.toSeq)
+    // epochs genuinely differ (a re-shuffle, not a replay of epoch 0)
+    val order = (e: Long) => plan.filter(_._1 == e).sortBy(_._2).map(_._3).toSeq
+    assert(order(0L) != order(1L) || order(1L) != order(2L),
+      "all epochs ordered identically — the shuffle is not per-epoch")
+    // the plan's addresses are REAL: seek each (shard, byte_offset) in the
+    // written files and the bytes parse to exactly that sequence's tokens
+    plan.filter(_._1 == 1L).foreach { case (_, _, seqId, shard, off) =>
+      val f = new java.io.File(f"$dir/shards/shard-$shard%06d.tok")
+      val ch = java.nio.file.Files.newByteChannel(f.toPath)
+      val bb = java.nio.ByteBuffer.allocate(4 * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      try { ch.position(off); ch.read(bb) } finally ch.close()
+      bb.flip()
+      val toks = (0 until 4).map(_ => bb.getShort & 0xFFFF)
+      assert(toks == (0 until 4).map(k => (seqId * 10 + k).toInt),
+        s"seek at shard $shard offset $off")
+    }
+  }
 }

@@ -194,6 +194,37 @@ class VersionedTableSpec extends SparkSpec {
     assert(ops.count(_ == "vacuum") == 1)
   }
 
+  test("the reference's MERGE-into-Delta pattern: Scd2.merge commits as a " +
+      "version, time travel serves the pre-merge dimension") {
+    // 4_silver/silver_customers.py:103-170 runs two Delta MERGEs per batch;
+    // the re-expression is Scd2.merge (one transform) + a versioned
+    // overwrite commit — and what Delta gives for free (the pre-merge
+    // snapshot) time travel gives here.
+    val t = tmpTable("scd2")
+    val ts = (d: Int) => new java.sql.Timestamp(d * 86400000L)
+    val dim0 = Seq(
+      (1L, "addr-a", ts(1), null.asInstanceOf[java.sql.Timestamp], true),
+      (2L, "addr-b", ts(1), null.asInstanceOf[java.sql.Timestamp], true))
+      .toDF("id", "addr", "valid_from", "valid_to", "is_current")
+    VersionedTable.create(dim0, t)
+    val staged = Seq((1L, "addr-a2"), (3L, "addr-c")).toDF("id", "addr")
+    val merged = graft.ops.Scd2.merge(VersionedTable.read(spark, t), staged,
+      Seq("id"), Seq("addr"), lit(ts(2)))
+    val v = VersionedTable.overwrite(merged, t)
+    val cur = VersionedTable.read(spark, t).filter(col("is_current"))
+      .select(col("id"), col("addr")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cur == Set((1L, "addr-a2"), (2L, "addr-b"), (3L, "addr-c")))
+    // the expired version is retained with its close-out timestamp
+    val expired = VersionedTable.read(spark, t)
+      .filter(!col("is_current") && col("id") === 1L).collect()
+    assert(expired.length == 1 &&
+      expired(0).getAs[java.sql.Timestamp]("valid_to") == ts(2))
+    // and the pre-merge dimension is served exactly by time travel
+    assert(VersionedTable.readVersion(spark, t, v - 1).collect().toSet ==
+      dim0.collect().toSet)
+  }
+
   test("empty appends and empty tables round-trip with the declared schema") {
     val t = tmpTable("empty")
     val df = Seq((1L, "a")).toDF("id", "v")
