@@ -81,7 +81,8 @@ object ScaleBench {
     "x109_colloc_work", "x110_pca_work", "x111_audio_work",
     "x112_unigram_encode_work", "x113_sequence_pack_work",
     "x48_frames_work", "x115_shuffle_pack_work", "x116_token_shards_work",
-    "x117_frontier_budget_work", "x120_eos_pack_work")
+    "x117_frontier_budget_work", "x120_eos_pack_work",
+    "x121_epoch_plan_work")
 
   /** Default key stride between copies: far above any sf0.1 key range, so
     * strided ids never collide across copies. A SECOND derivation (e.g.
@@ -387,6 +388,14 @@ object ScaleBench {
     "x120_eos_pack_work" -> { (s, d) =>
       SparkEntry.queries("q120_eos_pack")(s, d)
         .agg(sum(col("token_sum")).as("t"), sum(col("n_eos")).as("e"),
+          count(lit(1)).as("n"))
+    },
+    // q121: sequence-rate per epoch — the manifest (token-rate cumsum)
+    // dominates; the plan itself is corpus/seqLen rows through the
+    // hash-space rank. The probe watches both terms together.
+    "x121_epoch_plan_work" -> { (s, d) =>
+      SparkEntry.queries("q121_epoch_plan")(s, d)
+        .agg(sum(col("position")).as("t"), sum(col("byte_offset")).as("o"),
           count(lit(1)).as("n"))
     })
 
