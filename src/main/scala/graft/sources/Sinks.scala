@@ -644,34 +644,103 @@ object Sinks {
       preds: Seq[(String, Any, Any)]): DataFrame = {
     import org.apache.spark.sql.functions._
     require(preds.nonEmpty, "readSkipping needs at least one (column, lo, hi) predicate")
+    val keepCol = preds.map { case (c, lo, hi) =>
+      coalesce(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi), lit(false))
+    }.reduce(_ && _)
+    val pruned = prunedByStats(spark, path, preds.map(_._1), keepCol)
+    pruned.filter(preds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _))
+  }
+
+  /** Point-set file pruning: the rows where `c` equals ANY of `keys`,
+    * planned over only the files whose [min_c, max_c] range CONTAINS at
+    * least one key. This is the batched-point-lookup shape ([[readSkipping]]
+    * with the keys' overall [min, max] interval would also scan every file
+    * in the GAPS between scattered keys — over a petabyte index that is
+    * the difference between k file reads and a full scan). File selection
+    * is one driver-side binary search per file range over the sorted key
+    * set (file-rate × log keys — metadata); the exact membership filter is
+    * a broadcast semi-join, so results EQUAL the full-scan `isin`. Same
+    * named missing/unindexed/stale manifest contract as [[readSkipping]].
+    */
+  def readSkippingKeys(spark: org.apache.spark.sql.SparkSession, path: String,
+      c: String, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "readSkippingKeys needs at least one key")
+    val sorted = keys.distinct.sorted.toIndexedSeq
+    // first key >= lo exists and is <= hi  ⇔  some key falls in [lo, hi];
+    // evaluated DRIVER-SIDE over the collected stats rows (file-rate
+    // metadata × log keys), so this stays UDF-free
+    def anyKeyIn(lo: String, hi: String): Boolean = {
+      var l = 0; var r = sorted.length
+      while (l < r) { val m = (l + r) >>> 1; if (sorted(m) < lo) l = m + 1 else r = m }
+      l < sorted.length && sorted(l) <= hi
+    }
     val statsPath = new Path(s"$path/_graft_stats")
     val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(statsPath),
       s"no stats manifest at $statsPath — run writeStatsManifest after writing $path")
     val stats = spark.read.parquet(statsPath.toString)
-    preds.foreach { case (c, _, _) =>
+    require(stats.columns.contains(s"min_$c"),
+      s"column $c is not indexed by the stats manifest at $statsPath " +
+        s"(indexed: ${stats.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).mkString(", ")})")
+    require(stats.schema(s"min_$c").dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"readSkippingKeys needs a STRING-keyed column; min_$c is " +
+        s"${stats.schema(s"min_$c").dataType.simpleString}")
+    val rows = stats
+      .select(col("file"), col(s"min_$c"), col(s"max_$c")).collect()
+    validateStatsFresh(fs, path, rows.map(r => normFilePath(r.getString(0))).toSet)
+    val kept = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
+        anyKeyIn(r.getString(1), r.getString(2)))
+      .map(r => normFilePath(r.getString(0)))
+    val pruned =
+      if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(kept.toIndexedSeq: _*)
+    // exact membership via a broadcast semi-join (an `isin` literal of
+    // 10^5 keys would bloat the plan; the join is the scalable spelling)
+    import spark.implicits._
+    pruned.join(broadcast(sorted.toDF(c)), Seq(c), "left_semi")
+  }
+
+  /** Stats-manifest file pruning behind [[readSkipping]]: load
+    * `_graft_stats`, check the requested columns are indexed, check
+    * freshness, and plan over only the files whose stats row satisfies
+    * `keepCol`.
+    */
+  private def prunedByStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, cols: Seq[String],
+      keepCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val statsPath = new Path(s"$path/_graft_stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(statsPath),
+      s"no stats manifest at $statsPath — run writeStatsManifest after writing $path")
+    val stats = spark.read.parquet(statsPath.toString)
+    cols.foreach { c =>
       require(stats.columns.contains(s"min_$c"),
         s"column $c is not indexed by the stats manifest at $statsPath " +
           s"(indexed: ${stats.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).mkString(", ")})")
     }
-    def norm(u: String) = normFilePath(u)
-    val keepCol = preds.map { case (c, lo, hi) =>
-      coalesce(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi), lit(false))
-    }.reduce(_ && _)
-    val rows = stats.select(col("file"), keepCol.as("keep")).collect()
-    val manifestFiles = rows.map(r => norm(r.getString(0))).toSet
+    val rows = stats.select(col("file"), coalesce(keepCol, lit(false)).as("keep")).collect()
+    validateStatsFresh(fs, path, rows.map(r => normFilePath(r.getString(0))).toSet)
+    val kept = rows.filter(r => r.getBoolean(1)).map(r => normFilePath(r.getString(0)))
+    if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(kept.toIndexedSeq: _*)
+  }
+
+  /** The manifest-freshness gate both skipping reads share: the manifest's
+    * file set must equal the directory's current data files — silently
+    * skipping unindexed NEW files would drop matching rows.
+    */
+  private def validateStatsFresh(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, manifestFiles: Set[String]): Unit = {
     val actual = fs.listStatus(new Path(path))
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(s => norm(s.getPath.toString)).toSet
+      .map(s => normFilePath(s.getPath.toString)).toSet
     require(manifestFiles == actual,
       s"stats manifest is STALE for $path (manifest ${manifestFiles.size} files, " +
         s"directory ${actual.size}) — rewrite it with writeStatsManifest")
-    val kept = rows.filter(r => r.getBoolean(1)).map(r => normFilePath(r.getString(0)))
-    val pruned =
-      if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
-      else spark.read.parquet(kept.toIndexedSeq: _*)
-    pruned.filter(preds.map { case (c, lo, hi) =>
-      col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _))
   }
 
   /** Object-store-safe atomic publish (manifest-pointer commit): data lands

@@ -844,6 +844,59 @@ object Warc {
       .drop("_dist")
   }
 
+  /** Batched [[lookupAt]] — the index-nested-loop a REPLAY JOB runs: one
+    * closest-in-time capture per DISTINCT requested (url, at), in one
+    * pass. Per-request driver lookups would pay the planning cost × N;
+    * here the request urls SURT-key through the index's own expressions,
+    * the distinct keys collect BOUNDED (fails NAMED past `maxKeys` — a
+    * corpus-scale request set should go through a join on the full index,
+    * not a point-lookup API), [[Sinks.readSkippingKeys]] prunes the file
+    * list to those containing ≥ 1 key (driver-side binary search per file
+    * range — gaps between scattered keys are never read), and the winner
+    * per request is one min-struct aggregate with [[lookupAt]]'s exact
+    * tie order (dist, fetch_ts, warc_file, rec_offset). LEFT join back,
+    * so never-captured and hostless requests surface as NULL capture
+    * columns rather than vanishing. Equality with per-request [[lookupAt]]
+    * is spec-pinned.
+    */
+  def lookupAtMany(spark: SparkSession, cdxPath: String, requests: DataFrame,
+      urlCol: String = "url", atCol: String = "at",
+      maxKeys: Int = 1 << 17): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val reqs = requests
+      .select(col(urlCol).cast("string").as("req_url"),
+        col(atCol).cast("timestamp").as("req_at"))
+      .distinct()
+      .withColumn("_key", graft.text.Urls.surtKey(
+        graft.text.Urls.canonicalize(col("req_url"))))
+    val keyRows = reqs.select(col("_key")).filter(col("_key").isNotNull)
+      .distinct().limit(maxKeys + 1).collect()
+    require(keyRows.length <= maxKeys,
+      s"lookupAtMany request set exceeds maxKeys=$maxKeys distinct urls — " +
+        "a corpus-scale request set should JOIN the index, not point-look it up")
+    val keys = keyRows.map(_.getString(0)).toSeq
+    val capCols = Seq("surt_key", "url_canon", "url", "fetch_ts",
+      "http_status", "mime", "payload_len", "warc_file", "rec_offset")
+    if (keys.isEmpty) { // every request is hostless: all-NULL captures
+      val schema = spark.read.parquet(cdxPath).schema
+      return reqs.select((Seq(col("req_url"), col("req_at")) ++
+        capCols.map(c => lit(null).cast(schema(c).dataType).as(c))): _*)
+    }
+    val caps = Sinks.readSkippingKeys(spark, cdxPath, "surt_key", keys)
+    val winners = caps
+      .join(reqs.hint("broadcast"), caps("surt_key") === reqs("_key"))
+      .withColumn("_dist",
+        abs(unix_micros(col("fetch_ts")) - unix_micros(col("req_at"))))
+      .groupBy(col("req_url"), col("req_at"))
+      .agg(min(struct((col("_dist") +: Seq("fetch_ts", "warc_file",
+          "rec_offset", "surt_key", "url_canon", "url", "http_status",
+          "mime", "payload_len").map(caps(_))): _*)).as("_w"))
+    reqs.select(col("req_url"), col("req_at"))
+      .join(winners, Seq("req_url", "req_at"), "left")
+      .select((Seq(col("req_url"), col("req_at")) ++
+        capCols.map(c => col(s"_w.$c").as(c))): _*)
+  }
+
   /** FREE dedup signal from the archive itself (r17): crawls declare
     * exact re-fetches as `WARC-Type: revisit` records carrying the
     * original capture's `WARC-Payload-Digest` and

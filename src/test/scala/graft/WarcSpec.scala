@@ -685,6 +685,42 @@ class WarcSpec extends SparkSpec {
     // hostless junk: empty result, no error
     assert(Warc.lookupAt(spark, s"$dir/cdx",
       "not a url", ts("2024-01-12 00:00:00")).count() == 0)
+
+    // ---- lookupAtMany: the batched replay-job shape over the same index
+    val requests = Seq(
+      (url, ts("2024-01-12 00:00:00")),              // → v2
+      (url, ts("2024-01-15 00:00:00")),              // tie → earlier (v2)
+      (url, ts("2024-01-19 00:00:00")),              // → v3
+      (s"$url/child", ts("2024-01-12 00:00:00")),    // the decoy itself
+      ("https://bulk7.example/x", ts("2024-02-01 00:00:00")),
+      ("https://nosuch.example/q", ts("2024-01-12 00:00:00")), // never captured
+      ("not a url", ts("2024-01-12 00:00:00")))      // hostless
+      .toDF("url", "at")
+    val many = Warc.lookupAtMany(spark, s"$dir/cdx", requests).collect()
+      .map(r => (r.getAs[String]("req_url"), r.getAs[java.sql.Timestamp]("req_at")) -> r)
+      .toMap
+    assert(many.size == 7, s"one row per distinct request, got ${many.size}")
+    // equality with per-request lookupAt on EVERY request (incl. the tie)
+    requests.collect().foreach { r =>
+      val (u, a) = (r.getString(0), r.getTimestamp(1))
+      val single = Warc.lookupAt(spark, s"$dir/cdx", u, a).collect()
+      val got = many((u, a))
+      if (single.isEmpty)
+        assert(got.isNullAt(got.fieldIndex("warc_file")),
+          s"$u@$a: batched hit where single missed")
+      else {
+        assert(got.getAs[String]("warc_file") == single(0).getAs[String]("warc_file") &&
+          got.getAs[Long]("rec_offset") == single(0).getAs[Long]("rec_offset"),
+          s"$u@$a: batched winner differs from lookupAt")
+      }
+    }
+    // the batched plan also prunes: 3 distinct hosts ⇒ well under 8 files
+    val manyTouched = graft.sources.Sinks.readSkippingKeys(spark, s"$dir/cdx", "surt_key",
+        Seq(url, s"$url/child", "https://bulk7.example/x").map(u =>
+          spark.range(1).select(graft.text.Urls.surtKey(
+            graft.text.Urls.canonicalize(lit(u))).as("k")).head.getString(0)))
+      .select(input_file_name()).distinct().count()
+    assert(manyTouched <= 4, s"batched lookup touched $manyTouched of 8 files")
   }
 
   test("charset-aware decode: header charset, meta sniff, header-beats-meta, " +
