@@ -666,24 +666,26 @@ object Sinks {
   def readSkippingKeys(spark: org.apache.spark.sql.SparkSession, path: String,
       c: String, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    require(keys.nonEmpty, "readSkippingKeys needs at least one key")
-    val sorted = keys.distinct.sorted.toIndexedSeq
+    val clean = keys.filter(_ != null).distinct
+    require(clean.nonEmpty, "readSkippingKeys needs at least one non-null key")
+    // Spark's string min/max stats order by UTF-8 BYTES (UTF8String's
+    // binary comparator), which diverges from Java's UTF-16 char order for
+    // supplementary-plane text (U+E000 sorts ABOVE a surrogate pair in
+    // char order, below it in byte order) — the search must compare in the
+    // stats' own order or a non-ASCII key's file prunes away silently.
+    def cmp(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sorted = clean.sortWith(cmp(_, _) < 0).toIndexedSeq
     // first key >= lo exists and is <= hi  ⇔  some key falls in [lo, hi];
     // evaluated DRIVER-SIDE over the collected stats rows (file-rate
     // metadata × log keys), so this stays UDF-free
     def anyKeyIn(lo: String, hi: String): Boolean = {
       var l = 0; var r = sorted.length
-      while (l < r) { val m = (l + r) >>> 1; if (sorted(m) < lo) l = m + 1 else r = m }
-      l < sorted.length && sorted(l) <= hi
+      while (l < r) { val m = (l + r) >>> 1; if (cmp(sorted(m), lo) < 0) l = m + 1 else r = m }
+      l < sorted.length && cmp(sorted(l), hi) <= 0
     }
-    val statsPath = new Path(s"$path/_graft_stats")
-    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(statsPath),
-      s"no stats manifest at $statsPath — run writeStatsManifest after writing $path")
-    val stats = spark.read.parquet(statsPath.toString)
-    require(stats.columns.contains(s"min_$c"),
-      s"column $c is not indexed by the stats manifest at $statsPath " +
-        s"(indexed: ${stats.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).mkString(", ")})")
+    val (fs, stats) = loadStats(spark, path, Seq(c))
     require(stats.schema(s"min_$c").dataType ==
       org.apache.spark.sql.types.StringType,
       s"readSkippingKeys needs a STRING-keyed column; min_$c is " +
@@ -694,24 +696,32 @@ object Sinks {
     val kept = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
         anyKeyIn(r.getString(1), r.getString(2)))
       .map(r => normFilePath(r.getString(0)))
-    val pruned =
-      if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
-      else spark.read.parquet(kept.toIndexedSeq: _*)
     // exact membership via a broadcast semi-join (an `isin` literal of
     // 10^5 keys would bloat the plan; the join is the scalable spelling)
     import spark.implicits._
-    pruned.join(broadcast(sorted.toDF(c)), Seq(c), "left_semi")
+    planKept(spark, path, kept.toIndexedSeq)
+      .join(broadcast(sorted.toDF(c)), Seq(c), "left_semi")
   }
 
-  /** Stats-manifest file pruning behind [[readSkipping]]: load
-    * `_graft_stats`, check the requested columns are indexed, check
-    * freshness, and plan over only the files whose stats row satisfies
-    * `keepCol`.
+  /** Stats-manifest file pruning behind [[readSkipping]]: the files whose
+    * stats row satisfies `keepCol`, freshness-gated.
     */
   private def prunedByStats(spark: org.apache.spark.sql.SparkSession,
       path: String, cols: Seq[String],
       keepCol: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.functions._
+    val (fs, stats) = loadStats(spark, path, cols)
+    val rows = stats.select(col("file"), coalesce(keepCol, lit(false)).as("keep")).collect()
+    validateStatsFresh(fs, path, rows.map(r => normFilePath(r.getString(0))).toSet)
+    planKept(spark, path,
+      rows.filter(r => r.getBoolean(1)).map(r => normFilePath(r.getString(0))).toIndexedSeq)
+  }
+
+  /** Load `_graft_stats` for `path`, failing named when absent or when any
+    * of `cols` is unindexed — shared by both skipping reads.
+    */
+  private def loadStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, cols: Seq[String]): (org.apache.hadoop.fs.FileSystem, DataFrame) = {
     val statsPath = new Path(s"$path/_graft_stats")
     val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(statsPath),
@@ -722,11 +732,17 @@ object Sinks {
         s"column $c is not indexed by the stats manifest at $statsPath " +
           s"(indexed: ${stats.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).mkString(", ")})")
     }
-    val rows = stats.select(col("file"), coalesce(keepCol, lit(false)).as("keep")).collect()
-    validateStatsFresh(fs, path, rows.map(r => normFilePath(r.getString(0))).toSet)
-    val kept = rows.filter(r => r.getBoolean(1)).map(r => normFilePath(r.getString(0)))
+    (fs, stats)
+  }
+
+  /** Plan a read over exactly `kept` files (all of `path` filtered to
+    * nothing when the prune left zero) — shared by both skipping reads.
+    */
+  private def planKept(spark: org.apache.spark.sql.SparkSession,
+      path: String, kept: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
     if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
-    else spark.read.parquet(kept.toIndexedSeq: _*)
+    else spark.read.parquet(kept: _*)
   }
 
   /** The manifest-freshness gate both skipping reads share: the manifest's

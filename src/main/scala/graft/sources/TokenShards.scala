@@ -62,7 +62,13 @@ object TokenShards {
     case 2 => 2
     case other => sys.error(s"unknown token dtype code $other")
   }
-  private def dtypeName(code: Int): String = if (code == 2) "u2" else "i4"
+  // strict: an unknown header code must FAIL every reader of the field
+  // (mapping it to "i4" would let a corrupted header pass validation)
+  private def dtypeName(code: Int): String = code match {
+    case 0 => "i4"
+    case 2 => "u2"
+    case other => sys.error(s"unknown token dtype code $other")
+  }
 
   /** Per-doc BPE subword stream: (idCol, subs array<string>) — the ONE
     * encode pass [[vocab]] and [[docTokens]] both read (BPE is the

@@ -124,19 +124,33 @@ object VersionedTable {
     finally in.close()
   }
 
-  /** Put-if-absent publish: exclusive create of the commit file. False =
-    * the version was taken by a concurrent writer (retry at the next).
+  /** Put-if-absent publish with ATOMIC content visibility: the body is
+    * fully written to a temp file in the log dir, exists-checked, RENAMED
+    * to the final name, then READ BACK to confirm this writer's token is
+    * the one that landed. Rename makes content appear atomically (a
+    * reader can never see a half-written commit file — create-then-write
+    * in place would expose one, and a crash mid-write would brick the
+    * table as a permanent torn commit); the read-back closes the residual
+    * race on filesystems whose rename REPLACES an existing destination
+    * (POSIX/local — HDFS rename is no-overwrite and fails there instead):
+    * two photo-finish writers both rename, the second replaces the first,
+    * and only the token tells each whether it won. A crash before the
+    * rename leaves an invisible `.tmp` straggler ([[vacuum]] sweeps the
+    * log dir's stale temps). False = lost; retry at the next version.
     */
-  private def tryPublish(fs: FileSystem, p: Path, body: String): Boolean =
+  private def tryPublish(fs: FileSystem, p: Path, body: String, token: String): Boolean = {
+    val tmp = new Path(p.getParent, s".${p.getName}.$token.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     try {
-      val out = fs.create(p, false)
-      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      true
+      if (fs.exists(p)) { fs.delete(tmp, false); return false }
+      if (!fs.rename(tmp, p)) { fs.delete(tmp, false); return false }
+      readText(fs, p).contains(token)
     } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.io.IOException if fs.exists(p) => false
+      case _: java.io.IOException => fs.delete(tmp, false); false
     }
+  }
 
   private def obj(kind: String)(fill: com.fasterxml.jackson.databind.node.ObjectNode => Unit): String = {
     val root = mapper.createObjectNode()
@@ -151,7 +165,8 @@ object VersionedTable {
   private def txnLine(app: String, batch: Long) =
     obj("txn") { n => n.put("app", app); n.put("batch", batch) }
   private def vacuumLine(horizon: Long) = obj("vacuum")(_.put("horizon", horizon))
-  private def commitLine(op: String) = obj("commit")(_.put("op", op))
+  private def commitLine(op: String, token: String) =
+    obj("commit") { n => n.put("op", op); n.put("writer", token) }
 
   /** Parse one commit file's actions; a file without the terminal commit
     * marker is a torn write and fails NAMED — serving a half-applied
@@ -206,12 +221,21 @@ object VersionedTable {
       val n = fa.addObject(); n.put("path", f.path); n.put("rows", f.rows) }
     val ta = root.putObject("txns")
     s.txns.foreach { case (app, b) => ta.put(app, b) }
-    // checkpoints are derived state: last-writer-wins overwrite is safe
-    // (every writer of version V derives the identical snapshot)
-    val out = fs.create(checkpointPath(table, s.version), true)
+    // checkpoints are derived state: last-writer-wins is safe (every
+    // writer of version V derives the identical snapshot) — but content
+    // must appear ATOMICALLY (temp + rename; a reader listing the log
+    // mid-write must never parse a half-written checkpoint). On a
+    // no-overwrite filesystem the delete+rename leaves a window with no
+    // checkpoint at V, which readers handle by design (they fall back to
+    // an earlier checkpoint or full replay).
+    val dst = checkpointPath(table, s.version)
+    val tmp = new Path(dst.getParent, s".${dst.getName}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsString(root)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
   }
 
   private def readCheckpoint(fs: FileSystem, table: String, v: Long): Snapshot = {
@@ -255,10 +279,16 @@ object VersionedTable {
     }
     // the binding horizon is the CURRENT one — a vacuum logged AFTER the
     // target version has already deleted the target's unreferenced files,
-    // and replay-to-target cannot see it
+    // and replay-to-target cannot see it. Horizons only grow and every
+    // checkpoint carries the horizon as of its version, so only the tail
+    // commits past the LATEST checkpoint need parsing — time travel stays
+    // bounded by checkpointInterval, not table age.
     val horizon = if (target == commits.last) s.vacuumHorizon else {
-      var h = s.vacuumHorizon
-      commits.filter(_ > target).foreach { v =>
+      val cpLater = checkpoints.filter(_ > target).lastOption
+      var h = math.max(s.vacuumHorizon,
+        cpLater.map(v => readCheckpoint(fs, table, v).vacuumHorizon).getOrElse(0L))
+      val from = math.max(target, cpLater.getOrElse(Long.MinValue))
+      commits.filter(_ > from).foreach { v =>
         parseCommit(fs, table, v)._1.foreach { n =>
           if (n.has("vacuum"))
             h = math.max(h, n.get("vacuum").get("horizon").asLong())
@@ -351,8 +381,9 @@ object VersionedTable {
         case None => return None
         case Some(lines) =>
           val v = snap.map(_.version + 1).getOrElse(0L)
-          val body = (lines :+ commitLine(op)).mkString("", "\n", "\n")
-          if (tryPublish(fs, commitPath(table, v), body)) {
+          val token = java.util.UUID.randomUUID().toString
+          val body = (lines :+ commitLine(op, token)).mkString("", "\n", "\n")
+          if (tryPublish(fs, commitPath(table, v), body, token)) {
             if (v > 0 && v % checkpointInterval == 0)
               writeCheckpoint(fs, table, snapshotAt(spark, table, v))
             return Some(v)
@@ -477,28 +508,43 @@ object VersionedTable {
   // -------------------------------------------------------------- vacuum
 
   /** Delete data files referenced by NO retained version (the last
-    * `retainVersions` snapshots stay time-travelable) plus any orphans a
-    * crashed writer left, then log the new horizon — a later
-    * `readVersion` below it fails named instead of half-reading. Returns
-    * the number of files deleted.
+    * `retainVersions` snapshots stay time-travelable) plus any straggler
+    * a crashed writer left, then return the number of files deleted.
+    *
+    * Two safety rails, both load-bearing:
+    *  - the new horizon is LOGGED FIRST, files deleted after — a crash in
+    *    between leaves extra files (harmless; the next vacuum sweeps),
+    *    never a readable-per-the-log version with missing files;
+    *  - only unreferenced files OLDER than `graceMs` die (the public
+    *    Delta retention discipline): a concurrent writer's just-written
+    *    data files are unreferenced BY DESIGN until its commit publishes,
+    *    and a grace-less vacuum would delete them out from under it.
+    *    The default (24 h) assumes no append takes a day; tests pass 0.
     */
-  def vacuum(spark: SparkSession, table: String, retainVersions: Int = 2): Int = {
+  def vacuum(spark: SparkSession, table: String, retainVersions: Int = 2,
+      graceMs: Long = 24L * 3600 * 1000): Int = {
     require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
+    require(graceMs >= 0, s"graceMs must be non-negative, got $graceMs")
     val fs = fsOf(spark, table)
     val latest = latestVersion(spark, table)
     val prior = snapshotAt(spark, table).vacuumHorizon
     val horizon = math.max(prior, math.max(0L, latest - retainVersions + 1))
-    val referenced = (horizon to latest)
+    // horizon first: from here, a below-horizon time travel fails NAMED
+    // even if this process dies before deleting a single file
+    commitLoop(spark, table, "vacuum")(_ => Some(Seq(vacuumLine(horizon))))
+    val referenced = (horizon to latestVersion(spark, table))
       .flatMap(v => snapshotAt(spark, table, v).files.map(_.path)).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val dataRoot = new Path(s"$table/$DataDirName")
     var deleted = 0
     if (fs.exists(dataRoot)) {
       val it = fs.listFiles(dataRoot, true)
       val doomed = Seq.newBuilder[Path]
       while (it.hasNext) {
-        val f = it.next().getPath
-        val rel = s"$DataDirName/${f.getParent.getName}/${f.getName}"
-        if (!referenced.contains(rel)) doomed += f
+        val f = it.next()
+        val rel = s"$DataDirName/${f.getPath.getParent.getName}/${f.getPath.getName}"
+        if (!referenced.contains(rel) && f.getModificationTime <= cutoff)
+          doomed += f.getPath
       }
       doomed.result().foreach { f => if (fs.delete(f, false)) deleted += 1 }
       // sweep now-empty commit dirs
@@ -507,7 +553,11 @@ object VersionedTable {
           fs.delete(d.getPath, false)
       }
     }
-    commitLoop(spark, table, "vacuum")(_ => Some(Seq(vacuumLine(horizon))))
+    // crashed publishers' temp stragglers in the log dir, same grace
+    fs.listStatus(logDir(table)).foreach { st =>
+      if (st.getPath.getName.endsWith(".tmp") && st.getModificationTime <= cutoff)
+        fs.delete(st.getPath, false)
+    }
     deleted
   }
 }

@@ -869,12 +869,15 @@ object Warc {
       .distinct()
       .withColumn("_key", graft.text.Urls.surtKey(
         graft.text.Urls.canonicalize(col("req_url"))))
-    val keyRows = reqs.select(col("_key")).filter(col("_key").isNotNull)
-      .distinct().limit(maxKeys + 1).collect()
-    require(keyRows.length <= maxKeys,
-      s"lookupAtMany request set exceeds maxKeys=$maxKeys distinct urls — " +
-        "a corpus-scale request set should JOIN the index, not point-look it up")
-    val keys = keyRows.map(_.getString(0)).toSeq
+    // the bound is on distinct (url, at) PAIRS — that is what broadcasts;
+    // bounding urls alone would let 10 urls × 10⁷ timestamps through
+    val nReqs = reqs.limit(maxKeys + 1).count()
+    require(nReqs <= maxKeys,
+      s"lookupAtMany request set exceeds maxKeys=$maxKeys distinct (url, at) " +
+        "requests — a corpus-scale request set should JOIN the index, not " +
+        "point-look it up")
+    val keys = reqs.select(col("_key")).filter(col("_key").isNotNull)
+      .distinct().collect().map(_.getString(0)).toSeq
     val capCols = Seq("surt_key", "url_canon", "url", "fetch_ts",
       "http_status", "mime", "payload_len", "warc_file", "rec_offset")
     if (keys.isEmpty) { // every request is hostless: all-NULL captures

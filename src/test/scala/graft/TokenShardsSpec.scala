@@ -301,6 +301,26 @@ class TokenShardsSpec extends SparkSpec {
     assert(bad.getMessage.contains("unknown token dtype"), bad.getMessage)
   }
 
+  test("a corrupted header dtype code fails validation NAMED — never parses " +
+      "as int32 by default") {
+    val dir = tmp("tok_badcode")
+    val seqs = (0L until 2L).map(i => (i, Seq(1, 2, 3, 4))).toDF("seq_id", "tokens")
+    TokenShards.writeShards(seqs, s"$dir/shards", seqLen = 4, seqsPerShard = 2)
+    val f = new java.io.File(s"$dir/shards").listFiles()
+      .filter(_.getName.endsWith(".tok")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    bytes(28) = 7 // dtype code bytes are 28..31 LE
+    java.nio.file.Files.write(f.toPath, bytes)
+    // drop the local-FS checksum sidecar so the corruption reaches the
+    // header parser rather than tripping the CRC first
+    java.nio.file.Files.deleteIfExists(
+      new java.io.File(f.getParentFile, s".${f.getName}.crc").toPath)
+    val e = intercept[RuntimeException] {
+      TokenShards.readShards(spark, s"$dir/shards")
+    }
+    assert(e.getMessage.contains("unknown token dtype code 7"), e.getMessage)
+  }
+
   test("dtype u2: a stale i4 file under a u2 manifest fails the read NAMED") {
     val dir = tmp("tok_u2_stale")
     val seqs = (0L until 2L).map(i => (i, Seq(1, 2, 3, 4))).toDF("seq_id", "tokens")

@@ -174,7 +174,10 @@ class VersionedTableSpec extends SparkSpec {
     Seq((666L, "ghost")).toDF("id", "v").write
       .parquet(s"$t/${VersionedTable.DataDirName}/files-orphan")
     val before = rows(VersionedTable.read(spark, t))
-    val deleted = VersionedTable.vacuum(spark, t, retainVersions = 2) // keeps v1, v2
+    // grace 0 — the test's files are seconds old; production default (24 h)
+    // protects a concurrent writer's not-yet-committed data files
+    val deleted = VersionedTable.vacuum(spark, t, retainVersions = 2,
+      graceMs = 0L) // keeps v1, v2
     assert(deleted >= 2, s"deleted only $deleted files") // v0's file + the orphan
     // latest and retained versions still read exactly
     assert(rows(VersionedTable.read(spark, t)) == before)
@@ -192,6 +195,31 @@ class VersionedTableSpec extends SparkSpec {
     val ops = VersionedTable.history(spark, t).select("op")
       .collect().map(_.getString(0))
     assert(ops.count(_ == "vacuum") == 1)
+    // the GRACE WINDOW: a fresh unreferenced file (a concurrent writer's
+    // not-yet-committed data) survives a default-grace vacuum
+    Seq((667L, "inflight")).toDF("id", "v").write
+      .parquet(s"$t/${VersionedTable.DataDirName}/files-inflight")
+    VersionedTable.vacuum(spark, t, retainVersions = 2) // default 24 h grace
+    assert(fs.exists(new Path(s"$t/${VersionedTable.DataDirName}/files-inflight")),
+      "vacuum deleted a within-grace unreferenced file — a concurrent " +
+        "writer's uncommitted data would be destroyed")
+  }
+
+  test("publish temps are invisible to readers and swept by vacuum") {
+    val t = tmpTable("tmps")
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), t)
+    // a crashed publisher's straggler: written, never renamed
+    val straggler = new Path(
+      s"$t/${VersionedTable.LogDirName}/.${"0" * 19}1.json.dead.tmp")
+    val out = fs.create(straggler, false)
+    out.write("{\"add\":{\"path\":\"data/x/y.parquet\",\"rows\":1}}\n".getBytes)
+    out.close()
+    // reads and writes are unaffected (listLog matches only NNN.json)
+    assert(rows(VersionedTable.read(spark, t)) == Set((1L, "a")))
+    assert(VersionedTable.append(Seq((2L, "b")).toDF("id", "v"), t) == 1L)
+    // zero-grace vacuum sweeps it
+    VersionedTable.vacuum(spark, t, retainVersions = 2, graceMs = 0L)
+    assert(!fs.exists(straggler), "vacuum left the publish straggler")
   }
 
   test("the reference's MERGE-into-Delta pattern: Scd2.merge commits as a " +
