@@ -82,7 +82,7 @@ object ScaleBench {
     "x112_unigram_encode_work", "x113_sequence_pack_work",
     "x48_frames_work", "x115_shuffle_pack_work", "x116_token_shards_work",
     "x117_frontier_budget_work", "x120_eos_pack_work",
-    "x121_epoch_plan_work")
+    "x121_epoch_plan_work", "x122_image_gate_work")
 
   /** Default key stride between copies: far above any sf0.1 key range, so
     * strided ids never collide across copies. A SECOND derivation (e.g.
@@ -396,6 +396,14 @@ object ScaleBench {
     "x121_epoch_plan_work" -> { (s, d) =>
       SparkEntry.queries("q121_epoch_plan")(s, d)
         .agg(sum(col("position")).as("t"), sum(col("byte_offset")).as("o"),
+          count(lit(1)).as("n"))
+    },
+    // q122: render + parse + raster-sum per image — pure per-partition
+    // byte-rate scan; the exponent should track corpus bytes.
+    "x122_image_gate_work" -> { (s, d) =>
+      SparkEntry.queries("q122_image_gate")(s, d)
+        .agg(sum(col("sum_bytes")).as("t"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("k"),
           count(lit(1)).as("n"))
     })
 

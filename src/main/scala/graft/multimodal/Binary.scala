@@ -128,6 +128,27 @@ object Binary {
     (w, h, "ppm")
   }
 
+  /** Per-image raster stats for the INTAKE GATE (q122): dimensions from
+    * the REAL parse plus the exact raster byte sum — the integer the gate
+    * rules (min pixels, max aspect, min mean fill) compare against, exact
+    * end to end so the oracle recomputes it bit-for-bit. One pass over the
+    * payload per image, per-partition (the decode shape q30/q101 set).
+    */
+  final case class ImageStats(doc_id: Long, width: Int, height: Int, sum_bytes: Long)
+
+  def imageStats(spark: SparkSession, payloads: Dataset[MediaPayload]): Dataset[ImageStats] = {
+    import spark.implicits._
+    payloads.mapPartitions(_.map { m =>
+      val (w, h, _) = parsePpm(m.payload)
+      val n = w * h * 3
+      val start = m.payload.length - n
+      var s = 0L
+      var i = start
+      while (i < m.payload.length) { s += (m.payload(i) & 0xff); i += 1 }
+      ImageStats(m.doc_id, w, h, s)
+    })
+  }
+
   /** Mean raster byte of a P6 PPM (maxval < 256) — the pixel-stats step a
     * real feature extractor would do; exercised by the decode specs.
     */

@@ -98,6 +98,29 @@ object SimQueries {
         .orderBy(col("doc_id_a"), col("doc_id_b"))
     },
 
+    // ---- q122: the image INTAKE GATE (the q89 rule gate, for pixels) ----
+    // What a LAION-style multimodal intake drops before anything expensive
+    // runs: too-small images (min pixels), degenerate aspect ratios, and
+    // near-empty/near-solid rasters (min mean fill). Rules are EXACT
+    // integer comparisons over the real decode's (width, height, raster
+    // byte sum) — one pass per image, per-partition, no shuffle; the
+    // oracle recomputes the sum from the text bytes (closed-form by
+    // construction of the canvas — the q30/q101 discipline).
+    "q122_image_gate" -> { (s, d) =>
+      val st = Binary.imageStats(
+        s, Binary.toPpmPayloads(s, Tables.documents(s, d))).toDF()
+      val bigEnough = (col("width") * col("height")) >= 128
+      val aspectOk = greatest(col("width"), col("height")) * 100 <=
+        least(col("width"), col("height")) * 1100
+      val filled = col("sum_bytes") >=
+        col("width").cast("long") * col("height") * 3 * 80
+      st.select(col("doc_id"), col("width"), col("height"), col("sum_bytes"),
+          bigEnough.as("big_enough"), aspectOk.as("aspect_ok"),
+          filled.as("filled_enough"),
+          (bigEnough && aspectOk && filled).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q111: audio sample stats + perceptual near-dup (energy dHash) ----
     // Ingest renders each doc as a REAL mono PCM16 WAV (samples = the
     // closed-form byte waveform s(k) = (byte(k) − 100)·200, the q30/q101
@@ -228,6 +251,25 @@ object SimQueries {
            round(sqrt(sum((pv.val - cent.c) * (pv.val - cent.c))), 6) AS dist_to_centroid
          FROM pv JOIN cent ON pv.label = cent.label AND pv.pos = cent.pos
          GROUP BY 1, 2 ORDER BY vec_id""",
+
+    // q122: the raster IS the text (ASCII, zero-padded to the 32-wide
+    // canvas — MetaSpec pins the corpus ASCII), so the byte sum is the
+    // char-code sum and every rule is the same integer arithmetic.
+    "q122_image_gate" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len,
+           greatest(1, (octet_length(encode(text)) + 95) // 96) AS h
+           FROM documents),
+         s AS (SELECT doc_id, 32 AS width, h::INT AS height,
+             coalesce(list_sum([ascii(substr(text, i, 1)) for i in range(1, len + 1)]), 0)::BIGINT AS sum_bytes
+           FROM d)
+         SELECT doc_id, width, height, sum_bytes,
+           width * height >= 128 AS big_enough,
+           greatest(width, height) * 100 <= least(width, height) * 1100 AS aspect_ok,
+           sum_bytes >= width::BIGINT * height * 3 * 80 AS filled_enough,
+           (width * height >= 128
+             AND greatest(width, height) * 100 <= least(width, height) * 1100
+             AND sum_bytes >= width::BIGINT * height * 3 * 80) AS keep
+         FROM s ORDER BY doc_id""",
 
     "q30_multimodal_meta" ->
       """WITH h AS (SELECT doc_id,

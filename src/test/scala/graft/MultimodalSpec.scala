@@ -918,4 +918,33 @@ class MultimodalSpec extends SparkSpec {
     val h1 = byPair((11L, 21L))
     assert(h1 > 0 && h1 <= 4, s"perturbed frame hamming $h1")
   }
+
+  test("imageStats + the q122 gate rules: exact sums, each rule bites on its " +
+      "own failure mode") {
+    import spark.implicits._
+    // h=1 full row (fails pixels AND aspect, fill ok), h=4 full
+    // (passes all), h=3 under-filled (200 of 288 canvas bytes: fill
+    // fraction 0.69 x 'm'=109 gives mean 75.7 < the 80 floor)
+    val docs = Seq(
+      (1L, "x" * 96),                 // h=1 full row: 32x1, aspect 32:1
+      (2L, "m" * 384),                // h=4, zero padding, mean = 'm'=109
+      (3L, "m" * 200)                 // h=3: 88 pad zeros, mean ~75.7 < 80
+    ).toDF("doc_id", "text")
+    val st = graft.multimodal.Binary.imageStats(spark,
+        graft.multimodal.Binary.toPpmPayloads(spark, docs))
+      .collect().map(i => i.doc_id -> i).toMap
+    assert(st(1L).width == 32 && st(1L).height == 1 && st(1L).sum_bytes == 96L * 'x')
+    assert(st(2L).height == 4 && st(2L).sum_bytes == 384L * 'm')
+    assert(st(3L).height == 3 && st(3L).sum_bytes == 200L * 'm')
+    // the gate rules, exactly as q122 spells them
+    def rules(w: Int, h: Int, s: Long) = (
+      w * h >= 128,
+      math.max(w, h) * 100 <= math.min(w, h) * 1100,
+      s >= w.toLong * h * 3 * 80)
+    assert(rules(32, 1, st(1L).sum_bytes) == ((false, false, true)),
+      "tiny image must fail pixels and aspect")
+    assert(rules(32, 4, st(2L).sum_bytes) == ((true, true, true)))
+    assert(rules(32, 3, st(3L).sum_bytes) == ((false, true, false)),
+      "under-filled raster must fail the fill rule (and 96 px < 128)")
+  }
 }

@@ -466,6 +466,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q120 eos pack: vocab lookup is a map literal (no join), assembly is " +
+      "equi-joins only — never a pair blowup") {
+    val p = plan("q120_eos_pack")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"eos pack must stay equi-join shaped:\n$p")
+    // the subword→id lookup is element_at on a broadcast literal — no
+    // extra join beyond the manifest⋈tokens assembly join
+    assert(p.contains("element_at"), s"vocab lookup must be the map literal:\n$p")
+  }
+
+  test("q121 epoch plan: positions come from the bucketed hash-space rank — " +
+      "no corpus-wide single-partition sort (epochPlan itself)") {
+    import org.apache.spark.sql.functions._
+    val full = graft.ops.SequencePack.manifest(
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"),
+            size(graft.text.TextFunctions.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", seqLen = 256, bucketSize = 64)
+      .groupBy(col("seq_id")).agg(sum(col("len")).as("_t"))
+      .filter(col("_t") === 256L)
+    val p = graft.sources.TokenShards.epochPlan(full, epochs = 2,
+      seed = "s17", seqLen = 256, seqsPerShard = 64, dtype = "u2")
+      .queryExecution.executedPlan.toString
+    // the within-bucket window partitions by _bkt; a global rank would
+    // show an Exchange rangepartitioning (total sort) or a
+    // single-partition window
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"epoch positions must never globally sort:\n$p")
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.forall(_.contains("_bkt")),
+      s"rank window must partition by the hash bucket:\n$windowLines")
+  }
+
   test("whole-stage codegen covers the q01 aggregation") {
     // Under AQE the codegen spans only appear in the finalized plan, and
     // simpleString renders them as "*(n)" stage markers.
