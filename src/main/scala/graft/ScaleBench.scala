@@ -82,7 +82,8 @@ object ScaleBench {
     "x112_unigram_encode_work", "x113_sequence_pack_work",
     "x48_frames_work", "x115_shuffle_pack_work", "x116_token_shards_work",
     "x117_frontier_budget_work", "x120_eos_pack_work",
-    "x121_epoch_plan_work", "x122_image_gate_work")
+    "x121_epoch_plan_work", "x122_image_gate_work",
+    "x123_audio_gate_work")
 
   /** Default key stride between copies: far above any sf0.1 key range, so
     * strided ids never collide across copies. A SECOND derivation (e.g.
@@ -403,6 +404,14 @@ object ScaleBench {
     "x122_image_gate_work" -> { (s, d) =>
       SparkEntry.queries("q122_image_gate")(s, d)
         .agg(sum(col("sum_bytes")).as("t"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("k"),
+          count(lit(1)).as("n"))
+    },
+    // q123: WAV render + sample decode + stats per clip — the same
+    // byte-rate scan shape as x111/x122.
+    "x123_audio_gate_work" -> { (s, d) =>
+      SparkEntry.queries("q123_audio_gate")(s, d)
+        .agg(sum(col("sum_sq")).as("t"),
           sum(when(col("keep"), 1L).otherwise(0L)).as("k"),
           count(lit(1)).as("n"))
     })

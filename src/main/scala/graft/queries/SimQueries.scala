@@ -154,6 +154,30 @@ object SimQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q123: the audio INTAKE GATE (q89/q122, for samples) ----
+    // What an audio intake drops before fingerprinting: too-short clips
+    // (min samples), near-silence (RMS floor as an exact integer cross-
+    // multiplication — sum_sq·1000 ≥ n·threshold², no float compare), and
+    // noise-like signals (zero-crossing-rate ceiling, same discipline).
+    // Rides the SAME cached clipRows frame as q111 — the decode is paid
+    // once for the dedup and the gate together.
+    "q123_audio_gate" -> { (s, d) =>
+      val clips = graft.Graft.registerCache(
+        Audio.clipRows(Audio.toWavPayloads(s, Tables.documents(s, d))).toDF())
+      val longEnough = col("n_samples") >= 256
+      val loudEnough = col("sum_sq") * 1000 >=
+        col("n_samples").cast("long") * 36600000000L
+      val steady = col("n_zero_crossings").cast("long") * 1000 <=
+        col("n_samples").cast("long") * 505
+      clips.select(col("doc_id"),
+          col("n_samples").cast("long").as("n_samples"), col("sum_sq"),
+          col("n_zero_crossings").cast("long").as("n_zero_crossings"),
+          longEnough.as("long_enough"), loudEnough.as("loud_enough"),
+          steady.as("steady_enough"),
+          (longEnough && loudEnough && steady).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q55: trained IVF quantizer (k-means cell build) ----
     // Deterministic end to end (farthest-point seeding + Lloyd, no RNG),
     // but k-means is not practically SQL-expressible — no oracleSql entry,
@@ -367,6 +391,27 @@ object SimQueries {
            fph.fp AS fp, dup.dup_candidate
          FROM st JOIN fph USING (doc_id) LEFT JOIN dup USING (doc_id)
          ORDER BY st.doc_id""",
+
+    // q123: q111's stats CTEs + the gate's exact integer rules.
+    "q123_audio_gate" ->
+      """WITH d AS (SELECT doc_id, text, greatest(1, length(text)) AS n FROM documents),
+         sm AS (SELECT doc_id, n,
+             [CASE WHEN k <= length(text) THEN (ascii(substr(text, k, 1)) - 100) * 200
+               ELSE 0 END for k in range(1, n + 1)] AS s
+           FROM d),
+         st AS (SELECT doc_id, n,
+             list_sum(list_transform(s, x -> x::BIGINT * x)) AS sum_sq,
+             coalesce(list_sum([CASE WHEN s[k] * s[k + 1] < 0 THEN 1 ELSE 0 END
+               for k in range(1, n)]), 0) AS zc
+           FROM sm)
+         SELECT doc_id, n::BIGINT AS n_samples, sum_sq::BIGINT AS sum_sq,
+           zc::BIGINT AS n_zero_crossings,
+           n >= 256 AS long_enough,
+           sum_sq * 1000 >= n * 36600000000 AS loud_enough,
+           zc * 1000 <= n * 505 AS steady_enough,
+           (n >= 256 AND sum_sq * 1000 >= n * 36600000000
+             AND zc * 1000 <= n * 505) AS keep
+         FROM st ORDER BY doc_id""",
 
     "q35_dedup_cosine" ->
       s"""WITH $E, $BUCKET_CTES,

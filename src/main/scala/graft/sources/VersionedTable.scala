@@ -413,15 +413,50 @@ object VersionedTable {
   def append(df: DataFrame, table: String): Long =
     txnAppend(df, table, app = null, batch = 0L).get
 
+  /** [[append]] under SCHEMA EVOLUTION — the public Delta `mergeSchema`
+    * contract the reference's silver tables lean on when a source adds a
+    * column: NEW columns WIDEN the table schema in this same commit (a
+    * `meta` action), columns the frame omits land as typed NULLs, and a
+    * type CHANGE on a shared column still fails named. Widening never
+    * rewrites history: older files simply read the new columns as null,
+    * and time travel below the widening commit serves the old schema.
+    */
+  def appendEvolve(df: DataFrame, table: String): Long =
+    txnAppend(df, table, app = null, batch = 0L, evolve = true).get
+
+  /** Merge `incoming`'s columns into `base`: additions append, shared
+    * columns must keep their type (named failure), nothing is removed.
+    */
+  private def evolvedSchema(base: StructType, incoming: StructType): StructType = {
+    val baseTypes = base.fields.map(f => f.name -> f.dataType).toMap
+    val retyped = incoming.fields.filter(f =>
+      baseTypes.get(f.name).exists(_ != f.dataType))
+    require(retyped.isEmpty,
+      s"schema drift: columns ${retyped.map(_.name).mkString(", ")} changed type " +
+        s"(${retyped.map(f => s"${f.name}: ${baseTypes(f.name).simpleString} -> ${f.dataType.simpleString}").mkString("; ")}) — " +
+        "evolution ADDS columns, it never retypes")
+    StructType(base.fields ++ incoming.fields.filterNot(f => baseTypes.contains(f.name)))
+  }
+
   /** Idempotent append: a (app, batch) pair already in the log commits
     * NOTHING and returns None — the exactly-once contract a Structured
     * Streaming foreachBatch replay needs (s34). Batch ids must be
-    * monotonic per app (the streaming engine's own guarantee).
+    * monotonic per app (the streaming engine's own guarantee). With
+    * `evolve` the append follows [[appendEvolve]]'s widening contract.
     */
-  def txnAppend(df: DataFrame, table: String, app: String, batch: Long): Option[Long] = {
+  def txnAppend(df: DataFrame, table: String, app: String, batch: Long,
+      evolve: Boolean = false): Option[Long] = {
     val spark = df.sparkSession
-    val schema = snapshotAt(spark, table).schema
-    lazy val adds = writeData(df, table, schema)
+    val baseSchema = snapshotAt(spark, table).schema
+    val writeSchema =
+      if (evolve) evolvedSchema(baseSchema, df.schema) else baseSchema
+    val prepared = if (evolve) {
+      val have = df.columns.toSet
+      df.select(writeSchema.fields.map(f =>
+        if (have(f.name)) org.apache.spark.sql.functions.col(f.name)
+        else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+    } else df
+    lazy val adds = writeData(prepared, table, writeSchema)
     var wrote = false
     val out = commitLoop(spark, table, "append") {
       case None => sys.error(s"no versioned table at $table — create() it first")
@@ -430,7 +465,13 @@ object VersionedTable {
         else {
           wrote = true
           val txn = if (app == null) Nil else Seq(txnLine(app, batch))
-          Some(txn ++ adds.map(addLine))
+          // on a retry after losing the race, merge any CONCURRENT
+          // widening into ours — the commit's meta must never narrow
+          val meta = if (!evolve) Nil else {
+            val merged = evolvedSchema(snap.schema, writeSchema)
+            if (merged == snap.schema) Nil else Seq(metaLine(merged.json))
+          }
+          Some(meta ++ txn ++ adds.map(addLine))
         }
     }
     // a replay that lost the race to its own earlier commit: sweep the

@@ -947,4 +947,32 @@ class MultimodalSpec extends SparkSpec {
     assert(rules(32, 3, st(3L).sum_bytes) == ((false, true, false)),
       "under-filled raster must fail the fill rule (and 96 px < 128)")
   }
+
+  test("q123 audio gate rules: each fails on its own clip pathology — " +
+      "short, silent, noise-like") {
+    import spark.implicits._
+    def payload(id: Long, samples: Array[Int]) =
+      graft.multimodal.Binary.MediaPayload(id,
+        graft.multimodal.Audio.encodePcm16Wav(8000, samples), "audio/wav")
+    // 1: too short (100 samples of healthy signal)
+    // 2: long but near-silent (amplitude 50 square wave, rms 50)
+    // 3: long, loud, but sign-alternates EVERY sample (zcr ~1 — noise-like)
+    // 4: healthy: loud square wave flipping every 16 samples (zcr 1/16)
+    def square(n: Int, amp: Int, period: Int): Array[Int] =
+      Array.tabulate(n)(i => if ((i / period) % 2 == 0) amp else -amp)
+    val clips = graft.multimodal.Audio.clipRows(
+      Seq(payload(1L, square(100, 8000, 16)),
+          payload(2L, square(512, 50, 16)),
+          payload(3L, square(512, 8000, 1)),
+          payload(4L, square(512, 8000, 16))).toDS())
+      .collect().map(c => c.doc_id -> c).toMap
+    def gate(c: graft.multimodal.Audio.ClipRow) = (
+      c.n_samples >= 256,
+      c.sum_sq * 1000 >= c.n_samples.toLong * 36600000000L,
+      c.n_zero_crossings.toLong * 1000 <= c.n_samples.toLong * 505)
+    assert(gate(clips(1L)) == ((false, true, true)), s"short: ${clips(1L)}")
+    assert(gate(clips(2L)) == ((true, false, true)), s"silent: ${clips(2L)}")
+    assert(gate(clips(3L)) == ((true, true, false)), s"noise: ${clips(3L)}")
+    assert(gate(clips(4L)) == ((true, true, true)), s"healthy: ${clips(4L)}")
+  }
 }

@@ -205,6 +205,38 @@ class VersionedTableSpec extends SparkSpec {
         "writer's uncommitted data would be destroyed")
   }
 
+  test("appendEvolve: new columns widen the schema, omitted columns land " +
+      "NULL, history keeps its shape, retypes still fail named") {
+    val t = tmpTable("evolve")
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), t)
+    // a source starts shipping an extra column: the table widens
+    VersionedTable.appendEvolve(
+      Seq((2L, "b", 0.5)).toDF("id", "v", "score"), t)
+    val widened = VersionedTable.read(spark, t)
+    assert(widened.schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    val byId = widened.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(2), "pre-widening rows read the new column as NULL")
+    assert(byId(2L).getDouble(2) == 0.5)
+    // a frame OMITTING a column under evolve: typed NULLs, no failure
+    VersionedTable.appendEvolve(Seq(Tuple1(3L)).toDF("id"), t)
+    val r3 = VersionedTable.read(spark, t).filter(col("id") === 3L).collect()(0)
+    assert(r3.isNullAt(1) && r3.isNullAt(2))
+    // time travel below the widening serves the ORIGINAL schema
+    assert(VersionedTable.readVersion(spark, t, 0)
+      .schema.fieldNames.toSeq == Seq("id", "v"))
+    // plain append still enforces strictly — evolution is the caller's
+    // explicit choice, never a default
+    val strict = intercept[IllegalArgumentException] {
+      VersionedTable.append(Seq((4L, "d", 1.0, true)).toDF("id", "v", "score", "flag"), t)
+    }
+    assert(strict.getMessage.contains("schema drift"), strict.getMessage)
+    // a retype under evolve fails named — widening never retypes
+    val retyped = intercept[IllegalArgumentException] {
+      VersionedTable.appendEvolve(Seq((5, "e")).toDF("id", "v"), t)
+    }
+    assert(retyped.getMessage.contains("never retypes"), retyped.getMessage)
+  }
+
   test("publish temps are invisible to readers and swept by vacuum") {
     val t = tmpTable("tmps")
     VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), t)
