@@ -140,13 +140,20 @@ object Binary {
     import spark.implicits._
     payloads.mapPartitions(_.map { m =>
       val (w, h, _) = parsePpm(m.payload)
-      val n = w * h * 3
-      val start = m.payload.length - n
-      var s = 0L
-      var i = start
-      while (i < m.payload.length) { s += (m.payload(i) & 0xff); i += 1 }
-      ImageStats(m.doc_id, w, h, s)
+      ImageStats(m.doc_id, w, h, rasterByteSum(m.payload, w, h))
     })
+  }
+
+  /** Byte sum of a parse-validated P6 raster (maxval < 256, 1 byte per
+    * sample — both checked by [[parsePpm]]); the raster is the payload
+    * tail. Shared by [[imageStats]] and [[ppmMeanByte]].
+    */
+  private def rasterByteSum(p: Array[Byte], w: Int, h: Int): Long = {
+    val n = w * h * 3
+    var s = 0L
+    var i = p.length - n
+    while (i < p.length) { s += (p(i) & 0xff); i += 1 }
+    s
   }
 
   /** Mean raster byte of a P6 PPM (maxval < 256) — the pixel-stats step a
@@ -154,12 +161,7 @@ object Binary {
     */
   def ppmMeanByte(p: Array[Byte]): Double = {
     val (w, h, _) = parsePpm(p)
-    val n = w * h * 3
-    val start = p.length - n // parse validated length; raster is the tail
-    var s = 0L
-    var i = start
-    while (i < p.length) { s += (p(i) & 0xff); i += 1 }
-    s.toDouble / n
+    rasterByteSum(p, w, h).toDouble / (w * h * 3)
   }
 
   private def le32(p: Array[Byte], off: Int): Int =

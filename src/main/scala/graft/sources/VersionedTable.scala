@@ -125,31 +125,52 @@ object VersionedTable {
   }
 
   /** Put-if-absent publish with ATOMIC content visibility: the body is
-    * fully written to a temp file in the log dir, exists-checked, RENAMED
-    * to the final name, then READ BACK to confirm this writer's token is
-    * the one that landed. Rename makes content appear atomically (a
-    * reader can never see a half-written commit file — create-then-write
-    * in place would expose one, and a crash mid-write would brick the
-    * table as a permanent torn commit); the read-back closes the residual
-    * race on filesystems whose rename REPLACES an existing destination
-    * (POSIX/local — HDFS rename is no-overwrite and fails there instead):
-    * two photo-finish writers both rename, the second replaces the first,
-    * and only the token tells each whether it won. A crash before the
-    * rename leaves an invisible `.tmp` straggler ([[vacuum]] sweeps the
-    * log dir's stale temps). False = lost; retry at the next version.
+    * fully written to a temp file in the log dir, then linked/renamed to
+    * the final name with a genuinely no-overwrite primitive. Content
+    * appears atomically (a reader can never see a half-written commit
+    * file — create-then-write in place would expose one, and a crash
+    * mid-write would brick the table as a permanent torn commit), and
+    * mutual exclusion is the filesystem's own:
+    *  - local/POSIX: `Files.createLink(dst, tmp)` — hard-link creation is
+    *    an atomic fail-if-exists syscall (rename(2) REPLACES, so two
+    *    photo-finish writers would both think they won);
+    *  - HDFS-like: `rename(tmp, dst)` — the HDFS contract fails when the
+    *    destination exists, atomically.
+    * A crash before the publish leaves an invisible `.tmp` straggler
+    * ([[vacuum]] sweeps stale temps). False = lost; retry at the next
+    * version.
     */
   private def tryPublish(fs: FileSystem, p: Path, body: String, token: String): Boolean = {
     val tmp = new Path(p.getParent, s".${p.getName}.$token.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    try {
-      if (fs.exists(p)) { fs.delete(tmp, false); return false }
-      if (!fs.rename(tmp, p)) { fs.delete(tmp, false); return false }
-      readText(fs, p).contains(token)
-    } catch {
-      case _: java.io.IOException => fs.delete(tmp, false); false
-    }
+    val won =
+      if (fs.getUri.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(p.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException if fs.exists(p) => false
+        }
+      } else {
+        // HDFS contract: rename fails (false) when the destination exists.
+        // An EXCEPTION leaves the outcome ambiguous — disambiguate by the
+        // writer token so a rename that succeeded before throwing is never
+        // retried as a double commit.
+        try { if (fs.exists(p)) false else fs.rename(tmp, p) }
+        catch {
+          case _: java.io.IOException =>
+            try fs.exists(p) && readText(fs, p).contains(token)
+            catch { case _: java.io.IOException => false }
+        }
+      }
+    // the local-FS link leaves tmp behind by design; sweep it either way
+    try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+    won
   }
 
   private def obj(kind: String)(fill: com.fasterxml.jackson.databind.node.ObjectNode => Unit): String = {
@@ -206,7 +227,12 @@ object VersionedTable {
         val app = t.get("app").asText()
         val batch = t.get("batch").asLong()
         txns = txns.updated(app, math.max(batch, txns.getOrElse(app, Long.MinValue)))
-      } else if (n.has("vacuum")) horizon = n.get("vacuum").get("horizon").asLong()
+      } else if (n.has("vacuum"))
+        // MAX, not last-writer-wins: two concurrent vacuums with different
+        // retention both commit; the larger horizon already DELETED files,
+        // so letting the smaller one regress the record would re-open
+        // time travel onto missing data
+        horizon = math.max(horizon, n.get("vacuum").get("horizon").asLong())
     }
     Snapshot(v, schemaJson, files, txns, horizon)
   }
@@ -238,6 +264,14 @@ object VersionedTable {
     if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
   }
 
+  /** [[readCheckpoint]] tolerating the no-overwrite refresh window (the
+    * checkpoint is briefly absent between delete and rename): None means
+    * "use an older checkpoint or replay", never a crash.
+    */
+  private def readCheckpointOpt(fs: FileSystem, table: String, v: Long): Option[Snapshot] =
+    try Some(readCheckpoint(fs, table, v))
+    catch { case _: java.io.IOException => None }
+
   private def readCheckpoint(fs: FileSystem, table: String, v: Long): Snapshot = {
     val n = mapper.readTree(readText(fs, checkpointPath(table, v)))
     val files = {
@@ -268,11 +302,14 @@ object VersionedTable {
     val target = if (version < 0) commits.last else version
     require(commits.contains(target),
       s"versioned table $table has no version $target (versions ${commits.head}..${commits.last})")
-    val cp = checkpoints.filter(_ <= target).lastOption
-    var s = cp match {
-      case Some(v) => readCheckpoint(fs, table, v)
-      case None => Snapshot(-1L, null, Nil, Map.empty, 0L)
-    }
+    // newest parseable checkpoint ≤ target; an unreadable one (a reader
+    // racing the delete+rename refresh window on a no-overwrite
+    // filesystem) falls back to the next-older checkpoint, then to full
+    // replay — never a crash
+    var s = checkpoints.filter(_ <= target).sorted.reverseIterator
+      .map(v => readCheckpointOpt(fs, table, v))
+      .collectFirst { case Some(snap) => snap }
+      .getOrElse(Snapshot(-1L, null, Nil, Map.empty, 0L))
     commits.filter(v => v > s.version && v <= target).foreach { v =>
       val (nodes, _) = parseCommit(fs, table, v)
       s = applyActions(s, nodes, v)
@@ -285,9 +322,9 @@ object VersionedTable {
     // bounded by checkpointInterval, not table age.
     val horizon = if (target == commits.last) s.vacuumHorizon else {
       val cpLater = checkpoints.filter(_ > target).lastOption
-      var h = math.max(s.vacuumHorizon,
-        cpLater.map(v => readCheckpoint(fs, table, v).vacuumHorizon).getOrElse(0L))
-      val from = math.max(target, cpLater.getOrElse(Long.MinValue))
+        .flatMap(v => readCheckpointOpt(fs, table, v).map(c => (v, c.vacuumHorizon)))
+      var h = math.max(s.vacuumHorizon, cpLater.map(_._2).getOrElse(0L))
+      val from = math.max(target, cpLater.map(_._1).getOrElse(Long.MinValue))
       commits.filter(_ > from).foreach { v =>
         parseCommit(fs, table, v)._1.foreach { n =>
           if (n.has("vacuum"))

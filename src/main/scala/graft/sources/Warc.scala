@@ -863,21 +863,33 @@ object Warc {
       urlCol: String = "url", atCol: String = "at",
       maxKeys: Int = 1 << 17): DataFrame = {
     import org.apache.spark.sql.functions._
-    val reqs = requests
+    // ONE bounded job: the collected rows are the count check, the key
+    // set, AND the (local, broadcastable) join side — the request scan,
+    // distinct shuffle, and SURT-keying never re-execute. The bound is on
+    // distinct (url, at) PAIRS — that is what broadcasts; bounding urls
+    // alone would let 10 urls × 10⁷ timestamps through.
+    val reqRows = requests
       .select(col(urlCol).cast("string").as("req_url"),
         col(atCol).cast("timestamp").as("req_at"))
       .distinct()
       .withColumn("_key", graft.text.Urls.surtKey(
         graft.text.Urls.canonicalize(col("req_url"))))
-    // the bound is on distinct (url, at) PAIRS — that is what broadcasts;
-    // bounding urls alone would let 10 urls × 10⁷ timestamps through
-    val nReqs = reqs.limit(maxKeys + 1).count()
-    require(nReqs <= maxKeys,
+      .limit(maxKeys + 1).collect()
+    require(reqRows.length <= maxKeys,
       s"lookupAtMany request set exceeds maxKeys=$maxKeys distinct (url, at) " +
         "requests — a corpus-scale request set should JOIN the index, not " +
         "point-look it up")
-    val keys = reqs.select(col("_key")).filter(col("_key").isNotNull)
-      .distinct().collect().map(_.getString(0)).toSeq
+    val reqs = spark.createDataFrame(
+      spark.sparkContext.parallelize(reqRows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("req_url",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("req_at",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("_key",
+          org.apache.spark.sql.types.StringType))))
+    val keys = reqRows.iterator.map(_.getString(2)).filter(_ != null)
+      .toSeq.distinct
     val capCols = Seq("surt_key", "url_canon", "url", "fetch_ts",
       "http_status", "mime", "payload_len", "warc_file", "rec_offset")
     if (keys.isEmpty) { // every request is hostless: all-NULL captures
