@@ -34,8 +34,9 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *
   * Concurrency is optimistic, exactly like the public Delta protocol on
   * HDFS: a writer computes its snapshot, writes its DATA files first
-  * (invisible until referenced), then publishes version N via EXCLUSIVE
-  * create of `N.json` — put-if-absent is the whole mutual exclusion. A
+  * (invisible until referenced), then publishes version N via a
+  * put-if-absent of `N.json` (temp write + hard-link/no-overwrite-rename
+  * — see [[tryPublish]]) whose mutual exclusion is the filesystem's own. A
   * loser re-reads the log and retries at N+1; blind appends and full
   * overwrites commute, so retry needs no conflict analysis beyond the
   * `txn` re-check that makes streaming idempotent ([[txnAppend]]: an

@@ -285,6 +285,36 @@ class VersionedTableSpec extends SparkSpec {
       dim0.collect().toSet)
   }
 
+  test("concurrent writers: every append lands exactly once under the " +
+      "hard-link put-if-absent race") {
+    val t = tmpTable("race8")
+    VersionedTable.create(Seq((-1L, "seed")).toDF("id", "v"), t)
+    // 8 threads × 3 appends, all racing for version slots; the loser of a
+    // slot must retry at the next — never replace, never double-commit
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val work = Future.sequence((0 until 8).map { w =>
+      Future {
+        (0 until 3).map { k =>
+          VersionedTable.append(
+            Seq(((w * 3 + k).toLong, s"w$w-$k")).toDF("id", "v"), t)
+        }
+      }
+    })
+    val versions = Await.result(work, 120.seconds).flatten
+    pool.shutdown()
+    // 24 appends → 24 DISTINCT versions 1..24 (no slot won twice)
+    assert(versions.toSet == (1L to 24L).toSet,
+      s"versions not unique/contiguous: ${versions.sorted}")
+    // and every row landed exactly once
+    val got = VersionedTable.read(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(got == (-1L until 24L).toSeq, s"rows lost or duplicated: $got")
+  }
+
   test("empty appends and empty tables round-trip with the declared schema") {
     val t = tmpTable("empty")
     val df = Seq((1L, "a")).toDF("id", "v")
