@@ -144,6 +144,28 @@ object Binary {
     })
   }
 
+  /** [[imageStats]] with MEMBER-LEVEL quarantine (the clipRowsWithErrors
+    * discipline): a corrupt payload yields one in-band `reason` row —
+    * (doc_id, nulls, reason) — instead of failing the scan; healthy rows
+    * carry `reason = null`. The streaming intake gate (s35) rides this:
+    * one bad image must cost one row, never the batch.
+    */
+  def imageStatsWithErrors(payloads: Dataset[MediaPayload]): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.mapPartitions(_.map { m =>
+      try {
+        val (w, h, _) = parsePpm(m.payload)
+        (m.doc_id, Some(w), Some(h), Some(rasterByteSum(m.payload, w, h)),
+          Option.empty[String])
+      } catch {
+        case e: IllegalArgumentException =>
+          (m.doc_id, Option.empty[Int], Option.empty[Int],
+            Option.empty[Long], Some(e.getMessage))
+      }
+    }).toDF("doc_id", "width", "height", "sum_bytes", "reason")
+  }
+
   /** Byte sum of a parse-validated P6 raster (maxval < 256, 1 byte per
     * sample — both checked by [[parsePpm]]); the raster is the payload
     * tail. Shared by [[imageStats]] and [[ppmMeanByte]].

@@ -1336,6 +1336,66 @@ object Streams {
     ()
   }
 
+  /** s35: streaming image intake gate — q122 live at the multimodal front
+    * door. Each micro-batch of (doc_id, payload, media_type) rows decodes
+    * with MEMBER-LEVEL quarantine (a corrupt payload costs one reason row,
+    * never the batch — the i17/s30 discipline) and the q122 rules run as
+    * the same exact integer comparisons; three batch_id-partitioned logs
+    * land per batch (replay = partition overwrite, compactable with the
+    * identity merge):
+    *  - `kept`: stats rows that passed every rule — what flows downstream
+    *    to s24's dHash dedup;
+    *  - `dropped`: stats rows with `reasons` naming the FAILED rules
+    *    (comma-joined; the per-rule attrition a curator monitors);
+    *  - `quarantine`: (doc_id, reason) decode failures.
+    * Stateless between batches (an image passes or fails on its own
+    * bytes), so batch parity with q122 is exact — spec-pinned.
+    */
+  def imageGateSink(spark: SparkSession, stateDir: String,
+      minPixels: Int = 128, maxAspectPct: Int = 1100, minMeanByte: Int = 80)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.Encoders
+    val stats = graft.multimodal.Binary.imageStatsWithErrors(
+      batch.select(col("doc_id").cast("long").as("doc_id"),
+          col("payload"), col("media_type"))
+        .as(Encoders.product[graft.multimodal.Binary.MediaPayload]))
+      .persist()
+    try {
+      graft.sources.Sinks.dynamicOverwrite(
+        stats.filter(col("reason").isNotNull)
+          .select(col("doc_id"), col("reason"))
+          .withColumn("batch_id", lit(batchId)),
+        s"$stateDir/quarantine", Seq("batch_id"))
+      val ok = stats.filter(col("reason").isNull)
+        .withColumn("big_enough", col("width") * col("height") >= minPixels)
+        .withColumn("aspect_ok",
+          greatest(col("width"), col("height")) * 100 <=
+            least(col("width"), col("height")) * maxAspectPct)
+        .withColumn("filled_enough", col("sum_bytes") >=
+          col("width").cast("long") * col("height") * 3 * minMeanByte)
+        .withColumn("keep",
+          col("big_enough") && col("aspect_ok") && col("filled_enough"))
+      graft.sources.Sinks.dynamicOverwrite(
+        ok.filter(col("keep"))
+          .select(col("doc_id"), col("width"), col("height"), col("sum_bytes"))
+          .withColumn("batch_id", lit(batchId)),
+        s"$stateDir/kept", Seq("batch_id"))
+      graft.sources.Sinks.dynamicOverwrite(
+        ok.filter(!col("keep"))
+          .select(col("doc_id"), col("width"), col("height"), col("sum_bytes"),
+            concat_ws(",",
+              when(!col("big_enough"), lit("too_small")),
+              when(!col("aspect_ok"), lit("bad_aspect")),
+              when(!col("filled_enough"), lit("under_filled"))).as("reasons"))
+          .withColumn("batch_id", lit(batchId)),
+        s"$stateDir/dropped", Seq("batch_id"))
+    } finally { stats.unpersist(); () }
+  }
+
+  /** The gate's accumulated survivor stats — what feeds s24. */
+  def readImageGate(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/kept").drop("batch_id")
+
   /** foreachBatch streaming IVF index maintenance — the streaming face of
     * the [[graft.sim.Ann]] trained quantizer: each micro-batch of
     * (id, vec) is assigned to its nearest cell against the centroids

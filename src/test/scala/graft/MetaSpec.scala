@@ -124,7 +124,7 @@ class MetaSpec extends SparkSpec {
     assert(qRows.toSet == SparkEntry.queries.keySet,
       s"survey-only: ${qRows.toSet -- SparkEntry.queries.keySet}; " +
         s"registry-only: ${SparkEntry.queries.keySet -- qRows.toSet}")
-    assert(rows("s").size == 34, s"streaming table rows: ${rows("s").size}")
+    assert(rows("s").size == 35, s"streaming table rows: ${rows("s").size}")
     assert(rows("i").size == 23, s"infra table rows: ${rows("i").size}")
   }
 

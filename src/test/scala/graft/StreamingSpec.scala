@@ -1812,4 +1812,45 @@ class StreamingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("schema drift"), e.getMessage)
   }
+
+  test("imageGateSink: q122 live — member quarantine, per-rule drop reasons, " +
+      "batch parity, count-strict replay (s35)") {
+    val dir = Files.createTempDirectory("imggate").toFile.getAbsolutePath
+    val state = s"$dir/state"
+    val B = graft.multimodal.Binary
+    def ppm(id: Long, text: String) =
+      (id, B.toPpmPayloads(spark, Seq((id, text)).toDF("doc_id", "text"))
+        .collect()(0).payload, "image/ppm")
+    val good = ppm(1L, "m" * 384)          // h=4, full: passes all
+    val tiny = ppm(2L, "x" * 96)           // h=1: too_small + bad_aspect
+    val padded = ppm(3L, "m" * 200)        // h=3: too_small + under_filled
+    val corrupt = (4L, "not a ppm".getBytes("UTF-8"), "image/ppm")
+    val sink = Streams.imageGateSink(spark, state) _
+    sink(Seq(good, tiny).toDF("doc_id", "payload", "media_type"), 0L)
+    sink(Seq(padded, corrupt).toDF("doc_id", "payload", "media_type"), 1L)
+    sink(Seq(padded, corrupt).toDF("doc_id", "payload", "media_type"), 1L) // replay
+    // survivors: exactly the good image, once
+    val kept = Streams.readImageGate(spark, state).collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(1L), kept.mkString(", "))
+    // drops carry the NAMED failed rules
+    val dropped = spark.read.parquet(s"$state/dropped")
+      .select("doc_id", "reasons").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dropped(2L) == "too_small,bad_aspect", dropped(2L))
+    assert(dropped(3L) == "too_small,under_filled", dropped(3L))
+    // the corrupt member cost ONE quarantine row, not the batch
+    val q = spark.read.parquet(s"$state/quarantine")
+      .select("doc_id", "reason").collect()
+    assert(q.length == 1 && q(0).getLong(0) == 4L &&
+      q(0).getString(1).contains("ppm"), q.mkString(", "))
+    // batch parity with q122's rules: same integers, same verdicts
+    val stats = B.imageStats(spark,
+      Seq(good, tiny, padded).toDF("doc_id", "payload", "media_type")
+        .as(org.apache.spark.sql.Encoders.product[B.MediaPayload]))
+      .collect().map(i => i.doc_id ->
+        (i.width * i.height >= 128 &&
+          math.max(i.width, i.height) * 100 <= math.min(i.width, i.height) * 1100 &&
+          i.sum_bytes >= i.width.toLong * i.height * 3 * 80)).toMap
+    assert(stats(1L) && !stats(2L) && !stats(3L))
+  }
 }
