@@ -94,6 +94,15 @@ object Binary {
     * dimensions.
     */
   def parsePpm(p: Array[Byte]): (Int, Int, String) = {
+    val (w, h, _, _) = parsePpmFull(p)
+    (w, h, "ppm")
+  }
+
+  /** The full P6 parse behind [[parsePpm]]: (width, height, raster start
+    * offset, bytes per sample) — the stats faces need the sample width to
+    * refuse 16-bit rasters NAMED instead of summing half the bytes.
+    */
+  private[multimodal] def parsePpmFull(p: Array[Byte]): (Int, Int, Int, Int) = {
     if (p.length < 2 || p(0) != 'P' || p(1) != '6') fail("ppm", "missing P6 magic")
     var i = 2
     def skipWs(): Unit = {
@@ -125,7 +134,7 @@ object Binary {
     val expect = w.toLong * h * 3 * bytesPerSample
     if (p.length - i < expect)
       fail("ppm", s"raster truncated: need $expect bytes, have ${p.length - i}")
-    (w, h, "ppm")
+    (w, h, i, bytesPerSample)
   }
 
   /** Per-image raster stats for the INTAKE GATE (q122): dimensions from
@@ -139,9 +148,14 @@ object Binary {
   def imageStats(spark: SparkSession, payloads: Dataset[MediaPayload]): Dataset[ImageStats] = {
     import spark.implicits._
     payloads.mapPartitions(_.map { m =>
-      val (w, h, _) = parsePpm(m.payload)
-      ImageStats(m.doc_id, w, h, rasterByteSum(m.payload, w, h))
+      val (w, h, s) = imageStatsOf(m.payload)
+      ImageStats(m.doc_id, w, h, s)
     })
+  }
+
+  private def imageStatsOf(p: Array[Byte]): (Int, Int, Long) = {
+    val (w, h, start, bytesPerSample) = parsePpmFull(p)
+    (w, h, rasterByteSum(p, w, h, start, bytesPerSample))
   }
 
   /** [[imageStats]] with MEMBER-LEVEL quarantine (the clipRowsWithErrors
@@ -155,9 +169,8 @@ object Binary {
     import spark.implicits._
     payloads.mapPartitions(_.map { m =>
       try {
-        val (w, h, _) = parsePpm(m.payload)
-        (m.doc_id, Some(w), Some(h), Some(rasterByteSum(m.payload, w, h)),
-          Option.empty[String])
+        val (w, h, s) = imageStatsOf(m.payload)
+        (m.doc_id, Some(w), Some(h), Some(s), Option.empty[String])
       } catch {
         case e: IllegalArgumentException =>
           (m.doc_id, Option.empty[Int], Option.empty[Int],
@@ -166,15 +179,22 @@ object Binary {
     }).toDF("doc_id", "width", "height", "sum_bytes", "reason")
   }
 
-  /** Byte sum of a parse-validated P6 raster (maxval < 256, 1 byte per
-    * sample — both checked by [[parsePpm]]); the raster is the payload
-    * tail. Shared by [[imageStats]] and [[ppmMeanByte]].
+  /** Byte sum of a parse-validated 8-bit P6 raster at its parsed offset.
+    * A 16-bit raster (maxval ≥ 256) fails NAMED — the byte-scaled gate
+    * thresholds and the mean-byte stat are meaningless over half-samples,
+    * and summing the wrong width silently would corrupt the q122/s35
+    * verdicts. Shared by [[imageStats]], [[imageStatsWithErrors]] and
+    * [[ppmMeanByte]].
     */
-  private def rasterByteSum(p: Array[Byte], w: Int, h: Int): Long = {
-    val n = w * h * 3
+  private def rasterByteSum(p: Array[Byte], w: Int, h: Int,
+      start: Int, bytesPerSample: Int): Long = {
+    if (bytesPerSample != 1)
+      fail("ppm", "16-bit raster stats unsupported — the byte-scaled gate " +
+        "thresholds have no meaning at 2 bytes/sample")
+    val end = start + w * h * 3
     var s = 0L
-    var i = p.length - n
-    while (i < p.length) { s += (p(i) & 0xff); i += 1 }
+    var i = start
+    while (i < end) { s += (p(i) & 0xff); i += 1 }
     s
   }
 
@@ -182,8 +202,8 @@ object Binary {
     * real feature extractor would do; exercised by the decode specs.
     */
   def ppmMeanByte(p: Array[Byte]): Double = {
-    val (w, h, _) = parsePpm(p)
-    rasterByteSum(p, w, h).toDouble / (w * h * 3)
+    val (w, h, s) = imageStatsOf(p)
+    s.toDouble / (w * h * 3)
   }
 
   private def le32(p: Array[Byte], off: Int): Int =

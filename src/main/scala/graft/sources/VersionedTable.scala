@@ -146,6 +146,24 @@ object VersionedTable {
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // HDFS-shaped publish: the contract says rename FAILS (false) when the
+    // destination exists. An EXCEPTION leaves the outcome ambiguous —
+    // disambiguate by the writer token (a rename that succeeded before
+    // throwing must never be retried as a double commit); if even the
+    // confirmation read fails, FAIL NAMED rather than guess either way
+    // (assuming "lost" would double-commit, assuming "won" would drop).
+    def renamePublish(): Boolean =
+      try { if (fs.exists(p)) false else fs.rename(tmp, p) }
+      catch {
+        case e: java.io.IOException =>
+          try fs.exists(p) && readText(fs, p).contains(token)
+          catch {
+            case e2: java.io.IOException => sys.error(
+              s"commit publish outcome UNCONFIRMABLE at $p (${e.getMessage}; " +
+                s"confirmation read: ${e2.getMessage}) — refusing to guess: " +
+                "retrying could double-commit, abandoning could drop")
+          }
+      }
     val won =
       if (fs.getUri.getScheme == "file") {
         try {
@@ -155,20 +173,14 @@ object VersionedTable {
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
+          // a file:// mount without hard links (FAT/FUSE/network): fall
+          // back to exists+rename — the pre-link protocol, with its
+          // (narrow) photo-finish window, beats crashing every commit
+          case _: UnsupportedOperationException => renamePublish()
+          case _: java.nio.file.FileSystemException if !fs.exists(p) => renamePublish()
           case _: java.io.IOException if fs.exists(p) => false
         }
-      } else {
-        // HDFS contract: rename fails (false) when the destination exists.
-        // An EXCEPTION leaves the outcome ambiguous — disambiguate by the
-        // writer token so a rename that succeeded before throwing is never
-        // retried as a double commit.
-        try { if (fs.exists(p)) false else fs.rename(tmp, p) }
-        catch {
-          case _: java.io.IOException =>
-            try fs.exists(p) && readText(fs, p).contains(token)
-            catch { case _: java.io.IOException => false }
-        }
-      }
+      } else renamePublish()
     // the local-FS link leaves tmp behind by design; sweep it either way
     try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
     won
@@ -306,11 +318,21 @@ object VersionedTable {
     // newest parseable checkpoint ≤ target; an unreadable one (a reader
     // racing the delete+rename refresh window on a no-overwrite
     // filesystem) falls back to the next-older checkpoint, then to full
-    // replay — never a crash
+    // replay — never a crash on the transient case
     var s = checkpoints.filter(_ <= target).sorted.reverseIterator
       .map(v => readCheckpointOpt(fs, table, v))
       .collectFirst { case Some(snap) => snap }
       .getOrElse(Snapshot(-1L, null, Nil, Map.empty, 0L))
+    // the fallback must not SILENTLY serve a partial table: replay is only
+    // valid when every commit in (base, target] survives (pre-checkpoint
+    // commits may legitimately be pruned — but then a readable checkpoint
+    // must cover them, and losing both is a named failure, not quiet loss)
+    val commitSet = commits.toSet
+    val missing = ((s.version + 1) to target).filterNot(commitSet.contains)
+    require(missing.isEmpty,
+      s"versioned table $table: cannot reconstruct version $target — commits " +
+        s"${missing.take(5).mkString(", ")}${if (missing.size > 5) ", …" else ""} " +
+        "are pruned and no readable checkpoint covers them")
     commits.filter(v => v > s.version && v <= target).foreach { v =>
       val (nodes, _) = parseCommit(fs, table, v)
       s = applyActions(s, nodes, v)

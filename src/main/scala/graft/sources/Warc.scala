@@ -868,26 +868,20 @@ object Warc {
     // distinct shuffle, and SURT-keying never re-execute. The bound is on
     // distinct (url, at) PAIRS — that is what broadcasts; bounding urls
     // alone would let 10 urls × 10⁷ timestamps through.
-    val reqRows = requests
+    val reqFrame = requests
       .select(col(urlCol).cast("string").as("req_url"),
         col(atCol).cast("timestamp").as("req_at"))
       .distinct()
       .withColumn("_key", graft.text.Urls.surtKey(
         graft.text.Urls.canonicalize(col("req_url"))))
-      .limit(maxKeys + 1).collect()
+    val reqRows = reqFrame.limit(maxKeys + 1).collect()
     require(reqRows.length <= maxKeys,
       s"lookupAtMany request set exceeds maxKeys=$maxKeys distinct (url, at) " +
         "requests — a corpus-scale request set should JOIN the index, not " +
         "point-look it up")
+    // the frame's OWN schema — drift-proof against the pipeline above
     val reqs = spark.createDataFrame(
-      spark.sparkContext.parallelize(reqRows.toIndexedSeq, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("req_url",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("req_at",
-          org.apache.spark.sql.types.TimestampType),
-        org.apache.spark.sql.types.StructField("_key",
-          org.apache.spark.sql.types.StringType))))
+      spark.sparkContext.parallelize(reqRows.toIndexedSeq, 1), reqFrame.schema)
     val keys = reqRows.iterator.map(_.getString(2)).filter(_ != null)
       .toSeq.distinct
     val capCols = Seq("surt_key", "url_canon", "url", "fetch_ts",

@@ -1361,11 +1361,13 @@ object Streams {
         .as(Encoders.product[graft.multimodal.Binary.MediaPayload]))
       .persist()
     try {
-      graft.sources.Sinks.dynamicOverwrite(
+      // writeBatchPartition, not raw dynamic overwrite: a replay under
+      // TIGHTENED thresholds can legitimately recompute an empty log for
+      // the batch, and the stale partition must die with it
+      writeBatchPartition(spark,
         stats.filter(col("reason").isNotNull)
-          .select(col("doc_id"), col("reason"))
-          .withColumn("batch_id", lit(batchId)),
-        s"$stateDir/quarantine", Seq("batch_id"))
+          .select(col("doc_id"), col("reason")),
+        s"$stateDir/quarantine", batchId)
       val ok = stats.filter(col("reason").isNull)
         .withColumn("big_enough", col("width") * col("height") >= minPixels)
         .withColumn("aspect_ok",
@@ -1375,20 +1377,18 @@ object Streams {
           col("width").cast("long") * col("height") * 3 * minMeanByte)
         .withColumn("keep",
           col("big_enough") && col("aspect_ok") && col("filled_enough"))
-      graft.sources.Sinks.dynamicOverwrite(
+      writeBatchPartition(spark,
         ok.filter(col("keep"))
-          .select(col("doc_id"), col("width"), col("height"), col("sum_bytes"))
-          .withColumn("batch_id", lit(batchId)),
-        s"$stateDir/kept", Seq("batch_id"))
-      graft.sources.Sinks.dynamicOverwrite(
+          .select(col("doc_id"), col("width"), col("height"), col("sum_bytes")),
+        s"$stateDir/kept", batchId)
+      writeBatchPartition(spark,
         ok.filter(!col("keep"))
           .select(col("doc_id"), col("width"), col("height"), col("sum_bytes"),
             concat_ws(",",
               when(!col("big_enough"), lit("too_small")),
               when(!col("aspect_ok"), lit("bad_aspect")),
-              when(!col("filled_enough"), lit("under_filled"))).as("reasons"))
-          .withColumn("batch_id", lit(batchId)),
-        s"$stateDir/dropped", Seq("batch_id"))
+              when(!col("filled_enough"), lit("under_filled"))).as("reasons")),
+        s"$stateDir/dropped", batchId)
     } finally { stats.unpersist(); () }
   }
 
