@@ -18,11 +18,11 @@ object Bench {
     // yields ONE parseable line on stdout (round 6 was zeroed by exactly
     // this failure mode: all output held until the end, rc=124 → no data).
     // name -> (best seconds, start offset from measurement t0, probe ms,
-    // parallel probe ms, passes measured). Pass 2 (contention resistance)
-    // updates the best time in place, so a mid-pass-2 kill still emits a
-    // complete pass-1 record.
+    // parallel probe ms, passes measured, gc ms during the best pass).
+    // Pass 2 (contention resistance) updates the best time in place, so a
+    // mid-pass-2 kill still emits a complete pass-1 record.
     val results = new java.util.concurrent.ConcurrentHashMap[
-      String, (Double, Double, Double, Double, Int)]()
+      String, (Double, Double, Double, Double, Int, Double)]()
     val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     @volatile var warmFails = 0
     @volatile var startupSec = -1.0 // set once the session is up
@@ -33,8 +33,8 @@ object Bench {
       if (!finalPrinted) {
         import scala.jdk.CollectionConverters._
         val rs = results.asScala.toSeq.sortBy(_._1)
-          .map { case (k, (sec, so, p, pp, _)) => (k, sec, so, p, pp) }
-        val qs = rs.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+          .map { case (k, (sec, so, p, pp, _, gc)) => (k, sec, so, p, pp, gc) }
+        val qs = rs.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
         // Contention legibility (the single-shot times are otherwise
         // unfalsifiable against host steal): per-query start offsets
@@ -51,11 +51,18 @@ object Bench {
         // the one machine-read JSON line this file exists to protect.
         def f2(d: Double): String =
           String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-        val starts = rs.map { case (k, _, s, _, _) => s""""$k":${f2(s)}""" }
+        val starts = rs.map { case (k, _, s, _, _, _) => s""""$k":${f2(s)}""" }
           .mkString("{", ",", "}")
-        val probes = rs.map { case (k, _, _, p, _) => s""""$k":${f2(p)}""" }
+        val probes = rs.map { case (k, _, _, p, _, _) => s""""$k":${f2(p)}""" }
           .mkString("{", ",", "}")
-        val pprobes = rs.map { case (k, _, _, _, pp) => s""""$k":${f2(pp)}""" }
+        val pprobes = rs.map { case (k, _, _, _, pp, _) => s""""$k":${f2(pp)}""" }
+          .mkString("{", ",", "}")
+        // per-query GC wall during the recorded pass (JVM-wide collector
+        // time delta): a query whose wall inflates WITH its gc_ms is
+        // paying allocation/heap pressure, one whose wall inflates while
+        // gc_ms stays flat was stolen from outside — the self-diagnosis
+        // the r17 contaminated driver sample lacked (verdict ask #10).
+        val gcs = rs.map { case (k, _, _, _, _, g) => s""""$k":${f2(g)}""" }
           .mkString("{", ",", "}")
         val failSeq = failed.asScala.toSeq.sorted
         val fails = failSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -81,6 +88,7 @@ object Bench {
           else xs.sorted.apply(math.min(xs.size - 1, (xs.size * p).toInt))
         val probesV = rs.map(_._4).filter(_ > 0)
         val pprobesV = rs.map(_._5).filter(_ > 0)
+        val gcTotal = rs.map(_._6).sum
         val probeMed = pct(probesV, 0.5)
         val pprobeMed = pct(pprobesV, 0.5)
         val pprobeP10 = pct(pprobesV, 0.1)
@@ -101,6 +109,7 @@ object Bench {
           s""""contended":$contended,"probe_med_ms":${f2(probeMed)},""" +
           s""""pprobe_med_ms":${f2(pprobeMed)},"pprobe_p10_ms":${f2(pprobeP10)},""" +
           s""""starts_sec":$starts,"probe_ms":$probes,"pprobe_ms":$pprobes,""" +
+          s""""gc_ms":$gcs,"gc_total_ms":${f2(gcTotal)},""" +
           s""""failed_queries":$fails,"warmup_failures":$warmFails}"""
         println(line)
         // The driver's round record keeps only a 2000-char TAIL of the run
@@ -115,7 +124,7 @@ object Bench {
         def sigf(d: Double): String = String.format(java.util.Locale.ROOT,
           if (d >= 100) "%.0f" else if (d >= 10) "%.1f" else "%.2f", Double.box(d))
         def canonLine(fmt: Double => String, key: String => String): String = {
-          val m = rs.map { case (k, v, _, _, _) => "\"" + key(k) + "\":" + fmt(v) }
+          val m = rs.map { case (k, v, _, _, _, _) => "\"" + key(k) + "\":" + fmt(v) }
             .mkString("{", ",", "}")
           s"""{"metric":"total","value":${sigf(total)},"unit":"sec","sf":"$sfDir",""" +
           s""""contended":$contended,"completed":${rs.size - failSeq.size},""" +
@@ -218,6 +227,14 @@ object Bench {
     // single-threaded cpu spin (~few ms) right before each query — probe
     // inflation over a band = external contention; flat probes = the
     // queries own their numbers.
+    // Cumulative JVM-wide GC wall (all collectors); per-query gc_ms is the
+    // delta around the measured run. -1 beans (some collectors before
+    // first collection) count as 0.
+    def gcMs(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime)).sum.toDouble
+    }
     def spin(): Long = {
       var s = 0L
       var i = 0
@@ -276,6 +293,7 @@ object Bench {
         val probeMs = spinProbe()
         val pprobeMs = parallelProbe()
         val startOff = (System.nanoTime() - measureT0) / 1e9
+        val gc0 = gcMs()
         val t0 = System.nanoTime()
         // A measured-run failure still records elapsed time (the driver's
         // total stays comparable) but is NAMED in the JSON — a silent
@@ -290,13 +308,14 @@ object Bench {
             false
         }
         val sec = (System.nanoTime() - t0) / 1e9
+        val gcDelta = math.max(0.0, gcMs() - gc0)
         if (pass == 1) {
-          results.put(name, (sec, startOff, probeMs, pprobeMs, 1))
+          results.put(name, (sec, startOff, probeMs, pprobeMs, 1, gcDelta))
           System.err.println(f"[bench] $name $sec%.2fs (${results.size}/$expected)")
         } else if (ok && !failed.contains(name)) {
           val prev = results.get(name)
           val best = if (prev == null || sec < prev._1)
-            (sec, startOff, probeMs, pprobeMs, pass)
+            (sec, startOff, probeMs, pprobeMs, pass, gcDelta)
           else prev.copy(_5 = pass)
           results.put(name, best)
           System.err.println(f"[bench] $name pass$pass $sec%.2fs (best ${best._1}%.2fs)")

@@ -110,8 +110,10 @@ object SimQueries {
       val st = Binary.imageStats(
         s, Binary.toPpmPayloads(s, Tables.documents(s, d))).toDF()
       val bigEnough = (col("width") * col("height")) >= 128
-      val aspectOk = greatest(col("width"), col("height")) * 100 <=
-        least(col("width"), col("height")) * 1100
+      // long cross-multiply: a degenerate dimension past ~21.5M px would
+      // wrap a 32-bit ×100 negative and PASS the gate it exists to fail
+      val aspectOk = greatest(col("width"), col("height")).cast("long") * 100 <=
+        least(col("width"), col("height")).cast("long") * 1100
       val filled = col("sum_bytes") >=
         col("width").cast("long") * col("height") * 3 * 80
       st.select(col("doc_id"), col("width"), col("height"), col("sum_bytes"),
@@ -288,10 +290,10 @@ object SimQueries {
            FROM d)
          SELECT doc_id, width, height, sum_bytes,
            width * height >= 128 AS big_enough,
-           greatest(width, height) * 100 <= least(width, height) * 1100 AS aspect_ok,
+           greatest(width, height)::BIGINT * 100 <= least(width, height)::BIGINT * 1100 AS aspect_ok,
            sum_bytes >= width::BIGINT * height * 3 * 80 AS filled_enough,
            (width * height >= 128
-             AND greatest(width, height) * 100 <= least(width, height) * 1100
+             AND greatest(width, height)::BIGINT * 100 <= least(width, height)::BIGINT * 1100
              AND sum_bytes >= width::BIGINT * height * 3 * 80) AS keep
          FROM s ORDER BY doc_id""",
 

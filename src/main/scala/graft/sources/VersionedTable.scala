@@ -444,8 +444,16 @@ object VersionedTable {
           val token = java.util.UUID.randomUUID().toString
           val body = (lines :+ commitLine(op, token)).mkString("", "\n", "\n")
           if (tryPublish(fs, commitPath(table, v), body, token)) {
+            // the commit is durably published from here; the checkpoint is
+            // DERIVED, last-writer-wins state — a failure writing it (a
+            // concurrent vacuum racing the horizon past v, transient IO)
+            // must never surface as a failed commit, or a plain append()
+            // caller would retry and double-append (only txnAppend is
+            // idempotent). A later writer at the next interval re-covers
+            // replay bounding.
             if (v > 0 && v % checkpointInterval == 0)
-              writeCheckpoint(fs, table, snapshotAt(spark, table, v))
+              try writeCheckpoint(fs, table, snapshotAt(spark, table, v))
+              catch { case scala.util.control.NonFatal(_) => () }
             return Some(v)
           }
       }

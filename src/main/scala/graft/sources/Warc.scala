@@ -337,7 +337,7 @@ object Warc {
         var h = readLine(in)
         while (h != null && h.nonEmpty) {
           val i = h.indexOf(':')
-          if (i > 0) headers.put(h.substring(0, i).trim.toLowerCase, h.substring(i + 1).trim)
+          if (i > 0) headers.put(h.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT), h.substring(i + 1).trim)
           h = readLine(in)
         }
         val lenStr = headers.getOrElse("content-length", null)
@@ -393,9 +393,9 @@ object Warc {
               // responses, and html extraction over still-chunked bytes
               // silently degrades (chunk-size lines interleave the markup).
               else if (name.equalsIgnoreCase("transfer-encoding") &&
-                value.toLowerCase.contains("chunked")) chunked = true
+                value.toLowerCase(java.util.Locale.ROOT).contains("chunked")) chunked = true
               else if (name.equalsIgnoreCase("content-encoding") &&
-                value.toLowerCase.contains("gzip")) gzipped = true
+                value.toLowerCase(java.util.Locale.ROOT).contains("gzip")) gzipped = true
             }
             hl = readLine(hin)
           }

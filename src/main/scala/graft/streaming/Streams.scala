@@ -1371,8 +1371,10 @@ object Streams {
       val ok = stats.filter(col("reason").isNull)
         .withColumn("big_enough", col("width") * col("height") >= minPixels)
         .withColumn("aspect_ok",
-          greatest(col("width"), col("height")) * 100 <=
-            least(col("width"), col("height")) * maxAspectPct)
+          // long cross-multiply: a degenerate dimension past ~21.5M px
+          // would wrap a 32-bit ×100 negative and PASS the gate
+          greatest(col("width"), col("height")).cast("long") * 100 <=
+            least(col("width"), col("height")).cast("long") * maxAspectPct)
         .withColumn("filled_enough", col("sum_bytes") >=
           col("width").cast("long") * col("height") * 3 * minMeanByte)
         .withColumn("keep",
@@ -1392,9 +1394,27 @@ object Streams {
     } finally { stats.unpersist(); () }
   }
 
-  /** The gate's accumulated survivor stats — what feeds s24. */
-  def readImageGate(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(s"$stateDir/kept").drop("batch_id")
+  /** The gate's accumulated survivor stats — what feeds s24. A gate whose
+    * every batch dropped or quarantined all members never creates (or
+    * deletes) the `kept` directory, so absence means EMPTY, not error.
+    */
+  def readImageGate(spark: SparkSession, stateDir: String): DataFrame = {
+    val kept = new org.apache.hadoop.fs.Path(s"$stateDir/kept")
+    val fs = kept.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(kept))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("width",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("height",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("sum_bytes",
+            org.apache.spark.sql.types.LongType))))
+    else spark.read.parquet(s"$stateDir/kept").drop("batch_id")
+  }
 
   /** foreachBatch streaming IVF index maintenance — the streaming face of
     * the [[graft.sim.Ann]] trained quantizer: each micro-batch of

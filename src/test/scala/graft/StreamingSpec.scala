@@ -1853,4 +1853,30 @@ class StreamingSpec extends SparkSpec {
           i.sum_bytes >= i.width.toLong * i.height * 3 * 80)).toMap
     assert(stats(1L) && !stats(2L) && !stats(3L))
   }
+
+  test("imageGateSink: 32-bit aspect wrap guarded; all-dropped gate reads EMPTY, " +
+      "not path-not-found (s35)") {
+    val dir = Files.createTempDirectory("imggate2").toFile.getAbsolutePath
+    val state = s"$dir/state"
+    // hand-built degenerate PPM: 25_000_000 × 1 — ×100 cross-multiply
+    // wraps a 32-bit int negative (2.5e9 > Int.MaxValue) and would PASS
+    // the aspect gate it exists to fail
+    val w = 25000000
+    val header = s"P6\n$w 1\n255\n".getBytes("US-ASCII")
+    val payload = new Array[Byte](header.length + w * 3)
+    System.arraycopy(header, 0, payload, 0, header.length)
+    java.util.Arrays.fill(payload, header.length, payload.length, 200.toByte)
+    Streams.imageGateSink(spark, state)(
+      Seq((7L, payload, "image/ppm")).toDF("doc_id", "payload", "media_type"), 0L)
+    // the only member was dropped → kept/ was never created; the read is
+    // EMPTY with the contract schema, never an error
+    val kept = Streams.readImageGate(spark, state)
+    assert(kept.isEmpty)
+    assert(kept.columns.toSeq == Seq("doc_id", "width", "height", "sum_bytes"))
+    val dropped = spark.read.parquet(s"$state/dropped")
+      .select("doc_id", "reasons").collect()
+    assert(dropped.length == 1 && dropped(0).getLong(0) == 7L &&
+      dropped(0).getString(1).contains("bad_aspect"),
+      dropped.mkString(", "))
+  }
 }
