@@ -95,4 +95,67 @@ object Scd2 {
 
     historic.unionByName(currentMerged).unionByName(inserts)
   }
+
+  /** [[merge]] committed ROW-LEVEL against an i23 versioned table — the
+    * reference's actual write path (its two MERGE INTOs rewrite only the
+    * Delta files holding matched rows, 4_silver/silver_transactions.py:124,153),
+    * where [[merge]]+overwrite rewrites the whole dimension per batch.
+    *
+    * The upsert set is exactly the rows the two reference MERGEs touch:
+    *  - EXPIRED rows: current rows whose staged attributes differ, with
+    *    `valid_to = asOf`, `is_current = false` — these keep their
+    *    original `valid_from`, so under the merge key
+    *    (`keys` + `valid_from`) they REPLACE their live versions;
+    *  - INSERTED rows: new-or-changed staged rows as the fresh current
+    *    version (`valid_from = asOf`) — no live (key, asOf) row exists,
+    *    so they land as inserts.
+    * [[graft.sources.VersionedTable.merge]] then rewrites only the files
+    * containing those (key, valid_from) rows; historic rows in untouched
+    * files are untouched bytes. `asOf` must advance between merges of the
+    * same key (the reference's current_timestamp always does) — an
+    * identical instant would collide the expire and insert on one merge
+    * key, which fails named upstream.
+    *
+    * Unchanged-staged rows commit NOTHING (both reference MERGEs no-op) —
+    * when the upsert set is empty no version is even created. Returns the
+    * committed version, or None for the no-op case. Pass (`app`,`batch`)
+    * for the s04 streaming replay contract (exactly-once per batch).
+    */
+  def mergeVersioned(spark: org.apache.spark.sql.SparkSession, table: String,
+      staged: DataFrame, keys: Seq[String], attrs: Seq[String], asOf: Column,
+      app: String = null, batch: Long = 0L): Option[Long] = {
+    val VT = graft.sources.VersionedTable
+    if (app != null &&
+      VT.snapshotAt(spark, table).txns.get(app).exists(_ >= batch)) return None
+    val live = VT.read(spark, table).localCheckpoint()
+    val existingCols = live.columns.toSeq
+    val changed = attrs.map(a => !(col(a) <=> col(s"_stg_$a"))).reduce(_ || _)
+    val stg = staged.select(
+      (keys.map(k => col(k).as(s"_stg_$k")) ++ attrs.map(a => col(a).as(s"_stg_$a"))): _*)
+    val current = live.filter(col("is_current"))
+    // expire: current rows with a CHANGED staged match, closed out at asOf
+    val expired = current
+      .join(stg, keys.map(k => col(k) === col(s"_stg_$k")).reduce(_ && _), "inner")
+      .filter(changed)
+      .withColumn("is_current", lit(false))
+      .withColumn("valid_to", asOf)
+      .select(existingCols.map(col): _*)
+    // insert: new-or-changed staged rows as the fresh current version
+    val inserts = stg
+      .join(
+        current.select((keys.map(col) :+ lit(true).as("_cur_exists")) ++ attrs.map(col): _*),
+        keys.map(k => col(s"_stg_$k") === col(k)).reduce(_ && _), "left")
+      .filter(col("_cur_exists").isNull || changed)
+      .select(
+        (keys.map(k => col(s"_stg_$k").as(k)) ++ attrs.map(a => col(s"_stg_$a").as(a))): _*)
+      .withColumn("valid_from", asOf)
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+      .select(existingCols.map(col): _*)
+    val upsert = expired.unionByName(inserts).localCheckpoint()
+    try {
+      if (upsert.isEmpty) None
+      else VT.txnMerge(upsert, table, keys :+ "valid_from", app, batch)
+    } finally { upsert.unpersist(); live.unpersist(); () }
+  }
 }

@@ -55,4 +55,43 @@ object Medallion {
     dims.foldLeft(factBase.filter(!col("is_quarantined"))) {
       case (acc, (dim, cond, cols)) => Star.enrich(acc, dim, cond, cols)
     }.withColumn("refreshed_at", refreshedAt)
+
+  /** The medallion riding the i23 transaction log (r18) — the persisted
+    * spelling the reference actually runs (each layer a Delta table):
+    * [[silver]]'s staged batch SCD2-merges ROW-LEVEL into a versioned
+    * silver table ([[graft.ops.Scd2.mergeVersioned]] — only files holding
+    * changed keys rewrite, the reference's two MERGE INTOs,
+    * 4_silver/silver_transactions.py:124,153), and the gold hop consumes
+    * the silver COMMIT LOG exactly-once via
+    * [[graft.sources.VersionedTable.feedInto]] (its txn progress lives in
+    * gold's own log — the silver→gold streaming-Delta read). Pass the same
+    * (`app`,`batch`) per micro-batch for replay idempotence. Both tables
+    * must exist (the notebooks' ensure-table DDL step).
+    *
+    * Returns (silver version committed (None = batch was a no-op or a
+    * replay), gold hop result from feedInto).
+    */
+  def runVersioned(
+      spark: org.apache.spark.sql.SparkSession,
+      sources: Seq[DataFrame],
+      cdm: DataFrame => DataFrame,
+      rules: Seq[Quality.Rule],
+      keys: Seq[String],
+      recency: Seq[Column],
+      attrs: Seq[String],
+      silverTable: String,
+      goldTable: String,
+      goldTransform: DataFrame => DataFrame,
+      asOf: Column,
+      app: String,
+      batch: Long): (Option[Long], Option[(Long, Long)]) = {
+    val staged = silver(sources, cdm, rules, keys, recency)
+      .filter(!col("is_quarantined"))
+      .select((keys ++ attrs).map(col): _*)
+    val sv = graft.ops.Scd2.mergeVersioned(
+      spark, silverTable, staged, keys, attrs, asOf, app, batch)
+    val gv = graft.sources.VersionedTable.feedInto(
+      spark, silverTable, goldTable, s"$app-gold")(goldTransform)
+    (sv, gv)
+  }
 }

@@ -65,16 +65,43 @@ object VersionedTable {
 
   private val MaxCommitAttempts = 20
 
+  /** Test seam: runs between a [[merge]]/[[optimize]] decision (snapshot +
+    * data files written) and its commit attempt — the window where a
+    * concurrent commit must be DETECTED. Production value is a no-op;
+    * specs inject an interleaved writer here to pin conflict semantics
+    * deterministically instead of racing threads.
+    */
+  private[graft] var testHookBeforeCommit: () => Unit = () => ()
+
   private val mapper = new ObjectMapper()
 
-  final case class AddFile(path: String, rows: Long)
+  /** Per-file, per-column footer statistics carried IN the `add` action
+    * (i25) — the i15 manifest discipline folded into the commit itself, so
+    * a snapshot read can prune files by predicate without a side file that
+    * can go stale. Values are normalized to three carriers: Long (all
+    * integrals + date days + timestamp micros), Double, String (UTF-8
+    * unsigned order — parquet's own binary ordering). None min/max =
+    * all-null column chunk; a column absent from the map = no usable stats
+    * (never pruned — always safe).
+    */
+  final case class ColStats(min: Option[Any], max: Option[Any], nulls: Long)
+
+  /** One live data file: relative path, exact row count, byte size (0 on
+    * pre-i25 log entries — [[optimize]] re-stats those), hive-style
+    * partition values (empty = unpartitioned), per-column stats.
+    */
+  final case class AddFile(path: String, rows: Long, bytes: Long = 0L,
+      partitions: Map[String, String] = Map.empty,
+      stats: Map[String, ColStats] = Map.empty)
 
   /** The replayed log state as of one version. `txns` holds the highest
     * committed batch per streaming app (batch ids are monotonic per app —
-    * the Structured Streaming contract s34 rides).
+    * the Structured Streaming contract s34 rides). `partitionBy` is the
+    * table's declared partition columns (empty = unpartitioned).
     */
   final case class Snapshot(version: Long, schemaJson: String,
-      files: Seq[AddFile], txns: Map[String, Long], vacuumHorizon: Long) {
+      files: Seq[AddFile], txns: Map[String, Long], vacuumHorizon: Long,
+      partitionBy: Seq[String] = Nil) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
@@ -192,10 +219,63 @@ object VersionedTable {
     mapper.writeValueAsString(root)
   }
 
-  private def addLine(f: AddFile) =
-    obj("add") { n => n.put("path", f.path); n.put("rows", f.rows) }
+  private def fillAdd(n: com.fasterxml.jackson.databind.node.ObjectNode, f: AddFile): Unit = {
+    n.put("path", f.path); n.put("rows", f.rows)
+    if (f.bytes > 0) n.put("bytes", f.bytes)
+    if (f.partitions.nonEmpty) {
+      val p = n.putObject("partitions")
+      f.partitions.foreach { case (k, v) =>
+        if (v == null) p.putNull(k) else p.put(k, v) }
+    }
+    if (f.stats.nonEmpty) {
+      val st = n.putObject("stats")
+      f.stats.foreach { case (c, cs) =>
+        val o = st.putObject(c)
+        def putVal(field: String, v: Option[Any]): Unit = v match {
+          case Some(l: Long) => o.put(field, l)
+          case Some(d: Double) => o.put(field, d)
+          case Some(s: String) => o.put(field, s)
+          case _ => o.putNull(field)
+        }
+        putVal("min", cs.min); putVal("max", cs.max); o.put("nulls", cs.nulls)
+      }
+    }
+  }
+
+  private def addLine(f: AddFile) = obj("add")(fillAdd(_, f))
+
+  private def parseAdd(a: JsonNode): AddFile = {
+    val bytes = if (a.has("bytes")) a.get("bytes").asLong() else 0L
+    val parts = if (!a.has("partitions")) Map.empty[String, String] else {
+      val it = a.get("partitions").fields()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next()
+        b += (e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())) }
+      b.result()
+    }
+    val stats = if (!a.has("stats")) Map.empty[String, ColStats] else {
+      val it = a.get("stats").fields()
+      val b = Map.newBuilder[String, ColStats]
+      def readVal(n: JsonNode): Option[Any] =
+        if (n == null || n.isNull) None
+        else if (n.isTextual) Some(n.asText())
+        else if (n.isIntegralNumber) Some(n.asLong())
+        else Some(n.asDouble())
+      while (it.hasNext) { val e = it.next(); val o = e.getValue
+        b += (e.getKey -> ColStats(readVal(o.get("min")), readVal(o.get("max")),
+          if (o.has("nulls")) o.get("nulls").asLong() else 0L)) }
+      b.result()
+    }
+    AddFile(a.get("path").asText(), a.get("rows").asLong(), bytes, parts, stats)
+  }
+
   private def removeLine(path: String) = obj("remove")(_.put("path", path))
-  private def metaLine(schemaJson: String) = obj("meta")(_.put("schema", schemaJson))
+  private def metaLine(schemaJson: String, partitionBy: Seq[String] = Nil) =
+    obj("meta") { n =>
+      n.put("schema", schemaJson)
+      if (partitionBy.nonEmpty) {
+        val a = n.putArray("partitionBy"); partitionBy.foreach(a.add) }
+    }
   private def txnLine(app: String, batch: Long) =
     obj("txn") { n => n.put("app", app); n.put("batch", batch) }
   private def vacuumLine(horizon: Long) = obj("vacuum")(_.put("horizon", horizon))
@@ -227,11 +307,20 @@ object VersionedTable {
     var files = s.files
     var txns = s.txns
     var horizon = s.vacuumHorizon
+    var partitionBy = s.partitionBy
     nodes.foreach { n =>
-      if (n.has("meta")) schemaJson = n.get("meta").get("schema").asText()
+      if (n.has("meta")) {
+        val m = n.get("meta")
+        schemaJson = m.get("schema").asText()
+        if (m.has("partitionBy")) {
+          val it = m.get("partitionBy").elements()
+          val b = Seq.newBuilder[String]
+          while (it.hasNext) b += it.next().asText()
+          partitionBy = b.result()
+        }
+      }
       else if (n.has("add")) {
-        val a = n.get("add")
-        files = files :+ AddFile(a.get("path").asText(), a.get("rows").asLong())
+        files = files :+ parseAdd(n.get("add"))
       } else if (n.has("remove")) {
         val path = n.get("remove").get("path").asText()
         files = files.filterNot(_.path == path)
@@ -247,7 +336,7 @@ object VersionedTable {
         // time travel onto missing data
         horizon = math.max(horizon, n.get("vacuum").get("horizon").asLong())
     }
-    Snapshot(v, schemaJson, files, txns, horizon)
+    Snapshot(v, schemaJson, files, txns, horizon, partitionBy)
   }
 
   private def writeCheckpoint(fs: FileSystem, table: String, s: Snapshot): Unit = {
@@ -255,9 +344,13 @@ object VersionedTable {
     root.put("version", s.version)
     root.put("schema", s.schemaJson)
     root.put("horizon", s.vacuumHorizon)
+    if (s.partitionBy.nonEmpty) {
+      val pa = root.putArray("partitionBy"); s.partitionBy.foreach(pa.add) }
+    // checkpoint `files` entries carry the FULL add payload (bytes,
+    // partitions, stats) — a replay bounded by the checkpoint must prune
+    // exactly as well as one from the raw commits (verdict ask #2)
     val fa = root.putArray("files")
-    s.files.foreach { f =>
-      val n = fa.addObject(); n.put("path", f.path); n.put("rows", f.rows) }
+    s.files.foreach(f => fillAdd(fa.addObject(), f))
     val ta = root.putObject("txns")
     s.txns.foreach { case (app, b) => ta.put(app, b) }
     // checkpoints are derived state: last-writer-wins is safe (every
@@ -290,8 +383,7 @@ object VersionedTable {
     val files = {
       val it = n.get("files").elements()
       val buf = Seq.newBuilder[AddFile]
-      while (it.hasNext) { val f = it.next()
-        buf += AddFile(f.get("path").asText(), f.get("rows").asLong()) }
+      while (it.hasNext) buf += parseAdd(it.next())
       buf.result()
     }
     val txns = {
@@ -300,8 +392,14 @@ object VersionedTable {
       while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue.asLong()) }
       buf.result()
     }
+    val partitionBy = if (!n.has("partitionBy")) Nil else {
+      val it = n.get("partitionBy").elements()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next().asText()
+      b.result()
+    }
     Snapshot(n.get("version").asLong(), n.get("schema").asText(), files, txns,
-      n.get("horizon").asLong())
+      n.get("horizon").asLong(), partitionBy)
   }
 
   /** Replay the log to `version` (latest when negative). Starts from the
@@ -380,32 +478,344 @@ object VersionedTable {
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
     readFiles(spark, table, snapshotAt(spark, table, version))
 
+  // ------------------------------------------------- predicate pruning (i25)
+
+  /** Snapshot read planned from the log's OWN per-file stats: files whose
+    * [min,max]/null-count provably exclude `pred` never enter the plan —
+    * at 100 TB the difference between reading one partition and all of it
+    * (and because partitioned writes produce partition-pure files,
+    * partition pruning IS stats pruning here, no separate code path). The
+    * exact `pred` is re-applied on the survivors, so pruning power never
+    * affects RESULTS, only file count — the same safety stance as
+    * Sinks.readSkipping, with the manifest folded into the commits (it can
+    * never go stale: the stats travel WITH the add action).
+    *
+    * Prunable conjuncts: =, <, <=, >, >=, IN, IS NULL, IS NOT NULL over a
+    * top-level column vs a literal. Anything else is kept exact but
+    * contributes no pruning. Strings compare in unsigned UTF-8 order
+    * (parquet's binary stats order); long/double carriers cross-compare.
+    */
+  def readWhere(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column, version: Long = -1L): DataFrame = {
+    val snap = snapshotAt(spark, table, version)
+    val pruned = snap.copy(files = pruneByPred(spark, snap, pred))
+    readFiles(spark, table, pruned).filter(pred)
+  }
+
+  /** The files [[readWhere]] would plan — the spec/observability hook. */
+  private[graft] def survivingFiles(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column, version: Long = -1L): Seq[AddFile] =
+    { val s = snapshotAt(spark, table, version); pruneByPred(spark, s, pred) }
+
+  private def pruneByPred(spark: SparkSession, snap: Snapshot,
+      pred: org.apache.spark.sql.Column): Seq[AddFile] = {
+    // Resolve the Column against the table schema through the ANALYZED
+    // (not optimized — PropagateEmptyRelation would eat the Filter) plan
+    // of a zero-row frame: public API only, and the condition comes back
+    // with typed AttributeReferences and folded Literals.
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], snap.schema).filter(pred)
+    val cond = probe.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    cond match {
+      case None => snap.files
+      case Some(expr) =>
+        val conjuncts = splitConjuncts(expr).flatMap(translate(_))
+        if (conjuncts.isEmpty) snap.files
+        else snap.files.filter(f => conjuncts.forall(c => mayMatch(f, c)))
+    }
+  }
+
+  /** One prunable conjunct: op ∈ eq/lt/le/gt/ge/in/isnull/isnotnull;
+    * `values` are normalized literal carriers (Long/Double/String).
+    */
+  private final case class Pruner(name: String, op: String, values: Seq[Any])
+
+  private def splitConjuncts(
+      e: org.apache.spark.sql.catalyst.expressions.Expression
+  ): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def attrName(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] = e match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      if u.nameParts.length == 1 => Some(u.nameParts.head)
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => Some(a.name)
+    case _ => None
+  }
+
+  /** Literal → stats carrier; None = type we don't prune on (safe). */
+  private def litValue(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Any] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, dt) if v != null =>
+      import org.apache.spark.sql.types._
+      dt match {
+        case ByteType | ShortType | IntegerType =>
+          Some(v.asInstanceOf[Number].longValue())
+        case LongType => Some(v.asInstanceOf[Number].longValue())
+        case DateType => Some(v.asInstanceOf[Number].longValue())      // days
+        case TimestampType | TimestampNTZType =>
+          Some(v.asInstanceOf[Number].longValue())                     // micros
+        case FloatType | DoubleType => Some(v.asInstanceOf[Number].doubleValue())
+        case StringType => Some(v.toString)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def translate(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Pruner] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def bin(l: Expression, r: Expression, op: String, flipped: String): Option[Pruner] =
+      (attrName(l), litValue(r), attrName(r), litValue(l)) match {
+        case (Some(n), Some(v), _, _) => Some(Pruner(n, op, Seq(v)))
+        case (_, _, Some(n), Some(v)) => Some(Pruner(n, flipped, Seq(v)))
+        case _ => None
+      }
+    e match {
+      case EqualTo(l, r) => bin(l, r, "eq", "eq")
+      case GreaterThan(l, r) => bin(l, r, "gt", "lt")
+      case GreaterThanOrEqual(l, r) => bin(l, r, "ge", "le")
+      case LessThan(l, r) => bin(l, r, "lt", "gt")
+      case LessThanOrEqual(l, r) => bin(l, r, "le", "ge")
+      case IsNull(a) => attrName(a).map(Pruner(_, "isnull", Nil))
+      case IsNotNull(a) => attrName(a).map(Pruner(_, "isnotnull", Nil))
+      case In(a, vs) =>
+        val lits = vs.map(litValue)
+        attrName(a).filter(_ => lits.nonEmpty && lits.forall(_.isDefined))
+          .map(Pruner(_, "in", lits.map(_.get)))
+      case _ => None
+    }
+  }
+
+  /** Can `f` possibly hold a row matching `c`? Missing stats → yes (never
+    * mis-prune); incomparable carriers (string literal vs numeric stats)
+    * → yes. An all-null column chunk (min/max None, nulls ≥ rows>0)
+    * excludes every comparison and satisfies only IS NULL.
+    */
+  private def mayMatch(f: AddFile, c: Pruner): Boolean = {
+    if (f.rows == 0) return false
+    f.stats.get(c.name) match {
+      case None => true
+      case Some(cs) =>
+        def cmpSafe(a: Any, b: Any): Option[Int] =
+          try Some(compareStatVals(a, b)) catch { case _: RuntimeException => None }
+        def against(v: Any, op: String): Boolean = (cs.min, cs.max) match {
+          case (None, None) => false // all-null: no non-null value matches
+          case (Some(mn), Some(mx)) =>
+            (cmpSafe(mn, v), cmpSafe(mx, v)) match {
+              case (Some(cMin), Some(cMax)) => op match {
+                case "eq" => cMin <= 0 && cMax >= 0
+                case "lt" => cMin < 0
+                case "le" => cMin <= 0
+                case "gt" => cMax > 0
+                case "ge" => cMax >= 0
+                case _ => true
+              }
+              case _ => true // incomparable: keep
+            }
+          case _ => true
+        }
+        c.op match {
+          case "isnull" => cs.nulls > 0
+          case "isnotnull" => cs.nulls < f.rows
+          case "in" => c.values.exists(against(_, "eq"))
+          case op => c.values.forall(against(_, op))
+        }
+    }
+  }
+
   // -------------------------------------------------------------- writes
 
   /** Write `df`'s rows as immutable parquet under `data/<uuid>/` and
     * return their log entries. Data files are INVISIBLE until a commit
     * references them — a crash here leaves garbage vacuum sweeps, never a
     * half-applied table.
+    *
+    * Partitioned tables (i26) write through a DUPLICATED `__p_<col>`
+    * column so the hive layout gets partition-pure files while the data
+    * files keep the real column (a per-file re-read never loses it, the
+    * exact failure Sinks.writeStatsManifest refuses partitioned roots
+    * over); partition values land in the `add` action, parsed back from
+    * the `__p_<col>=v` path segments.
+    *
+    * Every add carries byte size and per-column footer stats (i25) — one
+    * footer open per file, the metadata the read path touches anyway,
+    * never a second pass over the data.
     */
-  private def writeData(df: DataFrame, table: String, schema: StructType): Seq[AddFile] = {
+  private def writeData(df: DataFrame, table: String, schema: StructType,
+      partitionBy: Seq[String] = Nil): Seq[AddFile] = {
     val aligned = align(df, schema)
     val uuid = java.util.UUID.randomUUID().toString.take(12)
     val rel = s"$DataDirName/files-$uuid"
-    aligned.write.parquet(s"$table/$rel")
+    if (partitionBy.isEmpty) aligned.write.parquet(s"$table/$rel")
+    else {
+      val dup = partitionBy.foldLeft(aligned)((d, c) =>
+        d.withColumn(s"__p_$c", org.apache.spark.sql.functions.col(c)))
+      dup.write.partitionBy(partitionBy.map(c => s"__p_$c"): _*)
+        .parquet(s"$table/$rel")
+    }
     val fs = fsOf(df.sparkSession, table)
-    val parts = fs.listStatus(new Path(s"$table/$rel"))
-      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
-    // per-file row counts from the parquet FOOTERS — metadata-rate (the
-    // row-group headers the read path opens anyway), never a second pass
-    // over the data
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
-    parts.toSeq.map { p =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p.getPath, conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val rows = try r.getRecordCount finally r.close()
-      AddFile(s"$rel/${p.getPath.getName}", rows)
+    val root = new Path(s"$table/$rel")
+    val files = {
+      val it = fs.listFiles(root, true)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) { val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) b += f }
+      b.result().sortBy(_.getPath.toString)
+    }
+    files.map { p =>
+      val relPath = {
+        val full = p.getPath.toUri.getPath
+        val rootPath = fs.makeQualified(new Path(table)).toUri.getPath
+        full.stripPrefix(rootPath).stripPrefix("/")
+      }
+      val parts = parsePartitionValues(relPath, partitionBy)
+      val (rows, stats) = footerStats(p.getPath, conf, schema)
+      AddFile(relPath, rows, p.getLen, parts, stats)
     }
   }
+
+  /** Hive path-segment partition values for `partitionBy`, unescaped
+    * (`%XX` decodes, `__HIVE_DEFAULT_PARTITION__` → null) so the stored
+    * value is the DATA value's spelling, stable across writers.
+    */
+  private def parsePartitionValues(relPath: String,
+      partitionBy: Seq[String]): Map[String, String] = {
+    if (partitionBy.isEmpty) return Map.empty
+    val segs = relPath.split('/').filter(_.contains("=")).map { s =>
+      val i = s.indexOf('=')
+      (s.substring(0, i), s.substring(i + 1))
+    }.toMap
+    partitionBy.map { c =>
+      val raw = segs.getOrElse(s"__p_$c", sys.error(
+        s"partitioned write produced a file without its __p_$c segment: $relPath"))
+      c -> unescapeHive(raw)
+    }.toMap
+  }
+
+  private def unescapeHive(v: String): String =
+    if (v == "__HIVE_DEFAULT_PARTITION__") null
+    else {
+      val sb = new StringBuilder(v.length)
+      var i = 0
+      while (i < v.length) {
+        val ch = v.charAt(i)
+        if (ch == '%' && i + 2 < v.length) {
+          sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(ch); i += 1 }
+      }
+      sb.toString
+    }
+
+  /** (row count, per-column min/max/nulls) from one parquet footer.
+    * Columns are usable only when EVERY row group carries valid stats for
+    * them; values normalize to Long (integrals, date days, timestamp
+    * micros), Double, or String — unsupported physical/logical types are
+    * simply absent (never pruned, always correct).
+    */
+  private def footerStats(p: Path, conf: org.apache.hadoop.conf.Configuration,
+      schema: StructType): (Long, Map[String, ColStats]) = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val rows = r.getRecordCount
+      val want = schema.fields.map(_.name).toSet
+      val acc = scala.collection.mutable.Map.empty[String, ColStats]
+      val dead = scala.collection.mutable.Set.empty[String]
+      import scala.jdk.CollectionConverters._
+      r.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { cc =>
+          val path = cc.getPath.toArray
+          if (path.length == 1 && want(path(0)) && !dead(path(0))) {
+            val name = path(0)
+            val st = cc.getStatistics
+            val pt = cc.getPrimitiveType
+            def norm(v: AnyRef): Option[Any] = pt.getPrimitiveTypeName match {
+              case INT32 => Some(v.asInstanceOf[java.lang.Integer].longValue())
+              case INT64 => Some(v.asInstanceOf[java.lang.Long].longValue())
+              case FLOAT => Some(v.asInstanceOf[java.lang.Float].doubleValue())
+              case DOUBLE => Some(v.asInstanceOf[java.lang.Double].doubleValue())
+              case BINARY
+                if pt.getLogicalTypeAnnotation.isInstanceOf[
+                  org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+              case _ => None
+            }
+            if (st == null || st.isEmpty) dead += name
+            else {
+              val chunk =
+                if (!st.hasNonNullValue)
+                  // all-null chunk: defined, min/max vacuous
+                  Some(ColStats(None, None, st.getNumNulls))
+                else (norm(st.genericGetMin.asInstanceOf[AnyRef]),
+                      norm(st.genericGetMax.asInstanceOf[AnyRef])) match {
+                  case (Some(mn), Some(mx)) =>
+                    Some(ColStats(Some(mn), Some(mx), math.max(0L, st.getNumNulls)))
+                  case _ => None // unsupported type
+                }
+              chunk match {
+                case None => dead += name
+                case Some(cs) =>
+                  val merged = acc.get(name) match {
+                    case None => cs
+                    case Some(prev) => ColStats(
+                      mergeBound(prev.min, cs.min, takeMax = false),
+                      mergeBound(prev.max, cs.max, takeMax = true),
+                      prev.nulls + cs.nulls)
+                  }
+                  acc.update(name, merged)
+              }
+            }
+          }
+        }
+      }
+      dead.foreach(acc.remove)
+      (rows, acc.toMap)
+    } finally r.close()
+  }
+
+  /** Unsigned-UTF-8 string order — parquet's own BINARY stats ordering;
+    * using Java's UTF-16 compareTo here would mis-prune on supplementary
+    * characters.
+    */
+  private[sources] def compareStatVals(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: String, y: String) =>
+      val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(xb.length, yb.length)
+      while (i < n) {
+        val c = java.lang.Integer.compare(xb(i) & 0xff, yb(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(xb.length, yb.length)
+    case _ =>
+      // mixed numeric carriers (long stats vs double literal and back)
+      java.lang.Double.compare(
+        a match { case l: Long => l.toDouble; case d: Double => d
+                  case o => sys.error(s"non-comparable stat value $o") },
+        b match { case l: Long => l.toDouble; case d: Double => d
+                  case o => sys.error(s"non-comparable stat value $o") })
+  }
+
+  private def mergeBound(a: Option[Any], b: Option[Any], takeMax: Boolean): Option[Any] =
+    (a, b) match {
+      case (None, x) => x
+      case (x, None) => x
+      case (Some(x), Some(y)) =>
+        val c = compareStatVals(x, y)
+        Some(if ((c >= 0) == takeMax) x else y)
+    }
 
   /** Schema enforcement (the Delta contract the reference relies on —
     * gold notebooks never re-declare their table): same column SET, same
@@ -463,17 +873,24 @@ object VersionedTable {
       "a writer storm needs external coordination")
   }
 
-  /** Create the table at version 0; fails named if it already exists. */
-  def create(df: DataFrame, table: String): Long = {
+  /** Create the table at version 0; fails named if it already exists.
+    * `partitionBy` declares hive-style partition columns (i26): every
+    * add in the log carries its partition values, snapshot planning
+    * prunes on them, and [[overwritePartitions]] gets its remove set.
+    */
+  def create(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     require(!exists(spark, table),
       s"versioned table $table already exists — append() or overwrite() it")
+    val missing = partitionBy.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"partition columns absent from the frame: ${missing.mkString(", ")}")
     val schema = df.schema
-    val adds = writeData(df, table, schema)
+    val adds = writeData(df, table, schema, partitionBy)
     commitLoop(spark, table, "create") {
       case Some(_) => sys.error(
         s"versioned table $table was created concurrently — append() or overwrite() it")
-      case None => Some(metaLine(schema.json) +: adds.map(addLine))
+      case None => Some(metaLine(schema.json, partitionBy) +: adds.map(addLine))
     }.get
   }
 
@@ -515,7 +932,8 @@ object VersionedTable {
   def txnAppend(df: DataFrame, table: String, app: String, batch: Long,
       evolve: Boolean = false): Option[Long] = {
     val spark = df.sparkSession
-    val baseSchema = snapshotAt(spark, table).schema
+    val baseSnap = snapshotAt(spark, table)
+    val baseSchema = baseSnap.schema
     val writeSchema =
       if (evolve) evolvedSchema(baseSchema, df.schema) else baseSchema
     val prepared = if (evolve) {
@@ -524,7 +942,7 @@ object VersionedTable {
         if (have(f.name)) org.apache.spark.sql.functions.col(f.name)
         else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
     } else df
-    lazy val adds = writeData(prepared, table, writeSchema)
+    lazy val adds = writeData(prepared, table, writeSchema, baseSnap.partitionBy)
     var wrote = false
     val out = commitLoop(spark, table, "append") {
       case None => sys.error(s"no versioned table at $table — create() it first")
@@ -537,7 +955,8 @@ object VersionedTable {
           // widening into ours — the commit's meta must never narrow
           val meta = if (!evolve) Nil else {
             val merged = evolvedSchema(snap.schema, writeSchema)
-            if (merged == snap.schema) Nil else Seq(metaLine(merged.json))
+            if (merged == snap.schema) Nil
+            else Seq(metaLine(merged.json, snap.partitionBy))
           }
           Some(meta ++ txn ++ adds.map(addLine))
         }
@@ -558,13 +977,277 @@ object VersionedTable {
     */
   def overwrite(df: DataFrame, table: String): Long = {
     val spark = df.sparkSession
-    val schema = snapshotAt(spark, table).schema
-    val adds = writeData(df, table, schema)
+    val base = snapshotAt(spark, table)
+    val adds = writeData(df, table, base.schema, base.partitionBy)
     commitLoop(spark, table, "overwrite") {
       case None => sys.error(s"no versioned table at $table — create() it first")
       case Some(snap) =>
         Some(snap.files.map(f => removeLine(f.path)) ++ adds.map(addLine))
     }.get
+  }
+
+  /** Dynamic-partition overwrite as one commit (i26): remove every live
+    * file in the partitions `df` TOUCHES, add the new files — the
+    * reference's date-partitioned fact refresh
+    * (5_gold/fact_transaction.py:49 writes `USING DELTA` partitioned by
+    * date) expressed log-native. Untouched partitions are untouched
+    * bytes-on-disk; concurrent writers to DISJOINT partitions commute
+    * (the retry re-derives the remove set from the fresh snapshot), while
+    * an overlapping concurrent touch of the same partition resolves by
+    * commit order, exactly like Delta's replaceWhere.
+    */
+  def overwritePartitions(df: DataFrame, table: String): Long = {
+    val spark = df.sparkSession
+    val base = snapshotAt(spark, table)
+    require(base.partitionBy.nonEmpty,
+      s"versioned table $table is unpartitioned — use overwrite()")
+    val adds = writeData(df, table, base.schema, base.partitionBy)
+    val touched = adds.map(_.partitions).toSet
+    commitLoop(spark, table, "overwrite_partitions") {
+      case None => sys.error(s"no versioned table at $table — create() it first")
+      case Some(snap) =>
+        Some(snap.files.filter(f => touched.contains(f.partitions))
+          .map(f => removeLine(f.path)) ++ adds.map(addLine))
+    }.get
+  }
+
+  // -------------------------------------------------------- merge (i24)
+
+  /** Row-level copy-on-write upsert — the reference's central write
+    * primitive (two `MERGE INTO` per silver table,
+    * 4_silver/silver_transactions.py:124 expire-merge, :153 insert-merge)
+    * expressed log-native: live rows whose key matches a staged row are
+    * REPLACED by the staged row, unmatched staged rows insert, and only
+    * the files that actually CONTAIN matched keys are rewritten (Delta's
+    * copy-on-write, vs [[overwrite]]'s full rewrite).
+    *
+    * The scan that finds those files is two-stage, both stages bounded:
+    *  1. the staged batch's per-key-column [min,max] (one small agg)
+    *    prunes the live file list through the log's own i25 stats — a
+    *    merge of one day's keys into a year's table plans ~one day's
+    *    files;
+    *  2. the surviving candidates are scanned key-columns-only (column-
+    *    pruned) with `input_file_name()`, joined to the staged keys: the
+    *    result is the exact matched-file list, file-catalog-sized.
+    *
+    * CONFLICTS (the first protocol case where retry is NOT safe): a merge
+    * read the table to decide what to rewrite, so any concurrent commit
+    * that changes table contents between its snapshot and its publish —
+    * another merge, an append (whose rows might have matched), an
+    * overwrite, an optimize — invalidates the decision. Overlapping
+    * concurrent merges do NOT commute; the loser fails NAMED with the
+    * intervening commit, and the caller re-runs on the fresh snapshot.
+    * Pure `vacuum` commits change no live file and are the one
+    * retry-safe interleaving.
+    *
+    * Staged batches must be unique per key (the Delta multiple-match
+    * error); null staged keys never match (SQL join semantics) and land
+    * as inserts.
+    */
+  def merge(staged: DataFrame, table: String, keys: Seq[String]): Long =
+    txnMerge(staged, table, keys, app = null, batch = 0L).get
+
+  /** [[merge]] with the (app, batch) exactly-once contract of
+    * [[txnAppend]] — the streaming SCD2 sink's commit (s04 riding i23).
+    */
+  def txnMerge(staged: DataFrame, table: String, keys: Seq[String],
+      app: String, batch: Long): Option[Long] = {
+    import org.apache.spark.sql.functions._
+    val spark = staged.sparkSession
+    val base = snapshotAt(spark, table)
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val missing = keys.filterNot(base.schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"merge keys absent from table schema: ${missing.mkString(", ")}")
+    // cheap pre-check: a replayed batch must not even write data files
+    if (app != null && base.txns.get(app).exists(_ >= batch)) return None
+    val stagedAligned = align(staged, base.schema).localCheckpoint()
+    try {
+      // multiple staged rows per key would make the upsert ambiguous —
+      // the Delta MERGE multiple-match error, named
+      val dup = stagedAligned.groupBy(keys.map(col): _*)
+        .count().filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"merge staged batch has multiple rows for key ${dup.headOption.map(_.toString).getOrElse("")} — " +
+          "dedupe upstream (Dedup.latestPerKey), exactly as the reference does")
+
+      // stage 1: staged key ranges prune the live file list via log stats
+      val rangeRow = stagedAligned.agg(
+        keys.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"))).head,
+        keys.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"))).tail: _*
+      ).collect()(0)
+      def ext(i: Int): Option[Any] = Option(rangeRow.get(i)).flatMap {
+        case v: java.lang.Integer => Some(v.longValue())
+        case v: java.lang.Long => Some(v.longValue())
+        case v: java.lang.Short => Some(v.longValue())
+        case v: java.lang.Byte => Some(v.longValue())
+        case v: java.lang.Float => Some(v.doubleValue())
+        case v: java.lang.Double => Some(v.doubleValue())
+        case v: String => Some(v)
+        case v: java.sql.Date => Some(v.toLocalDate.toEpochDay)
+        case v: java.sql.Timestamp =>
+          Some(v.getTime * 1000L + (v.getNanos / 1000) % 1000)
+        case v: java.time.LocalDate => Some(v.toEpochDay)
+        case v: java.time.Instant =>
+          Some(v.getEpochSecond * 1000000L + v.getNano / 1000)
+        case _ => None
+      }
+      val rangePruners = keys.zipWithIndex.flatMap { case (k, i) =>
+        (ext(2 * i), ext(2 * i + 1)) match {
+          case (Some(mn), Some(mx)) =>
+            Seq(Pruner(k, "ge", Seq(mn)), Pruner(k, "le", Seq(mx)))
+          case _ => Nil // all-null or unprunable key type: no stage-1 pruning
+        }
+      }
+      val candidates =
+        base.files.filter(f => rangePruners.forall(c => mayMatch(f, c)))
+
+      // stage 2: exact matched-file list — key-columns-only scan of the
+      // candidates, joined to the distinct staged keys
+      val matchedFiles: Seq[AddFile] =
+        if (candidates.isEmpty || stagedAligned.isEmpty) Nil
+        else {
+          val cand = spark.read.schema(base.schema)
+            .parquet(candidates.map(f => s"$table/${f.path}"): _*)
+            .select((keys.map(col) :+ input_file_name().as("__gf")): _*)
+          val stagedKeys = stagedAligned.select(keys.map(col): _*).distinct()
+          val hit = cand.join(stagedKeys, keys, "left_semi")
+            .select(col("__gf")).distinct().collect().map(_.getString(0)).toSet
+          // input_file_name returns a URI; match live entries by path suffix
+          candidates.filter(f =>
+            hit.exists(u => new Path(u).toUri.getPath.endsWith(s"/${f.path}") ||
+              new Path(u).toUri.getPath == f.path))
+        }
+
+      // copy-on-write: matched files are rewritten WITHOUT the matched
+      // rows; the staged batch lands whole (updates replace, rest insert)
+      val survivorAdds =
+        if (matchedFiles.isEmpty) Nil
+        else {
+          val lives = spark.read.schema(base.schema)
+            .parquet(matchedFiles.map(f => s"$table/${f.path}"): _*)
+          val survivors = lives.join(
+            stagedAligned.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          writeData(survivors, table, base.schema, base.partitionBy)
+        }
+      val stagedAdds = writeData(stagedAligned, table, base.schema, base.partitionBy)
+
+      testHookBeforeCommit()
+      var wrote = false
+      val out = commitLoop(spark, table, "merge") {
+        case None => sys.error(s"no versioned table at $table — create() it first")
+        case Some(snap) =>
+          if (app != null && snap.txns.get(app).exists(_ >= batch)) None
+          else {
+            if (snap.version != base.version) {
+              // the merge DECIDED against base's contents; anything that
+              // changed them since does not commute — fail named, the
+              // caller re-runs on the fresh snapshot. vacuum commits touch
+              // no live file and are the one safe interleaving.
+              val fs = fsOf(spark, table)
+              ((base.version + 1) to snap.version).foreach { v =>
+                val op = parseCommit(fs, table, v)._2
+                if (op != "vacuum") sys.error(
+                  s"versioned table $table: concurrent commit $v (op=$op) conflicts " +
+                    s"with a merge begun at version ${base.version} — merges do not " +
+                    "commute with concurrent writes; re-run the merge on the new snapshot")
+              }
+            }
+            wrote = true
+            val txn = if (app == null) Nil else Seq(txnLine(app, batch))
+            Some(txn ++ matchedFiles.map(f => removeLine(f.path)) ++
+              (survivorAdds ++ stagedAdds).map(addLine))
+          }
+      }
+      if (out.isEmpty && wrote) {
+        // lost the txn race to our own earlier commit: sweep orphans
+        val fs = fsOf(spark, table)
+        (survivorAdds ++ stagedAdds).map(_.path.split("/")(1)).distinct.foreach { d =>
+          fs.delete(new Path(s"$table/$DataDirName/$d"), true) }
+      }
+      out
+    } finally { stagedAligned.unpersist(); () }
+  }
+
+  // ----------------------------------------------------- optimize (i28)
+
+  /** OPTIMIZE as a commit: within each partition, files smaller than
+    * `targetBytes` are rewritten into right-sized ones and swapped in as
+    * one `remove`+`add` transaction — data IDENTICAL, so time travel to
+    * any pre-compaction version still reads (its files live until
+    * [[vacuum]]). The i13 small-files discipline (a streaming sink's
+    * per-batch files make 100k-file tables) expressed log-native.
+    *
+    * Concurrency: compaction reads only the files it removes, so a
+    * concurrent APPEND commutes (retry proceeds); a concurrent commit
+    * that REMOVED one of the source files (another optimize, a merge, an
+    * overwrite) fails NAMED. Returns None when nothing needs compacting.
+    */
+  def optimize(spark: SparkSession, table: String,
+      targetBytes: Long = 128L * 1024 * 1024): Option[Long] = {
+    val base = snapshotAt(spark, table)
+    val fs = fsOf(spark, table)
+    def sizeOf(f: AddFile): Long =
+      if (f.bytes > 0) f.bytes
+      else fs.getFileStatus(new Path(s"$table/${f.path}")).getLen // pre-i25 adds
+    val smalls = base.files
+      .filter(f => sizeOf(f) < targetBytes)
+      .groupBy(_.partitions)
+      .filter(_._2.size >= 2) // a lone small file gains nothing from a rewrite
+      .values.flatten.toSeq
+    if (smalls.isEmpty) return None
+    val totalBytes = smalls.map(sizeOf).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.schema(base.schema)
+      .parquet(smalls.map(f => s"$table/${f.path}"): _*)
+    val compacted =
+      if (base.partitionBy.nonEmpty)
+        // partition-pure output: one task per live partition value
+        df.repartition(base.partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(nOut)
+    val adds = writeData(compacted, table, base.schema, base.partitionBy)
+    val smallPaths = smalls.map(_.path).toSet
+    testHookBeforeCommit()
+    Some(commitLoop(spark, table, "optimize") {
+      case None => sys.error(s"no versioned table at $table — create() it first")
+      case Some(snap) =>
+        val live = snap.files.map(_.path).toSet
+        val gone = smallPaths.filterNot(live.contains)
+        if (gone.nonEmpty) sys.error(
+          s"versioned table $table: files ${gone.take(3).mkString(", ")} were removed " +
+            s"concurrently while optimize was rewriting them — re-run optimize on the " +
+            "new snapshot (concurrent appends are fine; concurrent rewrites are not)")
+        Some(smalls.map(f => removeLine(f.path)) ++ adds.map(addLine))
+    }.get)
+  }
+
+  // ------------------------------------------------- change feed (i27)
+
+  /** Exactly-once incremental hop between two versioned tables (the
+    * reference's silver→gold streaming read of Delta): consume `source`'s
+    * commits past the last consumed version, transform, append to
+    * `target` — with the CONSUMED SOURCE VERSION committed as the txn
+    * batch in the TARGET's own log, so progress and output are one atomic
+    * commit. A replay after any crash (before or after the target commit)
+    * re-reads the target's txn table and consumes nothing twice; there is
+    * no side checkpoint file to desynchronize.
+    *
+    * First call (no txn for `app` yet) bootstraps from the full current
+    * snapshot; later calls ride [[readChangesSince]] bounded to the
+    * version the txn will record (a commit racing in mid-hop is consumed
+    * by the NEXT hop, never half-consumed). Returns the consumed source
+    * version and the target version, or None when already caught up.
+    */
+  def feedInto(spark: SparkSession, source: String, target: String, app: String)(
+      transform: DataFrame => DataFrame): Option[(Long, Long)] = {
+    val last = snapshotAt(spark, target).txns.getOrElse(app, -1L)
+    val srcLatest = latestVersion(spark, source)
+    if (srcLatest <= last) return None
+    val changes =
+      if (last < 0) readVersion(spark, source, srcLatest)
+      else readChangesSince(spark, source, last, srcLatest)
+    txnAppend(transform(changes), target, app, batch = srcLatest)
+      .map(tv => (srcLatest, tv))
   }
 
   // ------------------------------------------------------------- history
@@ -594,13 +1277,15 @@ object VersionedTable {
     * the append delta and fails NAMED (a full refresh means reconsume, and
     * pretending otherwise double-counts).
     */
-  def readChangesSince(spark: SparkSession, table: String, sinceVersion: Long): DataFrame = {
+  def readChangesSince(spark: SparkSession, table: String, sinceVersion: Long,
+      untilVersion: Long = -1L): DataFrame = {
     val fs = fsOf(spark, table)
     val vs = commitVersions(fs, table)
     require(vs.nonEmpty, s"no versioned table at $table — create() it first")
     require(vs.contains(sinceVersion),
       s"versioned table $table has no version $sinceVersion to read changes since")
-    val later = vs.filter(_ > sinceVersion)
+    val later = vs.filter(v => v > sinceVersion &&
+      (untilVersion < 0 || v <= untilVersion))
     val adds = later.flatMap { v =>
       val (nodes, op) = parseCommit(fs, table, v)
       if (op == "overwrite") sys.error(

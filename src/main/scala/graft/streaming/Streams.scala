@@ -1886,6 +1886,25 @@ object Streams {
     graft.sources.Sinks.overwriteAtomic(merged, dimPath)
   }
 
+  /** [[scd2Sink]] riding the i23 transaction log (r18): each micro-batch
+    * upserts ROW-LEVEL via [[Scd2.mergeVersioned]] — only the files
+    * holding expired/inserted rows are rewritten (the reference's actual
+    * Delta MERGE write path), the dimension's full history stays
+    * time-travelable, and exactly-once replay comes from the log's (app,
+    * batch) txn record, not from sink carefulness: a foreachBatch replay
+    * commits NOTHING. The table must exist (VersionedTable.create with
+    * the dim schema: keys ++ attrs ++ valid_from/valid_to/is_current).
+    */
+  def scd2VersionedSink(spark: SparkSession, table: String, appId: String,
+      keys: Seq[String], attrs: Seq[String])(
+      batch: DataFrame, batchId: Long): Unit = {
+    val staged = Dedup.latestPerKey(batch, keys, Seq(col("ts").desc))
+      .select((keys ++ attrs).map(col): _*)
+    Scd2.mergeVersioned(spark, table, staged, keys, attrs,
+      current_timestamp(), appId, batchId)
+    ()
+  }
+
   // --------------------------------------------------------------------
   // s22: tokenizer drift (r15) — the s08 drift/retrain template applied
   // to the deployed BPE tokenizer.

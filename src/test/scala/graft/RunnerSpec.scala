@@ -380,6 +380,56 @@ class RunnerSpec extends SparkSpec {
       col("status") === "succeeded").count() == 1)
   }
 
+  test("Medallion.runVersioned: two micro-batches through versioned silver " +
+      "and gold — row-level merges, exactly-once gold hop, replay no-ops (r18)") {
+    val dir = Files.createTempDirectory("medallion_vt").toFile.getAbsolutePath
+    val VT = graft.sources.VersionedTable
+    val silverT = s"$dir/silver_tx"
+    val goldT = s"$dir/gold_tx"
+    // ensure-table DDL: silver dim schema, gold summary schema
+    VT.create(Seq((0L, 0.0, ts("2024-01-01 00:00:00"),
+        null.asInstanceOf[java.sql.Timestamp], true))
+      .toDF("id", "amt", "valid_from", "valid_to", "is_current")
+      .filter(lit(false)), silverT)
+    VT.create(Seq((0L, 0.0)).toDF("id", "cur_amt").filter(lit(false)), goldT)
+    def runBatch(src: DataFrame, batch: Long, asOfDay: String) =
+      graft.pipeline.Medallion.runVersioned(spark,
+        sources = Seq(src), cdm = identity,
+        rules = Seq(graft.ops.Quality.Rule("neg_amt", col("amt") < 0)),
+        keys = Seq("id"), recency = Seq(col("ts").desc), attrs = Seq("amt"),
+        silverTable = silverT, goldTable = goldT,
+        goldTransform = df => df.filter(col("is_current"))
+          .select(col("id"), col("amt").as("cur_amt")),
+        asOf = lit(ts(asOfDay)), app = "med", batch = batch)
+    val b0 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (2L, ts("2024-01-01 11:00:00"), -5.0)). // quarantined, never lands
+      toDF("id", "ts", "amt")
+    val (sv0, gv0) = runBatch(b0, 0L, "2024-01-01 12:00:00")
+    assert(sv0.isDefined && gv0.isDefined)
+    // batch 1 changes key 1; replay of batch 1 must commit nothing anywhere
+    val b1 = Seq((1L, ts("2024-01-02 10:00:00"), 12.0)).toDF("id", "ts", "amt")
+    val (sv1, gv1) = runBatch(b1, 1L, "2024-01-02 12:00:00")
+    assert(sv1.isDefined && gv1.isDefined)
+    val vAfter = VT.latestVersion(spark, silverT)
+    val (svR, gvR) = runBatch(b1, 1L, "2024-01-02 12:00:00")
+    assert(svR.isEmpty && gvR.isEmpty, "replay must be a total no-op")
+    assert(VT.latestVersion(spark, silverT) == vAfter)
+    // silver carries the SCD2 history row-level; quarantine never entered
+    val silver = VT.read(spark, silverT)
+    assert(silver.filter(col("id") === 2L).count() == 0)
+    assert(silver.filter(col("id") === 1L && !col("is_current"))
+      .head().getAs[Double]("amt") == 10.0)
+    // gold consumed each silver commit exactly once: latest current amt
+    val gold = VT.read(spark, goldT)
+      .groupBy(col("id")).agg(max(col("cur_amt")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gold == Map(1L -> 12.0), gold.toString)
+    // time travel below the change still serves amt=10 as current
+    assert(VT.readVersion(spark, silverT, sv0.get)
+      .filter(col("is_current")).head().getAs[Double]("amt") == 10.0)
+  }
+
   test("Runner retries transient source failures up to maxAttempts") {
     val dir = Files.createTempDirectory("runner3").toFile.getAbsolutePath
     val cfg = s"$dir/load_config.csv"

@@ -148,6 +148,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2VersionedSink: row-level SCD2 merge on the transaction log — " +
+      "time-travelable history, replay commits nothing (s04 riding i23/i24)") {
+    val dir = Files.createTempDirectory("scd2vsink").toFile.getAbsolutePath
+    val table = s"$dir/dim"
+    val VT = graft.sources.VersionedTable
+    // ensure-table step (the gold notebooks' DDL): empty dim with schema
+    VT.create(Seq((0L, 0.0, new java.sql.Timestamp(0),
+        null.asInstanceOf[java.sql.Timestamp], true))
+      .toDF("user_id", "value", "valid_from", "valid_to", "is_current")
+      .filter(lit(false)), table)
+    val sink = Streams.scd2VersionedSink(spark, table, "s04",
+      Seq("user_id"), Seq("value")) _
+    sink(Seq(Event(1, ts(0), 1.0), Event(2, ts(0), 2.0)).toDF(), 0L)
+    val v0 = VT.latestVersion(spark, table)
+    sink(Seq(Event(1, ts(10), 5.0)).toDF(), 1L) // change user 1
+    sink(Seq(Event(1, ts(10), 5.0)).toDF(), 1L) // foreachBatch REPLAY
+    val dim = VT.read(spark, table)
+    assert(dim.filter(col("is_current")).count() == 2)
+    assert(dim.filter(!col("is_current")).count() == 1)
+    assert(dim.filter(col("is_current") && col("user_id") === 1)
+      .head().getAs[Double]("value") == 5.0)
+    // the replay committed nothing: one merge version past v0
+    assert(VT.latestVersion(spark, table) ==
+      VT.snapshotAt(spark, table).txns("s04") + v0,
+      "replay must not create a version")
+    // Delta's free gift, preserved: the pre-batch-1 dimension
+    assert(VT.readVersion(spark, table, v0)
+      .filter(col("is_current") && col("user_id") === 1)
+      .head().getAs[Double]("value") == 1.0)
+    // an unchanged batch is a total no-op (no version, replay-safe)
+    val vBefore = VT.latestVersion(spark, table)
+    sink(Seq(Event(2, ts(20), 2.0)).toDF(), 2L)
+    assert(VT.latestVersion(spark, table) == vBefore)
+  }
+
+  test("live silver→gold hop: versionedSink micro-batches feed through " +
+      "feedInto exactly once (s34 + i27)") {
+    val dir = Files.createTempDirectory("hop").toFile.getAbsolutePath
+    val silver = s"$dir/silver"
+    val gold = s"$dir/gold"
+    val VT = graft.sources.VersionedTable
+    VT.create(Seq((0L, 0.0)).toDF("user_id", "value").filter(lit(false)), silver)
+    VT.create(Seq((0L, 0.0)).toDF("user_id", "total").filter(lit(false)), gold)
+    def goldHop() = VT.feedInto(spark, silver, gold, "gold-agg")(
+      df => df.groupBy(col("user_id")).agg(sum(col("value")).as("total")))
+    val sink = Streams.versionedSink(silver, "ingest") _
+    sink(Seq((1L, 1.0), (2L, 2.0)).toDF("user_id", "value"), 0L)
+    assert(goldHop().isDefined)
+    sink(Seq((1L, 10.0)).toDF("user_id", "value"), 1L)
+    sink(Seq((1L, 10.0)).toDF("user_id", "value"), 1L) // replay: no commit
+    assert(goldHop().isDefined)
+    assert(goldHop().isEmpty) // caught up
+    // gold holds per-hop partial aggregates consuming each row EXACTLY once
+    val total = VT.read(spark, gold).groupBy(col("user_id"))
+      .agg(sum(col("total")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(total == Map(1L -> 11.0, 2L -> 2.0), total.toString)
+  }
+
   test("scd2Sink leaves the existing dimension intact when the merge write dies") {
     val dir = Files.createTempDirectory("scd2atomic").toFile.getAbsolutePath
     val dimPath = s"$dir/dim"

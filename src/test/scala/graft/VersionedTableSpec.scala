@@ -325,4 +325,343 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.append(Seq((1L, "a")).toDF("id", "v"), t)
     assert(rows(VersionedTable.read(spark, t)) == Set((1L, "a")))
   }
+
+  // ------------------------------------------------------- r18: i25 stats
+
+  test("adds carry footer stats; readWhere plans only surviving files and " +
+      "stays exact (i25)") {
+    val t = tmpTable("stats")
+    // three appends = three files with disjoint id ranges and string tags
+    VersionedTable.create(
+      (1L to 10L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1), t)
+    VersionedTable.append(
+      (11L to 20L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1), t)
+    VersionedTable.append(
+      (21L to 30L).map(i => (i, s"c$i")).toDF("id", "v").coalesce(1), t)
+    val snap = VersionedTable.snapshotAt(spark, t)
+    assert(snap.files.size == 3)
+    // every add carries id stats straight from the parquet footers
+    assert(snap.files.forall(f => f.stats.get("id").exists(s =>
+      s.min.isDefined && s.max.isDefined && s.nulls == 0)))
+    assert(snap.files.forall(_.bytes > 0))
+
+    // numeric point lookup: one file survives planning
+    val hit = VersionedTable.survivingFiles(spark, t, col("id") === 25L)
+    assert(hit.size == 1, hit.map(_.path).mkString(", "))
+    assert(rows(VersionedTable.readWhere(spark, t, col("id") === 25L)) ==
+      Set((25L, "c25")))
+    // the DataFrame itself plans only the surviving file
+    assert(VersionedTable.readWhere(spark, t, col("id") === 25L)
+      .inputFiles.length == 1)
+    // range + conjunction
+    assert(VersionedTable.survivingFiles(spark, t,
+      col("id") > 10L && col("id") <= 20L).size == 1)
+    // string predicate prunes in UTF-8 order
+    assert(VersionedTable.survivingFiles(spark, t, col("v") === "b15").size == 1)
+    // IN list touches two files
+    assert(VersionedTable.survivingFiles(spark, t,
+      col("id").isin(5L, 25L)).size == 2)
+    // un-prunable predicate keeps everything and stays exact
+    assert(rows(VersionedTable.readWhere(spark, t, col("v").endsWith("15"))) ==
+      Set((15L, "b15")))
+    // results NEVER differ from the unpruned read + filter
+    assert(rows(VersionedTable.readWhere(spark, t, col("id") >= 28L)) ==
+      rows(VersionedTable.read(spark, t).filter(col("id") >= 28L)))
+  }
+
+  test("null-aware pruning: IS NULL prunes all-non-null files, IS NOT NULL " +
+      "prunes all-null files, equality skips all-null chunks (i25)") {
+    val t = tmpTable("nulls")
+    VersionedTable.create(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), t)
+    VersionedTable.append(
+      Seq((3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]))
+        .toDF("id", "v").coalesce(1), t)
+    assert(VersionedTable.survivingFiles(spark, t, col("v").isNull).size == 1)
+    assert(VersionedTable.survivingFiles(spark, t, col("v").isNotNull).size == 1)
+    // equality can never match inside an all-null chunk
+    assert(VersionedTable.survivingFiles(spark, t, col("v") === "a").size == 1)
+    assert(VersionedTable.readWhere(spark, t, col("v").isNull)
+      .select("id").as[Long].collect().toSet == Set(3L, 4L))
+  }
+
+  test("checkpoint replay carries stats: pruning survives losing " +
+      "pre-checkpoint commits (i25)") {
+    val t = tmpTable("ckstats")
+    VersionedTable.create(Seq((0L, "seed")).toDF("id", "v").coalesce(1), t)
+    (1 to 10).foreach { i =>
+      VersionedTable.append(
+        Seq((i.toLong * 100, s"r$i")).toDF("id", "v").coalesce(1), t)
+    }
+    // v10 rolled a checkpoint; drop the pre-checkpoint commits
+    (0L to 9L).foreach(v => fs.delete(new Path(s"$t/_graft_log/" + f"$v%020d.json"), false))
+    val hit = VersionedTable.survivingFiles(spark, t, col("id") === 700L)
+    assert(hit.size == 1, s"checkpoint must carry per-file stats: ${hit.size} files")
+    assert(rows(VersionedTable.readWhere(spark, t, col("id") === 700L)) ==
+      Set((700L, "r7")))
+  }
+
+  // -------------------------------------------------- r18: i26 partitions
+
+  test("partitioned tables: partition values in the log, pruned reads, " +
+      "dynamic partition overwrite (i26)") {
+    val t = tmpTable("part")
+    val d0 = Seq((1L, "2024-01-01", "a"), (2L, "2024-01-02", "b"),
+      (3L, "2024-01-02", "c")).toDF("id", "day", "v")
+    VersionedTable.create(d0, t, partitionBy = Seq("day"))
+    val snap = VersionedTable.snapshotAt(spark, t)
+    assert(snap.partitionBy == Seq("day"))
+    // files are partition-pure and carry their values in the log
+    assert(snap.files.nonEmpty &&
+      snap.files.forall(f => f.partitions.keySet == Set("day")))
+    assert(snap.files.map(_.partitions("day")).toSet ==
+      Set("2024-01-01", "2024-01-02"))
+    // the data files KEEP the partition column (no re-attach dance)
+    val full = VersionedTable.read(spark, t)
+    assert(full.columns.toSeq == Seq("id", "day", "v"))
+    assert(full.count() == 3)
+    // partition pruning IS stats pruning: one partition's files survive
+    val surv = VersionedTable.survivingFiles(spark, t, col("day") === "2024-01-01")
+    assert(surv.nonEmpty && surv.forall(_.partitions("day") == "2024-01-01"))
+    assert(surv.size < snap.files.size)
+    // dynamic partition overwrite: only the touched partition changes
+    val before = VersionedTable.snapshotAt(spark, t).files
+      .filter(_.partitions("day") == "2024-01-01").map(_.path).toSet
+    VersionedTable.overwritePartitions(
+      Seq((20L, "2024-01-02", "B2")).toDF("id", "day", "v"), t)
+    val after = VersionedTable.snapshotAt(spark, t)
+    assert(after.files.filter(_.partitions("day") == "2024-01-01")
+      .map(_.path).toSet == before, "untouched partition must keep its files")
+    assert(VersionedTable.read(spark, t).select("id").as[Long].collect().toSet ==
+      Set(1L, 20L))
+    // time travel to the pre-overwrite snapshot still serves all rows
+    assert(VersionedTable.readVersion(spark, t, 0).count() == 3)
+    // appends inherit the partitioning
+    VersionedTable.append(Seq((30L, "2024-01-03", "d")).toDF("id", "day", "v"), t)
+    assert(VersionedTable.snapshotAt(spark, t).files
+      .exists(_.partitions("day") == "2024-01-03"))
+    // overwritePartitions on an unpartitioned table fails named
+    val t2 = tmpTable("unpart")
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), t2)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.overwritePartitions(Seq((2L, "b")).toDF("id", "v"), t2)
+    }
+    assert(e.getMessage.contains("unpartitioned"))
+  }
+
+  // ------------------------------------------------------ r18: i24 merge
+
+  test("merge: copy-on-write upsert rewrites ONLY matched files; time " +
+      "travel serves the pre-merge table (i24)") {
+    val t = tmpTable("merge")
+    VersionedTable.create(
+      (1L to 10L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1), t)
+    VersionedTable.append(
+      (11L to 20L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1), t)
+    VersionedTable.append(
+      (21L to 30L).map(i => (i, s"c$i")).toDF("id", "v").coalesce(1), t)
+    val pre = VersionedTable.snapshotAt(spark, t)
+    assert(pre.files.size == 3)
+    val untouched = pre.files.filter(f =>
+      f.stats("id").max.exists(_.asInstanceOf[Long] <= 10L) ||
+      f.stats("id").min.exists(_.asInstanceOf[Long] >= 21L)).map(_.path).toSet
+    assert(untouched.size == 2)
+
+    // upsert: 15 changes, 99 inserts — only the middle file holds matches
+    val v = VersionedTable.merge(
+      Seq((15L, "B15"), (99L, "new")).toDF("id", "v"), t, Seq("id"))
+    val post = VersionedTable.snapshotAt(spark, t)
+    assert(untouched.subsetOf(post.files.map(_.path).toSet),
+      "files without matched keys must NOT be rewritten")
+    assert(!post.files.map(_.path).contains(
+      pre.files.map(_.path).toSet.diff(untouched).head),
+      "the matched file must be swapped out")
+    val got = rows(VersionedTable.read(spark, t))
+    assert(got.size == 31)
+    assert(got((15L, "B15")) && got((99L, "new")) && got((14L, "b14")) &&
+      !got.contains((15L, "b15")))
+    // pre-merge snapshot intact
+    assert(rows(VersionedTable.readVersion(spark, t, v - 1))
+      .contains((15L, "b15")))
+    // history names the op
+    assert(VersionedTable.history(spark, t).filter(col("op") === "merge").count() == 1)
+  }
+
+  test("merge: duplicate staged keys fail named; pure-insert merge leaves " +
+      "every live file in place (i24)") {
+    val t = tmpTable("mergedup")
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v").coalesce(1), t)
+    val dup = intercept[IllegalArgumentException] {
+      VersionedTable.merge(Seq((7L, "x"), (7L, "y")).toDF("id", "v"), t, Seq("id"))
+    }
+    assert(dup.getMessage.contains("multiple rows"), dup.getMessage)
+    val pre = VersionedTable.snapshotAt(spark, t).files.map(_.path).toSet
+    VersionedTable.merge(Seq((2L, "b")).toDF("id", "v"), t, Seq("id"))
+    val post = VersionedTable.snapshotAt(spark, t).files.map(_.path).toSet
+    assert(pre.subsetOf(post), "a no-match merge is a pure append")
+    assert(rows(VersionedTable.read(spark, t)) == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("merge conflict: a concurrent non-vacuum commit between snapshot " +
+      "and publish fails NAMED — merges do not commute (i24)") {
+    val t = tmpTable("mergeconf")
+    VersionedTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+    // interleave a concurrent append exactly in the decide→commit window
+    VersionedTable.testHookBeforeCommit = () => {
+      VersionedTable.testHookBeforeCommit = () => ()
+      VersionedTable.append(Seq((3L, "c")).toDF("id", "v"), t)
+      ()
+    }
+    try {
+      val e = intercept[RuntimeException] {
+        VersionedTable.merge(Seq((1L, "A")).toDF("id", "v"), t, Seq("id"))
+      }
+      assert(e.getMessage.contains("conflicts"), e.getMessage)
+      assert(e.getMessage.contains("op=append"), e.getMessage)
+    } finally VersionedTable.testHookBeforeCommit = () => ()
+    // the failed merge committed nothing; the append won
+    assert(rows(VersionedTable.read(spark, t)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // re-run on the fresh snapshot succeeds
+    VersionedTable.merge(Seq((1L, "A")).toDF("id", "v"), t, Seq("id"))
+    assert(rows(VersionedTable.read(spark, t)) ==
+      Set((1L, "A"), (2L, "b"), (3L, "c")))
+  }
+
+  test("txnMerge is exactly-once per (app, batch) — the streaming SCD2 " +
+      "replay contract (i24)") {
+    val t = tmpTable("txnmerge")
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), t)
+    val v1 = VersionedTable.txnMerge(
+      Seq((1L, "A")).toDF("id", "v"), t, Seq("id"), "app1", 7L)
+    assert(v1.isDefined)
+    // replay: same (app, batch) commits NOTHING
+    assert(VersionedTable.txnMerge(
+      Seq((1L, "A-replayed")).toDF("id", "v"), t, Seq("id"), "app1", 7L).isEmpty)
+    assert(rows(VersionedTable.read(spark, t)) == Set((1L, "A")))
+    assert(VersionedTable.latestVersion(spark, t) == v1.get)
+  }
+
+  // --------------------------------------------------- r18: i28 optimize
+
+  test("optimize: compaction as a commit — rows identical, fewer files, " +
+      "pre-compaction time travel still reads (i28)") {
+    val t = tmpTable("opt")
+    VersionedTable.create(Seq((0L, "r0")).toDF("id", "v").coalesce(1), t)
+    (1 to 6).foreach(i => VersionedTable.append(
+      Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), t))
+    val pre = VersionedTable.snapshotAt(spark, t)
+    assert(pre.files.size == 7)
+    val preRows = rows(VersionedTable.read(spark, t))
+    val ov = VersionedTable.optimize(spark, t)
+    assert(ov.isDefined)
+    val post = VersionedTable.snapshotAt(spark, t)
+    assert(post.files.size < pre.files.size,
+      s"${pre.files.size} -> ${post.files.size}")
+    assert(rows(VersionedTable.read(spark, t)) == preRows, "data must be identical")
+    // pre-compaction version still reads (files live until vacuum)
+    assert(rows(VersionedTable.readVersion(spark, t, ov.get - 1)) == preRows)
+    // idempotent: nothing left to compact
+    assert(VersionedTable.optimize(spark, t).isEmpty)
+  }
+
+  test("optimize under concurrency: concurrent append commutes, concurrent " +
+      "removal of a source file fails named (i28)") {
+    val t = tmpTable("optconc")
+    VersionedTable.create(Seq((0L, "r0")).toDF("id", "v").coalesce(1), t)
+    (1 to 3).foreach(i => VersionedTable.append(
+      Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1), t))
+    // concurrent APPEND in the decide→commit window: optimize proceeds
+    VersionedTable.testHookBeforeCommit = () => {
+      VersionedTable.testHookBeforeCommit = () => ()
+      VersionedTable.append(Seq((50L, "mid")).toDF("id", "v").coalesce(1), t)
+      ()
+    }
+    try assert(VersionedTable.optimize(spark, t).isDefined)
+    finally VersionedTable.testHookBeforeCommit = () => ()
+    assert(VersionedTable.read(spark, t).count() == 5,
+      "the concurrent append's rows must survive the compaction commit")
+    // concurrent REMOVAL (an overwrite) of a source file: named conflict
+    VersionedTable.append(Seq((60L, "x")).toDF("id", "v").coalesce(1), t)
+    VersionedTable.append(Seq((61L, "y")).toDF("id", "v").coalesce(1), t)
+    VersionedTable.testHookBeforeCommit = () => {
+      VersionedTable.testHookBeforeCommit = () => ()
+      VersionedTable.overwrite(Seq((99L, "wiped")).toDF("id", "v"), t)
+      ()
+    }
+    try {
+      val e = intercept[RuntimeException] { VersionedTable.optimize(spark, t) }
+      assert(e.getMessage.contains("removed"), e.getMessage)
+    } finally VersionedTable.testHookBeforeCommit = () => ()
+  }
+
+  // ------------------------------------------------ r18: i27 change feed
+
+  test("feedInto: exactly-once silver→gold hop — bootstrap, incremental " +
+      "consume, replay consumes nothing (i27)") {
+    val src = tmpTable("feedsrc")
+    val tgt = tmpTable("feedtgt")
+    VersionedTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src)
+    VersionedTable.create(
+      Seq((0L, 0L)).toDF("id", "len").filter(lit(false)), tgt)
+    def hop() = VersionedTable.feedInto(spark, src, tgt, "gold")(
+      df => df.select(col("id"), length(col("v")).cast("long").as("len")))
+    // bootstrap: the full current snapshot
+    val first = hop()
+    assert(first.exists(_._1 == 0L), s"$first")
+    assert(VersionedTable.read(spark, tgt).count() == 2)
+    // caught up: nothing to consume
+    assert(hop().isEmpty)
+    // two source appends, one hop: exactly the delta
+    VersionedTable.append(Seq((3L, "ccc")).toDF("id", "v"), src)
+    VersionedTable.append(Seq((4L, "dd")).toDF("id", "v"), src)
+    val second = hop()
+    assert(second.exists(_._1 == 2L), s"$second")
+    val got = VersionedTable.read(spark, tgt).select("id", "len").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 3L), (4L, 2L)))
+    // replay after a "crash": the txn table already records version 2
+    assert(hop().isEmpty)
+    // the consumer's progress is visible in the target's txn state
+    assert(VersionedTable.snapshotAt(spark, tgt).txns("gold") == 2L)
+  }
+
+  // ---------------------------------------- r18: Scd2.mergeVersioned
+
+  test("Scd2.mergeVersioned == Scd2.merge semantics, committed row-level: " +
+      "untouched dimension files stay in place (i24)") {
+    val ts = (d: Int) => new java.sql.Timestamp(d * 86400000L)
+    val dim0 = Seq(
+      (1L, "addr-a", ts(1), null.asInstanceOf[java.sql.Timestamp], true),
+      (2L, "addr-b", ts(1), null.asInstanceOf[java.sql.Timestamp], true),
+      (3L, "addr-c", ts(1), null.asInstanceOf[java.sql.Timestamp], true))
+      .toDF("id", "addr", "valid_from", "valid_to", "is_current")
+    val staged = Seq((1L, "addr-a2"), (4L, "addr-d")).toDF("id", "addr")
+
+    // the full-rewrite spelling (the existing contract)
+    val expect = graft.ops.Scd2.merge(dim0, staged, Seq("id"), Seq("addr"),
+      lit(ts(2))).collect().map(_.toSeq).toSet
+
+    // the log-native row-level spelling
+    val t = tmpTable("scd2v")
+    // one file per row so copy-on-write is observable
+    VersionedTable.create(dim0.repartition(3, col("id")), t)
+    val v = graft.ops.Scd2.mergeVersioned(spark, t, staged,
+      Seq("id"), Seq("addr"), lit(ts(2)))
+    assert(v.isDefined)
+    val got = VersionedTable.read(spark, t).collect().map(_.toSeq).toSet
+    assert(got == expect, s"got $got\nexpected $expect")
+    // an UNCHANGED staged batch commits nothing at all
+    assert(graft.ops.Scd2.mergeVersioned(spark, t,
+      Seq((2L, "addr-b")).toDF("id", "addr"),
+      Seq("id"), Seq("addr"), lit(ts(3))).isEmpty)
+    assert(VersionedTable.latestVersion(spark, t) == v.get)
+    // exactly-once under (app, batch)
+    assert(graft.ops.Scd2.mergeVersioned(spark, t,
+      Seq((2L, "addr-b9")).toDF("id", "addr"),
+      Seq("id"), Seq("addr"), lit(ts(4)), app = "s04", batch = 1L).isDefined)
+    assert(graft.ops.Scd2.mergeVersioned(spark, t,
+      Seq((2L, "addr-b10")).toDF("id", "addr"),
+      Seq("id"), Seq("addr"), lit(ts(5)), app = "s04", batch = 1L).isEmpty)
+  }
 }
