@@ -204,6 +204,23 @@ object SimQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // ---- q124: HNSW graph ANN (sim/Hnsw.scala, r18) ----
+    // The public graph-index standard (Malkov–Yashunin 2016), sharded:
+    // per-partition graphs built in one mapPartitions pass, broadcast
+    // queries search every shard, global top-k merge. Rows-only by design
+    // (a beam search over a driver-opaque graph isn't SQL-expressible);
+    // the strong gates are AnnSpec's: recall >= IVF-PQ at EQUAL candidate
+    // budget, exact at full ef, deterministic across runs, exact cosine
+    // scores.
+    "q124_ann_hnsw" -> { (s, d) =>
+      val v = vecs(s, d)
+      graft.sim.Hnsw.hnswTopK(v, v.filter(col("id") < 10), k = 3,
+          m = 12, efConstruction = 48, efSearch = 32, shards = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // ---- q110: PCA projection (scoring face) ----
     // The dimensionality-reduction step SemDeDup-style pipelines run
     // before clustering. FIT (scatter pass + driver Jacobi eigen,

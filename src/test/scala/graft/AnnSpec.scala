@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.multimodal.Binary
-import graft.sim.Ann
+import graft.sim.{Ann, Hnsw}
 
 class AnnSpec extends SparkSpec {
   import spark.implicits._
@@ -309,6 +309,55 @@ class AnnSpec extends SparkSpec {
     val reranked = recall(30)
     assert(reranked >= 0.9, s"reranked IVF-PQ recall@3 = $reranked")
     assert(reranked >= adcOnly, "rerank must never lose recall")
+  }
+
+  test("HNSW recall@3 >= IVF-PQ at EQUAL candidate budget; full-ef search " +
+      "is exact; recall monotone in efSearch (q124 gates)") {
+    val labeled = clusteredCorpus()
+    val v = labeled.select(col("id"), col("vec"))
+    val queries = v.filter(col("id") % 40 < 2)
+    val exact = Ann.bruteforceTopK(v, queries, 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val nExact = exact.count()
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      exact.join(df.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id")).count().toDouble / nExact
+    // equal candidate budget: IVF-PQ reranks 30 exact distances per query;
+    // HNSW with 2 shards × efSearch 15 evaluates the same 30
+    val ivfpq = recallOf(Ann.ivfPqTopK(labeled, queries,
+      m = 8, ksub = 16, nprobe = 2, k = 3, rerank = 30))
+    val hnsw = recallOf(Hnsw.hnswTopK(v, queries, k = 3,
+      m = 12, efConstruction = 32, efSearch = 15, shards = 2))
+    assert(hnsw >= ivfpq,
+      s"HNSW recall@3 $hnsw below IVF-PQ $ivfpq at equal candidate budget (30)")
+    assert(hnsw >= 0.9, s"HNSW recall@3 = $hnsw")
+    // one shard, ef = corpus: the beam covers everything reachable — exact
+    val full = recallOf(Hnsw.hnswTopK(v, queries, k = 3,
+      m = 12, efConstruction = 32, efSearch = 400, shards = 1))
+    assert(full == 1.0, s"full-ef HNSW recall = $full")
+    // recall never falls as the beam widens
+    val narrow = recallOf(Hnsw.hnswTopK(v, queries, k = 3,
+      m = 12, efConstruction = 32, efSearch = 4, shards = 2))
+    assert(narrow <= hnsw + 1e-9, s"recall fell as efSearch grew: $narrow -> $hnsw")
+  }
+
+  test("HNSW is deterministic: same corpus + shard count => identical output; " +
+      "self-pairs excluded; cos matches the exact dot") {
+    val v = clusteredCorpus().select(col("id"), col("vec"))
+    val queries = v.filter(col("id") % 40 === 0).limit(5)
+    def run() = Hnsw.hnswTopK(v, queries, k = 5,
+      m = 8, efConstruction = 32, efSearch = 20, shards = 3)
+    val a = run().collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val b = run().collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(a == b, "two identical builds must agree exactly")
+    val out = run()
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    // reported cos = the exact cosine of the pair (no approximation in the
+    // SCORE, only in which candidates were visited)
+    val joined = out.join(v.select(col("id").as("query_id"), col("vec").as("qv")), "query_id")
+      .join(v.select(col("id").as("neighbor_id"), col("vec").as("nv")), "neighbor_id")
+      .withColumn("expect", Ann.cosine(col("qv"), col("nv")))
+    assert(joined.filter(abs(col("cos") - col("expect")) > 1e-9).count() == 0)
   }
 
   test("native graft_hash60 matches the composed conv(md5) chain exactly") {

@@ -96,8 +96,11 @@ class MetaSpec extends SparkSpec {
     // replay-equivalence properties); q112 is the unigram-LM sibling
     // (driver-side EM training; UnigramSpec carries determinism,
     // round-trip totality, compression sandwich, native==driver parity).
+    // q124 joins the family: HNSW beam search over driver-opaque
+    // per-shard graphs (AnnSpec carries the recall/determinism/exactness
+    // gates — recall >= IVF-PQ at equal candidate budget).
     val rowsOnlyWaivers = Set("q55_kmeans_cells", "q73_ann_ivfpq",
-      "q95_bpe_train", "q112_unigram_lm")
+      "q95_bpe_train", "q112_unigram_lm", "q124_ann_hnsw")
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
@@ -125,7 +128,7 @@ class MetaSpec extends SparkSpec {
       s"survey-only: ${qRows.toSet -- SparkEntry.queries.keySet}; " +
         s"registry-only: ${SparkEntry.queries.keySet -- qRows.toSet}")
     assert(rows("s").size == 35, s"streaming table rows: ${rows("s").size}")
-    assert(rows("i").size == 23, s"infra table rows: ${rows("i").size}")
+    assert(rows("i").size == 28, s"infra table rows: ${rows("i").size}")
   }
 
   test("documents corpus is pure ASCII — the q101 oracle's closed form depends on it") {
