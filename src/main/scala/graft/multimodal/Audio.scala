@@ -157,6 +157,217 @@ object Audio {
   }
 
   // ---------------------------------------------------------------------
+  // AIFF / AU (r18): the javax.sound.sampled SEAM, mirroring the ImageIO
+  // seam in Binary — headers are validated by OUR named parsers FIRST
+  // (truncation/corruption keeps its exact diagnosis; the JDK's
+  // UnsupportedAudioFileException names nothing), then the sample decode
+  // itself rides the JDK codec. WAV stays on the pure-JVM PCM16 parser;
+  // [[decodeAudioSamples]] dispatches on the container magic, so
+  // q111/q123/s30 consume any supported container through one entry
+  // point with identical downstream stats/fingerprint math.
+  // ---------------------------------------------------------------------
+
+  /** Container sniff + decode: RIFF/WAVE → the pure PCM16 parser;
+    * FORM/AIFF and .snd (AU) → named header validation then the
+    * javax.sound.sampled decode. Unknown magic fails NAMED.
+    */
+  def decodeAudioSamples(p: Array[Byte]): WavClip = {
+    if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F')
+      decodeWavSamples(p)
+    else if (p.length >= 4 && p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M') {
+      validateAiff(p); decodeViaJdk(p, "aiff")
+    } else if (p.length >= 4 && p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd') {
+      validateAu(p); decodeViaJdk(p, "au")
+    } else throw new IllegalArgumentException(
+      "audio: unknown container magic (RIFF/WAVE, FORM/AIFF, .snd supported)")
+  }
+
+  private def be16(p: Array[Byte], off: Int): Int =
+    ((p(off) & 0xff) << 8) | (p(off + 1) & 0xff)
+  private def be32(p: Array[Byte], off: Int): Long =
+    ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+      ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+
+  /** Named AIFF header validation (big-endian IFF: FORM/AIFF, COMM with
+    * the 80-bit extended-float rate, SSND) — the exact-diagnosis gate in
+    * front of the JDK seam. AIFC (compressed) is rejected named.
+    */
+  private[multimodal] def validateAiff(p: Array[Byte]): Unit = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"aiff: $msg")
+    if (p.length < 12) fail("truncated FORM header")
+    val form = new String(p, 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (form == "AIFC") fail("AIFC (compressed) unsupported")
+    if (form != "AIFF") fail(s"not an AIFF form: $form")
+    var i = 12
+    var sawComm = false
+    var sawSsnd = false
+    while (i + 8 <= p.length) {
+      val id = new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = be32(p, i + 4)
+      if (len > p.length - i - 8) fail(s"chunk $id truncated or over-long: $len")
+      if (id == "COMM") {
+        if (len < 18) fail("COMM chunk truncated")
+        val channels = be16(p, i + 8)
+        val bits = be16(p, i + 14)
+        val rate = extended80(p, i + 16)
+        if (channels < 1) fail(s"bad channel count $channels")
+        if (bits != 16) fail(s"unsupported bit depth $bits (PCM16 only)")
+        if (!(rate >= 1.0)) fail(s"bad sample rate $rate")
+        sawComm = true
+      } else if (id == "SSND") {
+        if (len < 8) fail("SSND chunk truncated")
+        sawSsnd = true
+      }
+      i += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (!sawComm) fail("no COMM chunk")
+    if (!sawSsnd) fail("no SSND chunk")
+  }
+
+  /** IEEE 754 80-bit extended float (the AIFF rate field): value =
+    * mantissa × 2^(exp − 16383 − 63).
+    */
+  private def extended80(p: Array[Byte], off: Int): Double = {
+    val exp = be16(p, off) & 0x7fff
+    var mant = 0L
+    var i = 0
+    while (i < 8) { mant = (mant << 8) | (p(off + 2 + i) & 0xffL); i += 1 }
+    if (exp == 0 && mant == 0L) 0.0
+    else {
+      // mant's top bit is the explicit integer bit; treat as unsigned
+      val m = if (mant < 0) mant.toDouble + math.pow(2.0, 64) else mant.toDouble
+      m * math.pow(2.0, exp - 16383 - 63)
+    }
+  }
+
+  /** Named AU (.snd) header validation: 24-byte big-endian header, 16-bit
+    * linear PCM (encoding 3) only.
+    */
+  private[multimodal] def validateAu(p: Array[Byte]): Unit = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"au: $msg")
+    if (p.length < 24) fail("truncated header")
+    val dataOff = be32(p, 4)
+    val enc = be32(p, 12)
+    val rate = be32(p, 16)
+    val channels = be32(p, 20)
+    if (dataOff < 24 || dataOff > p.length) fail(s"bad data offset $dataOff")
+    if (enc != 3) fail(s"unsupported encoding $enc (16-bit linear PCM only)")
+    if (rate < 1) fail(s"bad sample rate $rate")
+    if (channels < 1) fail(s"bad channel count $channels")
+  }
+
+  /** The JDK seam: decode an already-header-validated container through
+    * javax.sound.sampled, folding to mono with the SAME truncating
+    * integer average as the WAV path (cross-container stats parity is
+    * spec-pinned). Residual JDK failures (a corruption the header walk
+    * can't see) rewrap NAMED.
+    */
+  private def decodeViaJdk(p: Array[Byte], kind: String): WavClip = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais = try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(p))
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"$kind: jdk decoder rejected the payload: ${e.getMessage}")
+    }
+    try {
+      val fmt = ais.getFormat
+      if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED || fmt.getSampleSizeInBits != 16)
+        throw new IllegalArgumentException(
+          s"$kind: unsupported format ${fmt.getEncoding}/${fmt.getSampleSizeInBits}-bit (PCM16 only)")
+      val channels = fmt.getChannels
+      val bytes = {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = ais.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = ais.read(tmp) }
+        buf.toByteArray
+      }
+      val frames = bytes.length / (2 * channels)
+      val big = fmt.isBigEndian
+      val mono = new Array[Int](frames)
+      var f = 0
+      while (f < frames) {
+        var acc = 0
+        var c = 0
+        while (c < channels) {
+          val off = (f * channels + c) * 2
+          val raw =
+            if (big) ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+            else (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+          acc += (raw << 16) >> 16 // sign-extend int16
+          c += 1
+        }
+        mono(f) = acc / channels
+        f += 1
+      }
+      WavClip(math.round(fmt.getSampleRate).toInt, channels, mono)
+    } finally ais.close()
+  }
+
+  /** Spec-valid PCM16 big-endian mono AIFF (FORM/AIFF + COMM + SSND) —
+    * the fixture encoder the parity spec decodes through BOTH our
+    * dispatcher and the raw JDK reader.
+    */
+  def encodePcm16Aiff(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val ssndLen = 8 + dataLen
+    val formLen = 4 + (8 + 18) + (8 + ssndLen)
+    val out = new Array[Byte](8 + formLen)
+    def tag(off: Int, s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      System.arraycopy(b, 0, out, off, 4)
+    }
+    def put32(off: Int, v: Long): Unit = {
+      out(off) = (v >>> 24).toByte; out(off + 1) = (v >>> 16).toByte
+      out(off + 2) = (v >>> 8).toByte; out(off + 3) = v.toByte
+    }
+    def put16(off: Int, v: Int): Unit = {
+      out(off) = (v >>> 8).toByte; out(off + 1) = v.toByte
+    }
+    tag(0, "FORM"); put32(4, formLen); tag(8, "AIFF")
+    tag(12, "COMM"); put32(16, 18)
+    put16(20, 1) // channels
+    put32(22, samples.length) // frames
+    put16(26, 16) // bits
+    // 80-bit extended rate: exponent 16383+pos, mantissa rate << (63-pos)
+    val pos = 63 - java.lang.Long.numberOfLeadingZeros(sampleRate.toLong)
+    put16(28, 16383 + pos)
+    val mant = sampleRate.toLong << (63 - pos)
+    var i = 0
+    while (i < 8) { out(30 + i) = (mant >>> (56 - 8 * i)).toByte; i += 1 }
+    tag(38, "SSND"); put32(42, ssndLen); put32(46, 0); put32(50, 0)
+    i = 0
+    while (i < samples.length) {
+      val s = math.max(-32768, math.min(32767, samples(i)))
+      put16(54 + i * 2, s)
+      i += 1
+    }
+    out
+  }
+
+  /** Spec-valid 16-bit linear PCM big-endian mono AU (.snd). */
+  def encodePcm16Au(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](24 + dataLen)
+    def put32(off: Int, v: Long): Unit = {
+      out(off) = (v >>> 24).toByte; out(off + 1) = (v >>> 16).toByte
+      out(off + 2) = (v >>> 8).toByte; out(off + 3) = v.toByte
+    }
+    out(0) = '.'; out(1) = 's'; out(2) = 'n'; out(3) = 'd'
+    put32(4, 24); put32(8, dataLen); put32(12, 3)
+    put32(16, sampleRate); put32(20, 1)
+    var i = 0
+    while (i < samples.length) {
+      val s = math.max(-32768, math.min(32767, samples(i)))
+      out(24 + i * 2) = (s >>> 8).toByte; out(25 + i * 2) = s.toByte
+      i += 1
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------------
   // Closed-form synthesis (the q30/q101 canvas discipline): each doc
   // renders as a REAL mono PCM16 WAV whose samples are an arithmetic
   // function of the text bytes — s(k) = (byte(k) − 100)·200 (zero-padded
@@ -249,7 +460,7 @@ object Audio {
   }
 
   private def clipRowOf(mp: MediaPayload): ClipRow = {
-    val clip = decodeWavSamples(mp.payload)
+    val clip = decodeAudioSamples(mp.payload)
     val s = clip.samples
     var peak = 0
     var sumSq = 0L

@@ -701,17 +701,43 @@ object TextQueries {
     // it's Warc.htmlDocuments' sniffed-charset column; the metric
     // machinery is what the oracle pins.
     "q91_corpus_report" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // modality intake attrition (r18, verdict ask #9): the REAL q122 /
+      // q123 gate verdicts (PPM render → imageStats rules; WAV render →
+      // clip rules) joined on as keep columns — the report surfaces the
+      // per-modality drop fraction the gates would enforce, computed by
+      // the gates' own definitions (never a parallel reimplementation)
+      val B = graft.multimodal.Binary
+      val imgKeep = B.imageStats(s, B.toPpmPayloads(s, docs)).toDF()
+        .select(col("doc_id"),
+          ((col("width") * col("height") >= 128) &&
+            (greatest(col("width"), col("height")).cast("long") * 100 <=
+              least(col("width"), col("height")).cast("long") * 1100) &&
+            (col("sum_bytes") >=
+              col("width").cast("long") * col("height") * 3 * 80))
+            .as("image_keep"))
+      val A = graft.multimodal.Audio
+      val audKeep = A.clipRows(A.toWavPayloads(s, docs)).toDF()
+        .select(col("doc_id"),
+          ((col("n_samples") >= 256) &&
+            (col("sum_sq") * 1000 >=
+              col("n_samples").cast("long") * 36600000000L) &&
+            (col("n_zero_crossings").cast("long") * 1000 <=
+              col("n_samples").cast("long") * 505)).as("audio_keep"))
       graft.text.CorpusReport.report(
-        Tables.documents(s, d).withColumn("charset",
+        docs.withColumn("charset",
           when(col("doc_id") % 7 === 0, "windows-1251")
             .when(col("doc_id") % 11 === 0, "shift_jis")
             .otherwise("utf-8"))
           // synthetic revisit provenance (r17): in production it's a
           // Warc.revisitEdges membership flag — the metric machinery is
           // what the oracle pins (the charset-column discipline)
-          .withColumn("declared_dup", col("doc_id") % 13 === 0),
+          .withColumn("declared_dup", col("doc_id") % 13 === 0)
+          .join(imgKeep, Seq("doc_id"), "left")
+          .join(audKeep, Seq("doc_id"), "left"),
         "doc_id", "text", charsetCol = Some("charset"),
-        declaredDupCol = Some("declared_dup"))
+        declaredDupCol = Some("declared_dup"),
+        imageKeepCol = Some("image_keep"), audioKeepCol = Some("audio_keep"))
     },
 
     // ---- q90: span-level contamination (surgical decontamination) ----
@@ -2256,9 +2282,37 @@ object TextQueries {
          cs AS (SELECT sum(CASE WHEN doc_id % 7 = 0 OR doc_id % 11 = 0
              THEN 1 ELSE 0 END) AS nu, count(*) AS n FROM tk),
          dd AS (SELECT sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS dd,
-             count(*) AS n FROM tk)
+             count(*) AS n FROM tk),
+         -- r18 modality gates: q122's closed-form raster (32-wide canvas,
+         -- h = ceil(len/96), byte sum = char-code sum) and q123's
+         -- closed-form waveform (s(k) = (byte(k)-100)*200) feed the gates'
+         -- exact integer rules; drop = NOT keep
+         ig AS (SELECT sum(CASE WHEN NOT (
+               32 * h >= 128
+               AND greatest(32, h)::BIGINT * 100 <= least(32, h)::BIGINT * 1100
+               AND sb >= 32::BIGINT * h * 3 * 80) THEN 1 ELSE 0 END) AS dr,
+             count(*) AS n FROM (
+           SELECT greatest(1, (octet_length(encode(text)) + 95) // 96)::INT AS h,
+             coalesce(list_sum([ascii(substr(text, i, 1))
+               for i in range(1, octet_length(encode(text)) + 1)]), 0)::BIGINT AS sb
+           FROM tk)),
+         ag AS (SELECT sum(CASE WHEN NOT (
+               n >= 256 AND sum_sq * 1000 >= n * 36600000000
+               AND zc * 1000 <= n * 505) THEN 1 ELSE 0 END) AS dr,
+             count(*) AS n FROM (
+           SELECT n, list_sum(list_transform(s, x -> x::BIGINT * x)) AS sum_sq,
+             coalesce(list_sum([CASE WHEN s[k] * s[k + 1] < 0 THEN 1 ELSE 0 END
+               for k in range(1, n)]), 0) AS zc
+           FROM (SELECT n,
+               [CASE WHEN k <= length(text) THEN (ascii(substr(text, k, 1)) - 100) * 200
+                 ELSE 0 END for k in range(1, n + 1)] AS s
+             FROM (SELECT text, greatest(1, length(text)) AS n FROM tk))))
          SELECT * FROM (
            SELECT 'boilerplate_grams' AS metric, n * 1.0 AS value FROM bg
+           UNION ALL SELECT 'image_gate_drop_frac',
+             floor(dr * 1.0 / n * 10000 + 0.5) / 10000 FROM ig
+           UNION ALL SELECT 'audio_gate_drop_frac',
+             floor(dr * 1.0 / n * 10000 + 0.5) / 10000 FROM ag
            UNION ALL SELECT 'dup_line_frac',
              floor((nl - dl) * 1.0 / nl * 10000 + 0.5) / 10000 FROM lm
            UNION ALL SELECT 'exact_dup_docs', dups * 1.0 FROM fpx

@@ -1214,7 +1214,9 @@ object SqlOps {
   def corpusReportSql(table: String, idCol: String, textCol: String,
       langCol: Option[String] = Some("lang"), n: Int = 8,
       charsetCol: Option[String] = None,
-      declaredDupCol: Option[String] = None): String = {
+      declaredDupCol: Option[String] = None,
+      imageKeepCol: Option[String] = None,
+      audioKeepCol: Option[String] = None): String = {
     val (id, txt) = (bt(idCol), bt(textCol))
     val langCte = langCol.map { lc =>
       s""",
@@ -1247,6 +1249,21 @@ object SqlOps {
          |  UNION ALL SELECT 'declared_dup_frac',
          |    coalesce(floor(dd * 1.0 / n * 10000d + 0.5d) / 10000d, 0.0d) FROM _dd""".stripMargin
     }.getOrElse("")
+    // r18 modality-gate knobs: keep-verdict columns (q122/q123 verdicts —
+    // the decode stays outside SQL, like every other intake-provenance
+    // column); NULL keep = decode failure = dropped, as the Column op
+    val gates = Seq(imageKeepCol.map(("image_gate_drop_frac", "_ig", _)),
+      audioKeepCol.map(("audio_gate_drop_frac", "_ag", _))).flatten
+    val gateCtes = gates.map { case (_, cte, kc) =>
+      s""",
+         |$cte AS (SELECT sum(CASE WHEN ${bt(kc)} = true THEN 0L ELSE 1L END) AS dr,
+         |    count(*) AS n FROM $table)""".stripMargin
+    }.mkString
+    val gateRows = gates.map { case (metric, cte, _) =>
+      s"""
+         |  UNION ALL SELECT '$metric',
+         |    coalesce(floor(dr * 1.0 / n * 10000d + 0.5d) / 10000d, 0.0d) FROM $cte""".stripMargin
+    }.mkString
     s"""WITH _tk AS (SELECT $id, $txt AS _text, graft_tokens($txt) AS _toks FROM $table),
        |_pa AS (SELECT $id, element_at(transform(array(_toks), ts ->
        |    CASE WHEN size(ts) >= $n THEN transform(sequence(1, size(ts) - ${n - 1}),
@@ -1282,12 +1299,12 @@ object SqlOps {
        |_q AS (SELECT sum(CAST(graft_quality(_text) * 10000d + 0.5d AS BIGINT)) AS sg,
        |    count(*) AS n FROM _tk),
        |_fp AS (SELECT count(*) - count(DISTINCT graft_fingerprint(_text)) AS dups
-       |  FROM _tk)$langCte$charsetCte$dupCte
+       |  FROM _tk)$langCte$charsetCte$dupCte$gateCtes
        |SELECT * FROM (
        |  SELECT 'boilerplate_grams' AS metric, n * 1.0 AS value FROM _bg
        |  UNION ALL SELECT 'dup_line_frac',
        |    coalesce(floor((nl - dl) * 1.0 / nl * 10000d + 0.5d) / 10000d, 0.0d) FROM _lm
-       |  UNION ALL SELECT 'exact_dup_docs', dups * 1.0 FROM _fp$langRow$charsetRow$dupRow
+       |  UNION ALL SELECT 'exact_dup_docs', dups * 1.0 FROM _fp$langRow$charsetRow$dupRow$gateRows
        |  UNION ALL SELECT 'mean_quality',
        |    coalesce(floor(sg * 1.0 / (n * 10000L) * 10000d + 0.5d) / 10000d, 0.0d) FROM _q
        |  UNION ALL SELECT 'n_docs', nd * 1.0 FROM _tot

@@ -54,11 +54,21 @@ object CorpusReport {
     *    [[graft.sources.Warc.revisitEdges]]: the crawler already hashed
     *    the page, so this dedup pressure costs zero content passes).
     *    Nulls count false. Row omitted when `declaredDupCol` is None.
+    *  - image_gate_drop_frac / audio_gate_drop_frac (r18): fraction of
+    *    docs the modality intake gates DROP — boolean keep-verdict
+    *    columns carrying q122's ([[graft.multimodal.Binary.imageStats]]
+    *    rules) and q123's (clip rules) verdicts. A NULL verdict is a
+    *    decode failure and counts as dropped (a gate that can't read the
+    *    member would quarantine it). Rows omitted when the columns are
+    *    None — the per-modality attrition a curator monitors, surfaced
+    *    in the one report that fronts the pipeline.
     */
   def report(docs: DataFrame, idCol: String, textCol: String,
       langCol: Option[String] = Some("lang"), n: Int = 8,
       charsetCol: Option[String] = None,
-      declaredDupCol: Option[String] = None): DataFrame = {
+      declaredDupCol: Option[String] = None,
+      imageKeepCol: Option[String] = None,
+      audioKeepCol: Option[String] = None): DataFrame = {
     val base = docs.select(col(idCol), col(textCol).as("_text"),
       TF.tokens(col(textCol)).as("_toks"))
 
@@ -117,7 +127,19 @@ object CorpusReport {
           r4(sum(when(col(dc) === true, 1L).otherwise(0L)) * lit(1.0) /
             count(lit(1))),
           docs.select(col(dc)))
-      }.toSeq
+      }.toSeq ++
+      Seq(imageKeepCol.map(("image_gate_drop_frac", _)),
+          audioKeepCol.map(("audio_gate_drop_frac", _))).flatten.map {
+        case (metric, kc) =>
+          require(docs.columns.contains(kc),
+            s"corpus report: gate-verdict column '$kc' absent from " +
+              s"${docs.columns.mkString(", ")} — pass None to omit")
+          // NULL keep = decode failure = dropped
+          one(metric,
+            r4(sum(when(col(kc) === true, 0L).otherwise(1L)) * lit(1.0) /
+              count(lit(1))),
+            docs.select(col(kc)))
+      }
     parts.reduce(_ unionByName _).orderBy(col("metric"))
   }
 }

@@ -975,4 +975,65 @@ class MultimodalSpec extends SparkSpec {
     assert(gate(clips(3L)) == ((true, true, false)), s"noise: ${clips(3L)}")
     assert(gate(clips(4L)) == ((true, true, true)), s"healthy: ${clips(4L)}")
   }
+
+  test("AIFF/AU ride the javax.sound seam: JDK-decoder parity, WAV-identical " +
+      "stats, named header failures survive (r18)") {
+    import graft.multimodal.Audio
+    val samples = Array.tabulate(500)(k => (math.sin(k * 0.1) * 9000).toInt)
+
+    // parity vs the JDK's OWN reader: our dispatcher's samples must equal
+    // a direct javax.sound decode of the same payload
+    def jdkSamples(p: Array[Byte]): Array[Int] = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(p))
+      val fmt = ais.getFormat
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      var n = ais.read(tmp)
+      while (n > 0) { buf.write(tmp, 0, n); n = ais.read(tmp) }
+      ais.close()
+      val b = buf.toByteArray
+      Array.tabulate(b.length / 2) { f =>
+        val raw =
+          if (fmt.isBigEndian) ((b(2 * f) & 0xff) << 8) | (b(2 * f + 1) & 0xff)
+          else (b(2 * f) & 0xff) | ((b(2 * f + 1) & 0xff) << 8)
+        (raw << 16) >> 16
+      }
+    }
+
+    val aiff = Audio.encodePcm16Aiff(8000, samples)
+    val au = Audio.encodePcm16Au(8000, samples)
+    val wav = Audio.encodePcm16Wav(8000, samples)
+    for ((name, payload) <- Seq(("aiff", aiff), ("au", au))) {
+      val clip = Audio.decodeAudioSamples(payload)
+      assert(clip.sampleRate == 8000 && clip.channels == 1, s"$name header")
+      assert(clip.samples.toSeq == samples.toSeq, s"$name round-trip")
+      assert(clip.samples.toSeq == jdkSamples(payload).toSeq, s"$name jdk parity")
+    }
+    // cross-container stats parity: the SAME samples through all three
+    // containers produce identical q111 rows (fp, peak, sum_sq, zc)
+    import graft.multimodal.Binary.MediaPayload
+    val rows = Audio.clipRows(Seq(
+        MediaPayload(1L, wav, "audio/wav"),
+        MediaPayload(2L, aiff, "audio/aiff"),
+        MediaPayload(3L, au, "audio/basic"))
+      .toDS()).collect().map(r => (r.peak, r.sum_sq, r.n_zero_crossings, r.fp)).toSet
+    assert(rows.size == 1, s"containers must agree on stats: $rows")
+
+    // named failures FROM OUR VALIDATORS, not the JDK's nameless reject
+    def err(p: Array[Byte]): String =
+      intercept[IllegalArgumentException](Audio.decodeAudioSamples(p)).getMessage
+    assert(err(aiff.take(30)).startsWith("aiff:"), err(aiff.take(30)))
+    assert(err(au.take(10)).startsWith("au:"), err(au.take(10)))
+    val aifc = aiff.clone(); aifc(8) = 'A'; aifc(9) = 'I'; aifc(10) = 'F'; aifc(11) = 'C'
+    assert(err(aifc).contains("AIFC"), err(aifc))
+    val ulaw = au.clone(); ulaw(15) = 1 // encoding 1 = 8-bit mu-law
+    assert(err(ulaw).contains("encoding 1"), err(ulaw))
+    assert(err("OggS junk".getBytes("US-ASCII")).contains("unknown container"),
+      err("OggS junk".getBytes("US-ASCII")))
+    // a corrupt-length AIFF chunk fails named before the JDK ever runs
+    val torn = aiff.clone()
+    torn(16) = 0x7f.toByte // COMM declared length absurdly large
+    assert(err(torn).contains("truncated or over-long"), err(torn))
+  }
 }

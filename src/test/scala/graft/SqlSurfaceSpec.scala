@@ -722,6 +722,21 @@ class SqlSurfaceSpec extends SparkSpec {
       declaredDupCol = Some("declared_dup"))
     assertSame(sqlDd, colDd, "corpus report + declared dup", samePlan = false)
     assert(colDd.filter(col("metric") === "declared_dup_frac").count() == 1)
+    // the r18 modality-gate knobs: both faces emit the drop-fraction rows
+    // from the same keep-verdict columns (NULL = decode failure = dropped)
+    Tables.documents(spark, sfDir)
+      .withColumn("image_keep", when(col("doc_id") % 5 === 0, lit(null)
+        .cast("boolean")).otherwise(col("doc_id") % 2 === 0))
+      .withColumn("audio_keep", col("doc_id") % 3 =!= 0)
+      .createOrReplaceTempView("docs_gates")
+    val sqlG = spark.sql(SqlOps.corpusReportSql("docs_gates", "doc_id", "text",
+      imageKeepCol = Some("image_keep"), audioKeepCol = Some("audio_keep")))
+    val colG = graft.text.CorpusReport.report(
+      spark.table("docs_gates"), "doc_id", "text",
+      imageKeepCol = Some("image_keep"), audioKeepCol = Some("audio_keep"))
+    assertSame(sqlG, colG, "corpus report + modality gates", samePlan = false)
+    assert(colG.filter(col("metric").isin(
+      "image_gate_drop_frac", "audio_gate_drop_frac")).count() == 2)
   }
 
   test("SqlOps.contaminationSpansSql == Decontaminate.contaminationSpans (rows)") {

@@ -668,6 +668,30 @@ class TextSpec extends SparkSpec {
     assert(m("mean_quality") > 0.0 && m("mean_quality") < 1.0)
   }
 
+  test("CorpusReport modality-gate rows: hand-computed drop fractions, NULL " +
+      "verdict counts dropped, q91 row count pinned (r18)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", Some(true), Some(true)),
+      (2L, "delta words here", Some(false), Some(true)),   // image dropped
+      (3L, "more text rows", None, Some(false)),           // image DECODE FAIL + audio dropped
+      (4L, "final doc words", Some(true), None))           // audio DECODE FAIL
+      .toDF("doc_id", "text", "image_keep", "audio_keep")
+    val m = graft.text.CorpusReport.report(docs, "doc_id", "text",
+        langCol = None, imageKeepCol = Some("image_keep"),
+        audioKeepCol = Some("audio_keep"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // image: doc2 fails the gate, doc3's verdict is NULL (decode failure —
+    // a gate that can't read the member quarantines it) → 2/4
+    assert(m("image_gate_drop_frac") == 0.5, m.toString)
+    // audio: doc3 fails, doc4 NULL → 2/4
+    assert(m("audio_gate_drop_frac") == 0.5, m.toString)
+    // the judged q91 report shape: exactly 12 metric rows
+    val q91 = SparkEntry.queries("q91_corpus_report")(spark, sfDir)
+    assert(q91.count() == 12, "q91 must emit exactly 12 metric rows")
+    assert(q91.filter(col("metric").isin(
+      "image_gate_drop_frac", "audio_gate_drop_frac")).count() == 2)
+  }
+
   test("contaminationSpans marks the leaked region; doc set equals hits exactly") {
     val leak = (1 to 10).map(i => s"eval$i").mkString(" ")
     val docs = Seq(
