@@ -83,7 +83,7 @@ object ScaleBench {
     "x48_frames_work", "x115_shuffle_pack_work", "x116_token_shards_work",
     "x117_frontier_budget_work", "x120_eos_pack_work",
     "x121_epoch_plan_work", "x122_image_gate_work",
-    "x123_audio_gate_work")
+    "x123_audio_gate_work", "x124_hnsw_work")
 
   /** Default key stride between copies: far above any sf0.1 key range, so
     * strided ids never collide across copies. A SECOND derivation (e.g.
@@ -414,6 +414,18 @@ object ScaleBench {
         .agg(sum(col("sum_sq")).as("t"),
           sum(when(col("keep"), 1L).otherwise(0L)).as("k"),
           count(lit(1)).as("n"))
+    },
+    // q124 (r18): the PRODUCTION shard policy — shard count derives from
+    // the corpus (shardTarget bounds per-executor graph memory), so the
+    // probe watches build cost (~n log n within shards) plus the
+    // shards×efSearch candidate budget growing with the corpus.
+    "x124_hnsw_work" -> { (s, d) =>
+      val v = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+        graft.sim.Ann.toDouble(col("embedding")).as("vec"))
+      graft.sim.Hnsw.hnswTopK(v, v.filter(col("id") < 10), k = 3,
+          m = 12, efConstruction = 48, efSearch = 32,
+          shards = 0, shardTarget = 20000L)
+        .agg(sum(col("neighbor_id")).as("t"), count(lit(1)).as("n"))
     })
 
   def main(args: Array[String]): Unit = {

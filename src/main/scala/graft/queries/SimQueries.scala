@@ -107,8 +107,9 @@ object SimQueries {
     // oracle recomputes the sum from the text bytes (closed-form by
     // construction of the canvas — the q30/q101 discipline).
     "q122_image_gate" -> { (s, d) =>
-      val st = Binary.imageStats(
-        s, Binary.toPpmPayloads(s, Tables.documents(s, d))).toDF()
+      // registerCache: q91's modality rows read the same stats frame
+      val st = graft.Graft.registerCache(Binary.imageStats(
+        s, Binary.toPpmPayloads(s, Tables.documents(s, d))).toDF())
       val bigEnough = (col("width") * col("height")) >= 128
       // long cross-multiply: a degenerate dimension past ~21.5M px would
       // wrap a 32-bit ×100 negative and PASS the gate it exists to fail

@@ -708,7 +708,11 @@ object TextQueries {
       // per-modality drop fraction the gates would enforce, computed by
       // the gates' own definitions (never a parallel reimplementation)
       val B = graft.multimodal.Binary
-      val imgKeep = B.imageStats(s, B.toPpmPayloads(s, docs)).toDF()
+      // registerCache: the SAME clipRows/imageStats frames q122/q123
+      // build — CacheManager plan-matching pays each decode once per
+      // session across the three queries
+      val imgKeep = graft.Graft.registerCache(
+        B.imageStats(s, B.toPpmPayloads(s, docs)).toDF())
         .select(col("doc_id"),
           ((col("width") * col("height") >= 128) &&
             (greatest(col("width"), col("height")).cast("long") * 100 <=
@@ -717,7 +721,8 @@ object TextQueries {
               col("width").cast("long") * col("height") * 3 * 80))
             .as("image_keep"))
       val A = graft.multimodal.Audio
-      val audKeep = A.clipRows(A.toWavPayloads(s, docs)).toDF()
+      val audKeep = graft.Graft.registerCache(
+        A.clipRows(A.toWavPayloads(s, docs)).toDF())
         .select(col("doc_id"),
           ((col("n_samples") >= 256) &&
             (col("sum_sq") * 1000 >=
