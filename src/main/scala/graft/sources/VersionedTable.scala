@@ -89,10 +89,15 @@ object VersionedTable {
   /** One live data file: relative path, exact row count, byte size (0 on
     * pre-i25 log entries — [[optimize]] re-stats those), hive-style
     * partition values (empty = unpartitioned), per-column stats.
+    * `dataChange` is the public Delta protocol flag: false marks a file
+    * whose rows are a REWRITE of rows already in the table (a merge's
+    * survivor files, an optimize's compacted files) — the change feed
+    * must skip it or every rewrite double-serves old rows.
     */
   final case class AddFile(path: String, rows: Long, bytes: Long = 0L,
       partitions: Map[String, String] = Map.empty,
-      stats: Map[String, ColStats] = Map.empty)
+      stats: Map[String, ColStats] = Map.empty,
+      dataChange: Boolean = true)
 
   /** The replayed log state as of one version. `txns` holds the highest
     * committed batch per streaming app (batch ids are monotonic per app —
@@ -222,6 +227,7 @@ object VersionedTable {
   private def fillAdd(n: com.fasterxml.jackson.databind.node.ObjectNode, f: AddFile): Unit = {
     n.put("path", f.path); n.put("rows", f.rows)
     if (f.bytes > 0) n.put("bytes", f.bytes)
+    if (!f.dataChange) n.put("dataChange", false)
     if (f.partitions.nonEmpty) {
       val p = n.putObject("partitions")
       f.partitions.foreach { case (k, v) =>
@@ -266,7 +272,8 @@ object VersionedTable {
           if (o.has("nulls")) o.get("nulls").asLong() else 0L)) }
       b.result()
     }
-    AddFile(a.get("path").asText(), a.get("rows").asLong(), bytes, parts, stats)
+    AddFile(a.get("path").asText(), a.get("rows").asLong(), bytes, parts, stats,
+      dataChange = !a.has("dataChange") || a.get("dataChange").asBoolean())
   }
 
   private def removeLine(path: String) = obj("remove")(_.put("path", path))
@@ -1120,16 +1127,19 @@ object VersionedTable {
         }
 
       // copy-on-write: matched files are rewritten WITHOUT the matched
-      // rows; the staged batch lands whole (updates replace, rest insert)
+      // rows; the staged batch lands whole (updates replace, rest insert).
+      // Survivor files are REWRITES of already-served rows — marked
+      // dataChange=false (the Delta protocol flag) so the change feed
+      // serves each row once; only the staged files are changes.
       val survivorAdds =
-        if (matchedFiles.isEmpty) Nil
+        (if (matchedFiles.isEmpty) Nil
         else {
           val lives = spark.read.schema(base.schema)
             .parquet(matchedFiles.map(f => s"$table/${f.path}"): _*)
           val survivors = lives.join(
             stagedAligned.select(keys.map(col): _*).distinct(), keys, "left_anti")
           writeData(survivors, table, base.schema, base.partitionBy)
-        }
+        }).map(_.copy(dataChange = false))
       val stagedAdds = writeData(stagedAligned, table, base.schema, base.partitionBy)
 
       testHookBeforeCommit()
@@ -1169,6 +1179,57 @@ object VersionedTable {
     } finally { stagedAligned.unpersist(); () }
   }
 
+  /** Row-level DELETE (the Delta `DELETE FROM t WHERE pred` primitive,
+    * the GDPR-erasure shape): rewrite ONLY the files that actually hold a
+    * matching row, as one remove+add commit. File discovery is the merge
+    * discipline — i25 stats prune the candidates through the predicate,
+    * then a candidate scan with `input_file_name()` finds the exact hit
+    * list; files the predicate provably misses are untouched bytes.
+    * NULL-predicate rows survive (SQL DELETE semantics: only TRUE
+    * deletes). Same conflict rule as [[merge]]: the delete decided
+    * against a snapshot, so any concurrent non-vacuum commit fails NAMED.
+    * Returns (version, rowsDeleted) — None when nothing matched (no
+    * commit, the reconsume-free no-op).
+    */
+  def delete(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column): Option[(Long, Long)] = {
+    import org.apache.spark.sql.functions.{coalesce => cls, col => c, input_file_name, lit => l}
+    val base = snapshotAt(spark, table)
+    val candidates = pruneByPred(spark, base, pred)
+    if (candidates.isEmpty) return None
+    val cand = spark.read.schema(base.schema)
+      .parquet(candidates.map(f => s"$table/${f.path}"): _*)
+    val hit = cand.filter(pred).select(input_file_name().as("__gf"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val hitFiles = candidates.filter(f =>
+      hit.exists(u => new Path(u).toUri.getPath.endsWith(s"/${f.path}") ||
+        new Path(u).toUri.getPath == f.path))
+    if (hitFiles.isEmpty) return None
+    val lives = spark.read.schema(base.schema)
+      .parquet(hitFiles.map(f => s"$table/${f.path}"): _*)
+    val survivors = lives.filter(!cls(pred, l(false)))
+    val adds = writeData(survivors, table, base.schema, base.partitionBy)
+      .map(_.copy(dataChange = false))
+    val deleted = hitFiles.map(_.rows).sum - adds.map(_.rows).sum
+    testHookBeforeCommit()
+    val v = commitLoop(spark, table, "delete") {
+      case None => sys.error(s"no versioned table at $table — create() it first")
+      case Some(snap) =>
+        if (snap.version != base.version) {
+          val fs = fsOf(spark, table)
+          ((base.version + 1) to snap.version).foreach { dv =>
+            val op = parseCommit(fs, table, dv)._2
+            if (op != "vacuum") sys.error(
+              s"versioned table $table: concurrent commit $dv (op=$op) conflicts " +
+                s"with a delete begun at version ${base.version} — re-run the " +
+                "delete on the new snapshot")
+          }
+        }
+        Some(hitFiles.map(f => removeLine(f.path)) ++ adds.map(addLine))
+    }.get
+    Some((v, deleted))
+  }
+
   // ----------------------------------------------------- optimize (i28)
 
   /** OPTIMIZE as a commit: within each partition, files smaller than
@@ -1205,7 +1266,10 @@ object VersionedTable {
         // partition-pure output: one task per live partition value
         df.repartition(base.partitionBy.map(org.apache.spark.sql.functions.col): _*)
       else df.repartition(nOut)
+    // compaction changes NO rows: dataChange=false keeps the change feed
+    // from re-serving every compacted row as an append
     val adds = writeData(compacted, table, base.schema, base.partitionBy)
+      .map(_.copy(dataChange = false))
     val smallPaths = smalls.map(_.path).toSet
     testHookBeforeCommit()
     Some(commitLoop(spark, table, "optimize") {
@@ -1272,10 +1336,16 @@ object VersionedTable {
   }
 
   /** The change feed: rows APPENDED after `sinceVersion` (exclusive), read
-    * from exactly the files those commits added — the q13/q62 incremental
-    * contract without a watermark column. An intervening overwrite breaks
-    * the append delta and fails NAMED (a full refresh means reconsume, and
-    * pretending otherwise double-counts).
+    * from exactly the DATA-CHANGING files those commits added — the
+    * q13/q62 incremental contract without a watermark column.
+    * `dataChange=false` adds (a merge's survivor rewrites, an optimize's
+    * compacted files) are SKIPPED: their rows were already served, and
+    * re-reading them would double-count — so merge and optimize commits
+    * flow through the feed cleanly (a merge serves exactly its staged
+    * batch). Commits that REMOVE rows the feed cannot represent —
+    * overwrite, overwrite_partitions, delete — fail NAMED (a refresh or
+    * deletion means reconsume; pretending otherwise serves a table state
+    * that never existed).
     */
   def readChangesSince(spark: SparkSession, table: String, sinceVersion: Long,
       untilVersion: Long = -1L): DataFrame = {
@@ -1288,11 +1358,13 @@ object VersionedTable {
       (untilVersion < 0 || v <= untilVersion))
     val adds = later.flatMap { v =>
       val (nodes, op) = parseCommit(fs, table, v)
-      if (op == "overwrite") sys.error(
-        s"versioned table $table: commit $v is a full overwrite — the append " +
-          s"delta since $sinceVersion is gone; reconsume from the new snapshot")
-      nodes.filter(_.has("add"))
-        .map(n => n.get("add").get("path").asText())
+      if (op == "overwrite" || op == "overwrite_partitions" || op == "delete")
+        sys.error(
+          s"versioned table $table: commit $v is a $op — rows were removed, the " +
+            s"append delta since $sinceVersion is gone; reconsume from the new snapshot")
+      nodes.filter(_.has("add")).map(n => parseAdd(n.get("add")))
+        .filter(_.dataChange)
+        .map(_.path)
     }
     val schema = snapshotAt(spark, table).schema
     if (adds.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)

@@ -420,11 +420,13 @@ class RunnerSpec extends SparkSpec {
     assert(silver.filter(col("id") === 2L).count() == 0)
     assert(silver.filter(col("id") === 1L && !col("is_current"))
       .head().getAs[Double]("amt") == 10.0)
-    // gold consumed each silver commit exactly once: latest current amt
-    val gold = VT.read(spark, goldT)
-      .groupBy(col("id")).agg(max(col("cur_amt")).as("m"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(gold == Map(1L -> 12.0), gold.toString)
+    // gold consumed each silver commit exactly once — EXACT row
+    // accounting (dataChange semantics: a merge hop serves exactly the
+    // staged upsert, never the survivor rewrites): hop 1 = the bootstrap
+    // current row (10.0), hop 2 = the new current version (12.0)
+    val gold = VT.read(spark, goldT).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(gold == Seq((1L, 10.0), (1L, 12.0)), gold.toString)
     // time travel below the change still serves amt=10 as current
     assert(VT.readVersion(spark, silverT, sv0.get)
       .filter(col("is_current")).head().getAs[Double]("amt") == 10.0)

@@ -138,7 +138,7 @@ class VersionedTableSpec extends SparkSpec {
     val e = intercept[RuntimeException] {
       VersionedTable.readChangesSince(spark, t, 1L)
     }
-    assert(e.getMessage.contains("full overwrite") &&
+    assert(e.getMessage.contains("is a overwrite") &&
       e.getMessage.contains("reconsume"), e.getMessage)
     // ... but changes since the overwrite itself flow again
     VersionedTable.append(Seq((10L, "y")).toDF("id", "v"), t)
@@ -624,6 +624,76 @@ class VersionedTableSpec extends SparkSpec {
     assert(hop().isEmpty)
     // the consumer's progress is visible in the target's txn state
     assert(VersionedTable.snapshotAt(spark, tgt).txns("gold") == 2L)
+  }
+
+  test("change feed over merges and optimizes: survivor/compacted rewrites " +
+      "are dataChange=false and never double-served (i27)") {
+    val t = tmpTable("cdf")
+    VersionedTable.create(
+      (1L to 6L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1), t)
+    val v0 = VersionedTable.latestVersion(spark, t)
+    // merge: update id 2, insert id 99 — survivors of the matched file
+    // (ids 1,3..6) are rewrites, NOT changes
+    VersionedTable.merge(Seq((2L, "B2"), (99L, "new")).toDF("id", "v"), t, Seq("id"))
+    val delta = rows(VersionedTable.readChangesSince(spark, t, v0))
+    assert(delta == Set((2L, "B2"), (99L, "new")),
+      s"merge delta must be exactly the staged batch: $delta")
+    // optimize: compaction feeds NOTHING
+    val v1 = VersionedTable.latestVersion(spark, t)
+    VersionedTable.append(Seq((50L, "x")).toDF("id", "v").coalesce(1), t)
+    assert(VersionedTable.optimize(spark, t).isDefined)
+    assert(rows(VersionedTable.readChangesSince(spark, t, v1)) == Set((50L, "x")))
+    // feedInto across a merge-driven source consumes each staged row ONCE
+    val tgt = tmpTable("cdftgt")
+    VersionedTable.create(
+      Seq((0L, "z")).toDF("id", "v").filter(lit(false)), tgt)
+    def hop() = VersionedTable.feedInto(spark, t, tgt, "app")(identity)
+    assert(hop().isDefined)
+    val afterBootstrap = VersionedTable.read(spark, tgt).count()
+    assert(afterBootstrap == 8, s"bootstrap = full snapshot: $afterBootstrap")
+    VersionedTable.merge(Seq((2L, "C2")).toDF("id", "v"), t, Seq("id"))
+    assert(hop().isDefined)
+    assert(rows(VersionedTable.read(spark, tgt))
+      .count { case (id, _) => id == 2L } == 2, // bootstrap B2 + merged C2, once each
+      "a merge hop must add exactly the staged rows")
+    // a delete breaks the feed NAMED (rows vanished — reconsume)
+    val vDel = VersionedTable.latestVersion(spark, t)
+    assert(VersionedTable.delete(spark, t, col("id") === 4L).isDefined)
+    val e = intercept[RuntimeException] {
+      VersionedTable.readChangesSince(spark, t, vDel).collect()
+    }
+    assert(e.getMessage.contains("delete"), e.getMessage)
+  }
+
+  test("delete: copy-on-write row erasure rewrites only hit files; " +
+      "null predicates keep rows; no-match is a no-op (r18)") {
+    val t = tmpTable("del")
+    VersionedTable.create(
+      (1L to 10L).map(i => (i, if (i == 5) null else s"a$i")).toDF("id", "v")
+        .coalesce(1), t)
+    VersionedTable.append(
+      (11L to 20L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1), t)
+    val pre = VersionedTable.snapshotAt(spark, t)
+    val untouched = pre.files.filter(
+      _.stats("id").min.exists(_.asInstanceOf[Long] >= 11L)).map(_.path).toSet
+    assert(untouched.size == 1)
+    // DELETE WHERE v = 'a3': only the first file holds hits; id 5's NULL
+    // v makes the predicate NULL there — SQL semantics keep the row
+    val Some((v, n)) = VersionedTable.delete(spark, t, col("v") === "a3")
+    assert(n == 1L, s"deleted $n")
+    val got = VersionedTable.read(spark, t)
+    assert(got.count() == 19)
+    assert(got.filter(col("id") === 3L).count() == 0)
+    assert(got.filter(col("id") === 5L).count() == 1, "NULL predicate keeps the row")
+    assert(VersionedTable.snapshotAt(spark, t).files.map(_.path).toSet
+      .intersect(untouched) == untouched, "un-hit files must not rewrite")
+    // time travel to the pre-delete version still reads the erased row
+    assert(rows(VersionedTable.readVersion(spark, t, v - 1)).contains((3L, "a3")))
+    // no-match delete commits nothing
+    assert(VersionedTable.delete(spark, t, col("v") === "zzz").isEmpty)
+    assert(VersionedTable.latestVersion(spark, t) == v)
+    // stats pruning: a predicate outside every file range scans nothing
+    assert(VersionedTable.survivingFiles(spark, t, col("id") > 1000L).isEmpty)
   }
 
   // ---------------------------------------- r18: Scd2.mergeVersioned
