@@ -125,9 +125,13 @@ object Scd2 {
       staged: DataFrame, keys: Seq[String], attrs: Seq[String], asOf: Column,
       app: String = null, batch: Long = 0L): Option[Long] = {
     val VT = graft.sources.VersionedTable
-    if (app != null &&
-      VT.snapshotAt(spark, table).txns.get(app).exists(_ >= batch)) return None
-    val live = VT.read(spark, table).localCheckpoint()
+    val baseSnap = VT.snapshotAt(spark, table)
+    if (app != null && baseSnap.txns.get(app).exists(_ >= batch)) return None
+    // pin the version the upsert is DERIVED from and thread it into
+    // txnMerge's conflict anchor: a concurrent merge landing between this
+    // read and the commit must fail named, not interleave into two
+    // current rows per key (txnMerge's own snapshot would be too late)
+    val live = VT.readVersion(spark, table, baseSnap.version).localCheckpoint()
     val existingCols = live.columns.toSeq
     val changed = attrs.map(a => !(col(a) <=> col(s"_stg_$a"))).reduce(_ || _)
     val stg = staged.select(
@@ -155,7 +159,8 @@ object Scd2 {
     val upsert = expired.unionByName(inserts).localCheckpoint()
     try {
       if (upsert.isEmpty) None
-      else VT.txnMerge(upsert, table, keys :+ "valid_from", app, batch)
+      else VT.txnMerge(upsert, table, keys :+ "valid_from", app, batch,
+        readVersion = baseSnap.version)
     } finally { upsert.unpersist(); live.unpersist(); () }
   }
 }

@@ -555,23 +555,33 @@ object VersionedTable {
     case _ => None
   }
 
-  /** Literal → stats carrier; None = type we don't prune on (safe). */
+  /** Constant → stats carrier; None = unfoldable or a type we don't
+    * prune on (safe). Accepts any FOLDABLE deterministic expression, not
+    * just bare Literal: the analyzer wraps the most common spellings in
+    * casts (`col("id") === 25` against a Long column analyzes to
+    * `id = cast(25 as bigint)`; a date-string comparison gets a Cast
+    * too), and matching only Literal would silently disable pruning for
+    * exactly those — results stay right via the re-applied filter, so
+    * nothing would ever flag the 10⁶-file scans.
+    */
   private def litValue(
-      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Any] = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v, dt) if v != null =>
-      import org.apache.spark.sql.types._
-      dt match {
-        case ByteType | ShortType | IntegerType =>
-          Some(v.asInstanceOf[Number].longValue())
-        case LongType => Some(v.asInstanceOf[Number].longValue())
-        case DateType => Some(v.asInstanceOf[Number].longValue())      // days
-        case TimestampType | TimestampNTZType =>
-          Some(v.asInstanceOf[Number].longValue())                     // micros
-        case FloatType | DoubleType => Some(v.asInstanceOf[Number].doubleValue())
-        case StringType => Some(v.toString)
-        case _ => None
-      }
-    case _ => None
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Any] = {
+    import org.apache.spark.sql.types._
+    if (!e.foldable || !e.deterministic) return None
+    val (v, dt) =
+      try (e.eval(org.apache.spark.sql.catalyst.InternalRow.empty), e.dataType)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (v == null) return None
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(v.asInstanceOf[Number].longValue())
+      case DateType => Some(v.asInstanceOf[Number].longValue())      // days
+      case TimestampType | TimestampNTZType =>
+        Some(v.asInstanceOf[Number].longValue())                     // micros
+      case FloatType | DoubleType => Some(v.asInstanceOf[Number].doubleValue())
+      case StringType => Some(v.toString)
+      case _ => None
+    }
   }
 
   private def translate(
@@ -739,6 +749,7 @@ object VersionedTable {
       val dead = scala.collection.mutable.Set.empty[String]
       import scala.jdk.CollectionConverters._
       r.getFooter.getBlocks.asScala.foreach { block =>
+        val blockRows = block.getRowCount
         block.getColumns.asScala.foreach { cc =>
           val path = cc.getPath.toArray
           if (path.length == 1 && want(path(0)) && !dead(path(0))) {
@@ -759,9 +770,16 @@ object VersionedTable {
             if (st == null || st.isEmpty) dead += name
             else {
               val chunk =
-                if (!st.hasNonNullValue)
-                  // all-null chunk: defined, min/max vacuous
-                  Some(ColStats(None, None, st.getNumNulls))
+                if (!st.hasNonNullValue) {
+                  // hasNonNullValue=false is AMBIGUOUS: a genuinely all-null
+                  // chunk, or min/max OMITTED by the writer (parquet-mr
+                  // drops stats past MAX_STATS_SIZE for wide binary values)
+                  // — only the former may prune; conflating them made
+                  // readWhere/merge/delete skip files that HOLD matches
+                  if (st.isNumNullsSet && st.getNumNulls >= blockRows)
+                    Some(ColStats(None, None, st.getNumNulls))
+                  else None // omitted stats: column unusable for this file
+                }
                 else (norm(st.genericGetMin.asInstanceOf[AnyRef]),
                       norm(st.genericGetMax.asInstanceOf[AnyRef])) match {
                   case (Some(mn), Some(mx)) =>
@@ -1020,6 +1038,38 @@ object VersionedTable {
 
   // -------------------------------------------------------- merge (i24)
 
+  /** Normalize `input_file_name()` URIs to table-relative paths and
+    * resolve them against the candidate list — one Set build, O(1)
+    * membership per candidate (pairwise suffix matching was O(c·h) driver
+    * work at file-catalog scale).
+    */
+  private def resolveHitFiles(spark: SparkSession, table: String,
+      candidates: Seq[AddFile], hitUris: Iterable[String]): Seq[AddFile] = {
+    val rootPath = fsOf(spark, table)
+      .makeQualified(new Path(table)).toUri.getPath
+    val rel = hitUris.map(u =>
+      new Path(u).toUri.getPath.stripPrefix(rootPath).stripPrefix("/")).toSet
+    candidates.filter(f => rel.contains(f.path))
+  }
+
+  /** The shared DML conflict rule: a merge/delete/update DECIDED against
+    * the snapshot at `baseVersion`; any non-vacuum commit landing before
+    * its publish does not commute and fails NAMED (one definition —
+    * per-op copies would silently diverge).
+    */
+  private def conflictGuard(spark: SparkSession, table: String,
+      baseVersion: Long, snapVersion: Long, opName: String): Unit =
+    if (snapVersion != baseVersion) {
+      val fs = fsOf(spark, table)
+      ((baseVersion + 1) to snapVersion).foreach { v =>
+        val op = parseCommit(fs, table, v)._2
+        if (op != "vacuum") sys.error(
+          s"versioned table $table: concurrent commit $v (op=$op) conflicts " +
+            s"with a $opName begun at version $baseVersion — $opName does not " +
+            s"commute with concurrent writes; re-run the $opName on the new snapshot")
+      }
+    }
+
   /** Row-level copy-on-write upsert — the reference's central write
     * primitive (two `MERGE INTO` per silver table,
     * 4_silver/silver_transactions.py:124 expire-merge, :153 insert-merge)
@@ -1056,12 +1106,21 @@ object VersionedTable {
 
   /** [[merge]] with the (app, batch) exactly-once contract of
     * [[txnAppend]] — the streaming SCD2 sink's commit (s04 riding i23).
+    * `readVersion` (when ≥ 0) anchors conflict detection at the snapshot
+    * the CALLER computed `staged` from: a staged batch derived from an
+    * earlier read (Scd2.mergeVersioned reads the dimension to decide
+    * expirations) must conflict with anything that landed since THAT
+    * read, not since this call's own snapshot — otherwise two concurrent
+    * SCD2 merges interleave silently and the dimension ends with two
+    * current rows per key.
     */
   def txnMerge(staged: DataFrame, table: String, keys: Seq[String],
-      app: String, batch: Long): Option[Long] = {
+      app: String, batch: Long, readVersion: Long = -1L): Option[Long] = {
     import org.apache.spark.sql.functions._
     val spark = staged.sparkSession
     val base = snapshotAt(spark, table)
+    if (readVersion >= 0)
+      conflictGuard(spark, table, readVersion, base.version, "merge")
     require(keys.nonEmpty, "merge needs at least one key column")
     val missing = keys.filterNot(base.schema.fieldNames.contains)
     require(missing.isEmpty,
@@ -1119,11 +1178,8 @@ object VersionedTable {
             .select((keys.map(col) :+ input_file_name().as("__gf")): _*)
           val stagedKeys = stagedAligned.select(keys.map(col): _*).distinct()
           val hit = cand.join(stagedKeys, keys, "left_semi")
-            .select(col("__gf")).distinct().collect().map(_.getString(0)).toSet
-          // input_file_name returns a URI; match live entries by path suffix
-          candidates.filter(f =>
-            hit.exists(u => new Path(u).toUri.getPath.endsWith(s"/${f.path}") ||
-              new Path(u).toUri.getPath == f.path))
+            .select(col("__gf")).distinct().collect().map(_.getString(0)).toSeq
+          resolveHitFiles(spark, table, candidates, hit)
         }
 
       // copy-on-write: matched files are rewritten WITHOUT the matched
@@ -1149,20 +1205,7 @@ object VersionedTable {
         case Some(snap) =>
           if (app != null && snap.txns.get(app).exists(_ >= batch)) None
           else {
-            if (snap.version != base.version) {
-              // the merge DECIDED against base's contents; anything that
-              // changed them since does not commute — fail named, the
-              // caller re-runs on the fresh snapshot. vacuum commits touch
-              // no live file and are the one safe interleaving.
-              val fs = fsOf(spark, table)
-              ((base.version + 1) to snap.version).foreach { v =>
-                val op = parseCommit(fs, table, v)._2
-                if (op != "vacuum") sys.error(
-                  s"versioned table $table: concurrent commit $v (op=$op) conflicts " +
-                    s"with a merge begun at version ${base.version} — merges do not " +
-                    "commute with concurrent writes; re-run the merge on the new snapshot")
-              }
-            }
+            conflictGuard(spark, table, base.version, snap.version, "merge")
             wrote = true
             val txn = if (app == null) Nil else Seq(txnLine(app, batch))
             Some(txn ++ matchedFiles.map(f => removeLine(f.path)) ++
@@ -1200,10 +1243,8 @@ object VersionedTable {
     val cand = spark.read.schema(base.schema)
       .parquet(candidates.map(f => s"$table/${f.path}"): _*)
     val hit = cand.filter(pred).select(input_file_name().as("__gf"))
-      .distinct().collect().map(_.getString(0)).toSet
-    val hitFiles = candidates.filter(f =>
-      hit.exists(u => new Path(u).toUri.getPath.endsWith(s"/${f.path}") ||
-        new Path(u).toUri.getPath == f.path))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val hitFiles = resolveHitFiles(spark, table, candidates, hit)
     if (hitFiles.isEmpty) return None
     val lives = spark.read.schema(base.schema)
       .parquet(hitFiles.map(f => s"$table/${f.path}"): _*)
@@ -1215,19 +1256,61 @@ object VersionedTable {
     val v = commitLoop(spark, table, "delete") {
       case None => sys.error(s"no versioned table at $table — create() it first")
       case Some(snap) =>
-        if (snap.version != base.version) {
-          val fs = fsOf(spark, table)
-          ((base.version + 1) to snap.version).foreach { dv =>
-            val op = parseCommit(fs, table, dv)._2
-            if (op != "vacuum") sys.error(
-              s"versioned table $table: concurrent commit $dv (op=$op) conflicts " +
-                s"with a delete begun at version ${base.version} — re-run the " +
-                "delete on the new snapshot")
-          }
-        }
+        conflictGuard(spark, table, base.version, snap.version, "delete")
         Some(hitFiles.map(f => removeLine(f.path)) ++ adds.map(addLine))
     }.get
     Some((v, deleted))
+  }
+
+  /** Row-level UPDATE (Delta's `UPDATE t SET col = expr WHERE pred`) —
+    * the DML triple completed (merge/delete/update): rewrite ONLY the
+    * files holding a matching row, applying `set` to matched rows and
+    * passing the rest through byte-equal. Discovery, NULL-predicate, and
+    * conflict semantics are [[delete]]'s exactly. The rewritten files
+    * carry `dataChange=true` — updated rows ARE new row states the change
+    * feed must serve... but unchanged neighbor rows in the same file
+    * would double-serve, so like Delta without CDF the UPDATE commit
+    * BREAKS the append feed named (op check in [[readChangesSince]] is
+    * not needed: updates remove old row states too, same class as
+    * delete). Returns (version, rowsUpdated), None when nothing matched.
+    */
+  def update(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Option[(Long, Long)] = {
+    import org.apache.spark.sql.functions.{coalesce => cls, input_file_name, lit => l, when => whn, col => c}
+    val base = snapshotAt(spark, table)
+    val bad = set.keys.filterNot(base.schema.fieldNames.contains)
+    require(bad.isEmpty, s"update targets absent columns: ${bad.mkString(", ")}")
+    val candidates = pruneByPred(spark, base, pred)
+    if (candidates.isEmpty) return None
+    val cand = spark.read.schema(base.schema)
+      .parquet(candidates.map(f => s"$table/${f.path}"): _*)
+    val hit = cand.filter(pred).select(input_file_name().as("__gf"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val hitFiles = resolveHitFiles(spark, table, candidates, hit)
+    if (hitFiles.isEmpty) return None
+    val lives = spark.read.schema(base.schema)
+      .parquet(hitFiles.map(f => s"$table/${f.path}"): _*)
+    val hitPred = cls(pred, l(false))
+    // NO silent cast: a type-drifting SET expression must fail named (the
+    // table's own schema discipline — align() below rejects drift), never
+    // land NULLs on every matched row
+    val updated = lives.select(base.schema.fieldNames.map { f =>
+      set.get(f) match {
+        case Some(expr) => whn(hitPred, expr).otherwise(c(f)).as(f)
+        case None => c(f)
+      }
+    }.toSeq: _*)
+    val nUpdated = lives.filter(hitPred).count()
+    val adds = writeData(updated, table, base.schema, base.partitionBy)
+    testHookBeforeCommit()
+    val v = commitLoop(spark, table, "update") {
+      case None => sys.error(s"no versioned table at $table — create() it first")
+      case Some(snap) =>
+        conflictGuard(spark, table, base.version, snap.version, "update")
+        Some(hitFiles.map(f => removeLine(f.path)) ++ adds.map(addLine))
+    }.get
+    Some((v, nUpdated))
   }
 
   // ----------------------------------------------------- optimize (i28)
@@ -1262,10 +1345,18 @@ object VersionedTable {
     val df = spark.read.schema(base.schema)
       .parquet(smalls.map(f => s"$table/${f.path}"): _*)
     val compacted =
-      if (base.partitionBy.nonEmpty)
-        // partition-pure output: one task per live partition value
-        df.repartition(base.partitionBy.map(org.apache.spark.sql.functions.col): _*)
-      else df.repartition(nOut)
+      if (base.partitionBy.nonEmpty) {
+        // partition cols ALONE would funnel each partition value through
+        // ONE task — a hot partition's 2000 small files re-emerge as one
+        // oversized file/straggler. A deterministic row-content salt
+        // bounded by nOut keeps outputs near targetBytes (the hive write
+        // below still splits per partition VALUE within each task, so
+        // files stay partition-pure).
+        import org.apache.spark.sql.functions.{col, pmod, xxhash64, struct, lit}
+        df.repartition(math.max(nOut, base.partitionBy.size),
+          base.partitionBy.map(col) :+
+            pmod(xxhash64(struct(df.columns.map(col): _*)), lit(nOut)): _*)
+      } else df.repartition(nOut)
     // compaction changes NO rows: dataChange=false keeps the change feed
     // from re-serving every compacted row as an append
     val adds = writeData(compacted, table, base.schema, base.partitionBy)
@@ -1358,10 +1449,12 @@ object VersionedTable {
       (untilVersion < 0 || v <= untilVersion))
     val adds = later.flatMap { v =>
       val (nodes, op) = parseCommit(fs, table, v)
-      if (op == "overwrite" || op == "overwrite_partitions" || op == "delete")
+      if (op == "overwrite" || op == "overwrite_partitions" || op == "delete" ||
+          op == "update")
         sys.error(
-          s"versioned table $table: commit $v is a $op — rows were removed, the " +
-            s"append delta since $sinceVersion is gone; reconsume from the new snapshot")
+          s"versioned table $table: commit $v is a $op — row states were removed " +
+            s"or replaced, the append delta since $sinceVersion is gone; " +
+            "reconsume from the new snapshot")
       nodes.filter(_.has("add")).map(n => parseAdd(n.get("add")))
         .filter(_.dataChange)
         .map(_.path)
@@ -1406,17 +1499,22 @@ object VersionedTable {
     if (fs.exists(dataRoot)) {
       val it = fs.listFiles(dataRoot, true)
       val doomed = Seq.newBuilder[Path]
+      // paths RELATIVE TO THE TABLE ROOT, exactly as writeData logs them —
+      // a two-segment data/<dir>/<file> reconstruction would mis-relativize
+      // every hive-partitioned (i26) file (data/files-x/__p_day=…/part-…)
+      // and vacuum would delete LIVE data past the grace window
+      val rootPath = fs.makeQualified(new Path(table)).toUri.getPath
       while (it.hasNext) {
         val f = it.next()
-        val rel = s"$DataDirName/${f.getPath.getParent.getName}/${f.getPath.getName}"
+        val rel = f.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
         if (!referenced.contains(rel) && f.getModificationTime <= cutoff)
           doomed += f.getPath
       }
       doomed.result().foreach { f => if (fs.delete(f, false)) deleted += 1 }
-      // sweep now-empty commit dirs
+      // sweep now-empty commit dirs (recursive: partition subdirs empty too)
       fs.listStatus(dataRoot).foreach { d =>
-        if (d.isDirectory && fs.listStatus(d.getPath).isEmpty)
-          fs.delete(d.getPath, false)
+        if (d.isDirectory && !fs.listFiles(d.getPath, true).hasNext)
+          fs.delete(d.getPath, true)
       }
     }
     // crashed publishers' temp stragglers in the log dir, same grace

@@ -696,6 +696,119 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.survivingFiles(spark, t, col("id") > 1000L).isEmpty)
   }
 
+  test("update: copy-on-write SET on matched rows only, typed casts, " +
+      "no-match no-op, feed breaks named (r18)") {
+    val t = tmpTable("upd")
+    VersionedTable.create(
+      (1L to 10L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1), t)
+    VersionedTable.append(
+      (11L to 20L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1), t)
+    val untouched = VersionedTable.snapshotAt(spark, t).files.filter(
+      _.stats("id").min.exists(_.asInstanceOf[Long] >= 11L)).map(_.path).toSet
+    val vFeed = VersionedTable.latestVersion(spark, t)
+    val Some((v, n)) = VersionedTable.update(spark, t,
+      col("id") <= 2L, Map("v" -> concat(col("v"), lit("!"))))
+    assert(n == 2L)
+    val got = rows(VersionedTable.read(spark, t))
+    assert(got((1L, "a1!")) && got((2L, "a2!")) && got((3L, "a3")) &&
+      got.size == 20, got.toString)
+    // only the hit file rewrote
+    assert(VersionedTable.snapshotAt(spark, t).files.map(_.path).toSet
+      .intersect(untouched) == untouched)
+    // pre-update version intact
+    assert(rows(VersionedTable.readVersion(spark, t, v - 1)).contains((1L, "a1")))
+    // the append feed cannot represent replaced row states — named break
+    val e = intercept[RuntimeException] {
+      VersionedTable.readChangesSince(spark, t, vFeed).collect()
+    }
+    assert(e.getMessage.contains("update"), e.getMessage)
+    // no-match update commits nothing; absent column fails named
+    assert(VersionedTable.update(spark, t, col("id") > 999L,
+      Map("v" -> lit("x"))).isEmpty)
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.update(spark, t, col("id") === 1L, Map("nope" -> lit("x")))
+    }
+    assert(e2.getMessage.contains("absent columns"), e2.getMessage)
+  }
+
+  test("review fixes: partitioned vacuum keeps live files; Int-literal and " +
+      "cast predicates still prune; oversized-string stats never mis-prune; " +
+      "stale-read merge conflicts named; update type drift fails named (r18)") {
+    // 1. vacuum on a PARTITIONED table: live three-segment paths must
+    // survive a grace-0 vacuum (the two-segment reconstruction deleted
+    // every live partitioned file)
+    val t = tmpTable("pvac")
+    VersionedTable.create(
+      Seq((1L, "d1", "a"), (2L, "d2", "b")).toDF("id", "day", "v"),
+      t, partitionBy = Seq("day"))
+    VersionedTable.overwritePartitions(
+      Seq((20L, "d2", "B")).toDF("id", "day", "v"), t)
+    val removed = VersionedTable.vacuum(spark, t, retainVersions = 1, graceMs = 0)
+    assert(VersionedTable.read(spark, t).select("id").as[Long].collect().toSet ==
+      Set(1L, 20L), "vacuum must never delete live partitioned files")
+    assert(removed >= 1, "the overwritten partition's old file must be swept")
+
+    // 2. pruning survives the analyzer's cast wrapping: an Int literal
+    // against the Long column (cast(25 as bigint)) must still plan 1 file
+    val t2 = tmpTable("castprune")
+    VersionedTable.create((1L to 10L).map(i => (i, s"a$i")).toDF("id", "v")
+      .coalesce(1), t2)
+    VersionedTable.append((21L to 30L).map(i => (i, s"c$i")).toDF("id", "v")
+      .coalesce(1), t2)
+    assert(VersionedTable.survivingFiles(spark, t2, col("id") === 25).size == 1,
+      "Int-literal (cast-wrapped) point lookup must prune")
+    assert(VersionedTable.survivingFiles(spark, t2,
+      col("id") === lit(5).cast("long")).size == 1)
+
+    // 3. a column whose values overflow parquet's stats size limit
+    // (binary min/max omitted, null_count present) must NOT be treated as
+    // all-null — the file holds the match and must be planned
+    val t3 = tmpTable("bigstats")
+    val big = "x" * 5000
+    VersionedTable.create(
+      Seq((1L, big + "A"), (2L, big + "B")).toDF("id", "v").coalesce(1), t3)
+    val snap3 = VersionedTable.snapshotAt(spark, t3)
+    assert(rows(VersionedTable.readWhere(spark, t3, col("v") === (big + "A")))
+      == Set((1L, big + "A")),
+      s"oversized-string stats must never mis-prune (stats: ${snap3.files.map(_.stats.keySet)})")
+    // and delete through the same path finds the row
+    assert(VersionedTable.delete(spark, t3, col("v") === (big + "B"))
+      .exists(_._2 == 1L), "erasure must not be silently skipped")
+
+    // 4. a merge whose staged batch was derived from a STALE read
+    // conflicts named even when txnMerge's own snapshot is current
+    val t4 = tmpTable("stale")
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), t4)
+    val readV = VersionedTable.latestVersion(spark, t4)
+    VersionedTable.append(Seq((2L, "b")).toDF("id", "v"), t4) // lands after the read
+    val e = intercept[RuntimeException] {
+      VersionedTable.txnMerge(Seq((1L, "A")).toDF("id", "v"), t4, Seq("id"),
+        app = null, batch = 0L, readVersion = readV)
+    }
+    assert(e.getMessage.contains("conflicts"), e.getMessage)
+
+    // 5. a type-drifting SET expression fails named, never lands NULLs:
+    // a coercible-but-malformed value dies on the ANSI cast
+    // (CAST_INVALID_INPUT), a widening type drift dies on align's schema
+    // check — both loud, both pre-commit
+    val t5 = tmpTable("updrift")
+    VersionedTable.create(Seq((1L, 2.5)).toDF("id", "amt"), t5)
+    val e2 = intercept[Exception] {
+      VersionedTable.update(spark, t5, col("id") === 1L,
+        Map("amt" -> lit("not a number")))
+    }
+    assert(e2.getMessage.contains("CAST_INVALID_INPUT") ||
+      e2.getMessage.contains("schema drift"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      VersionedTable.update(spark, t5, col("id") === 1L,
+        Map("id" -> col("amt"))) // double expr WIDENS the long column
+    }
+    assert(e3.getMessage.contains("schema drift"), e3.getMessage)
+    assert(VersionedTable.read(spark, t5).head().getDouble(1) == 2.5)
+    assert(VersionedTable.latestVersion(spark, t5) == 0L,
+      "a failed update must commit nothing")
+  }
+
   // ---------------------------------------- r18: Scd2.mergeVersioned
 
   test("Scd2.mergeVersioned == Scd2.merge semantics, committed row-level: " +
