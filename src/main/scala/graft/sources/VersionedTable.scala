@@ -123,6 +123,17 @@ object VersionedTable {
   private def fsOf(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Path → table-relative form, byte-identical to what [[writeData]]
+    * logs in `add` actions. ONE definition: hit resolution (merge/delete/
+    * update) and vacuum's referenced-set check compare against logged
+    * paths, and a divergent copy means silently missed files or deleted
+    * live data.
+    */
+  private def relativize(fs: FileSystem, table: String, p: Path): String = {
+    val rootPath = fs.makeQualified(new Path(table)).toUri.getPath
+    p.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
+  }
+
   private def commitVersions(fs: FileSystem, table: String): Seq[Long] =
     listLog(fs, table)._1
 
@@ -687,11 +698,7 @@ object VersionedTable {
       b.result().sortBy(_.getPath.toString)
     }
     files.map { p =>
-      val relPath = {
-        val full = p.getPath.toUri.getPath
-        val rootPath = fs.makeQualified(new Path(table)).toUri.getPath
-        full.stripPrefix(rootPath).stripPrefix("/")
-      }
+      val relPath = relativize(fs, table, p.getPath)
       val parts = parsePartitionValues(relPath, partitionBy)
       val (rows, stats) = footerStats(p.getPath, conf, schema)
       AddFile(relPath, rows, p.getLen, parts, stats)
@@ -1045,10 +1052,8 @@ object VersionedTable {
     */
   private def resolveHitFiles(spark: SparkSession, table: String,
       candidates: Seq[AddFile], hitUris: Iterable[String]): Seq[AddFile] = {
-    val rootPath = fsOf(spark, table)
-      .makeQualified(new Path(table)).toUri.getPath
-    val rel = hitUris.map(u =>
-      new Path(u).toUri.getPath.stripPrefix(rootPath).stripPrefix("/")).toSet
+    val fs = fsOf(spark, table)
+    val rel = hitUris.map(u => relativize(fs, table, new Path(u))).toSet
     candidates.filter(f => rel.contains(f.path))
   }
 
@@ -1279,29 +1284,45 @@ object VersionedTable {
       set: Map[String, org.apache.spark.sql.Column]): Option[(Long, Long)] = {
     import org.apache.spark.sql.functions.{coalesce => cls, input_file_name, lit => l, when => whn, col => c}
     val base = snapshotAt(spark, table)
+    require(set.nonEmpty,
+      "update with an empty SET map would rewrite files, commit a version, " +
+        "and break the change feed while changing no row — name the columns")
     val bad = set.keys.filterNot(base.schema.fieldNames.contains)
     require(bad.isEmpty, s"update targets absent columns: ${bad.mkString(", ")}")
     val candidates = pruneByPred(spark, base, pred)
     if (candidates.isEmpty) return None
+    // EXACT type match required, pre-scan: When-branch coercion is
+    // config-dependent (legacy non-ANSI casts land silent NULLs; ANSI
+    // throws mid-write) — validating the SET expression types against the
+    // schema up front fails named deterministically, before any IO
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], base.schema)
+    set.foreach { case (f, expr) =>
+      val got = probe.select(expr.as(f)).schema.head.dataType
+      val want = base.schema(f).dataType
+      require(got == want,
+        s"schema drift: update SET expression for '$f' has type " +
+          s"${got.simpleString}, column is ${want.simpleString} — cast explicitly")
+    }
+    // one discovery scan yields BOTH the hit-file list and the matched
+    // row count (a separate count() would re-read every hit file)
     val cand = spark.read.schema(base.schema)
       .parquet(candidates.map(f => s"$table/${f.path}"): _*)
-    val hit = cand.filter(pred).select(input_file_name().as("__gf"))
-      .distinct().collect().map(_.getString(0)).toSeq
-    val hitFiles = resolveHitFiles(spark, table, candidates, hit)
+    val hitCounts = cand.filter(pred)
+      .groupBy(input_file_name().as("__gf")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val hitFiles = resolveHitFiles(spark, table, candidates, hitCounts.map(_._1))
     if (hitFiles.isEmpty) return None
+    val nUpdated = hitCounts.map(_._2).sum
     val lives = spark.read.schema(base.schema)
       .parquet(hitFiles.map(f => s"$table/${f.path}"): _*)
     val hitPred = cls(pred, l(false))
-    // NO silent cast: a type-drifting SET expression must fail named (the
-    // table's own schema discipline — align() below rejects drift), never
-    // land NULLs on every matched row
     val updated = lives.select(base.schema.fieldNames.map { f =>
       set.get(f) match {
         case Some(expr) => whn(hitPred, expr).otherwise(c(f)).as(f)
         case None => c(f)
       }
     }.toSeq: _*)
-    val nUpdated = lives.filter(hitPred).count()
     val adds = writeData(updated, table, base.schema, base.partitionBy)
     testHookBeforeCommit()
     val v = commitLoop(spark, table, "update") {
@@ -1334,33 +1355,32 @@ object VersionedTable {
     def sizeOf(f: AddFile): Long =
       if (f.bytes > 0) f.bytes
       else fs.getFileStatus(new Path(s"$table/${f.path}")).getLen // pre-i25 adds
-    val smalls = base.files
-      .filter(f => sizeOf(f) < targetBytes)
-      .groupBy(_.partitions)
-      .filter(_._2.size >= 2) // a lone small file gains nothing from a rewrite
-      .values.flatten.toSeq
-    if (smalls.isEmpty) return None
-    val totalBytes = smalls.map(sizeOf).sum
-    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.schema(base.schema)
-      .parquet(smalls.map(f => s"$table/${f.path}"): _*)
-    val compacted =
-      if (base.partitionBy.nonEmpty) {
-        // partition cols ALONE would funnel each partition value through
-        // ONE task — a hot partition's 2000 small files re-emerge as one
-        // oversized file/straggler. A deterministic row-content salt
-        // bounded by nOut keeps outputs near targetBytes (the hive write
-        // below still splits per partition VALUE within each task, so
-        // files stay partition-pure).
-        import org.apache.spark.sql.functions.{col, pmod, xxhash64, struct, lit}
-        df.repartition(math.max(nOut, base.partitionBy.size),
-          base.partitionBy.map(col) :+
-            pmod(xxhash64(struct(df.columns.map(col): _*)), lit(nOut)): _*)
-      } else df.repartition(nOut)
+    // Selection + convergence (the Delta OPTIMIZE discipline): only files
+    // under HALF the target are candidates, and a partition group rewrites
+    // only when it makes PROGRESS (strictly fewer files). Outputs are
+    // therefore ≥ target/2 (or the group's whole remaining bytes), so the
+    // NEXT optimize selects nothing and returns None — a periodic
+    // optimize converges instead of committing an identical rewrite
+    // forever (each pointless commit would also abort concurrent DML via
+    // the conflict rule). Per-group compaction keeps a hot partition from
+    // fanning a cold one's rows across the global task count.
+    val groups = base.files.groupBy(_.partitions).toSeq
+      .sortBy(_._1.toSeq.sortBy(_._1).mkString("|"))
+      .flatMap { case (_, gfs) =>
+        val smalls = gfs.filter(f => sizeOf(f) < targetBytes / 2)
+        val bytes = smalls.map(sizeOf).sum
+        val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        if (smalls.size >= 2 && nOut < smalls.size) Some((smalls, nOut)) else None
+      }
+    if (groups.isEmpty) return None
     // compaction changes NO rows: dataChange=false keeps the change feed
     // from re-serving every compacted row as an append
-    val adds = writeData(compacted, table, base.schema, base.partitionBy)
-      .map(_.copy(dataChange = false))
+    val adds = groups.flatMap { case (smalls, nOut) =>
+      val df = spark.read.schema(base.schema)
+        .parquet(smalls.map(f => s"$table/${f.path}"): _*)
+      writeData(df.repartition(nOut), table, base.schema, base.partitionBy)
+    }.map(_.copy(dataChange = false))
+    val smalls = groups.flatMap(_._1)
     val smallPaths = smalls.map(_.path).toSet
     testHookBeforeCommit()
     Some(commitLoop(spark, table, "optimize") {
@@ -1503,17 +1523,29 @@ object VersionedTable {
       // a two-segment data/<dir>/<file> reconstruction would mis-relativize
       // every hive-partitioned (i26) file (data/files-x/__p_day=…/part-…)
       // and vacuum would delete LIVE data past the grace window
-      val rootPath = fs.makeQualified(new Path(table)).toUri.getPath
       while (it.hasNext) {
         val f = it.next()
-        val rel = f.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
+        val rel = relativize(fs, table, f.getPath)
         if (!referenced.contains(rel) && f.getModificationTime <= cutoff)
           doomed += f.getPath
       }
-      doomed.result().foreach { f => if (fs.delete(f, false)) deleted += 1 }
-      // sweep now-empty commit dirs (recursive: partition subdirs empty too)
+      val victims = doomed.result()
+      victims.foreach { f => if (fs.delete(f, false)) deleted += 1 }
+      // sweep file-less commit dirs (recursive: hive partition skeletons
+      // empty out too) — but ONLY dirs this vacuum itself emptied, or dirs
+      // past the grace cutoff: a concurrent writer's fresh `_temporary/`
+      // staging tree is dirs-without-files BY DESIGN mid-job, and deleting
+      // it would fail the write it stages. (The deletions above bump the
+      // parent mtime, so "we emptied it" must be tracked, not inferred.)
+      val dataRootPath = fs.makeQualified(dataRoot).toUri.getPath
+      val emptied = victims.flatMap { f =>
+        val rel = f.toUri.getPath.stripPrefix(dataRootPath).stripPrefix("/")
+        rel.split('/').headOption
+      }.toSet
       fs.listStatus(dataRoot).foreach { d =>
-        if (d.isDirectory && !fs.listFiles(d.getPath, true).hasNext)
+        if (d.isDirectory &&
+            (emptied.contains(d.getPath.getName) || d.getModificationTime <= cutoff) &&
+            !fs.listFiles(d.getPath, true).hasNext)
           fs.delete(d.getPath, true)
       }
     }

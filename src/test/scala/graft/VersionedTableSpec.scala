@@ -595,6 +595,38 @@ class VersionedTableSpec extends SparkSpec {
     } finally VersionedTable.testHookBeforeCommit = () => ()
   }
 
+  test("optimize converges on partitioned tables (second run = None) and " +
+      "vacuum never sweeps a fresh dirs-only staging tree (r18)") {
+    val t = tmpTable("poptc")
+    VersionedTable.create(
+      Seq((0L, "d1", "x"), (1L, "d2", "y")).toDF("id", "day", "v"),
+      t, partitionBy = Seq("day"))
+    (1 to 3).foreach { i =>
+      VersionedTable.append(
+        Seq((i * 10L, "d1", s"a$i"), (i * 10L + 1, "d2", s"b$i"))
+          .toDF("id", "day", "v"), t)
+    }
+    val pre = VersionedTable.snapshotAt(spark, t).files
+    val preRows = VersionedTable.read(spark, t).collect().map(_.toSeq).toSet
+    assert(VersionedTable.optimize(spark, t).isDefined)
+    val post = VersionedTable.snapshotAt(spark, t).files
+    assert(post.size < pre.size, s"${pre.size} -> ${post.size}")
+    // partition-pure after compaction, data identical
+    assert(post.forall(f => f.partitions.keySet == Set("day")))
+    assert(VersionedTable.read(spark, t).collect().map(_.toSeq).toSet == preRows)
+    // CONVERGENCE: a second optimize finds nothing (no eternal rewrite
+    // commits aborting concurrent DML)
+    assert(VersionedTable.optimize(spark, t).isEmpty)
+
+    // a concurrent writer's dirs-only staging skeleton (no files yet)
+    // survives vacuum even at grace 0 — it is fresh by construction
+    val staging = new Path(s"$t/${VersionedTable.DataDirName}/files-live/_temporary/0")
+    fs.mkdirs(staging)
+    VersionedTable.vacuum(spark, t, retainVersions = 1, graceMs = 60000L)
+    assert(fs.exists(staging),
+      "vacuum swept an in-flight write's staging tree")
+  }
+
   // ------------------------------------------------ r18: i27 change feed
 
   test("feedInto: exactly-once silver→gold hop — bootstrap, incremental " +
