@@ -129,10 +129,20 @@ object VersionedTable {
     * paths, and a divergent copy means silently missed files or deleted
     * live data.
     */
-  private def relativize(fs: FileSystem, table: String, p: Path): String = {
-    val rootPath = fs.makeQualified(new Path(table)).toUri.getPath
+  private def relativize(fs: FileSystem, table: String, p: Path): String =
+    relativize(tableRoot(fs, table), p)
+
+  /** Loop-hoistable form: qualify the table root ONCE, then relativize
+    * per file (vacuum's sweep visits every data file).
+    */
+  private def tableRoot(fs: FileSystem, table: String): String =
+    fs.makeQualified(new Path(table)).toUri.getPath
+
+  private def relativize(rootPath: String, p: Path): String =
     p.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
-  }
+
+  private def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
   private def commitVersions(fs: FileSystem, table: String): Seq[Long] =
     listLog(fs, table)._1
@@ -481,7 +491,7 @@ object VersionedTable {
   private def readFiles(spark: SparkSession, table: String, s: Snapshot): DataFrame = {
     val schema = s.schema
     if (s.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      emptyFrame(spark, schema)
     else
       spark.read.schema(schema).parquet(s.files.map(f => s"$table/${f.path}"): _*)
   }
@@ -531,8 +541,7 @@ object VersionedTable {
     // (not optimized — PropagateEmptyRelation would eat the Filter) plan
     // of a zero-row frame: public API only, and the condition comes back
     // with typed AttributeReferences and folded Literals.
-    val probe = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], snap.schema).filter(pred)
+    val probe = emptyFrame(spark, snap.schema).filter(pred)
     val cond = probe.queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
@@ -1289,14 +1298,12 @@ object VersionedTable {
         "and break the change feed while changing no row — name the columns")
     val bad = set.keys.filterNot(base.schema.fieldNames.contains)
     require(bad.isEmpty, s"update targets absent columns: ${bad.mkString(", ")}")
-    val candidates = pruneByPred(spark, base, pred)
-    if (candidates.isEmpty) return None
-    // EXACT type match required, pre-scan: When-branch coercion is
-    // config-dependent (legacy non-ANSI casts land silent NULLs; ANSI
-    // throws mid-write) — validating the SET expression types against the
-    // schema up front fails named deterministically, before any IO
-    val probe = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], base.schema)
+    // EXACT type match required, BEFORE the candidates-empty early return:
+    // When-branch coercion is config-dependent (legacy non-ANSI casts land
+    // silent NULLs; ANSI throws mid-write), and a misconfigured SET must
+    // fail named even when pruning empties the match — passing on small/
+    // pruned data and blowing up in production is the worst ordering
+    val probe = emptyFrame(spark, base.schema)
     set.foreach { case (f, expr) =>
       val got = probe.select(expr.as(f)).schema.head.dataType
       val want = base.schema(f).dataType
@@ -1304,6 +1311,8 @@ object VersionedTable {
         s"schema drift: update SET expression for '$f' has type " +
           s"${got.simpleString}, column is ${want.simpleString} — cast explicitly")
     }
+    val candidates = pruneByPred(spark, base, pred)
+    if (candidates.isEmpty) return None
     // one discovery scan yields BOTH the hit-file list and the matched
     // row count (a separate count() would re-read every hit file)
     val cand = spark.read.schema(base.schema)
@@ -1370,16 +1379,35 @@ object VersionedTable {
         val smalls = gfs.filter(f => sizeOf(f) < targetBytes / 2)
         val bytes = smalls.map(sizeOf).sum
         val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        if (smalls.size >= 2 && nOut < smalls.size) Some((smalls, nOut)) else None
+        // nOut < smalls.size holds by construction (each file < target/2
+        // ⇒ nOut ≤ ⌈size/2⌉ < size for size ≥ 2): the size gate alone is
+        // the progress rule, the convergence math lives in the selection
+        if (smalls.size >= 2) Some((smalls, nOut)) else None
       }
     if (groups.isEmpty) return None
     // compaction changes NO rows: dataChange=false keeps the change feed
-    // from re-serving every compacted row as an append
-    val adds = groups.flatMap { case (smalls, nOut) =>
-      val df = spark.read.schema(base.schema)
-        .parquet(smalls.map(f => s"$table/${f.path}"): _*)
-      writeData(df.repartition(nOut), table, base.schema, base.partitionBy)
-    }.map(_.copy(dataChange = false))
+    // from re-serving every compacted row as an append. Groups run as
+    // CONCURRENT Spark jobs on a bounded pool — per-group writes keep a
+    // hot partition from fanning a cold one's rows, without paying
+    // #partitions sequential job round-trips on a 365-partition table.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, groups.size),
+      (r: Runnable) => { val th = new Thread(r, "graft-optimize")
+        th.setDaemon(true); th })
+    val adds = try {
+      import scala.jdk.CollectionConverters._
+      val tasks = groups.map { case (smalls, nOut) =>
+        new java.util.concurrent.Callable[Seq[AddFile]] {
+          override def call(): Seq[AddFile] = {
+            val df = spark.read.schema(base.schema)
+              .parquet(smalls.map(f => s"$table/${f.path}"): _*)
+            writeData(df.repartition(nOut), table, base.schema, base.partitionBy)
+          }
+        }
+      }
+      pool.invokeAll(tasks.asJava).asScala.toSeq.flatMap(_.get())
+    } finally pool.shutdown()
+    val addsMarked = adds.map(_.copy(dataChange = false))
     val smalls = groups.flatMap(_._1)
     val smallPaths = smalls.map(_.path).toSet
     testHookBeforeCommit()
@@ -1392,7 +1420,7 @@ object VersionedTable {
           s"versioned table $table: files ${gone.take(3).mkString(", ")} were removed " +
             s"concurrently while optimize was rewriting them — re-run optimize on the " +
             "new snapshot (concurrent appends are fine; concurrent rewrites are not)")
-        Some(smalls.map(f => removeLine(f.path)) ++ adds.map(addLine))
+        Some(smalls.map(f => removeLine(f.path)) ++ addsMarked.map(addLine))
     }.get)
   }
 
@@ -1480,7 +1508,7 @@ object VersionedTable {
         .map(_.path)
     }
     val schema = snapshotAt(spark, table).schema
-    if (adds.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    if (adds.isEmpty) emptyFrame(spark, schema)
     else spark.read.schema(schema).parquet(adds.map(p => s"$table/$p"): _*)
   }
 
@@ -1523,9 +1551,10 @@ object VersionedTable {
       // a two-segment data/<dir>/<file> reconstruction would mis-relativize
       // every hive-partitioned (i26) file (data/files-x/__p_day=…/part-…)
       // and vacuum would delete LIVE data past the grace window
+      val rootPath = tableRoot(fs, table) // hoisted: one qualify, not per file
       while (it.hasNext) {
         val f = it.next()
-        val rel = relativize(fs, table, f.getPath)
+        val rel = relativize(rootPath, f.getPath)
         if (!referenced.contains(rel) && f.getModificationTime <= cutoff)
           doomed += f.getPath
       }

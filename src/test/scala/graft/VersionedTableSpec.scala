@@ -619,7 +619,10 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.optimize(spark, t).isEmpty)
 
     // a concurrent writer's dirs-only staging skeleton (no files yet)
-    // survives vacuum even at grace 0 — it is fresh by construction
+    // survives an IN-GRACE vacuum: the dir sweep spares dirs younger than
+    // the cutoff it didn't empty itself. (graceMs = 0 offers NO such
+    // protection by definition — grace IS the concurrency contract, which
+    // is why the production default is 24 h and only tests pass 0.)
     val staging = new Path(s"$t/${VersionedTable.DataDirName}/files-live/_temporary/0")
     fs.mkdirs(staging)
     VersionedTable.vacuum(spark, t, retainVersions = 1, graceMs = 60000L)
