@@ -1356,10 +1356,24 @@ object VersionedTable {
     * concurrent APPEND commutes (retry proceeds); a concurrent commit
     * that REMOVED one of the source files (another optimize, a merge, an
     * overwrite) fails NAMED. Returns None when nothing needs compacting.
+    *
+    * `zorderBy` is Delta's `OPTIMIZE … ZORDER BY (a, b)`: the compacted
+    * rewrite range-partitions + sorts on the i14 Morton curve over the
+    * two columns, so each output file covers a compact 2-D region and the
+    * i25 per-file stats PRUNE on both columns afterwards — compaction and
+    * clustering in the same commit, data still identical. A group whose
+    * z-columns are all-null/degenerate falls back to the plain rewrite
+    * (clustering is an optimization, never a failure).
     */
   def optimize(spark: SparkSession, table: String,
-      targetBytes: Long = 128L * 1024 * 1024): Option[Long] = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Option[(String, String)] = None): Option[Long] = {
     val base = snapshotAt(spark, table)
+    zorderBy.foreach { case (a, b) =>
+      val missing = Seq(a, b).filterNot(base.schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"zorderBy columns absent from table schema: ${missing.mkString(", ")}")
+    }
     val fs = fsOf(spark, table)
     def sizeOf(f: AddFile): Long =
       if (f.bytes > 0) f.bytes
@@ -1399,9 +1413,30 @@ object VersionedTable {
       val tasks = groups.map { case (smalls, nOut) =>
         new java.util.concurrent.Callable[Seq[AddFile]] {
           override def call(): Seq[AddFile] = {
+            import org.apache.spark.sql.functions.{col, min => mn, max => mx}
             val df = spark.read.schema(base.schema)
               .parquet(smalls.map(f => s"$table/${f.path}"): _*)
-            writeData(df.repartition(nOut), table, base.schema, base.partitionBy)
+            val laidOut = zorderBy match {
+              case None => df.repartition(nOut)
+              case Some((a, b)) =>
+                val r = df.agg(mn(col(a)).cast("double"), mx(col(a)).cast("double"),
+                  mn(col(b)).cast("double"), mx(col(b)).cast("double")).head()
+                if (r.anyNull || r.getDouble(0) >= r.getDouble(1) ||
+                    r.getDouble(2) >= r.getDouble(3))
+                  df.repartition(nOut) // degenerate/all-null: plain rewrite
+                else {
+                  val z = Sinks.zorderValue(col(a), col(b),
+                    r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+                  // range-partition + in-task sort on the curve, then drop
+                  // the working column (a projection keeps the order) so
+                  // align() sees exactly the table schema
+                  df.withColumn("_graft_z", z)
+                    .repartitionByRange(nOut, col("_graft_z"))
+                    .sortWithinPartitions(col("_graft_z"))
+                    .drop("_graft_z")
+                }
+            }
+            writeData(laidOut, table, base.schema, base.partitionBy)
           }
         }
       }

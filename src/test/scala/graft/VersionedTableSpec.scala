@@ -630,6 +630,44 @@ class VersionedTableSpec extends SparkSpec {
       "vacuum swept an in-flight write's staging tree")
   }
 
+  test("optimize ZORDER BY: the compacted rewrite clusters on the Morton " +
+      "curve so the log's own stats prune BOTH columns afterwards (i28+i14+i25)") {
+    val t = tmpTable("zopt")
+    // shuffled appends: every file spans nearly the full range of both
+    // columns, so pre-optimize NO predicate prunes anything
+    val rows100 = (0L until 100L).map(i => (i, (i * 37L) % 100L, s"p$i"))
+    val shuffled = new scala.util.Random(7).shuffle(rows100)
+    VersionedTable.create(shuffled.take(1).toDF("id", "score", "v"), t)
+    shuffled.drop(1).grouped(11).foreach(g =>
+      VersionedTable.append(g.toDF("id", "score", "v").coalesce(1), t))
+    val pre = VersionedTable.snapshotAt(spark, t).files
+    val preSurvive = VersionedTable.survivingFiles(spark, t,
+      col("id") < 25L && col("score") < 25L)
+    assert(preSurvive.size >= pre.size - 1,
+      s"fixture broken: shuffled appends should defeat pruning almost " +
+        s"entirely (${preSurvive.size} of ${pre.size})")
+    val preRows = rows(VersionedTable.read(spark, t))
+
+    // compact with clustering; tiny target so several output files emerge
+    val totalBytes = pre.map(_.bytes).sum
+    assert(VersionedTable.optimize(spark, t, targetBytes = totalBytes / 3,
+      zorderBy = Some(("id", "score"))).isDefined)
+    val post = VersionedTable.snapshotAt(spark, t).files
+    assert(post.size >= 3, s"want several clustered files, got ${post.size}")
+    assert(rows(VersionedTable.read(spark, t)) == preRows, "data must be identical")
+    // the 2-D corner predicate now prunes: compact curve regions mean
+    // most files provably exclude it
+    val postSurvive = VersionedTable.survivingFiles(spark, t,
+      col("id") < 25L && col("score") < 25L)
+    assert(postSurvive.size < post.size,
+      s"z-ordered files must prune the 2-D corner: ${postSurvive.size} of ${post.size}")
+    // absent zorder column fails named
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.optimize(spark, t, zorderBy = Some(("id", "nope")))
+    }
+    assert(e.getMessage.contains("zorderBy"), e.getMessage)
+  }
+
   // ------------------------------------------------ r18: i27 change feed
 
   test("feedInto: exactly-once silver→gold hop — bootstrap, incremental " +
