@@ -120,6 +120,14 @@ object Scd2 {
     * when the upsert set is empty no version is even created. Returns the
     * committed version, or None for the no-op case. Pass (`app`,`batch`)
     * for the s04 streaming replay contract (exactly-once per batch).
+    *
+    * Change detection is NULL-SAFE (`!(a <=> b)`), deliberately stronger
+    * than the reference MERGE's null-unsafe `target.x <> source.x`
+    * (4_silver/silver_transactions.py:124): an attribute transitioning
+    * to/from NULL IS a change and expires the row here, where the
+    * reference silently no-ops and loses the transition from its SCD2
+    * history — the same documented fixed-behavior stance as [[merge]]
+    * (both faces must agree or batch and row-level runs diverge).
     */
   def mergeVersioned(spark: org.apache.spark.sql.SparkSession, table: String,
       staged: DataFrame, keys: Seq[String], attrs: Seq[String], asOf: Column,

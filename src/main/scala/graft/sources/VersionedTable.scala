@@ -796,10 +796,17 @@ object VersionedTable {
                     Some(ColStats(None, None, st.getNumNulls))
                   else None // omitted stats: column unusable for this file
                 }
+                // an UNSET null count (getNumNulls == -1) must not coerce to
+                // 0: mayMatch's isnull branch prunes on nulls==0, and a file
+                // whose null count is merely UNKNOWN may hold nulls — mark
+                // the column dead instead (unknown = never prune, the same
+                // contract the rest of the stats path keeps). Unreachable
+                // with parquet-mr (always sets num_nulls); defensive.
+                else if (!st.isNumNullsSet) None
                 else (norm(st.genericGetMin.asInstanceOf[AnyRef]),
                       norm(st.genericGetMax.asInstanceOf[AnyRef])) match {
                   case (Some(mn), Some(mx)) =>
-                    Some(ColStats(Some(mn), Some(mx), math.max(0L, st.getNumNulls)))
+                    Some(ColStats(Some(mn), Some(mx), st.getNumNulls))
                   case _ => None // unsupported type
                 }
               chunk match {
@@ -1043,6 +1050,13 @@ object VersionedTable {
     require(base.partitionBy.nonEmpty,
       s"versioned table $table is unpartitioned — use overwrite()")
     val adds = writeData(df, table, base.schema, base.partitionBy)
+    // an empty frame touches NO partition: dynamic-overwrite semantics make
+    // it a no-op, and committing an empty overwrite_partitions version
+    // would permanently break every change-feed/feedInto consumer (the op
+    // fails named there) while changing nothing — mirror merge/delete/
+    // update's no-op-means-no-commit contract and return the current
+    // version uncommitted
+    if (adds.isEmpty) return base.version
     val touched = adds.map(_.partitions).toSet
     commitLoop(spark, table, "overwrite_partitions") {
       case None => sys.error(s"no versioned table at $table — create() it first")
@@ -1144,8 +1158,15 @@ object VersionedTable {
     val stagedAligned = align(staged, base.schema).localCheckpoint()
     try {
       // multiple staged rows per key would make the upsert ambiguous —
-      // the Delta MERGE multiple-match error, named
-      val dup = stagedAligned.groupBy(keys.map(col): _*)
+      // the Delta MERGE multiple-match error, named. Null-key rows are
+      // EXCLUDED from the check: they never match a live row and never
+      // collide with each other (SQL join semantics — documented below as
+      // landing as inserts), so grouping them as equal would turn a legal
+      // two-null-row batch into a deterministic poison-pill micro-batch
+      // under the s04 streaming replay (every replay re-fails).
+      val dup = stagedAligned
+        .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(keys.map(col): _*)
         .count().filter(col("count") > 1).limit(1).collect()
       require(dup.isEmpty,
         s"merge staged batch has multiple rows for key ${dup.headOption.map(_.toString).getOrElse("")} — " +
@@ -1213,25 +1234,29 @@ object VersionedTable {
       val stagedAdds = writeData(stagedAligned, table, base.schema, base.partitionBy)
 
       testHookBeforeCommit()
-      var wrote = false
-      val out = commitLoop(spark, table, "merge") {
-        case None => sys.error(s"no versioned table at $table — create() it first")
-        case Some(snap) =>
-          if (app != null && snap.txns.get(app).exists(_ >= batch)) None
-          else {
-            conflictGuard(spark, table, base.version, snap.version, "merge")
-            wrote = true
-            val txn = if (app == null) Nil else Seq(txnLine(app, batch))
-            Some(txn ++ matchedFiles.map(f => removeLine(f.path)) ++
-              (survivorAdds ++ stagedAdds).map(addLine))
-          }
-      }
-      if (out.isEmpty && wrote) {
-        // lost the txn race to our own earlier commit: sweep orphans
+      // survivor/staged data files are materialized EAGERLY above, so every
+      // abandoned path must sweep them — the txn replay detected on the
+      // first commitLoop iteration (a racer landed after the line-1143
+      // pre-check) and a conflictGuard throw mid-loop both leak the
+      // just-written files until vacuum otherwise
+      def sweepOrphans(): Unit = {
         val fs = fsOf(spark, table)
         (survivorAdds ++ stagedAdds).map(_.path.split("/")(1)).distinct.foreach { d =>
           fs.delete(new Path(s"$table/$DataDirName/$d"), true) }
       }
+      val out =
+        try commitLoop(spark, table, "merge") {
+          case None => sys.error(s"no versioned table at $table — create() it first")
+          case Some(snap) =>
+            if (app != null && snap.txns.get(app).exists(_ >= batch)) None
+            else {
+              conflictGuard(spark, table, base.version, snap.version, "merge")
+              val txn = if (app == null) Nil else Seq(txnLine(app, batch))
+              Some(txn ++ matchedFiles.map(f => removeLine(f.path)) ++
+                (survivorAdds ++ stagedAdds).map(addLine))
+            }
+        } catch { case e: Throwable => sweepOrphans(); throw e }
+      if (out.isEmpty) sweepOrphans()
       out
     } finally { stagedAligned.unpersist(); () }
   }

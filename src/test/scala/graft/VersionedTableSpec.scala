@@ -920,4 +920,88 @@ class VersionedTableSpec extends SparkSpec {
       Seq((2L, "addr-b10")).toDF("id", "addr"),
       Seq("id"), Seq("addr"), lit(ts(5)), app = "s04", batch = 1L).isEmpty)
   }
+
+  // ------------------------------------------------ r19: ADVICE fixes
+
+  test("merge: null staged keys are legal — two null-key rows land as " +
+      "inserts, never a multiple-match error (r19 advice)") {
+    val t = tmpTable("nullkeys")
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), t)
+    // a staged batch with TWO null-key rows: the dup precheck must not
+    // group them as equal (that made a deterministic poison-pill
+    // micro-batch under the s04 streaming replay)
+    val staged = Seq[(java.lang.Long, String)]((null, "n1"), (null, "n2"), (1L, "A"))
+      .toDF("id", "v")
+    assert(VersionedTable.merge(staged, t, Seq("id")) == 1L)
+    val got = VersionedTable.read(spark, t)
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(got == Set((Some(1L), "A"), (None, "n1"), (None, "n2")))
+    // a genuine non-null dup still fails named
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.merge(Seq((1L, "x"), (1L, "y")).toDF("id", "v"), t, Seq("id"))
+    }
+    assert(e.getMessage.contains("multiple rows"), e.getMessage)
+  }
+
+  test("merge sweeps its data files on EVERY abandoned path — txn replay " +
+      "detected inside the commit loop and conflict throws (r19 advice)") {
+    def orphanDirs(t: String): Set[String] = {
+      // orphan = a data dir NO version references (removed-but-historical
+      // files are retained for time travel — vacuum's business, not sweep's)
+      val dataRoot = new Path(s"$t/${VersionedTable.DataDirName}")
+      val referenced = (0L to VersionedTable.latestVersion(spark, t))
+        .flatMap(v => VersionedTable.snapshotAt(spark, t, v).files)
+        .map(_.path.split("/")(1)).toSet
+      fs.listStatus(dataRoot).map(_.getPath.getName)
+        .filter(!referenced.contains(_)).toSet
+    }
+    // path 1: the (app, batch) replay lands AFTER the cheap pre-check —
+    // injected via the commit hook, so the loop's own txn re-check is what
+    // abandons the merge, after its data files were already written
+    val t = tmpTable("mergesweep1")
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), t)
+    VersionedTable.testHookBeforeCommit = () => {
+      VersionedTable.testHookBeforeCommit = () => ()
+      VersionedTable.txnMerge(Seq((1L, "won")).toDF("id", "v"), t, Seq("id"), "appX", 3L)
+      ()
+    }
+    try {
+      assert(VersionedTable.txnMerge(
+        Seq((1L, "lost")).toDF("id", "v"), t, Seq("id"), "appX", 3L).isEmpty)
+    } finally VersionedTable.testHookBeforeCommit = () => ()
+    assert(rows(VersionedTable.read(spark, t)) == Set((1L, "won")))
+    assert(orphanDirs(t).isEmpty,
+      s"abandoned merge leaked data dirs: ${orphanDirs(t)}")
+
+    // path 2: conflictGuard throws mid-loop — the failed merge's files
+    // must not wait for vacuum either
+    val t2 = tmpTable("mergesweep2")
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), t2)
+    VersionedTable.testHookBeforeCommit = () => {
+      VersionedTable.testHookBeforeCommit = () => ()
+      VersionedTable.append(Seq((2L, "b")).toDF("id", "v"), t2)
+      ()
+    }
+    try intercept[RuntimeException] {
+      VersionedTable.merge(Seq((1L, "A")).toDF("id", "v"), t2, Seq("id"))
+    } finally VersionedTable.testHookBeforeCommit = () => ()
+    assert(orphanDirs(t2).isEmpty,
+      s"conflicted merge leaked data dirs: ${orphanDirs(t2)}")
+  }
+
+  test("overwritePartitions with an empty frame is a NO-OP — no commit, " +
+      "change-feed consumers keep working (r19 advice)") {
+    val t = tmpTable("emptyop")
+    VersionedTable.create(
+      Seq((1L, "d1", "a"), (2L, "d2", "b")).toDF("id", "day", "v"),
+      t, partitionBy = Seq("day"))
+    val before = VersionedTable.latestVersion(spark, t)
+    // the no-op refresh: zero-row frame touches no partition
+    assert(VersionedTable.overwritePartitions(
+      Seq((0L, "dx", "z")).toDF("id", "day", "v").filter(lit(false)), t) == before)
+    assert(VersionedTable.latestVersion(spark, t) == before,
+      "an empty dynamic overwrite must not commit a version")
+    // the feed reads straight through — no overwrite_partitions op to trip on
+    assert(VersionedTable.readChangesSince(spark, t, 0L).count() == 0L)
+  }
 }
