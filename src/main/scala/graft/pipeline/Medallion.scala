@@ -94,4 +94,40 @@ object Medallion {
       spark, silverTable, goldTable, s"$app-gold")(goldTransform)
     (sv, gv)
   }
+
+  /** [[runVersioned]] surviving row-level DML on silver (r19, i29): the
+    * gold hop rides [[graft.sources.VersionedTable.feedChangesInto]], so
+    * `goldTransform` receives the CDF frame (silver columns plus
+    * `_change_type` ∈ {insert, update_preimage, update_postimage, delete}
+    * and `_commit_version`) and the pipeline keeps flowing the day silver
+    * takes a GDPR DELETE or an UPDATE — exactly where [[runVersioned]]'s
+    * append-only hop fails named. The silver table must have its change
+    * feed ON (`create(..., changeFeed = true)` / `enableChangeFeed`).
+    * A typical additive gold appends SIGNED deltas: +measure for
+    * insert/update_postimage, −measure for delete/update_preimage, and
+    * aggregates at read — recompute-free incremental maintenance.
+    */
+  def runVersionedCdf(
+      spark: org.apache.spark.sql.SparkSession,
+      sources: Seq[DataFrame],
+      cdm: DataFrame => DataFrame,
+      rules: Seq[Quality.Rule],
+      keys: Seq[String],
+      recency: Seq[Column],
+      attrs: Seq[String],
+      silverTable: String,
+      goldTable: String,
+      goldTransform: DataFrame => DataFrame,
+      asOf: Column,
+      app: String,
+      batch: Long): (Option[Long], Option[(Long, Long)]) = {
+    val staged = silver(sources, cdm, rules, keys, recency)
+      .filter(!col("is_quarantined"))
+      .select((keys ++ attrs).map(col): _*)
+    val sv = graft.ops.Scd2.mergeVersioned(
+      spark, silverTable, staged, keys, attrs, asOf, app, batch)
+    val gv = graft.sources.VersionedTable.feedChangesInto(
+      spark, silverTable, goldTable, s"$app-gold")(goldTransform)
+    (sv, gv)
+  }
 }

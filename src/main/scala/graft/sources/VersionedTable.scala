@@ -65,6 +65,24 @@ object VersionedTable {
 
   private val MaxCommitAttempts = 20
 
+  /** Reader features THIS build understands (the public Delta
+    * `minReaderVersion`/reader-features guard, i23 hardened): a commit that
+    * introduces table state an old reader would silently mis-serve (e.g. a
+    * deletion vector the reader would ignore, resurrecting deleted rows)
+    * carries a `protocol {readerFeatures}` action; [[snapshotAt]] fails
+    * NAMED on any feature not in this set — wrong rows are never an
+    * acceptable downgrade path. Write-side: every feature-introducing
+    * commit emits the protocol line itself, so the guard can never lag the
+    * data that needs it.
+    */
+  val SupportedReaderFeatures: Set[String] = Set("deletion-vectors")
+
+  /** Wall-clock seam for commit timestamps: production is
+    * `System.currentTimeMillis`; specs pin deterministic clocks for the
+    * timestamp-time-travel contract.
+    */
+  private[graft] var clock: () => Long = () => System.currentTimeMillis()
+
   /** Test seam: runs between a [[merge]]/[[optimize]] decision (snapshot +
     * data files written) and its commit attempt — the window where a
     * concurrent commit must be DETECTED. Production value is a no-op;
@@ -97,7 +115,20 @@ object VersionedTable {
   final case class AddFile(path: String, rows: Long, bytes: Long = 0L,
       partitions: Map[String, String] = Map.empty,
       stats: Map[String, ColStats] = Map.empty,
-      dataChange: Boolean = true)
+      dataChange: Boolean = true,
+      dv: Option[DvDesc] = None) {
+    /** Effective (servable) row count: physical rows minus DV-deleted. */
+    def effRows: Long = rows - dv.map(_.rows).getOrElse(0L)
+  }
+
+  /** Deletion-vector sidecar reference (i30): `path` is a table-relative
+    * parquet directory of (file, pos) deleted-row coordinates; `rows` is
+    * the count of THIS file's deleted positions in it (the merge-on-read
+    * cardinality). A dir may be shared by every file one DELETE touched;
+    * deleted-position sets only grow per file, so the read-side anti-join
+    * over the union of referenced dirs is exact.
+    */
+  final case class DvDesc(path: String, rows: Long)
 
   /** The replayed log state as of one version. `txns` holds the highest
     * committed batch per streaming app (batch ids are monotonic per app —
@@ -106,7 +137,9 @@ object VersionedTable {
     */
   final case class Snapshot(version: Long, schemaJson: String,
       files: Seq[AddFile], txns: Map[String, Long], vacuumHorizon: Long,
-      partitionBy: Seq[String] = Nil) {
+      partitionBy: Seq[String] = Nil,
+      readerFeatures: Set[String] = Set.empty,
+      changeFeed: Boolean = false) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
@@ -249,6 +282,8 @@ object VersionedTable {
     n.put("path", f.path); n.put("rows", f.rows)
     if (f.bytes > 0) n.put("bytes", f.bytes)
     if (!f.dataChange) n.put("dataChange", false)
+    f.dv.foreach { d =>
+      val o = n.putObject("dv"); o.put("path", d.path); o.put("rows", d.rows) }
     if (f.partitions.nonEmpty) {
       val p = n.putObject("partitions")
       f.partitions.foreach { case (k, v) =>
@@ -293,22 +328,42 @@ object VersionedTable {
           if (o.has("nulls")) o.get("nulls").asLong() else 0L)) }
       b.result()
     }
+    val dv = if (!a.has("dv")) None else {
+      val d = a.get("dv")
+      Some(DvDesc(d.get("path").asText(), d.get("rows").asLong()))
+    }
     AddFile(a.get("path").asText(), a.get("rows").asLong(), bytes, parts, stats,
-      dataChange = !a.has("dataChange") || a.get("dataChange").asBoolean())
+      dataChange = !a.has("dataChange") || a.get("dataChange").asBoolean(),
+      dv = dv)
   }
 
   private def removeLine(path: String) = obj("remove")(_.put("path", path))
-  private def metaLine(schemaJson: String, partitionBy: Seq[String] = Nil) =
+  private def metaLine(schemaJson: String, partitionBy: Seq[String] = Nil,
+      changeFeed: Boolean = false) =
     obj("meta") { n =>
       n.put("schema", schemaJson)
       if (partitionBy.nonEmpty) {
         val a = n.putArray("partitionBy"); partitionBy.foreach(a.add) }
+      if (changeFeed) n.put("changeFeed", true)
     }
   private def txnLine(app: String, batch: Long) =
     obj("txn") { n => n.put("app", app); n.put("batch", batch) }
   private def vacuumLine(horizon: Long) = obj("vacuum")(_.put("horizon", horizon))
+  private def protocolLine(features: Set[String]) =
+    obj("protocol") { n =>
+      val a = n.putArray("readerFeatures"); features.toSeq.sorted.foreach(a.add) }
+  private def cdcLine(path: String, rows: Long) =
+    obj("cdc") { n => n.put("path", path); n.put("rows", rows) }
   private def commitLine(op: String, token: String) =
-    obj("commit") { n => n.put("op", op); n.put("writer", token) }
+    obj("commit") { n =>
+      n.put("op", op); n.put("writer", token); n.put("ts", clock()) }
+
+  /** The terminal commit marker's wall-time (millis); None on pre-r19
+    * commits written before timestamps existed.
+    */
+  private def commitTs(nodes: Seq[JsonNode]): Option[Long] =
+    nodes.lastOption.flatMap(n => Option(n.get("commit")))
+      .flatMap(c => Option(c.get("ts")).map(_.asLong()))
 
   /** Parse one commit file's actions; a file without the terminal commit
     * marker is a torn write and fails NAMED — serving a half-applied
@@ -336,6 +391,8 @@ object VersionedTable {
     var txns = s.txns
     var horizon = s.vacuumHorizon
     var partitionBy = s.partitionBy
+    var features = s.readerFeatures
+    var changeFeed = s.changeFeed
     nodes.foreach { n =>
       if (n.has("meta")) {
         val m = n.get("meta")
@@ -346,6 +403,9 @@ object VersionedTable {
           while (it.hasNext) b += it.next().asText()
           partitionBy = b.result()
         }
+        // changeFeed only ever turns ON via meta (absent = keep current:
+        // evolution metas re-emit schema without re-stating properties)
+        if (m.has("changeFeed")) changeFeed = m.get("changeFeed").asBoolean()
       }
       else if (n.has("add")) {
         files = files :+ parseAdd(n.get("add"))
@@ -357,6 +417,9 @@ object VersionedTable {
         val app = t.get("app").asText()
         val batch = t.get("batch").asLong()
         txns = txns.updated(app, math.max(batch, txns.getOrElse(app, Long.MinValue)))
+      } else if (n.has("protocol")) {
+        val it = n.get("protocol").get("readerFeatures").elements()
+        while (it.hasNext) features += it.next().asText()
       } else if (n.has("vacuum"))
         // MAX, not last-writer-wins: two concurrent vacuums with different
         // retention both commit; the larger horizon already DELETED files,
@@ -364,7 +427,7 @@ object VersionedTable {
         // time travel onto missing data
         horizon = math.max(horizon, n.get("vacuum").get("horizon").asLong())
     }
-    Snapshot(v, schemaJson, files, txns, horizon, partitionBy)
+    Snapshot(v, schemaJson, files, txns, horizon, partitionBy, features, changeFeed)
   }
 
   private def writeCheckpoint(fs: FileSystem, table: String, s: Snapshot): Unit = {
@@ -374,6 +437,10 @@ object VersionedTable {
     root.put("horizon", s.vacuumHorizon)
     if (s.partitionBy.nonEmpty) {
       val pa = root.putArray("partitionBy"); s.partitionBy.foreach(pa.add) }
+    if (s.readerFeatures.nonEmpty) {
+      val fa = root.putArray("readerFeatures")
+      s.readerFeatures.toSeq.sorted.foreach(fa.add) }
+    if (s.changeFeed) root.put("changeFeed", true)
     // checkpoint `files` entries carry the FULL add payload (bytes,
     // partitions, stats) — a replay bounded by the checkpoint must prune
     // exactly as well as one from the raw commits (verdict ask #2)
@@ -426,8 +493,15 @@ object VersionedTable {
       while (it.hasNext) b += it.next().asText()
       b.result()
     }
+    val features = if (!n.has("readerFeatures")) Set.empty[String] else {
+      val it = n.get("readerFeatures").elements()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next().asText()
+      b.result()
+    }
     Snapshot(n.get("version").asLong(), n.get("schema").asText(), files, txns,
-      n.get("horizon").asLong(), partitionBy)
+      n.get("horizon").asLong(), partitionBy, features,
+      changeFeed = n.has("changeFeed") && n.get("changeFeed").asBoolean())
   }
 
   /** Replay the log to `version` (latest when negative). Starts from the
@@ -485,7 +559,81 @@ object VersionedTable {
     require(target >= horizon,
       s"versioned table $table: version $target was vacuumed (horizon $horizon) — " +
         "its data files are gone; time travel only reaches retained versions")
+    // the protocol guard: table state this reader would silently mis-serve
+    // (a DV it would ignore, resurrecting deleted rows) fails NAMED instead.
+    // Checked per-TARGET: a feature introduced at version 10 never blocks
+    // time travel to version 5.
+    val unsupported = s.readerFeatures -- SupportedReaderFeatures
+    require(unsupported.isEmpty,
+      s"versioned table $table requires reader features " +
+        s"${unsupported.toSeq.sorted.mkString(", ")} this build does not " +
+        s"support (supported: ${SupportedReaderFeatures.toSeq.sorted.mkString(", ")}) — " +
+        "refusing to serve rows that could be silently wrong; upgrade the reader")
     s
+  }
+
+  // ------------------------------------------------ DV-aware scans (i30)
+
+  /** Per-row metadata columns the DML discovery scans ride: the table-
+    * relative file path and the parquet row index (Spark's
+    * `_metadata.file_path` / `_metadata.row_index` hidden columns — the
+    * row index is the file-local physical ordinal, exactly a deletion
+    * vector's coordinate system).
+    */
+  private[graft] val MetaRelCol = "__gf_rel"
+  private[graft] val MetaPosCol = "__gf_pos"
+
+  /** Scan `files` honoring deletion vectors: files carrying a `dv`
+    * anti-join their (file, pos) sidecar pairs on the parquet row index
+    * (declarative — Catalyst broadcasts the pair set when small, shuffles
+    * when not); clean files read plain, no metadata overhead. With
+    * `keepMeta` every row keeps [[MetaRelCol]]/[[MetaPosCol]]. Pair dirs
+    * are unioned across the scanned files: per-file deleted-position sets
+    * only GROW (a re-delete unions the old pairs into the new dir), so a
+    * pair from any referenced dir is deleted in every state that
+    * references it — the union can never over-delete for the files that
+    * point at those dirs.
+    */
+  private def scanFiles(spark: SparkSession, table: String, files: Seq[AddFile],
+      schema: StructType, keepMeta: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, regexp_extract}
+    if (files.isEmpty) {
+      val base = emptyFrame(spark, schema)
+      return if (!keepMeta) base
+      else base.withColumn(MetaRelCol, lit(null).cast("string"))
+        .withColumn(MetaPosCol, lit(null).cast("long"))
+    }
+    // the table root can itself contain "/data/": the greedy prefix pins
+    // the LAST data/ segment, which is writeData's own layout root
+    def withMeta(fl: Seq[AddFile]): DataFrame =
+      spark.read.schema(schema).parquet(fl.map(f => s"$table/${f.path}"): _*)
+        .withColumn(MetaRelCol,
+          regexp_extract(col("_metadata.file_path"), "^.*/(data/.+)$", 1))
+        .withColumn(MetaPosCol, col("_metadata.row_index"))
+    val (dvFiles, plainFiles) = files.partition(_.dv.isDefined)
+    val plainPart: Option[DataFrame] =
+      if (plainFiles.isEmpty) None
+      else if (keepMeta) Some(withMeta(plainFiles))
+      else Some(spark.read.schema(schema)
+        .parquet(plainFiles.map(f => s"$table/${f.path}"): _*))
+    val dvPart: Option[DataFrame] =
+      if (dvFiles.isEmpty) None
+      else {
+        val dirs = dvFiles.flatMap(_.dv).map(_.path).distinct
+        val pairs = spark.read.parquet(dirs.map(d => s"$table/$d"): _*)
+          .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+        val base = withMeta(dvFiles)
+        val survived = base.join(pairs,
+          base(MetaRelCol) === pairs("__dv_file") &&
+            base(MetaPosCol) === pairs("__dv_pos"), "left_anti")
+        Some(if (keepMeta) survived else survived.drop(MetaRelCol, MetaPosCol))
+      }
+    (plainPart, dvPart) match {
+      case (Some(p), Some(d)) => p.unionByName(d)
+      case (Some(p), None) => p
+      case (None, Some(d)) => d
+      case _ => sys.error("unreachable: files was non-empty")
+    }
   }
 
   private def readFiles(spark: SparkSession, table: String, s: Snapshot): DataFrame = {
@@ -493,7 +641,7 @@ object VersionedTable {
     if (s.files.isEmpty)
       emptyFrame(spark, schema)
     else
-      spark.read.schema(schema).parquet(s.files.map(f => s"$table/${f.path}"): _*)
+      scanFiles(spark, table, s.files, schema)
   }
 
   /** The latest snapshot as a DataFrame — the plan reads ONLY files the
@@ -505,6 +653,71 @@ object VersionedTable {
   /** Time travel: the table exactly as of `version`. */
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
     readFiles(spark, table, snapshotAt(spark, table, version))
+
+  /** The version live at wall-time `tsMillis` (i31): the LAST commit whose
+    * terminal marker's timestamp is ≤ t — "the table as of yesterday
+    * 09:00", the operational-recovery spelling version numbers can't give.
+    * Commits written before timestamps existed (pre-r19 logs) sort as
+    * time-zero: they predate every stamped commit by construction (the
+    * log is append-only), so a stamped-era timestamp resolves past them
+    * correctly. A t before the first commit fails NAMED. Driver-side
+    * metadata-rate (one pass over commit markers, same cost class as
+    * [[history]]).
+    */
+  def versionAtTimestamp(spark: SparkSession, table: String, tsMillis: Long): Long = {
+    val fs = fsOf(spark, table)
+    val vs = commitVersions(fs, table)
+    require(vs.nonEmpty, s"no versioned table at $table — create() it first")
+    val eligible = vs.filter { v =>
+      commitTs(parseCommit(fs, table, v)._1).getOrElse(0L) <= tsMillis }
+    require(eligible.nonEmpty,
+      s"versioned table $table: no commit at or before timestamp $tsMillis — " +
+        s"the table's first commit is later; time travel cannot reach before creation")
+    eligible.last
+  }
+
+  /** Time travel by wall-time: the table exactly as it stood at
+    * `tsMillis`. Fails named below the vacuum horizon, like [[readVersion]].
+    */
+  def readTimestamp(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
+    readVersion(spark, table, versionAtTimestamp(spark, table, tsMillis))
+
+  /** RESTORE (i31): commit the file-set of `toVersion` as a NEW version —
+    * recovery from a bad batch with history PRESERVED (the bad commits
+    * stay readable; nothing is deleted, so a restore is itself
+    * reversible and vacuum-safe: the restored files are re-referenced at
+    * the new head and every retained version keeps its own). The diff is
+    * computed inside the commit loop against the winning snapshot, so a
+    * concurrent commit simply loses to the restore by commit order —
+    * restore is "make the table this state", [[overwrite]]'s concurrency
+    * class, not merge's. Restoring below the vacuum horizon fails named
+    * (those files are gone). Returns the new version.
+    */
+  def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
+    val target = snapshotAt(spark, table, toVersion)
+    commitLoop(spark, table, "restore") {
+      case None => sys.error(s"no versioned table at $table — create() it first")
+      case Some(snap) =>
+        // diff on the FULL add state, not the path: a deletion vector swap
+        // keeps the path but changes which rows the file serves — restoring
+        // across it must remove the DV'd add and re-add the target's state
+        val targetByPath = target.files.map(f => f.path -> f).toMap
+        val liveByPath = snap.files.map(f => f.path -> f).toMap
+        val removes = snap.files
+          .filter(f => !targetByPath.get(f.path).contains(f))
+          .map(f => removeLine(f.path))
+        val adds = target.files
+          .filter(f => !liveByPath.get(f.path).contains(f))
+          .map(addLine)
+        // restore restores SCHEMA too (an evolved-then-restored table must
+        // serve the old shape, or readers project columns the files lack)
+        val meta =
+          if (snap.schemaJson == target.schemaJson &&
+              snap.partitionBy == target.partitionBy) Nil
+          else Seq(metaLine(target.schemaJson, target.partitionBy, snap.changeFeed))
+        Some(meta ++ removes ++ adds)
+    }.get
+  }
 
   // ------------------------------------------------- predicate pruning (i25)
 
@@ -926,7 +1139,8 @@ object VersionedTable {
     * add in the log carries its partition values, snapshot planning
     * prunes on them, and [[overwritePartitions]] gets its remove set.
     */
-  def create(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long = {
+  def create(df: DataFrame, table: String, partitionBy: Seq[String] = Nil,
+      changeFeed: Boolean = false): Long = {
     val spark = df.sparkSession
     require(!exists(spark, table),
       s"versioned table $table already exists — append() or overwrite() it")
@@ -938,9 +1152,24 @@ object VersionedTable {
     commitLoop(spark, table, "create") {
       case Some(_) => sys.error(
         s"versioned table $table was created concurrently — append() or overwrite() it")
-      case None => Some(metaLine(schema.json, partitionBy) +: adds.map(addLine))
+      case None =>
+        Some(metaLine(schema.json, partitionBy, changeFeed) +: adds.map(addLine))
     }.get
   }
+
+  /** Turn the change feed ON for an existing table (i29; Delta's
+    * `delta.enableChangeDataFeed` property): DML commits from here on
+    * write `_change_data` sidecars and [[readChangeFeed]] serves row-level
+    * change types from this version forward. One meta commit; idempotent
+    * no-op when already enabled.
+    */
+  def enableChangeFeed(spark: SparkSession, table: String): Long =
+    commitLoop(spark, table, "append") {
+      case None => sys.error(s"no versioned table at $table — create() it first")
+      case Some(snap) =>
+        if (snap.changeFeed) None
+        else Some(Seq(metaLine(snap.schemaJson, snap.partitionBy, changeFeed = true)))
+    }.getOrElse(latestVersion(spark, table))
 
   /** Append `df` (schema-enforced) as one commit; returns the version. */
   def append(df: DataFrame, table: String): Long =
@@ -1066,19 +1295,44 @@ object VersionedTable {
     }.get
   }
 
-  // -------------------------------------------------------- merge (i24)
+  // ------------------------------------------------- change data (i29)
 
-  /** Normalize `input_file_name()` URIs to table-relative paths and
-    * resolve them against the candidate list — one Set build, O(1)
-    * membership per candidate (pairwise suffix matching was O(c·h) driver
-    * work at file-catalog scale).
+  /** The public Delta CDF column names: every change-feed row carries the
+    * table columns plus its change type and the commit that produced it.
     */
-  private def resolveHitFiles(spark: SparkSession, table: String,
-      candidates: Seq[AddFile], hitUris: Iterable[String]): Seq[AddFile] = {
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  /** Write a change-data sidecar (table columns + [[ChangeTypeCol]]) under
+    * `data/cdc-<uuid>/` and return (relative path, rows) per part file —
+    * logged as `cdc` actions in the SAME commit as the DML that produced
+    * them (the Delta `_change_data` design: sidecars are commit-owned, so
+    * the feed can never see half a change set). Sidecars are NOT part of
+    * the snapshot file set; vacuum retains them while their commit is
+    * retained.
+    */
+  private def writeCdc(cdcDf: DataFrame, table: String): Seq[(String, Long)] = {
+    val spark = cdcDf.sparkSession
+    val uuid = java.util.UUID.randomUUID().toString.take(12)
+    val rel = s"$DataDirName/cdc-$uuid"
+    cdcDf.write.parquet(s"$table/$rel")
     val fs = fsOf(spark, table)
-    val rel = hitUris.map(u => relativize(fs, table, new Path(u))).toSet
-    candidates.filter(f => rel.contains(f.path))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val it = fs.listFiles(new Path(s"$table/$rel"), true)
+    val b = Seq.newBuilder[(String, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val rows = try r.getRecordCount finally r.close()
+        b += ((relativize(fs, table, f.getPath), rows))
+      }
+    }
+    b.result().sortBy(_._1)
   }
+
+  // -------------------------------------------------------- merge (i24)
 
   /** The shared DML conflict rule: a merge/delete/update DECIDED against
     * the snapshot at `baseVersion`; any non-vacuum commit landing before
@@ -1203,18 +1457,18 @@ object VersionedTable {
       val candidates =
         base.files.filter(f => rangePruners.forall(c => mayMatch(f, c)))
 
-      // stage 2: exact matched-file list — key-columns-only scan of the
-      // candidates, joined to the distinct staged keys
+      // stage 2: exact matched-file list — key-columns-plus-metadata scan
+      // of the candidates (DV-aware: a key present only in deleted rows is
+      // NOT a match), joined to the distinct staged keys
       val matchedFiles: Seq[AddFile] =
         if (candidates.isEmpty || stagedAligned.isEmpty) Nil
         else {
-          val cand = spark.read.schema(base.schema)
-            .parquet(candidates.map(f => s"$table/${f.path}"): _*)
-            .select((keys.map(col) :+ input_file_name().as("__gf")): _*)
+          val cand = scanFiles(spark, table, candidates, base.schema, keepMeta = true)
+            .select((keys.map(col) :+ col(MetaRelCol)): _*)
           val stagedKeys = stagedAligned.select(keys.map(col): _*).distinct()
           val hit = cand.join(stagedKeys, keys, "left_semi")
-            .select(col("__gf")).distinct().collect().map(_.getString(0)).toSeq
-          resolveHitFiles(spark, table, candidates, hit)
+            .select(col(MetaRelCol)).distinct().collect().map(_.getString(0)).toSet
+          candidates.filter(f => hit.contains(f.path))
         }
 
       // copy-on-write: matched files are rewritten WITHOUT the matched
@@ -1222,27 +1476,44 @@ object VersionedTable {
       // Survivor files are REWRITES of already-served rows — marked
       // dataChange=false (the Delta protocol flag) so the change feed
       // serves each row once; only the staged files are changes.
-      val survivorAdds =
-        (if (matchedFiles.isEmpty) Nil
-        else {
-          val lives = spark.read.schema(base.schema)
-            .parquet(matchedFiles.map(f => s"$table/${f.path}"): _*)
-          val survivors = lives.join(
-            stagedAligned.select(keys.map(col): _*).distinct(), keys, "left_anti")
-          writeData(survivors, table, base.schema, base.partitionBy)
-        }).map(_.copy(dataChange = false))
+      val stagedKeysDf = stagedAligned.select(keys.map(col): _*).distinct()
+      val lives: Option[DataFrame] =
+        if (matchedFiles.isEmpty) None
+        else Some(scanFiles(spark, table, matchedFiles, base.schema))
+      val survivorAdds = lives.toSeq.flatMap { lv =>
+        writeData(lv.join(stagedKeysDf, keys, "left_anti"),
+          table, base.schema, base.partitionBy)
+      }.map(_.copy(dataChange = false))
       val stagedAdds = writeData(stagedAligned, table, base.schema, base.partitionBy)
+      // change data (i29): matched live rows are update preimages, their
+      // staged replacements postimages, unmatched staged rows inserts —
+      // written as a commit-owned sidecar so the feed survives the merge
+      val cdcAdds: Seq[(String, Long)] =
+        if (!base.changeFeed) Nil
+        else {
+          val pre = lives.map(_.join(stagedKeysDf, keys, "left_semi"))
+            .getOrElse(emptyFrame(spark, base.schema))
+          val matchedKeysDf = pre.select(keys.map(col): _*).distinct()
+          val post = stagedAligned.join(matchedKeysDf, keys, "left_semi")
+          val ins = stagedAligned.join(matchedKeysDf, keys, "left_anti")
+          writeCdc(
+            pre.withColumn(ChangeTypeCol, lit("update_preimage"))
+              .unionByName(post.withColumn(ChangeTypeCol, lit("update_postimage")))
+              .unionByName(ins.withColumn(ChangeTypeCol, lit("insert"))),
+            table)
+        }
 
       testHookBeforeCommit()
-      // survivor/staged data files are materialized EAGERLY above, so every
+      // survivor/staged/cdc files are materialized EAGERLY above, so every
       // abandoned path must sweep them — the txn replay detected on the
-      // first commitLoop iteration (a racer landed after the line-1143
+      // first commitLoop iteration (a racer landed after the cheap
       // pre-check) and a conflictGuard throw mid-loop both leak the
       // just-written files until vacuum otherwise
       def sweepOrphans(): Unit = {
         val fs = fsOf(spark, table)
-        (survivorAdds ++ stagedAdds).map(_.path.split("/")(1)).distinct.foreach { d =>
-          fs.delete(new Path(s"$table/$DataDirName/$d"), true) }
+        ((survivorAdds ++ stagedAdds).map(_.path) ++ cdcAdds.map(_._1))
+          .map(_.split("/")(1)).distinct.foreach { d =>
+            fs.delete(new Path(s"$table/$DataDirName/$d"), true) }
       }
       val out =
         try commitLoop(spark, table, "merge") {
@@ -1253,7 +1524,8 @@ object VersionedTable {
               conflictGuard(spark, table, base.version, snap.version, "merge")
               val txn = if (app == null) Nil else Seq(txnLine(app, batch))
               Some(txn ++ matchedFiles.map(f => removeLine(f.path)) ++
-                (survivorAdds ++ stagedAdds).map(addLine))
+                (survivorAdds ++ stagedAdds).map(addLine) ++
+                cdcAdds.map { case (p, r) => cdcLine(p, r) })
             }
         } catch { case e: Throwable => sweepOrphans(); throw e }
       if (out.isEmpty) sweepOrphans()
@@ -1275,30 +1547,117 @@ object VersionedTable {
     */
   def delete(spark: SparkSession, table: String,
       pred: org.apache.spark.sql.Column): Option[(Long, Long)] = {
-    import org.apache.spark.sql.functions.{coalesce => cls, col => c, input_file_name, lit => l}
+    import org.apache.spark.sql.functions.{coalesce => cls, col => c, lit => l}
     val base = snapshotAt(spark, table)
     val candidates = pruneByPred(spark, base, pred)
     if (candidates.isEmpty) return None
-    val cand = spark.read.schema(base.schema)
-      .parquet(candidates.map(f => s"$table/${f.path}"): _*)
-    val hit = cand.filter(pred).select(input_file_name().as("__gf"))
-      .distinct().collect().map(_.getString(0)).toSeq
-    val hitFiles = resolveHitFiles(spark, table, candidates, hit)
+    val hitPred = cls(pred, l(false))
+    val cand = scanFiles(spark, table, candidates, base.schema, keepMeta = true)
+    val hit = cand.filter(hitPred).select(c(MetaRelCol))
+      .distinct().collect().map(_.getString(0)).toSet
+    val hitFiles = candidates.filter(f => hit.contains(f.path))
     if (hitFiles.isEmpty) return None
-    val lives = spark.read.schema(base.schema)
-      .parquet(hitFiles.map(f => s"$table/${f.path}"): _*)
-    val survivors = lives.filter(!cls(pred, l(false)))
+    val lives = scanFiles(spark, table, hitFiles, base.schema)
+    val survivors = lives.filter(!hitPred)
     val adds = writeData(survivors, table, base.schema, base.partitionBy)
       .map(_.copy(dataChange = false))
-    val deleted = hitFiles.map(_.rows).sum - adds.map(_.rows).sum
+    val deleted = hitFiles.map(_.effRows).sum - adds.map(_.rows).sum
+    // change data (i29): the erased rows, served as 'delete' preimages
+    val cdcAdds = if (!base.changeFeed) Nil else
+      writeCdc(lives.filter(hitPred).withColumn(ChangeTypeCol, l("delete")), table)
     testHookBeforeCommit()
-    val v = commitLoop(spark, table, "delete") {
+    def sweepOrphans(): Unit = {
+      val fs = fsOf(spark, table)
+      (adds.map(_.path) ++ cdcAdds.map(_._1)).map(_.split("/")(1)).distinct
+        .foreach(d => fs.delete(new Path(s"$table/$DataDirName/$d"), true))
+    }
+    val v = try commitLoop(spark, table, "delete") {
       case None => sys.error(s"no versioned table at $table — create() it first")
       case Some(snap) =>
         conflictGuard(spark, table, base.version, snap.version, "delete")
-        Some(hitFiles.map(f => removeLine(f.path)) ++ adds.map(addLine))
-    }.get
-    Some((v, deleted))
+        Some(hitFiles.map(f => removeLine(f.path)) ++ adds.map(addLine) ++
+          cdcAdds.map { case (p, r) => cdcLine(p, r) })
+    } catch { case e: Throwable => sweepOrphans(); throw e }
+    Some((v.get, deleted))
+  }
+
+  /** Merge-on-read DELETE (i30): instead of rewriting every file holding
+    * a matching row ([[delete]]'s copy-on-write — a 1-row GDPR delete in
+    * a 1 GB file rewrites 1 GB), mark the matched row POSITIONS in a
+    * deletion-vector sidecar and re-point the files at it: the write cost
+    * is O(deleted positions), not O(touched bytes). Reads anti-join the
+    * DV ([[scanFiles]]); [[optimize]] folds DVs back into clean files.
+    * The commit carries the `deletion-vectors` protocol feature, so an
+    * old reader that would silently resurrect the rows fails named
+    * instead ([[SupportedReaderFeatures]]). A re-delete on an already
+    * DV'd file unions the old pairs into the new sidecar, so each file
+    * points at exactly one dir. Discovery, NULL-predicate, no-op and
+    * conflict semantics are [[delete]]'s exactly. Returns
+    * (version, rowsDeleted).
+    */
+  def deleteVectors(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column): Option[(Long, Long)] = {
+    import org.apache.spark.sql.functions.{coalesce => cls, col => c, lit => l}
+    val base = snapshotAt(spark, table)
+    val candidates = pruneByPred(spark, base, pred)
+    if (candidates.isEmpty) return None
+    val hitPred = cls(pred, l(false))
+    val matched = scanFiles(spark, table, candidates, base.schema, keepMeta = true)
+      .filter(hitPred).localCheckpoint()
+    try {
+      val perFile = matched.groupBy(c(MetaRelCol)).count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      if (perFile.isEmpty) return None
+      val hitFiles = candidates.filter(f => perFile.contains(f.path))
+      val nDeleted = perFile.values.sum
+      // new pairs ∪ the hit files' existing pairs → ONE new dir; files the
+      // delete missed keep their old dirs (vacuum retains any dir a live
+      // add references)
+      val newPairs = matched
+        .select(c(MetaRelCol).as("file"), c(MetaPosCol).as("pos"))
+      val oldDirs = hitFiles.flatMap(_.dv).map(_.path).distinct
+      val rehit = hitFiles.filter(_.dv.isDefined).map(_.path)
+      val allPairs =
+        if (oldDirs.isEmpty) newPairs
+        else newPairs.unionByName(
+          spark.read.parquet(oldDirs.map(d => s"$table/$d"): _*)
+            .select(c("file"), c("pos"))
+            .filter(c("file").isin(rehit: _*)))
+      val dvRel = s"$DataDirName/dv-${java.util.UUID.randomUUID().toString.take(12)}"
+      // size the sidecar by its CONTENT (known exactly from perFile), not
+      // the discovery scan's task count — a 1-row delete writes one tiny
+      // pair file, not an empty part per scan partition; clustering by
+      // file keeps each data file's positions together
+      val nDvParts = math.min(
+        spark.sparkContext.defaultParallelism.toLong,
+        nDeleted / 4000000L + 1L).toInt
+      allPairs.repartition(nDvParts, c("file")).write.parquet(s"$table/$dvRel")
+      val totals = hitFiles.map(f =>
+        f.path -> (perFile(f.path) + f.dv.map(_.rows).getOrElse(0L))).toMap
+      // change data (i29): same 'delete' preimages as the COW face
+      val cdcAdds = if (!base.changeFeed) Nil else
+        writeCdc(matched.drop(MetaRelCol, MetaPosCol)
+          .withColumn(ChangeTypeCol, l("delete")), table)
+      testHookBeforeCommit()
+      def sweepOrphans(): Unit = {
+        val fs = fsOf(spark, table)
+        (Seq(dvRel) ++ cdcAdds.map(_._1.split("/").take(2).mkString("/"))).distinct
+          .foreach(d => fs.delete(new Path(s"$table/$d"), true))
+      }
+      val v = try commitLoop(spark, table, "delete") {
+        case None => sys.error(s"no versioned table at $table — create() it first")
+        case Some(snap) =>
+          conflictGuard(spark, table, base.version, snap.version, "delete")
+          val protocol =
+            if (snap.readerFeatures.contains("deletion-vectors")) Nil
+            else Seq(protocolLine(Set("deletion-vectors")))
+          Some(protocol ++ hitFiles.map(f => removeLine(f.path)) ++
+            hitFiles.map(f => addLine(f.copy(dataChange = false,
+              dv = Some(DvDesc(dvRel, totals(f.path)))))) ++
+            cdcAdds.map { case (p, r) => cdcLine(p, r) })
+      } catch { case e: Throwable => sweepOrphans(); throw e }
+      Some((v.get, nDeleted))
+    } finally { matched.unpersist(); () }
   }
 
   /** Row-level UPDATE (Delta's `UPDATE t SET col = expr WHERE pred`) —
@@ -1316,7 +1675,7 @@ object VersionedTable {
   def update(spark: SparkSession, table: String,
       pred: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column]): Option[(Long, Long)] = {
-    import org.apache.spark.sql.functions.{coalesce => cls, input_file_name, lit => l, when => whn, col => c}
+    import org.apache.spark.sql.functions.{coalesce => cls, lit => l, when => whn, col => c}
     val base = snapshotAt(spark, table)
     require(set.nonEmpty,
       "update with an empty SET map would rewrite files, commit a version, " +
@@ -1338,19 +1697,17 @@ object VersionedTable {
     }
     val candidates = pruneByPred(spark, base, pred)
     if (candidates.isEmpty) return None
-    // one discovery scan yields BOTH the hit-file list and the matched
-    // row count (a separate count() would re-read every hit file)
-    val cand = spark.read.schema(base.schema)
-      .parquet(candidates.map(f => s"$table/${f.path}"): _*)
-    val hitCounts = cand.filter(pred)
-      .groupBy(input_file_name().as("__gf")).count()
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val hitFiles = resolveHitFiles(spark, table, candidates, hitCounts.map(_._1))
-    if (hitFiles.isEmpty) return None
-    val nUpdated = hitCounts.map(_._2).sum
-    val lives = spark.read.schema(base.schema)
-      .parquet(hitFiles.map(f => s"$table/${f.path}"): _*)
     val hitPred = cls(pred, l(false))
+    // one discovery scan yields BOTH the hit-file list and the matched
+    // row count (a separate count() would re-read every hit file);
+    // DV-aware: a match inside a deleted row is no match
+    val hitCounts = scanFiles(spark, table, candidates, base.schema, keepMeta = true)
+      .filter(hitPred).groupBy(c(MetaRelCol)).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val hitFiles = candidates.filter(f => hitCounts.contains(f.path))
+    if (hitFiles.isEmpty) return None
+    val nUpdated = hitCounts.values.sum
+    val lives = scanFiles(spark, table, hitFiles, base.schema)
     val updated = lives.select(base.schema.fieldNames.map { f =>
       set.get(f) match {
         case Some(expr) => whn(hitPred, expr).otherwise(c(f)).as(f)
@@ -1358,14 +1715,28 @@ object VersionedTable {
       }
     }.toSeq: _*)
     val adds = writeData(updated, table, base.schema, base.partitionBy)
+    // change data (i29): matched rows before and after the SET
+    val cdcAdds = if (!base.changeFeed) Nil else {
+      val pre = lives.filter(hitPred)
+      val post = pre.select(base.schema.fieldNames.map { f =>
+        set.get(f).map(_.as(f)).getOrElse(c(f)) }.toSeq: _*)
+      writeCdc(pre.withColumn(ChangeTypeCol, l("update_preimage"))
+        .unionByName(post.withColumn(ChangeTypeCol, l("update_postimage"))), table)
+    }
     testHookBeforeCommit()
-    val v = commitLoop(spark, table, "update") {
+    def sweepOrphans(): Unit = {
+      val fs = fsOf(spark, table)
+      (adds.map(_.path) ++ cdcAdds.map(_._1)).map(_.split("/")(1)).distinct
+        .foreach(d => fs.delete(new Path(s"$table/$DataDirName/$d"), true))
+    }
+    val v = try commitLoop(spark, table, "update") {
       case None => sys.error(s"no versioned table at $table — create() it first")
       case Some(snap) =>
         conflictGuard(spark, table, base.version, snap.version, "update")
-        Some(hitFiles.map(f => removeLine(f.path)) ++ adds.map(addLine))
-    }.get
-    Some((v, nUpdated))
+        Some(hitFiles.map(f => removeLine(f.path)) ++ adds.map(addLine) ++
+          cdcAdds.map { case (p, r) => cdcLine(p, r) })
+    } catch { case e: Throwable => sweepOrphans(); throw e }
+    Some((v.get, nUpdated))
   }
 
   // ----------------------------------------------------- optimize (i28)
@@ -1415,13 +1786,18 @@ object VersionedTable {
     val groups = base.files.groupBy(_.partitions).toSeq
       .sortBy(_._1.toSeq.sortBy(_._1).mkString("|"))
       .flatMap { case (_, gfs) =>
-        val smalls = gfs.filter(f => sizeOf(f) < targetBytes / 2)
+        // DV-carrying files are ALWAYS candidates regardless of size: the
+        // fold (rewrite without the deleted rows, drop the DV) is
+        // OPTIMIZE's merge-on-read cleanup duty (i30), and a folded file
+        // comes out clean so convergence still holds
+        val smalls = gfs.filter(f => f.dv.isDefined || sizeOf(f) < targetBytes / 2)
         val bytes = smalls.map(sizeOf).sum
         val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
         // nOut < smalls.size holds by construction (each file < target/2
         // ⇒ nOut ≤ ⌈size/2⌉ < size for size ≥ 2): the size gate alone is
         // the progress rule, the convergence math lives in the selection
-        if (smalls.size >= 2) Some((smalls, nOut)) else None
+        if (smalls.size >= 2 || smalls.exists(_.dv.isDefined)) Some((smalls, nOut))
+        else None
       }
     if (groups.isEmpty) return None
     // compaction changes NO rows: dataChange=false keeps the change feed
@@ -1439,8 +1815,8 @@ object VersionedTable {
         new java.util.concurrent.Callable[Seq[AddFile]] {
           override def call(): Seq[AddFile] = {
             import org.apache.spark.sql.functions.{col, min => mn, max => mx}
-            val df = spark.read.schema(base.schema)
-              .parquet(smalls.map(f => s"$table/${f.path}"): _*)
+            // DV-aware: the compacted rewrite folds deletion vectors out
+            val df = scanFiles(spark, table, smalls, base.schema)
             val laidOut = zorderBy match {
               case None => df.repartition(nOut)
               case Some((a, b)) =>
@@ -1470,6 +1846,7 @@ object VersionedTable {
     val addsMarked = adds.map(_.copy(dataChange = false))
     val smalls = groups.flatMap(_._1)
     val smallPaths = smalls.map(_.path).toSet
+    val expectedDv = smalls.map(f => f.path -> f.dv).toMap
     testHookBeforeCommit()
     Some(commitLoop(spark, table, "optimize") {
       case None => sys.error(s"no versioned table at $table — create() it first")
@@ -1480,6 +1857,15 @@ object VersionedTable {
           s"versioned table $table: files ${gone.take(3).mkString(", ")} were removed " +
             s"concurrently while optimize was rewriting them — re-run optimize on the " +
             "new snapshot (concurrent appends are fine; concurrent rewrites are not)")
+        // a concurrent deleteVectors keeps the path live but GROWS its DV —
+        // committing our pre-DV rewrite would resurrect the newly deleted
+        // rows; same non-commuting class as a removed source file
+        val dvChanged = snap.files.filter(f =>
+          expectedDv.contains(f.path) && expectedDv(f.path) != f.dv)
+        if (dvChanged.nonEmpty) sys.error(
+          s"versioned table $table: deletion vectors on " +
+            s"${dvChanged.take(3).map(_.path).mkString(", ")} changed concurrently " +
+            "while optimize was folding them — re-run optimize on the new snapshot")
         Some(smalls.map(f => removeLine(f.path)) ++ addsMarked.map(addLine))
     }.get)
   }
@@ -1515,8 +1901,10 @@ object VersionedTable {
 
   // ------------------------------------------------------------- history
 
-  /** One row per commit: (version, op, n_adds, n_removes, txn_app,
-    * txn_batch) — the observability face (Delta's DESCRIBE HISTORY).
+  /** One row per commit: (version, op, ts_millis, n_adds, n_removes,
+    * txn_app, txn_batch) — the observability face (Delta's DESCRIBE
+    * HISTORY). `ts_millis` is the commit's wall-time; null on pre-r19
+    * commits written before timestamps existed.
     */
   def history(spark: SparkSession, table: String): DataFrame = {
     val fs = fsOf(spark, table)
@@ -1526,12 +1914,13 @@ object VersionedTable {
       val (nodes, op) = parseCommit(fs, table, v)
       val txn = nodes.find(_.has("txn")).map(_.get("txn"))
       (v, op,
+        commitTs(nodes).map(java.lang.Long.valueOf).orNull,
         nodes.count(_.has("add")), nodes.count(_.has("remove")),
         txn.map(_.get("app").asText()).orNull,
         txn.map(t => java.lang.Long.valueOf(t.get("batch").asLong())).orNull)
     }
     import spark.implicits._
-    rows.toDF("version", "op", "n_adds", "n_removes", "txn_app", "txn_batch")
+    rows.toDF("version", "op", "ts_millis", "n_adds", "n_removes", "txn_app", "txn_batch")
   }
 
   /** The change feed: rows APPENDED after `sinceVersion` (exclusive), read
@@ -1555,14 +1944,26 @@ object VersionedTable {
       s"versioned table $table has no version $sinceVersion to read changes since")
     val later = vs.filter(v => v > sinceVersion &&
       (untilVersion < 0 || v <= untilVersion))
+    // CLOSED-WORLD op dispatch: ops that append flow through, ops that
+    // remove/replace row states fail named — and an op this reader does
+    // not KNOW fails named too (a future op's adds silently misread as
+    // appends is exactly the wrong-rows failure the protocol guard exists
+    // to prevent; op names are the feed's protocol surface)
+    val appendOps = Set("create", "append", "merge", "optimize", "vacuum")
+    val removeOps = Set("overwrite", "overwrite_partitions", "delete",
+      "update", "restore")
     val adds = later.flatMap { v =>
       val (nodes, op) = parseCommit(fs, table, v)
-      if (op == "overwrite" || op == "overwrite_partitions" || op == "delete" ||
-          op == "update")
+      if (removeOps.contains(op))
         sys.error(
           s"versioned table $table: commit $v is a $op — row states were removed " +
             s"or replaced, the append delta since $sinceVersion is gone; " +
-            "reconsume from the new snapshot")
+            "reconsume from the new snapshot (or read the CDF face, " +
+            "readChangeFeed, which serves row-level change types)")
+      if (!appendOps.contains(op))
+        sys.error(
+          s"versioned table $table: commit $v has unknown op '$op' — this " +
+            "reader cannot tell whether it appends or removes; upgrade the reader")
       nodes.filter(_.has("add")).map(n => parseAdd(n.get("add")))
         .filter(_.dataChange)
         .map(_.path)
@@ -1570,6 +1971,148 @@ object VersionedTable {
     val schema = snapshotAt(spark, table).schema
     if (adds.isEmpty) emptyFrame(spark, schema)
     else spark.read.schema(schema).parquet(adds.map(p => s"$table/$p"): _*)
+  }
+
+  /** The CDF face (i29; Delta's `readChangeData`): row-level change types
+    * for every commit in (`sinceVersion`, `untilVersion`] — table columns
+    * plus [[ChangeTypeCol]] ∈ {insert, update_preimage, update_postimage,
+    * delete} and [[CommitVersionCol]]. Where [[readChangesSince]] fails
+    * named on any commit that removed row states, this serves them:
+    *
+    *  - create/append commits: dataChange adds as `insert`;
+    *  - merge/delete/update commits: the commit-owned `_change_data`
+    *    sidecars written when the table's change feed is ON
+    *    ([[enableChangeFeed]]) — a DML commit from before enablement
+    *    fails named (its row-level changes were never recorded);
+    *  - overwrite/overwrite_partitions/restore commits: COMPUTED — the
+    *    removed files' surviving rows as `delete`, the added files' rows
+    *    as `insert` (no sidecar needed: both file sets are on disk until
+    *    vacuum, which is why `sinceVersion` must be ≥ the vacuum horizon);
+    *  - optimize/vacuum commits: nothing (no row states change).
+    *
+    * Scale: the commit walk is driver-side metadata; the data reads are
+    * THREE scans total regardless of commit count (plain files, DV'd
+    * files, sidecar files), each joined to a broadcast (path → version,
+    * type) lookup — never a per-commit plan branch.
+    */
+  def readChangeFeed(spark: SparkSession, table: String, sinceVersion: Long,
+      untilVersion: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, regexp_extract}
+    val fs = fsOf(spark, table)
+    val vs = commitVersions(fs, table)
+    require(vs.nonEmpty, s"no versioned table at $table — create() it first")
+    require(vs.contains(sinceVersion),
+      s"versioned table $table has no version $sinceVersion to read changes since")
+    val latest = snapshotAt(spark, table)
+    require(sinceVersion >= latest.vacuumHorizon,
+      s"versioned table $table: changes since $sinceVersion reach below the " +
+        s"vacuum horizon ${latest.vacuumHorizon} — their files are gone; " +
+        "reconsume from a retained snapshot")
+    val later = vs.filter(v => v > sinceVersion &&
+      (untilVersion < 0 || v <= untilVersion))
+    // incremental file-state replay: computed deletes need the REMOVED
+    // file's add-state (its DV decides which rows still counted)
+    var fileState: Map[String, AddFile] =
+      snapshotAt(spark, table, sinceVersion).files.map(f => f.path -> f).toMap
+    val plain = Seq.newBuilder[(String, Long, String)]   // (path, version, type)
+    val dvved = Seq.newBuilder[(AddFile, Long, String)]  // DV'd: anti-join first
+    val sidecars = Seq.newBuilder[(String, Long)]        // cdc (path, version)
+    later.foreach { v =>
+      val (nodes, op) = parseCommit(fs, table, v)
+      val adds = nodes.filter(_.has("add")).map(n => parseAdd(n.get("add")))
+      val removes = nodes.filter(_.has("remove"))
+        .map(_.get("remove").get("path").asText())
+      val cdcs = nodes.filter(_.has("cdc"))
+        .map(_.get("cdc").get("path").asText())
+      def route(f: AddFile, ct: String): Unit =
+        if (f.dv.isDefined) dvved += ((f, v, ct)) else plain += ((f.path, v, ct))
+      op match {
+        case "create" | "append" =>
+          adds.filter(_.dataChange).foreach(a => plain += ((a.path, v, "insert")))
+        case "merge" | "delete" | "update" =>
+          if (cdcs.isEmpty) sys.error(
+            s"versioned table $table: commit $v is a $op committed WITHOUT " +
+              "change data (the change feed was not enabled then) — its " +
+              "row-level changes were never recorded; reconsume from the snapshot")
+          cdcs.foreach(p => sidecars += ((p, v)))
+        case "overwrite" | "overwrite_partitions" | "restore" =>
+          removes.foreach(p => fileState.get(p).foreach(route(_, "delete")))
+          adds.foreach(route(_, "insert"))
+        case "optimize" | "vacuum" => ()
+        case other => sys.error(
+          s"versioned table $table: commit $v has unknown op '$other' — this " +
+            "reader cannot serve its changes; upgrade the reader")
+      }
+      removes.foreach(p => fileState -= p)
+      adds.foreach(a => fileState += (a.path -> a))
+    }
+    val schema = latest.schema
+    val relExpr = regexp_extract(col("_metadata.file_path"), "^.*/(data/.+)$", 1)
+    val outCols = schema.fieldNames.map(col).toSeq :+
+      col(ChangeTypeCol) :+ col(CommitVersionCol)
+    import spark.implicits._
+    def joined(paths: Seq[(String, Long, String)], df: DataFrame): DataFrame = {
+      val lookup = paths.toDF("__cf_path", CommitVersionCol, ChangeTypeCol)
+      df.withColumn("__cf_path", relExpr)
+        .join(org.apache.spark.sql.functions.broadcast(lookup), "__cf_path")
+        .select(outCols: _*)
+    }
+    val parts = Seq.newBuilder[DataFrame]
+    val plainList = plain.result()
+    if (plainList.nonEmpty)
+      parts += joined(plainList,
+        spark.read.schema(schema)
+          .parquet(plainList.map(_._1).distinct.map(p => s"$table/$p"): _*))
+    // DV'd computed deletes/inserts: group by sidecar dir so each file
+    // anti-joins exactly ITS deletion vector (a later, larger DV for the
+    // same path in the range must not retro-shrink an earlier state)
+    dvved.result().groupBy(_._1.dv.get.path).foreach { case (_, group) =>
+      val files = group.map(_._1)
+      parts += joined(group.map(g => (g._1.path, g._2, g._3)),
+        scanFiles(spark, table, files, schema))
+    }
+    val cdcList = sidecars.result()
+    if (cdcList.nonEmpty) {
+      val cdcSchema = schema.add(ChangeTypeCol, "string", nullable = false)
+      val lookup = cdcList.toDF("__cf_path", CommitVersionCol)
+      parts += spark.read.schema(cdcSchema)
+        .parquet(cdcList.map(_._1).distinct.map(p => s"$table/$p"): _*)
+        .withColumn("__cf_path", relExpr)
+        .join(org.apache.spark.sql.functions.broadcast(lookup), "__cf_path")
+        .select(outCols: _*)
+    }
+    val all = parts.result()
+    if (all.isEmpty)
+      emptyFrame(spark, org.apache.spark.sql.types.StructType(
+        schema.fields :+
+          org.apache.spark.sql.types.StructField(ChangeTypeCol,
+            org.apache.spark.sql.types.StringType) :+
+          org.apache.spark.sql.types.StructField(CommitVersionCol,
+            org.apache.spark.sql.types.LongType)))
+    else all.reduce(_.unionByName(_))
+  }
+
+  /** [[feedInto]]'s CDF sibling: the exactly-once hop whose transform sees
+    * ROW-LEVEL CHANGE TYPES, so the target survives source deletes,
+    * updates, merges, overwrites and restores — the hop the flagship
+    * medallion needs the day silver takes a GDPR delete. Bootstrap (no txn
+    * yet) serves the full current snapshot as `insert` rows; incremental
+    * hops ride [[readChangeFeed]]. Same atomic-progress contract as
+    * [[feedInto]]: the consumed source version IS the target txn batch.
+    */
+  def feedChangesInto(spark: SparkSession, source: String, target: String,
+      app: String)(transform: DataFrame => DataFrame): Option[(Long, Long)] = {
+    import org.apache.spark.sql.functions.lit
+    val last = snapshotAt(spark, target).txns.getOrElse(app, -1L)
+    val srcLatest = latestVersion(spark, source)
+    if (srcLatest <= last) return None
+    val changes =
+      if (last < 0) readVersion(spark, source, srcLatest)
+        .withColumn(ChangeTypeCol, lit("insert"))
+        .withColumn(CommitVersionCol, lit(srcLatest))
+      else readChangeFeed(spark, source, last, srcLatest)
+    txnAppend(transform(changes), target, app, batch = srcLatest)
+      .map(tv => (srcLatest, tv))
   }
 
   // -------------------------------------------------------------- vacuum
@@ -1599,8 +2142,21 @@ object VersionedTable {
     // horizon first: from here, a below-horizon time travel fails NAMED
     // even if this process dies before deleting a single file
     commitLoop(spark, table, "vacuum")(_ => Some(Seq(vacuumLine(horizon))))
-    val referenced = (horizon to latestVersion(spark, table))
-      .flatMap(v => snapshotAt(spark, table, v).files.map(_.path)).toSet
+    // referenced = every file live at ANY retained version. Single log
+    // pass (r18 verdict ask): files live at the horizon snapshot plus
+    // every add in (horizon, latest] — identical set to replaying each
+    // retained version (a file live at version v > horizon is either live
+    // at horizon or added since), without O(retained × commits) replays.
+    // DV sidecar dirs referenced by retained adds and CDC sidecar files of
+    // retained commits are kept too (the change feed serves them).
+    val latestNow = latestVersion(spark, table)
+    val tailNodes = ((horizon + 1) to latestNow)
+      .flatMap(v => parseCommit(fs, table, v)._1)
+    val refAdds = snapshotAt(spark, table, horizon).files ++
+      tailNodes.filter(_.has("add")).map(n => parseAdd(n.get("add")))
+    val referenced = refAdds.map(_.path).toSet ++
+      tailNodes.filter(_.has("cdc")).map(_.get("cdc").get("path").asText())
+    val dvDirs = refAdds.flatMap(_.dv.map(_.path + "/")).distinct
     val cutoff = System.currentTimeMillis() - graceMs
     val dataRoot = new Path(s"$table/$DataDirName")
     var deleted = 0
@@ -1615,7 +2171,8 @@ object VersionedTable {
       while (it.hasNext) {
         val f = it.next()
         val rel = relativize(rootPath, f.getPath)
-        if (!referenced.contains(rel) && f.getModificationTime <= cutoff)
+        if (!referenced.contains(rel) && !dvDirs.exists(rel.startsWith) &&
+            f.getModificationTime <= cutoff)
           doomed += f.getPath
       }
       val victims = doomed.result()
