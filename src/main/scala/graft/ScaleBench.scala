@@ -83,7 +83,7 @@ object ScaleBench {
     "x48_frames_work", "x115_shuffle_pack_work", "x116_token_shards_work",
     "x117_frontier_budget_work", "x120_eos_pack_work",
     "x121_epoch_plan_work", "x122_image_gate_work",
-    "x123_audio_gate_work", "x124_hnsw_work")
+    "x123_audio_gate_work", "x124_hnsw_work", "x130_versioned_dml_work")
 
   /** Default key stride between copies: far above any sf0.1 key range, so
     * strided ids never collide across copies. A SECOND derivation (e.g.
@@ -426,6 +426,22 @@ object ScaleBench {
           m = 12, efConstruction = 48, efSearch = 32,
           shards = 0, shardTarget = 20000L)
         .agg(sum(col("neighbor_id")).as("t"), count(lit(1)).as("n"))
+    },
+    // r19: the versioned write path end to end — log-native create
+    // (parquet write + footer stats into the commit), a merge-on-read DV
+    // delete of a ~1% hash slice (position scan + sidecar write, i30),
+    // and the DV-filtered read-back. Every stage is designed linear in
+    // the corpus (write, matched-position scan, anti-join read); the
+    // probe watches that none hides a super-linear shuffle.
+    "x130_versioned_dml_work" -> { (s, d) =>
+      val t = java.nio.file.Files.createTempDirectory("scale_vt")
+        .resolve("t").toString
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.sources.VersionedTable.create(docs, t)
+      graft.sources.VersionedTable.deleteVectors(s, t,
+        pmod(hash(col("doc_id")), lit(100)) === 0)
+      graft.sources.VersionedTable.read(s, t)
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("t"))
     })
 
   def main(args: Array[String]): Unit = {

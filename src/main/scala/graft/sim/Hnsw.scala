@@ -39,8 +39,12 @@ object Hnsw {
 
   /** One shard's graph. `m` = max links per node above layer 0 (layer 0
     * keeps 2m, per the paper); `efConstruction` = build-time beam width.
+    * `heuristic` selects neighbors with the paper's Algorithm 4
+    * (SELECT-NEIGHBORS-HEURISTIC, keepPrunedConnections) — the production
+    * default; false keeps Algorithm 3 (the M closest), exposed so the
+    * recall gate can assert the heuristic's advantage on clustered data.
     */
-  final class Index(m: Int, efConstruction: Int) {
+  final class Index(m: Int, efConstruction: Int, heuristic: Boolean = true) {
     require(m >= 2, s"m must be >= 2, got $m")
     require(efConstruction >= m, s"efConstruction must be >= m")
     private val mL = 1.0 / math.log(m.toDouble)
@@ -147,7 +151,42 @@ object Hnsw {
       out
     }
 
-    /** Paper Algorithm 1 with SELECT-NEIGHBORS-SIMPLE (the M closest). */
+    /** Paper Algorithm 4 (SELECT-NEIGHBORS-HEURISTIC) with
+      * keepPrunedConnections: scan candidates closest-first; keep c only
+      * while it is closer to the BASE than to every neighbor already
+      * kept — on clustered corpora this spends the M links across
+      * directions (inter-cluster bridges survive) instead of packing them
+      * all into the local cluster, the connectivity loss that makes
+      * simple M-closest selection degrade recall; remaining slots then
+      * fill from the pruned list closest-first (the paper's
+      * keepPrunedConnections flag), so node degree never drops below what
+      * simple selection gives. Deterministic: candidates arrive
+      * tie-ordered and every comparison is on exact doubles.
+      */
+    private def selectNeighbors(base: Array[Double],
+        cands: scala.collection.Seq[(Double, Int)],
+        maxM: Int): scala.collection.mutable.ArrayBuffer[(Double, Int)] = {
+      val sorted = cands.sortWith((a, b) => closer(a._1, a._2, b._1, b._2))
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
+      if (!heuristic) { sorted.take(maxM).foreach(kept += _); return kept }
+      val pruned = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
+      val it = sorted.iterator
+      while (kept.length < maxM && it.hasNext) {
+        val (d, c) = it.next()
+        var ok = true
+        var i = 0
+        while (ok && i < kept.length) {
+          if (dist(vecs(c), vecs(kept(i)._2)) < d) ok = false
+          i += 1
+        }
+        if (ok) kept += ((d, c)) else pruned += ((d, c))
+      }
+      var j = 0
+      while (kept.length < maxM && j < pruned.length) { kept += pruned(j); j += 1 }
+      kept
+    }
+
+    /** Paper Algorithm 1; neighbor selection per [[selectNeighbors]]. */
     def insert(id: Long, raw: Array[Double]): Unit = {
       val v = normalize(raw)
       val idx = ids.length
@@ -178,18 +217,15 @@ object Hnsw {
       while (lc >= 0) {
         val w = searchLayer(v, eps, efConstruction, lc)
         val maxM = if (lc == 0) m0 else m
-        val chosen = w.take(m)
+        val chosen = selectNeighbors(v, w, m)
         chosen.foreach { case (_, e) =>
           links(idx)(lc) += e
           links(e)(lc) += idx
           if (links(e)(lc).length > maxM) {
-            // prune to the maxM closest of e's neighbors (simple heuristic)
+            // shrink e's overfull list with the SAME selection rule
             val ev = vecs(e)
-            val kept = links(e)(lc)
-              .map(n => (dist(ev, vecs(n)), n))
-              .sortWith((a, b) => closer(a._1, a._2, b._1, b._2))
-              .take(maxM).map(_._2)
-            links(e)(lc) = kept
+            links(e)(lc) = selectNeighbors(ev,
+              links(e)(lc).map(n => (dist(ev, vecs(n)), n)), maxM).map(_._2)
           }
         }
         eps = w.map(_._2).toSeq

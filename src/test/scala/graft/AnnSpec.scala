@@ -341,6 +341,49 @@ class AnnSpec extends SparkSpec {
     assert(narrow <= hnsw + 1e-9, s"recall fell as efSearch grew: $narrow -> $hnsw")
   }
 
+  test("HNSW Algorithm-4 neighbor heuristic: on a strongly clustered corpus " +
+      "recall >= simple selection, and both stay deterministic (r19)") {
+    // 10 tight, mutually-orthogonal clusters: simple M-closest selection
+    // packs every link inside a node's own cluster, so the layer-0 graph's
+    // inter-cluster bridges hinge on the few high-level nodes — a narrow
+    // beam strands in the entry cluster. Algorithm 4 keeps a candidate
+    // only while it is closer to the base than to every kept neighbor,
+    // which preserves cross-cluster edges at equal degree.
+    val pts = for (c <- 0 until 10; i <- 0 until 40) yield {
+      val vec = Array.tabulate(64) { dim =>
+        val base = if (dim >= 6 * c && dim < 6 * c + 6) 1.0 else 0.0
+        base + 0.02 * math.sin(1.0 + i * 64 + dim)
+      }
+      (c * 40L + i, vec)
+    }
+    val queries = pts.filter(_._1 % 40 < 2)
+    def exactTop3(q: Array[Double]): Set[Long] = {
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var sab = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
+        while (i < a.length) { sab += a(i) * b(i); sa += a(i) * a(i); sb += b(i) * b(i); i += 1 }
+        sab / math.sqrt(sa * sb)
+      }
+      pts.map { case (id, v) => (cos(q, v), id) }
+        .sortBy { case (c2, id) => (-c2, id) }.take(3).map(_._2).toSet
+    }
+    def recall(heuristic: Boolean): Double = {
+      val idx = new Hnsw.Index(m = 6, efConstruction = 32, heuristic = heuristic)
+      pts.foreach { case (id, v) => idx.insert(id, v) }
+      val hits = queries.map { case (qid, qv) =>
+        val got = idx.search(qv, 4, 16).filter(_._1 != qid).take(3).map(_._1).toSet
+        (got intersect (exactTop3(qv) - qid)).size
+      }
+      hits.sum.toDouble / queries.map(q => (exactTop3(q._2) - q._1).size).sum
+    }
+    val simple = recall(heuristic = false)
+    val heur = recall(heuristic = true)
+    assert(heur >= simple,
+      s"Algorithm-4 recall $heur fell below simple selection $simple on clustered data")
+    assert(heur >= 0.85, s"Algorithm-4 clustered recall@3 = $heur (simple = $simple)")
+    // determinism holds for the heuristic path too
+    assert(recall(heuristic = true) == heur)
+  }
+
   test("HNSW is deterministic: same corpus + shard count => identical output; " +
       "self-pairs excluded; cos matches the exact dot") {
     val v = clusteredCorpus().select(col("id"), col("vec"))

@@ -127,8 +127,8 @@ class MetaSpec extends SparkSpec {
     assert(qRows.toSet == SparkEntry.queries.keySet,
       s"survey-only: ${qRows.toSet -- SparkEntry.queries.keySet}; " +
         s"registry-only: ${SparkEntry.queries.keySet -- qRows.toSet}")
-    assert(rows("s").size == 35, s"streaming table rows: ${rows("s").size}")
-    assert(rows("i").size == 28, s"infra table rows: ${rows("i").size}")
+    assert(rows("s").size == 36, s"streaming table rows: ${rows("s").size}")
+    assert(rows("i").size == 32, s"infra table rows: ${rows("i").size}")
   }
 
   test("documents corpus is pure ASCII — the q101 oracle's closed form depends on it") {

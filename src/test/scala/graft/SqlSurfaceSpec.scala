@@ -773,4 +773,74 @@ class SqlSurfaceSpec extends SparkSpec {
       seed = "s17", seqLen = 256, seqsPerShard = 64, dtype = "u2")
     assertSame(viaSql, viaCol, "epoch plan", samePlan = false)
   }
+
+  // ---------------------------------------- r19: SqlDml — versioned DML twins
+
+  test("SqlDml: MERGE/DELETE/UPDATE/OPTIMIZE/RESTORE/history/time-travel " +
+      "statements run the SAME commit path as the Scala API (lockstep)") {
+    import spark.implicits._
+    import graft.sql.SqlDml
+    import graft.sources.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("sqldml").toFile.getAbsolutePath
+    val tSql = s"$dir/t_sql"   // driven by SqlDml statements
+    val tApi = s"$dir/t_api"   // driven by the Scala API
+    val seed = (1L to 40L).map(i => (i, s"v$i", i * 1.0)).toDF("id", "v", "amt")
+    VersionedTable.create(seed.repartition(4, col("id")), tSql)
+    VersionedTable.create(seed.repartition(4, col("id")), tApi)
+    def sameState(tag: String): Unit = {
+      val a = VersionedTable.read(spark, tSql).collect().map(_.toSeq).toSet
+      val b = VersionedTable.read(spark, tApi).collect().map(_.toSeq).toSet
+      assert(a == b, s"$tag: SQL-driven $a\nAPI-driven $b")
+    }
+
+    // MERGE INTO … USING view ON KEYS (id)
+    Seq((1L, "ONE", 1.5), (41L, "new", 0.5)).toDF("id", "v", "amt")
+      .createOrReplaceTempView("staged_dml")
+    val m = SqlDml.run(spark, s"MERGE INTO '$tSql' USING staged_dml ON KEYS (id)")
+    assert(m.columns.toSeq == Seq("version", "rows_staged"))
+    VersionedTable.merge(spark.table("staged_dml"), tApi, Seq("id"))
+    sameState("merge")
+
+    // DELETE FROM … WHERE (copy-on-write)
+    val d = SqlDml.run(spark, s"DELETE FROM '$tSql' WHERE id BETWEEN 10 AND 14")
+    assert(d.head().getLong(1) == 5L)
+    VersionedTable.delete(spark, tApi, expr("id BETWEEN 10 AND 14"))
+    sameState("delete")
+
+    // DELETE … USING DELETION VECTORS (merge-on-read)
+    val dv = SqlDml.run(spark,
+      s"DELETE FROM '$tSql' WHERE id = 20 USING DELETION VECTORS")
+    assert(dv.head().getLong(1) == 1L)
+    VersionedTable.deleteVectors(spark, tApi, expr("id = 20"))
+    sameState("delete-dv")
+
+    // UPDATE … SET … WHERE (top-level commas in SET parsed correctly)
+    SqlDml.run(spark,
+      s"UPDATE '$tSql' SET v = concat(v, '!'), amt = amt * 2.0 WHERE id <= 3")
+    VersionedTable.update(spark, tApi, expr("id <= 3"),
+      Map("v" -> expr("concat(v, '!')"), "amt" -> expr("amt * 2.0")))
+    sameState("update")
+
+    // OPTIMIZE folds the DV and compacts; both faces converge identically
+    SqlDml.run(spark, s"OPTIMIZE '$tSql'")
+    VersionedTable.optimize(spark, tApi)
+    sameState("optimize")
+    assert(SqlDml.run(spark, s"OPTIMIZE '$tSql'").head().getLong(1) == 0L,
+      "second OPTIMIZE must be a no-op")
+
+    // DESCRIBE HISTORY + TABLE … VERSION AS OF
+    val hist = SqlDml.run(spark, s"DESCRIBE HISTORY '$tSql'")
+    assert(hist.columns.contains("ts_millis") &&
+      hist.count() == VersionedTable.latestVersion(spark, tSql) + 1)
+    assert(SqlDml.run(spark, s"TABLE '$tSql' VERSION AS OF 0").count() == 40L)
+
+    // RESTORE TABLE … TO VERSION AS OF — then both tables re-agree at head
+    SqlDml.run(spark, s"RESTORE TABLE '$tSql' TO VERSION AS OF 0")
+    VersionedTable.restore(spark, tApi, 0L)
+    sameState("restore")
+    assert(SqlDml.run(spark, s"TABLE '$tSql'").count() == 40L)
+
+    // fall-through: a plain statement goes to spark.sql untouched
+    assert(SqlDml.run(spark, "SELECT 1 AS one").head().getInt(0) == 1)
+  }
 }
