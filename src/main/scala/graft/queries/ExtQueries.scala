@@ -556,8 +556,52 @@ object ExtQueries {
           round(min(col("o_totalprice")), 2).as("lo"),
           round(max(col("o_totalprice")), 2).as("hi"))
         .orderBy(col("bucket"))
+    },
+
+    // ---- q125/q126: the versioned DML matrix, oracle-backed (r19) ----
+    // create(changeFeed) → MERGE → merge-on-read DV DELETE → UPDATE on the
+    // documents corpus; the change feed (q125) and the final DV-filtered
+    // read (q126) are CLOSED-FORM set expressions of the base table, so
+    // DuckDB verifies the whole i24/i29/i30 write path to the hash — the
+    // strongest check a commit protocol can get from a SQL oracle.
+    "q125_change_feed" -> { (s, d) =>
+      val VT = graft.sources.VersionedTable
+      val t = dmlScript(s, d)
+      VT.readChangeFeed(s, t, 0L)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col(VT.ChangeTypeCol).as("change_type"),
+          col(VT.CommitVersionCol).as("commit_version"))
+        .orderBy(col("commit_version"), col("change_type"), col("doc_id"))
+    },
+    "q126_dv_read" -> { (s, d) =>
+      graft.sources.VersionedTable.read(s, dmlScript(s, d))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** The q125/q126 DML script: a fresh versioned table from `documents`
+    * (evens), a MERGE of the %3 slice (updates %6==0, inserts odd %3),
+    * a deletion-vector DELETE of the %5 slice, an UPDATE of the %7 slice —
+    * every state transition pure modular set logic, so the oracle derives
+    * the feed and the final read without a log of its own.
+    */
+  private def dmlScript(s: SparkSession, d: String): String = {
+    val VT = graft.sources.VersionedTable
+    val t = java.nio.file.Files.createTempDirectory("q125_vt")
+      .resolve("t").toString
+    val docs = Tables.documents(s, d)
+    val base = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val staged = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), lit("staged").as("source"),
+        (col("n_chars") + 1L).as("n_chars"))
+    VT.create(base, t, changeFeed = true)                        // v0
+    VT.merge(staged, t, Seq("doc_id"))                           // v1
+    VT.deleteVectors(s, t, col("doc_id") % 5 === 0)              // v2
+    VT.update(s, t, col("doc_id") % 7 === 0,
+      Map("source" -> lit("seven")))                             // v3
+    t
+  }
 
   // ---------------- DuckDB oracle fragments ----------------
 
@@ -566,7 +610,51 @@ object ExtQueries {
   private def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** Shared CTE prefix for q125/q126: the post-merge (s1) and post-delete
+    * (s2) table states as closed forms over `documents`.
+    */
+  private val DmlStatesCte =
+    """base AS (SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 0),
+       staged AS (SELECT doc_id, 'staged' AS source, n_chars + 1 AS n_chars
+         FROM documents WHERE doc_id % 3 = 0),
+       s1 AS (SELECT * FROM base WHERE doc_id % 3 <> 0
+              UNION ALL SELECT * FROM staged),
+       s2 AS (SELECT * FROM s1 WHERE doc_id % 5 <> 0)"""
+
   val oracle: Map[String, String] = Map(
+    "q125_change_feed" ->
+      s"""WITH $DmlStatesCte
+         SELECT doc_id, source, n_chars, change_type,
+                CAST(v AS BIGINT) AS commit_version
+         FROM (
+           SELECT b.doc_id, b.source, b.n_chars,
+                  'update_preimage' AS change_type, 1 AS v
+             FROM base b WHERE b.doc_id % 3 = 0
+           UNION ALL
+           SELECT st.doc_id, st.source, st.n_chars, 'update_postimage', 1
+             FROM staged st WHERE st.doc_id % 2 = 0
+           UNION ALL
+           SELECT st.doc_id, st.source, st.n_chars, 'insert', 1
+             FROM staged st WHERE st.doc_id % 2 <> 0
+           UNION ALL
+           SELECT doc_id, source, n_chars, 'delete', 2
+             FROM s1 WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id, source, n_chars, 'update_preimage', 3
+             FROM s2 WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id, 'seven', n_chars, 'update_postimage', 3
+             FROM s2 WHERE doc_id % 7 = 0
+         )
+         ORDER BY commit_version, change_type, doc_id""",
+
+    "q126_dv_read" ->
+      s"""WITH $DmlStatesCte
+         SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN 'seven' ELSE source END AS source,
+                n_chars
+         FROM s2 ORDER BY doc_id""",
+
     "q37_asof_join" ->
       """WITH q AS (SELECT user_id % 5 AS ccy, ts, max(value) AS rate
            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
