@@ -1595,6 +1595,44 @@ object VersionedTable {
     * conflict semantics are [[delete]]'s exactly. Returns
     * (version, rowsDeleted).
     */
+  /** Write one deletion-vector sidecar dir holding `matched`'s (file,
+    * pos) coordinates UNIONED with the hit files' existing pairs (each
+    * file points at exactly ONE dir; position sets only grow — the
+    * invariant [[scanFiles]]' union-of-dirs anti-join rests on). Old
+    * pairs fold in via a broadcast semi-join, never an isin literal list
+    * (the re-hit set is file-catalog-sized). The sidecar is sized by its
+    * CONTENT (known exactly from `perFile`), not the discovery scan's
+    * task count — a 1-row delete writes one tiny pair file; clustering
+    * by file keeps each data file's positions together. Returns
+    * (sidecar dir, per-file total cardinality).
+    */
+  private def writeDvSidecar(spark: SparkSession, table: String,
+      matched: DataFrame, hitFiles: Seq[AddFile],
+      perFile: Map[String, Long]): (String, Map[String, Long]) = {
+    import org.apache.spark.sql.functions.{broadcast, col => c}
+    val newPairs = matched
+      .select(c(MetaRelCol).as("file"), c(MetaPosCol).as("pos"))
+    val oldDirs = hitFiles.flatMap(_.dv).map(_.path).distinct
+    val allPairs =
+      if (oldDirs.isEmpty) newPairs
+      else {
+        import spark.implicits._
+        val rehitDf = hitFiles.filter(_.dv.isDefined).map(_.path).toDF("file")
+        newPairs.unionByName(
+          spark.read.parquet(oldDirs.map(d => s"$table/$d"): _*)
+            .select(c("file"), c("pos"))
+            .join(broadcast(rehitDf), Seq("file"), "left_semi"))
+      }
+    val dvRel = s"$DataDirName/dv-${java.util.UUID.randomUUID().toString.take(12)}"
+    val nDvParts = math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      perFile.values.sum / 4000000L + 1L).toInt
+    allPairs.repartition(nDvParts, c("file")).write.parquet(s"$table/$dvRel")
+    val totals = hitFiles.map(f =>
+      f.path -> (perFile(f.path) + f.dv.map(_.rows).getOrElse(0L))).toMap
+    (dvRel, totals)
+  }
+
   def deleteVectors(spark: SparkSession, table: String,
       pred: org.apache.spark.sql.Column): Option[(Long, Long)] = {
     import org.apache.spark.sql.functions.{coalesce => cls, col => c, lit => l}
@@ -1610,30 +1648,7 @@ object VersionedTable {
       if (perFile.isEmpty) return None
       val hitFiles = candidates.filter(f => perFile.contains(f.path))
       val nDeleted = perFile.values.sum
-      // new pairs ∪ the hit files' existing pairs → ONE new dir; files the
-      // delete missed keep their old dirs (vacuum retains any dir a live
-      // add references)
-      val newPairs = matched
-        .select(c(MetaRelCol).as("file"), c(MetaPosCol).as("pos"))
-      val oldDirs = hitFiles.flatMap(_.dv).map(_.path).distinct
-      val rehit = hitFiles.filter(_.dv.isDefined).map(_.path)
-      val allPairs =
-        if (oldDirs.isEmpty) newPairs
-        else newPairs.unionByName(
-          spark.read.parquet(oldDirs.map(d => s"$table/$d"): _*)
-            .select(c("file"), c("pos"))
-            .filter(c("file").isin(rehit: _*)))
-      val dvRel = s"$DataDirName/dv-${java.util.UUID.randomUUID().toString.take(12)}"
-      // size the sidecar by its CONTENT (known exactly from perFile), not
-      // the discovery scan's task count — a 1-row delete writes one tiny
-      // pair file, not an empty part per scan partition; clustering by
-      // file keeps each data file's positions together
-      val nDvParts = math.min(
-        spark.sparkContext.defaultParallelism.toLong,
-        nDeleted / 4000000L + 1L).toInt
-      allPairs.repartition(nDvParts, c("file")).write.parquet(s"$table/$dvRel")
-      val totals = hitFiles.map(f =>
-        f.path -> (perFile(f.path) + f.dv.map(_.rows).getOrElse(0L))).toMap
+      val (dvRel, totals) = writeDvSidecar(spark, table, matched, hitFiles, perFile)
       // change data (i29): same 'delete' preimages as the COW face
       val cdcAdds = if (!base.changeFeed) Nil else
         writeCdc(matched.drop(MetaRelCol, MetaPosCol)
@@ -1737,6 +1752,81 @@ object VersionedTable {
           cdcAdds.map { case (p, r) => cdcLine(p, r) })
     } catch { case e: Throwable => sweepOrphans(); throw e }
     Some((v.get, nUpdated))
+  }
+
+  /** Merge-on-read UPDATE (i30): [[update]]'s semantics at
+    * [[deleteVectors]]' write cost — matched row POSITIONS go into a
+    * deletion vector on their files (the pre-update states vanish from
+    * reads) and the UPDATED row states append as new data files, so a
+    * 1-row update in a 1 GB file writes O(positions) + O(updated rows),
+    * never O(file). Same SET typing rules, discovery, NULL-predicate,
+    * no-op and conflict semantics as [[update]]; CDF pre/postimages when
+    * enabled; the `deletion-vectors` protocol feature rides the commit;
+    * [[optimize]] folds the DVs later. Returns (version, rowsUpdated).
+    */
+  def updateVectors(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Option[(Long, Long)] = {
+    import org.apache.spark.sql.functions.{coalesce => cls, lit => l, col => c}
+    val base = snapshotAt(spark, table)
+    require(set.nonEmpty,
+      "update with an empty SET map would commit a version while changing " +
+        "no row — name the columns")
+    val bad = set.keys.filterNot(base.schema.fieldNames.contains)
+    require(bad.isEmpty, s"update targets absent columns: ${bad.mkString(", ")}")
+    val probe = emptyFrame(spark, base.schema)
+    set.foreach { case (f, e) =>
+      val got = probe.select(e.as(f)).schema.head.dataType
+      val want = base.schema(f).dataType
+      require(got == want,
+        s"schema drift: update SET expression for '$f' has type " +
+          s"${got.simpleString}, column is ${want.simpleString} — cast explicitly")
+    }
+    val candidates = pruneByPred(spark, base, pred)
+    if (candidates.isEmpty) return None
+    val hitPred = cls(pred, l(false))
+    val matched = scanFiles(spark, table, candidates, base.schema, keepMeta = true)
+      .filter(hitPred).localCheckpoint()
+    try {
+      val perFile = matched.groupBy(c(MetaRelCol)).count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      if (perFile.isEmpty) return None
+      val hitFiles = candidates.filter(f => perFile.contains(f.path))
+      val nUpdated = perFile.values.sum
+      val (dvRel, totals) = writeDvSidecar(spark, table, matched, hitFiles, perFile)
+      val pre = matched.drop(MetaRelCol, MetaPosCol)
+      // post states append as fresh files — a SET that moves a partition
+      // column lands the row in its new partition via writeData's own
+      // layout; the DV removal of the old state makes the move atomic
+      val post = pre.select(base.schema.fieldNames.map { f =>
+        set.get(f).map(_.as(f)).getOrElse(c(f)) }.toSeq: _*)
+      val postAdds = writeData(post, table, base.schema, base.partitionBy)
+      val cdcAdds = if (!base.changeFeed) Nil else
+        writeCdc(pre.withColumn(ChangeTypeCol, l("update_preimage"))
+          .unionByName(post.withColumn(ChangeTypeCol, l("update_postimage"))),
+          table)
+      testHookBeforeCommit()
+      def sweepOrphans(): Unit = {
+        val fs = fsOf(spark, table)
+        (Seq(dvRel) ++ (postAdds.map(_.path) ++ cdcAdds.map(_._1))
+          .map(_.split("/").take(2).mkString("/"))).distinct
+          .foreach(d => fs.delete(new Path(s"$table/$d"), true))
+      }
+      val v = try commitLoop(spark, table, "update") {
+        case None => sys.error(s"no versioned table at $table — create() it first")
+        case Some(snap) =>
+          conflictGuard(spark, table, base.version, snap.version, "update")
+          val protocol =
+            if (snap.readerFeatures.contains("deletion-vectors")) Nil
+            else Seq(protocolLine(Set("deletion-vectors")))
+          Some(protocol ++ hitFiles.map(f => removeLine(f.path)) ++
+            hitFiles.map(f => addLine(f.copy(dataChange = false,
+              dv = Some(DvDesc(dvRel, totals(f.path)))))) ++
+            postAdds.map(addLine) ++
+            cdcAdds.map { case (p, r) => cdcLine(p, r) })
+      } catch { case e: Throwable => sweepOrphans(); throw e }
+      Some((v.get, nUpdated))
+    } finally { matched.unpersist(); () }
   }
 
   // ----------------------------------------------------- optimize (i28)
@@ -2067,7 +2157,10 @@ object VersionedTable {
     // anti-joins exactly ITS deletion vector (a later, larger DV for the
     // same path in the range must not retro-shrink an earlier state)
     dvved.result().groupBy(_._1.dv.get.path).foreach { case (_, group) =>
-      val files = group.map(_._1)
+      // distinct adds: the same (path, dv) state removed at two versions
+      // in the range must scan ONCE — the lookup join fans each row out to
+      // its per-version change entries
+      val files = group.map(_._1).distinct
       parts += joined(group.map(g => (g._1.path, g._2, g._3)),
         scanFiles(spark, table, files, schema))
     }

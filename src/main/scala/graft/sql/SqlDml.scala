@@ -49,7 +49,7 @@ object SqlDml {
   private val DeleteRe =
     """(?is)\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)(\s+USING\s+DELETION\s+VECTORS)?\s*""".r
   private val UpdateRe =
-    """(?is)\s*UPDATE\s+'([^']+)'\s+SET\s+(.+)\s+WHERE\s+(.+?)\s*""".r
+    """(?is)\s*UPDATE\s+'([^']+)'\s+SET\s+(.+)\s+WHERE\s+(.+?)(\s+USING\s+DELETION\s+VECTORS)?\s*""".r
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+'([^']+)'(\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*""".r
   private val VacuumRe =
@@ -111,14 +111,17 @@ object SqlDml {
       val (v, n) = result.getOrElse(
         (VersionedTable.latestVersion(spark, path), 0L))
       metrics(spark, Seq("version", "rows_deleted"), Seq(v, n))
-    case UpdateRe(path, setClause, pred) =>
+    case UpdateRe(path, setClause, pred, dv) =>
       val set = splitSet(setClause).map { kv =>
         val eq = kv.indexOf('=')
         require(eq > 0, s"malformed SET assignment: $kv")
         kv.substring(0, eq).trim.stripPrefix("`").stripSuffix("`") ->
           expr(kv.substring(eq + 1).trim)
       }.toMap
-      val (v, n) = VersionedTable.update(spark, path, expr(pred), set)
+      val result =
+        if (dv != null) VersionedTable.updateVectors(spark, path, expr(pred), set)
+        else VersionedTable.update(spark, path, expr(pred), set)
+      val (v, n) = result
         .getOrElse((VersionedTable.latestVersion(spark, path), 0L))
       metrics(spark, Seq("version", "rows_updated"), Seq(v, n))
     case OptimizeRe(path, z, za, zb) =>

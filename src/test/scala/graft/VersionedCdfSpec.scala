@@ -298,6 +298,53 @@ class VersionedCdfSpec extends SparkSpec {
       "a live DV sidecar must survive vacuum")
   }
 
+  test("updateVectors: merge-on-read update — old states DV out, new states " +
+      "append, amplification bounded, CDF pre/post served (i30)") {
+    val t = tmpTable("dvupd")
+    // incompressible payloads: the O(file)-vs-O(positions) bound must be
+    // measured against real bytes, not parquet-RLE'd padding
+    VersionedTable.create(
+      (1L to 4000L).map(i => (i, i * 1.0)).toDF("id", "amt")
+        .withColumn("v", repeat(md5(col("id").cast("string")), 10))
+        .select("id", "v", "amt")
+        .repartition(4, col("id")), t, changeFeed = true)
+    val dataBytes0 = fs.getContentSummary(new Path(s"$t/data")).getLength
+    val r = VersionedTable.updateVectors(spark, t, col("id") === 42L,
+      Map("amt" -> lit(999.0)))
+    assert(r.isDefined && r.get._2 == 1L)
+    // bound: O(positions) + O(updated rows) + the CDF sidecar, not O(file)
+    val grew = fs.getContentSummary(new Path(s"$t/data")).getLength - dataBytes0
+    assert(grew < dataBytes0 / 4,
+      s"MoR update wrote $grew bytes; a file is ~${dataBytes0 / 4}")
+    val live = VersionedTable.read(spark, t)
+    assert(live.count() == 4000L, "update must not change row count")
+    assert(live.filter(col("id") === 42L).select("amt").head().getDouble(0) == 999.0)
+    // CDF: exactly one pre + one post
+    val feed = VersionedTable.readChangeFeed(spark, t, 0L)
+      .select(col("id"), col("amt"), col(ChangeTypeCol)).collect()
+      .map(r2 => (r2.getLong(0), r2.getDouble(1), r2.getString(2))).toSet
+    assert(feed == Set((42L, 42.0, "update_preimage"), (42L, 999.0, "update_postimage")))
+    // typed SET still fails named before any write
+    intercept[IllegalArgumentException] {
+      VersionedTable.updateVectors(spark, t, col("id") === 1L,
+        Map("amt" -> lit("oops"))) }
+    // second MoR update on the SAME row: DV union keeps exactly one live state
+    VersionedTable.updateVectors(spark, t, col("id") === 42L,
+      Map("amt" -> lit(7.0)))
+    assert(VersionedTable.read(spark, t).filter(col("id") === 42L).count() == 1L)
+    assert(VersionedTable.read(spark, t)
+      .filter(col("id") === 42L).select("amt").head().getDouble(0) == 7.0)
+    // optimize folds everything clean; state preserved
+    assert(VersionedTable.optimize(spark, t).isDefined)
+    assert(VersionedTable.snapshotAt(spark, t).files.forall(_.dv.isEmpty))
+    assert(VersionedTable.read(spark, t).count() == 4000L)
+    // the SQL twin reaches the same path
+    graft.sql.SqlDml.run(spark,
+      s"UPDATE '$t' SET amt = CAST(1.25 AS DOUBLE) WHERE id = 9 USING DELETION VECTORS")
+    assert(VersionedTable.read(spark, t)
+      .filter(col("id") === 9L).select("amt").head().getDouble(0) == 1.25)
+  }
+
   test("CDF over DV deletes and restores: sidecar-served and computed " +
       "changes agree with table states (i29 × i30 × i31)") {
     val t = tmpTable("dvcdf")
