@@ -432,6 +432,62 @@ class RunnerSpec extends SparkSpec {
       .filter(col("is_current")).head().getAs[Double]("amt") == 10.0)
   }
 
+  test("Medallion.runVersionedCdf: the gold hop SURVIVES a GDPR delete to " +
+      "silver — signed deltas stay recompute-equal (r19, i29)") {
+    val dir = Files.createTempDirectory("medallion_cdf").toFile.getAbsolutePath
+    val VT = graft.sources.VersionedTable
+    val CT = VT.ChangeTypeCol
+    val silverT = s"$dir/silver_tx"
+    val goldT = s"$dir/gold_tx"
+    VT.create(Seq((0L, 0.0, ts("2024-01-01 00:00:00"),
+        null.asInstanceOf[java.sql.Timestamp], true))
+      .toDF("id", "amt", "valid_from", "valid_to", "is_current")
+      .filter(lit(false)), silverT, changeFeed = true)
+    VT.create(Seq((0L, 0.0)).toDF("id", "delta").filter(lit(false)), goldT)
+    // signed-delta gold: +amt when a CURRENT row state appears, -amt when
+    // one disappears; historical states contribute nothing
+    def runBatch(src: DataFrame, batch: Long, asOfDay: String) =
+      graft.pipeline.Medallion.runVersionedCdf(spark,
+        sources = Seq(src), cdm = identity,
+        rules = Seq(graft.ops.Quality.Rule("neg_amt", col("amt") < 0)),
+        keys = Seq("id"), recency = Seq(col("ts").desc), attrs = Seq("amt"),
+        silverTable = silverT, goldTable = goldT,
+        goldTransform = df => df.filter(col("is_current"))
+          .select(col("id"),
+            (col("amt") * when(col(CT).isin("insert", "update_postimage"), 1.0)
+              .otherwise(-1.0)).as("delta")),
+        asOf = lit(ts(asOfDay)), app = "medcdf", batch = batch)
+    def goldView(): Map[Long, Double] =
+      VT.read(spark, goldT).groupBy("id").agg(sum("delta").as("s"))
+        .filter(col("s") =!= 0.0)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def silverCurrent(): Map[Long, Double] =
+      VT.read(spark, silverT).filter(col("is_current"))
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("amt")).toMap
+
+    val b0 = Seq((1L, ts("2024-01-01 10:00:00"), 10.0),
+      (2L, ts("2024-01-01 11:00:00"), 20.0)).toDF("id", "ts", "amt")
+    assert(runBatch(b0, 0L, "2024-01-01 12:00:00")._2.isDefined)
+    assert(goldView() == silverCurrent())
+    val b1 = Seq((1L, ts("2024-01-02 10:00:00"), 12.0)).toDF("id", "ts", "amt")
+    assert(runBatch(b1, 1L, "2024-01-02 12:00:00")._2.isDefined)
+    assert(goldView() == silverCurrent())
+
+    // GDPR: erase key 1 from silver ENTIRELY — runVersioned's append-only
+    // hop dies named here; the CDF hop must keep flowing
+    assert(VT.delete(spark, silverT, col("id") === 1L).isDefined)
+    val b2 = Seq((3L, ts("2024-01-03 10:00:00"), 7.0)).toDF("id", "ts", "amt")
+    val (sv2, gv2) = runBatch(b2, 2L, "2024-01-03 12:00:00")
+    assert(sv2.isDefined && gv2.isDefined,
+      "the CDF gold hop must survive the delete")
+    assert(goldView() == silverCurrent(),
+      s"gold ${goldView()} diverged from silver ${silverCurrent()}")
+    assert(!goldView().contains(1L), "the erased key must leave the gold view")
+    // replay of batch 2 is a total no-op
+    assert(runBatch(b2, 2L, "2024-01-03 12:00:00")._1.isEmpty)
+    assert(goldView() == silverCurrent())
+  }
+
   test("Runner retries transient source failures up to maxAttempts") {
     val dir = Files.createTempDirectory("runner3").toFile.getAbsolutePath
     val cfg = s"$dir/load_config.csv"
