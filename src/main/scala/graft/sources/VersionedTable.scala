@@ -1648,7 +1648,16 @@ object VersionedTable {
       if (perFile.isEmpty) return None
       val hitFiles = candidates.filter(f => perFile.contains(f.path))
       val nDeleted = perFile.values.sum
-      val (dvRel, totals) = writeDvSidecar(spark, table, matched, hitFiles, perFile)
+      // a file whose EVERY row is now deleted drops from the snapshot
+      // outright (remove, no re-add): re-adding it would make every later
+      // scan anti-join a file that serves nothing until optimize folds it.
+      // The sidecar is written only when some file still needs one.
+      val totals = hitFiles.map(f =>
+        f.path -> (perFile(f.path) + f.dv.map(_.rows).getOrElse(0L))).toMap
+      val dvved = hitFiles.filterNot(f => totals(f.path) >= f.rows)
+      val dvRel =
+        if (dvved.isEmpty) None
+        else Some(writeDvSidecar(spark, table, matched, hitFiles, perFile)._1)
       // change data (i29): same 'delete' preimages as the COW face
       val cdcAdds = if (!base.changeFeed) Nil else
         writeCdc(matched.drop(MetaRelCol, MetaPosCol)
@@ -1656,7 +1665,7 @@ object VersionedTable {
       testHookBeforeCommit()
       def sweepOrphans(): Unit = {
         val fs = fsOf(spark, table)
-        (Seq(dvRel) ++ cdcAdds.map(_._1.split("/").take(2).mkString("/"))).distinct
+        (dvRel.toSeq ++ cdcAdds.map(_._1.split("/").take(2).mkString("/"))).distinct
           .foreach(d => fs.delete(new Path(s"$table/$d"), true))
       }
       val v = try commitLoop(spark, table, "delete") {
@@ -1664,11 +1673,11 @@ object VersionedTable {
         case Some(snap) =>
           conflictGuard(spark, table, base.version, snap.version, "delete")
           val protocol =
-            if (snap.readerFeatures.contains("deletion-vectors")) Nil
+            if (dvved.isEmpty || snap.readerFeatures.contains("deletion-vectors")) Nil
             else Seq(protocolLine(Set("deletion-vectors")))
           Some(protocol ++ hitFiles.map(f => removeLine(f.path)) ++
-            hitFiles.map(f => addLine(f.copy(dataChange = false,
-              dv = Some(DvDesc(dvRel, totals(f.path)))))) ++
+            dvved.map(f => addLine(f.copy(dataChange = false,
+              dv = Some(DvDesc(dvRel.get, totals(f.path)))))) ++
             cdcAdds.map { case (p, r) => cdcLine(p, r) })
       } catch { case e: Throwable => sweepOrphans(); throw e }
       Some((v.get, nDeleted))
@@ -1793,7 +1802,14 @@ object VersionedTable {
       if (perFile.isEmpty) return None
       val hitFiles = candidates.filter(f => perFile.contains(f.path))
       val nUpdated = perFile.values.sum
-      val (dvRel, totals) = writeDvSidecar(spark, table, matched, hitFiles, perFile)
+      // fully-updated files drop outright (their every live row state was
+      // replaced by a post-image append) — same rule as deleteVectors
+      val totals = hitFiles.map(f =>
+        f.path -> (perFile(f.path) + f.dv.map(_.rows).getOrElse(0L))).toMap
+      val dvved = hitFiles.filterNot(f => totals(f.path) >= f.rows)
+      val dvRel =
+        if (dvved.isEmpty) None
+        else Some(writeDvSidecar(spark, table, matched, hitFiles, perFile)._1)
       val pre = matched.drop(MetaRelCol, MetaPosCol)
       // post states append as fresh files — a SET that moves a partition
       // column lands the row in its new partition via writeData's own
@@ -1808,7 +1824,7 @@ object VersionedTable {
       testHookBeforeCommit()
       def sweepOrphans(): Unit = {
         val fs = fsOf(spark, table)
-        (Seq(dvRel) ++ (postAdds.map(_.path) ++ cdcAdds.map(_._1))
+        (dvRel.toSeq ++ (postAdds.map(_.path) ++ cdcAdds.map(_._1))
           .map(_.split("/").take(2).mkString("/"))).distinct
           .foreach(d => fs.delete(new Path(s"$table/$d"), true))
       }
@@ -1817,11 +1833,11 @@ object VersionedTable {
         case Some(snap) =>
           conflictGuard(spark, table, base.version, snap.version, "update")
           val protocol =
-            if (snap.readerFeatures.contains("deletion-vectors")) Nil
+            if (dvved.isEmpty || snap.readerFeatures.contains("deletion-vectors")) Nil
             else Seq(protocolLine(Set("deletion-vectors")))
           Some(protocol ++ hitFiles.map(f => removeLine(f.path)) ++
-            hitFiles.map(f => addLine(f.copy(dataChange = false,
-              dv = Some(DvDesc(dvRel, totals(f.path)))))) ++
+            dvved.map(f => addLine(f.copy(dataChange = false,
+              dv = Some(DvDesc(dvRel.get, totals(f.path)))))) ++
             postAdds.map(addLine) ++
             cdcAdds.map { case (p, r) => cdcLine(p, r) })
       } catch { case e: Throwable => sweepOrphans(); throw e }
@@ -2166,7 +2182,7 @@ object VersionedTable {
     }
     val cdcList = sidecars.result()
     if (cdcList.nonEmpty) {
-      val cdcSchema = schema.add(ChangeTypeCol, "string", nullable = false)
+      val cdcSchema = schema.add(ChangeTypeCol, "string")
       val lookup = cdcList.toDF("__cf_path", CommitVersionCol)
       parts += spark.read.schema(cdcSchema)
         .parquet(cdcList.map(_._1).distinct.map(p => s"$table/$p"): _*)

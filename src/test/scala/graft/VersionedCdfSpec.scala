@@ -298,6 +298,28 @@ class VersionedCdfSpec extends SparkSpec {
       "a live DV sidecar must survive vacuum")
   }
 
+  test("deleteVectors: a fully-deleted file DROPS from the snapshot instead " +
+      "of lingering as a zero-row DV scan (i30)") {
+    val t = tmpTable("dvfull")
+    VersionedTable.create(
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), t)
+    VersionedTable.append(
+      (11L to 20L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), t)
+    val r = VersionedTable.deleteVectors(spark, t, col("id") <= 10L)
+    assert(r.get._2 == 10L)
+    val snap = VersionedTable.snapshotAt(spark, t)
+    assert(snap.files.size == 1 && snap.files.forall(_.dv.isEmpty),
+      s"fully-deleted file must drop outright, got ${snap.files}")
+    // no DV was needed, so no protocol feature landed either
+    assert(!snap.readerFeatures.contains("deletion-vectors"))
+    assert(VersionedTable.read(spark, t).collect().map(_.getLong(0)).toSet ==
+      (11L to 20L).toSet)
+    // a PARTIAL delete on the survivor still goes merge-on-read
+    assert(VersionedTable.deleteVectors(spark, t, col("id") === 11L).isDefined)
+    assert(VersionedTable.snapshotAt(spark, t).files.exists(_.dv.isDefined))
+    assert(VersionedTable.read(spark, t).count() == 9L)
+  }
+
   test("updateVectors: merge-on-read update — old states DV out, new states " +
       "append, amplification bounded, CDF pre/post served (i30)") {
     val t = tmpTable("dvupd")
