@@ -583,9 +583,16 @@ object ExtQueries {
     * (evens), a MERGE of the %3 slice (updates %6==0, inserts odd %3),
     * a deletion-vector DELETE of the %5 slice, an UPDATE of the %7 slice —
     * every state transition pure modular set logic, so the oracle derives
-    * the feed and the final read without a log of its own.
+    * the feed and the final read without a log of its own. Memoized per
+    * dataset dir: q125 and q126 share one build per session instead of
+    * running the four commits twice.
     */
-  private def dmlScript(s: SparkSession, d: String): String = {
+  private val dmlCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def dmlScript(s: SparkSession, d: String): String =
+    dmlCache.computeIfAbsent(d, _ => buildDmlTable(s, d))
+
+  private def buildDmlTable(s: SparkSession, d: String): String = {
     val VT = graft.sources.VersionedTable
     val t = java.nio.file.Files.createTempDirectory("q125_vt")
       .resolve("t").toString

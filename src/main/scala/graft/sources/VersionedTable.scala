@@ -594,22 +594,48 @@ object VersionedTable {
     * references it — the union can never over-delete for the files that
     * point at those dirs.
     */
+  /** Strip `scheme:[//authority]` from a file URI, leaving its RAW
+    * (percent-encoded) path — the `_metadata.file_path` side of the
+    * raw-path join below.
+    */
+  private def rawPathExpr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_replace(c, "^[a-zA-Z0-9+.\\-]+:(//[^/]*)?", "")
+
+  /** The raw (percent-encoded) URI path of a table-relative file — byte-
+    * identical to `_metadata.file_path`'s path portion (both are
+    * java.net.URI encodings of the same Hadoop Path), which is what makes
+    * the scan→log join below EXACT instead of string surgery.
+    */
+  private def rawPathOf(fs: FileSystem, table: String, rel: String): String =
+    fs.makeQualified(new Path(s"$table/$rel")).toUri.getRawPath
+
   private def scanFiles(spark: SparkSession, table: String, files: Seq[AddFile],
       schema: StructType, keepMeta: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, regexp_extract}
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    import spark.implicits._
     if (files.isEmpty) {
       val base = emptyFrame(spark, schema)
       return if (!keepMeta) base
       else base.withColumn(MetaRelCol, lit(null).cast("string"))
         .withColumn(MetaPosCol, lit(null).cast("long"))
     }
-    // the table root can itself contain "/data/": the greedy prefix pins
-    // the LAST data/ segment, which is writeData's own layout root
-    def withMeta(fl: Seq[AddFile]): DataFrame =
+    // `_metadata.file_path` is the file URI with PERCENT-ENCODED segments
+    // while AddFile.path is the decoded on-disk spelling — a space or '%'
+    // in a partition value diverges the two, and any string surgery on one
+    // side silently no-ops DML hit discovery (r19 review finding, spec:
+    // "URI-encodable partition values"). Reconcile exactly: the driver
+    // builds (raw URI path → logged relative path) for precisely the
+    // files this scan plans and each row joins back to its logged path.
+    def withMeta(fl: Seq[AddFile]): DataFrame = {
+      val fs = fsOf(spark, table)
+      val lookup = fl.map(f => (rawPathOf(fs, table, f.path), f.path))
+        .toDF("__gf_raw", MetaRelCol)
       spark.read.schema(schema).parquet(fl.map(f => s"$table/${f.path}"): _*)
-        .withColumn(MetaRelCol,
-          regexp_extract(col("_metadata.file_path"), "^.*/(data/.+)$", 1))
+        .withColumn("__gf_raw", rawPathExpr(col("_metadata.file_path")))
         .withColumn(MetaPosCol, col("_metadata.row_index"))
+        .join(broadcast(lookup), "__gf_raw")
+        .drop("__gf_raw")
+    }
     val (dvFiles, plainFiles) = files.partition(_.dv.isDefined)
     val plainPart: Option[DataFrame] =
       if (plainFiles.isEmpty) None
@@ -668,8 +694,20 @@ object VersionedTable {
     val fs = fsOf(spark, table)
     val vs = commitVersions(fs, table)
     require(vs.nonEmpty, s"no versioned table at $table — create() it first")
-    val eligible = vs.filter { v =>
-      commitTs(parseCommit(fs, table, v)._1).getOrElse(0L) <= tsMillis }
+    // MONOTONIZED timestamps (the public Delta discipline): commit wall
+    // times come from each WRITER's clock, so a slow-clock writer can
+    // stamp version N+1 earlier than version N — resolving against raw
+    // stamps would then serve a state that includes changes "from the
+    // future". Reading each version's effective time as the running max
+    // keeps resolution consistent with commit order: the answer is the
+    // last version whose every predecessor (itself included) was stamped
+    // at or before t.
+    var runningTs = 0L
+    val eligible = vs.takeWhile { v =>
+      runningTs = math.max(runningTs,
+        commitTs(parseCommit(fs, table, v)._1).getOrElse(0L))
+      runningTs <= tsMillis
+    }
     require(eligible.nonEmpty,
       s"versioned table $table: no commit at or before timestamp $tsMillis — " +
         s"the table's first commit is later; time travel cannot reach before creation")
@@ -1366,7 +1404,7 @@ object VersionedTable {
     *    merge of one day's keys into a year's table plans ~one day's
     *    files;
     *  2. the surviving candidates are scanned key-columns-only (column-
-    *    pruned) with `input_file_name()`, joined to the staged keys: the
+    *    pruned, DV-aware) carrying per-row file metadata, joined to the staged keys: the
     *    result is the exact matched-file list, file-catalog-sized.
     *
     * CONFLICTS (the first protocol case where retry is NOT safe): a merge
@@ -1491,16 +1529,21 @@ object VersionedTable {
       val cdcAdds: Seq[(String, Long)] =
         if (!base.changeFeed) Nil
         else {
+          // checkpoint the preimages ONCE: pre feeds the union AND derives
+          // matchedKeysDf for post/ins — without it the matched files
+          // rescan for every branch of the cdc write
           val pre = lives.map(_.join(stagedKeysDf, keys, "left_semi"))
-            .getOrElse(emptyFrame(spark, base.schema))
-          val matchedKeysDf = pre.select(keys.map(col): _*).distinct()
-          val post = stagedAligned.join(matchedKeysDf, keys, "left_semi")
-          val ins = stagedAligned.join(matchedKeysDf, keys, "left_anti")
-          writeCdc(
-            pre.withColumn(ChangeTypeCol, lit("update_preimage"))
-              .unionByName(post.withColumn(ChangeTypeCol, lit("update_postimage")))
-              .unionByName(ins.withColumn(ChangeTypeCol, lit("insert"))),
-            table)
+            .getOrElse(emptyFrame(spark, base.schema)).localCheckpoint()
+          try {
+            val matchedKeysDf = pre.select(keys.map(col): _*).distinct()
+            val post = stagedAligned.join(matchedKeysDf, keys, "left_semi")
+            val ins = stagedAligned.join(matchedKeysDf, keys, "left_anti")
+            writeCdc(
+              pre.withColumn(ChangeTypeCol, lit("update_preimage"))
+                .unionByName(post.withColumn(ChangeTypeCol, lit("update_postimage")))
+                .unionByName(ins.withColumn(ChangeTypeCol, lit("insert"))),
+              table)
+          } finally { pre.unpersist(); () }
         }
 
       testHookBeforeCommit()
@@ -1537,7 +1580,7 @@ object VersionedTable {
     * the GDPR-erasure shape): rewrite ONLY the files that actually hold a
     * matching row, as one remove+add commit. File discovery is the merge
     * discipline — i25 stats prune the candidates through the predicate,
-    * then a candidate scan with `input_file_name()` finds the exact hit
+    * then a DV-aware candidate scan with per-row file metadata finds the exact hit
     * list; files the predicate provably misses are untouched bytes.
     * NULL-predicate rows survive (SQL DELETE semantics: only TRUE
     * deletes). Same conflict rule as [[merge]]: the delete decided
@@ -1603,12 +1646,12 @@ object VersionedTable {
     * (the re-hit set is file-catalog-sized). The sidecar is sized by its
     * CONTENT (known exactly from `perFile`), not the discovery scan's
     * task count — a 1-row delete writes one tiny pair file; clustering
-    * by file keeps each data file's positions together. Returns
-    * (sidecar dir, per-file total cardinality).
+    * by file keeps each data file's positions together. Returns the
+    * sidecar dir (callers own the per-file cardinality bookkeeping).
     */
   private def writeDvSidecar(spark: SparkSession, table: String,
       matched: DataFrame, hitFiles: Seq[AddFile],
-      perFile: Map[String, Long]): (String, Map[String, Long]) = {
+      perFile: Map[String, Long]): String = {
     import org.apache.spark.sql.functions.{broadcast, col => c}
     val newPairs = matched
       .select(c(MetaRelCol).as("file"), c(MetaPosCol).as("pos"))
@@ -1628,9 +1671,7 @@ object VersionedTable {
       spark.sparkContext.defaultParallelism.toLong,
       perFile.values.sum / 4000000L + 1L).toInt
     allPairs.repartition(nDvParts, c("file")).write.parquet(s"$table/$dvRel")
-    val totals = hitFiles.map(f =>
-      f.path -> (perFile(f.path) + f.dv.map(_.rows).getOrElse(0L))).toMap
-    (dvRel, totals)
+    dvRel
   }
 
   def deleteVectors(spark: SparkSession, table: String,
@@ -1657,7 +1698,7 @@ object VersionedTable {
       val dvved = hitFiles.filterNot(f => totals(f.path) >= f.rows)
       val dvRel =
         if (dvved.isEmpty) None
-        else Some(writeDvSidecar(spark, table, matched, hitFiles, perFile)._1)
+        else Some(writeDvSidecar(spark, table, matched, hitFiles, perFile))
       // change data (i29): same 'delete' preimages as the COW face
       val cdcAdds = if (!base.changeFeed) Nil else
         writeCdc(matched.drop(MetaRelCol, MetaPosCol)
@@ -1809,7 +1850,7 @@ object VersionedTable {
       val dvved = hitFiles.filterNot(f => totals(f.path) >= f.rows)
       val dvRel =
         if (dvved.isEmpty) None
-        else Some(writeDvSidecar(spark, table, matched, hitFiles, perFile)._1)
+        else Some(writeDvSidecar(spark, table, matched, hitFiles, perFile))
       val pre = matched.drop(MetaRelCol, MetaPosCol)
       // post states append as fresh files — a SET that moves a partition
       // column lands the row in its new partition via writeData's own
@@ -2103,7 +2144,7 @@ object VersionedTable {
     */
   def readChangeFeed(spark: SparkSession, table: String, sinceVersion: Long,
       untilVersion: Long = -1L): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, regexp_extract}
+    import org.apache.spark.sql.functions.col
     val fs = fsOf(spark, table)
     val vs = commitVersions(fs, table)
     require(vs.nonEmpty, s"no versioned table at $table — create() it first")
@@ -2153,12 +2194,17 @@ object VersionedTable {
       adds.foreach(a => fileState += (a.path -> a))
     }
     val schema = latest.schema
-    val relExpr = regexp_extract(col("_metadata.file_path"), "^.*/(data/.+)$", 1)
     val outCols = schema.fieldNames.map(col).toSeq :+
       col(ChangeTypeCol) :+ col(CommitVersionCol)
     import spark.implicits._
+    // per-file (version, type) joins key on the RAW URI path — the exact
+    // reconciliation scanFiles uses (percent-encoded partition segments
+    // would otherwise silently drop those files' rows from the feed)
+    val relExpr = rawPathExpr(col("_metadata.file_path"))
     def joined(paths: Seq[(String, Long, String)], df: DataFrame): DataFrame = {
-      val lookup = paths.toDF("__cf_path", CommitVersionCol, ChangeTypeCol)
+      val lookup = paths
+        .map { case (p, v, ct) => (rawPathOf(fs, table, p), v, ct) }
+        .toDF("__cf_path", CommitVersionCol, ChangeTypeCol)
       df.withColumn("__cf_path", relExpr)
         .join(org.apache.spark.sql.functions.broadcast(lookup), "__cf_path")
         .select(outCols: _*)
@@ -2175,15 +2221,22 @@ object VersionedTable {
     dvved.result().groupBy(_._1.dv.get.path).foreach { case (_, group) =>
       // distinct adds: the same (path, dv) state removed at two versions
       // in the range must scan ONCE — the lookup join fans each row out to
-      // its per-version change entries
+      // its per-version change entries. The key is scanFiles' own
+      // MetaRelCol (the logged path — `_metadata` is not resolvable
+      // through the DV anti-join plan).
       val files = group.map(_._1).distinct
-      parts += joined(group.map(g => (g._1.path, g._2, g._3)),
-        scanFiles(spark, table, files, schema))
+      val lookup = group.map(g => (g._1.path, g._2, g._3))
+        .toDF(MetaRelCol, CommitVersionCol, ChangeTypeCol)
+      parts += scanFiles(spark, table, files, schema, keepMeta = true)
+        .drop(MetaPosCol)
+        .join(org.apache.spark.sql.functions.broadcast(lookup), MetaRelCol)
+        .select(outCols: _*)
     }
     val cdcList = sidecars.result()
     if (cdcList.nonEmpty) {
       val cdcSchema = schema.add(ChangeTypeCol, "string")
-      val lookup = cdcList.toDF("__cf_path", CommitVersionCol)
+      val lookup = cdcList.map { case (p, v) => (rawPathOf(fs, table, p), v) }
+        .toDF("__cf_path", CommitVersionCol)
       parts += spark.read.schema(cdcSchema)
         .parquet(cdcList.map(_._1).distinct.map(p => s"$table/$p"): _*)
         .withColumn("__cf_path", relExpr)

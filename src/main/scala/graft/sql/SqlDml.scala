@@ -49,7 +49,9 @@ object SqlDml {
   private val DeleteRe =
     """(?is)\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)(\s+USING\s+DELETION\s+VECTORS)?\s*""".r
   private val UpdateRe =
-    """(?is)\s*UPDATE\s+'([^']+)'\s+SET\s+(.+)\s+WHERE\s+(.+?)(\s+USING\s+DELETION\s+VECTORS)?\s*""".r
+    """(?is)\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s*""".r
+  private val DvSuffixRe =
+    """(?is)^(.*?)(\s+USING\s+DELETION\s+VECTORS)?\s*$""".r
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+'([^']+)'(\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*""".r
   private val VacuumRe =
@@ -70,6 +72,35 @@ object SqlDml {
     import spark.implicits._
     Seq(values).toDF().selectExpr(
       values.indices.map(i => s"value[$i] AS `${names(i)}`"): _*)
+  }
+
+  /** First TOP-LEVEL, token-bounded occurrence of keyword `kw` — outside
+    * string literals and parens; -1 when absent. A regex split would
+    * backtrack to the LAST occurrence and mis-parse a predicate whose
+    * string literal contains the keyword.
+    */
+  private[sql] def topLevelKeyword(s: String, kw: String): Int = {
+    val upper = s.toUpperCase(java.util.Locale.ROOT)
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && upper.startsWith(kw, i) &&
+              (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+              (i + kw.length >= s.length ||
+                !Character.isLetterOrDigit(s.charAt(i + kw.length))))
+            return i
+      }
+      i += 1
+    }
+    -1
   }
 
   /** Split a SET clause on top-level commas (commas inside parens or
@@ -102,8 +133,11 @@ object SqlDml {
     case MergeRe(path, view, keyList) =>
       val keys = keyList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       val staged = spark.table(view)
+      // count BEFORE the commit: a view defined over the merge target
+      // would otherwise report the post-merge state, not the batch
+      val nStaged = staged.count()
       val v = VersionedTable.merge(staged, path, keys)
-      metrics(spark, Seq("version", "rows_staged"), Seq(v, staged.count()))
+      metrics(spark, Seq("version", "rows_staged"), Seq(v, nStaged))
     case DeleteRe(path, pred, dv) =>
       val result =
         if (dv != null) VersionedTable.deleteVectors(spark, path, expr(pred))
@@ -111,7 +145,13 @@ object SqlDml {
       val (v, n) = result.getOrElse(
         (VersionedTable.latestVersion(spark, path), 0L))
       metrics(spark, Seq("version", "rows_deleted"), Seq(v, n))
-    case UpdateRe(path, setClause, pred, dv) =>
+    case UpdateRe(path, tail) =>
+      val wi = topLevelKeyword(tail, "WHERE")
+      require(wi > 0, s"UPDATE needs a top-level WHERE clause: $stmt")
+      val setClause = tail.substring(0, wi).trim
+      val (pred, dv) = tail.substring(wi + "WHERE".length) match {
+        case DvSuffixRe(p, suffix) => (p.trim, suffix != null)
+      }
       val set = splitSet(setClause).map { kv =>
         val eq = kv.indexOf('=')
         require(eq > 0, s"malformed SET assignment: $kv")
@@ -119,7 +159,7 @@ object SqlDml {
           expr(kv.substring(eq + 1).trim)
       }.toMap
       val result =
-        if (dv != null) VersionedTable.updateVectors(spark, path, expr(pred), set)
+        if (dv) VersionedTable.updateVectors(spark, path, expr(pred), set)
         else VersionedTable.update(spark, path, expr(pred), set)
       val (v, n) = result
         .getOrElse((VersionedTable.latestVersion(spark, path), 0L))

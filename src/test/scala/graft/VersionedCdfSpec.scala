@@ -98,6 +98,12 @@ class VersionedCdfSpec extends SparkSpec {
         .select("version", "ts_millis").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(h == Set((0L, 1000L), (1L, 2000L), (2L, 5000L)))
+      // writer clock skew: v3 stamped EARLIER than v2 (slow-clock writer).
+      // Resolution monotonizes — t=4999 must still serve v1, never the
+      // skew-stamped v3 whose state includes v2's later changes
+      now = 3000L; VersionedTable.append(Seq((4L, "w")).toDF("id", "v"), t)
+      assert(VersionedTable.versionAtTimestamp(spark, t, 4999L) == 1L)
+      assert(VersionedTable.versionAtTimestamp(spark, t, 5000L) == 3L)
     } finally VersionedTable.clock = () => System.currentTimeMillis()
   }
 
@@ -296,6 +302,31 @@ class VersionedCdfSpec extends SparkSpec {
     VersionedTable.vacuum(spark, t2, retainVersions = 1, graceMs = 0L)
     assert(VersionedTable.read(spark, t2).count() == 19L,
       "a live DV sidecar must survive vacuum")
+  }
+
+  test("DML hit discovery survives URI-encodable partition values: a space " +
+      "in a partition segment must not silently no-op delete/merge (r19 review)") {
+    val t = tmpTable("urienc")
+    // 'a b' stays a literal space on disk (Hive escapes %:\\n etc., not
+    // spaces) while _metadata.file_path spells it %20 — the two must be
+    // reconciled or hit resolution finds nothing and merge DUPLICATES keys
+    VersionedTable.create(
+      Seq((1L, "a b", "x"), (2L, "a b", "y"), (3L, "c%d", "z"))
+        .toDF("id", "grp", "v"), t, partitionBy = Seq("grp"))
+    // COW delete inside the spaced partition
+    val del = VersionedTable.delete(spark, t, col("id") === 1L)
+    assert(del.isDefined && del.get._2 == 1L,
+      s"delete in a spaced partition must HIT, got $del")
+    assert(VersionedTable.read(spark, t).count() == 2L)
+    // merge must REPLACE, not duplicate
+    VersionedTable.merge(Seq((2L, "a b", "Y!")).toDF("id", "grp", "v"), t, Seq("id"))
+    val g2 = VersionedTable.read(spark, t).filter(col("id") === 2L).collect()
+    assert(g2.length == 1 && g2(0).getString(2) == "Y!",
+      s"merge must replace the spaced-partition row once, got ${g2.toSeq}")
+    // DV delete in the %-escaped partition
+    val dv = VersionedTable.deleteVectors(spark, t, col("id") === 3L)
+    assert(dv.isDefined && dv.get._2 == 1L, s"DV delete must hit, got $dv")
+    assert(VersionedTable.read(spark, t).count() == 1L)
   }
 
   test("deleteVectors: a fully-deleted file DROPS from the snapshot instead " +
