@@ -1259,30 +1259,33 @@ object VersionedTable {
     } else df
     lazy val adds = writeData(prepared, table, writeSchema, baseSnap.partitionBy)
     var wrote = false
-    val out = commitLoop(spark, table, "append") {
-      case None => sys.error(s"no versioned table at $table — create() it first")
-      case Some(snap) =>
-        if (app != null && snap.txns.get(app).exists(_ >= batch)) None
-        else {
-          wrote = true
-          val txn = if (app == null) Nil else Seq(txnLine(app, batch))
-          // on a retry after losing the race, merge any CONCURRENT
-          // widening into ours — the commit's meta must never narrow
-          val meta = if (!evolve) Nil else {
-            val merged = evolvedSchema(snap.schema, writeSchema)
-            if (merged == snap.schema) Nil
-            else Seq(metaLine(merged.json, snap.partitionBy))
-          }
-          Some(meta ++ txn ++ adds.map(addLine))
-        }
-    }
-    // a replay that lost the race to its own earlier commit: sweep the
-    // orphaned (never-referenced) data files rather than waiting for vacuum
-    if (out.isEmpty && wrote) {
+    // sweep orphaned (never-referenced) data files on every abandoned
+    // path — the replay that lost the race to its own earlier commit AND
+    // the exhausted-retries error (same discipline as merge/delete/update)
+    def sweepOrphans(): Unit = if (wrote) {
       val fs = fsOf(spark, table)
       adds.map(_.path.split("/")(1)).distinct.foreach { d =>
         fs.delete(new Path(s"$table/$DataDirName/$d"), true) }
     }
+    val out =
+      try commitLoop(spark, table, "append") {
+        case None => sys.error(s"no versioned table at $table — create() it first")
+        case Some(snap) =>
+          if (app != null && snap.txns.get(app).exists(_ >= batch)) None
+          else {
+            wrote = true
+            val txn = if (app == null) Nil else Seq(txnLine(app, batch))
+            // on a retry after losing the race, merge any CONCURRENT
+            // widening into ours — the commit's meta must never narrow
+            val meta = if (!evolve) Nil else {
+              val merged = evolvedSchema(snap.schema, writeSchema)
+              if (merged == snap.schema) Nil
+              else Seq(metaLine(merged.json, snap.partitionBy))
+            }
+            Some(meta ++ txn ++ adds.map(addLine))
+          }
+      } catch { case e: Throwable => sweepOrphans(); throw e }
+    if (out.isEmpty) sweepOrphans()
     out
   }
 
