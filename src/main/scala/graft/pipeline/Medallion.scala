@@ -84,15 +84,34 @@ object Medallion {
       goldTransform: DataFrame => DataFrame,
       asOf: Column,
       app: String,
-      batch: Long): (Option[Long], Option[(Long, Long)]) = {
+      batch: Long): (Option[Long], Option[(Long, Long)]) =
+    runVersionedWith(spark, sources, cdm, rules, keys, recency, attrs,
+      silverTable, asOf, app, batch)(
+      graft.sources.VersionedTable.feedInto(
+        spark, silverTable, goldTable, s"$app-gold")(goldTransform))
+
+  /** The shared silver leg of both versioned medallion faces: stage,
+    * quarantine-filter, SCD2 row-level merge — then run the caller's gold
+    * hop (append-face or CDF-face).
+    */
+  private def runVersionedWith(
+      spark: org.apache.spark.sql.SparkSession,
+      sources: Seq[DataFrame],
+      cdm: DataFrame => DataFrame,
+      rules: Seq[Quality.Rule],
+      keys: Seq[String],
+      recency: Seq[Column],
+      attrs: Seq[String],
+      silverTable: String,
+      asOf: Column,
+      app: String,
+      batch: Long)(goldHop: => Option[(Long, Long)]): (Option[Long], Option[(Long, Long)]) = {
     val staged = silver(sources, cdm, rules, keys, recency)
       .filter(!col("is_quarantined"))
       .select((keys ++ attrs).map(col): _*)
     val sv = graft.ops.Scd2.mergeVersioned(
       spark, silverTable, staged, keys, attrs, asOf, app, batch)
-    val gv = graft.sources.VersionedTable.feedInto(
-      spark, silverTable, goldTable, s"$app-gold")(goldTransform)
-    (sv, gv)
+    (sv, goldHop)
   }
 
   /** [[runVersioned]] surviving row-level DML on silver (r19, i29): the
@@ -120,14 +139,9 @@ object Medallion {
       goldTransform: DataFrame => DataFrame,
       asOf: Column,
       app: String,
-      batch: Long): (Option[Long], Option[(Long, Long)]) = {
-    val staged = silver(sources, cdm, rules, keys, recency)
-      .filter(!col("is_quarantined"))
-      .select((keys ++ attrs).map(col): _*)
-    val sv = graft.ops.Scd2.mergeVersioned(
-      spark, silverTable, staged, keys, attrs, asOf, app, batch)
-    val gv = graft.sources.VersionedTable.feedChangesInto(
-      spark, silverTable, goldTable, s"$app-gold")(goldTransform)
-    (sv, gv)
-  }
+      batch: Long): (Option[Long], Option[(Long, Long)]) =
+    runVersionedWith(spark, sources, cdm, rules, keys, recency, attrs,
+      silverTable, asOf, app, batch)(
+      graft.sources.VersionedTable.feedChangesInto(
+        spark, silverTable, goldTable, s"$app-gold")(goldTransform))
 }

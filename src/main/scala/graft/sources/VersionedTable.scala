@@ -753,8 +753,14 @@ object VersionedTable {
           if (snap.schemaJson == target.schemaJson &&
               snap.partitionBy == target.partitionBy) Nil
           else Seq(metaLine(target.schemaJson, target.partitionBy, snap.changeFeed))
-        Some(meta ++ removes ++ adds)
-    }.get
+        // restoring to the CURRENT state is a NO-OP — committing an empty
+        // 'restore' version would permanently break every append-face
+        // consumer while changing nothing (the overwritePartitions
+        // empty-frame discipline; an idempotent recovery-script re-run
+        // must be free)
+        if (meta.isEmpty && removes.isEmpty && adds.isEmpty) None
+        else Some(meta ++ removes ++ adds)
+    }.getOrElse(latestVersion(spark, table))
   }
 
   // ------------------------------------------------- predicate pruning (i25)
@@ -1783,13 +1789,18 @@ object VersionedTable {
       }
     }.toSeq: _*)
     val adds = writeData(updated, table, base.schema, base.partitionBy)
-    // change data (i29): matched rows before and after the SET
+    // change data (i29): matched rows before and after the SET — the
+    // preimages checkpoint ONCE (merge's CDF discipline: pre feeds both
+    // union branches, and an uncached plan would rescan the hit files
+    // plus their DV anti-join per branch)
     val cdcAdds = if (!base.changeFeed) Nil else {
-      val pre = lives.filter(hitPred)
-      val post = pre.select(base.schema.fieldNames.map { f =>
-        set.get(f).map(_.as(f)).getOrElse(c(f)) }.toSeq: _*)
-      writeCdc(pre.withColumn(ChangeTypeCol, l("update_preimage"))
-        .unionByName(post.withColumn(ChangeTypeCol, l("update_postimage"))), table)
+      val pre = lives.filter(hitPred).localCheckpoint()
+      try {
+        val post = pre.select(base.schema.fieldNames.map { f =>
+          set.get(f).map(_.as(f)).getOrElse(c(f)) }.toSeq: _*)
+        writeCdc(pre.withColumn(ChangeTypeCol, l("update_preimage"))
+          .unionByName(post.withColumn(ChangeTypeCol, l("update_postimage"))), table)
+      } finally { pre.unpersist(); () }
     }
     testHookBeforeCommit()
     def sweepOrphans(): Unit = {
@@ -1998,7 +2009,17 @@ object VersionedTable {
     val smallPaths = smalls.map(_.path).toSet
     val expectedDv = smalls.map(f => f.path -> f.dv).toMap
     testHookBeforeCommit()
-    Some(commitLoop(spark, table, "optimize") {
+    // the rewrite output (potentially most of the table's bytes) is
+    // materialized EAGERLY above; the conflict errors below are the most
+    // likely aborts under concurrent writers, so sweep on every abandoned
+    // path rather than orphaning a full rewrite until vacuum (the same
+    // discipline append/merge/delete/update carry)
+    def sweepOrphans(): Unit = {
+      val fsw = fsOf(spark, table)
+      adds.map(_.path.split("/")(1)).distinct.foreach { d =>
+        fsw.delete(new Path(s"$table/$DataDirName/$d"), true) }
+    }
+    try Some(commitLoop(spark, table, "optimize") {
       case None => sys.error(s"no versioned table at $table — create() it first")
       case Some(snap) =>
         val live = snap.files.map(_.path).toSet
@@ -2018,6 +2039,7 @@ object VersionedTable {
             "while optimize was folding them — re-run optimize on the new snapshot")
         Some(smalls.map(f => removeLine(f.path)) ++ addsMarked.map(addLine))
     }.get)
+    catch { case e: Throwable => sweepOrphans(); throw e }
   }
 
   // ------------------------------------------------- change feed (i27)

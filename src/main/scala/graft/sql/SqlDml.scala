@@ -92,10 +92,12 @@ object SqlDml {
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
+          // '_' is a WORD character in SQL identifiers: tax_where_applied
+          // must not split at its embedded 'where'
+          def word(c: Char) = c == '_' || Character.isLetterOrDigit(c)
           if (depth == 0 && upper.startsWith(kw, i) &&
-              (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
-              (i + kw.length >= s.length ||
-                !Character.isLetterOrDigit(s.charAt(i + kw.length))))
+              (i == 0 || !word(s.charAt(i - 1))) &&
+              (i + kw.length >= s.length || !word(s.charAt(i + kw.length))))
             return i
       }
       i += 1

@@ -842,5 +842,20 @@ class SqlSurfaceSpec extends SparkSpec {
 
     // fall-through: a plain statement goes to spark.sql untouched
     assert(SqlDml.run(spark, "SELECT 1 AS one").head().getInt(0) == 1)
+
+    // parser robustness (r19 review): the WHERE split is token-bounded
+    // (snake_case identifiers containing 'where' don't split) and
+    // string-literal aware (a predicate literal containing ' WHERE '
+    // doesn't either)
+    val tR = s"$dir/t_robust"
+    VersionedTable.create(
+      Seq((1L, "x where y", 1.0), (2L, "z", 2.0)).toDF("id", "note", "amt_where_applied"),
+      tR)
+    SqlDml.run(spark,
+      s"UPDATE '$tR' SET amt_where_applied = amt_where_applied * 2.0 " +
+        "WHERE note = 'x where y'")
+    val rob = VersionedTable.read(spark, tR).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(rob == Set((1L, 2.0), (2L, 2.0)), s"got $rob")
   }
 }

@@ -1993,8 +1993,10 @@ class StreamingSpec extends SparkSpec {
     val t = s"$dir/t"
     VersionedTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t,
       changeFeed = true)
+    // the SHORT name exercises the META-INF/services registration — the
+    // spelling the provider's own scaladoc documents
     val q = spark.readStream
-      .format("graft.streaming.VersionedStreamProvider")
+      .format("graft-versioned")
       .option("path", t).option("readChangeFeed", "true")
       .load()
       .writeStream.format("memory").queryName("vt_cdf_out")

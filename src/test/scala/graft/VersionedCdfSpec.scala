@@ -131,6 +131,12 @@ class VersionedCdfSpec extends SparkSpec {
     VersionedTable.vacuum(spark, t, retainVersions = 1, graceMs = 0L)
     assert(rows(VersionedTable.read(spark, t)) ==
       Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // restoring to the CURRENT state is a NO-OP: an idempotent recovery-
+    // script re-run must not commit an empty 'restore' version (which
+    // would break every append-face consumer while changing nothing)
+    val head = VersionedTable.latestVersion(spark, t)
+    assert(VersionedTable.restore(spark, t, head) == head)
+    assert(VersionedTable.latestVersion(spark, t) == head)
   }
 
   // ------------------------------------------------------------ CDF (i29)
