@@ -139,7 +139,8 @@ object VersionedTable {
       files: Seq[AddFile], txns: Map[String, Long], vacuumHorizon: Long,
       partitionBy: Seq[String] = Nil,
       readerFeatures: Set[String] = Set.empty,
-      changeFeed: Boolean = false) {
+      changeFeed: Boolean = false,
+      constraints: Map[String, String] = Map.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
@@ -339,12 +340,20 @@ object VersionedTable {
 
   private def removeLine(path: String) = obj("remove")(_.put("path", path))
   private def metaLine(schemaJson: String, partitionBy: Seq[String] = Nil,
-      changeFeed: Boolean = false) =
+      changeFeed: Boolean = false,
+      constraints: Option[Map[String, String]] = None) =
     obj("meta") { n =>
       n.put("schema", schemaJson)
       if (partitionBy.nonEmpty) {
         val a = n.putArray("partitionBy"); partitionBy.foreach(a.add) }
       if (changeFeed) n.put("changeFeed", true)
+      // PRESENCE semantics (the changeFeed pattern): only constraint
+      // commits emit the key (full replacement map, possibly empty = all
+      // dropped); evolution metas omit it and keep the current set
+      constraints.foreach { cs =>
+        val o = n.putObject("constraints")
+        cs.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+      }
     }
   private def txnLine(app: String, batch: Long) =
     obj("txn") { n => n.put("app", app); n.put("batch", batch) }
@@ -393,6 +402,7 @@ object VersionedTable {
     var partitionBy = s.partitionBy
     var features = s.readerFeatures
     var changeFeed = s.changeFeed
+    var constraints = s.constraints
     nodes.foreach { n =>
       if (n.has("meta")) {
         val m = n.get("meta")
@@ -406,6 +416,12 @@ object VersionedTable {
         // changeFeed only ever turns ON via meta (absent = keep current:
         // evolution metas re-emit schema without re-stating properties)
         if (m.has("changeFeed")) changeFeed = m.get("changeFeed").asBoolean()
+        if (m.has("constraints")) {
+          val it = m.get("constraints").fields()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText()) }
+          constraints = b.result()
+        }
       }
       else if (n.has("add")) {
         files = files :+ parseAdd(n.get("add"))
@@ -427,7 +443,8 @@ object VersionedTable {
         // time travel onto missing data
         horizon = math.max(horizon, n.get("vacuum").get("horizon").asLong())
     }
-    Snapshot(v, schemaJson, files, txns, horizon, partitionBy, features, changeFeed)
+    Snapshot(v, schemaJson, files, txns, horizon, partitionBy, features,
+      changeFeed, constraints)
   }
 
   private def writeCheckpoint(fs: FileSystem, table: String, s: Snapshot): Unit = {
@@ -441,6 +458,10 @@ object VersionedTable {
       val fa = root.putArray("readerFeatures")
       s.readerFeatures.toSeq.sorted.foreach(fa.add) }
     if (s.changeFeed) root.put("changeFeed", true)
+    if (s.constraints.nonEmpty) {
+      val co = root.putObject("constraints")
+      s.constraints.toSeq.sortBy(_._1).foreach { case (k, v) => co.put(k, v) }
+    }
     // checkpoint `files` entries carry the FULL add payload (bytes,
     // partitions, stats) — a replay bounded by the checkpoint must prune
     // exactly as well as one from the raw commits (verdict ask #2)
@@ -499,9 +520,16 @@ object VersionedTable {
       while (it.hasNext) b += it.next().asText()
       b.result()
     }
+    val constraints = if (!n.has("constraints")) Map.empty[String, String] else {
+      val it = n.get("constraints").fields()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText()) }
+      b.result()
+    }
     Snapshot(n.get("version").asLong(), n.get("schema").asText(), files, txns,
       n.get("horizon").asLong(), partitionBy, features,
-      changeFeed = n.has("changeFeed") && n.get("changeFeed").asBoolean())
+      changeFeed = n.has("changeFeed") && n.get("changeFeed").asBoolean(),
+      constraints = constraints)
   }
 
   /** Replay the log to `version` (latest when negative). Starts from the
@@ -1141,6 +1169,84 @@ object VersionedTable {
     df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
   }
 
+  // ---------------------------------------------- CHECK constraints (i33)
+
+  /** Write `df` under `constraints` enforcement (Delta's CHECK
+    * constraints, i33): violation counting rides the WRITE ITSELF via the
+    * public Observation API — ONE pass, no pre-validation scan — and a
+    * violating batch sweeps its (never-referenced) files and fails NAMED
+    * before any commit references them, so enforcement is transactional
+    * by the same invisibility rule every writer relies on. A NULL check
+    * result counts as a violation (a CHECK must HOLD, not merely
+    * not-fail — the Delta semantics).
+    */
+  private def writeDataEnforced(df: DataFrame, table: String, schema: StructType,
+      partitionBy: Seq[String], constraints: Map[String, String]): Seq[AddFile] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when, not}
+    if (constraints.isEmpty) return writeData(df, table, schema, partitionBy)
+    val names = constraints.keys.toSeq.sorted
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = names.map(n => sum(
+      when(not(coalesce(expr(constraints(n)), lit(false))), 1L).otherwise(0L)).as(n))
+    val observed = df.observe(obs, aggs.head, aggs.tail: _*)
+    val adds = writeData(observed, table, schema, partitionBy)
+    val row = obs.get
+    def violations(n: String): Long =
+      row.get(n).flatMap(Option(_)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val violated = names.filter(violations(_) > 0L)
+    if (violated.nonEmpty) {
+      val fs = fsOf(df.sparkSession, table)
+      adds.map(_.path.split("/")(1)).distinct.foreach { d =>
+        fs.delete(new Path(s"$table/$DataDirName/$d"), true) }
+      sys.error(s"versioned table $table: write violates CHECK constraint(s) " +
+        violated.map(n => s"$n [${constraints(n)}] (${violations(n)} rows)")
+          .mkString(", ") + " — nothing was committed")
+    }
+    adds
+  }
+
+  /** ADD CONSTRAINT (i33; Delta's `ALTER TABLE … ADD CONSTRAINT … CHECK`):
+    * validates the EXISTING rows first — a table that already violates
+    * the check fails named with an example row, never a constraint the
+    * data silently breaks — then records the named CHECK in table meta;
+    * every subsequent write enforces it transactionally
+    * ([[writeDataEnforced]]). NOT NULL is the special case
+    * `CHECK (col IS NOT NULL)`. Returns the committed version.
+    */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+      checkSql: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name '$name' must be an identifier")
+    val bad = read(spark, table)
+      .filter(not(coalesce(expr(checkSql), lit(false)))).limit(1).collect()
+    require(bad.isEmpty,
+      s"versioned table $table: existing data violates CHECK $name " +
+        s"[$checkSql] — e.g. ${bad.headOption.map(_.toString).getOrElse("")}; " +
+        "clean the data before constraining it")
+    commitLoop(spark, table, "constraint") {
+      case None => sys.error(s"no versioned table at $table — create() it first")
+      case Some(snap) =>
+        require(!snap.constraints.contains(name),
+          s"versioned table $table already has constraint $name " +
+            s"[${snap.constraints(name)}] — drop it first")
+        Some(Seq(metaLine(snap.schemaJson, snap.partitionBy, snap.changeFeed,
+          Some(snap.constraints + (name -> checkSql)))))
+    }.get
+  }
+
+  /** DROP CONSTRAINT: removes the named CHECK; fails named when absent. */
+  def dropConstraint(spark: SparkSession, table: String, name: String): Long =
+    commitLoop(spark, table, "constraint") {
+      case None => sys.error(s"no versioned table at $table — create() it first")
+      case Some(snap) =>
+        require(snap.constraints.contains(name),
+          s"versioned table $table has no constraint $name " +
+            s"(has: ${snap.constraints.keys.toSeq.sorted.mkString(", ")})")
+        Some(Seq(metaLine(snap.schemaJson, snap.partitionBy, snap.changeFeed,
+          Some(snap.constraints - name))))
+    }.get
+
   /** The optimistic-concurrency commit loop: re-snapshot, build actions,
     * publish exclusively, retry on loss. `actions` may return None to
     * abandon the commit (the txn-already-committed case).
@@ -1263,7 +1369,8 @@ object VersionedTable {
         if (have(f.name)) org.apache.spark.sql.functions.col(f.name)
         else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
     } else df
-    lazy val adds = writeData(prepared, table, writeSchema, baseSnap.partitionBy)
+    lazy val adds = writeDataEnforced(prepared, table, writeSchema,
+      baseSnap.partitionBy, baseSnap.constraints)
     var wrote = false
     // sweep orphaned (never-referenced) data files on every abandoned
     // path — the replay that lost the race to its own earlier commit AND
@@ -1302,7 +1409,8 @@ object VersionedTable {
   def overwrite(df: DataFrame, table: String): Long = {
     val spark = df.sparkSession
     val base = snapshotAt(spark, table)
-    val adds = writeData(df, table, base.schema, base.partitionBy)
+    val adds = writeDataEnforced(df, table, base.schema, base.partitionBy,
+      base.constraints)
     commitLoop(spark, table, "overwrite") {
       case None => sys.error(s"no versioned table at $table — create() it first")
       case Some(snap) =>
@@ -1325,7 +1433,8 @@ object VersionedTable {
     val base = snapshotAt(spark, table)
     require(base.partitionBy.nonEmpty,
       s"versioned table $table is unpartitioned — use overwrite()")
-    val adds = writeData(df, table, base.schema, base.partitionBy)
+    val adds = writeDataEnforced(df, table, base.schema, base.partitionBy,
+      base.constraints)
     // an empty frame touches NO partition: dynamic-overwrite semantics make
     // it a no-op, and committing an empty overwrite_partitions version
     // would permanently break every change-feed/feedInto consumer (the op
@@ -1531,7 +1640,8 @@ object VersionedTable {
         writeData(lv.join(stagedKeysDf, keys, "left_anti"),
           table, base.schema, base.partitionBy)
       }.map(_.copy(dataChange = false))
-      val stagedAdds = writeData(stagedAligned, table, base.schema, base.partitionBy)
+      val stagedAdds = writeDataEnforced(stagedAligned, table, base.schema,
+        base.partitionBy, base.constraints)
       // change data (i29): matched live rows are update preimages, their
       // staged replacements postimages, unmatched staged rows inserts —
       // written as a commit-owned sidecar so the feed survives the merge
@@ -1788,7 +1898,8 @@ object VersionedTable {
         case None => c(f)
       }
     }.toSeq: _*)
-    val adds = writeData(updated, table, base.schema, base.partitionBy)
+    val adds = writeDataEnforced(updated, table, base.schema,
+      base.partitionBy, base.constraints)
     // change data (i29): matched rows before and after the SET — the
     // preimages checkpoint ONCE (merge's CDF discipline: pre feeds both
     // union branches, and an uncached plan would rescan the hit files
@@ -1871,7 +1982,8 @@ object VersionedTable {
       // layout; the DV removal of the old state makes the move atomic
       val post = pre.select(base.schema.fieldNames.map { f =>
         set.get(f).map(_.as(f)).getOrElse(c(f)) }.toSeq: _*)
-      val postAdds = writeData(post, table, base.schema, base.partitionBy)
+      val postAdds = writeDataEnforced(post, table, base.schema,
+        base.partitionBy, base.constraints)
       val cdcAdds = if (!base.changeFeed) Nil else
         writeCdc(pre.withColumn(ChangeTypeCol, l("update_preimage"))
           .unionByName(post.withColumn(ChangeTypeCol, l("update_postimage"))),
@@ -2121,7 +2233,8 @@ object VersionedTable {
     // not KNOW fails named too (a future op's adds silently misread as
     // appends is exactly the wrong-rows failure the protocol guard exists
     // to prevent; op names are the feed's protocol surface)
-    val appendOps = Set("create", "append", "merge", "optimize", "vacuum")
+    val appendOps = Set("create", "append", "merge", "optimize", "vacuum",
+      "constraint")
     val removeOps = Set("overwrite", "overwrite_partitions", "delete",
       "update", "restore")
     val adds = later.flatMap { v =>
@@ -2210,7 +2323,7 @@ object VersionedTable {
         case "overwrite" | "overwrite_partitions" | "restore" =>
           removes.foreach(p => fileState.get(p).foreach(route(_, "delete")))
           adds.foreach(route(_, "insert"))
-        case "optimize" | "vacuum" => ()
+        case "optimize" | "vacuum" | "constraint" => ()
         case other => sys.error(
           s"versioned table $table: commit $v has unknown op '$other' — this " +
             "reader cannot serve its changes; upgrade the reader")

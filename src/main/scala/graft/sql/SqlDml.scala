@@ -35,6 +35,8 @@ import graft.sources.VersionedTable
   *   DESCRIBE HISTORY '<path>'
   *   RESTORE TABLE '<path>' TO VERSION AS OF <v>
   *   TABLE '<path>' [VERSION AS OF <v> | TIMESTAMP AS OF <millis>]
+  *   ALTER TABLE '<path>' ADD CONSTRAINT <name> CHECK (<expr>)
+  *   ALTER TABLE '<path>' DROP CONSTRAINT <name>
   * }}}
   *
   * DML statements return a one-row metrics frame (Delta's convention):
@@ -66,6 +68,10 @@ object SqlDml {
     """(?is)\s*TABLE\s+'([^']+)'\s+TIMESTAMP\s+AS\s+OF\s+(\d+)\s*""".r
   private val TableRe =
     """(?is)\s*TABLE\s+'([^']+)'\s*""".r
+  private val AddConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""".r
+  private val DropConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
 
   private def metrics(spark: SparkSession, names: Seq[String],
       values: Seq[Long]): DataFrame = {
@@ -178,6 +184,12 @@ object SqlDml {
       metrics(spark, Seq("files_deleted"), Seq(deleted.toLong))
     case HistoryRe(path) =>
       VersionedTable.history(spark, path)
+    case AddConstraintRe(path, name, check) =>
+      val v = VersionedTable.addConstraint(spark, path, name, check)
+      metrics(spark, Seq("version"), Seq(v))
+    case DropConstraintRe(path, name) =>
+      val v = VersionedTable.dropConstraint(spark, path, name)
+      metrics(spark, Seq("version"), Seq(v))
     case RestoreRe(path, v) =>
       val nv = VersionedTable.restore(spark, path, v.toLong)
       metrics(spark, Seq("version", "restored_to"), Seq(nv, v.toLong))

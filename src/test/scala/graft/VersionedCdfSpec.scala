@@ -231,6 +231,82 @@ class VersionedCdfSpec extends SparkSpec {
     assert(goldAgg() == recompute())
   }
 
+  // ------------------------------------------------ CHECK constraints (i33)
+
+  test("CHECK constraints: adds validate existing data, writes enforce " +
+      "transactionally (violating batch sweeps, commits nothing), NULL " +
+      "checks violate, drop lifts, evolution keeps them (i33)") {
+    val t = tmpTable("check")
+    VersionedTable.create(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amt"), t)
+    // a constraint the data already violates fails named with an example
+    val e0 = intercept[IllegalArgumentException] {
+      VersionedTable.addConstraint(spark, t, "big", "amt > 15.0") }
+    assert(e0.getMessage.contains("existing data violates") &&
+      e0.getMessage.contains("big"), e0.getMessage)
+    VersionedTable.addConstraint(spark, t, "pos", "amt > 0.0")
+
+    // a violating APPEND fails named, commits nothing, leaks no files
+    val vBefore = VersionedTable.latestVersion(spark, t)
+    val e1 = intercept[RuntimeException] {
+      VersionedTable.append(Seq((3L, -1.0)).toDF("id", "amt"), t) }
+    assert(e1.getMessage.contains("pos") && e1.getMessage.contains("1 rows"),
+      e1.getMessage)
+    assert(VersionedTable.latestVersion(spark, t) == vBefore)
+    val referenced = (0L to vBefore)
+      .flatMap(v => VersionedTable.snapshotAt(spark, t, v).files)
+      .map(_.path.split("/")(1)).toSet
+    val onDisk = fs.listStatus(new Path(s"$t/data")).map(_.getPath.getName).toSet
+    assert((onDisk -- referenced).isEmpty,
+      s"violating write leaked data dirs: ${onDisk -- referenced}")
+
+    // NULL check results VIOLATE (a CHECK must hold, not merely not-fail)
+    val e2 = intercept[RuntimeException] {
+      VersionedTable.append(
+        Seq((3L, null.asInstanceOf[java.lang.Double])).toDF("id", "amt"), t) }
+    assert(e2.getMessage.contains("pos"), e2.getMessage)
+    // merge staged batches and COW update SETs are enforced too
+    val e3 = intercept[RuntimeException] {
+      VersionedTable.merge(Seq((1L, -5.0)).toDF("id", "amt"), t, Seq("id")) }
+    assert(e3.getMessage.contains("pos"), e3.getMessage)
+    val e4 = intercept[RuntimeException] {
+      VersionedTable.update(spark, t, col("id") === 1L,
+        Map("amt" -> lit(-9.0))) }
+    assert(e4.getMessage.contains("pos"), e4.getMessage)
+    assert(VersionedTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 10.0), (2L, 20.0)), "no violating write may land")
+    // a CLEAN write flows through the same single observed pass
+    VersionedTable.append(Seq((4L, 4.0)).toDF("id", "amt"), t)
+    assert(VersionedTable.read(spark, t).count() == 3L)
+
+    // schema evolution keeps constraints (omitted-key meta semantics)
+    VersionedTable.appendEvolve(Seq((5L, 5.0, "x")).toDF("id", "amt", "tag"), t)
+    assert(VersionedTable.snapshotAt(spark, t).constraints.contains("pos"))
+    val e5 = intercept[RuntimeException] {
+      VersionedTable.append(
+        Seq((6L, -6.0, "y")).toDF("id", "amt", "tag"), t) }
+    assert(e5.getMessage.contains("pos"), e5.getMessage)
+
+    // SQL twins, lockstep: add via statement, violate, drop, pass
+    graft.sql.SqlDml.run(spark,
+      s"ALTER TABLE '$t' ADD CONSTRAINT small CHECK (amt < 100.0)")
+    Seq((7L, 999.0, "z")).toDF("id", "amt", "tag")
+      .createOrReplaceTempView("huge_stage")
+    val e7 = intercept[RuntimeException] {
+      graft.sql.SqlDml.run(spark,
+        s"MERGE INTO '$t' USING huge_stage ON KEYS (id)") }
+    assert(e7.getMessage.contains("small"), e7.getMessage)
+    graft.sql.SqlDml.run(spark, s"ALTER TABLE '$t' DROP CONSTRAINT small")
+    graft.sql.SqlDml.run(spark, s"MERGE INTO '$t' USING huge_stage ON KEYS (id)")
+    assert(VersionedTable.read(spark, t).filter(col("id") === 7L).count() == 1L)
+    // the append-face feed flows straight through constraint commits
+    assert(VersionedTable.readChangesSince(spark, t, vBefore).count() > 0)
+    // checkpoint survival: force past the interval and re-read
+    (1L to 10L).foreach(i =>
+      VersionedTable.append(Seq((100L + i, 1.0, "c")).toDF("id", "amt", "tag"), t))
+    assert(VersionedTable.snapshotAt(spark, t).constraints.contains("pos"))
+  }
+
   // ------------------------------------------------- deletion vectors (i30)
 
   test("deleteVectors: merge-on-read delete — reads exclude the rows, the " +
