@@ -378,6 +378,14 @@ object VersionedTable {
     * marker is a torn write and fails NAMED — serving a half-applied
     * transaction would be silent corruption.
     */
+  /** JSON object → string map (constraints in replay and checkpoint). */
+  private def parseStringMap(n: JsonNode): Map[String, String] = {
+    val it = n.fields()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText()) }
+    b.result()
+  }
+
   private def parseCommit(fs: FileSystem, table: String, v: Long): (Seq[JsonNode], String) = {
     val text = readText(fs, commitPath(table, v))
     val lines = text.linesIterator.filter(_.nonEmpty).toSeq
@@ -416,12 +424,8 @@ object VersionedTable {
         // changeFeed only ever turns ON via meta (absent = keep current:
         // evolution metas re-emit schema without re-stating properties)
         if (m.has("changeFeed")) changeFeed = m.get("changeFeed").asBoolean()
-        if (m.has("constraints")) {
-          val it = m.get("constraints").fields()
-          val b = Map.newBuilder[String, String]
-          while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText()) }
-          constraints = b.result()
-        }
+        if (m.has("constraints"))
+          constraints = parseStringMap(m.get("constraints"))
       }
       else if (n.has("add")) {
         files = files :+ parseAdd(n.get("add"))
@@ -520,12 +524,9 @@ object VersionedTable {
       while (it.hasNext) b += it.next().asText()
       b.result()
     }
-    val constraints = if (!n.has("constraints")) Map.empty[String, String] else {
-      val it = n.get("constraints").fields()
-      val b = Map.newBuilder[String, String]
-      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText()) }
-      b.result()
-    }
+    val constraints =
+      if (!n.has("constraints")) Map.empty[String, String]
+      else parseStringMap(n.get("constraints"))
     Snapshot(n.get("version").asLong(), n.get("schema").asText(), files, txns,
       n.get("horizon").asLong(), partitionBy, features,
       changeFeed = n.has("changeFeed") && n.get("changeFeed").asBoolean(),
@@ -775,12 +776,17 @@ object VersionedTable {
         val adds = target.files
           .filter(f => !liveByPath.get(f.path).contains(f))
           .map(addLine)
-        // restore restores SCHEMA too (an evolved-then-restored table must
-        // serve the old shape, or readers project columns the files lack)
+        // restore restores SCHEMA and CONSTRAINTS too (an evolved-then-
+        // restored table must serve the old shape, and a constraint on an
+        // evolved-away column would otherwise brick every later write
+        // with an unresolvable-column error); changeFeed enablement stays
+        // CURRENT — it is operational state, not data state
         val meta =
           if (snap.schemaJson == target.schemaJson &&
-              snap.partitionBy == target.partitionBy) Nil
-          else Seq(metaLine(target.schemaJson, target.partitionBy, snap.changeFeed))
+              snap.partitionBy == target.partitionBy &&
+              snap.constraints == target.constraints) Nil
+          else Seq(metaLine(target.schemaJson, target.partitionBy,
+            snap.changeFeed, Some(target.constraints)))
         // restoring to the CURRENT state is a NO-OP — committing an empty
         // 'restore' version would permanently break every append-face
         // consumer while changing nothing (the overwritePartitions
@@ -1169,6 +1175,35 @@ object VersionedTable {
     df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
   }
 
+  // --------------------------------------------------- orphan discipline
+
+  /** THE single sweep discipline for eagerly-materialized DML artifacts
+    * (data files, DV sidecars, CDC sidecars): every write registers its
+    * `data/<dir>/` as it happens, and any abandoned path — an exception
+    * anywhere after the first artifact, or a commit loop that returns
+    * None — sweeps exactly what was materialized so far. One
+    * implementation instead of a per-op copy that drifts (and, unlike a
+    * lazy-val re-force, sweeping NEVER re-runs a write job: only dirs
+    * already registered are touched).
+    */
+  private final class OrphanTracker(spark: SparkSession, table: String) {
+    private val dirs = scala.collection.mutable.LinkedHashSet.empty[String]
+    def track(adds: Seq[AddFile]): Seq[AddFile] = {
+      adds.foreach(a => dirs += a.path.split("/")(1)); adds }
+    def trackCdc(cdc: Seq[(String, Long)]): Seq[(String, Long)] = {
+      cdc.foreach(c => dirs += c._1.split("/")(1)); cdc }
+    /** For `data/<dir>`-shaped sidecar roots (DV dirs). */
+    def trackDir(rel: String): String = {
+      dirs += rel.stripPrefix(s"$DataDirName/"); rel }
+    def sweep(): Unit = {
+      val fs = fsOf(spark, table)
+      dirs.foreach(d => fs.delete(new Path(s"$table/$DataDirName/$d"), true))
+    }
+    /** Run `body`, sweeping everything registered on ANY throw. */
+    def guarded[T](body: => T): T =
+      try body catch { case e: Throwable => sweep(); throw e }
+  }
+
   // ---------------------------------------------- CHECK constraints (i33)
 
   /** Write `df` under `constraints` enforcement (Delta's CHECK
@@ -1218,18 +1253,22 @@ object VersionedTable {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"constraint name '$name' must be an identifier")
-    val bad = read(spark, table)
-      .filter(not(coalesce(expr(checkSql), lit(false)))).limit(1).collect()
-    require(bad.isEmpty,
-      s"versioned table $table: existing data violates CHECK $name " +
-        s"[$checkSql] — e.g. ${bad.headOption.map(_.toString).getOrElse("")}; " +
-        "clean the data before constraining it")
     commitLoop(spark, table, "constraint") {
       case None => sys.error(s"no versioned table at $table — create() it first")
       case Some(snap) =>
         require(!snap.constraints.contains(name),
           s"versioned table $table already has constraint $name " +
             s"[${snap.constraints(name)}] — drop it first")
+        // validate INSIDE the loop against the snapshot the commit will
+        // publish over: a concurrent write racing a pre-loop validation
+        // could land violating rows under a just-committed constraint
+        // (retries are rare; the rescan is the price of the guarantee)
+        val bad = scanFiles(spark, table, snap.files, snap.schema)
+          .filter(not(coalesce(expr(checkSql), lit(false)))).limit(1).collect()
+        require(bad.isEmpty,
+          s"versioned table $table: existing data violates CHECK $name " +
+            s"[$checkSql] — e.g. ${bad.headOption.map(_.toString).getOrElse("")}; " +
+            "clean the data before constraining it")
         Some(Seq(metaLine(snap.schemaJson, snap.partitionBy, snap.changeFeed,
           Some(snap.constraints + (name -> checkSql)))))
     }.get
@@ -1369,24 +1408,28 @@ object VersionedTable {
         if (have(f.name)) org.apache.spark.sql.functions.col(f.name)
         else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
     } else df
-    lazy val adds = writeDataEnforced(prepared, table, writeSchema,
-      baseSnap.partitionBy, baseSnap.constraints)
-    var wrote = false
-    // sweep orphaned (never-referenced) data files on every abandoned
-    // path — the replay that lost the race to its own earlier commit AND
-    // the exhausted-retries error (same discipline as merge/delete/update)
-    def sweepOrphans(): Unit = if (wrote) {
-      val fs = fsOf(spark, table)
-      adds.map(_.path.split("/")(1)).distinct.foreach { d =>
-        fs.delete(new Path(s"$table/$DataDirName/$d"), true) }
-    }
+    val orphans = new OrphanTracker(spark, table)
+    // lazy so a cheap-pre-check replay never writes; tracked on SUCCESS
+    // only, so an abandoned path sweeps exactly what was materialized and
+    // never re-forces a failed write job
+    lazy val adds = orphans.track(writeDataEnforced(prepared, table,
+      writeSchema, baseSnap.partitionBy, baseSnap.constraints))
+    testHookBeforeCommit()
     val out =
-      try commitLoop(spark, table, "append") {
+      orphans.guarded(commitLoop(spark, table, "append") {
         case None => sys.error(s"no versioned table at $table — create() it first")
         case Some(snap) =>
           if (app != null && snap.txns.get(app).exists(_ >= batch)) None
           else {
-            wrote = true
+            // the data was enforced against baseSnap's constraints; a
+            // CONCURRENT constraint change would let this retry publish
+            // unchecked rows under the new rule — fail named instead
+            // (merge/delete/update get this from conflictGuard; blind
+            // appends have no other read to anchor on)
+            if (snap.constraints != baseSnap.constraints) sys.error(
+              s"versioned table $table: constraints changed concurrently " +
+                s"while an append was in flight — re-run the append so it " +
+                "is enforced against the new constraint set")
             val txn = if (app == null) Nil else Seq(txnLine(app, batch))
             // on a retry after losing the race, merge any CONCURRENT
             // widening into ours — the commit's meta must never narrow
@@ -1397,8 +1440,8 @@ object VersionedTable {
             }
             Some(meta ++ txn ++ adds.map(addLine))
           }
-      } catch { case e: Throwable => sweepOrphans(); throw e }
-    if (out.isEmpty) sweepOrphans()
+      })
+    if (out.isEmpty) orphans.sweep()
     out
   }
 
@@ -1409,13 +1452,17 @@ object VersionedTable {
   def overwrite(df: DataFrame, table: String): Long = {
     val spark = df.sparkSession
     val base = snapshotAt(spark, table)
-    val adds = writeDataEnforced(df, table, base.schema, base.partitionBy,
-      base.constraints)
-    commitLoop(spark, table, "overwrite") {
+    val orphans = new OrphanTracker(spark, table)
+    val adds = orphans.track(writeDataEnforced(df, table, base.schema,
+      base.partitionBy, base.constraints))
+    orphans.guarded(commitLoop(spark, table, "overwrite") {
       case None => sys.error(s"no versioned table at $table — create() it first")
       case Some(snap) =>
+        if (snap.constraints != base.constraints) sys.error(
+          s"versioned table $table: constraints changed concurrently while " +
+            "an overwrite was in flight — re-run it against the new set")
         Some(snap.files.map(f => removeLine(f.path)) ++ adds.map(addLine))
-    }.get
+    }.get)
   }
 
   /** Dynamic-partition overwrite as one commit (i26): remove every live
@@ -1433,8 +1480,9 @@ object VersionedTable {
     val base = snapshotAt(spark, table)
     require(base.partitionBy.nonEmpty,
       s"versioned table $table is unpartitioned — use overwrite()")
-    val adds = writeDataEnforced(df, table, base.schema, base.partitionBy,
-      base.constraints)
+    val orphans = new OrphanTracker(spark, table)
+    val adds = orphans.track(writeDataEnforced(df, table, base.schema,
+      base.partitionBy, base.constraints))
     // an empty frame touches NO partition: dynamic-overwrite semantics make
     // it a no-op, and committing an empty overwrite_partitions version
     // would permanently break every change-feed/feedInto consumer (the op
@@ -1443,12 +1491,15 @@ object VersionedTable {
     // version uncommitted
     if (adds.isEmpty) return base.version
     val touched = adds.map(_.partitions).toSet
-    commitLoop(spark, table, "overwrite_partitions") {
+    orphans.guarded(commitLoop(spark, table, "overwrite_partitions") {
       case None => sys.error(s"no versioned table at $table — create() it first")
       case Some(snap) =>
+        if (snap.constraints != base.constraints) sys.error(
+          s"versioned table $table: constraints changed concurrently while " +
+            "a dynamic overwrite was in flight — re-run it against the new set")
         Some(snap.files.filter(f => touched.contains(f.partitions))
           .map(f => removeLine(f.path)) ++ adds.map(addLine))
-    }.get
+    }.get)
   }
 
   // ------------------------------------------------- change data (i29)
@@ -1636,49 +1687,43 @@ object VersionedTable {
       val lives: Option[DataFrame] =
         if (matchedFiles.isEmpty) None
         else Some(scanFiles(spark, table, matchedFiles, base.schema))
-      val survivorAdds = lives.toSeq.flatMap { lv =>
-        writeData(lv.join(stagedKeysDf, keys, "left_anti"),
-          table, base.schema, base.partitionBy)
-      }.map(_.copy(dataChange = false))
-      val stagedAdds = writeDataEnforced(stagedAligned, table, base.schema,
-        base.partitionBy, base.constraints)
-      // change data (i29): matched live rows are update preimages, their
-      // staged replacements postimages, unmatched staged rows inserts —
-      // written as a commit-owned sidecar so the feed survives the merge
-      val cdcAdds: Seq[(String, Long)] =
-        if (!base.changeFeed) Nil
-        else {
-          // checkpoint the preimages ONCE: pre feeds the union AND derives
-          // matchedKeysDf for post/ins — without it the matched files
-          // rescan for every branch of the cdc write
-          val pre = lives.map(_.join(stagedKeysDf, keys, "left_semi"))
-            .getOrElse(emptyFrame(spark, base.schema)).localCheckpoint()
-          try {
-            val matchedKeysDf = pre.select(keys.map(col): _*).distinct()
-            val post = stagedAligned.join(matchedKeysDf, keys, "left_semi")
-            val ins = stagedAligned.join(matchedKeysDf, keys, "left_anti")
-            writeCdc(
-              pre.withColumn(ChangeTypeCol, lit("update_preimage"))
-                .unionByName(post.withColumn(ChangeTypeCol, lit("update_postimage")))
-                .unionByName(ins.withColumn(ChangeTypeCol, lit("insert"))),
-              table)
-          } finally { pre.unpersist(); () }
-        }
+      // survivor/staged/cdc files materialize EAGERLY below: the tracker
+      // sweeps whatever landed so far on ANY abandoned path — a staged
+      // batch violating a CHECK after the survivor rewrite, the txn
+      // replay detected inside the loop, a conflictGuard throw
+      val orphans = new OrphanTracker(spark, table)
+      val out = orphans.guarded {
+        val survivorAdds = orphans.track(lives.toSeq.flatMap { lv =>
+          writeData(lv.join(stagedKeysDf, keys, "left_anti"),
+            table, base.schema, base.partitionBy)
+        }).map(_.copy(dataChange = false))
+        val stagedAdds = orphans.track(writeDataEnforced(stagedAligned, table,
+          base.schema, base.partitionBy, base.constraints))
+        // change data (i29): matched live rows are update preimages, their
+        // staged replacements postimages, unmatched staged rows inserts —
+        // written as a commit-owned sidecar so the feed survives the merge
+        val cdcAdds: Seq[(String, Long)] =
+          if (!base.changeFeed) Nil
+          else {
+            // checkpoint the preimages ONCE: pre feeds the union AND derives
+            // matchedKeysDf for post/ins — without it the matched files
+            // rescan for every branch of the cdc write
+            val pre = lives.map(_.join(stagedKeysDf, keys, "left_semi"))
+              .getOrElse(emptyFrame(spark, base.schema)).localCheckpoint()
+            try {
+              val matchedKeysDf = pre.select(keys.map(col): _*).distinct()
+              val post = stagedAligned.join(matchedKeysDf, keys, "left_semi")
+              val ins = stagedAligned.join(matchedKeysDf, keys, "left_anti")
+              orphans.trackCdc(writeCdc(
+                pre.withColumn(ChangeTypeCol, lit("update_preimage"))
+                  .unionByName(post.withColumn(ChangeTypeCol, lit("update_postimage")))
+                  .unionByName(ins.withColumn(ChangeTypeCol, lit("insert"))),
+                table))
+            } finally { pre.unpersist(); () }
+          }
 
-      testHookBeforeCommit()
-      // survivor/staged/cdc files are materialized EAGERLY above, so every
-      // abandoned path must sweep them — the txn replay detected on the
-      // first commitLoop iteration (a racer landed after the cheap
-      // pre-check) and a conflictGuard throw mid-loop both leak the
-      // just-written files until vacuum otherwise
-      def sweepOrphans(): Unit = {
-        val fs = fsOf(spark, table)
-        ((survivorAdds ++ stagedAdds).map(_.path) ++ cdcAdds.map(_._1))
-          .map(_.split("/")(1)).distinct.foreach { d =>
-            fs.delete(new Path(s"$table/$DataDirName/$d"), true) }
-      }
-      val out =
-        try commitLoop(spark, table, "merge") {
+        testHookBeforeCommit()
+        commitLoop(spark, table, "merge") {
           case None => sys.error(s"no versioned table at $table — create() it first")
           case Some(snap) =>
             if (app != null && snap.txns.get(app).exists(_ >= batch)) None
@@ -1689,8 +1734,9 @@ object VersionedTable {
                 (survivorAdds ++ stagedAdds).map(addLine) ++
                 cdcAdds.map { case (p, r) => cdcLine(p, r) })
             }
-        } catch { case e: Throwable => sweepOrphans(); throw e }
-      if (out.isEmpty) sweepOrphans()
+        }
+      }
+      if (out.isEmpty) orphans.sweep()
       out
     } finally { stagedAligned.unpersist(); () }
   }
@@ -1721,42 +1767,28 @@ object VersionedTable {
     if (hitFiles.isEmpty) return None
     val lives = scanFiles(spark, table, hitFiles, base.schema)
     val survivors = lives.filter(!hitPred)
-    val adds = writeData(survivors, table, base.schema, base.partitionBy)
+    val orphans = new OrphanTracker(spark, table)
+    val adds = orphans.track(
+      writeData(survivors, table, base.schema, base.partitionBy))
       .map(_.copy(dataChange = false))
     val deleted = hitFiles.map(_.effRows).sum - adds.map(_.rows).sum
     // change data (i29): the erased rows, served as 'delete' preimages
-    val cdcAdds = if (!base.changeFeed) Nil else
-      writeCdc(lives.filter(hitPred).withColumn(ChangeTypeCol, l("delete")), table)
-    testHookBeforeCommit()
-    def sweepOrphans(): Unit = {
-      val fs = fsOf(spark, table)
-      (adds.map(_.path) ++ cdcAdds.map(_._1)).map(_.split("/")(1)).distinct
-        .foreach(d => fs.delete(new Path(s"$table/$DataDirName/$d"), true))
+    val v = orphans.guarded {
+      val cdcAdds = if (!base.changeFeed) Nil else
+        orphans.trackCdc(writeCdc(
+          lives.filter(hitPred).withColumn(ChangeTypeCol, l("delete")), table))
+      testHookBeforeCommit()
+      commitLoop(spark, table, "delete") {
+        case None => sys.error(s"no versioned table at $table — create() it first")
+        case Some(snap) =>
+          conflictGuard(spark, table, base.version, snap.version, "delete")
+          Some(hitFiles.map(f => removeLine(f.path)) ++ adds.map(addLine) ++
+            cdcAdds.map { case (p, r) => cdcLine(p, r) })
+      }
     }
-    val v = try commitLoop(spark, table, "delete") {
-      case None => sys.error(s"no versioned table at $table — create() it first")
-      case Some(snap) =>
-        conflictGuard(spark, table, base.version, snap.version, "delete")
-        Some(hitFiles.map(f => removeLine(f.path)) ++ adds.map(addLine) ++
-          cdcAdds.map { case (p, r) => cdcLine(p, r) })
-    } catch { case e: Throwable => sweepOrphans(); throw e }
     Some((v.get, deleted))
   }
 
-  /** Merge-on-read DELETE (i30): instead of rewriting every file holding
-    * a matching row ([[delete]]'s copy-on-write — a 1-row GDPR delete in
-    * a 1 GB file rewrites 1 GB), mark the matched row POSITIONS in a
-    * deletion-vector sidecar and re-point the files at it: the write cost
-    * is O(deleted positions), not O(touched bytes). Reads anti-join the
-    * DV ([[scanFiles]]); [[optimize]] folds DVs back into clean files.
-    * The commit carries the `deletion-vectors` protocol feature, so an
-    * old reader that would silently resurrect the rows fails named
-    * instead ([[SupportedReaderFeatures]]). A re-delete on an already
-    * DV'd file unions the old pairs into the new sidecar, so each file
-    * points at exactly one dir. Discovery, NULL-predicate, no-op and
-    * conflict semantics are [[delete]]'s exactly. Returns
-    * (version, rowsDeleted).
-    */
   /** Write one deletion-vector sidecar dir holding `matched`'s (file,
     * pos) coordinates UNIONED with the hit files' existing pairs (each
     * file points at exactly ONE dir; position sets only grow — the
@@ -1793,6 +1825,34 @@ object VersionedTable {
     dvRel
   }
 
+  /** Merge-on-read DELETE (i30): instead of rewriting every file holding
+    * a matching row ([[delete]]'s copy-on-write — a 1-row GDPR delete in
+    * a 1 GB file rewrites 1 GB), mark the matched row POSITIONS in a
+    * deletion-vector sidecar and re-point the files at it: the write cost
+    * is O(deleted positions), not O(touched bytes). Reads anti-join the
+    * DV ([[scanFiles]]); [[optimize]] folds DVs back into clean files.
+    * The commit carries the `deletion-vectors` protocol feature, so an
+    * old reader that would silently resurrect the rows fails named
+    * instead ([[SupportedReaderFeatures]]). A re-delete on an already
+    * DV'd file unions the old pairs into the new sidecar, so each file
+    * points at exactly one dir; a file whose every row is deleted DROPS
+    * from the snapshot outright. Discovery, NULL-predicate, no-op and
+    * conflict semantics are [[delete]]'s exactly. Returns
+    * (version, rowsDeleted).
+    */
+  /** (per-file TOTAL deleted cardinality, files that still need a DV):
+    * a file whose every row is now deleted drops from the snapshot
+    * outright (remove, no re-add — a zero-effective-row anti-join would
+    * linger until optimize folds it) — the one rule both merge-on-read
+    * faces share.
+    */
+  private def dvSplit(hitFiles: Seq[AddFile], perFile: Map[String, Long])
+      : (Map[String, Long], Seq[AddFile]) = {
+    val totals = hitFiles.map(f =>
+      f.path -> (perFile(f.path) + f.dv.map(_.rows).getOrElse(0L))).toMap
+    (totals, hitFiles.filterNot(f => totals(f.path) >= f.rows))
+  }
+
   def deleteVectors(spark: SparkSession, table: String,
       pred: org.apache.spark.sql.Column): Option[(Long, Long)] = {
     import org.apache.spark.sql.functions.{coalesce => cls, col => c, lit => l}
@@ -1812,34 +1872,31 @@ object VersionedTable {
       // outright (remove, no re-add): re-adding it would make every later
       // scan anti-join a file that serves nothing until optimize folds it.
       // The sidecar is written only when some file still needs one.
-      val totals = hitFiles.map(f =>
-        f.path -> (perFile(f.path) + f.dv.map(_.rows).getOrElse(0L))).toMap
-      val dvved = hitFiles.filterNot(f => totals(f.path) >= f.rows)
-      val dvRel =
-        if (dvved.isEmpty) None
-        else Some(writeDvSidecar(spark, table, matched, hitFiles, perFile))
-      // change data (i29): same 'delete' preimages as the COW face
-      val cdcAdds = if (!base.changeFeed) Nil else
-        writeCdc(matched.drop(MetaRelCol, MetaPosCol)
-          .withColumn(ChangeTypeCol, l("delete")), table)
-      testHookBeforeCommit()
-      def sweepOrphans(): Unit = {
-        val fs = fsOf(spark, table)
-        (dvRel.toSeq ++ cdcAdds.map(_._1.split("/").take(2).mkString("/"))).distinct
-          .foreach(d => fs.delete(new Path(s"$table/$d"), true))
+      val (totals, dvved) = dvSplit(hitFiles, perFile)
+      val orphans = new OrphanTracker(spark, table)
+      val v = orphans.guarded {
+        val dvRel =
+          if (dvved.isEmpty) None
+          else Some(orphans.trackDir(
+            writeDvSidecar(spark, table, matched, hitFiles, perFile)))
+        // change data (i29): same 'delete' preimages as the COW face
+        val cdcAdds = if (!base.changeFeed) Nil else
+          orphans.trackCdc(writeCdc(matched.drop(MetaRelCol, MetaPosCol)
+            .withColumn(ChangeTypeCol, l("delete")), table))
+        testHookBeforeCommit()
+        commitLoop(spark, table, "delete") {
+          case None => sys.error(s"no versioned table at $table — create() it first")
+          case Some(snap) =>
+            conflictGuard(spark, table, base.version, snap.version, "delete")
+            val protocol =
+              if (dvved.isEmpty || snap.readerFeatures.contains("deletion-vectors")) Nil
+              else Seq(protocolLine(Set("deletion-vectors")))
+            Some(protocol ++ hitFiles.map(f => removeLine(f.path)) ++
+              dvved.map(f => addLine(f.copy(dataChange = false,
+                dv = Some(DvDesc(dvRel.get, totals(f.path)))))) ++
+              cdcAdds.map { case (p, r) => cdcLine(p, r) })
+        }
       }
-      val v = try commitLoop(spark, table, "delete") {
-        case None => sys.error(s"no versioned table at $table — create() it first")
-        case Some(snap) =>
-          conflictGuard(spark, table, base.version, snap.version, "delete")
-          val protocol =
-            if (dvved.isEmpty || snap.readerFeatures.contains("deletion-vectors")) Nil
-            else Seq(protocolLine(Set("deletion-vectors")))
-          Some(protocol ++ hitFiles.map(f => removeLine(f.path)) ++
-            dvved.map(f => addLine(f.copy(dataChange = false,
-              dv = Some(DvDesc(dvRel.get, totals(f.path)))))) ++
-            cdcAdds.map { case (p, r) => cdcLine(p, r) })
-      } catch { case e: Throwable => sweepOrphans(); throw e }
       Some((v.get, nDeleted))
     } finally { matched.unpersist(); () }
   }
@@ -1898,34 +1955,34 @@ object VersionedTable {
         case None => c(f)
       }
     }.toSeq: _*)
-    val adds = writeDataEnforced(updated, table, base.schema,
-      base.partitionBy, base.constraints)
-    // change data (i29): matched rows before and after the SET — the
-    // preimages checkpoint ONCE (merge's CDF discipline: pre feeds both
-    // union branches, and an uncached plan would rescan the hit files
-    // plus their DV anti-join per branch)
-    val cdcAdds = if (!base.changeFeed) Nil else {
-      val pre = lives.filter(hitPred).localCheckpoint()
-      try {
-        val post = pre.select(base.schema.fieldNames.map { f =>
-          set.get(f).map(_.as(f)).getOrElse(c(f)) }.toSeq: _*)
-        writeCdc(pre.withColumn(ChangeTypeCol, l("update_preimage"))
-          .unionByName(post.withColumn(ChangeTypeCol, l("update_postimage"))), table)
-      } finally { pre.unpersist(); () }
+    val orphans = new OrphanTracker(spark, table)
+    val v = orphans.guarded {
+      val adds = orphans.track(writeDataEnforced(updated, table, base.schema,
+        base.partitionBy, base.constraints))
+      // change data (i29): matched rows before and after the SET — the
+      // preimages checkpoint ONCE (merge's CDF discipline: pre feeds both
+      // union branches, and an uncached plan would rescan the hit files
+      // plus their DV anti-join per branch)
+      val cdcAdds = if (!base.changeFeed) Nil else {
+        val pre = lives.filter(hitPred).localCheckpoint()
+        try {
+          val post = pre.select(base.schema.fieldNames.map { f =>
+            set.get(f).map(_.as(f)).getOrElse(c(f)) }.toSeq: _*)
+          orphans.trackCdc(writeCdc(
+            pre.withColumn(ChangeTypeCol, l("update_preimage"))
+              .unionByName(post.withColumn(ChangeTypeCol, l("update_postimage"))),
+            table))
+        } finally { pre.unpersist(); () }
+      }
+      testHookBeforeCommit()
+      commitLoop(spark, table, "update") {
+        case None => sys.error(s"no versioned table at $table — create() it first")
+        case Some(snap) =>
+          conflictGuard(spark, table, base.version, snap.version, "update")
+          Some(hitFiles.map(f => removeLine(f.path)) ++ adds.map(addLine) ++
+            cdcAdds.map { case (p, r) => cdcLine(p, r) })
+      }
     }
-    testHookBeforeCommit()
-    def sweepOrphans(): Unit = {
-      val fs = fsOf(spark, table)
-      (adds.map(_.path) ++ cdcAdds.map(_._1)).map(_.split("/")(1)).distinct
-        .foreach(d => fs.delete(new Path(s"$table/$DataDirName/$d"), true))
-    }
-    val v = try commitLoop(spark, table, "update") {
-      case None => sys.error(s"no versioned table at $table — create() it first")
-      case Some(snap) =>
-        conflictGuard(spark, table, base.version, snap.version, "update")
-        Some(hitFiles.map(f => removeLine(f.path)) ++ adds.map(addLine) ++
-          cdcAdds.map { case (p, r) => cdcLine(p, r) })
-    } catch { case e: Throwable => sweepOrphans(); throw e }
     Some((v.get, nUpdated))
   }
 
@@ -1969,45 +2026,42 @@ object VersionedTable {
       val hitFiles = candidates.filter(f => perFile.contains(f.path))
       val nUpdated = perFile.values.sum
       // fully-updated files drop outright (their every live row state was
-      // replaced by a post-image append) — same rule as deleteVectors
-      val totals = hitFiles.map(f =>
-        f.path -> (perFile(f.path) + f.dv.map(_.rows).getOrElse(0L))).toMap
-      val dvved = hitFiles.filterNot(f => totals(f.path) >= f.rows)
-      val dvRel =
-        if (dvved.isEmpty) None
-        else Some(writeDvSidecar(spark, table, matched, hitFiles, perFile))
-      val pre = matched.drop(MetaRelCol, MetaPosCol)
-      // post states append as fresh files — a SET that moves a partition
-      // column lands the row in its new partition via writeData's own
-      // layout; the DV removal of the old state makes the move atomic
-      val post = pre.select(base.schema.fieldNames.map { f =>
-        set.get(f).map(_.as(f)).getOrElse(c(f)) }.toSeq: _*)
-      val postAdds = writeDataEnforced(post, table, base.schema,
-        base.partitionBy, base.constraints)
-      val cdcAdds = if (!base.changeFeed) Nil else
-        writeCdc(pre.withColumn(ChangeTypeCol, l("update_preimage"))
-          .unionByName(post.withColumn(ChangeTypeCol, l("update_postimage"))),
-          table)
-      testHookBeforeCommit()
-      def sweepOrphans(): Unit = {
-        val fs = fsOf(spark, table)
-        (dvRel.toSeq ++ (postAdds.map(_.path) ++ cdcAdds.map(_._1))
-          .map(_.split("/").take(2).mkString("/"))).distinct
-          .foreach(d => fs.delete(new Path(s"$table/$d"), true))
+      // replaced by a post-image append) — dvSplit, the shared MoR rule
+      val (totals, dvved) = dvSplit(hitFiles, perFile)
+      val orphans = new OrphanTracker(spark, table)
+      val v = orphans.guarded {
+        val dvRel =
+          if (dvved.isEmpty) None
+          else Some(orphans.trackDir(
+            writeDvSidecar(spark, table, matched, hitFiles, perFile)))
+        val pre = matched.drop(MetaRelCol, MetaPosCol)
+        // post states append as fresh files — a SET that moves a partition
+        // column lands the row in its new partition via writeData's own
+        // layout; the DV removal of the old state makes the move atomic
+        val post = pre.select(base.schema.fieldNames.map { f =>
+          set.get(f).map(_.as(f)).getOrElse(c(f)) }.toSeq: _*)
+        val postAdds = orphans.track(writeDataEnforced(post, table,
+          base.schema, base.partitionBy, base.constraints))
+        val cdcAdds = if (!base.changeFeed) Nil else
+          orphans.trackCdc(writeCdc(
+            pre.withColumn(ChangeTypeCol, l("update_preimage"))
+              .unionByName(post.withColumn(ChangeTypeCol, l("update_postimage"))),
+            table))
+        testHookBeforeCommit()
+        commitLoop(spark, table, "update") {
+          case None => sys.error(s"no versioned table at $table — create() it first")
+          case Some(snap) =>
+            conflictGuard(spark, table, base.version, snap.version, "update")
+            val protocol =
+              if (dvved.isEmpty || snap.readerFeatures.contains("deletion-vectors")) Nil
+              else Seq(protocolLine(Set("deletion-vectors")))
+            Some(protocol ++ hitFiles.map(f => removeLine(f.path)) ++
+              dvved.map(f => addLine(f.copy(dataChange = false,
+                dv = Some(DvDesc(dvRel.get, totals(f.path)))))) ++
+              postAdds.map(addLine) ++
+              cdcAdds.map { case (p, r) => cdcLine(p, r) })
+        }
       }
-      val v = try commitLoop(spark, table, "update") {
-        case None => sys.error(s"no versioned table at $table — create() it first")
-        case Some(snap) =>
-          conflictGuard(spark, table, base.version, snap.version, "update")
-          val protocol =
-            if (dvved.isEmpty || snap.readerFeatures.contains("deletion-vectors")) Nil
-            else Seq(protocolLine(Set("deletion-vectors")))
-          Some(protocol ++ hitFiles.map(f => removeLine(f.path)) ++
-            dvved.map(f => addLine(f.copy(dataChange = false,
-              dv = Some(DvDesc(dvRel.get, totals(f.path)))))) ++
-            postAdds.map(addLine) ++
-            cdcAdds.map { case (p, r) => cdcLine(p, r) })
-      } catch { case e: Throwable => sweepOrphans(); throw e }
       Some((v.get, nUpdated))
     } finally { matched.unpersist(); () }
   }
@@ -2126,12 +2180,9 @@ object VersionedTable {
     // likely aborts under concurrent writers, so sweep on every abandoned
     // path rather than orphaning a full rewrite until vacuum (the same
     // discipline append/merge/delete/update carry)
-    def sweepOrphans(): Unit = {
-      val fsw = fsOf(spark, table)
-      adds.map(_.path.split("/")(1)).distinct.foreach { d =>
-        fsw.delete(new Path(s"$table/$DataDirName/$d"), true) }
-    }
-    try Some(commitLoop(spark, table, "optimize") {
+    val orphans = new OrphanTracker(spark, table)
+    orphans.track(adds)
+    orphans.guarded(Some(commitLoop(spark, table, "optimize") {
       case None => sys.error(s"no versioned table at $table — create() it first")
       case Some(snap) =>
         val live = snap.files.map(_.path).toSet
@@ -2150,8 +2201,7 @@ object VersionedTable {
             s"${dvChanged.take(3).map(_.path).mkString(", ")} changed concurrently " +
             "while optimize was folding them — re-run optimize on the new snapshot")
         Some(smalls.map(f => removeLine(f.path)) ++ addsMarked.map(addLine))
-    }.get)
-    catch { case e: Throwable => sweepOrphans(); throw e }
+    }.get))
   }
 
   // ------------------------------------------------- change feed (i27)

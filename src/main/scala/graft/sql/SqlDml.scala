@@ -92,7 +92,13 @@ object SqlDml {
     var i = 0
     while (i < s.length) {
       val ch = s.charAt(i)
-      if (inStr) { if (ch == '\'') inStr = false }
+      if (inStr) {
+        // Spark's default literals accept backslash escapes: \' must not
+        // toggle the string state (or the REAL closing quote re-opens it
+        // and a genuine top-level keyword scans as in-string)
+        if (ch == '\\') i += 1
+        else if (ch == '\'') inStr = false
+      }
       else ch match {
         case '\'' => inStr = true
         case '(' => depth += 1
@@ -122,7 +128,10 @@ object SqlDml {
     var i = 0
     while (i < s.length) {
       val ch = s.charAt(i)
-      if (inStr) { if (ch == '\'') inStr = false }
+      if (inStr) {
+        if (ch == '\\') i += 1 // escaped char (incl. \') stays in-string
+        else if (ch == '\'') inStr = false
+      }
       else ch match {
         case '\'' => inStr = true
         case '(' => depth += 1

@@ -857,5 +857,11 @@ class SqlSurfaceSpec extends SparkSpec {
     val rob = VersionedTable.read(spark, tR).collect()
       .map(r => (r.getLong(0), r.getDouble(2))).toSet
     assert(rob == Set((1L, 2.0), (2L, 2.0)), s"got $rob")
+    // backslash-escaped quote inside a literal: \' must not toggle the
+    // scanner's string state (the real WHERE would scan as in-string)
+    SqlDml.run(spark,
+      s"UPDATE '$tR' SET note = 'don\\'t panic' WHERE id = 2")
+    assert(VersionedTable.read(spark, tR).filter(col("id") === 2L)
+      .select("note").head().getString(0) == "don't panic")
   }
 }

@@ -307,6 +307,49 @@ class VersionedCdfSpec extends SparkSpec {
     assert(VersionedTable.snapshotAt(spark, t).constraints.contains("pos"))
   }
 
+  test("constraint races and restore interplay: a concurrent ADD CONSTRAINT " +
+      "fails an in-flight append named; restore restores the constraint set " +
+      "with the schema (i33, r19 review)") {
+    // race: the append's data was enforced against the PRE-constraint
+    // snapshot; letting its retry publish would land unchecked rows under
+    // the new rule — the commit loop must fail it named instead. The hook
+    // interleaves the ADD CONSTRAINT exactly in the decide→commit window.
+    val t = tmpTable("crace")
+    VersionedTable.create(Seq((1L, 1.0)).toDF("id", "amt"), t)
+    VersionedTable.testHookBeforeCommit = () => {
+      VersionedTable.testHookBeforeCommit = () => ()
+      VersionedTable.addConstraint(spark, t, "pos", "amt > 0.0")
+      ()
+    }
+    try {
+      val e = intercept[RuntimeException] {
+        VersionedTable.append(Seq((2L, -1.0)).toDF("id", "amt"), t) }
+      assert(e.getMessage.contains("constraints changed concurrently"),
+        e.getMessage)
+    } finally VersionedTable.testHookBeforeCommit = () => ()
+    // nothing committed, nothing leaked, and a compliant re-run enforces
+    assert(VersionedTable.read(spark, t).count() == 1L)
+    val e2 = intercept[RuntimeException] {
+      VersionedTable.append(Seq((2L, -1.0)).toDF("id", "amt"), t) }
+    assert(e2.getMessage.contains("pos"), e2.getMessage)
+    VersionedTable.append(Seq((2L, 2.0)).toDF("id", "amt"), t)
+    assert(VersionedTable.read(spark, t).count() == 2L)
+
+    // restore: constraint on an evolved-in column, then restore BELOW the
+    // evolution — writes must keep working (the constraint must not
+    // survive pointing at a column the schema no longer has)
+    val t2 = tmpTable("crestore")
+    VersionedTable.create(Seq((1L, 1.0)).toDF("id", "amt"), t2)          // v0
+    VersionedTable.appendEvolve(Seq((2L, 2.0, "x")).toDF("id", "amt", "tag"), t2) // v1
+    VersionedTable.addConstraint(spark, t2, "t_ok", "tag = 'x' OR tag IS NULL") // v2
+    VersionedTable.restore(spark, t2, 0L)                                 // v3
+    assert(VersionedTable.snapshotAt(spark, t2).constraints.isEmpty,
+      "restore must restore the constraint set with the schema")
+    // the write that would have been bricked flows again
+    VersionedTable.append(Seq((3L, 3.0)).toDF("id", "amt"), t2)
+    assert(VersionedTable.read(spark, t2).count() == 2L)
+  }
+
   // ------------------------------------------------- deletion vectors (i30)
 
   test("deleteVectors: merge-on-read delete — reads exclude the rows, the " +
