@@ -581,11 +581,15 @@ object ExtQueries {
 
   /** The q125/q126 DML script: a fresh versioned table from `documents`
     * (evens), a MERGE of the %3 slice (updates %6==0, inserts odd %3),
-    * a deletion-vector DELETE of the %5 slice, an UPDATE of the %7 slice —
-    * every state transition pure modular set logic, so the oracle derives
-    * the feed and the final read without a log of its own. Memoized per
-    * dataset dir: q125 and q126 share one build per session instead of
-    * running the four commits twice.
+    * a deletion-vector DELETE of the %5 slice, an UPDATE of the %7 slice,
+    * then a CONDITIONAL MERGE of the %11 slice (i34, driven through the
+    * SqlDml Delta grammar: even-n_chars matches update with +1000,
+    * odd-n_chars matches DELETE, odd-n_chars non-matches INSERT — the
+    * clause-dispatch semantics HASH-pinned by the oracle) — every state
+    * transition pure modular set logic, so the oracle derives the feed
+    * and the final read without a log of its own. Memoized per dataset
+    * dir: q125 and q126 share one build per session instead of running
+    * the five commits twice.
     */
   private val dmlCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -607,6 +611,19 @@ object ExtQueries {
     VT.deleteVectors(s, t, col("doc_id") % 5 === 0)              // v2
     VT.update(s, t, col("doc_id") % 7 === 0,
       Map("source" -> lit("seven")))                             // v3
+    // v4: conditional merge through the SQL grammar (merge_delete op)
+    docs.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), lit("eleven").as("source"), col("n_chars"))
+      .createOrReplaceTempView("q125_staged4")
+    graft.sql.SqlDml.run(s,
+      s"""MERGE INTO '$t' AS t USING q125_staged4 AS s ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND t.n_chars % 2 = 0
+         |  THEN UPDATE SET source = s.source, n_chars = t.n_chars + 1000
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED AND s.n_chars % 2 = 1
+         |  THEN INSERT (doc_id, source, n_chars)
+         |       VALUES (s.doc_id, 'ins', s.n_chars)
+         |""".stripMargin)
     t
   }
 
@@ -617,8 +634,9 @@ object ExtQueries {
   private def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
-  /** Shared CTE prefix for q125/q126: the post-merge (s1) and post-delete
-    * (s2) table states as closed forms over `documents`.
+  /** Shared CTE prefix for q125/q126: the post-merge (s1), post-delete
+    * (s2), post-update (s3) table states and the conditional-merge staged
+    * batch (st4) as closed forms over `documents`.
     */
   private val DmlStatesCte =
     """base AS (SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 0),
@@ -626,7 +644,13 @@ object ExtQueries {
          FROM documents WHERE doc_id % 3 = 0),
        s1 AS (SELECT * FROM base WHERE doc_id % 3 <> 0
               UNION ALL SELECT * FROM staged),
-       s2 AS (SELECT * FROM s1 WHERE doc_id % 5 <> 0)"""
+       s2 AS (SELECT * FROM s1 WHERE doc_id % 5 <> 0),
+       s3 AS (SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN 'seven' ELSE source END AS source,
+                     n_chars
+              FROM s2),
+       st4 AS (SELECT doc_id, 'eleven' AS source, n_chars
+               FROM documents WHERE doc_id % 11 = 0)"""
 
   val oracle: Map[String, String] = Map(
     "q125_change_feed" ->
@@ -652,15 +676,34 @@ object ExtQueries {
            UNION ALL
            SELECT doc_id, 'seven', n_chars, 'update_postimage', 3
              FROM s2 WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id, source, n_chars, 'update_preimage', 4
+             FROM s3 WHERE doc_id % 11 = 0 AND n_chars % 2 = 0
+           UNION ALL
+           SELECT doc_id, 'eleven', n_chars + 1000, 'update_postimage', 4
+             FROM s3 WHERE doc_id % 11 = 0 AND n_chars % 2 = 0
+           UNION ALL
+           SELECT doc_id, source, n_chars, 'delete', 4
+             FROM s3 WHERE doc_id % 11 = 0 AND n_chars % 2 = 1
+           UNION ALL
+           SELECT doc_id, 'ins', n_chars, 'insert', 4
+             FROM st4 WHERE doc_id NOT IN (SELECT doc_id FROM s3)
+               AND n_chars % 2 = 1
          )
          ORDER BY commit_version, change_type, doc_id""",
 
     "q126_dv_read" ->
       s"""WITH $DmlStatesCte
-         SELECT doc_id,
-                CASE WHEN doc_id % 7 = 0 THEN 'seven' ELSE source END AS source,
-                n_chars
-         FROM s2 ORDER BY doc_id""",
+         SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 11 = 0 THEN 'eleven' ELSE source END AS source,
+                  CASE WHEN doc_id % 11 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+           FROM s3
+           WHERE doc_id % 11 <> 0 OR n_chars % 2 = 0
+           UNION ALL
+           SELECT doc_id, 'ins', n_chars FROM st4
+           WHERE doc_id NOT IN (SELECT doc_id FROM s3) AND n_chars % 2 = 1
+         ) ORDER BY doc_id""",
 
     "q37_asof_join" ->
       """WITH q AS (SELECT user_id % 5 AS ccy, ts, max(value) AS rate

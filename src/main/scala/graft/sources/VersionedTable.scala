@@ -154,7 +154,7 @@ object VersionedTable {
   private def checkpointPath(table: String, v: Long) =
     new Path(logDir(table), f"$v%020d.checkpoint.json")
 
-  private def fsOf(spark: SparkSession, table: String): FileSystem =
+  private[sources] def fsOf(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Path → table-relative form, byte-identical to what [[writeData]]
@@ -175,7 +175,7 @@ object VersionedTable {
   private def relativize(rootPath: String, p: Path): String =
     p.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
 
-  private def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
+  private[sources] def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
   private def commitVersions(fs: FileSystem, table: String): Seq[Long] =
@@ -305,7 +305,7 @@ object VersionedTable {
     }
   }
 
-  private def addLine(f: AddFile) = obj("add")(fillAdd(_, f))
+  private[sources] def addLine(f: AddFile) = obj("add")(fillAdd(_, f))
 
   private def parseAdd(a: JsonNode): AddFile = {
     val bytes = if (a.has("bytes")) a.get("bytes").asLong() else 0L
@@ -338,7 +338,7 @@ object VersionedTable {
       dv = dv)
   }
 
-  private def removeLine(path: String) = obj("remove")(_.put("path", path))
+  private[sources] def removeLine(path: String) = obj("remove")(_.put("path", path))
   private def metaLine(schemaJson: String, partitionBy: Seq[String] = Nil,
       changeFeed: Boolean = false,
       constraints: Option[Map[String, String]] = None) =
@@ -355,13 +355,13 @@ object VersionedTable {
         cs.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
       }
     }
-  private def txnLine(app: String, batch: Long) =
+  private[sources] def txnLine(app: String, batch: Long) =
     obj("txn") { n => n.put("app", app); n.put("batch", batch) }
   private def vacuumLine(horizon: Long) = obj("vacuum")(_.put("horizon", horizon))
   private def protocolLine(features: Set[String]) =
     obj("protocol") { n =>
       val a = n.putArray("readerFeatures"); features.toSeq.sorted.foreach(a.add) }
-  private def cdcLine(path: String, rows: Long) =
+  private[sources] def cdcLine(path: String, rows: Long) =
     obj("cdc") { n => n.put("path", path); n.put("rows", rows) }
   private def commitLine(op: String, token: String) =
     obj("commit") { n =>
@@ -638,7 +638,7 @@ object VersionedTable {
   private def rawPathOf(fs: FileSystem, table: String, rel: String): String =
     fs.makeQualified(new Path(s"$table/$rel")).toUri.getRawPath
 
-  private def scanFiles(spark: SparkSession, table: String, files: Seq[AddFile],
+  private[sources] def scanFiles(spark: SparkSession, table: String, files: Seq[AddFile],
       schema: StructType, keepMeta: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     import spark.implicits._
@@ -826,7 +826,7 @@ object VersionedTable {
       pred: org.apache.spark.sql.Column, version: Long = -1L): Seq[AddFile] =
     { val s = snapshotAt(spark, table, version); pruneByPred(spark, s, pred) }
 
-  private def pruneByPred(spark: SparkSession, snap: Snapshot,
+  private[sources] def pruneByPred(spark: SparkSession, snap: Snapshot,
       pred: org.apache.spark.sql.Column): Seq[AddFile] = {
     // Resolve the Column against the table schema through the ANALYZED
     // (not optimized — PropagateEmptyRelation would eat the Filter) plan
@@ -848,7 +848,7 @@ object VersionedTable {
   /** One prunable conjunct: op ∈ eq/lt/le/gt/ge/in/isnull/isnotnull;
     * `values` are normalized literal carriers (Long/Double/String).
     */
-  private final case class Pruner(name: String, op: String, values: Seq[Any])
+  private[sources] final case class Pruner(name: String, op: String, values: Seq[Any])
 
   private def splitConjuncts(
       e: org.apache.spark.sql.catalyst.expressions.Expression
@@ -925,7 +925,7 @@ object VersionedTable {
     * → yes. An all-null column chunk (min/max None, nulls ≥ rows>0)
     * excludes every comparison and satisfies only IS NULL.
     */
-  private def mayMatch(f: AddFile, c: Pruner): Boolean = {
+  private[sources] def mayMatch(f: AddFile, c: Pruner): Boolean = {
     if (f.rows == 0) return false
     f.stats.get(c.name) match {
       case None => true
@@ -975,7 +975,7 @@ object VersionedTable {
     * footer open per file, the metadata the read path touches anyway,
     * never a second pass over the data.
     */
-  private def writeData(df: DataFrame, table: String, schema: StructType,
+  private[sources] def writeData(df: DataFrame, table: String, schema: StructType,
       partitionBy: Seq[String] = Nil): Seq[AddFile] = {
     val aligned = align(df, schema)
     val uuid = java.util.UUID.randomUUID().toString.take(12)
@@ -1160,7 +1160,7 @@ object VersionedTable {
     * gold notebooks never re-declare their table): same column SET, same
     * types, any order; a drifted frame fails NAMED, never silently casts.
     */
-  private def align(df: DataFrame, schema: StructType): DataFrame = {
+  private[sources] def align(df: DataFrame, schema: StructType): DataFrame = {
     val want = schema.fields.map(f => f.name -> f.dataType).toMap
     val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
     require(got.keySet == want.keySet,
@@ -1186,7 +1186,7 @@ object VersionedTable {
     * lazy-val re-force, sweeping NEVER re-runs a write job: only dirs
     * already registered are touched).
     */
-  private final class OrphanTracker(spark: SparkSession, table: String) {
+  private[sources] final class OrphanTracker(spark: SparkSession, table: String) {
     private val dirs = scala.collection.mutable.LinkedHashSet.empty[String]
     def track(adds: Seq[AddFile]): Seq[AddFile] = {
       adds.foreach(a => dirs += a.path.split("/")(1)); adds }
@@ -1215,7 +1215,7 @@ object VersionedTable {
     * result counts as a violation (a CHECK must HOLD, not merely
     * not-fail — the Delta semantics).
     */
-  private def writeDataEnforced(df: DataFrame, table: String, schema: StructType,
+  private[sources] def writeDataEnforced(df: DataFrame, table: String, schema: StructType,
       partitionBy: Seq[String], constraints: Map[String, String]): Seq[AddFile] = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when, not}
     if (constraints.isEmpty) return writeData(df, table, schema, partitionBy)
@@ -1230,9 +1230,12 @@ object VersionedTable {
       row.get(n).flatMap(Option(_)).map(_.asInstanceOf[Long]).getOrElse(0L)
     val violated = names.filter(violations(_) > 0L)
     if (violated.nonEmpty) {
-      val fs = fsOf(df.sparkSession, table)
-      adds.map(_.path.split("/")(1)).distinct.foreach { d =>
-        fs.delete(new Path(s"$table/$DataDirName/$d"), true) }
+      // the ONE sweep implementation (r19 advice): route the violating
+      // batch's never-referenced files through OrphanTracker, not an
+      // inline per-op copy that drifts
+      val sweeper = new OrphanTracker(df.sparkSession, table)
+      sweeper.track(adds)
+      sweeper.sweep()
       sys.error(s"versioned table $table: write violates CHECK constraint(s) " +
         violated.map(n => s"$n [${constraints(n)}] (${violations(n)} rows)")
           .mkString(", ") + " — nothing was committed")
@@ -1290,7 +1293,7 @@ object VersionedTable {
     * publish exclusively, retry on loss. `actions` may return None to
     * abandon the commit (the txn-already-committed case).
     */
-  private def commitLoop(spark: SparkSession, table: String, op: String)(
+  private[sources] def commitLoop(spark: SparkSession, table: String, op: String)(
       actions: Option[Snapshot] => Option[Seq[String]]): Option[Long] = {
     val fs = fsOf(spark, table)
     var attempt = 0
@@ -1353,7 +1356,10 @@ object VersionedTable {
     * no-op when already enabled.
     */
   def enableChangeFeed(spark: SparkSession, table: String): Long =
-    commitLoop(spark, table, "append") {
+    // dedicated op (r19 advice): a table-property change must stay
+    // distinguishable from a data append in history() and the feed-face
+    // op dispatch — "property" is a no-op for both faces, like "constraint"
+    commitLoop(spark, table, "property") {
       case None => sys.error(s"no versioned table at $table — create() it first")
       case Some(snap) =>
         if (snap.changeFeed) None
@@ -1518,7 +1524,7 @@ object VersionedTable {
     * the snapshot file set; vacuum retains them while their commit is
     * retained.
     */
-  private def writeCdc(cdcDf: DataFrame, table: String): Seq[(String, Long)] = {
+  private[sources] def writeCdc(cdcDf: DataFrame, table: String): Seq[(String, Long)] = {
     val spark = cdcDf.sparkSession
     val uuid = java.util.UUID.randomUUID().toString.take(12)
     val rel = s"$DataDirName/cdc-$uuid"
@@ -1546,7 +1552,7 @@ object VersionedTable {
     * its publish does not commute and fails NAMED (one definition —
     * per-op copies would silently diverge).
     */
-  private def conflictGuard(spark: SparkSession, table: String,
+  private[sources] def conflictGuard(spark: SparkSession, table: String,
       baseVersion: Long, snapVersion: Long, opName: String): Unit =
     if (snapVersion != baseVersion) {
       val fs = fsOf(spark, table)
@@ -1592,6 +1598,16 @@ object VersionedTable {
     */
   def merge(staged: DataFrame, table: String, keys: Seq[String]): Long =
     txnMerge(staged, table, keys, app = null, batch = 0L).get
+
+  /** Conditional MERGE builder (i34) — full Delta clause semantics
+    * (`whenMatchedUpdate/Delete`, `whenNotMatchedInsert`, first-true
+    * clause dispatch, multiple-match error); see [[MergeIntoBuilder]].
+    * [[merge]] remains the unconditional whole-row-upsert fast path.
+    */
+  def mergeInto(spark: SparkSession, table: String, source: DataFrame,
+      on: org.apache.spark.sql.Column, targetAlias: String = "target",
+      sourceAlias: String = "source"): MergeIntoBuilder =
+    new MergeIntoBuilder(spark, table, source, on, targetAlias, sourceAlias)
 
   /** [[merge]] with the (app, batch) exactly-once contract of
     * [[txnAppend]] — the streaming SCD2 sink's commit (s04 riding i23).
@@ -2284,9 +2300,9 @@ object VersionedTable {
     // appends is exactly the wrong-rows failure the protocol guard exists
     // to prevent; op names are the feed's protocol surface)
     val appendOps = Set("create", "append", "merge", "optimize", "vacuum",
-      "constraint")
+      "constraint", "property")
     val removeOps = Set("overwrite", "overwrite_partitions", "delete",
-      "update", "restore")
+      "update", "restore", "merge_delete")
     val adds = later.flatMap { v =>
       val (nodes, op) = parseCommit(fs, table, v)
       if (removeOps.contains(op))
@@ -2364,7 +2380,7 @@ object VersionedTable {
       op match {
         case "create" | "append" =>
           adds.filter(_.dataChange).foreach(a => plain += ((a.path, v, "insert")))
-        case "merge" | "delete" | "update" =>
+        case "merge" | "merge_delete" | "delete" | "update" =>
           if (cdcs.isEmpty) sys.error(
             s"versioned table $table: commit $v is a $op committed WITHOUT " +
               "change data (the change feed was not enabled then) — its " +
@@ -2373,7 +2389,7 @@ object VersionedTable {
         case "overwrite" | "overwrite_partitions" | "restore" =>
           removes.foreach(p => fileState.get(p).foreach(route(_, "delete")))
           adds.foreach(route(_, "insert"))
-        case "optimize" | "vacuum" | "constraint" => ()
+        case "optimize" | "vacuum" | "constraint" | "property" => ()
         case other => sys.error(
           s"versioned table $table: commit $v has unknown op '$other' — this " +
             "reader cannot serve its changes; upgrade the reader")

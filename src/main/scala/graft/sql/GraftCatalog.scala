@@ -1,0 +1,118 @@
+package graft.sql
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Name → path catalog for versioned tables (i36) — the last spelling gap
+  * with the reference, which addresses its Delta tables by NAME through
+  * the metastore (`hive_metastore.silver.transactions`,
+  * 4_silver/silver_transactions.py:21-52 CREATE DATABASE/TABLE) while
+  * graft statements took path literals only.
+  *
+  * The catalog is a DIRECTORY of one tiny JSON file per table name (the
+  * metastore re-expressed filesystem-native, like the commit log itself):
+  * {{{
+  *   <root>/silver.transactions.json   {"path": "/data/silver/transactions"}
+  * }}}
+  * so it shares whatever filesystem the tables live on — every cluster
+  * node and session resolves the same names, and registration is atomic
+  * per-name via create-if-absent (two CREATEs of one name: one wins, one
+  * fails named — the transactional-DDL contract a metastore gives).
+  *
+  * Root resolution: `spark.graft.catalog.dir` conf when set, else
+  * `<spark.sql.warehouse.dir>/_graft_catalog` (the shared-warehouse
+  * default — names are infrastructure, scoped like Hive's metastore, not
+  * like temp views). Names are dotted identifiers (`db.table`), stored
+  * one file per full name; no hierarchy is imposed beyond the spelling.
+  *
+  * DROP unregisters the NAME only — the table directory and its log are
+  * untouched (external-table semantics: every graft table has an explicit
+  * LOCATION; data lifecycle belongs to VACUUM, not DDL).
+  */
+object GraftCatalog {
+
+  private val NameRe = "[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*"
+
+  def root(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.catalog.dir").getOrElse {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      s"${wh.stripSuffix("/")}/_graft_catalog"
+    }
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def entryPath(spark: SparkSession, name: String): Path = {
+    require(name.matches(NameRe),
+      s"'$name' is not a valid table name (dotted identifiers only)")
+    new Path(root(spark), s"$name.json")
+  }
+
+  /** Register `name` → `path`. Atomic create-if-absent: a second CREATE
+    * of the same name fails named unless `ifNotExists` (then: no-op when
+    * the existing registration points at the SAME path, named failure
+    * when it points elsewhere — IF NOT EXISTS must never silently retarget
+    * a name).
+    */
+  def register(spark: SparkSession, name: String, path: String,
+      ifNotExists: Boolean = false): Unit = {
+    val entry = entryPath(spark, name)
+    val fs = fsOf(spark, entry)
+    fs.mkdirs(entry.getParent)
+    val body =
+      s"""{"path": ${com.fasterxml.jackson.databind.node.TextNode.valueOf(path).toString}}"""
+    try {
+      val out = fs.create(entry, false) // overwrite=false: atomic claim
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case e: java.io.IOException =>
+        resolve(spark, name) match {
+          case Some(existing) if ifNotExists && existing == path => ()
+          case Some(existing) => sys.error(
+            s"table name '$name' is already registered (-> $existing)" +
+              (if (ifNotExists) s" and cannot be re-pointed at $path via IF NOT EXISTS — DROP it first"
+               else " — DROP it first or use IF NOT EXISTS"))
+          case None => throw e
+        }
+    }
+  }
+
+  /** The registered path for `name`, if any. */
+  def resolve(spark: SparkSession, name: String): Option[String] = {
+    val entry = entryPath(spark, name)
+    val fs = fsOf(spark, entry)
+    if (!fs.exists(entry)) None
+    else {
+      val in = fs.open(entry)
+      val text =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      Some(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(text).get("path").asText())
+    }
+  }
+
+  /** Unregister `name`; fails named when absent (unless `ifExists`). */
+  def drop(spark: SparkSession, name: String, ifExists: Boolean = false): Unit = {
+    val entry = entryPath(spark, name)
+    val fs = fsOf(spark, entry)
+    if (!fs.delete(entry, false) && !ifExists)
+      sys.error(s"no graft table named '$name' to drop")
+  }
+
+  /** All registrations as (name, path), name-ordered. */
+  def list(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dir = new Path(root(spark))
+    val fs = fsOf(spark, dir)
+    val rows =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq
+        .map(_.getPath.getName).filter(_.endsWith(".json"))
+        .map(_.stripSuffix(".json")).sorted
+        .flatMap(n => resolve(spark, n).map(p => (n, p)))
+    rows.toDF("name", "path")
+  }
+}

@@ -1,16 +1,18 @@
 package graft.sql
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
 
 import graft.sources.VersionedTable
 
-/** SQL spellings for the versioned-table WRITE path (r19) — the i11
-  * discipline ("every operator SQL-spellable") extended past SELECTs to
-  * the DML the reference runs as Delta SQL: `MERGE INTO`, `DELETE FROM`,
-  * `UPDATE`, `OPTIMIZE … ZORDER BY`, `VACUUM`, `DESCRIBE HISTORY`,
-  * `RESTORE`, and `VERSION/TIMESTAMP AS OF` time travel (reference:
-  * 4_silver/silver_transactions.py:124,153 MERGE INTO;
+/** SQL spellings for the versioned-table WRITE path (r19, widened r20) —
+  * the i11 discipline ("every operator SQL-spellable") extended past
+  * SELECTs to the DML the reference runs as Delta SQL: full-grammar
+  * `MERGE INTO` with conditional clauses, `DELETE FROM`, `UPDATE`,
+  * `OPTIMIZE … ZORDER BY`, `VACUUM`, `DESCRIBE HISTORY`, `RESTORE`,
+  * `VERSION/TIMESTAMP AS OF` time travel, and name-catalog DDL
+  * (reference: 4_silver/silver_transactions.py:124-176 MERGE INTO with
+  * WHEN MATCHED AND …; :21-52 CREATE DATABASE/TABLE;
   * 1_audit/audit_ddl.sql:27 USING DELTA).
   *
   * [[run]] is the single entry point: statements matching the grammar
@@ -23,55 +25,98 @@ import graft.sources.VersionedTable
   * the dialect is interpreted here rather than injected into the parser —
   * the statement TEXT is Delta's public spelling.
   *
-  * Grammar (keywords case-insensitive; `'<path>'` is the table directory
-  * as a quoted string literal; predicates/expressions are Spark SQL
-  * fragments, parsed by Spark itself via `expr`):
+  * Grammar (keywords case-insensitive; `<target>` is either a quoted
+  * path literal `'<dir>'` or a [[GraftCatalog]] table name; predicates /
+  * expressions are Spark SQL fragments, parsed by Spark itself via
+  * `expr`):
   * {{{
-  *   MERGE INTO '<path>' USING <tempView> ON KEYS (k1[, k2…])
-  *   DELETE FROM '<path>' WHERE <pred> [USING DELETION VECTORS]
-  *   UPDATE '<path>' SET c1 = <e1>[, c2 = <e2>…] WHERE <pred>
-  *   OPTIMIZE '<path>' [ZORDER BY (a, b)]
-  *   VACUUM '<path>' [RETAIN <n> VERSIONS]
-  *   DESCRIBE HISTORY '<path>'
-  *   RESTORE TABLE '<path>' TO VERSION AS OF <v>
-  *   TABLE '<path>' [VERSION AS OF <v> | TIMESTAMP AS OF <millis>]
-  *   ALTER TABLE '<path>' ADD CONSTRAINT <name> CHECK (<expr>)
-  *   ALTER TABLE '<path>' DROP CONSTRAINT <name>
+  *   MERGE INTO <target> [AS] t USING <tempView> [AS] s ON <cond>
+  *     WHEN MATCHED [AND <cond>] THEN UPDATE SET c1 = <e1>[, …] | UPDATE SET * | DELETE
+  *     WHEN NOT MATCHED [AND <cond>] THEN INSERT (c1, …) VALUES (<e1>, …) | INSERT *
+  *   MERGE INTO <target> USING <tempView> ON KEYS (k1[, k2…])   -- unconditional upsert
+  *   DELETE FROM <target> WHERE <pred> [USING DELETION VECTORS]
+  *   UPDATE <target> SET c1 = <e1>[, c2 = <e2>…] WHERE <pred> [USING DELETION VECTORS]
+  *   OPTIMIZE <target> [ZORDER BY (a, b)]
+  *   VACUUM <target> [RETAIN <n> VERSIONS | RETAIN <n> HOURS]
+  *   DESCRIBE HISTORY <target>
+  *   RESTORE TABLE <target> TO VERSION AS OF <v>
+  *   TABLE <target> [VERSION AS OF <v> | TIMESTAMP AS OF <millis>]
+  *   ALTER TABLE <target> ADD CONSTRAINT <name> CHECK (<expr>)
+  *   ALTER TABLE <target> DROP CONSTRAINT <name>
+  *   CREATE TABLE [IF NOT EXISTS] <name> [(<colName type, …>)] USING graft
+  *     [PARTITIONED BY (c1, …)] [LOCATION '<dir>']
+  *   DROP TABLE [IF EXISTS] <name>
+  *   SHOW TABLES
   * }}}
   *
   * DML statements return a one-row metrics frame (Delta's convention):
-  * the committed version plus affected-row counts; `TABLE`/`DESCRIBE`
-  * return their data. `USING DELETION VECTORS` picks the i30
-  * merge-on-read delete; without it, DELETE is copy-on-write.
+  * the committed version plus affected-row counts; `TABLE`/`DESCRIBE`/
+  * `SHOW` return their data. `USING DELETION VECTORS` picks the i30
+  * merge-on-read face; without it, DELETE/UPDATE are copy-on-write.
+  * `VACUUM … RETAIN n HOURS` is Delta's public retention spelling: every
+  * version committed within the last n hours stays time-travelable (plus
+  * the state live at the cutoff), and the file grace window is n hours.
+  * A `TABLE <name>` whose name is not in the graft catalog falls through
+  * to `spark.sql` (temp views keep working); graft-only statements on an
+  * unregistered name fail named.
   */
 object SqlDml {
 
-  private val MergeRe =
-    """(?is)\s*MERGE\s+INTO\s+'([^']+)'\s+USING\s+(\S+)\s+ON\s+KEYS\s*\(([^)]+)\)\s*""".r
+  // <target> = quoted path literal or catalog name
+  private val Tgt = """('[^']+'|[A-Za-z_][\w.]*)"""
+
+  private val MergeKeysRe =
+    ("""(?is)\s*MERGE\s+INTO\s+""" + Tgt +
+      """\s+USING\s+(\S+)\s+ON\s+KEYS\s*\(([^)]+)\)\s*""").r
+  private val MergeHeadRe =
+    ("""(?is)\s*MERGE\s+INTO\s+""" + Tgt +
+      """\s+(?:(?:AS\s+)?(?!USING\b)([A-Za-z_]\w*)\s+)?USING\s+([A-Za-z_][\w.]*)""" +
+      """\s+(?:(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*)\s+)?ON\s+(.+)""").r
+  private val MergeAnyRe = """(?is)\s*MERGE\s+INTO\s+.*""".r
   private val DeleteRe =
-    """(?is)\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)(\s+USING\s+DELETION\s+VECTORS)?\s*""".r
+    ("""(?is)\s*DELETE\s+FROM\s+""" + Tgt + """\s+WHERE\s+(.+)""").r
   private val UpdateRe =
-    """(?is)\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s*""".r
-  private val DvSuffixRe =
-    """(?is)^(.*?)(\s+USING\s+DELETION\s+VECTORS)?\s*$""".r
+    ("""(?is)\s*UPDATE\s+""" + Tgt + """\s+SET\s+(.+)""").r
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+'([^']+)'(\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+""" + Tgt +
+      """(\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*""").r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+'([^']+)'(\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*""".r
+    ("""(?is)\s*VACUUM\s+""" + Tgt +
+      """(\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?\s*""").r
   private val HistoryRe =
-    """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*""".r
+    ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + Tgt + """\s*""").r
   private val RestoreRe =
-    """(?is)\s*RESTORE\s+TABLE\s+'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+    ("""(?is)\s*RESTORE\s+TABLE\s+""" + Tgt +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""").r
   private val TableVersionRe =
-    """(?is)\s*TABLE\s+'([^']+)'\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+    ("""(?is)\s*TABLE\s+""" + Tgt + """\s+VERSION\s+AS\s+OF\s+(\d+)\s*""").r
   private val TableTimestampRe =
-    """(?is)\s*TABLE\s+'([^']+)'\s+TIMESTAMP\s+AS\s+OF\s+(\d+)\s*""".r
+    ("""(?is)\s*TABLE\s+""" + Tgt + """\s+TIMESTAMP\s+AS\s+OF\s+(\d+)\s*""").r
   private val TableRe =
-    """(?is)\s*TABLE\s+'([^']+)'\s*""".r
+    ("""(?is)\s*TABLE\s+""" + Tgt + """\s*""").r
   private val AddConstraintRe =
-    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tgt +
+      """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""").r
   private val DropConstraintRe =
-    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tgt + """\s+DROP\s+CONSTRAINT\s+(\w+)\s*""").r
+  private val CreateTableRe =
+    ("""(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*""" +
+      """(?:\((.*)\)\s*)?USING\s+graft""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s*""").r
+  private val DropTableRe =
+    """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*""".r
+  private val ShowTablesRe = """(?is)\s*SHOW\s+TABLES\s*""".r
+
+  /** Quoted path → literal; bare identifier → catalog lookup, named
+    * failure when unregistered (these statements are graft-only — there
+    * is nothing to fall through to).
+    */
+  private def pathOf(spark: SparkSession, token: String): String =
+    if (token.startsWith("'")) token.stripPrefix("'").stripSuffix("'")
+    else GraftCatalog.resolve(spark, token).getOrElse(sys.error(
+      s"no graft table named '$token' — register it with " +
+        "CREATE TABLE … USING graft LOCATION '<dir>'"))
 
   private def metrics(spark: SparkSession, names: Seq[String],
       values: Seq[Long]): DataFrame = {
@@ -80,12 +125,13 @@ object SqlDml {
       values.indices.map(i => s"value[$i] AS `${names(i)}`"): _*)
   }
 
-  /** First TOP-LEVEL, token-bounded occurrence of keyword `kw` — outside
-    * string literals and parens; -1 when absent. A regex split would
-    * backtrack to the LAST occurrence and mis-parse a predicate whose
-    * string literal contains the keyword.
+  /** First TOP-LEVEL, token-bounded occurrence of keyword `kw` at or
+    * after `from` — outside string literals and parens; -1 when absent.
+    * The scan always starts at 0 so the string/paren state at `from` is
+    * correct. A regex split would backtrack to the LAST occurrence and
+    * mis-parse a predicate whose string literal contains the keyword.
     */
-  private[sql] def topLevelKeyword(s: String, kw: String): Int = {
+  private[sql] def topLevelKeyword(s: String, kw: String, from: Int = 0): Int = {
     val upper = s.toUpperCase(java.util.Locale.ROOT)
     var depth = 0
     var inStr = false
@@ -107,7 +153,7 @@ object SqlDml {
           // '_' is a WORD character in SQL identifiers: tax_where_applied
           // must not split at its embedded 'where'
           def word(c: Char) = c == '_' || Character.isLetterOrDigit(c)
-          if (depth == 0 && upper.startsWith(kw, i) &&
+          if (i >= from && depth == 0 && upper.startsWith(kw, i) &&
               (i == 0 || !word(s.charAt(i - 1))) &&
               (i + kw.length >= s.length || !word(s.charAt(i + kw.length))))
             return i
@@ -117,8 +163,8 @@ object SqlDml {
     -1
   }
 
-  /** Split a SET clause on top-level commas (commas inside parens or
-    * string literals belong to the expressions).
+  /** Split a SET clause / column list / VALUES list on top-level commas
+    * (commas inside parens or string literals belong to the expressions).
     */
   private[sql] def splitSet(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -146,8 +192,112 @@ object SqlDml {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Strip the trailing `USING DELETION VECTORS` from a predicate, if
+    * present — via the same string/paren-aware scanner as every other
+    * keyword (r19 verdict: one discipline, not a per-statement regex). A
+    * top-level USING followed by anything else is malformed, named.
+    */
+  private[sql] def splitDvSuffix(pred: String): (String, Boolean) = {
+    val i = topLevelKeyword(pred, "USING")
+    if (i < 0) (pred.trim, false)
+    else {
+      val tail = pred.substring(i + "USING".length)
+      require(tail.matches("""(?is)\s+DELETION\s+VECTORS\s*"""),
+        s"malformed suffix after top-level USING: '${tail.trim}' " +
+          "(expected DELETION VECTORS)")
+      (pred.substring(0, i).trim, true)
+    }
+  }
+
+  /** SET assignments text → (column → expression); LHS may carry the
+    * target alias or backticks.
+    */
+  private def parseAssignments(setClause: String, targetAlias: String)
+      : Map[String, Column] =
+    splitSet(setClause).map { kv =>
+      val eq = kv.indexOf('=')
+      require(eq > 0, s"malformed SET assignment: $kv")
+      val lhs = kv.substring(0, eq).trim
+        .stripPrefix("`").stripSuffix("`")
+      val stripped =
+        if (lhs.toLowerCase.startsWith(targetAlias.toLowerCase + "."))
+          lhs.substring(targetAlias.length + 1)
+        else lhs
+      stripped.stripPrefix("`").stripSuffix("`") -> expr(kv.substring(eq + 1).trim)
+    }.toMap
+
+  // ------------------------------------------- Delta MERGE grammar (i34)
+
+  private val ClauseHeadRe =
+    """(?is)\s*(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s*""".r
+  private val UpdateAllRe = """(?is)\s*UPDATE\s+SET\s+\*\s*""".r
+  private val UpdateSetRe = """(?is)\s*UPDATE\s+SET\s+(.+)""".r
+  private val DeleteActRe = """(?is)\s*DELETE\s*""".r
+  private val InsertAllRe = """(?is)\s*INSERT\s+\*\s*""".r
+  private val InsertRe =
+    """(?is)\s*INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*""".r
+
+  private def runDeltaMerge(spark: SparkSession, stmt: String): DataFrame = {
+    val (tgtTok, tAliasOpt, view, sAliasOpt, tail) = stmt match {
+      case MergeHeadRe(t, ta, v, sa, rest) => (t, Option(ta), v, Option(sa), rest)
+      case _ => sys.error(
+        s"malformed MERGE INTO (expected: MERGE INTO <target> [AS] t USING " +
+          s"<view> [AS] s ON <cond> WHEN …): $stmt")
+    }
+    val tAlias = tAliasOpt.getOrElse("target")
+    val sAlias = sAliasOpt.getOrElse("source")
+    val firstWhen = topLevelKeyword(tail, "WHEN")
+    require(firstWhen > 0, s"MERGE needs at least one WHEN clause: $stmt")
+    val onCond = tail.substring(0, firstWhen).trim
+    // split the clause list on successive top-level WHENs
+    val whenStarts = Iterator.iterate(firstWhen)(i =>
+      topLevelKeyword(tail, "WHEN", i + 4)).takeWhile(_ >= 0).toSeq
+    val clauseTexts = whenStarts.zipAll(whenStarts.drop(1), -1, tail.length)
+      .map { case (a, b) => tail.substring(a + "WHEN".length, b) }
+
+    val path = pathOf(spark, tgtTok)
+    val source = spark.table(view)
+    var b = VersionedTable.mergeInto(spark, path, source, expr(onCond),
+      tAlias, sAlias)
+    clauseTexts.foreach { c =>
+      val thenIdx = topLevelKeyword(c, "THEN")
+      require(thenIdx > 0, s"MERGE clause needs THEN: WHEN $c")
+      val (isNot, cond) = c.substring(0, thenIdx) match {
+        case ClauseHeadRe(not, andCond) =>
+          (not != null, Option(andCond).map(s => expr(s.trim)).orNull)
+        case other => sys.error(s"malformed MERGE clause head: WHEN $other")
+      }
+      val action = c.substring(thenIdx + "THEN".length)
+      (isNot, action) match {
+        case (false, UpdateAllRe()) => b = b.whenMatchedUpdateAll(cond)
+        case (false, UpdateSetRe(assigns)) =>
+          b = b.whenMatchedUpdate(parseAssignments(assigns, tAlias), cond)
+        case (false, DeleteActRe()) => b = b.whenMatchedDelete(cond)
+        case (true, InsertAllRe()) => b = b.whenNotMatchedInsertAll(cond)
+        case (true, InsertRe(cols, vals)) =>
+          val names = splitSet(cols).map(_.stripPrefix("`").stripSuffix("`"))
+          val exprs = splitSet(vals)
+          require(names.length == exprs.length,
+            s"INSERT column/value count mismatch (${names.length} vs " +
+              s"${exprs.length}): WHEN $c")
+          b = b.whenNotMatchedInsert(
+            names.zip(exprs.map(e => expr(e))).toMap, cond)
+        case (false, other) => sys.error(
+          s"WHEN MATCHED supports UPDATE SET …/UPDATE SET */DELETE, got: ${other.trim}")
+        case (true, other) => sys.error(
+          s"WHEN NOT MATCHED supports INSERT (…) VALUES (…)/INSERT *, got: ${other.trim}")
+      }
+    }
+    val r = b.execute()
+    metrics(spark, Seq("version", "rows_updated", "rows_deleted", "rows_inserted"),
+      Seq(r.version, r.rowsUpdated, r.rowsDeleted, r.rowsInserted))
+  }
+
+  // -------------------------------------------------------------- entry
+
   def run(spark: SparkSession, stmt: String): DataFrame = stmt match {
-    case MergeRe(path, view, keyList) =>
+    case MergeKeysRe(tgt, view, keyList) =>
+      val path = pathOf(spark, tgt)
       val keys = keyList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       val staged = spark.table(view)
       // count BEFORE the commit: a view defined over the merge target
@@ -155,60 +305,135 @@ object SqlDml {
       val nStaged = staged.count()
       val v = VersionedTable.merge(staged, path, keys)
       metrics(spark, Seq("version", "rows_staged"), Seq(v, nStaged))
-    case DeleteRe(path, pred, dv) =>
+    case m if MergeAnyRe.pattern.matcher(m).matches() =>
+      runDeltaMerge(spark, m)
+    case DeleteRe(tgt, predAndSuffix) =>
+      val path = pathOf(spark, tgt)
+      val (pred, dv) = splitDvSuffix(predAndSuffix)
       val result =
-        if (dv != null) VersionedTable.deleteVectors(spark, path, expr(pred))
+        if (dv) VersionedTable.deleteVectors(spark, path, expr(pred))
         else VersionedTable.delete(spark, path, expr(pred))
       val (v, n) = result.getOrElse(
         (VersionedTable.latestVersion(spark, path), 0L))
       metrics(spark, Seq("version", "rows_deleted"), Seq(v, n))
-    case UpdateRe(path, tail) =>
+    case UpdateRe(tgt, tail) =>
+      val path = pathOf(spark, tgt)
       val wi = topLevelKeyword(tail, "WHERE")
       require(wi > 0, s"UPDATE needs a top-level WHERE clause: $stmt")
       val setClause = tail.substring(0, wi).trim
-      val (pred, dv) = tail.substring(wi + "WHERE".length) match {
-        case DvSuffixRe(p, suffix) => (p.trim, suffix != null)
-      }
-      val set = splitSet(setClause).map { kv =>
-        val eq = kv.indexOf('=')
-        require(eq > 0, s"malformed SET assignment: $kv")
-        kv.substring(0, eq).trim.stripPrefix("`").stripSuffix("`") ->
-          expr(kv.substring(eq + 1).trim)
-      }.toMap
+      val (pred, dv) = splitDvSuffix(tail.substring(wi + "WHERE".length))
+      val set = parseAssignments(setClause, targetAlias = " none ")
       val result =
         if (dv) VersionedTable.updateVectors(spark, path, expr(pred), set)
         else VersionedTable.update(spark, path, expr(pred), set)
       val (v, n) = result
         .getOrElse((VersionedTable.latestVersion(spark, path), 0L))
       metrics(spark, Seq("version", "rows_updated"), Seq(v, n))
-    case OptimizeRe(path, z, za, zb) =>
+    case OptimizeRe(tgt, z, za, zb) =>
+      val path = pathOf(spark, tgt)
       val v = VersionedTable.optimize(spark, path,
         zorderBy = if (z == null) None else Some((za, zb)))
       metrics(spark, Seq("version", "compacted"),
         Seq(v.getOrElse(VersionedTable.latestVersion(spark, path)),
           if (v.isDefined) 1L else 0L))
-    case VacuumRe(path, r, n) =>
-      val deleted = VersionedTable.vacuum(spark, path,
-        retainVersions = if (r == null) 2 else n.toInt)
+    case VacuumRe(tgt, r, n, unit) =>
+      val path = pathOf(spark, tgt)
+      val deleted =
+        if (r == null) VersionedTable.vacuum(spark, path)
+        else if (unit.equalsIgnoreCase("VERSIONS"))
+          VersionedTable.vacuum(spark, path, retainVersions = n.toInt)
+        else {
+          // Delta's public spelling: keep every version committed within
+          // the last n hours time-travelable (plus the state live AT the
+          // cutoff), and files younger than n hours safe from the sweep
+          val graceMs = n.toLong * 3600L * 1000L
+          val cutoff = System.currentTimeMillis() - graceMs
+          val latest = VersionedTable.latestVersion(spark, path)
+          val atCutoff =
+            try VersionedTable.versionAtTimestamp(spark, path, cutoff)
+            catch { case e: RuntimeException
+              if e.getMessage != null && e.getMessage.contains("no commit at or before") =>
+              0L } // table younger than the window: retain everything
+          VersionedTable.vacuum(spark, path,
+            retainVersions = (latest - atCutoff + 1).toInt, graceMs = graceMs)
+        }
       metrics(spark, Seq("files_deleted"), Seq(deleted.toLong))
-    case HistoryRe(path) =>
-      VersionedTable.history(spark, path)
-    case AddConstraintRe(path, name, check) =>
-      val v = VersionedTable.addConstraint(spark, path, name, check)
+    case HistoryRe(tgt) =>
+      VersionedTable.history(spark, pathOf(spark, tgt))
+    case AddConstraintRe(tgt, name, check) =>
+      val v = VersionedTable.addConstraint(spark, pathOf(spark, tgt), name, check)
       metrics(spark, Seq("version"), Seq(v))
-    case DropConstraintRe(path, name) =>
-      val v = VersionedTable.dropConstraint(spark, path, name)
+    case DropConstraintRe(tgt, name) =>
+      val v = VersionedTable.dropConstraint(spark, pathOf(spark, tgt), name)
       metrics(spark, Seq("version"), Seq(v))
-    case RestoreRe(path, v) =>
+    case RestoreRe(tgt, v) =>
+      val path = pathOf(spark, tgt)
       val nv = VersionedTable.restore(spark, path, v.toLong)
       metrics(spark, Seq("version", "restored_to"), Seq(nv, v.toLong))
-    case TableVersionRe(path, v) =>
-      VersionedTable.readVersion(spark, path, v.toLong)
-    case TableTimestampRe(path, ts) =>
-      VersionedTable.readTimestamp(spark, path, ts.toLong)
-    case TableRe(path) =>
-      VersionedTable.read(spark, path)
+    case TableVersionRe(tgt, v) if resolvable(spark, tgt) =>
+      VersionedTable.readVersion(spark, pathOf(spark, tgt), v.toLong)
+    case TableTimestampRe(tgt, ts) if resolvable(spark, tgt) =>
+      VersionedTable.readTimestamp(spark, pathOf(spark, tgt), ts.toLong)
+    case TableRe(tgt) if resolvable(spark, tgt) =>
+      VersionedTable.read(spark, pathOf(spark, tgt))
+    case CreateTableRe(ifNot, name, colDefs, partBy, location) =>
+      runCreateTable(spark, ifNot != null, name, Option(colDefs),
+        Option(partBy), Option(location))
+    case DropTableRe(ifExists, name)
+        if ifExists != null || GraftCatalog.resolve(spark, name).isDefined =>
+      // unregistered names fall through to spark.sql (Spark-managed
+      // tables keep their own DROP); registered ones unregister here
+      GraftCatalog.drop(spark, name, ifExists = ifExists != null)
+      metrics(spark, Seq("dropped"), Seq(1L))
+    case ShowTablesRe() =>
+      GraftCatalog.list(spark)
     case other =>
       spark.sql(other)
+  }
+
+  /** TABLE statements keep temp views working: a bare name not in the
+    * catalog falls through to `spark.sql` instead of failing.
+    */
+  private def resolvable(spark: SparkSession, tgt: String): Boolean =
+    tgt.startsWith("'") || GraftCatalog.resolve(spark, tgt).isDefined
+
+  /** CREATE TABLE … USING graft (i36): registers `name` → location in the
+    * catalog; when no versioned table exists at the location yet and a
+    * column list is given, creates it EMPTY at version 0 with that schema
+    * (the reference's CREATE TABLE IF NOT EXISTS … USING DELTA shape,
+    * silver_transactions.py:21-52). Registering an EXISTING table
+    * validates the declared columns against its schema, named.
+    * Managed default location: `<warehouse>/graft/<name>`.
+    */
+  private def runCreateTable(spark: SparkSession, ifNotExists: Boolean,
+      name: String, colDefs: Option[String], partBy: Option[String],
+      location: Option[String]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val path = location.getOrElse {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      s"${wh.stripSuffix("/")}/graft/$name"
+    }
+    val declared = colDefs.map(d => StructType.fromDDL(d))
+    if (!VersionedTable.exists(spark, path)) {
+      val schema = declared.getOrElse(sys.error(
+        s"CREATE TABLE $name: no versioned table at $path and no column " +
+          "list to create one — declare (col type, …) or point LOCATION " +
+          "at an existing table"))
+      val parts = partBy.map(splitSet(_).map(_.trim)).getOrElse(Nil)
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      VersionedTable.create(empty, path, partitionBy = parts)
+    } else declared.foreach { d =>
+      val have = VersionedTable.snapshotAt(spark, path).schema
+        .fields.map(f => f.name -> f.dataType).toMap
+      val drift = d.fields.filter(f => !have.get(f.name).contains(f.dataType))
+      require(drift.isEmpty,
+        s"CREATE TABLE $name: declared columns " +
+          s"${drift.map(_.name).mkString(", ")} do not match the existing " +
+          s"table at $path — fix the declaration or drop the column list")
+    }
+    GraftCatalog.register(spark, name, path, ifNotExists)
+    metrics(spark, Seq("version"),
+      Seq(VersionedTable.latestVersion(spark, path)))
   }
 }
