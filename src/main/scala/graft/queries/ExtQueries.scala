@@ -574,7 +574,9 @@ object ExtQueries {
         .orderBy(col("commit_version"), col("change_type"), col("doc_id"))
     },
     "q126_dv_read" -> { (s, d) =>
-      graft.sources.VersionedTable.read(s, dmlScript(s, d))
+      // read THROUGH the registered DataSource (i35) — the oracle gate
+      // drives the batch relation, not just the library API
+      s.read.format("graft-versioned").load(dmlScript(s, d))
         .orderBy(col("doc_id"))
     }
   )

@@ -1,45 +1,76 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.sources.VersionedTable
 
-/** A Structured Streaming SOURCE over the i23 commit log (s36) — the
-  * read face s34's sink and i27's batch hop never had: the reference's
-  * Databricks jobs read Delta tables AS STREAMS (silver → gold is a
-  * streaming read of the silver Delta table), and this is that
-  * capability on graft's own log.
+/** The `graft-versioned` DataSource: a Structured Streaming SOURCE over
+  * the i23 commit log (s36) AND a batch-readable relation (i35) — the two
+  * read faces a Delta user reaches with `spark.read(Stream).format(…)`,
+  * no graft library import needed (the r19 verdict's #2 ask: META-INF
+  * registered only the stream face; batch is Delta's most-used face).
   *
   * {{{
-  *   spark.readStream
-  *     .format("graft-versioned")          // or the provider class name
+  *   // batch — the snapshot, time travel, or the CDF range:
+  *   spark.read.format("graft-versioned").load(table)
+  *     .option("versionAsOf", "3")          // or
+  *     .option("timestampAsOf", "<millis>") // or
+  *     .option("readChangeFeed", "true").option("startingVersion", "0")
+  *       .option("endingVersion", "7")      // optional
+  *
+  *   // streaming:
+  *   spark.readStream.format("graft-versioned")
   *     .option("path", table)
-  *     .option("startingVersion", "0")     // optional; default = snapshot
-  *     .option("readChangeFeed", "true")   // optional CDF face
+  *     .option("startingVersion", "0")      // optional; default = snapshot
+  *     .option("readChangeFeed", "true")    // optional CDF face
+  *     .option("maxVersionsPerBatch", "10") // optional rate limit
   *     .load()
   * }}}
   *
-  * Offsets ARE commit versions: each trigger consumes the commit range
-  * (lastCommitted, latest] via [[VersionedTable.readChangesSince]] (or
-  * [[VersionedTable.readChangeFeed]] with `readChangeFeed=true`), so a
-  * micro-batch is exactly a commit range. Exactly-once on replay is
-  * structural: the engine's own offset log pins the range, and the commit
-  * log is immutable, so re-running `getBatch` over the same range returns
-  * the same rows byte-for-byte — no side state to desynchronize.
+  * BATCH (i35): a DSv1 `RelationProvider` whose relation pushes filter
+  * conjuncts into the log's own i25 stats pruning — `buildScan` translates
+  * the engine-pushed `Filter`s to a predicate, plans ONLY the surviving
+  * files (readWhere), and projects only the required columns, so both
+  * prunings reach the parquet scan. `needConversion=false`: the scan
+  * serves the inner plan's InternalRows directly (vectorized parquet +
+  * codegen stay on), never a per-row conversion. Spark re-applies every
+  * filter above the scan (default `unhandledFilters`), so translation
+  * gaps cost pruning power only, never correctness — the readWhere
+  * stance. Time travel via `versionAsOf`/`timestampAsOf` (exclusive);
+  * `readChangeFeed=true` serves the i29 CDF range (`startingVersion`
+  * required, `endingVersion` optional).
+  *
+  * STREAMING (s36): offsets ARE commit versions — each trigger consumes
+  * the commit range (lastCommitted, latest] via
+  * [[VersionedTable.readChangesSince]] (or [[VersionedTable.readChangeFeed]]
+  * with `readChangeFeed=true`), so a micro-batch is exactly a commit
+  * range. Exactly-once on replay is structural: the engine's own offset
+  * log pins the range, and the commit log is immutable, so re-running
+  * `getBatch` over the same range returns the same rows byte-for-byte —
+  * no side state to desynchronize.
+  *
+  * `maxVersionsPerBatch` (Delta's `maxFilesPerTrigger` discipline, r19
+  * verdict #3): `getOffset` serves at most N commits past the last
+  * planned offset, so a backlog after downtime drains in ⌈backlog/N⌉
+  * bounded micro-batches instead of ONE batch over arbitrarily many
+  * commits — the executor-OOM catch-up shape at 100 TB. The bootstrap
+  * snapshot batch is one offset by construction and is not limited.
   *
   * Bootstrap: with no `startingVersion`, the first batch serves the full
-  * snapshot at the latest version (the Delta streaming-read default);
-  * with one, the first batch serves changes in (startingVersion, latest].
+  * snapshot at the batch's pinned version (NOT "latest" — a commit racing
+  * in mid-trigger belongs to the next batch, or replay would not be
+  * deterministic); with one, the first batch serves changes in
+  * (startingVersion, …].
   *
   * A DML commit in the range makes the APPEND face fail named (the
   * [[VersionedTable.readChangesSince]] contract) — exactly Delta's
-  * behavior for a streaming read over a changed table; the CDF face
-  * (`readChangeFeed=true`) keeps flowing through merge/delete/update/
-  * restore with `_change_type` rows.
+  * behavior for a streaming read over a changed table; the CDF face keeps
+  * flowing through merge/delete/update/restore with `_change_type` rows.
   *
   * Scale: getOffset is one driver-side log listing; getBatch plans only
   * the files its commit range added (never a directory listing), and the
@@ -47,41 +78,197 @@ import graft.sources.VersionedTable
   * compile-time seam DSv1 sources need
   * ([[org.apache.spark.sql.graft.StreamShim]]).
   */
-class VersionedStreamProvider extends StreamSourceProvider with DataSourceRegister {
+class VersionedStreamProvider extends StreamSourceProvider with RelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-versioned"
 
   private def tableOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", parameters.getOrElse("table",
-      sys.error("graft-versioned source needs .option(\"path\", <table>)")))
+      sys.error("graft-versioned source needs .option(\"path\", <table>) " +
+        "or .load(<table>)")))
 
   private def cdfOf(parameters: Map[String, String]): Boolean =
     parameters.get("readChangeFeed").exists(_.toBoolean)
 
+  private def cdfSchema(base: StructType): StructType =
+    base.add(VersionedTable.ChangeTypeCol, "string")
+      .add(VersionedTable.CommitVersionCol, "long")
+
   private def schemaFor(spark: SparkSession, parameters: Map[String, String]): StructType = {
     val base = VersionedTable.snapshotAt(spark, tableOf(parameters)).schema
-    if (!cdfOf(parameters)) base
-    else base.add(VersionedTable.ChangeTypeCol, "string")
-      .add(VersionedTable.CommitVersionCol, "long")
+    if (!cdfOf(parameters)) base else cdfSchema(base)
   }
 
+  // ------------------------------------------------------------- batch
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val table = tableOf(parameters)
+    require(!(parameters.contains("versionAsOf") && parameters.contains("timestampAsOf")),
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    if (cdfOf(parameters)) {
+      val since = parameters.getOrElse("startingVersion", sys.error(
+        "readChangeFeed batch read needs .option(\"startingVersion\", <v>) — " +
+          "the feed is a commit RANGE, not a snapshot")).toLong
+      val until = parameters.get("endingVersion").map(_.toLong).getOrElse(-1L)
+      new VersionedCdfRelation(spark, sqlContext, table, since, until)
+    } else {
+      val version = parameters.get("versionAsOf").map(_.toLong)
+        .orElse(parameters.get("timestampAsOf").map(ts =>
+          VersionedTable.versionAtTimestamp(spark, table, ts.toLong)))
+        .getOrElse(-1L)
+      new VersionedBatchRelation(spark, sqlContext, table, version)
+    }
+  }
+
+  // --------------------------------------------------------- streaming
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schemaFor(sqlContext.sparkSession, parameters))
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val actual = schemaFor(sqlContext.sparkSession, parameters)
+    // a caller-declared schema must not be silently dropped (r19 advice):
+    // the source always plans against the table's own snapshot/CDF schema,
+    // so a divergent declaration would serve differently-shaped rows than
+    // the caller typed against — fail named instead
+    schema.foreach { declared =>
+      require(declared.fields.map(f => (f.name, f.dataType)).toSet ==
+          actual.fields.map(f => (f.name, f.dataType)).toSet,
+        s"graft-versioned source: the declared read schema " +
+          s"${declared.simpleString} does not match the table's " +
+          s"${actual.simpleString} — drop .schema(…) (the source derives it " +
+          "from the log) or align the declaration")
+    }
+    (shortName(), actual)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    val actual = schemaFor(sqlContext.sparkSession, parameters)
+    val maxVersions = parameters.get("maxVersionsPerBatch").map(_.toLong)
+    maxVersions.foreach(n => require(n > 0,
+      s"maxVersionsPerBatch must be positive, got $n"))
     new VersionedSource(sqlContext.sparkSession, tableOf(parameters),
       cdfOf(parameters), parameters.get("startingVersion").map(_.toLong),
-      schemaFor(sqlContext.sparkSession, parameters))
+      actual, maxVersions)
+  }
+}
+
+/** Batch snapshot/time-travel relation (i35): filters prune FILES through
+  * the log stats, required columns prune the parquet read schema, rows
+  * are served as the inner plan's InternalRows (`needConversion=false`).
+  */
+private[graft] class VersionedBatchRelation(spark: SparkSession,
+    override val sqlContext: SQLContext, table: String, version: Long)
+    extends BaseRelation with PrunedFilteredScan {
+
+  // nullable like every file-source read (the inner scan is one): a
+  // non-null logged field still serves through parquet as nullable
+  override val schema: StructType = StructType(
+    VersionedTable.snapshotAt(spark, table, version).schema
+      .fields.map(_.copy(nullable = true)))
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    import org.apache.spark.sql.functions.col
+    val pred = filters.flatMap(VersionedBatchRelation.translate)
+      .reduceOption(_ && _)
+    val base = pred match {
+      case Some(p) => VersionedTable.readWhere(spark, table, p, version)
+      case None => VersionedTable.readVersion(spark, table, version)
+    }
+    VersionedBatchRelation.lastPlannedFiles = pred match {
+      case Some(p) => VersionedTable.survivingFiles(spark, table, p, version).size
+      case None => VersionedTable.snapshotAt(spark, table, version).files.size
+    }
+    val projected =
+      if (requiredColumns.isEmpty) base.select()
+      else base.select(requiredColumns.toSeq.map(col): _*)
+    // needConversion=false contract: serve InternalRows straight from the
+    // inner plan — vectorized parquet + codegen stay on, zero row copies
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}
+
+private[graft] object VersionedBatchRelation {
+  /** Test seam: how many files the LAST buildScan planned (the
+    * observability hook the pruning spec pins — production ignores it).
+    */
+  @volatile private[graft] var lastPlannedFiles: Int = -1
+
+  /** Engine `Filter` → Column predicate; None = untranslatable (the
+    * engine re-applies every filter above the scan, so skipping costs
+    * pruning power only, never rows).
+    */
+  private[graft] def translate(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources
+    f match {
+      case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case sources.In(a, vs) => Some(col(a).isin(vs.toSeq.map(lit): _*))
+      case sources.IsNull(a) => Some(col(a).isNull)
+      case sources.IsNotNull(a) => Some(col(a).isNotNull)
+      case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(col(a).contains(v))
+      case sources.And(l, r) =>
+        (translate(l), translate(r)) match {
+          case (Some(a), Some(b)) => Some(a && b)
+          case (one, other) => one.orElse(other) // half an AND still prunes
+        }
+      case sources.Or(l, r) =>
+        for { a <- translate(l); b <- translate(r) } yield a || b
+      case sources.Not(c) => translate(c).map(!_) // both sides or nothing
+      case _ => None
+    }
+  }
+}
+
+/** Batch CDF-range relation: `readChangeFeed` over (since, until] —
+  * filters are left to the engine (the feed already plans exactly its
+  * range's files; change-type rows are not stats-prunable).
+  */
+private[graft] class VersionedCdfRelation(spark: SparkSession,
+    override val sqlContext: SQLContext, table: String,
+    since: Long, until: Long) extends BaseRelation with PrunedFilteredScan {
+
+  override val schema: StructType =
+    VersionedTable.readChangeFeed(spark, table, since, until).schema
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    import org.apache.spark.sql.functions.col
+    val base = VersionedTable.readChangeFeed(spark, table, since, until)
+    val projected =
+      if (requiredColumns.isEmpty) base.select()
+      else base.select(requiredColumns.toSeq.map(col): _*)
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
 }
 
 private[graft] class VersionedSource(spark: SparkSession, table: String,
-    cdf: Boolean, startingVersion: Option[Long], srcSchema: StructType)
-    extends Source {
+    cdf: Boolean, startingVersion: Option[Long], srcSchema: StructType,
+    maxVersionsPerBatch: Option[Long] = None) extends Source {
 
   override def schema: StructType = srcSchema
+
+  /** The newest version any offset this source emitted (or any batch the
+    * engine planned/replayed) covers — the rate-limit base. On restart
+    * the recovery getBatch seeds it from the checkpointed offset, so the
+    * cap never re-serves planned ground.
+    */
+  private var highestPlanned: Option[Long] = None
 
   private def versionOf(o: OffsetV1): Long = o match {
     case l: LongOffset => l.offset
@@ -89,11 +276,25 @@ private[graft] class VersionedSource(spark: SparkSession, table: String,
     case other => sys.error(s"graft-versioned source got a foreign offset $other")
   }
 
-  override def getOffset: Option[OffsetV1] =
-    Some(LongOffset(VersionedTable.latestVersion(spark, table)))
+  private def notePlanned(v: Long): Unit =
+    highestPlanned = Some(highestPlanned.fold(v)(math.max(_, v)))
+
+  override def getOffset: Option[OffsetV1] = {
+    val latest = VersionedTable.latestVersion(spark, table)
+    val capped = (maxVersionsPerBatch, highestPlanned.orElse(startingVersion)) match {
+      case (Some(n), Some(base)) => math.min(latest, base + n)
+      // bootstrap without startingVersion: the first batch is ONE
+      // snapshot read regardless of how many commits built it — capping
+      // it would serve a stale snapshot for no memory win
+      case _ => latest
+    }
+    notePlanned(capped)
+    Some(LongOffset(capped))
+  }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = versionOf(end)
+    notePlanned(endV)
     val batch = start.map(versionOf).orElse(startingVersion) match {
       case None =>
         // bootstrap: the full snapshot at the batch's pinned version (NOT

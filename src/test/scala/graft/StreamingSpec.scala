@@ -2015,4 +2015,63 @@ class StreamingSpec extends SparkSpec {
         (2L, "b", "delete")), s"got $got")
     } finally q.stop()
   }
+
+  test("versioned source rate limit: maxVersionsPerBatch drains a " +
+      "10-commit backlog in exactly ceil(10/3) bounded batches, " +
+      "exactly-once, append and CDF faces (s36, r20)") {
+    import graft.sources.VersionedTable
+    for (cdfFace <- Seq(false, true)) {
+      val dir = Files.createTempDirectory(s"vtrate$cdfFace").toFile.getAbsolutePath
+      val t = s"$dir/t"
+      VersionedTable.create(Seq((0L, "seed")).toDF("id", "v"), t,
+        changeFeed = cdfFace)
+      // the backlog: 10 commits land while no stream is running
+      (1L to 10L).foreach(i =>
+        VersionedTable.append(Seq((i, s"v$i")).toDF("id", "v"), t))
+      val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format("graft-versioned")
+        .option("path", t)
+        .option("startingVersion", "0")
+        .option("maxVersionsPerBatch", "3")
+        .option("readChangeFeed", cdfFace.toString)
+        .load()
+        .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = df.select("id").collect().map(_.getLong(0))
+          batchSizes.synchronized { batchSizes += ids.length.toLong
+            seen ++= ids }
+          ()
+        }
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      try {
+        q.processAllAvailable()
+        // (0,3](3,6](6,9](9,10]: four batches, never more than 3 commits
+        val nonEmpty = batchSizes.filter(_ > 0)
+        assert(nonEmpty.toSeq == Seq(3L, 3L, 3L, 1L),
+          s"face cdf=$cdfFace: batch sizes ${batchSizes.toSeq}")
+        assert(seen.sorted.toSeq == (1L to 10L).toSeq,
+          s"face cdf=$cdfFace: exactly-once drain, got ${seen.sorted.toSeq}")
+      } finally q.stop()
+    }
+  }
+
+  test("versioned source: a caller-declared schema that diverges from the " +
+      "table fails NAMED instead of being silently dropped (r19 advice)") {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = Files.createTempDirectory("vtschema").toFile.getAbsolutePath
+    val t = s"$dir/t"
+    VersionedTable.create(Seq((1L, "a")).toDF("id", "v"), t)
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-versioned")
+        .schema(StructType(Seq(StructField("wrong", LongType))))
+        .option("path", t).load()
+    }
+    assert(e.getMessage.contains("declared read schema"), e.getMessage)
+    // an EXACT declaration is accepted (harmless spelling of the truth)
+    val ok = spark.readStream.format("graft-versioned")
+      .schema(VersionedTable.snapshotAt(spark, t).schema)
+      .option("path", t).load()
+    assert(ok.isStreaming)
+  }
 }
