@@ -20,7 +20,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * commit):
   * {{{
   *   <table>/_graft_log/00000000000000000000.json   commit 0
-  *   <table>/_graft_log/00000000000000000010.checkpoint.json
+  *   <table>/_graft_log/00000000000000000010.checkpoint.parquet
   *   <table>/data/<commit-uuid>/part-*.parquet      immutable data files
   * }}}
   * A commit file is JSON Lines — `meta` (schema), `add {path, rows}`,
@@ -47,7 +47,8 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * 10⁶-file table costs one log replay (driver, metadata-rate) instead of
   * an object-store LIST storm, and time travel is replay-to-V. Replay
   * cost is bounded by [[checkpointInterval]]: writers roll a full-state
-  * `.checkpoint.json` every N commits and readers start from the latest
+  * `.checkpoint.parquet` every N commits (JSON read fallback for
+  * pre-r20 tables) and readers start from the latest
   * checkpoint ≤ target, so steady-state planning reads ≤ N commit files
   * regardless of table age. [[vacuum]] deletes data files no retained
   * version references and records the horizon in the log; a time travel
@@ -76,6 +77,21 @@ object VersionedTable {
     * data that needs it.
     */
   val SupportedReaderFeatures: Set[String] = Set("deletion-vectors")
+
+  /** Writer features THIS build understands (i23's write-side twin, r20):
+    * a table whose state an old WRITER would silently corrupt — rewriting
+    * DV'd files without folding their deletion vectors, committing DML to
+    * a change-feed table without its cdc sidecars, appending rows past a
+    * CHECK constraint it never evaluated, vacuuming sidecars it doesn't
+    * know are referenced — carries the feature in its protocol state, and
+    * [[commitLoop]] refuses EVERY commit (the one enforcement point all
+    * writers pass through) on a feature not in this set. Reads are never
+    * blocked by writer features: a stale writer fails named while the
+    * same build keeps serving rows. `var` is the spec seam for
+    * simulating a stale writer; production never reassigns it.
+    */
+  private[graft] var SupportedWriterFeatures: Set[String] =
+    Set("deletion-vectors", "change-data-feed", "check-constraints")
 
   /** Wall-clock seam for commit timestamps: production is
     * `System.currentTimeMillis`; specs pin deterministic clocks for the
@@ -140,7 +156,9 @@ object VersionedTable {
       partitionBy: Seq[String] = Nil,
       readerFeatures: Set[String] = Set.empty,
       changeFeed: Boolean = false,
-      constraints: Map[String, String] = Map.empty) {
+      constraints: Map[String, String] = Map.empty,
+      maxCommitTs: Option[Long] = Some(0L),
+      writerFeatures: Set[String] = Set.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
@@ -151,8 +169,11 @@ object VersionedTable {
   private def commitPath(table: String, v: Long) =
     new Path(logDir(table), f"$v%020d.json")
 
-  private def checkpointPath(table: String, v: Long) =
+  private def checkpointJsonPath(table: String, v: Long) =
     new Path(logDir(table), f"$v%020d.checkpoint.json")
+
+  private def checkpointParquetPath(table: String, v: Long) =
+    new Path(logDir(table), f"$v%020d.checkpoint.parquet")
 
   private[sources] def fsOf(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -188,8 +209,14 @@ object VersionedTable {
     val names = fs.listStatus(dir).map(_.getPath.getName)
     val commits = names.collect { case n if n.matches("\\d{20}\\.json") =>
       n.stripSuffix(".json").toLong }.sorted.toSeq
-    val checkpoints = names.collect { case n if n.matches("\\d{20}\\.checkpoint\\.json") =>
-      n.stripSuffix(".checkpoint.json").toLong }.sorted.toSeq
+    // both checkpoint spellings: parquet (r20 writers) and the JSON
+    // legacy format older tables carry — readCheckpoint dispatches per file
+    val checkpoints = names.collect {
+      case n if n.matches("\\d{20}\\.checkpoint\\.json") =>
+        n.stripSuffix(".checkpoint.json").toLong
+      case n if n.matches("\\d{20}\\.checkpoint\\.parquet") =>
+        n.stripSuffix(".checkpoint.parquet").toLong
+    }.distinct.sorted.toSeq
     (commits, checkpoints)
   }
 
@@ -358,9 +385,16 @@ object VersionedTable {
   private[sources] def txnLine(app: String, batch: Long) =
     obj("txn") { n => n.put("app", app); n.put("batch", batch) }
   private def vacuumLine(horizon: Long) = obj("vacuum")(_.put("horizon", horizon))
-  private def protocolLine(features: Set[String]) =
+  private def protocolLine(features: Set[String],
+      writerFeatures: Set[String] = Set.empty) =
     obj("protocol") { n =>
-      val a = n.putArray("readerFeatures"); features.toSeq.sorted.foreach(a.add) }
+      if (features.nonEmpty) {
+        val a = n.putArray("readerFeatures")
+        features.toSeq.sorted.foreach(a.add) }
+      if (writerFeatures.nonEmpty) {
+        val a = n.putArray("writerFeatures")
+        writerFeatures.toSeq.sorted.foreach(a.add) }
+    }
   private[sources] def cdcLine(path: String, rows: Long) =
     obj("cdc") { n => n.put("path", path); n.put("rows", rows) }
   private def commitLine(op: String, token: String) =
@@ -409,6 +443,7 @@ object VersionedTable {
     var horizon = s.vacuumHorizon
     var partitionBy = s.partitionBy
     var features = s.readerFeatures
+    var writerFeatures = s.writerFeatures
     var changeFeed = s.changeFeed
     var constraints = s.constraints
     nodes.foreach { n =>
@@ -438,8 +473,15 @@ object VersionedTable {
         val batch = t.get("batch").asLong()
         txns = txns.updated(app, math.max(batch, txns.getOrElse(app, Long.MinValue)))
       } else if (n.has("protocol")) {
-        val it = n.get("protocol").get("readerFeatures").elements()
-        while (it.hasNext) features += it.next().asText()
+        val p = n.get("protocol")
+        if (p.has("readerFeatures")) {
+          val it = p.get("readerFeatures").elements()
+          while (it.hasNext) features += it.next().asText()
+        }
+        if (p.has("writerFeatures")) {
+          val it = p.get("writerFeatures").elements()
+          while (it.hasNext) writerFeatures += it.next().asText()
+        }
       } else if (n.has("vacuum"))
         // MAX, not last-writer-wins: two concurrent vacuums with different
         // retention both commit; the larger horizon already DELETED files,
@@ -447,11 +489,116 @@ object VersionedTable {
         // time travel onto missing data
         horizon = math.max(horizon, n.get("vacuum").get("horizon").asLong())
     }
+    // running-max commit wall-time (i31/A4): propagated KNOWN (Some) only
+    // while the whole replayed prefix is — a pre-r20 checkpoint without
+    // the field poisons it to None, so timestamp resolution never trusts
+    // an understated bound (unstamped commits fold in as time-zero, the
+    // versionAtTimestamp monotonization)
+    val maxTs = s.maxCommitTs.map(m =>
+      math.max(m, commitTs(nodes).getOrElse(0L)))
     Snapshot(v, schemaJson, files, txns, horizon, partitionBy, features,
-      changeFeed, constraints)
+      changeFeed, constraints, maxTs, writerFeatures)
   }
 
-  private def writeCheckpoint(fs: FileSystem, table: String, s: Snapshot): Unit = {
+  /** The checkpoint parquet schema (r20): one header row with the
+    * table-level state, then one row per live file whose `add` column is
+    * the SAME add-action JSON the commit lines use — one encoding for
+    * adds everywhere (parseAdd reads both), and the parse cost is
+    * row-streamed (Jackson on one small string per file) instead of one
+    * monolithic tree: at 10⁵–10⁶ files the JSON checkpoint's single-tree
+    * parse dominates snapshot construction (the public Delta protocol
+    * made the same JSON→parquet move for the same reason).
+    */
+  private val CheckpointSchema =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message graft_checkpoint {
+        |  optional int64 version;
+        |  optional binary schema (STRING);
+        |  optional int64 horizon;
+        |  optional binary partitionBy (STRING);
+        |  optional binary readerFeatures (STRING);
+        |  optional binary writerFeatures (STRING);
+        |  optional boolean changeFeed;
+        |  optional binary constraints (STRING);
+        |  optional binary txns (STRING);
+        |  optional int64 maxTs;
+        |  optional binary add (STRING);
+        |}""".stripMargin)
+
+  private[sources] def writeCheckpoint(fs: FileSystem, table: String, s: Snapshot): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    // checkpoints are derived state: last-writer-wins is safe (every
+    // writer of version V derives the identical snapshot) — but content
+    // must appear ATOMICALLY (temp + rename; a reader listing the log
+    // mid-write must never parse a half-written checkpoint). On a
+    // no-overwrite filesystem the delete+rename leaves a window with no
+    // checkpoint at V, which readers handle by design (they fall back to
+    // an earlier checkpoint or full replay).
+    val dst = checkpointParquetPath(table, s.version)
+    val tmp = new Path(dst.getParent, s".${dst.getName}.tmp")
+    val conf = fs.getConf
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(tmp, conf))
+      .withConf(conf)
+      .withType(CheckpointSchema)
+      .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+      .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val gf = new SimpleGroupFactory(CheckpointSchema)
+      val header = gf.newGroup()
+      header.add("version", s.version)
+      header.add("schema", s.schemaJson)
+      header.add("horizon", s.vacuumHorizon)
+      if (s.partitionBy.nonEmpty) {
+        val a = mapper.createArrayNode(); s.partitionBy.foreach(a.add)
+        header.add("partitionBy", mapper.writeValueAsString(a))
+      }
+      if (s.readerFeatures.nonEmpty) {
+        val a = mapper.createArrayNode()
+        s.readerFeatures.toSeq.sorted.foreach(a.add)
+        header.add("readerFeatures", mapper.writeValueAsString(a))
+      }
+      if (s.changeFeed) header.add("changeFeed", true)
+      if (s.constraints.nonEmpty) {
+        val o = mapper.createObjectNode()
+        s.constraints.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+        header.add("constraints", mapper.writeValueAsString(o))
+      }
+      if (s.txns.nonEmpty) {
+        val o = mapper.createObjectNode()
+        s.txns.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+        header.add("txns", mapper.writeValueAsString(o))
+      }
+      if (s.writerFeatures.nonEmpty) {
+        val a = mapper.createArrayNode()
+        s.writerFeatures.toSeq.sorted.foreach(a.add)
+        header.add("writerFeatures", mapper.writeValueAsString(a))
+      }
+      // the running-max commit wall-time (A4): recorded only when KNOWN
+      // for the whole prefix, so versionAtTimestamp can start its walk
+      // here instead of at version 0
+      s.maxCommitTs.foreach(header.add("maxTs", _))
+      writer.write(header)
+      // checkpoint file rows carry the FULL add payload (bytes,
+      // partitions, stats, dv) — a replay bounded by the checkpoint must
+      // prune exactly as well as one from the raw commits
+      s.files.foreach { f =>
+        val g = gf.newGroup()
+        g.add("add", addLine(f))
+        writer.write(g)
+      }
+    } finally writer.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
+  }
+
+  /** The LEGACY JSON checkpoint writer — kept (not wired to any write
+    * path) so the fallback reader's contract stays spec-testable against
+    * genuinely old-format files.
+    */
+  private[sources] def writeCheckpointJson(fs: FileSystem, table: String,
+      s: Snapshot): Unit = {
     val root = mapper.createObjectNode()
     root.put("version", s.version)
     root.put("schema", s.schemaJson)
@@ -466,21 +613,11 @@ object VersionedTable {
       val co = root.putObject("constraints")
       s.constraints.toSeq.sortBy(_._1).foreach { case (k, v) => co.put(k, v) }
     }
-    // checkpoint `files` entries carry the FULL add payload (bytes,
-    // partitions, stats) — a replay bounded by the checkpoint must prune
-    // exactly as well as one from the raw commits (verdict ask #2)
     val fa = root.putArray("files")
     s.files.foreach(f => fillAdd(fa.addObject(), f))
     val ta = root.putObject("txns")
     s.txns.foreach { case (app, b) => ta.put(app, b) }
-    // checkpoints are derived state: last-writer-wins is safe (every
-    // writer of version V derives the identical snapshot) — but content
-    // must appear ATOMICALLY (temp + rename; a reader listing the log
-    // mid-write must never parse a half-written checkpoint). On a
-    // no-overwrite filesystem the delete+rename leaves a window with no
-    // checkpoint at V, which readers handle by design (they fall back to
-    // an earlier checkpoint or full replay).
-    val dst = checkpointPath(table, s.version)
+    val dst = checkpointJsonPath(table, s.version)
     val tmp = new Path(dst.getParent, s".${dst.getName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsString(root)
@@ -498,8 +635,82 @@ object VersionedTable {
     try Some(readCheckpoint(fs, table, v))
     catch { case _: java.io.IOException => None }
 
-  private def readCheckpoint(fs: FileSystem, table: String, v: Long): Snapshot = {
-    val n = mapper.readTree(readText(fs, checkpointPath(table, v)))
+  /** Dispatch on the file actually present: parquet (r20 writers) first,
+    * JSON legacy second — old tables keep reading with zero migration.
+    */
+  private[sources] def readCheckpoint(fs: FileSystem, table: String, v: Long): Snapshot =
+    if (fs.exists(checkpointParquetPath(table, v)))
+      readCheckpointParquet(fs, table, v)
+    else readCheckpointJson(fs, table, v)
+
+  private def readCheckpointParquet(fs: FileSystem, table: String, v: Long): Snapshot = {
+    import org.apache.parquet.example.data.Group
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        checkpointParquetPath(table, v))
+      .withConf(fs.getConf).build()
+    try {
+      def has(g: Group, f: String) = g.getFieldRepetitionCount(f) > 0
+      val header = reader.read()
+      require(header != null && has(header, "version"),
+        s"versioned table $table: checkpoint $v has no header row — " +
+          "corrupt checkpoint; delete it to fall back to log replay")
+      val partitionBy =
+        if (!has(header, "partitionBy")) Nil
+        else {
+          val it = mapper.readTree(header.getString("partitionBy", 0)).elements()
+          val b = Seq.newBuilder[String]
+          while (it.hasNext) b += it.next().asText()
+          b.result()
+        }
+      val features =
+        if (!has(header, "readerFeatures")) Set.empty[String]
+        else {
+          val it = mapper.readTree(header.getString("readerFeatures", 0)).elements()
+          val b = Set.newBuilder[String]
+          while (it.hasNext) b += it.next().asText()
+          b.result()
+        }
+      val wFeatures =
+        if (!has(header, "writerFeatures")) Set.empty[String]
+        else {
+          val it = mapper.readTree(header.getString("writerFeatures", 0)).elements()
+          val b = Set.newBuilder[String]
+          while (it.hasNext) b += it.next().asText()
+          b.result()
+        }
+      val constraints =
+        if (!has(header, "constraints")) Map.empty[String, String]
+        else parseStringMap(mapper.readTree(header.getString("constraints", 0)))
+      val txns =
+        if (!has(header, "txns")) Map.empty[String, Long]
+        else {
+          val it = mapper.readTree(header.getString("txns", 0)).fields()
+          val b = Map.newBuilder[String, Long]
+          while (it.hasNext) { val e = it.next()
+            b += (e.getKey -> e.getValue.asLong()) }
+          b.result()
+        }
+      val files = Seq.newBuilder[AddFile]
+      var g = reader.read()
+      while (g != null) {
+        if (has(g, "add"))
+          files += parseAdd(mapper.readTree(g.getString("add", 0)).get("add"))
+        g = reader.read()
+      }
+      Snapshot(header.getLong("version", 0), header.getString("schema", 0),
+        files.result(), txns, header.getLong("horizon", 0), partitionBy,
+        features,
+        changeFeed = has(header, "changeFeed") && header.getBoolean("changeFeed", 0),
+        constraints = constraints,
+        maxCommitTs =
+          if (has(header, "maxTs")) Some(header.getLong("maxTs", 0)) else None,
+        writerFeatures = wFeatures)
+    } finally reader.close()
+  }
+
+  private def readCheckpointJson(fs: FileSystem, table: String, v: Long): Snapshot = {
+    val n = mapper.readTree(readText(fs, checkpointJsonPath(table, v)))
     val files = {
       val it = n.get("files").elements()
       val buf = Seq.newBuilder[AddFile]
@@ -530,7 +741,10 @@ object VersionedTable {
     Snapshot(n.get("version").asLong(), n.get("schema").asText(), files, txns,
       n.get("horizon").asLong(), partitionBy, features,
       changeFeed = n.has("changeFeed") && n.get("changeFeed").asBoolean(),
-      constraints = constraints)
+      constraints = constraints,
+      // legacy format never recorded the running-max commit time: UNKNOWN
+      // (None) — a replay from here must not claim a timestamp bound
+      maxCommitTs = None)
   }
 
   /** Replay the log to `version` (latest when negative). Starts from the
@@ -721,7 +935,7 @@ object VersionedTable {
     */
   def versionAtTimestamp(spark: SparkSession, table: String, tsMillis: Long): Long = {
     val fs = fsOf(spark, table)
-    val vs = commitVersions(fs, table)
+    val (vs, checkpoints) = listLog(fs, table)
     require(vs.nonEmpty, s"no versioned table at $table — create() it first")
     // MONOTONIZED timestamps (the public Delta discipline): commit wall
     // times come from each WRITER's clock, so a slow-clock writer can
@@ -731,16 +945,43 @@ object VersionedTable {
     // keeps resolution consistent with commit order: the answer is the
     // last version whose every predecessor (itself included) was stamped
     // at or before t.
-    var runningTs = 0L
-    val eligible = vs.takeWhile { v =>
+    //
+    // CHECKPOINT-BOUNDED (A4): checkpoints record the running-max commit
+    // time of their whole prefix (`maxTs`), and the running max is
+    // monotone in version — binary-search the newest checkpoint with
+    // maxTs <= t, whose entire prefix is eligible by construction, and
+    // walk only the commits after it: O(log checkpoints) checkpoint reads
+    // + checkpointInterval-bounded commit parses, not O(table age).
+    // A checkpoint without the field (legacy JSON) probes as +infinity —
+    // never trusted, at worst a longer walk, never a wrong prefix claim.
+    val cps = checkpoints.toIndexedSeq
+    def maxTsOf(cv: Long): Long =
+      readCheckpointOpt(fs, table, cv).flatMap(_.maxCommitTs)
+        .getOrElse(Long.MaxValue)
+    var lo = 0
+    var hi = cps.length - 1
+    var base: Option[(Long, Long)] = None // (checkpoint version, its maxTs)
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val m = maxTsOf(cps(mid))
+      if (m <= tsMillis) { base = Some((cps(mid), m)); lo = mid + 1 }
+      else hi = mid - 1
+    }
+    var runningTs = base.map(_._2).getOrElse(0L)
+    var last = base.map(_._1).getOrElse(-1L)
+    val startAfter = last
+    val it = vs.iterator.filter(_ > startAfter)
+    var done = false
+    while (it.hasNext && !done) {
+      val v = it.next()
       runningTs = math.max(runningTs,
         commitTs(parseCommit(fs, table, v)._1).getOrElse(0L))
-      runningTs <= tsMillis
+      if (runningTs <= tsMillis) last = v else done = true
     }
-    require(eligible.nonEmpty,
+    require(last >= 0,
       s"versioned table $table: no commit at or before timestamp $tsMillis — " +
         s"the table's first commit is later; time travel cannot reach before creation")
-    eligible.last
+    last
   }
 
   /** Time travel by wall-time: the table exactly as it stood at
@@ -1272,8 +1513,13 @@ object VersionedTable {
           s"versioned table $table: existing data violates CHECK $name " +
             s"[$checkSql] — e.g. ${bad.headOption.map(_.toString).getOrElse("")}; " +
             "clean the data before constraining it")
-        Some(Seq(metaLine(snap.schemaJson, snap.partitionBy, snap.changeFeed,
-          Some(snap.constraints + (name -> checkSql)))))
+        Some(
+          // writer feature rides the constraining commit: a writer that
+          // wouldn't evaluate CHECKs would land silent violations
+          (if (snap.writerFeatures.contains("check-constraints")) Nil
+           else Seq(protocolLine(Set.empty, Set("check-constraints")))) :+
+            metaLine(snap.schemaJson, snap.partitionBy, snap.changeFeed,
+              Some(snap.constraints + (name -> checkSql))))
     }.get
   }
 
@@ -1300,6 +1546,21 @@ object VersionedTable {
     while (attempt < MaxCommitAttempts) {
       val vs = commitVersions(fs, table)
       val snap = if (vs.isEmpty) None else Some(snapshotAt(spark, table))
+      // the writer-features guard (r20): ONE enforcement point every
+      // writer passes through — a build that doesn't understand table
+      // state it would silently corrupt (DVs it wouldn't fold, cdc
+      // sidecars it wouldn't write, CHECKs it wouldn't evaluate) refuses
+      // to commit ANYTHING, including vacuum (which would sweep sidecars
+      // it can't see as referenced). Reads stay served.
+      snap.foreach { s =>
+        val unsupported = s.writerFeatures -- SupportedWriterFeatures
+        require(unsupported.isEmpty,
+          s"versioned table $table requires writer features " +
+            s"${unsupported.toSeq.sorted.mkString(", ")} this build does not " +
+            s"support (supported: ${SupportedWriterFeatures.toSeq.sorted.mkString(", ")}) — " +
+            "refusing to commit state this writer could silently corrupt; " +
+            "upgrade the writer (reads are unaffected)")
+      }
       actions(snap) match {
         case None => return None
         case Some(lines) =>
@@ -1363,7 +1624,13 @@ object VersionedTable {
       case None => sys.error(s"no versioned table at $table — create() it first")
       case Some(snap) =>
         if (snap.changeFeed) None
-        else Some(Seq(metaLine(snap.schemaJson, snap.partitionBy, changeFeed = true)))
+        else Some(
+          // writer feature rides the enabling commit: from here every DML
+          // must write cdc sidecars, and a writer that wouldn't breaks
+          // the feed — refuse it at commitLoop's guard instead
+          (if (snap.writerFeatures.contains("change-data-feed")) Nil
+           else Seq(protocolLine(Set.empty, Set("change-data-feed")))) :+
+            metaLine(snap.schemaJson, snap.partitionBy, changeFeed = true))
     }.getOrElse(latestVersion(spark, table))
 
   /** Append `df` (schema-enforced) as one commit; returns the version. */
@@ -1905,8 +2172,10 @@ object VersionedTable {
           case Some(snap) =>
             conflictGuard(spark, table, base.version, snap.version, "delete")
             val protocol =
-              if (dvved.isEmpty || snap.readerFeatures.contains("deletion-vectors")) Nil
-              else Seq(protocolLine(Set("deletion-vectors")))
+              if (dvved.isEmpty ||
+                  (snap.readerFeatures.contains("deletion-vectors") &&
+                    snap.writerFeatures.contains("deletion-vectors"))) Nil
+              else Seq(protocolLine(Set("deletion-vectors"), Set("deletion-vectors")))
             Some(protocol ++ hitFiles.map(f => removeLine(f.path)) ++
               dvved.map(f => addLine(f.copy(dataChange = false,
                 dv = Some(DvDesc(dvRel.get, totals(f.path)))))) ++
@@ -2069,8 +2338,10 @@ object VersionedTable {
           case Some(snap) =>
             conflictGuard(spark, table, base.version, snap.version, "update")
             val protocol =
-              if (dvved.isEmpty || snap.readerFeatures.contains("deletion-vectors")) Nil
-              else Seq(protocolLine(Set("deletion-vectors")))
+              if (dvved.isEmpty ||
+                  (snap.readerFeatures.contains("deletion-vectors") &&
+                    snap.writerFeatures.contains("deletion-vectors"))) Nil
+              else Seq(protocolLine(Set("deletion-vectors"), Set("deletion-vectors")))
             Some(protocol ++ hitFiles.map(f => removeLine(f.path)) ++
               dvved.map(f => addLine(f.copy(dataChange = false,
                 dv = Some(DvDesc(dvRel.get, totals(f.path)))))) ++

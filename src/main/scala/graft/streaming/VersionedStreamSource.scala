@@ -220,14 +220,16 @@ private[graft] object VersionedBatchRelation {
       case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
       case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
       case sources.StringContains(a, v) => Some(col(a).contains(v))
+      // EXACT-or-nothing on every composite: a partially-translated AND
+      // is weaker than the original (safe alone) but NEGATING it under a
+      // NOT would yield a STRONGER predicate and silently drop rows —
+      // the engine already hands top-level conjuncts as separate Filters,
+      // so per-element partiality costs nothing
       case sources.And(l, r) =>
-        (translate(l), translate(r)) match {
-          case (Some(a), Some(b)) => Some(a && b)
-          case (one, other) => one.orElse(other) // half an AND still prunes
-        }
+        for { a <- translate(l); b <- translate(r) } yield a && b
       case sources.Or(l, r) =>
         for { a <- translate(l); b <- translate(r) } yield a || b
-      case sources.Not(c) => translate(c).map(!_) // both sides or nothing
+      case sources.Not(c) => translate(c).map(!_)
       case _ => None
     }
   }

@@ -75,6 +75,13 @@ class BatchRelationSpec extends SparkSpec {
     // no predicate: all files, exact count
     assert(spark.read.format("graft-versioned").load(t).count() == 40L)
     assert(VersionedBatchRelation.lastPlannedFiles == 4)
+    // negated / disjunctive predicates stay EXACT through translation
+    assert(spark.read.format("graft-versioned").load(t)
+      .filter(!(col("id") >= 15L && col("id") <= 25L)).count() == 29L)
+    assert(spark.read.format("graft-versioned").load(t)
+      .filter(col("id") < 3L || col("id") > 38L).count() == 4L)
+    assert(spark.read.format("graft-versioned").load(t)
+      .filter(col("v").startsWith("a1") && col("id") <= 19L).count() == 11L)
   }
 
   test("CDF batch read: readChangeFeed + startingVersion/endingVersion == " +

@@ -151,7 +151,7 @@ class VersionedTableSpec extends SparkSpec {
     (1 to 12).foreach { i =>
       VersionedTable.append(Seq((i.toLong, s"r$i")).toDF("id", "v"), t)
     }
-    val ckpt = new Path(s"$t/${VersionedTable.LogDirName}/${"0" * 18}10.checkpoint.json")
+    val ckpt = new Path(s"$t/${VersionedTable.LogDirName}/${"0" * 18}10.checkpoint.parquet")
     assert(fs.exists(ckpt), "checkpoint at version 10 missing")
     val want = (0 to 12).map(i => (i.toLong, s"r$i")).toSet
     assert(rows(VersionedTable.read(spark, t)) == want)
