@@ -31,10 +31,11 @@ import VersionedTable.{AddFile, MetaPosCol, MetaRelCol}
   *  - a matched target row no clause claims passes through UNCHANGED —
   *    and a file none of whose matched rows take any action is untouched
   *    BYTES, not a pointless rewrite;
-  *  - a target row matched by MORE THAN ONE source row fails named when
-  *    any WHEN MATCHED clause exists (Delta's multiple-match error: the
-  *    update/delete would be ambiguous); insert-only merges tolerate
-  *    fan-out (nothing ambiguous — matches are simply not inserted);
+  *  - a target row MODIFIED by more than one source row fails named
+  *    (Delta's multiple-match error: the update/delete would be
+  *    ambiguous); join fan-out every clause leaves alone is legal — the
+  *    row survives once — and insert-only merges tolerate fan-out
+  *    (matches are simply not inserted);
   *  - WHEN NOT MATCHED conditions/values may reference only the source
   *    side (a target reference has no row to bind — fails analysis,
   *    named); unassigned insert columns land as typed NULLs;
@@ -168,7 +169,7 @@ final class MergeIntoBuilder private[sources] (
             Seq(min(col(s)).as(s"__mn_$i"), max(col(s)).as(s"__mx_$i")) }
           val row = src.agg(aggs.head, aggs.tail: _*).collect()(0)
           val pruners = equiPairs.zipWithIndex.flatMap { case ((t, _), i) =>
-            (statCarrier(row.get(2 * i)), statCarrier(row.get(2 * i + 1))) match {
+            (VT.statCarrier(row.get(2 * i)), VT.statCarrier(row.get(2 * i + 1))) match {
               case (Some(mn), Some(mx)) =>
                 Seq(VT.Pruner(t, "ge", Seq(mn)), VT.Pruner(t, "le", Seq(mx)))
               case _ => Nil
@@ -233,13 +234,17 @@ final class MergeIntoBuilder private[sources] (
           }
         try {
           marked.foreach { m =>
-            // Delta's multiple-match error: a fanned-out target row would
-            // be updated/deleted ambiguously (and written twice)
-            val dup = m.groupBy(col(MetaRelCol), col(MetaPosCol)).count()
+            // Delta's multiple-match error — on rows multiple source rows
+            // would actually MODIFY (update/delete), not on mere join
+            // fan-out: a fanned-out row every clause leaves alone is legal
+            // (nothing ambiguous is written), exactly the public Delta
+            // behavior this class claims
+            val dup = m.filter(col(ActCol) =!= Keep)
+              .groupBy(col(MetaRelCol), col(MetaPosCol)).count()
               .filter(col("count") > 1).limit(1).collect()
             require(dup.isEmpty,
-              s"MERGE into $table: a target row matched multiple source rows " +
-                s"(${dup.headOption.map(_.toString).getOrElse("")}) — " +
+              s"MERGE into $table: a target row is modified by multiple " +
+                s"source rows (${dup.headOption.map(_.toString).getOrElse("")}) — " +
                 "the update/delete is ambiguous; dedupe the source on the join keys")
             val counts = m.groupBy(col(ActCol)).count()
               .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -260,7 +265,16 @@ final class MergeIntoBuilder private[sources] (
               val inRewrite = m.join(broadcast(rewriteDf), MetaRelCol)
               val tCols = fields.map(f => col(s"__gf_t_$f").as(f))
               val uCols = fields.map(f => col(s"__gf_u_$f").as(f))
-              val survivors = inRewrite.filter(col(ActCol) === Keep).select(tCols: _*)
+              // survivors = target rows NO source row modified, ONCE each:
+              // join fan-out duplicates keep-rows (dropDuplicates on the
+              // physical row coordinate), and a row one match keeps but
+              // another modifies belongs to the acting side only
+              val actedRows = inRewrite.filter(col(ActCol) =!= Keep)
+                .select(col(MetaRelCol), col(MetaPosCol)).distinct()
+              val survivors = inRewrite.filter(col(ActCol) === Keep)
+                .join(actedRows, Seq(MetaRelCol, MetaPosCol), "left_anti")
+                .dropDuplicates(MetaRelCol, MetaPosCol)
+                .select(tCols: _*)
               survivorAdds = orphans.track(
                 VT.writeData(survivors, table, schema, base.partitionBy))
                 .filter(_.rows > 0).map(_.copy(dataChange = false))
@@ -370,25 +384,6 @@ object MergeIntoBuilder {
     */
   final case class MergeMetrics(version: Long, committed: Boolean,
       rowsUpdated: Long, rowsDeleted: Long, rowsInserted: Long)
-
-  /** Driver-side literal → stats carrier (the writeData normalization). */
-  private def statCarrier(v: Any): Option[Any] = v match {
-    case null => None
-    case x: java.lang.Integer => Some(x.longValue())
-    case x: java.lang.Long => Some(x.longValue())
-    case x: java.lang.Short => Some(x.longValue())
-    case x: java.lang.Byte => Some(x.longValue())
-    case x: java.lang.Float => Some(x.doubleValue())
-    case x: java.lang.Double => Some(x.doubleValue())
-    case x: String => Some(x)
-    case x: java.sql.Date => Some(x.toLocalDate.toEpochDay)
-    case x: java.time.LocalDate => Some(x.toEpochDay)
-    case x: java.sql.Timestamp =>
-      Some(x.getTime * 1000L + (x.getNanos / 1000) % 1000)
-    case x: java.time.Instant =>
-      Some(x.getEpochSecond * 1000000L + x.getNano / 1000)
-    case _ => None
-  }
 
   /** Equi-conjunct pairs (targetCol, sourceCol) of the ANALYZED `on` —
     * resolved against zero-row probes of both schemas so attribute

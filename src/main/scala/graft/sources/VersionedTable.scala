@@ -643,6 +643,28 @@ object VersionedTable {
       readCheckpointParquet(fs, table, v)
     else readCheckpointJson(fs, table, v)
 
+  /** HEADER-ONLY maxTs probe for [[versionAtTimestamp]]'s binary search:
+    * reads the first (header) row and stops — each probe costs the first
+    * page of each column chunk, never the 10⁵ add rows a full
+    * [[readCheckpoint]] would stream and discard. None = legacy JSON
+    * checkpoint or unreadable (refresh window) — never trusted.
+    */
+  private def checkpointMaxTs(fs: FileSystem, table: String, v: Long): Option[Long] =
+    try {
+      if (!fs.exists(checkpointParquetPath(table, v))) None
+      else {
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            checkpointParquetPath(table, v))
+          .withConf(fs.getConf).build()
+        try {
+          val header = reader.read()
+          if (header == null || header.getFieldRepetitionCount("maxTs") == 0) None
+          else Some(header.getLong("maxTs", 0))
+        } finally reader.close()
+      }
+    } catch { case _: java.io.IOException => None }
+
   private def readCheckpointParquet(fs: FileSystem, table: String, v: Long): Snapshot = {
     import org.apache.parquet.example.data.Group
     val reader = org.apache.parquet.hadoop.ParquetReader
@@ -956,8 +978,7 @@ object VersionedTable {
     // never trusted, at worst a longer walk, never a wrong prefix claim.
     val cps = checkpoints.toIndexedSeq
     def maxTsOf(cv: Long): Long =
-      readCheckpointOpt(fs, table, cv).flatMap(_.maxCommitTs)
-        .getOrElse(Long.MaxValue)
+      checkpointMaxTs(fs, table, cv).getOrElse(Long.MaxValue)
     var lo = 0
     var hi = cps.length - 1
     var base: Option[(Long, Long)] = None // (checkpoint version, its maxTs)
@@ -1386,6 +1407,29 @@ object VersionedTable {
                   case o => sys.error(s"non-comparable stat value $o") },
         b match { case l: Long => l.toDouble; case d: Double => d
                   case o => sys.error(s"non-comparable stat value $o") })
+  }
+
+  /** Driver-side value → stats carrier (Long/Double/String, date days,
+    * timestamp micros) — the SAME normalization [[writeData]]'s footer
+    * stats use, shared by both merges' stage-1 key-range pruning. ONE
+    * definition: a carrier type added here prunes identically everywhere.
+    */
+  private[sources] def statCarrier(v: Any): Option[Any] = v match {
+    case null => None
+    case x: java.lang.Integer => Some(x.longValue())
+    case x: java.lang.Long => Some(x.longValue())
+    case x: java.lang.Short => Some(x.longValue())
+    case x: java.lang.Byte => Some(x.longValue())
+    case x: java.lang.Float => Some(x.doubleValue())
+    case x: java.lang.Double => Some(x.doubleValue())
+    case x: String => Some(x)
+    case x: java.sql.Date => Some(x.toLocalDate.toEpochDay)
+    case x: java.time.LocalDate => Some(x.toEpochDay)
+    case x: java.sql.Timestamp =>
+      Some(x.getTime * 1000L + (x.getNanos / 1000) % 1000)
+    case x: java.time.Instant =>
+      Some(x.getEpochSecond * 1000000L + x.getNano / 1000)
+    case _ => None
   }
 
   private def mergeBound(a: Option[Any], b: Option[Any], takeMax: Boolean): Option[Any] =
@@ -1921,22 +1965,7 @@ object VersionedTable {
         keys.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"))).head,
         keys.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"))).tail: _*
       ).collect()(0)
-      def ext(i: Int): Option[Any] = Option(rangeRow.get(i)).flatMap {
-        case v: java.lang.Integer => Some(v.longValue())
-        case v: java.lang.Long => Some(v.longValue())
-        case v: java.lang.Short => Some(v.longValue())
-        case v: java.lang.Byte => Some(v.longValue())
-        case v: java.lang.Float => Some(v.doubleValue())
-        case v: java.lang.Double => Some(v.doubleValue())
-        case v: String => Some(v)
-        case v: java.sql.Date => Some(v.toLocalDate.toEpochDay)
-        case v: java.sql.Timestamp =>
-          Some(v.getTime * 1000L + (v.getNanos / 1000) % 1000)
-        case v: java.time.LocalDate => Some(v.toEpochDay)
-        case v: java.time.Instant =>
-          Some(v.getEpochSecond * 1000000L + v.getNano / 1000)
-        case _ => None
-      }
+      def ext(i: Int): Option[Any] = statCarrier(rangeRow.get(i))
       val rangePruners = keys.zipWithIndex.flatMap { case (k, i) =>
         (ext(2 * i), ext(2 * i + 1)) match {
           case (Some(mn), Some(mx)) =>

@@ -61,20 +61,43 @@ object GraftCatalog {
     fs.mkdirs(entry.getParent)
     val body =
       s"""{"path": ${com.fasterxml.jackson.databind.node.TextNode.valueOf(path).toString}}"""
-    try {
-      val out = fs.create(entry, false) // overwrite=false: atomic claim
-      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    } catch {
-      case e: java.io.IOException =>
-        resolve(spark, name) match {
-          case Some(existing) if ifNotExists && existing == path => ()
-          case Some(existing) => sys.error(
-            s"table name '$name' is already registered (-> $existing)" +
-              (if (ifNotExists) s" and cannot be re-pointed at $path via IF NOT EXISTS — DROP it first"
-               else " — DROP it first or use IF NOT EXISTS"))
-          case None => throw e
+    // ATOMIC content + atomic claim (the commit-log publish discipline):
+    // the body is fully written to an invisible temp, then linked/renamed
+    // with a no-overwrite primitive — a concurrent resolve() can never
+    // read a half-written entry, and a crash mid-register leaves only a
+    // sweepable .tmp, never a permanently poisoned name
+    val tmp = new Path(entry.getParent,
+      s".${entry.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    def renamePublish(): Boolean =
+      if (fs.exists(entry)) false else fs.rename(tmp, entry)
+    val won =
+      if (fs.getUri.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(entry.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException => renamePublish()
+          case _: java.nio.file.FileSystemException if !fs.exists(entry) =>
+            renamePublish()
+          case _: java.io.IOException if fs.exists(entry) => false
         }
+      } else renamePublish()
+    try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+    if (!won) resolve(spark, name) match {
+      case Some(existing) if ifNotExists && existing == path => ()
+      case Some(existing) => sys.error(
+        s"table name '$name' is already registered (-> $existing)" +
+          (if (ifNotExists) s" and cannot be re-pointed at $path via IF NOT EXISTS — DROP it first"
+           else " — DROP it first or use IF NOT EXISTS"))
+      case None => sys.error(
+        s"table name '$name': lost the registration race but the entry " +
+          "vanished (concurrent DROP?) — retry the CREATE")
     }
   }
 

@@ -126,36 +126,43 @@ object SqlDml {
   }
 
   /** First TOP-LEVEL, token-bounded occurrence of keyword `kw` at or
-    * after `from` — outside string literals and parens; -1 when absent.
-    * The scan always starts at 0 so the string/paren state at `from` is
-    * correct. A regex split would backtrack to the LAST occurrence and
-    * mis-parse a predicate whose string literal contains the keyword.
+    * after `from` — outside string literals (single- AND double-quoted:
+    * Spark's default dialect takes both spellings), parens, and
+    * `CASE … END` expressions (whose embedded WHEN/THEN would otherwise
+    * split a MERGE clause mid-CASE); -1 when absent. The scan always
+    * starts at 0 so the string/paren/CASE state at `from` is correct. A
+    * regex split would backtrack to the LAST occurrence and mis-parse a
+    * predicate whose string literal contains the keyword.
     */
   private[sql] def topLevelKeyword(s: String, kw: String, from: Int = 0): Int = {
     val upper = s.toUpperCase(java.util.Locale.ROOT)
     var depth = 0
-    var inStr = false
+    var caseDepth = 0
+    var quote = '\u0000' // the open string delimiter, NUL = not in string
     var i = 0
     while (i < s.length) {
       val ch = s.charAt(i)
-      if (inStr) {
+      if (quote != '\u0000') {
         // Spark's default literals accept backslash escapes: \' must not
         // toggle the string state (or the REAL closing quote re-opens it
         // and a genuine top-level keyword scans as in-string)
         if (ch == '\\') i += 1
-        else if (ch == '\'') inStr = false
+        else if (ch == quote) quote = '\u0000'
       }
       else ch match {
-        case '\'' => inStr = true
+        case '\'' | '"' => quote = ch
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
           // '_' is a WORD character in SQL identifiers: tax_where_applied
           // must not split at its embedded 'where'
           def word(c: Char) = c == '_' || Character.isLetterOrDigit(c)
-          if (i >= from && depth == 0 && upper.startsWith(kw, i) &&
-              (i == 0 || !word(s.charAt(i - 1))) &&
-              (i + kw.length >= s.length || !word(s.charAt(i + kw.length))))
+          def tokenAt(t: String): Boolean =
+            upper.startsWith(t, i) && (i == 0 || !word(s.charAt(i - 1))) &&
+              (i + t.length >= s.length || !word(s.charAt(i + t.length)))
+          if (tokenAt("CASE")) caseDepth += 1
+          else if (caseDepth > 0 && tokenAt("END")) caseDepth -= 1
+          else if (i >= from && depth == 0 && caseDepth == 0 && tokenAt(kw))
             return i
       }
       i += 1
@@ -169,17 +176,17 @@ object SqlDml {
   private[sql] def splitSet(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
-    var inStr = false
+    var quote = '\u0000'
     var start = 0
     var i = 0
     while (i < s.length) {
       val ch = s.charAt(i)
-      if (inStr) {
+      if (quote != '\u0000') {
         if (ch == '\\') i += 1 // escaped char (incl. \') stays in-string
-        else if (ch == '\'') inStr = false
+        else if (ch == quote) quote = '\u0000'
       }
       else ch match {
-        case '\'' => inStr = true
+        case '\'' | '"' => quote = ch
         case '(' => depth += 1
         case ')' => depth -= 1
         case ',' if depth == 0 =>
@@ -210,19 +217,20 @@ object SqlDml {
   }
 
   /** SET assignments text → (column → expression); LHS may carry the
-    * target alias or backticks.
+    * target alias (None = no alias in scope, plain UPDATE) or backticks.
     */
-  private def parseAssignments(setClause: String, targetAlias: String)
+  private def parseAssignments(setClause: String, targetAlias: Option[String])
       : Map[String, Column] =
     splitSet(setClause).map { kv =>
       val eq = kv.indexOf('=')
       require(eq > 0, s"malformed SET assignment: $kv")
       val lhs = kv.substring(0, eq).trim
         .stripPrefix("`").stripSuffix("`")
-      val stripped =
-        if (lhs.toLowerCase.startsWith(targetAlias.toLowerCase + "."))
-          lhs.substring(targetAlias.length + 1)
-        else lhs
+      val stripped = targetAlias match {
+        case Some(a) if lhs.toLowerCase.startsWith(a.toLowerCase + ".") =>
+          lhs.substring(a.length + 1)
+        case _ => lhs
+      }
       stripped.stripPrefix("`").stripSuffix("`") -> expr(kv.substring(eq + 1).trim)
     }.toMap
 
@@ -271,7 +279,7 @@ object SqlDml {
       (isNot, action) match {
         case (false, UpdateAllRe()) => b = b.whenMatchedUpdateAll(cond)
         case (false, UpdateSetRe(assigns)) =>
-          b = b.whenMatchedUpdate(parseAssignments(assigns, tAlias), cond)
+          b = b.whenMatchedUpdate(parseAssignments(assigns, Some(tAlias)), cond)
         case (false, DeleteActRe()) => b = b.whenMatchedDelete(cond)
         case (true, InsertAllRe()) => b = b.whenNotMatchedInsertAll(cond)
         case (true, InsertRe(cols, vals)) =>
@@ -322,7 +330,7 @@ object SqlDml {
       require(wi > 0, s"UPDATE needs a top-level WHERE clause: $stmt")
       val setClause = tail.substring(0, wi).trim
       val (pred, dv) = splitDvSuffix(tail.substring(wi + "WHERE".length))
-      val set = parseAssignments(setClause, targetAlias = " none ")
+      val set = parseAssignments(setClause, targetAlias = None)
       val result =
         if (dv) VersionedTable.updateVectors(spark, path, expr(pred), set)
         else VersionedTable.update(spark, path, expr(pred), set)
@@ -379,11 +387,12 @@ object SqlDml {
     case CreateTableRe(ifNot, name, colDefs, partBy, location) =>
       runCreateTable(spark, ifNot != null, name, Option(colDefs),
         Option(partBy), Option(location))
-    case DropTableRe(ifExists, name)
-        if ifExists != null || GraftCatalog.resolve(spark, name).isDefined =>
-      // unregistered names fall through to spark.sql (Spark-managed
-      // tables keep their own DROP); registered ones unregister here
-      GraftCatalog.drop(spark, name, ifExists = ifExists != null)
+    case DropTableRe(_, name)
+        if GraftCatalog.resolve(spark, name).isDefined =>
+      // REGISTERED names unregister here; anything else — including
+      // DROP TABLE IF EXISTS on a Spark-managed/temp table — falls
+      // through to spark.sql, which owns those drops
+      GraftCatalog.drop(spark, name)
       metrics(spark, Seq("dropped"), Seq(1L))
     case ShowTablesRe() =>
       GraftCatalog.list(spark)

@@ -181,10 +181,13 @@ private[graft] class VersionedBatchRelation(spark: SparkSession,
       case Some(p) => VersionedTable.readWhere(spark, table, p, version)
       case None => VersionedTable.readVersion(spark, table, version)
     }
-    VersionedBatchRelation.lastPlannedFiles = pred match {
-      case Some(p) => VersionedTable.survivingFiles(spark, table, p, version).size
-      case None => VersionedTable.snapshotAt(spark, table, version).files.size
-    }
+    // seam is OPT-IN (spec sets the flag): production scans must not pay
+    // a second log replay + pruning pass just to record a test counter
+    if (VersionedBatchRelation.trackPlannedFiles)
+      VersionedBatchRelation.lastPlannedFiles = pred match {
+        case Some(p) => VersionedTable.survivingFiles(spark, table, p, version).size
+        case None => VersionedTable.snapshotAt(spark, table, version).files.size
+      }
     val projected =
       if (requiredColumns.isEmpty) base.select()
       else base.select(requiredColumns.toSeq.map(col): _*)
@@ -196,9 +199,12 @@ private[graft] class VersionedBatchRelation(spark: SparkSession,
 
 private[graft] object VersionedBatchRelation {
   /** Test seam: how many files the LAST buildScan planned (the
-    * observability hook the pruning spec pins — production ignores it).
+    * observability hook the pruning spec pins). OPT-IN via
+    * [[trackPlannedFiles]] — computing it costs a second driver-side
+    * prune pass production must not pay.
     */
   @volatile private[graft] var lastPlannedFiles: Int = -1
+  @volatile private[graft] var trackPlannedFiles: Boolean = false
 
   /** Engine `Filter` → Column predicate; None = untranslatable (the
     * engine re-applies every filter above the scan, so skipping costs
@@ -243,8 +249,14 @@ private[graft] class VersionedCdfRelation(spark: SparkSession,
     override val sqlContext: SQLContext, table: String,
     since: Long, until: Long) extends BaseRelation with PrunedFilteredScan {
 
-  override val schema: StructType =
-    VersionedTable.readChangeFeed(spark, table, since, until).schema
+  // metadata-rate: the CDF shape is the snapshot schema + the two change
+  // columns — deriving it by PLANNING the whole feed would walk every
+  // commit in the range at relation construction just to read names
+  override val schema: StructType = StructType(
+    VersionedTable.snapshotAt(spark, table).schema
+      .add(VersionedTable.ChangeTypeCol, "string")
+      .add(VersionedTable.CommitVersionCol, "long")
+      .fields.map(_.copy(nullable = true)))
 
   override def needConversion: Boolean = false
 

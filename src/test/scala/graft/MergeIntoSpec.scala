@@ -91,8 +91,9 @@ class MergeIntoSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(spark, t) == v1 + 1)
   }
 
-  test("a target row matched by multiple source rows fails NAMED when a " +
-      "matched clause exists; insert-only merges tolerate fan-out") {
+  test("a target row MODIFIED by multiple source rows fails NAMED; " +
+      "fan-out no clause claims is legal (row survives once); insert-only " +
+      "merges tolerate fan-out") {
     val t = tmpTable("dup")
     VersionedTable.create(Seq((1L, "a", 1.0)).toDF("id", "v", "amt"), t)
     val fanned = Seq((1L, "x", 1.0), (1L, "y", 2.0), (7L, "n", 7.0))
@@ -101,12 +102,25 @@ class MergeIntoSpec extends SparkSpec {
       VersionedTable.mergeInto(spark, t, fanned, expr("t.id = s.id"), "t", "s")
         .whenMatchedUpdateAll().execute()
     }
-    assert(e.getMessage.contains("multiple source rows"), e.getMessage)
+    assert(e.getMessage.contains("multiple"), e.getMessage)
     assert(VersionedTable.latestVersion(spark, t) == 0L, "nothing committed")
+    // fan-out where the clause condition excludes EVERY match: legal
+    // (Delta only errors on ambiguous MODIFICATION) — and no commit,
+    // since nothing acted
+    val r0 = VersionedTable.mergeInto(spark, t, fanned, expr("t.id = s.id"), "t", "s")
+      .whenMatchedUpdateAll(condition = expr("s.amt > 100.0")).execute()
+    assert(!r0.committed && state(t) == Set((1L, "a", 1.0)))
+    // fan-out where exactly ONE match acts: the acting row wins, the
+    // keep-side copy must NOT double the target row
+    val r1 = VersionedTable.mergeInto(spark, t, fanned, expr("t.id = s.id"), "t", "s")
+      .whenMatchedUpdate(Map("v" -> expr("s.v")), condition = expr("s.amt = 2.0"))
+      .execute()
+    assert(r1.rowsUpdated == 1 && state(t) == Set((1L, "y", 1.0)))
     // insert-only: the fan-out rows are simply matched (not inserted)
     val r = VersionedTable.mergeInto(spark, t, fanned, expr("t.id = s.id"), "t", "s")
       .whenNotMatchedInsertAll().execute()
-    assert(r.rowsInserted == 1 && state(t) == Set((1L, "a", 1.0), (7L, "n", 7.0)))
+    assert(r.rowsInserted == 1 &&
+      state(t) == Set((1L, "y", 1.0), (7L, "n", 7.0)))
   }
 
   test("NULL join keys never match: target survives, source inserts") {
@@ -243,6 +257,36 @@ class MergeIntoSpec extends SparkSpec {
     // the pre-r20 unconditional spelling still works
     val r2 = SqlDml.run(spark, s"MERGE INTO '$t' USING mi_stg ON KEYS (id)")
     assert(r2.columns.toSeq == Seq("version", "rows_staged"))
+
+    // an UNPARENTHESIZED CASE expression in a SET / clause condition:
+    // the scanner must not split at the CASE's embedded WHEN/THEN
+    val r3 = SqlDml.run(spark,
+      s"""MERGE INTO '$t' AS t USING mi_stg AS s ON t.id = s.id
+         |WHEN MATCHED AND CASE WHEN s.amt > 4.0 THEN true ELSE false END
+         |  THEN UPDATE SET amt = CASE WHEN s.amt > 4.0 THEN s.amt + 0.5 ELSE t.amt END
+         |""".stripMargin)
+    assert(r3.head().getLong(1) == 1L, "CASE-guarded update must act once")
+    assert(VersionedTable.read(spark, t).filter(col("id") === 1L)
+      .select("amt").head().getDouble(0) == 5.5)
+
+    // double-quoted string literals shield keywords too (Spark's default
+    // dialect accepts both quote spellings)
+    SqlDml.run(spark,
+      s"""UPDATE '$t' SET v = "x WHERE USING y" WHERE id = 2""")
+    assert(VersionedTable.read(spark, t).filter(col("id") === 2L)
+      .select("v").head().getString(0) == "x WHERE USING y")
+  }
+
+  test("DROP TABLE IF EXISTS on a non-catalog name falls through to " +
+      "spark.sql (Spark-managed tables keep their own DROP)") {
+    // a temp view dropped through SqlDml must reach Spark's catalog, and
+    // a nonexistent name must no-op exactly as spark.sql would
+    import spark.implicits._
+    Seq((1, 2)).toDF("a", "b").createOrReplaceTempView("drop_me_view")
+    SqlDml.run(spark, "DROP VIEW IF EXISTS drop_me_view")
+    assert(!spark.catalog.tableExists("drop_me_view"))
+    // DROP TABLE IF EXISTS of a name in NEITHER catalog: spark.sql no-ops
+    SqlDml.run(spark, "DROP TABLE IF EXISTS never_existed_anywhere")
   }
 
   test("name catalog (i36): CREATE TABLE USING graft / resolution in " +
