@@ -440,6 +440,21 @@ object ScaleBench {
       graft.sources.VersionedTable.create(docs, t)
       graft.sources.VersionedTable.deleteVectors(s, t,
         pmod(hash(col("doc_id")), lit(100)) === 0)
+      // r20: a CONDITIONAL merge over a ~2% random slice — clause
+      // dispatch, cardinality check and the survivor/update/delete split
+      // all ride ONE checkpointed join over the matched files; the slice
+      // is id-range-wide so (worst case for stage-1 pruning) every file
+      // holds matches and the rewrite is corpus-linear, never quadratic
+      val staged = docs
+        .filter(pmod(hash(col("doc_id")), lit(50)) === 1)
+        .select(col("doc_id"),
+          concat(col("text"), lit("!")).as("text"))
+      graft.sources.VersionedTable
+        .mergeInto(s, t, staged, expr("t.doc_id = s.doc_id"), "t", "s")
+        .whenMatchedUpdate(Map("text" -> expr("s.text")),
+          condition = expr("length(s.text) % 2 = 0"))
+        .whenMatchedDelete(condition = expr("length(s.text) % 2 = 1"))
+        .execute()
       graft.sources.VersionedTable.read(s, t)
         .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("t"))
     })
