@@ -74,6 +74,7 @@ final class MergeIntoBuilder private[sources] (
 
   private var matched = Vector.empty[MatchedClause]
   private var notMatched = Vector.empty[InsertClause]
+  private var bySource = Vector.empty[MatchedClause]
 
   /** WHEN MATCHED [AND condition] THEN UPDATE SET … — `set` maps target
     * column name → expression over both aliases; unnamed columns keep
@@ -97,6 +98,23 @@ final class MergeIntoBuilder private[sources] (
     matched :+= MatchedClause(Option(condition), Some(Map.empty)); this
   }
 
+  /** WHEN NOT MATCHED BY SOURCE [AND condition] THEN UPDATE SET … —
+    * target rows with NO source match (Delta's sync-to-source face, e.g.
+    * "expire everything the feed stopped sending"). `set`/`condition`
+    * should reference the target alias only; source columns evaluate as
+    * NULL for these rows (there is no source row to bind).
+    */
+  def whenNotMatchedBySourceUpdate(set: Map[String, Column],
+      condition: Column = null): this.type = {
+    require(set.nonEmpty, "UPDATE SET needs at least one assignment")
+    bySource :+= MatchedClause(Option(condition), Some(set)); this
+  }
+
+  /** WHEN NOT MATCHED BY SOURCE [AND condition] THEN DELETE. */
+  def whenNotMatchedBySourceDelete(condition: Column = null): this.type = {
+    bySource :+= MatchedClause(Option(condition), Some(Map.empty)); this
+  }
+
   /** WHEN NOT MATCHED [AND condition] THEN INSERT (cols) VALUES (…) —
     * `values` maps target column name → source-side expression;
     * unassigned columns insert as typed NULLs.
@@ -116,7 +134,7 @@ final class MergeIntoBuilder private[sources] (
 
   def execute(): MergeMetrics = {
     val VT = VersionedTable
-    require(matched.nonEmpty || notMatched.nonEmpty,
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
     val base = VT.snapshotAt(spark, table)
     val schema = base.schema
@@ -134,6 +152,14 @@ final class MergeIntoBuilder private[sources] (
         require(missing.isEmpty,
           s"MERGE UPDATE SET * needs every table column on the source; " +
             s"missing: ${missing.mkString(", ")}")
+      case _ => ()
+    }
+    bySource.foreach {
+      case MatchedClause(_, Some(set)) if set.nonEmpty =>
+        val bad = set.keys.filterNot(fields.contains)
+        require(bad.isEmpty,
+          s"MERGE NOT MATCHED BY SOURCE UPDATE SET targets absent columns: " +
+            bad.mkString(", "))
       case _ => ()
     }
     notMatched.foreach {
@@ -183,7 +209,12 @@ final class MergeIntoBuilder private[sources] (
         // ---- stage 2: one checkpointed join over files holding matches
         val srcTagged = src.withColumn(MatchTag, lit(true)).alias(sourceAlias)
         val hitFiles: Seq[AddFile] =
-          if (matched.isEmpty || candidates.isEmpty) Nil
+          // NOT MATCHED BY SOURCE clauses can act on ANY target row, so
+          // their presence widens the scan to the whole table (the
+          // Delta-documented cost of the sync-to-source shape); matched
+          // clauses alone keep the bounded semi-join discovery
+          if (bySource.nonEmpty) base.files
+          else if (matched.isEmpty || candidates.isEmpty) Nil
           else {
             val keyScan = VT.scanFiles(spark, table, candidates, schema,
               keepMeta = true).alias(targetAlias)
@@ -205,26 +236,36 @@ final class MergeIntoBuilder private[sources] (
               keepMeta = true).alias(targetAlias)
             val joined = tScan.join(srcTagged, on, "left_outer")
             val isMatch = col(MatchTag).isNotNull
-            // first-true-clause dispatch; unmatched / unclaimed = Keep
+            // first-true-clause dispatch; unclaimed = Keep. Matched rows
+            // run the WHEN MATCHED chain, unmatched rows the NOT MATCHED
+            // BY SOURCE chain (source columns are NULL there — no row)
             val act = matched.zipWithIndex.reverse.foldLeft(lit(Keep)) {
               case (rest, (c, i)) =>
                 when(c.condition.getOrElse(lit(true)), lit(actName(c, i)))
+                  .otherwise(rest)
+            }
+            val actBySource = bySource.zipWithIndex.reverse.foldLeft(lit(Keep)) {
+              case (rest, (c, i)) =>
+                when(c.condition.getOrElse(lit(true)), lit(bySourceActName(c, i)))
                   .otherwise(rest)
             }
             // post-image values for every field, dispatched on the SAME
             // action column (computed BEFORE the checkpoint collapses the
             // aliases — duplicate names become unambiguous __gf_ columns)
             val updIdx = matched.zipWithIndex.filter(_._1.isUpdate)
+              .map { case (c, i) => (c, actName(c, i)) } ++
+              bySource.zipWithIndex.filter(_._1.isUpdate)
+                .map { case (c, i) => (c, bySourceActName(c, i)) }
             val postCols = fields.map { f =>
               updIdx.reverse.foldLeft(col(s"$targetAlias.$f")) {
-                case (rest, (c, i)) =>
-                  when(col(ActCol) === actName(c, i),
+                case (rest, (c, a)) =>
+                  when(col(ActCol) === a,
                     setOf(c).getOrElse(f, col(s"$targetAlias.$f"))).otherwise(rest)
               }.as(s"__gf_u_$f")
             }
             val proj = joined
               .withColumn(ActCol,
-                when(isMatch, act).otherwise(lit(Keep)))
+                when(isMatch, act).otherwise(actBySource))
               .select(Seq(col(s"$targetAlias.$MetaRelCol").as(MetaRelCol),
                 col(s"$targetAlias.$MetaPosCol").as(MetaPosCol),
                 col(ActCol)) ++
@@ -249,9 +290,13 @@ final class MergeIntoBuilder private[sources] (
             val counts = m.groupBy(col(ActCol)).count()
               .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
             val updActs = matched.zipWithIndex.filter(_._1.isUpdate)
-              .map { case (c, i) => actName(c, i) }
+              .map { case (c, i) => actName(c, i) } ++
+              bySource.zipWithIndex.filter(_._1.isUpdate)
+                .map { case (c, i) => bySourceActName(c, i) }
             val delActs = matched.zipWithIndex.filter(_._1.isDelete)
-              .map { case (c, i) => actName(c, i) }
+              .map { case (c, i) => actName(c, i) } ++
+              bySource.zipWithIndex.filter(_._1.isDelete)
+                .map { case (c, i) => bySourceActName(c, i) }
             nUpdated = updActs.map(counts.getOrElse(_, 0L)).sum
             nDeleted = delActs.map(counts.getOrElse(_, 0L)).sum
             if (nUpdated + nDeleted > 0) {
@@ -377,6 +422,9 @@ object MergeIntoBuilder {
 
   private def actName(c: MatchedClause, i: Int): String =
     if (c.isDelete) s"d$i" else s"u$i"
+
+  private def bySourceActName(c: MatchedClause, i: Int): String =
+    if (c.isDelete) s"sd$i" else s"su$i"
 
   /** MERGE metrics (Delta's operationMetrics shape): `version` is the
     * committed version, or the unchanged base version when `committed`

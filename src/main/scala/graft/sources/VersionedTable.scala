@@ -628,12 +628,18 @@ object VersionedTable {
   }
 
   /** [[readCheckpoint]] tolerating the no-overwrite refresh window (the
-    * checkpoint is briefly absent between delete and rename): None means
-    * "use an older checkpoint or replay", never a crash.
+    * checkpoint is briefly absent between delete and rename) AND any
+    * decode failure: checkpoints are DERIVED state, so None — "use an
+    * older checkpoint or replay the raw commits" — is always correct and
+    * self-healing, where surfacing a corrupt-checkpoint crash would brick
+    * reads the commit log can still serve. NonFatal, not just
+    * IOException: the JSON reader's parse failures were IOExceptions but
+    * parquet decode errors are RuntimeExceptions, and the fallback
+    * contract must not depend on the format's exception taxonomy.
     */
   private def readCheckpointOpt(fs: FileSystem, table: String, v: Long): Option[Snapshot] =
     try Some(readCheckpoint(fs, table, v))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Dispatch on the file actually present: parquet (r20 writers) first,
     * JSON legacy second — old tables keep reading with zero migration.
@@ -663,7 +669,7 @@ object VersionedTable {
           else Some(header.getLong("maxTs", 0))
         } finally reader.close()
       }
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def readCheckpointParquet(fs: FileSystem, table: String, v: Long): Snapshot = {
     import org.apache.parquet.example.data.Group

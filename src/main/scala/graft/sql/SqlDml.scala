@@ -33,6 +33,7 @@ import graft.sources.VersionedTable
   *   MERGE INTO <target> [AS] t USING <tempView> [AS] s ON <cond>
   *     WHEN MATCHED [AND <cond>] THEN UPDATE SET c1 = <e1>[, …] | UPDATE SET * | DELETE
   *     WHEN NOT MATCHED [AND <cond>] THEN INSERT (c1, …) VALUES (<e1>, …) | INSERT *
+  *     WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET … | DELETE
   *   MERGE INTO <target> USING <tempView> ON KEYS (k1[, k2…])   -- unconditional upsert
   *   DELETE FROM <target> WHERE <pred> [USING DELETION VECTORS]
   *   UPDATE <target> SET c1 = <e1>[, c2 = <e2>…] WHERE <pred> [USING DELETION VECTORS]
@@ -237,7 +238,7 @@ object SqlDml {
   // ------------------------------------------- Delta MERGE grammar (i34)
 
   private val ClauseHeadRe =
-    """(?is)\s*(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s*""".r
+    """(?is)\s*(NOT\s+)?MATCHED(?:\s+BY\s+(SOURCE|TARGET))?(?:\s+AND\s+(.+?))?\s*""".r
   private val UpdateAllRe = """(?is)\s*UPDATE\s+SET\s+\*\s*""".r
   private val UpdateSetRe = """(?is)\s*UPDATE\s+SET\s+(.+)""".r
   private val DeleteActRe = """(?is)\s*DELETE\s*""".r
@@ -270,19 +271,27 @@ object SqlDml {
     clauseTexts.foreach { c =>
       val thenIdx = topLevelKeyword(c, "THEN")
       require(thenIdx > 0, s"MERGE clause needs THEN: WHEN $c")
-      val (isNot, cond) = c.substring(0, thenIdx) match {
-        case ClauseHeadRe(not, andCond) =>
-          (not != null, Option(andCond).map(s => expr(s.trim)).orNull)
+      val (isNot, byTok, cond) = c.substring(0, thenIdx) match {
+        case ClauseHeadRe(not, by, andCond) =>
+          (not != null, Option(by).map(_.toUpperCase(java.util.Locale.ROOT)),
+            Option(andCond).map(s => expr(s.trim)).orNull)
         case other => sys.error(s"malformed MERGE clause head: WHEN $other")
       }
+      require(isNot || byTok.isEmpty,
+        s"BY ${byTok.getOrElse("")} is only valid after NOT MATCHED: WHEN $c")
+      val bySrc = isNot && byTok.contains("SOURCE")
       val action = c.substring(thenIdx + "THEN".length)
-      (isNot, action) match {
-        case (false, UpdateAllRe()) => b = b.whenMatchedUpdateAll(cond)
-        case (false, UpdateSetRe(assigns)) =>
+      (isNot, bySrc, action) match {
+        case (false, _, UpdateAllRe()) => b = b.whenMatchedUpdateAll(cond)
+        case (false, _, UpdateSetRe(assigns)) =>
           b = b.whenMatchedUpdate(parseAssignments(assigns, Some(tAlias)), cond)
-        case (false, DeleteActRe()) => b = b.whenMatchedDelete(cond)
-        case (true, InsertAllRe()) => b = b.whenNotMatchedInsertAll(cond)
-        case (true, InsertRe(cols, vals)) =>
+        case (false, _, DeleteActRe()) => b = b.whenMatchedDelete(cond)
+        case (true, true, UpdateSetRe(assigns)) =>
+          b = b.whenNotMatchedBySourceUpdate(
+            parseAssignments(assigns, Some(tAlias)), cond)
+        case (true, true, DeleteActRe()) => b = b.whenNotMatchedBySourceDelete(cond)
+        case (true, false, InsertAllRe()) => b = b.whenNotMatchedInsertAll(cond)
+        case (true, false, InsertRe(cols, vals)) =>
           val names = splitSet(cols).map(_.stripPrefix("`").stripSuffix("`"))
           val exprs = splitSet(vals)
           require(names.length == exprs.length,
@@ -290,9 +299,11 @@ object SqlDml {
               s"${exprs.length}): WHEN $c")
           b = b.whenNotMatchedInsert(
             names.zip(exprs.map(e => expr(e))).toMap, cond)
-        case (false, other) => sys.error(
+        case (false, _, other) => sys.error(
           s"WHEN MATCHED supports UPDATE SET …/UPDATE SET */DELETE, got: ${other.trim}")
-        case (true, other) => sys.error(
+        case (true, true, other) => sys.error(
+          s"WHEN NOT MATCHED BY SOURCE supports UPDATE SET …/DELETE, got: ${other.trim}")
+        case (true, false, other) => sys.error(
           s"WHEN NOT MATCHED supports INSERT (…) VALUES (…)/INSERT *, got: ${other.trim}")
       }
     }

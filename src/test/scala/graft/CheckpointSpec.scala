@@ -115,6 +115,27 @@ class CheckpointSpec extends SparkSpec {
         s"maxTs=${backJ.maxCommitTs}")
   }
 
+  test("a CORRUPT checkpoint is skipped, never a crash: reads fall back " +
+      "to an older checkpoint or raw-commit replay (self-healing derived state)") {
+    val VT = VersionedTable
+    val t = tmpTable("corrupt")
+    VT.create(Seq((0L, "r0")).toDF("id", "v"), t)
+    (1 to 12).foreach(i =>
+      VT.append(Seq((i.toLong, s"r$i")).toDF("id", "v"), t))
+    val want = VT.read(spark, t).collect().map(_.toSeq).toSet
+    // truncate the v10 parquet checkpoint to garbage (delete the .crc
+    // sidecar or Hadoop's checksum layer fails first)
+    val ckpt = new Path(s"$t/${VT.LogDirName}/${"%020d".format(10)}.checkpoint.parquet")
+    fs.delete(new Path(ckpt.getParent, s".${ckpt.getName}.crc"), false)
+    val out = fs.create(ckpt, true)
+    out.write("not parquet at all".getBytes("UTF-8")); out.close()
+    // snapshot reads fall back to full replay; timestamp resolution
+    // skips the unusable probe — both still exact
+    assert(VT.read(spark, t).collect().map(_.toSeq).toSet == want)
+    assert(VT.versionAtTimestamp(spark, t, System.currentTimeMillis() + 1000L)
+      == 12L)
+  }
+
   test("versionAtTimestamp is checkpoint-bounded (A4) and stays exact " +
       "across stamped commits, checkpoint boundaries, and a legacy " +
       "JSON checkpoint without the maxTs field") {

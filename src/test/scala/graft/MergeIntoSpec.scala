@@ -277,6 +277,47 @@ class MergeIntoSpec extends SparkSpec {
       .select("v").head().getString(0) == "x WHERE USING y")
   }
 
+  test("WHEN NOT MATCHED BY SOURCE: the sync-to-source idiom — update, " +
+      "delete, clause conditions, CDF images, SQL spelling") {
+    val t = tmpTable("bysrc")
+    VersionedTable.create(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "stale", 4.0))
+        .toDF("id", "v", "amt"), t, changeFeed = true)
+    // source = the current truth: 1 changed, 2 unchanged, 5 new;
+    // 3 and 4 vanished upstream — 4 is 'stale' (delete), 3 merely
+    // unlisted (flagged, not deleted: the BY SOURCE condition decides)
+    Seq((1L, "A", 10.0), (2L, "b", 2.0), (5L, "e", 5.0))
+      .toDF("id", "v", "amt").createOrReplaceTempView("sync_src")
+    val r = graft.sql.SqlDml.run(spark,
+      s"""MERGE INTO '$t' AS t USING sync_src AS s ON t.id = s.id
+         |WHEN MATCHED AND t.v <> s.v THEN UPDATE SET v = s.v, amt = s.amt
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.v = 'stale' THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = concat(t.v, '?')
+         |""".stripMargin)
+    assert(r.head().getLong(1) == 2L, "1 matched-update + 3 by-source-update")
+    assert(r.head().getLong(2) == 1L && r.head().getLong(3) == 1L)
+    assert(state(t) == Set((1L, "A", 10.0), (2L, "b", 2.0), (3L, "c?", 3.0),
+      (5L, "e", 5.0)))
+    // the feed serves every face: matched update, by-source update,
+    // by-source delete, insert
+    val feed = VersionedTable.readChangeFeed(spark, t, 0L)
+      .select(col("id"), col("v"), col(ChangeTypeCol))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2))).toSet
+    assert(feed == Set(
+      (1L, "a", "update_preimage"), (1L, "A", "update_postimage"),
+      (3L, "c", "update_preimage"), (3L, "c?", "update_postimage"),
+      (4L, "stale", "delete"), (5L, "e", "insert")), feed)
+    // by-source-only merge with nothing stale: no commit
+    Seq((1L, "A", 10.0), (2L, "b", 2.0), (3L, "c?", 3.0), (5L, "e", 5.0))
+      .toDF("id", "v", "amt").createOrReplaceTempView("sync_src2")
+    val head = VersionedTable.latestVersion(spark, t)
+    val r2 = VersionedTable.mergeInto(spark, t, spark.table("sync_src2"),
+        expr("t.id = s.id"), "t", "s")
+      .whenNotMatchedBySourceDelete().execute()
+    assert(!r2.committed && VersionedTable.latestVersion(spark, t) == head)
+  }
+
   test("DROP TABLE IF EXISTS on a non-catalog name falls through to " +
       "spark.sql (Spark-managed tables keep their own DROP)") {
     // a temp view dropped through SqlDml must reach Spark's catalog, and
