@@ -40,7 +40,9 @@ import VersionedTable.{AddFile, MetaPosCol, MetaRelCol}
   *    side (a target reference has no row to bind — fails analysis,
   *    named); unassigned insert columns land as typed NULLs;
   *  - NULL join keys never match (SQL join semantics): such target rows
-  *    survive untouched, such source rows reach the insert clauses.
+  *    count as NOT MATCHED BY SOURCE (they survive untouched unless a
+  *    BY SOURCE clause claims them), such source rows reach the insert
+  *    clauses.
   *
   * Execution is the [[VersionedTable.merge]] copy-on-write discipline,
   * bounded at every stage:
@@ -187,7 +189,10 @@ final class MergeIntoBuilder private[sources] (
       // ---- stage 1: stats-prune candidates via the ON equi-conjuncts
       val equiPairs = extractEquiPairs(spark, schema, src.schema, on,
         targetAlias, sourceAlias)
-      val candidates: Seq[AddFile] =
+      // LAZY: the aggregate job over the source only runs when a consumer
+      // actually reads `candidates` — a matched+by-source-only merge
+      // scans the whole target anyway and must not pay a wasted pass
+      lazy val candidates: Seq[AddFile] =
         if (equiPairs.isEmpty) base.files
         else {
           import org.apache.spark.sql.functions.{max, min}
@@ -278,16 +283,29 @@ final class MergeIntoBuilder private[sources] (
             // Delta's multiple-match error — on rows multiple source rows
             // would actually MODIFY (update/delete), not on mere join
             // fan-out: a fanned-out row every clause leaves alone is legal
-            // (nothing ambiguous is written), exactly the public Delta
-            // behavior this class claims
-            val dup = m.filter(col(ActCol) =!= Keep)
-              .groupBy(col(MetaRelCol), col(MetaPosCol)).count()
-              .filter(col("count") > 1).limit(1).collect()
-            require(dup.isEmpty,
-              s"MERGE into $table: a target row is modified by multiple " +
-                s"source rows (${dup.headOption.map(_.toString).getOrElse("")}) — " +
-                "the update/delete is ambiguous; dedupe the source on the join keys")
-            val counts = m.groupBy(col(ActCol)).count()
+            // (nothing ambiguous is written). Delta's one further
+            // exception holds too: a SINGLE UNCONDITIONAL DELETE clause
+            // tolerates fan-out (deleting a row twice is the same delete
+            // — nothing ambiguous), so a dedupe-free delete-merge that
+            // runs on Delta runs here.
+            // (bySource clauses are irrelevant here: unmatched target
+            // rows join exactly once and can never fan out)
+            val soleUnconditionalDelete = matched.size == 1 &&
+              matched.head.isDelete && matched.head.condition.isEmpty
+            if (!soleUnconditionalDelete) {
+              val dup = m.filter(col(ActCol) =!= Keep)
+                .groupBy(col(MetaRelCol), col(MetaPosCol)).count()
+                .filter(col("count") > 1).limit(1).collect()
+              require(dup.isEmpty,
+                s"MERGE into $table: a target row is modified by multiple " +
+                  s"source rows (${dup.headOption.map(_.toString).getOrElse("")}) — " +
+                  "the update/delete is ambiguous; dedupe the source on the join keys")
+            }
+            // counts over DISTINCT physical rows: a fan-out-tolerated
+            // delete must report each deleted row once
+            val counts = m.filter(col(ActCol) =!= Keep)
+              .select(col(ActCol), col(MetaRelCol), col(MetaPosCol)).distinct()
+              .groupBy(col(ActCol)).count()
               .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
             val updActs = matched.zipWithIndex.filter(_._1.isUpdate)
               .map { case (c, i) => actName(c, i) } ++
@@ -325,13 +343,17 @@ final class MergeIntoBuilder private[sources] (
                 .filter(_.rows > 0).map(_.copy(dataChange = false))
               if (nUpdated > 0) {
                 val updatedRows = inRewrite
-                  .filter(col(ActCol).isin(updActs: _*)).select(uCols: _*)
+                  .filter(col(ActCol).isin(updActs: _*))
+                  .dropDuplicates(MetaRelCol, MetaPosCol).select(uCols: _*)
                 changedAdds = orphans.track(VT.writeDataEnforced(updatedRows,
                   table, schema, base.partitionBy, base.constraints))
                   .filter(_.rows > 0)
               }
               if (base.changeFeed) {
+                // one image per PHYSICAL row (fan-out-tolerated deletes
+                // would otherwise double their preimages)
                 val acted = inRewrite.filter(col(ActCol) =!= Keep)
+                  .dropDuplicates(MetaRelCol, MetaPosCol)
                 if (nUpdated > 0) {
                   val pre = acted.filter(col(ActCol).isin(updActs: _*))
                   cdcFrames :+= pre.select(tCols: _*)

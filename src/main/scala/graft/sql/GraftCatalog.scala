@@ -16,8 +16,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * }}}
   * so it shares whatever filesystem the tables live on — every cluster
   * node and session resolves the same names, and registration is atomic
-  * per-name via create-if-absent (two CREATEs of one name: one wins, one
-  * fails named — the transactional-DDL contract a metastore gives).
+  * per-name (two CREATEs of one name: one wins, one fails named — the
+  * transactional-DDL contract a metastore gives). The claim primitive is
+  * the commit log's own: hard-link create-if-exists-fails on POSIX,
+  * HDFS-contract rename (destination-exists fails) elsewhere; only an
+  * exotic mount with NEITHER primitive degrades to exists+rename, whose
+  * narrow photo-finish window [[graft.sources.VersionedTable]]'s publish
+  * documents — the same trade, accepted for the same reason.
   *
   * Root resolution: `spark.graft.catalog.dir` conf when set, else
   * `<spark.sql.warehouse.dir>/_graft_catalog` (the shared-warehouse
@@ -96,8 +101,11 @@ object GraftCatalog {
           (if (ifNotExists) s" and cannot be re-pointed at $path via IF NOT EXISTS — DROP it first"
            else " — DROP it first or use IF NOT EXISTS"))
       case None => sys.error(
-        s"table name '$name': lost the registration race but the entry " +
-          "vanished (concurrent DROP?) — retry the CREATE")
+        // a publish that failed with NO registration in place is an IO
+        // problem, not a race — say so instead of masking the cause
+        s"table name '$name': registration publish failed and no " +
+          "concurrent registration is in place — not a race; check " +
+          s"filesystem permissions/quota on ${root(spark)} and retry")
     }
   }
 

@@ -92,8 +92,7 @@ class VersionedStreamProvider extends StreamSourceProvider with RelationProvider
     parameters.get("readChangeFeed").exists(_.toBoolean)
 
   private def cdfSchema(base: StructType): StructType =
-    base.add(VersionedTable.ChangeTypeCol, "string")
-      .add(VersionedTable.CommitVersionCol, "long")
+    VersionedStreamProvider.cdfSchema(base)
 
   private def schemaFor(spark: SparkSession, parameters: Map[String, String]): StructType = {
     val base = VersionedTable.snapshotAt(spark, tableOf(parameters)).schema
@@ -154,6 +153,16 @@ class VersionedStreamProvider extends StreamSourceProvider with RelationProvider
       cdfOf(parameters), parameters.get("startingVersion").map(_.toLong),
       actual, maxVersions)
   }
+}
+
+private[graft] object VersionedStreamProvider {
+  /** THE one definition of the CDF shape (table columns + change type +
+    * commit version) — the streaming source schema and the batch CDF
+    * relation must never diverge on it.
+    */
+  private[graft] def cdfSchema(base: StructType): StructType =
+    base.add(VersionedTable.ChangeTypeCol, "string")
+      .add(VersionedTable.CommitVersionCol, "long")
 }
 
 /** Batch snapshot/time-travel relation (i35): filters prune FILES through
@@ -253,9 +262,8 @@ private[graft] class VersionedCdfRelation(spark: SparkSession,
   // columns — deriving it by PLANNING the whole feed would walk every
   // commit in the range at relation construction just to read names
   override val schema: StructType = StructType(
-    VersionedTable.snapshotAt(spark, table).schema
-      .add(VersionedTable.ChangeTypeCol, "string")
-      .add(VersionedTable.CommitVersionCol, "long")
+    VersionedStreamProvider.cdfSchema(
+      VersionedTable.snapshotAt(spark, table).schema)
       .fields.map(_.copy(nullable = true)))
 
   override def needConversion: Boolean = false

@@ -121,6 +121,14 @@ class MergeIntoSpec extends SparkSpec {
       .whenNotMatchedInsertAll().execute()
     assert(r.rowsInserted == 1 &&
       state(t) == Set((1L, "y", 1.0), (7L, "n", 7.0)))
+    // Delta's one further exception: a SINGLE UNCONDITIONAL DELETE clause
+    // tolerates fan-out (deleting a row twice is the same delete) — and
+    // reports each physical row ONCE
+    val rd = VersionedTable.mergeInto(spark, t, fanned, expr("t.id = s.id"), "t", "s")
+      .whenMatchedDelete().execute()
+    // id=1 (two source matches, counted ONCE) and id=7 (one match) delete
+    assert(rd.rowsDeleted == 2, rd)
+    assert(state(t).isEmpty)
   }
 
   test("NULL join keys never match: target survives, source inserts") {
