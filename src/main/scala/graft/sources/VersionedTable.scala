@@ -1660,6 +1660,89 @@ object VersionedTable {
     }.get
   }
 
+  /** CONVERT-in-place (Delta's `CONVERT TO DELTA parquet.`…``, i39): turn
+    * an EXISTING plain-parquet directory into a versioned table without
+    * rewriting a byte — one commit (op `convert`) whose adds reference
+    * the files where they lie, each carrying its footer stats (i25), so
+    * time travel, DML, constraints and stats-pruned reads work from
+    * version 0. The migration face of "switch to this library".
+    *
+    * Unpartitioned layouts only, by design: a hive-partitioned directory
+    * keeps partition VALUES in path segments, but graft reads files by
+    * their own columns ([[scanFiles]] never derives columns from paths —
+    * the property that makes every later rewrite self-contained), so
+    * importing one would serve NULLs for the partition column; fail
+    * NAMED with the rewrite guidance instead. Schemas are merged across
+    * footers (`mergeSchema`): a file missing a merged column serves
+    * typed NULLs (the appendEvolve contract); a type conflict fails
+    * named in the merge.
+    *
+    * Converted files live OUTSIDE `data/`; [[vacuum]] sweeps
+    * unreferenced root-level parquet too, so a post-convert rewrite
+    * (merge/delete/optimize) retires them normally. Returns version 0.
+    */
+  def convert(spark: SparkSession, dir: String): Long = {
+    require(!exists(spark, dir),
+      s"$dir is already a versioned table — nothing to convert")
+    val fs = fsOf(spark, dir)
+    require(fs.exists(new Path(dir)), s"no directory at $dir")
+    val rootPath = tableRoot(fs, dir)
+    val files = {
+      val it = fs.listFiles(new Path(dir), true)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) { val f = it.next()
+        val name = f.getPath.getName
+        if (name.endsWith(".parquet") && !name.startsWith(".") &&
+            !name.startsWith("_")) b += f }
+      b.result().sortBy(_.getPath.toString)
+    }
+    require(files.nonEmpty, s"no parquet files under $dir — nothing to convert")
+    val hivePartitioned = files.exists(f =>
+      relativize(rootPath, f.getPath).split('/').exists(_.contains("=")))
+    require(!hivePartitioned,
+      s"$dir is hive-partitioned (path segments carry partition values) — " +
+        "graft data files must carry every column themselves; rewrite " +
+        "through create(df, table, partitionBy) instead of converting in place")
+    val schema = spark.read.option("mergeSchema", "true").parquet(dir).schema
+    val conf = spark.sparkContext.hadoopConfiguration
+    val adds = files.map { f =>
+      val rel = relativize(rootPath, f.getPath)
+      val (rows, stats) = footerStats(f.getPath, conf, schema)
+      AddFile(rel, rows, f.getLen, Map.empty, stats)
+    }
+    commitLoop(spark, dir, "convert") {
+      case Some(_) => sys.error(
+        s"$dir was converted/created concurrently — read it instead")
+      case None => Some(metaLine(schema.json) +: adds.map(addLine))
+    }.get
+  }
+
+  /** DESCRIBE DETAIL (Delta's observability face): one row of table
+    * metadata — location, current version, file count and total bytes,
+    * partition columns, properties (changeFeed, constraints), protocol
+    * features. Driver metadata-rate (one snapshot read, no data scan).
+    */
+  def detail(spark: SparkSession, table: String): DataFrame = {
+    val s = snapshotAt(spark, table)
+    val fs = fsOf(spark, table)
+    import spark.implicits._
+    Seq((
+      "graft-versioned",
+      fs.makeQualified(new Path(table)).toString,
+      s.version,
+      s.files.size.toLong,
+      s.files.map(_.bytes).sum,
+      s.files.map(_.effRows).sum,
+      s.partitionBy,
+      s.changeFeed,
+      s.constraints.toSeq.sortBy(_._1).map { case (k, v) => s"$k: $v" },
+      s.readerFeatures.toSeq.sorted,
+      s.writerFeatures.toSeq.sorted
+    )).toDF("format", "location", "version", "num_files", "size_bytes",
+      "num_rows", "partition_columns", "change_feed", "constraints",
+      "reader_features", "writer_features")
+  }
+
   /** Turn the change feed ON for an existing table (i29; Delta's
     * `delta.enableChangeDataFeed` property): DML commits from here on
     * write `_change_data` sidecars and [[readChangeFeed]] serves row-level
@@ -2605,8 +2688,8 @@ object VersionedTable {
     // not KNOW fails named too (a future op's adds silently misread as
     // appends is exactly the wrong-rows failure the protocol guard exists
     // to prevent; op names are the feed's protocol surface)
-    val appendOps = Set("create", "append", "merge", "optimize", "vacuum",
-      "constraint", "property")
+    val appendOps = Set("create", "convert", "append", "merge", "optimize",
+      "vacuum", "constraint", "property")
     val removeOps = Set("overwrite", "overwrite_partitions", "delete",
       "update", "restore", "merge_delete")
     val adds = later.flatMap { v =>
@@ -2684,7 +2767,7 @@ object VersionedTable {
       def route(f: AddFile, ct: String): Unit =
         if (f.dv.isDefined) dvved += ((f, v, ct)) else plain += ((f.path, v, ct))
       op match {
-        case "create" | "append" =>
+        case "create" | "convert" | "append" =>
           adds.filter(_.dataChange).foreach(a => plain += ((a.path, v, "insert")))
         case "merge" | "merge_delete" | "delete" | "update" =>
           if (cdcs.isEmpty) sys.error(
@@ -2865,6 +2948,26 @@ object VersionedTable {
             (emptied.contains(d.getPath.getName) || d.getModificationTime <= cutoff) &&
             !fs.listFiles(d.getPath, true).hasNext)
           fs.delete(d.getPath, true)
+      }
+    }
+    // converted-in-place imports (i39) live OUTSIDE data/: sweep
+    // unreferenced ROOT-LEVEL parquet too (Delta's vacuum walks the whole
+    // table dir for the same reason), so a post-convert rewrite retires
+    // the imported files normally. Only `*.parquet` files are candidates
+    // — foreign non-parquet files under the root are never touched — and
+    // _graft_log/ and data/ are owned by their own sweeps above.
+    {
+      val rootPath = tableRoot(fs, table)
+      val it = fs.listFiles(new Path(table), true)
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = relativize(rootPath, f.getPath)
+        val top = rel.split('/').head
+        if (top != LogDirName && top != DataDirName &&
+            f.getPath.getName.endsWith(".parquet") &&
+            !referenced.contains(rel) && f.getModificationTime <= cutoff &&
+            fs.delete(f.getPath, false))
+          deleted += 1
       }
     }
     // crashed publishers' temp stragglers in the log dir, same grace

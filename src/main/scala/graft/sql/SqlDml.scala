@@ -40,6 +40,8 @@ import graft.sources.VersionedTable
   *   OPTIMIZE <target> [ZORDER BY (a, b)]
   *   VACUUM <target> [RETAIN <n> VERSIONS | RETAIN <n> HOURS]
   *   DESCRIBE HISTORY <target>
+  *   DESCRIBE DETAIL <target>
+  *   CONVERT TO GRAFT '<dir>'
   *   RESTORE TABLE <target> TO VERSION AS OF <v>
   *   TABLE <target> [VERSION AS OF <v> | TIMESTAMP AS OF <millis>]
   *   ALTER TABLE <target> ADD CONSTRAINT <name> CHECK (<expr>)
@@ -105,6 +107,10 @@ object SqlDml {
       """(?:\((.*)\)\s*)?USING\s+graft""" +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?\s*""").r
+  private val ConvertRe =
+    """(?is)\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'\s*""".r
+  private val DetailRe =
+    ("""(?is)\s*DESCRIBE\s+DETAIL\s+""" + Tgt + """\s*""").r
   private val DropTableRe =
     """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*""".r
   private val ShowTablesRe = """(?is)\s*SHOW\s+TABLES\s*""".r
@@ -379,6 +385,11 @@ object SqlDml {
       metrics(spark, Seq("files_deleted"), Seq(deleted.toLong))
     case HistoryRe(tgt) =>
       VersionedTable.history(spark, pathOf(spark, tgt))
+    case ConvertRe(path) =>
+      val v = VersionedTable.convert(spark, path)
+      metrics(spark, Seq("version"), Seq(v))
+    case DetailRe(tgt) =>
+      VersionedTable.detail(spark, pathOf(spark, tgt))
     case AddConstraintRe(tgt, name, check) =>
       val v = VersionedTable.addConstraint(spark, pathOf(spark, tgt), name, check)
       metrics(spark, Seq("version"), Seq(v))

@@ -128,7 +128,7 @@ class MetaSpec extends SparkSpec {
       s"survey-only: ${qRows.toSet -- SparkEntry.queries.keySet}; " +
         s"registry-only: ${SparkEntry.queries.keySet -- qRows.toSet}")
     assert(rows("s").size == 36, s"streaming table rows: ${rows("s").size}")
-    assert(rows("i").size == 38, s"infra table rows: ${rows("i").size}")
+    assert(rows("i").size == 39, s"infra table rows: ${rows("i").size}")
   }
 
   test("documents corpus is pure ASCII — the q101 oracle's closed form depends on it") {
