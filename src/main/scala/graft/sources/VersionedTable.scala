@@ -2875,6 +2875,11 @@ object VersionedTable {
   /** Delete data files referenced by NO retained version (the last
     * `retainVersions` snapshots stay time-travelable) plus any straggler
     * a crashed writer left, then return the number of files deleted.
+    * The sweep covers `data/` AND unreferenced `*.parquet` anywhere else
+    * under the table root (converted-in-place imports, i39 — the public
+    * Delta vacuum walks the whole table dir the same way): parquet files
+    * parked under a table root that the log does not reference are
+    * RECLAIMABLE by contract; non-parquet files are never touched.
     *
     * Two safety rails, both load-bearing:
     *  - the new horizon is LOGGED FIRST, files deleted after — a crash in
