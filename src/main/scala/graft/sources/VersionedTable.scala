@@ -1681,29 +1681,50 @@ object VersionedTable {
     * unreferenced root-level parquet too, so a post-convert rewrite
     * (merge/delete/optimize) retires them normally. Returns version 0.
     */
+  /** Is `rel` (table-relative) a data parquet file graft may IMPORT
+    * (convert) or RECLAIM (vacuum's root sweep)? ONE definition — the
+    * parquet suffix plus Spark's own hidden-path rule ('.'/'_' prefix on
+    * ANY path segment, the InMemoryFileIndex discipline) — so the import
+    * set and the reclaim universe are provably the same: a file convert
+    * classifies as non-data (a `_delta_log/` checkpoint, a `.backup/`)
+    * is exactly a file vacuum must never delete.
+    */
+  private def isDataParquet(rel: String): Boolean = {
+    val segs = rel.split('/')
+    segs.last.endsWith(".parquet") &&
+      segs.forall(s => !s.startsWith(".") && !s.startsWith("_"))
+  }
+
   def convert(spark: SparkSession, dir: String): Long = {
     require(!exists(spark, dir),
       s"$dir is already a versioned table — nothing to convert")
     val fs = fsOf(spark, dir)
     require(fs.exists(new Path(dir)), s"no directory at $dir")
+    require(fs.getFileStatus(new Path(dir)).isDirectory,
+      s"$dir is a file, not a directory — convert takes the table DIRECTORY")
     val rootPath = tableRoot(fs, dir)
     val files = {
       val it = fs.listFiles(new Path(dir), true)
       val b = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
       while (it.hasNext) { val f = it.next()
-        val name = f.getPath.getName
-        if (name.endsWith(".parquet") && !name.startsWith(".") &&
-            !name.startsWith("_")) b += f }
+        if (isDataParquet(relativize(rootPath, f.getPath))) b += f }
       b.result().sortBy(_.getPath.toString)
     }
     require(files.nonEmpty, s"no parquet files under $dir — nothing to convert")
+    // hive detection on DIRECTORY segments only: a flat file whose NAME
+    // happens to contain '=' is not a partition layout
     val hivePartitioned = files.exists(f =>
-      relativize(rootPath, f.getPath).split('/').exists(_.contains("=")))
+      relativize(rootPath, f.getPath).split('/').init.exists(_.contains("=")))
     require(!hivePartitioned,
       s"$dir is hive-partitioned (path segments carry partition values) — " +
         "graft data files must carry every column themselves; rewrite " +
         "through create(df, table, partitionBy) instead of converting in place")
-    val schema = spark.read.option("mergeSchema", "true").parquet(dir).schema
+    // schema from the EXPLICIT import list, not the directory: passing
+    // file paths skips Spark's partition/directory discovery, so nested
+    // layouts read fine (no 'conflicting directory structures'), and the
+    // schema's universe is exactly the files being imported
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(_.getPath.toString): _*).schema
     val conf = spark.sparkContext.hadoopConfiguration
     val adds = files.map { f =>
       val rel = relativize(rootPath, f.getPath)
@@ -2956,23 +2977,39 @@ object VersionedTable {
       }
     }
     // converted-in-place imports (i39) live OUTSIDE data/: sweep
-    // unreferenced ROOT-LEVEL parquet too (Delta's vacuum walks the whole
-    // table dir for the same reason), so a post-convert rewrite retires
-    // the imported files normally. Only `*.parquet` files are candidates
-    // — foreign non-parquet files under the root are never touched — and
-    // _graft_log/ and data/ are owned by their own sweeps above.
+    // unreferenced ROOT-LEVEL data parquet too (Delta's vacuum walks the
+    // whole table dir the same way), so a post-convert rewrite retires
+    // the imported files normally. The candidate universe is EXACTLY
+    // what convert could have imported ([[isDataParquet]]: parquet
+    // suffix, no hidden '.'/'_' segment) — foreign non-parquet or hidden
+    // files under the root are never touched. data/ and _graft_log/ are
+    // owned by their own sweeps and are skipped WITHOUT re-listing them
+    // (a second full LIST of a 10⁶-file data tree per vacuum is an
+    // object-store storm).
     {
       val rootPath = tableRoot(fs, table)
-      val it = fs.listFiles(new Path(table), true)
-      while (it.hasNext) {
-        val f = it.next()
-        val rel = relativize(rootPath, f.getPath)
-        val top = rel.split('/').head
-        if (top != LogDirName && top != DataDirName &&
-            f.getPath.getName.endsWith(".parquet") &&
-            !referenced.contains(rel) && f.getModificationTime <= cutoff &&
-            fs.delete(f.getPath, false))
-          deleted += 1
+      def sweepTree(p: Path): Unit = {
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val f = it.next()
+          val rel = relativize(rootPath, f.getPath)
+          if (isDataParquet(rel) && !referenced.contains(rel) &&
+              f.getModificationTime <= cutoff && fs.delete(f.getPath, false))
+            deleted += 1
+        }
+      }
+      fs.listStatus(new Path(table)).foreach { st =>
+        val name = st.getPath.getName
+        if (name != LogDirName && name != DataDirName &&
+            !name.startsWith(".") && !name.startsWith("_")) {
+          if (st.isDirectory) sweepTree(st.getPath)
+          else {
+            val rel = relativize(rootPath, st.getPath)
+            if (isDataParquet(rel) && !referenced.contains(rel) &&
+                st.getModificationTime <= cutoff && fs.delete(st.getPath, false))
+              deleted += 1
+          }
+        }
       }
     }
     // crashed publishers' temp stragglers in the log dir, same grace

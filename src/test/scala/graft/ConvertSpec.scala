@@ -79,6 +79,52 @@ class ConvertSpec extends SparkSpec {
     assert(got == Set((1L, "a", None), (2L, "b", Some(9.0))), got)
   }
 
+  test("hidden-path rule: parquet under '_'/'.' directories is neither " +
+      "imported nor vacuum-swept; nested layouts and '='-in-filename " +
+      "convert fine; a FILE target fails named (third-review findings)") {
+    val dir = Files.createTempDirectory("cv_hidden").resolve("t").toString
+    // root data + NESTED subdir data (mixed depth - no directory
+    // discovery involved, so this must convert) + a file whose NAME has
+    // '=' (not a hive layout) + parquet under a hidden dir (a former
+    // Delta table's _delta_log checkpoint - the exact migration shape)
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(dir)
+    Seq((2L, "b")).toDF("id", "v").coalesce(1).write.parquet(s"$dir/archive")
+    val eqFile = new Path(s"$dir/region=eu.parquet")
+    Seq((3L, "c")).toDF("id", "v").coalesce(1).write.parquet(s"$dir/_tmp_eq")
+    val part = fs.listStatus(new Path(s"$dir/_tmp_eq"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, eqFile)
+    fs.delete(new Path(s"$dir/_tmp_eq"), true)
+    fs.delete(new Path(s"$dir/.crc"), true)
+    fs.mkdirs(new Path(s"$dir/_delta_log"))
+    Seq((99L, 100L)).toDF("txn", "action").coalesce(1)
+      .write.parquet(s"$dir/_delta_log/ckpt")
+    val foreignBefore = fs.listFiles(new Path(s"$dir/_delta_log"), true)
+    var nForeign = 0
+    while (foreignBefore.hasNext) { foreignBefore.next(); nForeign += 1 }
+
+    VersionedTable.convert(spark, dir)
+    // exactly the three visible data files imported; the foreign-schema
+    // checkpoint under _delta_log contributed neither rows nor schema
+    val got = VersionedTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")), got)
+    // vacuum must never reclaim the hidden foreign files
+    VersionedTable.append(Seq((4L, "d")).toDF("id", "v"), dir)
+    VersionedTable.vacuum(spark, dir, retainVersions = 1, graceMs = 0L)
+    val foreignAfter = fs.listFiles(new Path(s"$dir/_delta_log"), true)
+    var nAfter = 0
+    while (foreignAfter.hasNext) { foreignAfter.next(); nAfter += 1 }
+    assert(nAfter == nForeign, "vacuum touched hidden foreign files")
+    assert(VersionedTable.read(spark, dir).count() == 4L)
+
+    // converting a FILE fails named
+    val f = s"$dir/region=eu.parquet"
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.convert(spark, f) }
+    assert(e.getMessage.contains("not a directory"), e.getMessage)
+  }
+
   test("DESCRIBE DETAIL + CONVERT TO GRAFT through SqlDml") {
     import graft.sql.SqlDml
     val dir = Files.createTempDirectory("cv_sql").resolve("t").toString
