@@ -49,12 +49,20 @@ object Baskets {
     require(clash.isEmpty,
       s"input columns collide with Baskets working/output names: ${clash.mkString(", ")}")
     val ps: Column = slice(array_sort(collect_set(col(itemCol))), 1, maxBasket)
+    // explode_outer + output-null filter, NOT plain explode (the
+    // MinHash.shingleRows dodge): plain explode makes the optimizer infer
+    // `size(flatten(transform(...))) > 0` below the Generate — the ENTIRE
+    // C(n,2) pair construction re-evaluated per basket inside an
+    // interpreted (non-codegen) Filter, doubling the dominant map-side
+    // cost. Pair structs are struct() literals, never null, so the output
+    // filter drops exactly the empty-pairs baskets plain explode would.
     items
       .groupBy(col(basketCol))
       .agg(ps.as("_ps"))
-      .select(col(basketCol), explode(flatten(transform(col("_ps"), (a, i) =>
+      .select(col(basketCol), explode_outer(flatten(transform(col("_ps"), (a, i) =>
         transform(slice(col("_ps"), i + lit(2), size(col("_ps"))),
           b => struct(a.as("item_a"), b.as("item_b")))))).as("_p"))
+      .filter(col("_p").isNotNull)
       .select(col(basketCol), col("_p.item_a"), col("_p.item_b"))
   }
 

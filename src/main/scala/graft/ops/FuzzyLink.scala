@@ -169,11 +169,16 @@ object FuzzyLink {
             transform(array_distinct(array(dels: _*)),
               v => struct(lit(-1).as("i"), v.as("seg"))))
         }
+      // explode_outer + null filter (the MinHash.shingleRows dodge): plain
+      // explode infers a size()>0 filter rebuilding the whole block/
+      // deletion-variant array per row in an interpreted Filter. Block
+      // structs are struct() literals, never null.
       df.select(col(keyCol).as(keyAs), col(nameCol).as(nameAs),
           length(col(nameCol)).as("len"),
           expr(s"right($nameCol, $suffixLen)").as("_sfx"))
         .select(col(keyAs), col(nameAs), col("len"),
-          explode(blockArr).as("b"))
+          explode_outer(blockArr).as("b"))
+        .filter(col("b").isNotNull)
         .select(col(keyAs), col(nameAs), col("len"),
           col("b.i").as("i"), col("b.seg").as("seg"))
     }

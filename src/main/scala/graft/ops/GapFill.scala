@@ -38,14 +38,18 @@ object GapFill {
     val span = datediff(col("_hi"), col("_lo"))
     val cal = daily.groupBy(col(keyCol))
       .agg(min(col(dayCol)).as("_lo"), max(col(dayCol)).as("_hi"))
+      // explode_outer + null filter (the MinHash.shingleRows dodge): plain
+      // explode infers a size()>0 filter rebuilding the calendar sequence
+      // (and re-evaluating the guard) per key in an interpreted Filter.
       .select(col(keyCol),
-        explode(when(span > maxSpanDays,
+        explode_outer(when(span > maxSpanDays,
             raise_error(concat(
               lit(s"gap_fill: key "), col(keyCol).cast("string"),
               lit(" spans "), span.cast("string"),
               lit(s" days (> max $maxSpanDays) from "), col("_lo").cast("string"),
               lit(" — corrupt timestamp?"))))
           .otherwise(sequence(col("_lo"), col("_hi")))).as(dayCol))
+      .filter(col(dayCol).isNotNull)
     cal.join(daily, Seq(keyCol, dayCol), "left")
       .select(col(keyCol), col(dayCol),
         coalesce(col(valCol), lit(0.0)).as(valCol),

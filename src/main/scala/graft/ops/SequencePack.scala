@@ -77,9 +77,13 @@ object SequencePack {
       seqLen: Long): DataFrame =
     st.filter(col(weightCol) > 0)
       .withColumn("_ge", col("_gs") + col(weightCol))
-      .withColumn("seq_id", explode(sequence(
+      // explode_outer + null filter (the MinHash.shingleRows dodge): plain
+      // explode infers a size()>0 filter rebuilding the sequence per row.
+      // weight > 0 makes the sequence non-empty; elements are never null.
+      .withColumn("seq_id", explode_outer(sequence(
         call_function("div", col("_gs"), lit(seqLen)),
         call_function("div", col("_ge") - 1, lit(seqLen)))))
+      .filter(col("seq_id").isNotNull)
       .withColumn("_ss", col("seq_id") * lit(seqLen))
       .select(col("seq_id"), col(idCol),
         greatest(col("_ss") - col("_gs"), lit(0L)).as("doc_offset"),

@@ -67,11 +67,15 @@ object ExtQueries {
 
     // ---- q40: token chunking (size 50, stride 40 → 10-token overlap) ----
     "q40_chunk" -> { (s, d) =>
+      // explode_outer + null filter (the MinHash.shingleRows dodge): plain
+      // explode infers a size()>0 filter rebuilding the start sequence per
+      // doc in an interpreted Filter; starts are ints, never null.
       Tables.documents(s, d)
         .withColumn("_toks", TF.tokens(col("text")))
         .filter(size(col("_toks")) > 0)
         .select(col("doc_id"), col("_toks"),
-          explode(TF.chunkStarts(col("_toks"), 40)).as("i"))
+          explode_outer(TF.chunkStarts(col("_toks"), 40)).as("i"))
+        .filter(col("i").isNotNull)
         .select(col("doc_id"), expr("(i - 1) div 40").as("chunk_id"),
           TF.chunk(col("_toks"), col("i"), 50).as("_ch"))
         .select(col("doc_id"), col("chunk_id"), size(col("_ch")).as("n_tokens"),
@@ -93,11 +97,13 @@ object ExtQueries {
     // (same discipline as text/LineDedup). Then a per-doc rollup reports
     // how much of each document is redundant corpus-wide.
     "q72_chunk_dedup" -> { (s, d) =>
+      // explode_outer + null filter: the q40 spelling (shingleRows dodge).
       val chunks = Tables.documents(s, d)
         .withColumn("_toks", TF.tokens(col("text")))
         .filter(size(col("_toks")) > 0)
         .select(col("doc_id"), col("_toks"),
-          explode(TF.chunkStarts(col("_toks"), 40)).as("i"))
+          explode_outer(TF.chunkStarts(col("_toks"), 40)).as("i"))
+        .filter(col("i").isNotNull)
         .select(col("doc_id"), expr("(i - 1) div 40").as("chunk_id"),
           TF.hash60(concat_ws(" ", TF.chunk(col("_toks"), col("i"), 50))).as("chunk_hash"))
       val firsts = chunks.groupBy(col("chunk_hash"))
@@ -184,9 +190,14 @@ object ExtQueries {
     "q78_rolling_distinct" -> { (s, d) =>
       val pairs = Tables.events(s, d)
         .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      // explode_outer (the shingleRows dodge): the inferred size()>0
+      // filter would build the 7-date sequence twice per (day, user) row;
+      // the sequence is never empty or null-elemented, so the null filter
+      // only guards a null day.
       pairs
-        .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("w_end"),
+        .select(explode_outer(sequence(col("day"), date_add(col("day"), 6))).as("w_end"),
           col("user_id"))
+        .filter(col("w_end").isNotNull)
         .join(pairs.select(col("day").as("w_end")).distinct(), Seq("w_end"), "left_semi")
         .groupBy(col("w_end"))
         .agg(countDistinct(col("user_id")).as("u7"))

@@ -72,12 +72,18 @@ object TextQueries {
     // NULL source fails fast (same discipline as q81/q84/mixtureSink): it
     // would count into nSources but vanish from collect_set inside
     // Baskets.pairs — a silently incomplete overlap matrix.
+    // explode_outer + output-null filter (the MinHash.shingleRows dodge):
+    // plain explode infers a size()>0 filter below the Generate with the
+    // whole tokenize+ngram chain inlined — an interpreted Filter paying
+    // the per-doc gram build twice. Grams are concat_ws output, never
+    // null, so the output filter is exactly plain explode's row set.
     val g = docs
       .select(
         when(col("source").isNull, raise_error(lit(
             "source_overlap: source is NULL — assign or quarantine upstream")))
           .otherwise(col("source")).as("source"),
-        explode(TF.wordNgrams(TF.tokens(col("text")), 8)).as("gram"))
+        explode_outer(TF.wordNgrams(TF.tokens(col("text")), 8)).as("gram"))
+      .filter(col("gram").isNotNull)
       .distinct()
     val nSources = docs.select(col("source")).distinct().count()
     val cnt = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
@@ -199,8 +205,11 @@ object TextQueries {
       // recompute locally and is corpus-scale memory at 100 TB).
       // n_docs comes from a cheap tokenize-only scan (no shuffle): every
       // doc with ≥1 token — identical to countDistinct(doc_id) over tf.
+      // explode_outer + null filter: the shingleRows dodge (see q83) —
+      // tokens are length-filtered non-empty strings, never null.
       val tf = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), explode_outer(TF.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull)
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       // df via groupBy + join-back, NOT count().over(partition by tok): a
       // stop-word's window partition is its POSTINGS LIST — corpus-doc-
@@ -347,10 +356,15 @@ object TextQueries {
       // array column is ever cached (columnar array caching is slow).
       // widen: the sf-test documents table is one row group = one task,
       // which would serialize the per-character hashing on a single core.
+      // explode_outer + null filter: the shingleRows dodge — plain explode
+      // infers a size()>0 filter inlining the winnowSelect(gramHashes(..))
+      // chain, re-paying the per-character hashing per doc in an
+      // interpreted Filter. Fingerprints are longs, never null.
       val fps = Graft.registerCache(
         graft.sources.Sources.widen(Tables.documents(s, d))
           .withColumn("_hs", TF.gramHashes(col("text"), k))
-          .select(col("doc_id"), explode(TF.winnowSelect(col("_hs"), w)).as("fp")))
+          .select(col("doc_id"), explode_outer(TF.winnowSelect(col("_hs"), w)).as("fp"))
+          .filter(col("fp").isNotNull))
       val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
         .filter(col("_df") <= maxDf).select(col("fp"))
       val kept = fps.join(rare, Seq("fp"), "left_semi")
@@ -628,9 +642,11 @@ object TextQueries {
     // full deterministic tiebreak, planned as TakeOrderedAndProject (no
     // global sort).
     "q85_boilerplate_grams" -> { (s, d) =>
+      // explode_outer + null filter: the shingleRows dodge (see q83).
       Tables.documents(s, d)
         .select(col("doc_id"),
-          explode(TF.wordNgrams(TF.tokens(col("text")), 8)).as("gram"))
+          explode_outer(TF.wordNgrams(TF.tokens(col("text")), 8)).as("gram"))
+        .filter(col("gram").isNotNull)
         .distinct()
         .groupBy(col("gram")).agg(count(lit(1)).as("doc_freq"))
         .filter(col("doc_freq") >= 2)
@@ -670,10 +686,15 @@ object TextQueries {
     // joins stay shuffle (AQE broadcasts them when they measure small);
     // under-2-token docs are unscorable and excluded.
     "q74_bigram_logprob" -> { (s, d) =>
+      // explode_outer + null filter: the shingleRows dodge (see q83) —
+      // the explicit size(_toks) >= 2 pre-filter already bounds the rows;
+      // plain explode would still infer a second filter inlining the
+      // zip_with bigram build per doc.
       val bg = Tables.documents(s, d)
         .withColumn("_toks", TF.tokens(col("text")))
         .filter(size(col("_toks")) >= 2)
-        .select(col("doc_id"), explode(TF.wordBigrams(col("_toks"))).as("bigram"))
+        .select(col("doc_id"), explode_outer(TF.wordBigrams(col("_toks"))).as("bigram"))
+        .filter(col("bigram").isNotNull)
       // Cached because TWO consumers read it (the c1 fold and the score
       // join) — uncached, Catalyst duplicates the subtree and the corpus
       // explode runs a third time (the PlanSpec pin counts the Generates).
@@ -1100,10 +1121,14 @@ object TextQueries {
       val copies = expr("maxc div c") +
         when(TF.hash60(col("doc_id").cast("string")) % col("c")
           < col("maxc") % col("c"), 1L).otherwise(0L)
+      // explode_outer + null filter: the shingleRows dodge — the inferred
+      // size()>0 filter would re-evaluate the copies formula (hash60
+      // included) and rebuild the sequence per doc.
       Tables.documents(s, d)
         .join(broadcast(targets), "lang")
         .select(col("doc_id"), col("lang"),
-          explode(sequence(lit(0L), copies - 1)).as("copy"))
+          explode_outer(sequence(lit(0L), copies - 1)).as("copy"))
+        .filter(col("copy").isNotNull)
         .orderBy(col("doc_id"), col("copy"))
     },
 
@@ -1242,8 +1267,10 @@ object TextQueries {
     // synthesized texts are constants per anchor kind, so a mis-paired
     // href/text anywhere shifts a count.
     "q108_anchor_text" -> { (s, d) =>
+      // widen: the syntheticLinkFrame rationale (one-row-group scan would
+      // serialize the anchor regex chain onto one core).
       val at = graft.text.HtmlExtract.anchorTexts(
-        Tables.documents(s, d)
+        graft.sources.Sources.widen(Tables.documents(s, d))
           .withColumn("base_url", syntheticBaseUrl)
           .withColumn("html", syntheticLinkHtml),
         "doc_id", "html", "base_url")
@@ -1266,10 +1293,12 @@ object TextQueries {
     // rounds at 4 like q74. One corpus scan; margins and joins are
     // VOCAB-sized; top-50 is TakeOrdered, never a global sort.
     "q109_collocations" -> { (s, d) =>
+      // explode_outer + null filter: the shingleRows dodge (see q74/q83).
       val bg = Tables.documents(s, d)
         .withColumn("_toks", TF.tokens(col("text")))
         .filter(size(col("_toks")) >= 2)
-        .select(explode(TF.wordBigrams(col("_toks"))).as("bigram"))
+        .select(explode_outer(TF.wordBigrams(col("_toks"))).as("bigram"))
+        .filter(col("bigram").isNotNull)
       val c2 = Graft.registerCache(
         bg.groupBy(col("bigram")).agg(count(lit(1)).as("n_pair"))
           .withColumn("w1", substring_index(col("bigram"), " ", 1))
@@ -1321,8 +1350,12 @@ object TextQueries {
     * depends on the cache (a released frame recomputes).
     */
   private def syntheticLinkFrame(s: SparkSession, d: String): DataFrame =
+    // widen (the q66 discipline): the sf-test documents table is one row
+    // group = one task, serializing the anchor-normalize+resolve+
+    // canonicalize regex chain onto a single core; at scale the scan
+    // already has splits and widen is a no-op.
     Graft.registerCache(graft.text.HtmlExtract.links(
-      Tables.documents(s, d)
+      graft.sources.Sources.widen(Tables.documents(s, d))
         .withColumn("base_url", syntheticBaseUrl)
         .withColumn("html", syntheticLinkHtml),
       "doc_id", "html", "base_url"))

@@ -284,9 +284,13 @@ object Ann {
 
   /** Block slices of each vector, no shuffle: (id, block, svec). */
   private def blockSlices(vectors: DataFrame, m: Int, subDim: Int): DataFrame =
-    vectors.select(col("id"), explode(array((0 until m).map(b =>
+    // explode_outer + null filter (the MinHash.shingleRows dodge): plain
+    // explode infers a size()>0 filter rebuilding the m block slices per
+    // row in an interpreted Filter. Block structs are never null.
+    vectors.select(col("id"), explode_outer(array((0 until m).map(b =>
         struct(lit(b).as("block"),
           slice(col("vec"), b * subDim + 1, subDim).as("svec"))): _*)).as("_bs"))
+      .filter(col("_bs").isNotNull)
       .select(col("id"), col("_bs.block").as("block"), col("_bs.svec").as("svec"))
 
   /** PQ-encode the corpus: nearest sub-centroid per (vector, block) →

@@ -37,9 +37,13 @@ object BloomDecontaminate {
       isEval: Column, n: Int, bitsPerGram: Int = 16,
       k: Int = Bloom.DefaultK, mOverride: Option[Long] = None): DataFrame = {
     require(bitsPerGram >= 1, s"bitsPerGram must be >= 1, got $bitsPerGram")
+    // explode_outer + output-null filter (the MinHash.shingleRows dodge,
+    // as Decontaminate.hits): plain explode infers an interpreted filter
+    // re-running the tokenize+ngram chain per doc.
     def grams(df: DataFrame): DataFrame =
       df.select(col(idCol),
-        explode(TF.wordNgrams(TF.tokens(col(textCol)), n)).as("gram"))
+        explode_outer(TF.wordNgrams(TF.tokens(col(textCol)), n)).as("gram"))
+        .filter(col("gram").isNotNull)
     // Consumed by the size count, the filter build, and the exact verify —
     // and deliberately NOT cached here: an operator-internal cache pins
     // executor storage for every caller (the corrected q67 rationale), and

@@ -95,9 +95,22 @@ object Containment {
     // interleaved A/B measured the widen shuffle as a net loss here
     // (q68 2.4 → 3.0s) — more tiny-partition stage overhead than the
     // parallelized build repays at bench scale.
-    val rows = MinHash.withShingles(docs, id, text)
-      .select(col(id), explode(col("shingles")).as("_s"))
-      .select(col(id), TextFunctions.hash60(col("_s")).as("h"))
+    // explode_outer + output-null filter, NOT plain explode (the
+    // MinHash.shingleRows dodge): explode makes the optimizer infer a
+    // `size(shingles) > 0` filter below the Generate with the whole
+    // tokenize+shingle expression inlined — a NON-codegen interpreted
+    // Filter re-running the per-document chain several times (measured at
+    // sf0.1: 12.0s vs 0.3s for this one explode). Shingle elements are
+    // concat_ws output, never null, so the output filter drops exactly
+    // the empty-array docs plain explode would.
+    // widen: the sf-test documents table is one row group = one task; the
+    // r20 A/B that measured widen as a net loss here predates the explode
+    // fix above (the serial interpreted filter dominated both arms) — with
+    // the build cost now the tokenize+hash itself, parallelizing it wins
+    // (measured at sf0.1: rows build 2.7s serial vs 0.6s widened).
+    val rows = MinHash.shingleRows(
+        MinHash.withShingles(graft.sources.Sources.widen(docs), id, text), id)
+      .select(col(id), TextFunctions.hash60(col("shingle")).as("h"))
       .cache()
     val dfh = rows.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // Driver-side scalars decide the path (FuzzyLink's entropySegments
@@ -184,15 +197,30 @@ object Containment {
     // ~13M evals at sf0.1; the HOF spelling stays as the parity-pinned
     // specification in TextSpec). The per-PAIR hot path below is the
     // native codegen popcount.
+    // Cached (the `rows` discipline): BOTH sides of the pair join read the
+    // bitset table, and uncached each side re-pays the collect_list
+    // aggregation — worse, that ObjectHashAggregate child (collect_list
+    // cannot hash-agg declaratively) blocks whole-stage codegen for the
+    // nested-loop join, so the 25M-pair popcount condition evaluated
+    // INTERPRETED (measured at sf0.1: join stage 4.1s interpreted vs 1.4s
+    // codegen over InMemoryTableScan inputs).
     val bits = rows.join(ranks, Seq("h"))
       .groupBy(col(id))
       .agg(collect_list(col("r")).as("_rs"), count(lit(1)).as("n"))
       .select(col(id), col("n"),
         call_function("graft_bitset", col("_rs"), lit(words)).as("bits"))
+      .cache()
     val a = bits.select(col(id).as("id_a"), col("n").as("_na"), col("bits").as("_ba"))
-    val b = bits.select(col(id).as("id_b"), col("bits").as("_bb"))
+    val b = bits.select(col(id).as("id_b"), col("n").as("_nb"), col("bits").as("_bb"))
     a.crossJoin(broadcast(b))
-      .filter(col("id_a") =!= col("id_b"))
+      // Cheap size conjunct BEFORE the popcount: containment(a→b) =
+      // |A∩B|/|A| and |A∩B| <= |B|, so |B|/|A| < t already excludes the
+      // pair — same division spelling as the containment compare, so the
+      // double-arithmetic bound is exact (integer numerators <= 2^53
+      // convert exactly; division is monotone in the numerator). Prunes
+      // ~38% of pairs at sf0.1 before any bitset word is touched.
+      .filter(col("id_a") =!= col("id_b") &&
+        col("_nb") * lit(1.0) / col("_na") >= threshold)
       .withColumn("containment",
         call_function("graft_bitand_count", col("_ba"), col("_bb")) * lit(1.0) / col("_na"))
       .filter(col("containment") >= threshold)

@@ -69,77 +69,98 @@ object CorpusReport {
       declaredDupCol: Option[String] = None,
       imageKeepCol: Option[String] = None,
       audioKeepCol: Option[String] = None): DataFrame = {
-    val base = docs.select(col(idCol), col(textCol).as("_text"),
-      TF.tokens(col(textCol)).as("_toks"))
+    langCol.foreach(lc => require(docs.columns.contains(lc),
+      s"corpus report: lang column '$lc' absent from ${docs.columns.mkString(", ")}" +
+        " — pass langCol = None to omit the lang-ID row"))
+    charsetCol.foreach(cc => require(docs.columns.contains(cc),
+      s"corpus report: charset column '$cc' absent from " +
+        s"${docs.columns.mkString(", ")} — pass charsetCol = None to omit"))
+    declaredDupCol.foreach(dc => require(docs.columns.contains(dc),
+      s"corpus report: declared-dup column '$dc' absent from " +
+        s"${docs.columns.mkString(", ")} — pass declaredDupCol = None to omit"))
+    Seq(imageKeepCol, audioKeepCol).flatten.foreach(kc =>
+      require(docs.columns.contains(kc),
+        s"corpus report: gate-verdict column '$kc' absent from " +
+          s"${docs.columns.mkString(", ")} — pass None to omit"))
+    val optCols =
+      (langCol.toSeq ++ charsetCol ++ declaredDupCol ++ imageKeepCol ++
+        audioKeepCol).map(col)
+    val base = docs.select(Seq(col(idCol), col(textCol).as("_text"),
+      TF.tokens(col(textCol)).as("_toks")) ++ optCols: _*)
 
-    def one(name: String, value: Column, from: DataFrame): DataFrame =
-      from.agg(value.as("value")).select(lit(name).as("metric"), col("value"))
+    // ---- ONE wide aggregation for every row-local metric (r21): the
+    // prior shape ran one aggregation JOB per metric — up to ten corpus
+    // scans (each re-tokenizing, and each re-running the gate-verdict
+    // joins) for one ~12-row report. Every count/sum below is the SAME
+    // aggregate the per-metric aggs computed, and the ratios are spelled
+    // identically over the fused row, so values are bit-identical; only
+    // the pass count changes (one corpus agg + the three own-grain scans
+    // below instead of ten).
+    val fusedAggs = Seq(
+      count(lit(1)).as("_n"),
+      countDistinct(md5(TF.normalizeText(col("_text")))).as("_nfp"),
+      coalesce(sum(size(col("_toks"))), lit(0L)).as("_tot"),
+      sum(TF.qualityGrid(col("_text")).cast("long")).as("_sumq")) ++
+      langCol.map(lc =>
+        sum(when(col(lc) =!= TF.langPredict(col("_toks")), 1L)
+          .otherwise(0L)).as("_lmiss")) ++
+      charsetCol.map(cc =>
+        sum(when(col(cc).isNotNull && lower(col(cc)) =!= "utf-8", 1L)
+          .otherwise(0L)).as("_nonutf")) ++
+      declaredDupCol.map(dc =>
+        sum(when(col(dc) === true, 1L).otherwise(0L)).as("_decl")) ++
+      imageKeepCol.map(kc =>
+        // NULL keep = decode failure = dropped
+        sum(when(col(kc) === true, 0L).otherwise(1L)).as("_imgdrop")) ++
+      audioKeepCol.map(kc =>
+        sum(when(col(kc) === true, 0L).otherwise(1L)).as("_auddrop"))
+    val fused = base.agg(fusedAggs.head, fusedAggs.tail: _*)
 
-    val nDocs = one("n_docs", coalesce(count(lit(1)).cast("double"), lit(0.0)), base)
-    val exactDups = one("exact_dup_docs",
-      (count(lit(1)) - countDistinct(md5(TF.normalizeText(col("_text")))))
-        .cast("double"), base)
-    val lines = base.select(explode(split(col("_text"), "\n")).as("_line"))
-    val dupLineFrac = one("dup_line_frac",
-      r4((count(lit(1)) - countDistinct(col("_line"))) * lit(1.0) / count(lit(1))),
-      lines)
-    // ONE corpus-wide token total, reused by n_tokens and the span ratio.
-    val totToks = base.agg(coalesce(sum(size(col("_toks"))), lit(0L)).as("_tot"))
-    val nTokens = totToks.select(lit("n_tokens").as("metric"),
-      col("_tot").cast("double").as("value"))
+    // The three metrics with their own GRAIN keep their own scan: line
+    // grain (q82's), duplicate spans (q87's), boilerplate grams (q85's).
+    // explode_outer (the MinHash.shingleRows dodge): plain explode infers
+    // a size()>0 filter re-running the split per doc interpreted.
+    val lines = base
+      .select(explode_outer(split(col("_text"), "\n")).as("_line"))
+      .filter(col("_line").isNotNull)
+      .agg(count(lit(1)).as("_nlines"), countDistinct(col("_line")).as("_ndl"))
     val spanToks = SpanDedup.dupSpans(docs, idCol, textCol, n)
       .agg(coalesce(sum(col("span_tokens")), lit(0L)).as("_dup"))
-    val spanFrac = spanToks.crossJoin(totToks)
-      .select(lit("span_dup_token_frac").as("metric"),
-        r4(col("_dup") * lit(1.0) / col("_tot")).as("value"))
-    val boiler = one("boilerplate_grams", count(lit(1)).cast("double"),
-      base.select(col(idCol),
-          explode(TF.wordNgrams(col("_toks"), n)).as("_gram")).distinct()
-        .groupBy(col("_gram")).agg(count(lit(1)).as("_df"))
-        .filter(col("_df") >= 2))
-    val meanQ = one("mean_quality",
-      r4(sum(TF.qualityGrid(col("_text")).cast("long")) * lit(1.0) /
-        (count(lit(1)) * lit(10000L))), base)
-    val parts = Seq(nDocs, nTokens, exactDups, dupLineFrac, spanFrac, boiler, meanQ) ++
-      langCol.map { lc =>
-        require(docs.columns.contains(lc),
-          s"corpus report: lang column '$lc' absent from ${docs.columns.mkString(", ")}" +
-            " — pass langCol = None to omit the lang-ID row")
-        one("langid_mismatch_frac",
-          r4(sum(when(col(lc) =!= TF.langPredict(col("_toks")), 1L)
-            .otherwise(0L)) * lit(1.0) / count(lit(1))),
-          docs.select(col(lc), TF.tokens(col(textCol)).as("_toks")))
-      }.toSeq ++
-      charsetCol.map { cc =>
-        require(docs.columns.contains(cc),
-          s"corpus report: charset column '$cc' absent from " +
-            s"${docs.columns.mkString(", ")} — pass charsetCol = None to omit")
-        one("non_utf8_frac",
-          r4(sum(when(col(cc).isNotNull && lower(col(cc)) =!= "utf-8", 1L)
-            .otherwise(0L)) * lit(1.0) / count(lit(1))),
-          docs.select(col(cc)))
-      }.toSeq ++
-      declaredDupCol.map { dc =>
-        require(docs.columns.contains(dc),
-          s"corpus report: declared-dup column '$dc' absent from " +
-            s"${docs.columns.mkString(", ")} — pass declaredDupCol = None to omit")
-        one("declared_dup_frac",
-          r4(sum(when(col(dc) === true, 1L).otherwise(0L)) * lit(1.0) /
-            count(lit(1))),
-          docs.select(col(dc)))
-      }.toSeq ++
-      Seq(imageKeepCol.map(("image_gate_drop_frac", _)),
-          audioKeepCol.map(("audio_gate_drop_frac", _))).flatten.map {
-        case (metric, kc) =>
-          require(docs.columns.contains(kc),
-            s"corpus report: gate-verdict column '$kc' absent from " +
-              s"${docs.columns.mkString(", ")} — pass None to omit")
-          // NULL keep = decode failure = dropped
-          one(metric,
-            r4(sum(when(col(kc) === true, 0L).otherwise(1L)) * lit(1.0) /
-              count(lit(1))),
-            docs.select(col(kc)))
-      }
-    parts.reduce(_ unionByName _).orderBy(col("metric"))
+    // explode_outer + null filter (the shingleRows dodge): grams are
+    // concat_ws output, never null.
+    val boiler = base.select(col(idCol),
+        explode_outer(TF.wordNgrams(col("_toks"), n)).as("_gram"))
+      .filter(col("_gram").isNotNull).distinct()
+      .groupBy(col("_gram")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2)
+      .agg(count(lit(1)).as("_nboiler"))
+
+    // One row holding every ingredient (1×1×1×1 cross joins), one
+    // map-explode to (metric, value) — a single job computes the report.
+    val entries: Seq[(String, Column)] = Seq(
+      "n_docs" -> coalesce(col("_n").cast("double"), lit(0.0)),
+      "n_tokens" -> col("_tot").cast("double"),
+      "exact_dup_docs" -> (col("_n") - col("_nfp")).cast("double"),
+      "dup_line_frac" ->
+        r4((col("_nlines") - col("_ndl")) * lit(1.0) / col("_nlines")),
+      "span_dup_token_frac" -> r4(col("_dup") * lit(1.0) / col("_tot")),
+      "boilerplate_grams" -> col("_nboiler").cast("double"),
+      "mean_quality" ->
+        r4(col("_sumq") * lit(1.0) / (col("_n") * lit(10000L)))) ++
+      langCol.map(_ => "langid_mismatch_frac" ->
+        r4(col("_lmiss") * lit(1.0) / col("_n"))) ++
+      charsetCol.map(_ => "non_utf8_frac" ->
+        r4(col("_nonutf") * lit(1.0) / col("_n"))) ++
+      declaredDupCol.map(_ => "declared_dup_frac" ->
+        r4(col("_decl") * lit(1.0) / col("_n"))) ++
+      imageKeepCol.map(_ => "image_gate_drop_frac" ->
+        r4(col("_imgdrop") * lit(1.0) / col("_n"))) ++
+      audioKeepCol.map(_ => "audio_gate_drop_frac" ->
+        r4(col("_auddrop") * lit(1.0) / col("_n")))
+    fused.crossJoin(lines).crossJoin(spanToks).crossJoin(boiler)
+      .select(explode(map(
+        entries.flatMap { case (k, v) => Seq(lit(k), v) }: _*))
+        .as(Seq("metric", "value")))
+      .orderBy(col("metric"))
   }
 }

@@ -27,9 +27,14 @@ object Decontaminate {
     */
   def hits(docs: DataFrame, idCol: String, textCol: String,
            isEval: Column, n: Int): DataFrame = {
+    // explode_outer + output-null filter (the MinHash.shingleRows dodge):
+    // plain explode infers a size()>0 filter below the Generate with the
+    // tokenize+ngram chain inlined — an interpreted Filter paying the
+    // per-doc gram build twice. Grams are concat_ws output, never null.
     def grams(df: DataFrame): DataFrame =
       df.select(col(idCol),
-        explode(TF.wordNgrams(TF.tokens(col(textCol)), n)).as("gram"))
+        explode_outer(TF.wordNgrams(TF.tokens(col(textCol)), n)).as("gram"))
+        .filter(col("gram").isNotNull)
     val evalGrams = grams(docs.filter(isEval)).select(col("gram")).distinct()
     grams(docs.filter(!isEval))
       .join(broadcast(evalGrams), Seq("gram"))
@@ -67,7 +72,8 @@ object Decontaminate {
     // Same hash spelling as the postings (hash60 over the space-joined
     // gram), so collision behavior is shared — and mirrored in the oracle.
     val evalH = docs.filter(isEval)
-      .select(explode(TF.wordNgrams(TF.tokens(col(textCol)), n)).as("gram"))
+      .select(explode_outer(TF.wordNgrams(TF.tokens(col(textCol)), n)).as("gram"))
+      .filter(col("gram").isNotNull) // the shingleRows dodge, as in hits()
       .select(TF.hash60(col("gram")).as("h")).distinct()
     SpanDedup.mergeSpans(
       corpus.join(broadcast(evalH), Seq("h"), "left_semi"), idCol, n)

@@ -194,8 +194,14 @@ object HtmlExtract {
     * common segment — every adjacent-tag boundary makes one).
     */
   def blocks(docs: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    // posexplode_outer + null filter (the MinHash.shingleRows dodge):
+    // plain posexplode infers a size()>0 filter below the Generate with
+    // the whole dropInvisible+segment regex chain inlined — an interpreted
+    // Filter re-running it per doc. split output is never empty, so only
+    // a null html row emits the null _raw the filter drops.
     docs.select(col(idCol),
-        posexplode(toBlocks(col(htmlCol))).as(Seq("block_idx", "_raw")))
+        posexplode_outer(toBlocks(col(htmlCol))).as(Seq("block_idx", "_raw")))
+      .filter(col("_raw").isNotNull)
       .withColumn("block_text", trim(decodeEntities(stripTags(col("_raw")))))
       .filter(length(col("block_text")) > 0)
       .withColumn("text_len", length(col("block_text")))
@@ -239,13 +245,18 @@ object HtmlExtract {
   def links(docs: DataFrame, idCol: String, htmlCol: String,
       baseCol: String): DataFrame = {
     val normalized = normalizedAnchors(htmlCol)
+    // explode_outer + null filter (the MinHash.shingleRows dodge): plain
+    // explode infers a size()>0 filter inlining the whole normalize+
+    // extract regex chain — re-run per doc in an interpreted Filter.
+    // Extracted groups are strings, never null.
     docs.select(col(idCol),
         graft.text.Urls.domain(graft.text.Urls.canonicalize(col(baseCol)))
           .as("src_host"),
         col(baseCol).as("_base"),
-        explode(regexp_extract_all(normalized,
+        explode_outer(regexp_extract_all(normalized,
           lit("(?is)<a\\s(?:[^>]*\\s)?href\\s*=\\s*\"([^\"]*)\""), lit(1)))
           .as("href"))
+      .filter(col("href").isNotNull)
       .withColumn("target_url", graft.text.Urls.canonicalize(
         graft.text.Urls.resolve(col("_base"), col("href"))))
       .filter(col("target_url").rlike("^https?://"))
@@ -268,14 +279,16 @@ object HtmlExtract {
     */
   def anchorTexts(docs: DataFrame, idCol: String, htmlCol: String,
       baseCol: String): DataFrame =
+    // explode_outer + null filter — same rationale as [[links]].
     docs.select(col(idCol),
         graft.text.Urls.domain(graft.text.Urls.canonicalize(col(baseCol)))
           .as("src_host"),
         col(baseCol).as("_base"),
-        explode(regexp_extract_all(normalizedAnchors(htmlCol),
+        explode_outer(regexp_extract_all(normalizedAnchors(htmlCol),
           lit("(?is)<a\\s(?:[^>]*\\s)?href\\s*=\\s*\"[^\"]*\"[^>]*>" +
             "(?:(?!<a[\\s>]).)*?</a>"), lit(0)))
           .as("_a"))
+      .filter(col("_a").isNotNull)
       .withColumn("href", regexp_extract(col("_a"),
         "(?is)<a\\s(?:[^>]*\\s)?href\\s*=\\s*\"([^\"]*)\"", 1))
       .withColumn("anchor_text", trim(decodeEntities(stripTags(col("_a")))))

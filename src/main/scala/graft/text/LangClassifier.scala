@@ -40,7 +40,11 @@ object LangClassifier {
   def features(docs: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame =
     docs
       .select(col(idCol),
-        explode(TextFunctions.gramHashes(col(textCol), 3)).as("h"))
+        // explode_outer + null filter (the MinHash.shingleRows dodge):
+        // plain explode infers an interpreted size()>0 filter re-running
+        // the per-character gram hashing per doc.
+        explode_outer(TextFunctions.gramHashes(col(textCol), 3)).as("h"))
+      .filter(col("h").isNotNull)
       .select(col(idCol), (col("h") % dim).as("bucket"))
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -115,7 +119,10 @@ object LangClassifier {
         .groupBy(col(idCol), col("_yci"))
         .agg(collect_list(struct(col("ci"), col("logit"))).as("_cl"))
         // stable softmax residuals per class: y_c − exp(l_c − mx)/Σexp
-        .select(col(idCol), explode(expr(
+        // (explode_outer + null filter: the shingleRows dodge — plain
+        // explode would re-run the softmax transform per doc in an
+        // interpreted inferred filter)
+        .select(col(idCol), explode_outer(expr(
           """transform(_cl, x -> named_struct(
             |  'ci', x.ci,
             |  'res', (CASE WHEN x.ci = _yci THEN 1.0d ELSE 0.0d END) -
@@ -123,6 +130,7 @@ object LangClassifier {
             |    aggregate(transform(_cl, y ->
             |      exp(y.logit - array_max(transform(_cl, z -> z.logit)))),
             |      0.0d, (a, v) -> a + v)))""".stripMargin)).as("_r"))
+        .filter(col("_r").isNotNull)
         .select(col(idCol), col("_r.ci").as("ci"), col("_r.res").as("res"))
         .join(feats.select(col(idCol), col("bucket"), col("cnt")), idCol)
         .groupBy(col("ci"), col("bucket"))

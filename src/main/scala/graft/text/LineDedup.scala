@@ -45,8 +45,12 @@ object LineDedup {
     */
   def markLines(docs: DataFrame, idCol: String, textCol: String,
       delimRegex: String = "\n"): DataFrame = {
+    // posexplode_outer (the MinHash.shingleRows dodge): plain posexplode
+    // infers a size()>0 filter re-running the split per doc interpreted;
+    // the existing length filter already drops the null row a null text
+    // would emit (split output is never empty otherwise).
     val lines = docs
-      .select(col(idCol), posexplode(split(col(textCol), delimRegex))
+      .select(col(idCol), posexplode_outer(split(col(textCol), delimRegex))
         .as(Seq("line_idx", "_raw")))
       .select(col(idCol), col("line_idx"), trim(col("_raw")).as("line"))
       .filter(length(col("line")) > 0)

@@ -106,7 +106,11 @@ object MinHash {
       struct(lit(b).as("band"),
         (0 until rows).map(i => col(s"m${b * rows + i}")).reduce(_ + _).as("band_val"))
     }
-    sig.select(col(id), explode(array(bandStructs: _*)).as("bb"))
+    // explode_outer + null filter (the shingleRows dodge): plain explode
+    // infers a size()>0 filter rebuilding the k/r band structs per row.
+    // Band structs are struct() literals, never null.
+    sig.select(col(id), explode_outer(array(bandStructs: _*)).as("bb"))
+      .filter(col("bb").isNotNull)
       .select(col(id), col("bb.band").as("band"), col("bb.band_val").as("band_val"))
   }
 

@@ -42,7 +42,11 @@ object QualityClassifier {
     docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(col(idCol),
-        explode(concat(col("_toks"), TextFunctions.wordBigrams(col("_toks")))).as("gram"))
+        // explode_outer + null filter (the MinHash.shingleRows dodge):
+        // plain explode infers a size()>0 filter rebuilding the
+        // unigram+bigram concat per doc in an interpreted Filter.
+        explode_outer(concat(col("_toks"), TextFunctions.wordBigrams(col("_toks")))).as("gram"))
+      .filter(col("gram").isNotNull)
       .select(col(idCol), (TextFunctions.hash60(col("gram")) % dim).as("bucket"))
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("cnt"))

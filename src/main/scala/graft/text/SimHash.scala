@@ -25,8 +25,11 @@ object SimHash {
     * (broadcast-joined), not per occurrence.
     */
   def fingerprints(docs: DataFrame, id: String, text: String): DataFrame = {
+    // explode_outer + null filter (the MinHash.shingleRows dodge): plain
+    // explode infers an interpreted size()>0 filter re-tokenizing per doc.
     val tf = docs
-      .select(col(id), explode(TextFunctions.tokens(col(text))).as("tok"))
+      .select(col(id), explode_outer(TextFunctions.tokens(col(text))).as("tok"))
+      .filter(col("tok").isNotNull)
       .groupBy(col(id), col("tok")).agg(count(lit(1)).as("tf"))
     val vocab = tf.select(col("tok")).distinct()
       .withColumn("h", TextFunctions.hash60(col("tok")))

@@ -38,9 +38,12 @@ object Sitemaps {
         trim(regexp_extract(e, "(?is)<loc[^>]*>\\s*(.*?)\\s*</loc>", 1)))
     def lastmodOf(e: Column): Column =
       trim(regexp_extract(e, "(?is)<lastmod[^>]*>\\s*(.*?)\\s*</lastmod>", 1))
+    // explode_outer (the MinHash.shingleRows dodge): plain explode infers
+    // a size()>0 filter re-running the entry regex per document in an
+    // interpreted Filter; the existing length filter drops the null row.
     def side(tag: String, kind: String): DataFrame =
       docs.select(col(idCol),
-          explode(regexp_extract_all(col(xmlCol),
+          explode_outer(regexp_extract_all(col(xmlCol),
             lit(s"(?is)<$tag[^>]*>.*?</$tag>"), lit(0))).as("_e"))
         .select(col(idCol), lit(kind).as("kind"),
           locOf(col("_e")).as("url"), lastmodOf(col("_e")).as("lastmod"))
@@ -56,7 +59,8 @@ object Sitemaps {
   def fromRobots(robots: DataFrame, domainCol: String,
       txtCol: String): DataFrame =
     robots.select(col(domainCol),
-        explode(regexp_extract_all(col(txtCol),
+        // explode_outer: the entries() rationale; length filter drops nulls
+        explode_outer(regexp_extract_all(col(txtCol),
           lit("(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)"), lit(1)))
           .as("sitemap_url"))
       .filter(length(col("sitemap_url")) > 0)

@@ -169,10 +169,16 @@ object SpanDedup {
     */
   private[text] def applySpanRemoval(docs: DataFrame, spans: DataFrame,
       idCol: String, textCol: String): DataFrame = {
+    // explode_outer/posexplode_outer + output-null filters (the postings
+    // spelling above, = the MinHash.shingleRows dodge): plain explode
+    // infers a size()>0 filter below the Generate that re-evaluates the
+    // sequence / tokenize child per row in an interpreted Filter.
     val removed = spans.select(col(idCol),
-      explode(sequence(col("span_start"), col("span_end") - 1)).as("pos"))
+        explode_outer(sequence(col("span_start"), col("span_end") - 1)).as("pos"))
+      .filter(col("pos").isNotNull)
     val toks = docs.select(col(idCol),
-        posexplode(TF.tokens(col(textCol))).as(Seq("_p0", "tok")))
+        posexplode_outer(TF.tokens(col(textCol))).as(Seq("_p0", "tok")))
+      .filter(col("tok").isNotNull)
       .select(col(idCol), (col("_p0") + 1).as("pos"), col("tok"))
     val keptAgg = toks.join(removed, Seq(idCol, "pos"), "left_anti")
       .groupBy(col(idCol))

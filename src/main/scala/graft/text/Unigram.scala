@@ -52,8 +52,11 @@ object Unigram {
       seedSize: Int = 1 << 13, emIters: Int = 2): Seq[Piece] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // explode_outer + null filter (the MinHash.shingleRows dodge): plain
+    // explode infers an interpreted size()>0 filter re-tokenizing per doc.
     val wc = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .select(explode_outer(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(col("w").isNotNull)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w"))
       .limit(maxWords)
