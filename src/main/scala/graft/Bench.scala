@@ -1,6 +1,54 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** p-th percentile of `xs` (nearest-rank floor); -1 when empty. */
+  private[graft] def pct(xs: Seq[Double], p: Double): Double =
+    if (xs.isEmpty) -1.0
+    else xs.sorted.apply(math.min(xs.size - 1, (xs.size * p).toInt))
+
+  /** Contention verdict over the run's parallel-probe samples (r21,
+    * verdict ask #1 — the r20 record shipped a 5.7×-inflated total flagged
+    * `contended: false`). Two rules, either trips the flag:
+    *
+    *  - RELATIVE (r15 rule, kept): median parallel probe > 2.5× the run's
+    *    own 10th percentile — most of the run ran substantially slower
+    *    than its demonstrated-achievable floor. Blind to steal that spans
+    *    the whole measured window uniformly (no quiet window to compare
+    *    against) — which is exactly how the r20 record escaped.
+    *  - VS WARMUP FLOOR (new): median parallel probe > 2× the MINIMUM
+    *    probe observed across the warmup pass — a multi-minute window
+    *    sampled once per warmup query, so a steal window must cover
+    *    warmup AND measurement to get past both rules. The 2× margin
+    *    clears the bimodal thread-wake noise quiet-host probes show
+    *    (floor is a min; quiet-run medians sit ~1.2-1.5× above it).
+    *
+    * Small runs (<10 samples, dev subsets) never flag; a missing floor
+    * (probe failures, tiny warmup) disables only the floor rule.
+    */
+  private[graft] def contentionVerdict(pprobes: Seq[Double],
+      warmupFloor: Double): Boolean = {
+    val v = pprobes.filter(_ > 0)
+    if (v.size < 10) false
+    else {
+      val med = pct(v, 0.5)
+      med > 2.5 * pct(v, 0.1) ||
+        (warmupFloor > 0 && med > 2.0 * warmupFloor)
+    }
+  }
+
+  /** Queries whose recorded pass ran under a degraded parallel probe
+    * (> 2.5× the warmup floor): their single numbers are suspect even
+    * when the run-level flag stays down (a steal window shorter than the
+    * run inflates a band, not the median). Annotation, not removal — the
+    * times still count; the names make the record self-diagnosing.
+    */
+  private[graft] def suspectQueries(pprobeByQuery: Seq[(String, Double)],
+      warmupFloor: Double): Seq[String] =
+    if (warmupFloor <= 0) Nil
+    else pprobeByQuery.collect {
+      case (n, p) if p > 2.5 * warmupFloor => n }.sorted
+
   def main(args: Array[String]): Unit = {
     // fork→main wall time: the JVM start is recorded by the runtime; the
     // judged signal includes it so a startup regression (e.g. a bad heap
@@ -29,6 +77,12 @@ object Bench {
     @volatile var expected = -1
     @volatile var passesConfigured = 1
     @volatile var finalPrinted = false
+    // Quiet-window probe floors, sampled once per warmup query (the
+    // multi-minute uncounted pass): min observed single-thread /
+    // all-cores spin — the reference contentionVerdict holds the
+    // measured pass's probe medians against. -1 until warmup ran.
+    @volatile var probeFloor = -1.0
+    @volatile var pprobeFloor = -1.0
     def emit(partial: Boolean): Unit = synchronized {
       if (!finalPrinted) {
         import scala.jdk.CollectionConverters._
@@ -83,16 +137,21 @@ object Bench {
         // undetectable from inside by construction; the raw medians are
         // emitted alongside so cross-round comparison can catch that mode.
         // Small runs (<10 samples, dev subsets) never flag.
-        def pct(xs: Seq[Double], p: Double): Double =
-          if (xs.isEmpty) -1.0
-          else xs.sorted.apply(math.min(xs.size - 1, (xs.size * p).toInt))
         val probesV = rs.map(_._4).filter(_ > 0)
         val pprobesV = rs.map(_._5).filter(_ > 0)
         val gcTotal = rs.map(_._6).sum
         val probeMed = pct(probesV, 0.5)
         val pprobeMed = pct(pprobesV, 0.5)
         val pprobeP10 = pct(pprobesV, 0.1)
-        val contended = pprobesV.size >= 10 && pprobeMed > 2.5 * pprobeP10
+        // r21 (verdict ask #1): the relative rule alone shipped the r20
+        // 444s record flagged contended:false — the whole measured window
+        // was inflated, so its own p10 was too. The warmup-floor rule
+        // compares against the run's earlier quiet window instead; see
+        // contentionVerdict. Per-query suspects make a partial steal
+        // window legible even when the run-level flag stays down.
+        val contended = contentionVerdict(pprobesV, pprobeFloor)
+        val suspects = suspectQueries(
+          rs.map { case (k, _, _, _, pp, _) => (k, pp) }, pprobeFloor)
         // methodology: steady-state (JMH-style) — every query ran once
         // uncounted at warmDir before timing, so measurements are
         // compile-cache-hit times, excluding one-shot JIT/codegen cost
@@ -110,15 +169,10 @@ object Bench {
           s""""pprobe_med_ms":${f2(pprobeMed)},"pprobe_p10_ms":${f2(pprobeP10)},""" +
           s""""starts_sec":$starts,"probe_ms":$probes,"pprobe_ms":$pprobes,""" +
           s""""gc_ms":$gcs,"gc_total_ms":${f2(gcTotal)},""" +
-          s""""failed_queries":$fails,"warmup_failures":$warmFails,""" +
-          // r19 verdict #6 adjudication, recorded where the judge reads it:
-          // the q22 r16→r19 one-way drift (1.64→4.10 s) was A/B'd on a
-          // quiet host with the implementation isolated — it is NOT a plan
-          // regression (probes confirm equal single-thread capacity).
-          s""""q22_note":"quiet-host isolated A/B (4-pass min, sf0.1): """ +
-          s"""r16-tree 2.18s vs r20-tree 2.42s, probe_ms 1.4 both - """ +
-          s"""implementation parity; the drift in driver records is """ +
-          s"""full-catalog JVM context + host contention, not a plan change"}"""
+          s""""probe_floor_ms":${f2(probeFloor)},""" +
+          s""""pprobe_floor_ms":${f2(pprobeFloor)},""" +
+          s""""suspect_queries":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""failed_queries":$fails,"warmup_failures":$warmFails}"""
         println(line)
         // The driver's round record keeps only a 2000-char TAIL of the run
         // log and parses the JSON out of THAT — the full line above (~9 kB
@@ -200,16 +254,68 @@ object Bench {
       val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       if (sib.isDirectory) sib.getPath else sfDir
     }
+    // Probes are DIAGNOSTIC: a probe failure (interrupt, pool rejection)
+    // must never kill the measured run it annotates — catch everything and
+    // record the -1.0 sentinel instead. Defined BEFORE warmup (r21): the
+    // warmup pass doubles as the quiet-window floor sampler.
+    def spin(): Long = {
+      var s = 0L
+      var i = 0
+      while (i < (1 << 22)) { s += i * 2654435761L; i += 1 }
+      s
+    }
+    def spinProbe(): Double = try {
+      val t0 = System.nanoTime()
+      if (spin() == 42L) System.err.println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e6
+    } catch { case _: Throwable => -1.0 }
+    // Parallel probe: the same spin on EVERY core at once; report the
+    // slowest thread's wall. A reused pool so thread startup isn't in the
+    // measurement after the first call.
+    // Daemon threads: a throwable unwinding main between pool creation and
+    // shutdown must not leave non-daemon probe threads holding the JVM
+    // open until the driver's timeout (the zeroed-round failure mode the
+    // shutdown hook exists to prevent).
+    val nProbeThreads = Runtime.getRuntime.availableProcessors()
+    val probePool = java.util.concurrent.Executors.newFixedThreadPool(
+      nProbeThreads,
+      (r: Runnable) => { val t = new Thread(r, "bench-probe"); t.setDaemon(true); t })
+    def parallelProbe(): Double = try {
+      import scala.jdk.CollectionConverters._
+      val t0 = System.nanoTime()
+      val tasks = Seq.fill(nProbeThreads)(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = spin()
+      }).asJava
+      val rs = probePool.invokeAll(tasks).asScala.map(_.get())
+      if (rs.sum == 42L) System.err.println("")
+      (System.nanoTime() - t0) / 1e6
+    } catch { case _: Throwable => -1.0 }
+    spinProbe(); parallelProbe() // JIT-warm the probes before sampling
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     expected = catalog.size
+    val probeWarmSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    val pprobeWarmSamples = scala.collection.mutable.ArrayBuffer[Double]()
     catalog.foreach { case (name, fn) =>
+      // Floor sampling rides the warmup pass: one probe pair per query
+      // spreads the samples over the whole multi-minute window (the first
+      // few are JIT-cold and slow — the min ignores them).
+      probeWarmSamples += spinProbe()
+      pprobeWarmSamples += parallelProbe()
       try fn(spark, warmDir).count() catch {
         case t: Throwable =>
           warmFails += 1
           System.err.println(s"[bench] warmup $name failed: ${String.valueOf(t).take(200)}")
       }
     }
+    // Floors need enough samples to have seen a quiet moment; tiny dev
+    // subsets leave the floor rule disabled (-1) rather than comparing
+    // medians against one possibly-cold sample.
+    if (probeWarmSamples.count(_ > 0) >= 5)
+      probeFloor = probeWarmSamples.filter(_ > 0).min
+    if (pprobeWarmSamples.count(_ > 0) >= 5)
+      pprobeFloor = pprobeWarmSamples.filter(_ > 0).min
+    System.err.println(f"[bench] probe floors: ${probeFloor}%.2f / ${pprobeFloor}%.2f ms")
     // I/O + catalog warmth at the measured SF for the three family anchors.
     if (only.isEmpty) {
       SparkEntry.queries("q06_star_agg")(spark, sfDir).count()
@@ -243,42 +349,6 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
         .map(b => math.max(0L, b.getCollectionTime)).sum.toDouble
     }
-    def spin(): Long = {
-      var s = 0L
-      var i = 0
-      while (i < (1 << 22)) { s += i * 2654435761L; i += 1 }
-      s
-    }
-    // Probes are DIAGNOSTIC: a probe failure (interrupt, pool rejection)
-    // must never kill the measured run it annotates — catch everything and
-    // record the -1.0 sentinel instead.
-    def spinProbe(): Double = try {
-      val t0 = System.nanoTime()
-      if (spin() == 42L) System.err.println("") // defeat dead-code elimination
-      (System.nanoTime() - t0) / 1e6
-    } catch { case _: Throwable => -1.0 }
-    // Parallel probe: the same spin on EVERY core at once; report the
-    // slowest thread's wall. A reused pool so thread startup isn't in the
-    // measurement after the first call.
-    // Daemon threads: a throwable unwinding main between pool creation and
-    // shutdown must not leave non-daemon probe threads holding the JVM
-    // open until the driver's timeout (the zeroed-round failure mode the
-    // shutdown hook exists to prevent).
-    val nProbeThreads = Runtime.getRuntime.availableProcessors()
-    val probePool = java.util.concurrent.Executors.newFixedThreadPool(
-      nProbeThreads,
-      (r: Runnable) => { val t = new Thread(r, "bench-probe"); t.setDaemon(true); t })
-    def parallelProbe(): Double = try {
-      import scala.jdk.CollectionConverters._
-      val t0 = System.nanoTime()
-      val tasks = Seq.fill(nProbeThreads)(new java.util.concurrent.Callable[Long] {
-        override def call(): Long = spin()
-      }).asJava
-      val rs = probePool.invokeAll(tasks).asScala.map(_.get())
-      if (rs.sum == 42L) System.err.println("")
-      (System.nanoTime() - t0) / 1e6
-    } catch { case _: Throwable => -1.0 }
-    spinProbe(); parallelProbe() // JIT-warm the probes before measuring
     val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
     passesConfigured = passes
     val measureT0 = System.nanoTime()
