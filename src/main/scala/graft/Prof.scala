@@ -31,9 +31,54 @@ object Prof {
     val which = if (args.nonEmpty) args(0) else "q67"
     which match {
       case "q67" => q67(spark, sfDir)
+      case "q76" => q76(spark, sfDir)
       case other => System.err.println(s"unknown profile $other")
     }
     spark.stop()
+  }
+
+  def q76(spark: SparkSession, d: String): Unit = {
+    // warm at sf0.001
+    SparkEntry.queries("q76_copurchase")(spark, "/root/testdata/sf0.001").count()
+    Graft.releaseCaches(); spark.catalog.clearCache()
+    (1 to 3).foreach { rep =>
+      println(s"== rep $rep ==")
+      val li = Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_partkey"))
+      time("scan count") { li.count() }
+      val wide = graft.sources.Sources.widen(li, col("l_orderkey"))
+      val ps = slice(array_sort(collect_set(col("l_partkey"))), 1, 64)
+      val baskets = wide.groupBy(col("l_orderkey")).agg(ps.as("_ps"))
+      time("baskets (noop)") {
+        baskets.write.format("noop").mode("overwrite").save() }
+      val pairs = graft.ops.Baskets.pairsOfSets(baskets, "l_orderkey")
+      time("pairs (noop)") {
+        pairs.write.format("noop").mode("overwrite").save() }
+      val counted = pairs.groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("n_baskets"))
+      time("pair counts (noop)") {
+        counted.write.format("noop").mode("overwrite").save() }
+      time("full q76 (count)") {
+        SparkEntry.queries("q76_copurchase")(spark, d).count() }
+      // v_b: cut the plan at baskets (localCheckpoint) so the pair
+      // expansion + count stage reads codegen-friendly input
+      val ck = time("baskets localCheckpoint") { baskets.localCheckpoint() }
+      val countedCk = graft.ops.Baskets.pairsOfSets(ck, "l_orderkey")
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("n_baskets"))
+      time("v_b pairs+count off checkpoint") {
+        countedCk.write.format("noop").mode("overwrite").save() }
+      // v_c: join-based pair expansion off the checkpointed baskets
+      val ex = ck.select(col("l_orderkey"), posexplode(col("_ps")).as(Seq("i", "item")))
+      val cj = ex.select(col("l_orderkey"), col("i").as("ia"), col("item").as("item_a"))
+        .join(ex.select(col("l_orderkey"), col("i").as("ib"), col("item").as("item_b")),
+          Seq("l_orderkey"))
+        .filter(col("ia") < col("ib"))
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("n_baskets"))
+      time("v_c join pairs+count off checkpoint") {
+        cj.write.format("noop").mode("overwrite").save() }
+      Graft.releaseCaches(); spark.catalog.clearCache()
+    }
   }
 
   def q67(spark: SparkSession, d: String): Unit = {

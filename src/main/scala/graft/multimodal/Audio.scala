@@ -378,7 +378,12 @@ object Audio {
   /** One WAV payload per doc, samples closed-form in the text bytes. */
   def toWavPayloads(spark: SparkSession, docs: DataFrame): Dataset[MediaPayload] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    // widen: payload synthesis + the downstream decode are per-doc-heavy
+    // and run before any exchange — a one-row-group corpus scan would
+    // serialize them on one core (no-op at scale).
+    graft.sources.Sources.widen(
+        docs.select(col("doc_id").cast("long"), col("text")), col("doc_id"))
+      .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val n = math.max(1, bytes.length)

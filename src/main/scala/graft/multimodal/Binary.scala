@@ -53,7 +53,12 @@ object Binary {
     */
   def toPpmPayloads(spark: SparkSession, docs: DataFrame): Dataset[MediaPayload] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    // widen: payload synthesis + the downstream decode are per-doc-heavy
+    // and run before any exchange — a one-row-group corpus scan would
+    // serialize them on one core (no-op at scale).
+    graft.sources.Sources.widen(
+        docs.select(col("doc_id").cast("long"), col("text")), col("doc_id"))
+      .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -802,7 +807,10 @@ object Binary {
     */
   def toPngPayloads(spark: SparkSession, docs: DataFrame): Dataset[MediaPayload] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    // widen: see toPpmPayloads.
+    graft.sources.Sources.widen(
+        docs.select(col("doc_id").cast("long"), col("text")), col("doc_id"))
+      .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val w = PngWidth

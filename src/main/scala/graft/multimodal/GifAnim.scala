@@ -204,7 +204,12 @@ object GifAnim {
   def toGifAnimations(spark: SparkSession, docs: DataFrame): Dataset[MediaPayload] = {
     import spark.implicits._
     val (fw, fh) = (FrameW, FrameH)
-    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    // widen: GIF synthesis + the downstream per-frame decode are per-doc-
+    // heavy and run before any exchange — a one-row-group corpus scan
+    // would serialize them on one core (no-op at scale).
+    graft.sources.Sources.widen(
+        docs.select(col("doc_id").cast("long"), col("text")), col("doc_id"))
+      .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val perFrame = fw * fh

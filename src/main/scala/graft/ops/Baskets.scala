@@ -56,15 +56,29 @@ object Baskets {
     // interpreted (non-codegen) Filter, doubling the dominant map-side
     // cost. Pair structs are struct() literals, never null, so the output
     // filter drops exactly the empty-pairs baskets plain explode would.
-    items
-      .groupBy(col(basketCol))
-      .agg(ps.as("_ps"))
+    // widen: the partial collect_set runs in the SCAN stage — a one-row-
+    // group input serializes it on one core (no-op at scale, and for
+    // already-shuffled inputs like q83's gram frame).
+    pairsOfSets(
+      graft.sources.Sources.widen(items, col(basketCol))
+        .groupBy(col(basketCol))
+        .agg(ps.as("_ps")),
+      basketCol)
+  }
+
+  /** The C(n,2) pair expansion over a PREBUILT basket frame
+    * (`basketCol`, `_ps` = sorted distinct item array, already truncated) —
+    * the one pair-construction definition [[pairs]] and callers that
+    * derive other statistics from the same basket frame (q83's per-source
+    * vocabulary counts) share, so pairing semantics can't drift.
+    */
+  def pairsOfSets(baskets: DataFrame, basketCol: String): DataFrame =
+    baskets
       .select(col(basketCol), explode_outer(flatten(transform(col("_ps"), (a, i) =>
         transform(slice(col("_ps"), i + lit(2), size(col("_ps"))),
           b => struct(a.as("item_a"), b.as("item_b")))))).as("_p"))
       .filter(col("_p").isNotNull)
       .select(col(basketCol), col("_p.item_a"), col("_p.item_b"))
-  }
 
   /** Pair support counts: distinct baskets containing both items, top
     * `topN` by support with a full deterministic tiebreak (support desc,

@@ -173,7 +173,10 @@ object FuzzyLink {
       // explode infers a size()>0 filter rebuilding the whole block/
       // deletion-variant array per row in an interpreted Filter. Block
       // structs are struct() literals, never null.
-      df.select(col(keyCol).as(keyAs), col(nameCol).as(nameAs),
+      // widen: the block/deletion-variant array build is per-row-heavy
+      // and runs before the first exchange (no-op at scale).
+      graft.sources.Sources.widen(df, col(keyCol))
+        .select(col(keyCol).as(keyAs), col(nameCol).as(nameAs),
           length(col(nameCol)).as("len"),
           expr(s"right($nameCol, $suffixLen)").as("_sfx"))
         .select(col(keyAs), col(nameAs), col("len"),

@@ -55,7 +55,9 @@ object TextQueries {
       accuracy: Int = QualityCutoffExactAccuracy): DataFrame = {
     require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
     require(accuracy >= 1, s"accuracy must be positive, got $accuracy")
-    val scored = docs.select(col("doc_id"),
+    // widen: the per-doc quality regexes run before the first exchange
+    // (no-op at scale — Sources.widen checks the width).
+    val scored = graft.sources.Sources.widen(docs, col("doc_id")).select(col("doc_id"),
       when(col("source").isNull, raise_error(lit(
           "quality_cutoff: source is NULL — assign or quarantine upstream")))
         .otherwise(col("source")).as("source"),
@@ -77,18 +79,31 @@ object TextQueries {
     // whole tokenize+ngram chain inlined — an interpreted Filter paying
     // the per-doc gram build twice. Grams are concat_ws output, never
     // null, so the output filter is exactly plain explode's row set.
-    val g = docs
+    // widen: the per-doc tokenize+8-gram build runs before the first
+    // exchange (no-op at scale — Sources.widen checks the width).
+    val g = graft.sources.Sources.widen(docs, col("doc_id"))
       .select(
         when(col("source").isNull, raise_error(lit(
             "source_overlap: source is NULL — assign or quarantine upstream")))
           .otherwise(col("source")).as("source"),
         explode_outer(TF.wordNgrams(TF.tokens(col("text")), 8)).as("gram"))
       .filter(col("gram").isNotNull)
-      .distinct()
     val nSources = docs.select(col("source")).distinct().count()
-    val cnt = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    graft.ops.Baskets.pairs(g, "gram", "source",
-        maxBasket = math.max(2L, nSources).toInt)
+    // ONE corpus-gram aggregation builds the per-gram source set directly
+    // (collect_set dedups (gram, source) — the previous standalone
+    // `.distinct()` pass was redundant work, and because the gram frame
+    // fed TWO consumers uncached, the whole tokenize+8-gram build ran
+    // once per consumer). The basket frame is vocab-sized (gram + its
+    // ≤|sources| holders) and cached: the per-source vocabulary counts
+    // and the pairing both read it. maxBasket = nSources, so the sorted
+    // slice never truncates and the exploded counts are exact.
+    val cap = math.max(2L, nSources).toInt
+    val baskets = g.groupBy(col("gram"))
+      .agg(slice(array_sort(collect_set(col("source"))), 1, cap).as("_ps"))
+      .cache()
+    val cnt = baskets.select(explode(col("_ps")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    graft.ops.Baskets.pairsOfSets(baskets, "gram")
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_shared"))
       .join(broadcast(cnt.select(col("source").as("item_a"), col("n").as("_na"))),
@@ -361,7 +376,7 @@ object TextQueries {
       // chain, re-paying the per-character hashing per doc in an
       // interpreted Filter. Fingerprints are longs, never null.
       val fps = Graft.registerCache(
-        graft.sources.Sources.widen(Tables.documents(s, d))
+        graft.sources.Sources.widen(Tables.documents(s, d), col("doc_id"))
           .withColumn("_hs", TF.gramHashes(col("text"), k))
           .select(col("doc_id"), explode_outer(TF.winnowSelect(col("_hs"), w)).as("fp"))
           .filter(col("fp").isNotNull))
@@ -643,7 +658,8 @@ object TextQueries {
     // global sort).
     "q85_boilerplate_grams" -> { (s, d) =>
       // explode_outer + null filter: the shingleRows dodge (see q83).
-      Tables.documents(s, d)
+      // widen: per-doc tokenize+8-grams before the first exchange.
+      graft.sources.Sources.widen(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"),
           explode_outer(TF.wordNgrams(TF.tokens(col("text")), 8)).as("gram"))
         .filter(col("gram").isNotNull)
@@ -690,7 +706,7 @@ object TextQueries {
       // the explicit size(_toks) >= 2 pre-filter already bounds the rows;
       // plain explode would still infer a second filter inlining the
       // zip_with bigram build per doc.
-      val bg = Tables.documents(s, d)
+      val bg = graft.sources.Sources.widen(Tables.documents(s, d), col("doc_id"))
         .withColumn("_toks", TF.tokens(col("text")))
         .filter(size(col("_toks")) >= 2)
         .select(col("doc_id"), explode_outer(TF.wordBigrams(col("_toks"))).as("bigram"))
@@ -1270,7 +1286,7 @@ object TextQueries {
       // widen: the syntheticLinkFrame rationale (one-row-group scan would
       // serialize the anchor regex chain onto one core).
       val at = graft.text.HtmlExtract.anchorTexts(
-        graft.sources.Sources.widen(Tables.documents(s, d))
+        graft.sources.Sources.widen(Tables.documents(s, d), col("doc_id"))
           .withColumn("base_url", syntheticBaseUrl)
           .withColumn("html", syntheticLinkHtml),
         "doc_id", "html", "base_url")
@@ -1294,7 +1310,7 @@ object TextQueries {
     // VOCAB-sized; top-50 is TakeOrdered, never a global sort.
     "q109_collocations" -> { (s, d) =>
       // explode_outer + null filter: the shingleRows dodge (see q74/q83).
-      val bg = Tables.documents(s, d)
+      val bg = graft.sources.Sources.widen(Tables.documents(s, d), col("doc_id"))
         .withColumn("_toks", TF.tokens(col("text")))
         .filter(size(col("_toks")) >= 2)
         .select(explode_outer(TF.wordBigrams(col("_toks"))).as("bigram"))
@@ -1355,7 +1371,7 @@ object TextQueries {
     // canonicalize regex chain onto a single core; at scale the scan
     // already has splits and widen is a no-op.
     Graft.registerCache(graft.text.HtmlExtract.links(
-      graft.sources.Sources.widen(Tables.documents(s, d))
+      graft.sources.Sources.widen(Tables.documents(s, d), col("doc_id"))
         .withColumn("base_url", syntheticBaseUrl)
         .withColumn("html", syntheticLinkHtml),
       "doc_id", "html", "base_url"))

@@ -59,11 +59,14 @@ import VersionedTable.{AddFile, MetaPosCol, MetaRelCol}
   *     `dataChange=false` survivors, updated rows + inserts as new
   *     `dataChange=true` files (CHECK-constraint enforced, i33).
   *
-  * Commit protocol: op `merge` — unless the merge DELETED rows, which the
-  * append face cannot represent; then op `merge_delete`, which
-  * [[VersionedTable.readChangesSince]] fails NAMED (reconsume or read the
-  * CDF face) exactly like a plain delete, while [[VersionedTable.readChangeFeed]]
-  * serves the sidecar images. Conflict rule is merge's: decided against a
+  * Commit protocol: op `merge` only when the merge purely INSERTED — the
+  * one outcome the append face can represent. A merge that DELETED rows
+  * commits `merge_delete`; one that UPDATED (rewrote) rows commits
+  * `merge_update` (r21 advice fix: its adds are post-images of rows
+  * downstream already consumed — served as inserts they would duplicate
+  * keys). Both fail [[VersionedTable.readChangesSince]] NAMED (reconsume
+  * or read the CDF face) exactly like a plain delete/update, while
+  * [[VersionedTable.readChangeFeed]] serves the sidecar images. Conflict rule is merge's: decided against a
   * snapshot, any concurrent non-vacuum commit fails named. A merge where
   * no row acts commits NOTHING (no version, no feed breakage) and sweeps
   * whatever it materialized.
@@ -410,7 +413,11 @@ final class MergeIntoBuilder private[sources] (
               if (!base.changeFeed || cdcFrames.isEmpty) Nil
               else orphans.trackCdc(VT.writeCdc(
                 cdcFrames.reduce(_.unionByName(_)), table))
-            val op = if (nDeleted > 0) "merge_delete" else "merge"
+            // op encodes the append-face contract (r21 advice fix): deletes
+            // and row REWRITES both break append-only consumption — only a
+            // pure-insert merge commits the append-safe 'merge'
+            val op = if (nDeleted > 0) "merge_delete"
+              else if (nUpdated > 0) "merge_update" else "merge"
             VersionedTable.testHookBeforeCommit()
             val v = VT.commitLoop(spark, table, op) {
               case None => sys.error(s"no versioned table at $table — create() it first")

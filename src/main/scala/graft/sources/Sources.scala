@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.io.{LongWritable, Text}
 import org.apache.hadoop.mapreduce.lib.input.{FileSplit => NewFileSplit, TextInputFormat => NewTextInputFormat}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Source readers (i03): explicit-schema batch + streaming readers.
@@ -41,9 +41,23 @@ object Sources {
     * is the contract, so a 100 TB input never pays a blind full-text
     * reshuffle.
     */
-  def widen(df: DataFrame): DataFrame = {
+  def widen(df: DataFrame, by: Column*): DataFrame = {
+    // Streaming frames can't be inspected via .rdd (and micro-batches are
+    // already width-partitioned by the source); pass them through so the
+    // shared text/sim helpers stay usable from the streaming faces.
+    if (df.isStreaming) return df
     val width = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= width) df else df.repartition(width)
+    if (df.rdd.getNumPartitions >= width) df
+    // HASH repartition on the caller's row key, never keyless round-robin:
+    // a keyless repartition(n) first pays a LOCAL SORT of its input
+    // (spark.sql.execution.sortBeforeRepartition, needed for retry
+    // determinism) — on the one-task narrow scan this widens, that sort
+    // serializes on a single core, eating the win. Hash partitioning is
+    // retry-deterministic without the sort, and a key that matches the
+    // downstream aggregation (doc id, basket key) hands the partitioning
+    // onward so the next groupBy plans no second exchange.
+    else if (by.nonEmpty) df.repartition(width, by: _*)
+    else df.repartition(width)
   }
 
   def parquetIfExists(spark: SparkSession, path: String): Option[DataFrame] =

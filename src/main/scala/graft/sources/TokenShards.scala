@@ -77,9 +77,13 @@ object TokenShards {
     */
   def docSubwords(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[String] = Bpe.FixedMerges): DataFrame =
-    docs.select(col(idCol).cast("long").as(idCol),
-      flatten(transform(TF.tokens(col(textCol)),
-        t => Bpe.encode(t, merges))).as("subs"))
+    // widen: the BPE encode is the corpus-rate cost and runs before the
+    // first exchange — a one-row-group corpus scan would serialize it on
+    // one core (no-op at scale; Sources.widen checks the width).
+    graft.sources.Sources.widen(docs, col(idCol))
+      .select(col(idCol).cast("long").as(idCol),
+        flatten(transform(TF.tokens(col(textCol)),
+          t => Bpe.encode(t, merges))).as("subs"))
 
   /** Dense token vocabulary over a [[docSubwords]] frame:
     * (token_id, subword, n_uses), ids 0..V−1 by (n_uses desc, subword

@@ -2145,7 +2145,12 @@ object VersionedTable {
           }
 
         testHookBeforeCommit()
-        commitLoop(spark, table, "merge") {
+        // op encodes the append-face contract (r21 advice fix): matched
+        // keys mean existing rows were REPLACED — post-images served as
+        // inserts would duplicate keys downstream, so only a pure-insert
+        // upsert commits the append-safe 'merge'
+        commitLoop(spark, table,
+          if (matchedFiles.nonEmpty) "merge_update" else "merge") {
           case None => sys.error(s"no versioned table at $table — create() it first")
           case Some(snap) =>
             if (app != null && snap.txns.get(app).exists(_ >= batch)) None
@@ -2700,7 +2705,14 @@ object VersionedTable {
     val fs = fsOf(spark, table)
     val vs = commitVersions(fs, table)
     require(vs.nonEmpty, s"no versioned table at $table — create() it first")
-    require(vs.contains(sinceVersion),
+    // sinceVersion = -1 is GENESIS: serve every commit from version 0
+    // inclusive (the face the inclusive `startingVersion` option needs for
+    // startingVersion = 0); valid only when the full history survives.
+    if (sinceVersion == -1L)
+      require(vs.head == 0L,
+        s"versioned table $table: genesis read (since = -1) needs the full " +
+          s"history, but the log starts at version ${vs.head}")
+    else require(vs.contains(sinceVersion),
       s"versioned table $table has no version $sinceVersion to read changes since")
     val later = vs.filter(v => v > sinceVersion &&
       (untilVersion < 0 || v <= untilVersion))
@@ -2711,8 +2723,11 @@ object VersionedTable {
     // to prevent; op names are the feed's protocol surface)
     val appendOps = Set("create", "convert", "append", "merge", "optimize",
       "vacuum", "constraint", "property")
+    // merge_update (r21 advice fix): a merge that REWROTE existing rows —
+    // its adds carry post-images of rows downstream already consumed, so
+    // serving them as inserts would duplicate keys; fail named like update
     val removeOps = Set("overwrite", "overwrite_partitions", "delete",
-      "update", "restore", "merge_delete")
+      "update", "restore", "merge_delete", "merge_update")
     val adds = later.flatMap { v =>
       val (nodes, op) = parseCommit(fs, table, v)
       if (removeOps.contains(op))
@@ -2762,19 +2777,35 @@ object VersionedTable {
     val fs = fsOf(spark, table)
     val vs = commitVersions(fs, table)
     require(vs.nonEmpty, s"no versioned table at $table — create() it first")
-    require(vs.contains(sinceVersion),
-      s"versioned table $table has no version $sinceVersion to read changes since")
     val latest = snapshotAt(spark, table)
-    require(sinceVersion >= latest.vacuumHorizon,
-      s"versioned table $table: changes since $sinceVersion reach below the " +
-        s"vacuum horizon ${latest.vacuumHorizon} — their files are gone; " +
-        "reconsume from a retained snapshot")
+    // sinceVersion = -1 is GENESIS: serve every commit's changes from
+    // version 0 inclusive (the face the inclusive `startingVersion` option
+    // needs for startingVersion = 0); valid only while the full history
+    // (log AND pre-vacuum files) survives.
+    if (sinceVersion == -1L) {
+      require(vs.head == 0L,
+        s"versioned table $table: genesis change feed (since = -1) needs " +
+          s"the full history, but the log starts at version ${vs.head}")
+      require(latest.vacuumHorizon <= 0L,
+        s"versioned table $table: genesis change feed reaches below the " +
+          s"vacuum horizon ${latest.vacuumHorizon} — early files are gone; " +
+          "reconsume from a retained snapshot")
+    } else {
+      require(vs.contains(sinceVersion),
+        s"versioned table $table has no version $sinceVersion to read changes since")
+      require(sinceVersion >= latest.vacuumHorizon,
+        s"versioned table $table: changes since $sinceVersion reach below the " +
+          s"vacuum horizon ${latest.vacuumHorizon} — their files are gone; " +
+          "reconsume from a retained snapshot")
+    }
     val later = vs.filter(v => v > sinceVersion &&
       (untilVersion < 0 || v <= untilVersion))
     // incremental file-state replay: computed deletes need the REMOVED
-    // file's add-state (its DV decides which rows still counted)
+    // file's add-state (its DV decides which rows still counted); genesis
+    // replays from the empty table
     var fileState: Map[String, AddFile] =
-      snapshotAt(spark, table, sinceVersion).files.map(f => f.path -> f).toMap
+      if (sinceVersion == -1L) Map.empty
+      else snapshotAt(spark, table, sinceVersion).files.map(f => f.path -> f).toMap
     val plain = Seq.newBuilder[(String, Long, String)]   // (path, version, type)
     val dvved = Seq.newBuilder[(AddFile, Long, String)]  // DV'd: anti-join first
     val sidecars = Seq.newBuilder[(String, Long)]        // cdc (path, version)
@@ -2790,7 +2821,7 @@ object VersionedTable {
       op match {
         case "create" | "convert" | "append" =>
           adds.filter(_.dataChange).foreach(a => plain += ((a.path, v, "insert")))
-        case "merge" | "merge_delete" | "delete" | "update" =>
+        case "merge" | "merge_update" | "merge_delete" | "delete" | "update" =>
           if (cdcs.isEmpty) sys.error(
             s"versioned table $table: commit $v is a $op committed WITHOUT " +
               "change data (the change feed was not enabled then) — its " +

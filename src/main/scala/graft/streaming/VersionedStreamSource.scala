@@ -41,9 +41,11 @@ import graft.sources.VersionedTable
   * codegen stay on), never a per-row conversion. Spark re-applies every
   * filter above the scan (default `unhandledFilters`), so translation
   * gaps cost pruning power only, never correctness — the readWhere
-  * stance. Time travel via `versionAsOf`/`timestampAsOf` (exclusive);
-  * `readChangeFeed=true` serves the i29 CDF range (`startingVersion`
-  * required, `endingVersion` optional).
+  * stance. Time travel via `versionAsOf`/`timestampAsOf` (mutually
+  * exclusive); `readChangeFeed=true` serves the i29 CDF range
+  * (`startingVersion` required, `endingVersion` optional) — both bounds
+  * INCLUSIVE, Delta's binding for the identically-spelled options (r21
+  * advice fix; the library API readChangeFeed stays (since, until]).
   *
   * STREAMING (s36): offsets ARE commit versions — each trigger consumes
   * the commit range (lastCommitted, latest] via
@@ -65,7 +67,7 @@ import graft.sources.VersionedTable
   * snapshot at the batch's pinned version (NOT "latest" — a commit racing
   * in mid-trigger belongs to the next batch, or replay would not be
   * deterministic); with one, the first batch serves changes in
-  * (startingVersion, …].
+  * [startingVersion, …] — INCLUSIVE, Delta's binding (r21 advice fix).
   *
   * A DML commit in the range makes the APPEND face fail named (the
   * [[VersionedTable.readChangesSince]] contract) — exactly Delta's
@@ -108,11 +110,16 @@ class VersionedStreamProvider extends StreamSourceProvider with RelationProvider
     require(!(parameters.contains("versionAsOf") && parameters.contains("timestampAsOf")),
       "versionAsOf and timestampAsOf are mutually exclusive")
     if (cdfOf(parameters)) {
-      val since = parameters.getOrElse("startingVersion", sys.error(
+      val starting = parameters.getOrElse("startingVersion", sys.error(
         "readChangeFeed batch read needs .option(\"startingVersion\", <v>) — " +
           "the feed is a commit RANGE, not a snapshot")).toLong
+      require(starting >= 0L, s"startingVersion must be >= 0, got $starting")
       val until = parameters.get("endingVersion").map(_.toLong).getOrElse(-1L)
-      new VersionedCdfRelation(spark, sqlContext, table, since, until)
+      // Delta's identically-spelled option is INCLUSIVE of startingVersion
+      // (r21 advice fix — the exclusive binding silently lost version N's
+      // changes for ported workloads): readChangeFeed serves (since, until],
+      // so inclusive = starting - 1, with -1 = genesis for starting = 0.
+      new VersionedCdfRelation(spark, sqlContext, table, starting - 1L, until)
     } else {
       val version = parameters.get("versionAsOf").map(_.toLong)
         .orElse(parameters.get("timestampAsOf").map(ts =>
@@ -149,8 +156,15 @@ class VersionedStreamProvider extends StreamSourceProvider with RelationProvider
     val maxVersions = parameters.get("maxVersionsPerBatch").map(_.toLong)
     maxVersions.foreach(n => require(n > 0,
       s"maxVersionsPerBatch must be positive, got $n"))
+    // INCLUSIVE startingVersion (Delta's binding, r21 advice fix): the
+    // source plans batches as (base, end] commit ranges, so the inclusive
+    // option maps to base = startingVersion - 1 (-1 = genesis for 0, which
+    // readChangesSince/readChangeFeed serve from the empty table).
+    val starting = parameters.get("startingVersion").map(_.toLong)
+    starting.foreach(v => require(v >= 0L,
+      s"startingVersion must be >= 0, got $v"))
     new VersionedSource(sqlContext.sparkSession, tableOf(parameters),
-      cdfOf(parameters), parameters.get("startingVersion").map(_.toLong),
+      cdfOf(parameters), starting.map(_ - 1L),
       actual, maxVersions)
   }
 }
@@ -170,8 +184,16 @@ private[graft] object VersionedStreamProvider {
   * are served as the inner plan's InternalRows (`needConversion=false`).
   */
 private[graft] class VersionedBatchRelation(spark: SparkSession,
-    override val sqlContext: SQLContext, table: String, version: Long)
+    override val sqlContext: SQLContext, table: String, version0: Long)
     extends BaseRelation with PrunedFilteredScan {
+
+  // Pin "latest" ONCE at relation creation (analysis time), the way Delta
+  // pins its snapshot: buildScan runs at execution, and a commit landing
+  // between analysis and action must not serve rows from a newer snapshot
+  // than the analyzed schema (an overwrite that changed the schema would
+  // misalign columns) — r21 advice fix.
+  private val version: Long =
+    if (version0 >= 0) version0 else VersionedTable.latestVersion(spark, table)
 
   // nullable like every file-source read (the inner scan is one): a
   // non-null logged field still serves through parquet as nullable

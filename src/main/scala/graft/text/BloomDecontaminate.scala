@@ -41,7 +41,9 @@ object BloomDecontaminate {
     // as Decontaminate.hits): plain explode infers an interpreted filter
     // re-running the tokenize+ngram chain per doc.
     def grams(df: DataFrame): DataFrame =
-      df.select(col(idCol),
+      // widen: per-doc tokenize+ngram before the first exchange (no-op at
+      // scale and on streaming inputs).
+      graft.sources.Sources.widen(df, col(idCol)).select(col(idCol),
         explode_outer(TF.wordNgrams(TF.tokens(col(textCol)), n)).as("gram"))
         .filter(col("gram").isNotNull)
     // Consumed by the size count, the filter build, and the exact verify —

@@ -85,8 +85,12 @@ object CorpusReport {
     val optCols =
       (langCol.toSeq ++ charsetCol ++ declaredDupCol ++ imageKeepCol ++
         audioKeepCol).map(col)
-    val base = docs.select(Seq(col(idCol), col(textCol).as("_text"),
-      TF.tokens(col(textCol)).as("_toks")) ++ optCols: _*)
+    // widen: every metric below tokenizes/regex-scans per doc, and a
+    // one-row-group corpus scan would serialize that on one core (no-op
+    // at scale — Sources.widen checks the width).
+    val base = graft.sources.Sources.widen(docs, col(idCol))
+      .select(Seq(col(idCol), col(textCol).as("_text"),
+        TF.tokens(col(textCol)).as("_toks")) ++ optCols: _*)
 
     // ---- ONE wide aggregation for every row-local metric (r21): the
     // prior shape ran one aggregation JOB per metric — up to ten corpus

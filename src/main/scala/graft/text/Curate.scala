@@ -65,11 +65,16 @@ object Curate {
     *        election like the other gates. OFF (None) by default: the q65
     *        oracle predates the classifier.
     */
-  def keepSet(docs: DataFrame, id: String, text: String,
+  def keepSet(docs0: DataFrame, id: String, text: String,
       k: Int = 16, bandK: Int = 4, bandRows: Int = 2,
       minJaccard: Double = 0.5, minQuality: Int = 5000,
       overCapStars: Boolean = false, gopherRules: Boolean = false,
       classifierWeights: Option[Array[Double]] = None): DataFrame = {
+    // No widen at entry (r21 measured): the heavy branch (shingles) is
+    // widened inside MinHash.withShingles; the remaining branches (quality
+    // grid, rule verdicts, fingerprint election) are light enough that an
+    // exchange per branch costs more than the parallelism buys locally.
+    val docs = docs0
     val sh = MinHash.withShingles(docs, id, text)
     val sig = MinHash.signature(MinHash.shingleRows(sh, id), id, k)
     val bands = MinHash.bands(sig, id, bandK, bandRows)
@@ -141,8 +146,11 @@ object Curate {
     * fingerprint groupBy, decontamination the q69 broadcast gram probe);
     * the five stat rows are metadata-rate aggregates.
     */
-  def funnel(docs: DataFrame, id: String, text: String,
+  def funnel(docs0: DataFrame, id: String, text: String,
       evalPred: Column, n: Int = 8, minQuality: Int = 5000): DataFrame = {
+    // Same one-widen-at-entry discipline as keepSet: the flag frame, rule
+    // verdicts and contamination probe are all per-doc-heavy off `docs`.
+    val docs = graft.sources.Sources.widen(docs0, col(id))
     val spark = docs.sparkSession
     val base = docs.filter(!evalPred)
     // ONE corpus pass builds an id-thin per-doc flag frame (token count,

@@ -32,7 +32,9 @@ object Decontaminate {
     // tokenize+ngram chain inlined — an interpreted Filter paying the
     // per-doc gram build twice. Grams are concat_ws output, never null.
     def grams(df: DataFrame): DataFrame =
-      df.select(col(idCol),
+      // widen: per-doc tokenize+ngram before the first exchange (no-op at
+      // scale and on streaming inputs).
+      graft.sources.Sources.widen(df, col(idCol)).select(col(idCol),
         explode_outer(TF.wordNgrams(TF.tokens(col(textCol)), n)).as("gram"))
         .filter(col("gram").isNotNull)
     val evalGrams = grams(docs.filter(isEval)).select(col("gram")).distinct()

@@ -38,7 +38,9 @@ object LangClassifier {
     * throughput at sf0.1.
     */
   def features(docs: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame =
-    docs
+    // widen: per-doc character-gram hashing before the first exchange
+    // (no-op at scale and on streaming inputs — Sources.widen checks).
+    graft.sources.Sources.widen(docs, col(idCol))
       .select(col(idCol),
         // explode_outer + null filter (the MinHash.shingleRows dodge):
         // plain explode infers an interpreted size()>0 filter re-running

@@ -53,7 +53,12 @@ object MinHash {
     * (measured: 26s vs <1s at sf0.1 just to explode the shingles).
     */
   def withShingles(docs: DataFrame, id: String, text: String): DataFrame =
-    docs.withColumn("_toks", TextFunctions.tokens(col(text)))
+    // widen first: the tokenize+shingle chain is the per-doc-heavy stage,
+    // and a small parquet corpus is one row group = ONE scan task — the
+    // whole chain serializes on a single core without it (no-op at scale
+    // and on streaming inputs; see Sources.widen).
+    graft.sources.Sources.widen(docs, col(id))
+      .withColumn("_toks", TextFunctions.tokens(col(text)))
       .select(col(id),
         array_distinct(TextFunctions.wordBigrams(col("_toks"))).as("shingles"))
 

@@ -39,7 +39,9 @@ object QualityClassifier {
     * reproduces it verbatim). One explode, one map-side-combined count.
     */
   def features(docs: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame =
-    docs
+    // widen: per-doc tokenize+gram hashing before the first exchange
+    // (no-op at scale and on streaming inputs — Sources.widen checks).
+    graft.sources.Sources.widen(docs, col(idCol))
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(col(idCol),
         // explode_outer + null filter (the MinHash.shingleRows dodge):

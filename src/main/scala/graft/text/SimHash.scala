@@ -27,7 +27,9 @@ object SimHash {
   def fingerprints(docs: DataFrame, id: String, text: String): DataFrame = {
     // explode_outer + null filter (the MinHash.shingleRows dodge): plain
     // explode infers an interpreted size()>0 filter re-tokenizing per doc.
-    val tf = docs
+    // widen: the per-doc tokenize runs before the first exchange — a
+    // one-row-group corpus scan would serialize it on one core.
+    val tf = graft.sources.Sources.widen(docs, col(id))
       .select(col(id), explode_outer(TextFunctions.tokens(col(text))).as("tok"))
       .filter(col("tok").isNotNull)
       .groupBy(col(id), col("tok")).agg(count(lit(1)).as("tf"))

@@ -63,7 +63,9 @@ object SpanDedup {
     */
   def postings(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(col(idCol),
+    // widen: the tokenize+gram-hash pass is per-doc-heavy and runs before
+    // the first exchange (no-op at scale and on streaming inputs).
+    graft.sources.Sources.widen(docs, col(idCol)).select(col(idCol),
         posexplode_outer(call_function("graft_word_gram_hash60",
           TF.tokens(col(textCol)), lit(n))).as(Seq("_p0", "h")))
       .filter(col("h").isNotNull)

@@ -98,15 +98,24 @@ class BatchRelationSpec extends SparkSpec {
       df.select(col("id"), col("v"), col(ChangeTypeCol), col(CommitVersionCol))
         .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
         .toSet
+    // The OPTION is inclusive of startingVersion (Delta's binding, r21
+    // advice fix): startingVersion = 1 maps to the library's (0, until]
+    // exclusive range, and startingVersion = 0 additionally serves the
+    // creating commit's rows as inserts (genesis).
     val viaFormat = spark.read.format("graft-versioned")
-      .option("readChangeFeed", "true").option("startingVersion", "0").load(t)
+      .option("readChangeFeed", "true").option("startingVersion", "1").load(t)
     assert(feedRows(viaFormat) ==
       feedRows(VersionedTable.readChangeFeed(spark, t, 0L)))
     val bounded = spark.read.format("graft-versioned")
-      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
       .option("endingVersion", "1").load(t)
     assert(feedRows(bounded) ==
       feedRows(VersionedTable.readChangeFeed(spark, t, 0L, 1L)))
+    val genesis = spark.read.format("graft-versioned")
+      .option("readChangeFeed", "true").option("startingVersion", "0").load(t)
+    assert(feedRows(genesis) ==
+      feedRows(VersionedTable.readChangeFeed(spark, t, 0L)) ++
+        Set((1L, "a", "insert", 0L), (2L, "b", "insert", 0L)))
     val e = intercept[RuntimeException] {
       spark.read.format("graft-versioned")
         .option("readChangeFeed", "true").load(t) }

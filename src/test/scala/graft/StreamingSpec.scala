@@ -2045,11 +2045,13 @@ class StreamingSpec extends SparkSpec {
         .option("checkpointLocation", s"$dir/ckpt").start()
       try {
         q.processAllAvailable()
-        // (0,3](3,6](6,9](9,10]: four batches, never more than 3 commits
+        // startingVersion = 0 is INCLUSIVE (Delta's binding, r21 advice
+        // fix), so the seed commit is served too: [0,2](2,5](5,8](8,10] —
+        // four batches, never more than 3 commits
         val nonEmpty = batchSizes.filter(_ > 0)
-        assert(nonEmpty.toSeq == Seq(3L, 3L, 3L, 1L),
+        assert(nonEmpty.toSeq == Seq(3L, 3L, 3L, 2L),
           s"face cdf=$cdfFace: batch sizes ${batchSizes.toSeq}")
-        assert(seen.sorted.toSeq == (1L to 10L).toSeq,
+        assert(seen.sorted.toSeq == (0L to 10L).toSeq,
           s"face cdf=$cdfFace: exactly-once drain, got ${seen.sorted.toSeq}")
       } finally q.stop()
     }

@@ -483,8 +483,10 @@ class VersionedTableSpec extends SparkSpec {
     // pre-merge snapshot intact
     assert(rows(VersionedTable.readVersion(spark, t, v - 1))
       .contains((15L, "b15")))
-    // history names the op
-    assert(VersionedTable.history(spark, t).filter(col("op") === "merge").count() == 1)
+    // history names the op — merge_update, because matched rows were
+    // REPLACED (the append face fails named on it; r21 advice fix)
+    assert(VersionedTable.history(spark, t)
+      .filter(col("op") === "merge_update").count() == 1)
   }
 
   test("merge: duplicate staged keys fail named; pure-insert merge leaves " +
