@@ -80,8 +80,12 @@ object TextQueries {
     // the per-doc gram build twice. Grams are concat_ws output, never
     // null, so the output filter is exactly plain explode's row set.
     // widen: the per-doc tokenize+8-gram build runs before the first
-    // exchange (no-op at scale — Sources.widen checks the width).
-    val g = graft.sources.Sources.widen(docs, col("doc_id"))
+    // exchange (no-op at scale — Sources.widen checks the width). Keyed by
+    // (source, text) — the ONLY columns in this API's input contract
+    // (widening by doc_id threw for library callers that pass exactly the
+    // documented columns; r21 verdict item 1a); hashing text too spreads a
+    // corpus with few sources over every partition.
+    val g = graft.sources.Sources.widen(docs, col("source"), col("text"))
       .select(
         when(col("source").isNull, raise_error(lit(
             "source_overlap: source is NULL — assign or quarantine upstream")))

@@ -59,14 +59,15 @@ import VersionedTable.{AddFile, MetaPosCol, MetaRelCol}
   *     `dataChange=false` survivors, updated rows + inserts as new
   *     `dataChange=true` files (CHECK-constraint enforced, i33).
   *
-  * Commit protocol: op `merge` only when the merge purely INSERTED — the
-  * one outcome the append face can represent. A merge that DELETED rows
-  * commits `merge_delete`; one that UPDATED (rewrote) rows commits
-  * `merge_update` (r21 advice fix: its adds are post-images of rows
-  * downstream already consumed — served as inserts they would duplicate
-  * keys). Both fail [[VersionedTable.readChangesSince]] NAMED (reconsume
-  * or read the CDF face) exactly like a plain delete/update, while
-  * [[VersionedTable.readChangeFeed]] serves the sidecar images. Conflict rule is merge's: decided against a
+  * Commit protocol: op `merge` when the merge purely INSERTED;
+  * `merge_update` when it rewrote rows; `merge_delete` when it deleted.
+  * The append face ([[VersionedTable.readChangesSince]]) serves `merge`
+  * and `merge_update` commits as exactly the staged batch (dataChange
+  * adds only — an updated key flows downstream as a new row version,
+  * never retracted: Delta's `ignoreChanges` contract), and fails NAMED
+  * on `merge_delete` (rows vanished — reconsume or read the CDF face);
+  * [[VersionedTable.readChangeFeed]] serves the full sidecar images for
+  * all three. Conflict rule is merge's: decided against a
   * snapshot, any concurrent non-vacuum commit fails named. A merge where
   * no row acts commits NOTHING (no version, no feed breakage) and sweeps
   * whatever it materialized.
@@ -413,9 +414,10 @@ final class MergeIntoBuilder private[sources] (
               if (!base.changeFeed || cdcFrames.isEmpty) Nil
               else orphans.trackCdc(VT.writeCdc(
                 cdcFrames.reduce(_.unionByName(_)), table))
-            // op encodes the append-face contract (r21 advice fix): deletes
-            // and row REWRITES both break append-only consumption — only a
-            // pure-insert merge commits the append-safe 'merge'
+            // op records what the merge did: deletes break append-only
+            // consumption (merge_delete fails the append feed named);
+            // rewrites flow through it as the staged batch (merge_update);
+            // a pure-insert merge commits plain 'merge'
             val op = if (nDeleted > 0) "merge_delete"
               else if (nUpdated > 0) "merge_update" else "merge"
             VersionedTable.testHookBeforeCommit()

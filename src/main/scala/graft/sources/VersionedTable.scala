@@ -2145,10 +2145,10 @@ object VersionedTable {
           }
 
         testHookBeforeCommit()
-        // op encodes the append-face contract (r21 advice fix): matched
-        // keys mean existing rows were REPLACED — post-images served as
-        // inserts would duplicate keys downstream, so only a pure-insert
-        // upsert commits the append-safe 'merge'
+        // op records whether existing rows were REPLACED (merge_update)
+        // or the upsert purely inserted (merge) — history's observability
+        // face; the append feed serves both as exactly the staged batch
+        // (dataChange adds), see readChangesSince
         commitLoop(spark, table,
           if (matchedFiles.nonEmpty) "merge_update" else "merge") {
           case None => sys.error(s"no versioned table at $table — create() it first")
@@ -2721,13 +2721,25 @@ object VersionedTable {
     // not KNOW fails named too (a future op's adds silently misread as
     // appends is exactly the wrong-rows failure the protocol guard exists
     // to prevent; op names are the feed's protocol surface)
-    val appendOps = Set("create", "convert", "append", "merge", "optimize",
-      "vacuum", "constraint", "property")
-    // merge_update (r21 advice fix): a merge that REWROTE existing rows —
-    // its adds carry post-images of rows downstream already consumed, so
-    // serving them as inserts would duplicate keys; fail named like update
+    // merge_update: a merge that REWROTE existing rows. Its dataChange
+    // adds are EXACTLY the staged batch (post-images of updated keys +
+    // fresh inserts; the survivor rewrites are dataChange=false) — the
+    // feed serves each staged row once, Delta's `ignoreChanges` contract
+    // for merges: an updated key appears downstream as a NEW row version
+    // and is never retracted. Consumers that need retraction (the
+    // pre-image) read the CDF face, readChangeFeed. This is the i27
+    // pinned contract ("merge delta must be exactly the staged batch"),
+    // and what feedInto / Medallion.runVersioned's gold hop consume —
+    // an SCD2 silver merge rewrites the expiring current row on every
+    // updating batch, so failing merge_update here broke every updating
+    // medallion hop (r21 verdict item 1b).
+    val appendOps = Set("create", "convert", "append", "merge",
+      "merge_update", "optimize", "vacuum", "constraint", "property")
+    // merge_delete stays fail-named: rows VANISHED mid-range — an
+    // append-only serve of the staged rows would leave downstream holding
+    // deleted row states with no signal; reconsume or read the CDF face.
     val removeOps = Set("overwrite", "overwrite_partitions", "delete",
-      "update", "restore", "merge_delete", "merge_update")
+      "update", "restore", "merge_delete")
     val adds = later.flatMap { v =>
       val (nodes, op) = parseCommit(fs, table, v)
       if (removeOps.contains(op))

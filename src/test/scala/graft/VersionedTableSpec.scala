@@ -484,7 +484,7 @@ class VersionedTableSpec extends SparkSpec {
     assert(rows(VersionedTable.readVersion(spark, t, v - 1))
       .contains((15L, "b15")))
     // history names the op — merge_update, because matched rows were
-    // REPLACED (the append face fails named on it; r21 advice fix)
+    // REPLACED (the append face serves it as exactly the staged batch)
     assert(VersionedTable.history(spark, t)
       .filter(col("op") === "merge_update").count() == 1)
   }
