@@ -130,6 +130,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharsetSniff].getName, "graft_charset_sniff"),
       (children: Seq[Expression]) => CharsetSniff(children.head, children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_pairs"),
+      new ExpressionInfo(classOf[SortedPairs].getName, "graft_pairs"),
+      (children: Seq[Expression]) => SortedPairs(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_charset_decode"),
       new ExpressionInfo(classOf[CharsetDecode].getName, "graft_charset_decode"),
       (children: Seq[Expression]) => CharsetDecode(children.head, children(1))))

@@ -378,11 +378,11 @@ object Audio {
   /** One WAV payload per doc, samples closed-form in the text bytes. */
   def toWavPayloads(spark: SparkSession, docs: DataFrame): Dataset[MediaPayload] = {
     import spark.implicits._
-    // widen: payload synthesis + the downstream decode are per-doc-heavy
-    // and run before any exchange — a one-row-group corpus scan would
-    // serialize them on one core (no-op at scale).
-    graft.sources.Sources.widen(
-        docs.select(col("doc_id").cast("long"), col("text")), col("doc_id"))
+    // NOT widened (r22 A/B, driver-shaped): WAV synthesis is one linear
+    // byte→sample pass per doc — the exchange cost more than the spread
+    // repaid (q123 0.19→0.12 s on removal, q111 flat), and at scale the
+    // scan already has splits so the widen bought nothing.
+    docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)

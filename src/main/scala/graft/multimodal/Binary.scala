@@ -53,11 +53,11 @@ object Binary {
     */
   def toPpmPayloads(spark: SparkSession, docs: DataFrame): Dataset[MediaPayload] = {
     import spark.implicits._
-    // widen: payload synthesis + the downstream decode are per-doc-heavy
-    // and run before any exchange — a one-row-group corpus scan would
-    // serialize them on one core (no-op at scale).
-    graft.sources.Sources.widen(
-        docs.select(col("doc_id").cast("long"), col("text")), col("doc_id"))
+    // NOT widened (r22 A/B, driver-shaped): PPM synthesis is a header
+    // stamp + one arraycopy per doc — the exchange cost more than the
+    // spread repaid (q122 0.29→0.19 s, q30 0.25→0.13 s on removal), and
+    // at scale the scan already has splits so the widen bought nothing.
+    docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -807,7 +807,9 @@ object Binary {
     */
   def toPngPayloads(spark: SparkSession, docs: DataFrame): Dataset[MediaPayload] = {
     import spark.implicits._
-    // widen: see toPpmPayloads.
+    // widen: PNG encode (deflate) is genuinely per-doc-heavy — unlike the
+    // header-stamp PPM/WAV synthesis below, whose widen was reverted (r22
+    // A/B: q122 0.29→0.19 s, q123 0.19→0.12 s, q30 0.25→0.13 s without).
     graft.sources.Sources.widen(
         docs.select(col("doc_id").cast("long"), col("text")), col("doc_id"))
       .as[(Long, String)]

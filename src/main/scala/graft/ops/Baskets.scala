@@ -49,16 +49,10 @@ object Baskets {
     require(clash.isEmpty,
       s"input columns collide with Baskets working/output names: ${clash.mkString(", ")}")
     val ps: Column = slice(array_sort(collect_set(col(itemCol))), 1, maxBasket)
-    // explode_outer + output-null filter, NOT plain explode (the
-    // MinHash.shingleRows dodge): plain explode makes the optimizer infer
-    // `size(flatten(transform(...))) > 0` below the Generate — the ENTIRE
-    // C(n,2) pair construction re-evaluated per basket inside an
-    // interpreted (non-codegen) Filter, doubling the dominant map-side
-    // cost. Pair structs are struct() literals, never null, so the output
-    // filter drops exactly the empty-pairs baskets plain explode would.
     // widen: the partial collect_set runs in the SCAN stage — a one-row-
     // group input serializes it on one core (no-op at scale, and for
-    // already-shuffled inputs like q83's gram frame).
+    // already-shuffled inputs like q83's gram frame). Pair expansion and
+    // its explode discipline live in pairsOfSets.
     pairsOfSets(
       graft.sources.Sources.widen(items, col(basketCol))
         .groupBy(col(basketCol))
@@ -71,12 +65,22 @@ object Baskets {
     * the one pair-construction definition [[pairs]] and callers that
     * derive other statistics from the same basket frame (q83's per-source
     * vocabulary counts) share, so pairing semantics can't drift.
+    *
+    * The pair build is [[graft.functions.SortedPairs]] (native, codegen) —
+    * the prior nested-transform HOF spelling evaluated interpreted per
+    * basket, the last CodegenFallback in q76's map-side stage; OpsSpec
+    * pins the HOF spelling as the parity specification. explode_outer +
+    * output-null filter, NOT plain explode (the MinHash.shingleRows
+    * dodge): plain explode makes the optimizer infer `size(...) > 0`
+    * below the Generate, re-running the whole pair build per basket
+    * inside an interpreted Filter. Pair structs are never null, so the
+    * output filter drops exactly the empty-pairs baskets plain explode
+    * would.
     */
   def pairsOfSets(baskets: DataFrame, basketCol: String): DataFrame =
     baskets
-      .select(col(basketCol), explode_outer(flatten(transform(col("_ps"), (a, i) =>
-        transform(slice(col("_ps"), i + lit(2), size(col("_ps"))),
-          b => struct(a.as("item_a"), b.as("item_b")))))).as("_p"))
+      .select(col(basketCol),
+        explode_outer(call_function("graft_pairs", col("_ps"))).as("_p"))
       .filter(col("_p").isNotNull)
       .select(col(basketCol), col("_p.item_a"), col("_p.item_b"))
 

@@ -662,7 +662,8 @@ object TextQueries {
     // global sort).
     "q85_boilerplate_grams" -> { (s, d) =>
       // explode_outer + null filter: the shingleRows dodge (see q83).
-      // widen: per-doc tokenize+8-grams before the first exchange.
+      // widen: per-doc tokenize+8-grams before the first exchange (r22
+      // re-A/B, driver-shaped subset: 0.64 s widened vs 1.50 s without).
       graft.sources.Sources.widen(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"),
           explode_outer(TF.wordNgrams(TF.tokens(col("text")), 8)).as("gram"))
@@ -1314,7 +1315,9 @@ object TextQueries {
     // VOCAB-sized; top-50 is TakeOrdered, never a global sort.
     "q109_collocations" -> { (s, d) =>
       // explode_outer + null filter: the shingleRows dodge (see q74/q83).
-      val bg = graft.sources.Sources.widen(Tables.documents(s, d), col("doc_id"))
+      // NOT widened (r22 A/B): flat here, regressed in the r21 driver
+      // record — and free at scale, where the scan already has splits.
+      val bg = Tables.documents(s, d)
         .withColumn("_toks", TF.tokens(col("text")))
         .filter(size(col("_toks")) >= 2)
         .select(explode_outer(TF.wordBigrams(col("_toks"))).as("bigram"))

@@ -79,7 +79,9 @@ object TokenShards {
       merges: Seq[String] = Bpe.FixedMerges): DataFrame =
     // widen: the BPE encode is the corpus-rate cost and runs before the
     // first exchange — a one-row-group corpus scan would serialize it on
-    // one core (no-op at scale; Sources.widen checks the width).
+    // one core (no-op at scale; Sources.widen checks the width). r22
+    // re-A/B, driver-shaped subset: q116 2.01 s widened vs 3.35 s
+    // without; q113/q115/q118/q120 each 0.1-0.2 s better widened.
     graft.sources.Sources.widen(docs, col(idCol))
       .select(col(idCol).cast("long").as(idCol),
         flatten(transform(TF.tokens(col(textCol)),

@@ -88,9 +88,16 @@ object CorpusReport {
     // widen: every metric below tokenizes/regex-scans per doc, and a
     // one-row-group corpus scan would serialize that on one core (no-op
     // at scale — Sources.widen checks the width).
-    val base = graft.sources.Sources.widen(docs, col(idCol))
-      .select(Seq(col(idCol), col(textCol).as("_text"),
-        TF.tokens(col(textCol)).as("_toks")) ++ optCols: _*)
+    // Cached (r22): FOUR consumers read the widened+tokenized base — the
+    // fused agg, the line scan, the boilerplate-gram scan and the span
+    // postings. Uncached, each re-paid the widen exchange AND the
+    // tokenize; cached, the corpus is tokenized ONCE and the three
+    // own-grain scans read the materialized columns (Graft.registerCache:
+    // session-releasable, never persisted across runs).
+    val base = graft.Graft.registerCache(
+      graft.sources.Sources.widen(docs, col(idCol))
+        .select(Seq(col(idCol), col(textCol).as("_text"),
+          TF.tokens(col(textCol)).as("_toks")) ++ optCols: _*))
 
     // ---- ONE wide aggregation for every row-local metric (r21): the
     // prior shape ran one aggregation JOB per metric — up to ten corpus
@@ -128,7 +135,12 @@ object CorpusReport {
       .select(explode_outer(split(col("_text"), "\n")).as("_line"))
       .filter(col("_line").isNotNull)
       .agg(count(lit(1)).as("_nlines"), countDistinct(col("_line")).as("_ndl"))
-    val spanToks = SpanDedup.dupSpans(docs, idCol, textCol, n)
+    // Span postings read the cached base's token column (postingsOf) —
+    // the composition is dupSpans' exactly (same tokens expression, same
+    // dup rule, same merge), minus its second tokenize pass.
+    val sp = SpanDedup.postingsOf(base, idCol, col("_toks"), n)
+    val spanToks = SpanDedup.mergeSpans(
+        sp.join(SpanDedup.dupGrams(sp, idCol), Seq("h"), "left_semi"), idCol, n)
       .agg(coalesce(sum(col("span_tokens")), lit(0L)).as("_dup"))
     // explode_outer + null filter (the shingleRows dodge): grams are
     // concat_ws output, never null.

@@ -63,11 +63,20 @@ object SpanDedup {
     */
   def postings(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
+    postingsOf(docs, idCol, TF.tokens(col(textCol)), n)
+
+  /** [[postings]] over a caller-supplied token EXPRESSION — the face a
+    * caller that already tokenized (CorpusReport's cached base) uses to
+    * skip the second tokenize pass. `toks` is evaluated after the widen,
+    * so the per-doc-heavy work still runs at full width on narrow scans.
+    */
+  private[graft] def postingsOf(docs: DataFrame, idCol: String,
+      toks: Column, n: Int): DataFrame =
     // widen: the tokenize+gram-hash pass is per-doc-heavy and runs before
     // the first exchange (no-op at scale and on streaming inputs).
     graft.sources.Sources.widen(docs, col(idCol)).select(col(idCol),
         posexplode_outer(call_function("graft_word_gram_hash60",
-          TF.tokens(col(textCol)), lit(n))).as(Seq("_p0", "h")))
+          toks, lit(n))).as(Seq("_p0", "h")))
       .filter(col("h").isNotNull)
       .select(col(idCol), (col("_p0") + 1).as("pos"), col("h"))
 

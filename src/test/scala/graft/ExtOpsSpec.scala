@@ -347,6 +347,38 @@ class ExtOpsSpec extends SparkSpec {
     assert(b2 == Set((3L, 5L), (3L, 8L), (5L, 8L)))
   }
 
+  test("graft_pairs (SortedPairs) matches the HOF pair spelling — values AND order") {
+    // The native codegen expression replaced the interpreted nested
+    // transform in Baskets.pairsOfSets; the HOF spelling stays as the
+    // pinned specification: i-major (i,j) i<j pairs, null elements pair
+    // like values, empty/singleton arrays yield an empty pair array.
+    def hof(c: org.apache.spark.sql.Column) =
+      flatten(transform(c, (a, i) =>
+        transform(slice(c, i + lit(2), size(c)),
+          b => struct(a.as("item_a"), b.as("item_b")))))
+    val longs = Seq(
+      Seq[java.lang.Long](1L, 2L, 3L, 4L),
+      Seq[java.lang.Long](7L),
+      Seq[java.lang.Long](),
+      Seq[java.lang.Long](5L, null, 9L)).toDF("xs")
+    val strs = Seq(Seq("b", "c", "a"), Seq("x", "y")).toDF("xs")
+    for (df <- Seq(longs, strs)) {
+      val got = df.select(call_function("graft_pairs", col("xs")).as("p")).collect()
+      val want = df.select(hof(col("xs")).as("p")).collect()
+      assert(got.map(_.toString).toSeq == want.map(_.toString).toSeq,
+        s"native vs HOF pair mismatch: ${got.toSeq} vs ${want.toSeq}")
+    }
+    // 256-element worst case (the maxBasket cap): C(256,2) pairs, in order
+    val big = Seq((0L until 256L).toSeq).toDF("xs")
+    val gotBig = big.select(call_function("graft_pairs", col("xs")).as("p"))
+      .select(explode(col("p")).as("q")).select(col("q.item_a"), col("q.item_b"))
+      .as[(Long, Long)].collect().toSeq
+    assert(gotBig.length == 256 * 255 / 2)
+    assert(gotBig.take(3) == Seq((0L, 1L), (0L, 2L), (0L, 3L)))
+    assert(gotBig.last == ((254L, 255L)))
+    assert(gotBig == gotBig.sorted, "pairs must be i-major ordered")
+  }
+
   test("GapFill.dense densifies, zero-fills, LOCFs — and names the key on an over-span row") {
     val daily = Seq(
       (1L, java.sql.Date.valueOf("2024-03-01"), 5.0),
