@@ -32,9 +32,37 @@ object Prof {
     which match {
       case "q67" => q67(spark, sfDir)
       case "q76" => q76(spark, sfDir)
+      case "q22" => q22(spark, sfDir)
+      case "q75" => q75(spark, sfDir)
       case other => System.err.println(s"unknown profile $other")
     }
     spark.stop()
+  }
+
+  def q22(spark: SparkSession, d: String): Unit = {
+    import graft.text.{SimHash, TextFunctions => TF}
+    // warm at sf0.001
+    SparkEntry.queries("q22_simhash")(spark, "/root/testdata/sf0.001").count()
+    Graft.releaseCaches(); spark.catalog.clearCache()
+    (1 to 3).foreach { rep =>
+      println(s"== rep $rep ==")
+      val docs = Tables.documents(spark, d)
+      val tf = graft.sources.Sources.widen(docs, col("doc_id"))
+        .select(col("doc_id"), explode_outer(TF.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull)
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      time("tf build (noop)") {
+        tf.write.format("noop").mode("overwrite").save() }
+      val fp = SimHash.fingerprints(docs, "doc_id", "text")
+      time("fingerprints build+cache") { fp.count() }
+      val pairs = SimHash.nearPairs(fp, "doc_id", 3)
+      time("nearPairs off cached fp") { pairs.count() }
+      time("full q22 fresh (count)") {
+        Graft.releaseCaches(); spark.catalog.clearCache()
+        SparkEntry.queries("q22_simhash")(spark, d).count()
+      }
+      Graft.releaseCaches(); spark.catalog.clearCache()
+    }
   }
 
   def q76(spark: SparkSession, d: String): Unit = {
@@ -77,6 +105,65 @@ object Prof {
         .agg(count(lit(1)).as("n_baskets"))
       time("v_c join pairs+count off checkpoint") {
         cj.write.format("noop").mode("overwrite").save() }
+      Graft.releaseCaches(); spark.catalog.clearCache()
+    }
+  }
+
+  def q75(spark: SparkSession, d: String): Unit = {
+    // warm at sf0.001
+    SparkEntry.queries("q75_pagerank")(spark, "/root/testdata/sf0.001").count()
+    Graft.releaseCaches(); spark.catalog.clearCache()
+    (1 to 3).foreach { rep =>
+      println(s"== rep $rep ==")
+      val edges = Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_partkey") + lit(1000000000L)).as("dst"))
+      time("edges join only (noop)") {
+        edges.write.format("noop").mode("overwrite").save()
+      }
+      println(s"   join partitions=${edges.rdd.getNumPartitions}")
+      time("edges distinct narrow (noop)") {
+        edges.distinct().write.format("noop").mode("overwrite").save()
+      }
+      time("edges distinct widened (noop)") {
+        graft.sources.Sources.widen(edges, col("src"), col("dst"))
+          .distinct().write.format("noop").mode("overwrite").save()
+      }
+      val e0 = time("edges distinct+checkpoint (widened)") {
+        graft.sources.Sources.widen(
+            edges.select(col("src"), col("dst")), col("src"), col("dst"))
+          .distinct().localCheckpoint()
+      }
+      println(s"   edges=${e0.count()}")
+      val nodes = time("nodes distinct+checkpoint") {
+        e0.select(col("src").as("node"))
+          .union(e0.select(col("dst").as("node"))).distinct().coalesce(1)
+          .localCheckpoint()
+      }
+      val deg = time("deg agg+checkpoint") {
+        e0.coalesce(1).groupBy(col("src"))
+          .agg(count(lit(1)).cast("double").as("outdeg")).localCheckpoint()
+      }
+      val n = nodes.count().toDouble
+      var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      val e = e0.coalesce(1)
+      time("5 composed rounds (count)") {
+        (1 to 5).foreach { _ =>
+          val contribs = e.join(ranks, e("src") === ranks("node"))
+            .join(deg, Seq("src"))
+            .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("_c"))
+            .groupBy(col("node")).agg(sum(col("_c")).as("_contrib"))
+          ranks = nodes.join(contribs, Seq("node"), "left")
+            .select(col("node"), (lit(0.15 / n) +
+              lit(0.85) * coalesce(col("_contrib"), lit(0.0))).as("rank"))
+        }
+        ranks.count()
+      }
+      time("full q75 fresh (count)") {
+        SparkEntry.queries("q75_pagerank")(spark, d).count()
+      }
       Graft.releaseCaches(); spark.catalog.clearCache()
     }
   }

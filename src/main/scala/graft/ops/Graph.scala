@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Observation metric → Long; 0 when the metric is absent (empty input). */
+  private def asLongG(v: Any): Long = v match {
+    case l: java.lang.Long => l.longValue()
+    case _ => 0L
+  }
+
   /** (id, cluster_id) for every vertex appearing in `edges` (src, dst);
     * cluster_id = min vertex id in the component.
     */
@@ -182,7 +188,16 @@ object Graph {
     // requires). The co-partitioning is kept for the plan property, not a
     // local win.
     val obsE = Observation()
-    val e0 = edges.select(col(src).as("src"), col(dst).as("dst"))
+    // widen BEFORE the distinct (r22, q75 profile): a broadcast-joined
+    // edge build inherits the big side's scan partitioning — locally 1-2
+    // tasks — and the distinct's partial hash aggregate (nearly-unique
+    // keys, pure overhead) ran serially on them: 1.0-1.4 s of q75's 2.0 s.
+    // Keyed by the distinct's own key, the exchange doubles as the
+    // distinct's shuffle (no second Exchange) and the aggregate runs at
+    // full width. No-op at scale — the scan already has splits.
+    val e0 = graft.sources.Sources.widen(
+        edges.select(col(src).as("src"), col(dst).as("dst")),
+        col("src"), col("dst"))
       .distinct().observe(obsE, count(lit(1)).as("n")).localCheckpoint()
     val defaultP = spark.sessionState.conf.numShufflePartitions
     val nEdges = obsE.get("n") match {
@@ -194,9 +209,18 @@ object Graph {
             else e0.coalesce(1)
     def byNode(df: DataFrame): DataFrame =
       if (p > 1) df.repartition(p, col("node")) else df.coalesce(1)
+    // Node count rides the checkpoint materialization via observe() —
+    // a separate count() job was one more synchronous driver round-trip
+    // (r22; the q75 profile showed per-job latency, not shuffle volume,
+    // dominating at local scale). A repartition(1, node) spelling of the
+    // p==1 placement was ALSO tried and measured worse (2.2-2.4 s vs
+    // 1.9 s): AQE already size-coalesces the small post-shuffle
+    // aggregates, so the keyed exchange only added a shuffle.
+    val obsN = Observation()
     val nodes = byNode(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()).localCheckpoint()
-    val n = nodes.count().toDouble
+      .union(e.select(col("dst").as("node"))).distinct())
+      .observe(obsN, count(lit(1)).as("n")).localCheckpoint()
+    val n = asLongG(obsN.get("n")).toDouble
     lastPageRankIters = 0
     if (n == 0) return nodes.withColumn("rank", lit(0.0))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("outdeg"))
@@ -207,7 +231,11 @@ object Graph {
       nodes.join(deg, nodes("node") === deg("src"), "left_anti")
         .select(col("node")).localCheckpoint()
     else null
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    // NOT checkpointed (r22): a constant projection off the checkpointed
+    // nodes frame — every consumer (round 1's join, the dangling sum, the
+    // tol delta) reads it straight off the checkpoint; materializing it
+    // was one more barrier job buying nothing.
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
     // Per-round materialization is only REQUIRED when the driver must read
     // a scalar between rounds (the dangling sum, or tol's delta metric).
     // The default path (tol=0, no dangling) composes every iteration into

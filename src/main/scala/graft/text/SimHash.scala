@@ -21,34 +21,38 @@ object SimHash {
 
   /** (id, simhash) 60-bit fingerprints. Explode/groupBy form on purpose:
     * higher-order array functions are interpreted (no codegen) and measured
-    * ~20× slower here. The token hash is computed once per DISTINCT token
-    * (broadcast-joined), not per occurrence.
+    * ~20× slower here.
+    *
+    * ONE aggregation (r22): the tf-weighted per-bit sum
+    * Σ_tok tf(tok)·sign_j(h(tok)) equals Σ_occurrences sign_j(h(tok)) —
+    * each occurrence contributes its token's ±1 once — so the per-bit
+    * sums fold directly over the exploded occurrence rows and the
+    * intermediate (doc, tok, tf) aggregation (a full extra shuffle, plus
+    * a distinct-vocabulary broadcast join before it) disappears. hash60
+    * is one generated xxhash pass per occurrence. Identical integers,
+    * identical fingerprints.
     */
   def fingerprints(docs: DataFrame, id: String, text: String): DataFrame = {
     // explode_outer + null filter (the MinHash.shingleRows dodge): plain
     // explode infers an interpreted size()>0 filter re-tokenizing per doc.
     // widen: the per-doc tokenize runs before the first exchange — a
-    // one-row-group corpus scan would serialize it on one core.
-    val tf = graft.sources.Sources.widen(docs, col(id))
+    // one-row-group corpus scan would serialize it on one core; keyed by
+    // doc id, it also hands the groupBy(id) its partitioning, so the
+    // 60-sum aggregation map-side combines to ONE row per doc.
+    val occ = graft.sources.Sources.widen(docs, col(id))
       .select(col(id), explode_outer(TextFunctions.tokens(col(text))).as("tok"))
       .filter(col("tok").isNotNull)
-      .groupBy(col(id), col("tok")).agg(count(lit(1)).as("tf"))
-    val vocab = tf.select(col("tok")).distinct()
-      .withColumn("h", TextFunctions.hash60(col("tok")))
+      .select(col(id), TextFunctions.hash60(col("tok")).as("h"))
     // Fully-wide: 60 parallel per-bit sums through ONE groupBy(id) — the
     // minimum-work plan (occurrence rows pass the shuffle once, map-side
-    // combined to one row per doc). The earlier 3×20 bit-group split traded
-    // 3× the shuffle rows + a second aggregation for a smaller cold-codegen
-    // unit; the bench measures steady-state (uncounted warmup pass compiles
-    // the same codegen units), so total work is the only thing that counts.
-    // All integer math — merge order cannot perturb results.
+    // combined to one row per doc). All integer math — merge order cannot
+    // perturb results.
     val sums = (0 until 60).map(j =>
-      sum((expr(s"(h >> $j) & 1") * 2 - 1) * col("tf")).as(s"_s$j"))
+      sum(expr(s"(h >> $j) & 1") * 2 - 1).as(s"_s$j"))
     val fp = (0 until 60)
       .map(j => when(col(s"_s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    tf.join(broadcast(vocab), "tok")
-      .groupBy(col(id))
+    occ.groupBy(col(id))
       .agg(sums.head, sums.tail: _*)
       .select(col(id), fp.as("simhash"))
       // Flat 2-column row, cached: nearPairs branches over it twice (band
@@ -93,11 +97,15 @@ object SimHash {
     val banded = maxBucket.fold(banded0)(cap => MinHash.capBuckets(banded0, cap))
     val a = banded.select(col("band"), col("band_val"), col(id).as("id_a"), col("simhash").as("sim_a"))
     val b = banded.select(col("band"), col("band_val"), col(id).as("id_b"), col("simhash").as("sim_b"))
+    // Hamming-verify BEFORE the distinct (r22): the filter is a pure
+    // per-pair function, so dedup-then-filter and filter-then-dedup keep
+    // exactly the same pairs — but filtering first shrinks the distinct's
+    // shuffle from every band collision (quadratic in bucket size) to the
+    // verified near-pairs, and bit_count is one generated instruction.
     a.join(b, Seq("band", "band_val")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b")).distinct()
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select(col("id_a"), col("id_b"), col("hamming")).distinct()
   }
 
   /** The capped family's side channel, as [[MinHash.overCapPairs]]: each

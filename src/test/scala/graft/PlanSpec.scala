@@ -289,16 +289,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "sign table should broadcast-join")
   }
 
-  test("q22 simhash fingerprint build: one wide aggregation, broadcast vocab") {
+  test("q22 simhash fingerprint build: ONE aggregation over occurrence rows, no join") {
     // The fully-wide form carries 60 parallel bit-sums through ONE
-    // groupBy(doc): regression shapes (per-bit explode, 3×20 bit-group
-    // split) multiply the first shuffle's rows and add an aggregation.
+    // groupBy(doc) folding directly over the exploded occurrences
+    // (Σ tf·sign ≡ Σ-per-occurrence sign): regression shapes (per-bit
+    // explode, 3×20 bit-group split, the (doc,tok) tf pre-aggregation,
+    // the distinct-vocab broadcast join) multiply shuffles or rows.
     import graft.text.SimHash
     val p = SimHash.fingerprints(Tables.documents(spark, sfDir), "doc_id", "text")
       .queryExecution.executedPlan.toString
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(exchanges <= 3, s"expected <=3 hash exchanges in fingerprint build, got $exchanges:\n$p")
-    assert(p.contains("BroadcastHashJoin"), "token-hash vocab should broadcast-join")
+    assert(exchanges <= 2, s"expected <=2 hash exchanges in fingerprint build, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"fingerprint build should not join:\n$p")
     assert(!p.linesIterator.exists(l => l.contains("Generate explode(sequence")),
       "bit-group explode crept back into the fingerprint build")
   }
