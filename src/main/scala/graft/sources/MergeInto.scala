@@ -217,13 +217,11 @@ final class MergeIntoBuilder private[sources] (
       val out = orphans.guarded {
         // ---- stage 2: one checkpointed join over files holding matches
         val srcTagged = src.withColumn(MatchTag, lit(true)).alias(sourceAlias)
-        val hitFiles: Seq[AddFile] =
-          // NOT MATCHED BY SOURCE clauses can act on ANY target row, so
-          // their presence widens the scan to the whole table (the
-          // Delta-documented cost of the sync-to-source shape); matched
-          // clauses alone keep the bounded semi-join discovery
-          if (bySource.nonEmpty) base.files
-          else if (matched.isEmpty || candidates.isEmpty) Nil
+        // Files that may hold source MATCHES: equi-stats candidates
+        // narrowed by one semi-join — the bounded discovery matched
+        // clauses ride, also reused by the pruned by-source path below.
+        lazy val matchHitFiles: Seq[AddFile] =
+          if (candidates.isEmpty) Nil
           else {
             val keyScan = VT.scanFiles(spark, table, candidates, schema,
               keepMeta = true).alias(targetAlias)
@@ -232,6 +230,33 @@ final class MergeIntoBuilder private[sources] (
               .collect().map(_.getString(0)).toSet
             candidates.filter(f => hit.contains(f.path))
           }
+        val hitFiles: Seq[AddFile] =
+          if (bySource.nonEmpty) {
+            // An UNCONDITIONAL NOT MATCHED BY SOURCE clause can act on ANY
+            // unmatched target row, so it scans the whole table (the
+            // Delta-documented cost of the sync-to-source shape). A clause
+            // whose condition carries prunable TARGET-ONLY conjuncts
+            // (partition bound, min/max range) can only act where they may
+            // match, so files failing every clause's pruners hold no
+            // actionable unmatched row and are skipped; files that may
+            // hold source matches come back via the semi-join (their
+            // matched rows run the WHEN MATCHED chain). r20/r21 verdict
+            // ask #6, guide §6.
+            val perClause: Seq[Seq[VT.Pruner]] = bySource.map(
+              _.condition.fold(Seq.empty[VT.Pruner])(c =>
+                VT.targetOnlyPruners(spark, base.schema, targetAlias, c)))
+            if (perClause.exists(_.isEmpty)) base.files
+            else {
+              val byCond = base.files.filter(f =>
+                perClause.exists(ps => ps.forall(p => VT.mayMatch(f, p))))
+              val byCondPaths = byCond.map(_.path).toSet
+              byCond ++ (if (matched.isEmpty) Nil
+                         else matchHitFiles.filterNot(f => byCondPaths(f.path)))
+            }
+          }
+          else if (matched.isEmpty) Nil
+          else matchHitFiles
+        MergeIntoBuilder.lastPlannedScan = hitFiles.size
 
         var nUpdated = 0L; var nDeleted = 0L
         var removeFiles = Seq.empty[AddFile]
@@ -442,6 +467,13 @@ object MergeIntoBuilder {
   private val MatchTag = "__gf_s_match"
   private val ActCol = "__gf_act"
   private val Keep = "keep"
+
+  /** File count of the most recent merge's planned target scan on this
+    * JVM — the test/observability hook the by-source stats-pruning spec
+    * pins (the [[graft.ops.Graph.lastPageRankIters]] precedent); not
+    * meaningful under concurrent merges.
+    */
+  @volatile private[graft] var lastPlannedScan: Int = -1
 
   private[sources] final case class MatchedClause(condition: Option[Column],
       set: Option[Map[String, Column]]) {

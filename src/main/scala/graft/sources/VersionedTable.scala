@@ -1113,6 +1113,26 @@ object VersionedTable {
     }
   }
 
+  /** Prunable conjuncts of `cond` when it references ONLY columns of
+    * `schema` (resolved against a zero-row frame under `alias`, so both
+    * `alias.col` and bare `col` spellings resolve); Nil when the
+    * condition references anything else (the other merge side, a missing
+    * column) or carries no prunable conjunct — the caller cannot bound
+    * its scan then. The stats-pruning half of MERGE's conditional
+    * `WHEN NOT MATCHED BY SOURCE` (r22): a target-only conjunct like a
+    * partition bound means unmatched rows OUTSIDE it can never act, so
+    * files failing every clause's pruners need not be scanned at all.
+    */
+  private[sources] def targetOnlyPruners(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, alias: String,
+      cond: org.apache.spark.sql.Column): Seq[Pruner] =
+    try {
+      val probe = emptyFrame(spark, schema).alias(alias).filter(cond)
+      probe.queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.fold(Seq.empty[Pruner])(e => splitConjuncts(e).flatMap(translate(_)))
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
   /** One prunable conjunct: op ∈ eq/lt/le/gt/ge/in/isnull/isnotnull;
     * `values` are normalized literal carriers (Long/Double/String).
     */

@@ -326,6 +326,70 @@ class MergeIntoSpec extends SparkSpec {
     assert(!r2.committed && VersionedTable.latestVersion(spark, t) == head)
   }
 
+  test("conditional NOT MATCHED BY SOURCE stats-prunes the planned scan; " +
+      "unconditional/unprunable clauses still scan the whole table (r22)") {
+    val t = tmpTable("bysrcprune")
+    VersionedTable.create(
+      Seq((1L, "2024-01-01", "a"), (2L, "2024-01-01", "b"),
+          (3L, "2024-01-02", "c"), (4L, "2024-01-02", "d"),
+          (5L, "2024-01-03", "e")).toDF("id", "day", "v"),
+      t, partitionBy = Seq("day"))
+    val files = VersionedTable.snapshotAt(spark, t).files
+    assert(files.size >= 3, s"expected >=3 partition files, got ${files.size}")
+    val day2 = files.count(_.partitions("day") == "2024-01-02")
+    assert(day2 >= 1)
+    // source lists id 3 only: id 4 vanished upstream — the clause scopes
+    // the sync to ONE partition, so only that partition's files plan
+    val src = Seq((3L, "2024-01-02", "c")).toDF("id", "day", "v")
+    val r = VersionedTable.mergeInto(spark, t, src,
+        expr("t.id = s.id"), "t", "s")
+      .whenNotMatchedBySourceDelete(expr("t.day = '2024-01-02'"))
+      .execute()
+    assert(r.committed && r.rowsDeleted == 1L, s"$r")
+    assert(graft.sources.MergeIntoBuilder.lastPlannedScan == day2,
+      s"by-source scan should stats-prune to the day-2 files ($day2), " +
+        s"planned ${graft.sources.MergeIntoBuilder.lastPlannedScan}")
+    assert(rows3(t) == Set((1L, "2024-01-01", "a"), (2L, "2024-01-01", "b"),
+      (3L, "2024-01-02", "c"), (5L, "2024-01-03", "e")))
+    // a condition referencing the SOURCE side cannot bound the scan
+    // (and never acts — source columns are NULL on unmatched rows)
+    val all = VersionedTable.snapshotAt(spark, t).files.size
+    val r2 = VersionedTable.mergeInto(spark, t, src,
+        expr("t.id = s.id"), "t", "s")
+      .whenNotMatchedBySourceDelete(expr("t.day = s.day"))
+      .execute()
+    assert(!r2.committed)
+    assert(graft.sources.MergeIntoBuilder.lastPlannedScan == all,
+      s"unprunable by-source condition must scan all $all files, " +
+        s"planned ${graft.sources.MergeIntoBuilder.lastPlannedScan}")
+    // matched clauses still add their semi-join hits to a pruned scan:
+    // update id 1 (day-1 partition) while the by-source clause scopes day-3
+    val src3 = Seq((1L, "2024-01-01", "A"), (2L, "2024-01-01", "b"),
+      (3L, "2024-01-02", "c")).toDF("id", "day", "v")
+    val snap = VersionedTable.snapshotAt(spark, t)
+    val day3 = snap.files.count(_.partitions("day") == "2024-01-03")
+    val r3 = VersionedTable.mergeInto(spark, t, src3,
+        expr("t.id = s.id"), "t", "s")
+      .whenMatchedUpdate(Map("v" -> expr("s.v")),
+        condition = expr("t.v <> s.v"))
+      .whenNotMatchedBySourceDelete(expr("t.day = '2024-01-03'"))
+      .execute()
+    assert(r3.committed && r3.rowsUpdated == 1L && r3.rowsDeleted == 1L, s"$r3")
+    // planned = day-3 files + files holding source matches (both day-1
+    // and day-2 hold matched ids) — strictly less than the whole table
+    // would be only if partitions outnumber acting ones; here it must at
+    // least include day3 and the match hits, and exclude nothing wrongly:
+    assert(graft.sources.MergeIntoBuilder.lastPlannedScan >= day3 + 1 &&
+      graft.sources.MergeIntoBuilder.lastPlannedScan <= snap.files.size,
+      s"planned ${graft.sources.MergeIntoBuilder.lastPlannedScan}")
+    assert(rows3(t) == Set((1L, "2024-01-01", "A"), (2L, "2024-01-01", "b"),
+      (3L, "2024-01-02", "c")))
+  }
+
+  private def rows3(t: String): Set[(Long, String, String)] =
+    VersionedTable.read(spark, t).select("id", "day", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
   test("DROP TABLE IF EXISTS on a non-catalog name falls through to " +
       "spark.sql (Spark-managed tables keep their own DROP)") {
     // a temp view dropped through SqlDml must reach Spark's catalog, and
