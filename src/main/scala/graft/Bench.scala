@@ -229,10 +229,15 @@ object Bench {
       // slowdown observed from ~q20 onward in earlier rounds' benches.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.adaptive.enabled", "true")
-      // Spark's own guidance: prefer the target partition size over raw
-      // parallelism when coalescing — fewer, right-sized post-shuffle tasks
-      // (at local scale this also cuts per-stage scheduling overhead).
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // Spark DEFAULT (r22): the earlier `false` override (prefer target
+      // partition size over parallelism) coalesced every mid-size
+      // post-shuffle aggregate to ~1 partition at sf0.1 — q67's 25M-pair
+      // loop and q76's 3M-group pair count ran on ONE task. Restoring the
+      // default keeps post-shuffle stages at the session's parallelism
+      // (still size-coalesced above it): full catalog 69.6 s → 59.9 s,
+      // biggest single-query deltas q76 1.82→0.83, q105–q108 −0.35 each,
+      // sub-second queries +0.02-0.04 (measured, kept).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

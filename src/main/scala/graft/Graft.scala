@@ -20,7 +20,9 @@ object Graft {
       // in one session; evictions trigger janino recompilation mid-run.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // Spark default (r22) — see Bench.scala: the `false` override
+      // serialized mid-size post-shuffle aggregates onto one task.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
     shufflePartitions.fold(b)(n => b.config("spark.sql.shuffle.partitions", n))
   }
 

@@ -1315,9 +1315,10 @@ object TextQueries {
     // VOCAB-sized; top-50 is TakeOrdered, never a global sort.
     "q109_collocations" -> { (s, d) =>
       // explode_outer + null filter: the shingleRows dodge (see q74/q83).
-      // NOT widened (r22 A/B): flat here, regressed in the r21 driver
-      // record — and free at scale, where the scan already has splits.
-      val bg = Tables.documents(s, d)
+      // widen kept (r22): removal measured flat in an isolated A/B but
+      // +0.8 s in the full-catalog record — the q74 sibling keeps the
+      // same widen for the same tokenize+bigram build.
+      val bg = graft.sources.Sources.widen(Tables.documents(s, d), col("doc_id"))
         .withColumn("_toks", TF.tokens(col("text")))
         .filter(size(col("_toks")) >= 2)
         .select(explode_outer(TF.wordBigrams(col("_toks"))).as("bigram"))

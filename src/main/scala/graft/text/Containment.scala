@@ -210,7 +210,16 @@ object Containment {
       .select(col(id), col("n"),
         call_function("graft_bitset", col("_rs"), lit(words)).as("bits"))
       .cache()
+    // Stream side repartitioned to session width (r22): the cached bitset
+    // aggregate comes back AQE-coalesced to ~one partition (advisory-size
+    // coalescing over a few MB), so the N² popcount loop ran on ONE task
+    // — 2.4-3.5 s of q67's 2.8 s, and the 1.13 core-scaling ratio the r21
+    // record showed. The dense path's input is broadcast-budget-bounded
+    // (denseBroadcastMaxBytes), so the extra exchange is metadata-rate at
+    // any scale, and the pair loop is embarrassingly parallel.
+    val width = rows.sparkSession.sessionState.conf.numShufflePartitions
     val a = bits.select(col(id).as("id_a"), col("n").as("_na"), col("bits").as("_ba"))
+      .repartition(width, col("id_a"))
     val b = bits.select(col(id).as("id_b"), col("n").as("_nb"), col("bits").as("_bb"))
     a.crossJoin(broadcast(b))
       // Cheap size conjunct BEFORE the popcount: containment(a→b) =
