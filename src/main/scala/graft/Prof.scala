@@ -34,6 +34,7 @@ object Prof {
       case "q76" => q76(spark, sfDir)
       case "q22" => q22(spark, sfDir)
       case "q75" => q75(spark, sfDir)
+      case "q20" => q20(spark, sfDir)
       case other => System.err.println(s"unknown profile $other")
     }
     spark.stop()
@@ -105,6 +106,36 @@ object Prof {
         .agg(count(lit(1)).as("n_baskets"))
       time("v_c join pairs+count off checkpoint") {
         cj.write.format("noop").mode("overwrite").save() }
+      Graft.releaseCaches(); spark.catalog.clearCache()
+    }
+  }
+
+  def q20(spark: SparkSession, d: String): Unit = {
+    import graft.text.MinHash
+    SparkEntry.queries("q20_ngram_jaccard")(spark, "/root/testdata/sf0.001").count()
+    Graft.releaseCaches(); spark.catalog.clearCache()
+    (1 to 3).foreach { rep =>
+      println(s"== rep $rep ==")
+      val docs = Tables.documents(spark, d)
+      val sh = MinHash.withShingles(docs, "doc_id", "text")
+      val sig = MinHash.signature(MinHash.shingleRows(sh, "doc_id"), "doc_id", 16)
+      time("signature build+cache") { sig.count() }
+      val cand = MinHash.candidates(MinHash.bands(sig, "doc_id", 4, 2), "doc_id")
+      time("candidates off cached sig") { cand.count() }
+      val jac = MinHash.jaccard(sh, cand, "doc_id")
+      time("jaccard verify (array sides)") { jac.count() }
+      // alternative: intersection counted over the CACHED flat rows
+      val rowsFlat = MinHash.shingleRows(sh, "doc_id")
+      val alt = cand
+        .join(rowsFlat.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
+        .join(rowsFlat.select(col("doc_id").as("id_b"), col("shingle")),
+          Seq("id_b", "shingle"), "left_semi")
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      time("alt: flat-rows intersection") { alt.count() }
+      time("full q20 fresh (count)") {
+        Graft.releaseCaches(); spark.catalog.clearCache()
+        SparkEntry.queries("q20_ngram_jaccard")(spark, d).count()
+      }
       Graft.releaseCaches(); spark.catalog.clearCache()
     }
   }
